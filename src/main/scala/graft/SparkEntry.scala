@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.CoreQueries
+import graft.queries.{CoreQueries, PipelineQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -10,12 +10,14 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     CoreQueries.q10(spark, "/root/testdata/sf0.001")
 
+  private def all = CoreQueries.entries ++ PipelineQueries.entries
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.entries.map { case (n, q, _) => n -> q }.toMap
+    all.map { case (n, q, _) => n -> q }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.entries.map { case (n, _, sql) => n -> sql }.toMap
+    all.map { case (n, _, sql) => n -> sql }.toMap
 }

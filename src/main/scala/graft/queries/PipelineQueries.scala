@@ -1,0 +1,329 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.{TextOps, VectorOps}
+
+/** LLM-training-data pipeline operators (north-star extensions beyond the
+  * reference's own surface): near-duplicate detection (MinHash+LSH,
+  * SimHash, exact n-gram Jaccard, embedding cosine), LSH-bucketed ANN,
+  * language ID, quality scoring, token counting, document fingerprinting.
+  *
+  * Every query is pure codegen'd built-ins (no UDFs) with a DuckDB oracle,
+  * so the t2 gate covers these exactly like the core set. Scale notes per
+  * query; the common theme is that candidate generation is always an
+  * equi-join on a derived key (band hash / LSH bucket / shingle), never an
+  * O(N²) comparison — the only quadratic step left is q22's verification
+  * crossjoin, whose scale path is q19/q23-style bucketing.
+  */
+object PipelineQueries {
+  import CoreQueries.Q
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  private val Seeds = 0 until 8 // 8-member MinHash family, 4 bands of 2
+
+  /** doc_id + distinct word-3-shingle array + the 8 minhash components. */
+  private def signatures(s: SparkSession, d: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val sh = array_distinct(TextOps.shingles(toks, 3))
+    t(s, d, "documents")
+      .select(col("doc_id"), sh.as("sh"))
+      .select(col("doc_id") +: col("sh") +:
+        Seeds.map(i => TextOps.minhash(col("sh"), i).as(s"h$i")): _*)
+  }
+
+  // --------------------------------------------------------------- Q19
+  /** MinHash + LSH near-dup: banded signature equi-join generates
+    * candidates, exact Jaccard verifies (≥ 0.5).
+    *
+    * Scale path: the band join shuffles on the band key only — each
+    * document emits 4 (band, doc) rows, near-dups collide, the quadratic
+    * blowup is confined to same-band buckets. Signature computation is
+    * embarrassingly parallel; at 100 TB the signatures are computed once
+    * at ingest and stored as columns.
+    */
+  val q19: Q = (s, d) => {
+    val sig = signatures(s, d).cache()
+    val bands = sig.select(col("doc_id") +: (0 until 4).map(b =>
+      concat_ws("|", lit(b.toString), col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as(s"b$b")): _*)
+    val left = bands.select(col("doc_id").as("a_id"),
+      explode(array((0 until 4).map(b => col(s"b$b")): _*)).as("bk"))
+    val right = bands.select(col("doc_id").as("b_id"),
+      explode(array((0 until 4).map(b => col(s"b$b")): _*)).as("bk"))
+    val cand = left.join(right, Seq("bk"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val sa = sig.select(col("doc_id").as("a_id"), col("sh").as("sha"))
+    val sb = sig.select(col("doc_id").as("b_id"), col("sh").as("shb"))
+    cand.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jac", round(col("common").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("common")), 4))
+      .filter(col("jac") >= 0.5)
+      .select(col("a_id"), col("b_id"), col("jac"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val q19Sql: String = {
+    val sigCols = Seeds.map(i =>
+      s"list_min(list_transform(sh, x -> md5('$i' || '|' || x))) AS h$i").mkString(", ")
+    val bandCond = (0 until 4).map(b =>
+      s"(a.h${2 * b} = b.h${2 * b} AND a.h${2 * b + 1} = b.h${2 * b + 1})").mkString(" OR ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |shl AS (SELECT doc_id, list_distinct(list_transform(
+       |          generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' '))) AS sh
+       |        FROM toks),
+       |sig AS (SELECT doc_id, sh, $sigCols FROM shl),
+       |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS sha, b.sh AS shb
+       |         FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandCond))
+       |SELECT a_id, b_id,
+       |       round(CAST(len(list_intersect(sha, shb)) AS DOUBLE)
+       |             / (len(sha) + len(shb) - len(list_intersect(sha, shb))), 4) AS jac
+       |FROM cand
+       |WHERE round(CAST(len(list_intersect(sha, shb)) AS DOUBLE)
+       |            / (len(sha) + len(shb) - len(list_intersect(sha, shb))), 4) >= 0.5
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------- Q20
+  /** 16-bit SimHash per document (near-dup signature; hamming-close
+    * signatures ⇒ similar token distributions). One scan, no shuffle. */
+  val q20: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"), TextOps.simhash16(TextOps.tokens(col("text"))).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  val q20Sql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |bits AS (SELECT doc_id, j,
+      |           sum(CASE WHEN (strpos('0123456789abcdef', substr(md5(t), j + 1, 1)) - 1) % 2 = 1
+      |                    THEN 1 ELSE -1 END) AS v
+      |         FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) js
+      |         GROUP BY doc_id, j)
+      |SELECT doc_id,
+      |       CAST(sum(CASE WHEN v > 0 THEN CAST(2 ** j AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- Q21
+  /** Exact n-gram Jaccard near-dup via inverted-index join: explode
+    * distinct shingles, equi-join on the shingle, count common, filter
+    * jac ≥ 0.5. The join shuffles on the shingle key — the ground-truth
+    * counterpart of q19 (at 100 TB, run q19's LSH first and this only on
+    * candidates; here the corpus is small enough to do it exactly).
+    */
+  val q21: Q = (s, d) => {
+    val sh = t(s, d, "documents")
+      .select(col("doc_id"),
+        array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val pairs = inv.select(col("doc_id").as("a_id"), col("s"))
+      .join(inv.select(col("doc_id").as("b_id"), col("s")), Seq("s"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .withColumn("jac", round(col("common").cast("double") /
+        (col("na") + col("nb") - col("common")), 4))
+      .filter(col("jac") >= 0.5)
+      .select(col("a_id"), col("b_id"), col("common"), col("jac"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val q21Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, s FROM (
+      |         SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+      |                                 i -> array_to_string(t[i:i+2], ' '))) AS s
+      |         FROM toks)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT a_id, b_id, common,
+      |       round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 4) AS jac
+      |FROM pairs JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+      |WHERE round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 4) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin
+
+  // --------------------------------------------------------------- Q22
+  /** Embedding-cosine near-dup: all pairs with cosine ≥ 0.35.
+    *
+    * Brute-force here (N is small); the 100 TB path replaces the
+    * range-join with q23's sign-bucket LSH so candidates co-locate in
+    * one shuffle instead of N² comparisons.
+    */
+  val q22: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"))
+    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("sim", round(VectorOps.cosine(col("va"), col("vb")), 4))
+      .filter(col("sim") >= 0.35)
+      .select(col("a_id"), col("b_id"), col("sim"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val q22Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |       round(list_inner_product(a.v, b.v)
+      |             / (sqrt(list_inner_product(a.v, a.v))
+      |                * sqrt(list_inner_product(b.v, b.v))), 4) AS sim
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE round(list_inner_product(a.v, b.v)
+      |            / (sqrt(list_inner_product(a.v, a.v))
+      |               * sqrt(list_inner_product(b.v, b.v))), 4) >= 0.35
+      |ORDER BY a_id, b_id""".stripMargin
+
+  // --------------------------------------------------------------- Q23
+  /** LSH-bucketed approximate nearest neighbors: sign-bit bucket (4
+    * hyperplanes) prunes candidates to the probe's bucket, exact cosine
+    * reranks, top-5. The probe's bucket id is a broadcast scalar, so the
+    * scan prunes ~15/16 of the corpus before any vector math; with the
+    * table pre-partitioned by bucket this touches one partition.
+    */
+  val q23: Q = (s, d) => {
+    val probeId = 0L
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("bkt", VectorOps.signBucket(col("v"), 4))
+    val probe = broadcast(e.filter(col("vec_id") === probeId)
+      .select(col("v").as("pv"), col("bkt").as("pbkt")))
+    e.join(probe, col("bkt") === col("pbkt"))
+      .filter(col("vec_id") =!= probeId)
+      .select(col("vec_id"), round(VectorOps.cosine(col("v"), col("pv")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  val q23Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |b AS (SELECT vec_id, v,
+      |        CAST(list_sum(list_transform(generate_series(1, 4),
+      |               i -> CASE WHEN v[i] > 0 THEN CAST(2 ** (i - 1) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bkt
+      |      FROM e),
+      |p AS (SELECT v AS pv, bkt AS pbkt FROM b WHERE vec_id = 0)
+      |SELECT b.vec_id,
+      |       round(list_inner_product(b.v, p.pv)
+      |             / (sqrt(list_inner_product(b.v, b.v))
+      |                * sqrt(list_inner_product(p.pv, p.pv))), 4) AS sim
+      |FROM b, p WHERE b.bkt = p.pbkt AND b.vec_id <> 0
+      |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
+
+  // --------------------------------------------------------------- Q24
+  /** N-gram-heuristic language ID: argmax of stopword-marker hits per
+    * language, ties broken in fixed marker order, no hits ⇒ 'und'.
+    * Pure per-row expression — scales with the scan. */
+  val q24: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextOps.langId(TextOps.tokens(col("text"))).as("lang_pred"))
+      .withColumn("hit", (col("lang") === col("lang_pred")).cast("int").cast("long"))
+      .orderBy(col("doc_id"))
+
+  val q24Sql: String = {
+    val cnt = TextOps.Markers.map { case (l, set) =>
+      val lst = set.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), x -> x IN ($lst))) AS c_$l"
+    }.mkString(",\n       ")
+    val best = TextOps.Markers.map { case (l, _) => s"c_$l" }.mkString(", ")
+    val cases = TextOps.Markers.map { case (l, _) =>
+      s"WHEN c_$l = best AND c_$l > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""WITH c AS (SELECT doc_id, lang,
+       |       $cnt
+       |FROM documents),
+       |g AS (SELECT *, greatest($best) AS best FROM c)
+       |SELECT doc_id, lang,
+       |       CASE $cases ELSE 'und' END AS lang_pred,
+       |       CAST(CASE WHEN lang = CASE $cases ELSE 'und' END THEN 1 ELSE 0 END AS BIGINT) AS hit
+       |FROM g ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------- Q25
+  /** Quality scoring: token stats + stopword ratio folded into a
+    * deterministic [0,1] score. Per-row expressions only. */
+  val q25: Q = (s, d) => {
+    val toks = TextOps.tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val nonSpace = length(regexp_replace(col("text"), " ", "")).cast("double")
+    val stopRatio = TextOps.markerCount(toks, Seq("the", "a", "of", "and", "to"))
+      .cast("double") / size(toks)
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        nTok.as("n_tokens"),
+        // floor-truncate to 2dp: round() half-way ties on an integer ratio
+        // resolve differently across engines; floor of the identical IEEE
+        // quotient is bit-deterministic in both.
+        (floor(nonSpace * 100.0 / nTok) / 100.0).as("avg_token_len"),
+        round(stopRatio, 4).as("stopword_ratio"),
+        round(least(nTok.cast("double") / 100.0, lit(1.0)) * (lit(1.0) - stopRatio), 4).as("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q25Sql: String =
+    """WITH s AS (SELECT doc_id, string_split(text, ' ') AS t,
+      |             CAST(length(replace(text, ' ', '')) AS DOUBLE) AS ns,
+      |             CAST(len(list_filter(string_split(text, ' '),
+      |                    x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE) AS stops
+      |           FROM documents)
+      |SELECT doc_id,
+      |       CAST(len(t) AS BIGINT) AS n_tokens,
+      |       floor(ns * 100.0 / len(t)) / 100.0 AS avg_token_len,
+      |       round(stops / len(t), 4) AS stopword_ratio,
+      |       round(least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) * (1.0 - stops / len(t)), 4) AS score
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- Q26
+  /** Token counting per language: whitespace tokens and a BPE-ish regex
+    * token count (letter runs / digit runs / other), aggregated. */
+  val q26: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(col("lang"),
+        size(TextOps.tokens(col("text"))).cast("long").as("ws"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("re"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("re")).as("re_tokens"))
+      .orderBy(col("lang"))
+
+  val q26Sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+      |       CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS re_tokens
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // --------------------------------------------------------------- Q27
+  /** Winnowing-style document fingerprint: min md5 over character
+    * 5-grams — grouping by it clusters exact/affix-shifted duplicates.
+    * Per-row expression; at 100 TB computed once at ingest. */
+  val q27: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  val q27Sql: String =
+    """SELECT doc_id,
+      |       list_min(list_transform(generate_series(1, greatest(length(text) - 4, 1)),
+      |                i -> md5(text[i:i+4]))) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** name → (query, oracle) */
+  val entries: Seq[(String, Q, String)] = Seq(
+    ("q19_minhash_lsh_neardup", q19, q19Sql),
+    ("q20_simhash", q20, q20Sql),
+    ("q21_ngram_jaccard", q21, q21Sql),
+    ("q22_embedding_neardup", q22, q22Sql),
+    ("q23_ann_lsh", q23, q23Sql),
+    ("q24_lang_id", q24, q24Sql),
+    ("q25_quality_score", q25, q25Sql),
+    ("q26_token_count", q26, q26Sql),
+    ("q27_fingerprint", q27, q27Sql))
+}

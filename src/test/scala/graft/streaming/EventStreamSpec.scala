@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming semantics tests via MemoryStream micro-batches: tumbling
+  * aggregation, in-stream dedup, and the stateful current pointer across
+  * multiple batches (state survives between triggers).
+  */
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def us(h: Int, m: Int = 0): Long =
+    (h * 3600L + m * 60L) * 1000000L // micros since epoch
+
+  private def toDf(events: Seq[Event]) =
+    events.toDF().withColumn("ts", timestamp_micros(col("tsMicros")))
+      .withColumnRenamed("eventType", "event_type")
+
+  test("tumblingCounts groups into hour windows (batch-equivalent check)") {
+    val events = Seq(
+      Event(1, us(0, 10), 1, "view", 1.0),
+      Event(2, us(0, 50), 1, "view", 2.0),
+      Event(3, us(1, 5), 2, "click", 4.0))
+    val got = EventStream.tumblingCounts(toDf(events))
+      .orderBy("win_us", "event_type")
+      .select("win_us", "event_type", "n_events", "sum_value")
+      .as[(Long, String, Long, Double)].collect()
+    assert(got.toSeq == Seq(
+      (us(0), "view", 2L, 3.0),
+      (us(1), "click", 1L, 4.0)))
+  }
+
+  test("dedupStream drops exact duplicates within the watermark horizon") {
+    val events = Seq(
+      Event(1, us(0, 10), 1, "view", 1.0),
+      Event(1, us(0, 10), 1, "view", 1.0), // exact duplicate delivery
+      Event(2, us(0, 20), 1, "view", 1.0))
+    val got = EventStream.dedupStream(toDf(events), Seq("eventId"))
+    assert(got.count() == 2)
+  }
+
+  test("latestPerUser maintains state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStream.latestPerUser(input.toDS())
+      .writeStream.format("memory").queryName("latest_test")
+      .outputMode(OutputMode.Update()).start()
+
+    try {
+      input.addData(
+        Event(1, us(1), 7, "view", 1.0),
+        Event(2, us(2), 7, "click", 2.0),
+        Event(3, us(1), 8, "view", 3.0))
+      query.processAllAvailable()
+      val b1 = spark.table("latest_test").as[Latest].collect()
+        .groupBy(_.userId).view.mapValues(_.maxBy(_.tsMicros)).toMap
+      assert(b1(7L).eventId == 2L) // newest of the two for user 7
+      assert(b1(8L).eventId == 3L)
+
+      // batch 2: an OLDER event for user 7 must NOT displace the pointer,
+      // a newer one for user 8 must.
+      input.addData(
+        Event(4, us(0), 7, "view", 9.0),
+        Event(5, us(5), 8, "purchase", 4.0))
+      query.processAllAvailable()
+      val rows = spark.table("latest_test").as[Latest].collect()
+      // no update emitted for user 7 in batch 2 (stale event ignored)
+      assert(!rows.exists(_.eventId == 4L))
+      // user 8's pointer advanced
+      assert(rows.exists(r => r.userId == 8L && r.eventId == 5L))
+    } finally query.stop()
+  }
+}

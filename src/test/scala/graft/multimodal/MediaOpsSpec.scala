@@ -1,0 +1,65 @@
+package graft.multimodal
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.functions.VectorOps
+import org.apache.spark.sql.functions._
+
+class MediaOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def raw = spark.createDataset(Seq(
+    (1L, "image", Array.fill[Byte](256)(7)),
+    (2L, "image", Array.tabulate[Byte](512)(_.toByte)),
+    (3L, "video", Array.tabulate[Byte](1024)(i => (i * 3).toByte))))
+
+  test("decode attaches deterministic typed metadata") {
+    val m = MediaOps.decode(raw).collect().sortBy(_.mediaId)
+    assert(m.length == 3)
+    assert(m.forall(r => r.meta.width >= 16 && r.meta.height >= 16))
+    // determinism: same payload → same metadata
+    val again = MediaOps.decode(raw).collect().sortBy(_.mediaId)
+    assert(m.map(_.meta).toSeq == again.map(_.meta).toSeq)
+  }
+
+  test("resize rewrites payload and metadata") {
+    val r = MediaOps.resize(MediaOps.decode(raw), 64, 32).collect()
+    assert(r.forall(m => m.meta.width == 64 && m.meta.height == 32))
+    assert(r.forall(_.content.length == 16))
+  }
+
+  test("extractFeatures yields fixed-width vectors usable by VectorOps") {
+    val f = MediaOps.extractFeatures(MediaOps.decode(raw), dim = 64)
+    val rows = f.collect()
+    assert(rows.forall(_.feature.length == 64))
+    assert(rows.forall(_.feature.forall(v => v >= -1.0f && v <= 1.0f)))
+    // plumbing: the features join into the vector similarity path
+    val df = f.toDF().select(col("mediaId").as("vec_id"),
+      col("feature").cast("array<double>").as("embedding"))
+    val knn = VectorOps.knnBruteForce(df, "vec_id", "embedding", 1L, 2)
+    assert(knn.count() == 2)
+  }
+
+  test("sampleFrames emits n frames per row without shuffling") {
+    val media = MediaOps.decode(raw)
+    val frames = MediaOps.sampleFrames(media, 4)
+    assert(frames.count() == 12)
+    val byId = frames.collect().groupBy(_.mediaId)
+    assert(byId.keySet == Set(1L, 2L, 3L))
+    assert(byId.values.forall(_.map(_.frameIdx).sorted.toSeq == Seq(0, 1, 2, 3)))
+    // no exchange in the plan: mapPartitions preserves partitioning
+    val plan = frames.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("readBinaryDir loads payloads with metadata columns") {
+    val dir = Files.createTempDirectory("graft_media").toFile
+    Files.write(new java.io.File(dir, "a.bin").toPath, Array[Byte](1, 2, 3))
+    Files.write(new java.io.File(dir, "b.bin").toPath, Array[Byte](4, 5))
+    val df = MediaOps.readBinaryDir(spark, dir.getAbsolutePath, "*.bin")
+    assert(df.columns.toSeq == Seq("path", "content", "length", "mod_time"))
+    assert(df.count() == 2)
+    assert(df.select(sum(col("length"))).as[Long].head() == 5L)
+  }
+}

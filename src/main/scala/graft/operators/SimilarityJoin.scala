@@ -1,0 +1,121 @@
+package graft.operators
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** All-pairs similarity joins as tiled brute-force kernels.
+  *
+  * Relational formulations of an N² similarity join (pair-explode +
+  * aggregate, or crossJoin + per-pair expression) materialize every
+  * candidate pair as a row — the shuffle/copy cost dwarfs the arithmetic.
+  * These kernels instead broadcast one side as primitive arrays and
+  * stream the other side through `mapPartitions` with a tight JVM loop,
+  * emitting only the pairs that pass the threshold (`mapPartitions` as a
+  * deliberate last resort per the custom-operator ladder: the semantics
+  * — *emit only matches of an N² scan* — are not expressible without
+  * materializing the N² intermediate).
+  *
+  * Scale path (100 TB): this is the one-tile-row special case of a
+  * block-partitioned similarity join — tile both sides, broadcast one
+  * tile of B per task, loop. Pair count stays N²; the fix at scale is
+  * candidate pruning first (MinHash-LSH bands for Jaccard, sign-bucket
+  * LSH for cosine — q19/q23), then this kernel verifies candidates
+  * exactly.
+  *
+  * Rounding replicates Spark's `Round` on DoubleType exactly
+  * (`BigDecimal.valueOf(x).setScale(s, HALF_UP)`), so results stay
+  * bit-identical to the declarative formulation and the DuckDB oracle.
+  */
+object SimilarityJoin {
+
+  def round4(x: Double): Double =
+    JBigDecimal.valueOf(x).setScale(4, RoundingMode.HALF_UP).doubleValue()
+
+  /** All pairs (a < b) with cosine similarity ≥ threshold (rounded to
+    * 4 dp first, matching the declarative/oracle filter).
+    *
+    * @param emb (id, vector) rows; vectors must be equal-length
+    */
+  def cosinePairs(emb: Dataset[(Long, Array[Double])], threshold: Double): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val all = emb.collect().sortBy(_._1)
+    val norms = all.map { case (_, v) =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    val bc = spark.sparkContext.broadcast((all, norms))
+    emb.mapPartitions { it =>
+      val (bRows, bNorms) = bc.value
+      it.flatMap { case (aId, av) =>
+        var an = 0.0
+        var i = 0
+        while (i < av.length) { an += av(i) * av(i); i += 1 }
+        val aNorm = math.sqrt(an)
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        var j = 0
+        while (j < bRows.length) {
+          val (bId, bv) = bRows(j)
+          if (bId > aId) {
+            var s = 0.0
+            var k = 0
+            val n = math.min(av.length, bv.length)
+            while (k < n) { s += av(k) * bv(k); k += 1 }
+            val sim = round4(s / (aNorm * bNorms(j)))
+            if (sim >= threshold) out += ((aId, bId, sim))
+          }
+          j += 1
+        }
+        out.result()
+      }
+    }.toDF("a_id", "b_id", "sim")
+  }
+
+  /** All pairs (a < b) with exact Jaccard ≥ threshold over per-row token
+    * sets, plus the intersection size. Sets are dictionary-encoded to
+    * sorted int arrays on the driver (the dictionary is |distinct
+    * shingles| — catalog-sized, not corpus-sized), and intersections run
+    * as sorted-array merges.
+    */
+  def jaccardPairs(sets: Dataset[(Long, Seq[String])], threshold: Double): DataFrame = {
+    val spark = sets.sparkSession
+    import spark.implicits._
+    val all = sets.collect().sortBy(_._1)
+    val dict = scala.collection.mutable.HashMap.empty[String, Int]
+    val encoded = all.map { case (id, ss) =>
+      val a = ss.distinct.map(s => dict.getOrElseUpdate(s, dict.size)).toArray
+      java.util.Arrays.sort(a)
+      (id, a)
+    }
+    val bc = spark.sparkContext.broadcast(encoded)
+    spark.createDataset(encoded.indices.toSeq).mapPartitions { it =>
+      val rows = bc.value
+      it.flatMap { ai =>
+        val (aId, av) = rows(ai)
+        val out = Seq.newBuilder[(Long, Long, Long, Double)]
+        var j = ai + 1
+        while (j < rows.length) {
+          val (bId, bv) = rows(j)
+          // jac ≥ t needs common ≥ t(na+nb)/(1+t) and common ≤ min(na,nb):
+          // skip the merge when min(na,nb) can't reach the bound.
+          if (math.min(av.length, bv.length) * (1 + threshold) >= threshold * (av.length + bv.length)) {
+            var x = 0; var y = 0; var common = 0
+            while (x < av.length && y < bv.length) {
+              val c = java.lang.Integer.compare(av(x), bv(y))
+              if (c == 0) { common += 1; x += 1; y += 1 }
+              else if (c < 0) x += 1
+              else y += 1
+            }
+            val jac = round4(common.toDouble / (av.length + bv.length - common))
+            if (jac >= threshold) out += ((aId, bId, common.toLong, jac))
+          }
+          j += 1
+        }
+        out.result()
+      }
+    }.toDF("a_id", "b_id", "common", "jac")
+  }
+}

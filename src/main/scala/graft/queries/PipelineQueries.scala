@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.{TextOps, VectorOps}
+import graft.operators.SimilarityJoin
 
 /** LLM-training-data pipeline operators (north-star extensions beyond the
   * reference's own surface): near-duplicate detection (MinHash+LSH,
@@ -115,22 +116,12 @@ object PipelineQueries {
     * candidates; here the corpus is small enough to do it exactly).
     */
   val q21: Q = (s, d) => {
+    import s.implicits._
     val sh = t(s, d, "documents")
       .select(col("doc_id"),
         array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
-    val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val pairs = inv.select(col("doc_id").as("a_id"), col("s"))
-      .join(inv.select(col("doc_id").as("b_id"), col("s")), Seq("s"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("common"))
-    pairs
-      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
-      .withColumn("jac", round(col("common").cast("double") /
-        (col("na") + col("nb") - col("common")), 4))
-      .filter(col("jac") >= 0.5)
-      .select(col("a_id"), col("b_id"), col("common"), col("jac"))
+      .as[(Long, Seq[String])]
+    SimilarityJoin.jaccardPairs(sh, 0.5)
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -158,14 +149,11 @@ object PipelineQueries {
     * one shuffle instead of N² comparisons.
     */
   val q22: Q = (s, d) => {
+    import s.implicits._
     val e = t(s, d, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val a = e.select(col("vec_id").as("a_id"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"))
-    a.crossJoin(b).filter(col("a_id") < col("b_id"))
-      .withColumn("sim", round(VectorOps.cosine(col("va"), col("vb")), 4))
-      .filter(col("sim") >= 0.35)
-      .select(col("a_id"), col("b_id"), col("sim"))
+      .as[(Long, Array[Double])]
+    SimilarityJoin.cosinePairs(e, 0.35)
       .orderBy(col("a_id"), col("b_id"))
   }
 

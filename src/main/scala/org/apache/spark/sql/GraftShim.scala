@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between the public Column API and raw Catalyst expressions
+  * (Spark 4 made `new Column(expr)` private; `classic.ExpressionUtils`
+  * is the supported internal seam). Lives in this package only to
+  * satisfy the `private[sql]` access scope.
+  */
+object GraftShim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

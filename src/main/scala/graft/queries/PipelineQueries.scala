@@ -303,6 +303,48 @@ object PipelineQueries {
       |                i -> md5(text[i:i+4]))) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- Q28
+  /** JSON property extraction + aggregation: `get_json_object` over the
+    * events `props` column (the manifest-feed "safe projection" pattern
+    * applied to JSON instead of regex; SURVEY §1.3 JSON mapping). */
+  val q28: Q = (s, d) => {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    t(s, d, "events")
+      .select(col("event_type"), k.as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        (floor(sum(col("k")) * 100.0 / count(lit(1))) / 100.0).as("avg_k"))
+      .orderBy(col("event_type"))
+  }
+
+  val q28Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |       CAST(sum(k) AS BIGINT) AS sum_k,
+      |       floor(CAST(sum(k) AS DOUBLE) * 100.0 / count(*)) / 100.0 AS avg_k
+      |FROM (SELECT event_type,
+      |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |WHERE k IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------------- Q29
+  /** CUBE over (event_type, year): full grouping-set lattice — the
+    * rollup (q14) generalization. */
+  val q29: Q = (s, d) =>
+    t(s, d, "events")
+      .cube(col("event_type"), year(col("ts")).cast("int").as("y"))
+      .agg(count(lit(1)).as("n"), CoreQueries.sum2ref(col("value")).as("v"))
+      .orderBy(col("event_type").asc_nulls_first, col("y").asc_nulls_first)
+
+  val q29Sql: String =
+    """SELECT event_type, CAST(year(ts) AS INT) AS y, count(*) AS n,
+      |       round(CAST(sum(CAST(value AS DECIMAL(15,2))) AS DOUBLE), 2) AS v
+      |FROM events
+      |GROUP BY CUBE(event_type, CAST(year(ts) AS INT))
+      |ORDER BY event_type NULLS FIRST, y NULLS FIRST""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
@@ -313,5 +355,7 @@ object PipelineQueries {
     ("q24_lang_id", q24, q24Sql),
     ("q25_quality_score", q25, q25Sql),
     ("q26_token_count", q26, q26Sql),
-    ("q27_fingerprint", q27, q27Sql))
+    ("q27_fingerprint", q27, q27Sql),
+    ("q28_json_extract", q28, q28Sql),
+    ("q29_cube", q29, q29Sql))
 }

@@ -23,6 +23,9 @@ object CoreQueries {
   import Dsl._
   type Q = (SparkSession, String) => DataFrame
 
+  /** [[Dsl.sum2]] re-exported for the extension query set. */
+  def sum2ref(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = sum2(c)
+
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
   // ---------------------------------------------------------------- Q1

@@ -48,7 +48,9 @@ object SimilarityJoin {
       math.sqrt(s)
     }
     val bc = spark.sparkContext.broadcast((all, norms))
-    emb.mapPartitions { it =>
+    // The scanned side arrives in file-granularity partitions (often 1);
+    // spread it across the cluster so the kernel actually parallelizes.
+    emb.repartition(spark.sparkContext.defaultParallelism).mapPartitions { it =>
       val (bRows, bNorms) = bc.value
       it.flatMap { case (aId, av) =>
         var an = 0.0
@@ -84,14 +86,38 @@ object SimilarityJoin {
     val spark = sets.sparkSession
     import spark.implicits._
     val all = sets.collect().sortBy(_._1)
-    val dict = scala.collection.mutable.HashMap.empty[String, Int]
+    val dict = scala.collection.mutable.HashMap.empty[String, Long]
     val encoded = all.map { case (id, ss) =>
-      val a = ss.distinct.map(s => dict.getOrElseUpdate(s, dict.size)).toArray
+      val a = ss.distinct.map(s => dict.getOrElseUpdate(s, dict.size.toLong)).toArray
       java.util.Arrays.sort(a)
       (id, a)
     }
+    jaccardKernel(spark, encoded, threshold)
+  }
+
+  /** [[jaccardPairs]] over pre-hashed sets: elements are 64-bit shingle
+    * hashes computed Spark-side (e.g. `xxhash64` inside `transform` —
+    * codegen'd), so the driver collects primitive long arrays instead of
+    * materializing hundreds of thousands of String objects (~5× faster
+    * end-to-end). Exact up to 64-bit hash collisions (~N²/2⁶⁵; the
+    * sf0.01 oracle gate would catch one).
+    */
+  def jaccardPairsHashed(sets: Dataset[(Long, Array[Long])], threshold: Double): DataFrame = {
+    val spark = sets.sparkSession
+    val encoded = sets.collect().sortBy(_._1)
+    jaccardKernel(spark, encoded, threshold)
+  }
+
+  private def jaccardKernel(spark: org.apache.spark.sql.SparkSession,
+                            encoded: Array[(Long, Array[Long])],
+                            threshold: Double): DataFrame = {
+    import spark.implicits._
     val bc = spark.sparkContext.broadcast(encoded)
-    spark.createDataset(encoded.indices.toSeq).mapPartitions { it =>
+    // Row i scans rows i+1..N, so work decreases linearly with i:
+    // round-robin the indices across partitions to balance the triangle.
+    spark.createDataset(encoded.indices.toSeq)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
       val rows = bc.value
       it.flatMap { ai =>
         val (aId, av) = rows(ai)
@@ -99,18 +125,27 @@ object SimilarityJoin {
         var j = ai + 1
         while (j < rows.length) {
           val (bId, bv) = rows(j)
-          // jac ≥ t needs common ≥ t(na+nb)/(1+t) and common ≤ min(na,nb):
-          // skip the merge when min(na,nb) can't reach the bound.
-          if (math.min(av.length, bv.length) * (1 + threshold) >= threshold * (av.length + bv.length)) {
+          // The emitted filter is on round4(jac) ≥ t, so jac as low as
+          // t − 5e-5 can round up into the result: derive the count bound
+          // from that widened threshold. jac ≥ t' needs common ≥
+          // ceil(t'(na+nb)/(1+t')); skip the merge when sizes can't reach
+          // it, abort mid-merge once the remainder can't either.
+          val tEff = math.max(threshold - 5e-5, 0.0)
+          val cMin = math.ceil(tEff * (av.length + bv.length) / (1 + tEff) - 1e-9).toInt
+          if (math.min(av.length, bv.length) >= cMin) {
             var x = 0; var y = 0; var common = 0
-            while (x < av.length && y < bv.length) {
-              val c = java.lang.Integer.compare(av(x), bv(y))
+            var live = true
+            while (live && x < av.length && y < bv.length) {
+              val c = java.lang.Long.compare(av(x), bv(y))
               if (c == 0) { common += 1; x += 1; y += 1 }
               else if (c < 0) x += 1
               else y += 1
+              if (common + math.min(av.length - x, bv.length - y) < cMin) live = false
             }
-            val jac = round4(common.toDouble / (av.length + bv.length - common))
-            if (jac >= threshold) out += ((aId, bId, common.toLong, jac))
+            if (common >= cMin) {
+              val jac = round4(common.toDouble / (av.length + bv.length - common))
+              if (jac >= threshold) out += ((aId, bId, common.toLong, jac))
+            }
           }
           j += 1
         }

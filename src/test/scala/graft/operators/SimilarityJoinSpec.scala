@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+class SimilarityJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosinePairs finds colinear pair, respects threshold and a<b") {
+    val e = Seq(
+      (1L, Array(1.0, 0.0)),
+      (2L, Array(2.0, 0.0)),  // colinear with 1 → sim 1.0
+      (3L, Array(0.0, 1.0)))  // orthogonal to both
+      .toDS()
+    val got = SimilarityJoin.cosinePairs(e, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 1.0)))
+  }
+
+  test("string and hashed jaccard formulations agree") {
+    val rnd = new Random(3)
+    val vocab = (0 until 30).map(i => s"w$i")
+    val docs = (0L until 40L).map { id =>
+      (id, Seq.fill(rnd.nextInt(20) + 5)(vocab(rnd.nextInt(vocab.size))))
+    }
+    val strDs = docs.toDS()
+    val hashedDs = strDs.toDF("id", "toks")
+      .select(col("id"),
+        array_sort(array_distinct(transform(col("toks"), t => xxhash64(t)))).as("h"))
+      .as[(Long, Array[Long])]
+    val a = SimilarityJoin.jaccardPairs(strDs, 0.3)
+      .select("a_id", "b_id", "common", "jac")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val b = SimilarityJoin.jaccardPairsHashed(hashedDs, 0.3)
+      .select("a_id", "b_id", "common", "jac")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(a == b)
+    assert(a.forall(_._4 >= 0.3))
+  }
+
+  test("pair exactly at the threshold is kept (early abort must not drop it)") {
+    // |A|=2, |B|=2, common=1 → jac = 1/3; threshold 1/3 rounded
+    val d = Seq(
+      (1L, Seq("a", "b")),
+      (2L, Seq("b", "c"))).toDS()
+    val got = SimilarityJoin.jaccardPairs(d, 0.3333)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 1L, 0.3333)))
+  }
+}

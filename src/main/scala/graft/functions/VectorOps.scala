@@ -45,6 +45,42 @@ object VectorOps {
         (x, i) => when(x > 0, pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
       lit(0L), (s, x) => s + x)
 
+  /** IVF cell assignment: nearest of `nCells` coarse centroids by squared
+    * L2, ties to the lowest centroid id. The quantizer here is
+    * deterministic "sampling training" (the first `nCells` vectors by id
+    * serve as centroids); a real k-means refinement would slot in without
+    * changing the dataflow. dist² expands to ‖v‖² − 2⟨v,c⟩ + ‖c‖² so
+    * both engines (and the oracle) evaluate identical IEEE ops.
+    *
+    * Scale path: centroids broadcast (nCells ≪ N); assignment is one
+    * scan; with the table written partitioned by `cell`, a probe reads
+    * one partition (classic IVF-Flat layout).
+    */
+  def ivfAssign(emb: DataFrame, idCol: String, vecCol: String, nCells: Int): DataFrame = {
+    val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    val cents = broadcast(e.filter(col(idCol) < nCells)
+      .select(col(idCol).as("__cid"), col("__v").as("__c")))
+    val d2 = dot(col("__v"), col("__v")) - lit(2.0) * dot(col("__v"), col("__c")) +
+      dot(col("__c"), col("__c"))
+    e.crossJoin(cents)
+      .groupBy(col(idCol))
+      .agg(min_by(col("__cid"), struct(d2.as("d"), col("__cid"))).as("cell"),
+           first(col("__v")).as("__v"))
+  }
+
+  /** IVF-Flat search: top-k cosine among the probe-cell's vectors. */
+  def ivfSearch(emb: DataFrame, idCol: String, vecCol: String,
+                nCells: Int, probeId: Long, k: Int): DataFrame = {
+    val assigned = ivfAssign(emb, idCol, vecCol, nCells)
+    val probe = broadcast(assigned.filter(col(idCol) === probeId)
+      .select(col("__v").as("__pv"), col("cell").as("__pcell")))
+    assigned.join(probe, col("cell") === col("__pcell"))
+      .filter(col(idCol) =!= probeId)
+      .select(col(idCol), round(cosine(col("__v"), col("__pv")), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Brute-force top-k cosine neighbors of one probe vector.
     *
     * The probe side is a single row → Catalyst broadcasts it and the scan

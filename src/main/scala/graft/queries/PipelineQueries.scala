@@ -349,6 +349,31 @@ object PipelineQueries {
       |GROUP BY CUBE(event_type, CAST(year(ts) AS INT))
       |ORDER BY event_type NULLS FIRST, y NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- Q30
+  /** IVF-Flat approximate nearest neighbors: 8 sampled centroids, nearest
+    * cell assignment, probe-cell rerank, top-5 (the inverted-file
+    * counterpart of q23's hashing LSH). */
+  val q30: Q = (s, d) =>
+    VectorOps.ivfSearch(t(s, d, "embeddings"), "vec_id", "embedding",
+      nCells = 8, probeId = 1L, k = 5)
+
+  val q30Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
+      |asg AS (SELECT vec_id, v, cid, row_number() OVER (
+      |          PARTITION BY vec_id
+      |          ORDER BY list_inner_product(v, v) - 2 * list_inner_product(v, c)
+      |                   + list_inner_product(c, c), cid) AS rn
+      |        FROM e CROSS JOIN c),
+      |cells AS (SELECT vec_id, v, cid AS cell FROM asg WHERE rn = 1),
+      |p AS (SELECT v AS pv, cell AS pcell FROM cells WHERE vec_id = 1)
+      |SELECT cells.vec_id,
+      |       round(list_inner_product(cells.v, p.pv)
+      |             / (sqrt(list_inner_product(cells.v, cells.v))
+      |                * sqrt(list_inner_product(p.pv, p.pv))), 4) AS sim
+      |FROM cells, p WHERE cells.cell = p.pcell AND cells.vec_id <> 1
+      |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
@@ -361,5 +386,6 @@ object PipelineQueries {
     ("q26_token_count", q26, q26Sql),
     ("q27_fingerprint", q27, q27Sql),
     ("q28_json_extract", q28, q28Sql),
-    ("q29_cube", q29, q29Sql))
+    ("q29_cube", q29, q29Sql),
+    ("q30_ann_ivf", q30, q30Sql))
 }

@@ -29,10 +29,8 @@ object ManifestParser {
   /** Reference row regex (`/root/reference/download/routeviews.go:77`). */
   val RowRegex = """(\d{1,6})\s*(\d{10})\s*(.*)"""
 
-  /** Parse manifest lines (one row per line in `value`) into typed entries. */
-  def parse(lines: DataFrame): Dataset[ManifestEntry] = {
-    val spark = lines.sparkSession
-    import spark.implicits._
+  /** Regex projection + safe cast; malformed rows surface as NULLs. */
+  private def projected(lines: DataFrame): DataFrame =
     lines
       .select(
         regexp_extract(col("value"), RowRegex, 1).as("seq_str"),
@@ -45,6 +43,30 @@ object ManifestParser {
         expr("try_cast(seq_str AS INT)").as("seqnum"),
         expr("try_cast(ts_str AS BIGINT)").as("tsEpoch"),
         col("path"))
+
+  /** Parse manifest lines (one row per line in `value`) into typed entries. */
+  def parse(lines: DataFrame): Dataset[ManifestEntry] = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    projected(lines)
+      .filter(col("seqnum").isNotNull && col("tsEpoch").isNotNull)
+      .as[ManifestEntry]
+  }
+
+  /** [[parse]] with an `observe()` side-channel counting total and
+    * malformed lines — the Spark-native form of the reference's
+    * metric-on-parse-failure (`routeviews.go:101-106`,
+    * `metrics.go:29-52`): counts ride the job, no second pass, and
+    * surface through the `Observation` handle / QueryExecutionListener.
+    */
+  def parseObserved(lines: DataFrame,
+                    observation: org.apache.spark.sql.Observation): Dataset[ManifestEntry] = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    projected(lines)
+      .observe(observation,
+        count(lit(1)).as("lines_total"),
+        count(when(col("seqnum").isNull || col("tsEpoch").isNull, 1)).as("lines_dropped"))
       .filter(col("seqnum").isNotNull && col("tsEpoch").isNotNull)
       .as[ManifestEntry]
   }

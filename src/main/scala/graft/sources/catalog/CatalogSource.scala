@@ -1,0 +1,120 @@
+package graft.sources.catalog
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter, StringStartsWith}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.LocalFsStore
+
+/** DataSource V2 provider exposing an object-store catalog as the
+  * relation `(name STRING, md5 STRING, size BIGINT)` with **prefix
+  * pushdown**: a `name LIKE 'prefix%'` / `startsWith` predicate reaches
+  * the store as a scoped listing instead of a full-bucket scan — the
+  * spec'd prefix-scoped semantics of the reference's `NamesToMD5`
+  * (/root/reference/file/api.go:27, honored by the fake at
+  * common_test.go:34-43) that its GCS impl failed to implement
+  * (file/api.go:53 lists the whole bucket). Here the optimizer proves
+  * the pushdown: `.explain` shows PushedFilters on the scan and the
+  * store is only asked for the scope.
+  *
+  * Usage: `spark.read.format("graft-catalog").option("root", dir).load()`.
+  * Scale note: one [[InputPartition]] per top-level prefix would shard a
+  * huge catalog across tasks; a single partition suffices for the
+  * metadata sizes here.
+  */
+class CatalogSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-catalog"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    CatalogSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new CatalogTable(properties.asScala.getOrElse("root",
+      throw new IllegalArgumentException("graft-catalog requires option 'root'")))
+}
+
+object CatalogSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("md5", StringType, nullable = true),
+    StructField("size", LongType, nullable = false)))
+}
+
+private class CatalogTable(root: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-catalog($root)"
+  override def schema(): StructType = CatalogSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new CatalogScanBuilder(root)
+}
+
+private class CatalogScanBuilder(root: String)
+  extends ScanBuilder with SupportsPushDownFilters {
+
+  private var prefix: String = ""
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case StringStartsWith("name", _) => true
+      case _ => false
+    }
+    // longest pushed prefix wins (they nest or conflict; nesting keeps
+    // the narrowest listing, conflict returns empty which is correct)
+    accepted.collect { case StringStartsWith(_, p) => p }
+      .sortBy(-_.length).headOption.foreach(p => prefix = p)
+    pushed = accepted
+    rejected // residual filters Spark must still evaluate
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new CatalogScan(root, prefix)
+}
+
+private class CatalogScan(root: String, prefix: String) extends Scan with Batch {
+  override def readSchema(): StructType = CatalogSource.Schema
+  override def toBatch: Batch = this
+  override def description(): String = s"graft-catalog root=$root prefix='$prefix'"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(CatalogInputPartition(root, prefix))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CatalogReaderFactory
+}
+
+private case class CatalogInputPartition(root: String, prefix: String)
+  extends InputPartition
+
+private class CatalogReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CatalogInputPartition]
+    new PartitionReader[InternalRow] {
+      private val it = new LocalFsStore(p.root).list(p.prefix).iterator
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        if (!it.hasNext) return false
+        val m = it.next()
+        current = InternalRow(
+          UTF8String.fromString(m.name),
+          m.md5.map(UTF8String.fromString).orNull,
+          m.size)
+        true
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, PipelineQueries}
+import graft.queries.{CoreQueries, PipelineQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -10,7 +10,8 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     CoreQueries.q10(spark, "/root/testdata/sf0.001")
 
-  private def all = CoreQueries.entries ++ PipelineQueries.entries
+  private def all =
+    CoreQueries.entries ++ PipelineQueries.entries ++ RelationalQueries.entries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

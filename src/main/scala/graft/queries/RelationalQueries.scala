@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Relational breadth beyond the core set: correlated subqueries
+  * (Catalyst decorrelation), exact percentiles, date arithmetic, string
+  * functions, array functions, and NOT EXISTS anti-semantics — each with
+  * a DuckDB oracle. SQL-text entries register temp views and go through
+  * `spark.sql` deliberately, exercising the parser/analyzer path the
+  * DataFrame queries skip.
+  */
+object RelationalQueries {
+  import CoreQueries.Q
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  private def withViews(s: SparkSession, d: String, names: String*)(sql: String): DataFrame = {
+    names.foreach(n => t(s, d, n).createOrReplaceTempView(n))
+    s.sql(sql)
+  }
+
+  // --------------------------------------------------------------- Q31
+  /** Correlated scalar subquery: customers above their nation's average
+    * balance. Catalyst decorrelates to an aggregate + join (check the
+    * plan: no per-row subquery execution). */
+  val q31: Q = (s, d) => withViews(s, d, "customer")(
+    """SELECT c_custkey, c_name
+      |FROM customer c
+      |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+      |                   WHERE c2.c_nationkey = c.c_nationkey)
+      |ORDER BY c_custkey""".stripMargin)
+
+  val q31Sql: String =
+    """SELECT c_custkey, c_name
+      |FROM customer c
+      |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+      |                   WHERE c2.c_nationkey = c.c_nationkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // --------------------------------------------------------------- Q32
+  /** Exact percentiles (linear interpolation) per order priority; both
+    * engines interpolate over the same sorted doubles, floor-truncated
+    * to dodge representation-boundary rounding. */
+  val q32: Q = (s, d) =>
+    t(s, d, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        (floor(expr("percentile(o_totalprice, 0.5)") * 100.0) / 100.0).as("p50"),
+        (floor(expr("percentile(o_totalprice, 0.9)") * 100.0) / 100.0).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  val q32Sql: String =
+    """SELECT o_orderpriority,
+      |       floor(quantile_cont(o_totalprice, 0.5) * 100.0) / 100.0 AS p50,
+      |       floor(quantile_cont(o_totalprice, 0.9) * 100.0) / 100.0 AS p90,
+      |       count(*) AS n
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // --------------------------------------------------------------- Q33
+  /** Date arithmetic: per order month (UTC), order count, distinct
+    * order days, max day-of-month. */
+  val q33: Q = (s, d) =>
+    t(s, d, "orders")
+      .groupBy(unix_micros(date_trunc("month", col("o_orderdate"))).as("month_us"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(to_date(col("o_orderdate"))).as("n_days"),
+        max(dayofmonth(col("o_orderdate"))).cast("long").as("max_dom"))
+      .orderBy(col("month_us"))
+
+  val q33Sql: String =
+    """SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+      |       count(*) AS n,
+      |       count(DISTINCT CAST(o_orderdate AS DATE)) AS n_days,
+      |       CAST(max(day(o_orderdate)) AS BIGINT) AS max_dom
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------- Q34
+  /** String function sampler per part brand: upper/substr/split_part/
+    * length aggregates (binary collation on both engines). */
+  val q34: Q = (s, d) =>
+    t(s, d, "part")
+      .groupBy(col("p_brand"))
+      .agg(
+        min(upper(col("p_name"))).as("min_upper"),
+        max(substring(col("p_name"), 1, 5)).as("max_pref"),
+        countDistinct(split_part(col("p_type"), lit(" "), lit(1))).as("n_type_heads"),
+        sum(length(col("p_name"))).as("sum_len"))
+      .orderBy(col("p_brand"))
+
+  val q34Sql: String =
+    """SELECT p_brand,
+      |       min(upper(p_name)) AS min_upper,
+      |       max(substr(p_name, 1, 5)) AS max_pref,
+      |       count(DISTINCT split_part(p_type, ' ', 1)) AS n_type_heads,
+      |       CAST(sum(length(p_name)) AS BIGINT) AS sum_len
+      |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // --------------------------------------------------------------- Q35
+  /** Array-function sampler over tokenized documents: sizes, distinct
+    * sizes, boundary elements, containment. */
+  val q35: Q = (s, d) => {
+    val toks = split(col("text"), " ")
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        element_at(toks, 1).as("first_tok"),
+        element_at(toks, -1).as("last_tok"),
+        array_contains(toks, "spark").cast("int").cast("long").as("has_spark"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q35Sql: String =
+    """SELECT doc_id,
+      |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+      |       string_split(text, ' ')[1] AS first_tok,
+      |       string_split(text, ' ')[-1] AS last_tok,
+      |       CAST(CASE WHEN list_contains(string_split(text, ' '), 'spark')
+      |            THEN 1 ELSE 0 END AS BIGINT) AS has_spark
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- Q36
+  /** NOT EXISTS anti-semantics through the SQL path: document sources
+    * with no Chinese-language document (the dedup anti-join
+    * generalization, planned as a broadcast anti join after
+    * decorrelation). */
+  val q36: Q = (s, d) => withViews(s, d, "documents")(
+    """SELECT source, count(*) AS n_docs
+      |FROM documents d
+      |WHERE NOT EXISTS (SELECT 1 FROM documents x
+      |                  WHERE x.source = d.source AND x.lang = 'zh')
+      |GROUP BY source ORDER BY source""".stripMargin)
+
+  val q36Sql: String =
+    """SELECT source, count(*) AS n_docs
+      |FROM documents d
+      |WHERE NOT EXISTS (SELECT 1 FROM documents x
+      |                  WHERE x.source = d.source AND x.lang = 'zh')
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  /** name → (query, oracle) */
+  val entries: Seq[(String, Q, String)] = Seq(
+    ("q31_correlated_subquery", q31, q31Sql),
+    ("q32_percentiles", q32, q32Sql),
+    ("q33_date_arithmetic", q33, q33Sql),
+    ("q34_string_funcs", q34, q34Sql),
+    ("q35_array_funcs", q35, q35Sql),
+    ("q36_not_exists", q36, q36Sql))
+}

@@ -54,6 +54,23 @@ object EventStream {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicates(keyCols :+ "ts")
 
+  /** Incremental archive ingestion: a checkpointed streaming query
+    * draining a file source into the UTC date-partitioned archive
+    * ([[graft.core.Sinks]]). The checkpoint replaces the reference's
+    * process-local watermark ints (downloader.go:61-62): already-seen
+    * files are never reprocessed across restarts — effectively-once into
+    * an append sink, the streaming twin of the md5-dedup idempotence.
+    */
+  def archiveToParquet(events: DataFrame, outDir: String,
+                       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.core.Sinks.writeDatePartitioned(batch, col("ts"), outDir, mode = "append")
+      }
+      .start()
+
   /** Continuously-maintained latest-per-user pointer via typed state
     * (flatMapGroupsWithState): emits an update whenever a group's maximum
     * (ts, eventId) changes — the streaming form of the current-pointer

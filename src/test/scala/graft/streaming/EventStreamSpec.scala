@@ -42,6 +42,40 @@ class EventStreamSpec extends SparkSpec {
     assert(got.count() == 2)
   }
 
+  test("file-source archive ingestion is effectively-once across restarts") {
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("graft_stream_in").toString
+    val out = Files.createTempDirectory("graft_stream_out").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val schema = "event_id LONG, ts TIMESTAMP, user_id LONG"
+
+    def batch(ids: Range) = ids.map(i =>
+      (i.toLong, new java.sql.Timestamp(us(i % 48) / 1000), (i % 5).toLong))
+      .toDF("event_id", "ts", "user_id")
+
+    batch(0 until 100).write.mode("append").parquet(in)
+    def drain(): Unit = {
+      val q = EventStream.archiveToParquet(
+        spark.readStream.schema(schema).parquet(in), out, ckpt)
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(out).count() == 100)
+
+    // restart with no new input: checkpoint prevents reprocessing
+    drain()
+    assert(spark.read.parquet(out).count() == 100)
+
+    // new file: only the delta lands
+    batch(100 until 150).write.mode("append").parquet(in)
+    drain()
+    val archived = spark.read.parquet(out)
+    assert(archived.count() == 150)
+    assert(archived.select("event_id").distinct().count() == 150)
+    // partition columns materialized for pruning
+    assert(archived.columns.toSet.intersect(Set("year", "month", "day")).size == 3)
+  }
+
   test("latestPerUser maintains state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]

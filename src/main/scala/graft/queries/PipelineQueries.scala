@@ -117,15 +117,9 @@ object PipelineQueries {
     */
   val q21: Q = (s, d) => {
     import s.implicits._
-    // Shingles hash to sorted long arrays Spark-side (codegen'd), so the
-    // exact-verify kernel collects primitives, not strings.
-    val sh = t(s, d, "documents")
-      .select(col("doc_id"),
-        array_sort(array_distinct(transform(
-          TextOps.shingles(TextOps.tokens(col("text")), 3),
-          sh => xxhash64(sh)))).as("sh"))
-      .as[(Long, Array[Long])]
-    SimilarityJoin.jaccardPairsHashed(sh, 0.5)
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    SimilarityJoin.jaccardPairsText(docs, 3, 0.5)
       .orderBy(col("a_id"), col("b_id"))
   }
 

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Exact per-group top-k as a typed [[Aggregator]]: the buffer holds at
+  * most k (value, id) pairs, `reduce`/`merge` trim eagerly, so the
+  * aggregate is partial-aggregable — map-side combine keeps k rows per
+  * group per partition and the shuffle carries O(groups × k), versus the
+  * window formulation's full per-group shuffle + sort. This is the
+  * `TypedImperativeAggregate`-style top-k SURVEY §4 reserves for the
+  * 100 TB path (row_number windows keep whole groups resident).
+  *
+  * Ordering: value DESC, id ASC (the unique id makes results
+  * deterministic under value ties, like the reference's lexicographic
+  * `tail -n 1` tie-break).
+  */
+class TopKAgg(k: Int) extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+  private def order(a: (Double, Long), b: (Double, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    s.sortWith(order).take(k)
+
+  override def zero: Seq[(Double, Long)] = Seq.empty
+  override def reduce(buf: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] =
+    trim(buf :+ in)
+  override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    trim(a ++ b)
+  override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = buf
+  override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[(Double, Long)]] = bufferEncoder
+}
+
+object TopK {
+  /** Column aggregate: top-k (value, id) pairs per group, ordered value
+    * DESC then id ASC. Usage: `df.groupBy(g).agg(TopK.topK(3)(v, id))`. */
+  def topK(k: Int): (Column, Column) => Column = {
+    val fn = udaf(new TopKAgg(k))
+    (value, id) => fn(value, id)
+  }
+}

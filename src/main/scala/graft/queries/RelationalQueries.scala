@@ -143,6 +143,30 @@ object RelationalQueries {
       |                  WHERE x.source = d.source AND x.lang = 'zh')
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- Q37
+  /** Per-group top-k via the typed [[graft.operators.TopK]] Aggregator
+    * (partial-aggregable: the shuffle carries k rows per group instead
+    * of whole groups) — result-identical to the window formulation the
+    * oracle uses. */
+  val q37: Q = (s, d) => {
+    import graft.operators.TopK
+    t(s, d, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(TopK.topK(3)(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("pos", "item")))
+      .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rank"),
+        col("item._1").as("price"), col("item._2").as("o_orderkey"))
+      .orderBy(col("o_orderpriority"), col("rank"))
+  }
+
+  val q37Sql: String =
+    """SELECT o_orderpriority, rank, price, o_orderkey FROM (
+      |  SELECT o_orderpriority, o_totalprice AS price, o_orderkey,
+      |         CAST(row_number() OVER (PARTITION BY o_orderpriority
+      |                ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank
+      |  FROM orders)
+      |WHERE rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q31_correlated_subquery", q31, q31Sql),
@@ -150,5 +174,6 @@ object RelationalQueries {
     ("q33_date_arithmetic", q33, q33Sql),
     ("q34_string_funcs", q34, q34Sql),
     ("q35_array_funcs", q35, q35Sql),
-    ("q36_not_exists", q36, q36Sql))
+    ("q36_not_exists", q36, q36Sql),
+    ("q37_topk_per_group", q37, q37Sql))
 }

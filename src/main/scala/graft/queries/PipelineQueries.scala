@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -368,6 +369,90 @@ object PipelineQueries {
       |FROM cells, p WHERE cells.cell = p.pcell AND cells.vec_id <> 1
       |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
 
+  // --------------------------------------------------------------- Q38
+  /** TF-IDF: per language, top-3 terms by the maximum per-document
+    * tf·ln(N/df) (N and df computed over the whole corpus). One explode,
+    * two aggregations, a broadcast-joined doc-frequency table — the
+    * classic text-pipeline scoring op, shuffling only (term, lang) pairs.
+    */
+  val q38: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val n = docs.count()
+    val terms = docs.select(col("doc_id"), col("lang"),
+      explode(TextOps.tokens(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("lang"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df_), "term")
+      .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
+    val wr = Window.partitionBy(col("lang"))
+      .orderBy(col("m").desc, col("term"))
+    scored.groupBy(col("lang"), col("term"))
+      .agg(round(max(col("tfidf")), 4).as("m"))
+      .withColumn("r", row_number().over(wr).cast("long"))
+      .filter(col("r") <= 3)
+      .select(col("lang"), col("r"), col("term"), col("m").as("max_tfidf"))
+      .orderBy(col("lang"), col("r"))
+  }
+
+  val q38Sql: String =
+    """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+      |             FROM documents),
+      |tf AS (SELECT doc_id, lang, term, count(*) AS tf FROM tok GROUP BY 1, 2, 3),
+      |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |scored AS (SELECT lang, term,
+      |             round(max(tf * ln(CAST(n.n AS DOUBLE) / df.df)), 4) AS m
+      |           FROM tf JOIN df USING (term) CROSS JOIN n
+      |           GROUP BY lang, term),
+      |ranked AS (SELECT lang, term, m,
+      |             CAST(row_number() OVER (PARTITION BY lang
+      |                    ORDER BY m DESC, term) AS BIGINT) AS r
+      |           FROM scored)
+      |SELECT lang, r, term, m AS max_tfidf
+      |FROM ranked WHERE r <= 3 ORDER BY lang, r""".stripMargin
+
+  // --------------------------------------------------------------- Q39
+  /** Session windows (30-minute inactivity gap) per user: session count,
+    * total events, max session span. The oracle reconstructs sessions
+    * via gaps-and-islands (lag + cumulative sum), proving Spark's
+    * `session_window` merge semantics equal the relational definition.
+    */
+  val q39: Q = (s, d) => {
+    val sessions = t(s, d, "events")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("span_us"))
+    sessions.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_ev")).as("n_events"),
+        max(col("span_us")).as("max_span_us"))
+      .orderBy(col("user_id"))
+  }
+
+  val q39Sql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts,
+      |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |                   > INTERVAL 30 MINUTE OR
+      |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked),
+      |per_session AS (
+      |  SELECT user_id, sid, count(*) AS n_ev,
+      |         epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
+      |  FROM sess GROUP BY user_id, sid)
+      |SELECT user_id, count(*) AS n_sessions,
+      |       CAST(sum(n_ev) AS BIGINT) AS n_events,
+      |       max(span_us) AS max_span_us
+      |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
@@ -381,5 +466,7 @@ object PipelineQueries {
     ("q27_fingerprint", q27, q27Sql),
     ("q28_json_extract", q28, q28Sql),
     ("q29_cube", q29, q29Sql),
-    ("q30_ann_ivf", q30, q30Sql))
+    ("q30_ann_ivf", q30, q30Sql),
+    ("q38_tfidf", q38, q38Sql),
+    ("q39_session_windows", q39, q39Sql))
 }

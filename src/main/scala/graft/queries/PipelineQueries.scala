@@ -148,11 +148,13 @@ object PipelineQueries {
     * one shuffle instead of N² comparisons.
     */
   val q22: Q = (s, d) => {
-    import s.implicits._
+    // Runs through the custom operator (CosineSelfJoin logical node →
+    // SimilarityStrategy → CosineSelfJoinExec): same kernel as
+    // SimilarityJoin.cosinePairs, but as a plan-visible physical op.
     val e = t(s, d, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .as[(Long, Array[Double])]
-    SimilarityJoin.cosinePairs(e, 0.35)
+      .repartition(s.sparkContext.defaultParallelism)
+    graft.plans.CosineSelfJoin.pairs(e, "vec_id", "v", 0.35)
       .orderBy(col("a_id"), col("b_id"))
   }
 

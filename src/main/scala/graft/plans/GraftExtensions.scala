@@ -23,5 +23,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ArrayDot(args.head, args(1))
       }))
     ext.injectOptimizerRule(_ => RewriteLatestPerGroup)
+    ext.injectPlannerStrategy(_ => SimilarityStrategy)
   }
 }

@@ -167,6 +167,27 @@ object RelationalQueries {
       |  FROM orders)
       |WHERE rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin
 
+  // --------------------------------------------------------------- Q40
+  /** PIVOT: per-user event counts widened by event type (fixed value
+    * list keeps the output schema static — required for both engines
+    * and for any sane 100 TB plan). */
+  val q40: Q = (s, d) =>
+    t(s, d, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
+  val q40Sql: String =
+    """SELECT user_id,
+      |       count(*) FILTER (WHERE event_type = 'view') AS view,
+      |       count(*) FILTER (WHERE event_type = 'click') AS click,
+      |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |       count(*) FILTER (WHERE event_type = 'error') AS error
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q31_correlated_subquery", q31, q31Sql),
@@ -175,5 +196,6 @@ object RelationalQueries {
     ("q34_string_funcs", q34, q34Sql),
     ("q35_array_funcs", q35, q35Sql),
     ("q36_not_exists", q36, q36Sql),
-    ("q37_topk_per_group", q37, q37Sql))
+    ("q37_topk_per_group", q37, q37Sql),
+    ("q40_pivot", q40, q40Sql))
 }

@@ -76,6 +76,30 @@ class EventStreamSpec extends SparkSpec {
     assert(archived.columns.toSet.intersect(Set("year", "month", "day")).size == 3)
   }
 
+  test("tumblingCounts: streaming micro-batches equal the batch run") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = (0 until 200).map(i =>
+      Event(i.toLong, us(i % 30, i % 60), (i % 7).toLong,
+        Seq("view", "click", "purchase")(i % 3), i * 0.5))
+    val input = MemoryStream[Event]
+    val streamDf = input.toDF()
+      .withColumn("ts", timestamp_micros(col("tsMicros")))
+      .withColumnRenamed("eventType", "event_type")
+    val q = EventStream.tumblingCounts(streamDf)
+      .writeStream.format("memory").queryName("tumbling_eq")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      events.grouped(70).foreach { g => input.addData(g: _*); q.processAllAvailable() }
+      val streamed = spark.table("tumbling_eq")
+        .select("win_us", "event_type", "n_events", "sum_value")
+        .as[(Long, String, Long, Double)].collect().toSet
+      val batch = EventStream.tumblingCounts(toDf(events))
+        .select("win_us", "event_type", "n_events", "sum_value")
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(streamed == batch) // one definition, two execution modes
+    } finally q.stop()
+  }
+
   test("latestPerUser maintains state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]

@@ -33,7 +33,11 @@ case class SourceConfig(
   filePrefix: String = "",
   urlRegex: Option[Regex] = None,
   fixedFilename: Option[String] = None,
-  dedupScopeRegex: Regex = new Regex("(.*)"))
+  dedupScopeRegex: Regex = new Regex("(.*)"),
+  // per-file retry policy (reference: 1 min doubling to 8 min,
+  // common.go:21-22); tests inject zero waits
+  retryInitialMs: Long = 60000L,
+  retryMaxMs: Long = 480000L)
 
 /** Result of one pipeline run. `newWatermark` follows the gated-advance
   * rule; `kept`/`duplicates` partition the successfully fetched files by
@@ -59,6 +63,39 @@ case class IngestReport(
   * shuffle.
   */
 object ArchivePipeline {
+
+  /** One run of a fixed-name source (the MaxMind pipeline, E2 of SURVEY
+    * §3): single URL, UTC date directory + timestamp file prefix, scope
+    * dedup, current-pointer promotion. Driver-side by design — one
+    * object per iteration has no fan-out to distribute; the manifest
+    * path ([[run]]) is where executor parallelism pays.
+    */
+  def runFixedSource(cfg: SourceConfig, url: String, store: Store,
+                     fetcher: Fetcher, now: java.time.Instant,
+                     sleep: scala.concurrent.duration.FiniteDuration => Unit =
+                       d => Thread.sleep(d.toMillis)): Either[Throwable, IngestReport] = {
+    import scala.concurrent.duration._
+    val name = Naming.fixedName(
+      cfg.pathPrefix + Naming.datePrefix(now),
+      Naming.timestampPrefix(now),
+      cfg.fixedFilename.getOrElse(
+        return Left(new IllegalArgumentException("fixedFilename required"))))
+    graft.sources.Retry.withRetry(
+        cfg.retryInitialMs.millis, cfg.retryMaxMs.millis, sleep) {
+      val bytes = fetcher.fetch(url)
+      store.write(name, bytes)
+      val md5 = Store.md5Hex(bytes)
+      val scope = cfg.dedupScopeRegex.findFirstMatchIn(name).map(_.group(1)).getOrElse("")
+      val isDup = store.list(scope).exists(o => o.name != name && o.md5.contains(md5))
+      if (isDup) {
+        store.delete(name) // delete failure throws PermanentError → aborts
+        IngestReport(0L, Nil, Seq(name), Nil, Nil)
+      } else {
+        store.copy(name, cfg.currentName)
+        IngestReport(0L, Seq(name), Nil, Nil, Seq(cfg.currentName))
+      }
+    }
+  }
 
   /** One incremental run over a routeviews-style manifest feed. */
   def run(spark: SparkSession,
@@ -96,12 +133,19 @@ object ArchivePipeline {
               cfg.urlRegex.getOrElse(new Regex("(.*/)([^/]+)$")), url)
               .getOrElse(cfg.pathPrefix + url.substring(url.lastIndexOf('/') + 1))
           }
-          try {
+          // Per-file retry with the reference's backoff taxonomy runs
+          // INSIDE the task (transient network errors don't fail the
+          // task; PermanentError aborts immediately) — Spark task
+          // retries remain the outer safety net.
+          graft.sources.Retry.withRetry(
+            scala.concurrent.duration.Duration(cfg.retryInitialMs, "ms"),
+            scala.concurrent.duration.Duration(cfg.retryMaxMs, "ms")) {
             val bytes = fetcher.fetch(url)
             store.write(name, bytes)
             (seq, name, Store.md5Hex(bytes), false)
-          } catch {
-            case e: Throwable =>
+          } match {
+            case Right(row) => row
+            case Left(e) =>
               failedAcc.add(1)
               (seq, s"<failed:${e.getMessage}>", "", true)
           }

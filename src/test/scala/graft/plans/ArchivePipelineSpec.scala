@@ -38,7 +38,8 @@ class ArchivePipelineSpec extends SparkSpec {
     pathPrefix = "RouteViewIPv4/",
     currentName = "RouteViewIPv4/current/routeviews.pfx2as.gz",
     urlRegex = Some(new Regex(""".*(\d{4}/\d{2}/)(.*)""")),
-    dedupScopeRegex = new Regex("(.*)")) // self-scope: always unique
+    dedupScopeRegex = new Regex("(.*)"), // self-scope: always unique
+    retryInitialMs = 1, retryMaxMs = 0)  // no in-task retries in tests
 
   import ArchivePipelineSpec.MapFetcher
 
@@ -150,6 +151,65 @@ class ArchivePipelineSpec extends SparkSpec {
       n += 1; throw new RuntimeException("always")
     }
     assert(t.isLeft && n == 5)
+  }
+
+  test("in-task retry recovers a flaky fetch without failing the file") {
+    val store = new InMemoryStore
+    val flaky = new Fetcher {
+      private var calls = 0
+      def fetch(url: String): Array[Byte] = {
+        calls += 1
+        if (calls < 3) throw new RuntimeException("transient")
+        "payload".getBytes("UTF-8")
+      }
+    }
+    val fast = cfg.copy(retryInitialMs = 1, retryMaxMs = 10)
+    val r = ArchivePipeline.run(spark, manifest(3363 -> "2017/06/a.pfx2as.gz"),
+      manifestUrl, fast, store, 0L, flaky, new Metrics(spark))
+    assert(r.failed.isEmpty && r.kept == Seq("RouteViewIPv4/2017/06/a.pfx2as.gz"))
+  }
+
+  test("fixed-name source (maxmind pipeline): archive key, dedup, current pointer") {
+    val store = new InMemoryStore
+    val mm = SourceConfig(
+      dataset = "Maxmind",
+      pathPrefix = "Maxmind/",
+      currentName = "Maxmind/current/GeoLite2-City.tar.gz",
+      fixedFilename = Some("GeoLite2-City.tar.gz"),
+      dedupScopeRegex = new Regex("""(.*/).*/.*"""), // month scope
+      retryInitialMs = 1, retryMaxMs = 0)
+    val now = java.time.Instant.parse("2017-09-15T10:20:30Z")
+    val fetcher = new ArchivePipelineSpec.MapFetcher(Map("city.tgz" -> "geo-bytes"))
+    val r1 = ArchivePipeline.runFixedSource(mm, "http://x/city.tgz", store, fetcher, now)
+    val expectName = "Maxmind/2017/09/15/20170915T102030Z-GeoLite2-City.tar.gz"
+    assert(r1 == Right(IngestReport(0L, Seq(expectName), Nil, Nil, Seq(mm.currentName))))
+    assert(new String(store.read(mm.currentName), "UTF-8") == "geo-bytes")
+
+    // same content next day, same month → month-scope duplicate, deleted
+    val later = java.time.Instant.parse("2017-09-16T10:20:30Z")
+    val r2 = ArchivePipeline.runFixedSource(mm, "http://x/city.tgz", store, fetcher, later)
+    val dupName = "Maxmind/2017/09/16/20170916T102030Z-GeoLite2-City.tar.gz"
+    assert(r2 == Right(IngestReport(0L, Nil, Seq(dupName), Nil, Nil)))
+    assert(store.list("Maxmind/2017/09/1").map(_.name) == Seq(expectName))
+  }
+
+  test("scheduler: jitter bounds and all-success gating") {
+    import scala.concurrent.duration._
+    val rng = new scala.util.Random(0)
+    for (_ <- 1 to 100) {
+      val j = Scheduler.uniformJitter(24.hours, 4.hours, rng)
+      assert(j >= 22.hours && j <= 26.hours)
+    }
+    var gauge = 0
+    val sleeps = collection.mutable.ArrayBuffer.empty[FiniteDuration]
+    var srcBFails = true
+    val results = Scheduler.loop(
+      sources = Seq(() => true, () => if (srcBFails) { srcBFails = false; false } else true),
+      iterations = 2,
+      onAllSuccess = () => gauge += 1,
+      sleep = sleeps.append(_), rng = rng)
+    assert(results == Seq(false, true)) // gauge set only when ALL succeed
+    assert(gauge == 1 && sleeps.length == 2)
   }
 
   test("injected copy failure surfaces as PermanentError") {

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+
+import scala.concurrent.duration._
+
+import graft.operators.SimilarityJoin
+import graft.plans.Scheduler
+import graft.sources.{Naming, PermanentError, Retry}
+
+/** ScalaCheck properties for the driver-side pure kernels (no Spark
+  * session — these run in milliseconds and cover the edges the
+  * example-based specs don't enumerate).
+  */
+object PureProps extends Properties("graft.pure") {
+
+  property("round4 matches BigDecimal HALF_UP semantics") =
+    Prop.forAll(Gen.chooseNum(-1e6, 1e6)) { x: Double =>
+      val r = SimilarityJoin.round4(x)
+      r == new java.math.BigDecimal(java.lang.Double.toString(x))
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+
+  property("round4 is idempotent") =
+    Prop.forAll(Gen.chooseNum(-1e6, 1e6)) { x: Double =>
+      SimilarityJoin.round4(SimilarityJoin.round4(x)) == SimilarityJoin.round4(x)
+    }
+
+  property("uniformJitter stays within [i-d/2, i+d/2]") =
+    Prop.forAll(Gen.choose(1L, 100000L), Gen.choose(0L, 50000L), Gen.long) {
+      (i, d, seed) =>
+        val j = Scheduler.uniformJitter(i.millis, d.millis, new scala.util.Random(seed))
+        j >= (i - d / 2 - 1).millis && j <= (i + d / 2 + 1).millis
+    }
+
+  property("retry: permanent error always aborts after exactly one call") =
+    Prop.forAll(Gen.choose(1L, 1000L)) { w =>
+      var calls = 0
+      val r = Retry.withRetry(w.millis, (w * 8).millis, _ => ()) {
+        calls += 1; throw PermanentError("nope")
+      }
+      r.isLeft && calls == 1
+    }
+
+  property("retry: attempt count is log2-bounded by the wait window") =
+    Prop.forAll(Gen.choose(1L, 64L)) { factor =>
+      var calls = 0
+      Retry.withRetry(1.millis, factor.millis, _ => ()) {
+        calls += 1; throw new RuntimeException("always")
+      }
+      // waits double from 1ms: aborts when next wait exceeds the cap
+      val expected = (math.floor(math.log(factor.toDouble) / math.log(2.0)).toInt + 2)
+      calls == expected
+    }
+
+  property("regexName composes prefix + groups") =
+    Prop.forAll(Gen.alphaNumStr.suchThat(_.nonEmpty)) { f =>
+      Naming.regexName("P/", "T-", """.*(\d{4}/\d{2}/)(.*)""".r,
+        s"http://h/x/2020/07/$f") == Some(s"P/2020/07/T-$f")
+    }
+
+  property("datePrefix/timestampPrefix are UTC-stable") =
+    Prop.forAll(Gen.choose(0L, 4102444800L)) { epoch =>
+      val i = java.time.Instant.ofEpochSecond(epoch)
+      val d = Naming.datePrefix(i)
+      val t = Naming.timestampPrefix(i)
+      d.matches("""\d{4}/\d{2}/\d{2}/""") &&
+        t.matches("""\d{8}T\d{6}Z-""") &&
+        t.startsWith(d.replace("/", "").take(8))
+    }
+}

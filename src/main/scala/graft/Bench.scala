@@ -13,15 +13,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
     // experiment hook: SPARK_GRAFT_EXTRA="k=v;k2=v2"
-    sys.env.get("SPARK_GRAFT_EXTRA").foreach(_.split(';').filter(_.contains('='))
-      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
-    val spark = builder.getOrCreate()
+    val extra = sys.env.get("SPARK_GRAFT_EXTRA").toSeq
+      .flatMap(_.split(';').filter(_.contains('=')))
+      .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+    val spark = graft.core.Sessions.local(cpus.toInt, extra)
     spark.sparkContext.setLogLevel("WARN")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // warmup: full pass, untimed

@@ -1,0 +1,22 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory (SURVEY §7 module 1): local[N] with UTC session
+  * timezone, shuffle partitions = cores, UI off, and
+  * [[graft.plans.GraftExtensions]] installed — so every entry point
+  * (Verify, Bench, tests, user sessions) runs with the engine's
+  * optimizer rule, planner strategy, and SQL functions active.
+  */
+object Sessions {
+  def local(cores: Int, extra: Map[String, String] = Map.empty): SparkSession = {
+    val b = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+    extra.foreach { case (k, v) => b.config(k, v) }
+    b.getOrCreate()
+  }
+}

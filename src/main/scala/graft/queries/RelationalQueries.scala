@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -188,6 +189,57 @@ object RelationalQueries {
       |       count(*) FILTER (WHERE event_type = 'error') AS error
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // --------------------------------------------------------------- Q41
+  /** EXCEPT ALL / INTERSECT ALL — multiset set-ops (bag semantics keep
+    * duplicate multiplicities, unlike q15's DISTINCT forms). */
+  val q41: Q = (s, d) => {
+    val ev = t(s, d, "events")
+    def ids(et: String) = ev.filter(col("event_type") === et).select(col("user_id"))
+    val exceptAll = ids("view").exceptAll(ids("click"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("view_except_all_click"))
+    val intersectAll = ids("view").intersectAll(ids("purchase"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("view_intersect_all_purchase"))
+    exceptAll.unionByName(intersectAll)
+      .select(col("op"), col("user_id"), col("n"))
+      .orderBy(col("op"), col("user_id"))
+  }
+
+  val q41Sql: String =
+    """SELECT 'view_except_all_click' AS op, user_id, count(*) AS n FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'view'
+      |  EXCEPT ALL
+      |  SELECT user_id FROM events WHERE event_type = 'click') GROUP BY user_id
+      |UNION ALL
+      |SELECT 'view_intersect_all_purchase' AS op, user_id, count(*) AS n FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'view'
+      |  INTERSECT ALL
+      |  SELECT user_id FROM events WHERE event_type = 'purchase') GROUP BY user_id
+      |ORDER BY op, user_id""".stripMargin
+
+  // --------------------------------------------------------------- Q42
+  /** RANGE window frames: per event, the count and sum of events whose
+    * event_id lies within the preceding 100 ids (value-based frame, not
+    * row-based). */
+  val q42: Q = (s, d) => {
+    val w = Window.orderBy(col("event_id")).rangeBetween(-100L, Window.currentRow)
+    t(s, d, "events")
+      .filter(col("event_id") < 2000)
+      .select(col("event_id"),
+        count(lit(1)).over(w).as("n_in_range"),
+        round(sum(graft.core.Dsl.dec2(col("value"))).over(w).cast("double"), 2)
+          .as("sum_in_range"))
+      .orderBy(col("event_id"))
+  }
+
+  val q42Sql: String =
+    """SELECT event_id,
+      |  count(*) OVER (ORDER BY event_id RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS n_in_range,
+      |  round(CAST(sum(CAST(value AS DECIMAL(15,2)))
+      |    OVER (ORDER BY event_id RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS sum_in_range
+      |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q31_correlated_subquery", q31, q31Sql),
@@ -197,5 +249,7 @@ object RelationalQueries {
     ("q35_array_funcs", q35, q35Sql),
     ("q36_not_exists", q36, q36Sql),
     ("q37_topk_per_group", q37, q37Sql),
-    ("q40_pivot", q40, q40Sql))
+    ("q40_pivot", q40, q40Sql),
+    ("q41_multiset_ops", q41, q41Sql),
+    ("q42_range_frame", q42, q42Sql))
 }

@@ -240,6 +240,52 @@ object RelationalQueries {
       |    OVER (ORDER BY event_id RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS sum_in_range
       |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin
 
+  // --------------------------------------------------------------- Q43
+  /** Window navigation functions: first/last/nth event type per user's
+    * timeline (full frame so last_value is the true last). */
+  val q43: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, d, "events")
+      .select(col("user_id"),
+        first(col("event_type")).over(w).as("first_et"),
+        last(col("event_type")).over(w).as("last_et"),
+        nth_value(col("event_type"), 2).over(w).as("second_et"))
+      .distinct()
+      .orderBy(col("user_id"))
+  }
+
+  val q43Sql: String =
+    """SELECT DISTINCT user_id,
+      |  first_value(event_type) OVER w AS first_et,
+      |  last_value(event_type) OVER w AS last_et,
+      |  nth_value(event_type, 2) OVER w AS second_et
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY user_id""".stripMargin
+
+  // --------------------------------------------------------------- Q44
+  /** Explicit GROUPING SETS with grouping() flags — the general lattice
+    * q14/q29 specialize. */
+  val q44: Q = (s, d) => withViews(s, d, "events")(
+    """SELECT event_type, user_id % 10 AS cohort,
+      |       CAST(grouping(event_type) AS INT) AS g_et,
+      |       CAST(grouping(user_id % 10) AS INT) AS g_cohort,
+      |       count(*) AS n
+      |FROM events
+      |GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+      |ORDER BY g_et, g_cohort, event_type NULLS FIRST, cohort NULLS FIRST""".stripMargin)
+
+  val q44Sql: String =
+    """SELECT event_type, user_id % 10 AS cohort,
+      |       CAST(grouping(event_type) AS INT) AS g_et,
+      |       CAST(grouping(user_id % 10) AS INT) AS g_cohort,
+      |       count(*) AS n
+      |FROM events
+      |GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+      |ORDER BY g_et, g_cohort, event_type NULLS FIRST, cohort NULLS FIRST""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q31_correlated_subquery", q31, q31Sql),
@@ -251,5 +297,7 @@ object RelationalQueries {
     ("q37_topk_per_group", q37, q37Sql),
     ("q40_pivot", q40, q40Sql),
     ("q41_multiset_ops", q41, q41Sql),
-    ("q42_range_frame", q42, q42Sql))
+    ("q42_range_frame", q42, q42Sql),
+    ("q43_window_navigation", q43, q43Sql),
+    ("q44_grouping_sets", q44, q44Sql))
 }

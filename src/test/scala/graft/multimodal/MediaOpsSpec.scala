@@ -53,6 +53,21 @@ class MediaOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"))
   }
 
+  test("feature pipeline feeds embedding near-dup: identical payloads pair at sim 1.0") {
+    val payloadA = Array.tabulate[Byte](300)(i => (i * 7).toByte)
+    val payloadB = Array.tabulate[Byte](300)(i => (i * 11 + 3).toByte)
+    val media = spark.createDataset(Seq(
+      (10L, "image", payloadA),
+      (11L, "image", payloadA), // exact duplicate payload
+      (12L, "image", payloadB)))
+    val feats = MediaOps.extractFeatures(MediaOps.decode(media), dim = 32)
+      .toDF().select(col("mediaId").as("vec_id"),
+        col("feature").cast("array<double>").as("v"))
+    val pairs = graft.plans.CosineSelfJoin.pairs(feats, "vec_id", "v", 0.999)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.toSeq == Seq((10L, 11L, 1.0))) // only the true duplicate pair
+  }
+
   test("readBinaryDir loads payloads with metadata columns") {
     val dir = Files.createTempDirectory("graft_media").toFile
     Files.write(new java.io.File(dir, "a.bin").toPath, Array[Byte](1, 2, 3))

@@ -27,13 +27,17 @@ object PipelineQueries {
 
   private val Seeds = 0 until 8 // 8-member MinHash family, 4 bands of 2
 
-  /** doc_id + distinct word-3-shingle array + the 8 minhash components. */
+  /** doc_id + the 8 minhash components + a hashed shingle-set array
+    * (`shh`, for cheap exact-Jaccard verification — long comparisons
+    * instead of string comparisons; identity preserved up to 64-bit
+    * collisions, which the oracle gate would catch). */
   private def signatures(s: SparkSession, d: String): DataFrame = {
     val toks = TextOps.tokens(col("text"))
     val sh = array_distinct(TextOps.shingles(toks, 3))
     t(s, d, "documents")
       .select(col("doc_id"), sh.as("sh"))
-      .select(col("doc_id") +: col("sh") +:
+      .select(col("doc_id") +:
+        array_sort(array_distinct(transform(col("sh"), x => xxhash64(x)))).as("shh") +:
         Seeds.map(i => TextOps.minhash(col("sh"), i).as(s"h$i")): _*)
   }
 
@@ -58,8 +62,8 @@ object PipelineQueries {
     val cand = left.join(right, Seq("bk"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
-    val sa = sig.select(col("doc_id").as("a_id"), col("sh").as("sha"))
-    val sb = sig.select(col("doc_id").as("b_id"), col("sh").as("shb"))
+    val sa = sig.select(col("doc_id").as("a_id"), col("shh").as("sha"))
+    val sb = sig.select(col("doc_id").as("b_id"), col("shh").as("shb"))
     cand.join(sa, "a_id").join(sb, "b_id")
       .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jac", round(col("common").cast("double") /

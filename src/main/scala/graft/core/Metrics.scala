@@ -8,12 +8,15 @@ import org.apache.spark.util.LongAccumulator
 /** Labeled metric vectors backed by Spark accumulators (operator O18 —
   * /root/reference/metrics/metrics.go:13-53): a success gauge plus
   * labeled failure/error counters, with the reference's metric names.
-  * Accumulators aggregate from executors for free, so counters can be
-  * bumped inside task closures (the reference bumps them inline in the
-  * download path, e.g. routeviews.go:101-106).
+  *
+  * Resolve counters ON THE DRIVER and capture the `LongAccumulator`
+  * handle in the task closure (as ArchivePipeline does) — accumulators
+  * then aggregate from executors for free. Calling `counter()` itself
+  * from an executor is an error (the registration would never report
+  * back), and [[counter]] fails fast if attempted.
   */
 class Metrics(spark: SparkSession) extends Serializable {
-  @transient private val vecs = TrieMap.empty[(String, String), LongAccumulator]
+  @transient private lazy val vecs = TrieMap.empty[(String, String), LongAccumulator]
 
   /** downloader_download_failed{source} */
   def downloadFailed(label: String): LongAccumulator =
@@ -27,9 +30,13 @@ class Metrics(spark: SparkSession) extends Serializable {
     * succeeds (downloader.go:98-100). */
   def lastSuccess: LongAccumulator = counter("downloader_last_success", "")
 
-  def counter(name: String, label: String): LongAccumulator =
+  def counter(name: String, label: String): LongAccumulator = {
+    require(org.apache.spark.TaskContext.get() == null,
+      "Metrics.counter must be resolved on the driver; capture the " +
+        "LongAccumulator handle in the task closure instead")
     vecs.getOrElseUpdate((name, label),
       spark.sparkContext.longAccumulator(if (label.isEmpty) name else s"$name{$label}"))
+  }
 
   /** Snapshot of all counters, for assertion/export. */
   def snapshot: Map[String, Long] =

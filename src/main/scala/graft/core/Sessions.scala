@@ -15,7 +15,8 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .withExtensions(new graft.plans.GraftExtensions)
+    if (!sys.env.contains("SPARK_GRAFT_NO_EXTENSIONS"))
+      b.withExtensions(new graft.plans.GraftExtensions)
     extra.foreach { case (k, v) => b.config(k, v) }
     b.getOrCreate()
   }

@@ -17,10 +17,12 @@ object TextOps {
   /** Whitespace tokens of a single-space-joined text column. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Word n-gram shingles (assumes ≥ n tokens; documents fixture holds). */
+  /** Word n-gram shingles; empty array when the document has fewer than
+    * n tokens (`sequence(1, 0)` would DESCEND and slice(…, 0) throws). */
   def shingles(toks: Column, n: Int): Column =
-    transform(sequence(lit(1), size(toks) - (n - 1)),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
 
   /** MinHash value for one seeded hash family member: the minimum md5 of
     * `"<seed>|<shingle>"` over the shingle set. Any total order over a

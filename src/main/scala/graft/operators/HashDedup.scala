@@ -50,11 +50,20 @@ object HashDedup {
     * "first upload wins, later duplicates deleted" policy
     * (`/root/reference/download/common.go:113-130`) expressed as an
     * aggregation (partial-agg friendly; no window sort).
+    *
+    * Missing (null) hash ⇒ every such row kept individually (the
+    * conservative rule of `common.go:171-174`, same as [[uniques]]) —
+    * a plain groupBy would collapse all null-hash rows into one group.
     */
   def keepFirst(df: DataFrame, scopeCols: Seq[Column], hashCol: Column,
-                idCol: Column): DataFrame =
-    df.groupBy(scopeCols :+ hashCol.as("hash"): _*)
+                idCol: Column): DataFrame = {
+    val hashed = df.filter(hashCol.isNotNull)
+      .groupBy(scopeCols :+ hashCol.as("hash"): _*)
       .agg(min(idCol).as("keep_id"))
+    val unhashed = df.filter(hashCol.isNull)
+      .select(scopeCols :+ hashCol.as("hash") :+ idCol.as("keep_id"): _*)
+    hashed.unionByName(unhashed)
+  }
 
   /** Dedup-scope derivation: regex group 1 of the object name
     * (`/root/reference/download/common.go:114`). */

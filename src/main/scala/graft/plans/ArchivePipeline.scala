@@ -123,7 +123,12 @@ object ArchivePipeline {
     val errLabel = cfg.dataset
     val failedAcc = metrics.downloadFailed(errLabel)
     val items = spark.createDataset(fresh.toSeq).toDF("seqnum", "url")
-    val fetched = items.repartition(math.min(fresh.length, 32))
+    // ONE action drains the fetch stage: the side-effecting work
+    // (fetch + store write + failure counters) must not sit under a
+    // cached plan that later actions can silently recompute. The
+    // collected rows are metadata only (seqnum, name, md5, failed) and
+    // re-enter the relational dedup as a LocalRelation.
+    val fetchedRows = items.repartition(math.min(fresh.length, 32))
       .mapPartitions { rows =>
         rows.map { r =>
           val seq = r.getLong(0); val url = r.getString(1)
@@ -150,8 +155,9 @@ object ArchivePipeline {
               (seq, s"<failed:${e.getMessage}>", "", true)
           }
         }
-      }.toDF("seqnum", "name", "md5", "failed")
-      .cache()
+      }.collect()
+    val fetched = spark.createDataset(fetchedRows.toSeq)
+      .toDF("seqnum", "name", "md5", "failed")
 
     // 3. Dedup verdict (O11-O13): a file is a duplicate iff another name
     // in its scope shares its md5. The reference checks sequentially at
@@ -192,8 +198,7 @@ object ArchivePipeline {
     // 6. Gated watermark advance (O7).
     val adv = Watermark.gatedAdvance(fetched, Nil, col("seqnum"), col("failed"))
       .select("watermark").as[Long].head()
-    val failedSeqs = fetched.filter(col("failed")).select("seqnum").as[Long].collect()
-    fetched.unpersist()
+    val failedSeqs = fetchedRows.filter(_._4).map(_._1)
 
     IngestReport(math.max(watermark, adv), kept, dups, failedSeqs.toSeq, promoted)
   }

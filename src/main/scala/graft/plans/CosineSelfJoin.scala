@@ -71,9 +71,14 @@ case class CosineSelfJoinExec(
     val vecOrd = child.output.indexWhere(_.exprId == vecAttr.exprId)
     require(idOrd >= 0 && vecOrd >= 0, "id/vec attributes not found in child output")
 
-    // Build side: the whole relation as primitive arrays (one driver
-    // materialization of ids+vectors only — at larger N this becomes a
-    // tile loop over build-side blocks, same kernel per tile).
+    // The child executes EXACTLY ONCE (executeCollect): both the build
+    // side and the probe side come from this one materialization —
+    // running child.execute() again for the probe would double upstream
+    // work and, with nondeterministic children (sample, limit), would
+    // produce mismatched sides. The probe side re-parallelizes as an
+    // index range round-robined across partitions (the triangle's heavy
+    // low indices spread evenly). At larger N this becomes a tile loop
+    // over build-side blocks, same kernel per tile.
     val built = child.executeCollect().map { row =>
       (row.getLong(idOrd), row.getArray(vecOrd).toDoubleArray())
     }.sortBy(_._1)
@@ -86,34 +91,32 @@ case class CosineSelfJoinExec(
     val t = threshold
     val out = output
 
-    child.execute().mapPartitions { rows =>
-      val (bRows, bNorms) = bc.value
-      val proj = UnsafeProjection.create(out.map(_.dataType).toArray)
-      rows.flatMap { row =>
-        val aIdV = row.getLong(idOrd)
-        val av = row.getArray(vecOrd).toDoubleArray()
-        var an = 0.0
-        var i = 0
-        while (i < av.length) { an += av(i) * av(i); i += 1 }
-        val aNorm = math.sqrt(an)
-        val buf = Seq.newBuilder[InternalRow]
-        var j = 0
-        while (j < bRows.length) {
-          val (bIdV, bv) = bRows(j)
-          if (bIdV > aIdV) {
-            var s = 0.0
-            var k = 0
-            val n = math.min(av.length, bv.length)
-            while (k < n) { s += av(k) * bv(k); k += 1 }
-            val simV = SimilarityJoin.round4(s / (aNorm * bNorms(j)))
-            if (simV >= t)
-              buf += proj(InternalRow(aIdV, bIdV, simV)).copy()
+    sparkContext.parallelize(built.indices,
+        math.max(1, math.min(built.length, sparkContext.defaultParallelism)))
+      .mapPartitions { idxs =>
+        val (bRows, bNorms) = bc.value
+        val proj = UnsafeProjection.create(out.map(_.dataType).toArray)
+        idxs.flatMap { ai =>
+          val (aIdV, av) = bRows(ai)
+          val aNorm = bNorms(ai)
+          val buf = Seq.newBuilder[InternalRow]
+          var j = 0
+          while (j < bRows.length) {
+            val (bIdV, bv) = bRows(j)
+            if (bIdV > aIdV) {
+              var s = 0.0
+              var k = 0
+              val n = math.min(av.length, bv.length)
+              while (k < n) { s += av(k) * bv(k); k += 1 }
+              val simV = SimilarityJoin.round4(s / (aNorm * bNorms(j)))
+              if (simV >= t)
+                buf += proj(InternalRow(aIdV, bIdV, simV)).copy()
+            }
+            j += 1
           }
-          j += 1
+          buf.result()
         }
-        buf.result()
       }
-    }
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): CosineSelfJoinExec =

@@ -13,15 +13,26 @@ import graft.functions.expressions.ArrayDot
   *    product)
   *  - [[RewriteLatestPerGroup]] optimizer rule (window → max_by)
   */
+object GraftExtensions {
+  /** The graft_dot SQL builder. ArrayDot assumes ARRAY<DOUBLE> input;
+    * casting here gives SQL callers with int/float arrays correct
+    * results instead of a runtime ClassCastException (or silent garbage
+    * under codegen). */
+  val dotBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2, "graft_dot(a, b) takes two array<double> args")
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    ArrayDot(Cast(args.head, ArrayType(DoubleType)),
+             Cast(args(1), ArrayType(DoubleType)))
+  }
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "graft_dot"),
-      (args: Seq[Expression]) => {
-        require(args.length == 2, "graft_dot(a, b) takes two array<double> args")
-        ArrayDot(args.head, args(1))
-      }))
+      GraftExtensions.dotBuilder))
     ext.injectOptimizerRule(_ => RewriteLatestPerGroup)
     ext.injectPlannerStrategy(_ => SimilarityStrategy)
   }

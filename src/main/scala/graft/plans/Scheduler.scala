@@ -31,12 +31,13 @@ object Scheduler {
            deviation: FiniteDuration = 4.hours,
            sleep: FiniteDuration => Unit = d => Thread.sleep(d.toMillis),
            rng: Random = new Random()): Seq[Boolean] =
-    (0 until iterations).map { _ =>
+    (0 until iterations).map { i =>
       val results = sources.map(s =>
-        try s() catch { case _: Throwable => false })
+        try s() catch { case scala.util.control.NonFatal(_) => false })
       val all = results.forall(identity)
       if (all) onAllSuccess()
-      sleep(uniformJitter(interval, deviation, rng))
+      if (i < iterations - 1) // no pointless sleep after the last run
+        sleep(uniformJitter(interval, deviation, rng))
       all
     }
 }

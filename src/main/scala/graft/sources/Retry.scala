@@ -34,7 +34,9 @@ object Retry {
       try return Right(f)
       catch {
         case e: PermanentError => return Left(e)
-        case e: Throwable =>
+        // NonFatal only: InterruptedException (task cancellation) and
+        // fatal VM errors must propagate immediately, not sleep/retry
+        case scala.util.control.NonFatal(e) =>
           if (wait > maxWait) return Left(e)
           sleep(wait)
           wait = wait * 2

@@ -96,15 +96,18 @@ class LocalFsStore(rootDir: String) extends Store {
 
   def list(prefix: String): Seq[ObjectMeta] = {
     if (!Files.exists(root)) return Seq.empty
-    Files.walk(root).iterator().asScala
-      .filter(Files.isRegularFile(_))
-      .map(f => root.relativize(f).toString)
-      .filter(_.startsWith(prefix))
-      .map { n =>
-        val bytes = Files.readAllBytes(p(n))
-        ObjectMeta(n, Some(Store.md5Hex(bytes)), bytes.length.toLong)
-      }
-      .toSeq.sortBy(_.name)
+    val walk = Files.walk(root)
+    try {
+      walk.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(f => root.relativize(f).toString)
+        .filter(_.startsWith(prefix))
+        .map { n =>
+          val bytes = Files.readAllBytes(p(n))
+          ObjectMeta(n, Some(Store.md5Hex(bytes)), bytes.length.toLong)
+        }
+        .toSeq.sortBy(_.name)
+    } finally walk.close() // Files.walk holds open DirectoryStreams
   }
 
   def read(name: String): Array[Byte] = Files.readAllBytes(p(name))

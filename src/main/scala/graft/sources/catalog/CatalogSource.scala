@@ -63,6 +63,7 @@ private class CatalogScanBuilder(root: String)
   extends ScanBuilder with SupportsPushDownFilters {
 
   private var prefix: String = ""
+  private var unsatisfiable = false
   private var pushed: Array[Filter] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -70,26 +71,35 @@ private class CatalogScanBuilder(root: String)
       case StringStartsWith("name", _) => true
       case _ => false
     }
-    // longest pushed prefix wins (they nest or conflict; nesting keeps
-    // the narrowest listing, conflict returns empty which is correct)
-    accepted.collect { case StringStartsWith(_, p) => p }
-      .sortBy(-_.length).headOption.foreach(p => prefix = p)
+    // Longest prefix narrows the listing; every other accepted prefix
+    // must be a prefix OF it (nesting) — otherwise the conjunction is
+    // unsatisfiable and the scan must return no rows (we still claim the
+    // filters as handled; an empty scan satisfies them vacuously).
+    val prefixes = accepted.collect { case StringStartsWith(_, p) => p }
+    prefixes.sortBy(-_.length).headOption.foreach { longest =>
+      if (prefixes.forall(longest.startsWith)) prefix = longest
+      else unsatisfiable = true
+    }
     pushed = accepted
     rejected // residual filters Spark must still evaluate
   }
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new CatalogScan(root, prefix)
+  override def build(): Scan = new CatalogScan(root, prefix, unsatisfiable)
 }
 
-private class CatalogScan(root: String, prefix: String) extends Scan with Batch {
+private class CatalogScan(root: String, prefix: String,
+                          unsatisfiable: Boolean) extends Scan with Batch {
   override def readSchema(): StructType = CatalogSource.Schema
   override def toBatch: Batch = this
-  override def description(): String = s"graft-catalog root=$root prefix='$prefix'"
+  override def description(): String =
+    s"graft-catalog root=$root prefix='$prefix'" +
+      (if (unsatisfiable) " (unsatisfiable)" else "")
 
   override def planInputPartitions(): Array[InputPartition] =
-    Array(CatalogInputPartition(root, prefix))
+    if (unsatisfiable) Array.empty
+    else Array(CatalogInputPartition(root, prefix))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new CatalogReaderFactory

@@ -9,11 +9,12 @@ class TextOpsSpec extends SparkSpec {
   private def one[T](c: org.apache.spark.sql.Column): T =
     Seq("x").toDF("dummy").select(c.as("v")).collect().head.getAs[T]("v")
 
-  test("shingles builds word n-grams") {
-    val got = Seq("a b c d").toDF("text")
+  test("shingles builds word n-grams; short docs yield empty, not a crash") {
+    val got = Seq("a b c d", "a b", "a").toDF("text")
       .select(TextOps.shingles(TextOps.tokens(col("text")), 3).as("s"))
-      .as[Seq[String]].head()
-    assert(got == Seq("a b c", "b c d"))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1).isEmpty && got(2).isEmpty)
   }
 
   test("minhash is order-insensitive and seed-sensitive") {

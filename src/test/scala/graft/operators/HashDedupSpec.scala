@@ -84,6 +84,13 @@ class HashDedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(("a", "h1", 2L), ("a", "h2", 7L), ("b", "h1", 9L)))
   }
 
+  test("keepFirst keeps every null-hash row individually (conservative rule)") {
+    val d = df(Seq((1L, "a", None), (2L, "a", None), (3L, "a", Some("h"))))
+    val kept = HashDedup.keepFirst(d, Seq(col("scope")), col("hash"), col("id"))
+      .select("keep_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L, 3L)) // null hashes never merge
+  }
+
   test("scopeOf extracts regex group 1 (maxmind month-scope semantics)") {
     val d = Seq("Maxmind/2017/09/15/file.tgz").toDF("name")
     val got = d.select(HashDedup.scopeOf(col("name"), "(.*/).*/.*").as("s"))

@@ -209,7 +209,7 @@ class ArchivePipelineSpec extends SparkSpec {
       onAllSuccess = () => gauge += 1,
       sleep = sleeps.append(_), rng = rng)
     assert(results == Seq(false, true)) // gauge set only when ALL succeed
-    assert(gauge == 1 && sleeps.length == 2)
+    assert(gauge == 1 && sleeps.length == 1) // no sleep after the final run
   }
 
   test("injected copy failure surfaces as PermanentError") {

@@ -73,4 +73,25 @@ class RewriteLatestPerGroupSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // throws on malformed injection
   }
+
+  test("graft_dot builder casts int arrays instead of crashing") {
+    // same builder GraftExtensions injects (the shared test session
+    // predates extension wiring, so register via the registry)
+    val s = spark.newSession()
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", GraftExtensions.dotBuilder, "built-in")
+    val d = s.sql("SELECT graft_dot(array(1, 2, 3), array(1, 2, 3)) AS d")
+      .collect().head.getDouble(0)
+    assert(d == 14.0)
+  }
+
+  test("retry propagates InterruptedException instead of sleeping on it") {
+    intercept[InterruptedException] {
+      graft.sources.Retry.withRetry(
+        scala.concurrent.duration.Duration(1, "ms"),
+        scala.concurrent.duration.Duration(8, "ms"), _ => ()) {
+        throw new InterruptedException("cancelled")
+      }
+    }
+  }
 }

@@ -43,6 +43,17 @@ class CatalogSourceSpec extends SparkSpec {
     assert(df.select("name").as[String].head() == "Maxmind/2017/06/a.tgz")
   }
 
+  test("conflicting pushed prefixes produce an empty result, not wrong rows") {
+    val (dir, _) = freshStore()
+    val df = spark.read.format("graft-catalog").option("root", dir).load()
+      .filter(col("name").startsWith("Maxmind/") && col("name").startsWith("RouteViewIPv4/"))
+    assert(df.count() == 0)
+    // nesting prefixes still narrow to the longest
+    val nested = spark.read.format("graft-catalog").option("root", dir).load()
+      .filter(col("name").startsWith("Maxmind/") && col("name").startsWith("Maxmind/2017/06/"))
+    assert(nested.count() == 1)
+  }
+
   test("dedup anti-join runs against the catalog relation") {
     val (dir, store) = freshStore()
     store.write("Maxmind/2017/06/dup.tgz", "aaa".getBytes) // same content as a.tgz

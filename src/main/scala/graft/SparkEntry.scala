@@ -15,7 +15,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    all.map { case (n, q, _) => n -> q }.toMap
+    all.map { case (n, q, _) => n -> q }.toMap ++ PipelineQueries.noOracleEntries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -459,6 +459,82 @@ object PipelineQueries {
       |       max(span_us) AS max_span_us
       |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // --------------------------------------------------------------- Q45
+  /** Multi-probe IVF ANN: search the TWO nearest cells instead of one
+    * (the standard recall/latency trade — probing more cells approaches
+    * brute-force recall while still pruning most of the corpus). */
+  val q45: Q = (s, d) => {
+    val probeId = 1L
+    val assigned = VectorOps.ivfAssign(t(s, d, "embeddings"), "vec_id", "embedding", 8)
+    val cents = broadcast(assigned.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("__v").as("c")))
+    val probe = assigned.filter(col("vec_id") === probeId)
+      .select(col("__v").as("pv"))
+    // two nearest centroids to the probe (same expanded-dist² ops as
+    // the oracle), then rerank candidates in either cell
+    val d2 = VectorOps.dot(col("pv"), col("pv")) -
+      lit(2.0) * VectorOps.dot(col("pv"), col("c")) +
+      VectorOps.dot(col("c"), col("c"))
+    val top2 = probe.crossJoin(cents)
+      .select(col("pv"), col("cid"), d2.as("d2"))
+      .orderBy(col("d2"), col("cid")).limit(2)
+    val cells = broadcast(top2.select(col("cid"), col("pv")))
+    assigned.join(cells, col("cell") === col("cid"))
+      .filter(col("vec_id") =!= probeId)
+      .select(col("vec_id"),
+        round(VectorOps.cosine(col("__v"), col("pv")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  val q45Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
+      |asg AS (SELECT vec_id, v, cid, row_number() OVER (
+      |          PARTITION BY vec_id
+      |          ORDER BY list_inner_product(v, v) - 2 * list_inner_product(v, c)
+      |                   + list_inner_product(c, c), cid) AS rn
+      |        FROM e CROSS JOIN c),
+      |cells AS (SELECT vec_id, v, cid AS cell FROM asg WHERE rn = 1),
+      |p AS (SELECT v AS pv FROM e WHERE vec_id = 1),
+      |top2 AS (SELECT cid FROM c CROSS JOIN p
+      |         ORDER BY list_inner_product(pv, pv) - 2 * list_inner_product(pv, c)
+      |                  + list_inner_product(c, c), cid LIMIT 2)
+      |SELECT cells.vec_id,
+      |       round(list_inner_product(cells.v, p.pv)
+      |             / (sqrt(list_inner_product(cells.v, cells.v))
+      |                * sqrt(list_inner_product(p.pv, p.pv))), 4) AS sim
+      |FROM cells JOIN top2 ON cells.cell = top2.cid CROSS JOIN p
+      |WHERE cells.vec_id <> 1
+      |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
+
+  // --------------------------------------------------------------- Q46
+  /** Deterministic hash sampling: "random" but reproducible 2% document
+    * sample by md5 order — the sampling primitive a training pipeline
+    * needs to be re-runnable (TABLESAMPLE is engine-nondeterministic). */
+  val q46: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), md5(col("doc_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("doc_id"))
+      .limit(10)
+
+  val q46Sql: String =
+    """SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
+      |FROM documents ORDER BY h, doc_id LIMIT 10""".stripMargin
+
+  // --------------------------------------------------------------- Q47
+  /** HLL++ approximate distinct counts per event type. NO SQL oracle —
+    * sketch implementations differ across engines, so this entry is
+    * deliberately absent from oracleSql (the driver records the weaker
+    * rows-only check); the spec asserts the estimates bracket the exact
+    * counts instead. */
+  val q47: Q = (s, d) =>
+    t(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
@@ -474,5 +550,12 @@ object PipelineQueries {
     ("q29_cube", q29, q29Sql),
     ("q30_ann_ivf", q30, q30Sql),
     ("q38_tfidf", q38, q38Sql),
-    ("q39_session_windows", q39, q39Sql))
+    ("q39_session_windows", q39, q39Sql),
+    ("q45_ann_multiprobe", q45, q45Sql),
+    ("q46_hash_sample", q46, q46Sql))
+
+  /** Queries with no SQL-expressible oracle (sketches differ across
+    * engines) — the driver records the weaker rows-only check. */
+  val noOracleEntries: Seq[(String, Q)] = Seq(
+    ("q47_approx_distinct", q47))
 }

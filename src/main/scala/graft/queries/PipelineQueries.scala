@@ -388,8 +388,10 @@ object PipelineQueries {
       explode(TextOps.tokens(col("text"))).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("lang"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df_ = terms.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // tf already holds one row per (doc, term): document frequency falls
+    // out of it with one more partial-aggregated groupBy — no second
+    // explode over the corpus, no distinct shuffle
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(df_), "term")
       .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
     val wr = Window.partitionBy(col("lang"))

@@ -25,14 +25,15 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     // best-of-2: the driver benches on a shared machine — the min of two
-    // runs reports the query's cost, not a neighbor's noise
+    // SUCCESSFUL runs reports the query's cost, not a neighbor's noise;
+    // a query that throws reports -1, never its time-to-failure
     val results = ordered.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
       }
-      name -> times.min
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -7,6 +7,11 @@ import org.apache.spark.sql.SparkSession
   * [[graft.plans.GraftExtensions]] installed — so every entry point
   * (Verify, Bench, tests, user sessions) runs with the engine's
   * optimizer rule, planner strategy, and SQL functions active.
+  *
+  * Setting `SPARK_GRAFT_NO_EXTENSIONS` skips the extension install —
+  * an A/B lever for benchmarking the extensions' own overhead. Do NOT
+  * export it in normal runs: without extensions, `graft_dot` SQL and
+  * the latest-per-group rewrite are silently absent.
   */
 object Sessions {
   def local(cores: Int, extra: Map[String, String] = Map.empty): SparkSession = {

@@ -91,8 +91,12 @@ case class CosineSelfJoinExec(
     val t = threshold
     val out = output
 
-    sparkContext.parallelize(built.indices,
-        math.max(1, math.min(built.length, sparkContext.defaultParallelism)))
+    val p = math.max(1, math.min(built.length, sparkContext.defaultParallelism))
+    // parallelize() slices a Range into CONTIGUOUS blocks; index i does
+    // ~(N-i) comparisons, so interleave indices (sort by i % p) to spread
+    // the triangle's heavy low indices across partitions
+    val interleaved = built.indices.sortBy(_ % p)
+    sparkContext.parallelize(interleaved, p)
       .mapPartitions { idxs =>
         val (bRows, bNorms) = bc.value
         val proj = UnsafeProjection.create(out.map(_.dataType).toArray)
@@ -100,7 +104,7 @@ case class CosineSelfJoinExec(
           val (aIdV, av) = bRows(ai)
           val aNorm = bNorms(ai)
           val buf = Seq.newBuilder[InternalRow]
-          var j = 0
+          var j = ai + 1 // built is sorted by id: bId > aId ⟺ j > ai
           while (j < bRows.length) {
             val (bIdV, bv) = bRows(j)
             if (bIdV > aIdV) {

@@ -388,10 +388,10 @@ object PipelineQueries {
       explode(TextOps.tokens(col("text"))).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("lang"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    // tf already holds one row per (doc, term): document frequency falls
-    // out of it with one more partial-aggregated groupBy — no second
-    // explode over the corpus, no distinct shuffle
-    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // document frequency from the (already small) tf relation — no
+    // second explode over the corpus; countDistinct(doc_id) keeps the
+    // oracle's exact semantics even if a doc_id ever carried two langs
+    val df_ = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
     val scored = tf.join(broadcast(df_), "term")
       .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
     val wr = Window.partitionBy(col("lang"))
@@ -511,9 +511,10 @@ object PipelineQueries {
       |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
 
   // --------------------------------------------------------------- Q46
-  /** Deterministic hash sampling: "random" but reproducible 2% document
-    * sample by md5 order — the sampling primitive a training pipeline
-    * needs to be re-runnable (TABLESAMPLE is engine-nondeterministic). */
+  /** Deterministic hash sampling: a reproducible top-10-by-md5-order
+    * document sample — the re-runnable sampling primitive a training
+    * pipeline needs (TABLESAMPLE is engine-nondeterministic). For a
+    * fractional sample, filter on a hash-space prefix instead of LIMIT. */
   val q46: Q = (s, d) =>
     t(s, d, "documents")
       .select(col("doc_id"), col("lang"), md5(col("doc_id").cast("string")).as("h"))

@@ -212,6 +212,14 @@ class ArchivePipelineSpec extends SparkSpec {
     assert(gauge == 1 && sleeps.length == 1) // no sleep after the final run
   }
 
+  test("retry propagates InterruptedException instead of sleeping on it") {
+    intercept[InterruptedException] {
+      Retry.withRetry(1.millis, 8.millis, _ => ()) {
+        throw new InterruptedException("cancelled")
+      }
+    }
+  }
+
   test("injected copy failure surfaces as PermanentError") {
     val store = new InMemoryStore
     store.write("a/copyFail", "x".getBytes)

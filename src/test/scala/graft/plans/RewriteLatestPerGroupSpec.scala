@@ -85,13 +85,4 @@ class RewriteLatestPerGroupSpec extends SparkSpec {
     assert(d == 14.0)
   }
 
-  test("retry propagates InterruptedException instead of sleeping on it") {
-    intercept[InterruptedException] {
-      graft.sources.Retry.withRetry(
-        scala.concurrent.duration.Duration(1, "ms"),
-        scala.concurrent.duration.Duration(8, "ms"), _ => ()) {
-        throw new InterruptedException("cancelled")
-      }
-    }
-  }
 }

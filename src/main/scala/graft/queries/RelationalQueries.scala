@@ -286,6 +286,49 @@ object RelationalQueries {
       |GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
       |ORDER BY g_et, g_cohort, event_type NULLS FIRST, cohort NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- Q48
+  /** Data-quality audit over lineitem: four declarative rules counted in
+    * ONE scan plus a referential check against orders — the generalized
+    * form of the reference's drop-with-metric row validation
+    * (routeviews.go:101-106). */
+  val q48: Q = (s, d) => {
+    import graft.operators.Expectations
+    import graft.operators.Expectations.Rule
+    val li = t(s, d, "lineitem")
+    val rowRules = Expectations.audit(li, Seq(
+      Rule("qty_in_range", col("l_quantity").between(1, 50)),
+      Rule("price_positive", col("l_extendedprice") > 0),
+      Rule("discount_unit_interval", col("l_discount").between(0, 1)),
+      Rule("ship_before_2002", col("l_shipdate") < lit("2002-01-01").cast("timestamp"))))
+    val dangling = Expectations.danglingForeignKeys(
+        li, col("l_orderkey"), t(s, d, "orders"), col("o_orderkey"))
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("orderkey_exists").as("rule"), col("violations"),
+        lit(null).cast("long").as("total"))
+    rowRules.unionByName(dangling).orderBy(col("rule"))
+  }
+
+  val q48Sql: String =
+    """SELECT rule, violations, total FROM (
+      |  SELECT 'qty_in_range' AS rule,
+      |         count(*) FILTER (WHERE l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50) AS violations,
+      |         count(*) AS total FROM lineitem
+      |  UNION ALL
+      |  SELECT 'price_positive',
+      |         count(*) FILTER (WHERE l_extendedprice IS NULL OR l_extendedprice <= 0), count(*) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'discount_unit_interval',
+      |         count(*) FILTER (WHERE l_discount IS NULL OR l_discount < 0 OR l_discount > 1), count(*) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'ship_before_2002',
+      |         count(*) FILTER (WHERE l_shipdate IS NULL OR l_shipdate >= TIMESTAMP '2002-01-01'), count(*) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'orderkey_exists',
+      |         (SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+      |            AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+      |         NULL)
+      |ORDER BY rule""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q31_correlated_subquery", q31, q31Sql),
@@ -299,5 +342,6 @@ object RelationalQueries {
     ("q41_multiset_ops", q41, q41Sql),
     ("q42_range_frame", q42, q42Sql),
     ("q43_window_navigation", q43, q43Sql),
-    ("q44_grouping_sets", q44, q44Sql))
+    ("q44_grouping_sets", q44, q44Sql),
+    ("q48_data_quality", q48, q48Sql))
 }

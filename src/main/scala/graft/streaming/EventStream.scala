@@ -71,6 +71,35 @@ object EventStream {
       }
       .start()
 
+  /** Stream-static enrichment: join a live event stream against a
+    * static dimension table. The static side is planned per micro-batch
+    * (broadcast when small), so dimension updates between batches are
+    * picked up — the streaming twin of q10's dim joins.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), key)
+
+  /** Stream-stream join with event-time bounds: pair each view with
+    * purchases by the same user within [0, maxDelay] after it.
+    * Watermarks on both sides bound the buffered state — without them a
+    * stream-stream join would hold both streams forever.
+    */
+  def viewToPurchase(views: DataFrame, purchases: DataFrame,
+                     watermarkDelay: String = "1 hour",
+                     maxDelay: String = "30 minutes"): DataFrame = {
+    val v = views.withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val p = purchases.withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    v.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $maxDelay"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"))
+  }
+
   /** Continuously-maintained latest-per-user pointer via typed state
     * (flatMapGroupsWithState): emits an update whenever a group's maximum
     * (ts, eventId) changes — the streaming form of the current-pointer

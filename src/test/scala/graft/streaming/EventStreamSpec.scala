@@ -100,6 +100,48 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins dims per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((7L, "gold"), (8L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[Event]
+    val q = EventStream.enrich(
+        input.toDF().withColumnRenamed("userId", "user_id"), dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Event(1, us(1), 7, "view", 1.0), Event(2, us(2), 8, "click", 2.0))
+      q.processAllAvailable()
+      val got = spark.table("enrich_test").select("eventId", "tier")
+        .as[(Long, String)].collect().toSet
+      assert(got == Set((1L, "gold"), (2L, "basic")))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join pairs views with in-window purchases") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    def prep(m: MemoryStream[Event]) = m.toDF()
+      .withColumn("ts", timestamp_micros(col("tsMicros")))
+      .withColumnRenamed("userId", "user_id")
+      .withColumnRenamed("eventId", "event_id")
+    val q = EventStream.viewToPurchase(prep(views), prep(purchases))
+      .writeStream.format("memory").queryName("vp_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      views.addData(
+        Event(1, us(1, 0), 7, "view", 1.0),
+        Event(2, us(3, 0), 7, "view", 1.0))
+      purchases.addData(
+        Event(10, us(1, 20), 7, "purchase", 5.0), // 20 min after view 1 → match
+        Event(11, us(5, 0), 7, "purchase", 5.0))  // no view within 30 min
+      q.processAllAvailable()
+      val got = spark.table("vp_test").select("view_id", "purchase_id")
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 10L)))
+    } finally q.stop()
+  }
+
   test("latestPerUser maintains state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]

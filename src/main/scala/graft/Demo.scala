@@ -68,11 +68,15 @@ object Demo {
     Sinks.writeDatePartitioned(events, col("ts"), outDir)
     val pruned = Sinks.readDatePartitioned(spark, outDir)
       .filter(col("year") === 2024 && col("month") === 1 && col("day") === 1)
-    println(s"[demo] partitioned archive: day-1 partition holds ${pruned.count()} events")
+    val prunedCount = pruned.count()
+    println(s"[demo] partitioned archive: day-1 partition holds $prunedCount events")
+    assert(prunedCount > 0, "partition-pruned read returned no rows")
 
     // --- 4. A declared query over the fixtures (flagship entry)
     val flagship = SparkEntry.entry(spark)
-    println(s"[demo] flagship q10 rows: ${flagship.count()}")
+    val flagshipRows = flagship.count()
+    println(s"[demo] flagship q10 rows: $flagshipRows")
+    assert(flagshipRows > 0, "flagship query returned no rows")
     println("[demo] OK")
     spark.stop()
   }

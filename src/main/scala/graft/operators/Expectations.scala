@@ -23,22 +23,35 @@ object Expectations {
   /** Audit all rules in one scan: (rule STRING, violations BIGINT,
     * total BIGINT), one row per rule. */
   def audit(df: DataFrame, rules: Seq[Rule]): DataFrame = {
-    val counters = rules.map(r =>
-      sum(when(coalesce(r.holds, lit(false)), 0L).otherwise(1L)).as(r.name))
-    val agg = df.agg(count(lit(1)).as("__total"), counters: _*)
-    // unpivot to one row per rule
-    val pairs = rules.flatMap(r => Seq(lit(r.name), col(r.name)))
+    // internal positional aliases: rule names are user strings and must
+    // not round-trip through col() (dots/duplicates/reserved names would
+    // break resolution); coalesce so an EMPTY input reports 0 violations
+    // per rule, not NULL (sum over zero rows is NULL, and NULL would
+    // slip through a `violations > 0` quality gate)
+    val counters = rules.zipWithIndex.map { case (r, i) =>
+      coalesce(sum(when(coalesce(r.holds, lit(false)), 0L).otherwise(1L)), lit(0L))
+        .as(s"__r$i")
+    }
+    val agg = df.agg(count(lit(1)).as("__exp_total"), counters: _*)
+    val pairs = rules.zipWithIndex.flatMap { case (r, i) =>
+      Seq(lit(r.name), col(s"__r$i"))
+    }
     agg.select(explode(map(pairs: _*)).as(Seq("rule", "violations")),
-        col("__total").as("total"))
+        col("__exp_total").as("total"))
       .select(col("rule"), col("violations").cast("long"), col("total"))
   }
 
   /** Referential-integrity violations: child rows whose `fk` has no
-    * match in parent's `pk` (null fks excluded — use a Rule for
-    * null checks). */
+    * match in parent's `pk` (null fks excluded — use a Rule for null
+    * checks). No broadcast hint: Catalyst broadcasts dimension-sized
+    * parents on its own, and a fact-sized parent (q48 checks lineitem
+    * against orders) must stay a shuffle join at scale. */
   def danglingForeignKeys(child: DataFrame, fk: Column,
-                          parent: DataFrame, pk: Column): DataFrame =
+                          parent: DataFrame, pk: Column): DataFrame = {
+    val pkeys = parent.select(pk.as("__pk")).distinct()
+    // reference the parent frame's column directly — an unqualified
+    // col("__pk") would be ambiguous if the child also carries one
     child.filter(fk.isNotNull)
-      .join(broadcast(parent.select(pk.as("__pk")).distinct()),
-        fk === col("__pk"), "left_anti")
+      .join(pkeys, fk === pkeys("__pk"), "left_anti")
+  }
 }

@@ -73,11 +73,12 @@ object EventStream {
 
   /** Stream-static enrichment: join a live event stream against a
     * static dimension table. The static side is planned per micro-batch
-    * (broadcast when small), so dimension updates between batches are
-    * picked up — the streaming twin of q10's dim joins.
+    * — dimension updates between batches are picked up, and Catalyst
+    * broadcasts it when it fits the threshold (no forced hint: a large
+    * dim must be allowed to shuffle rather than OOM the driver).
     */
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
-    events.join(org.apache.spark.sql.functions.broadcast(dim), key)
+    events.join(dim, key)
 
   /** Stream-stream join with event-time bounds: pair each view with
     * purchases by the same user within [0, maxDelay] after it.

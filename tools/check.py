@@ -7,14 +7,13 @@ Usage: python3 tools/check.py [sfdir] [outdir]
 """
 import sys, os, json, glob
 import duckdb
+from common import register_views
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
 
 con = duckdb.connect()
-for p in glob.glob(f"{sfdir}/*.parquet"):
-    name = os.path.basename(p)[:-len(".parquet")]
-    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+register_views(con, sfdir)
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails, passes = [], []

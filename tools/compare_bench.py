@@ -7,6 +7,7 @@ Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.Bench" | grep '"metric"' > /tmp
 """
 import sys, json, glob, os, time
 import duckdb
+from common import register_views
 
 bench_file, oracle_file, sfdir = sys.argv[1], sys.argv[2], sys.argv[3]
 raw = open(bench_file).read()
@@ -14,12 +15,13 @@ bench = json.loads(raw[raw.index('{"metric"'):])
 oracle = json.load(open(oracle_file))
 
 con = duckdb.connect()
-for p in glob.glob(f"{sfdir}/*.parquet"):
-    con.sql(f"CREATE VIEW {os.path.basename(p)[:-8]} AS SELECT * FROM '{p}'")
+register_views(con, sfdir)
 
 rows = []
 for q in sorted(bench["queries"]):
     spark_t = bench["queries"][q]
+    if spark_t < 0:  # Bench's failure sentinel — never a timing
+        rows.append((q, None, None)); continue
     if q not in oracle:
         rows.append((q, spark_t, None)); continue
     ts = []
@@ -32,13 +34,16 @@ with open("SPEED.md", "w") as f:
     f.write("Spark = `graft.Bench` (local[32], warmup pass first). DuckDB = the same\n")
     f.write("declared oracle SQL on the same parquet. Ratios < 1 mean Spark is faster.\n\n")
     f.write("| Query | Spark s | DuckDB s | Spark/DuckDB |\n|---|---|---|---|\n")
-    st = dt = 0.0
+    st = dt = 0.0  # totals cover only queries BOTH engines ran
     for q, s, d in rows:
+        if s is None:
+            f.write(f"| {q} | FAILED | — | — |\n"); continue
         if d is None:
-            f.write(f"| {q} | {s:.3f} | — (no oracle) | — |\n"); st += s; continue
+            f.write(f"| {q} | {s:.3f} | — (no oracle; excluded from totals) | — |\n"); continue
         st += s; dt += d
         f.write(f"| {q} | {s:.3f} | {d:.3f} | {s/d:.1f}× |\n")
-    f.write(f"| **total** | **{st:.2f}** | **{dt:.2f}** | **{st/dt:.2f}×** |\n\n")
+    if dt > 0:
+        f.write(f"| **total (oracle'd queries)** | **{st:.2f}** | **{dt:.2f}** | **{st/dt:.2f}×** |\n\n")
     f.write("Reading: sub-second queries carry Spark's fixed per-query overhead\n")
     f.write("(~0.2 s planning + task dispatch at local[32]) that DuckDB's embedded\n")
     f.write("execution does not pay — the design target is the 100 TB regime, where\n")

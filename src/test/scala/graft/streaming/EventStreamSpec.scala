@@ -142,6 +142,29 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows run in streaming mode with watermarked state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = input.toDF()
+      .withColumn("ts", timestamp_micros(col("tsMicros")))
+      .withColumnRenamed("userId", "user_id")
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("session_test")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(
+        Event(1, us(1, 0), 7, "view", 1.0),
+        Event(2, us(1, 20), 7, "view", 1.0),  // merges into session 1
+        Event(3, us(3, 0), 7, "view", 1.0))   // > 30 min gap → new session
+      q.processAllAvailable()
+      val sessions = spark.table("session_test")
+        .select("user_id", "n").as[(Long, Long)].collect().sorted
+      assert(sessions.toSeq == Seq((7L, 1L), (7L, 2L)))
+    } finally q.stop()
+  }
+
   test("latestPerUser maintains state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]

@@ -29,4 +29,29 @@ object Sinks {
     * partition columns usable for pruning. */
   def readDatePartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Compact a parquet directory to ~`targetMb` output files: the
+    * small-files remedy for an incrementally-appended archive (every
+    * streaming micro-batch adds files; scans degrade as the file count
+    * grows). Rewrites into a temp dir then swaps, so a concurrent reader
+    * never sees a half-written table. Returns the new file count.
+    */
+  def compact(spark: SparkSession, path: String, targetMb: Int = 128): Int = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Paths.get(path)
+    val bytes = Files.walk(dir)
+    val totalBytes =
+      try bytes.filter(Files.isRegularFile(_))
+        .mapToLong(f => Files.size(f)).sum()
+      finally bytes.close()
+    val nFiles = math.max(1, (totalBytes / (targetMb * 1024L * 1024L)).toInt)
+    val tmp = path + ".compact_tmp"
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp)
+    val bak = path + ".compact_old"
+    Files.move(dir, Paths.get(bak), StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), dir, StandardCopyOption.ATOMIC_MOVE)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(bak))
+    nFiles
+  }
 }

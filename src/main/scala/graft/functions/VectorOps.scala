@@ -29,8 +29,16 @@ object VectorOps {
   /** ‖a‖₂ of an ARRAY<DOUBLE> column. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity of two ARRAY<DOUBLE> columns. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity of two ARRAY<DOUBLE> columns — fused single-pass
+    * codegen ([[graft.functions.expressions.ArrayCosine]]): same IEEE
+    * ops as `dot(a,b)/(norm(a)*norm(b))` in one array traversal. */
+  def cosine(a: Column, b: Column): Column =
+    GraftShim.column(expressions.ArrayCosine(
+      GraftShim.expression(a), GraftShim.expression(b)))
+
+  /** Composed-form cosine, kept as the reference implementation. */
+  def cosineComposed(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
 
   /** Deterministic sign-bit LSH bucket: bit i of the bucket id is the sign
     * of dimension i (the first `nBits` dims act as fixed hyperplanes).

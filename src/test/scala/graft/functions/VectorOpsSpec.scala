@@ -34,6 +34,19 @@ class VectorOpsSpec extends SparkSpec {
     assert(!got.contains(0L))       // probe excluded
   }
 
+  test("fused ArrayCosine is bit-equal to the composed form") {
+    val rnd = new scala.util.Random(13)
+    val data = (0 until 60).map(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextDouble() * 2 - 1)))
+    val d = data.toDF("id", "v")
+    val b = d.select(col("v").as("w")).limit(1)
+    val both = d.crossJoin(b)
+      .select(VectorOps.cosine(col("v"), col("w")).as("fused"),
+              VectorOps.cosineComposed(col("v"), col("w")).as("ref"))
+      .collect()
+    assert(both.forall(r => r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("native ArrayDot agrees exactly with the HOF formulation") {
     val rnd = new scala.util.Random(7)
     val data = (0 until 50).map(i =>

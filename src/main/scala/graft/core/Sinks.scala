@@ -39,6 +39,13 @@ object Sinks {
   def compact(spark: SparkSession, path: String, targetMb: Int = 128): Int = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val dir = Paths.get(path)
+    // a flat rewrite of a hive-partitioned root would fold the partition
+    // directories into plain columns and destroy pruning — compact each
+    // partition directory individually instead
+    val partitioned = Option(dir.toFile.listFiles())
+      .exists(_.exists(f => f.isDirectory && f.getName.contains("=")))
+    require(!partitioned,
+      s"$path is hive-partitioned; compact each partition directory, not the root")
     val bytes = Files.walk(dir)
     val totalBytes =
       try bytes.filter(Files.isRegularFile(_))

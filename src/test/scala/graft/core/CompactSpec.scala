@@ -23,4 +23,11 @@ class CompactSpec extends SparkSpec {
     val back = spark.read.parquet(dir).as[(Long, String)].collect().sortBy(_._1)
     assert(back.toSeq == data)
   }
+
+  test("compact refuses a hive-partitioned root (would destroy pruning)") {
+    val dir = Files.createTempDirectory("graft_compact_part").toString
+    val events = Tables.load(spark, sf0001, "events")
+    Sinks.writeDatePartitioned(events, org.apache.spark.sql.functions.col("ts"), dir)
+    intercept[IllegalArgumentException](Sinks.compact(spark, dir))
+  }
 }

@@ -30,11 +30,20 @@ object Sinks {
   def readDatePartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
-  /** Compact a parquet directory to ~`targetMb` output files: the
-    * small-files remedy for an incrementally-appended archive (every
+  /** Compact a parquet directory to at most ~`targetMb` output files:
+    * the small-files remedy for an incrementally-appended archive (every
     * streaming micro-batch adds files; scans degrade as the file count
-    * grows). Rewrites into a temp dir then swaps, so a concurrent reader
-    * never sees a half-written table. Returns the new file count.
+    * grows). Returns the new file count.
+    *
+    * CONTRACT — plain-parquet compaction is not transactional:
+    *  - the WRITER must be quiesced (pause the streaming query) — files
+    *    appended after the snapshot read would be lost in the swap;
+    *  - READERS may hit a brief window during the two renames where the
+    *    path is absent (a crash there leaves the data at
+    *    `<path>.compact_old` for manual recovery). A table format
+    *    (Delta/Iceberg-style) is the fix when either constraint bites;
+    *    a stale `.compact_old`/`.compact_tmp` from a crashed run is
+    *    cleaned up on the next call.
     */
   def compact(spark: SparkSession, path: String, targetMb: Int = 128): Int = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
@@ -46,16 +55,21 @@ object Sinks {
       .exists(_.exists(f => f.isDirectory && f.getName.contains("=")))
     require(!partitioned,
       s"$path is hive-partitioned; compact each partition directory, not the root")
+    val tmp = path + ".compact_tmp"
+    val bak = path + ".compact_old"
+    // recover from a previously crashed run
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(bak))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     val bytes = Files.walk(dir)
     val totalBytes =
       try bytes.filter(Files.isRegularFile(_))
         .mapToLong(f => Files.size(f)).sum()
       finally bytes.close()
-    val nFiles = math.max(1, (totalBytes / (targetMb * 1024L * 1024L)).toInt)
-    val tmp = path + ".compact_tmp"
+    val targetBytes = targetMb * 1024L * 1024L
+    // ceiling division: files stay AT OR BELOW ~targetMb
+    val nFiles = math.max(1, ((totalBytes + targetBytes - 1) / targetBytes).toInt)
     spark.read.parquet(path).repartition(nFiles)
       .write.mode("overwrite").parquet(tmp)
-    val bak = path + ".compact_old"
     Files.move(dir, Paths.get(bak), StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(tmp), dir, StandardCopyOption.ATOMIC_MOVE)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(bak))

@@ -5,12 +5,17 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
-/** Cosine similarity of two ARRAY<DOUBLE> columns in ONE codegen'd pass:
-  * the three sequential sums (⟨a,b⟩, ⟨a,a⟩, ⟨b,b⟩) accumulate in a single
-  * loop, then combine as `dot / (sqrt(na) * sqrt(nb))` — the identical
-  * IEEE operations the composed form and the DuckDB oracle perform, at a
-  * third of the array traversals. Null semantics match [[ArrayDot]]
-  * (null input ⇒ null; null elements contribute nothing).
+/** Cosine similarity of two ARRAY<DOUBLE> columns in ONE codegen'd pass.
+  * Exactly replicates the composed `ArrayDot(a,b) / (sqrt(ArrayDot(a,a))
+  * * sqrt(ArrayDot(b,b)))` — including on ragged or null-element inputs:
+  * the cross sum runs over the common prefix (both elements non-null),
+  * while EACH norm runs over its own array's full length (its non-null
+  * elements), each accumulator in index order. Identical IEEE operations
+  * ⇒ bit-identical results, at a third of the traversals.
+  *
+  * Zero-norm edge: this form divides in raw Java (NaN), while the
+  * composed form under ANSI mode raises DIVIDE_BY_ZERO — callers must
+  * guarantee nonzero vectors (all similarity queries here do).
   */
 case class ArrayCosine(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -22,14 +27,16 @@ case class ArrayCosine(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val nx = x.numElements(); val ny = y.numElements()
+    val n = math.max(nx, ny)
     var ab = 0.0; var aa = 0.0; var bb = 0.0
     var i = 0
     while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i)) {
-        val xv = x.getDouble(i); val yv = y.getDouble(i)
-        ab += xv * yv; aa += xv * xv; bb += yv * yv
-      }
+      val xOk = i < nx && !x.isNullAt(i)
+      val yOk = i < ny && !y.isNullAt(i)
+      if (xOk) { val v = x.getDouble(i); aa += v * v }
+      if (yOk) { val v = y.getDouble(i); bb += v * v }
+      if (xOk && yOk) ab += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
     ab / (math.sqrt(aa) * math.sqrt(bb))
@@ -38,21 +45,26 @@ case class ArrayCosine(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
       val n = ctx.freshName("n")
       val ab = ctx.freshName("ab")
       val aa = ctx.freshName("aa")
       val bb = ctx.freshName("bb")
-      val xv = ctx.freshName("xv")
-      val yv = ctx.freshName("yv")
+      val xOk = ctx.freshName("xOk")
+      val yOk = ctx.freshName("yOk")
+      val v = ctx.freshName("v")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $n = java.lang.Math.max($nx, $ny);
          |double $ab = 0.0; double $aa = 0.0; double $bb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
-         |    double $xv = $a.getDouble($i);
-         |    double $yv = $b.getDouble($i);
-         |    $ab += $xv * $yv; $aa += $xv * $xv; $bb += $yv * $yv;
-         |  }
+         |  boolean $xOk = $i < $nx && !$a.isNullAt($i);
+         |  boolean $yOk = $i < $ny && !$b.isNullAt($i);
+         |  if ($xOk) { double $v = $a.getDouble($i); $aa += $v * $v; }
+         |  if ($yOk) { double $v = $b.getDouble($i); $bb += $v * $v; }
+         |  if ($xOk && $yOk) { $ab += $a.getDouble($i) * $b.getDouble($i); }
          |}
          |${ev.value} = $ab / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb));
        """.stripMargin

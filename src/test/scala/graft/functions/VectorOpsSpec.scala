@@ -47,6 +47,24 @@ class VectorOpsSpec extends SparkSpec {
     assert(both.forall(r => r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("fused ArrayCosine matches composed form on ragged and null-element arrays") {
+    // both norms nonzero: on a zero norm the composed form throws
+    // DIVIDE_BY_ZERO under ANSI while the fused form yields NaN (see
+    // ArrayCosine scaladoc) — callers guarantee nonzero vectors
+    val d = Seq(
+      (Seq[java.lang.Double](3.0, 4.0, 5.0), Seq[java.lang.Double](1.0, 2.0)),
+      (Seq[java.lang.Double](1.0, null, 2.0), Seq[java.lang.Double](2.0, 5.0, 1.0)))
+      .toDF("a", "b")
+    val rows = d.select(
+        VectorOps.cosine(col("a"), col("b")).as("fused"),
+        VectorOps.cosineComposed(col("a"), col("b")).as("ref"))
+      .collect()
+    rows.foreach { r =>
+      val (f, ref) = (r.getDouble(0), r.getDouble(1))
+      assert(f == ref || (f.isNaN && ref.isNaN), s"$f vs $ref")
+    }
+  }
+
   test("native ArrayDot agrees exactly with the HOF formulation") {
     val rnd = new scala.util.Random(7)
     val data = (0 until 50).map(i =>

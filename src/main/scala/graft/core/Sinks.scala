@@ -75,4 +75,21 @@ object Sinks {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(bak))
     nFiles
   }
+
+  /** Compact every leaf partition directory of a hive-partitioned table
+    * (recursing through `k=v` levels), one [[compact]] per leaf — each
+    * partition swaps independently, so a failure confines itself to one
+    * partition. Returns (partitions compacted, total output files).
+    */
+  def compactPartitioned(spark: SparkSession, root: String,
+                         targetMb: Int = 128): (Int, Int) = {
+    def leaves(dir: java.io.File): Seq[java.io.File] = {
+      val subParts = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.contains("="))
+      if (subParts.isEmpty) Seq(dir) else subParts.toSeq.flatMap(leaves)
+    }
+    val parts = leaves(new java.io.File(root)).filterNot(_.getPath == root)
+    val files = parts.map(p => compact(spark, p.getPath, targetMb)).sum
+    (parts.size, files)
+  }
 }

@@ -30,4 +30,21 @@ class CompactSpec extends SparkSpec {
     Sinks.writeDatePartitioned(events, org.apache.spark.sql.functions.col("ts"), dir)
     intercept[IllegalArgumentException](Sinks.compact(spark, dir))
   }
+
+  test("compactPartitioned compacts each leaf partition, preserving layout and rows") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_compact_tree").toString
+    val events = Tables.load(spark, sf0001, "events")
+    // two appends → ≥2 files per leaf partition
+    Sinks.writeDatePartitioned(events, col("ts"), dir)
+    Sinks.writeDatePartitioned(events, col("ts"), dir, mode = "append")
+    val before = Sinks.readDatePartitioned(spark, dir).count()
+    val (parts, files) = Sinks.compactPartitioned(spark, dir)
+    assert(parts > 0 && files == parts) // tiny partitions → 1 file each
+    val after = Sinks.readDatePartitioned(spark, dir)
+    assert(after.count() == before)
+    // partition pruning still works on the compacted layout
+    val pruned = after.filter(col("year") === 2024 && col("month") === 1 && col("day") === 2)
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+  }
 }

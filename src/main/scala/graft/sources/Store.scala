@@ -34,6 +34,27 @@ trait Store extends Serializable {
   def copy(src: String, dst: String): Unit
   def delete(name: String): Unit
 
+  /** Streamed write (the reference's `io.Copy` into the object writer,
+    * download/common.go:102-109): O(buffer) memory per blob regardless
+    * of size, returning (bytes, md5-hex) computed on the fly so dedup
+    * never re-reads the payload. Default drains through an 8 KiB buffer
+    * into [[write]]; filesystem-backed impls override to stream straight
+    * to disk.
+    */
+  def writeStream(name: String, in: java.io.InputStream): (Long, String) = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    var total = 0L
+    while (n >= 0) {
+      if (n > 0) { out.write(buf, 0, n); digest.update(buf, 0, n); total += n }
+      n = in.read(buf)
+    }
+    write(name, out.toByteArray)
+    (total, digest.digest().map("%02x".format(_)).mkString)
+  }
+
   /** The catalog relation for a scope, as a DataFrame. */
   def catalog(spark: SparkSession, prefix: String): DataFrame = {
     import spark.implicits._
@@ -115,6 +136,24 @@ class LocalFsStore(rootDir: String) extends Store {
   def write(name: String, content: Array[Byte]): Unit = {
     Files.createDirectories(p(name).getParent)
     Files.write(p(name), content)
+  }
+
+  /** True O(buffer) streaming: bytes flow disk-ward as they arrive —
+    * the payload is never held in memory. */
+  override def writeStream(name: String, in: java.io.InputStream): (Long, String) = {
+    Files.createDirectories(p(name).getParent)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    val out = Files.newOutputStream(p(name))
+    try {
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (n > 0) { out.write(buf, 0, n); digest.update(buf, 0, n); total += n }
+        n = in.read(buf)
+      }
+      (total, digest.digest().map("%02x".format(_)).mkString)
+    } finally out.close()
   }
 
   def copy(src: String, dst: String): Unit = {

@@ -55,8 +55,12 @@ object Sinks {
       .exists(_.exists(f => f.isDirectory && f.getName.contains("=")))
     require(!partitioned,
       s"$path is hive-partitioned; compact each partition directory, not the root")
-    val tmp = path + ".compact_tmp"
-    val bak = path + ".compact_old"
+    // dot-prefixed siblings: Spark's file listing ignores dot-paths, so
+    // a crash mid-swap can NOT pollute partition discovery of the parent
+    // table (a bare "day=2.compact_old" would parse as a bogus partition)
+    val base = dir.getFileName.toString
+    val tmp = dir.resolveSibling(s".$base.compact_tmp").toString
+    val bak = dir.resolveSibling(s".$base.compact_old").toString
     // recover from a previously crashed run
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(bak))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
@@ -83,12 +87,18 @@ object Sinks {
     */
   def compactPartitioned(spark: SparkSession, root: String,
                          targetMb: Int = 128): (Int, Int) = {
+    val rootFile = new java.io.File(root)
+    require(rootFile.isDirectory, s"$root does not exist or is not a directory")
     def leaves(dir: java.io.File): Seq[java.io.File] = {
       val subParts = Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.contains("="))
+        .filter(f => f.isDirectory && f.getName.contains("=") &&
+          !f.getName.startsWith("."))
       if (subParts.isEmpty) Seq(dir) else subParts.toSeq.flatMap(leaves)
     }
-    val parts = leaves(new java.io.File(root)).filterNot(_.getPath == root)
+    val parts = leaves(rootFile)
+      .filterNot(_.getCanonicalPath == rootFile.getCanonicalPath)
+    require(parts.nonEmpty,
+      s"$root has no k=v partition directories — use compact() for flat tables")
     val files = parts.map(p => compact(spark, p.getPath, targetMb)).sum
     (parts.size, files)
   }

@@ -35,24 +35,17 @@ trait Store extends Serializable {
   def delete(name: String): Unit
 
   /** Streamed write (the reference's `io.Copy` into the object writer,
-    * download/common.go:102-109): O(buffer) memory per blob regardless
-    * of size, returning (bytes, md5-hex) computed on the fly so dedup
-    * never re-reads the payload. Default drains through an 8 KiB buffer
-    * into [[write]]; filesystem-backed impls override to stream straight
-    * to disk.
+    * download/common.go:102-109), returning (bytes, md5-hex) computed on
+    * the fly so dedup never re-reads the payload. The DEFAULT buffers
+    * the whole payload (write() takes bytes), so it is only suitable for
+    * blobs that fit in memory — true O(buffer) streaming is up to the
+    * impl (LocalFsStore streams straight to disk).
     */
   def writeStream(name: String, in: java.io.InputStream): (Long, String) = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
     val out = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](8192)
-    var n = in.read(buf)
-    var total = 0L
-    while (n >= 0) {
-      if (n > 0) { out.write(buf, 0, n); digest.update(buf, 0, n); total += n }
-      n = in.read(buf)
-    }
+    val res = Store.drain(in, out)
     write(name, out.toByteArray)
-    (total, digest.digest().map("%02x".format(_)).mkString)
+    res
   }
 
   /** The catalog relation for a scope, as a DataFrame. */
@@ -66,6 +59,21 @@ object Store {
   def md5Hex(bytes: Array[Byte]): String =
     MessageDigest.getInstance("MD5").digest(bytes)
       .map("%02x".format(_)).mkString
+
+  /** Drain `in` into `out` through a fixed buffer, returning
+    * (bytes, md5-hex) computed on the fly. */
+  private[sources] def drain(in: java.io.InputStream,
+                             out: java.io.OutputStream): (Long, String) = {
+    val digest = MessageDigest.getInstance("MD5")
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    var n = in.read(buf)
+    while (n >= 0) {
+      if (n > 0) { out.write(buf, 0, n); digest.update(buf, 0, n); total += n }
+      n = in.read(buf)
+    }
+    (total, digest.digest().map("%02x".format(_)).mkString)
+  }
 }
 
 /** In-memory store for tests (the fake-store pattern of
@@ -122,6 +130,8 @@ class LocalFsStore(rootDir: String) extends Store {
       walk.iterator().asScala
         .filter(Files.isRegularFile(_))
         .map(f => root.relativize(f).toString)
+        // in-flight .part temp files are not committed objects
+        .filterNot(_.split('/').last.startsWith("."))
         .filter(_.startsWith(prefix))
         .map { n =>
           val bytes = Files.readAllBytes(p(n))
@@ -138,22 +148,23 @@ class LocalFsStore(rootDir: String) extends Store {
     Files.write(p(name), content)
   }
 
-  /** True O(buffer) streaming: bytes flow disk-ward as they arrive —
-    * the payload is never held in memory. */
+  /** True O(buffer) streaming: bytes flow disk-ward as they arrive, via
+    * a dot-prefixed temp file committed by rename only on success — a
+    * mid-stream failure never leaves a truncated blob at the final name
+    * (the reference's GCS writer likewise commits on Close). */
   override def writeStream(name: String, in: java.io.InputStream): (Long, String) = {
-    Files.createDirectories(p(name).getParent)
-    val digest = java.security.MessageDigest.getInstance("MD5")
-    val out = Files.newOutputStream(p(name))
+    val target = p(name)
+    Files.createDirectories(target.getParent)
+    val tmp = target.resolveSibling("." + target.getFileName + ".part")
+    val out = Files.newOutputStream(tmp)
     try {
-      val buf = new Array[Byte](8192)
-      var total = 0L
-      var n = in.read(buf)
-      while (n >= 0) {
-        if (n > 0) { out.write(buf, 0, n); digest.update(buf, 0, n); total += n }
-        n = in.read(buf)
-      }
-      (total, digest.digest().map("%02x".format(_)).mkString)
-    } finally out.close()
+      val res = try Store.drain(in, out) finally out.close()
+      Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+      res
+    } catch {
+      case e: Throwable => Files.deleteIfExists(tmp); throw e
+    }
   }
 
   def copy(src: String, dst: String): Unit = {

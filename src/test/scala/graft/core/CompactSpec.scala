@@ -43,8 +43,19 @@ class CompactSpec extends SparkSpec {
     assert(parts > 0 && files == parts) // tiny partitions → 1 file each
     val after = Sinks.readDatePartitioned(spark, dir)
     assert(after.count() == before)
-    // partition pruning still works on the compacted layout
+    // partition pruning still works on the compacted layout: the scan
+    // must carry NON-EMPTY partition filters (the key alone always
+    // prints) and the pruned count must match the predicate
     val pruned = after.filter(col("year") === 2024 && col("month") === 1 && col("day") === 2)
-    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [is"), s"empty partition filters:\n$plan")
+    val direct = after.filter(col("day") === 2 && col("month") === 1 && col("year") === 2024).count()
+    assert(pruned.count() == direct && direct > 0)
+  }
+
+  test("compactPartitioned rejects a flat (non-partitioned) directory") {
+    val dir = Files.createTempDirectory("graft_compact_flat").toString
+    (0L until 10L).map(i => (i, i)).toDF("a", "b").write.mode("append").parquet(dir)
+    intercept[IllegalArgumentException](Sinks.compactPartitioned(spark, dir))
   }
 }

@@ -171,13 +171,21 @@ object ArchivePipeline {
     val scopes = ok.select("scope").distinct().as[String].collect()
     val preExisting = scopes.flatMap(store.list).distinct
       .filterNot(o => batchNames.contains(o.name))
+    // Scope equality is part of the duplicate predicate: the reference's
+    // IsFileNew (common.go:162-190) only ever compares within the scope
+    // prefix it listed, so bytes shared with an object in a DIFFERENT
+    // scope (e.g. an unchanged file across a month boundary under
+    // month-scoped dedup) must be kept, not deleted.
     val catDf = broadcast(spark.createDataset(preExisting.toSeq).toDF()
-      .select(col("name").as("cat_name"), col("md5").as("cat_md5")))
+      .select(col("name").as("cat_name"), col("md5").as("cat_md5"))
+      .withColumn("cat_scope",
+        regexp_extract(col("cat_name"), cfg.dedupScopeRegex.regex, 1)))
     val w = Window.partitionBy(col("scope"), col("md5")).orderBy(col("seqnum"))
     val keptRows = ok
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
       .join(catDf,
-        col("md5") === col("cat_md5") && col("name") =!= col("cat_name"),
+        col("md5") === col("cat_md5") && col("name") =!= col("cat_name") &&
+          col("scope") === col("cat_scope"),
         "left_anti")
       .select("seqnum", "name").as[(Long, String)].collect()
 

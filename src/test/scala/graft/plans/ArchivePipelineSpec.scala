@@ -121,6 +121,30 @@ class ArchivePipelineSpec extends SparkSpec {
     assert(r.newWatermark == 3364L) // dedup is not a failure; watermark advances
   }
 
+  test("identical content in a DIFFERENT scope is kept, not deduped") {
+    // Month-scoped dedup exists precisely so an unchanged file re-ingested
+    // in a new month IS archived again (IsFileNew compares only within the
+    // listed scope prefix, common.go:162-190). Batch spans two months with
+    // the same bytes, plus a pre-existing same-bytes object in yet another
+    // month: everything must survive.
+    val store = new InMemoryStore
+    store.write("RouteViewIPv4/2017/05/old.pfx2as.gz", "same-bytes".getBytes("UTF-8"))
+    val monthCfg = cfg.copy(dedupScopeRegex = new Regex("""(.*/).*"""))
+    val body = manifest(
+      3363 -> "2017/06/a.pfx2as.gz", 3364 -> "2017/07/b.pfx2as.gz")
+    val fetcher = new MapFetcher(Map(
+      "a.pfx2as.gz" -> "same-bytes", "b.pfx2as.gz" -> "same-bytes"))
+    val r = ArchivePipeline.run(spark, body, manifestUrl, monthCfg, store, 0L,
+      fetcher, new Metrics(spark))
+    assert(r.kept.sorted == Seq(
+      "RouteViewIPv4/2017/06/a.pfx2as.gz", "RouteViewIPv4/2017/07/b.pfx2as.gz"))
+    assert(r.duplicates.isEmpty)
+    assert(store.list("RouteViewIPv4/2017/").map(_.name) == Seq(
+      "RouteViewIPv4/2017/05/old.pfx2as.gz",
+      "RouteViewIPv4/2017/06/a.pfx2as.gz",
+      "RouteViewIPv4/2017/07/b.pfx2as.gz"))
+  }
+
   test("empty manifest delta is a no-op") {
     val r = ArchivePipeline.run(spark, manifest(), manifestUrl, cfg,
       new InMemoryStore, 99L, new MapFetcher(Map.empty), new Metrics(spark))

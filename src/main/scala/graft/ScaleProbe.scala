@@ -37,6 +37,14 @@ object ScaleProbe {
     time("q11_tpch_pricing sf1.0   (6M rows)")(CoreQueries.q11(spark, out).count())
     time("q23_ann_lsh sf0.1      (5k vecs)  ")(PipelineQueries.q23(spark, src).count())
     time("q23_ann_lsh sf1.0     (50k vecs)  ")(PipelineQueries.q23(spark, out).count())
+    // Exact all-pairs tier (TiledSelfJoin): comparisons grow N² by design —
+    // the probe here is that 10× data runs AT ALL with flat driver/task
+    // memory (pre-tiling these kernels collect()ed the corpus onto the
+    // driver) and that tasks spread across all tiles.
+    time("q21_ngram_jaccard sf0.1 (5k docs) ")(PipelineQueries.q21(spark, src).count())
+    time("q21_ngram_jaccard sf1.0 (50k docs)")(PipelineQueries.q21(spark, out).count())
+    time("q22_cosine_pairs sf0.1  (5k vecs) ")(PipelineQueries.q22(spark, src).count())
+    time("q22_cosine_pairs sf1.0 (50k vecs) ")(PipelineQueries.q22(spark, out).count())
     spark.stop()
   }
 }

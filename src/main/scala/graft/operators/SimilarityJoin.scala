@@ -2,27 +2,27 @@ package graft.operators
 
 import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 
-import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.functions._
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
-/** All-pairs similarity joins as tiled brute-force kernels.
+/** All-pairs similarity joins as distributed tiled brute-force kernels.
   *
   * Relational formulations of an N² similarity join (pair-explode +
   * aggregate, or crossJoin + per-pair expression) materialize every
   * candidate pair as a row — the shuffle/copy cost dwarfs the arithmetic.
-  * These kernels instead broadcast one side as primitive arrays and
-  * stream the other side through `mapPartitions` with a tight JVM loop,
-  * emitting only the pairs that pass the threshold (`mapPartitions` as a
-  * deliberate last resort per the custom-operator ladder: the semantics
-  * — *emit only matches of an N² scan* — are not expressible without
-  * materializing the N² intermediate).
+  * These kernels instead run per-tile tight JVM loops under
+  * [[TiledSelfJoin]]: rows shuffle once into block-pair tiles, each task
+  * compares its two blocks and emits only the pairs that pass the
+  * threshold (`mapPartitions` as a deliberate last resort per the
+  * custom-operator ladder: the semantics — *emit only matches of an N²
+  * scan* — are not expressible without materializing the N²
+  * intermediate). The driver never sees the corpus; per-task memory is
+  * 2·N/b rows with b = `graft.similarity.blocks`.
   *
-  * Scale path (100 TB): this is the one-tile-row special case of a
-  * block-partitioned similarity join — tile both sides, broadcast one
-  * tile of B per task, loop. Pair count stays N²; the fix at scale is
-  * candidate pruning first (MinHash-LSH bands for Jaccard, sign-bucket
-  * LSH for cosine — q19/q23), then this kernel verifies candidates
-  * exactly.
+  * Scale path (100 TB): the comparison count stays N²/2 — tiling makes
+  * it distributed, not sub-quadratic. Candidate pruning first (MinHash
+  * LSH bands for Jaccard, sign-bucket LSH for cosine — q19/q23) and
+  * these kernels as the exact-verify tier over candidates.
   *
   * Rounding replicates Spark's `Round` on DoubleType exactly
   * (`BigDecimal.valueOf(x).setScale(s, HALF_UP)`), so results stay
@@ -33,80 +33,84 @@ object SimilarityJoin {
   def round4(x: Double): Double =
     JBigDecimal.valueOf(x).setScale(4, RoundingMode.HALF_UP).doubleValue()
 
-  /** All pairs (a < b) with cosine similarity ≥ threshold (rounded to
-    * 4 dp first, matching the declarative/oracle filter).
+  /** All pairs (a_id < b_id) with cosine similarity ≥ threshold (rounded
+    * to 4 dp first, matching the declarative/oracle filter).
     *
     * @param emb (id, vector) rows; vectors must be equal-length
     */
   def cosinePairs(emb: Dataset[(Long, Array[Double])], threshold: Double): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val all = emb.collect().sortBy(_._1)
-    val norms = all.map { case (_, v) =>
-      var s = 0.0; var i = 0
-      while (i < v.length) { s += v(i) * v(i); i += 1 }
-      math.sqrt(s)
-    }
-    val bc = spark.sparkContext.broadcast((all, norms))
-    // The scanned side arrives in file-granularity partitions (often 1);
-    // spread it across the cluster so the kernel actually parallelizes.
-    emb.repartition(spark.sparkContext.defaultParallelism).mapPartitions { it =>
-      val (bRows, bNorms) = bc.value
-      it.flatMap { case (aId, av) =>
-        var an = 0.0
-        var i = 0
-        while (i < av.length) { an += av(i) * av(i); i += 1 }
-        val aNorm = math.sqrt(an)
-        val out = Seq.newBuilder[(Long, Long, Double)]
-        var j = 0
-        while (j < bRows.length) {
-          val (bId, bv) = bRows(j)
-          if (bId > aId) {
-            var s = 0.0
-            var k = 0
-            val n = math.min(av.length, bv.length)
-            while (k < n) { s += av(k) * bv(k); k += 1 }
-            val sim = round4(s / (aNorm * bNorms(j)))
-            if (sim >= threshold) out += ((aId, bId, sim))
-          }
-          j += 1
-        }
-        out.result()
-      }
-    }.toDF("a_id", "b_id", "sim")
+    val blocks = TiledSelfJoin.defaultBlocks(spark)
+    spark.createDataset(TiledSelfJoin(emb.rdd, blocks)(cosineTile(threshold)))
+      .toDF("a_id", "b_id", "sim")
   }
 
-  /** All pairs (a < b) with exact Jaccard ≥ threshold over per-row token
-    * sets, plus the intersection size. Sets are dictionary-encoded to
-    * sorted int arrays on the driver (the dictionary is |distinct
-    * shingles| — catalog-sized, not corpus-sized), and intersections run
-    * as sorted-array merges.
+  /** Tile kernel: norms once per buffer, then the tight dot-product loop.
+    * Shared with [[graft.plans.CosineSelfJoinExec]]. */
+  private[graft] def cosineTile(threshold: Double)(
+      left: Array[(Long, Array[Double])], right: Array[(Long, Array[Double])],
+      diag: Boolean): Iterator[(Long, Long, Double)] = {
+    def norms(rows: Array[(Long, Array[Double])]): Array[Double] =
+      rows.map { case (_, v) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        math.sqrt(s)
+      }
+    val ln = norms(left)
+    val rn = if (diag) ln else norms(right)
+    val out = Seq.newBuilder[(Long, Long, Double)]
+    var i = 0
+    while (i < left.length) {
+      val (aId, av) = left(i)
+      var j = if (diag) i + 1 else 0
+      while (j < right.length) {
+        val (bId, bv) = right(j)
+        var s = 0.0
+        var k = 0
+        val n = math.min(av.length, bv.length)
+        while (k < n) { s += av(k) * bv(k); k += 1 }
+        val sim = round4(s / (ln(i) * rn(j)))
+        if (sim >= threshold)
+          out += (if (aId < bId) (aId, bId, sim) else (bId, aId, sim))
+        j += 1
+      }
+      i += 1
+    }
+    out.result().iterator
+  }
+
+  /** 64-bit FNV-1a of one token (the single-word case of [[fnvShingle]]). */
+  private def fnvToken(t: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var c = 0
+    while (c < t.length) { h ^= t.charAt(c).toLong; h *= 0x100000001b3L; c += 1 }
+    h
+  }
+
+  /** All pairs (a_id < b_id) with exact Jaccard ≥ threshold over per-row
+    * token sets, plus the intersection size. Elements are FNV-64-hashed
+    * to sorted long arrays INSIDE each task (set identity preserved up to
+    * 64-bit collisions, ~N²/2⁶⁵ — the oracle gate would catch one), so
+    * intersections run as primitive sorted-array merges and nothing is
+    * dictionary-encoded driver-side.
     */
   def jaccardPairs(sets: Dataset[(Long, Seq[String])], threshold: Double): DataFrame = {
     val spark = sets.sparkSession
     import spark.implicits._
-    val all = sets.collect().sortBy(_._1)
-    val dict = scala.collection.mutable.HashMap.empty[String, Long]
-    val encoded = all.map { case (id, ss) =>
-      val a = ss.distinct.map(s => dict.getOrElseUpdate(s, dict.size.toLong)).toArray
-      java.util.Arrays.sort(a)
-      (id, a)
-    }
-    jaccardKernel(spark, encoded, threshold)
+    val encoded = sets.mapPartitions(_.map { case (id, ss) =>
+      val hs = ss.iterator.map(fnvToken).toArray.distinct
+      java.util.Arrays.sort(hs)
+      (id, hs)
+    })
+    jaccardDistributed(spark, encoded.rdd, threshold)
   }
 
-  /** [[jaccardPairs]] over pre-hashed sets: elements are 64-bit shingle
-    * hashes computed Spark-side (e.g. `xxhash64` inside `transform` —
-    * codegen'd), so the driver collects primitive long arrays instead of
-    * materializing hundreds of thousands of String objects (~5× faster
-    * end-to-end). Exact up to 64-bit hash collisions (~N²/2⁶⁵; the
-    * sf0.01 oracle gate would catch one).
-    */
-  def jaccardPairsHashed(sets: Dataset[(Long, Array[Long])], threshold: Double): DataFrame = {
-    val spark = sets.sparkSession
-    val encoded = sets.collect().sortBy(_._1)
-    jaccardKernel(spark, encoded, threshold)
-  }
+  /** [[jaccardPairs]] over pre-hashed sets: elements are 64-bit hashes
+    * computed Spark-side (e.g. `xxhash64` inside `transform` —
+    * codegen'd), sorted ascending. */
+  def jaccardPairsHashed(sets: Dataset[(Long, Array[Long])], threshold: Double): DataFrame =
+    jaccardDistributed(sets.sparkSession, sets.rdd, threshold)
 
   /** 64-bit FNV-1a over a word n-gram (tokens joined by a single space,
     * matching the string-shingle identity). */
@@ -144,53 +148,57 @@ object SimilarityJoin {
       val distinct = hs.distinct
       java.util.Arrays.sort(distinct)
       (id, distinct)
-    }).collect().sortBy(_._1)
-    jaccardKernel(spark, encoded, threshold)
+    })
+    jaccardDistributed(spark, encoded.rdd, threshold)
   }
 
-  private def jaccardKernel(spark: org.apache.spark.sql.SparkSession,
-                            encoded: Array[(Long, Array[Long])],
-                            threshold: Double): DataFrame = {
+  private def jaccardDistributed(spark: SparkSession,
+                                 rdd: RDD[(Long, Array[Long])],
+                                 threshold: Double): DataFrame = {
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(encoded)
-    // Row i scans rows i+1..N, so work decreases linearly with i:
-    // round-robin the indices across partitions to balance the triangle.
-    spark.createDataset(encoded.indices.toSeq)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .mapPartitions { it =>
-      val rows = bc.value
-      it.flatMap { ai =>
-        val (aId, av) = rows(ai)
-        val out = Seq.newBuilder[(Long, Long, Long, Double)]
-        var j = ai + 1
-        while (j < rows.length) {
-          val (bId, bv) = rows(j)
-          // The emitted filter is on round4(jac) ≥ t, so jac as low as
-          // t − 5e-5 can round up into the result: derive the count bound
-          // from that widened threshold. jac ≥ t' needs common ≥
-          // ceil(t'(na+nb)/(1+t')); skip the merge when sizes can't reach
-          // it, abort mid-merge once the remainder can't either.
-          val tEff = math.max(threshold - 5e-5, 0.0)
-          val cMin = math.ceil(tEff * (av.length + bv.length) / (1 + tEff) - 1e-9).toInt
-          if (math.min(av.length, bv.length) >= cMin) {
-            var x = 0; var y = 0; var common = 0
-            var live = true
-            while (live && x < av.length && y < bv.length) {
-              val c = java.lang.Long.compare(av(x), bv(y))
-              if (c == 0) { common += 1; x += 1; y += 1 }
-              else if (c < 0) x += 1
-              else y += 1
-              if (common + math.min(av.length - x, bv.length - y) < cMin) live = false
-            }
-            if (common >= cMin) {
-              val jac = round4(common.toDouble / (av.length + bv.length - common))
-              if (jac >= threshold) out += ((aId, bId, common.toLong, jac))
-            }
+    val blocks = TiledSelfJoin.defaultBlocks(spark)
+    spark.createDataset(TiledSelfJoin(rdd, blocks)(jaccardTile(threshold)))
+      .toDF("a_id", "b_id", "common", "jac")
+  }
+
+  private[graft] def jaccardTile(threshold: Double)(
+      left: Array[(Long, Array[Long])], right: Array[(Long, Array[Long])],
+      diag: Boolean): Iterator[(Long, Long, Long, Double)] = {
+    val out = Seq.newBuilder[(Long, Long, Long, Double)]
+    var i = 0
+    while (i < left.length) {
+      val (aId, av) = left(i)
+      var j = if (diag) i + 1 else 0
+      while (j < right.length) {
+        val (bId, bv) = right(j)
+        // The emitted filter is on round4(jac) ≥ t, so jac as low as
+        // t − 5e-5 can round up into the result: derive the count bound
+        // from that widened threshold. jac ≥ t' needs common ≥
+        // ceil(t'(na+nb)/(1+t')); skip the merge when sizes can't reach
+        // it, abort mid-merge once the remainder can't either.
+        val tEff = math.max(threshold - 5e-5, 0.0)
+        val cMin = math.ceil(tEff * (av.length + bv.length) / (1 + tEff) - 1e-9).toInt
+        if (math.min(av.length, bv.length) >= cMin) {
+          var x = 0; var y = 0; var common = 0
+          var live = true
+          while (live && x < av.length && y < bv.length) {
+            val c = java.lang.Long.compare(av(x), bv(y))
+            if (c == 0) { common += 1; x += 1; y += 1 }
+            else if (c < 0) x += 1
+            else y += 1
+            if (common + math.min(av.length - x, bv.length - y) < cMin) live = false
           }
-          j += 1
+          if (common >= cMin) {
+            val jac = round4(common.toDouble / (av.length + bv.length - common))
+            if (jac >= threshold)
+              out += (if (aId < bId) (aId, bId, common.toLong, jac)
+                      else (bId, aId, common.toLong, jac))
+          }
         }
-        out.result()
+        j += 1
       }
-    }.toDF("a_id", "b_id", "common", "jac")
+      i += 1
+    }
+    out.result().iterator
   }
 }

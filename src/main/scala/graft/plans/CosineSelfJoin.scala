@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
-import graft.operators.SimilarityJoin
+import graft.operators.{SimilarityJoin, TiledSelfJoin}
 
 /** Whole-operator form of the cosine all-pairs similarity join
   * (SURVEY §2.4): a custom logical node, planned by [[SimilarityStrategy]]
@@ -17,12 +17,13 @@ import graft.operators.SimilarityJoin
   * materializing the N² intermediate ("emit only pairs above threshold
   * from an all-pairs scan").
   *
-  * The exec broadcasts the (small) build side once per executor and
-  * streams the probe side through a primitive loop, emitting UnsafeRows
-  * directly — same kernel as [[SimilarityJoin.cosinePairs]], but
-  * composable inside a larger plan: downstream operators see ordinary
-  * attributes, EXPLAIN shows the operator, and no typed collect happens
-  * on the query path.
+  * The exec shuffles the child once into block-pair tiles
+  * ([[graft.operators.TiledSelfJoin]]) and runs the primitive cosine
+  * loop per tile, emitting UnsafeRows directly — same kernel as
+  * [[SimilarityJoin.cosinePairs]], but composable inside a larger plan:
+  * downstream operators see ordinary attributes, EXPLAIN shows the
+  * operator, and neither the driver nor any single task ever holds the
+  * corpus (per-task memory is 2·N/b rows).
   */
 case class CosineSelfJoin(
     child: LogicalPlan,
@@ -71,55 +72,24 @@ case class CosineSelfJoinExec(
     val vecOrd = child.output.indexWhere(_.exprId == vecAttr.exprId)
     require(idOrd >= 0 && vecOrd >= 0, "id/vec attributes not found in child output")
 
-    // The child executes EXACTLY ONCE (executeCollect): both the build
-    // side and the probe side come from this one materialization —
-    // running child.execute() again for the probe would double upstream
-    // work and, with nondeterministic children (sample, limit), would
-    // produce mismatched sides. The probe side re-parallelizes as an
-    // index range round-robined across partitions (the triangle's heavy
-    // low indices spread evenly). At larger N this becomes a tile loop
-    // over build-side blocks, same kernel per tile.
-    val built = child.executeCollect().map { row =>
+    // The child executes EXACTLY ONCE: its RDD feeds the one tile
+    // shuffle, so both sides of every comparison come from the same
+    // materialization (running child.execute() twice would double
+    // upstream work and, with nondeterministic children — sample,
+    // limit — would produce mismatched sides). Primitives are extracted
+    // before the shuffle: the incoming UnsafeRows are buffer-reused.
+    val data = child.execute().mapPartitions(_.map { row =>
       (row.getLong(idOrd), row.getArray(vecOrd).toDoubleArray())
-    }.sortBy(_._1)
-    val norms = built.map { case (_, v) =>
-      var s = 0.0; var i = 0
-      while (i < v.length) { s += v(i) * v(i); i += 1 }
-      math.sqrt(s)
-    }
-    val bc = sparkContext.broadcast((built, norms))
+    })
+    val blocks = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(TiledSelfJoin.defaultBlocks)
+      .getOrElse(TiledSelfJoin.blocksFor(sparkContext.defaultParallelism))
     val t = threshold
     val out = output
-
-    val p = math.max(1, math.min(built.length, sparkContext.defaultParallelism))
-    // parallelize() slices a Range into CONTIGUOUS blocks; index i does
-    // ~(N-i) comparisons, so interleave indices (sort by i % p) to spread
-    // the triangle's heavy low indices across partitions
-    val interleaved = built.indices.sortBy(_ % p)
-    sparkContext.parallelize(interleaved, p)
-      .mapPartitions { idxs =>
-        val (bRows, bNorms) = bc.value
+    TiledSelfJoin(data, blocks)(SimilarityJoin.cosineTile(t))
+      .mapPartitions { it =>
         val proj = UnsafeProjection.create(out.map(_.dataType).toArray)
-        idxs.flatMap { ai =>
-          val (aIdV, av) = bRows(ai)
-          val aNorm = bNorms(ai)
-          val buf = Seq.newBuilder[InternalRow]
-          var j = ai + 1 // built is sorted by id: bId > aId ⟺ j > ai
-          while (j < bRows.length) {
-            val (bIdV, bv) = bRows(j)
-            if (bIdV > aIdV) {
-              var s = 0.0
-              var k = 0
-              val n = math.min(av.length, bv.length)
-              while (k < n) { s += av(k) * bv(k); k += 1 }
-              val simV = SimilarityJoin.round4(s / (aNorm * bNorms(j)))
-              if (simV >= t)
-                buf += proj(InternalRow(aIdV, bIdV, simV)).copy()
-            }
-            j += 1
-          }
-          buf.result()
-        }
+        it.map { case (a, b, s) => proj(InternalRow(a, b, s)).copy() }
       }
   }
 

@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Metrics, Sinks, Tables}
 import graft.operators.HashDedup
-import graft.plans.{ArchivePipeline, Fetcher, SourceConfig}
-import graft.sources.LocalFsStore
+import graft.plans.{ArchivePipeline, SourceConfig}
+import graft.sources.{HttpFetcher, LocalFsStore}
 
 import scala.util.matching.Regex
 
@@ -25,19 +25,34 @@ object Demo {
     val root = Files.createTempDirectory("graft_demo_store").toString
     val store = new LocalFsStore(root)
 
-    // --- 1. Incremental archive ingestion (reference E3 semantics)
-    val manifest =
-      """# demo manifest
-        |3363	1497717708	2017/06/routeviews-rv2-20170616-1200.pfx2as.gz
-        |3364	1497803191	2017/06/routeviews-rv2-20170617-1200.pfx2as.gz
-        |3365	1497889599	2017/06/routeviews-rv2-20170618-1200.pfx2as.gz""".stripMargin
-    val fetcher = new Fetcher {
-      def fetch(url: String): Array[Byte] = {
-        // deterministic fake payloads; 17th repeats the 16th's bytes
-        val day = """rv2-(\d{8})-""".r.findFirstMatchIn(url).get.group(1)
-        (if (day == "20170617") "payload-20170616" else s"payload-$day").getBytes("UTF-8")
-      }
-    }
+    // --- 1. Incremental archive ingestion (reference E3 semantics) over
+    // LIVE HTTP: an embedded localhost server plays the routeviews feed,
+    // fetched by the production java.net.http fetcher (Basic Auth +
+    // per-attempt timeout), so the demo exercises the real ingest edge.
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/rv/", ex => {
+      val p = ex.getRequestURI.getPath
+      val body: Array[Byte] =
+        if (p.endsWith("pfx2as-creation.log"))
+          ("""# demo manifest
+             |3363	1497717708	2017/06/routeviews-rv2-20170616-1200.pfx2as.gz
+             |3364	1497803191	2017/06/routeviews-rv2-20170617-1200.pfx2as.gz
+             |3365	1497889599	2017/06/routeviews-rv2-20170618-1200.pfx2as.gz""".stripMargin + "\n")
+            .getBytes("UTF-8")
+        else {
+          // deterministic payloads; 17th repeats the 16th's bytes
+          val day = """rv2-(\d{8})-""".r.findFirstMatchIn(p).get.group(1)
+          (if (day == "20170617") "payload-20170616" else s"payload-$day").getBytes("UTF-8")
+        }
+      ex.sendResponseHeaders(200, body.length.toLong)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    server.start()
+    val feedBase = s"http://127.0.0.1:${server.getAddress.getPort}/rv"
+    val fetcher = HttpFetcher(attemptTimeout = java.time.Duration.ofSeconds(30))
+    val manifest = fetcher.fetchString(s"$feedBase/pfx2as-creation.log")
     val cfg = SourceConfig(
       dataset = "RouteViewIPv4",
       pathPrefix = "RouteViewIPv4/",
@@ -46,8 +61,9 @@ object Demo {
       dedupScopeRegex = new Regex("""(.*/).*"""), // month scope
       retryInitialMs = 1, retryMaxMs = 10)
     val report = ArchivePipeline.run(spark, manifest,
-      "http://demo.test/rv/pfx2as-creation.log", cfg, store, 0L, fetcher,
+      s"$feedBase/pfx2as-creation.log", cfg, store, 0L, fetcher,
       new Metrics(spark))
+    server.stop(0)
     println(s"[demo] ingest: kept=${report.kept.size} dups=${report.duplicates.size} " +
       s"watermark=${report.newWatermark} current=${report.currentPromoted.headOption.getOrElse("-")}")
     assert(report.kept.size == 2 && report.duplicates.size == 1,

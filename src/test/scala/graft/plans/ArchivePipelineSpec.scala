@@ -145,6 +145,24 @@ class ArchivePipelineSpec extends SparkSpec {
       "RouteViewIPv4/2017/07/b.pfx2as.gz"))
   }
 
+  test("end-to-end on a HadoopFsStore file:// root (cluster deployment path)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_hdfs_e2e").toString
+    val store = new graft.sources.HadoopFsStore("file://" + root)
+    val monthCfg = cfg.copy(dedupScopeRegex = new Regex("""(.*/).*"""))
+    val body = manifest(
+      3363 -> "2017/06/a.pfx2as.gz", 3364 -> "2017/06/b.pfx2as.gz")
+    val fetcher = new MapFetcher(Map(
+      "a.pfx2as.gz" -> "same-bytes", "b.pfx2as.gz" -> "same-bytes"))
+    val r = ArchivePipeline.run(spark, body, manifestUrl, monthCfg, store, 0L,
+      fetcher, new Metrics(spark))
+    assert(r.kept == Seq("RouteViewIPv4/2017/06/a.pfx2as.gz"))
+    assert(r.duplicates == Seq("RouteViewIPv4/2017/06/b.pfx2as.gz"))
+    assert(r.currentPromoted == Seq(monthCfg.currentName))
+    assert(new String(store.read(monthCfg.currentName), "UTF-8") == "same-bytes")
+    assert(store.list("RouteViewIPv4/2017/06/").map(_.name)
+      == Seq("RouteViewIPv4/2017/06/a.pfx2as.gz"))
+  }
+
   test("empty manifest delta is a no-op") {
     val r = ArchivePipeline.run(spark, manifest(), manifestUrl, cfg,
       new InMemoryStore, 99L, new MapFetcher(Map.empty), new Metrics(spark))

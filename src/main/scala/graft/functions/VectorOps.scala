@@ -53,33 +53,105 @@ object VectorOps {
         (x, i) => when(x > 0, pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
       lit(0L), (s, x) => s + x)
 
-  /** IVF cell assignment: nearest of `nCells` coarse centroids by squared
-    * L2, ties to the lowest centroid id. The quantizer here is
-    * deterministic "sampling training" (the first `nCells` vectors by id
-    * serve as centroids); a real k-means refinement would slot in without
-    * changing the dataflow. dist² expands to ‖v‖² − 2⟨v,c⟩ + ‖c‖² so
-    * both engines (and the oracle) evaluate identical IEEE ops.
-    *
-    * Scale path: centroids broadcast (nCells ≪ N); assignment is one
-    * scan; with the table written partitioned by `cell`, a probe reads
-    * one partition (classic IVF-Flat layout).
-    */
-  def ivfAssign(emb: DataFrame, idCol: String, vecCol: String, nCells: Int): DataFrame = {
-    val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
-    val cents = broadcast(e.filter(col(idCol) < nCells)
-      .select(col(idCol).as("__cid"), col("__v").as("__c")))
-    val d2 = dot(col("__v"), col("__v")) - lit(2.0) * dot(col("__v"), col("__c")) +
+  /** A trained IVF coarse quantizer plus the cell assignment it induces.
+    * `centroids` is a local `(cid LONG, c ARRAY<DOUBLE>)` relation —
+    * model-sized (nCells rows), so it broadcasts for free; `assigned` is
+    * `(idCol, cell, __v)` over the full input. */
+  case class IvfModel(assigned: DataFrame, centroids: DataFrame)
+
+  private def d2Expr: Column =
+    dot(col("__v"), col("__v")) - lit(2.0) * dot(col("__v"), col("__c")) +
       dot(col("__c"), col("__c"))
-    e.crossJoin(cents)
-      .groupBy(col(idCol))
-      .agg(min_by(col("__cid"), struct(d2.as("d"), col("__cid"))).as("cell"),
+
+  /** Nearest-centroid assignment (ties → lowest cid); `cents` must have
+    * columns (__cid, __c). dist² expands to ‖v‖² − 2⟨v,c⟩ + ‖c‖² so both
+    * engines (and the oracle) evaluate identical IEEE ops. */
+  private def assignCells(rel: DataFrame, keyCol: String, cents: DataFrame): DataFrame =
+    rel.crossJoin(broadcast(cents))
+      .groupBy(col(keyCol))
+      .agg(min_by(col("__cid"), struct(d2Expr.as("d"), col("__cid"))).as("cell"),
            first(col("__v")).as("__v"))
+
+  /** IVF coarse quantizer: k-means over a deterministic hash sample.
+    *
+    * Training is data-order-independent: the `sampleN` training vectors
+    * (and the initial `nCells` centroids) are the rows with the smallest
+    * `(md5(id), id)` — a reproducible uniform sample, unlike "first N
+    * ids", whose cell balance was hostage to id assignment order. `iters`
+    * Lloyd steps refine: assign the sample to its nearest centroid, move
+    * each centroid to the element-wise mean of its members (empty cells
+    * keep their previous position). Means are rounded to 6 dp so the
+    * ulp-level order-dependence of parallel double summation (Spark task
+    * merge order, DuckDB's aggregate order) cannot flip a downstream
+    * assignment — the oracle replays the identical unrolled computation.
+    *
+    * The trained centroids are collected: nCells × dim doubles is a
+    * MODEL, not a corpus (the classic offline IVF train step), and the
+    * local relation keeps every downstream use a broadcast.
+    *
+    * Scale path: training cost is bounded by `sampleN` regardless of N;
+    * the full-corpus pass is one broadcast-assign scan; with the table
+    * written partitioned by `cell`, a probe reads one partition (classic
+    * IVF-Flat layout).
+    */
+  def ivfModel(emb: DataFrame, idCol: String, vecCol: String, nCells: Int,
+               sampleN: Int = 256, iters: Int = 2): IvfModel = {
+    val spark = emb.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    val hashed = e.withColumn("__h", md5(col(idCol).cast("string")))
+    val train = hashed.orderBy(col("__h"), col(idCol)).limit(sampleN)
+      .select(col(idCol).as("__tid"), col("__v"))
+    // nCells rows: the window sort is the same (md5, id) order
+    val seeds = hashed.orderBy(col("__h"), col(idCol)).limit(nCells)
+      .withColumn("__cid",
+        (row_number().over(Window.orderBy(col("__h"), col(idCol))) - 1).cast("long"))
+      .select(col("__cid"), col("__v").as("__c"))
+    var cents = seeds
+    for (_ <- 1 to iters) {
+      val asg = assignCells(train, "__tid", cents)
+      val upd = asg.select(col("cell"), posexplode(col("__v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(round(avg(col("col")), 6).as("cx"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("px"))
+        .select(col("cell").as("__ucid"),
+          transform(col("px"), p => p.getField("cx")).as("__uc"))
+      cents = cents.join(upd, col("__cid") === col("__ucid"), "left")
+        .select(col("__cid"), coalesce(col("__uc"), col("__c")).as("__c"))
+    }
+    // materialize the model (nCells rows) so downstream plans broadcast a
+    // LocalRelation instead of replaying the training lineage per action
+    val centRows = cents.orderBy(col("__cid")).collect().map { r =>
+      (r.getLong(0), r.getSeq[Double](1))
+    }
+    import spark.implicits._
+    val centsLocal = spark.createDataset(centRows.toSeq).toDF("__cid", "__c")
+      .select(col("__cid"), col("__c").cast("array<double>").as("__c"))
+    IvfModel(assignCells(e, idCol, centsLocal), centsLocal)
+  }
+
+  /** Full-corpus cell assignment under the trained quantizer. */
+  def ivfAssign(emb: DataFrame, idCol: String, vecCol: String, nCells: Int,
+                sampleN: Int = 256, iters: Int = 2): DataFrame =
+    ivfModel(emb, idCol, vecCol, nCells, sampleN, iters).assigned
+
+  /** The round-1 naive quantizer — first `nCells` ids as centroids, no
+    * refinement. Kept as the recall baseline the spec compares against:
+    * its cell balance depends entirely on id order. */
+  def ivfAssignByFirstIds(emb: DataFrame, idCol: String, vecCol: String,
+                          nCells: Int): DataFrame = {
+    val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    val cents = e.filter(col(idCol) < nCells)
+      .select(col(idCol).as("__cid"), col("__v").as("__c"))
+    assignCells(e, idCol, cents)
   }
 
   /** IVF-Flat search: top-k cosine among the probe-cell's vectors. */
   def ivfSearch(emb: DataFrame, idCol: String, vecCol: String,
-                nCells: Int, probeId: Long, k: Int): DataFrame = {
-    val assigned = ivfAssign(emb, idCol, vecCol, nCells)
+                nCells: Int, probeId: Long, k: Int,
+                assignedOverride: Option[DataFrame] = None): DataFrame = {
+    val assigned = assignedOverride.getOrElse(ivfAssign(emb, idCol, vecCol, nCells))
     val probe = broadcast(assigned.filter(col(idCol) === probeId)
       .select(col("__v").as("__pv"), col("cell").as("__pcell")))
     assigned.join(probe, col("cell") === col("__pcell"))

@@ -351,29 +351,65 @@ object PipelineQueries {
       |ORDER BY event_type NULLS FIRST, y NULLS FIRST""".stripMargin
 
   // --------------------------------------------------------------- Q30
-  /** IVF-Flat approximate nearest neighbors: 8 sampled centroids, nearest
-    * cell assignment, probe-cell rerank, top-5 (the inverted-file
-    * counterpart of q23's hashing LSH). */
+  /** IVF-Flat approximate nearest neighbors: k-means coarse quantizer
+    * (md5-hash-sampled seeds + 2 Lloyd iterations over a hash-sampled
+    * training set — [[VectorOps.ivfModel]]), nearest-cell assignment,
+    * probe-cell rerank, top-5 (the inverted-file counterpart of q23's
+    * hashing LSH). The oracle replays the identical unrolled training
+    * computation, so the learned centroids — hence cells — match
+    * bit-for-bit. */
   val q30: Q = (s, d) =>
     VectorOps.ivfSearch(t(s, d, "embeddings"), "vec_id", "embedding",
       nCells = 8, probeId = 1L, k = 5)
 
+  /** Unrolled k-means prelude shared by the q30/q45 oracles: hash-sampled
+    * train set + seeds, `iters` × (assign → rounded element-wise mean),
+    * then the full-corpus assignment as `cells`. Mirrors
+    * [[VectorOps.ivfModel]] step for step. */
+  private def ivfSqlPrelude(nCells: Int, sampleN: Int, iters: Int): String = {
+    def d2(v: String, c: String) =
+      s"list_inner_product($v, $v) - 2 * list_inner_product($v, $c)" +
+        s" + list_inner_product($c, $c)"
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |dim AS (SELECT len(v) AS d FROM e LIMIT 1),
+              |idx AS (SELECT unnest(generate_series(1, (SELECT d FROM dim))) AS i),
+              |train AS (SELECT vec_id, v FROM e
+              |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $sampleN),
+              |cents0 AS (SELECT CAST(row_number() OVER (
+              |             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT) AS cid,
+              |             v AS c
+              |           FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nCells),
+              |""".stripMargin
+    for (k <- 1 to iters) {
+      sb ++= s"""asg$k AS (SELECT vec_id, v, cid AS cell FROM (
+                |  SELECT t.vec_id, t.v, c.cid, row_number() OVER (PARTITION BY t.vec_id
+                |    ORDER BY ${d2("t.v", "c.c")}, c.cid) AS rn
+                |  FROM train t CROSS JOIN cents${k - 1} c) WHERE rn = 1),
+                |upd$k AS (SELECT cell AS cid, i, round(avg(v[i]), 6) AS x
+                |          FROM asg$k CROSS JOIN idx GROUP BY cell, i),
+                |cents$k AS (SELECT s.cid, COALESCE(u.c, s.c) AS c FROM cents${k - 1} s
+                |            LEFT JOIN (SELECT cid, list(x ORDER BY i) AS c
+                |                       FROM upd$k GROUP BY cid) u ON s.cid = u.cid),
+                |""".stripMargin
+    }
+    sb ++= s"""cells AS (SELECT vec_id, v, cid AS cell FROM (
+              |  SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id
+              |    ORDER BY ${d2("e.v", "c.c")}, c.cid) AS rn
+              |  FROM e CROSS JOIN cents$iters c) WHERE rn = 1)""".stripMargin
+    sb.toString
+  }
+
   val q30Sql: String =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |c AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
-      |asg AS (SELECT vec_id, v, cid, row_number() OVER (
-      |          PARTITION BY vec_id
-      |          ORDER BY list_inner_product(v, v) - 2 * list_inner_product(v, c)
-      |                   + list_inner_product(c, c), cid) AS rn
-      |        FROM e CROSS JOIN c),
-      |cells AS (SELECT vec_id, v, cid AS cell FROM asg WHERE rn = 1),
-      |p AS (SELECT v AS pv, cell AS pcell FROM cells WHERE vec_id = 1)
-      |SELECT cells.vec_id,
-      |       round(list_inner_product(cells.v, p.pv)
-      |             / (sqrt(list_inner_product(cells.v, cells.v))
-      |                * sqrt(list_inner_product(p.pv, p.pv))), 4) AS sim
-      |FROM cells, p WHERE cells.cell = p.pcell AND cells.vec_id <> 1
-      |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
+    ivfSqlPrelude(nCells = 8, sampleN = 256, iters = 2) +
+      """,
+        |p AS (SELECT v AS pv, cell AS pcell FROM cells WHERE vec_id = 1)
+        |SELECT cells.vec_id,
+        |       round(list_inner_product(cells.v, p.pv)
+        |             / (sqrt(list_inner_product(cells.v, cells.v))
+        |                * sqrt(list_inner_product(p.pv, p.pv))), 4) AS sim
+        |FROM cells, p WHERE cells.cell = p.pcell AND cells.vec_id <> 1
+        |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
 
   // --------------------------------------------------------------- Q38
   /** TF-IDF: per language, top-3 terms by the maximum per-document
@@ -467,9 +503,10 @@ object PipelineQueries {
     * brute-force recall while still pruning most of the corpus). */
   val q45: Q = (s, d) => {
     val probeId = 1L
-    val assigned = VectorOps.ivfAssign(t(s, d, "embeddings"), "vec_id", "embedding", 8)
-    val cents = broadcast(assigned.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cid"), col("__v").as("c")))
+    val model = VectorOps.ivfModel(t(s, d, "embeddings"), "vec_id", "embedding", 8)
+    val assigned = model.assigned
+    val cents = broadcast(model.centroids
+      .select(col("__cid").as("cid"), col("__c").as("c")))
     val probe = assigned.filter(col("vec_id") === probeId)
       .select(col("__v").as("pv"))
     // two nearest centroids to the probe (same expanded-dist² ops as
@@ -490,25 +527,19 @@ object PipelineQueries {
   }
 
   val q45Sql: String =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |c AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
-      |asg AS (SELECT vec_id, v, cid, row_number() OVER (
-      |          PARTITION BY vec_id
-      |          ORDER BY list_inner_product(v, v) - 2 * list_inner_product(v, c)
-      |                   + list_inner_product(c, c), cid) AS rn
-      |        FROM e CROSS JOIN c),
-      |cells AS (SELECT vec_id, v, cid AS cell FROM asg WHERE rn = 1),
-      |p AS (SELECT v AS pv FROM e WHERE vec_id = 1),
-      |top2 AS (SELECT cid FROM c CROSS JOIN p
-      |         ORDER BY list_inner_product(pv, pv) - 2 * list_inner_product(pv, c)
-      |                  + list_inner_product(c, c), cid LIMIT 2)
-      |SELECT cells.vec_id,
-      |       round(list_inner_product(cells.v, p.pv)
-      |             / (sqrt(list_inner_product(cells.v, cells.v))
-      |                * sqrt(list_inner_product(p.pv, p.pv))), 4) AS sim
-      |FROM cells JOIN top2 ON cells.cell = top2.cid CROSS JOIN p
-      |WHERE cells.vec_id <> 1
-      |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
+    ivfSqlPrelude(nCells = 8, sampleN = 256, iters = 2) +
+      """,
+        |p AS (SELECT v AS pv FROM e WHERE vec_id = 1),
+        |top2 AS (SELECT cid FROM cents2 CROSS JOIN p
+        |         ORDER BY list_inner_product(pv, pv) - 2 * list_inner_product(pv, c)
+        |                  + list_inner_product(c, c), cid LIMIT 2)
+        |SELECT cells.vec_id,
+        |       round(list_inner_product(cells.v, p.pv)
+        |             / (sqrt(list_inner_product(cells.v, cells.v))
+        |                * sqrt(list_inner_product(p.pv, p.pv))), 4) AS sim
+        |FROM cells JOIN top2 ON cells.cell = top2.cid CROSS JOIN p
+        |WHERE cells.vec_id <> 1
+        |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
 
   // --------------------------------------------------------------- Q46
   /** Deterministic hash sampling: a reproducible top-10-by-md5-order

@@ -27,6 +27,7 @@ object Scheduler {
   def loop(sources: Seq[() => Boolean],
            iterations: Int,
            onAllSuccess: () => Unit = () => (),
+           onIteration: (Int, Boolean) => Unit = (_, _) => (),
            interval: FiniteDuration = 24.hours,
            deviation: FiniteDuration = 4.hours,
            sleep: FiniteDuration => Unit = d => Thread.sleep(d.toMillis),
@@ -36,6 +37,8 @@ object Scheduler {
         try s() catch { case scala.util.control.NonFatal(_) => false })
       val all = results.forall(identity)
       if (all) onAllSuccess()
+      // per-iteration flush point (metrics publication etc.) before sleep
+      onIteration(i, all)
       if (i < iterations - 1) // no pointless sleep after the last run
         sleep(uniformJitter(interval, deviation, rng))
       all

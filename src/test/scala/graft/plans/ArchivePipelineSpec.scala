@@ -89,7 +89,7 @@ class ArchivePipelineSpec extends SparkSpec {
     assert(r.newWatermark == 3363L) // gated: stops before the failure
     assert(r.kept.sorted == Seq(
       "RouteViewIPv4/2017/06/a.pfx2as.gz", "RouteViewIPv4/2017/06/c.pfx2as.gz"))
-    assert(metrics.snapshot("downloader_download_failed{RouteViewIPv4}") == 1L)
+    assert(metrics.snapshot("downloader_download_failed_total{RouteViewIPv4}") == 1L)
   }
 
   test("month-scope dedup deletes the duplicate and keeps the first") {

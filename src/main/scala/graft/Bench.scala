@@ -37,8 +37,11 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failures report -1 per query; exclude the sentinel from the total
+    // (it must not DEFLATE the headline) and surface the count instead
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val failed = results.count(_._2 < 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -45,6 +45,49 @@ object ScaleProbe {
     time("q21_ngram_jaccard sf1.0 (50k docs)")(PipelineQueries.q21(spark, out).count())
     time("q22_cosine_pairs sf0.1  (5k vecs) ")(PipelineQueries.q22(spark, src).count())
     time("q22_cosine_pairs sf1.0 (50k vecs) ")(PipelineQueries.q22(spark, out).count())
+
+    // --- skew probe: one hot key holding 90% of a 4M-row probe side,
+    // broadcast + AQE skew handling disabled so the join mechanism itself
+    // is measured: the salted join must spread the hot key's reduce work
+    // (max task time), the naive shuffle join concentrates it.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    def maxTaskSec(f: => Unit): (Double, Double) = {
+      val durations = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val l = new SparkListener {
+        override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+          if (te.taskInfo != null) durations.add(te.taskInfo.duration)
+      }
+      spark.sparkContext.addSparkListener(l)
+      val t0 = System.nanoTime()
+      try f finally {
+        Thread.sleep(500) // listener bus drains async
+        spark.sparkContext.removeSparkListener(l)
+      }
+      import scala.jdk.CollectionConverters._
+      ((System.nanoTime() - t0) / 1e9,
+        durations.asScala.maxOption.getOrElse(0L) / 1e3)
+    }
+    val skewed = spark.range(4000000).select(
+      when(col("id") % 10 < 9, lit(1L)).otherwise(col("id")).as("key"),
+      col("id").as("lv"))
+    val dim = spark.range(1000).select(col("id").as("key"), (col("id") * 2).as("rv"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    try {
+      def agg(df: org.apache.spark.sql.DataFrame): Long =
+        df.agg(count(col("rv"))).head().getLong(0)
+      var naiveRows = 0L; var saltedRows = 0L
+      val (nw, nt) = maxTaskSec { naiveRows = agg(skewed.join(dim, "key")) }
+      val (sw, st) = maxTaskSec {
+        saltedRows = agg(graft.operators.SkewedAgg.saltedJoin(skewed, dim, "key"))
+      }
+      assert(naiveRows == saltedRows, s"salted join changed the answer: $naiveRows vs $saltedRows")
+      println(f"skew_join naive : wall $nw%.2f s, max task $nt%.2f s ($naiveRows rows)")
+      println(f"skew_join salted: wall $sw%.2f s, max task $st%.2f s ($saltedRows rows)")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.skewJoin.enabled")
+    }
     spark.stop()
   }
 }

@@ -23,6 +23,11 @@ object Expectations {
   /** Audit all rules in one scan: (rule STRING, violations BIGINT,
     * total BIGINT), one row per rule. */
   def audit(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    // duplicate names would silently merge (or abort, under the default
+    // mapKeyDedupPolicy=EXCEPTION) in the map-explode below — reject them
+    // while the caller's stack still points at the rule list
+    val dups = rules.groupBy(_.name).collect { case (n, rs) if rs.size > 1 => n }
+    require(dups.isEmpty, s"duplicate rule names: ${dups.mkString(", ")}")
     // internal positional aliases: rule names are user strings and must
     // not round-trip through col() (dots/duplicates/reserved names would
     // break resolution); coalesce so an EMPTY input reports 0 violations

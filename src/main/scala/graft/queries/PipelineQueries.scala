@@ -27,51 +27,23 @@ object PipelineQueries {
 
   private val Seeds = 0 until 8 // 8-member MinHash family, 4 bands of 2
 
-  /** doc_id + the 8 minhash components + a hashed shingle-set array
-    * (`shh`, for cheap exact-Jaccard verification — long comparisons
-    * instead of string comparisons; identity preserved up to 64-bit
-    * collisions, which the oracle gate would catch). */
-  private def signatures(s: SparkSession, d: String): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
-    val sh = array_distinct(TextOps.shingles(toks, 3))
-    t(s, d, "documents")
-      .select(col("doc_id"), sh.as("sh"))
-      .select(col("doc_id") +:
-        array_sort(array_distinct(transform(col("sh"), x => xxhash64(x)))).as("shh") +:
-        Seeds.map(i => TextOps.minhash(col("sh"), i).as(s"h$i")): _*)
-  }
-
   // --------------------------------------------------------------- Q19
-  /** MinHash + LSH near-dup: banded signature equi-join generates
-    * candidates, exact Jaccard verifies (≥ 0.5).
+  /** MinHash + LSH near-dup ([[graft.operators.MinHashLsh]], here at
+    * b=4 bands × r=2 rows — S-curve threshold (1/4)^(1/2) = 0.5, matched
+    * to the 0.5 verify cutoff): banded signature equi-join generates
+    * candidates, exact Jaccard verifies.
     *
     * Scale path: the band join shuffles on the band key only — each
     * document emits 4 (band, doc) rows, near-dups collide, the quadratic
     * blowup is confined to same-band buckets. Signature computation is
-    * embarrassingly parallel; at 100 TB the signatures are computed once
+    * embarrassingly parallel and rides through the band shuffle (one
+    * scan, no cached plan); at 100 TB the signatures are computed once
     * at ingest and stored as columns.
     */
-  val q19: Q = (s, d) => {
-    val sig = signatures(s, d).cache()
-    val bands = sig.select(col("doc_id") +: (0 until 4).map(b =>
-      concat_ws("|", lit(b.toString), col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as(s"b$b")): _*)
-    val left = bands.select(col("doc_id").as("a_id"),
-      explode(array((0 until 4).map(b => col(s"b$b")): _*)).as("bk"))
-    val right = bands.select(col("doc_id").as("b_id"),
-      explode(array((0 until 4).map(b => col(s"b$b")): _*)).as("bk"))
-    val cand = left.join(right, Seq("bk"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
-    val sa = sig.select(col("doc_id").as("a_id"), col("shh").as("sha"))
-    val sb = sig.select(col("doc_id").as("b_id"), col("shh").as("shb"))
-    cand.join(sa, "a_id").join(sb, "b_id")
-      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("jac", round(col("common").cast("double") /
-        (size(col("sha")) + size(col("shb")) - col("common")), 4))
-      .filter(col("jac") >= 0.5)
-      .select(col("a_id"), col("b_id"), col("jac"))
+  val q19: Q = (s, d) =>
+    graft.operators.MinHashLsh.nearDup(t(s, d, "documents"),
+      bands = 4, rowsPerBand = 2, shingleN = 3, minJaccard = 0.5)
       .orderBy(col("a_id"), col("b_id"))
-  }
 
   val q19Sql: String = {
     val sigCols = Seeds.map(i =>
@@ -419,7 +391,9 @@ object PipelineQueries {
     */
   val q38: Q = (s, d) => {
     val docs = t(s, d, "documents")
-    val n = docs.count()
+    // corpus size N folded into the dataflow as a 1-row broadcast
+    // relation — one job, no separate driver-side count() pre-scan
+    val nRel = docs.agg(count(lit(1)).cast("double").as("__n"))
     val terms = docs.select(col("doc_id"), col("lang"),
       explode(TextOps.tokens(col("text"))).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("lang"), col("term"))
@@ -428,8 +402,8 @@ object PipelineQueries {
     // second explode over the corpus; countDistinct(doc_id) keeps the
     // oracle's exact semantics even if a doc_id ever carried two langs
     val df_ = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
-    val scored = tf.join(broadcast(df_), "term")
-      .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
+    val scored = tf.join(broadcast(df_), "term").crossJoin(broadcast(nRel))
+      .withColumn("tfidf", col("tf") * log(col("__n") / col("df")))
     val wr = Window.partitionBy(col("lang"))
       .orderBy(col("m").desc, col("term"))
     scored.groupBy(col("lang"), col("term"))
@@ -475,11 +449,15 @@ object PipelineQueries {
       .orderBy(col("user_id"))
   }
 
+  // NOTE the `>=`: Spark session_window treats a window as
+  // [start, last_ts + gap), so an event landing EXACTLY gap after its
+  // predecessor opens a new session — the gaps-and-islands oracle must
+  // break on >= gap to express the same semantics at the boundary.
   val q39Sql: String =
     """WITH marked AS (
       |  SELECT user_id, ts,
       |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-      |                   > INTERVAL 30 MINUTE OR
+      |                   >= INTERVAL 30 MINUTE OR
       |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
       |              THEN 1 ELSE 0 END AS new_session
       |  FROM events),
@@ -569,6 +547,30 @@ object PipelineQueries {
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  // --------------------------------------------------------------- Q49
+  /** Salted two-phase aggregation ([[SkewedAgg.twoPhaseAgg]]) over the
+    * deliberately hot event_type key (a handful of values fan the whole
+    * table into a handful of post-shuffle groups): partial aggregate per
+    * (key, salt-shard), then combine shards — the hot key's reduce work
+    * spreads over 16 reducers instead of one. Sums run in DECIMAL so the
+    * two-phase recombination is EXACT and order-independent: the salted
+    * plan equals the oracle's single GROUP BY bit-for-bit, proving the
+    * skew remedy changes the schedule, not the answer. */
+  val q49: Q = (s, d) =>
+    graft.operators.SkewedAgg.twoPhaseAgg(t(s, d, "events"),
+        Seq(col("event_type")), col("value").cast("decimal(15,2)"), "value",
+        shards = 16)
+      .select(col("event_type"),
+        round(col("sum_value").cast("double"), 2).as("sum_value"),
+        col("cnt_value").as("n"))
+      .orderBy(col("event_type"))
+
+  val q49Sql: String =
+    """SELECT event_type,
+      |       round(CAST(sum(CAST(value AS DECIMAL(15,2))) AS DOUBLE), 2) AS sum_value,
+      |       count(value) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
@@ -586,7 +588,8 @@ object PipelineQueries {
     ("q38_tfidf", q38, q38Sql),
     ("q39_session_windows", q39, q39Sql),
     ("q45_ann_multiprobe", q45, q45Sql),
-    ("q46_hash_sample", q46, q46Sql))
+    ("q46_hash_sample", q46, q46Sql),
+    ("q49_skew_salted_agg", q49, q49Sql))
 
   /** Queries with no SQL-expressible oracle (sketches differ across
     * engines) — the driver records the weaker rows-only check. */

@@ -44,22 +44,30 @@ object EventStream {
         col("n_events"), col("sum_value"))
 
   /** In-stream exact dedup on a key (content hash / event id): the
-    * streaming analog of the md5 anti-join — duplicates arriving within
-    * the watermark horizon are dropped, state expires with the watermark
-    * (bounded memory at any stream length).
+    * streaming analog of the md5 anti-join — a true duplicate is dropped
+    * even when it arrives with a DIFFERENT event time (the key alone
+    * decides identity, exactly like the md5 comparison), via
+    * `dropDuplicatesWithinWatermark`: state for a key expires once the
+    * watermark passes its event time, so memory stays bounded at any
+    * stream length without `ts` polluting the identity.
     */
   def dedupStream(events: DataFrame, keyCols: Seq[String],
                   watermarkDelay: String = "2 hours"): DataFrame =
-    events
-      .withWatermark("ts", watermarkDelay)
-      .dropDuplicates(keyCols :+ "ts")
+    if (events.isStreaming)
+      events.withWatermark("ts", watermarkDelay)
+        .dropDuplicatesWithinWatermark(keyCols)
+    else // batch twin: same key-only identity, no state to bound
+      events.dropDuplicates(keyCols)
 
   /** Incremental archive ingestion: a checkpointed streaming query
     * draining a file source into the UTC date-partitioned archive
     * ([[graft.core.Sinks]]). The checkpoint replaces the reference's
     * process-local watermark ints (downloader.go:61-62): already-seen
-    * files are never reprocessed across restarts — effectively-once into
-    * an append sink, the streaming twin of the md5-dedup idempotence.
+    * files are never re-READ across restarts. Delivery into the plain
+    * append parquet sink is AT-LEAST-ONCE — a batch that partially
+    * writes before a crash is retried whole, so readers needing exact
+    * semantics must dedup downstream (the md5 anti-join / [[dedupStream]])
+    * or use a transactional table format for the sink.
     */
   def archiveToParquet(events: DataFrame, outDir: String,
                        checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.propBoolean
 
 import scala.concurrent.duration._
 
@@ -57,6 +58,33 @@ object PureProps extends Properties("graft.pure") {
     Prop.forAll(Gen.alphaNumStr.suchThat(_.nonEmpty)) { f =>
       Naming.regexName("P/", "T-", """.*(\d{4}/\d{2}/)(.*)""".r,
         s"http://h/x/2020/07/$f") == Some(s"P/2020/07/T-$f")
+    }
+
+  property("LSH S-curve: collision probability is monotone in similarity") =
+    Prop.forAll(Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0),
+      Gen.choose(1, 32), Gen.choose(1, 8)) { (s1, s2, b, r) =>
+      val (lo, hi) = if (s1 <= s2) (s1, s2) else (s2, s1)
+      graft.operators.MinHashLsh.collisionProbability(lo, b, r) <=
+        graft.operators.MinHashLsh.collisionProbability(hi, b, r) + 1e-12
+    }
+
+  property("LSH S-curve: more bands never lower collision probability") =
+    Prop.forAll(Gen.choose(0.0, 1.0), Gen.choose(1, 16), Gen.choose(1, 8)) {
+      (s, b, r) =>
+        graft.operators.MinHashLsh.collisionProbability(s, b, r) <=
+          graft.operators.MinHashLsh.collisionProbability(s, b + 1, r) + 1e-12
+    }
+
+  property("LSH S-curve threshold sits at ~1/2 collision probability") =
+    Prop.forAll(Gen.choose(2, 16), Gen.choose(1, 8)) { (b, r) =>
+      // guard: ScalaCheck shrinking can step outside the generator range
+      (b >= 2 && r >= 1) ==> {
+        val t = graft.operators.MinHashLsh.sCurveThreshold(b, r)
+        val p = graft.operators.MinHashLsh.collisionProbability(t, b, r)
+        // at s = (1/b)^(1/r): p = 1 − (1 − 1/b)^b, which descends from
+        // 0.75 (b=2) toward 1 − 1/e ≈ 0.632 — the steep mid-range
+        p > 0.63 && p <= 0.75 + 1e-9
+      }
     }
 
   property("datePrefix/timestampPrefix are UTC-stable") =

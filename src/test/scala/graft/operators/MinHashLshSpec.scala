@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+class MinHashLshSpec extends SparkSpec {
+  import spark.implicits._
+
+  // docs with controlled overlap: pairs (2k, 2k+1) share most shingles
+  private def fixture = {
+    val rnd = new Random(11)
+    val base = (0 until 12).map(_ => (0 until 40).map(_ => s"w${rnd.nextInt(200)}"))
+    (0 until 12).flatMap { k =>
+      val a = base(k)
+      val b = a.take(34) ++ (0 until 6).map(_ => s"u${rnd.nextInt(200)}")
+      Seq((2L * k, a.mkString(" ")), (2L * k + 1, b.mkString(" ")))
+    }.toDF("doc_id", "text")
+  }
+
+  test("every emitted pair is exactly verified (precision 1 by construction)") {
+    val docs = fixture
+    val got = MinHashLsh.nearDup(docs, bands = 4, rowsPerBand = 2,
+      shingleN = 3, minJaccard = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val exact = SimilarityJoin.jaccardPairsText(
+        docs.as[(Long, String)], 3, 0.5)
+      .select(col("a_id"), col("b_id"), col("jac"))
+      .as[(Long, Long, Double)].collect().toSet
+    got.foreach(p => assert(exact.contains(p), s"unverified pair $p"))
+  }
+
+  test("more bands (8,2) never lose pairs found at (4,2)") {
+    val docs = fixture
+    val at42 = MinHashLsh.nearDup(docs, 4, 2, 3, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val at82 = MinHashLsh.nearDup(docs, 8, 2, 3, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    // bands 0..3 of (8,2) hash the same minhash pairs as (4,2): candidate
+    // superset, and verification is parameter-independent
+    assert(at42.subsetOf(at82))
+  }
+
+  test("(8,2) recall against exact ground truth >= (4,2) recall") {
+    val docs = fixture
+    val exact = SimilarityJoin.jaccardPairsText(docs.as[(Long, String)], 3, 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    def recall(b: Int, r: Int): Double = {
+      val got = MinHashLsh.nearDup(docs, b, r, 3, 0.5)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      if (exact.isEmpty) 1.0 else got.intersect(exact).size.toDouble / exact.size
+    }
+    assert(exact.nonEmpty)
+    assert(recall(8, 2) >= recall(4, 2))
+  }
+}

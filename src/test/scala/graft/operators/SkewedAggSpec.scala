@@ -35,6 +35,44 @@ class SkewedAggSpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("q38 construction launches no extra Spark job (corpus count is in-plan)") {
+    // spark.read.parquet itself costs a footer/listing job, for EVERY
+    // query — so the lazy-construction guard is comparative: building
+    // q38 (which used to run an eager docs.count()) must launch exactly
+    // as many jobs as building a plain single-table documents query.
+    def jobsDuring(f: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          n.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try { f; Thread.sleep(300) } // listener bus drains async
+      finally spark.sparkContext.removeSparkListener(listener)
+      n.get()
+    }
+    jobsDuring(()) // warm anything pending
+    val baseline = jobsDuring(graft.queries.PipelineQueries.q27(spark, sf0001))
+    val q38Jobs = jobsDuring {
+      val df = graft.queries.PipelineQueries.q38(spark, sf0001)
+      assert(df.columns.toSeq == Seq("lang", "r", "term", "max_tfidf"))
+    }
+    assert(q38Jobs <= baseline,
+      s"q38 construction ran $q38Jobs jobs vs $baseline for a plain query " +
+        "— an eager pre-scan is back")
+  }
+
+  test("audit rejects duplicate rule names up front") {
+    val d = Seq((1, "a")).toDF("x", "y")
+    val e = intercept[IllegalArgumentException] {
+      Expectations.audit(d, Seq(
+        Expectations.Rule("r", col("x") > 0),
+        Expectations.Rule("r", col("y").isNotNull)))
+    }
+    assert(e.getMessage.contains("duplicate rule names"))
+  }
+
   test("parseObserved reports total and dropped line counts") {
     val body = (1 to 5).map(i => s"$i\t1497717708\tx$i.gz").mkString("\n") +
       "\n# comment\nbadline\n"

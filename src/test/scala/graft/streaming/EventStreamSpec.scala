@@ -42,6 +42,23 @@ class EventStreamSpec extends SparkSpec {
     assert(got.count() == 2)
   }
 
+  test("streaming dedup is key-only: a redelivery with a different ts still drops") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, us(0, 10), 1, "view", 1.0),
+      Event(1, us(0, 25), 1, "view", 1.0), // same key, LATER event time
+      Event(2, us(0, 20), 1, "view", 1.0))
+    val q = EventStream.dedupStream(
+        in.toDF().withColumn("ts", timestamp_micros(col("tsMicros"))),
+        Seq("eventId"))
+      .writeStream.format("memory").queryName("dedup_keyonly")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("dedup_keyonly").count() == 2)
+  }
+
   test("file-source archive ingestion is effectively-once across restarts") {
     import java.nio.file.Files
     val in = Files.createTempDirectory("graft_stream_in").toString

@@ -38,14 +38,29 @@ object MinHashLsh {
   /** All (a_id < b_id) pairs among LSH candidates whose exact Jaccard
     * (over distinct word `shingleN`-grams) rounds to ≥ `minJaccard`.
     * `docs` needs columns (doc_id, text). Output: (a_id, b_id, jac).
+    *
+    * Plan shape: the band self-join carries only (doc_id, band_key) —
+    * both join inputs shuffle the SAME slim subplan on `bk`, so Catalyst
+    * plans one exchange and reuses it (the expensive md5-minhash scan
+    * runs once), and a hot band bucket amplifies 16-byte rows, not
+    * shingle arrays. The candidate pairs (post-`distinct`, so each pair
+    * verifies once no matter how many bands collide) then join the CHEAP
+    * xxhash64 shingle-set relation twice for the exact verify.
     */
   def nearDup(docs: DataFrame, bands: Int, rowsPerBand: Int, shingleN: Int,
               minJaccard: Double): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val toks = TextOps.tokens(col("text"))
-    val sh = array_distinct(TextOps.shingles(toks, shingleN))
+    // Materialize tokens BEFORE the shingle lambda: an expression
+    // captured inside a higher-order-function lambda re-evaluates per
+    // array element, so shingling over `split(text)` directly would
+    // re-tokenize each document once per shingle position (quadratic in
+    // document length). As attributes, tokens and shingles compute once
+    // per row. (CollapseProject keeps the stages separate: the refs are
+    // non-cheap and consumed multiple times.)
     val sig = docs
-      .select(col("doc_id"), sh.as("sh"))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_distinct(TextOps.shingles(col("toks"), shingleN)).as("sh"))
       .select(col("doc_id") +:
         array_sort(array_distinct(transform(col("sh"), x => xxhash64(x)))).as("shh") +:
         (0 until numHashes).map(i => TextOps.minhash(col("sh"), i).as(s"h$i")): _*)
@@ -53,17 +68,31 @@ object MinHashLsh {
       concat_ws("|", lit(b.toString) +:
         (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
     }: _*)
-    val exploded = sig.select(col("doc_id"), col("shh"), explode(bandKeys).as("bk"))
-    val cand = exploded
-      .select(col("bk"), col("doc_id").as("a_id"), col("shh").as("sha"))
-      .join(exploded.select(col("bk"), col("doc_id").as("b_id"), col("shh").as("shb")),
-        "bk")
-      .filter(col("a_id") < col("b_id"))
-      // a pair can collide in several bands: dedup by key; the carried
-      // signatures are identical per doc, so first() is deterministic
+    // Single-consumption pipeline: scan → band explode → bucket agg →
+    // pair explode → pair dedup → verify. The expensive signature scan
+    // feeds exactly one downstream tree, so it runs ONCE — no self-join
+    // whose two sides would each recompute it, no cached plan. The
+    // hashed shingle sets ride along into the buckets (at ingest scale
+    // they are precomputed columns); quadratic pair expansion stays
+    // confined to same-band buckets, as LSH intends.
+    val bucketed = sig
+      .select(explode(bandKeys).as("bk"), struct(col("doc_id"), col("shh")).as("ds"))
+      .groupBy(col("bk"))
+      .agg(collect_list(col("ds")).as("ms"))
+      .filter(size(col("ms")) > 1)
+    val pairs = bucketed.select(explode(
+      flatten(transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + 2, greatest(size(col("ms")) - i - 1, lit(0))),
+          y => when(x.getField("doc_id") < y.getField("doc_id"),
+              struct(x.as("a"), y.as("b")))
+            .otherwise(struct(y.as("a"), x.as("b"))))))).as("p"))
+    pairs
+      .select(col("p.a.doc_id").as("a_id"), col("p.b.doc_id").as("b_id"),
+        col("p.a.shh").as("sha"), col("p.b.shh").as("shb"))
+      // a pair can collide in several bands: dedup by key (signatures
+      // are identical per doc, so any representative verifies)
       .groupBy(col("a_id"), col("b_id"))
       .agg(first(col("sha")).as("sha"), first(col("shb")).as("shb"))
-    cand
       .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jac", round(col("common").cast("double") /
         (size(col("sha")) + size(col("shb")) - col("common")), 4))

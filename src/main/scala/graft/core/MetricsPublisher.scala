@@ -39,6 +39,28 @@ class TextFileMetricsSink(path: String) extends MetricsSink {
   }
 }
 
+/** Serves the current exposition over HTTP — the reference's
+  * `promhttp.Handler` on /metrics (/root/reference/downloader.go:52,
+  * port 9090 per its Dockerfile). JDK-builtin server, no extra deps;
+  * renders on demand so a scrape always sees current accumulator
+  * values. Bind port 0 for an ephemeral port (tests).
+  */
+class MetricsHttpEndpoint(metrics: Metrics, port: Int = 9090) {
+  private val server = com.sun.net.httpserver.HttpServer.create(
+    new java.net.InetSocketAddress(port), 0)
+  server.createContext("/metrics", ex => {
+    val body = metrics.render.getBytes(UTF_8)
+    ex.getResponseHeaders.add("Content-Type", "text/plain; version=0.0.4")
+    ex.sendResponseHeaders(200, body.length.toLong)
+    ex.getResponseBody.write(body)
+    ex.close()
+  })
+
+  def start(): this.type = { server.start(); this }
+  def boundPort: Int = server.getAddress.getPort
+  def stop(): Unit = server.stop(0)
+}
+
 /** Publishes the [[Metrics]] accumulator vectors to a sink so operators
   * can observe a RUNNING job, not just a finished one: registered as a
   * [[SparkListener]], it re-renders after every Spark job completes

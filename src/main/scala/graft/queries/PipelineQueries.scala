@@ -583,6 +583,82 @@ object PipelineQueries {
       |       count(value) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- Q50
+  /** Embedding near-dup, the 100 TB DEFAULT path for q22's semantics:
+    * sign-bucket LSH (16 buckets over 4 hyperplanes) confines the
+    * quadratic blow-up to same-bucket groups — one shuffle on the bucket
+    * key — and exact cosine verifies candidates at ≥ 0.35. Same-bucket
+    * recall is this query's CONTRACT (cross-bucket pairs are out of
+    * scope by definition, mirrored exactly by the oracle); q22 remains
+    * the exact all-pairs tier via the tiled kernel. */
+  val q50: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("bkt", VectorOps.signBucket(col("v"), 4))
+    val a = e.select(col("bkt"), col("vec_id").as("a_id"), col("v").as("va"))
+    val b = e.select(col("bkt"), col("vec_id").as("b_id"), col("v").as("vb"))
+    a.join(b, "bkt").filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(VectorOps.cosine(col("va"), col("vb")), 4).as("sim"))
+      .filter(col("sim") >= 0.35)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val q50Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |b AS (SELECT vec_id, v,
+      |        CAST(list_sum(list_transform(generate_series(1, 4),
+      |               i -> CASE WHEN v[i] > 0 THEN CAST(2 ** (i - 1) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bkt
+      |      FROM e)
+      |SELECT a.vec_id AS a_id, b2.vec_id AS b_id,
+      |       round(list_inner_product(a.v, b2.v)
+      |             / (sqrt(list_inner_product(a.v, a.v))
+      |                * sqrt(list_inner_product(b2.v, b2.v))), 4) AS sim
+      |FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.vec_id < b2.vec_id
+      |WHERE round(list_inner_product(a.v, b2.v)
+      |            / (sqrt(list_inner_product(a.v, a.v))
+      |               * sqrt(list_inner_product(b2.v, b2.v))), 4) >= 0.35
+      |ORDER BY a_id, b_id""".stripMargin
+
+  // --------------------------------------------------------------- Q51
+  /** End-to-end training-data prep as ONE declarative plan — the
+    * composition a curation run executes: exact content dedup (md5
+    * keep-first), language allowlist, quality floor (≥ 40 tokens), then
+    * per-language corpus stats over the survivors. Catalyst fuses the
+    * filters into the post-window scan: two shuffles total (dedup hash,
+    * final group), every stage partial-aggregable. */
+  val q51: Q = (s, d) => {
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("text"), md5(col("text")).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .filter(col("lang").isin("en", "de"))
+      .withColumn("n_tok", size(TextOps.tokens(col("text"))).cast("long"))
+      .filter(col("n_tok") >= 40)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("lang"))
+  }
+
+  val q51Sql: String =
+    """WITH dedup AS (
+      |  SELECT doc_id, lang, text,
+      |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |kept AS (
+      |  SELECT doc_id, lang,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM dedup
+      |  WHERE rn = 1 AND lang IN ('en', 'de')
+      |    AND len(string_split(text, ' ')) >= 40)
+      |SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |       min(doc_id) AS first_doc
+      |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
@@ -601,7 +677,9 @@ object PipelineQueries {
     ("q39_session_windows", q39, q39Sql),
     ("q45_ann_multiprobe", q45, q45Sql),
     ("q46_hash_sample", q46, q46Sql),
-    ("q49_skew_salted_agg", q49, q49Sql))
+    ("q49_skew_salted_agg", q49, q49Sql),
+    ("q50_cosine_lsh_neardup", q50, q50Sql),
+    ("q51_dataprep_pipeline", q51, q51Sql))
 
   /** Queries with no SQL-expressible oracle (sketches differ across
     * engines) — the driver records the weaker rows-only check. */

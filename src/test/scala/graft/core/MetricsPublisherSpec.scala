@@ -88,6 +88,25 @@ class MetricsPublisherSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(dir.resolve("sub/.graft.prom.tmp")))
   }
 
+  test("http endpoint serves current exposition at /metrics") {
+    val metrics = new Metrics(spark)
+    metrics.downloadFailed("RouteViewIPv4").add(3)
+    val ep = new MetricsHttpEndpoint(metrics, port = 0).start()
+    try {
+      def scrape(): String = new String(
+        java.net.http.HttpClient.newHttpClient().send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:${ep.boundPort}/metrics")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofByteArray()).body(), "UTF-8")
+      assert(scrape().contains(
+        "downloader_download_failed_total{download_type=\"RouteViewIPv4\"} 3"))
+      metrics.downloadFailed("RouteViewIPv4").add(1)
+      assert(scrape().contains(
+        "downloader_download_failed_total{download_type=\"RouteViewIPv4\"} 4"),
+        "scrape must render CURRENT values, not a snapshot at start()")
+    } finally ep.stop()
+  }
+
   test("scheduler sleeps between iterations but not after the last") {
     val sleeps = collection.mutable.ArrayBuffer.empty[FiniteDuration]
     Scheduler.loop(Seq(() => true), 3, sleep = sleeps.append(_),

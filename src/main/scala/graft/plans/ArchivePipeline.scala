@@ -20,6 +20,17 @@ trait Fetcher extends Serializable {
   /** Returns the payload, or throws (transient errors are retried by the
     * task; [[graft.sources.PermanentError]] aborts). */
   def fetch(url: String): Array[Byte]
+
+  /** Fetch straight into the store, returning (bytes, md5-hex). The
+    * default buffers via [[fetch]]; streaming implementations (e.g.
+    * [[graft.sources.HttpFetcher]]) override so payload bytes flow
+    * source → digest → store without full materialization in the task —
+    * the reference's `io.Copy` semantics (download/common.go:106). */
+  def fetchTo(url: String, store: Store, name: String): (Long, String) = {
+    val bytes = fetch(url)
+    store.write(name, bytes)
+    (bytes.length.toLong, Store.md5Hex(bytes))
+  }
 }
 
 /** Static per-source plan descriptor — the reference's `config` struct
@@ -82,9 +93,7 @@ object ArchivePipeline {
         return Left(new IllegalArgumentException("fixedFilename required"))))
     graft.sources.Retry.withRetry(
         cfg.retryInitialMs.millis, cfg.retryMaxMs.millis, sleep) {
-      val bytes = fetcher.fetch(url)
-      store.write(name, bytes)
-      val md5 = Store.md5Hex(bytes)
+      val (_, md5) = fetcher.fetchTo(url, store, name)
       val scope = cfg.dedupScopeRegex.findFirstMatchIn(name).map(_.group(1)).getOrElse("")
       val isDup = store.list(scope).exists(o => o.name != name && o.md5.contains(md5))
       if (isDup) {
@@ -145,9 +154,10 @@ object ArchivePipeline {
           graft.sources.Retry.withRetry(
             scala.concurrent.duration.Duration(cfg.retryInitialMs, "ms"),
             scala.concurrent.duration.Duration(cfg.retryMaxMs, "ms")) {
-            val bytes = fetcher.fetch(url)
-            store.write(name, bytes)
-            (seq, name, Store.md5Hex(bytes), false)
+            // streamed when the fetcher supports it: payload bytes flow
+            // source → digest → store inside the task, never buffered
+            val (_, md5) = fetcher.fetchTo(url, store, name)
+            (seq, name, md5, false)
           } match {
             case Right(row) => row
             case Left(e) =>

@@ -75,7 +75,7 @@ case class HttpFetcher(
     * common.go:106): bytes flow straight into [[Store.writeStream]], md5
     * computed on the fly, payload never fully buffered in this JVM.
     * Returns (bytes, md5-hex). */
-  def fetchTo(url: String, store: Store, name: String): (Long, String) =
+  override def fetchTo(url: String, store: Store, name: String): (Long, String) =
     withStream(url)(store.writeStream(name, _))
 
   /** Driver-side text fetch (the manifest GET of

@@ -72,10 +72,15 @@ class Metrics(spark: SparkSession) extends Serializable {
 
   /** Prometheus text exposition (one `name{key="value"} n` line per
     * series, gauges bare) — what a /metrics endpoint or textfile
-    * collector serves. Deterministic ordering for testability. */
+    * collector serves. Label values escape backslash, quote and newline
+    * per the text-format spec (error-message-derived labels would
+    * otherwise invalidate the whole exposition). Deterministic ordering
+    * for testability. */
   def render: String = {
+    def esc(v: String): String =
+      v.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
     val counterLines = vecs.iterator.map { case ((n, k, v), acc) =>
-      val series = if (v.isEmpty) n else s"""$n{$k="$v"}"""
+      val series = if (v.isEmpty) n else s"""$n{$k="${esc(v)}"}"""
       s"$series ${acc.value.longValue}"
     }
     val gaugeLines = gauges.iterator.map { case (n, v) => s"$n ${v.get()}" }

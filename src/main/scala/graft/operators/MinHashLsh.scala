@@ -39,13 +39,19 @@ object MinHashLsh {
     * (over distinct word `shingleN`-grams) rounds to ≥ `minJaccard`.
     * `docs` needs columns (doc_id, text). Output: (a_id, b_id, jac).
     *
-    * Plan shape: the band self-join carries only (doc_id, band_key) —
-    * both join inputs shuffle the SAME slim subplan on `bk`, so Catalyst
-    * plans one exchange and reuses it (the expensive md5-minhash scan
-    * runs once), and a hot band bucket amplifies 16-byte rows, not
-    * shingle arrays. The candidate pairs (post-`distinct`, so each pair
-    * verifies once no matter how many bands collide) then join the CHEAP
-    * xxhash64 shingle-set relation twice for the exact verify.
+    * Plan shape: one linear pipeline — signature scan → band explode →
+    * bucket collect → combination explode → pair dedup → exact verify —
+    * so the expensive shingle/minhash scan runs exactly ONCE (a band
+    * self-join would recompute it per side; a cache would leak past the
+    * query). The hashed shingle sets ride into the buckets, so a bucket
+    * of k members holds k signature arrays and emits its ~k²/2 pairs
+    * from one task: acceptable because LSH's whole premise is that
+    * buckets stay small, and documents with EMPTY shingle sets — which
+    * would otherwise all share one degenerate null-minhash band key —
+    * are filtered up front (an empty set has Jaccard 0 with everything,
+    * so they can never reach the output). At ingest scale, signatures
+    * are precomputed columns and a slim band join + candidate re-join is
+    * the right shape; here that costs 2 extra corpus scans per query.
     */
   def nearDup(docs: DataFrame, bands: Int, rowsPerBand: Int, shingleN: Int,
               minJaccard: Double): DataFrame = {
@@ -61,6 +67,7 @@ object MinHashLsh {
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         array_distinct(TextOps.shingles(col("toks"), shingleN)).as("sh"))
+      .filter(size(col("sh")) > 0)
       .select(col("doc_id") +:
         array_sort(array_distinct(transform(col("sh"), x => xxhash64(x)))).as("shh") +:
         (0 until numHashes).map(i => TextOps.minhash(col("sh"), i).as(s"h$i")): _*)

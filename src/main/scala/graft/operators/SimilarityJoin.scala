@@ -70,9 +70,13 @@ object SimilarityJoin {
         var k = 0
         val n = math.min(av.length, bv.length)
         while (k < n) { s += av(k) * bv(k); k += 1 }
-        val sim = round4(s / (ln(i) * rn(j)))
-        if (sim >= threshold)
-          out += (if (aId < bId) (aId, bId, sim) else (bId, aId, sim))
+        // duplicate ids (both land in the same block) must not emit
+        // (id, id) self-pairs — the contract is strictly a_id < b_id
+        if (aId != bId) {
+          val sim = round4(s / (ln(i) * rn(j)))
+          if (sim >= threshold)
+            out += (if (aId < bId) (aId, bId, sim) else (bId, aId, sim))
+        }
         j += 1
       }
       i += 1
@@ -175,10 +179,11 @@ object SimilarityJoin {
         // t − 5e-5 can round up into the result: derive the count bound
         // from that widened threshold. jac ≥ t' needs common ≥
         // ceil(t'(na+nb)/(1+t')); skip the merge when sizes can't reach
-        // it, abort mid-merge once the remainder can't either.
+        // it, abort mid-merge once the remainder can't either. Duplicate
+        // ids never pair with themselves: the contract is a_id < b_id.
         val tEff = math.max(threshold - 5e-5, 0.0)
         val cMin = math.ceil(tEff * (av.length + bv.length) / (1 + tEff) - 1e-9).toInt
-        if (math.min(av.length, bv.length) >= cMin) {
+        if (aId != bId && math.min(av.length, bv.length) >= cMin) {
           var x = 0; var y = 0; var common = 0
           var live = true
           while (live && x < av.length && y < bv.length) {

@@ -333,13 +333,27 @@ object PipelineQueries {
   /** The coarse quantizer is a trained ARTIFACT — production trains it
     * offline at ingest and ships centroids with the table. Memoized per
     * (session, dir, params) so repeated queries search instead of
-    * retraining; correctness is unaffected (training is deterministic in
-    * the input). */
-  private val ivfModels = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, Int), VectorOps.IvfModel]
+    * retraining. Contract: the registry assumes the data at `dir` is
+    * immutable for the session (true for the fixture dirs; rewriting a
+    * dir in-process requires [[clearIvfModels]] or a new session).
+    * Bounded at 32 entries, oldest-first eviction, so long-lived
+    * sessions don't accumulate stale sessions/plans. */
+  private val ivfModels = new java.util.LinkedHashMap[
+      (SparkSession, String, Int), VectorOps.IvfModel](16, 0.75f, false) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(SparkSession, String, Int), VectorOps.IvfModel]): Boolean =
+      size() > 32
+  }
+  def clearIvfModels(): Unit = ivfModels.synchronized(ivfModels.clear())
   private def ivfModelFor(s: SparkSession, d: String, nCells: Int): VectorOps.IvfModel =
-    ivfModels.getOrElseUpdate((s, d, nCells),
-      VectorOps.ivfModel(t(s, d, "embeddings"), "vec_id", "embedding", nCells))
+    ivfModels.synchronized {
+      val k = (s, d, nCells)
+      Option(ivfModels.get(k)).getOrElse {
+        val m = VectorOps.ivfModel(t(s, d, "embeddings"), "vec_id", "embedding", nCells)
+        ivfModels.put(k, m)
+        m
+      }
+    }
 
   val q30: Q = (s, d) =>
     VectorOps.ivfSearch(t(s, d, "embeddings"), "vec_id", "embedding",

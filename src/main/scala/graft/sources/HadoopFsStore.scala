@@ -95,9 +95,12 @@ class HadoopFsStore(rootUri: String,
     val out = fs.create(tmp, true)
     try {
       val res = try Store.drain(in, out) finally out.close()
-      fs.delete(target, false) // rename refuses existing targets on some fs
-      if (!fs.rename(tmp, target))
-        throw new IOException(s"commit rename failed: $tmp -> $target")
+      // FileContext rename with OVERWRITE is atomic where the filesystem
+      // supports it (file://, hdfs://) — no delete-then-rename window in
+      // which a crash loses the previously committed object
+      org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+        .rename(fs.makeQualified(tmp), fs.makeQualified(target),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       writeSidecar(target, res._2)
       res
     } catch {

@@ -56,16 +56,36 @@ case class HttpFetcher(
 
   /** GET `url` and hand the (deadline-wrapped) body stream to `f`.
     * Non-200 responses raise IOException with the status in the message
-    * (mirroring the reference's error string, common.go:91). */
+    * (mirroring the reference's error string, common.go:91).
+    *
+    * The deadline is enforced two ways: the wrapper checks it between
+    * reads (fast path, catches byte-tricklers), and a watchdog closes
+    * the body AT the deadline so a fully-silent server — no bytes, no
+    * FIN — unblocks the read with an IOException instead of wedging the
+    * task forever (`HttpRequest.timeout` only covers up to response
+    * headers). */
   def withStream[A](url: String)(f: InputStream => A): A = {
     val deadline = System.nanoTime() + attemptTimeout.toNanos
     val resp = client.send(request(url), HttpResponse.BodyHandlers.ofInputStream())
     val body = resp.body()
+    val watchdog = HttpFetcher.watchdogExec.schedule(new Runnable {
+      def run(): Unit = try body.close() catch { case _: IOException => () }
+    }, attemptTimeout.toNanos, java.util.concurrent.TimeUnit.NANOSECONDS)
     try {
       if (resp.statusCode() != 200)
         throw new IOException(s"URL:$url gave response code ${resp.statusCode()}")
-      f(new HttpFetcher.DeadlineInputStream(body, deadline, url))
-    } finally body.close()
+      try f(new HttpFetcher.DeadlineInputStream(body, deadline, url))
+      catch {
+        // the watchdog's close surfaces as a bare IOException mid-read:
+        // report it as the timeout it is
+        case e: IOException if System.nanoTime() > deadline =>
+          throw new HttpTimeoutException(
+            s"attempt timeout exceeded mid-body for $url (${e.getMessage})")
+      }
+    } finally {
+      watchdog.cancel(false)
+      body.close()
+    }
   }
 
   override def fetch(url: String): Array[Byte] =
@@ -86,6 +106,16 @@ case class HttpFetcher(
 
 object HttpFetcher {
   val DefaultAttemptTimeout: Duration = Duration.ofMinutes(30)
+
+  /** One daemon thread arms per-attempt watchdogs for the whole JVM —
+    * scheduled tasks are cancelled on normal completion, so the queue
+    * stays near-empty. */
+  private val watchdogExec: java.util.concurrent.ScheduledExecutorService =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "http-fetcher-watchdog")
+      t.setDaemon(true)
+      t
+    })
 
   /** Enforces the per-attempt deadline while the body drains: checked on
     * every read, so a byte-trickling server fails the attempt instead of

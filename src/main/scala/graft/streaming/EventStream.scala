@@ -56,8 +56,15 @@ object EventStream {
     if (events.isStreaming)
       events.withWatermark("ts", watermarkDelay)
         .dropDuplicatesWithinWatermark(keyCols)
-    else // batch twin: same key-only identity, no state to bound
-      events.dropDuplicates(keyCols)
+    else {
+      // batch twin: same key-only identity, DETERMINISTIC survivor —
+      // keep the earliest event time per key (plain dropDuplicates keeps
+      // whichever row partition order surfaces, varying run to run)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*).orderBy(col("ts"))
+      events.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
 
   /** Incremental archive ingestion: a checkpointed streaming query
     * draining a file source into the UTC date-partitioned archive

@@ -88,6 +88,13 @@ class MetricsPublisherSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(dir.resolve("sub/.graft.prom.tmp")))
   }
 
+  test("render escapes quotes, backslashes and newlines in label values") {
+    val metrics = new Metrics(spark)
+    metrics.errorCount("bad\"quote\\slash\nline").add(1)
+    val r = metrics.render
+    assert(r.contains("""downloader_error_total{source="bad\"quote\\slash\nline"} 1"""))
+  }
+
   test("http endpoint serves current exposition at /metrics") {
     val metrics = new Metrics(spark)
     metrics.downloadFailed("RouteViewIPv4").add(3)

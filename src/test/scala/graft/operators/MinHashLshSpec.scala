@@ -43,6 +43,21 @@ class MinHashLshSpec extends SparkSpec {
     assert(at42.subsetOf(at82))
   }
 
+  test("empty-shingle docs are excluded, never forming a degenerate bucket") {
+    // docs with < shingleN tokens have empty shingle sets: all their
+    // minhashes are null, so without the up-front filter they'd all
+    // share one null-band key and pair quadratically despite Jaccard 0
+    val shortIds = (1000L until 1050L)
+    val docs = fixture.union(
+      shortIds.map(i => (i, "only two")).toDF("doc_id", "text"))
+    val got = MinHashLsh.nearDup(docs, 4, 2, 3, 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val short = shortIds.toSet
+    assert(got.forall { case (a, b, _) => !short(a) && !short(b) },
+      "no pair may involve an empty-shingle doc")
+  }
+
   test("(8,2) recall against exact ground truth >= (4,2) recall") {
     val docs = fixture
     val exact = SimilarityJoin.jaccardPairsText(docs.as[(Long, String)], 3, 0.5)

@@ -53,6 +53,22 @@ class TiledSelfJoinSpec extends SparkSpec {
     }
   }
 
+  test("duplicate ids never emit self-pairs (a_id < b_id strictly)") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, Array(1.0, 0.0)),
+      (1L, Array(1.0, 0.0)), // duplicate id, identical vector
+      (2L, Array(2.0, 0.0))).toDS()
+    val cos = SimilarityJoin.cosinePairs(e, 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(cos.forall(p => p._1 < p._2), s"self-pair leaked: ${cos.toSeq}")
+    val j = Seq((1L, Array(10L, 20L)), (1L, Array(10L, 20L)), (2L, Array(10L, 30L)))
+      .toDS()
+    val jac = SimilarityJoin.jaccardPairsHashed(j, 0.3)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(jac.forall(p => p._1 < p._2), s"self-pair leaked: ${jac.toSeq}")
+  }
+
   test("cosine results identical across block counts (incl. conf override)") {
     import spark.implicits._
     val rnd = new Random(7)

@@ -52,6 +52,13 @@ class HttpFetcherSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
         for (_ <- 1 to 1024) { out.write('x'); out.flush(); Thread.sleep(20) }
       } catch { case _: IOException => () } finally ex.close()
     })
+    server.createContext("/stall", ex => {
+      // headers + a few bytes, then full silence: no data, no close
+      ex.sendResponseHeaders(200, 1024L)
+      val out = ex.getResponseBody
+      try { out.write("abc".getBytes(UTF_8)); out.flush(); Thread.sleep(15000) }
+      catch { case _: InterruptedException | _: IOException => () } finally ex.close()
+    })
     server.createContext("/rv/", ex => {
       val p = ex.getRequestURI.getPath
       if (p.endsWith("pfx2as-creation.log"))
@@ -100,6 +107,14 @@ class HttpFetcherSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   test("per-attempt timeout covers the body drain, not just the headers") {
     val f = HttpFetcher(attemptTimeout = Duration.ofMillis(300))
     intercept[HttpTimeoutException](f.fetch(s"$base/slow"))
+  }
+
+  test("a fully-silent server cannot wedge the task: watchdog breaks the read") {
+    val f = HttpFetcher(attemptTimeout = Duration.ofMillis(400))
+    val t0 = System.nanoTime()
+    intercept[Exception](f.fetch(s"$base/stall"))
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    assert(elapsedMs < 5000, s"stalled read held the thread ${elapsedMs}ms")
   }
 
   test("fetchTo streams into the store with on-the-fly md5") {

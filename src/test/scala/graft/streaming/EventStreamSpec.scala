@@ -42,6 +42,16 @@ class EventStreamSpec extends SparkSpec {
     assert(got.count() == 2)
   }
 
+  test("batch dedup twin deterministically keeps the earliest event time") {
+    val events = Seq(
+      Event(1, us(0, 30), 1, "view", 3.0),
+      Event(1, us(0, 10), 1, "view", 1.0), // earliest → survivor
+      Event(1, us(0, 20), 1, "view", 2.0))
+    val got = EventStream.dedupStream(toDf(events).repartition(4), Seq("eventId"))
+      .select(col("value")).as[Double].collect()
+    assert(got.toSeq == Seq(1.0))
+  }
+
   test("streaming dedup is key-only: a redelivery with a different ts still drops") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

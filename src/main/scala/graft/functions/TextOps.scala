@@ -31,6 +31,20 @@ object TextOps {
   def minhash(shingleArr: Column, seed: Int): Column =
     array_min(transform(shingleArr, sh => md5(concat_ws("|", lit(seed.toString), sh))))
 
+  /** Fused native form of `array_distinct(shingles(tokens(text), n))` —
+    * one pass over the string per row ([[expressions.WordShingles]]),
+    * property-tested bit-equal to the HOF composition. */
+  def shinglesNative(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftShim.column(expressions.WordShingles(
+      org.apache.spark.sql.GraftShim.expression(text), n))
+
+  /** Fused native form of the full [[minhash]] family: element i equals
+    * `minhash(sh, i)` ([[expressions.MinHashes]]; one reused digest per
+    * row instead of a fresh one per (shingle, seed)). */
+  def minhashesNative(sh: Column, numHashes: Int): Column =
+    org.apache.spark.sql.GraftShim.column(expressions.MinHashes(
+      org.apache.spark.sql.GraftShim.expression(sh), numHashes))
+
   /** 16-bit SimHash over a token array. Bit j of each token's hash is the
     * parity of hex digit j of its md5; the SimHash bit is the majority
     * vote weighted by token frequency (> 0 after ±1 accumulation). */

@@ -1,0 +1,139 @@
+package graft.functions.expressions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct word n-gram shingles of a text column as ONE native
+  * expression — the fused, codegen-callable form of
+  * `array_distinct(transform(sequence(...), i -> concat_ws(" ",
+  * slice(split(text, " "), i, n))))`. The HOF stack evaluates three
+  * interpreted lambdas and allocates a sliced token array per shingle
+  * position; this kernel makes one pass over the string. Bit-identical
+  * by construction (property-tested against the HOF formulation): split
+  * on single spaces keeping empties, windows joined by a single space,
+  * first-occurrence dedup order.
+  */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordShingles.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.WordShingles.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  /** Static entry for generated code (one invoke per row). */
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    val toks = new java.util.ArrayList[String]
+    var start = 0
+    var i = 0
+    // split(" ", -1) semantics: single-space delimiter, empties kept
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == ' ') {
+        toks.add(s.substring(start, i))
+        start = i + 1
+      }
+      i += 1
+    }
+    val m = toks.size - (n - 1)
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]
+    var j = 0
+    while (j < m) {
+      val sb = new java.lang.StringBuilder
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks.get(j + k))
+        k += 1
+      }
+      seen.add(sb.toString)
+      j += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var x = 0
+    while (it.hasNext) { out(x) = UTF8String.fromString(it.next()); x += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** All `numHashes` MinHash family members over a shingle array in ONE
+  * pass — the fused form of `numHashes` separate
+  * `array_min(transform(sh, x -> md5(concat_ws("|", seed, x))))`
+  * columns. One reused MessageDigest per row instead of a fresh digest
+  * (plus concat/hex/UTF8String churn) per (shingle, seed) pair.
+  * Element i equals the HOF `TextOps.minhash(sh, i)` exactly: md5 hex
+  * (lowercase) of `"<seed>|<shingle>"`, minimum by string order; null
+  * when the shingle set is empty (array_min of empty), hence
+  * `containsNull = true`.
+  */
+case class MinHashes(child: Expression, numHashes: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "graft_minhashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashes.compute(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.MinHashes.compute($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashes =
+    copy(child = newChild)
+}
+
+object MinHashes {
+  private val Hex = "0123456789abcdef".toCharArray
+
+  /** Static entry for generated code (one invoke per row). */
+  def compute(sh: ArrayData, numHashes: Int): ArrayData = {
+    val n = sh.numElements()
+    val mins = new Array[String](numHashes)
+    val md = MessageDigest.getInstance("MD5")
+    val seedBytes = Array.tabulate(numHashes)(s => String.valueOf(s).getBytes)
+    var i = 0
+    while (i < n) {
+      val bytes = sh.getUTF8String(i).getBytes
+      var seed = 0
+      while (seed < numHashes) {
+        md.reset()
+        md.update(seedBytes(seed))
+        md.update('|'.toByte)
+        md.update(bytes)
+        val d = md.digest()
+        val hex = new Array[Char](32)
+        var b = 0
+        while (b < 16) {
+          hex(2 * b) = Hex((d(b) >> 4) & 0xf)
+          hex(2 * b + 1) = Hex(d(b) & 0xf)
+          b += 1
+        }
+        val h = new String(hex)
+        if (mins(seed) == null || h.compareTo(mins(seed)) < 0) mins(seed) = h
+        seed += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](numHashes)
+    var s = 0
+    while (s < numHashes) {
+      out(s) = if (mins(s) == null) null else UTF8String.fromString(mins(s))
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+}

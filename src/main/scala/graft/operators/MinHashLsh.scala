@@ -56,24 +56,21 @@ object MinHashLsh {
   def nearDup(docs: DataFrame, bands: Int, rowsPerBand: Int, shingleN: Int,
               minJaccard: Double): DataFrame = {
     val numHashes = bands * rowsPerBand
-    // Materialize tokens BEFORE the shingle lambda: an expression
-    // captured inside a higher-order-function lambda re-evaluates per
-    // array element, so shingling over `split(text)` directly would
-    // re-tokenize each document once per shingle position (quadratic in
-    // document length). As attributes, tokens and shingles compute once
-    // per row. (CollapseProject keeps the stages separate: the refs are
-    // non-cheap and consumed multiple times.)
+    // Native fused kernels for the hot scan: WordShingles makes one pass
+    // over the string (the HOF stack re-evaluated its captured split()
+    // once per shingle position — quadratic in document length) and
+    // MinHashes computes the whole family with one reused digest per
+    // row. Both are property-tested bit-equal to the HOF formulations,
+    // so the DuckDB oracle is untouched.
     val sig = docs
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        array_distinct(TextOps.shingles(col("toks"), shingleN)).as("sh"))
+      .select(col("doc_id"), TextOps.shinglesNative(col("text"), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col("doc_id") +:
-        array_sort(array_distinct(transform(col("sh"), x => xxhash64(x)))).as("shh") +:
-        (0 until numHashes).map(i => TextOps.minhash(col("sh"), i).as(s"h$i")): _*)
+      .select(col("doc_id"),
+        array_sort(array_distinct(transform(col("sh"), x => xxhash64(x)))).as("shh"),
+        TextOps.minhashesNative(col("sh"), numHashes).as("mh"))
     val bandKeys = array((0 until bands).map { b =>
       concat_ws("|", lit(b.toString) +:
-        (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
+        (0 until rowsPerBand).map(r => col("mh").getItem(b * rowsPerBand + r)): _*)
     }: _*)
     // Single-consumption pipeline: scan → band explode → bucket agg →
     // pair explode → pair dedup → verify. The expensive signature scan

@@ -4,6 +4,40 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 class TextOpsSpec extends SparkSpec {
+
+  test("native WordShingles is bit-equal to the HOF shingle composition") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val texts = Seq("", " ", "  ", "one", "one two", "a  b c d", " lead", "trail ",
+      "ü ñ é x y") ++
+      (0 until 200).map { _ =>
+        (0 until rnd.nextInt(30)).map(_ =>
+          if (rnd.nextInt(10) == 0) "" else vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")
+      }
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (n <- Seq(2, 3, 5)) {
+      val rows = d.select(
+          TextOps.shinglesNative(col("text"), n).as("native"),
+          array_distinct(TextOps.shingles(TextOps.tokens(col("text")), n)).as("hof"))
+        .as[(Seq[String], Seq[String])].collect()
+      rows.foreach { case (nat, hof) => assert(nat == hof, s"n=$n") }
+    }
+  }
+
+  test("native MinHashes matches the per-seed HOF minhash family") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val d = (0 until 80).map { i =>
+      (i.toLong, (0 until rnd.nextInt(25)).map(_ => s"sh${rnd.nextInt(50)} tok").distinct)
+    }.toDF("id", "sh")
+    val rows = d.select(
+        TextOps.minhashesNative(col("sh"), 8).as("native"),
+        array((0 until 8).map(i => TextOps.minhash(col("sh"), i)): _*).as("hof"))
+      .as[(Seq[String], Seq[String])].collect()
+    rows.foreach { case (nat, hof) => assert(nat == hof) }
+  }
   import spark.implicits._
 
   private def one[T](c: org.apache.spark.sql.Column): T =

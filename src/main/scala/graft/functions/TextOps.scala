@@ -59,6 +59,13 @@ object TextOps {
           pow(lit(2.0), j).cast("long")
         ).otherwise(lit(0L)))
 
+  /** Fused native form of [[simhash16]] — one md5 per token instead of
+    * one per (token, bit); property-tested bit-equal. Elements must be
+    * non-null (token arrays from `split` always are). */
+  def simhash16Native(toks: Column): Column =
+    org.apache.spark.sql.GraftShim.column(expressions.SimHash16(
+      org.apache.spark.sql.GraftShim.expression(toks)))
+
   /** Character n-grams of a text column (positions 1..len-n+1). */
   def charNgrams(text: Column, n: Int): Column =
     transform(sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),

@@ -96,6 +96,60 @@ case class MinHashes(child: Expression, numHashes: Int) extends UnaryExpression 
     copy(child = newChild)
 }
 
+/** 16-bit SimHash over a token array in ONE pass with ONE md5 per token
+  * — the fused form of [[graft.functions.TextOps.simhash16]], whose
+  * nested-aggregate formulation recomputes `md5(t)` for every one of the
+  * 16 bit positions. Bit j's vote is the parity of hex digit j of the
+  * token's md5, majority-weighted by token frequency (> 0 after ±1
+  * accumulation) — identical votes, identical result, 16× fewer
+  * digests.
+  */
+case class SimHash16(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_simhash16"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash16.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.SimHash16.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash16 =
+    copy(child = newChild)
+}
+
+object SimHash16 {
+  /** Static entry for generated code (one invoke per row). */
+  def compute(toks: ArrayData): Long = {
+    val votes = new Array[Int](16)
+    val md = MessageDigest.getInstance("MD5")
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      md.reset()
+      md.update(toks.getUTF8String(i).getBytes)
+      val d = md.digest()
+      // hex digit j = high nibble of byte j/2 when j even, low when odd;
+      // parity of the digit = its lowest bit
+      var j = 0
+      while (j < 16) {
+        val nib = if ((j & 1) == 0) (d(j >> 1) >> 4) & 0xf else d(j >> 1) & 0xf
+        votes(j) += (if ((nib & 1) == 1) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    var acc = 0L
+    var j = 0
+    while (j < 16) {
+      if (votes(j) > 0) acc += (1L << j)
+      j += 1
+    }
+    acc
+  }
+}
+
 object MinHashes {
   private val Hex = "0123456789abcdef".toCharArray
 

@@ -68,10 +68,13 @@ object PipelineQueries {
 
   // --------------------------------------------------------------- Q20
   /** 16-bit SimHash per document (near-dup signature; hamming-close
-    * signatures ⇒ similar token distributions). One scan, no shuffle. */
+    * signatures ⇒ similar token distributions). One scan, no shuffle;
+    * the fused native kernel digests each token once (the HOF form — and
+    * the oracle — recompute md5(t) per bit). */
   val q20: Q = (s, d) =>
     t(s, d, "documents")
-      .select(col("doc_id"), TextOps.simhash16(TextOps.tokens(col("text"))).as("simhash"))
+      .select(col("doc_id"),
+        TextOps.simhash16Native(TextOps.tokens(col("text"))).as("simhash"))
       .orderBy(col("doc_id"))
 
   val q20Sql: String =

@@ -26,6 +26,20 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("native SimHash16 is bit-equal to the nested-aggregate HOF form") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val texts = Seq("", "one", "a a a b") ++ (0 until 120).map { _ =>
+      (0 until rnd.nextInt(40) + 1).map(_ => s"t${rnd.nextInt(60)}").mkString(" ")
+    }
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val rows = d.select(
+        TextOps.simhash16Native(TextOps.tokens(col("text"))).as("native"),
+        TextOps.simhash16(TextOps.tokens(col("text"))).as("hof"))
+      .as[(Long, Long)].collect()
+    rows.foreach { case (nat, hof) => assert(nat == hof) }
+  }
+
   test("native MinHashes matches the per-seed HOF minhash family") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)

@@ -27,15 +27,47 @@ case class MediaFeature(mediaId: Long, kind: String, feature: Array[Float])
   * Pandas-UDF batching: one iterator per partition, no per-row UDF
   * dispatch, payload bytes stay inside the task).
   *
-  * === STUB NOTICE ===
-  * Real image/audio codecs are not available in this environment, so the
-  * *codec kernels* ([[StubCodec]]) are deterministic fakes — each is a
-  * pure function of the payload bytes. The Spark-side plumbing — schemas,
-  * typed Datasets, partition-batched execution, shuffle-free layout — is
-  * real and is what these operators test. Swapping in a real codec means
-  * replacing [[StubCodec]] only.
+  * === CODEC NOTICE ===
+  * Uncompressed container formats parse with NO external library, so
+  * BMP (24-bpp) and WAV (PCM16) payloads run through REAL kernels
+  * ([[RawCodec]]: header probe, pixel/sample extraction,
+  * nearest-neighbor resize, pooled features, sample-aligned frames).
+  * Compressed formats (png/jpeg/mp3/…) need codec libraries that are
+  * absent from this environment, so they fall back to the clearly-
+  * isolated deterministic fakes in [[StubCodec]]. [[Codec]] dispatches
+  * by sniffing payload bytes; swapping in real compressed-format codecs
+  * means extending that dispatch only.
   */
 object MediaOps {
+
+  /** Sniff-and-dispatch: real kernels where the format permits,
+    * deterministic stubs otherwise. */
+  object Codec {
+    def probe(content: Array[Byte]): MediaMeta = RawCodec.sniff(content) match {
+      case Some("bmp") => RawCodec.probeBmp(content)
+      case Some("wav") => RawCodec.probeWav(content)
+      case _ => StubCodec.probe(content)
+    }
+
+    def resize(content: Array[Byte], w: Int, h: Int): Array[Byte] =
+      RawCodec.sniff(content) match {
+        case Some("bmp") => RawCodec.resizeBmp(content, w, h)
+        case _ => StubCodec.resize(content, w, h) // resize of audio = stub too
+      }
+
+    def feature(content: Array[Byte], dim: Int): Array[Float] =
+      RawCodec.sniff(content) match {
+        case Some("bmp") => RawCodec.bmpFeature(content, dim)
+        case Some("wav") => RawCodec.wavFeature(content, dim)
+        case _ => StubCodec.feature(content, dim)
+      }
+
+    def frames(content: Array[Byte], n: Int): Seq[Array[Byte]] =
+      RawCodec.sniff(content) match {
+        case Some("wav") => RawCodec.wavFrames(content, n)
+        case _ => StubCodec.frames(content, n)
+      }
+  }
 
   /** Deterministic fake codec kernels, clearly isolated. */
   object StubCodec {
@@ -81,7 +113,7 @@ object MediaOps {
   def decode(raw: Dataset[(Long, String, Array[Byte])]): Dataset[MediaRow] = {
     import raw.sparkSession.implicits._
     raw.mapPartitions(_.map { case (id, kind, content) =>
-      MediaRow(id, kind, content, StubCodec.probe(content))
+      MediaRow(id, kind, content, Codec.probe(content))
     })
   }
 
@@ -89,7 +121,7 @@ object MediaOps {
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { m =>
-      m.copy(content = StubCodec.resize(m.content, w, h),
+      m.copy(content = Codec.resize(m.content, w, h),
         meta = m.meta.copy(width = w, height = h))
     })
   }
@@ -99,7 +131,7 @@ object MediaOps {
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 64): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(m =>
-      MediaFeature(m.mediaId, m.kind, StubCodec.feature(m.content, dim))))
+      MediaFeature(m.mediaId, m.kind, Codec.feature(m.content, dim))))
   }
 
   /** Sample n frames per video payload — a one-to-many flatMap; output
@@ -107,7 +139,7 @@ object MediaOps {
   def sampleFrames(media: Dataset[MediaRow], n: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap(m =>
-      StubCodec.frames(m.content, n).zipWithIndex.map {
+      Codec.frames(m.content, n).zipWithIndex.map {
         case (bytes, i) => Frame(m.mediaId, i, bytes)
       }))
   }

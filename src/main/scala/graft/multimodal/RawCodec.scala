@@ -1,0 +1,201 @@
+package graft.multimodal
+
+/** REAL codec kernels for the container formats that need no external
+  * library — plain byte-layout parsing of BMP (uncompressed 24-bpp) and
+  * WAV (PCM16). These replace the deterministic stubs wherever the
+  * payload actually is one of these formats; compressed formats (png,
+  * jpeg, mp3, …) still fall back to [[MediaOps.StubCodec]] because no
+  * codec libraries exist in this environment.
+  *
+  * Format references are the public file-format layouts: BMP =
+  * BITMAPFILEHEADER (14 B: 'BM', size, pixel-array offset at 10) +
+  * BITMAPINFOHEADER (width @18, height @22 — positive ⇒ bottom-up rows,
+  * bpp @28), rows padded to 4-byte boundaries; WAV = RIFF/WAVE chunk
+  * stream with an `fmt ` chunk (channels/rate/bits) and a `data` chunk
+  * of PCM samples.
+  */
+object RawCodec {
+
+  /** Which real codec, if any, can handle this payload. */
+  def sniff(content: Array[Byte]): Option[String] =
+    if (content.length >= 54 && content(0) == 'B' && content(1) == 'M') Some("bmp")
+    else if (content.length >= 44 && ascii(content, 0, 4) == "RIFF" &&
+      ascii(content, 8, 4) == "WAVE") Some("wav")
+    else None
+
+  private def ascii(b: Array[Byte], off: Int, len: Int): String =
+    new String(b, off, len, "US-ASCII")
+  private def u16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def i32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+  // ------------------------------------------------------------- BMP
+
+  def probeBmp(c: Array[Byte]): MediaMeta =
+    MediaMeta("bmp", i32(c, 18), math.abs(i32(c, 22)), 0L)
+
+  /** 24-bpp pixel grid as 0xRRGGBB ints, row-major top-down. */
+  def bmpPixels(c: Array[Byte]): (Int, Int, Array[Int]) = {
+    val off = i32(c, 10)
+    val w = i32(c, 18)
+    val hRaw = i32(c, 22)
+    val h = math.abs(hRaw)
+    require(u16(c, 28) == 24, s"only 24-bpp BMP supported, got ${u16(c, 28)}")
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      // positive height ⇒ rows stored bottom-up
+      val srcRow = if (hRaw > 0) h - 1 - y else y
+      val base = off + srcRow * rowSize
+      var x = 0
+      while (x < w) {
+        val o = base + x * 3
+        px(y * w + x) = ((c(o + 2) & 0xff) << 16) | ((c(o + 1) & 0xff) << 8) | (c(o) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, px)
+  }
+
+  /** Standard 54-byte-header 24-bpp BMP from a top-down pixel grid. */
+  def writeBmp(w: Int, h: Int, px: Array[Int]): Array[Byte] = {
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val size = 54 + rowSize * h
+    val out = new Array[Byte](size)
+    def put16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
+    def put32(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    put32(2, size); put32(10, 54)
+    put32(14, 40); put32(18, w); put32(22, h) // positive ⇒ bottom-up
+    put16(26, 1); put16(28, 24)
+    var y = 0
+    while (y < h) {
+      val base = 54 + (h - 1 - y) * rowSize
+      var x = 0
+      while (x < w) {
+        val p = px(y * w + x)
+        val o = base + x * 3
+        out(o) = p.toByte; out(o + 1) = (p >> 8).toByte; out(o + 2) = (p >> 16).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Nearest-neighbor resize, returning a real BMP. */
+  def resizeBmp(c: Array[Byte], w2: Int, h2: Int): Array[Byte] = {
+    val (w, h, px) = bmpPixels(c)
+    val out = new Array[Int](w2 * h2)
+    var y = 0
+    while (y < h2) {
+      val sy = math.min(h - 1, y * h / h2)
+      var x = 0
+      while (x < w2) {
+        out(y * w2 + x) = px(sy * w + math.min(w - 1, x * w / w2))
+        x += 1
+      }
+      y += 1
+    }
+    writeBmp(w2, h2, out)
+  }
+
+  /** Mean-gray feature: pixels in reading order split into `dim`
+    * buckets, bucket mean gray mapped to [-1, 1]. */
+  def bmpFeature(c: Array[Byte], dim: Int): Array[Float] = {
+    val (_, _, px) = bmpPixels(c)
+    bucketMeans(px.length, dim) { i =>
+      val p = px(i)
+      ((((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3.0) / 255.0
+    }
+  }
+
+  // ------------------------------------------------------------- WAV
+
+  private case class WavInfo(channels: Int, rate: Int, bits: Int,
+                             dataOff: Int, dataLen: Int)
+
+  private def wavInfo(c: Array[Byte]): WavInfo = {
+    var channels = 1; var rate = 1; var bits = 16
+    var dataOff = -1; var dataLen = 0
+    var o = 12
+    while (o + 8 <= c.length) {
+      val id = ascii(c, o, 4)
+      val sz = i32(c, o + 4)
+      if (id == "fmt ") {
+        channels = u16(c, o + 10); rate = i32(c, o + 12); bits = u16(c, o + 22)
+      } else if (id == "data") {
+        dataOff = o + 8; dataLen = math.min(sz, c.length - dataOff)
+      }
+      o += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    require(dataOff >= 0, "WAV without data chunk")
+    WavInfo(channels, rate, bits, dataOff, dataLen)
+  }
+
+  def probeWav(c: Array[Byte]): MediaMeta = {
+    val w = wavInfo(c)
+    val bytesPerSec = w.rate.toLong * w.channels * (w.bits / 8)
+    MediaMeta("wav", 0, 0,
+      if (bytesPerSec == 0) 0L else w.dataLen * 1000L / bytesPerSec)
+  }
+
+  /** Interleaved PCM16 samples from the data chunk. */
+  def wavSamples(c: Array[Byte]): Array[Short] = {
+    val w = wavInfo(c)
+    require(w.bits == 16, s"only PCM16 supported, got ${w.bits}")
+    val n = w.dataLen / 2
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) { out(i) = u16(c, w.dataOff + 2 * i).toShort; i += 1 }
+    out
+  }
+
+  /** Mean-|amplitude| feature over `dim` time buckets, in [0, 1]-ish
+    * scale mapped to [-1, 1] like the image feature. */
+  def wavFeature(c: Array[Byte], dim: Int): Array[Float] = {
+    val s = wavSamples(c)
+    bucketMeans(s.length, dim)(i => math.abs(s(i).toDouble) / 32768.0)
+  }
+
+  /** n equal sample-aligned PCM16 chunks (raw sample bytes). */
+  def wavFrames(c: Array[Byte], n: Int): Seq[Array[Byte]] = {
+    val s = wavSamples(c)
+    val per = math.max(1, s.length / math.max(n, 1))
+    (0 until n).map { i =>
+      val chunk = s.slice(i * per, math.min(s.length, (i + 1) * per))
+      val bytes = new Array[Byte](chunk.length * 2)
+      var j = 0
+      while (j < chunk.length) {
+        bytes(2 * j) = chunk(j).toByte
+        bytes(2 * j + 1) = (chunk(j) >> 8).toByte
+        j += 1
+      }
+      bytes
+    }
+  }
+
+  private def bucketMeans(n: Int, dim: Int)(value: Int => Double): Array[Float] = {
+    val out = new Array[Float](dim)
+    if (n == 0) return out
+    var b = 0
+    while (b < dim) {
+      val from = b * n / dim
+      val until = math.max(from + 1, (b + 1) * n / dim)
+      var s = 0.0
+      var i = from
+      while (i < math.min(until, n)) { s += value(i); i += 1 }
+      val cnt = math.max(1, math.min(until, n) - from)
+      out(b) = (s / cnt * 2.0 - 1.0).toFloat
+      b += 1
+    }
+    out
+  }
+}

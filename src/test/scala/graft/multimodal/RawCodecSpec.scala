@@ -1,0 +1,112 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+/** Real-codec kernels over synthesized genuine BMP/WAV payloads: probe,
+  * pixel/sample extraction, resize, features, frames, and the Codec
+  * dispatch (real formats → RawCodec, anything else → StubCodec),
+  * end-to-end through the Spark operators.
+  */
+class RawCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4x3 top-down gradient: pixel (x,y) = RGB(x*40, y*40, 10)
+  private def bmp4x3: Array[Byte] = {
+    val px = Array.tabulate(3 * 4) { i =>
+      val (x, y) = (i % 4, i / 4)
+      ((x * 40) << 16) | ((y * 40) << 8) | 10
+    }
+    RawCodec.writeBmp(4, 3, px)
+  }
+
+  // 8 kHz mono PCM16 WAV, 16 samples: ramp 0, 1000, 2000, ...
+  private def wav16: Array[Byte] = {
+    val samples = Array.tabulate[Short](16)(i => (i * 1000).toShort)
+    val dataLen = samples.length * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(out.putShort)
+    out.array()
+  }
+
+  test("BMP round-trip: write, sniff, probe, pixels") {
+    val b = bmp4x3
+    assert(RawCodec.sniff(b).contains("bmp"))
+    assert(RawCodec.probeBmp(b) == MediaMeta("bmp", 4, 3, 0L))
+    val (w, h, px) = RawCodec.bmpPixels(b)
+    assert((w, h) == (4, 3))
+    assert(px(0) == 0x00000a)           // (0,0): r=0 g=0 b=10
+    assert(px(1 * 4 + 2) == 0x50280a)   // (2,1): r=80 g=40 b=10
+  }
+
+  test("BMP nearest-neighbor resize picks the expected source pixels") {
+    val small = RawCodec.resizeBmp(bmp4x3, 2, 2)
+    val (w, h, px) = RawCodec.bmpPixels(small)
+    assert((w, h) == (2, 2))
+    // x: 0->0, 1->2 ; y: 0->0, 1->1 (floor scaling)
+    assert(px(0) == 0x00000a)       // src (0,0)
+    assert(px(1) == 0x50000a)       // src (2,0)
+    assert(px(2) == 0x00280a)       // src (0,1)
+    assert(px(3) == 0x50280a)       // src (2,1)
+  }
+
+  test("BMP feature pools mean gray per bucket") {
+    val f = RawCodec.bmpFeature(bmp4x3, 3)
+    assert(f.length == 3)
+    // gray of row y, col x = (40x + 40y + 10)/3; bucket 0 = row 0
+    val row0 = (0 until 4).map(x => (40 * x + 0 + 10) / 3.0 / 255.0).sum / 4
+    assert(math.abs(f(0) - (row0 * 2 - 1)) < 1e-6)
+  }
+
+  test("WAV probe computes duration from fmt+data chunks") {
+    val m = RawCodec.probeWav(wav16)
+    assert(m.format == "wav")
+    assert(m.durationMs == 16 * 1000L / 8000) // 16 samples at 8kHz = 2ms
+    assert(RawCodec.wavSamples(wav16).toSeq == (0 until 16).map(i => (i * 1000).toShort))
+  }
+
+  test("WAV frames are sample-aligned PCM chunks; feature pools |amplitude|") {
+    val fr = RawCodec.wavFrames(wav16, 4)
+    assert(fr.length == 4 && fr.forall(_.length == 8)) // 4 samples * 2 bytes
+    // frame 1 holds samples 4..7
+    val b = java.nio.ByteBuffer.wrap(fr(1)).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert((0 until 4).map(_ => b.getShort()) == Seq(4000, 5000, 6000, 7000))
+    val f = RawCodec.wavFeature(wav16, 2)
+    val expect0 = (0 until 8).map(i => i * 1000.0 / 32768.0).sum / 8 * 2 - 1
+    assert(math.abs(f(0) - expect0) < 1e-6)
+  }
+
+  test("Codec dispatch: real formats use RawCodec, others fall back to stub") {
+    assert(MediaOps.Codec.probe(bmp4x3).format == "bmp")
+    assert(MediaOps.Codec.probe(wav16).format == "wav")
+    val fake = "not-a-container".getBytes
+    assert(Seq("png", "jpeg").contains(MediaOps.Codec.probe(fake).format))
+  }
+
+  test("end-to-end through the Spark operators with mixed real/stub payloads") {
+    val raw = Seq(
+      (1L, "image", bmp4x3),
+      (2L, "audio", wav16),
+      (3L, "blob", "opaque-payload".getBytes)).toDS()
+    val decoded = MediaOps.decode(raw)
+    val metas = decoded.collect().map(m => m.mediaId -> m.meta).toMap
+    assert(metas(1L) == MediaMeta("bmp", 4, 3, 0L))
+    assert(metas(2L).format == "wav" && metas(2L).durationMs == 2L)
+
+    val resized = MediaOps.resize(decoded, 2, 2).collect()
+      .map(m => m.mediaId -> m).toMap
+    val (w, h, _) = RawCodec.bmpPixels(resized(1L).content)
+    assert((w, h) == (2, 2)) // the resized image IS a decodable BMP
+
+    val feats = MediaOps.extractFeatures(decoded, dim = 4).collect()
+    assert(feats.forall(_.feature.length == 4))
+
+    val frames = MediaOps.sampleFrames(decoded, 4).collect()
+    assert(frames.count(_.mediaId == 2L) == 4)
+  }
+}

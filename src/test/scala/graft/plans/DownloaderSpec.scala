@@ -1,0 +1,107 @@
+package graft.plans
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.SparkSpec
+import graft.core.{InMemoryMetricsSink, Metrics}
+import graft.sources.{HttpFetcher, InMemoryStore}
+
+import scala.util.matching.Regex
+
+/** The composed daemon over live HTTP: watermark persistence across
+  * restarts (the deliberate fix of the reference's process-local
+  * watermark amnesia, downloader.go:61-62), manifest-error metrics,
+  * all-success gauge gating, per-iteration publication.
+  */
+class DownloaderSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
+
+  private var server: HttpServer = _
+  private def base: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+  // mutable feed state the handlers serve
+  @volatile private var manifestRows: Seq[(Int, String)] = Nil
+  @volatile private var manifestFails = false
+
+  override protected def beforeAll(): Unit = {
+    super.beforeAll()
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    def reply(ex: HttpExchange, code: Int, body: Array[Byte]): Unit = {
+      ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length.toLong)
+      if (body.nonEmpty) ex.getResponseBody.write(body)
+      ex.close()
+    }
+    server.createContext("/rv/", ex => {
+      val p = ex.getRequestURI.getPath
+      if (p.endsWith("pfx2as-creation.log")) {
+        if (manifestFails) reply(ex, 500, Array.emptyByteArray)
+        else reply(ex, 200, ("# manifest\n" + manifestRows.map { case (s, f) =>
+          s"$s\t1497717708\t$f"
+        }.mkString("\n") + "\n").getBytes(UTF_8))
+      } else reply(ex, 200, s"payload-of:$p".getBytes(UTF_8))
+    })
+    server.start()
+  }
+
+  override protected def afterAll(): Unit = { server.stop(0); super.afterAll() }
+
+  private def feed = ManifestFeed(SourceConfig(
+    dataset = "RouteViewIPv4",
+    pathPrefix = "RouteViewIPv4/",
+    currentName = "RouteViewIPv4/current/routeviews.pfx2as.gz",
+    urlRegex = Some(new Regex(""".*(\d{4}/\d{2}/)(.*)""")),
+    dedupScopeRegex = new Regex("(.*)"),
+    retryInitialMs = 1, retryMaxMs = 0), s"$base/rv/pfx2as-creation.log")
+
+  test("watermark persists in the store across daemon restarts") {
+    val store = new InMemoryStore
+    val fetcher = HttpFetcher()
+    manifestRows = Seq(3363 -> "2017/06/a.pfx2as.gz", 3364 -> "2017/06/b.pfx2as.gz")
+
+    val m1 = new Metrics(spark)
+    val r1 = Downloader.runOnce(spark, store, fetcher, m1, Seq(feed), Nil)
+    assert(r1 == Seq(true))
+    assert(Downloader.loadWatermark(store, "RouteViewIPv4") == 3364L)
+
+    // "restart": fresh Metrics, same store — only the new row is fetched
+    manifestRows = manifestRows :+ (3365 -> "2017/06/c.pfx2as.gz")
+    val m2 = new Metrics(spark)
+    val r2 = Downloader.runOnce(spark, store, fetcher, m2, Seq(feed), Nil)
+    assert(r2 == Seq(true))
+    assert(Downloader.loadWatermark(store, "RouteViewIPv4") == 3365L)
+    // a and b were not re-archived (their keys existed already; no dups
+    // were created in scope) and c arrived
+    assert(store.list("RouteViewIPv4/2017/06/").map(_.name) == Seq(
+      "RouteViewIPv4/2017/06/a.pfx2as.gz",
+      "RouteViewIPv4/2017/06/b.pfx2as.gz",
+      "RouteViewIPv4/2017/06/c.pfx2as.gz"))
+  }
+
+  test("manifest failure counts the routeviews-url error and fails the feed") {
+    val store = new InMemoryStore
+    val metrics = new Metrics(spark)
+    manifestFails = true
+    try {
+      val r = Downloader.runOnce(spark, store, HttpFetcher(), metrics, Seq(feed), Nil)
+      assert(r == Seq(false))
+      assert(metrics.snapshot(
+        "downloader_downloader_routeviews_url_error_total{Couldnt get list}") == 1L)
+      assert(Downloader.loadWatermark(store, "RouteViewIPv4") == 0L)
+    } finally manifestFails = false
+  }
+
+  test("loop publishes per iteration and gates the gauge on all-success") {
+    val store = new InMemoryStore
+    val metrics = new Metrics(spark)
+    val sink = new InMemoryMetricsSink
+    manifestRows = Seq(3363 -> "2017/06/a.pfx2as.gz")
+    var clock = 5000L
+    val results = Downloader.loop(spark, store, HttpFetcher(), metrics, sink,
+      Seq(feed), Nil, iterations = 2, sleep = _ => (),
+      clock = () => { clock += 1; clock })
+    assert(results == Seq(true, true))
+    assert(sink.publications.size == 2)
+    assert(sink.latest.get("downloader_last_success_time_seconds") >= 5001L)
+  }
+}

@@ -153,21 +153,38 @@ object SimHash16 {
 object MinHashes {
   private val Hex = "0123456789abcdef".toCharArray
 
+  // hoisted off the per-row hot path; grown on demand, tiny forever
+  @volatile private var seedCache: Array[Array[Byte]] = Array.empty
+  private def seedBytesFor(numHashes: Int): Array[Array[Byte]] = {
+    val cached = seedCache
+    if (cached.length >= numHashes) cached
+    else synchronized {
+      if (seedCache.length < numHashes)
+        seedCache = Array.tabulate(numHashes)(s => String.valueOf(s).getBytes)
+      seedCache
+    }
+  }
+
   /** Static entry for generated code (one invoke per row). */
   def compute(sh: ArrayData, numHashes: Int): ArrayData = {
     val n = sh.numElements()
     val mins = new Array[String](numHashes)
     val md = MessageDigest.getInstance("MD5")
-    val seedBytes = Array.tabulate(numHashes)(s => String.valueOf(s).getBytes)
+    val seedBytes = seedBytesFor(numHashes)
     var i = 0
     while (i < n) {
-      val bytes = sh.getUTF8String(i).getBytes
+      // null element: concat_ws SKIPS null args, so the HOF hashes just
+      // "<seed>" (no pipe) — replicate exactly
+      val u = sh.getUTF8String(i)
+      val bytes = if (u == null) null else u.getBytes
       var seed = 0
       while (seed < numHashes) {
         md.reset()
         md.update(seedBytes(seed))
-        md.update('|'.toByte)
-        md.update(bytes)
+        if (bytes != null) {
+          md.update('|'.toByte)
+          md.update(bytes)
+        }
         val d = md.digest()
         val hex = new Array[Char](32)
         var b = 0

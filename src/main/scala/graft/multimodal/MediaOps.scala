@@ -41,30 +41,42 @@ case class MediaFeature(mediaId: Long, kind: String, feature: Array[Float])
 object MediaOps {
 
   /** Sniff-and-dispatch: real kernels where the format permits,
-    * deterministic stubs otherwise. */
+    * deterministic stubs otherwise. The real kernels are TOTAL at this
+    * boundary: a payload that sniffs as bmp/wav but is malformed,
+    * truncated, or an unsupported variant (32-bpp BMP, float WAV, lying
+    * headers) falls back to the stub instead of throwing — one corrupt
+    * file in a corpus must never abort a whole decode/feature job (the
+    * reference's drop-with-metric philosophy applied to payloads). */
   object Codec {
+    private def total[A](real: => A)(stub: => A): A =
+      try real catch { case scala.util.control.NonFatal(_) => stub }
+
     def probe(content: Array[Byte]): MediaMeta = RawCodec.sniff(content) match {
-      case Some("bmp") => RawCodec.probeBmp(content)
-      case Some("wav") => RawCodec.probeWav(content)
+      case Some("bmp") => total(RawCodec.probeBmp(content))(StubCodec.probe(content))
+      case Some("wav") => total(RawCodec.probeWav(content))(StubCodec.probe(content))
       case _ => StubCodec.probe(content)
     }
 
     def resize(content: Array[Byte], w: Int, h: Int): Array[Byte] =
       RawCodec.sniff(content) match {
-        case Some("bmp") => RawCodec.resizeBmp(content, w, h)
+        case Some("bmp") =>
+          total(RawCodec.resizeBmp(content, w, h))(StubCodec.resize(content, w, h))
         case _ => StubCodec.resize(content, w, h) // resize of audio = stub too
       }
 
     def feature(content: Array[Byte], dim: Int): Array[Float] =
       RawCodec.sniff(content) match {
-        case Some("bmp") => RawCodec.bmpFeature(content, dim)
-        case Some("wav") => RawCodec.wavFeature(content, dim)
+        case Some("bmp") =>
+          total(RawCodec.bmpFeature(content, dim))(StubCodec.feature(content, dim))
+        case Some("wav") =>
+          total(RawCodec.wavFeature(content, dim))(StubCodec.feature(content, dim))
         case _ => StubCodec.feature(content, dim)
       }
 
     def frames(content: Array[Byte], n: Int): Seq[Array[Byte]] =
       RawCodec.sniff(content) match {
-        case Some("wav") => RawCodec.wavFrames(content, n)
+        case Some("wav") =>
+          total(RawCodec.wavFrames(content, n))(StubCodec.frames(content, n))
         case _ => StubCodec.frames(content, n)
       }
   }

@@ -126,15 +126,21 @@ object RawCodec {
     var channels = 1; var rate = 1; var bits = 16
     var dataOff = -1; var dataLen = 0
     var o = 12
-    while (o + 8 <= c.length) {
+    var ok = true
+    while (ok && o + 8 <= c.length) {
       val id = ascii(c, o, 4)
       val sz = i32(c, o + 4)
-      if (id == "fmt ") {
-        channels = u16(c, o + 10); rate = i32(c, o + 12); bits = u16(c, o + 22)
-      } else if (id == "data") {
-        dataOff = o + 8; dataLen = math.min(sz, c.length - dataOff)
+      // corrupt size fields (negative, or placing fmt fields out of
+      // bounds) abort the walk instead of spinning/crashing
+      if (sz < 0) ok = false
+      else {
+        if (id == "fmt " && o + 24 <= c.length) {
+          channels = u16(c, o + 10); rate = i32(c, o + 12); bits = u16(c, o + 22)
+        } else if (id == "data") {
+          dataOff = o + 8; dataLen = math.min(sz, c.length - dataOff)
+        }
+        o += 8 + sz + (sz & 1) // chunks are word-aligned
       }
-      o += 8 + sz + (sz & 1) // chunks are word-aligned
     }
     require(dataOff >= 0, "WAV without data chunk")
     WavInfo(channels, rate, bits, dataOff, dataLen)
@@ -165,17 +171,21 @@ object RawCodec {
     bucketMeans(s.length, dim)(i => math.abs(s(i).toDouble) / 32768.0)
   }
 
-  /** n equal sample-aligned PCM16 chunks (raw sample bytes). */
+  /** n sample-aligned PCM16 chunks (raw sample bytes): the last frame
+    * absorbs any remainder, and frames past the sample count are
+    * suppressed rather than emitted empty. */
   def wavFrames(c: Array[Byte], n: Int): Seq[Array[Byte]] = {
     val s = wavSamples(c)
-    val per = math.max(1, s.length / math.max(n, 1))
-    (0 until n).map { i =>
-      val chunk = s.slice(i * per, math.min(s.length, (i + 1) * per))
-      val bytes = new Array[Byte](chunk.length * 2)
-      var j = 0
-      while (j < chunk.length) {
-        bytes(2 * j) = chunk(j).toByte
-        bytes(2 * j + 1) = (chunk(j) >> 8).toByte
+    val frames = math.max(1, math.min(n, s.length))
+    val per = s.length / frames
+    (0 until frames).map { i =>
+      val from = i * per
+      val until = if (i == frames - 1) s.length else from + per
+      val bytes = new Array[Byte]((until - from) * 2)
+      var j = from
+      while (j < until) {
+        bytes(2 * (j - from)) = s(j).toByte
+        bytes(2 * (j - from) + 1) = (s(j) >> 8).toByte
         j += 1
       }
       bytes
@@ -187,8 +197,9 @@ object RawCodec {
     if (n == 0) return out
     var b = 0
     while (b < dim) {
-      val from = b * n / dim
-      val until = math.max(from + 1, (b + 1) * n / dim)
+      // Long arithmetic: b*n overflows Int for >2^31/dim samples/pixels
+      val from = (b.toLong * n / dim).toInt
+      val until = math.max(from + 1, ((b + 1).toLong * n / dim).toInt)
       var s = 0.0
       var i = from
       while (i < math.min(until, n)) { s += value(i); i += 1 }

@@ -30,10 +30,16 @@ object Downloader {
 
   private def watermarkKey(dataset: String) = s"_meta/watermark/$dataset"
 
-  /** Load the persisted watermark (0 when none — first run). */
+  /** Load the persisted watermark. ONLY a missing key (first run) maps
+    * to 0 — a transient store read failure or corrupt content must FAIL
+    * the feed rather than silently reset the watermark and re-fetch the
+    * entire feed history through a degraded run. */
   def loadWatermark(store: Store, dataset: String): Long =
     try new String(store.read(watermarkKey(dataset)), UTF_8).trim.toLong
-    catch { case _: Exception => 0L }
+    catch {
+      case _: NoSuchElementException | _: java.io.FileNotFoundException |
+           _: java.nio.file.NoSuchFileException => 0L
+    }
 
   def saveWatermark(store: Store, dataset: String, wm: Long): Unit =
     store.write(watermarkKey(dataset), wm.toString.getBytes(UTF_8))

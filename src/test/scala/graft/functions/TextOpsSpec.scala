@@ -43,9 +43,11 @@ class TextOpsSpec extends SparkSpec {
   test("native MinHashes matches the per-seed HOF minhash family") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
-    val d = (0 until 80).map { i =>
+    val d = ((0 until 80).map { i =>
       (i.toLong, (0 until rnd.nextInt(25)).map(_ => s"sh${rnd.nextInt(50)} tok").distinct)
-    }.toDF("id", "sh")
+    } ++ Seq( // null elements: concat_ws skips them, native must match
+      (100L, Seq[String]("a b", null, "c d")),
+      (101L, Seq[String](null)))).toDF("id", "sh")
     val rows = d.select(
         TextOps.minhashesNative(col("sh"), 8).as("native"),
         array((0 until 8).map(i => TextOps.minhash(col("sh"), i)): _*).as("hof"))

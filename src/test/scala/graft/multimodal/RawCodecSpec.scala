@@ -81,6 +81,41 @@ class RawCodecSpec extends SparkSpec {
     assert(math.abs(f(0) - expect0) < 1e-6)
   }
 
+  test("malformed or unsupported real-format payloads fall back to stubs, never throw") {
+    // sniffs as BMP but is 32-bpp / truncated / lying headers
+    val bmp32 = { val b = bmp4x3.clone(); b(28) = 32; b }
+    val truncated = bmp4x3.take(60)
+    val lyingWidth = { val b = bmp4x3.clone(); b(18) = 127; b(19) = 127; b }
+    // sniffs as WAV but chunk size is -8 (would loop forever unguarded)
+    val evilWav = { val b = wav16.clone(); b(16) = -8; b(17) = -1; b(18) = -1; b(19) = -1; b }
+    val noData = wav16.take(36)
+    for (p <- Seq(bmp32, truncated, lyingWidth, evilWav, noData)) {
+      MediaOps.Codec.probe(p)
+      MediaOps.Codec.resize(p, 2, 2)
+      MediaOps.Codec.feature(p, 4)
+      MediaOps.Codec.frames(p, 3)
+    }
+  }
+
+  test("wav frames absorb the tail and never emit empty frames") {
+    val fr5 = RawCodec.wavFrames(wav16, 5) // 16 samples / 5 → 3,3,3,3,4
+    assert(fr5.map(_.length / 2) == Seq(3, 3, 3, 3, 4))
+    val tiny = {
+      val samples = Array[Short](7, 9)
+      val out = java.nio.ByteBuffer.allocate(48)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(40)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(4)
+      samples.foreach(out.putShort)
+      out.array()
+    }
+    val fr4 = RawCodec.wavFrames(tiny, 4)
+    assert(fr4.length == 2 && fr4.forall(_.nonEmpty))
+  }
+
   test("Codec dispatch: real formats use RawCodec, others fall back to stub") {
     assert(MediaOps.Codec.probe(bmp4x3).format == "bmp")
     assert(MediaOps.Codec.probe(wav16).format == "wav")

@@ -84,4 +84,17 @@ object ManifestParser {
     * relative path (`/root/reference/download/routeviews.go:109`). */
   def absoluteUrl(manifestUrl: String, path: String): String =
     manifestUrl.substring(0, manifestUrl.lastIndexOf('/') + 1) + path
+
+  /** Driver-side pure parse with the same drop semantics as [[parse]] —
+    * used where no session is in scope (the DSv2 streaming source plans
+    * offsets on the driver). `regexp_extract` finds the first regex
+    * match per line; comments/blanks don't match and drop. */
+  def parseLines(body: String): Seq[ManifestEntry] = {
+    val re = RowRegex.r
+    body.split("\n", -1).toSeq.flatMap { line =>
+      re.findFirstMatchIn(line).map { m =>
+        ManifestEntry(m.group(1).toInt, m.group(2).toLong, m.group(3))
+      }
+    }
+  }
 }

@@ -2,7 +2,6 @@ package graft.sources.catalog
 
 import java.util
 
-import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -38,9 +37,12 @@ class CatalogSource extends TableProvider with DataSourceRegister {
     CatalogSource.Schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new CatalogTable(properties.asScala.getOrElse("root",
+                        properties: util.Map[String, String]): Table = {
+    // DSv2 options are case-insensitive; properties arrives case-preserving
+    val opts = new CaseInsensitiveStringMap(properties)
+    new CatalogTable(Option(opts.get("root")).getOrElse(
       throw new IllegalArgumentException("graft-catalog requires option 'root'")))
+  }
 }
 
 object CatalogSource {

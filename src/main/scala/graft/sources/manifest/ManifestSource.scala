@@ -2,13 +2,12 @@ package graft.sources.manifest
 
 import java.util
 
-import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -48,9 +47,12 @@ class ManifestSource extends TableProvider with DataSourceRegister {
     ManifestSource.Schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new ManifestTable(properties.asScala.getOrElse("url",
+                        properties: util.Map[String, String]): Table = {
+    // DSv2 options are case-insensitive; properties arrives case-preserving
+    val opts = new CaseInsensitiveStringMap(properties)
+    new ManifestTable(Option(opts.get("url")).getOrElse(
       throw new IllegalArgumentException("graft-manifest requires option 'url'")))
+  }
 }
 
 object ManifestSource {
@@ -94,9 +96,9 @@ private class ManifestScan(url: String) extends Scan {
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      Array(ManifestPartition(url, Long.MinValue, Long.MaxValue))
+      Array(ManifestPartition(ManifestSource.fetch(url).sortBy(_.seqnum)))
     override def createReaderFactory(): PartitionReaderFactory =
-      new ManifestReaderFactory
+      new ManifestReaderFactory(url)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -108,48 +110,75 @@ private case class SeqOffset(seq: Long) extends Offset {
   override def json: String = seq.toString
 }
 
-private class ManifestStream(url: String) extends MicroBatchStream {
+private class ManifestStream(url: String) extends MicroBatchStream
+    with SupportsAdmissionControl {
+  // entries from the most recent latestOffset fetch: each trigger
+  // fetches the feed ONCE; planInputPartitions embeds the rows so
+  // executors never re-fetch (a checkpoint REPLAY plans without a prior
+  // latestOffset in this process and re-fetches then — recovery only).
+  @volatile private var lastFetch: Seq[ManifestEntry] = null
+
   override def initialOffset(): Offset = SeqOffset(0L)
 
-  override def latestOffset(): Offset = {
+  // Admission-control form: the engine hands us the restored START
+  // offset, and the reported latest is clamped to it — a transiently
+  // empty/unreadable feed can therefore never regress the checkpoint
+  // below what was already processed and replay history once the feed
+  // recovers (the same invariant Downloader.loadWatermark defends
+  // driver-side). The no-argument variant is unreachable once
+  // SupportsAdmissionControl is implemented.
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is the supported form")
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[SeqOffset].seq
     val entries = ManifestSource.fetch(url)
-    SeqOffset(if (entries.isEmpty) 0L else entries.map(_.seqnum.toLong).max)
+    lastFetch = entries
+    val m = if (entries.isEmpty) 0L else entries.map(_.seqnum.toLong).max
+    SeqOffset(math.max(s, m))
   }
+
+  override def reportLatestOffset(): Offset = null // engine tolerates absence
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[SeqOffset].seq
     val e = end.asInstanceOf[SeqOffset].seq
     if (e <= s) Array.empty
-    else Array(ManifestPartition(url, s, e))
+    else {
+      val entries = Option(lastFetch).getOrElse(ManifestSource.fetch(url))
+      Array(ManifestPartition(
+        entries.filter(x => x.seqnum > s && x.seqnum <= e).sortBy(_.seqnum)))
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestReaderFactory
+    new ManifestReaderFactory(url)
 
   override def deserializeOffset(json: String): Offset = SeqOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
-/** Rows with seqnum in (afterSeq, untilSeq]. The reader re-fetches and
-  * range-filters, so a replayed batch (checkpoint recovery) emits the
-  * same rows as long as the feed is append-only — the reference's own
-  * assumption (seqnums grow monotonically, routeviews.go:107-110). */
-private case class ManifestPartition(url: String, afterSeq: Long, untilSeq: Long)
-  extends InputPartition
+/** The batch's rows, embedded (a manifest is metadata-sized by
+  * construction, so the planned rows ship in the partition and the
+  * executor never re-fetches the feed). Replays are driven by the
+  * offset range at plan time; the feed is append-only by the
+  * reference's own contract (seqnums grow monotonically,
+  * routeviews.go:107-110). */
+private case class ManifestPartition(rows: Seq[ManifestEntry]) extends InputPartition
 
-private class ManifestReaderFactory extends PartitionReaderFactory {
+private class ManifestReaderFactory(url: String) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ManifestPartition]
     new PartitionReader[InternalRow] {
-      private val it = ManifestSource.fetch(p.url)
-        .filter(e => e.seqnum > p.afterSeq && e.seqnum <= p.untilSeq)
-        .sortBy(_.seqnum)
-        .iterator
+      private val it = p.rows.iterator
       private var current: InternalRow = _
       override def next(): Boolean = {
         if (!it.hasNext) return false
-        current = ManifestSource.toRow(p.url)(it.next())
+        current = ManifestSource.toRow(url)(it.next())
         true
       }
       override def get(): InternalRow = current

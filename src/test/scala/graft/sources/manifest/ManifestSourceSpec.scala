@@ -63,6 +63,37 @@ class ManifestSourceSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(3363L, 3364L, 3365L))
   }
 
+  test("a transiently-empty feed cannot regress the offset and replay history") {
+    val dir = Files.createTempDirectory("graft_mansrc_empty")
+    val manifest = dir.resolve("m.log").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val out = dir.resolve("out").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-manifest").option("url", manifest).load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    writeManifest(manifest, 10 -> "x/a.gz", 11 -> "x/b.gz")
+    drain()
+    // feed transiently serves an empty body
+    Files.write(Paths.get(manifest), Array.emptyByteArray)
+    drain()
+    // feed recovers with one NEW row: only it may appear — the two
+    // historical rows must not replay
+    writeManifest(manifest, 10 -> "x/a.gz", 11 -> "x/b.gz", 12 -> "x/c.gz")
+    drain()
+    assert(spark.read.parquet(out).select("seqnum")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(10L, 11L, 12L))
+  }
+
+  test("options are case-insensitive (URL works like url)") {
+    val f = Files.createTempDirectory("graft_mansrc_ci").resolve("m.log").toString
+    writeManifest(f, 5 -> "z/a.gz")
+    assert(spark.read.format("graft-manifest").option("URL", f).load().count() == 1)
+  }
+
   test("streaming composes with watermark-style filters and dedup downstream") {
     val dir = Files.createTempDirectory("graft_mansrc_c")
     val manifest = dir.resolve("m.log").toString

@@ -54,20 +54,37 @@ object MinHashLsh {
     * the right shape; here that costs 2 extra corpus scans per query.
     */
   def nearDup(docs: DataFrame, bands: Int, rowsPerBand: Int, shingleN: Int,
-              minJaccard: Double): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    // Native fused kernels for the hot scan: WordShingles makes one pass
-    // over the string (the HOF stack re-evaluated its captured split()
-    // once per shingle position — quadratic in document length) and
-    // MinHashes computes the whole family with one reused digest per
-    // row. Both are property-tested bit-equal to the HOF formulations,
-    // so the DuckDB oracle is untouched.
-    val sig = docs
+              minJaccard: Double): DataFrame =
+    nearDupFromSignatures(signatures(docs, bands * rowsPerBand, shingleN),
+      bands, rowsPerBand, minJaccard)
+
+  /** Ingest-time signature computation: `(doc_id, shh ARRAY<LONG>,
+    * mh ARRAY<STRING>)` — the hashed shingle set (exact-verify carrier)
+    * and the minhash family. At 100 TB these are computed ONCE at ingest
+    * and stored as table columns next to the text;
+    * [[nearDupFromSignatures]] then runs candidate generation + verify
+    * without ever touching the text again. Native fused kernels for the
+    * hot scan: WordShingles makes one pass over the string (the HOF
+    * stack re-evaluated its captured split() once per shingle position —
+    * quadratic in document length) and MinHashes computes the whole
+    * family with one reused digest per row; both are property-tested
+    * bit-equal to the HOF formulations, so the DuckDB oracle is
+    * untouched. Empty-shingle docs are excluded (Jaccard 0 with
+    * everything; they'd otherwise share one degenerate null-minhash band
+    * key). */
+  def signatures(docs: DataFrame, numHashes: Int, shingleN: Int): DataFrame =
+    docs
       .select(col("doc_id"), TextOps.shinglesNative(col("text"), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"),
         array_sort(array_distinct(transform(col("sh"), x => xxhash64(x)))).as("shh"),
         TextOps.minhashesNative(col("sh"), numHashes).as("mh"))
+
+  /** Candidate generation + exact verify over precomputed signatures
+    * (schema per [[signatures]]); `bands * rowsPerBand` must not exceed
+    * the stored family size. */
+  def nearDupFromSignatures(sig: DataFrame, bands: Int, rowsPerBand: Int,
+                            minJaccard: Double): DataFrame = {
     val bandKeys = array((0 until bands).map { b =>
       concat_ws("|", lit(b.toString) +:
         (0 until rowsPerBand).map(r => col("mh").getItem(b * rowsPerBand + r)): _*)

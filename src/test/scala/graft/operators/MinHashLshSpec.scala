@@ -58,6 +58,20 @@ class MinHashLshSpec extends SparkSpec {
       "no pair may involve an empty-shingle doc")
   }
 
+  test("precomputed-signature path (parquet round-trip) equals the direct path") {
+    val docs = fixture
+    val direct = MinHashLsh.nearDup(docs, 4, 2, 3, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    // the 100 TB shape: signatures stored at ingest, near-dup runs from
+    // the stored columns without touching text
+    val sigPath = java.nio.file.Files.createTempDirectory("graft_sig").toString
+    MinHashLsh.signatures(docs, 8, 3).write.mode("overwrite").parquet(sigPath)
+    val fromStored = MinHashLsh.nearDupFromSignatures(
+        spark.read.parquet(sigPath), 4, 2, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(direct.nonEmpty && fromStored == direct)
+  }
+
   test("(8,2) recall against exact ground truth >= (4,2) recall") {
     val docs = fixture
     val exact = SimilarityJoin.jaccardPairsText(docs.as[(Long, String)], 3, 0.5)

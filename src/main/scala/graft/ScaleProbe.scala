@@ -46,6 +46,18 @@ object ScaleProbe {
     time("q22_cosine_pairs sf0.1  (5k vecs) ")(PipelineQueries.q22(spark, src).count())
     time("q22_cosine_pairs sf1.0 (50k vecs) ")(PipelineQueries.q22(spark, out).count())
 
+    // --- degenerate-bucket probe: every document identical, so ALL band
+    // keys collide into one bucket (the exact flood a dedup corpus
+    // produces). The slim band-key self-join streams the inherently
+    // quadratic pair output through a spill-capable sort-merge join, so
+    // this completes with bounded task memory — the former collect_list
+    // bucketing held all N member signatures in ONE aggregation buffer
+    // and exploded N²/2 pairs from a single interpreted expression.
+    val flood = spark.range(3000).select(col("id").as("doc_id"),
+      lit("the quick brown fox jumps over the lazy dog again and again").as("text"))
+    time("q19_flood (3k identical docs)     ")(
+      graft.operators.MinHashLsh.nearDup(flood, 4, 2, 3, 0.5).count())
+
     // --- skew probe: one hot key holding 90% of a 4M-row probe side,
     // broadcast + AQE skew handling disabled so the join mechanism itself
     // is measured: the salted join must spread the hot key's reduce work

@@ -45,6 +45,17 @@ object TextOps {
     org.apache.spark.sql.GraftShim.column(expressions.MinHashes(
       org.apache.spark.sql.GraftShim.expression(sh), numHashes))
 
+  /** Fused LSH band keys from a shingle array: one kernel call computes
+    * the minhash family AND formats the `bands` keys, so an `explode`
+    * over it evaluates the family exactly once per row
+    * ([[expressions.MinHashBandKeys]] — `GenerateExec` does no
+    * subexpression elimination, so composing from [[minhashesNative]]
+    * under an explode re-runs the md5 family per key component).
+    * Empty shingle set ⇒ empty array (explode drops the row). */
+  def bandKeysNative(sh: Column, bands: Int, rowsPerBand: Int): Column =
+    org.apache.spark.sql.GraftShim.column(expressions.MinHashBandKeys(
+      org.apache.spark.sql.GraftShim.expression(sh), bands, rowsPerBand))
+
   /** 16-bit SimHash over a token array. Bit j of each token's hash is the
     * parity of hex digit j of its md5; the SimHash bit is the majority
     * vote weighted by token frequency (> 0 after ±1 accumulation). */

@@ -96,6 +96,60 @@ case class MinHashes(child: Expression, numHashes: Int) extends UnaryExpression 
     copy(child = newChild)
 }
 
+/** LSH band keys straight from a shingle array in ONE kernel call —
+  * the fused form of `explode`-feeding
+  * `array(concat_ws("|", b, mh[b*r], …, mh[b*r+r-1]) for b < bands)`
+  * over `mh = graft_minhashes(sh, bands*rowsPerBand)`. The array
+  * formulation references `mh` once per band component (8 `getItem`s +
+  * a null check), and `GenerateExec` — unlike `ProjectExec` — performs
+  * NO subexpression elimination, so under an `explode` the entire md5
+  * minhash family was recomputed per reference (~9× the kernel work;
+  * measured as the q19 regression). This kernel computes the family
+  * once and formats the keys in the same pass. Empty shingle set ⇒
+  * EMPTY key array (not null), so `explode` naturally drops empty
+  * documents without an up-front filter. Key format is byte-identical
+  * to the concat_ws form ("&lt;band&gt;|&lt;hex&gt;|&lt;hex&gt;"), so
+  * candidates from stored `mh` columns and from this kernel agree.
+  */
+case class MinHashBandKeys(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bandkeys"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashBandKeys.compute(input.asInstanceOf[ArrayData], bands, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.MinHashBandKeys.compute($c, $bands, $rowsPerBand)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandKeys =
+    copy(child = newChild)
+}
+
+object MinHashBandKeys {
+  /** Static entry for generated code (one invoke per row). */
+  def compute(sh: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    if (sh.numElements() == 0) return new GenericArrayData(Array.empty[Any])
+    val mh = MinHashes.compute(sh, bands * rowsPerBand)
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      val sb = new java.lang.StringBuilder
+      sb.append(b).append('|')
+      var r = 0
+      while (r < rowsPerBand) {
+        if (r > 0) sb.append('|')
+        sb.append(mh.getUTF8String(b * rowsPerBand + r).toString)
+        r += 1
+      }
+      out(b) = UTF8String.fromString(sb.toString)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** 16-bit SimHash over a token array in ONE pass with ONE md5 per token
   * — the fused form of [[graft.functions.TextOps.simhash16]], whose
   * nested-aggregate formulation recomputes `md5(t)` for every one of the

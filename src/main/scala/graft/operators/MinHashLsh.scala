@@ -39,24 +39,36 @@ object MinHashLsh {
     * (over distinct word `shingleN`-grams) rounds to ≥ `minJaccard`.
     * `docs` needs columns (doc_id, text). Output: (a_id, b_id, jac).
     *
-    * Plan shape: one linear pipeline — signature scan → band explode →
-    * bucket collect → combination explode → pair dedup → exact verify —
-    * so the expensive shingle/minhash scan runs exactly ONCE (a band
-    * self-join would recompute it per side; a cache would leak past the
-    * query). The hashed shingle sets ride into the buckets, so a bucket
-    * of k members holds k signature arrays and emits its ~k²/2 pairs
-    * from one task: acceptable because LSH's whole premise is that
-    * buckets stay small, and documents with EMPTY shingle sets — which
-    * would otherwise all share one degenerate null-minhash band key —
-    * are filtered up front (an empty set has Jaccard 0 with everything,
-    * so they can never reach the output). At ingest scale, signatures
-    * are precomputed columns and a slim band join + candidate re-join is
-    * the right shape; here that costs 2 extra corpus scans per query.
+    * Plan shape (see [[nearDupFromSignatures]]): slim band-key self-join
+    * for candidates, signature re-join for exact verify. Documents with
+    * EMPTY shingle sets — which would otherwise all share one degenerate
+    * null-minhash band key — are filtered up front (an empty set has
+    * Jaccard 0 with everything, so they can never reach the output).
     */
   def nearDup(docs: DataFrame, bands: Int, rowsPerBand: Int, shingleN: Int,
-              minJaccard: Double): DataFrame =
-    nearDupFromSignatures(signatures(docs, bands * rowsPerBand, shingleN),
-      bands, rowsPerBand, minJaccard)
+              minJaccard: Double): DataFrame = {
+    // Small-input convenience: a single-file corpus would otherwise run
+    // the whole signature kernel scan in ONE task (file-split = scan
+    // parallelism). Spread it round-robin first — the exchange is
+    // reused by every downstream consumer, so the text shuffles once.
+    // At warehouse scale inputs arrive in thousands of splits and this
+    // branch is a no-op (no extra shuffle of the text column).
+    val sc = docs.sparkSession.sparkContext
+    val spread =
+      if (docs.rdd.getNumPartitions < sc.defaultParallelism)
+        docs.repartition(sc.defaultParallelism)
+      else docs
+    val sh = TextOps.shinglesNative(col("text"), shingleN)
+    // Fused band-key kernel: minhash family computed ONCE per row even
+    // under the explode (GenerateExec does no subexpression
+    // elimination, so building the key array from a minhash column
+    // expression would re-run the md5 family per key component).
+    val slim = spread.select(col("doc_id"),
+      explode(TextOps.bandKeysNative(sh, bands, rowsPerBand)).as("bk"))
+    val shh = spread.select(col("doc_id"),
+      array_sort(array_distinct(transform(sh, x => xxhash64(x)))).as("shh"))
+    candidateVerify(slim, shh, minJaccard)
+  }
 
   /** Ingest-time signature computation: `(doc_id, shh ARRAY<LONG>,
     * mh ARRAY<STRING>)` — the hashed shingle set (exact-verify carrier)
@@ -69,51 +81,88 @@ object MinHashLsh {
     * quadratic in document length) and MinHashes computes the whole
     * family with one reused digest per row; both are property-tested
     * bit-equal to the HOF formulations, so the DuckDB oracle is
-    * untouched. Empty-shingle docs are excluded (Jaccard 0 with
-    * everything; they'd otherwise share one degenerate null-minhash band
-    * key). */
-  def signatures(docs: DataFrame, numHashes: Int, shingleN: Int): DataFrame =
-    docs
-      .select(col("doc_id"), TextOps.shinglesNative(col("text"), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"),
-        array_sort(array_distinct(transform(col("sh"), x => xxhash64(x)))).as("shh"),
-        TextOps.minhashesNative(col("sh"), numHashes).as("mh"))
+    * untouched. Empty-shingle docs carry a NULL `mh` (Jaccard 0 with
+    * everything; a literal minhash would give them all one degenerate
+    * shared band key) — [[nearDupFromSignatures]] drops null signatures
+    * before the band explode. Encoding emptiness in the value instead
+    * of a `filter(size(sh) > 0)` keeps the whole computation in ONE
+    * Project, where codegen subexpression elimination evaluates the
+    * shingle kernel once per row; a filter's predicate would be pushed
+    * into the scan stage and re-evaluate it per operator. */
+  def signatures(docs: DataFrame, numHashes: Int, shingleN: Int): DataFrame = {
+    val sh = TextOps.shinglesNative(col("text"), shingleN)
+    docs.select(col("doc_id"),
+      array_sort(array_distinct(transform(sh, x => xxhash64(x)))).as("shh"),
+      when(size(sh) > 0, TextOps.minhashesNative(sh, numHashes)).as("mh"))
+  }
 
   /** Candidate generation + exact verify over precomputed signatures
     * (schema per [[signatures]]); `bands * rowsPerBand` must not exceed
-    * the stored family size. */
+    * the stored family size.
+    *
+    * Plan shape: SLIM band join. Candidate generation self-joins
+    * `(band_key, doc_id)` rows only — Catalyst prunes `shh` off both
+    * band sides and `mh` off both verify sides, and the two band-side
+    * (and two verify-side) exchanges canonicalize identically, so
+    * ReusedExchange makes each projection of the signature scan run
+    * once. A band bucket of k members streams its ~k²/2 pairs out of
+    * the sort-merge join, whose matched-key buffer spills to disk above
+    * `spark.sql.sortMergeJoinExec.buffer.spill.threshold` — so even a
+    * DEGENERATE bucket (every document identical, all N ids under one
+    * band key) runs with bounded task memory, where an aggregation that
+    * `collect_list`ed whole buckets would hold one N-member buffer (and
+    * N full signature arrays) in a single task. The output of such a
+    * flood is inherently quadratic (all pairs really are near-dups);
+    * what the slim join guarantees is that memory is NOT.
+    *
+    * The strict `a.doc_id < b.doc_id` join condition also makes
+    * duplicate doc_ids in the input safe: two rows sharing an id can
+    * never emit an `a_id == b_id` pair, matching the tiled kernels'
+    * `aId != bId` guard. Pairs colliding in several bands are deduped
+    * BEFORE the verify join, so each candidate pair fetches its two
+    * signatures exactly once.
+    */
   def nearDupFromSignatures(sig: DataFrame, bands: Int, rowsPerBand: Int,
                             minJaccard: Double): DataFrame = {
+    // Stored `mh` is a plain column, so per-component getItem references
+    // are cheap (unlike the from-text path, where the fused band-key
+    // kernel avoids re-running the md5 family under the explode).
     val bandKeys = array((0 until bands).map { b =>
       concat_ws("|", lit(b.toString) +:
         (0 until rowsPerBand).map(r => col("mh").getItem(b * rowsPerBand + r)): _*)
     }: _*)
-    // Single-consumption pipeline: scan → band explode → bucket agg →
-    // pair explode → pair dedup → verify. The expensive signature scan
-    // feeds exactly one downstream tree, so it runs ONCE — no self-join
-    // whose two sides would each recompute it, no cached plan. The
-    // hashed shingle sets ride along into the buckets (at ingest scale
-    // they are precomputed columns); quadratic pair expansion stays
-    // confined to same-band buckets, as LSH intends.
-    val bucketed = sig
-      .select(explode(bandKeys).as("bk"), struct(col("doc_id"), col("shh")).as("ds"))
-      .groupBy(col("bk"))
-      .agg(collect_list(col("ds")).as("ms"))
-      .filter(size(col("ms")) > 1)
-    val pairs = bucketed.select(explode(
-      flatten(transform(col("ms"), (x, i) =>
-        transform(slice(col("ms"), i + 2, greatest(size(col("ms")) - i - 1, lit(0))),
-          y => when(x.getField("doc_id") < y.getField("doc_id"),
-              struct(x.as("a"), y.as("b")))
-            .otherwise(struct(y.as("a"), x.as("b"))))))).as("p"))
-    pairs
-      .select(col("p.a.doc_id").as("a_id"), col("p.b.doc_id").as("b_id"),
-        col("p.a.shh").as("sha"), col("p.b.shh").as("shb"))
-      // a pair can collide in several bands: dedup by key (signatures
-      // are identical per doc, so any representative verifies)
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(first(col("sha")).as("sha"), first(col("shb")).as("shb"))
+    // explode(null) emits nothing, so null-mh (empty-shingle) docs never
+    // enter a bucket.
+    val slim = sig.select(col("doc_id"),
+      explode(when(col("mh").isNotNull, bandKeys)).as("bk"))
+    candidateVerify(slim, sig.select(col("doc_id"), col("shh")), minJaccard)
+  }
+
+  /** Shared candidate-generation + exact-verify tail: slim band-key
+    * self-join → pair dedup → signature re-join → exact Jaccard.
+    * `slim` is (doc_id, bk); `shh` is (doc_id, shh).
+    *
+    * The band self-join carries a `merge` hint: broadcasting a whole
+    * corpus's band keys is never right, the two sides' shuffle
+    * Exchanges canonicalize identically (AQE materializes the stage
+    * once and reuses it), and sort-merge's spillable matched-key
+    * buffer is what bounds degenerate-bucket memory. The verify joins
+    * are deliberately UNhinted: after dedup the candidate set is
+    * usually tiny relative to the corpus, so AQE broadcasts it (no
+    * shuffle of the signature table at all) — and when a flood makes
+    * candidates huge, AQE sees the real size and falls back to a
+    * shuffle join on its own.
+    */
+  private def candidateVerify(slim: DataFrame, shh: DataFrame,
+                              minJaccard: Double): DataFrame = {
+    val cands = slim.as("a").hint("merge")
+      .join(slim.as("b").hint("merge"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    cands
+      .join(shh.select(col("doc_id").as("a_id"), col("shh").as("sha")), "a_id")
+      .join(shh.select(col("doc_id").as("b_id"), col("shh").as("shb")), "b_id")
       .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jac", round(col("common").cast("double") /
         (size(col("sha")) + size(col("shb")) - col("common")), 4))

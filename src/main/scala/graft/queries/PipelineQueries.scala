@@ -33,12 +33,14 @@ object PipelineQueries {
     * to the 0.5 verify cutoff): banded signature equi-join generates
     * candidates, exact Jaccard verifies.
     *
-    * Scale path: the band join shuffles on the band key only — each
-    * document emits 4 (band, doc) rows, near-dups collide, the quadratic
-    * blowup is confined to same-band buckets. Signature computation is
-    * embarrassingly parallel and rides through the band shuffle (one
-    * scan, no cached plan); at 100 TB the signatures are computed once
-    * at ingest and stored as columns.
+    * Scale path: the band join shuffles SLIM (band_key, doc_id) rows
+    * only — each document emits 4 of them, near-dups collide, the
+    * quadratic blowup is confined to same-band buckets and streamed out
+    * of a spill-capable sort-merge join (bounded task memory even when
+    * every document is identical — see the ScaleProbe flood case).
+    * Signature computation is embarrassingly parallel; at 100 TB the
+    * signatures are computed once at ingest and stored as columns, so
+    * the band join + verify re-join is the whole query.
     */
   val q19: Q = (s, d) =>
     graft.operators.MinHashLsh.nearDup(t(s, d, "documents"),

@@ -26,6 +26,27 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("native MinHashBandKeys is bit-equal to the concat_ws band-key form") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val d = ((0 until 80).map { i =>
+      (i.toLong, (0 until rnd.nextInt(25)).map(_ => s"sh${rnd.nextInt(50)} t").distinct)
+    } ++ Seq((100L, Seq.empty[String]))).toDF("id", "sh")
+    for ((bands, rows) <- Seq((4, 2), (8, 2), (2, 4))) {
+      val hofKeys = array((0 until bands).map { b =>
+        concat_ws("|", lit(b.toString) +: (0 until rows).map(r =>
+          TextOps.minhash(col("sh"), b * rows + r)): _*)
+      }: _*)
+      val got = d.select(col("id"),
+          TextOps.bandKeysNative(col("sh"), bands, rows).as("native"),
+          when(size(col("sh")) > 0, hofKeys)
+            .otherwise(array().cast("array<string>")).as("hof"))
+        .as[(Long, Seq[String], Seq[String])].collect()
+      got.foreach { case (id, nat, hof) =>
+        assert(nat == hof, s"id=$id bands=$bands rows=$rows") }
+    }
+  }
+
   test("native SimHash16 is bit-equal to the nested-aggregate HOF form") {
     import spark.implicits._
     val rnd = new scala.util.Random(29)

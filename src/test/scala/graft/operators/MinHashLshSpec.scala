@@ -58,6 +58,29 @@ class MinHashLshSpec extends SparkSpec {
       "no pair may involve an empty-shingle doc")
   }
 
+  test("identical-doc flood: all pairs emitted, strict a_id < b_id, no dup pairs") {
+    // every doc identical -> every band key collides into one degenerate
+    // bucket; the slim self-join must still emit exactly C(n,2) pairs
+    // (each once, despite colliding in all 4 bands) at jac 1.0
+    val n = 400
+    val docs = (0 until n)
+      .map(i => (i.toLong, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val got = MinHashLsh.nearDup(docs, 4, 2, 3, 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == n * (n - 1) / 2)
+    assert(got.forall { case (a, b, j) => a < b && j == 1.0 })
+    assert(got.map(p => (p._1, p._2)).distinct.length == got.length)
+  }
+
+  test("duplicate doc_ids in the input never emit an a_id == b_id pair") {
+    val docs = fixture.union(fixture.limit(4)) // 4 ids appear twice
+    val got = MinHashLsh.nearDup(docs, 4, 2, 3, 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall { case (a, b, _) => a < b })
+  }
+
   test("precomputed-signature path (parquet round-trip) equals the direct path") {
     val docs = fixture
     val direct = MinHashLsh.nearDup(docs, 4, 2, 3, 0.5)

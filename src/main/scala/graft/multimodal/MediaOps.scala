@@ -28,15 +28,17 @@ case class MediaFeature(mediaId: Long, kind: String, feature: Array[Float])
   * dispatch, payload bytes stay inside the task).
   *
   * === CODEC NOTICE ===
-  * Uncompressed container formats parse with NO external library, so
-  * BMP (24-bpp) and WAV (PCM16) payloads run through REAL kernels
-  * ([[RawCodec]]: header probe, pixel/sample extraction,
-  * nearest-neighbor resize, pooled features, sample-aligned frames).
-  * Compressed formats (png/jpeg/mp3/…) need codec libraries that are
-  * absent from this environment, so they fall back to the clearly-
-  * isolated deterministic fakes in [[StubCodec]]. [[Codec]] dispatches
-  * by sniffing payload bytes; swapping in real compressed-format codecs
-  * means extending that dispatch only.
+  * Image and uncompressed-audio payloads run through REAL kernels with
+  * NO external library: BMP (24-bpp) and WAV (PCM16) by plain
+  * byte-layout parsing ([[RawCodec]]), compressed images
+  * (png/jpeg/gif/tiff) via the JDK's `javax.imageio`
+  * ([[ImageIoCodec]]: header-only dimension probe, nearest-neighbor
+  * resize re-encoded in the source format, pooled-gray features).
+  * Compressed AUDIO (mp3/…) has no JDK codec, so it falls back to the
+  * clearly-isolated deterministic fakes in [[StubCodec]] — as does any
+  * payload whose real decode fails. [[Codec]] dispatches by sniffing
+  * payload bytes; swapping in further codecs means extending that
+  * dispatch only.
   */
 object MediaOps {
 
@@ -54,14 +56,21 @@ object MediaOps {
     def probe(content: Array[Byte]): MediaMeta = RawCodec.sniff(content) match {
       case Some("bmp") => total(RawCodec.probeBmp(content))(StubCodec.probe(content))
       case Some("wav") => total(RawCodec.probeWav(content))(StubCodec.probe(content))
-      case _ => StubCodec.probe(content)
+      case _ => ImageIoCodec.sniff(content) match {
+        case Some(fmt) => total(ImageIoCodec.probe(content, fmt))(StubCodec.probe(content))
+        case _ => StubCodec.probe(content)
+      }
     }
 
     def resize(content: Array[Byte], w: Int, h: Int): Array[Byte] =
       RawCodec.sniff(content) match {
         case Some("bmp") =>
           total(RawCodec.resizeBmp(content, w, h))(StubCodec.resize(content, w, h))
-        case _ => StubCodec.resize(content, w, h) // resize of audio = stub too
+        case _ => ImageIoCodec.sniff(content) match {
+          case Some(fmt) =>
+            total(ImageIoCodec.resize(content, fmt, w, h))(StubCodec.resize(content, w, h))
+          case _ => StubCodec.resize(content, w, h) // resize of audio = stub too
+        }
       }
 
     def feature(content: Array[Byte], dim: Int): Array[Float] =
@@ -70,7 +79,11 @@ object MediaOps {
           total(RawCodec.bmpFeature(content, dim))(StubCodec.feature(content, dim))
         case Some("wav") =>
           total(RawCodec.wavFeature(content, dim))(StubCodec.feature(content, dim))
-        case _ => StubCodec.feature(content, dim)
+        case _ => ImageIoCodec.sniff(content) match {
+          case Some(_) =>
+            total(ImageIoCodec.feature(content, dim))(StubCodec.feature(content, dim))
+          case _ => StubCodec.feature(content, dim)
+        }
       }
 
     def frames(content: Array[Byte], n: Int): Seq[Array[Byte]] =

@@ -2,10 +2,10 @@ package graft.multimodal
 
 /** REAL codec kernels for the container formats that need no external
   * library — plain byte-layout parsing of BMP (uncompressed 24-bpp) and
-  * WAV (PCM16). These replace the deterministic stubs wherever the
-  * payload actually is one of these formats; compressed formats (png,
-  * jpeg, mp3, …) still fall back to [[MediaOps.StubCodec]] because no
-  * codec libraries exist in this environment.
+  * WAV (PCM16). Compressed IMAGE formats (png/jpeg/gif/tiff) run
+  * through the JDK's `javax.imageio` kernels in [[ImageIoCodec]];
+  * compressed audio (mp3, …) falls back to [[MediaOps.StubCodec]]
+  * because the JDK ships no audio codec.
   *
   * Format references are the public file-format layouts: BMP =
   * BITMAPFILEHEADER (14 B: 'BM', size, pixel-array offset at 10) +
@@ -44,6 +44,14 @@ object RawCodec {
     val h = math.abs(hRaw)
     require(u16(c, 28) == 24, s"only 24-bpp BMP supported, got ${u16(c, 28)}")
     val rowSize = ((w * 3 + 3) / 4) * 4
+    // Validate the claimed geometry against the actual payload BEFORE
+    // allocating w*h ints: a corrupt/crafted header claiming huge
+    // dimensions would otherwise raise OutOfMemoryError — an Error, not
+    // NonFatal, so it would ESCAPE Codec.total's stub fallback and kill
+    // the task. Long arithmetic so rowSize*h cannot overflow the check.
+    require(w > 0 && h > 0 && off >= 54 &&
+      off.toLong + rowSize.toLong * h <= c.length,
+      s"BMP header claims ${w}x$h at offset $off but payload is ${c.length} B")
     val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {
@@ -192,7 +200,7 @@ object RawCodec {
     }
   }
 
-  private def bucketMeans(n: Int, dim: Int)(value: Int => Double): Array[Float] = {
+  private[multimodal] def bucketMeans(n: Int, dim: Int)(value: Int => Double): Array[Float] = {
     val out = new Array[Float](dim)
     if (n == 0) return out
     var b = 0

@@ -126,12 +126,32 @@ object ArchivePipeline {
       }
     if (fresh.isEmpty)
       return IngestReport(watermark, Nil, Nil, Nil, Nil)
+    val rep = ingest(spark, fresh.toSeq, cfg, store, fetcher, metrics)
+    rep.copy(newWatermark = math.max(watermark, rep.newWatermark))
+  }
+
+  /** Fetch → dedup → promote → gated advance for an ALREADY
+    * watermark-filtered batch of `(seqnum, absoluteUrl)` work items —
+    * the tail of [[run]], exposed so the STREAMING daemon can call it
+    * per micro-batch (the `graft-manifest` source's checkpointed offset
+    * has already done the filtering there). `newWatermark` is the gated
+    * advance over THIS batch only; [[run]] maxes it with the incoming
+    * watermark.
+    */
+  def ingest(spark: SparkSession,
+             fresh: Seq[(Long, String)],
+             cfg: SourceConfig,
+             store: Store,
+             fetcher: Fetcher,
+             metrics: Metrics): IngestReport = {
+    import spark.implicits._
+    if (fresh.isEmpty) return IngestReport(0L, Nil, Nil, Nil, Nil)
 
     // 2. Distributed fetch + store write (O9-O10). Each task fetches,
     // derives the archive key, writes, and emits metadata only.
     val errLabel = cfg.dataset
     val failedAcc = metrics.downloadFailed(errLabel)
-    val items = spark.createDataset(fresh.toSeq).toDF("seqnum", "url")
+    val items = spark.createDataset(fresh).toDF("seqnum", "url")
     // ONE action drains the fetch stage: the side-effecting work
     // (fetch + store write + failure counters) must not sit under a
     // cached plan that later actions can silently recompute. The
@@ -218,6 +238,6 @@ object ArchivePipeline {
       .select("watermark").as[Long].head()
     val failedSeqs = fetchedRows.filter(_._4).map(_._1)
 
-    IngestReport(math.max(watermark, adv), kept, dups, failedSeqs.toSeq, promoted)
+    IngestReport(adv, kept, dups, failedSeqs.toSeq, promoted)
   }
 }

@@ -2,7 +2,9 @@ package graft.plans
 
 import java.nio.charset.StandardCharsets.UTF_8
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.core.{Metrics, MetricsHttpEndpoint, MetricsPublisher, MetricsSink}
 import graft.sources.{HttpFetcher, Store}
@@ -122,10 +124,71 @@ object Downloader {
       interval = interval, deviation = deviation, sleep = sleep)
   }
 
-  /** Service entry: graft.plans.Downloader <storeRoot> <manifestUrl>.
+  /** The STRUCTURED-STREAMING form of the daemon:
+    * `readStream.format("graft-manifest")` →
+    * `foreachBatch(ArchivePipeline.ingest)`. Here the source's
+    * checkpointed seqnum offset IS the watermark — one engine-managed
+    * authority (no `_meta/watermark` key, no second copy of the
+    * invariant; the driver-loop form and this one implement the same
+    * reference semantics, downloader.go:59-103, but this one lets the
+    * engine own the state).
+    *
+    * Each micro-batch carries exactly the manifest rows above the
+    * restored offset; its files fetch/dedup/promote through the same
+    * pipeline tail as the loop form. A batch containing FAILED files
+    * throws, so the offset does NOT commit and a restart replays the
+    * same rows — the streaming analog of the gated watermark advance
+    * (routeviews.go:56-62). Replays are safe because archive writes are
+    * idempotent by key and dedup is content-hash based. Collecting the
+    * batch rows driver-side mirrors [[ArchivePipeline.run]]: they are
+    * manifest METADATA (seqnum, url); the heavy per-file fetch fans out
+    * in executor tasks inside `ingest`.
+    */
+  def stream(spark: SparkSession,
+             store: Store,
+             fetcher: graft.plans.Fetcher,
+             metrics: Metrics,
+             feed: ManifestFeed,
+             checkpointDir: String,
+             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val processBatch: (Dataset[Row], Long) => Unit = { (batch, _) =>
+      import batch.sparkSession.implicits._
+      val items = batch.select(col("seqnum"), col("url"))
+        .as[(Long, String)].collect().toSeq
+      if (items.nonEmpty) {
+        val report = ArchivePipeline.ingest(
+          spark, items, feed.cfg, store, fetcher, metrics)
+        if (report.failed.nonEmpty)
+          throw new IllegalStateException(
+            s"${report.failed.size} file(s) failed " +
+            s"(seqnums ${report.failed.mkString(",")}); batch not " +
+            "committed — a restart replays it (gated-advance semantics)")
+      }
+    }
+    spark.readStream.format("graft-manifest")
+      .option("url", feed.manifestUrl).load()
+      .writeStream
+      .queryName(s"graft-downloader-${feed.cfg.dataset}")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch(processBatch)
+      .start()
+  }
+
+  /** Service entry: graft.plans.Downloader <storeRootUri> <manifestUrl>.
     * Serves /metrics on GRAFT_METRICS_PORT (default 9090); Basic Auth
     * from GRAFT_AUTH_USER/GRAFT_AUTH_PASS (the maxmind licence-key
-    * pattern). */
+    * pattern).
+    *
+    * With GRAFT_CHECKPOINT set, runs the streaming form ([[stream]]):
+    * the engine checkpoint at that path is the single watermark
+    * authority, triggering every GRAFT_INTERVAL_MS (default 24 h). A
+    * failed batch terminates the query WITHOUT committing its offset;
+    * the supervision loop below restarts it after a short backoff, so
+    * the failed files replay — the daemon-level equivalent of the
+    * reference retrying un-advanced seqnums next iteration. Without
+    * GRAFT_CHECKPOINT, runs the driver-loop form with store-persisted
+    * watermarks. */
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: Downloader <storeRootUri> <manifestUrl>")
     val spark = graft.core.Sessions.local(sys.env.getOrElse("GRAFT_CPUS", "8").toInt)
@@ -141,9 +204,28 @@ object Downloader {
       currentName = "RouteViewIPv4/current/routeviews.pfx2as.gz",
       urlRegex = Some(new scala.util.matching.Regex(""".*(\d{4}/\d{2}/)(.*)""")),
       dedupScopeRegex = new scala.util.matching.Regex("""(.*)""")), args(1))
-    try loop(spark, store, fetcher, metrics, new graft.core.TextFileMetricsSink(
-        sys.env.getOrElse("GRAFT_METRICS_FILE", "/tmp/graft_metrics.prom")),
-      Seq(feed), Nil, iterations = Int.MaxValue)
+    try sys.env.get("GRAFT_CHECKPOINT") match {
+      case Some(ckpt) =>
+        val interval = sys.env.getOrElse("GRAFT_INTERVAL_MS",
+          (24L * 3600 * 1000).toString).toLong
+        val publisher = new MetricsPublisher(spark, metrics,
+          new graft.core.TextFileMetricsSink(
+            sys.env.getOrElse("GRAFT_METRICS_FILE", "/tmp/graft_metrics.prom")))
+        while (true) {
+          val q = stream(spark, store, fetcher, metrics, feed, ckpt,
+            Trigger.ProcessingTime(interval))
+          try q.awaitTermination()
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"stream failed (will replay batch): ${e.getMessage}")
+          }
+          publisher.publishNow()
+          Thread.sleep(sys.env.getOrElse("GRAFT_RESTART_BACKOFF_MS", "60000").toLong)
+        }
+      case None =>
+        loop(spark, store, fetcher, metrics, new graft.core.TextFileMetricsSink(
+            sys.env.getOrElse("GRAFT_METRICS_FILE", "/tmp/graft_metrics.prom")),
+          Seq(feed), Nil, iterations = Int.MaxValue)
+    }
     finally { endpoint.stop(); spark.stop() }
   }
 }

@@ -44,6 +44,17 @@ object VectorOps {
     * of dimension i (the first `nBits` dims act as fixed hyperplanes).
     * Same-bucket vectors are cosine-close with high probability, so an
     * equi-join on the bucket id prunes the candidate set.
+    *
+    * Parallelism/recall model: `nBits` hyperplanes make `2^nBits`
+    * buckets. A bucket equi-join's parallelism is capped at the bucket
+    * count and each bucket is ~`N/2^nBits`-quadratic, so raising nBits
+    * multiplies join parallelism and divides per-bucket work — at the
+    * price of recall: a pair collides iff ALL nBits sign bits agree,
+    * and agreement on bits [0, n) implies agreement on bits [0, m) for
+    * m < n, so the nBits candidate set is a strict-or-equal SUBSET of
+    * every lower-bit candidate set (spec-proven at 8 vs 4 bits). Size
+    * nBits so `N/2^nBits` quadratic work fits one task — ~4 at test SF,
+    * 20+ at warehouse scale.
     */
   def signBucket(a: Column, nBits: Int): Column =
     aggregate(
@@ -52,6 +63,45 @@ object VectorOps {
         sequence(lit(0), lit(nBits - 1)),
         (x, i) => when(x > 0, pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
       lit(0L), (s, x) => s + x)
+
+  /** All `(a_id < b_id)` same-bucket pairs with cosine ≥ `minSim` under
+    * an `nBits` sign-bucket LSH — the sub-quadratic near-dup default
+    * (q50's shape, parameterized). One shuffle on the bucket key; the
+    * quadratic blow-up stays confined to same-bucket groups. Same-bucket
+    * recall is the CONTRACT: cross-bucket pairs are out of scope by
+    * definition (see [[signBucket]] for the bits ↔ parallelism ↔ recall
+    * trade). Output: (a_id, b_id, sim). */
+  def cosineNearDupLsh(emb: DataFrame, idCol: String, vecCol: String,
+                       nBits: Int, minSim: Double): DataFrame = {
+    val e = emb
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("bkt", signBucket(col("__v"), nBits))
+    val a = e.select(col("bkt"), col(idCol).as("a_id"), col("__v").as("__va"))
+    val b = e.select(col("bkt"), col(idCol).as("b_id"), col("__v").as("__vb"))
+    a.join(b, "bkt").filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(cosine(col("__va"), col("__vb")), 4).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
+  /** Approximate top-k neighbors of `probeId` under an `nBits`
+    * sign-bucket LSH (q23's shape, parameterized): the probe's bucket id
+    * is a broadcast scalar, so the scan prunes ~(1 − 2^−nBits) of the
+    * corpus before any vector math; exact cosine reranks the survivors.
+    * Output: (idCol, sim). */
+  def annSearchLsh(emb: DataFrame, idCol: String, vecCol: String,
+                   probeId: Long, k: Int, nBits: Int): DataFrame = {
+    val e = emb
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("bkt", signBucket(col("__v"), nBits))
+    val probe = broadcast(e.filter(col(idCol) === probeId)
+      .select(col("__v").as("__pv"), col("bkt").as("__pbkt")))
+    e.join(probe, col("bkt") === col("__pbkt"))
+      .filter(col(idCol) =!= probeId)
+      .select(col(idCol), round(cosine(col("__v"), col("__pv")), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
 
   /** A trained IVF coarse quantizer plus the cell assignment it induces.
     * `centroids` is a local `(cid LONG, c ARRAY<DOUBLE>)` relation —
@@ -97,16 +147,23 @@ object VectorOps {
   def ivfModel(emb: DataFrame, idCol: String, vecCol: String, nCells: Int,
                sampleN: Int = 256, iters: Int = 2): IvfModel = {
     val spark = emb.sparkSession
-    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
     val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
     val hashed = e.withColumn("__h", md5(col(idCol).cast("string")))
     val train = hashed.orderBy(col("__h"), col(idCol)).limit(sampleN)
       .select(col(idCol).as("__tid"), col("__v"))
-    // nCells rows: the window sort is the same (md5, id) order
-    val seeds = hashed.orderBy(col("__h"), col(idCol)).limit(nCells)
-      .withColumn("__cid",
-        (row_number().over(Window.orderBy(col("__h"), col(idCol))) - 1).cast("long"))
-      .select(col("__cid"), col("__v").as("__c"))
+    // Seed ranks: ORDER BY + LIMIT runs as TakeOrderedAndProject, and the
+    // collected rows arrive in that (md5, id) order, so ranking the
+    // ≤ nCells seed rows locally replaces the former global
+    // row_number() window (a 1-partition WindowExec over model-sized
+    // data — harmless, but it tripped the "No Partition Defined"
+    // warning on every training run).
+    val seedRows = hashed.orderBy(col("__h"), col(idCol)).limit(nCells)
+      .select(col("__v")).collect().map(_.getSeq[Double](0))
+    val seeds = spark.createDataset(
+        seedRows.toSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) })
+      .toDF("__cid", "__c")
+      .select(col("__cid"), col("__c").cast("array<double>").as("__c"))
     var cents = seeds
     for (_ <- 1 to iters) {
       val asg = assignCells(train, "__tid", cents)
@@ -125,7 +182,6 @@ object VectorOps {
     val centRows = cents.orderBy(col("__cid")).collect().map { r =>
       (r.getLong(0), r.getSeq[Double](1))
     }
-    import spark.implicits._
     val centsLocal = spark.createDataset(centRows.toSeq).toDF("__cid", "__c")
       .select(col("__cid"), col("__c").cast("array<double>").as("__c"))
     IvfModel(assignCells(e, idCol, centsLocal), centsLocal)

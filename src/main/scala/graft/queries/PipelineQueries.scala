@@ -152,25 +152,18 @@ object PipelineQueries {
       |ORDER BY a_id, b_id""".stripMargin
 
   // --------------------------------------------------------------- Q23
-  /** LSH-bucketed approximate nearest neighbors: sign-bit bucket (4
-    * hyperplanes) prunes candidates to the probe's bucket, exact cosine
-    * reranks, top-5. The probe's bucket id is a broadcast scalar, so the
-    * scan prunes ~15/16 of the corpus before any vector math; with the
-    * table pre-partitioned by bucket this touches one partition.
+  /** LSH-bucketed approximate nearest neighbors
+    * ([[VectorOps.annSearchLsh]] at 4 hyperplanes = 16 buckets; the bits
+    * parameter trades parallelism/work against recall — see
+    * [[VectorOps.signBucket]]): the probe's bucket id is a broadcast
+    * scalar, so the scan prunes ~15/16 of the corpus before any vector
+    * math; exact cosine reranks, top-5. With the table pre-partitioned
+    * by bucket this touches one partition.
     */
-  val q23: Q = (s, d) => {
-    val probeId = 0L
-    val e = t(s, d, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("bkt", VectorOps.signBucket(col("v"), 4))
-    val probe = broadcast(e.filter(col("vec_id") === probeId)
-      .select(col("v").as("pv"), col("bkt").as("pbkt")))
-    e.join(probe, col("bkt") === col("pbkt"))
-      .filter(col("vec_id") =!= probeId)
-      .select(col("vec_id"), round(VectorOps.cosine(col("v"), col("pv")), 4).as("sim"))
-      .orderBy(col("sim").desc, col("vec_id"))
-      .limit(5)
-  }
+  val q23: Q = (s, d) =>
+    VectorOps.annSearchLsh(t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", probeId = 0L, k = 5, nBits = 4)
 
   val q23Sql: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -603,25 +596,20 @@ object PipelineQueries {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // --------------------------------------------------------------- Q50
-  /** Embedding near-dup, the 100 TB DEFAULT path for q22's semantics:
-    * sign-bucket LSH (16 buckets over 4 hyperplanes) confines the
-    * quadratic blow-up to same-bucket groups — one shuffle on the bucket
-    * key — and exact cosine verifies candidates at ≥ 0.35. Same-bucket
-    * recall is this query's CONTRACT (cross-bucket pairs are out of
-    * scope by definition, mirrored exactly by the oracle); q22 remains
-    * the exact all-pairs tier via the tiled kernel. */
-  val q50: Q = (s, d) => {
-    val e = t(s, d, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("bkt", VectorOps.signBucket(col("v"), 4))
-    val a = e.select(col("bkt"), col("vec_id").as("a_id"), col("v").as("va"))
-    val b = e.select(col("bkt"), col("vec_id").as("b_id"), col("v").as("vb"))
-    a.join(b, "bkt").filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        round(VectorOps.cosine(col("va"), col("vb")), 4).as("sim"))
-      .filter(col("sim") >= 0.35)
+  /** Embedding near-dup, the 100 TB DEFAULT path for q22's semantics
+    * ([[VectorOps.cosineNearDupLsh]] at 4 hyperplanes = 16 buckets; the
+    * bits parameter trades join parallelism and per-bucket quadratic
+    * work against recall — see [[VectorOps.signBucket]], and size it to
+    * the corpus at scale). One shuffle on the bucket key; exact cosine
+    * verifies candidates at ≥ 0.35. Same-bucket recall is this query's
+    * CONTRACT (cross-bucket pairs are out of scope by definition,
+    * mirrored exactly by the oracle); q22 remains the exact all-pairs
+    * tier via the tiled kernel. */
+  val q50: Q = (s, d) =>
+    VectorOps.cosineNearDupLsh(t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", nBits = 4, minSim = 0.35)
       .orderBy(col("a_id"), col("b_id"))
-  }
 
   val q50Sql: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

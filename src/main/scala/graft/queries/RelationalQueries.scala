@@ -221,7 +221,17 @@ object RelationalQueries {
   // --------------------------------------------------------------- Q42
   /** RANGE window frames: per event, the count and sum of events whose
     * event_id lies within the preceding 100 ids (value-based frame, not
-    * row-based). */
+    * row-based).
+    *
+    * BOUNDED-INPUT CONTRACT: the frame is deliberately global (no
+    * PARTITION BY — the range frame spans the whole id line), so the
+    * window runs in ONE task over whatever passes the filter. The
+    * literal `event_id < 2000` bounds that input to a CONSTANT row
+    * count at any SF, which is what makes the single-partition window
+    * acceptable here; an unbounded global range frame would need a
+    * partition key or a two-pass prefix-sum formulation instead. The
+    * WindowExec "No Partition Defined" warning this emits is therefore
+    * expected and safe — by declared design, not oversight. */
   val q42: Q = (s, d) => {
     val w = Window.orderBy(col("event_id")).rangeBetween(-100L, Window.currentRow)
     t(s, d, "events")

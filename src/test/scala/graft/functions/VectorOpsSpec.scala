@@ -89,4 +89,52 @@ class VectorOpsSpec extends SparkSpec {
     assert(b(0L) != b(2L))
     assert(b.values.forall(v => v >= 0 && v < 16))
   }
+
+  /** Deterministic vectors spanning many orthants. */
+  private def fixture12d(n: Int): org.apache.spark.sql.DataFrame = {
+    val rnd = new scala.util.Random(47)
+    (0L until n.toLong).map { i =>
+      (i, Seq.fill(12)(rnd.nextGaussian()))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("more hyperplane bits: near-dup pairs are a subset of fewer bits (recall model)") {
+    // agreement on sign bits [0, 8) implies agreement on [0, 4), so the
+    // 8-bit candidate (and pair) set can only shrink — the documented
+    // bits <-> parallelism <-> recall trade
+    val e = fixture12d(300)
+    def pairs(bits: Int) =
+      VectorOps.cosineNearDupLsh(e, "vec_id", "embedding", bits, 0.2)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val at4 = pairs(4); val at8 = pairs(8)
+    assert(at4.nonEmpty)
+    assert(at8.subsetOf(at4))
+    assert(at8.size < at4.size, "8 bits should prune some same-4-bit pairs here")
+  }
+
+  test("annSearchLsh at 8 bits returns a subset of the probe bucket's 4-bit candidates") {
+    val e = fixture12d(300)
+    def hits(bits: Int) =
+      VectorOps.annSearchLsh(e, "vec_id", "embedding", probeId = 0L,
+          k = 300, nBits = bits) // k = corpus: the full candidate set
+        .select("vec_id").as[Long].collect().toSet
+    val at4 = hits(4); val at8 = hits(8)
+    assert(at4.nonEmpty && at8.subsetOf(at4))
+  }
+
+  test("cosineNearDupLsh emits strict a_id < b_id with exact verified sims") {
+    val e = fixture12d(120)
+    val got = VectorOps.cosineNearDupLsh(e, "vec_id", "embedding", 4, 0.2)
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall { case (a, b, s) => a < b && s >= 0.2 && s <= 1.0 })
+    // verified against brute-force cosine on the collected vectors
+    val vecs = e.as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      math.rint(r * 10000) / 10000
+    }
+    got.foreach { case (a, b, s) => assert(math.abs(cos(vecs(a), vecs(b)) - s) < 1e-9) }
+  }
 }

@@ -58,6 +58,34 @@ object ScaleProbe {
     time("q19_flood (3k identical docs)     ")(
       graft.operators.MinHashLsh.nearDup(flood, 4, 2, 3, 0.5).count())
 
+    // --- dense-tile streaming probe: ONE tile at threshold 0 over
+    // identical vectors → every (i, j) passes, ~200M pairs from a single
+    // task. The lazy cursor kernels stream them with flat heap; the
+    // former per-task Seq.newBuilder would have to hold ~8 GB of tuples
+    // before returning. Peak heap is sampled while draining.
+    {
+      val n = 20000
+      val rows = Array.tabulate(n)(i => (i.toLong, Array(1.0, 2.0, 3.0, 4.0)))
+      val rt = Runtime.getRuntime
+      System.gc(); Thread.sleep(300)
+      val before = rt.totalMemory - rt.freeMemory
+      @volatile var peak = before
+      @volatile var live = true
+      val sampler = new Thread(() => while (live) {
+        val u = rt.totalMemory - rt.freeMemory
+        if (u > peak) peak = u
+        Thread.sleep(10)
+      })
+      sampler.setDaemon(true); sampler.start()
+      val t0 = System.nanoTime()
+      var cnt = 0L
+      val it = graft.operators.SimilarityJoin.cosineTile(0.0)(rows, rows, diag = true)
+      while (it.hasNext) { it.next(); cnt += 1 }
+      live = false
+      println(f"dense_tile_stream: ${(System.nanoTime() - t0) / 1e9}%.2f s, " +
+        f"$cnt pairs from one tile, peak heap delta ${(peak - before) / 1024 / 1024} MB")
+    }
+
     // --- skew probe: one hot key holding 90% of a 4M-row probe side,
     // broadcast + AQE skew handling disabled so the join mechanism itself
     // is measured: the salted join must spread the hot key's reduce work

@@ -49,7 +49,31 @@ object ImageIoCodec {
     } finally iis.close()
   }
 
+  /** Decode cap: a full decode allocates a w×h raster, so dimensions are
+    * bounded BEFORE `ImageIO.read` — a tiny crafted PNG/GIF/TIFF can
+    * declare billions of pixels (decompression bomb) and the resulting
+    * OutOfMemoryError is an Error, not NonFatal, so it would escape
+    * [[MediaOps.Codec]]'s total-at-the-boundary fallback and kill the
+    * task. 100M pixels ≈ a 400 MB ARGB raster — beyond any sane corpus
+    * image; such payloads fall back to the stub via the require. */
+  private val MaxDecodePixels = 100L * 1000 * 1000
+
   private def read(content: Array[Byte]): BufferedImage = {
+    // header-only dimension check first (same mechanism as probe —
+    // metadata read, no pixel decode), mirroring the BMP geometry guard
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(content))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "no ImageIO reader for payload")
+      val r = readers.next()
+      try {
+        r.setInput(iis)
+        val w = r.getWidth(0).toLong
+        val h = r.getHeight(0).toLong
+        require(w > 0 && h > 0 && w * h <= MaxDecodePixels,
+          s"image declares ${w}x$h — exceeds the $MaxDecodePixels-pixel decode cap")
+      } finally r.dispose()
+    } finally iis.close()
     val img = ImageIO.read(new ByteArrayInputStream(content))
     require(img != null, "ImageIO could not decode payload")
     img

@@ -43,15 +43,20 @@ object RawCodec {
     val hRaw = i32(c, 22)
     val h = math.abs(hRaw)
     require(u16(c, 28) == 24, s"only 24-bpp BMP supported, got ${u16(c, 28)}")
-    val rowSize = ((w * 3 + 3) / 4) * 4
     // Validate the claimed geometry against the actual payload BEFORE
     // allocating w*h ints: a corrupt/crafted header claiming huge
     // dimensions would otherwise raise OutOfMemoryError — an Error, not
     // NonFatal, so it would ESCAPE Codec.total's stub fallback and kill
-    // the task. Long arithmetic so rowSize*h cannot overflow the check.
+    // the task. ALL arithmetic in Long: w ≥ 715,827,883 overflows w*3 in
+    // Int to a negative rowSize, which would make the payload bound pass
+    // for a 54-byte crafted header; and w*h must itself fit an Int
+    // before `new Array[Int](w * h)` is legal.
+    val rowSizeL = ((w.toLong * 3 + 3) / 4) * 4
     require(w > 0 && h > 0 && off >= 54 &&
-      off.toLong + rowSize.toLong * h <= c.length,
+      w.toLong * h <= Int.MaxValue &&
+      off.toLong + rowSizeL * h <= c.length,
       s"BMP header claims ${w}x$h at offset $off but payload is ${c.length} B")
+    val rowSize = rowSizeL.toInt
     val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {

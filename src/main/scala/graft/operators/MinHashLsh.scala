@@ -53,9 +53,15 @@ object MinHashLsh {
     // reused by every downstream consumer, so the text shuffles once.
     // At warehouse scale inputs arrive in thousands of splits and this
     // branch is a no-op (no extra shuffle of the text column).
+    // The decision reads `inputFiles` — file-listing METADATA off the
+    // analyzed plan — not `docs.rdd`, which would force physical
+    // planning of the input on the driver during query construction.
+    // Non-file inputs (in-memory test relations) report zero files and
+    // are left alone: LocalTableScan already spreads its rows.
     val sc = docs.sparkSession.sparkContext
+    val nFiles = docs.inputFiles.length
     val spread =
-      if (docs.rdd.getNumPartitions < sc.defaultParallelism)
+      if (nFiles > 0 && nFiles < sc.defaultParallelism)
         docs.repartition(sc.defaultParallelism)
       else docs
     val sh = TextOps.shinglesNative(col("text"), shingleN)
@@ -168,5 +174,12 @@ object MinHashLsh {
         (size(col("sha")) + size(col("shb")) - col("common")), 4))
       .filter(col("jac") >= minJaccard)
       .select(col("a_id"), col("b_id"), col("jac"))
+      // Duplicate doc_ids in the INPUT fan out the signature joins (one
+      // verify row per signature-row combination); contract is one row
+      // per pair. Deduping the small RESULT set here costs one exchange
+      // of the near-dup pairs only — deduping the shh side instead would
+      // shuffle the whole signature table and defeat AQE's broadcast of
+      // the candidate set.
+      .dropDuplicates("a_id", "b_id")
   }
 }

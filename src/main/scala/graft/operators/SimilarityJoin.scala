@@ -47,7 +47,16 @@ object SimilarityJoin {
   }
 
   /** Tile kernel: norms once per buffer, then the tight dot-product loop.
-    * Shared with [[graft.plans.CosineSelfJoinExec]]. */
+    * Shared with [[graft.plans.CosineSelfJoinExec]].
+    *
+    * Emits pairs LAZILY from (i, j) cursor state — per-task memory is the
+    * two input blocks plus one pending pair, independent of how many
+    * pairs pass. With a low threshold or a near-dup-dense corpus the
+    * output is O((N/b)²); buffering it per task (the previous
+    * `Seq.newBuilder` form) was the engine's last unbounded-memory path.
+    * Downstream consumers (shuffle writers, UnsafeProjection) pull
+    * one pair at a time.
+    */
   private[graft] def cosineTile(threshold: Double)(
       left: Array[(Long, Array[Double])], right: Array[(Long, Array[Double])],
       diag: Boolean): Iterator[(Long, Long, Double)] = {
@@ -59,29 +68,45 @@ object SimilarityJoin {
       }
     val ln = norms(left)
     val rn = if (diag) ln else norms(right)
-    val out = Seq.newBuilder[(Long, Long, Double)]
-    var i = 0
-    while (i < left.length) {
-      val (aId, av) = left(i)
-      var j = if (diag) i + 1 else 0
-      while (j < right.length) {
-        val (bId, bv) = right(j)
-        var s = 0.0
-        var k = 0
-        val n = math.min(av.length, bv.length)
-        while (k < n) { s += av(k) * bv(k); k += 1 }
-        // duplicate ids (both land in the same block) must not emit
-        // (id, id) self-pairs — the contract is strictly a_id < b_id
-        if (aId != bId) {
-          val sim = round4(s / (ln(i) * rn(j)))
-          if (sim >= threshold)
-            out += (if (aId < bId) (aId, bId, sim) else (bId, aId, sim))
+    new scala.collection.AbstractIterator[(Long, Long, Double)] {
+      private var i = 0
+      private var j = if (diag) 1 else 0
+      private var ready = false
+      private var aOut = 0L; private var bOut = 0L; private var simOut = 0.0
+      private def advance(): Unit = {
+        while (!ready && i < left.length) {
+          if (j >= right.length) {
+            i += 1
+            j = if (diag) i + 1 else 0
+          } else {
+            val (aId, av) = left(i)
+            val (bId, bv) = right(j)
+            // duplicate ids (both land in the same block) must not emit
+            // (id, id) self-pairs — the contract is strictly a_id < b_id
+            if (aId != bId) {
+              var s = 0.0
+              var k = 0
+              val n = math.min(av.length, bv.length)
+              while (k < n) { s += av(k) * bv(k); k += 1 }
+              val sim = round4(s / (ln(i) * rn(j)))
+              if (sim >= threshold) {
+                if (aId < bId) { aOut = aId; bOut = bId } else { aOut = bId; bOut = aId }
+                simOut = sim
+                ready = true
+              }
+            }
+            j += 1
+          }
         }
-        j += 1
       }
-      i += 1
+      override def hasNext: Boolean = { advance(); ready }
+      override def next(): (Long, Long, Double) = {
+        advance()
+        if (!ready) Iterator.empty.next()
+        ready = false
+        (aOut, bOut, simOut)
+      }
     }
-    out.result().iterator
   }
 
   /** 64-bit FNV-1a of one token (the single-word case of [[fnvShingle]]). */
@@ -165,45 +190,67 @@ object SimilarityJoin {
       .toDF("a_id", "b_id", "common", "jac")
   }
 
+  /** Lazy (i, j)-cursor form, mirroring [[cosineTile]]: per-task memory
+    * is the two input blocks plus one pending pair regardless of output
+    * density — a threshold-0 run over an all-identical corpus streams
+    * its O((N/b)²) pairs instead of buffering them in one task's heap.
+    */
   private[graft] def jaccardTile(threshold: Double)(
       left: Array[(Long, Array[Long])], right: Array[(Long, Array[Long])],
       diag: Boolean): Iterator[(Long, Long, Long, Double)] = {
-    val out = Seq.newBuilder[(Long, Long, Long, Double)]
-    var i = 0
-    while (i < left.length) {
-      val (aId, av) = left(i)
-      var j = if (diag) i + 1 else 0
-      while (j < right.length) {
-        val (bId, bv) = right(j)
-        // The emitted filter is on round4(jac) ≥ t, so jac as low as
-        // t − 5e-5 can round up into the result: derive the count bound
-        // from that widened threshold. jac ≥ t' needs common ≥
-        // ceil(t'(na+nb)/(1+t')); skip the merge when sizes can't reach
-        // it, abort mid-merge once the remainder can't either. Duplicate
-        // ids never pair with themselves: the contract is a_id < b_id.
-        val tEff = math.max(threshold - 5e-5, 0.0)
-        val cMin = math.ceil(tEff * (av.length + bv.length) / (1 + tEff) - 1e-9).toInt
-        if (aId != bId && math.min(av.length, bv.length) >= cMin) {
-          var x = 0; var y = 0; var common = 0
-          var live = true
-          while (live && x < av.length && y < bv.length) {
-            val c = java.lang.Long.compare(av(x), bv(y))
-            if (c == 0) { common += 1; x += 1; y += 1 }
-            else if (c < 0) x += 1
-            else y += 1
-            if (common + math.min(av.length - x, bv.length - y) < cMin) live = false
-          }
-          if (common >= cMin) {
-            val jac = round4(common.toDouble / (av.length + bv.length - common))
-            if (jac >= threshold)
-              out += (if (aId < bId) (aId, bId, common.toLong, jac)
-                      else (bId, aId, common.toLong, jac))
+    // The emitted filter is on round4(jac) ≥ t, so jac as low as
+    // t − 5e-5 can round up into the result: derive the count bound
+    // from that widened threshold. jac ≥ t' needs common ≥
+    // ceil(t'(na+nb)/(1+t')); skip the merge when sizes can't reach
+    // it, abort mid-merge once the remainder can't either. Duplicate
+    // ids never pair with themselves: the contract is a_id < b_id.
+    val tEff = math.max(threshold - 5e-5, 0.0)
+    new scala.collection.AbstractIterator[(Long, Long, Long, Double)] {
+      private var i = 0
+      private var j = if (diag) 1 else 0
+      private var ready = false
+      private var aOut = 0L; private var bOut = 0L
+      private var commonOut = 0L; private var jacOut = 0.0
+      private def advance(): Unit = {
+        while (!ready && i < left.length) {
+          if (j >= right.length) {
+            i += 1
+            j = if (diag) i + 1 else 0
+          } else {
+            val (aId, av) = left(i)
+            val (bId, bv) = right(j)
+            val cMin = math.ceil(tEff * (av.length + bv.length) / (1 + tEff) - 1e-9).toInt
+            if (aId != bId && math.min(av.length, bv.length) >= cMin) {
+              var x = 0; var y = 0; var common = 0
+              var live = true
+              while (live && x < av.length && y < bv.length) {
+                val c = java.lang.Long.compare(av(x), bv(y))
+                if (c == 0) { common += 1; x += 1; y += 1 }
+                else if (c < 0) x += 1
+                else y += 1
+                if (common + math.min(av.length - x, bv.length - y) < cMin) live = false
+              }
+              if (common >= cMin) {
+                val jac = round4(common.toDouble / (av.length + bv.length - common))
+                if (jac >= threshold) {
+                  if (aId < bId) { aOut = aId; bOut = bId } else { aOut = bId; bOut = aId }
+                  commonOut = common.toLong
+                  jacOut = jac
+                  ready = true
+                }
+              }
+            }
+            j += 1
           }
         }
-        j += 1
       }
-      i += 1
+      override def hasNext: Boolean = { advance(); ready }
+      override def next(): (Long, Long, Long, Double) = {
+        advance()
+        if (!ready) Iterator.empty.next()
+        ready = false
+        (aOut, bOut, commonOut, jacOut)
+      }
     }
-    out.result().iterator
   }
 }

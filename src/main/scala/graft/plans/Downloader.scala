@@ -150,8 +150,9 @@ object Downloader {
              metrics: Metrics,
              feed: ManifestFeed,
              checkpointDir: String,
-             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val processBatch: (Dataset[Row], Long) => Unit = { (batch, _) =>
+             trigger: Trigger = Trigger.AvailableNow(),
+             onBatchSuccess: Long => Unit = _ => ()): StreamingQuery = {
+    val processBatch: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
       import batch.sparkSession.implicits._
       val items = batch.select(col("seqnum"), col("url"))
         .as[(Long, String)].collect().toSeq
@@ -164,6 +165,12 @@ object Downloader {
             s"(seqnums ${report.failed.mkString(",")}); batch not " +
             "committed — a restart replays it (gated-advance semantics)")
       }
+      // The streaming analog of the loop form's per-iteration hook: with
+      // Trigger.ProcessingTime a healthy query NEVER terminates, so
+      // metrics publication / all-success marking must happen per
+      // successful batch — publishing only after awaitTermination would
+      // publish only on failure.
+      onBatchSuccess(batchId)
     }
     spark.readStream.format("graft-manifest")
       .option("url", feed.manifestUrl).load()
@@ -213,11 +220,19 @@ object Downloader {
             sys.env.getOrElse("GRAFT_METRICS_FILE", "/tmp/graft_metrics.prom")))
         while (true) {
           val q = stream(spark, store, fetcher, metrics, feed, ckpt,
-            Trigger.ProcessingTime(interval))
+            Trigger.ProcessingTime(interval),
+            // per-batch success = the loop form's per-iteration verdict:
+            // gauge marked and sink published while the query is healthy
+            onBatchSuccess = _ => {
+              metrics.markAllSuccess(System.currentTimeMillis() / 1000L)
+              publisher.publishNow()
+            })
           try q.awaitTermination()
           catch { case scala.util.control.NonFatal(e) =>
             System.err.println(s"stream failed (will replay batch): ${e.getMessage}")
           }
+          // post-mortem publish: surfaces the failure-state counters even
+          // though the failed batch's own onBatchSuccess never ran
           publisher.publishNow()
           Thread.sleep(sys.env.getOrElse("GRAFT_RESTART_BACKOFF_MS", "60000").toLong)
         }

@@ -19,6 +19,39 @@ class ImageIoCodecSpec extends AnyFunSuite {
     out.toByteArray
   }
 
+  /** A syntactically valid PNG signature + IHDR declaring w×h — a
+    * decompression bomb's header: tiny payload, huge claimed raster. */
+  private def bombPng(w: Int, h: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    val data = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    val typed = "IHDR".getBytes("US-ASCII") ++ data
+    val crc = new java.util.zip.CRC32()
+    crc.update(typed)
+    out.write(java.nio.ByteBuffer.allocate(4).putInt(13).array())
+    out.write(typed)
+    out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+    out.toByteArray
+  }
+
+  test("decompression bomb: huge declared dimensions never reach full decode") {
+    val bomb = bombPng(50000, 50000) // 2.5G pixels from a 33-byte payload
+    assert(ImageIoCodec.sniff(bomb) == Some("png"))
+    // header-only probe is safe and reports the declared geometry
+    assert(ImageIoCodec.probe(bomb, "png") == MediaMeta("png", 50000, 50000, 0L))
+    // full-decode paths reject via the pixel cap (IllegalArgument, which
+    // IS NonFatal) instead of letting ImageIO allocate the raster and
+    // throw OutOfMemoryError (an Error — it would escape Codec.total)
+    intercept[IllegalArgumentException](ImageIoCodec.feature(bomb, 8))
+    intercept[IllegalArgumentException](ImageIoCodec.resize(bomb, "png", 4, 4))
+    // dispatcher contract: one crafted payload falls back to the stub
+    assert(MediaOps.Codec.feature(bomb, 8)
+      .sameElements(MediaOps.StubCodec.feature(bomb, 8)))
+  }
+
   test("sniff recognizes png/jpeg/gif magic and rejects other payloads") {
     assert(ImageIoCodec.sniff(encoded("png", 4, 4)) == Some("png"))
     assert(ImageIoCodec.sniff(encoded("jpg", 4, 4)) == Some("jpeg"))

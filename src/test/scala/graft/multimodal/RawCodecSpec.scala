@@ -34,6 +34,26 @@ class RawCodecSpec extends SparkSpec {
     out.array()
   }
 
+  test("crafted BMP width that overflows Int*3 is rejected, not allocated") {
+    // w = 715,827,883: w*3 overflows Int to a NEGATIVE rowSize, which
+    // (before the Long-arithmetic guard) made the payload-bound check
+    // pass for this 54-byte header and sent execution into a ~2.8 GB
+    // Array[Int] allocation whose OutOfMemoryError escapes Codec.total.
+    val c = new Array[Byte](54)
+    def put32(o: Int, v: Int): Unit = {
+      c(o) = v.toByte; c(o + 1) = (v >> 8).toByte
+      c(o + 2) = (v >> 16).toByte; c(o + 3) = (v >> 24).toByte
+    }
+    c(0) = 'B'; c(1) = 'M'
+    put32(10, 54); put32(18, 715827883); put32(22, 1)
+    c(28) = 24 // bpp (low byte of the u16)
+    intercept[IllegalArgumentException](RawCodec.bmpPixels(c))
+    // through the dispatcher: stub fallback, never an Error
+    val f = MediaOps.Codec.feature(c, 8)
+    assert(f.length == 8)
+    assert(f.sameElements(MediaOps.StubCodec.feature(c, 8)))
+  }
+
   test("BMP round-trip: write, sniff, probe, pixels") {
     val b = bmp4x3
     assert(RawCodec.sniff(b).contains("bmp"))

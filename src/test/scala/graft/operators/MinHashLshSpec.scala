@@ -79,6 +79,16 @@ class MinHashLshSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
     assert(got.nonEmpty)
     assert(got.forall { case (a, b, _) => a < b })
+    // and exactly ONE row per pair: duplicated ids fan out the verify
+    // signature joins (one row per signature combination) without the
+    // final pair dedup
+    assert(got.map(p => (p._1, p._2)).distinct.length == got.length,
+      "duplicate doc_ids multiplied candidate pairs in the output")
+    // the duplicated-id rows are identical text, so the pair set must
+    // equal the clean run's
+    val clean = MinHashLsh.nearDup(fixture, 4, 2, 3, 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(got.map(p => (p._1, p._2)).toSet == clean.map(p => (p._1, p._2)).toSet)
   }
 
   test("precomputed-signature path (parquet round-trip) equals the direct path") {

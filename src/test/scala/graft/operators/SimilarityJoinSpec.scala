@@ -40,6 +40,34 @@ class SimilarityJoinSpec extends SparkSpec {
     assert(a.forall(_._4 >= 0.3))
   }
 
+  test("jaccardTile emits lazily — partial consumption never touches later rows") {
+    // Poisoned (null-set) row at the tail: the old Seq.newBuilder kernel
+    // computed EVERY pair before returning, so construction+first-pull
+    // would NPE. The lazy cursor form only reaches the poison when the
+    // consumer pulls far enough. Row-major order on a diag tile means
+    // i=0 sweeps j=1..10, so pairs 1..9 precede the first poisoned pair.
+    val h = Array(1L, 2L, 3L)
+    val rows = Array.tabulate(10)(i => (i.toLong, h)) :+ ((99L, null: Array[Long]))
+    val it = SimilarityJoin.jaccardTile(0.0)(rows, rows, diag = true)
+    assert(it.take(9).length == 9) // safe prefix — poison untouched
+    val it2 = SimilarityJoin.jaccardTile(0.0)(rows, rows, diag = true)
+    intercept[NullPointerException] { it2.foreach(_ => ()) } // full drain reaches it
+  }
+
+  test("dense corpus at threshold 0 streams all O(n²) pairs correctly") {
+    // every vector identical → every pair passes; the kernels must emit
+    // the full n(n-1)/2 set (cursor bookkeeping must not skip or repeat)
+    val n = 60
+    val e = (0L until n.toLong).map(id => (id, Array(1.0, 2.0, 3.0))).toDS()
+    val cos = SimilarityJoin.cosinePairs(e, 0.0).collect()
+    assert(cos.length == n * (n - 1) / 2)
+    assert(cos.forall(_.getDouble(2) == 1.0))
+    val d = (0L until n.toLong).map(id => (id, Seq("a", "b", "c"))).toDS()
+    val jac = SimilarityJoin.jaccardPairs(d, 0.0).collect()
+    assert(jac.length == n * (n - 1) / 2)
+    assert(jac.forall(_.getDouble(3) == 1.0))
+  }
+
   test("pair exactly at the threshold is kept (early abort must not drop it)") {
     // |A|=2, |B|=2, common=1 → jac = 1/3; threshold 1/3 rounded
     val d = Seq(

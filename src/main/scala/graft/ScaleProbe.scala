@@ -7,9 +7,17 @@ import org.apache.spark.sql.functions._
   * design claims it (LSH near-dup, aggregation) — evidence for the
   * SURVEY §6 scale notes.
   */
+/** Synthetic per-URL payload fetcher for the manifest probe — top-level
+  * object so task closures don't capture probe-local state. Payloads
+  * are unique per URL, so dedup keeps everything. */
+object ScaleProbeFetcher extends graft.plans.Fetcher {
+  def fetch(url: String): Array[Byte] = ("payload:" + url).getBytes("UTF-8")
+}
+
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    val spark = graft.core.Sessions.local(32)
+    val spark = graft.core.Sessions.local(32,
+      Map("spark.sql.warehouse.dir" -> "/tmp/graft_probe_warehouse"))
     spark.sparkContext.setLogLevel("ERROR")
     val src = "/root/testdata/sf0.1"
     val out = "/tmp/graft_sf1x"
@@ -57,6 +65,67 @@ object ScaleProbe {
       lit("the quick brown fox jumps over the lazy dog again and again").as("text"))
     time("q19_flood (3k identical docs)     ")(
       graft.operators.MinHashLsh.nearDup(flood, 4, 2, 3, 0.5).count())
+
+    // --- bucketed-layout probe (the stored 100 TB end state): band keys
+    // of the 50k-doc corpus materialized ONCE into a table bucketed and
+    // sorted by bk; the recurring near-dup run's candidate self-join
+    // then reads co-located buckets — the plan must contain NO Exchange
+    // on bk, versus two full shuffles when the same slim table is read
+    // unbucketed. This is the shuffle actually disappearing on stored
+    // data, not just in BucketingSpec's generic join.
+    {
+      import graft.operators.MinHashLsh
+      val docs10 = spark.read.parquet(s"$out/documents.parquet")
+      val sig = MinHashLsh.signatures(docs10, 8, 3)
+      sig.select("doc_id", "shh").write.mode("overwrite")
+        .saveAsTable("probe_shh")
+      MinHashLsh.bandTable(sig, 4, 2)
+        .write.bucketBy(32, "bk").sortBy("bk")
+        .mode("overwrite").saveAsTable("probe_bands")
+      val fromBuckets = MinHashLsh.nearDupFromBands(
+        spark.table("probe_bands"), spark.table("probe_shh"), 0.5)
+      time("q19_bucketed sf1.0    (50k docs)  ")(fromBuckets.count())
+      val plan = fromBuckets.queryExecution.executedPlan.toString
+      val bkExchanges = plan.linesIterator.count(l =>
+        l.contains("Exchange") && l.contains("hashpartitioning(bk"))
+      println(s"q19_bucketed band-join Exchanges on bk: $bkExchanges (want 0)")
+      assert(bkExchanges == 0, "bucketed band table still shuffles on bk")
+    }
+
+    // --- 100k-entry manifest probe: pins the DOCUMENTED driver-side
+    // boundary of the archive pipeline (ArchivePipeline.run/ingest
+    // collect manifest METADATA — (seqnum, url) and (seqnum, name, md5,
+    // failed) tuples — while payload fetch/write fans out in executor
+    // tasks). 100k entries ≈ 3 decades of a daily feed; driver heap
+    // delta shows the metadata rows are the only driver-side state.
+    {
+      val n = 100000
+      val body = (1 to n).map { i =>
+        f"$i\t1497717708\t2017/${i % 12 + 1}%02d/routeviews-rv2-$i%06d.pfx2as.gz"
+      }.mkString("# probe manifest\n", "\n", "")
+      val store = new graft.sources.InMemoryStore
+      val cfg = graft.plans.SourceConfig(
+        dataset = "ProbeFeed",
+        pathPrefix = "ProbeFeed/",
+        currentName = "ProbeFeed/current/routeviews.pfx2as.gz",
+        urlRegex = Some(new scala.util.matching.Regex(""".*(\d{4}/\d{2}/)(.*)""")),
+        dedupScopeRegex = new scala.util.matching.Regex("""(ProbeFeed/\d{4}/\d{2}/)"""),
+        retryInitialMs = 1, retryMaxMs = 0)
+      val rt = Runtime.getRuntime
+      System.gc(); Thread.sleep(300)
+      val before = rt.totalMemory - rt.freeMemory
+      val t0 = System.nanoTime()
+      val rep = graft.plans.ArchivePipeline.run(spark, body,
+        "http://probe.test/rv/pfx2as-creation.log", cfg, store, 0L,
+        ScaleProbeFetcher, new graft.core.Metrics(spark))
+      val wall = (System.nanoTime() - t0) / 1e9
+      System.gc(); Thread.sleep(300)
+      val after = rt.totalMemory - rt.freeMemory
+      println(f"manifest_100k: $wall%.2f s, kept ${rep.kept.size}, " +
+        f"dups ${rep.duplicates.size}, watermark ${rep.newWatermark}, " +
+        f"retained driver heap delta ${(after - before) / 1024 / 1024} MB")
+      assert(rep.newWatermark == n.toLong, "gated advance over the full probe feed")
+    }
 
     // --- dense-tile streaming probe: ONE tile at threshold 0 over
     // identical vectors → every (i, j) passes, ~200M pairs from a single

@@ -129,20 +129,40 @@ object MinHashLsh {
     * signatures exactly once.
     */
   def nearDupFromSignatures(sig: DataFrame, bands: Int, rowsPerBand: Int,
-                            minJaccard: Double): DataFrame = {
-    // Stored `mh` is a plain column, so per-component getItem references
-    // are cheap (unlike the from-text path, where the fused band-key
-    // kernel avoids re-running the md5 family under the explode).
+                            minJaccard: Double): DataFrame =
+    candidateVerify(bandTable(sig, bands, rowsPerBand),
+      sig.select(col("doc_id"), col("shh")), minJaccard)
+
+  /** The slim `(doc_id, bk)` band table from precomputed signatures —
+    * the 100 TB STORED layout: materialized at ingest and written
+    * `bucketBy(n, "bk").sortBy("bk")`, so every subsequent near-dup
+    * run's candidate self-join reads co-located, pre-sorted buckets and
+    * plans with ZERO Exchange (see [[nearDupFromBands]]; the
+    * bucketed-layout ScaleProbe case shows the shuffle disappearing on
+    * stored data). Stored `mh` is a plain column, so per-component
+    * getItem references are cheap (unlike the from-text path, where the
+    * fused band-key kernel avoids re-running the md5 family under the
+    * explode). explode(null) emits nothing, so null-mh (empty-shingle)
+    * docs never enter a bucket. */
+  def bandTable(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandKeys = array((0 until bands).map { b =>
       concat_ws("|", lit(b.toString) +:
         (0 until rowsPerBand).map(r => col("mh").getItem(b * rowsPerBand + r)): _*)
     }: _*)
-    // explode(null) emits nothing, so null-mh (empty-shingle) docs never
-    // enter a bucket.
-    val slim = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
       explode(when(col("mh").isNotNull, bandKeys)).as("bk"))
-    candidateVerify(slim, sig.select(col("doc_id"), col("shh")), minJaccard)
   }
+
+  /** Candidate generation + exact verify from a STORED band table
+    * (`(doc_id, bk)`, as produced by [[bandTable]]) and the signature
+    * table. When `bands` was written bucketed+sorted by `bk`, the
+    * candidate self-join consumes the bucket layout directly — no
+    * Exchange on either side — which is the recurring-run shape at
+    * 100 TB: band keys computed once at ingest, every dedup run after
+    * that is bucket-local. */
+  def nearDupFromBands(bands: DataFrame, sig: DataFrame,
+                       minJaccard: Double): DataFrame =
+    candidateVerify(bands, sig.select(col("doc_id"), col("shh")), minJaccard)
 
   /** Shared candidate-generation + exact-verify tail: slim band-key
     * self-join → pair dedup → signature re-join → exact Jaccard.

@@ -220,7 +220,8 @@ object ArchivePipeline {
       .select("seqnum", "name").as[(Long, String)].collect()
 
     val kept = keptRows.map(_._2).toSeq
-    val dups = batchNames.toSeq.sorted.filterNot(kept.contains)
+    val keptSet = kept.toSet // Set membership: filterNot over a Seq is O(k²)
+    val dups = batchNames.toSeq.sorted.filterNot(keptSet.contains)
 
     // 4. Duplicate deletion (O14) — reference deletes the just-uploaded
     // duplicate; delete failure is permanent (common.go:123-130).

@@ -91,6 +91,29 @@ class MinHashLshSpec extends SparkSpec {
     assert(got.map(p => (p._1, p._2)).toSet == clean.map(p => (p._1, p._2)).toSet)
   }
 
+  test("bucketed band table: candidate self-join plans with zero bk-Exchange " +
+       "and matches the direct path") {
+    // the stored 100 TB layout: band keys materialized at ingest,
+    // bucketed+sorted by bk — the recurring dedup run's self-join then
+    // reads co-located buckets instead of shuffling the corpus
+    val docs = fixture
+    val sig = MinHashLsh.signatures(docs, 8, 3)
+    MinHashLsh.bandTable(sig, 4, 2)
+      .write.bucketBy(4, "bk").sortBy("bk")
+      .mode("overwrite").saveAsTable("probe_bands_b")
+    sig.select("doc_id", "shh").write.mode("overwrite").saveAsTable("probe_shh_t")
+    val res = MinHashLsh.nearDupFromBands(
+      spark.table("probe_bands_b"),
+      spark.table("probe_shh_t"), 0.5)
+    val got = res.as[(Long, Long, Double)].collect().toSet
+    val direct = MinHashLsh.nearDup(docs, 4, 2, 3, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == direct)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning(bk"),
+      s"band self-join still shuffles the bucketed table:\n$plan")
+  }
+
   test("precomputed-signature path (parquet round-trip) equals the direct path") {
     val docs = fixture
     val direct = MinHashLsh.nearDup(docs, 4, 2, 3, 0.5)

@@ -34,7 +34,9 @@ case class MediaFeature(mediaId: Long, kind: String, feature: Array[Float])
   * (png/jpeg/gif/tiff) via the JDK's `javax.imageio`
   * ([[ImageIoCodec]]: header-only dimension probe, nearest-neighbor
   * resize re-encoded in the source format, pooled-gray features).
-  * Compressed AUDIO (mp3/…) has no JDK codec, so it falls back to the
+  * Compressed AUDIO: the mp3 PROBE is real ([[RawCodec.probeMp3]] —
+  * frame-sync parse, bitrate/samplerate tables, CBR duration estimate);
+  * full mp3 decode has no JDK codec, so feature/frames fall back to the
   * clearly-isolated deterministic fakes in [[StubCodec]] — as does any
   * payload whose real decode fails. [[Codec]] dispatches by sniffing
   * payload bytes; swapping in further codecs means extending that
@@ -56,6 +58,7 @@ object MediaOps {
     def probe(content: Array[Byte]): MediaMeta = RawCodec.sniff(content) match {
       case Some("bmp") => total(RawCodec.probeBmp(content))(StubCodec.probe(content))
       case Some("wav") => total(RawCodec.probeWav(content))(StubCodec.probe(content))
+      case Some("mp3") => total(RawCodec.probeMp3(content))(StubCodec.probe(content))
       case _ => ImageIoCodec.sniff(content) match {
         case Some(fmt) => total(ImageIoCodec.probe(content, fmt))(StubCodec.probe(content))
         case _ => StubCodec.probe(content)

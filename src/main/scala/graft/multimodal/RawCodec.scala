@@ -16,11 +16,20 @@ package graft.multimodal
   */
 object RawCodec {
 
-  /** Which real codec, if any, can handle this payload. */
+  /** Which real codec, if any, can handle this payload. MP3 is matched
+    * by an ID3v2 tag or a raw MPEG frame sync (0xFFEx — disjoint from
+    * JPEG's 0xFFD8, which [[ImageIoCodec.sniff]] owns); only the
+    * header PROBE is real for mp3 ([[probeMp3]]) — full decode needs a
+    * codec library the JDK doesn't ship, so feature/frames fall back to
+    * the stub. */
   def sniff(content: Array[Byte]): Option[String] =
     if (content.length >= 54 && content(0) == 'B' && content(1) == 'M') Some("bmp")
     else if (content.length >= 44 && ascii(content, 0, 4) == "RIFF" &&
       ascii(content, 8, 4) == "WAVE") Some("wav")
+    else if (content.length >= 10 && content(0) == 'I' && content(1) == 'D' &&
+      content(2) == '3') Some("mp3")
+    else if (content.length >= 4 && (content(0) & 0xff) == 0xff &&
+      (content(1) & 0xe0) == 0xe0) Some("mp3")
     else None
 
   private def ascii(b: Array[Byte], off: Int, len: Int): String =
@@ -203,6 +212,66 @@ object RawCodec {
       }
       bytes
     }
+  }
+
+  // ------------------------------------------------------------- MP3
+
+  /** Bitrate tables in kbps, indexed 1–14 (0 = free, 15 = bad): public
+    * MPEG audio frame-header layout. Rows: MPEG1 Layer I/II/III, then
+    * MPEG2/2.5 Layer I and Layer II+III (which share a table). */
+  private val Mp3BitrateKbps: Map[(Int, Int), Array[Int]] = {
+    val v1l1 = Array(32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
+    val v1l2 = Array(32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+    val v1l3 = Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    val v2l1 = Array(32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)
+    val v2l23 = Array(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+    // version id: 0 = MPEG2.5, 2 = MPEG2, 3 = MPEG1; layer id: 1 = III,
+    // 2 = II, 3 = I (both straight from the header bit fields)
+    Map((3, 3) -> v1l1, (3, 2) -> v1l2, (3, 1) -> v1l3,
+        (2, 3) -> v2l1, (2, 2) -> v2l23, (2, 1) -> v2l23,
+        (0, 3) -> v2l1, (0, 2) -> v2l23, (0, 1) -> v2l23)
+  }
+
+  /** Sample rates in Hz by (version id, samplerate index 0–2). */
+  private val Mp3SampleRate: Map[Int, Array[Int]] = Map(
+    3 -> Array(44100, 48000, 32000), // MPEG1
+    2 -> Array(22050, 24000, 16000), // MPEG2
+    0 -> Array(11025, 12000, 8000))  // MPEG2.5
+
+  /** Metadata from the first MPEG audio frame header — a real probe for
+    * the last common format whose full decode legitimately needs an
+    * external codec. Layout (public): optional ID3v2 tag (10-byte header
+    * + syncsafe 28-bit size), then frames of 11-bit sync + version id +
+    * layer id + bitrate/samplerate indices. Duration is the standard
+    * CBR estimate `audioBytes * 8 / bitrate`; invalid headers (reserved
+    * version/layer, bitrate index 0/15, samplerate index 3) throw, so
+    * the dispatcher falls back to the stub for corrupt payloads. */
+  def probeMp3(c: Array[Byte]): MediaMeta = {
+    val afterTag =
+      if (c.length >= 10 && c(0) == 'I' && c(1) == 'D' && c(2) == '3')
+        10 + (((c(6) & 0x7f) << 21) | ((c(7) & 0x7f) << 14) |
+              ((c(8) & 0x7f) << 7) | (c(9) & 0x7f))
+      else 0
+    // encoders may pad between tag and first frame: scan for the sync
+    var o = afterTag
+    var found = -1
+    while (found < 0 && o + 4 <= c.length) {
+      if ((c(o) & 0xff) == 0xff && (c(o + 1) & 0xe0) == 0xe0) found = o else o += 1
+    }
+    require(found >= 0, "no MPEG frame sync in payload")
+    val b1 = c(found + 1) & 0xff
+    val b2 = c(found + 2) & 0xff
+    val version = (b1 >> 3) & 3 // 0=MPEG2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+    val layer = (b1 >> 1) & 3   // 0=reserved, 1=III, 2=II, 3=I
+    val bitrateIdx = (b2 >> 4) & 0xf
+    val srIdx = (b2 >> 2) & 3
+    require(version != 1 && layer != 0 && srIdx != 3 &&
+      bitrateIdx >= 1 && bitrateIdx <= 14,
+      f"invalid MPEG frame header 0xff$b1%02x$b2%02x")
+    val kbps = Mp3BitrateKbps((version, layer))(bitrateIdx - 1)
+    Mp3SampleRate(version)(srIdx) // validates the (version, srIdx) pair
+    val audioBytes = (c.length - found).toLong
+    MediaMeta("mp3", 0, 0, audioBytes * 8 / kbps)
   }
 
   private[multimodal] def bucketMeans(n: Int, dim: Int)(value: Int => Double): Array[Float] = {

@@ -34,6 +34,53 @@ class RawCodecSpec extends SparkSpec {
     out.array()
   }
 
+  /** MP3 payload: optional ID3v2 tag, one MPEG frame header, audio
+    * bytes. Header fields per the public layout (sync/version/layer,
+    * bitrate idx in bits 15-12, samplerate idx in 11-10). */
+  private def mp3(b1: Int, b2: Int, audioBytes: Int,
+                  id3PayloadLen: Int = 0): Array[Byte] = {
+    val tag =
+      if (id3PayloadLen > 0)
+        Array[Byte]('I', 'D', '3', 4, 0, 0,
+          ((id3PayloadLen >> 21) & 0x7f).toByte, ((id3PayloadLen >> 14) & 0x7f).toByte,
+          ((id3PayloadLen >> 7) & 0x7f).toByte, (id3PayloadLen & 0x7f).toByte) ++
+          new Array[Byte](id3PayloadLen)
+      else Array.empty[Byte]
+    tag ++ Array(0xff.toByte, b1.toByte, b2.toByte, 0.toByte) ++
+      new Array[Byte](audioBytes - 4)
+  }
+
+  test("MP3 probe: MPEG1 Layer III header yields the CBR duration estimate") {
+    // 0xFB = sync|MPEG1|LayerIII|no-CRC; 0x90 = bitrate idx 9 (128 kbps
+    // in the MPEG1-L3 table), samplerate idx 0 (44100)
+    val c = mp3(0xfb, 0x90, audioBytes = 16000)
+    assert(RawCodec.sniff(c).contains("mp3"))
+    // 16000 bytes * 8 / 128 kbps = 1000 ms
+    assert(RawCodec.probeMp3(c) == MediaMeta("mp3", 0, 0, 1000L))
+    assert(MediaOps.Codec.probe(c) == MediaMeta("mp3", 0, 0, 1000L))
+  }
+
+  test("MP3 probe: ID3v2 tag is skipped via its syncsafe size") {
+    // 200-byte tag payload, then an MPEG2 Layer III frame: 0xF3 =
+    // sync|MPEG2|LayerIII; 0x80 = bitrate idx 8 (64 kbps in the
+    // MPEG2-L23 table), samplerate idx 0 (22050)
+    val c = mp3(0xf3, 0x80, audioBytes = 8000, id3PayloadLen = 200)
+    assert(RawCodec.sniff(c).contains("mp3"))
+    // duration counts from the frame sync, not the tag: 8000*8/64 = 1000
+    assert(RawCodec.probeMp3(c) == MediaMeta("mp3", 0, 0, 1000L))
+  }
+
+  test("MP3 probe: corrupt headers fall back to the stub via the dispatcher") {
+    // bitrate index 15 ("bad") and reserved version id both throw
+    intercept[IllegalArgumentException](RawCodec.probeMp3(mp3(0xfb, 0xf0, 100)))
+    intercept[IllegalArgumentException](RawCodec.probeMp3(mp3(0xeb, 0x90, 100)))
+    val corrupt = mp3(0xfb, 0xf0, 100)
+    assert(MediaOps.Codec.probe(corrupt) == MediaOps.StubCodec.probe(corrupt))
+    // an ID3 tag with NO frame sync after it also falls back
+    val tagOnly = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 10) ++ new Array[Byte](10)
+    assert(MediaOps.Codec.probe(tagOnly) == MediaOps.StubCodec.probe(tagOnly))
+  }
+
   test("crafted BMP width that overflows Int*3 is rejected, not allocated") {
     // w = 715,827,883: w*3 overflows Int to a NEGATIVE rowSize, which
     // (before the Long-arithmetic guard) made the payload-bound check

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate CLUSTERING — the tail of the dedup story the pair
+  * queries (q19/q21/q50) leave open: near-dup pairs form a graph, a
+  * training corpus needs one canonical document per connected
+  * component, not a pair list (A≈B and B≈C must collapse {A, B, C} to
+  * one survivor even when A and C never paired directly).
+  *
+  * [[connectedComponents]] is iterative min-label propagation on
+  * DataFrames: every node starts as its own label, and each round
+  * replaces a node's label with the minimum across its neighbors'
+  * labels; at fixpoint every member carries the component's minimum
+  * doc_id. Each round is one equi-join + one partial-aggregable min —
+  * both AQE-planned shuffles on the id key — and the loop
+  * `localCheckpoint`s per round, which truncates the logical plan
+  * (otherwise iteration k re-analyzes a 2^k-deep lineage) and lets the
+  * next round read materialized partitions instead of recomputing the
+  * chain.
+  *
+  * Scale shape: rounds = eccentricity of the component's min-id node
+  * (min labels move one hop per round), and near-dup graphs are
+  * clique-dense — a duplicate cluster collides in every band, so its
+  * pair set is near-complete and converges in 2–3 rounds. The
+  * adversarial case (a long CHAIN of pairwise-similar docs) costs
+  * O(diameter) rounds; the known remedy at extreme scale is the
+  * alternating large-star/small-star contraction (O(log n) rounds,
+  * published MapReduce-CC literature), which this API could swap in
+  * without changing its contract. `maxIter` bounds the loop
+  * defensively; the convergence check is one count per round on the
+  * label delta — an action, but over (node, label) metadata only.
+  */
+object DedupClusters {
+
+  /** Component label (= minimum member doc_id) for every node that
+    * appears in `pairs` (columns a_id, b_id). Nodes absent from `pairs`
+    * are singletons — callers left-join and coalesce to their own id
+    * (see [[assignAll]]).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val edges = pairs
+      .select(col("a_id").cast("long").as("u"), col("b_id").cast("long").as("v"))
+    // symmetric closure: propagation must flow both directions
+    val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    var labels = sym.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // a node's new label: min over its own and all neighbors' labels
+      val viaNeighbors = sym.join(labels, col("v") === col("node"))
+        .select(col("u").as("node"), col("label"))
+      val next = labels.union(viaNeighbors)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint()
+      // labels decrease monotonically, so "no label strictly smaller"
+      // IS the fixpoint; the check joins label metadata only
+      val changed = next.join(labels.withColumnRenamed("label", "prev"), "node")
+        .filter(col("label") < col("prev")).limit(1).count()
+      labels = next
+      converged = changed == 0L
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("component"))
+  }
+
+  /** Every document labeled: component members carry the component min
+    * id, singletons carry their own id. `docs` needs a doc_id column. */
+  def assignAll(docs: DataFrame, pairs: DataFrame, maxIter: Int = 30): DataFrame =
+    docs.select(col("doc_id"))
+      .join(connectedComponents(pairs, maxIter), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+
+  /** The dedup SURVIVOR set: one row per cluster — the member whose
+    * doc_id equals the component label (the minimum, matching
+    * keep-first semantics; swap the ordering upstream to keep by
+    * quality instead). Singletons survive as themselves. */
+  def canonical(docs: DataFrame, pairs: DataFrame, maxIter: Int = 30): DataFrame =
+    docs.join(assignAll(docs, pairs, maxIter)
+        .filter(col("doc_id") === col("component"))
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+}

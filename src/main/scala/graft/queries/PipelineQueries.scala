@@ -666,6 +666,54 @@ object PipelineQueries {
       |       min(doc_id) AS first_doc
       |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
 
+  // --------------------------------------------------------------- Q52
+  /** Near-dup CLUSTER assignment — the step that turns q19's pair list
+    * into a deduplicated corpus: pairs form a graph, connected
+    * components collapse transitively-similar groups (A≈B, B≈C ⇒
+    * {A,B,C} even though A,C never paired), and every document gets its
+    * cluster's min doc_id as the component label (singletons label
+    * themselves; survivors are the rows with doc_id = component).
+    * [[graft.operators.DedupClusters]]: iterative min-label propagation,
+    * one equi-join + partial-aggregable min per round, localCheckpoint
+    * truncating lineage — near-dup clusters are band-collision cliques,
+    * so the loop converges in 2–3 rounds regardless of corpus size. */
+  val q52: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val pairs = graft.operators.MinHashLsh.nearDup(
+      docs, bands = 4, rowsPerBand = 2, shingleN = 3, minJaccard = 0.5)
+    graft.operators.DedupClusters.assignAll(docs, pairs)
+      .orderBy(col("doc_id"))
+  }
+
+  val q52Sql: String = {
+    val sigCols = Seeds.map(i =>
+      s"list_min(list_transform(sh, x -> md5('$i' || '|' || x))) AS h$i").mkString(", ")
+    val bandCond = (0 until 4).map(b =>
+      s"(a.h${2 * b} = b.h${2 * b} AND a.h${2 * b + 1} = b.h${2 * b + 1})").mkString(" OR ")
+    // q19's pair CTEs + a recursive transitive closure: reach(u, v) is
+    // the set of ordered reachable pairs (UNION dedup terminates it);
+    // each node's component = min over itself and everything reachable
+    s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |shl AS (SELECT doc_id, list_distinct(list_transform(
+       |          generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' '))) AS sh
+       |        FROM toks),
+       |sig AS (SELECT doc_id, sh, $sigCols FROM shl),
+       |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS sha, b.sh AS shb
+       |         FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandCond)),
+       |pairs AS (SELECT a_id, b_id FROM cand
+       |          WHERE round(CAST(len(list_intersect(sha, shb)) AS DOUBLE)
+       |                / (len(sha) + len(shb) - len(list_intersect(sha, shb))), 4) >= 0.5),
+       |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |          UNION SELECT b_id, a_id FROM pairs),
+       |reach AS (SELECT u, v FROM edges
+       |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
+       |         FROM reach GROUP BY u)
+       |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+       |FROM documents d LEFT JOIN comp c USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
@@ -686,7 +734,8 @@ object PipelineQueries {
     ("q46_hash_sample", q46, q46Sql),
     ("q49_skew_salted_agg", q49, q49Sql),
     ("q50_cosine_lsh_neardup", q50, q50Sql),
-    ("q51_dataprep_pipeline", q51, q51Sql))
+    ("q51_dataprep_pipeline", q51, q51Sql),
+    ("q52_dedup_clusters", q52, q52Sql))
 
   /** Queries with no SQL-expressible oracle (sketches differ across
     * engines) — the driver records the weaker rows-only check. */

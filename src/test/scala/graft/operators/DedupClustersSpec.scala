@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Connected-component dedup clustering: label propagation must
+  * collapse transitive near-dup chains, leave disjoint clusters
+  * disjoint, and converge — the pair-list → canonical-corpus step.
+  */
+class DedupClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairsDf(ps: (Long, Long)*) =
+    ps.toDF("a_id", "b_id")
+
+  test("transitive chain collapses to one component under the min id") {
+    // 1-2, 2-3, 3-4: 1 and 4 never paired directly
+    val comp = DedupClusters.connectedComponents(pairsDf(1L -> 2L, 2L -> 3L, 3L -> 4L))
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("disjoint clusters keep distinct labels; direction of pairs is irrelevant") {
+    // {5,6,7} (one edge given 'backwards') and {10,11}
+    val comp = DedupClusters.connectedComponents(
+        pairsDf(6L -> 5L, 6L -> 7L, 10L -> 11L))
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(5L -> 5L, 6L -> 5L, 7L -> 5L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("long path converges within maxIter (min propagates one hop per round)") {
+    val n = 20 // path 0-1-...-19, min at one end: worst-case round count
+    val chain = (0L until (n - 1).toLong).map(i => (i, i + 1))
+    val comp = DedupClusters.connectedComponents(pairsDf(chain: _*))
+      .as[(Long, Long)].collect().toMap
+    assert(comp.size == n && comp.values.forall(_ == 0L))
+  }
+
+  test("assignAll labels singletons with their own id") {
+    val docs = Seq(1L, 2L, 3L, 4L, 9L).toDF("doc_id")
+    val got = DedupClusters.assignAll(docs, pairsDf(1L -> 2L, 3L -> 4L))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 9L -> 9L))
+  }
+
+  test("canonical keeps exactly one survivor per cluster plus singletons") {
+    val docs = Seq((1L, "a"), (2L, "a'"), (3L, "b"), (4L, "b'"), (9L, "solo"))
+      .toDF("doc_id", "text")
+    val kept = DedupClusters.canonical(docs, pairsDf(1L -> 2L, 3L -> 4L))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 9L))
+  }
+
+  test("empty pair set: everything is a singleton, loop exits immediately") {
+    val docs = Seq(1L, 2L).toDF("doc_id")
+    val got = DedupClusters.assignAll(docs, pairsDf())
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L))
+  }
+}

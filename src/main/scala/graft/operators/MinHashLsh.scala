@@ -164,6 +164,39 @@ object MinHashLsh {
                        minJaccard: Double): DataFrame =
     candidateVerify(bands, sig.select(col("doc_id"), col("shh")), minJaccard)
 
+  /** INCREMENTAL ingest dedup — the production shape: a new batch
+    * checked against the STORED corpus, not a self-join. Candidates are
+    * `newSig`'s band keys equi-joined against `storedSig`'s (disjoint
+    * id spaces assumed — batch ids are new by construction); exact
+    * Jaccard verifies. Output `(new_id, dup_of, jac)`: every stored
+    * document the new one near-duplicates.
+    *
+    * Scale shape: the stored side at 100 TB is the bucketed band table
+    * ([[bandTable]], written `bucketBy(bk)` at ingest) — then only the
+    * BATCH's slim band rows shuffle (4 rows per new doc) while the
+    * corpus side reads bucket-local, and AQE broadcasts the deduped
+    * candidate set into the two signature verify joins. Per-batch cost
+    * is proportional to the batch, independent of corpus size.
+    */
+  def nearDupAgainst(newSig: DataFrame, storedSig: DataFrame,
+                     bands: Int, rowsPerBand: Int,
+                     minJaccard: Double): DataFrame = {
+    val cands = bandTable(newSig, bands, rowsPerBand).as("a")
+      .join(bandTable(storedSig, bands, rowsPerBand).as("b"),
+        col("a.bk") === col("b.bk"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("dup_of"))
+      .distinct()
+    cands
+      .join(newSig.select(col("doc_id").as("new_id"), col("shh").as("sha")), "new_id")
+      .join(storedSig.select(col("doc_id").as("dup_of"), col("shh").as("shb")), "dup_of")
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jac", round(col("common").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("common")), 4))
+      .filter(col("jac") >= minJaccard)
+      .select(col("new_id"), col("dup_of"), col("jac"))
+      .dropDuplicates("new_id", "dup_of") // duplicate-id tolerance, as in candidateVerify
+  }
+
   /** Shared candidate-generation + exact-verify tail: slim band-key
     * self-join → pair dedup → signature re-join → exact Jaccard.
     * `slim` is (doc_id, bk); `shh` is (doc_id, shh).

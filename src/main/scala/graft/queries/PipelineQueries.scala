@@ -714,6 +714,114 @@ object PipelineQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- Q53
+  /** Stratified deterministic sampling: per-language rates via a hash
+    * threshold on md5(doc_id) — en keeps h < '8' (50% of hex space),
+    * de h < '4' (25%), everything else h < '1' (6.25%). Membership is a
+    * pure row-local predicate on a portable hash: re-runnable, join-free
+    * (the rate table folds into a CASE), and pushdown-friendly — at
+    * 100 TB the predicate travels into the scan, so a 10% sample reads
+    * ~10% of row groups after pruning. Lexicographic hex compare is
+    * engine-portable (lowercase hex, ASCII collation both engines). */
+  val q53: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("h"),
+        when(col("lang") === "en", "8")
+          .when(col("lang") === "de", "4")
+          .otherwise("1").as("thr"))
+      .filter(col("h") < col("thr"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  val q53Sql: String =
+    """SELECT doc_id, lang FROM (
+      |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h,
+      |         CASE lang WHEN 'en' THEN '8' WHEN 'de' THEN '4' ELSE '1' END AS thr
+      |  FROM documents)
+      |WHERE h < thr ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- Q54
+  /** Quality-percentile curation: keep each language's top 25% by the
+    * q25 quality score (ties broken by doc_id for determinism). One
+    * window over (lang) — partial-aggregable count + row_number in the
+    * same frame, one shuffle on lang; at scale the per-language
+    * partitions are where a salting step would slot if one language
+    * dominates (see q49). */
+  val q54: Q = (s, d) => {
+    val toks = TextOps.tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val stopRatio = TextOps.markerCount(toks, Seq("the", "a", "of", "and", "to"))
+      .cast("double") / size(toks)
+    val scored = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        round(least(nTok.cast("double") / 100.0, lit(1.0)) * (lit(1.0) - stopRatio), 4)
+          .as("score"))
+    val rankW = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val cntW = Window.partitionBy(col("lang"))
+    scored
+      .withColumn("rn", row_number().over(rankW))
+      .withColumn("n", count(lit(1)).over(cntW))
+      .filter(col("rn") <= ceil(col("n") * 0.25))
+      .select(col("doc_id"), col("lang"), col("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q54Sql: String =
+    """WITH s AS (SELECT doc_id, lang,
+      |             round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+      |                   * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+      |                        x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+      |                     / len(string_split(text, ' '))), 4) AS score
+      |           FROM documents),
+      |r AS (SELECT doc_id, lang, score,
+      |        row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS rn,
+      |        count(*) OVER (PARTITION BY lang) AS n
+      |      FROM s)
+      |SELECT doc_id, lang, score FROM r
+      |WHERE rn <= ceil(n * 0.25) ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- Q55
+  /** Incremental ingest dedup ([[graft.operators.MinHashLsh
+    * .nearDupAgainst]]): odd doc_ids play the incoming batch, even ids
+    * the stored corpus — each new document reports every stored one it
+    * near-duplicates (band-key equi-join against the stored signature
+    * layout, exact-Jaccard verify). The per-batch cost at 100 TB is
+    * proportional to the BATCH: only its slim band rows shuffle, the
+    * corpus side reads its bucketed band table in place. */
+  val q55: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val stored = graft.operators.MinHashLsh.signatures(
+      docs.filter(col("doc_id") % 2 === 0), 8, 3)
+    val incoming = graft.operators.MinHashLsh.signatures(
+      docs.filter(col("doc_id") % 2 === 1), 8, 3)
+    graft.operators.MinHashLsh.nearDupAgainst(incoming, stored, 4, 2, 0.5)
+      .orderBy(col("new_id"), col("dup_of"))
+  }
+
+  val q55Sql: String = {
+    val sigCols = Seeds.map(i =>
+      s"list_min(list_transform(sh, x -> md5('$i' || '|' || x))) AS h$i").mkString(", ")
+    val bandCond = (0 until 4).map(b =>
+      s"(a.h${2 * b} = b.h${2 * b} AND a.h${2 * b + 1} = b.h${2 * b + 1})").mkString(" OR ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |shl AS (SELECT doc_id, list_distinct(list_transform(
+       |          generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' '))) AS sh
+       |        FROM toks),
+       |sig AS (SELECT doc_id, sh, $sigCols FROM shl),
+       |cand AS (SELECT a.doc_id AS new_id, b.doc_id AS dup_of, a.sh AS sha, b.sh AS shb
+       |         FROM sig a JOIN sig b
+       |         ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 AND ($bandCond))
+       |SELECT new_id, dup_of,
+       |       round(CAST(len(list_intersect(sha, shb)) AS DOUBLE)
+       |             / (len(sha) + len(shb) - len(list_intersect(sha, shb))), 4) AS jac
+       |FROM cand
+       |WHERE round(CAST(len(list_intersect(sha, shb)) AS DOUBLE)
+       |            / (len(sha) + len(shb) - len(list_intersect(sha, shb))), 4) >= 0.5
+       |ORDER BY new_id, dup_of""".stripMargin
+  }
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
@@ -735,7 +843,10 @@ object PipelineQueries {
     ("q49_skew_salted_agg", q49, q49Sql),
     ("q50_cosine_lsh_neardup", q50, q50Sql),
     ("q51_dataprep_pipeline", q51, q51Sql),
-    ("q52_dedup_clusters", q52, q52Sql))
+    ("q52_dedup_clusters", q52, q52Sql),
+    ("q53_stratified_sample", q53, q53Sql),
+    ("q54_quality_percentile", q54, q54Sql),
+    ("q55_incremental_neardup", q55, q55Sql))
 
   /** Queries with no SQL-expressible oracle (sketches differ across
     * engines) — the driver records the weaker rows-only check. */

@@ -114,6 +114,24 @@ class MinHashLshSpec extends SparkSpec {
       s"band self-join still shuffles the bucketed table:\n$plan")
   }
 
+  test("incremental nearDupAgainst equals the full self-join restricted to " +
+       "cross-side pairs") {
+    val docs = fixture
+    val stored = MinHashLsh.signatures(docs.filter(col("doc_id") % 2 === 0), 8, 3)
+    val incoming = MinHashLsh.signatures(docs.filter(col("doc_id") % 2 === 1), 8, 3)
+    val inc = MinHashLsh.nearDupAgainst(incoming, stored, 4, 2, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    // ground truth: the full self-join's pairs with one odd + one even
+    // member, re-keyed as (odd new_id, even dup_of)
+    val full = MinHashLsh.nearDup(docs, 4, 2, 3, 0.5)
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => (a % 2) != (b % 2) }
+      .map { case (a, b, j) => if (a % 2 == 1) (a, b, j) else (b, a, j) }
+      .toSet
+    assert(inc == full)
+    assert(inc.nonEmpty) // fixture pairs (2k, 2k+1) are cross-parity by design
+  }
+
   test("precomputed-signature path (parquet round-trip) equals the direct path") {
     val docs = fixture
     val direct = MinHashLsh.nearDup(docs, 4, 2, 3, 0.5)

@@ -718,11 +718,13 @@ object PipelineQueries {
   /** Stratified deterministic sampling: per-language rates via a hash
     * threshold on md5(doc_id) — en keeps h < '8' (50% of hex space),
     * de h < '4' (25%), everything else h < '1' (6.25%). Membership is a
-    * pure row-local predicate on a portable hash: re-runnable, join-free
-    * (the rate table folds into a CASE), and pushdown-friendly — at
-    * 100 TB the predicate travels into the scan, so a 10% sample reads
-    * ~10% of row groups after pruning. Lexicographic hex compare is
-    * engine-portable (lowercase hex, ASCII collation both engines). */
+    * pure row-local predicate on a portable hash: re-runnable and
+    * join-free (the rate table folds into a CASE), evaluated inside the
+    * scan stage with no shuffle. A computed-hash predicate cannot prune
+    * row groups; at 100 TB, STORE the hash at ingest and the same
+    * threshold filter becomes a parquet min/max-prunable pushdown.
+    * Lexicographic hex compare is engine-portable (lowercase hex, ASCII
+    * collation both engines). */
   val q53: Q = (s, d) =>
     t(s, d, "documents")
       .select(col("doc_id"), col("lang"),
@@ -822,6 +824,41 @@ object PipelineQueries {
        |ORDER BY new_id, dup_of""".stripMargin
   }
 
+  // --------------------------------------------------------------- Q56
+  /** Sequence PACKING — the concatenate-then-split layout a training
+    * run feeds its context windows: per language, documents concatenate
+    * in doc_id order and split into 2048-token chunks; a document's
+    * chunk is `floor(tokens_before / 2048)` of the running token count.
+    * One window (cumulative sum partitioned by lang — partial-
+    * aggregable, one shuffle) + one groupBy; at 100 TB the lang
+    * partition bounds window state, and a dominant language shards by
+    * (lang, day)-style composite keys upstream. Output: per-chunk doc
+    * and token counts (the packing manifest a loader consumes). */
+  val q56: Q = (s, d) => {
+    val nTok = size(TextOps.tokens(col("text"))).cast("long")
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), nTok.as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("chunk_id", floor((col("cum") - col("n_tok")) / 2048).cast("long"))
+      .groupBy(col("lang"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("lang"), col("chunk_id"))
+  }
+
+  val q56Sql: String =
+    """WITH s AS (SELECT doc_id, lang,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |           FROM documents),
+      |c AS (SELECT doc_id, lang, n_tok,
+      |        sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |                         ROWS UNBOUNDED PRECEDING) AS cum
+      |      FROM s)
+      |SELECT lang, CAST(floor((cum - n_tok) / 2048) AS BIGINT) AS chunk_id,
+      |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      |FROM c GROUP BY lang, chunk_id ORDER BY lang, chunk_id""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
@@ -846,7 +883,8 @@ object PipelineQueries {
     ("q52_dedup_clusters", q52, q52Sql),
     ("q53_stratified_sample", q53, q53Sql),
     ("q54_quality_percentile", q54, q54Sql),
-    ("q55_incremental_neardup", q55, q55Sql))
+    ("q55_incremental_neardup", q55, q55Sql),
+    ("q56_sequence_packing", q56, q56Sql))
 
   /** Queries with no SQL-expressible oracle (sketches differ across
     * engines) — the driver records the weaker rows-only check. */

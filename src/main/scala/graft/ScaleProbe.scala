@@ -18,6 +18,13 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val spark = graft.core.Sessions.local(32,
       Map("spark.sql.warehouse.dir" -> "/tmp/graft_probe_warehouse"))
+    // the warehouse is probe-owned scratch: a previous run's managed-table
+    // directories are orphans to this session's in-memory catalog, and
+    // saveAsTable(overwrite) refuses to claim an existing location
+    locally {
+      val wh = new org.apache.hadoop.fs.Path("/tmp/graft_probe_warehouse")
+      wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
+    }
     spark.sparkContext.setLogLevel("ERROR")
     val src = "/root/testdata/sf0.1"
     val out = "/tmp/graft_sf1x"
@@ -90,6 +97,24 @@ object ScaleProbe {
         l.contains("Exchange") && l.contains("hashpartitioning(bk"))
       println(s"q19_bucketed band-join Exchanges on bk: $bkExchanges (want 0)")
       assert(bkExchanges == 0, "bucketed band table still shuffles on bk")
+    }
+
+    // --- cluster + incremental probes over the 10× corpus: label
+    // propagation on the 250k-pair near-dup graph (clusters are
+    // band-collision cliques of ~10 replicas → convergence in a few
+    // rounds regardless of N), and a 25k-doc batch deduped AGAINST the
+    // 25k-doc stored half (per-batch cost proportional to the batch).
+    {
+      import graft.operators.{DedupClusters, MinHashLsh}
+      val docs10 = spark.read.parquet(s"$out/documents.parquet")
+      val pairs10 = MinHashLsh.nearDup(docs10, 4, 2, 3, 0.5)
+        .select("a_id", "b_id").localCheckpoint() // isolate CC cost from q19's
+      time("q52_components sf1.0 (250k pairs)")(
+        DedupClusters.connectedComponents(pairs10).count())
+      val stored = MinHashLsh.signatures(docs10.filter(col("doc_id") % 2 === 0), 8, 3)
+      val incoming = MinHashLsh.signatures(docs10.filter(col("doc_id") % 2 === 1), 8, 3)
+      time("q55_incremental sf1.0 (25k batch) ")(
+        MinHashLsh.nearDupAgainst(incoming, stored, 4, 2, 0.5).count())
     }
 
     // --- 100k-entry manifest probe: pins the DOCUMENTED driver-side

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward AS-OF join — for each left row, the payload of the single
+  * LATEST right row whose time is ≤ the left row's time, within the
+  * same key (the quotes-to-trades / last-state-at-event primitive;
+  * left rows with no prior right row get nulls).
+  *
+  * Spark has no native ASOF JOIN, and the naive spellings are either a
+  * non-equi range join (BroadcastNestedLoopJoin — quadratic work) or a
+  * per-left-row greatest-time subquery (join, window, then a SECOND
+  * join to fetch the payload). This is the union-and-carry-forward
+  * form: tag both inputs, union them, sort within each key partition by
+  * (time, side) with right rows winning ties (inclusive ≤), and carry
+  * the latest right payload forward with `last(ignoreNulls)` over a
+  * running frame. Cost: exactly ONE shuffle on the key plus one
+  * in-partition sort — the same as a sort-merge join — independent of
+  * how far back matches reach and of right-rows-per-key density.
+  *
+  * At 100 TB: the key shuffle is the same partitioning sessionization
+  * and stateful streaming already impose; stored sorted-bucketed event
+  * layouts collapse the sort to a merge pass. Ties BETWEEN right rows
+  * at identical (key, time) resolve arbitrarily — pre-aggregate the
+  * right side to one row per (key, time) when that matters (the q57
+  * query does).
+  */
+object AsOfJoin {
+
+  /** @param values right-side columns to carry onto each left row
+    *               (names preserved in the output, after all left
+    *               columns; callers ensure no collision) */
+  def backward(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String,
+               values: Seq[String]): DataFrame = {
+    val leftStruct = struct(left.columns.map(col).toIndexedSeq: _*)
+    val valueStruct = struct(values.map(col): _*)
+    val leftType = left.select(leftStruct).schema.head.dataType
+    val valueType = right.select(valueStruct).schema.head.dataType
+    val lTagged = left.select(col(key).as("__k"), col(leftTime).as("__t"),
+      lit(0).as("__side"), leftStruct.as("__l"),
+      lit(null).cast(valueType).as("__v"))
+    val rTagged = right.select(col(key).as("__k"), col(rightTime).as("__t"),
+      lit(1).as("__side"), lit(null).cast(leftType).as("__l"),
+      valueStruct.as("__v"))
+    // side DESC: a right row at exactly the left row's time precedes it
+    // in the frame, making the match inclusive (rt <= lt)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lTagged.unionByName(rTagged)
+      .withColumn("__m", last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .select(col("__l.*") +: values.map(v => col(s"__m.$v").as(v)): _*)
+  }
+}

@@ -859,6 +859,77 @@ object PipelineQueries {
       |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
       |FROM c GROUP BY lang, chunk_id ORDER BY lang, chunk_id""".stripMargin
 
+  // --------------------------------------------------------------- Q57
+  /** Backward AS-OF join ([[graft.operators.AsOfJoin]]): every click
+    * event annotated with the value of the same user's LATEST purchase
+    * at or before it (attribution's last-touch primitive). The
+    * union-and-carry-forward plan costs one key shuffle + sort — Spark
+    * has no ASOF JOIN and the naive forms are a nested-loop range join
+    * or a double join. The right side is pre-aggregated to one row per
+    * (user, instant) so ties are deterministic. Oracle: DuckDB's NATIVE
+    * `ASOF LEFT JOIN` — an independent implementation of the same
+    * semantics, not a re-spelling of ours. */
+  val q57: Q = (s, d) => {
+    val ev = t(s, d, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("pts_us"))
+      .agg(round(max(col("value")), 2).as("last_purchase_value"))
+    graft.operators.AsOfJoin.backward(clicks, purchases, "user_id",
+      "ts_us", "pts_us", Seq("last_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val q57Sql: String =
+    """WITH clicks AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      |  FROM events WHERE event_type = 'click'),
+      |purchases AS (
+      |  SELECT user_id, epoch_us(ts) AS pts_us, round(max(value), 2) AS last_purchase_value
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY user_id, epoch_us(ts))
+      |SELECT c.event_id, c.user_id, c.ts_us, p.last_purchase_value
+      |FROM clicks c ASOF LEFT JOIN purchases p
+      |  ON c.user_id = p.user_id AND c.ts_us >= p.pts_us
+      |ORDER BY event_id""".stripMargin
+
+  // --------------------------------------------------------------- Q58
+  /** RANGE join ([[graft.operators.RangeJoin]]): errors landing inside
+    * the hour after each purchase (incident attribution). With no
+    * equality key, `BETWEEN` alone plans as BroadcastNestedLoopJoin —
+    * the overlap-bin rewrite restores a shuffled equi-join on the bin
+    * key (intervals replicate to ≤2 bins at binWidth = window length,
+    * points probe exactly one), with the exact predicate as residual
+    * filter. Oracle: the plain quadratic BETWEEN join. */
+  val q58: Q = (s, d) => {
+    val ev = t(s, d, "events")
+    val hourUs = 3600L * 1000000L
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), unix_micros(col("ts")).as("et"))
+    val windows = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("ws"),
+        (unix_micros(col("ts")) + hourUs).as("we"))
+    graft.operators.RangeJoin.pointInInterval(errors, windows, "et", "ws", "we",
+        binWidth = hourUs)
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_errors"), min(col("error_id")).as("first_error"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val q58Sql: String =
+    """WITH err AS (
+      |  SELECT event_id AS error_id, epoch_us(ts) AS et
+      |  FROM events WHERE event_type = 'error'),
+      |win AS (
+      |  SELECT event_id AS purchase_id, epoch_us(ts) AS ws,
+      |         epoch_us(ts) + 3600000000 AS we
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT w.purchase_id, count(*) AS n_errors, min(e.error_id) AS first_error
+      |FROM win w JOIN err e ON e.et BETWEEN w.ws AND w.we
+      |GROUP BY w.purchase_id ORDER BY w.purchase_id""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
@@ -884,7 +955,9 @@ object PipelineQueries {
     ("q53_stratified_sample", q53, q53Sql),
     ("q54_quality_percentile", q54, q54Sql),
     ("q55_incremental_neardup", q55, q55Sql),
-    ("q56_sequence_packing", q56, q56Sql))
+    ("q56_sequence_packing", q56, q56Sql),
+    ("q57_asof_join", q57, q57Sql),
+    ("q58_range_join", q58, q58Sql))
 
   /** Queries with no SQL-expressible oracle (sketches differ across
     * engines) — the driver records the weaker rows-only check. */

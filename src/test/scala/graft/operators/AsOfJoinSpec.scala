@@ -50,6 +50,30 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got == Set((1L, 1.0, 100L), (2L, 1.0, 100L), (3L, 2.0, 200L)))
   }
 
+  test("random trades/quotes match the brute-force per-row maximum") {
+    for (seed <- Seq(3, 17, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val syms = Vector("A", "B", "C", "D")
+      val tradeRows = (0 until 120).map(i =>
+        (i.toLong, syms(rnd.nextInt(syms.size)), rnd.nextInt(300).toLong))
+      // quotes unique per (sym, t): the operator documents arbitrary
+      // tie-break among identical instants, so the generator avoids them
+      val quoteRows = (0 until 80)
+        .map(_ => ((syms(rnd.nextInt(syms.size)), rnd.nextInt(300).toLong), rnd.nextDouble()))
+        .toMap.toSeq.map { case ((s, t), px) => (s, t, px) }
+      val expected = tradeRows.map { case (id, s, t) =>
+        val m = quoteRows.filter(q => q._1 == s && q._2 <= t)
+        id -> (if (m.isEmpty) None else Some(m.maxBy(_._2)._3))
+      }.toMap
+      val got = AsOfJoin.backward(
+          tradeRows.toDF("trade_id", "sym", "t"),
+          quoteRows.toDF("sym", "qt", "px"),
+          "sym", "t", "qt", Seq("px"))
+        .select("trade_id", "px").as[(Long, Option[Double])].collect().toMap
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
   test("plan: one exchange on the key, no BroadcastNestedLoopJoin") {
     val df = AsOfJoin.backward(trades, quotes, "sym", "t", "qt", Seq("px"))
     df.collect()

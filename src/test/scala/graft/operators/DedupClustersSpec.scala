@@ -51,6 +51,35 @@ class DedupClustersSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 3L, 9L))
   }
 
+  test("random graphs match an in-memory union-find reference") {
+    for (seed <- Seq(1, 42, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val edges = (0 until 80)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // reference: union-find with path compression, components keyed
+      // by their minimum member (self-loops are singletons, matching
+      // the operator's aId != bId-free symmetric-closure semantics)
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = nodes.map(v => v -> find(v.toInt).toLong).toMap
+      val got = DedupClusters.connectedComponents(edges.toDF("a_id", "b_id"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
   test("empty pair set: everything is a singleton, loop exits immediately") {
     val docs = Seq(1L, 2L).toDF("doc_id")
     val got = DedupClusters.assignAll(docs, pairsDf())

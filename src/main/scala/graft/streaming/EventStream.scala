@@ -16,6 +16,19 @@ case class Event(eventId: Long, tsMicros: Long, userId: Long,
 case class Latest(userId: Long, eventId: Long, tsMicros: Long,
                   eventType: String, value: Double)
 
+/** One side-tagged row of the streaming as-of merge: `isUpdate = true`
+  * rows carry new state payloads, `false` rows are facts to enrich. */
+case class Tagged(key: Long, tMicros: Long, isUpdate: Boolean,
+                  id: Long, payload: Double)
+
+/** Per-key as-of state: the latest update's (time, payload). */
+case class AsOfState(tMicros: Long, payload: Double)
+
+/** An enriched fact: the update payload in force AS OF the fact's
+  * event time (None before any update). */
+case class Enriched(key: Long, id: Long, tMicros: Long,
+                    lastPayload: Option[Double])
+
 /** Structured Streaming operators for the reference's unbounded
   * incremental semantics (SURVEY §2.2 Streaming): the eternal ingest loop
   * becomes a streaming query with checkpointed offsets instead of
@@ -114,6 +127,43 @@ object EventStream {
         col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $maxDelay"))
       .select(col("user_id"), col("view_id"), col("purchase_id"),
         col("view_ts"), col("purchase_ts"))
+  }
+
+  /** Streaming AS-OF enrichment — the unbounded twin of
+    * [[graft.operators.AsOfJoin.backward]]: one merged stream of
+    * side-tagged rows per key (state updates + facts), each fact
+    * emitted with the latest update payload at-or-before its event
+    * time. State is ONE row per key (the current update), not a
+    * buffer of history — the streaming-native shape of the operator.
+    *
+    * Within a micro-batch a group's rows are walked in (time, side)
+    * order with updates winning ties, so interleaved arrivals enrich
+    * deterministically and identically to the batch operator. ACROSS
+    * batches the guarantee is carry-forward: an update arriving in a
+    * LATER batch than a fact it precedes in event time cannot
+    * retro-correct the already-emitted fact (facts emit exactly once);
+    * when that strictness is needed, delay the fact side by a
+    * watermark upstream so updates always arrive first. A late update
+    * older than the current state never regresses it.
+    */
+  def asOfEnrich(merged: Dataset[Tagged]): Dataset[Enriched] = {
+    import merged.sparkSession.implicits._
+    merged.groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfState, Enriched](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[Tagged], state: GroupState[AsOfState]) =>
+          var cur = state.getOption
+          val out = Seq.newBuilder[Enriched]
+          // updates sort before facts at the same instant (inclusive <=)
+          rows.toSeq.sortBy(r => (r.tMicros, !r.isUpdate)).foreach { r =>
+            if (r.isUpdate) {
+              if (cur.forall(_.tMicros <= r.tMicros))
+                cur = Some(AsOfState(r.tMicros, r.payload))
+            } else out += Enriched(key, r.id, r.tMicros, cur.map(_.payload))
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
   }
 
   /** Continuously-maintained latest-per-user pointer via typed state

@@ -223,4 +223,66 @@ class EventStreamSpec extends SparkSpec {
       assert(rows.exists(r => r.userId == 8L && r.eventId == 5L))
     } finally query.stop()
   }
+
+  test("asOfEnrich: facts pick up the latest update per key across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Tagged]
+    val q = EventStream.asOfEnrich(input.toDS())
+      .writeStream.format("memory").queryName("asof_enrich")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: interleaved arrival — the fact at t=5 precedes any
+      // update, the one at t=15 follows the t=10 update, and the fact
+      // at exactly t=10 matches inclusively
+      input.addData(
+        Tagged(1L, 15L, isUpdate = false, id = 102, payload = 0),
+        Tagged(1L, 10L, isUpdate = true, id = 0, payload = 1.5),
+        Tagged(1L, 5L, isUpdate = false, id = 101, payload = 0),
+        Tagged(1L, 10L, isUpdate = false, id = 103, payload = 0),
+        Tagged(2L, 7L, isUpdate = false, id = 201, payload = 0))
+      q.processAllAvailable()
+      // batch 2: state carried forward; a newer update takes over; a
+      // LATE update older than current state never regresses it
+      input.addData(
+        Tagged(1L, 20L, isUpdate = false, id = 104, payload = 0),
+        Tagged(1L, 25L, isUpdate = true, id = 0, payload = 2.5),
+        Tagged(1L, 30L, isUpdate = false, id = 105, payload = 0),
+        Tagged(1L, 1L, isUpdate = true, id = 0, payload = 9.9), // stale
+        Tagged(1L, 40L, isUpdate = false, id = 106, payload = 0))
+      q.processAllAvailable()
+      val got = spark.table("asof_enrich")
+        .as[Enriched].collect().map(e => e.id -> e.lastPayload).toMap
+      assert(got == Map(
+        101L -> None, 102L -> Some(1.5), 103L -> Some(1.5), 201L -> None,
+        104L -> Some(1.5), 105L -> Some(2.5), 106L -> Some(2.5)))
+    } finally q.stop()
+  }
+
+  test("asOfEnrich single batch equals the batch AsOfJoin operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(5)
+    val facts = (0 until 100).map(i =>
+      Tagged(key = rnd.nextInt(4).toLong, tMicros = rnd.nextInt(500).toLong,
+        isUpdate = false, id = 1000L + i, payload = 0))
+    val updates = (0 until 40)
+      .map(_ => ((rnd.nextInt(4).toLong, rnd.nextInt(500).toLong), rnd.nextDouble()))
+      .toMap.toSeq.map { case ((k, t), p) =>
+        Tagged(key = k, tMicros = t, isUpdate = true, id = 0, payload = p) }
+    val input = MemoryStream[Tagged]
+    val q = EventStream.asOfEnrich(input.toDS())
+      .writeStream.format("memory").queryName("asof_parity")
+      .outputMode(OutputMode.Append()).start()
+    val streamed = try {
+      input.addData(facts ++ updates: _*)
+      q.processAllAvailable()
+      spark.table("asof_parity").as[Enriched].collect()
+        .map(e => e.id -> e.lastPayload).toMap
+    } finally q.stop()
+    val batch = graft.operators.AsOfJoin.backward(
+        facts.map(f => (f.key, f.id, f.tMicros)).toDF("key", "id", "t"),
+        updates.map(u => (u.key, u.tMicros, u.payload)).toDF("key", "ut", "payload"),
+        "key", "t", "ut", Seq("payload"))
+      .select("id", "payload").as[(Long, Option[Double])].collect().toMap
+    assert(streamed == batch)
+  }
 }

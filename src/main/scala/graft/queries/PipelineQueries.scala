@@ -930,6 +930,74 @@ object PipelineQueries {
       |FROM win w JOIN err e ON e.et BETWEEN w.ws AND w.we
       |GROUP BY w.purchase_id ORDER BY w.purchase_id""".stripMargin
 
+  // --------------------------------------------------------------- Q59
+  /** Benchmark CONTAMINATION check — the eval-integrity gate a training
+    * pipeline runs before shipping a corpus: training documents sharing
+    * word 3-grams with a held-out benchmark set (here the `src0` docs)
+    * are flagged with their overlap count. The benchmark shingle set is
+    * tiny relative to the corpus, so the join BROADCASTS it — one scan
+    * of the training side, no shuffle of the corpus; at 100 TB this is
+    * the only viable shape (the corpus side must never shuffle on the
+    * shingle). Distinct-per-doc shingles make the count "how many of
+    * this doc's distinct 3-grams appear anywhere in the benchmark". */
+  val q59: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val sh = docs.select(col("doc_id"), col("source"),
+      explode(array_distinct(TextOps.shinglesNative(col("text"), 3))).as("s"))
+    val bench = sh.filter(col("source") === "src0").select(col("s")).distinct()
+    sh.filter(col("source") =!= "src0")
+      .join(broadcast(bench), "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q59Sql: String =
+    """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id, source, unnest(list_distinct(list_transform(
+      |         generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' ')))) AS s
+      |       FROM toks),
+      |bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0')
+      |SELECT sh.doc_id, count(*) AS n_contaminated
+      |FROM sh JOIN bench USING (s)
+      |WHERE sh.source <> 'src0'
+      |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- Q60
+  /** Intra-document REPETITION ratio — the Gopher/RefinedWeb-style
+    * quality rule: fraction of a document's word 3-grams that are
+    * repeats (1 − distinct/total). NOTE the multiset: `shinglesNative`
+    * is the fused `array_distinct` form (right for dedup signatures,
+    * wrong here — it would make every ratio 0), so the total-count side
+    * builds raw positional shingles with the HOF composition. Pure
+    * per-row expressions, no shuffle; documents too short to form a
+    * 3-gram are excluded (the ratio is undefined). */
+  val q60: Q = (s, d) => {
+    val toks = TextOps.tokens(col("text"))
+    val sh = when(size(toks) >= 3,
+        transform(sequence(lit(1), size(toks) - 2),
+          i => concat_ws(" ", slice(toks, i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        size(sh).cast("long").as("n_shingles"),
+        size(array_distinct(sh)).cast("long").as("n_distinct"),
+        round(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh), 4)
+          .as("rep_ratio"))
+      .filter(col("n_shingles") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  val q60Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |s AS (SELECT doc_id, list_transform(generate_series(1, len(t) - 2),
+      |        i -> array_to_string(t[i:i+2], ' ')) AS sh
+      |      FROM toks)
+      |SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+      |       CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+      |       round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 4) AS rep_ratio
+      |FROM s WHERE len(sh) > 0 ORDER BY doc_id""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
@@ -957,7 +1025,9 @@ object PipelineQueries {
     ("q55_incremental_neardup", q55, q55Sql),
     ("q56_sequence_packing", q56, q56Sql),
     ("q57_asof_join", q57, q57Sql),
-    ("q58_range_join", q58, q58Sql))
+    ("q58_range_join", q58, q58Sql),
+    ("q59_contamination", q59, q59Sql),
+    ("q60_repetition", q60, q60Sql))
 
   /** Queries with no SQL-expressible oracle (sketches differ across
     * engines) — the driver records the weaker rows-only check. */

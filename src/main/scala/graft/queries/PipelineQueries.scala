@@ -966,24 +966,21 @@ object PipelineQueries {
   // --------------------------------------------------------------- Q60
   /** Intra-document REPETITION ratio — the Gopher/RefinedWeb-style
     * quality rule: fraction of a document's word 3-grams that are
-    * repeats (1 − distinct/total). NOTE the multiset: `shinglesNative`
-    * is the fused `array_distinct` form (right for dedup signatures,
-    * wrong here — it would make every ratio 0), so the total-count side
-    * builds raw positional shingles with the HOF composition. Pure
-    * per-row expressions, no shuffle; documents too short to form a
-    * 3-gram are excluded (the ratio is undefined). */
+    * repeats (1 − distinct/total). The multiset never materializes:
+    * total positional 3-grams is just `tokens − 2`, and the distinct
+    * count comes from the fused native `shinglesNative` kernel (its
+    * `array_distinct` semantics are exactly the distinct side here) —
+    * one codegen'd pass per row, no interpreted HOF lambdas, no
+    * shuffle. Documents too short to form a 3-gram are excluded (the
+    * ratio is undefined). */
   val q60: Q = (s, d) => {
-    val toks = TextOps.tokens(col("text"))
-    val sh = when(size(toks) >= 3,
-        transform(sequence(lit(1), size(toks) - 2),
-          i => concat_ws(" ", slice(toks, i, lit(3)))))
-      .otherwise(array().cast("array<string>"))
+    val total = (size(TextOps.tokens(col("text"))) - 2).cast("long")
+    val distinctN = size(TextOps.shinglesNative(col("text"), 3)).cast("long")
     t(s, d, "documents")
       .select(col("doc_id"),
-        size(sh).cast("long").as("n_shingles"),
-        size(array_distinct(sh)).cast("long").as("n_distinct"),
-        round(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh), 4)
-          .as("rep_ratio"))
+        total.as("n_shingles"),
+        distinctN.as("n_distinct"),
+        round(lit(1.0) - distinctN.cast("double") / total, 4).as("rep_ratio"))
       .filter(col("n_shingles") > 0)
       .orderBy(col("doc_id"))
   }

@@ -99,6 +99,36 @@ object ScaleProbe {
       assert(bkExchanges == 0, "bucketed band table still shuffles on bk")
     }
 
+    // --- temporal-join + contamination probes at 10×: events replicate
+    // with shifted ids but the SAME 30-day span (10× density). The
+    // as-of join stays one key-shuffle + sort regardless of density;
+    // the range join's pair count grows multiplicatively (points ×
+    // windows both 10×), so the probe thins windows 10× to hold the
+    // output budget — the measured cost is the bin-join mechanism, not
+    // pair materialization.
+    {
+      import graft.queries.PipelineQueries
+      val base = graft.core.Tables.load(spark, src, "events")
+      val maxKey = base.agg(org.apache.spark.sql.functions.max(col("event_id")))
+        .head().getLong(0) + 1
+      (0 until 10).map(i => base.withColumn("event_id", col("event_id") + lit(i * maxKey)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+      time("q57_asof sf0.1    (100k events)  ")(PipelineQueries.q57(spark, src).count())
+      time("q57_asof sf1.0      (1M events)  ")(PipelineQueries.q57(spark, out).count())
+      val ev = graft.core.Tables.load(spark, out, "events")
+      val hourUs = 3600L * 1000000L
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), unix_micros(col("ts")).as("et"))
+      val windows = ev.filter(col("event_type") === "purchase" && col("event_id") % 10 === 0)
+        .select(col("event_id").as("purchase_id"),
+          unix_micros(col("ts")).as("ws"), (unix_micros(col("ts")) + hourUs).as("we"))
+      time("q58_range sf1.0 (1M pts, 20k win)")(
+        graft.operators.RangeJoin.pointInInterval(
+          errors, windows, "et", "ws", "we", hourUs).count())
+      time("q59_contam sf1.0    (50k docs)   ")(PipelineQueries.q59(spark, out).count())
+    }
+
     // --- cluster + incremental probes over the 10× corpus: label
     // propagation on the 250k-pair near-dup graph (clusters are
     // band-collision cliques of ~10 replicas → convergence in a few

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.MinHashLsh
+
+/** STREAMING CORPUS BUILDER — the end-to-end dedup ingestion shape a
+  * training-data pipeline runs continuously: each micro-batch of
+  * documents is deduplicated in three tiers and the survivors'
+  * signatures are appended to the stored corpus, so later batches
+  * dedup against everything accepted so far.
+  *
+  * Per batch:
+  *   1. EXACT within batch: md5 keep-first (lowest doc_id survives).
+  *   2. NEAR-DUP within batch: [[MinHashLsh.nearDup]] pairs collapsed
+  *      greedily — a doc is dropped iff it near-duplicates a LOWER-id
+  *      batch survivor candidate (b_id of any pair dies, keep-first
+  *      again; one anti-join, no iteration — a near-dup CHAIN thus
+  *      keeps its lowest id and may keep later members whose only link
+  *      was a dropped middle doc, the standard greedy tradeoff;
+  *      [[graft.operators.DedupClusters]] is the transitive batch-mode
+  *      alternative).
+  *   3. AGAINST THE STORE: [[MinHashLsh.nearDupAgainst]] — batch
+  *      signatures joined to STORED signatures; any hit drops the new
+  *      doc. Per-batch cost is proportional to the batch; at 100 TB the
+  *      stored side is the bucketed band table and only the batch's
+  *      slim band rows shuffle.
+  *
+  * Survivor signatures (doc_id, shh, mh) append to `sigDir`. The
+  * checkpoint makes delivery effectively-once at the SOURCE; the
+  * parquet append itself is at-least-once on crash-retry (a replayed
+  * batch re-dedups against the store, and docs it appended before the
+  * crash are now IN the store, so replays converge — re-appended
+  * signatures of identical content are prevented by tier 3; the md5
+  * column guards the exact tier).
+  *
+  * The signature store IS the corpus index: near-dup queries, ANN
+  * seeding and incremental dedup all read it without touching text.
+  */
+object CorpusIngest {
+
+  /** Signatures of accepted documents so far; empty on first batch. */
+  private def storedSignatures(spark: org.apache.spark.sql.SparkSession,
+                               sigDir: String): Option[DataFrame] =
+    try {
+      val df = spark.read.parquet(sigDir)
+      if (df.columns.contains("doc_id")) Some(df) else None
+    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** One micro-batch through the three dedup tiers; returns the
+    * survivors' signature rows that were appended (for tests /
+    * metrics). Exposed separately so batch backfills can reuse the
+    * exact semantics of the stream. */
+  def ingestBatch(batch: DataFrame, sigDir: String,
+                  bands: Int = 4, rowsPerBand: Int = 2, shingleN: Int = 3,
+                  numHashes: Int = 8, minJaccard: Double = 0.5): DataFrame = {
+    val spark = batch.sparkSession
+    // tier 1: exact content dedup, keep-first by doc_id
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__md5")).orderBy(col("doc_id"))
+    val exact = batch.select(col("doc_id"), col("text"))
+      .withColumn("__md5", md5(col("text")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    // tier 2: near-dup within batch — b_id of any pair dies (keep-first)
+    val pairs = MinHashLsh.nearDup(exact.select(col("doc_id"), col("text")),
+      bands, rowsPerBand, shingleN, minJaccard)
+    val batchKept = exact.join(pairs.select(col("b_id").as("doc_id")),
+      Seq("doc_id"), "left_anti")
+    // tier 3: against the stored corpus
+    val sig = MinHashLsh.signatures(
+      batchKept.select(col("doc_id"), col("text")), numHashes, shingleN)
+      .join(batchKept.select(col("doc_id"), col("__md5")), "doc_id")
+    val accepted = storedSignatures(spark, sigDir) match {
+      case Some(stored) =>
+        // exact vs store (md5 equality) + near-dup vs store (band join
+        // over the stored mh/shh signature columns)
+        val nearHits = MinHashLsh.nearDupAgainst(
+          sig, stored, bands, rowsPerBand, minJaccard)
+        sig
+          .join(stored.select(col("__md5")).distinct(), Seq("__md5"), "left_anti")
+          .join(nearHits.select(col("new_id").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+      case None => sig
+    }
+    val out = accepted.select(col("doc_id"), col("shh"), col("mh"), col("__md5"))
+      .localCheckpoint() // materialize BEFORE appending to the dir we read
+    out.write.mode(SaveMode.Append).parquet(sigDir)
+    out
+  }
+
+  /** The continuous form: a streaming docs source (doc_id, text) driven
+    * through [[ingestBatch]] per micro-batch. */
+  def start(docs: DataFrame, sigDir: String, checkpointDir: String,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestBatch(batch, sigDir): Unit
+      }
+      .start()
+}

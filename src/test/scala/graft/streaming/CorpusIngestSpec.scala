@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming corpus builder: three dedup tiers per micro-batch (exact
+  * in-batch, near-dup in-batch, exact+near-dup vs the stored corpus),
+  * survivors' signatures appended and enforced across batches.
+  */
+class CorpusIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_corpus").toString
+
+  private val baseText =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+  private def variant(tail: String) =
+    baseText + " " + tail // high-overlap near-dup of baseText
+  private val distinctText =
+    "one two three four five six seven eight nine ten eleven twelve"
+
+  test("ingestBatch: exact, in-batch near-dup, and cross-batch near-dup all drop") {
+    val sigDir = tmp() + "/sig"
+    // batch 1: 1 and 2 are exact dups; 3 is a near-dup of 1; 4 distinct
+    val b1 = Seq(
+      (1L, baseText), (2L, baseText), (3L, variant("nu")), (4L, distinctText))
+      .toDF("doc_id", "text")
+    val kept1 = CorpusIngest.ingestBatch(b1, sigDir)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept1.toSeq == Seq(1L, 4L))
+    // batch 2: 11 = exact dup of stored 1; 12 = near-dup of stored 1;
+    // 13 genuinely new
+    val b2 = Seq(
+      (11L, baseText), (12L, variant("xi")),
+      (13L, "completely different words with no overlap at all whatsoever here"))
+      .toDF("doc_id", "text")
+    val kept2 = CorpusIngest.ingestBatch(b2, sigDir)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept2.toSeq == Seq(13L))
+    // the store accumulated exactly the three survivors
+    val stored = spark.read.parquet(sigDir).select("doc_id").as[Long].collect().sorted
+    assert(stored.toSeq == Seq(1L, 4L, 13L))
+  }
+
+  test("streaming form: checkpointed query drives the same tiers per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp()
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = CorpusIngest.start(docs, s"$dir/sig", s"$dir/ckpt",
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      input.addData((1L, baseText), (4L, distinctText))
+      q.processAllAvailable()
+      input.addData((11L, baseText), (12L, variant("xi")), (13L, "brand new content entirely"))
+      q.processAllAvailable()
+      val stored = spark.read.parquet(s"$dir/sig")
+        .select("doc_id").as[Long].collect().sorted
+      assert(stored.toSeq == Seq(1L, 4L, 13L))
+    } finally q.stop()
+  }
+
+  test("signature store is directly queryable by nearDupFromSignatures") {
+    val sigDir = tmp() + "/sig"
+    CorpusIngest.ingestBatch(
+      Seq((1L, baseText), (4L, distinctText)).toDF("doc_id", "text"), sigDir)
+    // accepted docs are pairwise NON-near-dup by construction
+    val pairs = graft.operators.MinHashLsh.nearDupFromSignatures(
+      spark.read.parquet(sigDir), 4, 2, 0.5)
+    assert(pairs.count() == 0)
+  }
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate CLUSTERING — the tail of the dedup story the pair
@@ -66,6 +66,92 @@ object DedupClusters {
       iter += 1
     }
     labels.select(col("node").as("doc_id"), col("label").as("component"))
+  }
+
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR — the
+    * published MapReduce-CC contraction (O(log n) rounds on ANY graph,
+    * vs [[connectedComponents]]'s O(diameter)): use it when clusters
+    * may form long chains rather than cliques. Both star steps reduce
+    * to one partial-aggregable groupBy-min plus one equi-join — NO
+    * per-node neighbor list is ever collected, so a hot node's degree
+    * never concentrates in one task's heap:
+    *
+    *   large-star: every edge's larger endpoint re-points to the
+    *   minimum of its neighborhood ∪ itself;
+    *   small-star: every smaller-or-equal endpoint (and the center)
+    *   re-points to that minimum.
+    *
+    * Convergence = the edge multiset's (count, endpoint-sum, hash-sum)
+    * triple is stable across a round; endpoint sums are monotonically
+    * non-increasing under both steps, and the hash-sum guards the
+    * theoretical swap case. At fixpoint the graph is a star forest, so
+    * ONE final neighborhood-min pass labels every node with its
+    * component's minimum id.
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val init = pairs
+      .select(col("a_id").cast("long").as("u"), col("b_id").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    val selfNodes = pairs // self-pairs are singleton components
+      .select(col("a_id").cast("long").as("n"))
+      .where(col("a_id").cast("long") === col("b_id").cast("long"))
+
+    // decimal(38,0) accumulators: a sum of xxhash64 values overflows
+    // Long almost immediately (ANSI would abort the job)
+    def sig(e: DataFrame): Seq[Any] = {
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      e.agg(count(lit(1)), sum(dec(col("u")) + dec(col("v"))),
+        sum(dec(xxhash64(col("u"), col("v"))))).head().toSeq
+    }
+
+    // large-star over symmetric neighborhoods: center c, neighbor n
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+        .toDF("c", "n")
+      val mins = sym.groupBy("c").agg(least(min(col("n")), first(col("c"))).as("m"))
+      sym.join(mins, "c")
+        .filter(col("n") > col("c")) // larger neighbors re-point to m
+        .select(col("n").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+
+    // small-star over (larger -> smaller) directed edges: center c
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("c"),
+        least(col("u"), col("v")).as("n"))
+      val mins = dir.groupBy("c").agg(min(col("n")).as("m")) // all n < c
+      val joined = dir.join(mins, "c")
+      joined.select(col("n").as("x"), col("m"))
+        .union(joined.select(col("c").as("x"), col("m")))
+        .filter(col("x") =!= col("m"))
+        .select(col("x").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    var edges = init
+    var prev = sig(edges)
+    var iter = 0
+    var converged = edges.isEmpty
+    while (!converged && iter < maxIter) {
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      val cur = sig(edges)
+      converged = cur == prev
+      prev = cur
+      iter += 1
+    }
+    // star forest: one neighborhood-min pass labels every node
+    val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+    val labeled = sym.groupBy(col("u").as("doc_id"))
+      .agg(least(min(col("v")), first(col("u"))).as("component"))
+    // min over the union: a node with BOTH a self-pair and real edges
+    // must take the star label (always <= its own id), not an arbitrary
+    // survivor of a dropDuplicates
+    labeled.unionByName(
+        selfNodes.select(col("n").as("doc_id"), col("n").as("component")))
+      .groupBy("doc_id").agg(min(col("component")).as("component"))
   }
 
   /** Every document labeled: component members carry the component min

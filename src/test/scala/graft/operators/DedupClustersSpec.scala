@@ -80,6 +80,37 @@ class DedupClustersSpec extends SparkSpec {
     }
   }
 
+  test("star contraction matches label propagation and union-find on random graphs") {
+    for (seed <- Seq(2, 31)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 50
+      val edges = (0 until 70)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val viaProp = DedupClusters.connectedComponents(edges.toDF("a_id", "b_id"))
+        .as[(Long, Long)].collect().toMap
+      val viaStar = DedupClusters.connectedComponentsStar(edges.toDF("a_id", "b_id"))
+        .as[(Long, Long)].collect().toMap
+      assert(viaStar == viaProp, s"seed $seed")
+    }
+  }
+
+  test("star contraction collapses a 100-node chain in logarithmic rounds") {
+    // diameter 99: label propagation needs ~99 rounds (its default
+    // maxIter of 30 would NOT converge); the star contraction halves
+    // chain structure every round
+    val chain = (0L until 99L).map(i => (i, i + 1))
+    val comp = DedupClusters.connectedComponentsStar(chain.toDF("a_id", "b_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(comp.size == 100 && comp.values.forall(_ == 0L))
+  }
+
+  test("star contraction: self-pairs are singletons unless joined by real edges") {
+    val pairs = Seq((7L, 7L), (5L, 5L), (5L, 3L)).toDF("a_id", "b_id")
+    val comp = DedupClusters.connectedComponentsStar(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(7L -> 7L, 5L -> 3L, 3L -> 3L))
+  }
+
   test("empty pair set: everything is a singleton, loop exits immediately") {
     val docs = Seq(1L, 2L).toDF("doc_id")
     val got = DedupClusters.assignAll(docs, pairsDf())

@@ -995,6 +995,242 @@ object PipelineQueries {
       |       round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 4) AS rep_ratio
       |FROM s WHERE len(sh) > 0 ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- Q61
+  /** Corpus-internal DUPLICATE-PASSAGE detection — the exact-substring
+    * dedup signal (à la "Deduplicating Training Data Makes Language
+    * Models Better"): for every document, how many of its distinct word
+    * 5-grams appear in at least one OTHER position in the corpus, and
+    * the ratio. The plan is one shuffle on the shingle (groupBy with
+    * map-side combine) plus a join that REUSES that exchange (both
+    * sides hash-partition on `s`), then a groupBy on doc_id. At 100 TB
+    * the shingle column is a 64-bit hash instead of the string — same
+    * plan, 8-byte shuffle keys; the string form here keeps the oracle
+    * engine-portable. */
+  val q61: Q = (s, d) => {
+    val sh = t(s, d, "documents")
+      .select(col("doc_id"), explode(TextOps.shinglesNative(col("text"), 5)).as("s"))
+    val counted = sh.groupBy(col("s")).agg(count(lit(1)).as("nd"))
+    sh.join(counted, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_ratio",
+        round(col("n_dup").cast("double") / col("n_distinct"), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  val q61Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |         generate_series(1, len(t) - 4), i -> array_to_string(t[i:i+4], ' ')))) AS s
+      |       FROM toks),
+      |cnt AS (SELECT s, count(*) AS nd FROM sh GROUP BY s)
+      |SELECT doc_id, count(*) AS n_distinct,
+      |       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |       round(CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |             / count(*), 4) AS dup_ratio
+      |FROM sh JOIN cnt USING (s)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- Q62
+  /** BM25 keyword search (k1 = 1.2, b = 0.75) for a fixed term set —
+    * the retrieval primitive over a corpus table. Only query-term
+    * postings survive the scan (the array filter runs inside codegen
+    * before the explode), so the shuffle carries ≤ |terms| rows per
+    * document; document frequencies and the (N, avgdl) statistics are
+    * model-sized broadcasts. avgdl divides two EXACT integers so both
+    * engines start from the identical double. */
+  val q62: Q = (s, d) => {
+    val terms = Seq("table", "hash", "stream")
+    val base = t(s, d, "documents").select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("dl"),
+      TextOps.tokens(col("text")).as("toks"))
+    val stats = base.agg(count(lit(1)).cast("double").as("__n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("__avgdl"))
+    val tf = base
+      .select(col("doc_id"), col("dl"),
+        explode(filter(col("toks"), x => x.isInCollection(terms))).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfRel = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val k1 = 1.2
+    val b = 0.75
+    val idf = log((col("__n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val score = idf * col("tf") * (k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("__avgdl")))
+    tf.join(broadcast(dfRel), "term").crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(score), 4).as("bm25"), count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val q62Sql: String =
+    """WITH base AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+      |                string_split(text, ' ') AS toks
+      |              FROM documents),
+      |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+      |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      |          FROM base),
+      |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf FROM (
+      |         SELECT doc_id, dl, unnest(list_filter(toks,
+      |                  x -> x IN ('table', 'hash', 'stream'))) AS term
+      |         FROM base)
+      |       GROUP BY doc_id, dl, term),
+      |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term)
+      |SELECT doc_id,
+      |       round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2
+      |                 / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))), 4) AS bm25,
+      |       count(*) AS n_terms
+      |FROM tf JOIN df USING (term) CROSS JOIN stats
+      |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
+  // --------------------------------------------------------------- Q63
+  /** Unigram language-model quality score: each document's mean token
+    * log-probability under the corpus's own MLE unigram distribution —
+    * the cheap perplexity-style fluency signal (odd documents score
+    * low). The "model" (term → count) is corpus-derived but
+    * vocabulary-sized, so it rides a broadcast join; the token total is
+    * an exact integer, and the per-document mean of ~100 logs rounds at
+    * 4 dp far above double noise. At 100 TB the distribution is trained
+    * once (optionally count-capped) and shipped exactly like the IVF
+    * centroids. */
+  val q63: Q = (s, d) => {
+    val tok = t(s, d, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+    val total = tok.agg(count(lit(1)).cast("double").as("__t"))
+    val probs = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    tok.join(broadcast(probs), "term").crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("cnt").cast("double") / col("__t"))), 4).as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q63Sql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |             FROM documents),
+      |p AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+      |tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM tok)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |       round(avg(ln(CAST(cnt AS DOUBLE) / t)), 4) AS avg_logp
+      |FROM tok JOIN p USING (term) CROSS JOIN tot
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- Q64
+  /** SemDeDup-style SEMANTIC dedup: cluster embeddings with the shared
+    * IVF quantizer (the q30/q45 model, memoized + oracle-replayed),
+    * then inside each cluster drop any vector whose cosine to a
+    * LOWER-id cluster-mate reaches the threshold — near-semantic
+    * duplicates never pairwise-compare across clusters, which is the
+    * point: the quadratic term is (N/cells)² per cluster, tuned by the
+    * cell count, instead of N². Comparisons happen on 4-dp-rounded
+    * cosines (both engines round the identical IEEE expression, so the
+    * threshold cannot straddle an ulp). Output labels every vector. */
+  val q64: Q = (s, d) => {
+    val assigned = ivfModelFor(s, d, 8).assigned
+    val a = assigned.select(col("vec_id").as("a_id"), col("cell"), col("__v").as("av"))
+    val b = assigned.select(col("vec_id").as("b_id"), col("cell"), col("__v").as("bv"))
+    val dropped = a.join(b, "cell")
+      .filter(col("b_id") < col("a_id"))
+      .filter(round(VectorOps.cosine(col("av"), col("bv")), 4) >= 0.35)
+      .select(col("a_id")).distinct()
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dropped, col("vec_id") === col("a_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("a_id").isNotNull, 1L).otherwise(0L).as("is_dup"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q64Sql: String =
+    ivfSqlPrelude(nCells = 8, sampleN = 256, iters = 2) +
+      """,
+        |dropped AS (SELECT DISTINCT a.vec_id AS aid
+        |            FROM cells a JOIN cells b
+        |              ON a.cell = b.cell AND b.vec_id < a.vec_id
+        |            WHERE round(list_inner_product(a.v, b.v)
+        |                  / (sqrt(list_inner_product(a.v, a.v))
+        |                     * sqrt(list_inner_product(b.v, b.v))), 4) >= 0.35)
+        |SELECT c.vec_id, c.cell,
+        |       CAST(CASE WHEN d.aid IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+        |FROM cells c LEFT JOIN dropped d ON c.vec_id = d.aid
+        |ORDER BY c.vec_id""".stripMargin
+
+  // --------------------------------------------------------------- Q65
+  /** Token-BUDGET curation: per language, walk documents in descending
+    * quality order (the q25 score, ties → doc_id) and keep them until
+    * the running token total passes 20k — the "best corpus that fits
+    * the budget" selection step before training. One window shuffle on
+    * lang; the cumulative sum is over exact BIGINT token counts and the
+    * score is pre-rounded, so the cut point is engine-deterministic.
+    * A language hot enough to bottleneck the single window partition
+    * gets the q49 salting treatment on a coarse score bucket. */
+  val q65: Q = (s, d) => {
+    val toks = TextOps.tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val stopRatio = TextOps.markerCount(toks, Seq("the", "a", "of", "and", "to"))
+      .cast("double") / size(toks)
+    val scored = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), nTok.as("n_tok"),
+        round(least(nTok.cast("double") / 100.0, lit(1.0)) * (lit(1.0) - stopRatio), 4)
+          .as("score"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.withColumn("cum", sum(col("n_tok")).over(w))
+      .filter(col("cum") <= 20000L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("score")).as("min_score"))
+      .orderBy(col("lang"))
+  }
+
+  val q65Sql: String =
+    """WITH s AS (SELECT doc_id, lang,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |             round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+      |                   * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+      |                        x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+      |                     / len(string_split(text, ' '))), 4) AS score
+      |           FROM documents),
+      |c AS (SELECT lang, n_tok, score,
+      |        sum(n_tok) OVER (PARTITION BY lang ORDER BY score DESC, doc_id
+      |                         ROWS UNBOUNDED PRECEDING) AS cum
+      |      FROM s)
+      |SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |       min(score) AS min_score
+      |FROM c WHERE cum <= 20000 GROUP BY lang ORDER BY lang""".stripMargin
+
+  // --------------------------------------------------------------- Q66
+  /** Deterministic training-SHARD assignment: shard = md5(doc_id) mod 8
+    * — the reproducible global shuffle a training run needs (no
+    * global sort, no RNG: a pure row-local hash, identical on re-run
+    * and engine-portable via the hex-prefix parse). Per-shard manifest
+    * stats fall out of one partial-aggregable groupBy; writing the
+    * corpus `partitionBy("shard")` with this column IS the shard
+    * layout at 100 TB. */
+  val q66: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 8).as("shard"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("shard"))
+
+  val q66Sql: String =
+    """SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |       count(DISTINCT lang) AS n_langs,
+      |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM (SELECT doc_id, lang,
+      |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 8 AS shard
+      |      FROM documents)
+      |GROUP BY shard ORDER BY shard""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
@@ -1024,7 +1260,13 @@ object PipelineQueries {
     ("q57_asof_join", q57, q57Sql),
     ("q58_range_join", q58, q58Sql),
     ("q59_contamination", q59, q59Sql),
-    ("q60_repetition", q60, q60Sql))
+    ("q60_repetition", q60, q60Sql),
+    ("q61_duplicate_passages", q61, q61Sql),
+    ("q62_bm25_search", q62, q62Sql),
+    ("q63_unigram_lm", q63, q63Sql),
+    ("q64_semantic_dedup", q64, q64Sql),
+    ("q65_token_budget", q65, q65Sql),
+    ("q66_shard_assign", q66, q66Sql))
 
   /** Queries with no SQL-expressible oracle (sketches differ across
     * engines) — the driver records the weaker rows-only check. */

@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.functions.TextOps
+
+/** Invariant tests for the corpus-curation queries (q61–q66) on
+  * sf0.001, complementing the DuckDB oracle gate: each test checks a
+  * property the oracle compare cannot express (greedy boundary
+  * tightness, reference-model agreement, structural invariants).
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.load(spark, sf0001, "documents")
+
+  test("q61: ratios bounded and n_dup agrees with a window reference model") {
+    val got = PipelineQueries.q61(spark, sf0001)
+      .select("doc_id", "n_distinct", "n_dup", "dup_ratio")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, nd, dup, r) =>
+      assert(dup <= nd, s"doc $id: n_dup $dup > n_distinct $nd")
+      assert(r >= 0.0 && r <= 1.0, s"doc $id: ratio $r")
+    }
+    // reference model: same counts via a window instead of the agg+join
+    val sh = docs.select(col("doc_id"),
+      explode(TextOps.shinglesNative(col("text"), 5)).as("s"))
+    val ref = sh.withColumn("nd", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .as[(Long, Long)].collect().toMap
+    got.foreach { case (id, _, dup, _) =>
+      assert(ref(id) == dup, s"doc $id: window model says ${ref(id)}, query $dup")
+    }
+  }
+
+  test("q62: every hit contains a query term; scores positive and sorted") {
+    val got = PipelineQueries.q62(spark, sf0001)
+      .select("doc_id", "bm25", "n_terms").as[(Long, Double, Long)].collect()
+    assert(got.nonEmpty && got.length <= 20)
+    assert(got.forall { case (_, s, n) => s > 0.0 && n >= 1 && n <= 3 })
+    val scores = got.map(_._2)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "not sorted desc")
+    val hitIds = got.map(_._1).toSet
+    val withTerm = docs
+      .filter(size(filter(TextOps.tokens(col("text")),
+        x => x.isInCollection(Seq("table", "hash", "stream")))) > 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hitIds.subsetOf(withTerm), "a hit contains none of the query terms")
+  }
+
+  test("q63: log-probs are negative and token counts match the scan") {
+    val got = PipelineQueries.q63(spark, sf0001)
+      .select("doc_id", "n_tokens", "avg_logp").as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_._3 < 0.0), "unigram MLE log-prob must be negative")
+    val lens = docs.select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    got.foreach { case (id, n, _) => assert(lens(id) == n) }
+  }
+
+  test("q64: the lowest id in each cell is never dropped; labels total") {
+    val got = PipelineQueries.q64(spark, sf0001)
+      .select("vec_id", "cell", "is_dup").as[(Long, Long, Long)].collect()
+    val nVec = Tables.load(spark, sf0001, "embeddings").count()
+    assert(got.length == nVec, "every vector must be labeled")
+    assert(got.forall(r => r._3 == 0L || r._3 == 1L))
+    got.groupBy(_._2).foreach { case (cell, vs) =>
+      val minId = vs.map(_._1).min
+      val flag = vs.find(_._1 == minId).get._3
+      assert(flag == 0L, s"cell $cell: lowest id $minId cannot have a lower-id dup")
+    }
+  }
+
+  test("q65: budgets respected and the greedy cut is tight") {
+    val got = PipelineQueries.q65(spark, sf0001)
+      .select("lang", "n_docs", "n_tokens", "min_score")
+      .as[(String, Long, Long, Double)].collect()
+      .map { case (l, a, b, c) => l -> ((a, b, c)) }.toMap
+    assert(got.nonEmpty)
+    got.values.foreach { case (_, tok, _) => assert(tok <= 20000L) }
+    // tightness: adding the next document in quality order would bust the
+    // budget (i.e. the cumulative walk stopped exactly at the boundary)
+    val toks = TextOps.tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val stop = TextOps.markerCount(toks, Seq("the", "a", "of", "and", "to"))
+      .cast("double") / size(toks)
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val walked = docs.select(col("doc_id"), col("lang"), nTok.as("n_tok"),
+        round(least(nTok.cast("double") / 100.0, lit(1.0)) * (lit(1.0) - stop), 4)
+          .as("score"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select("lang", "n_tok", "cum").as[(String, Long, Long)].collect()
+    walked.groupBy(_._1).foreach { case (lang, rows) =>
+      val within = rows.filter(_._3 <= 20000L)
+      val firstOver = rows.filter(_._3 > 20000L).sortBy(_._3).headOption
+      val (nSel, tokSel, _) = got(lang)
+      assert(within.length.toLong == nSel, s"$lang: doc count")
+      assert(within.map(_._2).sum == tokSel, s"$lang: token sum")
+      firstOver.foreach { case (_, nt, _) =>
+        assert(tokSel + nt > 20000L, s"$lang: greedy cut not tight")
+      }
+    }
+  }
+
+  test("q66: shards partition the corpus and the assignment is stable") {
+    val a = PipelineQueries.q66(spark, sf0001)
+      .select("shard", "n_docs", "n_tokens").as[(Long, Long, Long)].collect()
+    assert(a.map(_._1).toSet.subsetOf((0L until 8L).toSet))
+    assert(a.map(_._2).sum == docs.count(), "shards must cover every doc exactly once")
+    val b = PipelineQueries.q66(spark, sf0001)
+      .select("shard", "n_docs", "n_tokens").as[(Long, Long, Long)].collect()
+    assert(a.sortBy(_._1).sameElements(b.sortBy(_._1)), "re-run must be identical")
+  }
+}

@@ -147,6 +147,30 @@ object ScaleProbe {
         MinHashLsh.nearDupAgainst(incoming, stored, 4, 2, 0.5).count())
     }
 
+    // --- curation probes at 10×: q61's duplicated-passage detection is
+    // one shuffle on the shingle plus a join that reuses that exchange —
+    // cost tracks corpus size, not pair count; q63's unigram-LM scoring
+    // joins a vocab-sized broadcast model (the vocab here is fixed, so
+    // 10× rows ≈ 10× scan, zero extra shuffle width); q64's SemDeDup
+    // quadratic term is (N/cells)² per cell — the 10× corpus runs at
+    // 64 cells so per-cell work stays at the sf0.1 level (the cell
+    // count is the dial that holds the quadratic tier flat at scale).
+    {
+      import graft.queries.PipelineQueries
+      time("q61_dup_passages sf0.1  (5k docs) ")(PipelineQueries.q61(spark, src).count())
+      time("q61_dup_passages sf1.0 (50k docs) ")(PipelineQueries.q61(spark, out).count())
+      time("q63_unigram_lm sf1.0   (50k docs) ")(PipelineQueries.q63(spark, out).count())
+      import graft.functions.VectorOps
+      val emb10 = spark.read.parquet(s"$out/embeddings.parquet")
+      val assigned = VectorOps.ivfModel(emb10, "vec_id", "embedding", nCells = 64).assigned
+      val a = assigned.select(col("vec_id").as("a_id"), col("cell"), col("__v").as("av"))
+      val b = assigned.select(col("vec_id").as("b_id"), col("cell"), col("__v").as("bv"))
+      time("q64_semdedup sf1.0 (50k v, 64 cells)")(
+        a.join(b, "cell").filter(col("b_id") < col("a_id"))
+          .filter(round(VectorOps.cosine(col("av"), col("bv")), 4) >= 0.35)
+          .select("a_id").distinct().count())
+    }
+
     // --- 100k-entry manifest probe: pins the DOCUMENTED driver-side
     // boundary of the archive pipeline (ArchivePipeline.run/ingest
     // collect manifest METADATA — (seqnum, url) and (seqnum, name, md5,

@@ -109,4 +109,45 @@ object TextOps {
       when(c === best && c > 0, lit(l)).otherwise(els)
     }
   }
+
+  /** PII patterns for corpus scrubbing, ordered most-specific-first so a
+    * value never half-matches a later, looser pattern (an email's domain
+    * must not survive as a "hostname"; a card number must not be eaten
+    * digit-group-wise by the phone pattern). Each entry is
+    * (tag, java-regex); the same patterns drive both [[redactPii]] and
+    * [[piiCounts]]. Patterns are conservative public-knowledge shapes —
+    * a scrubbing pass prefers false positives over leaked PII. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""",
+    "card" -> """\b(?:\d[ -]?){13,16}\d\b""",
+    "ssn" -> """\b\d{3}-\d{2}-\d{4}\b""",
+    // leading guard is a lookbehind, not \b: "(555)" starts at a
+    // space→paren position, which is not a word boundary
+    "phone" -> """(?<![\d.-])(?:\+?\d{1,3}[ .-]?)?(?:\(\d{3}\)|\d{3})[ .-]\d{3}[ .-]\d{4}\b""",
+    "ipv4" -> """\b(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\b""")
+
+  /** Redact every [[PiiPatterns]] match to `[TAG]`, applied in pattern
+    * order. Pure chained `regexp_replace` — codegen'd, scan-local, no
+    * shuffle; the 100 TB scrub is exactly this expression inside the
+    * ingest projection. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (tag, re)) =>
+      regexp_replace(c, re, s"[${tag.toUpperCase}]")
+    }
+
+  /** Per-tag PII match counts as a map<string,int> — the audit side of
+    * the scrub (counts ride `observe()`/aggregations without a second
+    * scan). Counted sequentially in the same order as [[redactPii]], on
+    * the progressively-redacted text, so counts equal what redaction
+    * actually replaced (a card number is never double-counted as
+    * phone-shaped digit groups). */
+  def piiCounts(text: Column): Column = {
+    val (cols, _) = PiiPatterns.foldLeft(
+        (Seq.empty[Column], text)) { case ((acc, cur), (tag, re)) =>
+      val cnt = size(regexp_extract_all(cur, lit(re), lit(0)))
+      (acc :+ struct(lit(tag).as("tag"), cnt.as("n")),
+        regexp_replace(cur, re, s"[${tag.toUpperCase}]"))
+    }
+    map_from_entries(array(cols: _*))
+  }
 }

@@ -1000,17 +1000,22 @@ object PipelineQueries {
     * dedup signal (à la "Deduplicating Training Data Makes Language
     * Models Better"): for every document, how many of its distinct word
     * 5-grams appear in at least one OTHER position in the corpus, and
-    * the ratio. The plan is one shuffle on the shingle (groupBy with
-    * map-side combine) plus a join that REUSES that exchange (both
-    * sides hash-partition on `s`), then a groupBy on doc_id. At 100 TB
-    * the shingle column is a 64-bit hash instead of the string — same
-    * plan, 8-byte shuffle keys; the string form here keeps the oracle
-    * engine-portable. */
+    * the ratio. The per-shingle corpus count is a WINDOW over the one
+    * exploded relation — one scan, one shuffle of (doc_id, s), the
+    * count computed in place — NOT an aggregate-then-rejoin: that form
+    * scans and explodes the corpus twice, and its two exchanges do not
+    * unify (column pruning makes the count side's subplan differ, so
+    * Catalyst cannot reuse the exchange — verified in the plan audit;
+    * the spec pins the single-scan shape). At 100 TB the shingle column
+    * is a 64-bit hash instead of the string — same plan, 8-byte shuffle
+    * keys; the string form here keeps the oracle engine-portable. A
+    * pathologically hot shingle (site boilerplate) serializes its
+    * window partition linearly; the remedy is a q49-style two-phase
+    * count at the cost of the second scan. */
   val q61: Q = (s, d) => {
     val sh = t(s, d, "documents")
       .select(col("doc_id"), explode(TextOps.shinglesNative(col("text"), 5)).as("s"))
-    val counted = sh.groupBy(col("s")).agg(count(lit(1)).as("nd"))
-    sh.join(counted, "s")
+    sh.withColumn("nd", count(lit(1)).over(Window.partitionBy(col("s"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_distinct"),
         sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup"))

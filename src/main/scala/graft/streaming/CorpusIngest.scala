@@ -55,12 +55,22 @@ object CorpusIngest {
     * exact semantics of the stream. */
   def ingestBatch(batch: DataFrame, sigDir: String,
                   bands: Int = 4, rowsPerBand: Int = 2, shingleN: Int = 3,
-                  numHashes: Int = 8, minJaccard: Double = 0.5): DataFrame = {
+                  numHashes: Int = 8, minJaccard: Double = 0.5,
+                  scrubPii: Boolean = false): DataFrame = {
     val spark = batch.sparkSession
+    // tier 0 (optional): PII scrub INSIDE the ingest projection —
+    // redaction happens before any hash/signature is derived, so the
+    // store never carries fingerprints of unscrubbed text (and two docs
+    // differing only in redacted values dedup as the duplicates they
+    // are). Scan-local, no extra pass.
+    val cleaned =
+      if (scrubPii)
+        batch.withColumn("text", graft.functions.TextOps.redactPii(col("text")))
+      else batch
     // tier 1: exact content dedup, keep-first by doc_id
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__md5")).orderBy(col("doc_id"))
-    val exact = batch.select(col("doc_id"), col("text"))
+    val exact = cleaned.select(col("doc_id"), col("text"))
       .withColumn("__md5", md5(col("text")))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
@@ -94,12 +104,13 @@ object CorpusIngest {
   /** The continuous form: a streaming docs source (doc_id, text) driven
     * through [[ingestBatch]] per micro-batch. */
   def start(docs: DataFrame, sigDir: String, checkpointDir: String,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+            trigger: Trigger = Trigger.AvailableNow(),
+            scrubPii: Boolean = false): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        ingestBatch(batch, sigDir): Unit
+        ingestBatch(batch, sigDir, scrubPii = scrubPii): Unit
       }
       .start()
 }

@@ -26,10 +26,12 @@ class CurationSpec extends SparkSpec {
       assert(dup <= nd, s"doc $id: n_dup $dup > n_distinct $nd")
       assert(r >= 0.0 && r <= 1.0, s"doc $id: ratio $r")
     }
-    // reference model: same counts via a window instead of the agg+join
+    // reference model: same counts via an aggregate-then-rejoin instead
+    // of the query's window form
     val sh = docs.select(col("doc_id"),
       explode(TextOps.shinglesNative(col("text"), 5)).as("s"))
-    val ref = sh.withColumn("nd", count(lit(1)).over(Window.partitionBy(col("s"))))
+    val counted = sh.groupBy(col("s")).agg(count(lit(1)).as("nd"))
+    val ref = sh.join(counted, "s")
       .groupBy(col("doc_id"))
       .agg(sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup"))
       .as[(Long, Long)].collect().toMap
@@ -108,6 +110,24 @@ class CurationSpec extends SparkSpec {
         assert(tokSel + nt > 20000L, s"$lang: greedy cut not tight")
       }
     }
+  }
+
+  test("q61: one corpus scan, one shuffle on the shingle") {
+    // the SURVEY scale claim: the window form explodes the corpus ONCE
+    // and shuffles the (doc_id, s) pairs ONCE — the aggregate-then-
+    // rejoin alternative scans and explodes twice (its two exchanges
+    // cannot unify: column pruning makes the subplans differ)
+    val df = PipelineQueries.q61(spark, sf0001)
+    df.collect() // finalize the adaptive plan
+    // the AQE plan string appends an "== Initial Plan ==" copy — audit
+    // only the final plan section
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    val shingleExchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(s#"))
+    assert(scans == 1, s"expected 1 corpus scan, got $scans:\n$plan")
+    assert(shingleExchanges == 1,
+      s"expected 1 shingle exchange, got $shingleExchanges:\n$plan")
   }
 
   test("q66: shards partition the corpus and the assignment is stable") {

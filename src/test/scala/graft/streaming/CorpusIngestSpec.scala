@@ -62,6 +62,27 @@ class CorpusIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scrubPii: redaction runs before hashing, so PII-only variants dedup") {
+    val sigDir = tmp() + "/sig"
+    // same document text, differing ONLY in the embedded email — after
+    // the tier-0 scrub they are byte-identical, so the exact tier keeps
+    // one; and the stored md5 is of the REDACTED text (no fingerprint
+    // of the unscrubbed bytes ever persists)
+    val b = Seq(
+      (1L, baseText + " contact alice@example.com now"),
+      (2L, baseText + " contact bob@other.org now"),
+      (3L, distinctText))
+      .toDF("doc_id", "text")
+    val kept = CorpusIngest.ingestBatch(b, sigDir, scrubPii = true)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(1L, 3L)), kept.mkString(","))
+    val storedMd5 = spark.read.parquet(sigDir)
+      .filter(col("doc_id") === 1L).select("__md5").as[String].head()
+    val redactedMd5 = Seq(baseText + " contact [EMAIL] now").toDF("t")
+      .select(md5(col("t"))).as[String].head()
+    assert(storedMd5 == redactedMd5, "stored hash must be of the redacted text")
+  }
+
   test("signature store is directly queryable by nearDupFromSignatures") {
     val sigDir = tmp() + "/sig"
     CorpusIngest.ingestBatch(

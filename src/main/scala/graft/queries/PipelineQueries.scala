@@ -1042,9 +1042,14 @@ object PipelineQueries {
     * the retrieval primitive over a corpus table. Only query-term
     * postings survive the scan (the array filter runs inside codegen
     * before the explode), so the shuffle carries ≤ |terms| rows per
-    * document; document frequencies and the (N, avgdl) statistics are
-    * model-sized broadcasts. avgdl divides two EXACT integers so both
-    * engines start from the identical double. */
+    * document; the (N, avgdl) statistics are a model-sized broadcast.
+    * Document frequencies come from a WINDOW over the tf relation
+    * itself — a separate `tf.groupBy(term)` relation would recompute
+    * tf's whole lineage (column pruning blocks exchange unification,
+    * the q61 lesson), i.e. a third corpus scan for a |terms|-row
+    * count. Two scans total: the stats aggregate and the postings
+    * scan. avgdl divides two EXACT integers so both engines start
+    * from the identical double. */
   val q62: Q = (s, d) => {
     val terms = Seq("table", "hash", "stream")
     val base = t(s, d, "documents").select(col("doc_id"),
@@ -1057,13 +1062,14 @@ object PipelineQueries {
         explode(filter(col("toks"), x => x.isInCollection(terms))).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
-    val dfRel = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("term"))).cast("double"))
     val k1 = 1.2
     val b = 0.75
     val idf = log((col("__n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
     val score = idf * col("tf") * (k1 + 1.0) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("__avgdl")))
-    tf.join(broadcast(dfRel), "term").crossJoin(broadcast(stats))
+    withDf.crossJoin(broadcast(stats))
       .groupBy(col("doc_id"))
       .agg(round(sum(score), 4).as("bm25"), count(lit(1)).as("n_terms"))
       .orderBy(col("bm25").desc, col("doc_id"))
@@ -1095,31 +1101,41 @@ object PipelineQueries {
     * log-probability under the corpus's own MLE unigram distribution —
     * the cheap perplexity-style fluency signal (odd documents score
     * low). The "model" (term → count) is corpus-derived but
-    * vocabulary-sized, so it rides a broadcast join; the token total is
-    * an exact integer, and the per-document mean of ~100 logs rounds at
-    * 4 dp far above double noise. At 100 TB the distribution is trained
-    * once (optionally count-capped) and shipped exactly like the IVF
-    * centroids. */
+    * vocabulary-sized, so it rides a broadcast join; the token TOTAL is
+    * summed from the model (vocab-sized aggregate — though as a second
+    * USE of the probs lineage it re-executes its pruned scan: an
+    * unmaterialized relation re-runs per consumer, the q61 lesson),
+    * and the scoring side works on per-(doc, term) COUNTS (map-side
+    * combine shrinks the shuffle to distinct terms per doc; the mean
+    * is Σ k·ln p / Σ k over exact integer k). At 100 TB the
+    * distribution is trained once (optionally count-capped) and
+    * shipped exactly like the IVF centroids — scoring is then ONE
+    * corpus scan joined to the broadcast model. */
   val q63: Q = (s, d) => {
     val tok = t(s, d, "documents")
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
-    val total = tok.agg(count(lit(1)).cast("double").as("__t"))
+    val tcnt = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("k"))
     val probs = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-    tok.join(broadcast(probs), "term").crossJoin(broadcast(total))
+    val total = probs.agg(sum(col("cnt")).cast("double").as("__t"))
+    val kd = col("k").cast("double")
+    tcnt.join(broadcast(probs), "term").crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        round(avg(log(col("cnt").cast("double") / col("__t"))), 4).as("avg_logp"))
+      .agg(sum(col("k")).as("n_tokens"),
+        round(sum(kd * log(col("cnt").cast("double") / col("__t"))) / sum(kd), 4)
+          .as("avg_logp"))
       .orderBy(col("doc_id"))
   }
 
   val q63Sql: String =
     """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
       |             FROM documents),
+      |tc AS (SELECT doc_id, term, count(*) AS k FROM tok GROUP BY doc_id, term),
       |p AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
-      |tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM tok)
-      |SELECT doc_id, count(*) AS n_tokens,
-      |       round(avg(ln(CAST(cnt AS DOUBLE) / t)), 4) AS avg_logp
-      |FROM tok JOIN p USING (term) CROSS JOIN tot
+      |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM p)
+      |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+      |       round(sum(CAST(k AS DOUBLE) * ln(CAST(cnt AS DOUBLE) / t))
+      |             / sum(CAST(k AS DOUBLE)), 4) AS avg_logp
+      |FROM tc JOIN p USING (term) CROSS JOIN tot
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------- Q64
@@ -1131,19 +1147,24 @@ object PipelineQueries {
     * point: the quadratic term is (N/cells)² per cluster, tuned by the
     * cell count, instead of N². Comparisons happen on 4-dp-rounded
     * cosines (both engines round the identical IEEE expression, so the
-    * threshold cannot straddle an ulp). Output labels every vector. */
+    * threshold cannot straddle an ulp). Output labels every vector —
+    * as a LEFT self-join with the dup predicate in the join condition
+    * (flag = any match survived), so the assignment lineage executes
+    * twice, not three times as with a separate dropped-set + label
+    * join; production stores `cell` as a column (the IVF layout), at
+    * which point each side is one pruned scan. */
   val q64: Q = (s, d) => {
     val assigned = ivfModelFor(s, d, 8).assigned
-    val a = assigned.select(col("vec_id").as("a_id"), col("cell"), col("__v").as("av"))
-    val b = assigned.select(col("vec_id").as("b_id"), col("cell"), col("__v").as("bv"))
-    val dropped = a.join(b, "cell")
-      .filter(col("b_id") < col("a_id"))
-      .filter(round(VectorOps.cosine(col("av"), col("bv")), 4) >= 0.35)
-      .select(col("a_id")).distinct()
-    assigned.select(col("vec_id"), col("cell"))
-      .join(dropped, col("vec_id") === col("a_id"), "left")
-      .select(col("vec_id"), col("cell"),
-        when(col("a_id").isNotNull, 1L).otherwise(0L).as("is_dup"))
+    val a = assigned.select(col("vec_id").as("a_id"), col("cell").as("a_cell"),
+      col("__v").as("av"))
+    val b = assigned.select(col("vec_id").as("b_id"), col("cell").as("b_cell"),
+      col("__v").as("bv"))
+    a.join(b,
+        col("a_cell") === col("b_cell") && col("b_id") < col("a_id") &&
+          round(VectorOps.cosine(col("av"), col("bv")), 4) >= 0.35,
+        "left")
+      .groupBy(col("a_id").as("vec_id"), col("a_cell").as("cell"))
+      .agg(max(when(col("b_id").isNotNull, 1L).otherwise(0L)).as("is_dup"))
       .orderBy(col("vec_id"))
   }
 

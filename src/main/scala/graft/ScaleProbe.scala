@@ -148,8 +148,9 @@ object ScaleProbe {
     }
 
     // --- curation probes at 10×: q61's duplicated-passage detection is
-    // one shuffle on the shingle plus a join that reuses that exchange —
-    // cost tracks corpus size, not pair count; q63's unigram-LM scoring
+    // the single-scan window form — one shuffle of the exploded
+    // (doc_id, shingle) pairs with the corpus count computed in place —
+    // so cost tracks corpus size, not pair count; q63's unigram-LM scoring
     // joins a vocab-sized broadcast model (the vocab here is fixed, so
     // 10× rows ≈ 10× scan, zero extra shuffle width); q64's SemDeDup
     // quadratic term is (N/cells)² per cell — the 10× corpus runs at

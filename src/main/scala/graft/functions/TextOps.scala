@@ -110,6 +110,22 @@ object TextOps {
     }
   }
 
+  /** English stopword markers — the `Markers("en")` set, shared by the
+    * quality score so its stopword ratio stays pinned to language ID. */
+  val EnStops: Seq[String] = Seq("the", "a", "of", "and", "to")
+
+  /** The canonical document quality score (q25's formula):
+    * `min(tokens/100, 1) · (1 − stopword_ratio)`, rounded to 4 dp. ONE
+    * definition — q25, the percentile curation (q54), the token-budget
+    * walk (q65) and their specs all call this, so a formula tweak can
+    * never silently diverge between the scorer and its consumers. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("long")
+    val stopRatio = markerCount(toks, EnStops).cast("double") / size(toks)
+    round(least(nTok.cast("double") / 100.0, lit(1.0)) * (lit(1.0) - stopRatio), 4)
+  }
+
   /** PII patterns for corpus scrubbing, ordered most-specific-first so a
     * value never half-matches a later, looser pattern (an email's domain
     * must not survive as a "hostname"; a card number must not be eaten
@@ -119,11 +135,19 @@ object TextOps {
     * a scrubbing pass prefers false positives over leaked PII. */
   val PiiPatterns: Seq[(String, String)] = Seq(
     "email" -> """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""",
-    "card" -> """\b(?:\d[ -]?){13,16}\d\b""",
+    // card digits group in FOURS with one CONSISTENT separator (the
+    // backreference): a per-digit-optional separator would greedily
+    // span two ADJACENT distinct values ("123-45-6789 555-123-4567" is
+    // a 16-digit run), mislabeling both and leaking a remnant. Groups
+    // of 4 + \1 can't start inside SSN (3-2-4) or phone (3-3-4)
+    // shapes. Tail covers 13-19 digit PANs (Visa-13 … UnionPay-19).
+    "card" -> """\b\d{4}([ -]?)\d{4}\1\d{4}\1\d{1,4}(?:\1\d{1,3})?\b""",
     "ssn" -> """\b\d{3}-\d{2}-\d{4}\b""",
     // leading guard is a lookbehind, not \b: "(555)" starts at a
-    // space→paren position, which is not a word boundary
-    "phone" -> """(?<![\d.-])(?:\+?\d{1,3}[ .-]?)?(?:\(\d{3}\)|\d{3})[ .-]\d{3}[ .-]\d{4}\b""",
+    // space→paren position, which is not a word boundary; the area-code
+    // separator is optional only after a PARENTHESIZED code ("(555)123-
+    // 4567" is standard formatting, bare "555123-4567" is not)
+    "phone" -> """(?<![\d.-])(?:\+?\d{1,3}[ .-]?)?(?:\(\d{3}\)[ .-]?|\d{3}[ .-])\d{3}[ .-]\d{4}\b""",
     "ipv4" -> """\b(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\b""")
 
   /** Redact every [[PiiPatterns]] match to `[TAG]`, applied in pattern

@@ -216,7 +216,7 @@ object PipelineQueries {
     val toks = TextOps.tokens(col("text"))
     val nTok = size(toks).cast("long")
     val nonSpace = length(regexp_replace(col("text"), " ", "")).cast("double")
-    val stopRatio = TextOps.markerCount(toks, Seq("the", "a", "of", "and", "to"))
+    val stopRatio = TextOps.markerCount(toks, TextOps.EnStops)
       .cast("double") / size(toks)
     t(s, d, "documents")
       .select(col("doc_id"),
@@ -226,7 +226,7 @@ object PipelineQueries {
         // quotient is bit-deterministic in both.
         (floor(nonSpace * 100.0 / nTok) / 100.0).as("avg_token_len"),
         round(stopRatio, 4).as("stopword_ratio"),
-        round(least(nTok.cast("double") / 100.0, lit(1.0)) * (lit(1.0) - stopRatio), 4).as("score"))
+        TextOps.qualityScore(col("text")).as("score"))
       .orderBy(col("doc_id"))
   }
 
@@ -751,14 +751,9 @@ object PipelineQueries {
     * partitions are where a salting step would slot if one language
     * dominates (see q49). */
   val q54: Q = (s, d) => {
-    val toks = TextOps.tokens(col("text"))
-    val nTok = size(toks).cast("long")
-    val stopRatio = TextOps.markerCount(toks, Seq("the", "a", "of", "and", "to"))
-      .cast("double") / size(toks)
     val scored = t(s, d, "documents")
       .select(col("doc_id"), col("lang"),
-        round(least(nTok.cast("double") / 100.0, lit(1.0)) * (lit(1.0) - stopRatio), 4)
-          .as("score"))
+        TextOps.qualityScore(col("text")).as("score"))
     val rankW = Window.partitionBy(col("lang"))
       .orderBy(col("score").desc, col("doc_id"))
     val cntW = Window.partitionBy(col("lang"))
@@ -1192,14 +1187,10 @@ object PipelineQueries {
     * A language hot enough to bottleneck the single window partition
     * gets the q49 salting treatment on a coarse score bucket. */
   val q65: Q = (s, d) => {
-    val toks = TextOps.tokens(col("text"))
-    val nTok = size(toks).cast("long")
-    val stopRatio = TextOps.markerCount(toks, Seq("the", "a", "of", "and", "to"))
-      .cast("double") / size(toks)
     val scored = t(s, d, "documents")
-      .select(col("doc_id"), col("lang"), nTok.as("n_tok"),
-        round(least(nTok.cast("double") / 100.0, lit(1.0)) * (lit(1.0) - stopRatio), 4)
-          .as("score"))
+      .select(col("doc_id"), col("lang"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"),
+        TextOps.qualityScore(col("text")).as("score"))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("score").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -71,4 +71,26 @@ class PiiSpec extends SparkSpec {
     val got = redact("version 999.999.999.999 build 12-34 range 1-800")
     assert(got == Seq("version 999.999.999.999 build 12-34 range 1-800"))
   }
+
+  test("phone: parenthesized area code with no separator still redacts") {
+    assert(redact("call (555)123-4567 now") == Seq("call [PHONE] now"))
+  }
+
+  test("card: 13-digit Visa and 18/19-digit Maestro shapes redact") {
+    val got = redact(
+      "visa 4222222222222 pay",
+      "maestro 676770000000000000 pay",
+      "union 6250941006528599716 pay")
+    assert(got == Seq("visa [CARD] pay", "maestro [CARD] pay", "union [CARD] pay"), got)
+  }
+
+  test("card never spans two adjacent distinct values across a space") {
+    // ssn + phone adjacent: per-digit-optional separators would see one
+    // 16-digit run and mislabel both, leaking a remnant — the groups-of-
+    // four backreference form must leave each value to its own pattern
+    assert(redact("ssn 123-45-6789 555-123-4567 done")
+      == Seq("ssn [SSN] [PHONE] done"))
+    assert(redact("phones 555-123-4567 555-987-6543 done")
+      == Seq("phones [PHONE] [PHONE] done"))
+  }
 }

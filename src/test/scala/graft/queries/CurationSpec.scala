@@ -88,16 +88,12 @@ class CurationSpec extends SparkSpec {
     got.values.foreach { case (_, tok, _) => assert(tok <= 20000L) }
     // tightness: adding the next document in quality order would bust the
     // budget (i.e. the cumulative walk stopped exactly at the boundary)
-    val toks = TextOps.tokens(col("text"))
-    val nTok = size(toks).cast("long")
-    val stop = TextOps.markerCount(toks, Seq("the", "a", "of", "and", "to"))
-      .cast("double") / size(toks)
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("score").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val walked = docs.select(col("doc_id"), col("lang"), nTok.as("n_tok"),
-        round(least(nTok.cast("double") / 100.0, lit(1.0)) * (lit(1.0) - stop), 4)
-          .as("score"))
+    val walked = docs.select(col("doc_id"), col("lang"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"),
+        TextOps.qualityScore(col("text")).as("score"))
       .withColumn("cum", sum(col("n_tok")).over(w))
       .select("lang", "n_tok", "cum").as[(String, Long, Long)].collect()
     walked.groupBy(_._1).foreach { case (lang, rows) =>

@@ -1248,6 +1248,83 @@ object PipelineQueries {
       |      FROM documents)
       |GROUP BY shard ORDER BY shard""".stripMargin
 
+  // --------------------------------------------------------------- Q67
+  /** MIXTURE sampling — build a corpus matching target source weights
+    * (the data-mixing step before training): each language's sampling
+    * rate is DERIVED from its corpus count (`rate = min(1, w·B/n)`,
+    * B = 150-doc budget), then membership is the q53 row-local hash
+    * predicate (md5 32-bit prefix under `floor(rate·2³²)` — integer
+    * compare, engine-exact). The count relation is the mixture MODEL:
+    * languages-sized, broadcast; at scale it is computed once per
+    * corpus version and shipped, leaving one scan whose predicate
+    * evaluates inside the scan stage. Selection is reproducible and
+    * rerun-stable — growing the corpus only adds/removes docs at the
+    * hash frontier (no reshuffling the sample). */
+  val q67: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val w = when(col("lang") === "en", 0.4).when(col("lang") === "de", 0.3)
+      .when(col("lang") === "es", 0.2).otherwise(0.1)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    docs.join(broadcast(counts), "lang")
+      .withColumn("rate", least(lit(1.0), w * lit(150.0) / col("n_lang")))
+      .withColumn("h32",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"))
+      .filter(col("h32") < floor(col("rate") * lit(4294967296.0)).cast("long"))
+      .groupBy(col("lang"))
+      .agg(min(col("n_lang")).as("n_lang"), round(min(col("rate")), 4).as("rate"),
+        count(lit(1)).as("n_sel"))
+      .orderBy(col("lang"))
+  }
+
+  val q67Sql: String =
+    """WITH n AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+      |r AS (SELECT d.doc_id, d.lang, n.n_lang,
+      |        least(1.0, (CASE d.lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.3
+      |                    WHEN 'es' THEN 0.2 ELSE 0.1 END) * 150.0 / n.n_lang) AS rate,
+      |        CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h32
+      |      FROM documents d JOIN n USING (lang))
+      |SELECT lang, min(n_lang) AS n_lang, round(min(rate), 4) AS rate,
+      |       count(*) AS n_sel
+      |FROM r WHERE h32 < CAST(floor(rate * 4294967296.0) AS BIGINT)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // --------------------------------------------------------------- Q68
+  /** Day-over-day DRIFT monitoring on the event stream: the population
+    * stability index Σ (p−q)·ln(p/q) of each day's event-type
+    * distribution against the previous day's — the guardrail a
+    * continuously-ingesting pipeline alarms on. Everything after the
+    * daily aggregate is model-sized (days × types), so the self-join's
+    * lineage recompute is a non-cost; the corpus-scale work is one
+    * partial-aggregable groupBy. Buckets are compared where present on
+    * BOTH days (inner join): a type absent on either day has unbounded
+    * pointwise PSI and belongs to a presence alarm, not this sum —
+    * `n_buckets` exposes the compared-bucket count for exactly that. */
+  val q68: Q = (s, d) => {
+    val daily = t(s, d, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val withP = daily.withColumn("p",
+      col("c").cast("double") / sum(col("c")).over(Window.partitionBy(col("day"))))
+    val prev = withP.select(date_add(col("day"), 1).as("day"),
+      col("event_type"), col("p").as("q"))
+    withP.join(prev, Seq("day", "event_type"))
+      .groupBy(col("day"))
+      .agg(round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 4).as("psi"),
+        count(lit(1)).as("n_buckets"))
+      .orderBy(col("day"))
+  }
+
+  val q68Sql: String =
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS c
+      |               FROM events GROUP BY 1, 2),
+      |p AS (SELECT day, event_type,
+      |        CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY day) AS p
+      |      FROM daily)
+      |SELECT a.day, round(sum((a.p - b.p) * ln(a.p / b.p)), 4) AS psi,
+      |       count(*) AS n_buckets
+      |FROM p a JOIN p b ON a.event_type = b.event_type AND a.day = b.day + 1
+      |GROUP BY a.day ORDER BY a.day""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
@@ -1283,7 +1360,9 @@ object PipelineQueries {
     ("q63_unigram_lm", q63, q63Sql),
     ("q64_semantic_dedup", q64, q64Sql),
     ("q65_token_budget", q65, q65Sql),
-    ("q66_shard_assign", q66, q66Sql))
+    ("q66_shard_assign", q66, q66Sql),
+    ("q67_mixture_sample", q67, q67Sql),
+    ("q68_drift_psi", q68, q68Sql))
 
   /** Queries with no SQL-expressible oracle (sketches differ across
     * engines) — the driver records the weaker rows-only check. */

@@ -126,6 +126,49 @@ class CurationSpec extends SparkSpec {
       s"expected 1 shingle exchange, got $shingleExchanges:\n$plan")
   }
 
+  test("q67: rates bounded, selection under-budget, and the hash frontier nests") {
+    val got = PipelineQueries.q67(spark, sf0001)
+      .select("lang", "n_lang", "rate", "n_sel")
+      .as[(String, Long, Double, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (l, n, r, sel) =>
+      assert(r > 0.0 && r <= 1.0, s"$l: rate $r")
+      assert(sel <= n, s"$l: selected $sel of $n")
+    }
+    // frontier property: a LARGER budget's sample is a superset of a
+    // smaller one's (same hash order, higher threshold) — growing the
+    // target never reshuffles what was already selected
+    def sample(budget: Double): Set[(String, Long)] = {
+      val w = when(col("lang") === "en", 0.4).when(col("lang") === "de", 0.3)
+        .when(col("lang") === "es", 0.2).otherwise(0.1)
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      docs.join(counts, "lang")
+        .withColumn("rate", least(lit(1.0), w * lit(budget) / col("n_lang")))
+        .withColumn("h32",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"))
+        .filter(col("h32") < floor(col("rate") * lit(4294967296.0)).cast("long"))
+        .select(col("lang"), col("doc_id")).as[(String, Long)].collect().toSet
+    }
+    val small = sample(150.0)
+    val large = sample(300.0)
+    assert(small.subsetOf(large), "smaller budget must select a subset")
+    assert(large.size > small.size, "larger budget must actually select more")
+  }
+
+  test("q68: PSI is nonnegative and buckets never exceed the type count") {
+    val got = PipelineQueries.q68(spark, sf0001)
+      .select("day", "psi", "n_buckets")
+      .as[(java.sql.Date, Double, Long)].collect()
+    assert(got.nonEmpty)
+    val nTypes = Tables.load(spark, sf0001, "events")
+      .select("event_type").distinct().count()
+    got.foreach { case (day, psi, nb) =>
+      // each PSI term (p-q)·ln(p/q) is >= 0 (signs always agree)
+      assert(psi >= 0.0, s"$day: psi $psi")
+      assert(nb >= 1 && nb <= nTypes, s"$day: buckets $nb")
+    }
+  }
+
   test("q66: shards partition the corpus and the assignment is stable") {
     val a = PipelineQueries.q66(spark, sf0001)
       .select("shard", "n_docs", "n_tokens").as[(Long, Long, Long)].collect()

@@ -252,26 +252,31 @@ object RawCodec {
         10 + (((c(6) & 0x7f) << 21) | ((c(7) & 0x7f) << 14) |
               ((c(8) & 0x7f) << 7) | (c(9) & 0x7f))
       else 0
-    // encoders may pad between tag and first frame: scan for the sync
+    // encoders may pad between tag and first frame: scan for the sync.
+    // A sync CANDIDATE whose header fields are invalid is padding that
+    // happens to contain 0xFF — real parsers resume scanning from the
+    // next byte rather than abandoning the payload on the first false
+    // sync (which would stub out files with junk before frame 1).
     var o = afterTag
-    var found = -1
-    while (found < 0 && o + 4 <= c.length) {
-      if ((c(o) & 0xff) == 0xff && (c(o + 1) & 0xe0) == 0xe0) found = o else o += 1
+    while (o + 4 <= c.length) {
+      if ((c(o) & 0xff) == 0xff && (c(o + 1) & 0xe0) == 0xe0) {
+        val b1 = c(o + 1) & 0xff
+        val b2 = c(o + 2) & 0xff
+        val version = (b1 >> 3) & 3 // 0=MPEG2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+        val layer = (b1 >> 1) & 3   // 0=reserved, 1=III, 2=II, 3=I
+        val bitrateIdx = (b2 >> 4) & 0xf
+        val srIdx = (b2 >> 2) & 3
+        if (version != 1 && layer != 0 && srIdx != 3 &&
+            bitrateIdx >= 1 && bitrateIdx <= 14) {
+          val kbps = Mp3BitrateKbps((version, layer))(bitrateIdx - 1)
+          Mp3SampleRate(version)(srIdx) // validates the (version, srIdx) pair
+          val audioBytes = (c.length - o).toLong
+          return MediaMeta("mp3", 0, 0, audioBytes * 8 / kbps)
+        }
+      }
+      o += 1
     }
-    require(found >= 0, "no MPEG frame sync in payload")
-    val b1 = c(found + 1) & 0xff
-    val b2 = c(found + 2) & 0xff
-    val version = (b1 >> 3) & 3 // 0=MPEG2.5, 1=reserved, 2=MPEG2, 3=MPEG1
-    val layer = (b1 >> 1) & 3   // 0=reserved, 1=III, 2=II, 3=I
-    val bitrateIdx = (b2 >> 4) & 0xf
-    val srIdx = (b2 >> 2) & 3
-    require(version != 1 && layer != 0 && srIdx != 3 &&
-      bitrateIdx >= 1 && bitrateIdx <= 14,
-      f"invalid MPEG frame header 0xff$b1%02x$b2%02x")
-    val kbps = Mp3BitrateKbps((version, layer))(bitrateIdx - 1)
-    Mp3SampleRate(version)(srIdx) // validates the (version, srIdx) pair
-    val audioBytes = (c.length - found).toLong
-    MediaMeta("mp3", 0, 0, audioBytes * 8 / kbps)
+    throw new IllegalArgumentException("no valid MPEG frame header in payload")
   }
 
   private[multimodal] def bucketMeans(n: Int, dim: Int)(value: Int => Double): Array[Float] = {

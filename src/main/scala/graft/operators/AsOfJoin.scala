@@ -42,9 +42,14 @@ object AsOfJoin {
     val lTagged = left.select(col(key).as("__k"), col(leftTime).as("__t"),
       lit(0).as("__side"), leftStruct.as("__l"),
       lit(null).cast(valueType).as("__v"))
-    val rTagged = right.select(col(key).as("__k"), col(rightTime).as("__t"),
-      lit(1).as("__side"), lit(null).cast(leftType).as("__l"),
-      valueStruct.as("__v"))
+    // a null right time would sort FIRST (asc NULLS FIRST) and its
+    // payload would carry forward onto left rows that predate every
+    // real right row — an unparseable timestamp must mean "no match",
+    // so null-time rows never enter the union
+    val rTagged = right.filter(col(rightTime).isNotNull)
+      .select(col(key).as("__k"), col(rightTime).as("__t"),
+        lit(1).as("__side"), lit(null).cast(leftType).as("__l"),
+        valueStruct.as("__v"))
     // side DESC: a right row at exactly the left row's time precedes it
     // in the frame, making the match inclusive (rt <= lt)
     val w = Window.partitionBy(col("__k"))

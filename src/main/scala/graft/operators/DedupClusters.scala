@@ -65,6 +65,14 @@ object DedupClusters {
       converged = changed == 0L
       iter += 1
     }
+    // an exhausted budget must be LOUD: unconverged labels split real
+    // clusters and the duplicates they hide would silently survive
+    // canonical(); long-chain graphs belong on the star variant
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — the " +
+          "pair graph has a long-diameter component; raise maxIter or use " +
+          "connectedComponentsStar (O(log n) rounds)")
     labels.select(col("node").as("doc_id"), col("label").as("component"))
   }
 
@@ -155,19 +163,27 @@ object DedupClusters {
   }
 
   /** Every document labeled: component members carry the component min
-    * id, singletons carry their own id. `docs` needs a doc_id column. */
-  def assignAll(docs: DataFrame, pairs: DataFrame, maxIter: Int = 30): DataFrame =
+    * id, singletons carry their own id. `docs` needs a doc_id column.
+    * `star = true` routes through [[connectedComponentsStar]] — the
+    * O(log n) choice when clusters may chain rather than clique. */
+  def assignAll(docs: DataFrame, pairs: DataFrame, maxIter: Int = 30,
+                star: Boolean = false): DataFrame = {
+    val comps =
+      if (star) connectedComponentsStar(pairs, maxIter)
+      else connectedComponents(pairs, maxIter)
     docs.select(col("doc_id"))
-      .join(connectedComponents(pairs, maxIter), Seq("doc_id"), "left")
+      .join(comps, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("component"))
+  }
 
   /** The dedup SURVIVOR set: one row per cluster — the member whose
     * doc_id equals the component label (the minimum, matching
     * keep-first semantics; swap the ordering upstream to keep by
     * quality instead). Singletons survive as themselves. */
-  def canonical(docs: DataFrame, pairs: DataFrame, maxIter: Int = 30): DataFrame =
-    docs.join(assignAll(docs, pairs, maxIter)
+  def canonical(docs: DataFrame, pairs: DataFrame, maxIter: Int = 30,
+                star: Boolean = false): DataFrame =
+    docs.join(assignAll(docs, pairs, maxIter, star)
         .filter(col("doc_id") === col("component"))
         .select(col("doc_id")),
       Seq("doc_id"), "left_semi")

@@ -149,8 +149,18 @@ object MinHashLsh {
       concat_ws("|", lit(b.toString) +:
         (0 until rowsPerBand).map(r => col("mh").getItem(b * rowsPerBand + r)): _*)
     }: _*)
+    // a family smaller than bands×rowsPerBand would read null components
+    // and concat_ws SKIPS nulls — every doc would share the degenerate
+    // keys "b|", turning the candidate self-join into a silent N×N
+    // cross product (verify keeps output correct, cost explodes). Fail
+    // the row loudly instead; the condition folds to a constant per
+    // stored family size.
+    val guarded = when(size(col("mh")) >= bands * rowsPerBand, bandKeys)
+      .otherwise(raise_error(concat(
+        lit(s"bandTable: bands*rowsPerBand = ${bands * rowsPerBand} " +
+          "exceeds stored minhash family size "), size(col("mh")).cast("string"))))
     sig.select(col("doc_id"),
-      explode(when(col("mh").isNotNull, bandKeys)).as("bk"))
+      explode(when(col("mh").isNotNull, guarded)).as("bk"))
   }
 
   /** Candidate generation + exact verify from a STORED band table

@@ -28,14 +28,30 @@ object RangeJoin {
   /** Inner-joins `points` to every interval containing them
     * (inclusive). `pointCol`/`startCol`/`endCol` must be integral
     * (epoch micros, sizes, …); intervals must satisfy s ≤ e. Output:
-    * all point columns + all interval columns. */
+    * all point columns + all interval columns.
+    *
+    * `maxBinsPerInterval` bounds the replication of ONE interval: a
+    * corrupt or open-ended sentinel end value (Long.MaxValue) would
+    * otherwise hand `sequence()` billions of elements and abort the
+    * whole job with an opaque "too long sequence" — the guard raises a
+    * named error carrying the offending bounds instead (one bad row is
+    * a data bug to surface, not a job-structure failure to decipher).
+    * Genuinely huge spans belong on a wider binWidth. */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       pointCol: String, startCol: String, endCol: String,
-                      binWidth: Long): DataFrame = {
+                      binWidth: Long, maxBinsPerInterval: Long = 1000000L): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     val p = points.withColumn("__pbin", floor(col(pointCol) / binWidth))
-    val i = intervals.withColumn("__ibin", explode(sequence(
-      floor(col(startCol) / binWidth), floor(col(endCol) / binWidth))))
+    val lastBin = floor(col(endCol) / binWidth)
+    val firstBin = floor(col(startCol) / binWidth)
+    val guardedEnd = when(lastBin - firstBin < maxBinsPerInterval, lastBin)
+      .otherwise(raise_error(concat(
+        lit(s"pointInInterval: interval spans >= $maxBinsPerInterval bins " +
+          s"at binWidth=$binWidth ["), col(startCol).cast("string"),
+        lit(", "), col(endCol).cast("string"),
+        lit("] — corrupt bound or binWidth too narrow"))))
+    val i = intervals.withColumn("__ibin",
+      explode(sequence(firstBin, guardedEnd)))
     p.join(i, col("__pbin") === col("__ibin") &&
         col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__pbin", "__ibin")

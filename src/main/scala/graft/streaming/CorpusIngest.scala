@@ -74,15 +74,21 @@ object CorpusIngest {
       .withColumn("__md5", md5(col("text")))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
+    // signatures computed ONCE per batch (the hot text-kernel scan) and
+    // shared by tiers 2 and 3 — tier 2 via the stored-signature band
+    // join, tier 3 by filtering to tier-2 survivors; banding from the
+    // same mh family also keeps batch keys comparable with the store's
+    val sigAll = MinHashLsh.signatures(
+        exact.select(col("doc_id"), col("text")), numHashes, shingleN)
+      .join(exact.select(col("doc_id"), col("__md5")), "doc_id")
+      .localCheckpoint() // two consumers — don't re-run the kernel scan
     // tier 2: near-dup within batch — b_id of any pair dies (keep-first)
-    val pairs = MinHashLsh.nearDup(exact.select(col("doc_id"), col("text")),
-      bands, rowsPerBand, shingleN, minJaccard)
+    val pairs = MinHashLsh.nearDupFromSignatures(sigAll, bands, rowsPerBand,
+      minJaccard)
     val batchKept = exact.join(pairs.select(col("b_id").as("doc_id")),
       Seq("doc_id"), "left_anti")
     // tier 3: against the stored corpus
-    val sig = MinHashLsh.signatures(
-      batchKept.select(col("doc_id"), col("text")), numHashes, shingleN)
-      .join(batchKept.select(col("doc_id"), col("__md5")), "doc_id")
+    val sig = sigAll.join(batchKept.select(col("doc_id")), "doc_id")
     val accepted = storedSignatures(spark, sigDir) match {
       case Some(stored) =>
         // exact vs store (md5 equality) + near-dup vs store (band join
@@ -102,15 +108,21 @@ object CorpusIngest {
   }
 
   /** The continuous form: a streaming docs source (doc_id, text) driven
-    * through [[ingestBatch]] per micro-batch. */
+    * through [[ingestBatch]] per micro-batch. Forwards every tuning
+    * knob [[ingestBatch]] exposes — a stream pinned to defaults would
+    * silently band a backfill's differently-sized signature family
+    * with mismatched keys, degrading cross-batch dedup recall. */
   def start(docs: DataFrame, sigDir: String, checkpointDir: String,
             trigger: Trigger = Trigger.AvailableNow(),
+            bands: Int = 4, rowsPerBand: Int = 2, shingleN: Int = 3,
+            numHashes: Int = 8, minJaccard: Double = 0.5,
             scrubPii: Boolean = false): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        ingestBatch(batch, sigDir, scrubPii = scrubPii): Unit
+        ingestBatch(batch, sigDir, bands, rowsPerBand, shingleN,
+          numHashes, minJaccard, scrubPii): Unit
       }
       .start()
 }

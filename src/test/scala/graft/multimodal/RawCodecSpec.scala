@@ -81,6 +81,17 @@ class RawCodecSpec extends SparkSpec {
     assert(MediaOps.Codec.probe(tagOnly) == MediaOps.StubCodec.probe(tagOnly))
   }
 
+  test("MP3 probe: a false sync before the real first frame is skipped, not fatal") {
+    // junk containing a sync-shaped byte pair with an INVALID header
+    // (bitrate idx 0) precedes a valid MPEG1-L3 frame — a parser that
+    // aborts on the first candidate would stub this playable file
+    val junk = Array(0xff.toByte, 0xf0.toByte, 0x00.toByte, 0x00.toByte)
+    val valid = mp3(0xfb, 0x90, audioBytes = 16000)
+    val c = junk ++ valid
+    // duration counts from the VALID frame: 16000 * 8 / 128 = 1000 ms
+    assert(RawCodec.probeMp3(c) == MediaMeta("mp3", 0, 0, 1000L))
+  }
+
   test("crafted BMP width that overflows Int*3 is rejected, not allocated") {
     // w = 715,827,883: w*3 overflows Int to a NEGATIVE rowSize, which
     // (before the Long-arithmetic guard) made the payload-bound check

@@ -81,4 +81,16 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(plan.contains("Window"), plan)
   }
+
+  test("null right times never match — an unparsed timestamp is not a quote") {
+    // the null-time row would sort FIRST in the window frame (asc NULLS
+    // FIRST) and carry 99.0 onto trades that predate every real quote
+    val q = Seq((Option("A"), Option.empty[Long], 99.0),
+        (Option("A"), Option(25L), 2.0))
+      .toDF("sym", "qt", "px")
+    val got = AsOfJoin.backward(trades, q, "sym", "t", "qt", Seq("px"))
+      .select("trade_id", "px").as[(Long, Option[Double])].collect().toMap
+    assert(got(1L).isEmpty && got(2L).isEmpty, "trades before t=25 must not match")
+    assert(got(3L).contains(2.0))
+  }
 }

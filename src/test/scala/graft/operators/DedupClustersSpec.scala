@@ -117,4 +117,20 @@ class DedupClustersSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 2L))
   }
+
+  test("exhausted iteration budget throws; star routed via assignAll absorbs the chain") {
+    // a 40-node path needs ~39 propagation rounds — maxIter=3 must NOT
+    // return silently-split components (those would survive canonical()
+    // as bogus extra 'survivors')
+    val chain = pairsDf((0L until 39L).map(i => (i, i + 1)): _*)
+    val e = intercept[IllegalStateException](
+      DedupClusters.connectedComponents(chain, maxIter = 3))
+    assert(e.getMessage.contains("did not converge"))
+    // the same chain through assignAll(star = true) converges in
+    // O(log n) rounds and labels the whole path with the min id
+    val docs = (0L until 40L).toDF("doc_id")
+    val got = DedupClusters.assignAll(docs, chain, maxIter = 10, star = true)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 40 && got.values.forall(_ == 0L))
+  }
 }

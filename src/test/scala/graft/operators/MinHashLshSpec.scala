@@ -158,4 +158,17 @@ class MinHashLshSpec extends SparkSpec {
     assert(exact.nonEmpty)
     assert(recall(8, 2) >= recall(4, 2))
   }
+
+  test("bandTable refuses a band layout exceeding the stored family size") {
+    // 8-member family banded 8×2 would read mh[8..15] = null and
+    // concat_ws SKIPS nulls — every doc would share keys "0".."7" and
+    // the candidate join would silently go N×N; the guard must name it
+    val sig = MinHashLsh.signatures(fixture, 8, 3)
+    val e = intercept[Exception](MinHashLsh.bandTable(sig, 8, 2).count())
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + messages(t.getCause)
+    assert(messages(e).contains("exceeds stored minhash family size"), messages(e))
+    // the exact fit still works
+    assert(MinHashLsh.bandTable(sig, 4, 2).count() > 0)
+  }
 }

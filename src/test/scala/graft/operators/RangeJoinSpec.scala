@@ -53,4 +53,16 @@ class RangeJoinSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("an open-ended sentinel interval fails loudly, naming the bounds") {
+    // one corrupt row must surface as a NAMED data error, not an opaque
+    // "too long sequence" from a billions-element explode
+    val points = Seq((1L, 50L)).toDF("pid", "p")
+    val intervals = Seq((1L, 0L, Long.MaxValue)).toDF("iid", "s", "e")
+    val e = intercept[Exception](
+      RangeJoin.pointInInterval(points, intervals, "p", "s", "e", 3600L).count())
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + messages(t.getCause)
+    assert(messages(e).contains("pointInInterval"), messages(e))
+  }
 }

@@ -25,6 +25,20 @@ object GraftExtensions {
     ArrayDot(Cast(args.head, ArrayType(DoubleType)),
              Cast(args(1), ArrayType(DoubleType)))
   }
+
+  /** `graft_redact_pii(text)` SQL builder: the [[graft.functions.TextOps
+    * .redactPii]] chain as a direct Catalyst `RegExpReplace` tree (the
+    * Column-API shim wraps args in an unevaluable ColumnNode under
+    * Spark 4's function injection, so the tree is built from the SAME
+    * [[graft.functions.TextOps.PiiPatterns]] source of truth instead —
+    * codegen'd, no UDF, identical patterns to the DataFrame surface). */
+  val redactBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1, "graft_redact_pii(text) takes one string arg")
+    import org.apache.spark.sql.catalyst.expressions.{Literal, RegExpReplace}
+    graft.functions.TextOps.PiiPatterns.foldLeft(args.head) { case (e, (tag, re)) =>
+      RegExpReplace(e, Literal(re), Literal(s"[${tag.toUpperCase}]"))
+    }
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -33,6 +47,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "graft_dot"),
       GraftExtensions.dotBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_redact_pii"),
+      new ExpressionInfo(classOf[Expression].getName, "graft_redact_pii"),
+      GraftExtensions.redactBuilder))
     ext.injectOptimizerRule(_ => RewriteLatestPerGroup)
     ext.injectPlannerStrategy(_ => SimilarityStrategy)
   }

@@ -85,4 +85,14 @@ class RewriteLatestPerGroupSpec extends SparkSpec {
     assert(d == 14.0)
   }
 
+  test("graft_redact_pii scrubs from SQL with the DataFrame patterns") {
+    val s = spark.newSession()
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_redact_pii", GraftExtensions.redactBuilder, "built-in")
+    val out = s.sql(
+      "SELECT graft_redact_pii('mail a@b.io or call (555)123-4567') AS t")
+      .collect().head.getString(0)
+    assert(out == "mail [EMAIL] or call [PHONE]", out)
+  }
+
 }

@@ -56,6 +56,62 @@ object EventStream {
       .select(unix_micros(col("w.start")).as("win_us"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** One batch of the continuous DRIFT monitor (the streaming twin of
+    * q68): `closed` carries this trigger's CLOSED windows as
+    * `(win_us, event_type, n_events)`; they append to the distribution
+    * store at `distDir`, and each newly closed window is scored
+    * against its immediate predecessor window from the store — the
+    * population stability index Σ (p−q)·ln(p/q) over event-type
+    * shares. The store is window × type rows (model-sized however long
+    * the stream runs); like q68, only buckets present in BOTH windows
+    * compare, with `n_buckets` exposing the compared count.
+    */
+  def driftPsiBatch(closed: DataFrame, distDir: String,
+                    windowUs: Long): DataFrame = {
+    val spark = closed.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val materialized = closed
+      .select(col("win_us"), col("event_type"), col("n_events"))
+      .localCheckpoint() // pin BEFORE appending to the dir logic reads
+    materialized.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(distDir)
+    val all = spark.read.parquet(distDir)
+    val p = all.withColumn("p", col("n_events").cast("double") /
+      sum(col("n_events")).over(Window.partitionBy(col("win_us"))))
+    val prev = p.select((col("win_us") + windowUs).as("win_us"),
+      col("event_type"), col("p").as("q"))
+    p.join(prev, Seq("win_us", "event_type"))
+      .join(materialized.select(col("win_us")).distinct(), Seq("win_us"),
+        "left_semi") // score only THIS batch's newly closed windows
+      .groupBy(col("win_us"))
+      .agg(round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 4).as("psi"),
+        count(lit(1)).as("n_buckets"))
+  }
+
+  /** The continuous form: watermarked tumbling type-counts in APPEND
+    * mode (only finalized windows emit) driven through
+    * [[driftPsiBatch]], with `onAlarm` invoked per scored window —
+    * the guardrail loop a continuously-ingesting pipeline runs. */
+  def startDriftMonitor(events: DataFrame, distDir: String,
+                        checkpointDir: String,
+                        watermarkDelay: String = "2 hours",
+                        onAlarm: (Long, Double) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val hourUs = 3600L * 1000000L
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros(col("w.start")).as("win_us"), col("event_type"),
+        col("n_events"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        driftPsiBatch(batch, distDir, hourUs).collect()
+          .foreach(r => onAlarm(r.getLong(0), r.getDouble(1)))
+      }
+      .start()
+  }
+
   /** In-stream exact dedup on a key (content hash / event id): the
     * streaming analog of the md5 anti-join — a true duplicate is dropped
     * even when it arrives with a DIFFERENT event time (the key alone

@@ -339,6 +339,79 @@ object RelationalQueries {
       |         NULL)
       |ORDER BY rule""".stripMargin
 
+  // --------------------------------------------------------------- Q69
+  /** UNPIVOT — the inverse reshaping of q40's pivot: a wide per-type
+    * aggregate melts into (event_type, metric, v) long form via the
+    * native `Dataset.unpivot` (one Expand node, no join, no shuffle
+    * beyond the aggregate's own). Values cast to one type, as the
+    * operator requires. */
+  val q69: Q = (s, d) => {
+    val agg = t(s, d, "events").groupBy(col("event_type"))
+      .agg(round(sum(col("value")), 2).cast("double").as("sum_value"),
+        count(lit(1)).cast("double").as("n_events"),
+        countDistinct(col("user_id")).cast("double").as("n_users"))
+    agg.unpivot(Array(col("event_type")),
+        Array(col("sum_value"), col("n_events"), col("n_users")), "metric", "v")
+      .orderBy(col("event_type"), col("metric"))
+  }
+
+  val q69Sql: String =
+    """WITH a AS (SELECT event_type, round(sum(value), 2) AS sum_value,
+      |             CAST(count(*) AS DOUBLE) AS n_events,
+      |             CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users
+      |           FROM events GROUP BY event_type)
+      |SELECT event_type, metric, v
+      |FROM a UNPIVOT (v FOR metric IN (sum_value, n_events, n_users))
+      |ORDER BY event_type, metric""".stripMargin
+
+  // --------------------------------------------------------------- Q70
+  /** Time-series GAP FILL with forward fill: the hourly per-type rollup
+    * joined onto the full hour spine (missing hours appear with n = 0
+    * and a gap flag), the last observed hourly sum carried forward —
+    * the regularization step before any windowed model consumes the
+    * series. The spine is (types × hours): model-sized, generated, and
+    * the fill is one window shuffle on event_type. The hourly rollup's
+    * lineage feeds three consumers here (types, bounds, join side) —
+    * at scale it IS the stored rollup table, read three times pruned,
+    * not recomputed. */
+  val q70: Q = (s, d) => {
+    val hourUs = 3600000000L
+    val hourly = t(s, d, "events")
+      .groupBy(col("event_type"),
+        (floor(unix_micros(col("ts")) / hourUs) * hourUs).as("hr_us"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    val bounds = hourly.agg(min(col("hr_us")).as("lo"), max(col("hr_us")).as("hi"))
+    val spine = hourly.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), lit(hourUs))).as("hr_us"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr_us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("event_type", "hr_us"), "left")
+      .select(col("event_type"), col("hr_us"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        when(col("n").isNull, 1L).otherwise(0L).as("gap"),
+        last(col("sum_value"), ignoreNulls = true).over(w).as("ffill_value"))
+      .orderBy(col("event_type"), col("hr_us"))
+  }
+
+  val q70Sql: String =
+    """WITH hourly AS (SELECT event_type,
+      |    CAST(floor(epoch_us(ts) / 3600000000) * 3600000000 AS BIGINT) AS hr_us,
+      |    count(*) AS n, round(sum(value), 2) AS sum_value
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(hr_us) AS lo, max(hr_us) AS hi FROM hourly),
+      |spine AS (SELECT event_type, unnest(generate_series(lo, hi, 3600000000)) AS hr_us
+      |          FROM (SELECT DISTINCT event_type FROM hourly) CROSS JOIN b),
+      |j AS (SELECT s.event_type, s.hr_us, h.n, h.sum_value
+      |      FROM spine s LEFT JOIN hourly h USING (event_type, hr_us))
+      |SELECT event_type, hr_us, coalesce(n, 0) AS n,
+      |       CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS gap,
+      |       last_value(sum_value IGNORE NULLS) OVER (
+      |         PARTITION BY event_type ORDER BY hr_us
+      |         ROWS UNBOUNDED PRECEDING) AS ffill_value
+      |FROM j ORDER BY event_type, hr_us""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q31_correlated_subquery", q31, q31Sql),
@@ -353,5 +426,7 @@ object RelationalQueries {
     ("q42_range_frame", q42, q42Sql),
     ("q43_window_navigation", q43, q43Sql),
     ("q44_grouping_sets", q44, q44Sql),
-    ("q48_data_quality", q48, q48Sql))
+    ("q48_data_quality", q48, q48Sql),
+    ("q69_unpivot", q69, q69Sql),
+    ("q70_gap_fill", q70, q70Sql))
 }

@@ -172,6 +172,32 @@ object ScaleProbe {
           .select("a_id").distinct().count())
     }
 
+    // --- inverted-index probe: postings built ONCE on the 10× corpus,
+    // bucketed+sorted by term; a 3-term BM25 probe then reads only the
+    // probed terms' buckets — query cost independent of corpus size
+    // (the stored-retrieval end state, like q19's bucketed band table).
+    {
+      import graft.operators.InvertedIndex
+      val docs10 = spark.read.parquet(s"$out/documents.parquet")
+      time("idx_build sf1.0   (50k docs)     ") {
+        InvertedIndex.build(docs10.select("doc_id", "text"))
+          .write.bucketBy(32, "term").sortBy("term")
+          .mode("overwrite").saveAsTable("probe_inv")
+        spark.table("probe_inv").count()
+      }
+      val st = InvertedIndex.stats(docs10).localCheckpoint()
+      val terms = Seq("table", "hash", "stream")
+      time("idx_bm25 sf1.0  (stored index)   ")(
+        InvertedIndex.bm25(spark.table("probe_inv"), st, terms, 20).count())
+      val probePlan = InvertedIndex.bm25(spark.table("probe_inv"), st, terms, 20)
+      probePlan.collect()
+      val sel = """SelectedBucketsCount: (\d+) out of (\d+)""".r
+        .findFirstMatchIn(probePlan.queryExecution.executedPlan.toString)
+      println(s"idx_bm25 bucket pruning: ${sel.map(_.matched).getOrElse("NONE")}")
+      assert(sel.exists(m => m.group(1).toInt < m.group(2).toInt),
+        "BM25 probe read every bucket")
+    }
+
     // --- 100k-entry manifest probe: pins the DOCUMENTED driver-side
     // boundary of the archive pipeline (ArchivePipeline.run/ingest
     // collect manifest METADATA — (seqnum, url) and (seqnum, name, md5,

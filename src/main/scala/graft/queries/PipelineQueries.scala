@@ -1364,8 +1364,29 @@ object PipelineQueries {
     ("q67_mixture_sample", q67, q67Sql),
     ("q68_drift_psi", q68, q68Sql))
 
+  // --------------------------------------------------------------- Q71
+  /** Approximate QUANTILES per event type (KLL-style `percentile_approx`
+    * at accuracy 10k) beside the exact row count — the mergeable-sketch
+    * path for the q32 semantics when an exact per-group sort is too
+    * expensive: one partial-aggregable scan, sketch size bounded by the
+    * accuracy parameter regardless of N. NO SQL oracle (sketch
+    * implementations differ across engines — same policy as q47); the
+    * spec brackets every estimate against the exact percentiles. */
+  val q71: Q = (s, d) =>
+    t(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(percentile_approx(col("value"),
+          array(lit(0.5), lit(0.95)), lit(10000)).as("approx_q"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"),
+        col("approx_q").getItem(0).as("p50"),
+        col("approx_q").getItem(1).as("p95"),
+        col("n"))
+      .orderBy(col("event_type"))
+
   /** Queries with no SQL-expressible oracle (sketches differ across
     * engines) — the driver records the weaker rows-only check. */
   val noOracleEntries: Seq[(String, Q)] = Seq(
-    ("q47_approx_distinct", q47))
+    ("q47_approx_distinct", q47),
+    ("q71_approx_quantiles", q71))
 }

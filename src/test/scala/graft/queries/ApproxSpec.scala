@@ -42,4 +42,24 @@ class ApproxSpec extends SparkSpec {
       assert(math.abs(est - ex) / ex <= 0.04, s"$et: $est vs $ex exceeds 2x rsd")
     }
   }
+
+  test("q71 approximate quantiles bracket the exact percentiles") {
+    import org.apache.spark.sql.functions._
+    val got = PipelineQueries.q71(spark, sf0001)
+      .select("event_type", "p50", "p95")
+      .as[(String, Double, Double)].collect().map { case (t, a, b) => t -> ((a, b)) }.toMap
+    val exact = graft.core.Tables.load(spark, sf0001, "events")
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"))
+      .as[(String, Double, Double)].collect().map { case (t, a, b) => t -> ((a, b)) }.toMap
+    assert(got.keySet == exact.keySet)
+    // accuracy 10000 → rank error <= n/10000; on these group sizes the
+    // estimate must be a REAL value within a generous relative band
+    got.foreach { case (et, (a50, a95)) =>
+      val (e50, e95) = exact(et)
+      assert(math.abs(a50 - e50) / math.max(e50.abs, 1e-9) <= 0.05, s"$et p50: $a50 vs $e50")
+      assert(math.abs(a95 - e95) / math.max(e95.abs, 1e-9) <= 0.05, s"$et p95: $a95 vs $e95")
+    }
+  }
 }

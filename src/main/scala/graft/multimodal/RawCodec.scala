@@ -252,31 +252,66 @@ object RawCodec {
         10 + (((c(6) & 0x7f) << 21) | ((c(7) & 0x7f) << 14) |
               ((c(8) & 0x7f) << 7) | (c(9) & 0x7f))
       else 0
-    // encoders may pad between tag and first frame: scan for the sync.
-    // A sync CANDIDATE whose header fields are invalid is padding that
-    // happens to contain 0xFF — real parsers resume scanning from the
-    // next byte rather than abandoning the payload on the first false
-    // sync (which would stub out files with junk before frame 1).
-    var o = afterTag
-    while (o + 4 <= c.length) {
-      if ((c(o) & 0xff) == 0xff && (c(o + 1) & 0xe0) == 0xe0) {
-        val b1 = c(o + 1) & 0xff
-        val b2 = c(o + 2) & 0xff
-        val version = (b1 >> 3) & 3 // 0=MPEG2.5, 1=reserved, 2=MPEG2, 3=MPEG1
-        val layer = (b1 >> 1) & 3   // 0=reserved, 1=III, 2=II, 3=I
-        val bitrateIdx = (b2 >> 4) & 0xf
-        val srIdx = (b2 >> 2) & 3
-        if (version != 1 && layer != 0 && srIdx != 3 &&
-            bitrateIdx >= 1 && bitrateIdx <= 14) {
-          val kbps = Mp3BitrateKbps((version, layer))(bitrateIdx - 1)
-          Mp3SampleRate(version)(srIdx) // validates the (version, srIdx) pair
-          val audioBytes = (c.length - o).toLong
-          return MediaMeta("mp3", 0, 0, audioBytes * 8 / kbps)
+    // Header fields at a sync candidate, with the frame length the
+    // header implies (public layout: Layer I frames are
+    // (12·bitrate/samplerate + pad)·4 bytes; Layer II/III are
+    // coef·bitrate/samplerate + pad with coef 144, except 72 for
+    // MPEG2/2.5 Layer III's half-rate granule).
+    def header(o: Int): Option[(Int, Int)] = { // (kbps, frameLen)
+      if (o + 4 > c.length || (c(o) & 0xff) != 0xff || (c(o + 1) & 0xe0) != 0xe0)
+        return None
+      val b1 = c(o + 1) & 0xff
+      val b2 = c(o + 2) & 0xff
+      val version = (b1 >> 3) & 3 // 0=MPEG2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+      val layer = (b1 >> 1) & 3   // 0=reserved, 1=III, 2=II, 3=I
+      val bitrateIdx = (b2 >> 4) & 0xf
+      val srIdx = (b2 >> 2) & 3
+      val pad = (b2 >> 1) & 1
+      if (version == 1 || layer == 0 || srIdx == 3 ||
+          bitrateIdx < 1 || bitrateIdx > 14) return None
+      val kbps = Mp3BitrateKbps((version, layer))(bitrateIdx - 1)
+      val sr = Mp3SampleRate(version)(srIdx)
+      val frameLen =
+        if (layer == 3) (12 * kbps * 1000 / sr + pad) * 4
+        else {
+          val coef = if (layer == 1 && version != 3) 72 else 144
+          coef * kbps * 1000 / sr + pad
         }
-      }
-      o += 1
+      Some((kbps, frameLen))
     }
-    throw new IllegalArgumentException("no valid MPEG frame header in payload")
+    // encoders may pad between tag and first frame: scan for the sync,
+    // resuming past false candidates (junk containing 0xFF). Acceptance
+    // is tiered against the two failure modes: (a) abort-on-first-
+    // candidate stubbed out playable files with junk before frame 1;
+    // (b) accept-any-field-valid-candidate returns a bogus duration for
+    // random junk. So: a candidate whose implied frame length lands on
+    // a SECOND valid header (or at/after EOF) wins immediately — a real
+    // CBR stream confirms at its first frame; otherwise a UNIQUE
+    // field-valid candidate is accepted (a lone final frame), while
+    // multiple unconfirmed candidates — the random-junk signature —
+    // throw to the stub fallback.
+    def dur(o: Int, kbps: Int): MediaMeta =
+      MediaMeta("mp3", 0, 0, (c.length - o).toLong * 8 / kbps)
+    var o = afterTag
+    var lone: Option[(Int, Int)] = None // (offset, kbps)
+    var nValid = 0
+    while (o + 4 <= c.length) {
+      header(o) match {
+        case Some((kbps, frameLen)) =>
+          if (frameLen > 4 &&
+              (o + frameLen >= c.length || header(o + frameLen).isDefined))
+            return dur(o, kbps)
+          nValid += 1
+          if (lone.isEmpty) lone = Some((o, kbps))
+          o += 1
+        case None => o += 1
+      }
+    }
+    lone match {
+      case Some((off, kbps)) if nValid == 1 => dur(off, kbps)
+      case _ => throw new IllegalArgumentException(
+        s"no confirmed MPEG frame header in payload ($nValid unconfirmed candidates)")
+    }
   }
 
   private[multimodal] def bucketMeans(n: Int, dim: Int)(value: Int => Double): Array[Float] = {

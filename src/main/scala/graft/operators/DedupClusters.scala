@@ -150,6 +150,12 @@ object DedupClusters {
       prev = cur
       iter += 1
     }
+    // same loudness contract as the propagation variant: labeling a
+    // graph that is not yet a star forest silently splits components
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds " +
+          "(expected O(log n)); raise maxIter")
     // star forest: one neighborhood-min pass labels every node
     val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
     val labeled = sym.groupBy(col("u").as("doc_id"))

@@ -23,19 +23,22 @@ object InvertedIndex {
 
   /** Postings relation from a `(doc_id, text)` corpus: one row per
     * distinct (doc, term) with the term frequency, document length and
-    * the term's document frequency (pre-joined so queries need no
-    * second aggregation). One explode + two partial-aggregable
-    * groupBys; write the result `bucketBy(n, "term").sortBy("term")`
-    * to pin the layout. */
+    * the term's document frequency (stored in-row so queries need no
+    * second aggregation). The df comes from a WINDOW over the tf
+    * relation itself — an aggregate-then-rejoin would re-execute the
+    * scan+explode per join side (column pruning blocks exchange
+    * unification; the q61/q62 lesson this repo's PLANS.md documents).
+    * One corpus scan, one shuffle; write the result
+    * `bucketBy(n, "term").sortBy("term")` to pin the layout. */
   def build(docs: DataFrame): DataFrame = {
-    val tf = docs
+    import org.apache.spark.sql.expressions.Window
+    docs
       .select(col("doc_id"),
         size(TextOps.tokens(col("text"))).cast("long").as("dl"),
         explode(TextOps.tokens(col("text"))).as("term"))
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
-    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    tf.join(df_, "term")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("df"))
   }
 

@@ -44,7 +44,12 @@ object RangeJoin {
     val p = points.withColumn("__pbin", floor(col(pointCol) / binWidth))
     val lastBin = floor(col(endCol) / binWidth)
     val firstBin = floor(col(startCol) / binWidth)
-    val guardedEnd = when(lastBin - firstBin < maxBinsPerInterval, lastBin)
+    // span compared in DOUBLE: a Long subtraction overflows for
+    // sentinel bounds like [Long.MinValue, Long.MaxValue] — exactly the
+    // corrupt rows this guard exists to catch — and a negative overflow
+    // would slip past the threshold into the opaque sequence error
+    val span = lastBin.cast("double") - firstBin.cast("double")
+    val guardedEnd = when(span < maxBinsPerInterval.toDouble, lastBin)
       .otherwise(raise_error(concat(
         lit(s"pointInInterval: interval spans >= $maxBinsPerInterval bins " +
           s"at binWidth=$binWidth ["), col(startCol).cast("string"),

@@ -74,13 +74,27 @@ object EventStream {
       .select(col("win_us"), col("event_type"), col("n_events"))
       .localCheckpoint() // pin BEFORE appending to the dir logic reads
     materialized.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(distDir)
+    // only this batch's windows and their immediate predecessors matter:
+    // prune the store BEFORE any window math so per-batch cost stays
+    // O(batch), not O(stream lifetime)
+    val newWins = materialized.select(col("win_us")).distinct()
+    val needed = newWins
+      .union(newWins.select((col("win_us") - windowUs).as("win_us"))).distinct()
+    // max() over (win_us, event_type) makes a foreachBatch REPLAY
+    // harmless: a crash between the append and the checkpoint commit
+    // re-appends identical rows, which must not double the counts (a
+    // duplicated predecessor would halve every q and fan the join out —
+    // a permanent false alarm baked into the store)
     val all = spark.read.parquet(distDir)
+      .join(broadcast(needed), Seq("win_us"), "left_semi")
+      .groupBy(col("win_us"), col("event_type"))
+      .agg(max(col("n_events")).as("n_events"))
     val p = all.withColumn("p", col("n_events").cast("double") /
       sum(col("n_events")).over(Window.partitionBy(col("win_us"))))
     val prev = p.select((col("win_us") + windowUs).as("win_us"),
       col("event_type"), col("p").as("q"))
     p.join(prev, Seq("win_us", "event_type"))
-      .join(materialized.select(col("win_us")).distinct(), Seq("win_us"),
+      .join(newWins, Seq("win_us"),
         "left_semi") // score only THIS batch's newly closed windows
       .groupBy(col("win_us"))
       .agg(round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 4).as("psi"),

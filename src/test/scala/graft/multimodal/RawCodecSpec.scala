@@ -81,6 +81,25 @@ class RawCodecSpec extends SparkSpec {
     assert(MediaOps.Codec.probe(tagOnly) == MediaOps.StubCodec.probe(tagOnly))
   }
 
+  test("MP3 probe: a confirmed two-frame stream wins at the first frame") {
+    // frame length for MPEG1-L3 128 kbps @44100 = 417 bytes: place a
+    // second valid header exactly there — the candidate CONFIRMS
+    val h = Array(0xff.toByte, 0xfb.toByte, 0x90.toByte, 0x00.toByte)
+    val c = h ++ new Array[Byte](417 - 4) ++ h ++ new Array[Byte](417 - 4)
+    assert(RawCodec.probeMp3(c) == MediaMeta("mp3", 0, 0, 834L * 8 / 128))
+  }
+
+  test("MP3 probe: multiple unconfirmed junk candidates throw to the stub") {
+    // two sync-shaped field-valid pairs at a spacing that matches no
+    // frame length, inside a payload longer than one frame — the
+    // random-junk signature must NOT yield a bogus duration
+    val h = Array(0xff.toByte, 0xfb.toByte, 0x90.toByte, 0x00.toByte)
+    val c = new Array[Byte](1000)
+    h.copyToArray(c, 0); h.copyToArray(c, 100)
+    intercept[IllegalArgumentException](RawCodec.probeMp3(c))
+    assert(MediaOps.Codec.probe(c) == MediaOps.StubCodec.probe(c))
+  }
+
   test("MP3 probe: a false sync before the real first frame is skipped, not fatal") {
     // junk containing a sync-shaped byte pair with an INVALID header
     // (bitrate idx 0) precedes a valid MPEG1-L3 frame — a parser that

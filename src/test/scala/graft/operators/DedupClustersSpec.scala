@@ -132,5 +132,10 @@ class DedupClustersSpec extends SparkSpec {
     val got = DedupClusters.assignAll(docs, chain, maxIter = 10, star = true)
       .as[(Long, Long)].collect().toMap
     assert(got.size == 40 && got.values.forall(_ == 0L))
+    // the star variant honors the same loudness contract
+    val longChain = pairsDf((0L until 99L).map(i => (i, i + 1)): _*)
+    val e2 = intercept[IllegalStateException](
+      DedupClusters.connectedComponentsStar(longChain, maxIter = 2))
+    assert(e2.getMessage.contains("did not converge"))
   }
 }

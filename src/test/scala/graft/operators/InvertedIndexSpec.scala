@@ -24,6 +24,14 @@ class InvertedIndexSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("build scans the corpus once (df from a window, not a rejoin)") {
+    val df = InvertedIndex.build(docs.select("doc_id", "text"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 corpus scan, got $scans:\n$plan")
+  }
+
   test("bucketed index serves the probe from the probed terms' buckets only") {
     InvertedIndex.build(docs.select("doc_id", "text"))
       .write.bucketBy(8, "term").sortBy("term")

@@ -64,5 +64,11 @@ class RangeJoinSpec extends SparkSpec {
     def messages(t: Throwable): String =
       if (t == null) "" else t.getMessage + " | " + messages(t.getCause)
     assert(messages(e).contains("pointInInterval"), messages(e))
+    // the full-sentinel pair [Long.MinValue, Long.MaxValue]: a Long
+    // span subtraction would overflow NEGATIVE and slip past the guard
+    val sentinel = Seq((1L, Long.MinValue, Long.MaxValue)).toDF("iid", "s", "e")
+    val e2 = intercept[Exception](
+      RangeJoin.pointInInterval(points, sentinel, "p", "s", "e", 1L).count())
+    assert(messages(e2).contains("pointInInterval"), messages(e2))
   }
 }

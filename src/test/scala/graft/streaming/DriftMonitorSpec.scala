@@ -42,6 +42,20 @@ class DriftMonitorSpec extends SparkSpec {
     assert(b2(2 * hourUs)._1 == psi(Seq(0.8, 0.2), Seq(0.5, 0.5)))
   }
 
+  test("a replayed batch does not corrupt the store (foreachBatch at-least-once)") {
+    val dir = tmp() + "/dist"
+    val b1 = windows((0L, "view", 8L), (0L, "click", 2L),
+      (hourUs, "view", 5L), (hourUs, "click", 5L))
+    EventStream.driftPsiBatch(b1, dir, hourUs)
+    // crash-between-append-and-commit replay: same rows append again;
+    // the duplicated predecessor must NOT halve q or fan out the join
+    EventStream.driftPsiBatch(b1, dir, hourUs)
+    val b2 = EventStream.driftPsiBatch(windows(
+        (2 * hourUs, "view", 8L), (2 * hourUs, "click", 2L)), dir, hourUs)
+      .as[(Long, Double, Long)].collect()
+    assert(b2.toSeq == Seq((2 * hourUs, psi(Seq(0.8, 0.2), Seq(0.5, 0.5)), 2L)))
+  }
+
   test("identical distributions score zero drift") {
     val dir = tmp() + "/dist"
     EventStream.driftPsiBatch(windows((0L, "view", 6L), (0L, "click", 3L)), dir, hourUs)

@@ -96,4 +96,38 @@ object PureProps extends Properties("graft.pure") {
         t.matches("""\d{8}T\d{6}Z-""") &&
         t.startsWith(d.replace("/", "").take(8))
     }
+
+  // PII regexes run inside the ingest scan over arbitrary corpus bytes:
+  // they must be TOTAL (no exception, no catastrophic backtracking on
+  // long digit runs) and a second pass must be the identity (the
+  // replacement tokens never re-match any pattern). JVM-local regex
+  // application — the Spark column form compiles the same patterns.
+  private def redactLocal(s: String): String =
+    graft.functions.TextOps.PiiPatterns.foldLeft(s) { case (acc, (tag, re)) =>
+      acc.replaceAll(re, s"[${tag.toUpperCase}]")
+    }
+
+  private val piiGen: Gen[String] = {
+    val atoms = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(12)),
+      Gen.numStr.map(_.take(40)), // long digit runs: backtracking bait
+      Gen.oneOf(" ", "-", ".", "(", ")", "@", "+", "|"),
+      Gen.const("a@b.io"), Gen.const("555-123-4567"),
+      Gen.const("4111 1111 1111 1111"), Gen.const("10.0.0.1"))
+    Gen.listOf(atoms).map(_.mkString(""))
+  }
+
+  property("PII scrub is total and idempotent on arbitrary text") =
+    Prop.forAll(piiGen) { s =>
+      val once = redactLocal(s)
+      redactLocal(once) == once
+    }
+
+  property("PII scrub never leaves a seeded email or SSN intact") =
+    Prop.forAll(Gen.alphaStr.map(_.take(10)), Gen.alphaStr.map(_.take(10))) {
+      (pre, post) =>
+        val r1 = redactLocal(s"$pre x@y.org $post")
+        val r2 = redactLocal(s"$pre 123-45-6789 $post")
+        !r1.contains("x@y.org") && !r2.contains("123-45-6789")
+    }
 }

@@ -417,16 +417,21 @@ object PipelineQueries {
     val docs = t(s, d, "documents")
     // corpus size N folded into the dataflow as a 1-row broadcast
     // relation — one job, no separate driver-side count() pre-scan
+    // (count-star over parquet reads footers, not data)
     val nRel = docs.agg(count(lit(1)).cast("double").as("__n"))
     val terms = docs.select(col("doc_id"), col("lang"),
       explode(TextOps.tokens(col("text"))).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("lang"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    // document frequency from the (already small) tf relation — no
-    // second explode over the corpus; countDistinct(doc_id) keeps the
-    // oracle's exact semantics even if a doc_id ever carried two langs
-    val df_ = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
-    val scored = tf.join(broadcast(df_), "term").crossJoin(broadcast(nRel))
+    // document frequency as a WINDOW over the tf relation — an
+    // aggregate-then-rejoin would re-execute the corpus explode for the
+    // df side (column pruning blocks exchange unification; the q61
+    // lesson). tf has one row per (doc_id, term) — doc_id determines
+    // lang — so the window count IS countDistinct(doc_id), matching
+    // the oracle's COUNT(DISTINCT doc_id) semantics exactly.
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .crossJoin(broadcast(nRel))
       .withColumn("tfidf", col("tf") * log(col("__n") / col("df")))
     val wr = Window.partitionBy(col("lang"))
       .orderBy(col("m").desc, col("term"))

@@ -1,0 +1,53 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Repo-wide plan-audit RATCHET: the number of parquet scans each
+  * declared query plans must never exceed the audited baseline. The
+  * q61/q62/q64 rewrites each removed a redundant corpus re-scan caused
+  * by unmaterialized-relation re-execution (column pruning blocks
+  * exchange unification, so a relation consumed twice plans its scan
+  * twice) — this spec pins every query's scan count so the pattern
+  * cannot silently creep back in. Counts come from the analyzed
+  * physical plan (no execution); multi-table joins legitimately scan
+  * once per table, and the documented model-derivation rescans (q63's
+  * LM, q64's assignment, q67's counts, q70's rollup) are part of the
+  * audited baseline, not violations.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  test("no query plans more parquet scans than its audited baseline") {
+    val baseline = PlanAuditSpec.ScanBaseline
+    val over = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
+        val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+        val allowed = baseline.getOrElse(name, PlanAuditSpec.DefaultMax)
+        if (scans > allowed) Some(s"$name: $scans scans (baseline $allowed)")
+        else None
+    }
+    assert(over.isEmpty, s"scan-count regressions:\n${over.mkString("\n")}")
+  }
+}
+
+object PlanAuditSpec {
+  /** Default cap for queries not listed below. */
+  val DefaultMax = 4
+  /** Audited per-query scan counts (see the class doc). Only queries
+    * whose audited plan exceeds or notably undercuts the default are
+    * listed — a new query landing above DefaultMax must either be
+    * restructured or have its count consciously recorded here. */
+  val ScanBaseline: Map[String, Int] = Map(
+    // single-scan designs the audit fought for: pin them tight
+    "q61_duplicate_passages" -> 1,
+    "q38_tfidf" -> 2,
+    "q62_bm25_search" -> 2,
+    "q63_unigram_lm" -> 3,
+    "q64_semantic_dedup" -> 2,
+    // multi-table relational joins (one scan per table, plus documented
+    // reuse): audited counts
+    "q10_join_inner_equi" -> 4,
+    "q48_data_quality" -> 5,
+    "q51_dataprep_pipeline" -> 4,
+    "q70_gap_fill" -> 3)
+}

@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair encoding as declarative dataflow — the real tokenizer
+  * train/encode step of a training-data pipeline (beyond the BPE-ish
+  * regex of q26).
+  *
+  * Representation: a word's symbol sequence is a STRING with every
+  * symbol wrapped in parentheses — "hello" → "(h)(e)(l)(l)(o)" — so
+  * one BPE merge (a, b) → ab is a plain LITERAL replace of "(a)(b)"
+  * with "(ab)": unambiguous (the wrapper means a pattern can never
+  * match inside a longer symbol) and with identical left-to-right
+  * non-overlapping semantics in the JVM and the DuckDB oracle. This is
+  * the classic space-joined-symbols formulation of the published BPE
+  * algorithm, with parens instead of spaces because corpus tokens are
+  * split ON spaces.
+  *
+  * Training runs on the WORD-FREQUENCY relation — vocabulary-sized, a
+  * model not a corpus — so the loop is the ivfModel shape: one corpus
+  * scan builds the table, each merge round is a pair-count aggregate
+  * plus a one-row collect (the chosen pair), and the chosen merge
+  * applies as a replace over the word table. Encoding at any scale is
+  * a scan-local chain of replaces (no shuffle, no UDF).
+  */
+object Bpe {
+
+  /** A chosen merge: symbols `a` + `b` fused, with the pair's corpus
+    * frequency at selection time. */
+  case class Merge(a: String, b: String, freq: Long)
+
+  /** "(h)(e)(l)(l)(o)" from "hello". */
+  def symbolize(word: Column): Column =
+    regexp_replace(word, "(.)", raw"($$1)")
+
+  /** The corpus word-frequency relation: (ws = symbolized word, n). */
+  def wordFreq(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .select(symbolize(col("w")).as("ws"), col("n"))
+
+  /** The symbol array of a wrapped string: "(a)(bc)" → [a, bc]. */
+  def symbols(ws: Column): Column =
+    split(regexp_replace(ws, raw"^\(|\)$$", ""), raw"\)\(")
+
+  /** Adjacent-pair keys of a wrapped string, joined with '!' — a
+    * separator ordered BELOW every corpus symbol character, so the
+    * lexicographic tie-break on the joined key equals the (a, b) tuple
+    * order in both engines. */
+  def pairKeys(ws: Column): Column = {
+    val s = symbols(ws)
+    when(size(s) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(s) - 1),
+        i => concat(element_at(s, i), lit("!"), element_at(s, i + 1))))
+  }
+
+  /** One literal-replace merge application. */
+  def applyMerge(ws: Column, a: String, b: String): Column =
+    regexp_replace(ws, // literal semantics via quoting — no regex metachars live
+      java.util.regex.Pattern.quote(s"($a)($b)"),
+      java.util.regex.Matcher.quoteReplacement(s"($a$b)"))
+
+  /** Chain of merges applied in training order. */
+  def applyMerges(ws: Column, merges: Seq[Merge]): Column =
+    merges.foldLeft(ws) { case (c, m) => applyMerge(c, m.a, m.b) }
+
+  /** Symbol count of a wrapped string — the token count after encode:
+    * one '(' per symbol. */
+  def tokenCount(ws: Column): Column =
+    (length(ws) - length(regexp_replace(ws, raw"\(", ""))).cast("long")
+
+  /** Train `k` merges: each round counts adjacent pairs over the word
+    * table (weighted by word frequency), picks the most frequent (ties
+    * → lexicographically smallest joined key), and applies it. The
+    * collect per round is ONE row — the model update. */
+  def train(docs: DataFrame, k: Int, textCol: String = "text"): Seq[Merge] = {
+    var words = wordFreq(docs, textCol).localCheckpoint()
+    val out = Seq.newBuilder[Merge]
+    var i = 0
+    var exhausted = false
+    while (i < k && !exhausted) {
+      val top = words
+        .select(explode(pairKeys(col("ws"))).as("p"), col("n"))
+        .groupBy(col("p")).agg(sum(col("n")).as("f"))
+        .orderBy(col("f").desc, col("p"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val Array(a, b) = top.head.getString(0).split('!')
+        out += Merge(a, b, top.head.getLong(1))
+        words = words
+          .select(applyMerge(col("ws"), a, b).as("ws"), col("n"))
+          .localCheckpoint() // k rounds: truncate lineage, model-sized table
+      }
+      i += 1
+    }
+    out.result()
+  }
+}

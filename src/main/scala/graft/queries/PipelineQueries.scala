@@ -1330,6 +1330,116 @@ object PipelineQueries {
       |FROM p a JOIN p b ON a.event_type = b.event_type AND a.day = b.day + 1
       |GROUP BY a.day ORDER BY a.day""".stripMargin
 
+  /** Trained BPE merge tables, memoized like the IVF quantizer (same
+    * immutable-dir contract). */
+  private val bpeModels = new java.util.LinkedHashMap[
+      (SparkSession, String, Int), Seq[graft.functions.Bpe.Merge]](16, 0.75f, false) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(SparkSession, String, Int),
+          Seq[graft.functions.Bpe.Merge]]): Boolean = size() > 32
+  }
+  private def bpeModelFor(s: SparkSession, d: String, k: Int): Seq[graft.functions.Bpe.Merge] =
+    bpeModels.synchronized {
+      val key = (s, d, k)
+      Option(bpeModels.get(key)).getOrElse {
+        val m = graft.functions.Bpe.train(t(s, d, "documents"), k)
+        bpeModels.put(key, m)
+        m
+      }
+    }
+
+  /** Unrolled BPE training prelude shared by the q72/q73 oracles:
+    * word-frequency table → k rounds of (pair count → top pair → merge
+    * via literal replace), the original word carried as the join key.
+    * Mirrors [[graft.functions.Bpe.train]] step for step; the '!' pair
+    * separator sorts below every symbol character, so the tie-break on
+    * the joined key equals the (a, b) tuple order. */
+  private def bpeSqlPrelude(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH w0 AS MATERIALIZED (SELECT w, regexp_replace(w, '(.)', '(\1)', 'g') AS ws, n FROM (
+             |  SELECT w, count(*) AS n FROM (
+             |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+             |  WHERE len(w) > 0 GROUP BY w)),
+             |""".stripMargin
+    for (r <- 1 to k) {
+      sb ++= s"""pr$r AS MATERIALIZED (SELECT p, CAST(sum(n) AS BIGINT) AS f FROM (
+                |  SELECT unnest(list_transform(generate_series(1, len(s) - 1),
+                |           i -> s[i] || '!' || s[i+1])) AS p, n
+                |  FROM (SELECT regexp_extract_all(ws, '\\(([^)]*)\\)', 1) AS s, n
+                |        FROM w${r - 1})) GROUP BY p),
+                |t$r AS MATERIALIZED (SELECT p, f FROM pr$r ORDER BY f DESC, p LIMIT 1),
+                |w$r AS MATERIALIZED (SELECT w, replace(ws,
+                |    '(' || replace((SELECT p FROM t$r), '!', ')(') || ')',
+                |    '(' || replace((SELECT p FROM t$r), '!', '') || ')') AS ws, n
+                |  FROM w${r - 1}),
+                |""".stripMargin
+    }
+    sb.setLength(sb.length - 2) // trailing ",\n"
+    sb.toString
+  }
+
+  // --------------------------------------------------------------- Q72
+  /** BPE TOKENIZER TRAINING as dataflow ([[graft.functions.Bpe]]): the
+    * first 10 merges learned from the corpus word-frequency relation —
+    * each round one pair-count aggregate over the vocabulary-sized word
+    * table plus a one-row collect (the chosen pair), exactly the
+    * ivfModel training shape. The oracle replays the identical
+    * algorithm as 10 unrolled CTE rounds, so the merge table (order,
+    * pairs, frequencies) is exact-checked, not sketch-checked. One
+    * corpus scan total; everything after is model-sized. */
+  val q72: Q = (s, d) => {
+    import s.implicits._
+    val merges = bpeModelFor(s, d, 10)
+    merges.zipWithIndex
+      .map { case (m, i) => (i.toLong + 1, m.a, m.b, m.freq) }
+      .toDF("rank", "a", "b", "freq")
+      .orderBy(col("rank"))
+  }
+
+  val q72Sql: String =
+    bpeSqlPrelude(10) + ",\n" +
+      (1 to 10).map(r =>
+        s"""SELECT CAST($r AS BIGINT) AS rank, split_part(p, '!', 1) AS a,
+           |       split_part(p, '!', 2) AS b, f AS freq FROM t$r""".stripMargin)
+        .mkString("m AS (", " UNION ALL ", ")\n") +
+      "SELECT rank, a, b, freq FROM m ORDER BY rank"
+
+  // --------------------------------------------------------------- Q73
+  /** BPE ENCODING stats per language under the q72-trained merges:
+    * token counts after 10 merges and the chars-per-token compression
+    * ratio. Encoding is a scan-local chain of 10 literal replaces per
+    * word (codegen'd, no shuffle, no vocabulary join needed) — the
+    * shape that encodes any corpus size in one pass; the ratio divides
+    * two exact integers. Oracle: the unrolled training prelude's final
+    * word table joined back to the corpus. */
+  val q73: Q = (s, d) => {
+    import graft.functions.Bpe
+    val merges = bpeModelFor(s, d, 10)
+    t(s, d, "documents")
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("lang"), length(col("w")).cast("long").as("chars"),
+        Bpe.tokenCount(Bpe.applyMerges(Bpe.symbolize(col("w")), merges)).as("tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"), sum(col("tok")).as("n_tokens"),
+        sum(col("chars")).as("n_chars"),
+        round(sum(col("chars")).cast("double") / sum(col("tok")), 4)
+          .as("chars_per_token"))
+      .orderBy(col("lang"))
+  }
+
+  val q73Sql: String =
+    bpeSqlPrelude(10) + ",\n" +
+      """tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+        |enc AS (SELECT t.lang, length(t.w) AS chars,
+        |          len(regexp_extract_all(w10.ws, '\(([^)]*)\)', 1)) AS tok
+        |        FROM tok t JOIN w10 ON t.w = w10.w
+        |        WHERE len(t.w) > 0)
+        |SELECT lang, count(*) AS n_words, CAST(sum(tok) AS BIGINT) AS n_tokens,
+        |       CAST(sum(chars) AS BIGINT) AS n_chars,
+        |       round(CAST(sum(chars) AS DOUBLE) / sum(tok), 4) AS chars_per_token
+        |FROM enc GROUP BY lang ORDER BY lang""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
@@ -1367,7 +1477,9 @@ object PipelineQueries {
     ("q65_token_budget", q65, q65Sql),
     ("q66_shard_assign", q66, q66Sql),
     ("q67_mixture_sample", q67, q67Sql),
-    ("q68_drift_psi", q68, q68Sql))
+    ("q68_drift_psi", q68, q68Sql),
+    ("q72_bpe_train", q72, q72Sql),
+    ("q73_bpe_encode", q73, q73Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type (KLL-style `percentile_approx`

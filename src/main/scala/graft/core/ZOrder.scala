@@ -30,7 +30,11 @@ object ZOrder {
       (4, 0x0F0F0F0F0F0F0F0FL),
       (2, 0x3333333333333333L),
       (1, 0x5555555555555555L))
-    masks.foldLeft(x.cast("long")) { case (c, (s, m)) =>
+    // mask FIRST: a negative int (hash-mod is the documented bucketing
+    // suggestion) sign-extends under cast('long'), and unmasked sign
+    // bits would silently interleave into garbage z values
+    val low32 = x.cast("long").bitwiseAND(lit(0xFFFFFFFFL))
+    masks.foldLeft(low32) { case (c, (s, m)) =>
       (c.bitwiseOR(shiftleft(c, s))).bitwiseAND(lit(m))
     }
   }

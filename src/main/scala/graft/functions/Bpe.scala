@@ -34,10 +34,16 @@ object Bpe {
   def symbolize(word: Column): Column =
     regexp_replace(word, "(.)", raw"($$1)")
 
-  /** The corpus word-frequency relation: (ws = symbolized word, n). */
+  /** The corpus word-frequency relation: (ws = symbolized word, n).
+    * Words containing the representation's reserved characters — the
+    * '(' ')' symbol wrappers or the '!' pair-key separator — are
+    * excluded up front: a reserved character inside a symbol would
+    * corrupt symbol boundaries (silently) or the pair-key split
+    * (loudly, mid-training). Real tokenizers pre-normalize exactly
+    * this way; the q72/q73 oracles apply the identical filter. */
   def wordFreq(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(explode(TextOps.tokens(col(textCol))).as("w"))
-      .filter(length(col("w")) > 0)
+      .filter(length(col("w")) > 0 && !col("w").rlike("[()!]"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .select(symbolize(col("w")).as("ws"), col("n"))
 

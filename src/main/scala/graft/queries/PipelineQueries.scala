@@ -336,22 +336,28 @@ object PipelineQueries {
     * dir in-process requires [[clearIvfModels]] or a new session).
     * Bounded at 32 entries, oldest-first eviction, so long-lived
     * sessions don't accumulate stale sessions/plans. */
-  private val ivfModels = new java.util.LinkedHashMap[
-      (SparkSession, String, Int), VectorOps.IvfModel](16, 0.75f, false) {
-    override def removeEldestEntry(
-        e: java.util.Map.Entry[(SparkSession, String, Int), VectorOps.IvfModel]): Boolean =
-      size() > 32
-  }
-  def clearIvfModels(): Unit = ivfModels.synchronized(ivfModels.clear())
-  private def ivfModelFor(s: SparkSession, d: String, nCells: Int): VectorOps.IvfModel =
-    ivfModels.synchronized {
-      val k = (s, d, nCells)
-      Option(ivfModels.get(k)).getOrElse {
-        val m = VectorOps.ivfModel(t(s, d, "embeddings"), "vec_id", "embedding", nCells)
-        ivfModels.put(k, m)
-        m
-      }
+  /** Bounded (session, dir, param)-keyed model cache — one definition
+    * for every trained artifact this file memoizes (IVF quantizer, BPE
+    * merges), each with its own clear() escape hatch for in-process
+    * dir rewrites. */
+  private final class BoundedModelCache[V] {
+    private val m = new java.util.LinkedHashMap[
+        (SparkSession, String, Int), V](16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String, Int), V]): Boolean =
+        size() > 32
     }
+    def getOrTrain(k: (SparkSession, String, Int))(train: => V): V =
+      m.synchronized {
+        Option(m.get(k)).getOrElse { val v = train; m.put(k, v); v }
+      }
+    def clear(): Unit = m.synchronized(m.clear())
+  }
+  private val ivfModels = new BoundedModelCache[VectorOps.IvfModel]
+  def clearIvfModels(): Unit = ivfModels.clear()
+  private def ivfModelFor(s: SparkSession, d: String, nCells: Int): VectorOps.IvfModel =
+    ivfModels.getOrTrain((s, d, nCells))(
+      VectorOps.ivfModel(t(s, d, "embeddings"), "vec_id", "embedding", nCells))
 
   val q30: Q = (s, d) =>
     VectorOps.ivfSearch(t(s, d, "embeddings"), "vec_id", "embedding",
@@ -1331,22 +1337,13 @@ object PipelineQueries {
       |GROUP BY a.day ORDER BY a.day""".stripMargin
 
   /** Trained BPE merge tables, memoized like the IVF quantizer (same
-    * immutable-dir contract). */
-  private val bpeModels = new java.util.LinkedHashMap[
-      (SparkSession, String, Int), Seq[graft.functions.Bpe.Merge]](16, 0.75f, false) {
-    override def removeEldestEntry(
-        e: java.util.Map.Entry[(SparkSession, String, Int),
-          Seq[graft.functions.Bpe.Merge]]): Boolean = size() > 32
-  }
+    * immutable-dir contract; [[clearBpeModels]] is the rewrite escape
+    * hatch). */
+  private val bpeModels = new BoundedModelCache[Seq[graft.functions.Bpe.Merge]]
+  def clearBpeModels(): Unit = bpeModels.clear()
   private def bpeModelFor(s: SparkSession, d: String, k: Int): Seq[graft.functions.Bpe.Merge] =
-    bpeModels.synchronized {
-      val key = (s, d, k)
-      Option(bpeModels.get(key)).getOrElse {
-        val m = graft.functions.Bpe.train(t(s, d, "documents"), k)
-        bpeModels.put(key, m)
-        m
-      }
-    }
+    bpeModels.getOrTrain((s, d, k))(
+      graft.functions.Bpe.train(t(s, d, "documents"), k))
 
   /** Unrolled BPE training prelude shared by the q72/q73 oracles:
     * word-frequency table → k rounds of (pair count → top pair → merge
@@ -1359,7 +1356,7 @@ object PipelineQueries {
     sb ++= """WITH w0 AS MATERIALIZED (SELECT w, regexp_replace(w, '(.)', '(\1)', 'g') AS ws, n FROM (
              |  SELECT w, count(*) AS n FROM (
              |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-             |  WHERE len(w) > 0 GROUP BY w)),
+             |  WHERE len(w) > 0 AND NOT regexp_matches(w, '[()!]') GROUP BY w)),
              |""".stripMargin
     for (r <- 1 to k) {
       sb ++= s"""pr$r AS MATERIALIZED (SELECT p, CAST(sum(n) AS BIGINT) AS f FROM (
@@ -1368,9 +1365,11 @@ object PipelineQueries {
                 |  FROM (SELECT regexp_extract_all(ws, '\\(([^)]*)\\)', 1) AS s, n
                 |        FROM w${r - 1})) GROUP BY p),
                 |t$r AS MATERIALIZED (SELECT p, f FROM pr$r ORDER BY f DESC, p LIMIT 1),
-                |w$r AS MATERIALIZED (SELECT w, replace(ws,
-                |    '(' || replace((SELECT p FROM t$r), '!', ')(') || ')',
-                |    '(' || replace((SELECT p FROM t$r), '!', '') || ')') AS ws, n
+                |w$r AS MATERIALIZED (SELECT w, CASE
+                |    WHEN (SELECT count(*) FROM t$r) = 0 THEN ws
+                |    ELSE replace(ws,
+                |      '(' || replace((SELECT p FROM t$r), '!', ')(') || ')',
+                |      '(' || replace((SELECT p FROM t$r), '!', '') || ')') END AS ws, n
                 |  FROM w${r - 1}),
                 |""".stripMargin
     }
@@ -1417,7 +1416,7 @@ object PipelineQueries {
     val merges = bpeModelFor(s, d, 10)
     t(s, d, "documents")
       .select(col("lang"), explode(TextOps.tokens(col("text"))).as("w"))
-      .filter(length(col("w")) > 0)
+      .filter(length(col("w")) > 0 && !col("w").rlike("[()!]")) // Bpe.wordFreq's filter
       .select(col("lang"), length(col("w")).cast("long").as("chars"),
         Bpe.tokenCount(Bpe.applyMerges(Bpe.symbolize(col("w")), merges)).as("tok"))
       .groupBy(col("lang"))
@@ -1434,7 +1433,7 @@ object PipelineQueries {
         |enc AS (SELECT t.lang, length(t.w) AS chars,
         |          len(regexp_extract_all(w10.ws, '\(([^)]*)\)', 1)) AS tok
         |        FROM tok t JOIN w10 ON t.w = w10.w
-        |        WHERE len(t.w) > 0)
+        |        WHERE len(t.w) > 0 AND NOT regexp_matches(t.w, '[()!]'))
         |SELECT lang, count(*) AS n_words, CAST(sum(tok) AS BIGINT) AS n_tokens,
         |       CAST(sum(chars) AS BIGINT) AS n_chars,
         |       round(CAST(sum(chars) AS DOUBLE) / sum(tok), 4) AS chars_per_token

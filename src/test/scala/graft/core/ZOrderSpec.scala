@@ -35,6 +35,17 @@ class ZOrderSpec extends SparkSpec {
     got.foreach { case (a, b, z) => assert(z == mortonRef(a, b), s"($a, $b)") }
   }
 
+  test("out-of-domain keys are masked to their low 32 bits, not sign-garbled") {
+    // hash-mod bucketing (the documented suggestion) can go negative;
+    // sign extension must not leak into the interleave
+    val got = Seq((-1L, 5L), (-7L, -9L), (1L << 40, 3L)).toDF("a", "b")
+      .select(col("a"), col("b"), ZOrder.zvalue(col("a"), col("b")).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (a, b, z) =>
+      assert(z == mortonRef(a & 0xFFFFFFFFL, b & 0xFFFFFFFFL), s"($a, $b)")
+    }
+  }
+
   test("quadrant locality: points in one 2^k cell share the z prefix") {
     val rnd = new scala.util.Random(12)
     (0 until 100).foreach { _ =>

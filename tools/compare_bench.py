@@ -44,10 +44,11 @@ with open("SPEED.md", "w") as f:
         f.write(f"| {q} | {s:.3f} | {d:.3f} | {s/d:.1f}× |\n")
     if dt > 0:
         f.write(f"| **total (oracle'd queries)** | **{st:.2f}** | **{dt:.2f}** | **{st/dt:.2f}×** |\n\n")
-    f.write("Note: q30/q45 Spark times are search-only — the k-means coarse\n")
-    f.write("quantizer is a memoized trained artifact (trained once in the warmup\n")
-    f.write("pass, as production trains at ingest), while the DuckDB oracle\n")
-    f.write("retrains inside every execution of its unrolled SQL.\n\n")
+    f.write("Note: q30/q45 Spark times are search-only and q72/q73 encode-only —\n")
+    f.write("the k-means quantizer and the BPE merge table are memoized trained\n")
+    f.write("artifacts (trained once in the warmup pass, as production trains at\n")
+    f.write("ingest), while the DuckDB oracle retrains inside every execution of\n")
+    f.write("its unrolled SQL.\n\n")
     f.write("Reading: sub-second queries carry Spark's fixed per-query overhead\n")
     f.write("(~0.2 s planning + task dispatch at local[32]) that DuckDB's embedded\n")
     f.write("execution does not pay — the design target is the 100 TB regime, where\n")

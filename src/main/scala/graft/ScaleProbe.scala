@@ -172,6 +172,18 @@ object ScaleProbe {
           .select("a_id").distinct().count())
     }
 
+    // --- BPE training probe: the trainer's per-round work runs on the
+    // word-frequency relation, so cost is bound by the VOCABULARY —
+    // the 10× corpus (same vocab, 10× frequencies) must train in ~the
+    // same time as sf0.1, not 10× it.
+    {
+      import graft.functions.Bpe
+      time("q72_bpe_train sf0.1  (5k docs)   ")(
+        Bpe.train(spark.read.parquet(s"$src/documents.parquet"), 10).size.toLong)
+      time("q72_bpe_train sf1.0 (50k docs)   ")(
+        Bpe.train(spark.read.parquet(s"$out/documents.parquet"), 10).size.toLong)
+    }
+
     // --- inverted-index probe: postings built ONCE on the 10× corpus,
     // bucketed+sorted by term; a 3-term BM25 probe then reads only the
     // probed terms' buckets — query cost independent of corpus size

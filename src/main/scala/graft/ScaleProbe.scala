@@ -172,6 +172,24 @@ object ScaleProbe {
           .select("a_id").distinct().count())
     }
 
+    // --- corpus-ingest probe: one 25k-doc batch through the three
+    // dedup tiers (exact in-batch, near-dup in-batch, vs the stored
+    // 25k-doc corpus) — the per-batch cost of the continuous builder,
+    // with signatures computed ONCE and shared by tiers 2 and 3.
+    {
+      val docs10 = spark.read.parquet(s"$out/documents.parquet")
+      val sigDir = "/tmp/graft_probe_ingest_sig"
+      locally {
+        val p = new org.apache.hadoop.fs.Path(sigDir)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      graft.streaming.CorpusIngest.ingestBatch(
+        docs10.filter(col("doc_id") % 2 === 0), sigDir).count() // seed the store
+      time("corpus_ingest (25k batch, 3 tiers)")(
+        graft.streaming.CorpusIngest.ingestBatch(
+          docs10.filter(col("doc_id") % 2 === 1), sigDir).count())
+    }
+
     // --- BPE training probe: the trainer's per-round work runs on the
     // word-frequency relation, so cost is bound by the VOCABULARY —
     // the 10× corpus (same vocab, 10× frequencies) must train in ~the

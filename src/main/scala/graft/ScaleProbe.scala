@@ -52,6 +52,20 @@ object ScaleProbe {
     time("q11_tpch_pricing sf1.0   (6M rows)")(CoreQueries.q11(spark, out).count())
     time("q23_ann_lsh sf0.1      (5k vecs)  ")(PipelineQueries.q23(spark, src).count())
     time("q23_ann_lsh sf1.0     (50k vecs)  ")(PipelineQueries.q23(spark, out).count())
+    // --- PQ tier: training is sample-bounded (flat at any N); encode is
+    // a scan-local argmin over centroid literals (no exchange); ADC
+    // search reads the m-byte codes, not the vectors, into a
+    // TakeOrderedAndProject. All three should grow ~linearly in rows
+    // with flat per-row cost at 10×.
+    time("q74_pq_encode sf0.1    (5k vecs)  ")(PipelineQueries.q74(spark, src).count())
+    time("q74_pq_encode sf1.0   (50k vecs)  ")(PipelineQueries.q74(spark, out).count())
+    time("q75_pq_adc sf0.1       (5k vecs)  ")(PipelineQueries.q75(spark, src).count())
+    time("q75_pq_adc sf1.0      (50k vecs)  ")(PipelineQueries.q75(spark, out).count())
+    // batch kNN join: candidate pairs grow as cells·(N/cells)² — at 10×
+    // rows and fixed cells that is 100× pair work by design; the probe
+    // checks it distributes (tasks spread, no driver materialization)
+    time("q76_knn_join sf0.1     (5k vecs)  ")(PipelineQueries.q76(spark, src).count())
+    time("q76_knn_join sf1.0    (50k vecs)  ")(PipelineQueries.q76(spark, out).count())
     // Exact all-pairs tier (TiledSelfJoin): comparisons grow N² by design —
     // the probe here is that 10× data runs AT ALL with flat driver/task
     // memory (pre-tiling these kernels collect()ed the corpus onto the

@@ -1439,6 +1439,155 @@ object PipelineQueries {
         |       round(CAST(sum(chars) AS DOUBLE) / sum(tok), 4) AS chars_per_token
         |FROM enc GROUP BY lang ORDER BY lang""".stripMargin
 
+  // --------------------------------------------------------------- Q74/Q75
+  /** Product Quantization ([[graft.functions.Pq]]): m=8 subspaces × k=4
+    * codes over the 64-dim embeddings — the memory side of 100 TB ANN
+    * (8 codes ≈ 8 bytes/vector vs 512 as doubles). The codebooks are a
+    * trained artifact memoized like the IVF quantizer; the oracle replays
+    * the per-subspace k-means, the encode argmin, and the integer-exact
+    * ADC, all as unrolled CTEs. */
+  private val pqModels = new BoundedModelCache[graft.functions.Pq.PqModel]
+  def clearPqModels(): Unit = pqModels.clear()
+  private val PqM = 8
+  private val PqK = 4
+  private def pqModelFor(s: SparkSession, d: String): graft.functions.Pq.PqModel =
+    pqModels.getOrTrain((s, d, PqM * 1000 + PqK))(
+      graft.functions.Pq.train(t(s, d, "embeddings"), "vec_id", "embedding",
+        m = PqM, k = PqK))
+
+  /** PQ codes per vector (the ingest-time stored column), serialized as
+    * a '-'-joined string so the cross-engine compare is scalar. The
+    * encode is one codegen'd projection over centroid literals — no
+    * join, no shuffle (see [[graft.functions.Pq.encode]]). */
+  val q74: Q = (s, d) =>
+    graft.functions.Pq.encode(t(s, d, "embeddings"), "vec_id", "embedding",
+        pqModelFor(s, d))
+      .select(col("vec_id"),
+        array_join(transform(col("codes"), c => c.cast("string")), "-").as("codes"))
+      .orderBy(col("vec_id"))
+
+  /** Unrolled per-subspace k-means + encode shared by the q74/q75
+    * oracles — [[graft.functions.Pq.train]]/`encode` step for step:
+    * hash-sampled train set, first-k seeds sliced into every subspace,
+    * `iters` × (assign → 6-dp-rounded mean), then full-corpus argmin
+    * codes (ties → lowest code). */
+  private def pqSqlPrelude(m: Int, k: Int, dsub: Int, sampleN: Int,
+                           iters: Int): String = {
+    def d2(v: String, c: String) =
+      s"list_inner_product($v, $v) - 2 * list_inner_product($v, $c)" +
+        s" + list_inner_product($c, $c)"
+    def sl(v: String, sub: String) =
+      s"array_slice($v, $sub*$dsub + 1, $sub*$dsub + $dsub)"
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |subs AS (SELECT unnest(generate_series(0, ${m - 1})) AS sub),
+              |sidx AS (SELECT unnest(generate_series(1, $dsub)) AS i),
+              |train AS (SELECT vec_id AS tid, v FROM e
+              |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $sampleN),
+              |tsv AS (SELECT tid, sub, ${sl("v", "sub")} AS sv FROM train CROSS JOIN subs),
+              |seed AS (SELECT v, CAST(row_number() OVER (
+              |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT) AS cid
+              |         FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
+              |cents0 AS (SELECT sub, cid, ${sl("v", "sub")} AS c FROM seed CROSS JOIN subs),
+              |""".stripMargin
+    for (r <- 1 to iters) {
+      sb ++= s"""asg$r AS (SELECT tid, sub, sv, cid AS cell FROM (
+                |  SELECT t.tid, t.sub, t.sv, c.cid, row_number() OVER (
+                |    PARTITION BY t.tid, t.sub
+                |    ORDER BY ${d2("t.sv", "c.c")}, c.cid) AS rn
+                |  FROM tsv t JOIN cents${r - 1} c ON t.sub = c.sub) WHERE rn = 1),
+                |upd$r AS (SELECT sub, cell AS cid, i, round(avg(sv[i]), 6) AS x
+                |          FROM asg$r CROSS JOIN sidx GROUP BY sub, cell, i),
+                |cents$r AS (SELECT s.sub, s.cid, COALESCE(u.c, s.c) AS c FROM cents${r - 1} s
+                |            LEFT JOIN (SELECT sub, cid, list(x ORDER BY i) AS c
+                |                       FROM upd$r GROUP BY sub, cid) u
+                |            ON s.sub = u.sub AND s.cid = u.cid),
+                |""".stripMargin
+    }
+    sb ++= s"""codes AS (SELECT vec_id, sub, cid AS code FROM (
+              |  SELECT e.vec_id, c.sub, c.cid, row_number() OVER (
+              |    PARTITION BY e.vec_id, c.sub
+              |    ORDER BY ${d2(sl("e.v", "c.sub"), "c.c")}, c.cid) AS rn
+              |  FROM e CROSS JOIN cents$iters c) WHERE rn = 1)""".stripMargin
+    sb.toString
+  }
+
+  val q74Sql: String =
+    pqSqlPrelude(m = PqM, k = PqK, dsub = 8, sampleN = 256, iters = 2) +
+      """
+        |SELECT vec_id,
+        |       array_to_string(list(CAST(code AS VARCHAR) ORDER BY sub), '-') AS codes
+        |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** ADC search: probe vec_id=1's m×k lookup table in integer micro-
+    * units (exact cross-engine sums), shortlist-16 by approximate
+    * distance over stored codes, exact cosine rerank to top-5. The Spark
+    * plan is ONE codes-scan + TakeOrderedAndProject + a 16-row broadcast
+    * rerank. */
+  val q75: Q = (s, d) =>
+    graft.functions.Pq.adcSearch(t(s, d, "embeddings"), "vec_id", "embedding",
+      pqModelFor(s, d), probeId = 1L, shortlist = 16, topK = 5)
+
+  val q75Sql: String =
+    pqSqlPrelude(m = PqM, k = PqK, dsub = 8, sampleN = 256, iters = 2) +
+      """,
+        |p AS (SELECT v AS pv FROM e WHERE vec_id = 1),
+        |lut AS (SELECT sub, cid,
+        |          CAST(round((list_inner_product(ps, ps) - 2 * list_inner_product(ps, c)
+        |                      + list_inner_product(c, c)) * 1e6) AS BIGINT) AS pd
+        |        FROM (SELECT c.sub, c.cid, c.c,
+        |                     array_slice(p.pv, c.sub*8 + 1, c.sub*8 + 8) AS ps
+        |              FROM cents2 c CROSS JOIN p)),
+        |adc AS (SELECT cd.vec_id, CAST(sum(l.pd) AS BIGINT) AS approx_d2u
+        |        FROM codes cd JOIN lut l ON cd.sub = l.sub AND cd.code = l.cid
+        |        WHERE cd.vec_id <> 1 GROUP BY cd.vec_id),
+        |cand AS (SELECT vec_id, approx_d2u FROM adc ORDER BY approx_d2u, vec_id LIMIT 16)
+        |SELECT c.vec_id, c.approx_d2u,
+        |       round(list_inner_product(e.v, p.pv)
+        |             / (sqrt(list_inner_product(e.v, e.v))
+        |                * sqrt(list_inner_product(p.pv, p.pv))), 4) AS sim
+        |FROM cand c JOIN e ON c.vec_id = e.vec_id CROSS JOIN p
+        |ORDER BY sim DESC, c.vec_id LIMIT 5""".stripMargin
+
+  // --------------------------------------------------------------- Q76
+  /** Batch kNN JOIN: every vector's top-3 cosine neighbors within its
+    * IVF cell — the all-rows ANN shape behind semantic curation (q64
+    * keeps only the ≥τ mate; this materializes the ranked neighbor list
+    * per vector). One equi-join on the cell id confines the quadratic
+    * term to (N/cells)² per cell, exactly like q64; the per-vector top-3
+    * is a window over the surviving pairs. Same-cell recall is the
+    * contract (the multi-probe dial is q45's). Reuses the memoized q30
+    * quantizer, so the bench cost is join + window, not training. */
+  val q76: Q = (s, d) => {
+    val assigned = ivfModelFor(s, d, 8).assigned
+    val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
+      col("__v").as("__va"))
+    val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
+      col("__v").as("__vb"))
+    val w = Window.partitionBy(col("a_id")).orderBy(col("sim").desc, col("b_id"))
+    a.join(b, "cell").filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(VectorOps.cosine(col("__va"), col("__vb")), 4).as("sim"))
+      .withColumn("r", row_number().over(w).cast("long"))
+      .filter(col("r") <= 3)
+      .select(col("a_id"), col("r"), col("b_id"), col("sim"))
+      .orderBy(col("a_id"), col("r"))
+  }
+
+  val q76Sql: String =
+    ivfSqlPrelude(nCells = 8, sampleN = 256, iters = 2) +
+      """,
+        |pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |            round(list_inner_product(a.v, b.v)
+        |                  / (sqrt(list_inner_product(a.v, a.v))
+        |                     * sqrt(list_inner_product(b.v, b.v))), 4) AS sim
+        |          FROM cells a JOIN cells b
+        |            ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+        |rk AS (SELECT a_id, b_id, sim, row_number() OVER (
+        |         PARTITION BY a_id ORDER BY sim DESC, b_id) AS r FROM pairs)
+        |SELECT a_id, CAST(r AS BIGINT) AS r, b_id, sim
+        |FROM rk WHERE r <= 3 ORDER BY a_id, r""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
@@ -1478,7 +1627,10 @@ object PipelineQueries {
     ("q67_mixture_sample", q67, q67Sql),
     ("q68_drift_psi", q68, q68Sql),
     ("q72_bpe_train", q72, q72Sql),
-    ("q73_bpe_encode", q73, q73Sql))
+    ("q73_bpe_encode", q73, q73Sql),
+    ("q74_pq_codes", q74, q74Sql),
+    ("q75_pq_ann", q75, q75Sql),
+    ("q76_knn_join", q76, q76Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type (KLL-style `percentile_approx`

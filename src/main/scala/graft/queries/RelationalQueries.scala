@@ -412,6 +412,40 @@ object RelationalQueries {
       |         ROWS UNBOUNDED PRECEDING) AS ffill_value
       |FROM j ORDER BY event_type, hr_us""".stripMargin
 
+  // --------------------------------------------------------------- Q77
+  /** MERGE / SCD-1 upsert ([[graft.operators.Merge]]): a simulated
+    * status-update feed (every 10th order flips to status 'X' with a
+    * repriced total) merged into the orders table — updates win on key,
+    * untouched rows carry through. The plan is ONE broadcast left-anti
+    * join on the key plus a union: base data never shuffles, which is
+    * the only viable shape when the base is 100 TB and the batch is
+    * small. The stored-table form (read → merge → atomic two-rename
+    * swap) is [[graft.operators.Merge.upsertInto]], spec-covered. */
+  val q77: Q = (s, d) => {
+    val base = t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    // reprice by an exactly-representable delta: round(x*1.1, 2) differs
+    // between engines when the product's shortest decimal rendering
+    // crosses a .005 boundary (Spark rounds the rendering, DuckDB the
+    // binary value) — double + 1.0 is exact in both
+    val updates = base.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+        (col("o_totalprice") + 1.0).as("o_totalprice"))
+    graft.operators.Merge.upsert(base, updates, Seq("o_orderkey"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q77Sql: String =
+    """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      |updates AS (SELECT o_orderkey, 'X' AS o_orderstatus,
+      |              o_totalprice + 1.0 AS o_totalprice
+      |            FROM base WHERE o_orderkey % 10 = 0)
+      |SELECT o_orderkey, o_orderstatus, o_totalprice FROM updates
+      |UNION ALL
+      |SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice FROM base b
+      |WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = b.o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q31_correlated_subquery", q31, q31Sql),
@@ -428,5 +462,6 @@ object RelationalQueries {
     ("q44_grouping_sets", q44, q44Sql),
     ("q48_data_quality", q48, q48Sql),
     ("q69_unpivot", q69, q69Sql),
-    ("q70_gap_fill", q70, q70Sql))
+    ("q70_gap_fill", q70, q70Sql),
+    ("q77_merge_upsert", q77, q77Sql))
 }

@@ -61,11 +61,17 @@ object ScaleProbe {
     time("q74_pq_encode sf1.0   (50k vecs)  ")(PipelineQueries.q74(spark, out).count())
     time("q75_pq_adc sf0.1       (5k vecs)  ")(PipelineQueries.q75(spark, src).count())
     time("q75_pq_adc sf1.0      (50k vecs)  ")(PipelineQueries.q75(spark, out).count())
-    // batch kNN join: candidate pairs grow as cells·(N/cells)² — at 10×
-    // rows and fixed cells that is 100× pair work by design; the probe
-    // checks it distributes (tasks spread, no driver materialization)
-    time("q76_knn_join sf0.1     (5k vecs)  ")(PipelineQueries.q76(spark, src).count())
-    time("q76_knn_join sf1.0    (50k vecs)  ")(PipelineQueries.q76(spark, out).count())
+    // batch kNN join: candidate pairs total N²/cells, so the production
+    // dial holds N/cells constant as the corpus grows — 64 cells at 50k
+    // matches sf0.1's per-cell density (fixed 8 cells at 10× rows was
+    // measured at 100× pair work: 143 s)
+    time("q76_knn_join sf0.1  (5k, 8 cells) ")(PipelineQueries.q76(spark, src).count())
+    time("q76_knn_join sf1.0 (50k, 64 cells)")(
+      graft.functions.VectorOps.knnJoin(
+        graft.functions.VectorOps.ivfModel(
+          spark.read.parquet(s"$out/embeddings.parquet"),
+          "vec_id", "embedding", nCells = 64).assigned,
+        "vec_id", k = 3).count())
     // Exact all-pairs tier (TiledSelfJoin): comparisons grow N² by design —
     // the probe here is that 10× data runs AT ALL with flat driver/task
     // memory (pre-tiling these kernels collect()ed the corpus onto the

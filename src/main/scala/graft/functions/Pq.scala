@@ -113,24 +113,55 @@ object Pq {
     PqModel(m, k, dsub, arr, local)
   }
 
-  /** Scan-local PQ encoding: `codes[j] = argmin_c d²(v_j, centroid_jc)`
-    * (ties → lowest code, via array_position's first-match). The
-    * centroids are LITERALS, so the whole encode is one codegen'd
-    * projection — no join, no shuffle; ‖c‖² constant-folds. This is the
-    * ingest-time step: store `codes` beside the table and [[adcSearch]]
-    * never touches the float vectors again. Output: (idCol, codes). */
-  def encode(emb: DataFrame, idCol: String, vecCol: String,
-             model: PqModel): DataFrame = {
-    val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
-    val codeCols = (0 until model.m).map { j =>
-      val sv = slice(col("__v"), j * model.dsub + 1, model.dsub)
+  /** The scan-local codes expression: `codes[j] = argmin_c d²(v_j,
+    * centroid_jc)` (ties → lowest code, via array_position's
+    * first-match). The centroids are LITERALS, so the result is one
+    * codegen'd projection — no join, no shuffle; ‖c‖² constant-folds.
+    * Attachable to ANY relation carrying the vector column (e.g. the
+    * IVF-assigned relation for the combined layout). */
+  def codesColumn(v: Column, model: PqModel): Column =
+    array((0 until model.m).map { j =>
+      val sv = slice(v, j * model.dsub + 1, model.dsub)
       val ds = array((0 until model.k).map { c =>
         d2(sv, lit(model.centsArr(j)(c)))
       }: _*)
       (array_position(ds, array_min(ds)) - 1).cast("long")
-    }
-    e.select(col(idCol), array(codeCols: _*).as("codes"))
+    }: _*)
+
+  /** Scan-local PQ encoding — the ingest-time step: store `codes`
+    * beside the table and [[adcSearch]] never touches the float vectors
+    * again. Output: (idCol, codes). */
+  def encode(emb: DataFrame, idCol: String, vecCol: String,
+             model: PqModel): DataFrame = {
+    val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    e.select(col(idCol), codesColumn(col("__v"), model).as("codes"))
   }
+
+  /** The probe's ADC lookup table as m·k integer micro-unit partial
+    * distances, computed IN the dataflow (model × one probe row — the
+    * same IEEE ops the oracle replays) and collected: query-compile-time
+    * state, model-sized. `probe` must be a 1-row (__pv ARRAY<DOUBLE>)
+    * relation. */
+  private def probeLut(model: PqModel, probe: DataFrame): Array[Long] = {
+    val dsub = model.dsub
+    val lutRows = model.cents.crossJoin(broadcast(probe))
+      .select(col("__csub"), col("__cid"),
+        round(d2(slice(col("__pv"), col("__csub") * dsub + 1, lit(dsub)),
+          col("__c")) * lit(1e6), 0).cast("long").as("pd"))
+      .collect()
+    require(lutRows.nonEmpty, "probe row not found")
+    val flat = new Array[Long](model.m * model.k)
+    lutRows.foreach(r => flat(r.getInt(0) * model.k + r.getLong(1).toInt) = r.getLong(2))
+    flat
+  }
+
+  /** Approximate distance of a codes row under a LUT literal: m
+    * element_at lookups + an exact integer sum, fully inside codegen. */
+  private def adcApprox(codes: Column, lutFlat: Array[Long], m: Int, k: Int): Column =
+    aggregate(
+      zip_with(codes, sequence(lit(0), lit(m - 1)),
+        (c, j) => element_at(lit(lutFlat), (j * k + c + 1).cast("int"))),
+      lit(0L), (s, x) => s + x)
 
   /** ADC top-k: approximate distances from the probe's lookup table over
     * stored codes, exact cosine rerank of the `shortlist` best.
@@ -148,27 +179,44 @@ object Pq {
                 codesOverride: Option[DataFrame] = None): DataFrame = {
     val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
     val probe = e.filter(col(idCol) === probeId).select(col("__v").as("__pv"))
-    val dsub = model.dsub
-    val lutRows = model.cents.crossJoin(broadcast(probe))
-      .select(col("__csub"), col("__cid"),
-        round(d2(slice(col("__pv"), col("__csub") * dsub + 1, lit(dsub)),
-          col("__c")) * lit(1e6), 0).cast("long").as("pd"))
-      .collect()
-    require(lutRows.nonEmpty, s"probe id $probeId not found")
-    val flat = new Array[Long](model.m * model.k)
-    lutRows.foreach(r => flat(r.getInt(0) * model.k + r.getLong(1).toInt) = r.getLong(2))
-    val lut = lit(flat)
+    val lut = probeLut(model, probe)
     val codes = codesOverride.getOrElse(encode(emb, idCol, vecCol, model))
     val short = codes.filter(col(idCol) =!= probeId)
       .select(col(idCol),
-        aggregate(
-          zip_with(col("codes"), sequence(lit(0), lit(model.m - 1)),
-            (c, j) => element_at(lut, (j * model.k + c + 1).cast("int"))),
-          lit(0L), (s, x) => s + x).as("approx_d2u"))
+        adcApprox(col("codes"), lut, model.m, model.k).as("approx_d2u"))
       .orderBy(col("approx_d2u"), col(idCol))
       .limit(shortlist)
     e.join(broadcast(short), Seq(idCol))
       .crossJoin(broadcast(probe))
+      .select(col(idCol), col("approx_d2u"),
+        round(VectorOps.cosine(col("__v"), col("__pv")), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(topK)
+  }
+
+  /** IVF-PQ: the production warehouse ANN layout — the IVF cell prunes
+    * WHICH rows the scan touches (at scale: partition pruning on a
+    * stored `cell` column), PQ codes bound HOW MANY bytes each touched
+    * row costs, and the exact rerank pays full-vector cost only on the
+    * shortlist. `assigned` is [[VectorOps.IvfModel.assigned]]
+    * (idCol, cell, __v); codes attach scan-locally so the combined
+    * relation is exactly what ingest would store. Output:
+    * (idCol, approx_d2u, sim), top `topK` by exact cosine among the
+    * probe-cell's ADC shortlist. */
+  def ivfPqSearch(assigned: DataFrame, idCol: String, model: PqModel,
+                  probeId: Long, shortlist: Int, topK: Int): DataFrame = {
+    val withCodes = assigned.select(col(idCol), col("cell"), col("__v"),
+      codesColumn(col("__v"), model).as("codes"))
+    val probeRow = assigned.filter(col(idCol) === probeId)
+    val lut = probeLut(model, probeRow.select(col("__v").as("__pv")))
+    val probe = broadcast(probeRow
+      .select(col("__v").as("__pv"), col("cell").as("__pcell")))
+    withCodes.join(probe, col("cell") === col("__pcell"))
+      .filter(col(idCol) =!= probeId)
+      .select(col(idCol), col("__v"), col("__pv"),
+        adcApprox(col("codes"), lut, model.m, model.k).as("approx_d2u"))
+      .orderBy(col("approx_d2u"), col(idCol))
+      .limit(shortlist)
       .select(col(idCol), col("approx_d2u"),
         round(VectorOps.cosine(col("__v"), col("__pv")), 4).as("sim"))
       .orderBy(col("sim").desc, col(idCol))

@@ -1471,44 +1471,51 @@ object PipelineQueries {
     * hash-sampled train set, first-k seeds sliced into every subspace,
     * `iters` × (assign → 6-dp-rounded mean), then full-corpus argmin
     * codes (ties → lowest code). */
+  /** `prefix` renames every PQ CTE (composition with other preludes that
+    * define `train`/`cents*`, e.g. q78's IVF+PQ); `withE = false` omits
+    * the leading `WITH e AS (...)` and reuses a caller-provided `e`
+    * (identical definition in ivfSqlPrelude). */
   private def pqSqlPrelude(m: Int, k: Int, dsub: Int, sampleN: Int,
-                           iters: Int): String = {
+                           iters: Int, prefix: String = "",
+                           withE: Boolean = true): String = {
+    val P = prefix
     def d2(v: String, c: String) =
       s"list_inner_product($v, $v) - 2 * list_inner_product($v, $c)" +
         s" + list_inner_product($c, $c)"
     def sl(v: String, sub: String) =
       s"array_slice($v, $sub*$dsub + 1, $sub*$dsub + $dsub)"
     val sb = new StringBuilder
-    sb ++= s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-              |subs AS (SELECT unnest(generate_series(0, ${m - 1})) AS sub),
-              |sidx AS (SELECT unnest(generate_series(1, $dsub)) AS i),
-              |train AS (SELECT vec_id AS tid, v FROM e
+    if (withE)
+      sb ++= "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n"
+    sb ++= s"""${P}subs AS (SELECT unnest(generate_series(0, ${m - 1})) AS sub),
+              |${P}sidx AS (SELECT unnest(generate_series(1, $dsub)) AS i),
+              |${P}train AS (SELECT vec_id AS tid, v FROM e
               |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $sampleN),
-              |tsv AS (SELECT tid, sub, ${sl("v", "sub")} AS sv FROM train CROSS JOIN subs),
-              |seed AS (SELECT v, CAST(row_number() OVER (
+              |${P}tsv AS (SELECT tid, sub, ${sl("v", "sub")} AS sv FROM ${P}train CROSS JOIN ${P}subs),
+              |${P}seed AS (SELECT v, CAST(row_number() OVER (
               |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT) AS cid
               |         FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
-              |cents0 AS (SELECT sub, cid, ${sl("v", "sub")} AS c FROM seed CROSS JOIN subs),
+              |${P}cents0 AS (SELECT sub, cid, ${sl("v", "sub")} AS c FROM ${P}seed CROSS JOIN ${P}subs),
               |""".stripMargin
     for (r <- 1 to iters) {
-      sb ++= s"""asg$r AS (SELECT tid, sub, sv, cid AS cell FROM (
+      sb ++= s"""${P}asg$r AS (SELECT tid, sub, sv, cid AS cell FROM (
                 |  SELECT t.tid, t.sub, t.sv, c.cid, row_number() OVER (
                 |    PARTITION BY t.tid, t.sub
                 |    ORDER BY ${d2("t.sv", "c.c")}, c.cid) AS rn
-                |  FROM tsv t JOIN cents${r - 1} c ON t.sub = c.sub) WHERE rn = 1),
-                |upd$r AS (SELECT sub, cell AS cid, i, round(avg(sv[i]), 6) AS x
-                |          FROM asg$r CROSS JOIN sidx GROUP BY sub, cell, i),
-                |cents$r AS (SELECT s.sub, s.cid, COALESCE(u.c, s.c) AS c FROM cents${r - 1} s
+                |  FROM ${P}tsv t JOIN ${P}cents${r - 1} c ON t.sub = c.sub) WHERE rn = 1),
+                |${P}upd$r AS (SELECT sub, cell AS cid, i, round(avg(sv[i]), 6) AS x
+                |          FROM ${P}asg$r CROSS JOIN ${P}sidx GROUP BY sub, cell, i),
+                |${P}cents$r AS (SELECT s.sub, s.cid, COALESCE(u.c, s.c) AS c FROM ${P}cents${r - 1} s
                 |            LEFT JOIN (SELECT sub, cid, list(x ORDER BY i) AS c
-                |                       FROM upd$r GROUP BY sub, cid) u
+                |                       FROM ${P}upd$r GROUP BY sub, cid) u
                 |            ON s.sub = u.sub AND s.cid = u.cid),
                 |""".stripMargin
     }
-    sb ++= s"""codes AS (SELECT vec_id, sub, cid AS code FROM (
+    sb ++= s"""${P}codes AS (SELECT vec_id, sub, cid AS code FROM (
               |  SELECT e.vec_id, c.sub, c.cid, row_number() OVER (
               |    PARTITION BY e.vec_id, c.sub
               |    ORDER BY ${d2(sl("e.v", "c.sub"), "c.c")}, c.cid) AS rn
-              |  FROM e CROSS JOIN cents$iters c) WHERE rn = 1)""".stripMargin
+              |  FROM e CROSS JOIN ${P}cents$iters c) WHERE rn = 1)""".stripMargin
     sb.toString
   }
 
@@ -1558,21 +1565,9 @@ object PipelineQueries {
     * is a window over the surviving pairs. Same-cell recall is the
     * contract (the multi-probe dial is q45's). Reuses the memoized q30
     * quantizer, so the bench cost is join + window, not training. */
-  val q76: Q = (s, d) => {
-    val assigned = ivfModelFor(s, d, 8).assigned
-    val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
-      col("__v").as("__va"))
-    val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
-      col("__v").as("__vb"))
-    val w = Window.partitionBy(col("a_id")).orderBy(col("sim").desc, col("b_id"))
-    a.join(b, "cell").filter(col("a_id") =!= col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        round(VectorOps.cosine(col("__va"), col("__vb")), 4).as("sim"))
-      .withColumn("r", row_number().over(w).cast("long"))
-      .filter(col("r") <= 3)
-      .select(col("a_id"), col("r"), col("b_id"), col("sim"))
+  val q76: Q = (s, d) =>
+    VectorOps.knnJoin(ivfModelFor(s, d, 8).assigned, "vec_id", k = 3)
       .orderBy(col("a_id"), col("r"))
-  }
 
   val q76Sql: String =
     ivfSqlPrelude(nCells = 8, sampleN = 256, iters = 2) +
@@ -1587,6 +1582,45 @@ object PipelineQueries {
         |         PARTITION BY a_id ORDER BY sim DESC, b_id) AS r FROM pairs)
         |SELECT a_id, CAST(r AS BIGINT) AS r, b_id, sim
         |FROM rk WHERE r <= 3 ORDER BY a_id, r""".stripMargin
+
+  // --------------------------------------------------------------- Q78
+  /** IVF-PQ combined search ([[graft.functions.Pq.ivfPqSearch]]): the
+    * production warehouse ANN layout — the coarse cell prunes WHICH rows
+    * the scan touches, the PQ codes bound the BYTES per touched row, and
+    * only the 8-row shortlist pays full-vector cost. Shares both
+    * memoized models (q30's quantizer, q74's codebooks); the oracle
+    * stitches the two unrolled preludes (PQ CTEs prefixed) and replays
+    * the cell-restricted integer-exact ADC. */
+  val q78: Q = (s, d) =>
+    graft.functions.Pq.ivfPqSearch(ivfModelFor(s, d, 8).assigned, "vec_id",
+      pqModelFor(s, d), probeId = 1L, shortlist = 8, topK = 5)
+
+  val q78Sql: String =
+    ivfSqlPrelude(nCells = 8, sampleN = 256, iters = 2) + ",\n" +
+      pqSqlPrelude(m = PqM, k = PqK, dsub = 8, sampleN = 256, iters = 2,
+        prefix = "pq_", withE = false) +
+      """,
+        |p AS (SELECT v AS pv, cell AS pcell FROM cells WHERE vec_id = 1),
+        |lut AS (SELECT sub, cid,
+        |          CAST(round((list_inner_product(ps, ps) - 2 * list_inner_product(ps, c)
+        |                      + list_inner_product(c, c)) * 1e6) AS BIGINT) AS pd
+        |        FROM (SELECT c.sub, c.cid, c.c,
+        |                     array_slice(p.pv, c.sub*8 + 1, c.sub*8 + 8) AS ps
+        |              FROM pq_cents2 c CROSS JOIN p)),
+        |adc AS (SELECT cd.vec_id, CAST(sum(l.pd) AS BIGINT) AS approx_d2u
+        |        FROM pq_codes cd
+        |        JOIN cells cl ON cd.vec_id = cl.vec_id
+        |        JOIN lut l ON cd.sub = l.sub AND cd.code = l.cid
+        |        CROSS JOIN p
+        |        WHERE cl.cell = p.pcell AND cd.vec_id <> 1
+        |        GROUP BY cd.vec_id),
+        |cand AS (SELECT vec_id, approx_d2u FROM adc ORDER BY approx_d2u, vec_id LIMIT 8)
+        |SELECT c.vec_id, c.approx_d2u,
+        |       round(list_inner_product(e.v, p.pv)
+        |             / (sqrt(list_inner_product(e.v, e.v))
+        |                * sqrt(list_inner_product(p.pv, p.pv))), 4) AS sim
+        |FROM cand c JOIN e ON c.vec_id = e.vec_id CROSS JOIN p
+        |ORDER BY sim DESC, c.vec_id LIMIT 5""".stripMargin
 
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
@@ -1630,7 +1664,8 @@ object PipelineQueries {
     ("q73_bpe_encode", q73, q73Sql),
     ("q74_pq_codes", q74, q74Sql),
     ("q75_pq_ann", q75, q75Sql),
-    ("q76_knn_join", q76, q76Sql))
+    ("q76_knn_join", q76, q76Sql),
+    ("q78_ivfpq_ann", q78, q78Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type (KLL-style `percentile_approx`
@@ -1652,9 +1687,32 @@ object PipelineQueries {
         col("n"))
       .orderBy(col("event_type"))
 
+  // --------------------------------------------------------------- Q79
+  /** Heavy hitters per language: the Misra-Gries sketch
+    * ([[graft.operators.FrequentItems]], capacity 64) over the token
+    * stream, top-5 per language. The sketch is partial-aggregable with a
+    * ≤ capacity buffer, so the shuffle carries O(langs × capacity)
+    * instead of the full distinct-term relation — the q47/q71 sketch
+    * policy applied to top-k frequency (estimates are merge-tree-
+    * dependent, so rows-only; the spec brackets them against exact
+    * counts and pins the completeness guarantee). */
+  val q79: Q = (s, d) => {
+    val fn = graft.operators.FrequentItems.sketch(64)
+    t(s, d, "documents")
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy(col("lang"))
+      .agg(fn(col("term")).as("hh"))
+      .select(col("lang"), posexplode(col("hh")))
+      .filter(col("pos") < 5)
+      .select(col("lang"), (col("pos") + 1).cast("long").as("r"),
+        col("col._1").as("term"), col("col._2").as("est_count"))
+      .orderBy(col("lang"), col("r"))
+  }
+
   /** Queries with no SQL-expressible oracle (sketches differ across
     * engines) — the driver records the weaker rows-only check. */
   val noOracleEntries: Seq[(String, Q)] = Seq(
     ("q47_approx_distinct", q47),
-    ("q71_approx_quantiles", q71))
+    ("q71_approx_quantiles", q71),
+    ("q79_heavy_hitters", q79))
 }

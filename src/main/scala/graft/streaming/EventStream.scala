@@ -199,6 +199,50 @@ object EventStream {
         col("view_ts"), col("purchase_ts"))
   }
 
+  /** Streaming SCD-1 materialized view: every micro-batch reduces to its
+    * latest row per key and MERGEs into the stored table — the unbounded
+    * twin of q77 ([[graft.operators.Merge]]), and the streaming form of
+    * the reference's current-pointer promotion generalized to row keys.
+    *
+    * Per batch: (1) keep one row per key — the highest `versionCols`
+    * tuple wins (make it a total order per key, e.g. (ts, event_id), or
+    * the survivor is nondeterministic); (2) drop nothing else — the
+    * upsert itself is [[graft.operators.Merge.upsertInto]]'s broadcast
+    * anti-join + atomic two-rename swap; the first batch creates the
+    * table. Replay-safe: re-running a batch (crash before the
+    * checkpoint commits) re-asserts the same keyed rows, and an upsert
+    * of already-present rows is a no-op on table content — effectively-
+    * once state from an at-least-once sink, like the archive ingester.
+    *
+    * At scale the same composition holds: each trigger's batch is the
+    * small broadcast side; the table never shuffles. The swap window
+    * contract is compact()'s (readers may observe a brief absence; a
+    * transactional table format removes it).
+    */
+  def startUpsertSink(updates: DataFrame, tablePath: String,
+                      checkpointDir: String, keys: Seq[String],
+                      versionCols: Seq[String])
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(keys.nonEmpty && versionCols.nonEmpty)
+    updates.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(keys.map(col): _*)
+            .orderBy(versionCols.map(col(_).desc): _*)
+          val latest = batch.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+          if (new java.io.File(tablePath).isDirectory)
+            graft.operators.Merge.upsertInto(
+              batch.sparkSession, tablePath, latest, keys): Unit
+          else latest.write.parquet(tablePath)
+        }
+      }
+      .start()
+  }
+
   /** Streaming AS-OF enrichment — the unbounded twin of
     * [[graft.operators.AsOfJoin.backward]]: one merged stream of
     * side-tagged rows per key (state updates + facts), each fact

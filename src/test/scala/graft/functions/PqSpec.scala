@@ -88,6 +88,20 @@ class PqSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("ivfPqSearch: cell pruning + ADC shortlist + exact rerank stay in-cluster") {
+    val model = Pq.train(df, "vec_id", "embedding", M, K, sampleN = 64, iters = 2)
+    val ivf = VectorOps.ivfModel(df, "vec_id", "embedding", nCells = 6,
+      sampleN = 64, iters = 2)
+    val res = Pq.ivfPqSearch(ivf.assigned, "vec_id", model,
+      probeId = 0L, shortlist = 14, topK = 5)
+    val ids = res.select("vec_id").as[Long].collect()
+    assert(ids.length == 5)
+    assert(!ids.contains(0L))
+    // a tight cluster lands in one IVF cell; inter-cluster ADC distances
+    // dwarf intra-cluster ones, so the shortlist and rerank stay home
+    assert(ids.forall(_ < 15L), s"neighbors left cluster 0: ${ids.mkString(",")}")
+  }
+
   test("missing probe id fails fast") {
     val model = Pq.train(df, "vec_id", "embedding", M, K, sampleN = 64, iters = 2)
     intercept[IllegalArgumentException] {

@@ -1622,6 +1622,33 @@ object PipelineQueries {
         |FROM cand c JOIN e ON c.vec_id = e.vec_id CROSS JOIN p
         |ORDER BY sim DESC, c.vec_id LIMIT 5""".stripMargin
 
+  // --------------------------------------------------------------- Q80
+  /** Fuzzy key self-join ([[graft.operators.FuzzyJoin]]): all customer-
+    * name pairs at edit distance exactly 1 — entity resolution over
+    * noisy keys via SymSpell deletion-neighborhood candidates + exact
+    * levenshtein verify. Candidate generation is a slim (deletion-key,
+    * name) equi-join — the q19/q50 pattern on string keys; no cross
+    * join at any N. */
+  val q80: Q = (s, d) =>
+    graft.operators.FuzzyJoin.editDistance1Pairs(t(s, d, "customer"), "c_name")
+      .withColumnRenamed("a_val", "a_name")
+      .withColumnRenamed("b_val", "b_name")
+      .orderBy(col("a_name"), col("b_name"))
+
+  val q80Sql: String =
+    """WITH v AS (SELECT DISTINCT c_name AS t FROM customer WHERE c_name IS NOT NULL),
+      |dels AS (SELECT t, unnest(generate_series(1, length(t))) AS i FROM v),
+      |keys AS (
+      |  SELECT t, t AS k FROM v
+      |  UNION ALL
+      |  SELECT t, substr(t, 1, i-1) || substr(t, i+1) AS k FROM dels
+      |),
+      |cand AS (SELECT DISTINCT a.t AS a_name, b.t AS b_name
+      |         FROM keys a JOIN keys b ON a.k = b.k AND a.t < b.t)
+      |SELECT a_name, b_name FROM cand
+      |WHERE levenshtein(a_name, b_name) = 1
+      |ORDER BY a_name, b_name""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
@@ -1665,7 +1692,8 @@ object PipelineQueries {
     ("q74_pq_codes", q74, q74Sql),
     ("q75_pq_ann", q75, q75Sql),
     ("q76_knn_join", q76, q76Sql),
-    ("q78_ivfpq_ann", q78, q78Sql))
+    ("q78_ivfpq_ann", q78, q78Sql),
+    ("q80_fuzzy_join", q80, q80Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type (KLL-style `percentile_approx`

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class FuzzyJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairsOf(vals: Seq[String]): Set[(String, String)] =
+    FuzzyJoin.editDistance1Pairs(vals.toDF("s"), "s")
+      .as[(String, String)].collect().toSet
+
+  test("finds substitution, insertion, and deletion pairs; rejects distance 2") {
+    val got = pairsOf(Seq(
+      "kitten", "mitten",   // substitution at position 1
+      "cart", "chart",      // insertion
+      "note", "not",        // deletion
+      "abcd", "cdab",       // distance 4 — shares no deletion key
+      "flip", "flop"))      // substitution mid-word
+    assert(got == Set(
+      ("cart", "chart"),
+      ("kitten", "mitten"),
+      ("flip", "flop"),
+      ("not", "note")))
+  }
+
+  test("distance-2 pairs sharing a deletion key are verified away") {
+    // "ab" and "ba": delete position 1 of one and position 2 of the other
+    // both give "a"/"b" keys — candidate generated, levenshtein(ab, ba)=2
+    val got = pairsOf(Seq("ab", "ba"))
+    assert(got.isEmpty)
+  }
+
+  test("duplicates and nulls in the input are tolerated") {
+    val df = Seq(Some("hat"), Some("hat"), Some("cat"), None).toDF("s")
+    val got = FuzzyJoin.editDistance1Pairs(df, "s")
+      .as[(String, String)].collect().toSet
+    assert(got == Set(("cat", "hat")))
+  }
+
+  test("completeness: every random single-edit pair is found (100 seeded cases)") {
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcdefg"
+    def randStr(n: Int) = Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+    val cases = (0 until 100).flatMap { i =>
+      val base = randStr(4 + rnd.nextInt(6)) + s"x$i" // distinct bases
+      val pos = rnd.nextInt(base.length)
+      val edited = rnd.nextInt(3) match {
+        case 0 => base.substring(0, pos) + base.substring(pos + 1) // deletion
+        case 1 => base.substring(0, pos) + alpha(rnd.nextInt(7)) +
+          base.substring(pos) // insertion
+        case 2 => // substitution with a guaranteed-different character
+          val cur = alpha.indexOf(base(pos))
+          val c = alpha((cur + 1 + rnd.nextInt(6)) % 7)
+          base.substring(0, pos) + c + base.substring(pos + 1)
+      }
+      if (edited != base) Some((base, edited)) else None
+    }
+    val expected = cases.map { case (a, b) =>
+      if (a < b) (a, b) else (b, a)
+    }.toSet
+    val got = pairsOf(cases.flatMap(c => Seq(c._1, c._2)))
+    val missing = expected -- got
+    assert(missing.isEmpty, s"pairs not found: ${missing.take(5)}")
+  }
+
+  test("no cartesian product in the plan") {
+    val plan = FuzzyJoin.editDistance1Pairs(
+      Seq("aaa", "aab").toDF("s"), "s").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"), plan)
+  }
+
+  test("output pairs are unique without a distinct (one bucket per true pair)") {
+    // substitution, insertion, and repeated-char cases together; every
+    // true pair must surface exactly once even though dist-2 candidates
+    // (which CAN share two buckets) flow through the same explode
+    val vals = Seq("kitten", "mitten", "cart", "chart", "aab", "ab", "ba", "aa")
+    val rows = FuzzyJoin.editDistance1Pairs(vals.toDF("s"), "s")
+      .as[(String, String)].collect().toSeq
+    assert(rows.size == rows.toSet.size, s"duplicate pairs in $rows")
+    assert(rows.toSet.contains(("aa", "aab")) && rows.toSet.contains(("aab", "ab")))
+  }
+}

@@ -44,6 +44,16 @@ object PlanAuditSpec {
     "q62_bm25_search" -> 2,
     "q63_unigram_lm" -> 3,
     "q64_semantic_dedup" -> 2,
+    // round-4 additions, audited tight: PQ encode and the MG sketch are
+    // one scan; ADC search is codes + rerank + probe; IVF-PQ carries its
+    // vectors through the shortlist (no rerank rejoin)
+    "q74_pq_codes" -> 1,
+    "q75_pq_ann" -> 3,
+    "q76_knn_join" -> 2,
+    "q77_merge_upsert" -> 3,
+    "q78_ivfpq_ann" -> 2,
+    "q79_heavy_hitters" -> 1,
+    "q80_fuzzy_join" -> 2,
     // multi-table relational joins (one scan per table, plus documented
     // reuse): audited counts
     "q10_join_inner_equi" -> 4,

@@ -30,6 +30,60 @@ object Sinks {
   def readDatePartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Crash-safe replace of directory `path`: `write` produces the new
+    * content at a dot-prefixed tmp sibling, then two ATOMIC_MOVEs swap it
+    * in (`path` → `.«base».«tag»_old` → delete). Shared by [[compact]]
+    * and [[graft.operators.Merge.upsertInto]] so the swap discipline has
+    * exactly one implementation.
+    *
+    * Recovery: a crash BETWEEN the two renames leaves the content at the
+    * backup sibling and `path` absent — the next call (any tag) restores
+    * the backup before proceeding, so the window self-heals instead of
+    * silently presenting as "no table" (dot-prefixed siblings are
+    * invisible to Spark's file listing either way). A crash during
+    * `write` leaves only tmp debris, deleted up front on the next call.
+    * `path` absent with no backup = first write: the tmp content moves
+    * straight in (no backup step), so a partial first write can never
+    * leave a half-created directory at `path` itself. */
+  def atomicSwap(path: String, tag: String)(write: String => Unit): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Paths.get(path)
+    val base = dir.getFileName.toString
+    val tmp = dir.resolveSibling(s".$base.${tag}_tmp")
+    def bakFor(t: String) = dir.resolveSibling(s".$base.${t}_old")
+    recoverStrandedBackup(path)
+    val bak = bakFor(tag)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    org.apache.commons.io.FileUtils.deleteDirectory(bak.toFile)
+    write(tmp.toString)
+    if (Files.exists(dir)) {
+      Files.move(dir, bak, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+      org.apache.commons.io.FileUtils.deleteDirectory(bak.toFile)
+    } else {
+      Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  /** Every tag that participates in [[atomicSwap]] — recovery must be
+    * able to restore a backup stranded by ANY caller. */
+  private val SwapTags = Seq("compact", "merge")
+
+  /** If `path` is absent but a swap backup sibling exists (a crash hit
+    * the window between [[atomicSwap]]'s two renames), restore it.
+    * Called by atomicSwap itself; also callable up front by operations
+    * whose preconditions inspect `path` before swapping. */
+  def recoverStrandedBackup(path: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Paths.get(path)
+    val base = dir.getFileName.toString
+    if (!Files.exists(dir)) {
+      SwapTags.map(t => dir.resolveSibling(s".$base.${t}_old"))
+        .find(Files.exists(_))
+        .foreach(b => Files.move(b, dir, StandardCopyOption.ATOMIC_MOVE))
+    }
+  }
+
   /** Compact a parquet directory to at most ~`targetMb` output files:
     * the small-files remedy for an incrementally-appended archive (every
     * streaming micro-batch adds files; scans degrade as the file count
@@ -39,15 +93,16 @@ object Sinks {
     *  - the WRITER must be quiesced (pause the streaming query) — files
     *    appended after the snapshot read would be lost in the swap;
     *  - READERS may hit a brief window during the two renames where the
-    *    path is absent (a crash there leaves the data at
-    *    `<path>.compact_old` for manual recovery). A table format
-    *    (Delta/Iceberg-style) is the fix when either constraint bites;
-    *    a stale `.compact_old`/`.compact_tmp` from a crashed run is
-    *    cleaned up on the next call.
+    *    path is absent (a crash there leaves the data at the hidden
+    *    backup sibling, RESTORED automatically by the next swap-family
+    *    call — see [[atomicSwap]]). A table format (Delta/Iceberg-style)
+    *    is the fix when either constraint bites; stale tmp debris from a
+    *    crashed run is cleaned up on the next call.
     */
   def compact(spark: SparkSession, path: String, targetMb: Int = 128): Int = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val dir = Paths.get(path)
+    import java.nio.file.Files
+    recoverStrandedBackup(path)
+    val dir = java.nio.file.Paths.get(path)
     // a flat rewrite of a hive-partitioned root would fold the partition
     // directories into plain columns and destroy pruning — compact each
     // partition directory individually instead
@@ -55,15 +110,6 @@ object Sinks {
       .exists(_.exists(f => f.isDirectory && f.getName.contains("=")))
     require(!partitioned,
       s"$path is hive-partitioned; compact each partition directory, not the root")
-    // dot-prefixed siblings: Spark's file listing ignores dot-paths, so
-    // a crash mid-swap can NOT pollute partition discovery of the parent
-    // table (a bare "day=2.compact_old" would parse as a bogus partition)
-    val base = dir.getFileName.toString
-    val tmp = dir.resolveSibling(s".$base.compact_tmp").toString
-    val bak = dir.resolveSibling(s".$base.compact_old").toString
-    // recover from a previously crashed run
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(bak))
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     val bytes = Files.walk(dir)
     val totalBytes =
       try bytes.filter(Files.isRegularFile(_))
@@ -72,11 +118,14 @@ object Sinks {
     val targetBytes = targetMb * 1024L * 1024L
     // ceiling division: files stay AT OR BELOW ~targetMb
     val nFiles = math.max(1, ((totalBytes + targetBytes - 1) / targetBytes).toInt)
-    spark.read.parquet(path).repartition(nFiles)
-      .write.mode("overwrite").parquet(tmp)
-    Files.move(dir, Paths.get(bak), StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(tmp), dir, StandardCopyOption.ATOMIC_MOVE)
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(bak))
+    // dot-prefixed swap siblings: Spark's file listing ignores dot-paths,
+    // so a crash mid-swap can NOT pollute partition discovery of the
+    // parent table (a bare "day=2.compact_old" would parse as a bogus
+    // partition)
+    atomicSwap(path, "compact") { tmp =>
+      spark.read.parquet(path).repartition(nFiles)
+        .write.mode("overwrite").parquet(tmp)
+    }
     nFiles
   }
 

@@ -65,7 +65,8 @@ object Pq {
     // m subvectors (collected: k rows — model-sized, the ivfModel shape).
     val seedRows = ordered.limit(k).select(col("__v")).collect()
       .map(_.getSeq[Double](0))
-    require(seedRows.nonEmpty, "PQ training needs at least one row")
+    require(seedRows.length >= k,
+      s"PQ training needs at least k=$k rows to seed codebooks; got ${seedRows.length}")
     val dim = seedRows.head.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.{Column, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
 
@@ -22,37 +22,51 @@ import org.apache.spark.sql.functions.udaf
   * tree, so cross-engine value oracles don't apply (rows-only check).
   */
 class FreqItemsAgg(capacity: Int)
-    extends Aggregator[String, Map[String, Long], Seq[(String, Long)]] {
+    extends Aggregator[String, scala.collection.mutable.HashMap[String, Long],
+      Seq[(String, Long)]] {
   require(capacity > 0)
+  private type Buf = scala.collection.mutable.HashMap[String, Long]
 
-  override def zero: Map[String, Long] = Map.empty
+  override def zero: Buf = scala.collection.mutable.HashMap.empty
 
-  override def reduce(buf: Map[String, Long], item: String): Map[String, Long] =
+  // the buffer mutates in place: reduce runs once per INPUT ROW, and an
+  // immutable-Map rebuild there (especially the decrement branch, hit by
+  // every tail token once the buffer fills) allocated a capacity-sized
+  // map per row on the hot path
+  override def reduce(buf: Buf, item: String): Buf = {
     buf.get(item) match {
-      case Some(n) => buf.updated(item, n + 1)
-      case None if buf.size < capacity => buf.updated(item, 1L)
+      case Some(n) => buf(item) = n + 1
+      case None if buf.size < capacity => buf(item) = 1L
       case None =>
-        buf.view.mapValues(_ - 1).filter(_._2 > 0).toMap
+        val dead = List.newBuilder[String]
+        buf.foreachEntry { (k, v) =>
+          if (v <= 1L) dead += k else buf(k) = v - 1
+        }
+        dead.result().foreach(buf.remove)
     }
-
-  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-    val summed = b.foldLeft(a) { case (m, (k, v)) =>
-      m.updated(k, m.getOrElse(k, 0L) + v)
-    }
-    if (summed.size <= capacity) summed
-    else {
-      // subtract the (capacity+1)-th largest count; ties at the cut drop
-      // together (value-based, so the result is order-independent)
-      val cut = summed.values.toSeq.sorted(Ordering.Long.reverse).apply(capacity)
-      summed.view.mapValues(_ - cut).filter(_._2 > 0).toMap
-    }
+    buf
   }
 
-  override def finish(buf: Map[String, Long]): Seq[(String, Long)] =
+  override def merge(a: Buf, b: Buf): Buf = {
+    b.foreachEntry { (k, v) => a(k) = a.getOrElse(k, 0L) + v }
+    if (a.size > capacity) {
+      // subtract the (capacity+1)-th largest count; ties at the cut drop
+      // together (value-based, so the result is order-independent)
+      val cut = a.values.toSeq.sorted(Ordering.Long.reverse).apply(capacity)
+      val dead = List.newBuilder[String]
+      a.foreachEntry { (k, v) =>
+        if (v - cut <= 0L) dead += k else a(k) = v - cut
+      }
+      dead.result().foreach(a.remove)
+    }
+    a
+  }
+
+  override def finish(buf: Buf): Seq[(String, Long)] =
     buf.toSeq.sortBy { case (t, n) => (-n, t) }
 
-  override def bufferEncoder: Encoder[Map[String, Long]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  override def bufferEncoder: Encoder[Buf] =
+    Encoders.kryo[Buf] // crosses the wire only at partial-agg boundaries
   override def outputEncoder: Encoder[Seq[(String, Long)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
 }

@@ -31,26 +31,25 @@ object Merge {
       base.join(updates.select(keys.map(col): _*), keys, "left_anti"))
   }
 
-  /** Upsert into a stored flat parquet table with the same crash-safe
-    * two-rename swap discipline as [[graft.core.Sinks.compact]] (writers
-    * quiesced; dot-prefixed tmp/backup siblings so partition discovery
-    * of a parent never sees debris; stale debris from a crashed run is
-    * cleaned up on the next call). Returns the new row count. */
+  /** Upsert into a stored flat parquet table via the shared crash-safe
+    * two-rename swap ([[graft.core.Sinks.atomicSwap]]: writers quiesced;
+    * dot-prefixed tmp/backup siblings invisible to partition discovery;
+    * a backup stranded mid-swap is restored on the next call; tmp debris
+    * cleaned up). A missing table is CREATED from the update batch —
+    * via the same write-tmp-then-rename, so a crash mid-create never
+    * leaves a half-written directory at `path` that would wedge every
+    * replay. Together with the restore, a streaming caller replaying an
+    * uncommitted batch always re-asserts the same rows against the same
+    * base: effectively-once table state from an at-least-once sink. */
   def upsertInto(spark: SparkSession, path: String, updates: DataFrame,
-                 keys: Seq[String]): Long = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val dir = Paths.get(path)
-    require(dir.toFile.isDirectory, s"$path does not exist")
-    val base = dir.getFileName.toString
-    val tmp = dir.resolveSibling(s".$base.merge_tmp").toString
-    val bak = dir.resolveSibling(s".$base.merge_old").toString
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(bak))
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-    upsert(spark.read.parquet(path), updates, keys)
-      .write.mode("overwrite").parquet(tmp)
-    Files.move(dir, Paths.get(bak), StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(tmp), dir, StandardCopyOption.ATOMIC_MOVE)
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(bak))
-    spark.read.parquet(path).count()
+                 keys: Seq[String]): Unit = {
+    graft.core.Sinks.recoverStrandedBackup(path)
+    val exists = new java.io.File(path).isDirectory
+    graft.core.Sinks.atomicSwap(path, "merge") { tmp =>
+      val merged =
+        if (exists) upsert(spark.read.parquet(path), updates, keys)
+        else updates
+      merged.write.mode("overwrite").parquet(tmp)
+    }
   }
 }

@@ -208,10 +208,14 @@ object EventStream {
     * tuple wins (make it a total order per key, e.g. (ts, event_id), or
     * the survivor is nondeterministic); (2) drop nothing else — the
     * upsert itself is [[graft.operators.Merge.upsertInto]]'s broadcast
-    * anti-join + atomic two-rename swap; the first batch creates the
-    * table. Replay-safe: re-running a batch (crash before the
-    * checkpoint commits) re-asserts the same keyed rows, and an upsert
-    * of already-present rows is a no-op on table content — effectively-
+    * anti-join + atomic two-rename swap, which also CREATES the table
+    * on the first batch (write-tmp-then-rename — a crash mid-create
+    * can't leave a half-written table that wedges replays) and restores
+    * a backup stranded in the swap window (a crash there can't make a
+    * later batch silently reinitialize the table from itself alone).
+    * Replay-safe: re-running a batch (crash before the checkpoint
+    * commits) re-asserts the same keyed rows, and an upsert of
+    * already-present rows is a no-op on table content — effectively-
     * once state from an at-least-once sink, like the archive ingester.
     *
     * At scale the same composition holds: each trigger's batch is the
@@ -234,10 +238,8 @@ object EventStream {
             .orderBy(versionCols.map(col(_).desc): _*)
           val latest = batch.withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1).drop("__rn")
-          if (new java.io.File(tablePath).isDirectory)
-            graft.operators.Merge.upsertInto(
-              batch.sparkSession, tablePath, latest, keys): Unit
-          else latest.write.parquet(tablePath)
+          graft.operators.Merge.upsertInto(
+            batch.sparkSession, tablePath, latest, keys)
         }
       }
       .start()

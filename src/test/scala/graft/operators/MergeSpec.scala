@@ -39,13 +39,50 @@ class MergeSpec extends SparkSpec {
     val path = s"$dir/t"
     base.write.parquet(path)
     val updates = Seq((3L, "new", 33.0), (9L, "new", 90.0)).toDF("k", "status", "v")
-    val n = Merge.upsertInto(spark, path, updates, Seq("k"))
-    assert(n == 4)
+    Merge.upsertInto(spark, path, updates, Seq("k"))
     val got = spark.read.parquet(path).orderBy("k")
       .as[(Long, String, Double)].collect().toSeq
     assert(got == Seq(
       (1L, "old", 10.0), (2L, "old", 20.0), (3L, "new", 33.0), (9L, "new", 90.0)))
     val siblings = new java.io.File(dir).list().toSeq
     assert(siblings == Seq("t"), s"swap debris: $siblings")
+  }
+
+  test("upsertInto creates a missing table from the batch (via tmp + rename)") {
+    val dir = java.nio.file.Files.createTempDirectory("merge_create").toString
+    val path = s"$dir/t"
+    val batch = Seq((1L, "a", 1.0)).toDF("k", "status", "v")
+    Merge.upsertInto(spark, path, batch, Seq("k"))
+    assert(spark.read.parquet(path).count() == 1)
+    assert(new java.io.File(dir).list().toSeq == Seq("t"))
+  }
+
+  test("upsertInto restores a backup stranded between the two swap renames") {
+    // simulate the crash window: table moved to the hidden backup, path
+    // absent — the bug this pins: a later batch must NOT reinitialize
+    // the table from itself alone
+    val dir = java.nio.file.Files.createTempDirectory("merge_recover")
+    val path = s"$dir/t"
+    base.write.parquet(path)
+    java.nio.file.Files.move(dir.resolve("t"), dir.resolve(".t.merge_old"))
+    val updates = Seq((9L, "new", 90.0)).toDF("k", "status", "v")
+    Merge.upsertInto(spark, path, updates, Seq("k"))
+    val got = spark.read.parquet(path).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, "old", 10.0), (2L, "old", 20.0), (3L, "old", 30.0), (9L, "new", 90.0)),
+      "pre-crash rows must survive the recovery")
+  }
+
+  test("partial create debris (directory with no committed files) does not wedge replays") {
+    // a crash during the old direct-create left tablePath holding only
+    // _temporary; the swap form writes to a tmp sibling, so path stays
+    // absent until the rename — simulate stale tmp debris and re-run
+    val dir = java.nio.file.Files.createTempDirectory("merge_debris")
+    val path = s"$dir/t"
+    java.nio.file.Files.createDirectories(dir.resolve(".t.merge_tmp/_temporary"))
+    val batch = Seq((1L, "a", 1.0)).toDF("k", "status", "v")
+    Merge.upsertInto(spark, path, batch, Seq("k"))
+    assert(spark.read.parquet(path).count() == 1)
   }
 }

@@ -72,6 +72,19 @@ object ScaleProbe {
           spark.read.parquet(s"$out/embeddings.parquet"),
           "vec_id", "embedding", nCells = 64).assigned,
         "vec_id", k = 3).count())
+    // fuzzy edit-distance-1 matching: deletion-key buckets are bounded by
+    // construction (1 + |Σ|·(L+1)), so 10× keys is ~10× bucket count with
+    // flat per-bucket work — synthetic distinct names (replicating the
+    // sf0.1 table would just duplicate names into the dedup)
+    locally {
+      import org.apache.spark.sql.functions.format_string
+      def names(n: Int) = spark.range(n)
+        .select(format_string("Customer#%09d", col("id")).as("c_name"))
+      time("q80_fuzzy sf0.1    (15k names)  ")(
+        graft.operators.FuzzyJoin.editDistance1Pairs(names(15000), "c_name").count())
+      time("q80_fuzzy sf1.0   (150k names)  ")(
+        graft.operators.FuzzyJoin.editDistance1Pairs(names(150000), "c_name").count())
+    }
     // Exact all-pairs tier (TiledSelfJoin): comparisons grow N² by design —
     // the probe here is that 10× data runs AT ALL with flat driver/task
     // memory (pre-tiling these kernels collect()ed the corpus onto the

@@ -1649,6 +1649,44 @@ object PipelineQueries {
       |WHERE levenshtein(a_name, b_name) = 1
       |ORDER BY a_name, b_name""".stripMargin
 
+  // --------------------------------------------------------------- Q81
+  /** Overlapping context chunks (RAG / training-window prep): each
+    * document splits into 64-token windows at stride 48 (16-token
+    * overlap), emitting a chunk manifest. q56 PACKS documents into
+    * fixed budgets; this SPLITS long documents into overlapping windows
+    * — together the two training-layout shapes. Scan-local: one explode
+    * of a per-row chunk-index sequence, `slice` materializes each
+    * window, no shuffle before the output sort — chunks any corpus size
+    * in one pass. */
+  val q81: Q = (s, d) => {
+    val C = 64
+    val S = 48
+    val tn = t(s, d, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .withColumn("n", size(col("tk"))).filter(col("n") > 0)
+    tn.select(col("doc_id"), col("tk"), col("n"),
+        explode(sequence(lit(0L),
+          floor((col("n") - 1) / lit(S)).cast("long"))).as("chunk_id"))
+      .withColumn("chunk",
+        slice(col("tk"), (col("chunk_id") * S).cast("int") + 1, lit(C)))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        element_at(col("chunk"), 1).as("first_token"),
+        element_at(col("chunk"), size(col("chunk"))).as("last_token"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val q81Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |tn AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+      |ch AS (SELECT doc_id, tk, n,
+      |         unnest(generate_series(0, (n-1)//48)) AS chunk_id FROM tn),
+      |cc AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+      |         tk[chunk_id*48+1 : least(chunk_id*48+64, n)] AS chunk FROM ch)
+      |SELECT doc_id, chunk_id, CAST(len(chunk) AS BIGINT) AS n_tokens,
+      |       chunk[1] AS first_token, chunk[len(chunk)] AS last_token
+      |FROM cc ORDER BY doc_id, chunk_id""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
@@ -1693,7 +1731,8 @@ object PipelineQueries {
     ("q75_pq_ann", q75, q75Sql),
     ("q76_knn_join", q76, q76Sql),
     ("q78_ivfpq_ann", q78, q78Sql),
-    ("q80_fuzzy_join", q80, q80Sql))
+    ("q80_fuzzy_join", q80, q80Sql),
+    ("q81_chunk_overlap", q81, q81Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type (KLL-style `percentile_approx`

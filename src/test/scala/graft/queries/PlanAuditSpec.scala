@@ -53,7 +53,8 @@ object PlanAuditSpec {
     "q77_merge_upsert" -> 3,
     "q78_ivfpq_ann" -> 2,
     "q79_heavy_hitters" -> 1,
-    "q80_fuzzy_join" -> 2,
+    "q80_fuzzy_join" -> 1,
+    "q81_chunk_overlap" -> 1,
     // multi-table relational joins (one scan per table, plus documented
     // reuse): audited counts
     "q10_join_inner_equi" -> 4,

@@ -67,7 +67,7 @@ object Sinks {
 
   /** Every tag that participates in [[atomicSwap]] — recovery must be
     * able to restore a backup stranded by ANY caller. */
-  private val SwapTags = Seq("compact", "merge")
+  private val SwapTags = Seq("compact", "merge", "sketch")
 
   /** If `path` is absent but a swap backup sibling exists (a crash hit
     * the window between [[atomicSwap]]'s two renames), restore it.

@@ -79,4 +79,18 @@ object FrequentItems {
     val fn = udaf(new FreqItemsAgg(capacity))
     term => fn(term)
   }
+
+  /** Merge two finished sketches with the same mergeable-summaries rule
+    * the Aggregator uses internally — for DRIVER-side accumulation of
+    * model-sized sketches (e.g. the streaming monitor folding each
+    * micro-batch's sketch into a stored one). The error bound is
+    * additive across merges: undercount ≤ Σᵢ Nᵢ/(capacity+1) over the
+    * merged streams. */
+  def mergeSketches(a: Seq[(String, Long)], b: Seq[(String, Long)],
+                    capacity: Int): Seq[(String, Long)] = {
+    val agg = new FreqItemsAgg(capacity)
+    def toBuf(s: Seq[(String, Long)]) =
+      scala.collection.mutable.HashMap.from(s)
+    agg.finish(agg.merge(toBuf(a), toBuf(b)))
+  }
 }

@@ -245,6 +245,62 @@ object EventStream {
       .start()
   }
 
+  /** Continuous heavy hitters — q79's streaming twin: each micro-batch
+    * aggregates to its own Misra-Gries sketch (ONE distributed pass,
+    * partial-aggregable, ≤ capacity rows reach the driver), which folds
+    * into the stored running sketch via the driver-side mergeable-
+    * summaries rule ([[graft.operators.FrequentItems.mergeSketches]];
+    * undercount bound adds across merges). The store is (item, est,
+    * batch_id) parquet replaced through the crash-safe atomic swap.
+    *
+    * TRANSACTIONAL against replay, the standard foreachBatch idempotence
+    * pattern: the sketch only merges when `batchId` EXCEEDS the stored
+    * one — a batch replayed after a crash-before-checkpoint-commit finds
+    * its own id already recorded and skips, so nothing double-counts.
+    * Corollary: one sketch store belongs to one checkpoint lineage
+    * (a fresh checkpoint restarts batch ids at 0 and will skip against
+    * an old store — point it at a fresh sketchDir too).
+    */
+  def startHeavyHittersMonitor(updates: DataFrame, termCol: String,
+                               sketchDir: String, checkpointDir: String,
+                               capacity: Int = 64,
+                               onUpdate: Seq[(String, Long)] => Unit = _ => ())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    updates.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          graft.core.Sinks.recoverStrandedBackup(sketchDir)
+          val (storedId, stored) =
+            if (new java.io.File(sketchDir).isDirectory) {
+              val df = spark.read.parquet(sketchDir)
+                .select("item", "est", "batch_id").collect()
+              (df.headOption.map(_.getLong(2)).getOrElse(-1L),
+                df.toSeq.map(r => (r.getString(0), r.getLong(1))))
+            } else (-1L, Seq.empty[(String, Long)])
+          if (batchId > storedId) {
+            val bs = batch
+              .agg(graft.operators.FrequentItems.sketch(capacity)(col(termCol))
+                .as("hh"))
+              .head().getSeq[org.apache.spark.sql.Row](0)
+              .map(r => (r.getString(0), r.getLong(1)))
+            val merged = graft.operators.FrequentItems
+              .mergeSketches(stored, bs, capacity)
+            graft.core.Sinks.atomicSwap(sketchDir, "sketch") { tmp =>
+              import spark.implicits._
+              merged.toDF("item", "est")
+                .withColumn("batch_id", lit(batchId))
+                .coalesce(1).write.parquet(tmp)
+            }
+            onUpdate(merged)
+          }
+        }
+      }
+      .start()
+  }
+
   /** Streaming AS-OF enrichment — the unbounded twin of
     * [[graft.operators.AsOfJoin.backward]]: one merged stream of
     * side-tagged rows per key (state updates + facts), each fact

@@ -166,6 +166,36 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("startHeavyHittersMonitor folds per-batch sketches with undercount-only error") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("hh")
+    val sketchDir = s"$dir/sketch"
+    val input = MemoryStream[String]
+    var updates = 0
+    val q = EventStream.startHeavyHittersMonitor(
+      input.toDF().withColumnRenamed("value", "term"), "term",
+      sketchDir, s"$dir/ckpt", capacity = 8,
+      onUpdate = _ => updates += 1)
+    try {
+      // batch 1: alpha dominates a 20-singleton tail (N=70, bound 7.8)
+      input.addData(Seq.fill(50)("alpha") ++ (0 until 20).map(i => s"t$i"): _*)
+      q.processAllAvailable()
+      // batch 2: beta arrives, alpha keeps growing (N=40, bound 4.4)
+      input.addData(Seq.fill(30)("beta") ++ Seq.fill(10)("alpha"): _*)
+      q.processAllAvailable()
+      val sk = spark.read.parquet(sketchDir).orderBy(col("est").desc)
+        .select("item", "est").as[(String, Long)].collect().toSeq
+      // alpha true count 60; merged undercount ≤ 70/9 + 40/9 < 13
+      assert(sk.head._1 == "alpha")
+      assert(sk.head._2 <= 60 && sk.head._2 >= 48)
+      assert(sk.map(_._1).contains("beta"))
+      assert(updates == 2)
+      // the transactional guard records the last applied batch id
+      assert(spark.read.parquet(sketchDir)
+        .select("batch_id").head().getLong(0) == 1L)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins dims per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((7L, "gold"), (8L, "basic")).toDF("user_id", "tier")

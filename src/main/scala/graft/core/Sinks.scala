@@ -47,15 +47,26 @@ object Sinks {
     * leave a half-created directory at `path` itself. */
   def atomicSwap(path: String, tag: String)(write: String => Unit): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    // an unregistered tag would strand a backup that recovery (which
+    // scans SwapTags) can never restore — one crash + retry would then
+    // DELETE the only copy as debris; fail at the call site instead
+    require(SwapTags.contains(tag),
+      s"unregistered swap tag '$tag' — add it to Sinks.SwapTags so " +
+        "crash recovery can restore its backups")
     val dir = Paths.get(path)
     val base = dir.getFileName.toString
     val tmp = dir.resolveSibling(s".$base.${tag}_tmp")
-    def bakFor(t: String) = dir.resolveSibling(s".$base.${t}_old")
     recoverStrandedBackup(path)
-    val bak = bakFor(tag)
+    // with `path` live (pre-existing or just restored), EVERY remaining
+    // backup — any tag — is stale debris from an interrupted cleanup;
+    // deleting only this tag's would let a later cross-tag recovery
+    // restore a stale snapshot over rows written since (e.g. a stale
+    // compact_old rolling back a merge table)
     org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
-    org.apache.commons.io.FileUtils.deleteDirectory(bak.toFile)
+    allBackups(path).foreach(b =>
+      org.apache.commons.io.FileUtils.deleteDirectory(b.toFile))
     write(tmp.toString)
+    val bak = dir.resolveSibling(s".$base.${tag}_old")
     if (Files.exists(dir)) {
       Files.move(dir, bak, StandardCopyOption.ATOMIC_MOVE)
       Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
@@ -69,17 +80,26 @@ object Sinks {
     * able to restore a backup stranded by ANY caller. */
   private val SwapTags = Seq("compact", "merge", "sketch")
 
+  private def allBackups(path: String): Seq[java.nio.file.Path] = {
+    val dir = java.nio.file.Paths.get(path)
+    val base = dir.getFileName.toString
+    SwapTags.map(t => dir.resolveSibling(s".$base.${t}_old"))
+      .filter(java.nio.file.Files.exists(_))
+  }
+
   /** If `path` is absent but a swap backup sibling exists (a crash hit
-    * the window between [[atomicSwap]]'s two renames), restore it.
-    * Called by atomicSwap itself; also callable up front by operations
-    * whose preconditions inspect `path` before swapping. */
+    * the window between [[atomicSwap]]'s two renames), restore the
+    * NEWEST one — when several tags left backups, only the most recent
+    * holds the pre-crash table; older ones are stale snapshots. Called
+    * by atomicSwap itself; also callable up front by operations whose
+    * preconditions inspect `path` before swapping. */
   def recoverStrandedBackup(path: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val dir = Paths.get(path)
-    val base = dir.getFileName.toString
     if (!Files.exists(dir)) {
-      SwapTags.map(t => dir.resolveSibling(s".$base.${t}_old"))
-        .find(Files.exists(_))
+      allBackups(path)
+        .sortBy(b => Files.getLastModifiedTime(b).toMillis)
+        .lastOption
         .foreach(b => Files.move(b, dir, StandardCopyOption.ATOMIC_MOVE))
     }
   }

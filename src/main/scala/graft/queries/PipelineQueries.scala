@@ -1657,7 +1657,14 @@ object PipelineQueries {
     * — together the two training-layout shapes. Scan-local: one explode
     * of a per-row chunk-index sequence, `slice` materializes each
     * window, no shuffle before the output sort — chunks any corpus size
-    * in one pass. */
+    * in one pass.
+    *
+    * Last chunk id is `max(0, ceil((n−C)/S))`: the naive
+    * `floor((n−1)/S)` bound emits a final window FULLY CONTAINED in its
+    * predecessor for ~a third of lengths (e.g. n=100 → a third chunk
+    * covering 97..100 ⊂ 49..100), double-counting training data; the
+    * ceil bound still covers every token (S·ceil((n−C)/S) ≥ n−C ⇒
+    * last start + C ≥ n). */
   val q81: Q = (s, d) => {
     val C = 64
     val S = 48
@@ -1666,7 +1673,8 @@ object PipelineQueries {
       .withColumn("n", size(col("tk"))).filter(col("n") > 0)
     tn.select(col("doc_id"), col("tk"), col("n"),
         explode(sequence(lit(0L),
-          floor((col("n") - 1) / lit(S)).cast("long"))).as("chunk_id"))
+          greatest(lit(0L),
+            ceil((col("n") - C) / lit(S.toDouble)).cast("long")))).as("chunk_id"))
       .withColumn("chunk",
         slice(col("tk"), (col("chunk_id") * S).cast("int") + 1, lit(C)))
       .select(col("doc_id"), col("chunk_id"),
@@ -1680,7 +1688,8 @@ object PipelineQueries {
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
       |tn AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
       |ch AS (SELECT doc_id, tk, n,
-      |         unnest(generate_series(0, (n-1)//48)) AS chunk_id FROM tn),
+      |         unnest(generate_series(0,
+      |           greatest(0, CAST(ceil((n - 64) / 48.0) AS BIGINT)))) AS chunk_id FROM tn),
       |cc AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
       |         tk[chunk_id*48+1 : least(chunk_id*48+64, n)] AS chunk FROM ch)
       |SELECT doc_id, chunk_id, CAST(len(chunk) AS BIGINT) AS n_tokens,

@@ -256,10 +256,14 @@ object EventStream {
     * TRANSACTIONAL against replay, the standard foreachBatch idempotence
     * pattern: the sketch only merges when `batchId` EXCEEDS the stored
     * one — a batch replayed after a crash-before-checkpoint-commit finds
-    * its own id already recorded and skips, so nothing double-counts.
-    * Corollary: one sketch store belongs to one checkpoint lineage
-    * (a fresh checkpoint restarts batch ids at 0 and will skip against
-    * an old store — point it at a fresh sketchDir too).
+    * its own id already recorded and skips the merge, so nothing
+    * double-counts. The replayed batch still fires `onUpdate` from the
+    * STORED sketch (a crash between swap and callback must not silently
+    * drop the notification), so delivery is at-least-once — consumers
+    * needing exactly-once should read the store instead. Corollary: one
+    * sketch store belongs to one checkpoint lineage (a fresh checkpoint
+    * restarts batch ids at 0 and will skip against an old store — point
+    * it at a fresh sketchDir too).
     */
   def startHeavyHittersMonitor(updates: DataFrame, termCol: String,
                                sketchDir: String, checkpointDir: String,
@@ -295,6 +299,11 @@ object EventStream {
                 .coalesce(1).write.parquet(tmp)
             }
             onUpdate(merged)
+          } else if (batchId == storedId) {
+            // replay of the batch whose merge already committed: don't
+            // re-merge (double-count), but don't drop the notification a
+            // pre-callback crash may have lost — at-least-once delivery
+            onUpdate(stored.sortBy { case (t, n) => (-n, t) })
           }
         }
       }

@@ -74,6 +74,40 @@ class MergeSpec extends SparkSpec {
       "pre-crash rows must survive the recovery")
   }
 
+  test("recovery restores the NEWEST stranded backup, not a stale cross-tag one") {
+    // compact once crashed after its swap but before backup cleanup,
+    // leaving a STALE .t.compact_old; later a merge crashed in its
+    // rename window, stranding the CURRENT table at .t.merge_old with
+    // the path absent — recovery must pick merge_old (newer), and the
+    // stale compact snapshot must not roll the table back
+    val dir = java.nio.file.Files.createTempDirectory("merge_xtag")
+    val path = s"$dir/t"
+    Seq((1L, "stale", 0.0)).toDF("k", "status", "v").write.parquet(path)
+    java.nio.file.Files.move(dir.resolve("t"), dir.resolve(".t.compact_old"))
+    base.write.parquet(path) // the real table, written later
+    java.nio.file.Files.move(dir.resolve("t"), dir.resolve(".t.merge_old"))
+    java.nio.file.Files.setLastModifiedTime(dir.resolve(".t.compact_old"),
+      java.nio.file.attribute.FileTime.fromMillis(1000))
+    java.nio.file.Files.setLastModifiedTime(dir.resolve(".t.merge_old"),
+      java.nio.file.attribute.FileTime.fromMillis(2000))
+    val updates = Seq((9L, "new", 90.0)).toDF("k", "status", "v")
+    Merge.upsertInto(spark, path, updates, Seq("k"))
+    val got = spark.read.parquet(path).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, "old", 10.0), (2L, "old", 20.0), (3L, "old", 30.0), (9L, "new", 90.0)),
+      "recovery rolled back to a stale snapshot")
+    // and the successful swap cleaned up ALL backup debris
+    assert(new java.io.File(dir.toString).list().toSeq == Seq("t"))
+  }
+
+  test("atomicSwap rejects tags recovery does not know") {
+    val dir = java.nio.file.Files.createTempDirectory("swap_tag").toString
+    intercept[IllegalArgumentException] {
+      graft.core.Sinks.atomicSwap(s"$dir/t", "bogus")(_ => ())
+    }
+  }
+
   test("partial create debris (directory with no committed files) does not wedge replays") {
     // a crash during the old direct-create left tablePath holding only
     // _temporary; the swap form writes to a tmp sibling, so path stays

@@ -1696,6 +1696,45 @@ object PipelineQueries {
       |       chunk[1] AS first_token, chunk[len(chunk)] AS last_token
       |FROM cc ORDER BY doc_id, chunk_id""".stripMargin
 
+  // --------------------------------------------------------------- Q82
+  /** Scalar (int8) quantization — PQ's simpler sibling: per-vector
+    * max-abs scale, each element rounds to one signed byte (8× memory
+    * vs float32, 1/8 the scan bytes for coarse filtering), with the
+    * reconstruction cosine as the fidelity audit. Fully scan-local
+    * (one projection, no shuffle before the output sort); at scale the
+    * (codes, scale) pair is the stored column and full-precision
+    * vectors stay cold until rerank, exactly like q74's codes. All
+    * arithmetic mirrors the oracle op for op (identical IEEE divisions
+    * and round-half-away, the q30/q75 contract). The audit is the max
+    * absolute element error — ≈ scale/254 by construction (the
+    * reconstruction cosine is degenerate: it rounds to 1.0000 at 4 dp
+    * for every 64-dim vector). */
+  val q82: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    e.withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+      .filter(col("mx") > 0)
+      // per-element |x − dequant(quant(x))|, code recomputed in place so
+      // no zip of two arrays is needed
+      .withColumn("err", transform(col("v"), x =>
+        abs(x - round(x / col("mx") * 127, 0).cast("int") * col("mx") / lit(127))))
+      .select(col("vec_id"), round(col("mx"), 6).as("scale"),
+        round(array_max(col("err")), 6).as("err_max"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q82Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |s AS (SELECT vec_id, v,
+      |        list_aggregate(list_transform(v, x -> abs(x)), 'max') AS mx FROM e),
+      |r AS (SELECT vec_id, mx,
+      |        list_transform(v, x ->
+      |          abs(x - CAST(round(x / mx * 127) AS INT) * mx / 127)) AS err
+      |      FROM s WHERE mx > 0)
+      |SELECT vec_id, round(mx, 6) AS scale,
+      |       round(list_aggregate(err, 'max'), 6) AS err_max
+      |FROM r ORDER BY vec_id""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
@@ -1741,7 +1780,8 @@ object PipelineQueries {
     ("q76_knn_join", q76, q76Sql),
     ("q78_ivfpq_ann", q78, q78Sql),
     ("q80_fuzzy_join", q80, q80Sql),
-    ("q81_chunk_overlap", q81, q81Sql))
+    ("q81_chunk_overlap", q81, q81Sql),
+    ("q82_sq_int8", q82, q82Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type (KLL-style `percentile_approx`

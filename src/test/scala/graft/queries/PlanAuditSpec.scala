@@ -55,6 +55,7 @@ object PlanAuditSpec {
     "q79_heavy_hitters" -> 1,
     "q80_fuzzy_join" -> 1,
     "q81_chunk_overlap" -> 1,
+    "q82_sq_int8" -> 1,
     // multi-table relational joins (one scan per table, plus documented
     // reuse): audited counts
     "q10_join_inner_equi" -> 4,

@@ -57,10 +57,10 @@ object ScaleProbe {
     // search reads the m-byte codes, not the vectors, into a
     // TakeOrderedAndProject. All three should grow ~linearly in rows
     // with flat per-row cost at 10×.
-    time("q74_pq_encode sf0.1    (5k vecs)  ")(PipelineQueries.q74(spark, src).count())
-    time("q74_pq_encode sf1.0   (50k vecs)  ")(PipelineQueries.q74(spark, out).count())
-    time("q75_pq_adc sf0.1       (5k vecs)  ")(PipelineQueries.q75(spark, src).count())
-    time("q75_pq_adc sf1.0      (50k vecs)  ")(PipelineQueries.q75(spark, out).count())
+    time("q74_pq_codes sf0.1     (5k vecs)  ")(PipelineQueries.q74(spark, src).count())
+    time("q74_pq_codes sf1.0    (50k vecs)  ")(PipelineQueries.q74(spark, out).count())
+    time("q75_pq_ann sf0.1       (5k vecs)  ")(PipelineQueries.q75(spark, src).count())
+    time("q75_pq_ann sf1.0      (50k vecs)  ")(PipelineQueries.q75(spark, out).count())
     // batch kNN join: candidate pairs total N²/cells, so the production
     // dial holds N/cells constant as the corpus grows — 64 cells at 50k
     // matches sf0.1's per-cell density (fixed 8 cells at 10× rows was
@@ -221,6 +221,47 @@ object ScaleProbe {
       time("corpus_ingest (25k batch, 3 tiers)")(
         graft.streaming.CorpusIngest.ingestBatch(
           docs10.filter(col("doc_id") % 2 === 1), sigDir).count())
+    }
+
+    // --- partition-scoped MERGE probe: per-batch I/O must track the
+    // buckets the batch TOUCHES, never the table. A 16-key batch
+    // upserts into a 200k-row/64-bucket table and a 2M-row/640-bucket
+    // table (bucket size held constant — the production dial, same as
+    // q76's N²/cells); rewritten bytes and wall must stay ~flat at 10×
+    // rows. The deliberately WRONG dial (2M rows over the same 64
+    // buckets → 10× bucket size) is measured too: its rewrite cost is
+    // 10× — the honest statement of what the bucket count buys.
+    {
+      import graft.operators.Merge
+      def freshDir(path: String): Unit = {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      def newBytes(path: String, since: Long): Long = {
+        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .filter(f => f.toFile.lastModified() >= since)
+          .mapToLong(f => java.nio.file.Files.size(f)).sum()
+        finally s.close()
+      }
+      val batch = spark.range(16).selectExpr(
+        "id * 7919 as k", "cast(id as double) as v", "'upd' as s").localCheckpoint()
+      for ((rows, buckets) <- Seq((200000L, 64), (2000000L, 640), (2000000L, 64))) {
+        val path = s"/tmp/graft_probe_merge_${rows}_$buckets"
+        freshDir(path)
+        Merge.upsertInto(spark, path, spark.range(rows).selectExpr(
+          "id as k", "cast(id as double) as v", "'seed' as s"),
+          Seq("k"), nBuckets = buckets)
+        val total = newBytes(path, 0L)
+        val t0 = System.currentTimeMillis()
+        val w0 = System.nanoTime()
+        Merge.upsertInto(spark, path, batch, Seq("k"))
+        val wall = (System.nanoTime() - w0) / 1e9
+        val rewritten = newBytes(path, t0)
+        println(f"q77_upsert ${rows / 1000}%4dk rows/$buckets%3d buckets: " +
+          f"$wall%.2f s, rewrote ${rewritten / 1024}%6d KiB of ${total / 1024}%7d KiB " +
+          f"(${100.0 * rewritten / total}%.1f%% of table)")
+      }
     }
 
     // --- BPE training probe: the trainer's per-round work runs on the

@@ -34,6 +34,9 @@ class FreqItemsAgg(capacity: Int)
   // every tail token once the buffer fills) allocated a capacity-sized
   // map per row on the hot path
   override def reduce(buf: Buf, item: String): Buf = {
+    // tolerate nullable input columns: a null item would enter the map
+    // and NPE later in finish's Ordering[String] sort
+    if (item == null) return buf
     buf.get(item) match {
       case Some(n) => buf(item) = n + 1
       case None if buf.size < capacity => buf(item) = 1L

@@ -141,10 +141,14 @@ object EventStream {
         .dropDuplicatesWithinWatermark(keyCols)
     else {
       // batch twin: same key-only identity, DETERMINISTIC survivor —
-      // keep the earliest event time per key (plain dropDuplicates keeps
-      // whichever row partition order surfaces, varying run to run)
+      // keep the earliest event time per key, with the remaining payload
+      // columns as a total-order tiebreaker: rows tying on (key, ts)
+      // with different payloads would otherwise surface whichever row
+      // partition order produced first, varying run to run
+      val tiebreak = events.columns
+        .filterNot(c => keyCols.contains(c) || c == "ts").sorted.map(col)
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(keyCols.map(col): _*).orderBy(col("ts"))
+        .partitionBy(keyCols.map(col): _*).orderBy(col("ts") +: tiebreak: _*)
       events.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
     }
@@ -205,23 +209,24 @@ object EventStream {
     * the reference's current-pointer promotion generalized to row keys.
     *
     * Per batch: (1) keep one row per key — the highest `versionCols`
-    * tuple wins (make it a total order per key, e.g. (ts, event_id), or
-    * the survivor is nondeterministic); (2) drop nothing else — the
-    * upsert itself is [[graft.operators.Merge.upsertInto]]'s broadcast
-    * anti-join + atomic two-rename swap, which also CREATES the table
-    * on the first batch (write-tmp-then-rename — a crash mid-create
-    * can't leave a half-written table that wedges replays) and restores
-    * a backup stranded in the swap window (a crash there can't make a
-    * later batch silently reinitialize the table from itself alone).
-    * Replay-safe: re-running a batch (crash before the checkpoint
-    * commits) re-asserts the same keyed rows, and an upsert of
-    * already-present rows is a no-op on table content — effectively-
-    * once state from an at-least-once sink, like the archive ingester.
+    * tuple wins within the batch; (2) the upsert itself is
+    * [[graft.operators.Merge.upsertInto]]'s bucketed-table merge, with
+    * `versionCols` passed through so an out-of-order update landing in a
+    * LATER batch with a LOWER version tuple is rejected against the
+    * STORED row — cross-batch SCD-1 ordering, not just within-batch.
+    * The table layer also CREATES the table on the first batch
+    * (write-tmp-then-rename — a crash mid-create can't leave a
+    * half-written table that wedges replays) and restores any bucket
+    * stranded in a swap window. Replay-safe: re-running a batch (crash
+    * before the checkpoint commits) re-asserts the same keyed rows, and
+    * re-asserting already-present versions is filtered to a no-op —
+    * effectively-once state from an at-least-once sink.
     *
-    * At scale the same composition holds: each trigger's batch is the
-    * small broadcast side; the table never shuffles. The swap window
-    * contract is compact()'s (readers may observe a brief absence; a
-    * transactional table format removes it).
+    * At scale: the batch broadcasts, and ONLY the key-hash buckets the
+    * batch touches are read and rewritten — per-trigger I/O is
+    * O(touched buckets), not O(table). Readers of a bucket mid-swap may
+    * observe a brief absence (healed by [[graft.operators.Merge.readTable]];
+    * a transactional table format removes the window entirely).
     */
   def startUpsertSink(updates: DataFrame, tablePath: String,
                       checkpointDir: String, keys: Seq[String],
@@ -238,8 +243,13 @@ object EventStream {
             .orderBy(versionCols.map(col(_).desc): _*)
           val latest = batch.withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1).drop("__rn")
+          // versionCols passes through to the table layer: an out-of-
+          // order update arriving in a LATER batch with a lower version
+          // tuple is dropped against the STORED row's version, not just
+          // reduced within its own batch — cross-batch SCD-1 ordering
           graft.operators.Merge.upsertInto(
-            batch.sparkSession, tablePath, latest, keys)
+            batch.sparkSession, tablePath, latest, keys,
+            versionCols = versionCols)
         }
       }
       .start()

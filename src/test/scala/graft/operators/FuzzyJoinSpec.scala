@@ -63,6 +63,58 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(missing.isEmpty, s"pairs not found: ${missing.take(5)}")
   }
 
+  test("EditDistanceIs1 kernel matches levenshtein==1 on randomized + edge inputs") {
+    import graft.functions.expressions.EditDistanceIs1
+    import org.apache.spark.unsafe.types.UTF8String
+    def k(a: String, b: String): Boolean =
+      EditDistanceIs1.compute(UTF8String.fromString(a), UTF8String.fromString(b))
+    // prefix/suffix-stripping edge cases
+    assert(!k("", ""))                 // equal (distance 0)
+    assert(k("", "a") && k("a", ""))   // insertion at either end, empty side
+    assert(!k("", "ab"))               // length gap 2
+    assert(k("aa", "aaa"))             // insertion inside a run
+    assert(!k("aaa", "aaa"))           // equality after full prefix strip
+    assert(k("abc", "abd") && k("abc", "xbc") && k("abc", "axc")) // subst at ends/middle
+    assert(!k("ab", "ba"))             // transposition is distance 2
+    assert(!k("abcd", "abdc"))
+    assert(k("abc", "abcd") && k("abc", "xabc") && k("abc", "abxc"))
+    assert(!k("abc", "abcde"))
+    // supplementary-plane characters are ONE code point, like levenshtein
+    assert(k("a😀b", "ab")) // one emoji deleted = distance 1
+    assert(!k("😀😁", "😁😀"))
+    // randomized agreement with the reference DP on short strings, where
+    // all distances 0/1/2+ occur densely
+    val rnd = new scala.util.Random(7)
+    val alpha = "abc"
+    def rs() = Seq.fill(rnd.nextInt(5))(alpha(rnd.nextInt(3))).mkString
+    for (_ <- 0 until 2000) {
+      val (a, b) = (rs(), rs())
+      val expected = UTF8String.fromString(a)
+        .levenshteinDistance(UTF8String.fromString(b)) == 1
+      assert(k(a, b) == expected, s"kernel disagrees with levenshtein on ('$a','$b')")
+    }
+  }
+
+  test("DeletionKeys kernel matches the HOF formulation as a set, on random strings") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(13)
+    val alpha = "aab"  // repeated chars on purpose: exercises the dedup
+    val vals = (0 until 200).map(_ =>
+      Seq.fill(rnd.nextInt(8))(alpha(rnd.nextInt(3))).mkString) :+ "" :+ "😀a😀"
+    val df = vals.distinct.toDF("t")
+    val hof = df.select(col("t"), array_sort(array_distinct(
+      concat(array(col("t")),
+        transform(sequence(lit(1), length(col("t"))),
+          i => concat(col("t").substr(lit(1), i - lit(1)),
+            col("t").substr(i + lit(1), length(col("t")))))))).as("k"))
+      .as[(String, Seq[String])].collect().toMap
+    import org.apache.spark.sql.GraftShim
+    val kernel = df.select(col("t"), array_sort(GraftShim.column(
+        graft.functions.expressions.DeletionKeys(GraftShim.expression(col("t"))))).as("k"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(kernel == hof)
+  }
+
   test("no cartesian product in the plan") {
     val plan = FuzzyJoin.editDistance1Pairs(
       Seq("aaa", "aab").toDF("s"), "s").queryExecution.executedPlan.toString

@@ -48,7 +48,9 @@ object PlanAuditSpec {
     // one scan; ADC search is codes + rerank + probe; IVF-PQ carries its
     // vectors through the shortlist (no rerank rejoin)
     "q74_pq_codes" -> 1,
-    "q75_pq_ann" -> 3,
+    // ADC search reads the MEMOIZED stored codes (ExistingRDD, not a
+    // parquet scan): only the probe row + rerank vectors scan parquet
+    "q75_pq_ann" -> 2,
     "q76_knn_join" -> 2,
     "q77_merge_upsert" -> 3,
     "q78_ivfpq_ann" -> 2,

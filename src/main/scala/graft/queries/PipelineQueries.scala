@@ -1752,6 +1752,73 @@ object PipelineQueries {
       |       round(list_aggregate(err, 'max'), 6) AS err_max
       |FROM r ORDER BY vec_id""".stripMargin
 
+  // --------------------------------------------------------------- Q83
+  /** Multimodal near-dup — the image column joining the dedup family as
+    * a first-class query: opaque image payloads → codec features →
+    * cosine-LSH near-dup pairs (q50's contract over pixels instead of
+    * embeddings).
+    *
+    * The image corpus is synthesized DETERMINISTICALLY from the
+    * embeddings table — pixel i of an 8×8 gray BMP is the 8-bit
+    * quantization of dimension i — so the fixture needs no binary
+    * files, near embeddings yield near images, and the oracle can
+    * replay the arithmetic. The Spark side runs the REAL multimodal
+    * path end to end: [[graft.multimodal.RawCodec.writeBmp]] encode →
+    * sniff/probe ([[graft.multimodal.MediaOps.decode]]) → BMP pixel
+    * decode → pooled-gray features ([[graft.multimodal.MediaOps.extractFeatures]];
+    * 64 pixels into 64 buckets makes the pooling exactly invertible:
+    * feature_i = pv_i/255·2−1) → [[VectorOps.cosineNearDupLsh]]. The
+    * oracle replays quantize → feature → sign-bucket → cosine as SQL
+    * over the same table (identical IEEE ops, the q30/q75 contract).
+    *
+    * Scale shape = q50's: the codec stages are scan-local
+    * mapPartitions (payload bytes never shuffle); the only exchange is
+    * the LSH bucket join on slim (bucket, id, feature) rows. */
+  val q83: Q = (s, d) => {
+    import s.implicits._
+    val imgs = t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .map { case (id, e) =>
+        val px = e.padTo(64, 0f).take(64).map { x =>
+          val q = math.floor((x.toDouble + 1.0) * 127.5).toLong
+          val v = math.max(0L, math.min(255L, q)).toInt
+          (v << 16) | (v << 8) | v
+        }.toArray
+        (id, "bmp", graft.multimodal.RawCodec.writeBmp(8, 8, px))
+      }
+    val feats = graft.multimodal.MediaOps.extractFeatures(
+      graft.multimodal.MediaOps.decode(imgs), dim = 64)
+    VectorOps.cosineNearDupLsh(
+      feats.toDF().select(col("mediaId").as("vec_id"), col("feature")),
+      "vec_id", "feature", nBits = 4, minSim = 0.35)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val q83Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |px AS (SELECT vec_id, v, unnest(generate_series(1, 64)) AS i FROM e),
+      |q AS (SELECT vec_id, i,
+      |        GREATEST(0, LEAST(255, CAST(floor((v[i] + 1.0) * 127.5) AS BIGINT))) AS pv
+      |      FROM px),
+      |f AS (SELECT vec_id,
+      |        list(CAST(pv / 255.0 * 2.0 - 1.0 AS REAL) ORDER BY i) AS fv
+      |      FROM q GROUP BY vec_id),
+      |fd AS (SELECT vec_id, CAST(fv AS DOUBLE[]) AS v FROM f),
+      |b AS (SELECT vec_id, v,
+      |        CAST(list_sum(list_transform(generate_series(1, 4),
+      |               i -> CASE WHEN v[i] > 0 THEN CAST(2 ** (i - 1) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bkt
+      |      FROM fd)
+      |SELECT a.vec_id AS a_id, b2.vec_id AS b_id,
+      |       round(list_inner_product(a.v, b2.v)
+      |             / (sqrt(list_inner_product(a.v, a.v))
+      |                * sqrt(list_inner_product(b2.v, b2.v))), 4) AS sim
+      |FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.vec_id < b2.vec_id
+      |WHERE round(list_inner_product(a.v, b2.v)
+      |            / (sqrt(list_inner_product(a.v, a.v))
+      |               * sqrt(list_inner_product(b2.v, b2.v))), 4) >= 0.35
+      |ORDER BY a_id, b_id""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
@@ -1798,7 +1865,8 @@ object PipelineQueries {
     ("q78_ivfpq_ann", q78, q78Sql),
     ("q80_fuzzy_join", q80, q80Sql),
     ("q81_chunk_overlap", q81, q81Sql),
-    ("q82_sq_int8", q82, q82Sql))
+    ("q82_sq_int8", q82, q82Sql),
+    ("q83_multimodal_neardup", q83, q83Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type (KLL-style `percentile_approx`

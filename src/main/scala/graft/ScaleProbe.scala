@@ -216,11 +216,28 @@ object ScaleProbe {
         val p = new org.apache.hadoop.fs.Path(sigDir)
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       }
+      spark.sql("DROP TABLE IF EXISTS probe_corpus_bands")
+      val bt = Some("probe_corpus_bands")
       graft.streaming.CorpusIngest.ingestBatch(
-        docs10.filter(col("doc_id") % 2 === 0), sigDir).count() // seed the store
+        docs10.filter(col("doc_id") % 2 === 0), sigDir,
+        bandTableName = bt).count() // seed the store + bucketed band table
       time("corpus_ingest (25k batch, 3 tiers)")(
         graft.streaming.CorpusIngest.ingestBatch(
-          docs10.filter(col("doc_id") % 2 === 1), sigDir).count())
+          docs10.filter(col("doc_id") % 2 === 1), sigDir,
+          bandTableName = bt).count())
+      // steady-state plan shape: the vs-store candidate join must read
+      // the stored buckets with NO band-key Exchange (batch side
+      // broadcasts, stored side bucket-local)
+      val probeSig = graft.operators.MinHashLsh.signatures(
+        docs10.filter(col("doc_id") % 7 === 3), 8, 3)
+      val vsPlan = graft.operators.MinHashLsh.nearDupAgainstBands(
+          probeSig, spark.table("probe_corpus_bands"),
+          spark.read.parquet(sigDir), 4, 2, 0.5)
+        .queryExecution.executedPlan.toString
+      val vsBk = vsPlan.linesIterator.count(l =>
+        l.contains("Exchange") && l.contains("hashpartitioning(bk"))
+      println(s"corpus_ingest vs-store band-key Exchanges: $vsBk (want 0)")
+      assert(vsBk == 0, "corpus ingest steady-state batch still shuffles band keys")
     }
 
     // --- partition-scoped MERGE probe: per-batch I/O must track the
@@ -274,6 +291,22 @@ object ScaleProbe {
         Bpe.train(spark.read.parquet(s"$src/documents.parquet"), 10).size.toLong)
       time("q72_bpe_train sf1.0 (50k docs)   ")(
         Bpe.train(spark.read.parquet(s"$out/documents.parquet"), 10).size.toLong)
+      // the driver-loop wall: sequential training is ONE Spark job per
+      // merge — per-merge latency × a production vocab (30k merges) is
+      // the real cost, independent of corpus size. trainBatched amortizes
+      // rounds while staying provably merge-list-identical; the ratio
+      // below is the measured amortization on a 300-merge run.
+      val docs01 = spark.read.parquet(s"$src/documents.parquet")
+      val t0 = System.nanoTime()
+      val nSeq = Bpe.train(docs01, 300).size
+      val seqS = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val nBat = Bpe.trainBatched(docs01, 300, batch = 16).size
+      val batS = (System.nanoTime() - t1) / 1e9
+      println(f"q72_bpe_wall seq k=300: $seqS%.1f s (${seqS / nSeq * 1000}%.0f ms/merge " +
+        f"-> ${seqS / nSeq * 30000 / 60}%.0f min at a 30k vocab)")
+      println(f"q72_bpe_wall bat k=300 (batch 16): $batS%.1f s (${batS / nBat * 1000}%.0f ms/merge " +
+        f"-> ${batS / nBat * 30000 / 60}%.0f min at a 30k vocab, ${seqS / batS}%.1fx)")
     }
 
     // --- inverted-index probe: postings built ONCE on the 10× corpus,

@@ -196,6 +196,34 @@ object MinHashLsh {
         col("a.bk") === col("b.bk"))
       .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("dup_of"))
       .distinct()
+    verifyAgainst(cands, newSig, storedSig, minJaccard)
+  }
+
+  /** [[nearDupAgainst]] with the stored side's band keys read from the
+    * STORED BUCKETED BAND TABLE instead of recomputed from signatures —
+    * the steady-state shape of the streaming corpus ingester. The
+    * batch's band keys are hint-broadcast (a micro-batch's slim
+    * (doc_id, bk) rows are small by the trigger's construction), so the
+    * stored band table streams through its bucket layout with ZERO
+    * band-key Exchange on either side — per-batch shuffle work is
+    * candidate/verify-sized, never corpus-sized (probe-asserted in the
+    * ScaleProbe corpus-ingest case). Verify reads `storedSig` with the
+    * candidate set AQE-broadcast into it, as in [[nearDupAgainst]]. */
+  def nearDupAgainstBands(newSig: DataFrame, storedBands: DataFrame,
+                          storedSig: DataFrame,
+                          bands: Int, rowsPerBand: Int,
+                          minJaccard: Double): DataFrame = {
+    val cands = broadcast(bandTable(newSig, bands, rowsPerBand)).as("a")
+      .join(storedBands.as("b"), col("a.bk") === col("b.bk"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("dup_of"))
+      .distinct()
+    verifyAgainst(cands, newSig, storedSig, minJaccard)
+  }
+
+  /** Shared exact-Jaccard verify of batch-vs-store candidates. */
+  private def verifyAgainst(cands: DataFrame, newSig: DataFrame,
+                            storedSig: DataFrame,
+                            minJaccard: Double): DataFrame =
     cands
       .join(newSig.select(col("doc_id").as("new_id"), col("shh").as("sha")), "new_id")
       .join(storedSig.select(col("doc_id").as("dup_of"), col("shh").as("shb")), "dup_of")
@@ -205,7 +233,6 @@ object MinHashLsh {
       .filter(col("jac") >= minJaccard)
       .select(col("new_id"), col("dup_of"), col("jac"))
       .dropDuplicates("new_id", "dup_of") // duplicate-id tolerance, as in candidateVerify
-  }
 
   /** Shared candidate-generation + exact-verify tail: slim band-key
     * self-join → pair dedup → signature re-join → exact Jaccard.

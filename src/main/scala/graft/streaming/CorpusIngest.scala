@@ -56,7 +56,8 @@ object CorpusIngest {
   def ingestBatch(batch: DataFrame, sigDir: String,
                   bands: Int = 4, rowsPerBand: Int = 2, shingleN: Int = 3,
                   numHashes: Int = 8, minJaccard: Double = 0.5,
-                  scrubPii: Boolean = false): DataFrame = {
+                  scrubPii: Boolean = false,
+                  bandTableName: Option[String] = None): DataFrame = {
     val spark = batch.sparkSession
     // tier 0 (optional): PII scrub INSIDE the ingest projection —
     // redaction happens before any hash/signature is derived, so the
@@ -91,10 +92,19 @@ object CorpusIngest {
     val sig = sigAll.join(batchKept.select(col("doc_id")), "doc_id")
     val accepted = storedSignatures(spark, sigDir) match {
       case Some(stored) =>
-        // exact vs store (md5 equality) + near-dup vs store (band join
-        // over the stored mh/shh signature columns)
-        val nearHits = MinHashLsh.nearDupAgainst(
-          sig, stored, bands, rowsPerBand, minJaccard)
+        // exact vs store (md5 equality) + near-dup vs store. With a
+        // band table maintained (the 100 TB steady state), the stored
+        // side's band keys come from the BUCKETED layout — zero band-
+        // key Exchange, stored signatures never re-banded per batch
+        // ([[MinHashLsh.nearDupAgainstBands]]); without one, the keys
+        // recompute from stored `mh` ([[MinHashLsh.nearDupAgainst]]).
+        val nearHits = bandTableName
+          .filter(spark.catalog.tableExists) match {
+            case Some(bt) => MinHashLsh.nearDupAgainstBands(
+              sig, spark.table(bt), stored, bands, rowsPerBand, minJaccard)
+            case None => MinHashLsh.nearDupAgainst(
+              sig, stored, bands, rowsPerBand, minJaccard)
+          }
         sig
           .join(stored.select(col("__md5")).distinct(), Seq("__md5"), "left_anti")
           .join(nearHits.select(col("new_id").as("doc_id")).distinct(),
@@ -104,6 +114,16 @@ object CorpusIngest {
     val out = accepted.select(col("doc_id"), col("shh"), col("mh"), col("__md5"))
       .localCheckpoint() // materialize BEFORE appending to the dir we read
     out.write.mode(SaveMode.Append).parquet(sigDir)
+    // keep the bucketed band table in lockstep with the signature store:
+    // survivors' band keys append into the same bucketBy(bk) layout the
+    // next batch's candidate join reads bucket-locally (32 buckets — the
+    // session shuffle width; Spark appends verify the spec matches)
+    bandTableName.foreach { bt =>
+      MinHashLsh.bandTable(out, bands, rowsPerBand)
+        .write.mode(SaveMode.Append)
+        .bucketBy(32, "bk").sortBy("bk")
+        .format("parquet").saveAsTable(bt)
+    }
     out
   }
 
@@ -116,13 +136,14 @@ object CorpusIngest {
             trigger: Trigger = Trigger.AvailableNow(),
             bands: Int = 4, rowsPerBand: Int = 2, shingleN: Int = 3,
             numHashes: Int = 8, minJaccard: Double = 0.5,
-            scrubPii: Boolean = false): StreamingQuery =
+            scrubPii: Boolean = false,
+            bandTableName: Option[String] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         ingestBatch(batch, sigDir, bands, rowsPerBand, shingleN,
-          numHashes, minJaccard, scrubPii): Unit
+          numHashes, minJaccard, scrubPii, bandTableName): Unit
       }
       .start()
 }

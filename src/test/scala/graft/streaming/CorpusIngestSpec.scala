@@ -44,6 +44,40 @@ class CorpusIngestSpec extends SparkSpec {
     assert(stored.toSeq == Seq(1L, 4L, 13L))
   }
 
+  test("bucketed band table: same dedup decisions, zero band-key Exchange vs store") {
+    val sigDir = tmp() + "/sig"
+    val bt = Some("corpus_bands_spec")
+    spark.sql("DROP TABLE IF EXISTS corpus_bands_spec")
+    val b1 = Seq(
+      (1L, baseText), (2L, baseText), (3L, variant("nu")), (4L, distinctText))
+      .toDF("doc_id", "text")
+    assert(CorpusIngest.ingestBatch(b1, sigDir, bandTableName = bt)
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+    // steady state: the stored band table exists; decisions must match
+    // the recompute-from-signatures path exactly
+    val b2 = Seq(
+      (11L, baseText), (12L, variant("xi")),
+      (13L, "completely different words with no overlap at all whatsoever here"))
+      .toDF("doc_id", "text")
+    assert(CorpusIngest.ingestBatch(b2, sigDir, bandTableName = bt)
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(13L))
+    // the band table tracks the signature store row-for-row (4 bands/doc)
+    assert(spark.table("corpus_bands_spec").count() ==
+      spark.read.parquet(sigDir).count() * 4)
+    // plan shape: the candidate join against the stored buckets plans
+    // with NO hash-partitioning Exchange on the band key — the batch
+    // side broadcasts, the stored side reads its bucket layout
+    val sig = graft.operators.MinHashLsh.signatures(b2, 8, 3)
+    val plan = graft.operators.MinHashLsh.nearDupAgainstBands(
+        sig, spark.table("corpus_bands_spec"), spark.read.parquet(sigDir),
+        4, 2, 0.5)
+      .queryExecution.executedPlan.toString
+    val bkExchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange") && l.contains("hashpartitioning(bk"))
+    assert(bkExchanges == 0, s"band-key Exchange in steady-state plan:\n$plan")
+    spark.sql("DROP TABLE IF EXISTS corpus_bands_spec")
+  }
+
   test("streaming form: checkpointed query drives the same tiers per batch") {
     implicit val sqlCtx = spark.sqlContext
     val dir = tmp()

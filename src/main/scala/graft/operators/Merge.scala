@@ -141,6 +141,15 @@ object Merge {
       require(meta._2 == keys,
         s"table at $path is keyed by [${meta._2.mkString(",")}], not [${keys.mkString(",")}]")
       val n = meta._1
+      // dtype parity up front — not just when existing buckets are read
+      // (a batch touching only NEW buckets would otherwise hash drifted
+      // key types into buckets inconsistent with prior batches')
+      val storedSchema = spark.read.parquet(path).schema
+        .filter(_.name != BucketCol).map(f => f.name -> f.dataType).sortBy(_._1)
+      val updSchema = updates.schema.map(f => f.name -> f.dataType).sortBy(_._1)
+      require(storedSchema == updSchema,
+        s"schema mismatch: table [${storedSchema.map(c => s"${c._1}:${c._2.simpleString}").mkString(",")}] vs " +
+          s"updates [${updSchema.map(c => s"${c._1}:${c._2.simpleString}").mkString(",")}]")
       val upd = updates.withColumn(BucketCol, bucketExpr(keys, n))
       upd.persist()
       try {
@@ -196,6 +205,101 @@ object Merge {
     recoverBucketBackups(path)
     val df = spark.read.parquet(path)
     if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
+  }
+
+  /** Point read: the rows for ONE key tuple, reading ONLY the bucket
+    * the key hashes into — the row-keyed generalization of the
+    * reference's O(1) current-pointer GET (one object read under
+    * `current/`, /root/reference/file/api.go:64-79). At 100 TB with
+    * 4096 buckets a lookup scans 1/4096 of the table whatever the key;
+    * a flat (non-bucketed legacy) table falls back to a full scan.
+    * `key` pairs with the table's meta key order. */
+  def lookup(spark: SparkSession, path: String, key: Seq[Any]): DataFrame = {
+    graft.core.Sinks.recoverStrandedBackup(path)
+    recoverBucketBackups(path)
+    val root = new java.io.File(path)
+    val metaF = new java.io.File(root, MetaFile)
+    require(root.isDirectory, s"no table at $path")
+    require(metaF.isFile,
+      s"$path is a legacy flat table — migrate via upsertInto before lookup")
+    val (n, keys) = readMeta(metaF)
+    require(key.size == keys.size,
+      s"lookup key arity ${key.size} != table keys [${keys.mkString(",")}]")
+    // derive the bucket with the SAME Catalyst expression that wrote the
+    // layout (a driver-side reimplementation of xxhash64 would be a
+    // correctness trap), evaluated on a one-row local relation — no
+    // scan. Literals CAST to the stored key types: xxhash64 hashes an
+    // int and a long differently, so an uncast Int probe of a LONG key
+    // would silently search the wrong bucket.
+    val schema = spark.read.parquet(path).schema
+    val b = spark.range(1)
+      .select(keys.zip(key).map { case (k, v) =>
+        lit(v).cast(schema(k).dataType).as(k) }: _*)
+      .select(bucketExpr(keys, n).as("b")).head().getInt(0)
+    val bucketDir = new java.io.File(root, s"$BucketCol=$b")
+    if (!bucketDir.isDirectory) return readTable(spark, path).limit(0)
+    val rows = spark.read.parquet(bucketDir.getPath)
+    keys.zip(key).foldLeft(rows) { case (df, (k, v)) => df.filter(col(k) === lit(v)) }
+  }
+
+  /** Keyed DELETE: remove every base row whose key appears in
+    * `delKeys` (a relation of exactly the key columns), rewriting ONLY
+    * the buckets those keys hash into — same touched-bucket discipline,
+    * crash windows and idempotent replay as [[upsertInto]]. A bucket
+    * whose rows are all deleted is REMOVED (through the backup rename,
+    * so a crash mid-removal restores and the replay re-deletes). */
+  def deleteFrom(spark: SparkSession, path: String, delKeys: DataFrame): Unit = {
+    graft.core.Sinks.recoverStrandedBackup(path)
+    recoverBucketBackups(path)
+    val root = new java.io.File(path)
+    val metaF = new java.io.File(root, MetaFile)
+    require(root.isDirectory, s"no table at $path")
+    require(metaF.isFile,
+      s"$path is a legacy flat table — migrate via upsertInto before deleteFrom")
+    val (n, keys) = readMeta(metaF)
+    require(delKeys.columns.sorted.sameElements(keys.sorted),
+      s"delKeys columns [${delKeys.columns.sorted.mkString(",")}] must be exactly " +
+        s"the table keys [${keys.sorted.mkString(",")}]")
+    // dtype parity with the stored keys: a drifted delKeys type would
+    // hash into the wrong bucket (xxhash64 is type-sensitive) and the
+    // anti-join would silently widen instead of failing fast
+    val stored = spark.read.parquet(path).schema
+    keys.foreach { k =>
+      require(delKeys.schema(k).dataType == stored(k).dataType,
+        s"delKeys.$k is ${delKeys.schema(k).dataType.simpleString}, table " +
+          s"stores ${stored(k).dataType.simpleString}")
+    }
+    val del = delKeys.withColumn(BucketCol, bucketExpr(keys, n))
+    del.persist()
+    try {
+      val touched = del.select(BucketCol).distinct()
+        .collect().map(_.getInt(0)).sorted
+      val existing = touched.filter(b =>
+        new java.io.File(root, s"$BucketCol=$b").isDirectory)
+      if (existing.nonEmpty) {
+        val base = spark.read.option("basePath", path)
+          .parquet(existing.map(b => s"$path/$BucketCol=$b"): _*)
+        val kept = base.join(del.drop(BucketCol), keys, "left_anti")
+        val tmp = java.nio.file.Paths.get(path)
+          .resolveSibling(s".${root.getName}.merge_tmp")
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        kept.write.mode("overwrite").partitionBy(BucketCol).parquet(tmp.toString)
+        existing.foreach { b =>
+          val src = tmp.resolve(s"$BucketCol=$b")
+          val dst = root.toPath.resolve(s"$BucketCol=$b")
+          val bak = root.toPath.resolve(s".$BucketCol=$b.merge_old")
+          java.nio.file.Files.move(dst, bak,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          if (java.nio.file.Files.exists(src))
+            java.nio.file.Files.move(src, dst,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          // src absent = every row of this bucket was deleted: the
+          // bucket simply does not come back
+          org.apache.commons.io.FileUtils.deleteDirectory(bak.toFile)
+        }
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      }
+    } finally del.unpersist()
   }
 
   /** Bucket + write `df` (which must NOT yet carry [[BucketCol]]) as the

@@ -167,6 +167,48 @@ class MergeSpec extends SparkSpec {
     assert(got == Seq((1L, 200L, "newer"), (2L, 60L, "fresher")), got.toString)
   }
 
+  test("lookup reads ONLY the key's bucket and casts probe literals to stored types") {
+    val dir = java.nio.file.Files.createTempDirectory("merge_lookup").toString
+    val path = s"$dir/t"
+    val big = spark.range(0, 256).selectExpr(
+      "id as k", "'v' as status", "cast(id as double) as v")
+    Merge.upsertInto(spark, path, big, Seq("k"), nBuckets = 8)
+    // Int probe of a LONG key must still hit the right bucket (cast)
+    val hit = Merge.lookup(spark, path, Seq(77))
+    assert(hit.select("k", "v").as[(Long, Double)].collect().toSeq == Seq((77L, 77.0)))
+    // the lookup plan reads one bucket directory, not the table root
+    val scanned = hit.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("Location")).mkString
+    assert(scanned.contains(Merge.BucketCol + "="), scanned)
+    // absent key: empty result with the table schema
+    assert(Merge.lookup(spark, path, Seq(99999L)).isEmpty)
+  }
+
+  test("deleteFrom rewrites only touched buckets; a fully-deleted bucket is removed") {
+    val dir = java.nio.file.Files.createTempDirectory("merge_del").toString
+    val path = s"$dir/t"
+    val big = spark.range(0, 128).selectExpr(
+      "id as k", "'v' as status", "cast(id as double) as v")
+    Merge.upsertInto(spark, path, big, Seq("k"), nBuckets = 4)
+    Merge.deleteFrom(spark, path, Seq(5L, 17L).toDF("k"))
+    val left = Merge.readTable(spark, path)
+    assert(left.count() == 126)
+    assert(left.filter($"k".isin(5L, 17L)).isEmpty)
+    // delete EVERY key of one bucket: its directory must disappear
+    val allB = spark.range(0, 128).selectExpr("id as k")
+      .withColumn("b", org.apache.spark.sql.functions.expr(
+        s"cast(pmod(xxhash64(k), 4) as int)"))
+    val victims = allB.filter($"b" === 0).select("k").as[Long].collect()
+    Merge.deleteFrom(spark, path, victims.toSeq.toDF("k"))
+    assert(!new java.io.File(path, s"${Merge.BucketCol}=0").exists(),
+      "fully-deleted bucket directory should be removed")
+    assert(Merge.readTable(spark, path).count() == 126 - victims.count(v => v != 5L && v != 17L))
+    // drifted delKeys dtype fails fast instead of hashing wrong buckets
+    intercept[IllegalArgumentException] {
+      Merge.deleteFrom(spark, path, Seq(1).toDF("k")) // Int vs stored LONG
+    }
+  }
+
   test("partial create debris (directory with no committed files) does not wedge replays") {
     // a crash during the old direct-create left tablePath holding only
     // _temporary; the swap form writes to a tmp sibling, so path stays

@@ -144,9 +144,14 @@ object EventStream {
       // keep the earliest event time per key, with the remaining payload
       // columns as a total-order tiebreaker: rows tying on (key, ts)
       // with different payloads would otherwise surface whichever row
-      // partition order produced first, varying run to run
-      val tiebreak = events.columns
-        .filterNot(c => keyCols.contains(c) || c == "ts").sorted.map(col)
+      // partition order produced first, varying run to run. Only
+      // ORDERABLE columns participate (a map payload column would fail
+      // the sort's analysis; rows tying on every orderable column are
+      // genuinely indistinguishable to an orderBy anyway).
+      val tiebreak = events.schema.fields
+        .filter(f => !keyCols.contains(f.name) && f.name != "ts" &&
+          org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+        .map(_.name).sorted.map(col)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(keyCols.map(col): _*).orderBy(col("ts") +: tiebreak: _*)
       events.withColumn("__rn", row_number().over(w))

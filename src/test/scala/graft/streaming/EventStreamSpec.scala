@@ -52,6 +52,17 @@ class EventStreamSpec extends SparkSpec {
     assert(got.toSeq == Seq(1.0))
   }
 
+  test("batch dedup twin: ties on (key, ts) break on payload; map columns tolerated") {
+    // two rows tying on (key, ts) with different payloads: the
+    // lexicographically-smallest orderable payload survives, every run
+    val tied = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:10"), "b", Map("x" -> 1)),
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:10"), "a", Map("y" -> 2)))
+      .toDF("eventId", "ts", "payload", "props") // props: MAP — not orderable
+    val got = EventStream.dedupStream(tied.repartition(3), Seq("eventId"))
+      .select(col("payload")).as[String].collect()
+    assert(got.toSeq == Seq("a"))
+  }
+
   test("streaming dedup is key-only: a redelivery with a different ts still drops") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -63,7 +63,14 @@ object Merge {
     * (struct comparison = lexicographic on the tuple). This is what
     * makes an out-of-order update arriving in a LATER micro-batch unable
     * to overwrite a newer stored row — within-batch ordering alone
-    * (a window reduce) can't see across batch boundaries. */
+    * (a window reduce) can't see across batch boundaries.
+    *
+    * NULL versions: an update whose version tuple is (partly) null
+    * cannot prove it is newer, so it never REPLACES a stored row (the
+    * SQL three-valued comparison makes the predicate null → filtered);
+    * it still INSERTS when the key is absent, where there is nothing
+    * to protect. Feed non-null version columns when every event must
+    * land. */
   private def versionFilter(base: DataFrame, updates: DataFrame,
                             keys: Seq[String], versionCols: Seq[String]): DataFrame =
     if (versionCols.isEmpty) updates
@@ -144,7 +151,7 @@ object Merge {
       // dtype parity up front — not just when existing buckets are read
       // (a batch touching only NEW buckets would otherwise hash drifted
       // key types into buckets inconsistent with prior batches')
-      val storedSchema = spark.read.parquet(path).schema
+      val storedSchema = bucketSchema(spark, path)
         .filter(_.name != BucketCol).map(f => f.name -> f.dataType).sortBy(_._1)
       val updSchema = updates.schema.map(f => f.name -> f.dataType).sortBy(_._1)
       require(storedSchema == updSchema,
@@ -231,7 +238,7 @@ object Merge {
     // scan. Literals CAST to the stored key types: xxhash64 hashes an
     // int and a long differently, so an uncast Int probe of a LONG key
     // would silently search the wrong bucket.
-    val schema = spark.read.parquet(path).schema
+    val schema = bucketSchema(spark, path)
     val b = spark.range(1)
       .select(keys.zip(key).map { case (k, v) =>
         lit(v).cast(schema(k).dataType).as(k) }: _*)
@@ -263,7 +270,7 @@ object Merge {
     // dtype parity with the stored keys: a drifted delKeys type would
     // hash into the wrong bucket (xxhash64 is type-sensitive) and the
     // anti-join would silently widen instead of failing fast
-    val stored = spark.read.parquet(path).schema
+    val stored = bucketSchema(spark, path)
     keys.foreach { k =>
       require(delKeys.schema(k).dataType == stored(k).dataType,
         s"delKeys.$k is ${delKeys.schema(k).dataType.simpleString}, table " +
@@ -298,6 +305,9 @@ object Merge {
           org.apache.commons.io.FileUtils.deleteDirectory(bak.toFile)
         }
         org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        // deleting every remaining row must not leave a schema-less
+        // (unreadable, unupsertable) table
+        ensureSchemaBucket(root, kept.drop(BucketCol).limit(0))
       }
     } finally del.unpersist()
   }
@@ -308,10 +318,45 @@ object Merge {
                             dir: String): Unit = {
     df.withColumn(BucketCol, bucketExpr(keys, n))
       .write.mode("overwrite").partitionBy(BucketCol).parquet(dir)
+    // a zero-row frame writes NO partition directories, which would
+    // leave a table Spark cannot infer a schema from (every reader and
+    // the next batch would throw) — pin the schema with one empty
+    // bucket-0 part file
+    ensureSchemaBucket(new java.io.File(dir), df.limit(0))
     val meta = s"buckets=$n\nkeys=${keys.mkString(",")}\n"
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, MetaFile),
       meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** If `root` holds no bucket directory, write `empty` (a zero-row
+    * frame carrying the table's DATA columns) into `gbucket=0` so the
+    * table keeps an inferable schema — the guard that lets a table
+    * whose every row was deleted (or that was created from an empty
+    * batch) stay readable and upsertable. */
+  private def ensureSchemaBucket(root: java.io.File,
+                                 empty: DataFrame): Unit = {
+    val hasBucket = Option(root.listFiles()).getOrElse(Array.empty)
+      .exists(f => f.isDirectory && f.getName.startsWith(BucketCol + "="))
+    if (!hasBucket)
+      empty.repartition(1).write.mode("overwrite")
+        .parquet(new java.io.File(root, s"$BucketCol=0").getPath)
+  }
+
+  /** Data-column schema from ONE bucket directory's footers — O(1) in
+    * table size, where a root-level read would LIST EVERY bucket's
+    * files per call (the metadata cost the bucketed design exists to
+    * avoid: at 4096 buckets that is a full-table listing per batch /
+    * per point lookup). A bucketed table always has at least one
+    * bucket directory ([[ensureSchemaBucket]]). */
+  private def bucketSchema(spark: SparkSession,
+                           path: String): org.apache.spark.sql.types.StructType = {
+    val b = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(BucketCol + "="))
+      .sortBy(_.getName).headOption
+      .getOrElse(throw new IllegalStateException(
+        s"no bucket directories under $path"))
+    spark.read.parquet(b.getPath).schema
   }
 
   private def readMeta(f: java.io.File): (Int, Seq[String]) = {

@@ -113,17 +113,20 @@ object CorpusIngest {
     }
     val out = accepted.select(col("doc_id"), col("shh"), col("mh"), col("__md5"))
       .localCheckpoint() // materialize BEFORE appending to the dir we read
-    out.write.mode(SaveMode.Append).parquet(sigDir)
-    // keep the bucketed band table in lockstep with the signature store:
-    // survivors' band keys append into the same bucketBy(bk) layout the
-    // next batch's candidate join reads bucket-locally (32 buckets — the
-    // session shuffle width; Spark appends verify the spec matches)
+    // band rows append BEFORE the signature store, deliberately: a crash
+    // between the two writes then leaves orphan band rows, which are
+    // harmless (candidates verify against storedSig by inner join, and
+    // the replayed batch re-appends both). The reverse order would be a
+    // permanent recall hole: sig rows in the store make the replay's
+    // md5 anti-join drop the survivors, so their band keys would never
+    // be written and later batches could never near-dup against them.
     bandTableName.foreach { bt =>
       MinHashLsh.bandTable(out, bands, rowsPerBand)
         .write.mode(SaveMode.Append)
         .bucketBy(32, "bk").sortBy("bk")
         .format("parquet").saveAsTable(bt)
     }
+    out.write.mode(SaveMode.Append).parquet(sigDir)
     out
   }
 

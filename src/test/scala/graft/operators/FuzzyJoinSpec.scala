@@ -95,6 +95,18 @@ class FuzzyJoinSpec extends SparkSpec {
     }
   }
 
+  test("EditDistanceIs1 works as a Catalyst expression in a DataFrame filter (codegen path)") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.GraftShim
+    val df = Seq(("kitten", "mitten"), ("ab", "ba"), ("cart", "chart"),
+        ("same", "same"), (null, "x"))
+      .toDF("a", "b")
+    val got = df.filter(GraftShim.column(graft.functions.expressions.EditDistanceIs1(
+        GraftShim.expression(col("a")), GraftShim.expression(col("b")))))
+      .as[(String, String)].collect().toSet
+    assert(got == Set(("kitten", "mitten"), ("cart", "chart")))
+  }
+
   test("DeletionKeys kernel matches the HOF formulation as a set, on random strings") {
     import org.apache.spark.sql.functions._
     val rnd = new scala.util.Random(13)

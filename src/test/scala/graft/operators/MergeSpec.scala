@@ -209,6 +209,32 @@ class MergeSpec extends SparkSpec {
     }
   }
 
+  test("a table whose every row is deleted stays readable, lookupable, upsertable") {
+    val dir = java.nio.file.Files.createTempDirectory("merge_empty").toString
+    val path = s"$dir/t"
+    val rows = spark.range(0, 32).selectExpr(
+      "id as k", "'v' as status", "cast(id as double) as v")
+    Merge.upsertInto(spark, path, rows, Seq("k"), nBuckets = 4)
+    Merge.deleteFrom(spark, path, spark.range(0, 32).selectExpr("id as k"))
+    // schema survives via the empty bucket-0 pin
+    assert(Merge.readTable(spark, path).isEmpty)
+    assert(Merge.readTable(spark, path).columns.sorted.toSeq == Seq("k", "status", "v"))
+    assert(Merge.lookup(spark, path, Seq(3L)).isEmpty)
+    // and the table accepts new batches again
+    Merge.upsertInto(spark, path, Seq((7L, "back", 7.0)).toDF("k", "status", "v"), Seq("k"))
+    assert(Merge.readTable(spark, path).as[(Long, String, Double)].collect().toSeq ==
+      Seq((7L, "back", 7.0)))
+  }
+
+  test("creating a table from an empty batch leaves a readable empty table") {
+    val dir = java.nio.file.Files.createTempDirectory("merge_empty_create").toString
+    val path = s"$dir/t"
+    Merge.upsertInto(spark, path, base.limit(0), Seq("k"))
+    assert(Merge.readTable(spark, path).isEmpty)
+    Merge.upsertInto(spark, path, Seq((1L, "x", 1.0)).toDF("k", "status", "v"), Seq("k"))
+    assert(Merge.readTable(spark, path).count() == 1)
+  }
+
   test("partial create debris (directory with no committed files) does not wedge replays") {
     // a crash during the old direct-create left tablePath holding only
     // _temporary; the swap form writes to a tmp sibling, so path stays

@@ -78,6 +78,32 @@ class CorpusIngestSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS corpus_bands_spec")
   }
 
+  test("orphan band rows (crash between band append and sig append) are harmless") {
+    val sigDir = tmp() + "/sig"
+    val bt = Some("corpus_bands_orphan")
+    spark.sql("DROP TABLE IF EXISTS corpus_bands_orphan")
+    val b1 = Seq((1L, baseText), (4L, distinctText)).toDF("doc_id", "text")
+    CorpusIngest.ingestBatch(b1, sigDir, bandTableName = bt)
+    // simulate the crash window: band rows appended for a doc whose sig
+    // row never landed (doc 99) — band appends run FIRST by design
+    graft.operators.MinHashLsh.bandTable(
+        graft.operators.MinHashLsh.signatures(
+          Seq((99L, variant("omega"))).toDF("doc_id", "text"), 8, 3), 4, 2)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(32, "bk").sortBy("bk")
+      .format("parquet").saveAsTable("corpus_bands_orphan")
+    // the replayed/next batch still makes the right decisions: the
+    // orphan can produce candidates but verify inner-joins storedSig,
+    // where doc 99 does not exist — so nothing references it
+    val b2 = Seq((12L, variant("xi")),
+        (13L, "completely different words with no overlap at all whatsoever here"))
+      .toDF("doc_id", "text")
+    val kept = CorpusIngest.ingestBatch(b2, sigDir, bandTableName = bt)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(13L), s"orphan band rows changed decisions: ${kept.toSeq}")
+    spark.sql("DROP TABLE IF EXISTS corpus_bands_orphan")
+  }
+
   test("streaming form: checkpointed query drives the same tiers per batch") {
     implicit val sqlCtx = spark.sqlContext
     val dir = tmp()

@@ -24,10 +24,6 @@ object Bench {
     val only = args.headOption.map(_.split(',').toSeq)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
-    // warmup: full pass, untimed
-    ordered.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-    }
     // Machine-load honesty: this bench runs on a shared machine, and a
     // loaded neighbor can spike individual queries (a round-3 verdict
     // burned judge time proving two such spikes were noise). The JSON
@@ -37,7 +33,14 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split(' ').take(3).mkString("[", ",", "]")
       catch { case scala.util.control.NonFatal(_) => "[]" }
+    // read BEFORE the warmup pass: the warmup itself saturates the
+    // machine, so a read after it reports the bench's own load and
+    // makes every run look like a loaded-machine run
     val loadBefore = loadavg()
+    // warmup: full pass, untimed
+    ordered.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
     // best-of-2: the min of two SUCCESSFUL runs reports the query's
     // cost, not a neighbor's noise; a query that throws reports -1,
     // never its time-to-failure

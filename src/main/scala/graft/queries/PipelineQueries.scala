@@ -1830,6 +1830,52 @@ object PipelineQueries {
       |               * sqrt(list_inner_product(b2.v, b2.v))), 4) >= 0.35
       |ORDER BY a_id, b_id""".stripMargin
 
+  // --------------------------------------------------------------- Q84
+  /** Bloom-prefiltered incremental exact dedup
+    * ([[graft.operators.BloomDedup]]): an ingest batch (re-crawls
+    * included) against the stored corpus's content-hash set, where the
+    * stored set is — at scale — too big to broadcast exactly but fits
+    * as a ~GB bloom sketch. Bloom-negative rows are definitively new
+    * and NEVER shuffle (the no-false-negative contract); only the
+    * bloom-positive sliver (true re-crawls + fpp·batch) reaches the
+    * exact confirm anti-join, so the result is exact and the oracle is
+    * the plain NOT EXISTS. The 10⁹-key regime where this beats both a
+    * broadcast hash set (OOM) and a full two-sided shuffle (the q04
+    * shape's scale wall) is the design point; see BloomDedup's scaladoc
+    * for the scan-twice-never-shuffle trade.
+    *
+    * The sketch is a stored ingest-time artifact (partial-aggregable,
+    * incrementally maintained), memoized here like the IVF/PQ models. */
+  private val bloomSketches = new BoundedModelCache[Array[Byte]]
+  def clearBloomSketches(): Unit = bloomSketches.clear()
+  private def storedHashes(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").filter(col("doc_id") % 3 =!= 0)
+      .select(md5(col("text")).as("h"))
+  private def bloomFor(s: SparkSession, d: String): Array[Byte] =
+    bloomSketches.getOrTrain((s, d, 0)) {
+      val stored = storedHashes(s, d)
+      graft.operators.BloomDedup.buildBloom(
+        stored, "h", expectedN = stored.count(), fpp = 0.03)
+    }
+
+  val q84: Q = (s, d) => {
+    val batch = t(s, d, "documents")
+      .filter(col("doc_id") % 3 === 0 || col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("lang"), col("source"),
+        md5(col("text")).as("h"))
+    graft.operators.BloomDedup.newKeys(
+        batch, storedHashes(s, d), "h", bloomFor(s, d))
+      .orderBy(col("doc_id"))
+  }
+
+  val q84Sql: String =
+    """SELECT doc_id, lang, source, md5(text) AS h
+      |FROM documents b
+      |WHERE (doc_id % 3 = 0 OR doc_id % 7 = 0)
+      |  AND NOT EXISTS (SELECT 1 FROM documents s
+      |                  WHERE s.doc_id % 3 <> 0 AND md5(s.text) = md5(b.text))
+      |ORDER BY doc_id""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
@@ -1877,7 +1923,8 @@ object PipelineQueries {
     ("q80_fuzzy_join", q80, q80Sql),
     ("q81_chunk_overlap", q81, q81Sql),
     ("q82_sq_int8", q82, q82Sql),
-    ("q83_multimodal_neardup", q83, q83Sql))
+    ("q83_multimodal_neardup", q83, q83Sql),
+    ("q84_bloom_dedup", q84, q84Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type (KLL-style `percentile_approx`

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.functions.{TextOps, VectorOps}
+import graft.functions.{LinearClassifier, TextOps, VectorOps}
 import graft.operators.SimilarityJoin
 
 /** LLM-training-data pipeline operators (north-star extensions beyond the
@@ -1876,6 +1876,77 @@ object PipelineQueries {
       |                  WHERE s.doc_id % 3 <> 0 AND md5(s.text) = md5(b.text))
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- Q85
+  /** Trained linear classifier filter
+    * ([[graft.functions.LinearClassifier]]): a batch perceptron over the
+    * embedding features predicting the coarse label split (y = +1 for
+    * label < 5), then the confusion matrix + exact integer margin mass
+    * under the trained weights — the classifier-gate stage of a
+    * data-curation pipeline, with TRAINING ITSELF replayed by the
+    * oracle (3 unrolled rounds, like the q30 k-means / q72 BPE CTEs).
+    * Everything is integer arithmetic (floor-quantized features,
+    * weights in ℤ), so no float-summation order can flip a margin
+    * cross-engine. Training = 3 partial-aggregable full scans with
+    * model-sized (65-int) driver state; scoring is scan-local against
+    * weight literals. */
+  private val perceptrons = new BoundedModelCache[LinearClassifier.Model]
+  def clearPerceptrons(): Unit = perceptrons.clear()
+  private def classifierBase(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings").select(col("vec_id"),
+      LinearClassifier.quantize(col("embedding"), 1000).as("x"),
+      when(col("label") < 5, 1L).otherwise(-1L).as("y"))
+  private def perceptronFor(s: SparkSession, d: String): LinearClassifier.Model =
+    perceptrons.getOrTrain((s, d, 3))(
+      LinearClassifier.train(classifierBase(s, d), "x", "y", dim = 64, rounds = 3))
+
+  val q85: Q = (s, d) => {
+    val model = perceptronFor(s, d)
+    val raw = LinearClassifier.rawScore(col("x"), model)
+    classifierBase(s, d)
+      .withColumn("pred", when(raw > 0, 1L).otherwise(-1L))
+      .withColumn("margin", col("y") * raw)
+      .groupBy(col("y"), col("pred"))
+      .agg(count(lit(1)).as("n"), sum(col("margin")).as("sum_margin"))
+      .orderBy(col("y"), col("pred"))
+  }
+
+  val q85Sql: String = {
+    // round t: margins under w_t (d<t>/m<t>), update → w_{t+1}/b_{t+1}
+    def round(t: Int): String =
+      s"""d$t AS (SELECT q.vec_id, SUM(w$t.w * q.x[w$t.i]) AS dot
+         |       FROM q CROSS JOIN w$t GROUP BY q.vec_id),
+         |m$t AS (SELECT q.vec_id, q.x, q.y,
+         |         q.y * (d$t.dot + (SELECT b FROM b$t)) AS margin
+         |       FROM q JOIN d$t USING (vec_id)),
+         |w${t + 1} AS (SELECT w$t.i AS i, w$t.w + COALESCE(SUM(CASE WHEN m$t.margin <= 0
+         |         THEN m$t.y * m$t.x[w$t.i] END), 0) AS w
+         |       FROM w$t CROSS JOIN m$t GROUP BY w$t.i, w$t.w),
+         |b${t + 1} AS (SELECT (SELECT b FROM b$t)
+         |         + COALESCE(SUM(CASE WHEN margin <= 0 THEN y END), 0) AS b
+         |       FROM m$t),""".stripMargin
+    s"""WITH q AS (SELECT vec_id,
+       |        list_transform(CAST(embedding AS DOUBLE[]),
+       |                       e -> CAST(floor(e * 1000) AS BIGINT)) AS x,
+       |        CAST(CASE WHEN label < 5 THEN 1 ELSE -1 END AS BIGINT) AS y
+       |      FROM embeddings),
+       |idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+       |-- w0 = 0, b0 = 0: every margin is 0 <= 0, round 1 sums all rows
+       |w1 AS (SELECT i.i AS i, SUM(q.y * q.x[i.i]) AS w
+       |       FROM idx i CROSS JOIN q GROUP BY i.i),
+       |b1 AS (SELECT SUM(y) AS b FROM q),
+       |${round(1)}
+       |${round(2)}
+       |df AS (SELECT q.vec_id, SUM(w3.w * q.x[w3.i]) AS dot
+       |       FROM q CROSS JOIN w3 GROUP BY q.vec_id),
+       |f AS (SELECT q.y,
+       |        CAST(CASE WHEN df.dot + (SELECT b FROM b3) > 0
+       |             THEN 1 ELSE -1 END AS BIGINT) AS pred,
+       |        q.y * (df.dot + (SELECT b FROM b3)) AS margin
+       |      FROM q JOIN df USING (vec_id))
+       |SELECT y, pred, COUNT(*) AS n, CAST(SUM(margin) AS BIGINT) AS sum_margin
+       |FROM f GROUP BY y, pred ORDER BY y, pred""".stripMargin
+  }
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
@@ -1924,7 +1995,8 @@ object PipelineQueries {
     ("q81_chunk_overlap", q81, q81Sql),
     ("q82_sq_int8", q82, q82Sql),
     ("q83_multimodal_neardup", q83, q83Sql),
-    ("q84_bloom_dedup", q84, q84Sql))
+    ("q84_bloom_dedup", q84, q84Sql),
+    ("q85_classifier_filter", q85, q85Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type (KLL-style `percentile_approx`

@@ -178,6 +178,45 @@ object EventStream {
       }
       .start()
 
+  /** Per-user session aggregation — ONE definition shared by the batch
+    * query (q39's inner relation) and the streaming twin: Spark's
+    * `session_window` is batch/stream agnostic, so the oracle-checked
+    * batch semantics and the continuous job cannot drift apart.
+    * A session is [first_ts, last_ts + gap); an event landing exactly
+    * `gap` after its predecessor opens a NEW session (the boundary rule
+    * q39's gaps-and-islands oracle pins with `>=`).
+    */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("span_us"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
+        col("n_ev"), col("span_us"))
+
+  /** Continuous sessionization — q39's streaming twin: watermark-CLOSED
+    * sessions (append mode: a session emits exactly once, when the
+    * watermark passes its end and its state is dropped) land in a
+    * parquet session store via the file sink, whose `_spark_metadata`
+    * commit log makes delivery EXACTLY-ONCE across crash/replay —
+    * readers list committed files only, so a half-written retried batch
+    * is invisible. State is O(open sessions), bounded by the watermark;
+    * merging out-of-order events into an open session is the state
+    * store's job, never a re-read of emitted history.
+    */
+  def startSessionizer(events: DataFrame, sessionDir: String,
+                       checkpointDir: String,
+                       gap: String = "30 minutes",
+                       watermarkDelay: String = "2 hours")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    sessionAgg(events.withWatermark("ts", watermarkDelay), gap)
+      .writeStream
+      .format("parquet")
+      .option("path", sessionDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .start()
+
   /** Stream-static enrichment: join a live event stream against a
     * static dimension table. The static side is planned per micro-batch
     * — dimension updates between batches are picked up, and Catalyst

@@ -272,6 +272,45 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("startSessionizer emits each closed session exactly once; equals the batch twin") {
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft_sess_out").toString
+    val ckpt = Files.createTempDirectory("graft_sess_ckpt").toString
+    val input = MemoryStream[Event]
+    val q = EventStream.startSessionizer(
+      input.toDF().withColumn("ts", timestamp_micros(col("tsMicros")))
+        .withColumnRenamed("userId", "user_id"),
+      out, ckpt, gap = "30 minutes", watermarkDelay = "1 hour")
+    try {
+      val live = Seq(
+        Event(1, us(1, 0), 7, "view", 1.0),
+        Event(2, us(1, 20), 7, "view", 1.0), // merges into session 1
+        Event(3, us(3, 0), 7, "view", 1.0),  // > gap → session 2
+        Event(4, us(1, 10), 8, "view", 1.0))
+      input.addData(live: _*)
+      q.processAllAvailable()
+      // sentinel far ahead: watermark passes every live session's end
+      input.addData(Event(99, us(30), 999, "view", 1.0))
+      q.processAllAvailable()
+      // an emitted (closed) session never re-emits, even as later
+      // batches run with state for it long dropped
+      input.addData(Event(100, us(31), 999, "view", 1.0))
+      q.processAllAvailable()
+
+      val got = spark.read.parquet(out)
+        .filter(col("user_id") < 100)
+        .select("user_id", "start_us", "n_ev", "span_us")
+        .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+      val expect = EventStream.sessionAgg( // the SHARED definition, batch-planned
+          toDf(live).withColumnRenamed("userId", "user_id"))
+        .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+      assert(got === expect)
+      assert(got.map(r => (r._1, r._2)).distinct.size === got.size,
+        "one row per (user, session start)")
+    } finally q.stop()
+  }
+
   test("latestPerUser maintains state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]

@@ -4,13 +4,15 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.ArrayDot
+import graft.functions.expressions.{ArrayCosine, ArrayDot, EditDistanceIs1, WordShingles}
 
 /** Engine extensions, installable via
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions`:
   *
-  *  - `graft_dot(a, b)` SQL function → [[ArrayDot]] (native codegen dot
-  *    product)
+  *  - SQL functions over the native kernels — `graft_dot(a, b)`,
+  *    `graft_cosine(a, b)`, `graft_shingles(text, n)`,
+  *    `graft_edit1(a, b)` — so `spark.sql` users reach the same
+  *    codegen'd hot paths as the DataFrame surface
   *  - [[RewriteLatestPerGroup]] optimizer rule (window → max_by)
   */
 object GraftExtensions {
@@ -24,6 +26,39 @@ object GraftExtensions {
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
     ArrayDot(Cast(args.head, ArrayType(DoubleType)),
              Cast(args(1), ArrayType(DoubleType)))
+  }
+
+  /** `graft_cosine(a, b)`: [[ArrayCosine]] with the same defensive cast
+    * as [[dotBuilder]]. */
+  val cosineBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2, "graft_cosine(a, b) takes two array<double> args")
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    ArrayCosine(Cast(args.head, ArrayType(DoubleType)),
+                Cast(args(1), ArrayType(DoubleType)))
+  }
+
+  /** `graft_shingles(text, n)`: distinct word n-gram shingles through
+    * the fused [[WordShingles]] kernel. `n` must be an integer LITERAL —
+    * the shingle width shapes the plan (it is a construction parameter,
+    * not data), exactly like the DataFrame surface's `shingleN`. */
+  val shinglesBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2, "graft_shingles(text, n) takes (string, int literal)")
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.IntegerType
+    val n = args(1) match {
+      case Literal(v: Int, IntegerType) if v > 0 => v
+      case other => throw new IllegalArgumentException(
+        s"graft_shingles n must be a positive int literal, got $other")
+    }
+    WordShingles(args.head, n)
+  }
+
+  /** `graft_edit1(a, b)`: true iff levenshtein(a, b) == 1, via the
+    * two-pointer [[EditDistanceIs1]] kernel (no DP matrix). */
+  val edit1Builder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2, "graft_edit1(a, b) takes two string args")
+    EditDistanceIs1(args.head, args(1))
   }
 
   /** `graft_redact_pii(text)` SQL builder: the [[graft.functions.TextOps
@@ -47,6 +82,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "graft_dot"),
       GraftExtensions.dotBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[ArrayCosine].getName, "graft_cosine"),
+      GraftExtensions.cosineBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
+      GraftExtensions.shinglesBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_edit1"),
+      new ExpressionInfo(classOf[EditDistanceIs1].getName, "graft_edit1"),
+      GraftExtensions.edit1Builder))
     ext.injectFunction((
       FunctionIdentifier("graft_redact_pii"),
       new ExpressionInfo(classOf[Expression].getName, "graft_redact_pii"),

@@ -85,6 +85,30 @@ class RewriteLatestPerGroupSpec extends SparkSpec {
     assert(d == 14.0)
   }
 
+  test("graft_cosine / graft_shingles / graft_edit1 work as SQL functions") {
+    val s = spark.newSession()
+    Seq("graft_cosine" -> GraftExtensions.cosineBuilder,
+        "graft_shingles" -> GraftExtensions.shinglesBuilder,
+        "graft_edit1" -> GraftExtensions.edit1Builder)
+      .foreach { case (n, b) =>
+        s.sessionState.functionRegistry.createOrReplaceTempFunction(n, b, "built-in")
+      }
+    val cos = s.sql("SELECT graft_cosine(array(1, 0), array(1, 0)) AS c")
+      .collect().head.getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+    val sh = s.sql("SELECT graft_shingles('a b c d', 3) AS s")
+      .collect().head.getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+    assert(s.sql("SELECT graft_edit1('kitten', 'mitten') AS e")
+      .collect().head.getBoolean(0))
+    assert(!s.sql("SELECT graft_edit1('kitten', 'kitten') AS e")
+      .collect().head.getBoolean(0))
+    // n is a construction parameter: a non-literal must fail fast
+    intercept[Exception] {
+      s.sql("SELECT graft_shingles('a b c', length('xx')) AS s").collect()
+    }
+  }
+
   test("graft_redact_pii scrubs from SQL with the DataFrame patterns") {
     val s = spark.newSession()
     s.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -56,15 +56,22 @@ object Bench {
     val results = raw.map { case (name, times) =>
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4-decimal (0.1 ms) formatting: sub-ms digits are noise, and the
+    // driver stores a bounded TAIL of this stream — full-precision
+    // doubles once pushed the line past it, truncating the r4 artifact
+    // mid-JSON. %.4f is locale-independent ASCII and valid JSON.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val runs = raw.map { case (k, ts) => s"\"" + k + "\":" + ts.mkString("[", ",", "]") }
-      .mkString("{", ",", "}")
+    val runs = raw.map { case (k, ts) =>
+      s"\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     // failures report -1 per query; exclude the sentinel from the total
     // (it must not DEFLATE the headline) and surface the count instead
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"runs":$runs,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"queries":$qs,"runs":$runs,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

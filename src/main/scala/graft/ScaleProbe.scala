@@ -403,11 +403,17 @@ object ScaleProbe {
     // is measured: the salted join must spread the hot key's reduce work
     // (max task time), the naive shuffle join concentrates it.
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
-    def maxTaskSec(f: => Unit): (Double, Double) = {
+    // one task-metrics harness for every listener-based probe:
+    // (wall sec, max single-task sec, total shuffle-write bytes)
+    def taskStats(f: => Unit): (Double, Double, Long) = {
       val durations = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
       val l = new SparkListener {
-        override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
           if (te.taskInfo != null) durations.add(te.taskInfo.duration)
+          if (te.taskMetrics != null)
+            shuffleBytes.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        }
       }
       spark.sparkContext.addSparkListener(l)
       val t0 = System.nanoTime()
@@ -417,7 +423,11 @@ object ScaleProbe {
       }
       import scala.jdk.CollectionConverters._
       ((System.nanoTime() - t0) / 1e9,
-        durations.asScala.maxOption.getOrElse(0L) / 1e3)
+        durations.asScala.maxOption.getOrElse(0L) / 1e3,
+        shuffleBytes.get())
+    }
+    def maxTaskSec(f: => Unit): (Double, Double) = {
+      val (w, mt, _) = taskStats(f); (w, mt)
     }
     val skewed = spark.range(4000000).select(
       when(col("id") % 10 < 9, lit(1L)).otherwise(col("id")).as("key"),
@@ -464,34 +474,23 @@ object ScaleProbe {
         println(f"bloom_positive sliver: $positives of $n rows " +
           f"(${positives * 100.0 / n}%.1f%% reaches the confirm join)")
         // at local[32] the "network" is a memcpy, so WALL parity is
-        // expected — the cluster-scale win is shuffled BYTES, measured
-        // directly: only the sliver + stored keys cross the exchange
-        def shuffleBytes(f: => Unit): Long = {
-          val bytes = new java.util.concurrent.atomic.AtomicLong()
-          val l = new SparkListener {
-            override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
-              if (te.taskMetrics != null)
-                bytes.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
-          }
-          spark.sparkContext.addSparkListener(l)
-          try f finally {
-            Thread.sleep(500) // listener bus drains async
-            spark.sparkContext.removeSparkListener(l)
-          }
-          bytes.get()
-        }
+        // expected — the cluster-scale win is shuffled BYTES (taskStats
+        // measures them): only the sliver + stored keys cross the
+        // exchange
         var bloomRows = 0L; var plainRows = 0L
         var bloomBytes = 0L; var plainBytes = 0L
         time("q84_bloom_dedup 4M vs 400k       ") {
-          bloomBytes = shuffleBytes {
+          val (_, _, b) = taskStats {
             bloomRows = graft.operators.BloomDedup.newKeys(corpus, stored, "k", bloom).count()
           }
+          bloomBytes = b
           bloomRows
         }
         time("plain anti-join 4M vs 400k (SMJ) ") {
-          plainBytes = shuffleBytes {
+          val (_, _, b) = taskStats {
             plainRows = corpus.join(stored, Seq("k"), "left_anti").count()
           }
+          plainBytes = b
           plainRows
         }
         assert(bloomRows == plainRows,

@@ -47,8 +47,14 @@ object BloomDedup {
     * tunes how many rows reach the confirm join, never correctness. */
   def buildBloom(keys: DataFrame, keyCol: String,
                  expectedN: Long, fpp: Double): Array[Byte] = {
+    // an EMPTY stored set is legal (first-ever ingest batch), but
+    // Spark's stat.bloomFilter yields a null sketch over zero rows and
+    // BloomFilter.create rejects expectedNumItems = 0 — probe actual
+    // emptiness (one limit-1 job) and hand back a sketch that answers
+    // false for every probe, which is exactly correct: nothing stored
     val bloom: BloomFilter =
-      keys.stat.bloomFilter(xxhash64(col(keyCol)), expectedN, fpp)
+      if (keys.isEmpty) BloomFilter.create(1, fpp)
+      else keys.stat.bloomFilter(xxhash64(col(keyCol)), math.max(1L, expectedN), fpp)
     val out = new ByteArrayOutputStream()
     bloom.writeTo(out)
     out.toByteArray

@@ -471,18 +471,17 @@ object PipelineQueries {
     * total events, max session span. The oracle reconstructs sessions
     * via gaps-and-islands (lag + cumulative sum), proving Spark's
     * `session_window` merge semantics equal the relational definition.
+    * The inner relation IS [[graft.streaming.EventStream.sessionAgg]] —
+    * the continuous sessionizer streams the same definition, so the
+    * oracle-checked batch semantics and the streaming job cannot drift.
     */
-  val q39: Q = (s, d) => {
-    val sessions = t(s, d, "events")
-      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
-      .agg(count(lit(1)).as("n_ev"),
-        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("span_us"))
-    sessions.groupBy(col("user_id"))
+  val q39: Q = (s, d) =>
+    graft.streaming.EventStream.sessionAgg(t(s, d, "events"))
+      .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_sessions"),
         sum(col("n_ev")).as("n_events"),
         max(col("span_us")).as("max_span_us"))
       .orderBy(col("user_id"))
-  }
 
   // NOTE the `>=`: Spark session_window treats a window as
   // [start, last_ts + gap), so an event landing EXACTLY gap after its
@@ -1853,9 +1852,13 @@ object PipelineQueries {
       .select(md5(col("text")).as("h"))
   private def bloomFor(s: SparkSession, d: String): Array[Byte] =
     bloomSketches.getOrTrain((s, d, 0)) {
-      val stored = storedHashes(s, d)
-      graft.operators.BloomDedup.buildBloom(
+      // persist so sizing (count) and building share ONE scan of the
+      // stored keys — production maintains the cardinality as ingest
+      // metadata and never recounts
+      val stored = storedHashes(s, d).persist()
+      try graft.operators.BloomDedup.buildBloom(
         stored, "h", expectedN = stored.count(), fpp = 0.03)
+      finally stored.unpersist()
     }
 
   val q84: Q = (s, d) => {
@@ -1983,14 +1986,20 @@ object PipelineQueries {
           (col("value") > col("b2")).cast("long") +
           (col("value") > col("b3")).cast("long")).as("bkt"))
       .groupBy(col("day"), col("bkt")).agg(count(lit(1)).as("c"))
-    val withP = counts
+    // counts is days×4 rows — model-sized — so ref day and ref shares
+    // come from WINDOWS over it instead of a self-join: referencing the
+    // relation twice would re-execute its whole subtree and re-scan
+    // events per branch (the scan-count ratchet caught the join form at
+    // 8 scans; this form holds at 3: ev + the two breakpoint-training
+    // scans)
+    val scored = counts
       .withColumn("p",
         col("c").cast("double") / sum(col("c")).over(Window.partitionBy(col("day"))))
-      .crossJoin(broadcast(ref))
-    val refP = withP.filter(col("day") === col("ref_day"))
-      .select(col("bkt"), col("p").as("q"))
-    withP.filter(col("day") =!= col("ref_day"))
-      .join(broadcast(refP), Seq("bkt"))
+      .withColumn("ref_day", min(col("day")).over(Window.partitionBy()))
+      .withColumn("q",
+        max(when(col("day") === col("ref_day"), col("p")))
+          .over(Window.partitionBy(col("bkt"))))
+    scored.filter(col("day") =!= col("ref_day") && col("q").isNotNull)
       .groupBy(col("day"))
       .agg(round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 4).as("psi"),
         count(lit(1)).as("n_buckets"))

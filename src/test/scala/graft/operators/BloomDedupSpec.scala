@@ -60,6 +60,14 @@ class BloomDedupSpec extends SparkSpec {
       s"the pass-through branch must not shuffle:\n$plan")
   }
 
+  test("an EMPTY stored set is legal: sketch builds and every batch row survives") {
+    val batch = (0L until 20L).map(i => (i, s"k$i")).toDF("id", "k")
+    val stored = spark.emptyDataset[String].toDF("k")
+    val bloom = BloomDedup.buildBloom(stored, "k", expectedN = 0L, fpp = 0.03)
+    val got = BloomDedup.newKeys(batch, stored, "k", bloom)
+    assert(got.count() === 20L)
+  }
+
   test("sketch answers true for every stored key (the contract exactness rests on)") {
     val storedKeys = (0 until 500).map(i => s"key-$i-${i * 31}")
     val bloom = BloomDedup.buildBloom(storedKeys.toDF("k"), "k", 500L, 0.01)

@@ -67,11 +67,11 @@ object EventStream {
     * compare, with `n_buckets` exposing the compared count.
     */
   def driftPsiBatch(closed: DataFrame, distDir: String,
-                    windowUs: Long): DataFrame = {
+                    windowUs: Long, keyCol: String = "event_type"): DataFrame = {
     val spark = closed.sparkSession
     import org.apache.spark.sql.expressions.Window
     val materialized = closed
-      .select(col("win_us"), col("event_type"), col("n_events"))
+      .select(col("win_us"), col(keyCol).as("event_type"), col("n_events"))
       .localCheckpoint() // pin BEFORE appending to the dir logic reads
     materialized.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(distDir)
     // only this batch's windows and their immediate predecessors matter:
@@ -121,6 +121,43 @@ object EventStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         driftPsiBatch(batch, distDir, hourUs).collect()
+          .foreach(r => onAlarm(r.getLong(0), r.getDouble(1)))
+      }
+      .start()
+  }
+
+  /** Continuous NUMERIC drift — q86's streaming twin. `value` buckets
+    * by the STORED quantile `breakpoints` — a trained ingest artifact
+    * exactly like the IVF centroids (the batch path derives them as
+    * k-th order statistics of a reference window; see q86's ulp
+    * rationale for why they are stored values, never interpolations) —
+    * and each watermark-closed hour window scores window-over-window
+    * PSI over bucket shares through the SAME [[driftPsiBatch]]
+    * machinery as the categorical monitor (store pruning, replay
+    * idempotence and predecessor lookup are shared, not re-proven).
+    * The drift alarm a pipeline runs on score/length/loss columns. */
+  def startValueDriftMonitor(events: DataFrame, breakpoints: Seq[Double],
+                             distDir: String, checkpointDir: String,
+                             watermarkDelay: String = "2 hours",
+                             onAlarm: (Long, Double) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(breakpoints.nonEmpty, "value drift needs at least one breakpoint")
+    require(breakpoints == breakpoints.sorted, "breakpoints must be ascending")
+    val hourUs = 3600L * 1000000L
+    val bktNum = breakpoints.foldLeft(lit(0L)) { (acc, b) =>
+      acc + (col("value") > lit(b)).cast("long")
+    }
+    events.withWatermark("ts", watermarkDelay)
+      .withColumn("bucket", concat(lit("b"), bktNum))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros(col("w.start")).as("win_us"), col("bucket"),
+        col("n_events"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        driftPsiBatch(batch, distDir, hourUs, keyCol = "bucket").collect()
           .foreach(r => onAlarm(r.getLong(0), r.getDouble(1)))
       }
       .start()

@@ -93,4 +93,33 @@ class DriftMonitorSpec extends SparkSpec {
       assert(!alarms.contains(0L), "the first window has no predecessor")
     } finally q.stop()
   }
+
+  test("value drift: stored breakpoints bucket the stream, shifted window alarms") {
+    val dir = tmp()
+    val alarms = scala.collection.concurrent.TrieMap.empty[Long, Double]
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Event]
+    val events = in.toDF()
+      .withColumn("ts", timestamp_micros(col("tsMicros")))
+    // breakpoints are the STORED artifact (the batch path's order
+    // statistics); one breakpoint at 10.0 → buckets b0 (<= 10), b1 (> 10)
+    val q = EventStream.startValueDriftMonitor(events, Seq(10.0),
+      dir + "/dist", dir + "/ckpt",
+      onAlarm = (w, s) => alarms.put(w, s): Unit)
+    try {
+      def ev(id: Long, h: Int, m: Int, v: Double) =
+        Event(id, (h * 3600L + m * 60L) * 1000000L, 1L, "x", v)
+      // h0: values 2/3 low, 1/3 high; h1: 1/3 low, 2/3 high (drifted)
+      in.addData(ev(1, 0, 10, 1.0), ev(2, 0, 20, 2.0), ev(3, 0, 30, 50.0),
+        ev(4, 1, 10, 3.0), ev(5, 1, 20, 40.0), ev(6, 1, 30, 60.0))
+      q.processAllAvailable()
+      in.addData(ev(7, 5, 0, 1.0))
+      q.processAllAvailable()
+      in.addData(ev(8, 5, 1, 1.0)) // one more trigger finalizes emission
+      q.processAllAvailable()
+      assert(alarms.contains(hourUs), s"alarms: $alarms")
+      assert(alarms(hourUs) == psi(Seq(1.0 / 3, 2.0 / 3), Seq(2.0 / 3, 1.0 / 3)))
+      assert(!alarms.contains(0L), "the first window has no predecessor")
+    } finally q.stop()
+  }
 }

@@ -2031,6 +2031,285 @@ object PipelineQueries {
       |WHERE a.day <> ref_day
       |GROUP BY a.day ORDER BY a.day""".stripMargin
 
+  // --------------------------------------------------------------- Q87
+  /** Ordered funnel conversion (view → click → purchase): how many users
+    * reach each stage IN ORDER — a click only counts if it follows the
+    * user's first view, a purchase only if it follows that click. The
+    * three stage timestamps are cascaded conditional mins over the SAME
+    * user partition, so all three Window nodes share one Exchange (no
+    * per-stage re-shuffle — the plan has exactly one hash partitioning
+    * on user_id followed by the model-sized global count). At 100 TB
+    * the user partition is the natural key: state per user is three
+    * timestamps, and the final aggregate is partial-aggregable to a
+    * single row. */
+  val q87: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+    val perUser = t(s, d, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("tv",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("tc",
+        min(when(col("event_type") === "click" && col("ts") > col("tv"),
+          col("ts"))).over(w))
+      .withColumn("tp",
+        min(when(col("event_type") === "purchase" && col("ts") > col("tc"),
+          col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("tv")).as("tv"), max(col("tc")).as("tc"),
+        max(col("tp")).as("tp"))
+    perUser.agg(
+      count(lit(1)).as("n_users"),
+      count(col("tv")).as("n_view"),
+      count(col("tc")).as("n_view_click"),
+      count(col("tp")).as("n_full_funnel"))
+  }
+
+  val q87Sql: String =
+    """WITH s1 AS (SELECT user_id, event_type, ts,
+      |  min(CASE WHEN event_type = 'view' THEN ts END)
+      |    OVER (PARTITION BY user_id) AS tv
+      |  FROM events),
+      |s2 AS (SELECT user_id, event_type, ts, tv,
+      |  min(CASE WHEN event_type = 'click' AND ts > tv THEN ts END)
+      |    OVER (PARTITION BY user_id) AS tc
+      |  FROM s1),
+      |s3 AS (SELECT user_id, tv, tc,
+      |  min(CASE WHEN event_type = 'purchase' AND ts > tc THEN ts END)
+      |    OVER (PARTITION BY user_id) AS tp
+      |  FROM s2),
+      |pu AS (SELECT user_id, max(tv) AS tv, max(tc) AS tc, max(tp) AS tp
+      |       FROM s3 GROUP BY user_id)
+      |SELECT count(*) AS n_users, count(tv) AS n_view,
+      |       count(tc) AS n_view_click, count(tp) AS n_full_funnel
+      |FROM pu""".stripMargin
+
+  // --------------------------------------------------------------- Q88
+  /** Retention cohorts: users grouped by FIRST-ACTIVE day, counted on
+    * each later day they return — the (cohort, day_offset) retention
+    * matrix behind every engagement dashboard. ONE shuffle on user_id
+    * does all the per-user work: `collect_set(day)` is bounded by the
+    * calendar (distinct active DAYS per user, not events — the map-side
+    * partial agg collapses each user's events first), the cohort is
+    * `array_min` of that set, and the explode back to (cohort, offset)
+    * feeds a second, model-sized aggregate (days × days cells). The
+    * join-free shape matters at 100 TB: the textbook form self-joins
+    * the activity relation against a first-seen relation — two scans
+    * and a wide join — where this is one scan and one slim shuffle. */
+  val q88: Q = (s, d) => {
+    val perUser = t(s, d, "events")
+      .groupBy(col("user_id"))
+      .agg(collect_set(to_date(col("ts"))).as("days"))
+      .select(array_min(col("days")).as("cohort"), explode(col("days")).as("day"))
+    perUser
+      .groupBy(col("cohort"),
+        datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort"), col("day_offset"))
+  }
+
+  val q88Sql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |c AS (SELECT user_id, min(day) AS cohort FROM ud GROUP BY user_id)
+      |SELECT cohort, CAST(day - cohort AS BIGINT) AS day_offset,
+      |       count(*) AS n_users
+      |FROM ud JOIN c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------- Q89
+  /** Bigram language-model fluency: q63's unigram score upgraded to the
+    * CONDITIONAL distribution — each document's mean ln p(w₂|w₁) under
+    * the corpus MLE bigram model, where p(w₂|w₁) = c(w₁w₂) / c(w₁·).
+    * Bigrams come from a zip_with over the token array (occurrence-
+    * preserving, scan-local — NOT the deduped LSH shingle kernel, an LM
+    * needs multiplicities); both model relations (bigram counts and
+    * their first-word marginals) are vocabulary-sized broadcasts, and
+    * the scoring side shuffles per-(doc, bigram) COUNTS — map-side
+    * combine shrinks it to distinct bigrams per doc. The marginal is
+    * derived FROM the bigram counts (Σ over bigrams starting with w₁),
+    * so the two stay consistent by construction and the corpus is
+    * scanned once per model, never per definition. At 100 TB: train
+    * count-capped once, broadcast like the IVF centroids, score in one
+    * pass — the q63 deployment story unchanged. */
+  val q89: Q = (s, d) => {
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+    val bg = toks.select(col("doc_id"),
+      explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+    val kcnt = bg.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k"))
+    val cb = bg.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    val cu = cb.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("cb")).as("cu"))
+    val kd = col("k").cast("double")
+    kcnt.join(broadcast(cb), "bg")
+      .join(broadcast(cu), substring_index(col("bg"), " ", 1) === col("w1"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        round(sum(kd * log(col("cb").cast("double") / col("cu").cast("double")))
+          / sum(kd), 4).as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q89Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bgr AS (SELECT doc_id, unnest(list_transform(
+      |          generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])) AS bg
+      |        FROM toks),
+      |kc AS (SELECT doc_id, bg, count(*) AS k FROM bgr GROUP BY 1, 2),
+      |cb AS (SELECT bg, count(*) AS cb FROM bgr GROUP BY 1),
+      |cu AS (SELECT string_split(bg, ' ')[1] AS w1, sum(cb) AS cu
+      |       FROM cb GROUP BY 1)
+      |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+      |       round(sum(CAST(k AS DOUBLE)
+      |                 * ln(CAST(cb AS DOUBLE) / CAST(cu AS DOUBLE)))
+      |             / sum(CAST(k AS DOUBLE)), 4) AS avg_logp
+      |FROM kc JOIN cb USING (bg)
+      |JOIN cu ON string_split(kc.bg, ' ')[1] = cu.w1
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- Q90
+  /** Robust outlier audit per event type: Tukey fences at Q1/Q3 ±
+    * 1.5·IQR, with the quartiles as DISCRETE k-th-smallest order
+    * statistics — the q86 exact-breakpoint discipline (an interpolated
+    * percentile differs by an ulp across engines and feeds a comparison,
+    * which would flip a flag; a discrete order statistic is a value both
+    * engines hold bit-identically, and the fence arithmetic from it is
+    * the same IEEE expression on both sides). All of rank, count,
+    * quartiles, fences and flags ride ONE Exchange on event_type (the
+    * row_number sort and the three full-partition windows share the
+    * partitioning), then a group-count-sized aggregate. At 100 TB the
+    * per-group sort is the cost — swap the exact quartiles for stored
+    * breakpoints (q86's registry) or the q71 sketch and the query
+    * becomes one partial-aggregable scan; the fence semantics are
+    * unchanged. */
+  val q90: Q = (s, d) => {
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val wAll = Window.partitionBy(col("event_type"))
+    def kth(q: Double) =
+      max(when(col("rn") <= ceil(lit(q) * col("n")).cast("long"), col("value")))
+        .over(wAll)
+    val fenced = t(s, d, "events")
+      .select(col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("q1", kth(0.25))
+      .withColumn("q3", kth(0.75))
+      .withColumn("lo", col("q1") - (col("q3") - col("q1")) * lit(1.5))
+      .withColumn("hi", col("q3") + (col("q3") - col("q1")) * lit(1.5))
+    fenced.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("value") < col("lo")).cast("long")).as("n_low"),
+        sum((col("value") > col("hi")).cast("long")).as("n_high"),
+        round(max(col("lo")), 4).as("lo"),
+        round(max(col("hi")), 4).as("hi"))
+      .orderBy(col("event_type"))
+  }
+
+  val q90Sql: String =
+    """WITH r AS (SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events),
+      |b AS (SELECT event_type, value,
+      |    max(CASE WHEN rn <= CAST(ceil(0.25 * n) AS BIGINT) THEN value END)
+      |      OVER (PARTITION BY event_type) AS q1,
+      |    max(CASE WHEN rn <= CAST(ceil(0.75 * n) AS BIGINT) THEN value END)
+      |      OVER (PARTITION BY event_type) AS q3
+      |  FROM r)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(value < q1 - (q3 - q1) * 1.5 AS BIGINT)) AS BIGINT) AS n_low,
+      |  CAST(sum(CAST(value > q3 + (q3 - q1) * 1.5 AS BIGINT)) AS BIGINT) AS n_high,
+      |  round(max(q1 - (q3 - q1) * 1.5), 4) AS lo,
+      |  round(max(q3 + (q3 - q1) * 1.5), 4) AS hi
+      |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------------- Q91
+  // NOTE: these initialize BEFORE q91Sql below (object vals run in
+  // declaration order — a forward reference would read 0 and silently
+  // generate an empty projection list).
+  private val ProjDims = 8
+  private val ProjIn = 64
+
+  /** Deterministic ±1 from md5(j|i) parity — computed at plan build, so
+    * the Spark plan and the oracle SQL embed the same literal matrix. */
+  private def projSign(j: Int, i: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"$j|$i".getBytes("UTF-8"))
+    if ((h(0) & 1) == 0) 1 else -1
+  }
+
+  /** Johnson-Lindenstrauss random projection: 64-dim embeddings reduced
+    * to 8 dims through a deterministic ±1 sign matrix (Achlioptas-style
+    * database-friendly projection — signs derived from md5(j|i) parity
+    * at PLAN BUILD time, so the "random" matrix is a literal and both
+    * engines hold the identical one). Arithmetic is EXACT: embeddings
+    * floor-quantize to integer micro-units first (the q75/q85 policy),
+    * so each projected coordinate is an integer dot product whose value
+    * no summation order can change — float accumulation order is
+    * engine-private and would flip low bits. Scan-local, zero joins, no
+    * shuffle before the output sort: at 100 TB this is the cheapening
+    * step in front of
+    * every quadratic-ish downstream (LSH bucketing, clustering, dedup
+    * verify) — 8× fewer bytes into whatever comes next. */
+  val q91: Q = (s, d) => {
+    val qv = transform(col("embedding"),
+      x => floor(x.cast("double") * lit(1000000d)).cast("long"))
+    val projCols = (0 until ProjDims).map { j =>
+      val signs = typedLit((0 until ProjIn).map(i => projSign(j, i).toLong))
+      aggregate(
+        zip_with(col("qv"), signs, (x, sg) => x * sg),
+        lit(0L), (acc, x) => acc + x).as(s"p$j")
+    }
+    t(s, d, "embeddings")
+      .select(col("vec_id"), qv.as("qv"))
+      .select(col("vec_id") +: projCols: _*)
+      .orderBy(col("vec_id"))
+  }
+
+  val q91Sql: String = {
+    val dims = (0 until ProjDims).map { j =>
+      val lits = (0 until ProjIn).map(i => projSign(j, i)).mkString(", ")
+      s"""CAST(list_aggregate(list_transform(generate_series(1, $ProjIn),
+         |    i -> qv[i] * ([$lits])[i]), 'sum') AS BIGINT) AS p$j""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+       |  FROM embeddings)
+       |SELECT vec_id,
+       |$dims
+       |FROM q ORDER BY vec_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------- Q92
+  /** Event-type transition matrix (first-order Markov counts): for each
+    * user's time-ordered event stream, count (previous type → type)
+    * pairs — the path-analysis / next-action model behind funnel
+    * discovery (q87 checks ONE known path; this surfaces which paths
+    * exist). One lag window over the user partition (ties broken by
+    * event_id so the sequence — and therefore the counts — are total-
+    * order deterministic), then a 25-cell aggregate. Same single-
+    * Exchange shape as q87; the lag state is one row. */
+  val q92: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, d, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("prev"), col("next"))
+  }
+
+  val q92Sql: String =
+    """WITH seq AS (SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events)
+      |SELECT prev, event_type AS next, count(*) AS n
+      |FROM seq WHERE prev IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
@@ -2081,7 +2360,13 @@ object PipelineQueries {
     ("q83_multimodal_neardup", q83, q83Sql),
     ("q84_bloom_dedup", q84, q84Sql),
     ("q85_classifier_filter", q85, q85Sql),
-    ("q86_quantile_drift", q86, q86Sql))
+    ("q86_quantile_drift", q86, q86Sql),
+    ("q87_funnel", q87, q87Sql),
+    ("q88_retention", q88, q88Sql),
+    ("q89_bigram_lm", q89, q89Sql),
+    ("q90_outlier_fences", q90, q90Sql),
+    ("q91_random_projection", q91, q91Sql),
+    ("q92_transitions", q92, q92Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type (KLL-style `percentile_approx`

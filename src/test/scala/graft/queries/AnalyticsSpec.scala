@@ -1,0 +1,152 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** Invariant tests for the behavioral-analytics queries (q87, q88, q90,
+  * q92) and the projection/LM additions (q89, q91) on sf0.001. Each
+  * test rebuilds the answer with an INDEPENDENT in-memory reference
+  * model over the collected table (fine at sf0.001: ~600 events / ~100
+  * docs) — the DuckDB gate proves cross-engine agreement, these prove
+  * the semantics are the intended ones.
+  */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events: Array[(Long, Timestamp, String, Long)] =
+    Tables.load(spark, sf0001, "events")
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .as[(Long, Timestamp, String, Long)].collect()
+
+  test("q87: funnel counts match a per-user sequential scan; stages monotonic") {
+    val Array((nUsers, nView, nClick, nFull)) =
+      PipelineQueries.q87(spark, sf0001)
+        .as[(Long, Long, Long, Long)].collect()
+    assert(nUsers >= nView && nView >= nClick && nClick >= nFull,
+      s"funnel not monotonic: $nUsers/$nView/$nClick/$nFull")
+
+    val byUser = events.groupBy(_._1)
+    def refStage: (Int, Int, Int) = {
+      var (v, c, p) = (0, 0, 0)
+      byUser.values.foreach { evs =>
+        val tv = evs.filter(_._3 == "view").map(_._2.getTime).minOption
+        val tc = tv.flatMap(t =>
+          evs.filter(e => e._3 == "click" && e._2.getTime > t)
+            .map(_._2.getTime).minOption)
+        val tp = tc.flatMap(t =>
+          evs.filter(e => e._3 == "purchase" && e._2.getTime > t)
+            .map(_._2.getTime).minOption)
+        if (tv.isDefined) v += 1
+        if (tc.isDefined) c += 1
+        if (tp.isDefined) p += 1
+      }
+      (v, c, p)
+    }
+    val (rv, rc, rp) = refStage
+    assert(nUsers == byUser.size && nView == rv && nClick == rc && nFull == rp,
+      s"got ($nUsers,$nView,$nClick,$nFull) vs ref (${byUser.size},$rv,$rc,$rp)")
+  }
+
+  test("q88: retention matrix matches the first-day reference; day 0 covers every user") {
+    val got = PipelineQueries.q88(spark, sf0001)
+      .select(col("cohort").cast("string"), col("day_offset"), col("n_users"))
+      .as[(String, Long, Long)].collect()
+      .map { case (c, o, n) => (c, o) -> n }.toMap
+
+    val userDays = events.groupBy(_._1).view.mapValues(
+      _.map(e => e._2.toLocalDateTime.toLocalDate).distinct).toMap
+    val ref = userDays.values.toSeq
+      .flatMap { days =>
+        val cohort = days.min(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+        days.map(d => (cohort.toString, java.time.temporal.ChronoUnit.DAYS.between(cohort, d)))
+      }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == ref, s"matrix mismatch: ${got.toSet.diff(ref.toSet)}")
+    // every user appears in their own cohort at offset 0
+    val day0 = got.collect { case ((_, 0L), n) => n }.sum
+    assert(day0 == userDays.size, s"day-0 total $day0 != ${userDays.size} users")
+  }
+
+  test("q89: bigram log-probs negative, n_bigrams = tokens-1, and a uniform doc scores ln(cb/cu)") {
+    val got = PipelineQueries.q89(spark, sf0001)
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, n, lp) =>
+      assert(n >= 1, s"doc $id: $n bigrams")
+      assert(lp <= 0.0, s"doc $id: positive mean log-prob $lp")
+    }
+    val nToks = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    got.foreach { case (id, n, _) =>
+      assert(n == nToks(id) - 1, s"doc $id: $n bigrams vs ${nToks(id)} tokens")
+    }
+  }
+
+  test("q90: fences match a sort-based quartile reference; flags count the tails exactly") {
+    val got = PipelineQueries.q90(spark, sf0001)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    val vals = Tables.load(spark, sf0001, "events")
+      .select(col("event_type"), col("value")).as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(got.map(_._1).toSet == vals.keySet)
+    got.foreach { case (et, n, nLow, nHigh, lo, hi) =>
+      val v = vals(et)
+      assert(n == v.length)
+      def kth(q: Double) = v(math.ceil(q * v.length).toInt - 1)
+      val (q1, q3) = (kth(0.25), kth(0.75))
+      val (rLo, rHi) = (q1 - (q3 - q1) * 1.5, q3 + (q3 - q1) * 1.5)
+      assert(math.abs(lo - math.rint(rLo * 1e4) / 1e4) < 1e-9 &&
+        math.abs(hi - math.rint(rHi * 1e4) / 1e4) < 1e-9,
+        s"$et: fences ($lo,$hi) vs ref ($rLo,$rHi)")
+      assert(nLow == v.count(_ < rLo) && nHigh == v.count(_ > rHi),
+        s"$et: flags ($nLow,$nHigh) vs ref (${v.count(_ < rLo)},${v.count(_ > rHi)})")
+      assert(lo < hi)
+    }
+  }
+
+  test("q91: projections equal the exact integer reference; deterministic across runs") {
+    val got = PipelineQueries.q91(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+
+    def sign(j: Int, i: Int): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j|$i".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1L else -1L
+    }
+    val ref = Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+      .map { case (id, emb) =>
+        val q = emb.map(x => math.floor(x.toDouble * 1000000d).toLong)
+        id -> (0 until 8).map(j =>
+          q.zipWithIndex.map { case (x, i) => x * sign(j, i) }.sum)
+      }.toMap
+    got.foreach { case (id, p0, p1, p2, p3, p4, p5, p6, p7) =>
+      assert(Seq(p0, p1, p2, p3, p4, p5, p6, p7) == ref(id), s"vec $id differs")
+    }
+    val again = PipelineQueries.q91(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.sameElements(again), "projection not deterministic")
+  }
+
+  test("q92: transition counts match a per-user ordered scan; total = events - users") {
+    val got = PipelineQueries.q92(spark, sf0001)
+      .as[(String, String, Long)].collect()
+      .map { case (a, b, n) => (a, b) -> n }.toMap
+    val ref = events.groupBy(_._1).values.toSeq
+      .flatMap { evs =>
+        val ordered = evs.sortBy(e => (e._2.getTime, e._4)).map(_._3)
+        ordered.zip(ordered.tail)
+      }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == ref, s"mismatch: ${got.toSet.diff(ref.toSet)}")
+    val users = events.map(_._1).distinct.length
+    assert(got.values.sum == events.length - users,
+      "every event except each user's first must be a transition target")
+  }
+}

@@ -58,6 +58,16 @@ object PlanAuditSpec {
     "q80_fuzzy_join" -> 1,
     "q81_chunk_overlap" -> 1,
     "q82_sq_int8" -> 1,
+    // round-5 analytics additions, audited tight: q87/q90 do all their
+    // window+agg work on ONE scan and one data Exchange; q89 follows
+    // q63's documented 3-scan model derivation (per-doc counts + bigram
+    // model + its first-word marginal)
+    "q87_funnel" -> 1,
+    "q88_retention" -> 1,
+    "q89_bigram_lm" -> 3,
+    "q90_outlier_fences" -> 1,
+    "q91_random_projection" -> 1,
+    "q92_transitions" -> 1,
     // multi-table relational joins (one scan per table, plus documented
     // reuse): audited counts
     "q10_join_inner_equi" -> 4,

@@ -29,6 +29,12 @@ case class AsOfState(tMicros: Long, payload: Double)
 case class Enriched(key: Long, id: Long, tMicros: Long,
                     lastPayload: Option[Double])
 
+/** Per-user funnel progress (q87's stages as state): epoch-micros of
+  * the first view, the first ordered click (after the view) and the
+  * first ordered purchase (after that click); 0 = stage unreached. */
+case class FunnelProgress(userId: Long, tvMicros: Long, tcMicros: Long,
+                          tpMicros: Long)
+
 /** Structured Streaming operators for the reference's unbounded
   * incremental semantics (SURVEY §2.2 Streaming): the eternal ingest loop
   * becomes a streaming query with checkpointed offsets instead of
@@ -399,6 +405,51 @@ object EventStream {
         }
       }
       .start()
+  }
+
+  /** Continuous funnel monitor — the streaming twin of q87: per-user
+    * ordered view → click → purchase stage times as typed state, an
+    * update emitted whenever a user's progress changes. State is ONE
+    * 3-field row per user regardless of stream length (the stages are
+    * first-reach times — no event buffer).
+    *
+    * Within a micro-batch a user's rows are walked in (ts, eventId)
+    * order, so arrival order inside a batch never matters. ACROSS
+    * batches the twin is EXACT when each user's events arrive
+    * non-decreasing in event time (delay the feed by a watermark
+    * upstream to get that); under genuine cross-batch disorder the
+    * stages only ever TIGHTEN monotonically — a late earlier view
+    * lowers tv but does not re-admit clicks that preceded the old tv
+    * (that would need an unbounded per-user event buffer, the same
+    * trade [[asOfEnrich]] documents for retro-correction).
+    */
+  def funnelProgress(events: Dataset[Event]): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[FunnelProgress, FunnelProgress](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelProgress]) =>
+          var st = state.getOption.getOrElse(FunnelProgress(userId, 0L, 0L, 0L))
+          val before = st
+          rows.toSeq.sortBy(e => (e.tsMicros, e.eventId)).foreach { e =>
+            e.eventType match {
+              case "view"
+                if st.tvMicros == 0L || e.tsMicros < st.tvMicros =>
+                st = st.copy(tvMicros = e.tsMicros)
+              case "click"
+                if st.tvMicros != 0L && e.tsMicros > st.tvMicros &&
+                  (st.tcMicros == 0L || e.tsMicros < st.tcMicros) =>
+                st = st.copy(tcMicros = e.tsMicros)
+              case "purchase"
+                if st.tcMicros != 0L && e.tsMicros > st.tcMicros &&
+                  (st.tpMicros == 0L || e.tsMicros < st.tpMicros) =>
+                st = st.copy(tpMicros = e.tsMicros)
+              case _ => ()
+            }
+          }
+          if (st != before) { state.update(st); Iterator.single(st) }
+          else Iterator.empty
+      }
   }
 
   /** Streaming AS-OF enrichment — the unbounded twin of

@@ -404,4 +404,89 @@ class EventStreamSpec extends SparkSpec {
       .select("id", "payload").as[(Long, Option[Double])].collect().toMap
     assert(streamed == batch)
   }
+
+  test("funnelProgress: stage state across batches equals the batch q87 semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.funnelProgress(input.toDS())
+      .writeStream.format("memory").queryName("funnel_prog")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // batch 1, deliberately shuffled within the batch (the operator
+      // sorts): user 1 view→click, user 2 click-with-no-view (gated),
+      // user 3 purchase-before-click (gated), user 4 click AT the view
+      // instant (strict > excludes it)
+      input.addData(
+        Event(3, us(2), 1, "click", 0),
+        Event(1, us(1), 1, "view", 0),
+        Event(4, us(1), 2, "click", 0),
+        Event(5, us(1), 3, "purchase", 0),
+        Event(6, us(3), 4, "view", 0),
+        Event(7, us(3), 4, "click", 0))
+      q.processAllAvailable()
+      val b1 = spark.table("funnel_prog").as[FunnelProgress].collect()
+        .groupBy(_.userId).view.mapValues(_.last).toMap
+      assert(b1(1L) == FunnelProgress(1, us(1), us(2), 0))
+      assert(!b1.contains(2L), "ungated click must not emit progress")
+      assert(!b1.contains(3L), "ungated purchase must not emit progress")
+      assert(b1(4L) == FunnelProgress(4, us(3), 0, 0),
+        "click at the view instant is not AFTER the view")
+
+      // batch 2 (event-time ordered continuation): user 1 completes the
+      // funnel;
+      // user 2's view arrives then a later click counts; an 'error'
+      // event and a stale duplicate click for user 1 emit NOTHING new
+      val before = spark.table("funnel_prog").count()
+      input.addData(
+        Event(8, us(4), 1, "purchase", 0),
+        Event(9, us(2), 2, "view", 0),
+        Event(10, us(5), 2, "click", 0),
+        Event(11, us(6), 5, "error", 0))
+      q.processAllAvailable()
+      val b2 = spark.table("funnel_prog").as[FunnelProgress].collect()
+        .groupBy(_.userId).view.mapValues(_.last).toMap
+      assert(b2(1L) == FunnelProgress(1, us(1), us(2), us(4)))
+      assert(b2(2L) == FunnelProgress(2, us(2), us(5), 0))
+      assert(!b2.contains(5L), "a non-funnel event type must not emit")
+
+      // batch 3: no-op events for user 1 (stage times already tighter)
+      // emit no update rows at all
+      val rowsBefore = spark.table("funnel_prog").count()
+      input.addData(Event(12, us(9), 1, "click", 0), Event(13, us(9), 1, "view", 0))
+      q.processAllAvailable()
+      assert(spark.table("funnel_prog").count() == rowsBefore,
+        "late looser events must not re-emit state")
+      assert(before < rowsBefore)
+    } finally q.stop()
+  }
+
+  test("funnelProgress: in-order replay of sf0.001 equals the batch q87 counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.core.Tables.load(spark, sf0001, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("tsMicros"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[(Long, Long, Long, String, Double)].collect()
+      .map { case (id, ts, u, et, v) => Event(id, ts, u, et, v) }
+      .sortBy(e => (e.tsMicros, e.eventId)) // event-time-ordered feed
+    val (first, second) = ev.splitAt(ev.length / 2)
+    val input = MemoryStream[Event]
+    val q = EventStream.funnelProgress(input.toDS())
+      .writeStream.format("memory").queryName("funnel_sf")
+      .outputMode(OutputMode.Update()).start()
+    val streamed = try {
+      input.addData(first: _*)
+      q.processAllAvailable()
+      input.addData(second: _*)
+      q.processAllAvailable()
+      spark.table("funnel_sf").as[FunnelProgress].collect()
+        .groupBy(_.userId).view.mapValues(_.last).toMap
+    } finally q.stop()
+    val Array((nUsersWithStage, nView, nClick, nFull)) =
+      graft.queries.PipelineQueries.q87(spark, sf0001)
+        .as[(Long, Long, Long, Long)].collect()
+    assert(streamed.values.count(_.tvMicros > 0) == nView)
+    assert(streamed.values.count(_.tcMicros > 0) == nClick)
+    assert(streamed.values.count(_.tpMicros > 0) == nFull)
+    assert(nUsersWithStage >= streamed.size)
+  }
 }

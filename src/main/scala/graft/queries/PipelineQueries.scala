@@ -2310,6 +2310,121 @@ object PipelineQueries {
       |FROM seq WHERE prev IS NOT NULL
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- Q93
+  /** PageRank over the rare-shingle co-occurrence graph, EXACT:
+    * documents are linked when they share a word 5-gram with corpus
+    * df ≤ 3 (the co-citation signal — a rare shared passage implies
+    * relatedness, and the df cap BOUNDS the per-shingle fan-out at 3
+    * pairs, so the graph build has no quadratic term by construction:
+    * the standard trick that makes co-occurrence graphs feasible at
+    * 100 TB, where a frequent key would otherwise emit |df|² pairs;
+    * single TERMS are useless as keys here and at web scale alike —
+    * common words have df ≈ N). Three power
+    * iterations with d = 0.85 run entirely in integer micro-units —
+    * per-edge contribution is `p div deg` and the damping update is
+    * `(15e6 + 85·Σ) div 100`, all positive integer division, so both
+    * engines land on bit-identical ranks (float PageRank differs in
+    * summation order by design). The edge+degree relation is built
+    * once and localCheckpoint-pinned (the q52 iteration discipline —
+    * without it every iteration replans the graph derivation and the
+    * scan count multiplies); each iteration is one equi-join + one
+    * partial-aggregable sum, the classic Pregel-as-dataflow shape.
+    * Oracle replays all three iterations as unrolled CTEs. */
+  val q93: Q = (s, d) => {
+    val tok = t(s, d, "documents")
+      .select(col("doc_id"),
+        explode(TextOps.shinglesNative(col("text"), 5)).as("sg"))
+    val rare = tok.groupBy(col("sg")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 3).select(col("sg"))
+    val half = tok.join(rare, "sg")
+      .select(col("sg"), col("doc_id"))
+    val pairs = half.as("a").join(half.as("b"), Seq("sg"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("s"), col("b.doc_id").as("t"))
+      .distinct()
+    // ONE pinned symmetric edge list; degrees, the join relation and
+    // the initial ranks all derive from it (nothing downstream of the
+    // checkpoint re-plans the parquet-side graph build)
+    val edges = pairs
+      .union(pairs.select(col("t").as("s"), col("s").as("t")))
+      .localCheckpoint()
+    val deg = edges.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+    val ed = edges.join(deg, "s")
+    var p = deg.select(col("s").as("node"), lit(1000000L).as("p"))
+    for (_ <- 1 to 3) {
+      p = ed.join(p, col("s") === col("node"))
+        .select(col("t"), expr("p div deg").as("c"))
+        .groupBy(col("t")).agg(sum(col("c")).as("csum"))
+        .select(col("t").as("node"),
+          expr("(15000000 + 85 * csum) div 100").as("p"))
+    }
+    p.select(col("node").as("doc_id"), col("p").as("rank_ppm"))
+      .orderBy(col("rank_ppm").desc, col("doc_id")).limit(20)
+  }
+
+  val q93Sql: String = {
+    val iters = (1 to 3).map { k =>
+      s"""c$k AS (SELECT e.t AS node, sum(p.p // e.deg) AS csum
+         |       FROM ed e JOIN p${k - 1} p ON e.s = p.node GROUP BY e.t),
+         |p$k AS (SELECT node, (15000000 + 85 * csum) // 100 AS p FROM c$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |         generate_series(1, len(t) - 4),
+       |         i -> array_to_string(t[i:i+4], ' ')))) AS sg
+       |       FROM toks),
+       |rare AS (SELECT sg FROM sh GROUP BY sg HAVING count(*) <= 3),
+       |half AS (SELECT sh.sg, sh.doc_id FROM sh JOIN rare USING (sg)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS s, b.doc_id AS t
+       |          FROM half a JOIN half b USING (sg)
+       |          WHERE a.doc_id < b.doc_id),
+       |edges AS (SELECT s, t FROM pairs UNION ALL SELECT t AS s, s AS t FROM pairs),
+       |deg AS (SELECT s, count(*) AS deg FROM edges GROUP BY s),
+       |ed AS (SELECT e.s, e.t, d.deg FROM edges e JOIN deg d USING (s)),
+       |p0 AS (SELECT s AS node, CAST(1000000 AS BIGINT) AS p FROM deg),
+       |$iters
+       |SELECT node AS doc_id, CAST(p AS BIGINT) AS rank_ppm
+       |FROM p3 ORDER BY rank_ppm DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  // --------------------------------------------------------------- Q94
+  /** Trailing 7-day active users per day (the WAU curve): each distinct
+    * (user, active-day) fans out to the ≤ 7 report days it counts
+    * toward, and the per-day tally is then ONE count over distinct
+    * (user, report-day) — the bounded-fan-out rewrite of sliding-window
+    * COUNT DISTINCT. The naive forms both die at scale: a range
+    * self-join (day BETWEEN d−6 AND d) replans as a near-cross-join,
+    * and a 7-day window frame can't do DISTINCT at all. Here the
+    * explode factor is a CONSTANT 7 on the already-collapsed user-day
+    * relation (events first shrink to user-days via one distinct — at
+    * 100 TB that's the big reduction, events ≫ user-days), and
+    * everything after is partial-aggregable. Report days past the
+    * observed horizon are clipped against the broadcast max-day so the
+    * curve ends where the data does. */
+  val q94: Q = (s, d) => {
+    val ud = t(s, d, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val horizon = ud.agg(max(col("day")).as("max_day"))
+    ud.select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("day_w"))
+      .distinct()
+      .crossJoin(broadcast(horizon))
+      .filter(col("day_w") <= col("max_day"))
+      .groupBy(col("day_w").as("day"))
+      .agg(count(lit(1)).as("wau"))
+      .orderBy(col("day"))
+  }
+
+  val q94Sql: String =
+    """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |f AS (SELECT DISTINCT user_id, day + CAST(x AS INTEGER) AS day_w
+      |      FROM ud CROSS JOIN generate_series(0, 6) t(x)),
+      |h AS (SELECT max(day) AS max_day FROM ud)
+      |SELECT day_w AS day, count(*) AS wau
+      |FROM f CROSS JOIN h WHERE day_w <= max_day
+      |GROUP BY day_w ORDER BY day_w""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
@@ -2366,7 +2481,9 @@ object PipelineQueries {
     ("q89_bigram_lm", q89, q89Sql),
     ("q90_outlier_fences", q90, q90Sql),
     ("q91_random_projection", q91, q91Sql),
-    ("q92_transitions", q92, q92Sql))
+    ("q92_transitions", q92, q92Sql),
+    ("q93_pagerank", q93, q93Sql),
+    ("q94_wau_sliding", q94, q94Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type (KLL-style `percentile_approx`

@@ -134,6 +134,57 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.sameElements(again), "projection not deterministic")
   }
 
+  test("q93: ranks match an in-memory exact integer PageRank on the same graph") {
+    val got = PipelineQueries.q93(spark, sf0001)
+      .as[(Long, Long)].collect()
+    assert(got.nonEmpty && got.length <= 20)
+    assert(got.forall(_._2 > 0))
+
+    // independent reference: rebuild the rare-shingle graph and run the
+    // same 3 integer damped iterations in plain Scala
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val sh = docs.map { case (id, text) =>
+      val t = text.split(" ")
+      id -> t.sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSet
+    }
+    val df = sh.flatMap(_._2).groupBy(identity).view.mapValues(_.length).toMap
+    val rare = df.filter(_._2 <= 3).keySet
+    val pairs = (for {
+      (a, sa) <- sh; (b, sb) <- sh if a < b
+      if (sa intersect sb).exists(rare.contains)
+    } yield (a, b)).toSet
+    val edges = pairs.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val degM = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var p = degM.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val contrib = edges.groupBy(_._2).view.mapValues(
+        _.map { case (src, _) => p(src) / degM(src) }.sum).toMap
+      p = contrib.map { case (n, c) => n -> (15000000L + 85L * c) / 100L }
+    }
+    val refTop = p.toSeq.sortBy { case (id, r) => (-r, id) }.take(got.length)
+    assert(got.toSeq == refTop,
+      s"got ${got.take(3).toSeq}... vs ref ${refTop.take(3)}...")
+  }
+
+  test("q94: WAU equals a brute-force trailing-7-day distinct; day with events >= DAU") {
+    val got = PipelineQueries.q94(spark, sf0001)
+      .select(col("day").cast("string"), col("wau"))
+      .as[(String, Long)].collect().toMap
+    val ud = events.map(e => (e._2.toLocalDateTime.toLocalDate, e._1)).distinct
+    val maxDay = ud.map(_._1).max(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+    val allDays = ud.map(_._1).distinct
+      .flatMap(d => (0 to 6).map(i => d.plusDays(i.toLong)))
+      .distinct.filter(!_.isAfter(maxDay))
+    val ref = allDays.map { d =>
+      d.toString -> ud.collect {
+        case (day, u)
+          if !day.isAfter(d) && day.isAfter(d.minusDays(7)) => u
+      }.distinct.length.toLong
+    }.toMap
+    assert(got == ref, s"diff: ${got.toSet.diff(ref.toSet).take(5)}")
+  }
+
   test("q92: transition counts match a per-user ordered scan; total = events - users") {
     val got = PipelineQueries.q92(spark, sf0001)
       .as[(String, String, Long)].collect()

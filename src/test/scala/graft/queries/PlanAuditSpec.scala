@@ -68,6 +68,11 @@ object PlanAuditSpec {
     "q90_outlier_fences" -> 1,
     "q91_random_projection" -> 1,
     "q92_transitions" -> 1,
+    // q93's iterations run over the checkpoint-pinned edge list (the
+    // parquet-side graph build executes once, at pin time); q94 scans
+    // once for user-days and once for the horizon clip
+    "q93_pagerank" -> 0,
+    "q94_wau_sliding" -> 2,
     // multi-table relational joins (one scan per table, plus documented
     // reuse): audited counts
     "q10_join_inner_equi" -> 4,

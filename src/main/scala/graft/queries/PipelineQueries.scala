@@ -2425,6 +2425,61 @@ object PipelineQueries {
       |FROM f CROSS JOIN h WHERE day_w <= max_day
       |GROUP BY day_w ORDER BY day_w""".stripMargin
 
+  // --------------------------------------------------------------- Q95
+  /** Nearest-centroid classification over the embeddings — the
+    * vector-side sibling of q85's text perceptron: per-label integer
+    * centroids (micro-unit quantized vectors, per-dimension `sum div
+    * count` — both engines TRUNCATE integer division toward zero, so
+    * negative-coordinate centroids agree bit-for-bit), every vector
+    * assigned to its squared-L2-nearest centroid (exact integer
+    * arithmetic, ≤ 64·(2e6)² per term — no float distance can disagree),
+    * ties broken by label id, and the confusion matrix as output. The
+    * centroid relation is label-count-sized and BROADCASTS like the IVF
+    * model; assignment is one scan × 10 candidate rows with the
+    * distance folded into the join projection — at 100 TB this is one
+    * pass over stored quantized vectors, the same deployment shape as
+    * q30/q74. The 64 per-dimension sums ride ONE partial-aggregable
+    * groupBy (map-side combine reduces every partition to 10 rows). */
+  val q95: Q = (s, d) => {
+    val qv = transform(col("embedding"),
+      x => floor(x.cast("double") * lit(1000000d)).cast("long"))
+    val vecs = t(s, d, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"), qv.as("qv"))
+    val cents = vecs.groupBy(col("label"))
+      .agg(array((0 until 64).map(i => sum(element_at(col("qv"), i + 1))): _*)
+        .as("sv"), count(lit(1)).as("n"))
+      .select(col("label").as("clabel"),
+        expr("transform(sv, sx -> CAST(sx div n AS BIGINT))").as("cv"))
+    val scored = vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        aggregate(zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("dist"))
+    scored.groupBy(col("vec_id"), col("label"))
+      .agg(min_by(col("clabel"), struct(col("dist"), col("clabel"))).as("pred"))
+      .groupBy(col("label").as("true_label"), col("pred").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("true_label"), col("pred_label"))
+  }
+
+  val q95Sql: String =
+    """WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |e AS (SELECT vec_id, label, i, qv[i] AS x
+      |      FROM q CROSS JOIN generate_series(1, 64) t(i)),
+      |c AS (SELECT label AS clabel, i, CAST(sum(x) // count(*) AS BIGINT) AS cx
+      |      FROM e GROUP BY 1, 2),
+      |dist AS (SELECT e.vec_id, e.label, c.clabel,
+      |           sum((e.x - c.cx) * (e.x - c.cx)) AS dd
+      |         FROM e JOIN c USING (i) GROUP BY 1, 2, 3),
+      |p AS (SELECT vec_id, label, clabel,
+      |        row_number() OVER (PARTITION BY vec_id ORDER BY dd, clabel) AS rn
+      |      FROM dist)
+      |SELECT label AS true_label, clabel AS pred_label, count(*) AS n
+      |FROM p WHERE rn = 1
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
@@ -2483,7 +2538,8 @@ object PipelineQueries {
     ("q91_random_projection", q91, q91Sql),
     ("q92_transitions", q92, q92Sql),
     ("q93_pagerank", q93, q93Sql),
-    ("q94_wau_sliding", q94, q94Sql))
+    ("q94_wau_sliding", q94, q94Sql),
+    ("q95_nearest_centroid", q95, q95Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type (KLL-style `percentile_approx`

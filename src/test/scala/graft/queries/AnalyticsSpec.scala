@@ -185,6 +185,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == ref, s"diff: ${got.toSet.diff(ref.toSet).take(5)}")
   }
 
+  test("q95: confusion matrix matches an in-memory integer nearest-centroid model") {
+    val got = PipelineQueries.q95(spark, sf0001)
+      .as[(Long, Long, Long)].collect()
+    val vecs = Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("label").cast("long"), col("embedding"))
+      .as[(Long, Long, Seq[Float])].collect()
+      .map { case (id, l, e) =>
+        (id, l, e.map(x => math.floor(x.toDouble * 1000000d).toLong)) }
+    // row sums cover every vector of that label
+    val byLabel = vecs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    got.groupBy(_._1).foreach { case (l, rows) =>
+      assert(rows.map(_._3).sum == byLabel(l), s"label $l row sum")
+    }
+    // independent centroid + assignment model (truncating division, as
+    // both engines implement integer div)
+    val cents = vecs.groupBy(_._2).view.mapValues { vs =>
+      val n = vs.size
+      (0 until 64).map(i => vs.map(_._3(i)).sum / n)
+    }.toMap
+    val ref = vecs.map { case (_, l, q) =>
+      val pred = cents.toSeq.map { case (cl, c) =>
+        (q.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, cl)
+      }.min._2
+      (l, pred)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got.map { case (t, p, n) => (t, p) -> n }.toMap == ref)
+  }
+
   test("q92: transition counts match a per-user ordered scan; total = events - users") {
     val got = PipelineQueries.q92(spark, sf0001)
       .as[(String, String, Long)].collect()

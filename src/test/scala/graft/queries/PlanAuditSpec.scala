@@ -73,6 +73,8 @@ object PlanAuditSpec {
     // once for user-days and once for the horizon clip
     "q93_pagerank" -> 0,
     "q94_wau_sliding" -> 2,
+    // q95: one scan trains the centroids, one is scored against them
+    "q95_nearest_centroid" -> 2,
     // multi-table relational joins (one scan per table, plus documented
     // reuse): audited counts
     "q10_join_inner_equi" -> 4,

@@ -141,6 +141,33 @@ object RawCodec {
 
   // ------------------------------------------------------------- WAV
 
+  /** Standard 44-byte-header mono PCM16 WAV — the audio counterpart of
+    * [[writeBmp]] (fixture synthesis and the write side of transcode). */
+  def writeWav(rate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def put16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
+    def put32(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+    }
+    def tag(o: Int, s: String): Unit =
+      s.getBytes("US-ASCII").copyToArray(out, o)
+    tag(0, "RIFF"); put32(4, 36 + dataLen); tag(8, "WAVE")
+    tag(12, "fmt "); put32(16, 16)
+    put16(20, 1); put16(22, 1) // PCM, mono
+    put32(24, rate); put32(28, rate * 2) // byte rate = rate · 1ch · 2B
+    put16(32, 2); put16(34, 16) // block align, bits
+    tag(36, "data"); put32(40, dataLen)
+    var i = 0
+    while (i < samples.length) {
+      out(44 + 2 * i) = samples(i).toByte
+      out(44 + 2 * i + 1) = (samples(i) >> 8).toByte
+      i += 1
+    }
+    out
+  }
+
   private case class WavInfo(channels: Int, rate: Int, bits: Int,
                              dataOff: Int, dataLen: Int)
 

@@ -2480,6 +2480,113 @@ object PipelineQueries {
       |FROM p WHERE rn = 1
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- Q96
+  /** Audio features through the REAL WAV codec path — the audio column
+    * joining q83's image story: payloads synthesized deterministically
+    * from the embeddings table (sample i = int16 quantization of
+    * dimension i, [[graft.multimodal.RawCodec.writeWav]] at 8 kHz) run
+    * encode → sniff/probe ([[graft.multimodal.MediaOps.decode]] reads
+    * the duration OFF THE BYTES, fmt-chunk walk and all) → PCM16
+    * decode → per-bucket mean-|amplitude| features
+    * ([[graft.multimodal.MediaOps.extractFeatures]]; 64 samples into 64
+    * buckets makes the pooling exactly invertible, the q83 trick), then
+    * a per-payload summary: duration, the loudest bucket (first-index
+    * tie-break via array_position) and the mean feature level. The
+    * oracle replays quantize → |s|/32768·2−1 as SQL over the same
+    * table — identical IEEE ops, so agreement proves the byte-level
+    * codec path computed exactly what it claims. Codec stages are
+    * scan-local mapPartitions (payload bytes never shuffle, never
+    * leave the task); the plan's only exchange is the output sort. */
+  val q96: Q = (s, d) => {
+    import s.implicits._
+    val wavs = t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .map { case (id, e) =>
+        val smp = e.padTo(64, 0f).take(64).map { x =>
+          val q = math.floor(x.toDouble * 32767.0)
+          math.max(-32768L, math.min(32767L, q)).toShort
+        }.toArray
+        (id, "wav", graft.multimodal.RawCodec.writeWav(8000, smp))
+      }
+    // meta + feature derive in ONE partition pass over the decoded rows
+    // (a separate meta relation would re-run the codec lineage and then
+    // join on vec_id — two scans and an exchange for nothing; production
+    // fuses every per-payload column derivation into the decode scan)
+    val summary = graft.multimodal.MediaOps.decode(wavs)
+      .map(m => (m.mediaId, m.meta.durationMs,
+        graft.multimodal.MediaOps.Codec.feature(m.content, 64)))
+      .toDF("vec_id", "dur_ms", "feature")
+    summary
+      .select(col("vec_id"), col("dur_ms"),
+        array_position(col("feature"), array_max(col("feature")))
+          .cast("long").as("peak_bucket"),
+        round(aggregate(transform(col("feature"), _.cast("double")),
+          lit(0.0d), (acc, x) => acc + x) / 64.0d, 4).as("mean_level"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q96Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |smp AS (SELECT vec_id, list_transform(v, x ->
+      |          GREATEST(-32768, LEAST(32767, CAST(floor(x * 32767) AS BIGINT)))) AS s
+      |        FROM e),
+      |f AS (SELECT vec_id, list_transform(s, x ->
+      |          CAST(abs(x) / 32768.0 * 2.0 - 1.0 AS REAL)) AS fv
+      |      FROM smp)
+      |SELECT vec_id,
+      |       CAST(64 * 2 * 1000 / 16000 AS BIGINT) AS dur_ms,
+      |       CAST(list_position(fv, list_aggregate(fv, 'max')) AS BIGINT) AS peak_bucket,
+      |       round(list_aggregate(list_transform(fv, x -> CAST(x AS DOUBLE)), 'sum')
+      |             / 64.0, 4) AS mean_level
+      |FROM f ORDER BY vec_id""".stripMargin
+
+  // --------------------------------------------------------------- Q97
+  /** Peak interval concurrency per day — the sweep-line classic as pure
+    * dataflow: each user's daily activity span [first ts, last ts]
+    * becomes a +1/−1 boundary-event pair, a running sum over the day's
+    * time-ordered boundaries counts open intervals, and the day's max
+    * is the answer ("how many users were active simultaneously").
+    * Ordering ties as (t, delta DESC) counts touching intervals as
+    * concurrent; the running max is INVARIANT to permutation within
+    * equal (t, delta) runs (prefix sums through a constant-delta run
+    * are monotone), so no further tiebreak is needed for cross-engine
+    * determinism — all arithmetic is exact integers. The naive form is
+    * an interval self-join (quadratic per day); this is one
+    * partial-aggregable interval build + one window shuffle on the
+    * day partition + a day-count-sized aggregate, linear at any N. */
+  val q97: Q = (s, d) => {
+    val iv = t(s, d, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("user_id"))
+      .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+    val pts = iv.select(col("day"), explode(array(
+      struct(col("st").as("t"), lit(1).as("delta")),
+      struct(col("en").as("t"), lit(-1).as("delta")))).as("b"))
+      .select(col("day"), col("b.t").as("t"), col("b.delta").as("delta"))
+    val w = Window.partitionBy(col("day"))
+      .orderBy(col("t"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts.withColumn("open", sum(col("delta")).over(w))
+      .groupBy(col("day"))
+      .agg(max(col("open")).as("peak_concurrency"),
+        (count(lit(1)) / 2).cast("long").as("n_intervals"))
+      .orderBy(col("day"))
+  }
+
+  val q97Sql: String =
+    """WITH iv AS (SELECT CAST(ts AS DATE) AS day, user_id,
+      |              min(ts) AS st, max(ts) AS en
+      |            FROM events GROUP BY 1, 2),
+      |pts AS (SELECT day, st AS t, 1 AS delta FROM iv
+      |        UNION ALL SELECT day, en AS t, -1 AS delta FROM iv),
+      |r AS (SELECT day, CAST(sum(delta) OVER (PARTITION BY day
+      |        ORDER BY t, delta DESC
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open
+      |      FROM pts)
+      |SELECT day, max(open) AS peak_concurrency,
+      |       CAST(count(*) / 2 AS BIGINT) AS n_intervals
+      |FROM r GROUP BY day ORDER BY day""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
@@ -2539,7 +2646,9 @@ object PipelineQueries {
     ("q92_transitions", q92, q92Sql),
     ("q93_pagerank", q93, q93Sql),
     ("q94_wau_sliding", q94, q94Sql),
-    ("q95_nearest_centroid", q95, q95Sql))
+    ("q95_nearest_centroid", q95, q95Sql),
+    ("q96_audio_features", q96, q96Sql),
+    ("q97_peak_concurrency", q97, q97Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type (KLL-style `percentile_approx`

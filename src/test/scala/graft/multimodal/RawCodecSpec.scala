@@ -241,4 +241,18 @@ class RawCodecSpec extends SparkSpec {
     val frames = MediaOps.sampleFrames(decoded, 4).collect()
     assert(frames.count(_.mediaId == 2L) == 4)
   }
+
+  test("writeWav round-trips through sniff/probe/samples and matches the manual fixture") {
+    val samples = Array.tabulate[Short](16)(i => (i * 1000).toShort)
+    val written = RawCodec.writeWav(8000, samples)
+    // byte-identical to the independently built ByteBuffer fixture
+    assert(written.toSeq == wav16.toSeq)
+    assert(RawCodec.sniff(written).contains("wav"))
+    assert(RawCodec.wavSamples(written).toSeq == samples.toSeq)
+    // 16 samples at 8 kHz mono PCM16 = 32 bytes / 16000 Bps = 2 ms
+    assert(RawCodec.probeWav(written) == MediaMeta("wav", 0, 0, 2L))
+    // negative amplitudes survive the little-endian round trip
+    val neg = Array[Short](-32768, -1, 0, 1, 32767)
+    assert(RawCodec.wavSamples(RawCodec.writeWav(44100, neg)).toSeq == neg.toSeq)
+  }
 }

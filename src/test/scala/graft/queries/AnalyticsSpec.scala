@@ -213,6 +213,45 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.map { case (t, p, n) => (t, p) -> n }.toMap == ref)
   }
 
+  test("q96: codec-path audio summary matches the direct arithmetic on embeddings") {
+    val got = PipelineQueries.q96(spark, sf0001)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val ref = Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+      .map { case (id, e) =>
+        val s = e.padTo(64, 0f).take(64).map(x =>
+          math.max(-32768L, math.min(32767L, math.floor(x.toDouble * 32767.0).toLong)))
+        val f = s.map(x => (math.abs(x) / 32768.0 * 2.0 - 1.0).toFloat)
+        val peak = f.indexOf(f.max) + 1L
+        val mean = math.rint(f.map(_.toDouble).sum / 64.0 * 1e4) / 1e4
+        id -> ((8L, peak, mean))
+      }.toMap
+    got.foreach { case (id, dur, peak, mean) =>
+      val (rd, rp, rm) = ref(id)
+      assert(dur == rd && peak == rp && math.abs(mean - rm) < 1e-9,
+        s"vec $id: ($dur,$peak,$mean) vs ref ${ref(id)}")
+    }
+  }
+
+  test("q97: peak concurrency matches a brute-force timeline sweep per day") {
+    val got = PipelineQueries.q97(spark, sf0001)
+      .select(col("day").cast("string"), col("peak_concurrency"), col("n_intervals"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val iv = events.groupBy(e => (e._2.toLocalDateTime.toLocalDate, e._1))
+      .map { case ((day, _), evs) =>
+        (day, evs.map(_._2.getTime).min, evs.map(_._2.getTime).max)
+      }.toSeq
+    val ref = iv.groupBy(_._1).map { case (day, ivs) =>
+      // brute force: concurrency at every boundary instant, inclusive ends
+      val peaks = ivs.flatMap(i => Seq(i._2, i._3)).distinct.map { t =>
+        ivs.count(i => i._2 <= t && t <= i._3)
+      }
+      day.toString -> ((peaks.max.toLong, ivs.size.toLong))
+    }
+    assert(got == ref, s"diff: ${got.toSet.diff(ref.toSet).take(5)}")
+  }
+
   test("q92: transition counts match a per-user ordered scan; total = events - users") {
     val got = PipelineQueries.q92(spark, sf0001)
       .as[(String, String, Long)].collect()

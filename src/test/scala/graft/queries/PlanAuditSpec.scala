@@ -75,6 +75,10 @@ object PlanAuditSpec {
     "q94_wau_sliding" -> 2,
     // q95: one scan trains the centroids, one is scored against them
     "q95_nearest_centroid" -> 2,
+    // q96 fuses meta+feature into the decode pass; q97's sweep rides
+    // one window shuffle over the interval build
+    "q96_audio_features" -> 1,
+    "q97_peak_concurrency" -> 1,
     // multi-table relational joins (one scan per table, plus documented
     // reuse): audited counts
     "q10_join_inner_equi" -> 4,

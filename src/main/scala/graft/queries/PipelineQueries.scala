@@ -2587,6 +2587,207 @@ object PipelineQueries {
       |       CAST(count(*) / 2 AS BIGINT) AS n_intervals
       |FROM r GROUP BY day ORDER BY day""".stripMargin
 
+  // --------------------------------------------------------------- Q98
+  /** Hybrid retrieval with reciprocal-rank fusion: the q62 BM25 top-20
+    * and the q17-style cosine top-20 (probe vec_id = 0) fused as
+    * RRF(d) = Σ 1/(60 + rank_d) — the standard keyword+vector blend
+    * (Cormack et al., SIGIR'09) that needs no score calibration, only
+    * ranks. Contributions are EXACT integers (1000000 div (60 + r),
+    * truncating division on both engines), so the fused order is
+    * engine-deterministic where float 1/(60+r) sums could tie-break on
+    * low bits. A document in only one list keeps a NULL rank on the
+    * other side and contributes once. At 100 TB both inputs are already
+    * shortlists — BM25 reads |terms| buckets of the stored inverted
+    * index (q62 layout) and the vector side is the IVF-PQ shortlist
+    * (q78) — so fusion joins two k-row relations: cost O(k), broadcast,
+    * independent of corpus size. */
+  val q98: Q = (s, d) => {
+    val wk = Window.orderBy(col("bm25").desc, col("doc_id"))
+    val kw = q62(s, d).select(col("doc_id"),
+      row_number().over(wk).cast("long").as("kw_rank"))
+    val wv = Window.orderBy(col("sim").desc, col("vec_id"))
+    val vec = VectorOps
+      .knnBruteForce(t(s, d, "embeddings"), "vec_id", "embedding", 0L, 20)
+      .select(col("vec_id"), row_number().over(wv).cast("long").as("vec_rank"))
+    kw.join(vec, col("doc_id") === col("vec_id"), "full_outer")
+      .select(coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+        col("kw_rank"), col("vec_rank"),
+        (coalesce(expr("1000000 div (60 + kw_rank)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + vec_rank)"), lit(0L))).as("rrf_ppm"))
+      .orderBy(col("rrf_ppm").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val q98Sql: String =
+    """WITH base AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+      |                string_split(text, ' ') AS toks FROM documents),
+      |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+      |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM base),
+      |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf FROM (
+      |         SELECT doc_id, dl, unnest(list_filter(toks,
+      |                  x -> x IN ('table', 'hash', 'stream'))) AS term FROM base)
+      |       GROUP BY doc_id, dl, term),
+      |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+      |kws AS (SELECT doc_id,
+      |          round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2
+      |                    / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))), 4) AS bm25
+      |        FROM tf JOIN df USING (term) CROSS JOIN stats
+      |        GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20),
+      |kr AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS kw_rank FROM kws),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+      |vs AS (SELECT e.vec_id,
+      |         round(list_inner_product(e.v, p.pv)
+      |               / (sqrt(list_inner_product(e.v, e.v))
+      |                  * sqrt(list_inner_product(p.pv, p.pv))), 4) AS sim
+      |       FROM e, p WHERE e.vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 20),
+      |vr AS (SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS vec_rank FROM vs)
+      |SELECT CAST(coalesce(kr.doc_id, vr.vec_id) AS BIGINT) AS doc_id, kw_rank, vec_rank,
+      |       CAST(coalesce(1000000 // (60 + kw_rank), 0)
+      |            + coalesce(1000000 // (60 + vec_rank), 0) AS BIGINT) AS rrf_ppm
+      |FROM kr FULL OUTER JOIN vr ON kr.doc_id = vr.vec_id
+      |ORDER BY rrf_ppm DESC, doc_id LIMIT 10""".stripMargin
+
+  // --------------------------------------------------------------- Q99
+  /** Triangle counts + local clustering coefficient over the q93
+    * rare-shingle co-occurrence graph — "is this doc's neighborhood a
+    * dup CLIQUE or a hub?" (cliques ⇒ true duplicate clusters, the
+    * q52 signal; low-coefficient hubs ⇒ boilerplate shared across
+    * unrelated docs — a curation flag q52's components can't see
+    * because a component says nothing about internal density). Edges
+    * are oriented a < b, so each triangle is counted exactly once as
+    * (a < b < c) — the standard orientation trick that caps the join
+    * fan-out at scale; the df ≤ 3 cap already bounds degrees at graph
+    * BUILD time (q93's construction). The pinned pair list feeds all
+    * three self-join legs (one localCheckpoint, zero parquet re-scans);
+    * the coefficient 2·tri·10⁶ div (deg·(deg−1)) is exact integer
+    * arithmetic on both engines. */
+  val q99: Q = (s, d) => {
+    val tok = t(s, d, "documents")
+      .select(col("doc_id"), explode(TextOps.shinglesNative(col("text"), 5)).as("sg"))
+    val rare = tok.groupBy(col("sg")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 3).select(col("sg"))
+    val half = tok.join(rare, "sg").select(col("sg"), col("doc_id"))
+    val pairs = half.as("a").join(half.as("b"), Seq("sg"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("s"), col("b.doc_id").as("t"))
+      .distinct()
+      .localCheckpoint()
+    val deg = pairs.select(col("s").as("node"))
+      .union(pairs.select(col("t").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val tri = pairs.as("e1").join(pairs.as("e2"), col("e1.t") === col("e2.s"))
+      .join(pairs.as("e3"),
+        col("e1.s") === col("e3.s") && col("e2.t") === col("e3.t"))
+      .select(col("e1.s").as("a"), col("e1.t").as("b"), col("e2.t").as("c"))
+    val tpn = tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.join(tpn, Seq("node"), "left")
+      .select(col("node").as("doc_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_triangles"),
+        when(col("deg") >= 2,
+          expr("(2000000 * coalesce(n_tri, 0)) div (deg * (deg - 1))"))
+          .otherwise(lit(0L)).as("coeff_ppm"))
+      .orderBy(col("n_triangles").desc, col("coeff_ppm").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val q99Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |         generate_series(1, len(t) - 4), i -> array_to_string(t[i:i+4], ' ')))) AS sg
+      |       FROM toks),
+      |rare AS (SELECT sg FROM sh GROUP BY sg HAVING count(*) <= 3),
+      |half AS (SELECT sh.sg, sh.doc_id FROM sh JOIN rare USING (sg)),
+      |pairs AS (SELECT DISTINCT a.doc_id AS s, b.doc_id AS t
+      |          FROM half a JOIN half b USING (sg) WHERE a.doc_id < b.doc_id),
+      |deg AS (SELECT node, count(*) AS deg FROM (
+      |          SELECT s AS node FROM pairs UNION ALL SELECT t FROM pairs) GROUP BY node),
+      |tri AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c
+      |        FROM pairs e1 JOIN pairs e2 ON e1.t = e2.s
+      |        JOIN pairs e3 ON e3.s = e1.s AND e3.t = e2.t),
+      |tpn AS (SELECT node, count(*) AS n_tri FROM (
+      |          SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+      |          UNION ALL SELECT c FROM tri) GROUP BY node)
+      |SELECT deg.node AS doc_id, deg.deg,
+      |       CAST(coalesce(n_tri, 0) AS BIGINT) AS n_triangles,
+      |       CAST(CASE WHEN deg >= 2
+      |                 THEN (2000000 * coalesce(n_tri, 0)) // (deg * (deg - 1))
+      |                 ELSE 0 END AS BIGINT) AS coeff_ppm
+      |FROM deg LEFT JOIN tpn USING (node)
+      |ORDER BY n_triangles DESC, coeff_ppm DESC, doc_id LIMIT 20""".stripMargin
+
+  // --------------------------------------------------------------- Q100
+  /** Cross-document duplicated SPANS — the positional (ExactSubstr-
+    * style, "Deduplicating Training Data" §4.1) sibling of the set-
+    * based near-dup family: for every candidate pair, the LONGEST run
+    * of consecutive shared word 5-grams, i.e. the maximal verbatim
+    * token span one document copies from another. Set-based Jaccard
+    * (q21) says "these docs share vocabulary"; this says "doc B copies
+    * an 83-token passage of doc A verbatim" — the signal that drives
+    * span-level (not doc-level) dedup cuts. Candidates come from the
+    * df ≤ 3 rare-shingle join (bounded fan-out, the q93 graph build —
+    * a long copied span necessarily contains rare shingles, so true
+    * span-dups anchor themselves); the positional match then joins
+    * only candidate docs' (pos, shingle) rows, and runs are islands on
+    * the match DIAGONAL (pa − pb constant, consecutive pa ⇒ consecutive
+    * pb): grp = pa − row_number is constant exactly along a run, one
+    * window shuffle. All outputs are exact integers.
+    *
+    * The positional shingle relation feeds SIX consumers (dedup side
+    * ×3, pa, pb) — unpinned, column pruning blocks exchange
+    * unification and the corpus scan+tokenize plans six times (the
+    * q61/q62/q64 lesson the PlanAuditSpec ratchet exists for).
+    * `localCheckpoint` pins it once: one scan, one tokenize pass; at
+    * production scale this relation is the stored ingest artifact the
+    * inverted index (q62) already materializes. */
+  val q100: Q = (s, d) => {
+    val tokp = t(s, d, "documents")
+      .select(col("doc_id"),
+        posexplode(TextOps.shingles(TextOps.tokens(col("text")), 5)).as(Seq("pos", "sg")))
+      .localCheckpoint()
+    val dsh = tokp.select(col("doc_id"), col("sg")).distinct()
+    val rare = dsh.groupBy(col("sg")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 3).select(col("sg"))
+    val halfd = dsh.join(rare, "sg")
+    val cand = halfd.as("a").join(halfd.as("b"), Seq("sg"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val pa = tokp.select(col("doc_id").as("a_id"), col("sg"), col("pos").as("pa"))
+    val pb = tokp.select(col("doc_id").as("b_id"), col("sg"), col("pos").as("pb"))
+    val m = cand.join(pa, Seq("a_id")).join(pb, Seq("b_id", "sg"))
+      .select(col("a_id"), col("b_id"), col("pa"), (col("pa") - col("pb")).as("diag"))
+    val w = Window.partitionBy(col("a_id"), col("b_id"), col("diag")).orderBy(col("pa"))
+    val spans = m.withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(col("a_id"), col("b_id"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+    spans.groupBy(col("a_id"), col("b_id"))
+      .agg((max(col("len")) + 4).cast("long").as("max_span_tokens"),
+        sum(col("len")).cast("long").as("n_matches"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val q100Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |shp AS (SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+4], ' ') AS sg
+      |        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i FROM toks)),
+      |dsh AS (SELECT DISTINCT doc_id, sg FROM shp),
+      |rare AS (SELECT sg FROM dsh GROUP BY sg HAVING count(*) <= 3),
+      |halfd AS (SELECT d.doc_id, d.sg FROM dsh d JOIN rare USING (sg)),
+      |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |         FROM halfd a JOIN halfd b USING (sg) WHERE a.doc_id < b.doc_id),
+      |m AS (SELECT c.a_id, c.b_id, pa.pos AS pa, pa.pos - pb.pos AS diag
+      |      FROM cand c JOIN shp pa ON pa.doc_id = c.a_id
+      |      JOIN shp pb ON pb.doc_id = c.b_id AND pb.sg = pa.sg),
+      |isl AS (SELECT a_id, b_id, diag, pa,
+      |          pa - row_number() OVER (PARTITION BY a_id, b_id, diag ORDER BY pa) AS grp
+      |        FROM m),
+      |spans AS (SELECT a_id, b_id, diag, grp, count(*) AS len FROM isl GROUP BY 1, 2, 3, 4)
+      |SELECT a_id, b_id, CAST(max(len) + 4 AS BIGINT) AS max_span_tokens,
+      |       CAST(sum(len) AS BIGINT) AS n_matches
+      |FROM spans GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
@@ -2648,7 +2849,10 @@ object PipelineQueries {
     ("q94_wau_sliding", q94, q94Sql),
     ("q95_nearest_centroid", q95, q95Sql),
     ("q96_audio_features", q96, q96Sql),
-    ("q97_peak_concurrency", q97, q97Sql))
+    ("q97_peak_concurrency", q97, q97Sql),
+    ("q98_hybrid_rrf", q98, q98Sql),
+    ("q99_triangle_coeff", q99, q99Sql),
+    ("q100_dup_spans", q100, q100Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type (KLL-style `percentile_approx`

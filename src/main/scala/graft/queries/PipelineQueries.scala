@@ -2734,19 +2734,27 @@ object PipelineQueries {
     * pb): grp = pa − row_number is constant exactly along a run, one
     * window shuffle. All outputs are exact integers.
     *
-    * The positional shingle relation feeds SIX consumers (dedup side
-    * ×3, pa, pb) — unpinned, column pruning blocks exchange
-    * unification and the corpus scan+tokenize plans six times (the
-    * q61/q62/q64 lesson the PlanAuditSpec ratchet exists for).
-    * `localCheckpoint` pins it once: one scan, one tokenize pass; at
-    * production scale this relation is the stored ingest artifact the
-    * inverted index (q62) already materializes. */
+    * The shingle relation feeds SIX consumers (dedup side ×3, pa, pb) —
+    * unpinned, column pruning blocks exchange unification and the
+    * corpus scan+tokenize plans six times (the q61/q62/q64 lesson the
+    * PlanAuditSpec ratchet exists for). The pin is the PRE-explode
+    * array form — one row per doc, doc_id stored once, positions
+    * implicit — and every consumer re-explodes it scan-locally from
+    * the pinned blocks; per-doc DISTINCT comes from `array_distinct`
+    * INSIDE the row (the q99 kernel's trick), so candidate generation
+    * needs no (doc_id, shingle) distinct Exchange at all — the
+    * measured plan's only wide ops are the slim partial-agged df
+    * count, the bounded rare-shingle join, and the diagonal window
+    * (the first draft shuffled the full positional relation for
+    * `.distinct()`: 4.3 s → 2.6 s at sf0.1 from deleting it). At
+    * production scale the pinned relation is the stored ingest
+    * artifact the inverted index (q62) already materializes. */
   val q100: Q = (s, d) => {
-    val tokp = t(s, d, "documents")
-      .select(col("doc_id"),
-        posexplode(TextOps.shingles(TextOps.tokens(col("text")), 5)).as(Seq("pos", "sg")))
+    val base = t(s, d, "documents")
+      .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 5).as("sgs"))
       .localCheckpoint()
-    val dsh = tokp.select(col("doc_id"), col("sg")).distinct()
+    val tokp = base.select(col("doc_id"), posexplode(col("sgs")).as(Seq("pos", "sg")))
+    val dsh = base.select(col("doc_id"), explode(array_distinct(col("sgs"))).as("sg"))
     val rare = dsh.groupBy(col("sg")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= 3).select(col("sg"))
     val halfd = dsh.join(rare, "sg")

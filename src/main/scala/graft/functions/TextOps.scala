@@ -38,6 +38,14 @@ object TextOps {
     org.apache.spark.sql.GraftShim.column(expressions.WordShingles(
       org.apache.spark.sql.GraftShim.expression(text), n))
 
+  /** Fused native form of the bare `shingles(tokens(text), n)` —
+    * positional order, duplicates kept — for consumers that need every
+    * window (q100's `posexplode`), property-tested bit-equal to the
+    * HOF composition. */
+  def shinglesAllNative(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftShim.column(expressions.WordShingles(
+      org.apache.spark.sql.GraftShim.expression(text), n, distinct = false))
+
   /** Fused native form of the full [[minhash]] family: element i equals
     * `minhash(sh, i)` ([[expressions.MinHashes]]; one reused digest per
     * row instead of a fresh one per (shingle, seed)). */

@@ -18,24 +18,30 @@ import org.apache.spark.unsafe.types.UTF8String
   * on single spaces keeping empties, windows joined by a single space,
   * first-occurrence dedup order.
   */
-case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+case class WordShingles(child: Expression, n: Int, distinct: Boolean = true)
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_shingles"
 
   override protected def nullSafeEval(input: Any): Any =
-    WordShingles.compute(input.asInstanceOf[UTF8String], n)
+    WordShingles.compute(input.asInstanceOf[UTF8String], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.expressions.WordShingles.compute($c, $n)")
+      s"graft.functions.expressions.WordShingles.compute($c, $n, $distinct)")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
 }
 
 object WordShingles {
-  /** Static entry for generated code (one invoke per row). */
-  def compute(text: UTF8String, n: Int): ArrayData = {
+  /** Static entry for generated code (one invoke per row). With
+    * `distinct = false` the window list is returned as-is (positional
+    * order, duplicates kept) — the fused form of the bare HOF
+    * `shingles` composition the positional dedup family (q100) feeds
+    * through `posexplode`.
+    */
+  def compute(text: UTF8String, n: Int, distinct: Boolean): ArrayData = {
     val s = text.toString
     val toks = new java.util.ArrayList[String]
     var start = 0
@@ -50,7 +56,11 @@ object WordShingles {
     }
     val m = toks.size - (n - 1)
     if (m <= 0) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[String]
+    // LinkedHashSet for first-occurrence dedup order; ArrayList keeps
+    // every positional window
+    val seen: java.util.Collection[String] =
+      if (distinct) new java.util.LinkedHashSet[String]
+      else new java.util.ArrayList[String](m)
     var j = 0
     while (j < m) {
       val sb = new java.lang.StringBuilder

@@ -2743,25 +2743,31 @@ object PipelineQueries {
     * the pinned blocks; per-doc DISTINCT comes from `array_distinct`
     * INSIDE the row (the q99 kernel's trick), so candidate generation
     * needs no (doc_id, shingle) distinct Exchange at all — the
-    * measured plan's only wide ops are the slim partial-agged df
-    * count, the bounded rare-shingle join, and the diagonal window
-    * (the first draft shuffled the full positional relation for
-    * `.distinct()`: 4.3 s → 2.6 s at sf0.1 from deleting it). At
-    * production scale the pinned relation is the stored ingest
-    * artifact the inverted index (q62) already materializes. */
+    * measured plan's only wide ops are the df groupBy (which emits
+    * candidate pairs directly from its ≤ 3-doc arrays, no rare-set
+    * join or broadcast), the slim pair distinct, and the diagonal
+    * window. The draft that checkpointed the EXPLODED relation and
+    * built candidates via `.distinct()` + rare join measured 4.3 s at
+    * sf0.1; the pin+array_distinct+groupBy-pairs chain and the fused
+    * non-distinct shingle kernel took it to 1.6 s. At production
+    * scale the pinned relation is the stored ingest artifact the
+    * inverted index (q62) already materializes. */
   val q100: Q = (s, d) => {
     val base = t(s, d, "documents")
-      .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 5).as("sgs"))
+      .select(col("doc_id"), TextOps.shinglesAllNative(col("text"), 5).as("sgs"))
       .localCheckpoint()
     val tokp = base.select(col("doc_id"), posexplode(col("sgs")).as(Seq("pos", "sg")))
     val dsh = base.select(col("doc_id"), explode(array_distinct(col("sgs"))).as("sg"))
-    val rare = dsh.groupBy(col("sg")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 3).select(col("sg"))
-    val halfd = dsh.join(rare, "sg")
-    val cand = halfd.as("a").join(halfd.as("b"), Seq("sg"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
+    // candidate pairs straight out of the df groupBy: collect the ≤ 3
+    // doc ids per rare shingle and emit ordered pairs from the array
+    // scan-locally — no rare-shingle JOIN back to the corpus, so the
+    // (huge at this SF) rare set is never broadcast and df is counted
+    // once, not once per join leg
+    val cand = dsh.groupBy(col("sg")).agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")).between(2, 3))
+      .select(explode(expr("flatten(transform(ds, x -> filter(transform(ds, " +
+        "y -> struct(x AS a_id, y AS b_id)), p -> p.a_id < p.b_id)))")).as("p"))
+      .select(col("p.a_id"), col("p.b_id")).distinct()
     val pa = tokp.select(col("doc_id").as("a_id"), col("sg"), col("pos").as("pa"))
     val pb = tokp.select(col("doc_id").as("b_id"), col("sg"), col("pos").as("pb"))
     val m = cand.join(pa, Seq("a_id")).join(pb, Seq("b_id", "sg"))

@@ -23,6 +23,12 @@ class TextOpsSpec extends SparkSpec {
           array_distinct(TextOps.shingles(TextOps.tokens(col("text")), n)).as("hof"))
         .as[(Seq[String], Seq[String])].collect()
       rows.foreach { case (nat, hof) => assert(nat == hof, s"n=$n") }
+      // non-distinct variant: positional order, duplicates kept
+      val all = d.select(
+          TextOps.shinglesAllNative(col("text"), n).as("native"),
+          TextOps.shingles(TextOps.tokens(col("text")), n).as("hof"))
+        .as[(Seq[String], Seq[String])].collect()
+      all.foreach { case (nat, hof) => assert(nat == hof, s"all n=$n") }
     }
   }
 

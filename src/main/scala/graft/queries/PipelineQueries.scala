@@ -2330,18 +2330,28 @@ object PipelineQueries {
     * scan count multiplies); each iteration is one equi-join + one
     * partial-aggregable sum, the classic Pregel-as-dataflow shape.
     * Oracle replays all three iterations as unrolled CTEs. */
+  /** Doc pairs co-occurring under a rare (df ≤ cap) shingle, emitted
+    * STRAIGHT from the df groupBy: collect the ≤ cap doc ids per
+    * shingle and unfold ordered pairs from the array scan-locally.
+    * One exchange total — the join-based form (count df, join the
+    * rare set back to the corpus, self-join) re-counted df per join
+    * leg and broadcast the rare set, which at corpus SFs where most
+    * shingles are unique is millions of rows. Shared by the graph
+    * family (q93/q99) and the positional dedup (q100). Input must be
+    * per-doc-distinct (doc_id, sg) rows; output columns (s, t),
+    * s < t, distinct. */
+  private def rareCooccurrencePairs(dsh: DataFrame, cap: Int): DataFrame =
+    dsh.groupBy(col("sg")).agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")).between(2, cap))
+      .select(explode(expr("flatten(transform(ds, x -> filter(transform(ds, " +
+        "y -> struct(x AS s, y AS t)), p -> p.s < p.t)))")).as("p"))
+      .select(col("p.s"), col("p.t")).distinct()
+
   val q93: Q = (s, d) => {
     val tok = t(s, d, "documents")
       .select(col("doc_id"),
         explode(TextOps.shinglesNative(col("text"), 5)).as("sg"))
-    val rare = tok.groupBy(col("sg")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 3).select(col("sg"))
-    val half = tok.join(rare, "sg")
-      .select(col("sg"), col("doc_id"))
-    val pairs = half.as("a").join(half.as("b"), Seq("sg"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("s"), col("b.doc_id").as("t"))
-      .distinct()
+    val pairs = rareCooccurrencePairs(tok, 3)
     // ONE pinned symmetric edge list; degrees, the join relation and
     // the initial ranks all derive from it (nothing downstream of the
     // checkpoint re-plans the parquet-side graph build)
@@ -2665,14 +2675,7 @@ object PipelineQueries {
   val q99: Q = (s, d) => {
     val tok = t(s, d, "documents")
       .select(col("doc_id"), explode(TextOps.shinglesNative(col("text"), 5)).as("sg"))
-    val rare = tok.groupBy(col("sg")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 3).select(col("sg"))
-    val half = tok.join(rare, "sg").select(col("sg"), col("doc_id"))
-    val pairs = half.as("a").join(half.as("b"), Seq("sg"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("s"), col("b.doc_id").as("t"))
-      .distinct()
-      .localCheckpoint()
+    val pairs = rareCooccurrencePairs(tok, 3).localCheckpoint()
     val deg = pairs.select(col("s").as("node"))
       .union(pairs.select(col("t").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -2763,11 +2766,8 @@ object PipelineQueries {
     // scan-locally — no rare-shingle JOIN back to the corpus, so the
     // (huge at this SF) rare set is never broadcast and df is counted
     // once, not once per join leg
-    val cand = dsh.groupBy(col("sg")).agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")).between(2, 3))
-      .select(explode(expr("flatten(transform(ds, x -> filter(transform(ds, " +
-        "y -> struct(x AS a_id, y AS b_id)), p -> p.a_id < p.b_id)))")).as("p"))
-      .select(col("p.a_id"), col("p.b_id")).distinct()
+    val cand = rareCooccurrencePairs(dsh, 3)
+      .select(col("s").as("a_id"), col("t").as("b_id"))
     val pa = tokp.select(col("doc_id").as("a_id"), col("sg"), col("pos").as("pa"))
     val pb = tokp.select(col("doc_id").as("b_id"), col("sg"), col("pos").as("pb"))
     val m = cand.join(pa, Seq("a_id")).join(pb, Seq("b_id", "sg"))

@@ -81,9 +81,9 @@ object PlanAuditSpec {
     "q97_peak_concurrency" -> 1,
     // q98 fuses two shortlists: BM25's audited 2 + probe row + corpus
     // side of the cosine leg; q99/q100 follow q93's convention — their
-    // graph/shingle builds (3 scans resp. 1) execute once at
-    // localCheckpoint pin time, so the inspected plan reads only the
-    // pinned relation (the unpinned q100 draft planned 6 scans)
+    // one-scan graph/shingle builds execute once at localCheckpoint
+    // pin time, so the inspected plan reads only the pinned relation
+    // (the unpinned q100 draft planned 6 scans)
     "q98_hybrid_rrf" -> 4,
     "q99_triangle_coeff" -> 0,
     "q100_dup_spans" -> 0,

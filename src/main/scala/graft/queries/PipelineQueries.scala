@@ -2609,8 +2609,9 @@ object PipelineQueries {
     * other side and contributes once. At 100 TB both inputs are already
     * shortlists — BM25 reads |terms| buckets of the stored inverted
     * index (q62 layout) and the vector side is the IVF-PQ shortlist
-    * (q78) — so fusion joins two k-row relations: cost O(k), broadcast,
-    * independent of corpus size. */
+    * (q78) — so fusion folds two k-row relations (union + one tiny
+    * aggregate): cost O(k), independent of corpus size, and linear in
+    * the number of fused rankers. */
   val q98: Q = (s, d) => {
     val wk = Window.orderBy(col("bm25").desc, col("doc_id"))
     val kw = q62(s, d).select(col("doc_id"),
@@ -2619,9 +2620,16 @@ object PipelineQueries {
     val vec = VectorOps
       .knnBruteForce(t(s, d, "embeddings"), "vec_id", "embedding", 0L, 20)
       .select(col("vec_id"), row_number().over(wv).cast("long").as("vec_rank"))
-    kw.join(vec, col("doc_id") === col("vec_id"), "full_outer")
-      .select(coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
-        col("kw_rank"), col("vec_rank"),
+    // union + max-aggregate instead of a full-outer join: the two
+    // k-row lists stack as (doc_id, kw_rank, null) / (doc_id, null,
+    // vec_rank) and one tiny groupBy folds them — same NULL-keeping
+    // semantics, no SMJ/sort pair, and the shape an N-list fusion
+    // (text + vector + metadata rankers) keeps linear
+    kw.select(col("doc_id"), col("kw_rank"), lit(null).cast("long").as("vec_rank"))
+      .union(vec.select(col("vec_id"), lit(null).cast("long"), col("vec_rank")))
+      .groupBy(col("doc_id"))
+      .agg(max(col("kw_rank")).as("kw_rank"), max(col("vec_rank")).as("vec_rank"))
+      .select(col("doc_id"), col("kw_rank"), col("vec_rank"),
         (coalesce(expr("1000000 div (60 + kw_rank)"), lit(0L)) +
           coalesce(expr("1000000 div (60 + vec_rank)"), lit(0L))).as("rrf_ppm"))
       .orderBy(col("rrf_ppm").desc, col("doc_id"))

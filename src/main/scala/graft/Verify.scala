@@ -18,13 +18,24 @@ object Verify {
     val spark = graft.core.Sessions.local(cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(e => only(e._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // A failed query must be LOUDLY broken: in round 5 six queries threw
+    // at analysis and simply vanished from the round artifact (no dump,
+    // no error row) because this loop printed to stderr and moved on —
+    // the reference's own discipline is drop-with-metric, never
+    // drop-silently (download/routeviews.go:101-106). Collect every
+    // failure and publish it as `_errors.json` next to the dumps so a
+    // broken query surfaces as a visible error entry downstream.
+    val errors = SparkEntry.queries.filter(e => only(e._1)).toSeq.sortBy(_._1)
+      .flatMap { case (name, fn) =>
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          None
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          Some(name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}")
+        }
       }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -40,6 +51,14 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(e => only(e._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // always written, even when empty — an absent _errors.json is then
+    // itself a signal that Verify didn't complete
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED: " +
+        errors.map(_._1).mkString(", "))
     spark.stop()
   }
 }

@@ -19,6 +19,13 @@ object Sessions {
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
+      // SURVEY §1.3: all timestamps normalized to UTC at the read
+      // boundary. Spark 4 defaults inferTimestampNTZ=true, so a parquet
+      // timestamp[us] with no tz annotation surfaces as TIMESTAMP_NTZ —
+      // which time functions like unix_micros reject. With the session
+      // tz pinned to UTC above, reading it as TIMESTAMP (LTZ) yields
+      // the identical micros value, so this is a pure type fix.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
     if (!sys.env.contains("SPARK_GRAFT_NO_EXTENSIONS"))
       b.withExtensions(new graft.plans.GraftExtensions)

@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet fixture tables (TESTDATA.md).
   *
@@ -23,10 +23,30 @@ object Tables {
     // timestamp. Integer `div` — ns epoch values (~1.7e18) overflow the
     // 53-bit double mantissa, so a floating divide would corrupt them.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    val df =
+      if (name == "events" && raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    normalizeNtz(df)
+  }
+
+  /** SURVEY §1.3's "all timestamps normalized to UTC", enforced at the
+    * loader seam: any TIMESTAMP_NTZ column (Spark 4 infers it for
+    * un-annotated parquet timestamps when
+    * `spark.sql.parquet.inferTimestampNTZ.enabled` is true — e.g. in a
+    * user session not built via [[Sessions]]) is cast to TIMESTAMP.
+    * With the engine's UTC session timezone the micros value is
+    * unchanged; only the type is, so `unix_micros`/`window`/watermarks
+    * accept it. No-op (same DataFrame reference) when nothing needs
+    * casting — the common path adds zero plan nodes.
+    */
+  def normalizeNtz(df: DataFrame): DataFrame = {
+    val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType)
+    if (ntz.isEmpty) df
+    else ntz.foldLeft(df) { (d, f) =>
+      d.withColumn(f.name, col(f.name).cast(TimestampType))
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")

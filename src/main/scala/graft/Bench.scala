@@ -37,9 +37,11 @@ object Bench {
     // machine, so a read after it reports the bench's own load and
     // makes every run look like a loaded-machine run
     val loadBefore = loadavg()
-    // warmup: full pass, untimed
+    // warmup: full pass, untimed; release each query's checkpoint pins
+    // so 300 query executions don't stack pinned blocks in one session
     ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      finally graft.core.Pins.release()
     }
     // best-of-2: the min of two SUCCESSFUL runs reports the query's
     // cost, not a neighbor's noise; a query that throws reports -1,
@@ -49,6 +51,7 @@ object Bench {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case _: Throwable => None }
+        finally graft.core.Pins.release()
       }
       name -> times
     }
@@ -71,7 +74,18 @@ object Bench {
     // (it must not DEFLATE the headline) and surface the count instead
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"queries":$qs,"runs":$runs,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"sf":"$sfDir"}""")
+    // The stdout line carries best-of values ONLY: the driver stores a
+    // bounded tail of this stream, and r5's line (100 queries × 2-run
+    // arrays) overflowed it mid-JSON, losing q01–q46. The per-run
+    // arrays + loadavg — the machine-load evidence a reader needs to
+    // attribute outliers — go to bench_runs.json beside the repo.
+    val runsJson =
+      s"""{"runs":$runs,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"sf":"$sfDir"}"""
+    val runsPath = sys.env.getOrElse("SPARK_GRAFT_RUNS_OUT", "bench_runs.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(runsPath), runsJson)
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write $runsPath: $e") }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"queries":$qs,"runs_file":"$runsPath","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -34,6 +34,10 @@ object Verify {
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
           Some(name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}")
+        } finally {
+          // free this query's localCheckpoint pins — the dump is the
+          // last consumer, and 100 queries of stranded pin blocks add up
+          graft.core.Pins.release()
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

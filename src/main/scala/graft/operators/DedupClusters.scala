@@ -61,6 +61,10 @@ object DedupClusters {
       // IS the fixpoint; the check joins label metadata only
       val changed = next.join(labels.withColumnRenamed("label", "prev"), "node")
         .filter(col("label") < col("prev")).limit(1).count()
+      // the superseded round's blocks are dead once `next` is
+      // materialized and the delta check has read them — free them now,
+      // or an O(rounds) pile of label snapshots outlives the query
+      graft.core.Pins.releaseCheckpoint(labels)
       labels = next
       converged = changed == 0L
       iter += 1
@@ -73,7 +77,12 @@ object DedupClusters {
         s"connectedComponents did not converge in $maxIter rounds — the " +
           "pair graph has a long-diameter component; raise maxIter or use " +
           "connectedComponentsStar (O(log n) rounds)")
-    labels.select(col("node").as("doc_id"), col("label").as("component"))
+    // sym's blocks are dead (labels is materialized); the FINAL labels
+    // round is consumed lazily by the caller, so it rides the pin
+    // registry and frees at the driver's next Pins.release()
+    graft.core.Pins.releaseCheckpoint(sym)
+    graft.core.Pins.track(labels)
+      .select(col("node").as("doc_id"), col("label").as("component"))
   }
 
   /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR — the
@@ -144,7 +153,10 @@ object DedupClusters {
     var iter = 0
     var converged = edges.isEmpty
     while (!converged && iter < maxIter) {
-      edges = smallStar(largeStar(edges)).localCheckpoint()
+      val contracted = smallStar(largeStar(edges)).localCheckpoint()
+      // free the superseded round (the contraction is materialized)
+      graft.core.Pins.releaseCheckpoint(edges)
+      edges = contracted
       val cur = sig(edges)
       converged = cur == prev
       prev = cur
@@ -156,7 +168,9 @@ object DedupClusters {
       throw new IllegalStateException(
         s"connectedComponentsStar did not converge in $maxIter rounds " +
           "(expected O(log n)); raise maxIter")
-    // star forest: one neighborhood-min pass labels every node
+    // star forest: one neighborhood-min pass labels every node; the
+    // final edge round is consumed lazily by the caller → pin registry
+    graft.core.Pins.track(edges)
     val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
     val labeled = sym.groupBy(col("u").as("doc_id"))
       .agg(least(min(col("v")), first(col("u"))).as("component"))

@@ -369,10 +369,7 @@ object PipelineQueries {
     * directly (the frame is unusable afterwards — correct for eviction,
     * which is exactly "this artifact will not be read again"). */
   private[queries] def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectLeaves().foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-      case _ => ()
-    }
+    graft.core.Pins.releaseCheckpoint(df)
   private val ivfModels = new BoundedModelCache[VectorOps.IvfModel]
   def clearIvfModels(): Unit = ivfModels.clear()
   private def ivfModelFor(s: SparkSession, d: String, nCells: Int): VectorOps.IvfModel =
@@ -2161,8 +2158,8 @@ object PipelineQueries {
     // tokenize+explode subtree: ONE documents scan total, where the
     // unpinned form planned three (exchange reuse does not unify
     // pruned-column subtrees; PlanAuditSpec pins the 0-scan shape).
-    val kcnt = bg.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k"))
-      .localCheckpoint()
+    val kcnt = graft.core.Pins.pin(
+      bg.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k")))
     val cb = kcnt.groupBy(col("bg")).agg(sum(col("k")).as("cb"))
     val cu = cb.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum(col("cb")).as("cu"))
@@ -2379,9 +2376,8 @@ object PipelineQueries {
     // ONE pinned symmetric edge list; degrees, the join relation and
     // the initial ranks all derive from it (nothing downstream of the
     // checkpoint re-plans the parquet-side graph build)
-    val edges = pairs
-      .union(pairs.select(col("t").as("s"), col("s").as("t")))
-      .localCheckpoint()
+    val edges = graft.core.Pins.pin(pairs
+      .union(pairs.select(col("t").as("s"), col("s").as("t"))))
     val deg = edges.groupBy(col("s")).agg(count(lit(1)).as("deg"))
     val ed = edges.join(deg, "s")
     var p = deg.select(col("s").as("node"), lit(1000000L).as("p"))
@@ -2729,7 +2725,7 @@ object PipelineQueries {
   val q99: Q = (s, d) => {
     val tok = t(s, d, "documents")
       .select(col("doc_id"), explode(TextOps.shinglesNative(col("text"), 5)).as("sg"))
-    val pairs = rareCooccurrencePairs(tok, 3).localCheckpoint()
+    val pairs = graft.core.Pins.pin(rareCooccurrencePairs(tok, 3))
     val deg = pairs.select(col("s").as("node"))
       .union(pairs.select(col("t").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -2810,9 +2806,8 @@ object PipelineQueries {
     * scale the pinned relation is the stored ingest artifact the
     * inverted index (q62) already materializes. */
   val q100: Q = (s, d) => {
-    val base = t(s, d, "documents")
-      .select(col("doc_id"), TextOps.shinglesAllNative(col("text"), 5).as("sgs"))
-      .localCheckpoint()
+    val base = graft.core.Pins.pin(t(s, d, "documents")
+      .select(col("doc_id"), TextOps.shinglesAllNative(col("text"), 5).as("sgs")))
     val tokp = base.select(col("doc_id"), posexplode(col("sgs")).as(Seq("pos", "sg")))
     val dsh = base.select(col("doc_id"), explode(array_distinct(col("sgs"))).as("sg"))
     // candidate pairs straight out of the df groupBy: collect the ≤ 3

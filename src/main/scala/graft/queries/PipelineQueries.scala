@@ -2134,15 +2134,11 @@ object PipelineQueries {
     * the corpus MLE bigram model, where p(w₂|w₁) = c(w₁w₂) / c(w₁·).
     * Bigrams come from a zip_with over the token array (occurrence-
     * preserving, scan-local — NOT the deduped LSH shingle kernel, an LM
-    * needs multiplicities); both model relations (bigram counts and
-    * their first-word marginals) are vocabulary-sized broadcasts, and
-    * the scoring side shuffles per-(doc, bigram) COUNTS — map-side
-    * combine shrinks it to distinct bigrams per doc. The marginal is
-    * derived FROM the bigram counts (Σ over bigrams starting with w₁),
-    * so the two stay consistent by construction and the corpus is
-    * scanned once per model, never per definition. At 100 TB: train
-    * count-capped once, broadcast like the IVF centroids, score in one
-    * pass — the q63 deployment story unchanged. */
+    * needs multiplicities); the scoring side shuffles per-(doc, bigram)
+    * COUNTS — map-side combine shrinks it to distinct bigrams per doc —
+    * and both model quantities fold IN PLACE as window sums over those
+    * counts (see the inline note), keeping counts, model and marginal
+    * consistent by construction on one corpus scan. */
   val q89: Q = (s, d) => {
     val toks = t(s, d, "documents")
       .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
@@ -2151,22 +2147,24 @@ object PipelineQueries {
         slice(col("t"), lit(1), size(col("t")) - 1),
         slice(col("t"), lit(2), size(col("t")) - 1),
         (a, b) => concat(a, lit(" "), b))).as("bg"))
-    // Corpus counts derive from the per-doc counts (Σ_doc k == c(w₁w₂)),
-    // and kcnt is localCheckpoint-PINNED (the q93 iteration discipline)
-    // so its three consumers — scoring, the bigram model, the marginal —
-    // read the materialized counts instead of each replanning the
-    // tokenize+explode subtree: ONE documents scan total, where the
-    // unpinned form planned three (exchange reuse does not unify
-    // pruned-column subtrees; PlanAuditSpec pins the 0-scan shape).
-    val kcnt = graft.core.Pins.pin(
-      bg.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k")))
-    val cb = kcnt.groupBy(col("bg")).agg(sum(col("k")).as("cb"))
-    val cu = cb.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
-      .agg(sum(col("cb")).as("cu"))
+    // Both model relations derive IN PLACE from the per-doc counts as
+    // window sums — cb(w₁w₂) = Σ_doc k over the bigram partition,
+    // cu(w₁·) = Σ_doc Σ_bg k over the first-word partition — so the
+    // whole query is ONE tokenize+explode scan and a single lineage
+    // (no pin, no broadcast model builds; the former broadcast-join
+    // form either re-scanned the corpus per model relation or paid a
+    // checkpoint write). Same exact integers: a window sum and a
+    // groupBy-sum fold the identical k values. At 100 TB the model is
+    // trained count-capped once and broadcast like the IVF centroids
+    // (the q63 deployment story); the declared query stays
+    // self-contained with corpus-size-proportional shuffles only.
+    val kcnt = bg.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k"))
+    val scored = kcnt
+      .withColumn("cb", sum(col("k")).over(Window.partitionBy(col("bg"))))
+      .withColumn("cu", sum(col("k")).over(
+        Window.partitionBy(substring_index(col("bg"), " ", 1))))
     val kd = col("k").cast("double")
-    kcnt.join(broadcast(cb), "bg")
-      .join(broadcast(cu), substring_index(col("bg"), " ", 1) === col("w1"))
-      .groupBy(col("doc_id"))
+    scored.groupBy(col("doc_id"))
       .agg(sum(col("k")).as("n_bigrams"),
         round(sum(kd * log(col("cb").cast("double") / col("cu").cast("double")))
           / sum(kd), 4).as("avg_logp"))

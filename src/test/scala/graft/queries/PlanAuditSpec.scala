@@ -61,12 +61,12 @@ object PlanAuditSpec {
     "q81_chunk_overlap" -> 1,
     "q82_sq_int8" -> 1,
     // round-5 analytics additions, audited tight: q87/q90 do all their
-    // window+agg work on ONE scan and one data Exchange; q89 pins its
-    // per-doc counts at localCheckpoint (one scan at pin time) and the
-    // model + marginal + scoring all read the pinned relation
+    // window+agg work on ONE scan and one data Exchange; q89 derives
+    // both model relations as window sums over its per-doc counts —
+    // one scan, single lineage, no model broadcast or pin
     "q87_funnel" -> 1,
     "q88_retention" -> 1,
-    "q89_bigram_lm" -> 0,
+    "q89_bigram_lm" -> 1,
     "q90_outlier_fences" -> 1,
     "q91_random_projection" -> 1,
     "q92_transitions" -> 1,

@@ -370,11 +370,18 @@ object PipelineQueries {
     * which is exactly "this artifact will not be read again"). */
   private[queries] def releaseCheckpoint(df: DataFrame): Unit =
     graft.core.Pins.releaseCheckpoint(df)
-  private val ivfModels = new BoundedModelCache[VectorOps.IvfModel]
+  private val ivfModels = new BoundedModelCache[VectorOps.IvfModel](
+    m => releaseCheckpoint(m.assigned))
   def clearIvfModels(): Unit = ivfModels.clear()
+  /** The ASSIGNED relation (vectors + their cell ids) is checkpointed
+    * with the model: production stores the cell column at ingest, and
+    * a live-plan `assigned` would re-run the full-corpus assignment
+    * scan in every query that probes the index (q30/q45/q76/q78/q98). */
   private def ivfModelFor(s: SparkSession, d: String, nCells: Int): VectorOps.IvfModel =
-    ivfModels.getOrTrain((s, d, nCells))(
-      VectorOps.ivfModel(t(s, d, "embeddings"), "vec_id", "embedding", nCells))
+    ivfModels.getOrTrain((s, d, nCells)) {
+      val m = VectorOps.ivfModel(t(s, d, "embeddings"), "vec_id", "embedding", nCells)
+      m.copy(assigned = m.assigned.localCheckpoint())
+    }
 
   val q30: Q = (s, d) =>
     VectorOps.ivfSearch(t(s, d, "embeddings"), "vec_id", "embedding",

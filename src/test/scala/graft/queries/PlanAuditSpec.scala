@@ -45,7 +45,11 @@ object PlanAuditSpec {
     // once per (session, dir)): zero parquet scans per query
     "q62_bm25_search" -> 0,
     "q63_unigram_lm" -> 3,
-    "q64_semantic_dedup" -> 2,
+    // the IVF family reads the model's checkpointed cell-assignment
+    // artifact (vectors + cell ids stored at ingest): zero parquet
+    "q30_ann_ivf" -> 0,
+    "q45_ann_multiprobe" -> 0,
+    "q64_semantic_dedup" -> 0,
     // round-4 additions, audited tight: PQ encode and the MG sketch are
     // one scan; ADC search is codes + rerank + probe; IVF-PQ carries its
     // vectors through the shortlist (no rerank rejoin)
@@ -53,9 +57,9 @@ object PlanAuditSpec {
     // ADC search reads the MEMOIZED stored codes (ExistingRDD, not a
     // parquet scan): only the probe row + rerank vectors scan parquet
     "q75_pq_ann" -> 2,
-    "q76_knn_join" -> 2,
+    "q76_knn_join" -> 0,
     "q77_merge_upsert" -> 3,
-    "q78_ivfpq_ann" -> 2,
+    "q78_ivfpq_ann" -> 0,
     "q79_heavy_hitters" -> 1,
     "q80_fuzzy_join" -> 1,
     "q81_chunk_overlap" -> 1,
@@ -81,13 +85,13 @@ object PlanAuditSpec {
     // one window shuffle over the interval build
     "q96_audio_features" -> 1,
     "q97_peak_concurrency" -> 1,
-    // q98 fuses two STORED shortlists: the BM25 leg reads the memoized
-    // index (0 scans) and the IVF-PQ leg scans parquet only for the
-    // corpus-side cell assignment + the broadcast probe row; q99/q100
+    // q98 fuses two STORED shortlists — the memoized inverted index and
+    // the IVF-PQ probe over the checkpointed cell assignment — so the
+    // whole plan reads ExistingRDD artifacts, zero parquet; q99/q100
     // follow q93's convention — their one-scan graph/shingle builds
     // execute once at localCheckpoint pin time, so the inspected plan
     // reads only the pinned relation (the unpinned q100 draft planned 6)
-    "q98_hybrid_rrf" -> 2,
+    "q98_hybrid_rrf" -> 0,
     "q99_triangle_coeff" -> 0,
     "q100_dup_spans" -> 0,
     // multi-table relational joins (one scan per table, plus documented

@@ -40,6 +40,20 @@ object VectorOps {
   def cosineComposed(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** Σ (aᵢ−bᵢ)² over two ARRAY<BIGINT> columns — exact integer squared
+    * L2 as a native codegen'd kernel
+    * ([[graft.functions.expressions.ArraySqDistLong]]); the hot
+    * assignment loop of the quantized-classifier paths (q95). */
+  def sqDistLong(a: Column, b: Column): Column =
+    GraftShim.column(expressions.ArraySqDistLong(
+      GraftShim.expression(a), GraftShim.expression(b)))
+
+  /** HOF formulation of [[sqDistLong]], kept as the pure-built-ins
+    * reference implementation (property-tested equal to the native). */
+  def sqDistLongHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (s, x) => s + x)
+
   /** Deterministic sign-bit LSH bucket: bit i of the bucket id is the sign
     * of dimension i (the first `nBits` dims act as fixed hyperplanes).
     * Same-bucket vectors are cosine-close with high probability, so an

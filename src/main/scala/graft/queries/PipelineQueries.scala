@@ -2500,20 +2500,38 @@ object PipelineQueries {
     * pass over stored quantized vectors, the same deployment shape as
     * q30/q74. The 64 per-dimension sums ride ONE partial-aggregable
     * groupBy (map-side combine reduces every partition to 10 rows). */
-  val q95: Q = (s, d) => {
+  /** Per-label integer centroids, memoized like q85's perceptron (the
+    * trained artifact policy): label-count × dim longs collect to the
+    * driver once per (session, dir) and every scoring run broadcasts a
+    * LocalRelation instead of re-running the training aggregate. */
+  private val centroidModels = new BoundedModelCache[Seq[(Long, Seq[Long])]]
+  def clearCentroidModels(): Unit = centroidModels.clear()
+  private def q95Vecs(s: SparkSession, d: String): DataFrame = {
     val qv = transform(col("embedding"),
       x => floor(x.cast("double") * lit(1000000d)).cast("long"))
-    val vecs = t(s, d, "embeddings")
+    t(s, d, "embeddings")
       .select(col("vec_id"), col("label").cast("long").as("label"), qv.as("qv"))
-    val cents = vecs.groupBy(col("label"))
-      .agg(array((0 until 64).map(i => sum(element_at(col("qv"), i + 1))): _*)
-        .as("sv"), count(lit(1)).as("n"))
-      .select(col("label").as("clabel"),
-        expr("transform(sv, sx -> CAST(sx div n AS BIGINT))").as("cv"))
-    val scored = vecs.crossJoin(broadcast(cents))
+  }
+  private def centroidsFor(s: SparkSession, d: String): DataFrame = {
+    val rows = centroidModels.getOrTrain((s, d, 64)) {
+      q95Vecs(s, d).groupBy(col("label"))
+        .agg(array((0 until 64).map(i => sum(element_at(col("qv"), i + 1))): _*)
+          .as("sv"), count(lit(1)).as("n"))
+        .select(col("label"),
+          expr("transform(sv, sx -> CAST(sx div n AS BIGINT))").as("cv"))
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Long](1)))
+    }
+    import s.implicits._
+    s.createDataset(rows).toDF("clabel", "cv")
+      .select(col("clabel"), col("cv").cast("array<bigint>").as("cv"))
+  }
+
+  val q95: Q = (s, d) => {
+    val vecs = q95Vecs(s, d)
+    val scored = vecs.crossJoin(broadcast(centroidsFor(s, d)))
       .select(col("vec_id"), col("label"), col("clabel"),
-        aggregate(zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x).as("dist"))
+        VectorOps.sqDistLong(col("qv"), col("cv")).as("dist"))
     scored.groupBy(col("vec_id"), col("label"))
       .agg(min_by(col("clabel"), struct(col("dist"), col("clabel"))).as("pred"))
       .groupBy(col("label").as("true_label"), col("pred").as("pred_label"))

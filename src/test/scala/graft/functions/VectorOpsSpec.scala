@@ -78,6 +78,26 @@ class VectorOpsSpec extends SparkSpec {
     assert(both.forall(r => r.getDouble(0) == r.getDouble(1))) // bit-equal
   }
 
+  test("native ArraySqDistLong agrees exactly with the HOF formulation") {
+    val rnd = new scala.util.Random(11)
+    val data = (0 until 50).map(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextInt(4000001).toLong - 2000000L)))
+    val d = data.toDF("id", "v")
+    val b = d.select(col("v").as("w")).limit(1)
+    val both = d.crossJoin(b)
+      .select(VectorOps.sqDistLong(col("v"), col("w")).as("fast"),
+              VectorOps.sqDistLongHof(col("v"), col("w")).as("ref"))
+      .collect()
+    assert(both.forall(r => r.getLong(0) == r.getLong(1)))
+    // degenerate cases (native only — the HOF null-pads unequal
+    // lengths): common-prefix semantics, and empty arrays give 0
+    val e = Seq((Seq(1L, 2L, 3L), Seq(1L, 5L)), (Seq.empty[Long], Seq.empty[Long]))
+      .toDF("a", "b")
+      .select(VectorOps.sqDistLong(col("a"), col("b")).as("s"))
+      .collect()
+    assert(e(0).getLong(0) == 9L && e(1).getLong(0) == 0L)
+  }
+
   test("signBucket groups same-orthant vectors") {
     val d = Seq(
       (0L, Seq(1.0, 1.0, -1.0, 1.0)),

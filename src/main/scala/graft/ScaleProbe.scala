@@ -94,6 +94,48 @@ object ScaleProbe {
     time("q22_cosine_pairs sf0.1  (5k vecs) ")(PipelineQueries.q22(spark, src).count())
     time("q22_cosine_pairs sf1.0 (50k vecs) ")(PipelineQueries.q22(spark, out).count())
 
+    // --- stored-artifact tier (round 6): q62/q98/q93/q52 read memoized
+    // ingest artifacts (inverted index, IVF cells + PQ codebooks, the
+    // co-occurrence edge list, the LSH pair list). BUILD (first call,
+    // trains + materializes every artifact the query touches) is
+    // corpus-proportional by design; STEADY STATE (every later call) is
+    // the declared per-query cost and must track shortlist/iteration
+    // work, NOT corpus size — the claim behind the zero-parquet-scan
+    // plan audits. Expect steady-state ~flat from 5k to 50k docs for
+    // q62/q98; q93/q52 steady state grows with the edge list, not the
+    // corpus scan.
+    locally {
+      def clearAll(): Unit = {
+        PipelineQueries.clearInvIndexes(); PipelineQueries.clearIvfModels()
+        PipelineQueries.clearPqModels(); PipelineQueries.clearPqCodes()
+        PipelineQueries.clearCoocPairs(); PipelineQueries.clearLshPairs()
+      }
+      def buildSteady(label: String, dir: String,
+                      q: (SparkSession, String) => DataFrame): Unit = {
+        val t0 = System.nanoTime(); q(spark, dir).count()
+        val build = (System.nanoTime() - t0) / 1e9
+        graft.core.Pins.release()
+        val t1 = System.nanoTime(); val n = q(spark, dir).count()
+        val steady = (System.nanoTime() - t1) / 1e9
+        graft.core.Pins.release()
+        println(f"$label build+first $build%5.2f s, steady $steady%5.2f s ($n rows)")
+      }
+      clearAll()
+      buildSteady("q62_bm25 sf0.1          (5k docs) ", src, PipelineQueries.q62)
+      buildSteady("q62_bm25 sf1.0         (50k docs) ", out, PipelineQueries.q62)
+      buildSteady("q98_rrf  sf0.1          (5k docs) ", src, PipelineQueries.q98)
+      buildSteady("q98_rrf  sf1.0         (50k docs) ", out, PipelineQueries.q98)
+      buildSteady("q93_pagerank sf0.1      (5k docs) ", src, PipelineQueries.q93)
+      // no q93 at sf1.0: 10× REPLICATION saturates every shingle's df
+      // past the rare cap (df ≤ 3), so the replicated co-occurrence
+      // graph is empty by construction — vacuously fast, not evidence.
+      // q52's LSH graph below is the meaningful 10× dedup-graph probe
+      // (replica clones pair with each other, so edges GROW at 10×).
+      buildSteady("q52_clusters sf0.1      (5k docs) ", src, PipelineQueries.q52)
+      buildSteady("q52_clusters sf1.0     (50k docs) ", out, PipelineQueries.q52)
+      clearAll() // drop the 50k artifacts before the remaining probes
+    }
+
     // --- degenerate-bucket probe: every document identical, so ALL band
     // keys collide into one bucket (the exact flood a dedup corpus
     // produces). The slim band-key self-join streams the inherently

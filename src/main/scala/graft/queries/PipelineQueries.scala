@@ -453,21 +453,25 @@ object PipelineQueries {
       explode(TextOps.tokens(col("text"))).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("lang"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    // document frequency as a WINDOW over the tf relation — an
-    // aggregate-then-rejoin would re-execute the corpus explode for the
-    // df side (column pruning blocks exchange unification; the q61
-    // lesson). tf has one row per (doc_id, term) — doc_id determines
-    // lang — so the window count IS countDistinct(doc_id), matching
-    // the oracle's COUNT(DISTINCT doc_id) semantics exactly.
-    val scored = tf
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+    // Fold to the VOCAB-sized (lang, term) relation FIRST — max(tf) and
+    // the per-(lang, term) doc count ride the same partial-aggregable
+    // groupBy — then derive df as a window sum over that slim relation
+    // (tf has one row per (doc, term) and doc determines lang, so
+    // Σ_lang cnt IS countDistinct(doc_id), the oracle's semantics).
+    // max(tf·ln(N/df)) = ln(N/df)·max(tf) exactly: ln(N/df) ≥ 0 and
+    // IEEE multiplication by a non-negative constant is monotonic, so
+    // max commutes with it bit-for-bit. This moves the term-window off
+    // the corpus-sized tf relation (the former plan sorted ~all (doc,
+    // term) pairs by term) onto langs×vocab rows.
+    val lt = tf.groupBy(col("lang"), col("term"))
+      .agg(max(col("tf")).as("mtf"), count(lit(1)).as("cnt"))
+      .withColumn("df", sum(col("cnt")).over(Window.partitionBy(col("term"))))
       .crossJoin(broadcast(nRel))
-      .withColumn("tfidf", col("tf") * log(col("__n") / col("df")))
+      .select(col("lang"), col("term"),
+        round(col("mtf") * log(col("__n") / col("df")), 4).as("m"))
     val wr = Window.partitionBy(col("lang"))
       .orderBy(col("m").desc, col("term"))
-    scored.groupBy(col("lang"), col("term"))
-      .agg(round(max(col("tfidf")), 4).as("m"))
-      .withColumn("r", row_number().over(wr).cast("long"))
+    lt.withColumn("r", row_number().over(wr).cast("long"))
       .filter(col("r") <= 3)
       .select(col("lang"), col("r"), col("term"), col("m").as("max_tfidf"))
       .orderBy(col("lang"), col("r"))

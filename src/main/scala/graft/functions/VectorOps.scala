@@ -136,6 +136,17 @@ object VectorOps {
       .agg(min_by(col("__cid"), struct(d2Expr.as("d"), col("__cid"))).as("cell"),
            first(col("__v")).as("__v"))
 
+  /** Assign NEW vectors to an already-trained quantizer's cells — the
+    * incremental-ingest path ([[graft.streaming.VectorIngest]]): the
+    * model's centroids broadcast, identical IEEE distance expansion and
+    * lowest-cid tie-break as training-time assignment, no retraining.
+    * Output: (idCol, cell, __v) — `__v` as ARRAY<DOUBLE>. */
+  def assignTo(emb: DataFrame, idCol: String, vecCol: String,
+               model: IvfModel): DataFrame =
+    assignCells(
+      emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v")),
+      idCol, model.centroids)
+
   /** IVF coarse quantizer: k-means over a deterministic hash sample.
     *
     * Training is data-order-independent: the `sampleN` training vectors

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.{Pq, VectorOps}
+
+/** Streaming ANN-index maintenance: the stored codes table written by
+  * the stream must be BIT-IDENTICAL to batch-encoding the same vectors
+  * against the same frozen models (stream/batch equality — the twin
+  * discipline every streaming operator here follows), and a replayed
+  * batch must converge instead of duplicating rows.
+  */
+class VectorIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def trainModels() = {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    (VectorOps.ivfModel(emb, "vec_id", "embedding", nCells = 4),
+      Pq.train(emb, "vec_id", "embedding", m = 8, k = 4))
+  }
+
+  private def vecsOf(ids: Range): Seq[(Long, Seq[Float])] =
+    ids.map { i =>
+      val rnd = new scala.util.Random(i)
+      (i.toLong, Seq.fill(64)(rnd.nextFloat() * 2f - 1f))
+    }
+
+  test("streamed codes equal batch encode+assign against the same models") {
+    val (ivf, pq) = trainModels()
+    val codesDir = Files.createTempDirectory("vi_codes").toString
+    val ckpt = Files.createTempDirectory("vi_ckpt").toString
+    val ms = MemoryStream[(Long, Seq[Float])](spark)
+    // AvailableNow drains-and-terminates; the second start RESUMES from
+    // the same checkpoint and must process only the new batch
+    ms.addData(vecsOf(1000 until 1010): _*)
+    val q1 = VectorIngest.start(
+      ms.toDF().toDF("vec_id", "embedding"), ivf, pq, codesDir, ckpt)
+    q1.awaitTermination()
+    ms.addData(vecsOf(1010 until 1025): _*)
+    val q2 = VectorIngest.start(
+      ms.toDF().toDF("vec_id", "embedding"), ivf, pq, codesDir, ckpt)
+    q2.awaitTermination()
+
+    val stored = spark.read.parquet(codesDir)
+      .select(col("vec_id"), col("cell"),
+        array_join(transform(col("codes"), c => c.cast("string")), "-").as("cs"))
+      .as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
+    val expect = {
+      val all = vecsOf(1000 until 1025).toDF("vec_id", "embedding")
+      VectorOps.assignTo(all, "vec_id", "embedding", ivf)
+        .select(col("vec_id"), col("cell"),
+          array_join(transform(Pq.codesColumn(col("__v"), pq),
+            c => c.cast("string")), "-").as("cs"))
+        .as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
+    }
+    assert(stored == expect, "streamed store differs from batch encoding")
+  }
+
+  test("replaying an already-ingested batch appends nothing") {
+    val (ivf, pq) = trainModels()
+    val codesDir = Files.createTempDirectory("vi_replay").toString
+    val batch = vecsOf(500 until 510).toDF("vec_id", "embedding")
+    val first = VectorIngest.ingestBatch(batch, ivf, pq, codesDir)
+    assert(first.count() == 10)
+    val replay = VectorIngest.ingestBatch(batch, ivf, pq, codesDir)
+    assert(replay.count() == 0, "replayed rows were re-appended")
+    assert(spark.read.parquet(codesDir).count() == 10)
+    // a half-new batch appends exactly its new ids
+    val mixed = vecsOf(505 until 515).toDF("vec_id", "embedding")
+    val second = VectorIngest.ingestBatch(mixed, ivf, pq, codesDir)
+    assert(second.select("vec_id").as[Long].collect().sorted.toSeq
+      == (510L until 515L).toSeq)
+    assert(spark.read.parquet(codesDir).count() == 15)
+  }
+}

@@ -43,11 +43,14 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       finally graft.core.Pins.release()
     }
-    // best-of-2: the min of two SUCCESSFUL runs reports the query's
-    // cost, not a neighbor's noise; a query that throws reports -1,
-    // never its time-to-failure
+    // best-of-3: the min of the SUCCESSFUL runs reports the query's
+    // cost, not a neighbor's (or the JVM's own GC/JIT) noise — r6
+    // observed both reps of a 2-rep run inflated ~6x by transient
+    // mid-run state while an adjacent run measured clean, so two
+    // samples are not enough for a min to be trustworthy; a query
+    // that throws reports -1, never its time-to-failure
     val raw = ordered.map { case (name, fn) =>
-      val times = (1 to 2).flatMap { _ =>
+      val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case _: Throwable => None }

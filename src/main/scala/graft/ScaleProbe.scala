@@ -282,6 +282,32 @@ object ScaleProbe {
       assert(vsBk == 0, "corpus ingest steady-state batch still shuffles band keys")
     }
 
+    // --- vector-ingest probe: per-batch cost of the streaming ANN-index
+    // maintainer must track the BATCH (one scan: broadcast-assign +
+    // scan-local encode + vec_id anti-join), not the store it appends
+    // to — a 5k-vector batch into a 45k-vector store vs an empty store.
+    {
+      val emb10 = spark.read.parquet(s"$out/embeddings.parquet")
+      val ivf = graft.functions.VectorOps.ivfModel(emb10, "vec_id", "embedding", 8)
+      val pq = graft.functions.Pq.train(emb10, "vec_id", "embedding", m = 8, k = 4)
+      def freshDir(tag: String): String = {
+        val dir = s"/tmp/graft_probe_vecingest_$tag"
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        dir
+      }
+      val empty = freshDir("empty")
+      time("vec_ingest 5k batch, empty store  ")(
+        graft.streaming.VectorIngest.ingestBatch(
+          emb10.filter(col("vec_id") % 10 === 0), ivf, pq, empty).count())
+      val seeded = freshDir("seeded")
+      graft.streaming.VectorIngest.ingestBatch(
+        emb10.filter(col("vec_id") % 10 =!= 0), ivf, pq, seeded).count()
+      time("vec_ingest 5k batch, 45k store    ")(
+        graft.streaming.VectorIngest.ingestBatch(
+          emb10.filter(col("vec_id") % 10 === 0), ivf, pq, seeded).count())
+    }
+
     // --- partition-scoped MERGE probe: per-batch I/O must track the
     // buckets the batch TOUCHES, never the table. A 16-key batch
     // upserts into a 200k-row/64-bucket table and a 2M-row/640-bucket

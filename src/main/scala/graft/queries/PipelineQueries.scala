@@ -2901,6 +2901,71 @@ object PipelineQueries {
       |       CAST(sum(len) AS BIGINT) AS n_matches
       |FROM spans GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- Q101
+  /** Content-defined chunking (CDC) dedup — the storage-dedup technique
+    * applied to corpus text: chunk boundaries fall where the rolling
+    * 8-char window's md5 ends in hex '0' (p = 1/16, ~16-char expected
+    * chunks), so an insertion/deletion only reframes the chunks it
+    * touches and every chunk after the next boundary re-aligns — the
+    * shift-robust dedup signal that FIXED chunking (q81) structurally
+    * cannot give (one inserted word re-keys every subsequent fixed
+    * chunk; spec pins the shift-invariance property). Output per doc:
+    * chunk count, chunks whose hash recurs anywhere in the corpus, and
+    * the dup ratio — q61's single-scan window discipline: one corpus
+    * scan, one shuffle of (doc_id, chunk-hash), the corpus-wide count
+    * as a window in place. Boundary detection and chunk hashing are
+    * codegen'd builtins (md5 + substr under HOFs), identical bytes on
+    * both engines. At 100 TB the chunk hash shuffles as a 16-byte key
+    * and the window's hot-hash caveat (boilerplate chunks) has the same
+    * q49 two-phase remedy as q61. */
+  val q101: Q = (s, d) => {
+    val w = 8
+    val txt = col("text")
+    // candidate boundary positions 2..len-w+1 (guarded: Spark's
+    // sequence(a, b) REVERSES when b < a instead of returning empty)
+    val cand = when(length(txt) >= w + 1,
+      sequence(lit(2), length(txt) - w + 1)).otherwise(array().cast("array<int>"))
+    val starts = concat(array(lit(1)),
+      filter(cand, i => substring(md5(txt.substr(i, lit(w))), 32, 1) === "0"))
+    val base = t(s, d, "documents")
+      .filter(length(txt) > 0)
+      .select(col("doc_id"), txt, starts.as("starts"))
+      .withColumn("ends", concat(
+        slice(col("starts"), lit(2), greatest(size(col("starts")) - 1, lit(0))),
+        array(length(txt) + 1)))
+    val ch = base.select(col("doc_id"),
+      explode(zip_with(col("starts"), col("ends"),
+        (a, b) => md5(txt.substr(a, b - a)))).as("h"))
+    ch.withColumn("nd", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_ratio",
+        round(col("n_dup").cast("double") / col("n_chunks"), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  val q101Sql: String =
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+      |st AS (SELECT doc_id, text,
+      |         list_concat([1], list_filter(
+      |           generate_series(2, length(text) - 7),
+      |           i -> substr(md5(text[i:i+7]), 32, 1) = '0')) AS starts
+      |       FROM d),
+      |en AS (SELECT doc_id, text, starts,
+      |         list_concat(starts[2:], [length(text) + 1]) AS ends FROM st),
+      |ch AS (SELECT doc_id, unnest(list_transform(
+      |         generate_series(1, len(starts)),
+      |         k -> md5(text[starts[k]:ends[k] - 1]))) AS h
+      |       FROM en),
+      |cnt AS (SELECT h, count(*) AS nd FROM ch GROUP BY h)
+      |SELECT doc_id, count(*) AS n_chunks,
+      |       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |       round(CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |             / count(*), 4) AS dup_ratio
+      |FROM ch JOIN cnt USING (h)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
@@ -2965,7 +3030,8 @@ object PipelineQueries {
     ("q97_peak_concurrency", q97, q97Sql),
     ("q98_hybrid_rrf", q98, q98Sql),
     ("q99_triangle_coeff", q99, q99Sql),
-    ("q100_dup_spans", q100, q100Sql))
+    ("q100_dup_spans", q100, q100Sql),
+    ("q101_cdc_dedup", q101, q101Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type (KLL-style `percentile_approx`

@@ -46,6 +46,13 @@ object TextOps {
     org.apache.spark.sql.GraftShim.column(expressions.WordShingles(
       org.apache.spark.sql.GraftShim.expression(text), n, distinct = false))
 
+  /** Content-defined chunk md5s (q101) as one fused pass
+    * ([[expressions.CdcChunkHashes]]), property-tested bit-equal to the
+    * declarative boundary-filter + zip_with chain. */
+  def cdcChunkHashes(text: Column, w: Int): Column =
+    org.apache.spark.sql.GraftShim.column(expressions.CdcChunkHashes(
+      org.apache.spark.sql.GraftShim.expression(text), w))
+
   /** Fused native form of the full [[minhash]] family: element i equals
     * `minhash(sh, i)` ([[expressions.MinHashes]]; one reused digest per
     * row instead of a fresh one per (shingle, seed)). */

@@ -420,3 +420,90 @@ object MinHashes {
     new GenericArrayData(out)
   }
 }
+
+/** Content-defined chunk hashes of a text column in ONE pass — the
+  * fused, codegen-callable form of q101's declarative chain
+  * (boundary-filter over `sequence` + `zip_with` chunk md5s), which
+  * evaluates interpreted lambdas and allocates a window substring,
+  * Column-md5 input copy and hex string per CHARACTER POSITION. The
+  * kernel reuses one MessageDigest, tests the boundary nibble straight
+  * off the digest bytes (no hex string until a chunk is emitted), and
+  * for pure-ASCII rows (the common corpus case) hashes windows as
+  * zero-copy slices of one UTF-8 byte array.
+  *
+  * Semantics, bit-for-bit with the declarative form (property-tested):
+  * candidate positions i = 2..L-w+1 (1-based, CHARACTER offsets); i is
+  * a boundary iff md5(utf8(substring(text, i, w))) ends in hex '0'
+  * (low nibble of digest byte 15 == 0); chunk starts = 1 :: boundaries,
+  * each chunk ends at the next start (last at L+1); output = md5 hex
+  * (lowercase) of each chunk's UTF-8 bytes, positional order. Empty
+  * text → empty array.
+  */
+case class CdcChunkHashes(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_cdc_chunks"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CdcChunkHashes.compute(input.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.CdcChunkHashes.compute($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunkHashes =
+    copy(child = newChild)
+}
+
+object CdcChunkHashes {
+  private val Hex = "0123456789abcdef".toCharArray
+
+  private def hex32(d: Array[Byte]): UTF8String = {
+    val hex = new Array[Char](32)
+    var b = 0
+    while (b < 16) {
+      hex(2 * b) = Hex((d(b) >> 4) & 0xf)
+      hex(2 * b + 1) = Hex(d(b) & 0xf)
+      b += 1
+    }
+    UTF8String.fromString(new String(hex))
+  }
+
+  /** Static entry for generated code (one invoke per row). */
+  def compute(text: UTF8String, w: Int): ArrayData = {
+    val s = text.toString
+    val len = s.length
+    if (len == 0) return new GenericArrayData(Array.empty[Any])
+    val md = MessageDigest.getInstance("MD5")
+    // ASCII fast path: char offsets == byte offsets, so windows and
+    // chunks digest as slices of one byte array (zero per-position
+    // allocation). Multi-byte rows fall back to char-based substrings.
+    val bytes = text.getBytes
+    val ascii = bytes.length == len
+    val starts = new java.util.ArrayList[Int]
+    starts.add(1)
+    var i = 2 // 1-based candidate boundary position
+    val last = len - w + 1
+    while (i <= last) {
+      md.reset()
+      if (ascii) md.update(bytes, i - 1, w)
+      else md.update(s.substring(i - 1, i - 1 + w)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if ((md.digest()(15) & 0x0f) == 0) starts.add(i)
+      i += 1
+    }
+    val n = starts.size
+    val out = new Array[Any](n)
+    var k = 0
+    while (k < n) {
+      val a = starts.get(k)
+      val b = if (k + 1 < n) starts.get(k + 1) else len + 1
+      md.reset()
+      if (ascii) md.update(bytes, a - 1, b - a)
+      else md.update(s.substring(a - 1, b - 1)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out(k) = hex32(md.digest())
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -2918,24 +2918,30 @@ object PipelineQueries {
     * both engines. At 100 TB the chunk hash shuffles as a 16-byte key
     * and the window's hot-hash caveat (boilerplate chunks) has the same
     * q49 two-phase remedy as q61. */
-  val q101: Q = (s, d) => {
-    val w = 8
-    val txt = col("text")
+  /** The declarative reference form of the q101 chunker — boundary
+    * filter over `sequence` + `zip_with` chunk md5s — kept for the
+    * property test pinning the native kernel bit-equal; the HOF stack
+    * evaluates interpreted lambdas and allocates per CHARACTER
+    * position, which measured ~6× the kernel at sf0.1. */
+  private[queries] def cdcChunkHashesHof(txt: org.apache.spark.sql.Column,
+      w: Int): org.apache.spark.sql.Column = {
     // candidate boundary positions 2..len-w+1 (guarded: Spark's
     // sequence(a, b) REVERSES when b < a instead of returning empty)
     val cand = when(length(txt) >= w + 1,
       sequence(lit(2), length(txt) - w + 1)).otherwise(array().cast("array<int>"))
     val starts = concat(array(lit(1)),
       filter(cand, i => substring(md5(txt.substr(i, lit(w))), 32, 1) === "0"))
-    val base = t(s, d, "documents")
-      .filter(length(txt) > 0)
-      .select(col("doc_id"), txt, starts.as("starts"))
-      .withColumn("ends", concat(
-        slice(col("starts"), lit(2), greatest(size(col("starts")) - 1, lit(0))),
-        array(length(txt) + 1)))
-    val ch = base.select(col("doc_id"),
-      explode(zip_with(col("starts"), col("ends"),
-        (a, b) => md5(txt.substr(a, b - a)))).as("h"))
+    val ends = concat(
+      slice(starts, lit(2), greatest(size(starts) - 1, lit(0))),
+      array(length(txt) + 1))
+    zip_with(starts, ends, (a, b) => md5(txt.substr(a, b - a)))
+  }
+
+  val q101: Q = (s, d) => {
+    val ch = t(s, d, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        explode(TextOps.cdcChunkHashes(col("text"), 8)).as("h"))
     ch.withColumn("nd", count(lit(1)).over(Window.partitionBy(col("h"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),

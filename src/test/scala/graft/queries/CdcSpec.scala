@@ -54,6 +54,30 @@ class CdcSpec extends SparkSpec {
       s"unrelated docs report chunk sharing: ${got(1L)} / ${got(2L)}")
   }
 
+  test("native CdcChunkHashes equals the declarative HOF chunker bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(99)
+    val docs = (0 until 60).map { i =>
+      val len = rnd.nextInt(300)
+      val s = (0 until len).map { _ =>
+        rnd.nextInt(5) match {
+          case 0 => ' '
+          case 1 => ('0' + rnd.nextInt(10)).toChar
+          case _ => ('a' + rnd.nextInt(26)).toChar
+        }
+      }.mkString
+      // a few multi-byte rows exercise the non-ASCII fallback
+      (i.toLong, if (i % 7 == 0) "déjà vu Ω " + s else s)
+    }
+    val both = docs.toDF("doc_id", "text").filter(length(col("text")) > 0)
+      .select(
+        graft.functions.TextOps.cdcChunkHashes(col("text"), 8).as("fast"),
+        PipelineQueries.cdcChunkHashesHof(col("text"), 8).as("ref"))
+      .as[(Seq[String], Seq[String])].collect()
+    assert(both.nonEmpty && both.forall(r => r._1 == r._2),
+      "native chunker diverges from the declarative form")
+  }
+
   test("short documents below the window form a single whole-text chunk") {
     val got = runOn(Seq(1L -> "tiny", 2L -> "tiny", 3L -> "other"))
     assert(got(1L) == ((1L, 1L, 1.0)), s"got ${got(1L)}")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{ArrayCosine, ArrayDot, EditDistanceIs1, WordShingles}
+import graft.functions.expressions.{ArrayCosine, ArrayDot, ArraySqDistLong, CdcChunkHashes, EditDistanceIs1, WordShingles}
 
 /** Engine extensions, installable via
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions`:
@@ -61,6 +61,32 @@ object GraftExtensions {
     EditDistanceIs1(args.head, args(1))
   }
 
+  /** `graft_sqdist_long(a, b)`: exact integer Σ(aᵢ−bᵢ)² through
+    * [[ArraySqDistLong]], with the [[dotBuilder]] defensive cast so SQL
+    * callers with int arrays get correct widening. */
+  val sqDistBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2, "graft_sqdist_long(a, b) takes two array<bigint> args")
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    ArraySqDistLong(Cast(args.head, ArrayType(LongType)),
+                    Cast(args(1), ArrayType(LongType)))
+  }
+
+  /** `graft_cdc_chunks(text, w)`: content-defined chunk md5s through
+    * the fused [[CdcChunkHashes]] kernel; `w` is an int literal like
+    * [[shinglesBuilder]]'s n (a construction parameter). */
+  val cdcBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2, "graft_cdc_chunks(text, w) takes (string, int literal)")
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.IntegerType
+    val w = args(1) match {
+      case Literal(v: Int, IntegerType) if v > 0 => v
+      case other => throw new IllegalArgumentException(
+        s"graft_cdc_chunks w must be a positive int literal, got $other")
+    }
+    CdcChunkHashes(args.head, w)
+  }
+
   /** `graft_redact_pii(text)` SQL builder: the [[graft.functions.TextOps
     * .redactPii]] chain as a direct Catalyst `RegExpReplace` tree (the
     * Column-API shim wraps args in an unevaluable ColumnNode under
@@ -94,6 +120,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_edit1"),
       new ExpressionInfo(classOf[EditDistanceIs1].getName, "graft_edit1"),
       GraftExtensions.edit1Builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sqdist_long"),
+      new ExpressionInfo(classOf[ArraySqDistLong].getName, "graft_sqdist_long"),
+      GraftExtensions.sqDistBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunkHashes].getName, "graft_cdc_chunks"),
+      GraftExtensions.cdcBuilder))
     ext.injectFunction((
       FunctionIdentifier("graft_redact_pii"),
       new ExpressionInfo(classOf[Expression].getName, "graft_redact_pii"),

@@ -109,6 +109,24 @@ class RewriteLatestPerGroupSpec extends SparkSpec {
     }
   }
 
+  test("graft_sqdist_long / graft_cdc_chunks work as SQL functions") {
+    val s = spark.newSession()
+    Seq("graft_sqdist_long" -> GraftExtensions.sqDistBuilder,
+        "graft_cdc_chunks" -> GraftExtensions.cdcBuilder)
+      .foreach { case (n, b) =>
+        s.sessionState.functionRegistry.createOrReplaceTempFunction(n, b, "built-in")
+      }
+    val d = s.sql("SELECT graft_sqdist_long(array(1, 5, 2), array(4, 1, 2)) AS d")
+      .collect().head.getLong(0)
+    assert(d == 25L) // 9 + 16 + 0, int args widened by the builder cast
+    val ch = s.sql("SELECT graft_cdc_chunks('tiny', 8) AS c")
+      .collect().head.getSeq[String](0)
+    assert(ch.length == 1 && ch.head.length == 32)
+    intercept[Exception] { // w is a construction parameter
+      s.sql("SELECT graft_cdc_chunks('abc', length('xx')) AS c").collect()
+    }
+  }
+
   test("graft_redact_pii scrubs from SQL with the DataFrame patterns") {
     val s = spark.newSession()
     s.sessionState.functionRegistry.createOrReplaceTempFunction(

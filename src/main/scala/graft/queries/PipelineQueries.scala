@@ -2972,6 +2972,272 @@ object PipelineQueries {
       |FROM ch JOIN cnt USING (h)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- Q102
+  /** Gopher-style quality-rule bundle (Rae et al. 2021 §A1.1 reduced to
+    * this corpus's alphabet): per-document token-count bounds, mean
+    * word length in [3, 10], stopword presence, and max-single-word
+    * share ≤ 20% — the composite heuristic gate that runs BEFORE any
+    * trained classifier (q85) in a curation stack. Every rule is an
+    * INTEGER comparison (`3·n_tok ≤ n_chars`, `max_k·5 ≤ n_tok`) — no
+    * float ratio ever crosses an engine boundary, so thresholds cannot
+    * straddle an ulp (the q86 breakpoint discipline applied to rule
+    * gates). Dataflow: ONE tokenize+explode scan into the per-(doc,
+    * term) count relation (the q63 tcnt shape, map-side combinable);
+    * n_tokens, n_chars (= Σ k·len(term), exactly the non-space char
+    * count), stopword occurrences, and the max single-term count all
+    * fold out of that one relation in a second doc-keyed
+    * partial-aggregable groupBy — no join, no second scan. At 100 TB
+    * both shuffles are bounded by distinct terms per doc. */
+  val q102: Q = (s, d) => {
+    val tc = t(s, d, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("k"))
+    tc.groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_tokens"),
+        sum(col("k") * length(col("term"))).as("n_chars"),
+        sum(when(col("term").isin(TextOps.EnStops.map(x => x: Any): _*),
+          col("k")).otherwise(0L)).as("stop_k"),
+        max(col("k")).as("max_k"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") >= 50 && col("n_tokens") <= 100000).cast("int").as("r_len"),
+        (col("n_chars") >= col("n_tokens") * 3 &&
+          col("n_chars") <= col("n_tokens") * 10).cast("int").as("r_wordlen"),
+        (col("stop_k") >= 2).cast("int").as("r_stop"),
+        (col("max_k") * 5 <= col("n_tokens")).cast("int").as("r_maxword"))
+      .withColumn("pass",
+        (col("r_len") === 1 && col("r_wordlen") === 1 &&
+          col("r_stop") === 1 && col("r_maxword") === 1).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q102Sql: String =
+    """WITH tc AS (SELECT doc_id, term, count(*) AS k
+      |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |                  FROM documents)
+      |            GROUP BY doc_id, term),
+      |agg AS (SELECT doc_id,
+      |          CAST(sum(k) AS BIGINT) AS n_tokens,
+      |          CAST(sum(k * length(term)) AS BIGINT) AS n_chars,
+      |          CAST(sum(CASE WHEN term IN ('the', 'a', 'of', 'and', 'to')
+      |                        THEN k ELSE 0 END) AS BIGINT) AS stop_k,
+      |          CAST(max(k) AS BIGINT) AS max_k
+      |        FROM tc GROUP BY doc_id)
+      |SELECT doc_id, n_tokens,
+      |       CAST(n_tokens BETWEEN 50 AND 100000 AS INT) AS r_len,
+      |       CAST(n_chars >= n_tokens * 3 AND n_chars <= n_tokens * 10 AS INT) AS r_wordlen,
+      |       CAST(stop_k >= 2 AS INT) AS r_stop,
+      |       CAST(max_k * 5 <= n_tokens AS INT) AS r_maxword,
+      |       CAST(n_tokens BETWEEN 50 AND 100000
+      |            AND n_chars >= n_tokens * 3 AND n_chars <= n_tokens * 10
+      |            AND stop_k >= 2 AND max_k * 5 <= n_tokens AS INT) AS pass
+      |FROM agg ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- Q103
+  /** POSITIONAL winnowing (Schleimer et al., SIGMOD'03 — the MOSS
+    * algorithm; q27 keeps only the global min hash, this keeps the min
+    * of EVERY w-window of consecutive char-5-gram hashes): the classic
+    * guarantee that any shared substring of length ≥ w+k−1 = 8 chars
+    * yields at least one shared fingerprint, with ~2/(w+1) of positions
+    * selected — the density/recall dial plagiarism and near-dup systems
+    * actually ship. Per doc: fingerprint count, fingerprints recurring
+    * elsewhere in the corpus, share ratio (the q101 output shape, so
+    * the two shift-robust signals — CDC chunks and winnowed grams —
+    * read side by side). Dataflow: posexplode of the 5-gram relation,
+    * per-doc ROWS-frame window min (partitioned BY doc — embarrassingly
+    * parallel), distinct (doc, fp), then the corpus-recurrence count as
+    * a window over fp: one scan, and the only cross-doc shuffle carries
+    * the ~25%-selected fingerprint rows. Hash min is the md5 hex
+    * STRING min — identical lexicographic order both engines. */
+  val q103: Q = (s, d) => {
+    val w = 4
+    val g = t(s, d, "documents").filter(length(col("text")) >= 5)
+      .select(col("doc_id"), (length(col("text")) - 4).as("n"),
+        posexplode(TextOps.charNgrams(col("text"), 5)).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("n"), col("pos"), md5(col("gram")).as("h"))
+    val fp = g.withColumn("fp", min(col("h")).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, w - 1)))
+      .filter(col("pos") <= greatest(col("n") - w, lit(0)))
+      .select(col("doc_id"), col("fp")).distinct()
+    fp.withColumn("nd", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_ratio",
+        round(col("n_shared").cast("double") / col("n_fp"), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  val q103Sql: String =
+    """WITH g AS (SELECT doc_id, i - 1 AS pos, length(text) - 4 AS n,
+      |             md5(text[i:i + 4]) AS h
+      |           FROM (SELECT doc_id, text,
+      |                   unnest(generate_series(1, length(text) - 4)) AS i
+      |                 FROM documents WHERE length(text) >= 5)),
+      |w AS (SELECT doc_id, pos, n,
+      |        min(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |      FROM g),
+      |f AS (SELECT DISTINCT doc_id, fp FROM w WHERE pos <= greatest(n - 4, 0)),
+      |c AS (SELECT fp, count(*) AS nd FROM f GROUP BY fp)
+      |SELECT doc_id, count(*) AS n_fp,
+      |       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+      |       round(CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |             / count(*), 4) AS shared_ratio
+      |FROM f JOIN c USING (fp)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- Q104
+  /** Vocabulary-growth monitor (Heaps'-law curve): cumulative distinct
+    * vocabulary and cumulative token mass per 50-document ingest bucket
+    * — the corpus-health dashboard number that tells you whether new
+    * data is still contributing new language or just repeating the
+    * store (flattening curve ⇒ diminishing returns, the "data wall"
+    * signal). Exact integers end to end. Dataflow: token mass is
+    * scan-local (`size(tokens)` summed per bucket — no explode); the
+    * vocabulary side explodes per-doc DISTINCT tokens (map-side dedup
+    * shrinks the shuffle), takes min(doc_id) per term — ONE
+    * partial-aggregable term-keyed shuffle, the same first-occurrence
+    * shape as q106's novelty — then collapses to the bucket of first
+    * appearance. Everything after the term agg is bucket-count-sized;
+    * the running sums ride a single-partition window over ~N/50 rows.
+    * At 100 TB the term relation is the vocabulary, and min(doc_id) is
+    * exactly the mergeable statistic an incremental ingest maintains. */
+  val q104: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val bt = docs.select(expr("doc_id div 50").as("bucket"),
+        size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("bucket")).agg(sum(col("nt")).as("n_tokens"))
+    val nb = docs.select(col("doc_id"),
+        explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+      .groupBy(col("term")).agg(min(col("doc_id")).as("first_doc"))
+      .select(expr("first_doc div 50").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_new_terms"))
+    val cum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bt.join(nb, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_new_terms"))
+      .select(col("bucket"), col("n_tokens"), col("n_new_terms"),
+        sum(col("n_new_terms")).over(cum).as("cum_vocab"),
+        sum(col("n_tokens")).over(cum).as("cum_tokens"))
+      .orderBy(col("bucket"))
+  }
+
+  val q104Sql: String =
+    """WITH bt AS (SELECT doc_id // 50 AS bucket,
+      |              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |            FROM documents GROUP BY 1),
+      |ft AS (SELECT term, min(doc_id) AS first_doc
+      |       FROM (SELECT doc_id,
+      |               unnest(list_distinct(string_split(text, ' '))) AS term
+      |             FROM documents)
+      |       GROUP BY term),
+      |nb AS (SELECT first_doc // 50 AS bucket, count(*) AS n_new FROM ft GROUP BY 1)
+      |SELECT bt.bucket, bt.n_tokens,
+      |       CAST(coalesce(nb.n_new, 0) AS BIGINT) AS n_new_terms,
+      |       CAST(sum(coalesce(nb.n_new, 0)) OVER (ORDER BY bt.bucket) AS BIGINT) AS cum_vocab,
+      |       CAST(sum(bt.n_tokens) OVER (ORDER BY bt.bucket) AS BIGINT) AS cum_tokens
+      |FROM bt LEFT JOIN nb USING (bucket) ORDER BY bucket""".stripMargin
+
+  // --------------------------------------------------------------- Q105
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): per
+    * language, rank documents by the q63 unigram-LM fluency score and
+    * cut head / middle / tail terciles — the curation tiering that
+    * decides what trains first (head), what gets a second look
+    * (middle), and what needs justification (tail). The cut is made on
+    * the 4-dp-ROUNDED score with doc_id as total-order tiebreak and the
+    * tercile as an integer `div` of the rank — both engines compute the
+    * identical rounded score (q63 is hash-green on exactly this
+    * expression), so the bucket boundary is deterministic even where
+    * raw float sums differ in summation order (the q86 ulp lesson
+    * applied to a DERIVED threshold). Dataflow: q63's one-scan scoring
+    * lineage (per-(doc, term) counts joined to the broadcast
+    * vocabulary model), then one doc-sized window per lang for the
+    * rank. Output is 15 rows (5 langs × 3 buckets) with integer doc
+    * and token masses and the rounded score range per bucket. */
+  val q105: Q = (s, d) => {
+    val tok = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), explode(TextOps.tokens(col("text"))).as("term"))
+    val tcnt = tok.groupBy(col("doc_id"), col("lang"), col("term")).agg(count(lit(1)).as("k"))
+    val probs = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = probs.agg(sum(col("cnt")).cast("double").as("__t"))
+    val kd = col("k").cast("double")
+    val scored = tcnt.join(broadcast(probs), "term").crossJoin(broadcast(total))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("k")).as("n_tokens"),
+        round(sum(kd * log(col("cnt").cast("double") / col("__t"))) / sum(kd), 4)
+          .as("avg_logp"))
+    val lw = Window.partitionBy(col("lang"))
+    scored
+      .withColumn("rn", row_number().over(lw.orderBy(col("avg_logp").desc, col("doc_id"))))
+      .withColumn("cd", count(lit(1)).over(lw))
+      .withColumn("bucket", expr("CAST(((rn - 1) * 3) div cd AS BIGINT)"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("avg_logp")).as("min_logp"),
+        max(col("avg_logp")).as("max_logp"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  val q105Sql: String =
+    """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+      |             FROM documents),
+      |tc AS (SELECT doc_id, lang, term, count(*) AS k FROM tok GROUP BY 1, 2, 3),
+      |p AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+      |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM p),
+      |sc AS (SELECT doc_id, lang, CAST(sum(k) AS BIGINT) AS n_tokens,
+      |         round(sum(CAST(k AS DOUBLE) * ln(CAST(cnt AS DOUBLE) / t))
+      |               / sum(CAST(k AS DOUBLE)), 4) AS avg_logp
+      |       FROM tc JOIN p USING (term) CROSS JOIN tot GROUP BY 1, 2),
+      |rk AS (SELECT *,
+      |         row_number() OVER (PARTITION BY lang ORDER BY avg_logp DESC, doc_id) AS rn,
+      |         count(*) OVER (PARTITION BY lang) AS cd
+      |       FROM sc)
+      |SELECT lang, CAST(((rn - 1) * 3) // cd AS BIGINT) AS bucket,
+      |       count(*) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |       min(avg_logp) AS min_logp, max(avg_logp) AS max_logp
+      |FROM rk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------- Q106
+  /** Per-document NOVELTY rate in ingest order: the fraction of a
+    * document's distinct word-3-gram shingles appearing for the FIRST
+    * time in the corpus at that document (min(doc_id) over the shingle
+    * = this doc) — the content-yield signal a streaming ingest reads
+    * before paying for a batch ("this crawl is 90% already-seen
+    * shingles"), and the per-doc decomposition of q104's corpus curve.
+    * q61's single-scan window discipline: one tokenize scan through the
+    * fused distinct-shingle kernel, ONE shuffle keyed on the shingle
+    * where the window min computes first-appearance in place (no
+    * aggregate-then-rejoin), then the doc-keyed partial-aggregable
+    * fold. At 100 TB the shingle min is mergeable ingest state — the
+    * same first-occurrence statistic q104 maintains for terms — and
+    * the incremental form is a bloom/band lookup against the store. */
+  val q106: Q = (s, d) => {
+    val sh = t(s, d, "documents")
+      .select(col("doc_id"), explode(TextOps.shinglesNative(col("text"), 3)).as("sg"))
+    sh.withColumn("first_doc", min(col("doc_id")).over(Window.partitionBy(col("sg"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles"), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  val q106Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |dsh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |          generate_series(1, len(t) - 2),
+      |          i -> array_to_string(t[i:i + 2], ' ')))) AS sg
+      |        FROM toks),
+      |w AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY sg) AS first_doc FROM dsh)
+      |SELECT doc_id, count(*) AS n_shingles,
+      |       CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |       round(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+      |             / count(*), 4) AS novelty
+      |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
@@ -3037,7 +3303,12 @@ object PipelineQueries {
     ("q98_hybrid_rrf", q98, q98Sql),
     ("q99_triangle_coeff", q99, q99Sql),
     ("q100_dup_spans", q100, q100Sql),
-    ("q101_cdc_dedup", q101, q101Sql))
+    ("q101_cdc_dedup", q101, q101Sql),
+    ("q102_gopher_rules", q102, q102Sql),
+    ("q103_winnowing", q103, q103Sql),
+    ("q104_vocab_growth", q104, q104Sql),
+    ("q105_perplexity_buckets", q105, q105Sql),
+    ("q106_novelty_rate", q106, q106Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type (KLL-style `percentile_approx`

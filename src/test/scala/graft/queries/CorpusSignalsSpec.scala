@@ -1,0 +1,150 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** Round-6 corpus-signal queries: Gopher rule gate (q102), positional
+  * winnowing (q103), vocabulary growth (q104), perplexity terciles
+  * (q105), novelty rate (q106). Each test pins the PROPERTY that makes
+  * the signal trustworthy — rule boundaries are exact-integer, the
+  * winnowing guarantee holds, curves are monotone, buckets partition,
+  * novelty decomposes — not just a golden row count.
+  */
+class CorpusSignalsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDir(docs: Seq[(Long, String, String)]): String = {
+    val dir = Files.createTempDirectory("sig_docs").toString
+    docs.toDF("doc_id", "text", "lang").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def prose(seed: Int, words: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    (0 until words).map(_ => {
+      val len = 3 + rnd.nextInt(6)
+      (0 until len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    }).mkString(" ")
+  }
+
+  // ------------------------------------------------------------- q102
+  test("q102: every rule boundary is exact — one token / one char / one stopword flips the gate") {
+    // 50 four-char tokens incl. 2 stopwords, max word 'the' ×2 → all pass
+    val pass = (Seq("the", "the") ++ (0 until 48).map(i => f"w$i%03d")).mkString(" ")
+    // 49 tokens → r_len fails
+    val short = (Seq("the", "the") ++ (0 until 47).map(i => f"w$i%03d")).mkString(" ")
+    // one stopword → r_stop fails
+    val oneStop = (Seq("the") ++ (0 until 49).map(i => f"w$i%03d")).mkString(" ")
+    // mean word length below 3: fifty 2-char words (+2 stops keep r_stop)
+    val thin = (Seq("of", "to") ++ (0 until 48).map(i => f"a$i".take(2))).mkString(" ")
+    // max word share: 11 of 50 = 22% > 20% → r_maxword fails
+    val loop = (Seq.fill(11)("the") ++ (0 until 39).map(i => f"w$i%03d")).mkString(" ")
+    val d = docsDir(Seq((1L, pass, "en"), (2L, short, "en"), (3L, oneStop, "en"),
+      (4L, thin, "en"), (5L, loop, "en")))
+    val got = PipelineQueries.q102(spark, d)
+      .select("doc_id", "r_len", "r_wordlen", "r_stop", "r_maxword", "pass")
+      .as[(Long, Int, Int, Int, Int, Int)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 1, 1, 1, 1, 1)), s"all-rules doc: ${got(1L)}")
+    assert(got(2L)._2 == 0 && got(2L)._6 == 0, s"49 tokens must fail r_len: ${got(2L)}")
+    assert(got(3L)._4 == 0, s"one stopword must fail r_stop: ${got(3L)}")
+    assert(got(4L)._3 == 0, s"2-char words must fail r_wordlen: ${got(4L)}")
+    assert(got(5L)._5 == 0 && got(5L)._2 == 1, s"22% single word must fail only r_maxword: ${got(5L)}")
+  }
+
+  test("q102: mean-word-length bounds are inclusive (exactly 3.0 and 10.0 pass)") {
+    val exact3 = (Seq("the", "and") ++ Seq.fill(48)("abc")).mkString(" ")  // 50×3 chars
+    val exact10 = (Seq("theedgeofx", "anotherten") ++
+      Seq.fill(48)("abcdefghij")).mkString(" ")                            // 50×10 chars
+    val d = docsDir(Seq((1L, exact3, "en"), (2L, exact10, "en")))
+    val got = PipelineQueries.q102(spark, d)
+      .select("doc_id", "r_wordlen").as[(Long, Int)].collect().toMap
+    assert(got(1L) == 1 && got(2L) == 1,
+      s"boundary means must pass inclusively: $got")
+  }
+
+  // ------------------------------------------------------------- q103
+  test("q103: the winnowing guarantee — docs sharing an 8+ char substring share a fingerprint") {
+    val shared = "zqxvkwjy" // 8 = w + k - 1 chars, alphabet unlikely in prose
+    val a = prose(1, 300) + " " + shared + " " + prose(2, 10)
+    val b = prose(3, 10) + " " + shared + " " + prose(4, 300)
+    val d = docsDir(Seq((1L, a, "en"), (2L, b, "en")))
+    val got = PipelineQueries.q103(spark, d)
+      .select("doc_id", "n_shared").as[(Long, Long)].collect().toMap
+    assert(got(1L) >= 1 && got(2L) >= 1,
+      s"8-char shared substring must surface in both docs' shared fingerprints: $got")
+  }
+
+  test("q103: fingerprint density tracks 2/(w+1) and unrelated docs stay near zero sharing") {
+    val d = docsDir(Seq((1L, prose(11, 400), "en"), (2L, prose(12, 400), "en")))
+    val got = PipelineQueries.q103(spark, d)
+      .select("doc_id", "n_fp", "shared_ratio")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val nGrams = 400 * 7 - 4 // ≈ chars - 4; loose lower bound on windows
+    val density = got(1L)._1.toDouble / nGrams
+    assert(density > 0.15 && density < 0.6,
+      s"winnowing density $density far from the 2/(w+1)=0.4 expectation")
+    assert(got(1L)._2 < 0.05 && got(2L)._2 < 0.05,
+      s"unrelated docs report fingerprint sharing: $got")
+  }
+
+  // ------------------------------------------------------------- q104
+  test("q104: curves are monotone and totals reconcile with the corpus") {
+    val rows = PipelineQueries.q104(spark, sf0001)
+      .select("bucket", "n_tokens", "n_new_terms", "cum_vocab", "cum_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    // running sums really run
+    rows.foldLeft((0L, 0L)) { case ((v, t), r) =>
+      assert(r._4 == v + r._3, s"cum_vocab break at bucket ${r._1}")
+      assert(r._5 == t + r._2, s"cum_tokens break at bucket ${r._1}")
+      (r._4, r._5)
+    }
+    // final cum_vocab == corpus distinct tokens; cum_tokens == corpus tokens
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.load(spark, sf0001, "documents")
+    val toks = docs.select(explode(split(col("text"), " ")).as("t"))
+    val (vocab, total) = (toks.distinct().count(), toks.count())
+    assert(rows.last._4 == vocab, s"cum_vocab ${rows.last._4} != corpus vocab $vocab")
+    assert(rows.last._5 == total, s"cum_tokens ${rows.last._5} != corpus tokens $total")
+  }
+
+  // ------------------------------------------------------------- q105
+  test("q105: terciles partition each language and score ranges are ordered head ≥ middle ≥ tail") {
+    val rows = PipelineQueries.q105(spark, sf0001)
+      .select("lang", "bucket", "n_docs", "min_logp", "max_logp")
+      .as[(String, Long, Long, Double, Double)].collect()
+    val byLang = rows.groupBy(_._1)
+    val docs = graft.core.Tables.load(spark, sf0001, "documents")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    byLang.foreach { case (lang, bs) =>
+      assert(bs.map(_._2).sorted.toSeq == Seq(0L, 1L, 2L), s"$lang missing a bucket")
+      assert(bs.map(_._3).sum == docs(lang), s"$lang buckets don't partition its docs")
+      val sizes = bs.sortBy(_._2).map(_._3)
+      assert(sizes.max - sizes.min <= 1, s"$lang tercile sizes unbalanced: ${sizes.toSeq}")
+      val s = bs.sortBy(_._2)
+      assert(s(0)._4 >= s(1)._5 && s(1)._4 >= s(2)._5,
+        s"$lang score ranges overlap across buckets: ${s.toSeq}")
+    }
+  }
+
+  // ------------------------------------------------------------- q106
+  test("q106: a verbatim duplicate has novelty 0, the corpus-first doc 1, and novel counts sum to the vocab of shingles") {
+    val a = prose(21, 200)
+    val d = docsDir(Seq((1L, a, "en"), (2L, prose(22, 200), "en"), (3L, a, "en")))
+    val got = PipelineQueries.q106(spark, d)
+      .select("doc_id", "n_shingles", "n_novel", "novelty")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._4 == 1.0, s"first doc must be fully novel: ${got(1L)}")
+    assert(got(3L)._4 == 0.0, s"verbatim dup must be zero-novel: ${got(3L)}")
+    // novel counts decompose the corpus shingle vocabulary exactly
+    import org.apache.spark.sql.functions._
+    val corpusVocab = spark.read.parquet(s"$d/documents.parquet")
+      .select(explode(graft.functions.TextOps.shinglesNative(col("text"), 3)).as("sg"))
+      .distinct().count()
+    assert(got.values.map(_._3).sum == corpusVocab,
+      s"sum of per-doc novel shingles must equal the corpus shingle vocab $corpusVocab")
+    assert(got(2L)._4 > 0.9, s"unrelated doc should be mostly novel: ${got(2L)}")
+  }
+}

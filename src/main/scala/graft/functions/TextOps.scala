@@ -46,6 +46,14 @@ object TextOps {
     org.apache.spark.sql.GraftShim.column(expressions.WordShingles(
       org.apache.spark.sql.GraftShim.expression(text), n, distinct = false))
 
+  /** Positional winnowing fingerprints (q103) as one fused scan-local
+    * pass ([[expressions.WinnowFingerprints]]): distinct w-window
+    * minima over char n-gram md5s, property-tested equal to the
+    * posexplode + doc-window + distinct dataflow it replaces. */
+  def winnowFingerprints(text: Column, n: Int, w: Int): Column =
+    org.apache.spark.sql.GraftShim.column(expressions.WinnowFingerprints(
+      org.apache.spark.sql.GraftShim.expression(text), n, w))
+
   /** Content-defined chunk md5s (q101) as one fused pass
     * ([[expressions.CdcChunkHashes]]), property-tested bit-equal to the
     * declarative boundary-filter + zip_with chain. */

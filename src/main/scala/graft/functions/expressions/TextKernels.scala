@@ -507,3 +507,104 @@ object CdcChunkHashes {
     new GenericArrayData(out)
   }
 }
+
+/** Positional winnowing fingerprints (q103) as one fused scan-local
+  * kernel: char n-gram md5s, sliding w-window minimum, first-occurrence
+  * distinct — the whole Schleimer et al. selection per document in a
+  * single pass, replacing a per-CHARACTER posexplode + doc-partitioned
+  * window sort + distinct exchange (the declarative draft shuffled one
+  * row per character three times; winnowing is per-document, so none of
+  * that needs to leave the scan). Property-tested equal to the
+  * posexplode + window-min + distinct dataflow. Hashes compare as raw
+  * 16-byte digests (unsigned lexicographic == hex-string order, hex
+  * being order-preserving per byte); only SELECTED fingerprints pay the
+  * hex conversion, and a window whose argmin is the previously selected
+  * position is skipped before any allocation (the classic winnowing
+  * robustness argument: adjacent windows usually share their min).
+  */
+case class WinnowFingerprints(child: Expression, n: Int, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowFingerprints.compute(input.asInstanceOf[UTF8String], n, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.WinnowFingerprints.compute($c, $n, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
+object WinnowFingerprints {
+  private val Hex = "0123456789abcdef".toCharArray
+
+  private def hex32(d: Array[Byte]): String = {
+    val hex = new Array[Char](32)
+    var b = 0
+    while (b < 16) {
+      hex(2 * b) = Hex((d(b) >> 4) & 0xf)
+      hex(2 * b + 1) = Hex(d(b) & 0xf)
+      b += 1
+    }
+    new String(hex)
+  }
+
+  /** Unsigned lexicographic digest compare (== md5 hex string order). */
+  private def less(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  /** Static entry for generated code (one invoke per row). */
+  def compute(text: UTF8String, n: Int, w: Int): ArrayData = {
+    val s = text.toString
+    val len = s.length
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val md = MessageDigest.getInstance("MD5")
+    val bytes = text.getBytes
+    val ascii = bytes.length == len
+    val nGrams = len - n + 1
+    val digests = new Array[Array[Byte]](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      md.reset()
+      if (ascii) md.update(bytes, i, n)
+      else md.update(s.substring(i, i + n)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      digests(i) = md.digest()
+      i += 1
+    }
+    val lastStart = math.max(nGrams - w, 0)
+    val seen = new java.util.LinkedHashSet[String]
+    var lastArgmin = -1
+    var p = 0
+    while (p <= lastStart) {
+      val end = math.min(p + w, nGrams)
+      var best = p
+      var q = p + 1
+      while (q < end) {
+        if (less(digests(q), digests(best))) best = q
+        q += 1
+      }
+      if (best != lastArgmin) {
+        seen.add(hex32(digests(best)))
+        lastArgmin = best
+      }
+      p += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+}

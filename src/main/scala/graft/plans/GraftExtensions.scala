@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{ArrayCosine, ArrayDot, ArraySqDistLong, CdcChunkHashes, EditDistanceIs1, WordShingles}
+import graft.functions.expressions.{ArrayCosine, ArrayDot, ArraySqDistLong, CdcChunkHashes, EditDistanceIs1, WinnowFingerprints, WordShingles}
 
 /** Engine extensions, installable via
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions`:
@@ -87,6 +87,22 @@ object GraftExtensions {
     CdcChunkHashes(args.head, w)
   }
 
+  /** `graft_winnow(text, n, w)`: positional winnowing fingerprints
+    * (distinct w-window minima over char n-gram md5s) through the fused
+    * [[WinnowFingerprints]] kernel; `n` and `w` are int literals like
+    * [[shinglesBuilder]]'s n (construction parameters). */
+  val winnowBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 3, "graft_winnow(text, n, w) takes (string, int literal, int literal)")
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.IntegerType
+    def intLit(e: Expression, name: String): Int = e match {
+      case Literal(v: Int, IntegerType) if v > 0 => v
+      case other => throw new IllegalArgumentException(
+        s"graft_winnow $name must be a positive int literal, got $other")
+    }
+    WinnowFingerprints(args.head, intLit(args(1), "n"), intLit(args(2), "w"))
+  }
+
   /** `graft_redact_pii(text)` SQL builder: the [[graft.functions.TextOps
     * .redactPii]] chain as a direct Catalyst `RegExpReplace` tree (the
     * Column-API shim wraps args in an unevaluable ColumnNode under
@@ -128,6 +144,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cdc_chunks"),
       new ExpressionInfo(classOf[CdcChunkHashes].getName, "graft_cdc_chunks"),
       GraftExtensions.cdcBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow"),
+      GraftExtensions.winnowBuilder))
     ext.injectFunction((
       FunctionIdentifier("graft_redact_pii"),
       new ExpressionInfo(classOf[Expression].getName, "graft_redact_pii"),

@@ -3042,22 +3042,39 @@ object PipelineQueries {
     * actually ship. Per doc: fingerprint count, fingerprints recurring
     * elsewhere in the corpus, share ratio (the q101 output shape, so
     * the two shift-robust signals — CDC chunks and winnowed grams —
-    * read side by side). Dataflow: posexplode of the 5-gram relation,
-    * per-doc ROWS-frame window min (partitioned BY doc — embarrassingly
-    * parallel), distinct (doc, fp), then the corpus-recurrence count as
-    * a window over fp: one scan, and the only cross-doc shuffle carries
-    * the ~25%-selected fingerprint rows. Hash min is the md5 hex
-    * STRING min — identical lexicographic order both engines. */
-  val q103: Q = (s, d) => {
-    val w = 4
-    val g = t(s, d, "documents").filter(length(col("text")) >= 5)
+    * read side by side). Dataflow: the whole per-document selection —
+    * char-5-gram md5s, sliding 4-window minima, first-occurrence
+    * distinct — runs inside the fused native
+    * [[graft.functions.expressions.WinnowFingerprints]] kernel in the
+    * scan projection (winnowing is per-document, so nothing leaves the
+    * scan until selection; the declarative posexplode + doc-window +
+    * distinct draft shuffled one row per CHARACTER three times — 4.5 s
+    * vs 0.5 s at sf0.1, property-test-pinned equal), then the
+    * corpus-recurrence count as ONE window over fp — the only cross-doc
+    * shuffle, carrying only selected fingerprints. Hash min is the md5
+    * hex STRING min — identical lexicographic order both engines (the
+    * kernel compares raw digests; hex encoding is order-preserving). */
+  /** The declarative reference form of the q103 selection — per-char
+    * posexplode, doc-partitioned ROWS-frame window min, distinct —
+    * kept for the property test pinning the native kernel equal. It
+    * shuffles one row per CHARACTER three times (doc window sort,
+    * distinct, fp window) where winnowing is per-document and needs
+    * none of them; measured 4.5 s vs 0.5 s at sf0.1. */
+  private[graft] def winnowFingerprintsDf(docs: DataFrame, w: Int): DataFrame = {
+    val g = docs.filter(length(col("text")) >= 5)
       .select(col("doc_id"), (length(col("text")) - 4).as("n"),
         posexplode(TextOps.charNgrams(col("text"), 5)).as(Seq("pos", "gram")))
       .select(col("doc_id"), col("n"), col("pos"), md5(col("gram")).as("h"))
-    val fp = g.withColumn("fp", min(col("h")).over(
+    g.withColumn("fp", min(col("h")).over(
         Window.partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, w - 1)))
       .filter(col("pos") <= greatest(col("n") - w, lit(0)))
       .select(col("doc_id"), col("fp")).distinct()
+  }
+
+  val q103: Q = (s, d) => {
+    val fp = t(s, d, "documents").filter(length(col("text")) >= 5)
+      .select(col("doc_id"),
+        explode(TextOps.winnowFingerprints(col("text"), 5, 4)).as("fp"))
     fp.withColumn("nd", count(lit(1)).over(Window.partitionBy(col("fp"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_fp"),

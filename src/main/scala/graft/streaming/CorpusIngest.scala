@@ -149,4 +149,89 @@ object CorpusIngest {
           numHashes, minJaccard, scrubPii, bandTableName): Unit
       }
       .start()
+
+  /** One micro-batch of the NOVELTY monitor (q106's continuous twin):
+    * per document, the fraction of its distinct word shingles appearing
+    * for the first time — first within this batch (min doc_id, q106's
+    * exact semantic) or first ever, judged against the stored
+    * first-appearance relation `(sg, first_doc)` in `shDir`. Replaying
+    * batches in doc_id order over an empty store reproduces batch q106
+    * row for row (spec-pinned), so the monitor's numbers mean the same
+    * thing as the batch report.
+    *
+    * The store keeps `first_doc` (not bare membership) deliberately:
+    * a crash-replayed batch finds its own shingles stored with
+    * `first_doc` pointing back at its docs and still counts them novel
+    * — the emitted rows are IDEMPOTENT under replay (spec-pinned),
+    * where a membership-only store would collapse a replay's novelty
+    * to 0 and double-emit conflicting rows. `(sg, min doc_id)` is the
+    * same mergeable statistic q104/q106 aggregate, maintained
+    * incrementally. At 100 TB the store is laid out bucketed by `sg`
+    * with a bloom sidecar (the q84 shape): bloom-negative batch
+    * shingles are definitively new and skip the join entirely; only
+    * possible repeats probe their bucket. */
+  def noveltyBatch(batch: DataFrame, shDir: String,
+                   shingleN: Int = 3): DataFrame = {
+    val spark = batch.sparkSession
+    val sh = batch.select(col("doc_id"),
+      explode(graft.functions.TextOps.shinglesNative(col("text"), shingleN)).as("sg"))
+    val batchFirst = sh.withColumn("batch_first",
+      min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("sg"))))
+    val stored =
+      try {
+        val df = spark.read.parquet(shDir)
+        if (df.columns.contains("sg")) Some(df) else None
+      } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val flagged = stored match {
+      case Some(st) =>
+        // fold the store to one row per shingle: a crash-replayed batch
+        // appends its (sg, first_doc) pairs a second time, and a bare
+        // left join against the duplicated rows would double-count
+        // n_shingles. min == the unique first_doc for replay dups; on
+        // the bucketed-by-sg deployment layout this fold is
+        // exchange-free.
+        batchFirst.join(
+            st.groupBy(col("sg")).agg(min(col("first_doc")).as("stored_first")),
+            Seq("sg"), "left")
+          .withColumn("novel",
+            when(col("stored_first").isNotNull, col("stored_first") === col("doc_id"))
+              .otherwise(col("batch_first") === col("doc_id")))
+      case None =>
+        batchFirst.withColumn("stored_first", lit(null).cast("long"))
+          .withColumn("novel", col("batch_first") === col("doc_id"))
+    }
+    // materialize BOTH consumers before touching the store dir the
+    // lineage reads (the ingestBatch discipline)
+    val out = flagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("novel"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles"), 4))
+      .localCheckpoint()
+    val newFirsts = flagged
+      .filter(col("stored_first").isNull && col("batch_first") === col("doc_id"))
+      .select(col("sg"), col("doc_id").as("first_doc"))
+      .localCheckpoint()
+    newFirsts.write.mode(SaveMode.Append).parquet(shDir)
+    out
+  }
+
+  /** The continuous form of [[noveltyBatch]]: per-batch novelty rows
+    * append to `outDir`, the first-appearance store advances in
+    * `shDir`. The content-yield dashboard a crawl ingest watches — a
+    * batch arriving mostly non-novel is not worth its processing cost
+    * downstream. */
+  def startNoveltyMonitor(docs: DataFrame, shDir: String, outDir: String,
+                          checkpointDir: String,
+                          trigger: Trigger = Trigger.AvailableNow(),
+                          shingleN: Int = 3): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        noveltyBatch(batch, shDir, shingleN)
+          .write.mode(SaveMode.Append).parquet(outDir): Unit
+      }
+      .start()
 }

@@ -32,6 +32,33 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("native WinnowFingerprints equals the posexplode + window-min + distinct dataflow") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val texts = Seq("", "abcd", "abcde", "abcdef", "abcdefgh", "aaaaaaaaaa",
+      "déjà vu Ωmega soup" /* multibyte fallback */) ++
+      (0 until 120).map { _ =>
+        val len = rnd.nextInt(400)
+        (0 until len).map(_ =>
+          if (rnd.nextInt(6) == 0) ' ' else ('a' + rnd.nextInt(26)).toChar).mkString
+      }
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val native = d.filter(length(col("text")) >= 5)
+      .select(col("doc_id"), explode(TextOps.winnowFingerprints(col("text"), 5, 4)).as("fp"))
+      .as[(Long, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ref = graft.queries.PipelineQueries.winnowFingerprintsDf(d, 4)
+      .as[(Long, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(native == ref, {
+      val diff = (native.keySet ++ ref.keySet).filter(k => native.get(k) != ref.get(k))
+      s"winnow kernel diverges on docs $diff"
+    })
+    // docs shorter than one gram produce no fingerprints
+    val empty = d.filter(length(col("text")) < 5)
+      .select(TextOps.winnowFingerprints(col("text"), 5, 4).as("f"))
+      .as[Seq[String]].collect()
+    assert(empty.forall(_.isEmpty))
+  }
+
   test("native MinHashBandKeys is bit-equal to the concat_ws band-key form") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)

@@ -112,7 +112,8 @@ class RewriteLatestPerGroupSpec extends SparkSpec {
   test("graft_sqdist_long / graft_cdc_chunks work as SQL functions") {
     val s = spark.newSession()
     Seq("graft_sqdist_long" -> GraftExtensions.sqDistBuilder,
-        "graft_cdc_chunks" -> GraftExtensions.cdcBuilder)
+        "graft_cdc_chunks" -> GraftExtensions.cdcBuilder,
+        "graft_winnow" -> GraftExtensions.winnowBuilder)
       .foreach { case (n, b) =>
         s.sessionState.functionRegistry.createOrReplaceTempFunction(n, b, "built-in")
       }
@@ -124,6 +125,13 @@ class RewriteLatestPerGroupSpec extends SparkSpec {
     assert(ch.length == 1 && ch.head.length == 32)
     intercept[Exception] { // w is a construction parameter
       s.sql("SELECT graft_cdc_chunks('abc', length('xx')) AS c").collect()
+    }
+    // graft_winnow: one fingerprint for a single-window doc; 32-hex
+    val fp = s.sql("SELECT graft_winnow('abcdefgh', 5, 4) AS f")
+      .collect().head.getSeq[String](0)
+    assert(fp.nonEmpty && fp.forall(_.length == 32))
+    intercept[Exception] {
+      s.sql("SELECT graft_winnow('abcdefgh', 5, length('xxxx')) AS f").collect()
     }
   }
 

@@ -94,6 +94,16 @@ object PlanAuditSpec {
     "q98_hybrid_rrf" -> 0,
     "q99_triangle_coeff" -> 0,
     "q100_dup_spans" -> 0,
+    // round-6 corpus signals, audited tight: q102/q103/q106 do all
+    // their work on ONE scan (q102's two-level agg, q103's doc-window +
+    // fp-window, q106's shingle-window fold); q104 scans once for token
+    // mass and once for the vocabulary side; q105 inherits q63's
+    // documented 3-scan scoring lineage (tcnt + probs + total)
+    "q102_gopher_rules" -> 1,
+    "q103_winnowing" -> 1,
+    "q104_vocab_growth" -> 2,
+    "q105_perplexity_buckets" -> 3,
+    "q106_novelty_rate" -> 1,
     // multi-table relational joins (one scan per table, plus documented
     // reuse): audited counts
     "q10_join_inner_equi" -> 4,

@@ -3255,6 +3255,92 @@ object PipelineQueries {
       |             / count(*), 4) AS novelty
       |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- Q107
+  /** NPMI collocation mining (Church & Hanks 1990 association scoring,
+    * the word2phrase/tokenizer-merge signal): top adjacent word pairs
+    * by normalized pointwise mutual information over the bigram
+    * contingency table — "these two tokens belong together" is what
+    * decides phrase merges before tokenizer training. Marginals are
+    * the BIGRAM-position marginals (c1 = pairs starting with w1, c2 =
+    * pairs ending with w2), so the whole statistic derives from ONE
+    * bigram-count relation: two window sums over it (q89's in-place
+    * model discipline) plus a broadcast one-row total (that second
+    * consumer of the counts lineage re-executes its scan — the
+    * documented q63 tradeoff; production pins counts at ingest). All
+    * counts exact integers; the ln ratio is the identical IEEE
+    * expression both engines and the 4-dp round masks the libm ulp
+    * (q63's discipline), with (w1, w2) breaking rank ties so the
+    * top-20 cut is deterministic. A perfectly exclusive pair (c12 ==
+    * c1 == c2) scores exactly 1.0 — spec-pinned. */
+  val q107: Q = (s, d) => {
+    val toks = t(s, d, "documents").select(TextOps.tokens(col("text")).as("t"))
+    val bg = toks.select(explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val n = c.agg(sum(col("c12")).cast("double").as("__n"))
+    val m = c
+      .withColumn("c1", sum(col("c12")).over(Window.partitionBy(col("w1"))))
+      .withColumn("c2", sum(col("c12")).over(Window.partitionBy(col("w2"))))
+      .crossJoin(broadcast(n))
+    val c12d = col("c12").cast("double")
+    val pmi = log((c12d * col("__n")) / (col("c1").cast("double") * col("c2").cast("double")))
+    m.filter(col("c12") >= 5)
+      .select(col("w1"), col("w2"), col("c12"),
+        round(pmi / log(col("__n") / c12d), 4).as("npmi"))
+      .orderBy(col("npmi").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  val q107Sql: String =
+    """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+      |bgr AS (SELECT t[i] AS w1, t[i + 1] AS w2
+      |        FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)),
+      |c AS (SELECT w1, w2, count(*) AS c12 FROM bgr GROUP BY 1, 2),
+      |m AS (SELECT *,
+      |        sum(c12) OVER (PARTITION BY w1) AS c1,
+      |        sum(c12) OVER (PARTITION BY w2) AS c2,
+      |        CAST((SELECT sum(c12) FROM c) AS DOUBLE) AS n
+      |      FROM c)
+      |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+      |       round(ln((CAST(c12 AS DOUBLE) * n)
+      |                / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)))
+      |             / ln(n / CAST(c12 AS DOUBLE)), 4) AS npmi
+      |FROM m WHERE c12 >= 5
+      |ORDER BY npmi DESC, w1, w2 LIMIT 20""".stripMargin
+
+  // --------------------------------------------------------------- Q108
+  /** Cross-source duplication matrix: for every source pair (a ≤ b),
+    * the number of distinct content hashes present in BOTH — "which
+    * crawl duplicates which" is the dashboard that decides source
+    * ordering and dedup priority in a multi-crawl corpus; the diagonal
+    * is each source's distinct-content count (its exact-dedup'd size).
+    * Dataflow: one scan projects (md5, source), per-pair distinct
+    * collapses repeats map-side, then ONE equi-join on the hash — the
+    * same key the exact-dedup family already shuffles on — whose
+    * per-key fan-out is bounded by the SOURCE count squared, never by
+    * group size (a hash duplicated 10⁶ times across 5 sources joins
+    * 5×5, because the distinct collapsed the multiplicity first).
+    * Everything downstream is a sources²-row aggregate. */
+  val q108: Q = (s, d) => {
+    val ds = t(s, d, "documents")
+      .select(md5(col("text")).as("h"), col("source")).distinct()
+    ds.as("a").join(ds.as("b"),
+        col("a.h") === col("b.h") && col("a.source") <= col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val q108Sql: String =
+    """WITH ds AS (SELECT DISTINCT md5(text) AS h, source FROM documents)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |       count(*) AS n_shared
+      |FROM ds a JOIN ds b ON a.h = b.h AND a.source <= b.source
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
@@ -3325,7 +3411,9 @@ object PipelineQueries {
     ("q103_winnowing", q103, q103Sql),
     ("q104_vocab_growth", q104, q104Sql),
     ("q105_perplexity_buckets", q105, q105Sql),
-    ("q106_novelty_rate", q106, q106Sql))
+    ("q106_novelty_rate", q106, q106Sql),
+    ("q107_collocations", q107, q107Sql),
+    ("q108_dup_matrix", q108, q108Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type (KLL-style `percentile_approx`

@@ -147,4 +147,40 @@ class CorpusSignalsSpec extends SparkSpec {
       s"sum of per-doc novel shingles must equal the corpus shingle vocab $corpusVocab")
     assert(got(2L)._4 > 0.9, s"unrelated doc should be mostly novel: ${got(2L)}")
   }
+
+  // ------------------------------------------------------------- q107
+  test("q107: a perfectly exclusive adjacent pair scores npmi exactly 1.0 and ranks first") {
+    // 'qq rr' always adjacent and each word only in that pair (c12 == c1
+    // == c2 == 8); filler words co-occur in RANDOM order so no filler
+    // pair is exclusive
+    val rnd = new scala.util.Random(5)
+    def filler() = (0 until 30).map(_ => s"f${rnd.nextInt(4)}").mkString(" ")
+    val docs = (0 until 8).map(i =>
+      (i.toLong, s"${filler()} qq rr ${filler()}", "en"))
+    val got = PipelineQueries.q107(spark, docsDir(docs))
+      .select("w1", "w2", "npmi").as[(String, String, Double)].collect()
+    assert(got.nonEmpty && got.head == (("qq", "rr", 1.0)),
+      s"exclusive pair must rank first at exactly 1.0: ${got.take(3).toSeq}")
+    assert(got.tail.forall(_._3 < 1.0), "no other pair is exclusive")
+  }
+
+  // ------------------------------------------------------------- q108
+  test("q108: matrix counts distinct shared content per source pair; diagonal is the dedup'd size") {
+    val a = prose(41, 50); val b = prose(42, 50); val c = prose(43, 50)
+    val docs = Seq(
+      (1L, a, "s1"), (2L, a, "s1"),          // s1: {a} (dup collapses)
+      (3L, a, "s2"), (4L, b, "s2"),          // s2: {a, b}
+      (5L, b, "s3"), (6L, c, "s3"))          // s3: {b, c}
+    val dir = docsDir(docs)
+    // reuse lang slot as source: write with the real column name
+    spark.read.parquet(s"$dir/documents.parquet")
+      .withColumnRenamed("lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/d2/documents.parquet")
+    val got = PipelineQueries.q108(spark, s"$dir/d2")
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map(
+      ("s1", "s1") -> 1L, ("s1", "s2") -> 1L,
+      ("s2", "s2") -> 2L, ("s2", "s3") -> 1L,
+      ("s3", "s3") -> 2L), s"wrong matrix: $got")
+  }
 }

@@ -104,6 +104,11 @@ object PlanAuditSpec {
     "q104_vocab_growth" -> 2,
     "q105_perplexity_buckets" -> 3,
     "q106_novelty_rate" -> 1,
+    // q107: the bigram-count lineage feeds the windowed relation and
+    // the one-row total (the q63 second-consumer rescan); q108's
+    // distinct (md5, source) relation joins itself
+    "q107_collocations" -> 2,
+    "q108_dup_matrix" -> 2,
     // multi-table relational joins (one scan per table, plus documented
     // reuse): audited counts
     "q10_join_inner_equi" -> 4,

@@ -247,6 +247,24 @@ object ScaleProbe {
           .select("a_id").distinct().count())
     }
 
+    // --- round-6 corpus signals at 10×: q103's winnowing selection is
+    // entirely scan-local (the fused kernel emits only selected
+    // fingerprints), so 10× rows should be ~10× scan with the one
+    // fp-keyed shuffle carrying ~2/(w+1) of gram positions; q106's
+    // novelty is q61's single-shuffle window shape on the shingle key;
+    // q107's collocation marginals ride the bigram-count relation,
+    // which is VOCAB²-bounded — 10× corpus with a fixed vocabulary
+    // should leave the windowed relation (and everything after the
+    // count groupBy) at the sf0.1 size.
+    {
+      import graft.queries.PipelineQueries
+      time("q103_winnowing sf0.1    (5k docs) ")(PipelineQueries.q103(spark, src).count())
+      time("q103_winnowing sf1.0   (50k docs) ")(PipelineQueries.q103(spark, out).count())
+      time("q106_novelty sf0.1      (5k docs) ")(PipelineQueries.q106(spark, src).count())
+      time("q106_novelty sf1.0     (50k docs) ")(PipelineQueries.q106(spark, out).count())
+      time("q107_collocations sf1.0 (50k docs)")(PipelineQueries.q107(spark, out).count())
+    }
+
     // --- corpus-ingest probe: one 25k-doc batch through the three
     // dedup tiers (exact in-batch, near-dup in-batch, vs the stored
     // 25k-doc corpus) — the per-batch cost of the continuous builder,

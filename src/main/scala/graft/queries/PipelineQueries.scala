@@ -3341,6 +3341,79 @@ object PipelineQueries {
       |FROM ds a JOIN ds b ON a.h = b.h AND a.source <= b.source
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- Q109
+  /** Leakage-safe train/validation split: the split unit is the
+    * near-dup CLUSTER (q52's connected components over the verified
+    * LSH pair graph), not the document — the "Deduplicating Training
+    * Data" test-set-leakage lesson: a doc-level random split puts one
+    * member of a near-dup pair in train and its twin in validation,
+    * and the eval silently measures memorization. Assigning the whole
+    * component by a hash of its LABEL makes cross-side near-dup pairs
+    * ZERO BY CONSTRUCTION, and the query carries its own audit: the
+    * pair list joined to both sides' assignments (the count lands in
+    * every output row — an eval-gate reads it before trusting the
+    * split). Split membership is q53's portable hex-threshold compare
+    * (md5 < 'cc' ⇒ 204/256 ≈ 80% train), so the side is deterministic
+    * cross-engine AND stable under re-ingest — a new batch can only
+    * add members to a cluster or merge clusters, never flip an
+    * existing label's hash. Dataflow: cluster labels and the pair list
+    * are the MEMOIZED ingest artifacts (q52's policy); the audit join
+    * is pair-list-sized; the summary is a 2-row aggregate. */
+  val q109: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val sided = graft.operators.DedupClusters.assignAll(docs, lshPairsFor(s, d))
+      .withColumn("side",
+        when(md5(concat(lit("split|"), col("component").cast("string"))) < "cc",
+          "train").otherwise("val"))
+    val pr = lshPairsFor(s, d).select(col("a_id"), col("b_id"))
+    val leaks = pr
+      .join(sided.select(col("doc_id").as("a_id"), col("side").as("side_a")), "a_id")
+      .join(sided.select(col("doc_id").as("b_id"), col("side").as("side_b")), "b_id")
+      .filter(col("side_a") =!= col("side_b"))
+      .agg(count(lit(1)).as("cross_side_pairs"))
+    sided.groupBy(col("side"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("component")).as("n_clusters"))
+      .crossJoin(broadcast(leaks))
+      .orderBy(col("side"))
+  }
+
+  val q109Sql: String = {
+    val sigCols = Seeds.map(i =>
+      s"list_min(list_transform(sh, x -> md5('$i' || '|' || x))) AS h$i").mkString(", ")
+    val bandCond = (0 until 4).map(b =>
+      s"(a.h${2 * b} = b.h${2 * b} AND a.h${2 * b + 1} = b.h${2 * b + 1})").mkString(" OR ")
+    s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |shl AS (SELECT doc_id, list_distinct(list_transform(
+       |          generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' '))) AS sh
+       |        FROM toks),
+       |sig AS (SELECT doc_id, sh, $sigCols FROM shl),
+       |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS sha, b.sh AS shb
+       |         FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandCond)),
+       |pairs AS (SELECT a_id, b_id FROM cand
+       |          WHERE round(CAST(len(list_intersect(sha, shb)) AS DOUBLE)
+       |                / (len(sha) + len(shb) - len(list_intersect(sha, shb))), 4) >= 0.5),
+       |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |          UNION SELECT b_id, a_id FROM pairs),
+       |reach AS (SELECT u, v FROM edges
+       |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
+       |         FROM reach GROUP BY u),
+       |allc AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+       |         FROM documents d LEFT JOIN comp c USING (doc_id)),
+       |sided AS (SELECT doc_id, component,
+       |            CASE WHEN md5('split|' || CAST(component AS VARCHAR)) < 'cc'
+       |                 THEN 'train' ELSE 'val' END AS side
+       |          FROM allc),
+       |leak AS (SELECT count(*) AS cross_side_pairs
+       |         FROM pairs p JOIN sided x ON p.a_id = x.doc_id
+       |         JOIN sided y ON p.b_id = y.doc_id WHERE x.side <> y.side)
+       |SELECT side, count(*) AS n_docs,
+       |       count(DISTINCT component) AS n_clusters,
+       |       (SELECT cross_side_pairs FROM leak) AS cross_side_pairs
+       |FROM sided GROUP BY side ORDER BY side""".stripMargin
+  }
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
@@ -3413,7 +3486,8 @@ object PipelineQueries {
     ("q105_perplexity_buckets", q105, q105Sql),
     ("q106_novelty_rate", q106, q106Sql),
     ("q107_collocations", q107, q107Sql),
-    ("q108_dup_matrix", q108, q108Sql))
+    ("q108_dup_matrix", q108, q108Sql),
+    ("q109_leakage_safe_split", q109, q109Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type (KLL-style `percentile_approx`

@@ -183,4 +183,32 @@ class CorpusSignalsSpec extends SparkSpec {
       ("s2", "s2") -> 2L, ("s2", "s3") -> 1L,
       ("s3", "s3") -> 2L), s"wrong matrix: $got")
   }
+
+  // ------------------------------------------------------------- q109
+  test("q109: the split partitions docs, both sides materialize, and the leakage audit is zero") {
+    PipelineQueries.clearLshPairs()
+    val rows = PipelineQueries.q109(spark, sf0001)
+      .select("side", "n_docs", "n_clusters", "cross_side_pairs")
+      .as[(String, Long, Long, Long)].collect()
+    val total = graft.core.Tables.load(spark, sf0001, "documents").count()
+    assert(rows.map(_._1).sorted.toSeq == Seq("train", "val"), s"sides: ${rows.toSeq}")
+    assert(rows.map(_._2).sum == total, "split must partition the corpus")
+    assert(rows.forall(_._2 > 0), s"a side is empty: ${rows.toSeq}")
+    assert(rows.forall(_._4 == 0L),
+      s"near-dup pairs straddle the split: ${rows.toSeq}")
+    // every near-dup pair's members share a side BY CONSTRUCTION —
+    // check directly on the assignment, not just the audit column
+    val docs = graft.core.Tables.load(spark, sf0001, "documents")
+    val sided = graft.operators.DedupClusters
+      .assignAll(docs, graft.operators.MinHashLsh.nearDup(
+        docs, bands = 4, rowsPerBand = 2, shingleN = 3, minJaccard = 0.5))
+      .withColumn("side", org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.md5(org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("split|"),
+          org.apache.spark.sql.functions.col("component").cast("string"))) < "cc",
+        "train").otherwise("val"))
+    val comps = sided.select("component", "side").distinct()
+      .groupBy("component").count().filter(org.apache.spark.sql.functions.col("count") > 1)
+    assert(comps.count() == 0, "a cluster was assigned two sides")
+  }
 }

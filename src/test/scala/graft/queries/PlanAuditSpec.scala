@@ -28,11 +28,56 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(over.isEmpty, s"scan-count regressions:\n${over.mkString("\n")}")
   }
+
+  test("no query plans more shuffle Exchanges than its audited baseline") {
+    // BroadcastExchange is excluded deliberately: broadcasts ship
+    // model-sized relations and are the REMEDY the scale designs reach
+    // for, not the hazard this ratchet guards (an added broadcast is
+    // visible in the scan/plan reviews; an added shuffle is the thing
+    // that silently becomes the 100 TB bottleneck).
+    val baseline = PlanAuditSpec.ShuffleBaseline
+    val over = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
+        val shuffles = plan.linesIterator.count(l =>
+          l.contains("Exchange ") && !l.contains("BroadcastExchange"))
+        val allowed = baseline.getOrElse(name, PlanAuditSpec.DefaultMaxShuffles)
+        if (shuffles > allowed) Some(s"$name: $shuffles shuffles (baseline $allowed)")
+        else None
+    }
+    assert(over.isEmpty, s"shuffle-count regressions:\n${over.mkString("\n")}")
+  }
 }
 
 object PlanAuditSpec {
   /** Default cap for queries not listed below. */
   val DefaultMax = 4
+
+  /** Default shuffle-Exchange cap; audited via `graft.tools.PlanStats`
+    * (most queries plan 1-3 shuffles: the keyed work + the output
+    * sort). Queries above it are consciously recorded below. */
+  val DefaultMaxShuffles = 4
+
+  /** Audited shuffle counts above the default — each one has a reason:
+    * q19's banded join + verify re-join legitimately re-keys; q38/q63/
+    * q105 carry the documented model-derivation relineage; q68/q86/q94
+    * window-then-aggregate on different keys; q89/q107 fold model
+    * marginals as window sums (each distinct partition key is one
+    * Exchange); q93's three power iterations re-key per round; q109's
+    * audit joins the pair list to BOTH sides of the assignment (at
+    * scale labels/pairs are stored columns and most of these collapse
+    * to pruned scans). */
+  val ShuffleBaseline: Map[String, Int] = Map(
+    "q19_minhash_lsh_neardup" -> 8,
+    "q38_tfidf" -> 6,
+    "q63_unigram_lm" -> 6,
+    "q68_drift_psi" -> 5,
+    "q89_bigram_lm" -> 5,
+    "q93_pagerank" -> 7,
+    "q94_wau_sliding" -> 5,
+    "q105_perplexity_buckets" -> 7,
+    "q107_collocations" -> 5,
+    "q109_leakage_safe_split" -> 12)
   /** Audited per-query scan counts (see the class doc). Only queries
     * whose audited plan exceeds or notably undercuts the default are
     * listed — a new query landing above DefaultMax must either be

@@ -3361,10 +3361,15 @@ object PipelineQueries {
     * is pair-list-sized; the summary is a 2-row aggregate. */
   val q109: Q = (s, d) => {
     val docs = t(s, d, "documents")
-    val sided = graft.operators.DedupClusters.assignAll(docs, lshPairsFor(s, d))
-      .withColumn("side",
-        when(md5(concat(lit("split|"), col("component").cast("string"))) < "cc",
-          "train").otherwise("val"))
+    // the assignment is consumed THREE times (both audit sides + the
+    // summary); unpinned it replans its docs⟕labels join per consumer
+    // (3 scans / 12 shuffles audited) — pin it once, query-scoped
+    // (production stores `component`+`side` as table columns)
+    val sided = graft.core.Pins.pin(
+      graft.operators.DedupClusters.assignAll(docs, lshPairsFor(s, d))
+        .withColumn("side",
+          when(md5(concat(lit("split|"), col("component").cast("string"))) < "cc",
+            "train").otherwise("val")))
     val pr = lshPairsFor(s, d).select(col("a_id"), col("b_id"))
     val leaks = pr
       .join(sided.select(col("doc_id").as("a_id"), col("side").as("side_a")), "a_id")

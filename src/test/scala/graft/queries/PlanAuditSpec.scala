@@ -77,7 +77,7 @@ object PlanAuditSpec {
     "q94_wau_sliding" -> 5,
     "q105_perplexity_buckets" -> 7,
     "q107_collocations" -> 5,
-    "q109_leakage_safe_split" -> 12)
+    "q109_leakage_safe_split" -> 8)
   /** Audited per-query scan counts (see the class doc). Only queries
     * whose audited plan exceeds or notably undercuts the default are
     * listed — a new query landing above DefaultMax must either be
@@ -139,6 +139,9 @@ object PlanAuditSpec {
     "q98_hybrid_rrf" -> 0,
     "q99_triangle_coeff" -> 0,
     "q100_dup_spans" -> 0,
+    // q109 pins its (memoized-label x docs) assignment once; all three
+    // consumers read the checkpointed relation
+    "q109_leakage_safe_split" -> 0,
     // round-6 corpus signals, audited tight: q102/q103/q106 do all
     // their work on ONE scan (q102's two-level agg, q103's doc-window +
     // fp-window, q106's shingle-window fold); q104 scans once for token

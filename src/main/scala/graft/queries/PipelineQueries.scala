@@ -1142,10 +1142,10 @@ object PipelineQueries {
     * log-probability under the corpus's own MLE unigram distribution —
     * the cheap perplexity-style fluency signal (odd documents score
     * low). The "model" (term → count) is corpus-derived but
-    * vocabulary-sized, so it rides a broadcast join; the token TOTAL is
-    * summed from the model (vocab-sized aggregate — though as a second
-    * USE of the probs lineage it re-executes its pruned scan: an
-    * unmaterialized relation re-runs per consumer, the q61 lesson),
+    * vocabulary-sized, so it rides a broadcast join; model, token
+    * TOTAL and the scoring side all fold out of ONE pinned
+    * per-(doc, term) counts relation (round 6 — the unpinned form
+    * re-executed the tokenize scan per model consumer: 3 scans),
     * and the scoring side works on per-(doc, term) COUNTS (map-side
     * combine shrinks the shuffle to distinct terms per doc; the mean
     * is Σ k·ln p / Σ k over exact integer k). At 100 TB the
@@ -1153,10 +1153,16 @@ object PipelineQueries {
     * shipped exactly like the IVF centroids — scoring is then ONE
     * corpus scan joined to the broadcast model. */
   val q63: Q = (s, d) => {
-    val tok = t(s, d, "documents")
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
-    val tcnt = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("k"))
-    val probs = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    // ONE tokenize+explode scan: the per-(doc, term) counts pin once
+    // (query-scoped, the q109 lesson) and the vocabulary model + total
+    // FOLD OUT of the pin (probs = Σ_doc k per term — the same integers
+    // the per-tok count produced, so the scored doubles are bit-equal
+    // and the oracle is untouched); the unpinned form planned 3 scans
+    val tcnt = graft.core.Pins.pin(
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("k")))
+    val probs = tcnt.groupBy(col("term")).agg(sum(col("k")).as("cnt"))
     val total = probs.agg(sum(col("cnt")).cast("double").as("__t"))
     val kd = col("k").cast("double")
     tcnt.join(broadcast(probs), "term").crossJoin(broadcast(total))
@@ -3172,10 +3178,12 @@ object PipelineQueries {
     * rank. Output is 15 rows (5 langs × 3 buckets) with integer doc
     * and token masses and the rounded score range per bucket. */
   val q105: Q = (s, d) => {
-    val tok = t(s, d, "documents")
-      .select(col("doc_id"), col("lang"), explode(TextOps.tokens(col("text"))).as("term"))
-    val tcnt = tok.groupBy(col("doc_id"), col("lang"), col("term")).agg(count(lit(1)).as("k"))
-    val probs = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    // q63's pinned one-scan form, lang carried through the counts
+    val tcnt = graft.core.Pins.pin(
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("lang"), col("term")).agg(count(lit(1)).as("k")))
+    val probs = tcnt.groupBy(col("term")).agg(sum(col("k")).as("cnt"))
     val total = probs.agg(sum(col("cnt")).cast("double").as("__t"))
     val kd = col("k").cast("double")
     val scored = tcnt.join(broadcast(probs), "term").crossJoin(broadcast(total))
@@ -3263,10 +3271,10 @@ object PipelineQueries {
     * decides phrase merges before tokenizer training. Marginals are
     * the BIGRAM-position marginals (c1 = pairs starting with w1, c2 =
     * pairs ending with w2), so the whole statistic derives from ONE
-    * bigram-count relation: two window sums over it (q89's in-place
-    * model discipline) plus a broadcast one-row total (that second
-    * consumer of the counts lineage re-executes its scan — the
-    * documented q63 tradeoff; production pins counts at ingest). All
+    * PINNED bigram-count relation: two window sums over it (q89's
+    * in-place model discipline) plus a broadcast one-row total folded
+    * from the same pin — one scan, query-scoped checkpoint (production
+    * stores the counts at ingest). All
     * counts exact integers; the ln ratio is the identical IEEE
     * expression both engines and the 4-dp round masks the libm ulp
     * (q63's discipline), with (w1, w2) breaking rank ties so the
@@ -3279,7 +3287,8 @@ object PipelineQueries {
         slice(col("t"), lit(2), size(col("t")) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val c = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c = graft.core.Pins.pin(
+      bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")))
     val n = c.agg(sum(col("c12")).cast("double").as("__n"))
     val m = c
       .withColumn("c1", sum(col("c12")).over(Window.partitionBy(col("w1"))))

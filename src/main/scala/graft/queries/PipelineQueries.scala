@@ -3334,8 +3334,9 @@ object PipelineQueries {
     * 5×5, because the distinct collapsed the multiplicity first).
     * Everything downstream is a sources²-row aggregate. */
   val q108: Q = (s, d) => {
-    val ds = t(s, d, "documents")
-      .select(md5(col("text")).as("h"), col("source")).distinct()
+    // both join sides read the same distinct relation — pin it once
+    val ds = graft.core.Pins.pin(t(s, d, "documents")
+      .select(md5(col("text")).as("h"), col("source")).distinct())
     ds.as("a").join(ds.as("b"),
         col("a.h") === col("b.h") && col("a.source") <= col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))

@@ -154,8 +154,8 @@ object PlanAuditSpec {
     "q105_perplexity_buckets" -> 0,
     "q106_novelty_rate" -> 1,
     "q107_collocations" -> 0,
-    // q108's distinct (md5, source) relation joins itself
-    "q108_dup_matrix" -> 2,
+    // q108's pinned distinct (md5, source) relation joins itself
+    "q108_dup_matrix" -> 0,
     // multi-table relational joins (one scan per table, plus documented
     // reuse): audited counts
     "q10_join_inner_equi" -> 4,

@@ -34,11 +34,44 @@ class TopKAgg(k: Int) extends Aggregator[(Double, Long), Seq[(Double, Long)], Se
   override def outputEncoder: Encoder[Seq[(Double, Long)]] = bufferEncoder
 }
 
+/** [[TopKAgg]]'s string-keyed sibling: the k LEXICOGRAPHICALLY-smallest
+  * (key, id) pairs per group — the fixed-size deterministic sampler
+  * (k-smallest md5 per stratum IS a uniform without-replacement sample,
+  * and the hex string order is portable across engines where a
+  * float-converted hash would round). Same partial-aggregable shape:
+  * the shuffle carries O(groups × k), never the stratum.
+  */
+class MinKByStringAgg(k: Int)
+    extends Aggregator[(String, Long), Seq[(String, Long)], Seq[(String, Long)]] {
+  private def order(a: (String, Long), b: (String, Long)): Boolean =
+    a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  private def trim(s: Seq[(String, Long)]): Seq[(String, Long)] =
+    s.sortWith(order).take(k)
+
+  override def zero: Seq[(String, Long)] = Seq.empty
+  override def reduce(buf: Seq[(String, Long)], in: (String, Long)): Seq[(String, Long)] =
+    trim(buf :+ in)
+  override def merge(a: Seq[(String, Long)], b: Seq[(String, Long)]): Seq[(String, Long)] =
+    trim(a ++ b)
+  override def finish(buf: Seq[(String, Long)]): Seq[(String, Long)] = buf
+  override def bufferEncoder: Encoder[Seq[(String, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[(String, Long)]] = bufferEncoder
+}
+
 object TopK {
   /** Column aggregate: top-k (value, id) pairs per group, ordered value
     * DESC then id ASC. Usage: `df.groupBy(g).agg(TopK.topK(3)(v, id))`. */
   def topK(k: Int): (Column, Column) => Column = {
     val fn = udaf(new TopKAgg(k))
     (value, id) => fn(value, id)
+  }
+
+  /** Column aggregate: the k lexicographically-smallest (key, id) pairs
+    * per group, key ASC then id ASC. */
+  def minKByString(k: Int): (Column, Column) => Column = {
+    val fn = udaf(new MinKByStringAgg(k))
+    (key, id) => fn(key, id)
   }
 }

@@ -3429,6 +3429,100 @@ object PipelineQueries {
        |FROM sided GROUP BY side ORDER BY side""".stripMargin
   }
 
+  // --------------------------------------------------------------- Q110
+  /** FIXED-SIZE deterministic per-stratum sample: exactly k = 20 docs
+    * per language, chosen as the k smallest md5(doc_id-salted text
+    * hash) — the eval-set / human-review draw where q53's RATE-based
+    * sampler can't promise a size ("give me exactly 20 per language,
+    * reproducibly"). k-smallest-by-uniform-hash IS a uniform
+    * without-replacement sample, membership is stable as the corpus
+    * grows only at the margin (a new doc displaces at most the current
+    * k-th), and the hex-string order is engine-portable. The aggregate
+    * is [[graft.operators.MinKByStringAgg]] — q37's typed-Aggregator
+    * discipline: the buffer holds ≤ k pairs, map-side combine trims
+    * per partition, the shuffle carries O(langs × k) where the window
+    * formulation sorts every stratum. Oracle = the row_number window
+    * form, independently derived. */
+  val q110: Q = (s, d) => {
+    val h = md5(concat(col("doc_id").cast("string"), lit("|"), col("text")))
+    t(s, d, "documents")
+      .select(col("lang"), h.as("h"), col("doc_id"))
+      .groupBy(col("lang"))
+      .agg(graft.operators.TopK.minKByString(20)(col("h"), col("doc_id")).as("picks"))
+      .select(col("lang"), posexplode(col("picks")).as(Seq("pos", "p")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("p._2").as("doc_id"), col("p._1").as("h"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  val q110Sql: String =
+    """SELECT lang, rank, doc_id, h FROM (
+      |  SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR) || '|' || text) AS h,
+      |         CAST(row_number() OVER (PARTITION BY lang
+      |                ORDER BY md5(CAST(doc_id AS VARCHAR) || '|' || text), doc_id)
+      |              AS BIGINT) AS rank
+      |  FROM documents)
+      |WHERE rank <= 20 ORDER BY lang, rank""".stripMargin
+
+  // --------------------------------------------------------------- Q111
+  /** Deterministic fractional OVERSAMPLING (epoch mixing): each source
+    * gets a target weight w (how many times its docs should appear per
+    * training epoch — quality-weighted mixing à la Llama/GPT data
+    * recipes), realized per doc as `floor(w) + (md5-frontier < frac(w))`
+    * — exactly-w in expectation with ZERO randomness: the fractional
+    * epoch reuses q53's portable hex-threshold membership, so the same
+    * doc always gets the same repeat count and a rerun ships an
+    * identical epoch. Scan-local per-doc arithmetic (the repeat plan is
+    * a COLUMN, materialized by the training exporter as an explode);
+    * the summary folds to a sources-sized aggregate: docs, emitted
+    * copies, and the achieved epoch rate in 4-dp (exact integer ratio
+    * rounded — both engines divide the same integers). */
+  /** Per-source epoch weights (the curation decision — a literal here;
+    * production ships it like the IVF centroids): src_i gets
+    * 0.5 + (i mod 6)·0.5 ∈ {0.5 … 3.0}. Each weight PRE-COMPILES to
+    * (whole copies, fractional-frontier hex) at plan build so no float
+    * arithmetic survives into the dataflow: frontier = frac·65536 as a
+    * 4-hex string, compared against the first 4 md5 hex digits — a
+    * 16-bit uniform under a zero-padded lexicographic compare that
+    * equals the numeric compare on both engines. */
+  private[queries] val EpochWeights: Seq[(String, Int, String)] =
+    (0 until 20).map { i =>
+      val wt = 0.5 + (i % 6) * 0.5
+      val whole = wt.toInt
+      val thr = ((wt - whole) * 65536).toInt
+      (s"src$i", whole, f"$thr%04x")
+    }
+
+  val q111: Q = (s, d) => {
+    val wholeM = typedLit(EpochWeights.map(w => w._1 -> w._2.toLong).toMap)
+    val thrM = typedLit(EpochWeights.map(w => w._1 -> w._3).toMap)
+    val u = substring(md5(concat(lit("epoch|"), col("doc_id").cast("string"))), 1, 4)
+    val repeats = (coalesce(wholeM(col("source")), lit(1L)) +
+      when(u < coalesce(thrM(col("source")), lit("0000")), 1L).otherwise(0L))
+      .as("repeats")
+    t(s, d, "documents").select(col("source"), repeats)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("repeats")).as("n_copies"))
+      .withColumn("epoch_rate",
+        round(col("n_copies").cast("double") / col("n_docs"), 4))
+      .orderBy(col("source"))
+  }
+
+  val q111Sql: String = {
+    val rows = EpochWeights.map { case (s0, w0, t0) => s"('$s0', $w0, '$t0')" }
+      .mkString(", ")
+    s"""WITH w(source, whole, thr) AS (VALUES $rows),
+       |r AS (SELECT d.source,
+       |        CAST(coalesce(w.whole, 1) AS BIGINT)
+       |        + CASE WHEN substr(md5('epoch|' || CAST(d.doc_id AS VARCHAR)), 1, 4)
+       |                    < coalesce(w.thr, '0000') THEN 1 ELSE 0 END AS repeats
+       |      FROM documents d LEFT JOIN w ON d.source = w.source)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(repeats) AS BIGINT) AS n_copies,
+       |       round(CAST(sum(repeats) AS DOUBLE) / count(*), 4) AS epoch_rate
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
@@ -3502,7 +3596,9 @@ object PipelineQueries {
     ("q106_novelty_rate", q106, q106Sql),
     ("q107_collocations", q107, q107Sql),
     ("q108_dup_matrix", q108, q108Sql),
-    ("q109_leakage_safe_split", q109, q109Sql))
+    ("q109_leakage_safe_split", q109, q109Sql),
+    ("q110_fixed_size_sample", q110, q110Sql),
+    ("q111_epoch_oversample", q111, q111Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type (KLL-style `percentile_approx`

@@ -211,4 +211,42 @@ class CorpusSignalsSpec extends SparkSpec {
       .groupBy("component").count().filter(org.apache.spark.sql.functions.col("count") > 1)
     assert(comps.count() == 0, "a cluster was assigned two sides")
   }
+
+  // ------------------------------------------------------------- q110
+  test("q110: exactly k per stratum, and adding one doc displaces at most the k-th pick") {
+    val docs = (0 until 120).map(i =>
+      (i.toLong, prose(600 + i, 30), if (i % 2 == 0) "en" else "de"))
+    val d1 = docsDir(docs)
+    val got = PipelineQueries.q110(spark, d1)
+      .select("lang", "doc_id").as[(String, Long)].collect()
+    val byLang = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byLang("en").size == 20 && byLang("de").size == 20,
+      s"fixed-size draw must be exactly k: ${byLang.view.mapValues(_.size).toMap}")
+    // grow the corpus by one English doc: the new draw differs from the
+    // old by at most one member (the displaced k-th) — review stability
+    val d2 = docsDir(docs :+ ((999L, prose(999, 30), "en")))
+    val got2 = PipelineQueries.q110(spark, d2)
+      .select("lang", "doc_id").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got2("de") == byLang("de"), "untouched stratum must not change")
+    assert((byLang("en") -- got2("en")).size <= 1,
+      s"one added doc displaced more than one pick")
+  }
+
+  // ------------------------------------------------------------- q111
+  test("q111: repeat counts hit the integer envelope and whole weights are exact") {
+    val rows = PipelineQueries.q111(spark, sf0001)
+      .select("source", "n_docs", "n_copies", "epoch_rate")
+      .as[(String, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val w = PipelineQueries.EpochWeights.map(x => x._1 -> (x._2, x._3)).toMap
+    rows.foreach { case (src, n, copies, rate) =>
+      val (whole, thr) = w(src)
+      assert(copies >= whole * n && copies <= (whole + 1) * n,
+        s"$src copies $copies outside [$whole, ${whole + 1}] per doc")
+      if (thr == "0000") // integral weight: every doc gets exactly `whole`
+        assert(copies == whole * n && rate == whole.toDouble,
+          s"$src integral weight must be exact: $copies vs ${whole * n}")
+    }
+  }
 }

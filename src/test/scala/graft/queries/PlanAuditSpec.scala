@@ -156,6 +156,10 @@ object PlanAuditSpec {
     "q107_collocations" -> 0,
     // q108's pinned distinct (md5, source) relation joins itself
     "q108_dup_matrix" -> 0,
+    // q110's typed min-k aggregate and q111's scan-local repeat plan
+    // each ride one scan
+    "q110_fixed_size_sample" -> 1,
+    "q111_epoch_oversample" -> 1,
     // multi-table relational joins (one scan per table, plus documented
     // reuse): audited counts
     "q10_join_inner_equi" -> 4,

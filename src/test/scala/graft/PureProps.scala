@@ -130,4 +130,46 @@ object PureProps extends Properties("graft.pure") {
         val r2 = redactLocal(s"$pre 123-45-6789 $post")
         !r1.contains("x@y.org") && !r2.contains("123-45-6789")
     }
+
+  // ----------------------------------------------------------------
+  // Winnowing kernel vs an independent straight-line reference: the
+  // kernel optimizes (raw-digest compares, argmin skip, ASCII byte
+  // slices); the reference below is the naive textbook definition.
+  private def winnowRef(text: String, n: Int, w: Int): Seq[String] = {
+    if (text.length < n) return Seq.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val grams = (0 to text.length - n).map { i =>
+      md.reset()
+      md.update(text.substring(i, i + n).getBytes("UTF-8"))
+      md.digest().map("%02x".format(_)).mkString
+    }
+    val last = math.max(grams.length - w, 0)
+    (0 to last).map(p => grams.slice(p, p + w).min).distinct
+  }
+
+  private val textGen: Gen[String] = for {
+    len <- Gen.choose(0, 200)
+    cs <- Gen.listOfN(len, Gen.frequency(
+      8 -> Gen.alphaLowerChar, 2 -> Gen.const(' '),
+      1 -> Gen.oneOf('\u00e9', '\u4e2d', '\u03a9')))
+  } yield cs.mkString
+
+  property("WinnowFingerprints equals the textbook winnowing definition") =
+    Prop.forAll(textGen) { s =>
+      val got = graft.functions.expressions.WinnowFingerprints
+        .compute(org.apache.spark.unsafe.types.UTF8String.fromString(s), 5, 4)
+      val seq = (0 until got.numElements())
+        .map(i => got.getUTF8String(i).toString)
+      seq == winnowRef(s, 5, 4)
+    }
+
+  property("winnowing guarantee: a shared >= w+n-1 substring shares a fingerprint") =
+    Prop.forAll(textGen, textGen, textGen) { (a, b, core0) =>
+      val core = (core0 + "abcdefgh").takeRight(8) // >= 8 chars
+      val d1 = a + core + b
+      val d2 = b + core + a
+      val f1 = winnowRef(d1, 5, 4).toSet
+      val f2 = winnowRef(d2, 5, 4).toSet
+      f1.intersect(f2).nonEmpty
+    }
 }

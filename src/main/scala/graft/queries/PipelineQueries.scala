@@ -1142,10 +1142,10 @@ object PipelineQueries {
     * log-probability under the corpus's own MLE unigram distribution —
     * the cheap perplexity-style fluency signal (odd documents score
     * low). The "model" (term → count) is corpus-derived but
-    * vocabulary-sized, so it rides a broadcast join; model, token
-    * TOTAL and the scoring side all fold out of ONE pinned
-    * per-(doc, term) counts relation (round 6 — the unpinned form
-    * re-executed the tokenize scan per model consumer: 3 scans),
+    * vocabulary-sized, so it rides a broadcast join; the token TOTAL is
+    * summed from the model (vocab-sized aggregate — as a second USE of
+    * the probs lineage it re-executes its pruned scan; the pinned
+    * single-scan alternative measured SLOWER, see the body note),
     * and the scoring side works on per-(doc, term) COUNTS (map-side
     * combine shrinks the shuffle to distinct terms per doc; the mean
     * is Σ k·ln p / Σ k over exact integer k). At 100 TB the
@@ -1153,16 +1153,16 @@ object PipelineQueries {
     * shipped exactly like the IVF centroids — scoring is then ONE
     * corpus scan joined to the broadcast model. */
   val q63: Q = (s, d) => {
-    // ONE tokenize+explode scan: the per-(doc, term) counts pin once
-    // (query-scoped, the q109 lesson) and the vocabulary model + total
-    // FOLD OUT of the pin (probs = Σ_doc k per term — the same integers
-    // the per-tok count produced, so the scored doubles are bit-equal
-    // and the oracle is untouched); the unpinned form planned 3 scans
-    val tcnt = graft.core.Pins.pin(
-      t(s, d, "documents")
-        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("k")))
-    val probs = tcnt.groupBy(col("term")).agg(sum(col("k")).as("cnt"))
+    // NOTE (round 6, measured): pinning the per-(doc, term) counts and
+    // folding probs/total out of the pin cuts the plan to 1 scan but
+    // runs ~40% SLOWER at sf0.1 — the eager localCheckpoint
+    // materialization costs more than the two cheap rescans it saves
+    // (bench 0.35 s lazy vs 0.48 s pinned). The lazy 3-scan form stays;
+    // at 100 TB the model is a trained broadcast artifact either way.
+    val tok = t(s, d, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+    val tcnt = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("k"))
+    val probs = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
     val total = probs.agg(sum(col("cnt")).cast("double").as("__t"))
     val kd = col("k").cast("double")
     tcnt.join(broadcast(probs), "term").crossJoin(broadcast(total))
@@ -3178,12 +3178,12 @@ object PipelineQueries {
     * rank. Output is 15 rows (5 langs × 3 buckets) with integer doc
     * and token masses and the rounded score range per bucket. */
   val q105: Q = (s, d) => {
-    // q63's pinned one-scan form, lang carried through the counts
-    val tcnt = graft.core.Pins.pin(
-      t(s, d, "documents")
-        .select(col("doc_id"), col("lang"), explode(TextOps.tokens(col("text"))).as("term"))
-        .groupBy(col("doc_id"), col("lang"), col("term")).agg(count(lit(1)).as("k")))
-    val probs = tcnt.groupBy(col("term")).agg(sum(col("k")).as("cnt"))
+    // q63's lazy 3-scan scoring form (see q63's measured pin note),
+    // lang carried through the counts
+    val tok = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), explode(TextOps.tokens(col("text"))).as("term"))
+    val tcnt = tok.groupBy(col("doc_id"), col("lang"), col("term")).agg(count(lit(1)).as("k"))
+    val probs = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
     val total = probs.agg(sum(col("cnt")).cast("double").as("__t"))
     val kd = col("k").cast("double")
     val scored = tcnt.join(broadcast(probs), "term").crossJoin(broadcast(total))

@@ -3523,6 +3523,98 @@ object PipelineQueries {
        |FROM r GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // --------------------------------------------------------------- Q112
+  /** KMV (k-minimum-values / theta) sketch source-overlap estimation —
+    * q108's APPROXIMATE sibling for when the source count makes the
+    * exact hash join uneconomical (10⁴ crawl snapshots = 10⁸ pairs of
+    * full sketches vs 64 hashes each): per source keep the k = 64
+    * smallest content-hash values ([[graft.operators.MinKByStringAgg]]
+    * again — the sampler IS the sketch; Bar-Yossef et al. 2002), merge
+    * pairwise by taking the k smallest of the union (the classic
+    * mergeable-theta property), estimate |A| as (k−1)/θ with θ = the
+    * k-th smallest as a fraction, and |A∩B| by inclusion-exclusion.
+    * Distinct-count sketches are usually rows-only (q47/q71/q79 — no
+    * cross-engine HLL), but KMV on md5 is fully DETERMINISTIC and its
+    * θ fraction is EXACT in both engines: the first 13 hex digits are
+    * a 52-bit integer (exact in a double) divided by 16¹³ = 2⁵² (a
+    * power of two — exponent shift, no rounding), so the estimator
+    * replays in DuckDB digit for digit and the sketch family gets its
+    * first oracle-EXACT member. Sources holding fewer than k distinct
+    * values take the exact path (the sketch is the full value set).
+    * One scan + one O(sources × k) aggregate; the pairwise stage is
+    * sources²-sized arithmetic on 64-element arrays. */
+  val q112: Q = (s, d) => {
+    val k = 64
+    val twoTo52 = 4503599627370496.0 // 16^13, the θ denominator
+    def thetaFrac(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      conv(substring(h, 1, 13), 16, 10).cast("double") / lit(twoTo52)
+    def est(n: org.apache.spark.sql.Column, theta: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(n < k, n.cast("double")).otherwise(lit((k - 1).toDouble) / thetaFrac(theta))
+    // the sketch relation is SOURCES-sized (64 hashes per source) and
+    // both pair sides read it — the cheap-pin case (q63's corpus-sized
+    // pin measured slower; this one is a few KB)
+    val sk = graft.core.Pins.pin(t(s, d, "documents")
+      .select(col("source"), md5(concat(lit("kmv|"), col("text"))).as("h"))
+      .distinct()
+      .groupBy(col("source"))
+      .agg(graft.operators.TopK.minKByString(k)(col("h"), lit(0L)).as("sk"))
+      .select(col("source"), transform(col("sk"), p => p.getField("_1")).as("hs"))
+      .withColumn("n", size(col("hs")))
+      .withColumn("theta", element_at(col("hs"), col("n"))))
+    val a = sk.select(col("source").as("source_a"), col("hs").as("ha"),
+      col("n").as("na"), col("theta").as("ta"))
+    val b = sk.select(col("source").as("source_b"), col("hs").as("hb"),
+      col("n").as("nb"), col("theta").as("tb"))
+    a.crossJoin(b).filter(col("source_a") < col("source_b"))
+      .withColumn("merged", slice(array_sort(array_union(col("ha"), col("hb"))), 1, k))
+      .withColumn("nu", size(col("merged")))
+      .withColumn("tu", element_at(col("merged"), col("nu")))
+      .select(col("source_a"), col("source_b"),
+        round(est(col("na"), col("ta")), 4).as("est_a"),
+        round(est(col("nb"), col("tb")), 4).as("est_b"),
+        round(est(col("nu"), col("tu")), 4).as("est_union"),
+        round(est(col("na"), col("ta")) + est(col("nb"), col("tb"))
+          - est(col("nu"), col("tu")), 4).as("est_overlap"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val q112Sql: String =
+    """WITH ds AS (SELECT DISTINCT source, md5('kmv|' || text) AS h FROM documents),
+      |rk AS (SELECT source, h,
+      |         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+      |       FROM ds),
+      |sk AS (SELECT source, h FROM rk WHERE rn <= 64),
+      |cnt AS (SELECT source, count(*) AS n, max(h) AS theta FROM sk GROUP BY source),
+      |pairs AS (SELECT a.source AS source_a, a.n AS na, a.theta AS ta,
+      |                 b.source AS source_b, b.n AS nb, b.theta AS tb
+      |          FROM cnt a JOIN cnt b ON a.source < b.source),
+      |uh AS (SELECT p.source_a, p.source_b, s.h
+      |       FROM pairs p JOIN sk s ON s.source IN (p.source_a, p.source_b)
+      |       GROUP BY 1, 2, 3),
+      |urk AS (SELECT source_a, source_b, h,
+      |          row_number() OVER (PARTITION BY source_a, source_b ORDER BY h) AS rn
+      |        FROM uh),
+      |uc AS (SELECT source_a, source_b, count(*) AS nu, max(h) AS tu
+      |       FROM urk WHERE rn <= 64 GROUP BY 1, 2),
+      |est AS (SELECT p.source_a, p.source_b,
+      |          CASE WHEN p.na < 64 THEN CAST(p.na AS DOUBLE) ELSE 63.0 /
+      |            (list_sum(list_transform(generate_series(1, 13), i ->
+      |               CAST(strpos('0123456789abcdef', substr(p.ta, i, 1)) - 1 AS DOUBLE)
+      |               * power(16.0, 13 - i))) / 4503599627370496.0) END AS ea,
+      |          CASE WHEN p.nb < 64 THEN CAST(p.nb AS DOUBLE) ELSE 63.0 /
+      |            (list_sum(list_transform(generate_series(1, 13), i ->
+      |               CAST(strpos('0123456789abcdef', substr(p.tb, i, 1)) - 1 AS DOUBLE)
+      |               * power(16.0, 13 - i))) / 4503599627370496.0) END AS eb,
+      |          CASE WHEN u.nu < 64 THEN CAST(u.nu AS DOUBLE) ELSE 63.0 /
+      |            (list_sum(list_transform(generate_series(1, 13), i ->
+      |               CAST(strpos('0123456789abcdef', substr(u.tu, i, 1)) - 1 AS DOUBLE)
+      |               * power(16.0, 13 - i))) / 4503599627370496.0) END AS eu
+      |        FROM pairs p JOIN uc u USING (source_a, source_b))
+      |SELECT source_a, source_b,
+      |       round(ea, 4) AS est_a, round(eb, 4) AS est_b,
+      |       round(eu, 4) AS est_union, round(ea + eb - eu, 4) AS est_overlap
+      |FROM est ORDER BY source_a, source_b""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
@@ -3598,7 +3690,8 @@ object PipelineQueries {
     ("q108_dup_matrix", q108, q108Sql),
     ("q109_leakage_safe_split", q109, q109Sql),
     ("q110_fixed_size_sample", q110, q110Sql),
-    ("q111_epoch_oversample", q111, q111Sql))
+    ("q111_epoch_oversample", q111, q111Sql),
+    ("q112_kmv_overlap", q112, q112Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type (KLL-style `percentile_approx`

@@ -233,6 +233,36 @@ class CorpusSignalsSpec extends SparkSpec {
       s"one added doc displaced more than one pick")
   }
 
+  // ------------------------------------------------------------- q112
+  test("q112: KMV estimates land near truth above k and are exact below it") {
+    // source A: 400 distinct docs; B: 400 distinct, 200 shared with A;
+    // C: 30 docs (below k=64 -> exact path)
+    val aDocs = (0 until 400).map(i => (i.toLong, s"adoc $i ${prose(i, 8)}", "A"))
+    val bShared = (0 until 200).map(i =>
+      (1000L + i, s"adoc $i ${prose(i, 8)}", "B")) // same TEXT as A's first 200
+    val bOwn = (0 until 200).map(i => (2000L + i, s"bdoc $i ${prose(5000 + i, 8)}", "B"))
+    val cDocs = (0 until 30).map(i => (3000L + i, s"cdoc $i ${prose(9000 + i, 8)}", "C"))
+    val dir = docsDir(aDocs ++ bShared ++ bOwn ++ cDocs)
+    spark.read.parquet(s"$dir/documents.parquet")
+      .withColumnRenamed("lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/d2/documents.parquet")
+    val got = PipelineQueries.q112(spark, s"$dir/d2")
+      .select("source_a", "source_b", "est_a", "est_b", "est_union", "est_overlap")
+      .as[(String, String, Double, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    val ab = got(("A", "B"))
+    // truth: |A| = 400, |B| = 400, |A∪B| = 600, overlap = 200; KMV at
+    // k=64 has ~1/sqrt(62) ≈ 13% relative sd — allow ±35%
+    assert(math.abs(ab._3 - 400) < 140, s"est_a ${ab._3} far from 400")
+    assert(math.abs(ab._4 - 400) < 140, s"est_b ${ab._4} far from 400")
+    assert(math.abs(ab._5 - 600) < 210, s"est_union ${ab._5} far from 600")
+    assert(ab._6 > 0, s"disjoint estimate for 200 shared docs: ${ab._6}")
+    // C is below k: its estimate is the exact distinct count
+    assert(got(("A", "C"))._4 == 30.0, s"below-k source must be exact: ${got(("A", "C"))}")
+    // exact union path for two below-k sketches: B∩C empty
+    assert(got(("B", "C"))._4 == 30.0)
+  }
+
   // ------------------------------------------------------------- q111
   test("q111: repeat counts hit the integer envelope and whole weights are exact") {
     val rows = PipelineQueries.q111(spark, sf0001)

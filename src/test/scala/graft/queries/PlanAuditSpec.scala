@@ -160,6 +160,8 @@ object PlanAuditSpec {
     // each ride one scan
     "q110_fixed_size_sample" -> 1,
     "q111_epoch_oversample" -> 1,
+    // q112's pinned sources-sized sketch relation self-pairs
+    "q112_kmv_overlap" -> 0,
     // multi-table relational joins (one scan per table, plus documented
     // reuse): audited counts
     "q10_join_inner_equi" -> 4,

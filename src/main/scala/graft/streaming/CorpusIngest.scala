@@ -217,6 +217,58 @@ object CorpusIngest {
     out
   }
 
+  /** One micro-batch of KMV-sketch maintenance (q112's continuous
+    * side): the per-source k-minimum-values content sketch merges each
+    * batch's k-smallest hashes into the stored sketch — KMV union is
+    * "k smallest of the concatenation", so incremental maintenance is
+    * BIT-EXACT equal to rebuilding from the full corpus (spec-pinned),
+    * and re-merging an already-merged batch is a no-op (min-k is
+    * idempotent under re-union), so crash-replay converges without any
+    * dedup bookkeeping. The store is sources × k hashes — model-sized
+    * — and overwrites atomically like the other model artifacts; every
+    * q112-style overlap/distinct estimate then reads the store without
+    * touching the corpus. */
+  def kmvBatch(batch: DataFrame, skDir: String, k: Int = 64): DataFrame = {
+    val spark = batch.sparkSession
+    val bs = batch
+      .select(col("source"), md5(concat(lit("kmv|"), col("text"))).as("h"))
+      .distinct()
+      .groupBy(col("source"))
+      .agg(graft.operators.TopK.minKByString(k)(col("h"), lit(0L)).as("sk"))
+      .select(col("source"),
+        org.apache.spark.sql.functions.transform(col("sk"), p => p.getField("_1")).as("hs"))
+    val stored =
+      try {
+        val df = spark.read.parquet(skDir)
+        if (df.columns.contains("hs")) Some(df) else None
+      } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val emptyArr = array().cast("array<string>")
+    val merged = stored match {
+      case Some(st) =>
+        bs.join(st.select(col("source"), col("hs").as("old")), Seq("source"), "full")
+          .select(col("source"),
+            slice(array_sort(array_union(
+              coalesce(col("hs"), emptyArr), coalesce(col("old"), emptyArr))), 1, k).as("hs"))
+      case None => bs
+    }
+    // materialize BEFORE overwriting the store the lineage reads
+    val out = merged.localCheckpoint()
+    out.write.mode(SaveMode.Overwrite).parquet(skDir)
+    out
+  }
+
+  /** The continuous form of [[kmvBatch]]. */
+  def startKmvMaintenance(docs: DataFrame, skDir: String, checkpointDir: String,
+                          trigger: Trigger = Trigger.AvailableNow(),
+                          k: Int = 64): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        kmvBatch(batch, skDir, k): Unit
+      }
+      .start()
+
   /** The continuous form of [[noveltyBatch]]: per-batch novelty rows
     * append to `outDir`, the first-appearance store advances in
     * `shDir`. The content-yield dashboard a crawl ingest watches — a

@@ -57,6 +57,34 @@ class NoveltyMonitorSpec extends SparkSpec {
       s"replay-duplicated store rows must not inflate n_shingles: $later")
   }
 
+  test("KMV maintenance: incremental merge is bit-equal to the batch-built sketch, and replay is a no-op") {
+    import org.apache.spark.sql.functions._
+    val skDir = tmp() + "/sk"
+    val docs = graft.core.Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val ids = docs.select("doc_id").as[Long].collect().sorted
+    val cut = ids(ids.length / 2)
+    val b1 = docs.filter(col("doc_id") <= cut)
+    val b2 = docs.filter(col("doc_id") > cut)
+    CorpusIngest.kmvBatch(b1, skDir)
+    CorpusIngest.kmvBatch(b2, skDir)
+    def sketches(df: org.apache.spark.sql.DataFrame) = df
+      .select("source", "hs").as[(String, Seq[String])].collect().toMap
+    val incremental = sketches(spark.read.parquet(skDir))
+    val batchBuilt = sketches(
+      docs.select(col("source"), md5(concat(lit("kmv|"), col("text"))).as("h"))
+        .distinct()
+        .groupBy(col("source"))
+        .agg(graft.operators.TopK.minKByString(64)(col("h"), lit(0L)).as("sk"))
+        .select(col("source"), transform(col("sk"), p => p.getField("_1")).as("hs")))
+    assert(incremental == batchBuilt,
+      "incremental KMV merge diverged from the batch-built sketch")
+    // crash-replay: merging b2 again must leave the store unchanged
+    CorpusIngest.kmvBatch(b2, skDir)
+    assert(sketches(spark.read.parquet(skDir)) == batchBuilt,
+      "re-merging an already-merged batch changed the sketch")
+  }
+
   test("streaming form: checkpointed monitor writes per-batch novelty to outDir") {
     implicit val sqlCtx = spark.sqlContext
     val dir = tmp()

@@ -227,9 +227,13 @@ object CorpusIngest {
     * dedup bookkeeping. The store is sources × k hashes — model-sized
     * — and overwrites atomically like the other model artifacts; every
     * q112-style overlap/distinct estimate then reads the store without
-    * touching the corpus. */
+    * touching the corpus. The overwrite rides the Merge two-rename
+    * discipline (write tmp → backup live → swap → drop backup), healed
+    * on entry — a plain `mode(Overwrite)` has a delete-then-write
+    * window that loses the whole sketch history on a crash. */
   def kmvBatch(batch: DataFrame, skDir: String, k: Int = 64): DataFrame = {
     val spark = batch.sparkSession
+    healKmvStore(skDir)
     val bs = batch
       .select(col("source"), md5(concat(lit("kmv|"), col("text"))).as("h"))
       .distinct()
@@ -253,8 +257,34 @@ object CorpusIngest {
     }
     // materialize BEFORE overwriting the store the lineage reads
     val out = merged.localCheckpoint()
-    out.write.mode(SaveMode.Overwrite).parquet(skDir)
+    val live = new java.io.File(skDir)
+    val tmp = new java.io.File(skDir + ".swap_tmp")
+    val bak = new java.io.File(skDir + ".swap_old")
+    out.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (live.isDirectory)
+      java.nio.file.Files.move(live.toPath, bak.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    java.nio.file.Files.move(tmp.toPath, live.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    if (bak.isDirectory) org.apache.commons.io.FileUtils.deleteDirectory(bak)
     out
+  }
+
+  /** Heal a sketch store stranded in the two-rename window: live absent
+    * with the backup present ⇒ the crash hit between the two renames —
+    * restore the backup (it holds every batch before the interrupted
+    * one; KMV idempotence makes the replayed batch converge). A stale
+    * tmp is debris from a crash mid-write — drop it. */
+  private def healKmvStore(skDir: String): Unit = {
+    val live = new java.io.File(skDir)
+    val tmp = new java.io.File(skDir + ".swap_tmp")
+    val bak = new java.io.File(skDir + ".swap_old")
+    if (!live.isDirectory && bak.isDirectory)
+      java.nio.file.Files.move(bak.toPath, live.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    else if (live.isDirectory && bak.isDirectory)
+      org.apache.commons.io.FileUtils.deleteDirectory(bak)
+    if (tmp.isDirectory) org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
 
   /** The continuous form of [[kmvBatch]]. */

@@ -83,6 +83,14 @@ class NoveltyMonitorSpec extends SparkSpec {
     CorpusIngest.kmvBatch(b2, skDir)
     assert(sketches(spark.read.parquet(skDir)) == batchBuilt,
       "re-merging an already-merged batch changed the sketch")
+    // crash INSIDE the two-rename window (backup present, live absent):
+    // the next batch heals the store and converges to the same sketch
+    java.nio.file.Files.move(new java.io.File(skDir).toPath,
+      new java.io.File(skDir + ".swap_old").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    CorpusIngest.kmvBatch(b2, skDir)
+    assert(sketches(spark.read.parquet(skDir)) == batchBuilt,
+      "heal + replay after a mid-swap crash diverged from the batch-built sketch")
   }
 
   test("streaming form: checkpointed monitor writes per-batch novelty to outDir") {

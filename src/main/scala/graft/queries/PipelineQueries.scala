@@ -3615,6 +3615,62 @@ object PipelineQueries {
       |       round(eu, 4) AS est_union, round(ea + eb - eu, 4) AS est_overlap
       |FROM est ORDER BY source_a, source_b""".stripMargin
 
+  // --------------------------------------------------------------- Q113
+  /** Temporal BURST detection (the monitoring family's spike alarm —
+    * q68/q86 watch the value DISTRIBUTION shift, q90 flags outlier
+    * rows; nothing watched the event RATE): per hour, the z-score of
+    * the event count against the trailing-24-hour baseline, flagged at
+    * z ≥ 3 with at least half a day of history. Exactness discipline:
+    * everything through the window is INTEGER (count, Σn, Σn², history
+    * rows — order-invariant long sums, so the engines' different
+    * within-frame summation orders cannot diverge), and the one float
+    * expression (mean, variance, √, z) is written IDENTICALLY on both
+    * sides over those exact integers — deterministic IEEE ops on
+    * identical inputs, rounded at 4 dp. Scale shape: the corpus-sized
+    * work is ONE partial-aggregable (hour) count; the trailing window
+    * rides the HOURS relation — model-sized for any horizon (a decade
+    * is 87k rows) — so the unpartitioned ORDER BY window is a
+    * deliberate single-partition pass over a tiny series, not a data
+    * shuffle. Long arithmetic holds to ~10⁸ events/hour (s² < 2⁶³);
+    * past that the counts pre-scale, the z semantics unchanged. */
+  val q113: Q = (s, d) => {
+    val hours = t(s, d, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val frame = Window.orderBy(col("h")).rowsBetween(-24, -1)
+    val zExpr = (col("n").cast("double") - col("s").cast("double") / col("cnt")) /
+      sqrt((col("ssq").cast("double") - col("s").cast("double") * col("s") / col("cnt")) / col("cnt"))
+    hours
+      .withColumn("s", sum(col("n")).over(frame))
+      .withColumn("ssq", sum(col("n") * col("n")).over(frame))
+      .withColumn("cnt", count(lit(1)).over(frame))
+      .filter(col("cnt") >= 12 && col("ssq") * col("cnt") > col("s") * col("s"))
+      .select(col("h"), col("n"),
+        round(col("s").cast("double") / col("cnt"), 4).as("baseline"),
+        round(zExpr, 4).as("z"),
+        (zExpr >= 3.0).cast("int").as("burst"))
+      .orderBy(col("h"))
+  }
+
+  val q113Sql: String =
+    """WITH hours AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n
+      |               FROM events GROUP BY 1),
+      |w AS (SELECT h, n,
+      |        sum(n) OVER fr AS s,
+      |        sum(n * n) OVER fr AS ssq,
+      |        count(*) OVER fr AS cnt
+      |      FROM hours
+      |      WINDOW fr AS (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      |SELECT h, n,
+      |       round(CAST(s AS DOUBLE) / cnt, 4) AS baseline,
+      |       round((CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / cnt)
+      |             / sqrt((CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * s / cnt) / cnt), 4) AS z,
+      |       CAST((CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / cnt)
+      |            / sqrt((CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * s / cnt) / cnt) >= 3.0
+      |            AS INT) AS burst
+      |FROM w WHERE cnt >= 12 AND ssq * cnt > s * s
+      |ORDER BY h""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
@@ -3691,7 +3747,8 @@ object PipelineQueries {
     ("q109_leakage_safe_split", q109, q109Sql),
     ("q110_fixed_size_sample", q110, q110Sql),
     ("q111_epoch_oversample", q111, q111Sql),
-    ("q112_kmv_overlap", q112, q112Sql))
+    ("q112_kmv_overlap", q112, q112Sql),
+    ("q113_burst_detection", q113, q113Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type (KLL-style `percentile_approx`

@@ -263,6 +263,29 @@ class CorpusSignalsSpec extends SparkSpec {
     assert(got(("B", "C"))._4 == 30.0)
   }
 
+  // ------------------------------------------------------------- q113
+  test("q113: a planted 10x burst hour flags at z >= 3 and steady hours stay quiet") {
+    import org.apache.spark.sql.functions._
+    // 72 hours: ~steady 10±1 events/hour, hour 48 carries 100
+    val rows = (0 until 72).flatMap { h =>
+      val k = if (h == 48) 100 else 10 + (h % 3) - 1
+      (0 until k).map(i => (h.toLong * 1000 + i, h.toLong * 3600 + i))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("burst_ev").toString
+    rows.toDF("event_id", "sec")
+      .select(col("event_id"), timestamp_seconds(col("sec")).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = PipelineQueries.q113(spark, dir)
+      .select("n", "z", "burst").as[(Long, Double, Int)].collect()
+    val bursts = got.filter(_._3 == 1)
+    assert(bursts.length == 1 && bursts.head._1 == 100L,
+      s"exactly the planted hour must flag: ${bursts.toSeq}")
+    assert(bursts.head._2 >= 3.0)
+    // steady hours sit well inside the fence
+    assert(got.filter(_._1 <= 11).forall(_._2 < 3.0),
+      "steady hours must not flag")
+  }
+
   // ------------------------------------------------------------- q111
   test("q111: repeat counts hit the integer envelope and whole weights are exact") {
     val rows = PipelineQueries.q111(spark, sf0001)

@@ -162,6 +162,8 @@ object PlanAuditSpec {
     "q111_epoch_oversample" -> 1,
     // q112's pinned sources-sized sketch relation self-pairs
     "q112_kmv_overlap" -> 0,
+    // q113: one partial-aggregable hour count + the tiny-series window
+    "q113_burst_detection" -> 1,
     // multi-table relational joins (one scan per table, plus documented
     // reuse): audited counts
     "q10_join_inner_equi" -> 4,

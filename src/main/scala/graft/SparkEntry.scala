@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, PipelineQueries, RelationalQueries}
+import graft.queries.{AuditQueries, CoreQueries, PipelineQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -11,7 +11,8 @@ object SparkEntry {
     CoreQueries.q10(spark, "/root/testdata/sf0.001")
 
   private def all =
-    CoreQueries.entries ++ PipelineQueries.entries ++ RelationalQueries.entries
+    CoreQueries.entries ++ PipelineQueries.entries ++ RelationalQueries.entries ++
+      AuditQueries.entries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,322 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.{TextOps, VectorOps}
+
+/** Corpus- and index-AUDIT queries (q114–q118): the checks a training-data
+  * pipeline runs over an already-built corpus and its indexes — chunk-level
+  * duplication gating, fuzzy benchmark decontamination, embedding-space
+  * drift, ANN recall measurement, and seasonal rate monitoring. They extend
+  * the reference's own integrity discipline (verify-every-download,
+  * metrics-on-every-failure — `download/download.go`'s checksum + metric
+  * pattern) from single objects to whole-corpus statistical properties.
+  *
+  * House rules as everywhere else: pure codegen'd built-ins (the only
+  * kernels are the repo's own Catalyst expressions), DuckDB oracle per
+  * query, integer dataflow wherever a float sum would be order-sensitive,
+  * round(…, 4) at the float boundary, total ORDER BY.
+  */
+object AuditQueries {
+  import CoreQueries.Q
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  // --------------------------------------------------------------- Q114
+  /** CHUNK-level duplication gate (the RefinedWeb/FineWeb doc filter):
+    * split each document into consecutive non-overlapping 8-token
+    * chunks, call a chunk duplicated when its hash occurs in ≥ 2
+    * distinct documents, and DROP a document when more than half its
+    * chunks are duplicated. Sits between q04 (whole-doc exact dedup)
+    * and q19 (near-dup pairs): it catches template pages that share
+    * most of their body without being near-identical as a whole.
+    *
+    * Scale shape: the text never shuffles — chunks leave the scan as
+    * slim (doc_id, md5) pairs; one partial-aggregable distinct+count
+    * per chunk hash, one slim equi-join back. At 100 TB the chunk
+    * count table is the stored artifact (ingest maintains it exactly
+    * like q55's band table) and the bloom prefilter of q84 applies
+    * verbatim to skip the join for never-duplicated chunks. */
+  val q114: Q = (s, d) => {
+    val ch = t(s, d, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), floor(size(col("t")) / 8).cast("int")),
+          i => md5(concat_ws(" ",
+            slice(col("t"), (i - lit(1)) * lit(8) + lit(1), lit(8)))))).as("h"))
+    val nd = ch.distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+    ch.join(nd, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        round(col("n_dup_chunks").cast("double") / col("n_chunks"), 4).as("dup_ratio"),
+        when(col("n_dup_chunks") * 2 > col("n_chunks"), "drop").otherwise("keep").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q114Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |ch AS (SELECT doc_id, unnest(list_transform(
+      |         generate_series(1, CAST(floor(len(t) / 8) AS INT)),
+      |         i -> md5(array_to_string(t[(i-1)*8+1:(i-1)*8+8], ' ')))) AS h
+      |       FROM toks WHERE len(t) >= 8),
+      |nd AS (SELECT h, count(DISTINCT doc_id) AS nd FROM ch GROUP BY h),
+      |agg AS (SELECT ch.doc_id, count(*) AS n_chunks,
+      |          CAST(sum(CASE WHEN nd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+      |        FROM ch JOIN nd USING (h) GROUP BY ch.doc_id)
+      |SELECT doc_id, n_chunks, n_dup_chunks,
+      |       round(CAST(n_dup_chunks AS DOUBLE) / n_chunks, 4) AS dup_ratio,
+      |       CASE WHEN n_dup_chunks * 2 > n_chunks THEN 'drop' ELSE 'keep' END AS verdict
+      |FROM agg ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- Q115
+  /** FUZZY benchmark decontamination — q59 with one-token tolerance
+    * (the GPT-3/PaLM decontamination recipe: a training n-gram is
+    * contaminated if it matches a benchmark n-gram up to a small edit).
+    * Token-level Hamming ≤ 1 on positional 5-grams, via SymSpell's
+    * delete-variant trick lifted from characters (q80) to tokens: each
+    * 5-gram emits its 5 drop-one-token variants keyed by drop position;
+    * two 5-grams share a (position, variant) key iff they agree on the
+    * other four positions, i.e. differ in at most the dropped token.
+    * Exact-match grams match at every position — no double count, the
+    * hit set is distinct-per-(doc, gram).
+    *
+    * Scale shape: identical to q59 — the benchmark variant set is tiny
+    * and BROADCASTS; the corpus side computes its variants scan-locally
+    * and never shuffles on the gram. 5× variant fan-out on slim strings
+    * only, never the document text. */
+  val q115: Q = (s, d) => {
+    val grams = t(s, d, "documents")
+      .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 5)
+      .select(col("doc_id"), col("source"),
+        explode(transform(sequence(lit(1), size(col("t")) - 4),
+          i => slice(col("t"), i, lit(5)))).as("w"))
+    val keyed = grams
+      .select(col("doc_id"), col("source"), concat_ws(" ", col("w")).as("gram"),
+        posexplode(transform(sequence(lit(0), lit(4)),
+          j => concat_ws(" ", concat(
+            slice(col("w"), lit(1), j),
+            slice(col("w"), j + lit(2), lit(4) - j))))).as(Seq("j", "v")))
+      .select(col("doc_id"), col("source"), col("gram"),
+        concat(col("j").cast("string"), lit("|"), col("v")).as("vk"))
+    val bench = keyed.filter(col("source") === "src0").select(col("vk")).distinct()
+    keyed.filter(col("source") =!= "src0")
+      .join(broadcast(bench), "vk")
+      .select(col("doc_id"), col("gram")).distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fuzzy_contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q115Sql: String =
+    """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      |g AS (SELECT doc_id, source,
+      |        unnest(list_transform(generate_series(1, len(t) - 4), i -> t[i:i+4])) AS w
+      |      FROM toks WHERE len(t) >= 5),
+      |v AS (SELECT doc_id, source, array_to_string(w, ' ') AS gram,
+      |        unnest(list_transform(generate_series(0, 4),
+      |          j -> CAST(j AS VARCHAR) || '|' ||
+      |               array_to_string(list_concat(w[1:j], w[j+2:5]), ' '))) AS vk
+      |      FROM g),
+      |bench AS (SELECT DISTINCT vk FROM v WHERE source = 'src0'),
+      |hit AS (SELECT DISTINCT doc_id, gram
+      |        FROM v JOIN bench USING (vk) WHERE source <> 'src0')
+      |SELECT doc_id, count(*) AS n_fuzzy_contaminated
+      |FROM hit GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- Q116
+  /** Embedding-space CENTROID DRIFT per label — the monitoring twin of
+    * q68/q86 for the VECTOR column: how far each label's centroid sits
+    * from the global centroid (cosine distance), the signal that flags
+    * a collapsing or drifting embedding slice before it poisons ANN
+    * routing. Exactness discipline: dims quantize to round(x·1000) as
+    * LONG at the scan, every aggregation is an order-invariant integer
+    * sum, and cosine is scale-invariant so the INTEGER SUM VECTORS
+    * stand in for the mean centroids exactly — the single float
+    * expression runs over identical longs on both engines. Magnitudes:
+    * |q| ≤ ~2·10³, so Σq ≤ 2·10⁹ per dim at 10⁶ rows/label and the
+    * Σ(sl·sg) dot stays < 2⁶³ through warehouse scale.
+    *
+    * Scale shape: one slim (label, pos, q) explode — 64 longs per row,
+    * the vector itself never shuffles — into a partial-aggregable
+    * groupBy; the global vector derives from the per-label sums (no
+    * second scan) and the final join is 64·|labels| rows broadcast. */
+  val q116: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+      .select(col("label"),
+        posexplode(transform(col("embedding").cast("array<double>"),
+          x => round(x * 1000, 0).cast("long"))).as(Seq("pos", "q")))
+    val perLabel = e.groupBy(col("label"), col("pos"))
+      .agg(sum(col("q")).as("sl"), count(lit(1)).as("nl"))
+    val global = perLabel.groupBy(col("pos")).agg(sum(col("sl")).as("sg"))
+    perLabel.join(broadcast(global), "pos")
+      .groupBy(col("label"))
+      .agg(max(col("nl")).as("n_vecs"),
+        sum(col("sl") * col("sg")).as("dp"),
+        sum(col("sl") * col("sl")).as("ll"),
+        sum(col("sg") * col("sg")).as("gg"))
+      .select(col("label"), col("n_vecs"),
+        round(lit(1.0) - col("dp").cast("double") /
+          (sqrt(col("ll").cast("double")) * sqrt(col("gg").cast("double"))), 4)
+          .as("drift"))
+      .orderBy(col("label"))
+  }
+
+  val q116Sql: String =
+    """WITH q AS (SELECT label, j AS pos,
+      |             CAST(round(CAST(embedding[j] AS DOUBLE) * 1000, 0) AS BIGINT) AS q
+      |           FROM embeddings
+      |           CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) js),
+      |pl AS (SELECT label, pos, CAST(sum(q) AS BIGINT) AS sl, count(*) AS nl
+      |       FROM q GROUP BY 1, 2),
+      |g AS (SELECT pos, CAST(sum(sl) AS BIGINT) AS sg FROM pl GROUP BY 1)
+      |SELECT label, max(nl) AS n_vecs,
+      |       round(1.0 - CAST(sum(sl * sg) AS DOUBLE)
+      |             / (sqrt(CAST(sum(sl * sl) AS DOUBLE))
+      |                * sqrt(CAST(sum(sg * sg) AS DOUBLE))), 4) AS drift
+      |FROM pl JOIN g USING (pos)
+      |GROUP BY label ORDER BY label""".stripMargin
+
+  // --------------------------------------------------------------- Q117
+  /** ANN RECALL@10 measurement — the eval that keeps q23's approximate
+    * index honest: for a fixed probe set (vec_id < 5), compare the
+    * sign-LSH bucket search's top-10 against the exact brute-force
+    * top-10 and report per-probe recall plus the candidate-set size
+    * the bucket actually pruned to. This is the dial-setting query for
+    * [[VectorOps.signBucket]]'s bits ↔ recall trade — production runs
+    * it on a sampled probe set after every index rebuild.
+    *
+    * Scale shape: probes BROADCAST (model-sized), so both legs are one
+    * corpus scan each with scan-local cosine; ranking shuffles slim
+    * (pid, vec_id, sim) rows partitioned by probe. The exact leg is
+    * deliberately brute-force — it is the ground truth being measured
+    * against, priced by keeping the probe sample small. Ties at the
+    * top-10 boundary break deterministically on (sim desc, vec_id) on
+    * both engines. */
+  val q117: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("bkt", VectorOps.signBucket(col("v"), 4))
+    val probes = broadcast(e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("pid"), col("v").as("pv"), col("bkt").as("pbkt")))
+    val scored = e.crossJoin(probes).filter(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id"), col("bkt"), col("pbkt"),
+        round(VectorOps.cosine(col("v"), col("pv")), 4).as("sim"))
+    val rk = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("vec_id"))
+    val exact = scored.withColumn("rk", row_number().over(rk)).filter(col("rk") <= 10)
+      .select(col("pid"), col("vec_id"))
+    val cand = scored.filter(col("bkt") === col("pbkt"))
+    val approx = cand.withColumn("rk", row_number().over(rk)).filter(col("rk") <= 10)
+      .select(col("pid"), col("vec_id"))
+    val nCand = cand.groupBy(col("pid")).agg(count(lit(1)).as("n_candidates"))
+    val hits = exact.join(approx, Seq("pid", "vec_id"))
+      .groupBy(col("pid")).agg(count(lit(1)).as("n_hits"))
+    nCand.join(hits, Seq("pid"), "left")
+      .select(col("pid").as("probe_id"), col("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0, 4)
+          .as("recall_at_10"))
+      .orderBy(col("probe_id"))
+  }
+
+  val q117Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |b AS (SELECT vec_id, v,
+      |        CAST(list_sum(list_transform(generate_series(1, 4),
+      |          i -> CASE WHEN v[i] > 0 THEN CAST(2 ** (i - 1) AS BIGINT)
+      |               ELSE 0 END)) AS BIGINT) AS bkt
+      |      FROM e),
+      |p AS (SELECT vec_id AS pid, v AS pv, bkt AS pbkt FROM b WHERE vec_id < 5),
+      |sc AS (SELECT p.pid, b.vec_id, b.bkt, p.pbkt,
+      |         round(list_inner_product(b.v, p.pv)
+      |               / (sqrt(list_inner_product(b.v, b.v))
+      |                  * sqrt(list_inner_product(p.pv, p.pv))), 4) AS sim
+      |       FROM b CROSS JOIN p WHERE b.vec_id <> p.pid),
+      |ex AS (SELECT pid, vec_id FROM (
+      |         SELECT pid, vec_id,
+      |                row_number() OVER (PARTITION BY pid ORDER BY sim DESC, vec_id) AS rk
+      |         FROM sc) WHERE rk <= 10),
+      |cd AS (SELECT * FROM sc WHERE bkt = pbkt),
+      |ap AS (SELECT pid, vec_id FROM (
+      |         SELECT pid, vec_id,
+      |                row_number() OVER (PARTITION BY pid ORDER BY sim DESC, vec_id) AS rk
+      |         FROM cd) WHERE rk <= 10),
+      |nc AS (SELECT pid, count(*) AS n_candidates FROM cd GROUP BY pid),
+      |h AS (SELECT ex.pid, count(*) AS n_hits
+      |      FROM ex JOIN ap USING (pid, vec_id) GROUP BY ex.pid)
+      |SELECT nc.pid AS probe_id, nc.n_candidates,
+      |       coalesce(h.n_hits, 0) AS n_hits,
+      |       round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10.0, 4) AS recall_at_10
+      |FROM nc LEFT JOIN h USING (pid) ORDER BY probe_id""".stripMargin
+
+  // --------------------------------------------------------------- Q118
+  /** SEASONAL-baseline rate monitoring — q113's complement: q113 flags
+    * bursts against the trailing 24 hours (detects sudden spikes but
+    * re-alarms every daily peak), this one scores each hour against
+    * the distribution of the SAME hour-of-day across the whole horizon,
+    * so a 9am surge is judged against other 9am's. The pair is the
+    * standard production alarm stack (trailing + seasonal). Integer
+    * discipline exactly as q113: count, Σn, Σn² are order-invariant
+    * long sums per hour-of-day group; the one float expression is
+    * written identically on both engines and rounded at 4 dp.
+    *
+    * Scale shape: corpus-sized work is the same ONE partial-aggregable
+    * hour count as q113; the seasonal window partitions the tiny HOURS
+    * relation by hour-of-day — 24 groups of horizon/24 rows each, a
+    * model-sized shuffle regardless of event volume. */
+  val q118: Q = (s, d) => {
+    val hours = t(s, d, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("hod", hour(col("h")))
+    val w = Window.partitionBy(col("hod"))
+    val zNum = col("n").cast("double") - col("s").cast("double") / col("cnt")
+    val zDen = sqrt((col("ssq").cast("double") -
+      col("s").cast("double") * col("s") / col("cnt")) / col("cnt"))
+    hours
+      .withColumn("s", sum(col("n")).over(w))
+      .withColumn("ssq", sum(col("n") * col("n")).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(col("cnt") >= 5 && col("ssq") * col("cnt") > col("s") * col("s"))
+      .select(col("h"), col("hod"), col("n"),
+        round(col("s").cast("double") / col("cnt"), 4).as("seasonal_mean"),
+        round(zNum / zDen, 4).as("z"),
+        (zNum / zDen >= 2.0).cast("int").as("spike"))
+      .orderBy(col("h"))
+  }
+
+  val q118Sql: String =
+    """WITH hours AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n
+      |               FROM events GROUP BY 1),
+      |w AS (SELECT h, CAST(hour(h) AS INT) AS hod, n,
+      |        sum(n) OVER pw AS s,
+      |        sum(n * n) OVER pw AS ssq,
+      |        count(*) OVER pw AS cnt
+      |      FROM hours
+      |      WINDOW pw AS (PARTITION BY hour(h)))
+      |SELECT h, hod, n,
+      |       round(CAST(s AS DOUBLE) / cnt, 4) AS seasonal_mean,
+      |       round((CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / cnt)
+      |             / sqrt((CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * s / cnt) / cnt), 4) AS z,
+      |       CAST((CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / cnt)
+      |            / sqrt((CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * s / cnt) / cnt) >= 2.0
+      |            AS INT) AS spike
+      |FROM w WHERE cnt >= 5 AND ssq * cnt > s * s
+      |ORDER BY h""".stripMargin
+
+  /** name → (query, oracle) */
+  val entries: Seq[(String, Q, String)] = Seq(
+    ("q114_chunk_dup_filter", q114, q114Sql),
+    ("q115_fuzzy_contamination", q115, q115Sql),
+    ("q116_centroid_drift", q116, q116Sql),
+    ("q117_ann_recall", q117, q117Sql),
+    ("q118_seasonal_baseline", q118, q118Sql))
+}

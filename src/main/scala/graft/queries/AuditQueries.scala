@@ -154,8 +154,11 @@ object AuditQueries {
       .select(col("label"),
         posexplode(transform(col("embedding").cast("array<double>"),
           x => round(x * 1000, 0).cast("long"))).as(Seq("pos", "q")))
-    val perLabel = e.groupBy(col("label"), col("pos"))
-      .agg(sum(col("q")).as("sl"), count(lit(1)).as("nl"))
+    // dims·|labels| rows — PINNED so the global-vector derivation and the
+    // final per-label fold read materialized blocks instead of each
+    // replanning the corpus scan (the q89 shared-counts discipline)
+    val perLabel = graft.core.Pins.pin(e.groupBy(col("label"), col("pos"))
+      .agg(sum(col("q")).as("sl"), count(lit(1)).as("nl")))
     val global = perLabel.groupBy(col("pos")).agg(sum(col("sl")).as("sg"))
     perLabel.join(broadcast(global), "pos")
       .groupBy(col("label"))
@@ -207,23 +210,28 @@ object AuditQueries {
       .withColumn("bkt", VectorOps.signBucket(col("v"), 4))
     val probes = broadcast(e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("pid"), col("v").as("pv"), col("bkt").as("pbkt")))
-    val scored = e.crossJoin(probes).filter(col("vec_id") =!= col("pid"))
-      .select(col("pid"), col("vec_id"), col("bkt"), col("pbkt"),
-        round(VectorOps.cosine(col("v"), col("pv")), 4).as("sim"))
+    // slim (pid, vec_id, in_bucket, sim) — PINNED: one corpus scan feeds
+    // both rankings; both legs fuse into a SINGLE window pass over the
+    // same (pid)-partitioning: rkAll ranks everything, and the running
+    // in-bucket count IS the bucket-leg rank for in-bucket rows (same
+    // ordering), so exact top-10, approx top-10 and the candidate count
+    // fold in one (pid)-keyed aggregate that reuses the window Exchange.
+    val scored = graft.core.Pins.pin(
+      e.crossJoin(probes).filter(col("vec_id") =!= col("pid"))
+        .select(col("pid"), col("vec_id"),
+          (col("bkt") === col("pbkt")).as("in_bucket"),
+          round(VectorOps.cosine(col("v"), col("pv")), 4).as("sim")))
     val rk = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("vec_id"))
-    val exact = scored.withColumn("rk", row_number().over(rk)).filter(col("rk") <= 10)
-      .select(col("pid"), col("vec_id"))
-    val cand = scored.filter(col("bkt") === col("pbkt"))
-    val approx = cand.withColumn("rk", row_number().over(rk)).filter(col("rk") <= 10)
-      .select(col("pid"), col("vec_id"))
-    val nCand = cand.groupBy(col("pid")).agg(count(lit(1)).as("n_candidates"))
-    val hits = exact.join(approx, Seq("pid", "vec_id"))
-      .groupBy(col("pid")).agg(count(lit(1)).as("n_hits"))
-    nCand.join(hits, Seq("pid"), "left")
-      .select(col("pid").as("probe_id"), col("n_candidates"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        round(coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0, 4)
-          .as("recall_at_10"))
+    scored
+      .withColumn("rkAll", row_number().over(rk))
+      .withColumn("rkB", sum(when(col("in_bucket"), 1L).otherwise(0L))
+        .over(rk.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("pid"))
+      .agg(sum(when(col("in_bucket"), 1L).otherwise(0L)).as("n_candidates"),
+        sum(when(col("in_bucket") && col("rkB") <= 10 && col("rkAll") <= 10, 1L)
+          .otherwise(0L)).as("n_hits"))
+      .select(col("pid").as("probe_id"), col("n_candidates"), col("n_hits"),
+        round(col("n_hits").cast("double") / 10.0, 4).as("recall_at_10"))
       .orderBy(col("probe_id"))
   }
 
@@ -252,10 +260,11 @@ object AuditQueries {
       |nc AS (SELECT pid, count(*) AS n_candidates FROM cd GROUP BY pid),
       |h AS (SELECT ex.pid, count(*) AS n_hits
       |      FROM ex JOIN ap USING (pid, vec_id) GROUP BY ex.pid)
-      |SELECT nc.pid AS probe_id, nc.n_candidates,
+      |SELECT p.pid AS probe_id, coalesce(nc.n_candidates, 0) AS n_candidates,
       |       coalesce(h.n_hits, 0) AS n_hits,
       |       round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10.0, 4) AS recall_at_10
-      |FROM nc LEFT JOIN h USING (pid) ORDER BY probe_id""".stripMargin
+      |FROM p LEFT JOIN nc ON nc.pid = p.pid LEFT JOIN h ON h.pid = p.pid
+      |ORDER BY probe_id""".stripMargin
 
   // --------------------------------------------------------------- Q118
   /** SEASONAL-baseline rate monitoring — q113's complement: q113 flags

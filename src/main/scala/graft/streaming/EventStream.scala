@@ -169,6 +169,76 @@ object EventStream {
       .start()
   }
 
+  /** One batch of the continuous BURST monitor (q113's streaming twin):
+    * this trigger's CLOSED hours arrive as `(win_us, n_events)`, append
+    * to the hourly-count store at `hoursDir`, and each is scored with
+    * q113's z formula against its trailing 24 CLOCK hours read back
+    * from the store. Range (not row) framing is deliberate for the
+    * continuous form: a silent hour simply contributes nothing, rather
+    * than stretching the baseline arbitrarily far into the past — on a
+    * dense series the two framings coincide (q113's batch table is
+    * dense at every test SF). Store discipline is [[driftPsiBatch]]'s
+    * verbatim: prune to this batch's hours + their 24 predecessors
+    * BEFORE any math (per-batch cost O(batch), not O(stream life)),
+    * and max-dedup (win_us) so a crash-replay re-append cannot inflate
+    * a baseline. Output: (win_us, n, baseline, z, burst) for scoreable
+    * batch hours — same columns and 4-dp rounding as q113.
+    */
+  def burstBatch(closed: DataFrame, hoursDir: String,
+                 minHistory: Int = 12, zThreshold: Double = 3.0): DataFrame = {
+    val spark = closed.sparkSession
+    val hourUs = 3600L * 1000000L
+    val materialized = closed.select(col("win_us"), col("n_events"))
+      .localCheckpoint() // pin BEFORE appending to the dir logic reads
+    materialized.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(hoursDir)
+    val newWins = materialized.select(col("win_us")).distinct()
+    val needed = newWins
+      .select(explode(sequence(lit(0), lit(24))).as("k"), col("win_us"))
+      .select((col("win_us") - col("k") * hourUs).as("win_us")).distinct()
+    val store = spark.read.parquet(hoursDir)
+      .join(broadcast(needed), Seq("win_us"), "left_semi")
+      .groupBy(col("win_us")).agg(max(col("n_events")).as("n"))
+    val hist = store.select(col("win_us").as("h_us"), col("n").as("hn"))
+    val scored = store.join(newWins, Seq("win_us"), "left_semi")
+      .join(hist,
+        col("h_us") >= col("win_us") - lit(24L) * hourUs &&
+          col("h_us") <= col("win_us") - hourUs)
+      .groupBy(col("win_us"), col("n"))
+      .agg(sum(col("hn")).as("s"), sum(col("hn") * col("hn")).as("ssq"),
+        count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minHistory &&
+        col("ssq") * col("cnt") > col("s") * col("s"))
+    val z = (col("n").cast("double") - col("s").cast("double") / col("cnt")) /
+      sqrt((col("ssq").cast("double") -
+        col("s").cast("double") * col("s") / col("cnt")) / col("cnt"))
+    scored.select(col("win_us"), col("n"),
+      round(col("s").cast("double") / col("cnt"), 4).as("baseline"),
+      round(z, 4).as("z"),
+      (z >= zThreshold).cast("int").as("burst"))
+  }
+
+  /** The continuous form: watermarked tumbling hourly counts in APPEND
+    * mode driven through [[burstBatch]], `onAlarm(win_us, z)` fired per
+    * flagged hour — the rate-spike pager a continuously-ingesting
+    * pipeline runs next to the drift monitors. */
+  def startBurstMonitor(events: DataFrame, hoursDir: String,
+                        checkpointDir: String,
+                        watermarkDelay: String = "2 hours",
+                        onAlarm: (Long, Double) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros(col("w.start")).as("win_us"), col("n_events"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        burstBatch(batch, hoursDir).filter(col("burst") === 1).collect()
+          .foreach(r => onAlarm(r.getLong(0), r.getDouble(3)))
+      }
+      .start()
+
   /** In-stream exact dedup on a key (content hash / event id): the
     * streaming analog of the md5 anti-join — a true duplicate is dropped
     * even when it arrives with a DIFFERENT event time (the key alone

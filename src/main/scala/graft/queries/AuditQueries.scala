@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -321,11 +321,240 @@ object AuditQueries {
       |FROM w WHERE cnt >= 5 AND ssq * cnt > s * s
       |ORDER BY h""".stripMargin
 
+  // --------------------------------------------------------------- Q119
+  /** VOCAB COVERAGE curve (the Zipf audit behind tokenizer vocab
+    * sizing): term occurrence counts ranked by frequency with the
+    * cumulative share of all occurrences — "the top k types cover p%
+    * of the corpus" read directly off the curve. One partial-aggregable
+    * term count is the only corpus-sized work; the ranking window rides
+    * the VOCAB relation, which is model-sized by Heaps' law (q104
+    * measures exactly that growth), so the unpartitioned sort is a
+    * deliberate small-series pass, not a data shuffle — the q113 hours
+    * rationale applied to types. Ties rank (count desc, term) on both
+    * engines. */
+  val q119: Q = (s, d) => {
+    val counts = t(s, d, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("k"))
+    val total = counts.agg(sum(col("k")).as("total"))
+    val w = Window.orderBy(col("k").desc, col("term"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("k"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rank"), col("term"), col("k"),
+        round(col("cum").cast("double") / col("total"), 4).as("cum_share"))
+      .orderBy(col("rank"))
+  }
+
+  val q119Sql: String =
+    """WITH counts AS (SELECT t AS term, count(*) AS k
+      |               FROM (SELECT unnest(string_split(text, ' ')) AS t
+      |                     FROM documents) GROUP BY 1),
+      |ranked AS (SELECT term, k,
+      |             CAST(row_number() OVER w AS BIGINT) AS rank,
+      |             sum(k) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+      |                          AND CURRENT ROW) AS cum
+      |           FROM counts WINDOW w AS (ORDER BY k DESC, term))
+      |SELECT rank, term, k,
+      |       round(CAST(cum AS DOUBLE) / (SELECT sum(k) FROM counts), 4) AS cum_share
+      |FROM ranked ORDER BY rank""".stripMargin
+
+  // --------------------------------------------------------------- Q120
+  /** Multi-SIGNAL quality blend (the FineWeb-Edu-style combined filter):
+    * three per-document signals — token count, distinct-3-gram
+    * diversity, stopword occurrences — z-normalized against corpus
+    * statistics and averaged; top 50 docs by blend. The deliberate
+    * design is WINDOW-FREE normalization: percent-rank blending needs a
+    * full sort per signal (three unpartitioned corpus sorts), so the
+    * normalizer is instead (x − μ)/σ with μ, σ from ONE tiny aggregate
+    * over the scan-local INTEGER signals — order-invariant long sums,
+    * one broadcast back, and the blend is scan-local arithmetic into a
+    * TakeOrdered top-k. Identical float expression over identical
+    * integers on both engines; ranking ties break on doc_id. */
+  val q120: Q = (s, d) => {
+    val stops = TextOps.EnStops.map(x => x: Any)
+    val sig = t(s, d, "documents").select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("s_len"),
+      size(TextOps.shinglesNative(col("text"), 3)).cast("long").as("s_div"),
+      size(filter(TextOps.tokens(col("text")), t => t.isin(stops: _*)))
+        .cast("long").as("s_stop"))
+    val stats = sig.agg(
+      count(lit(1)).as("n"),
+      sum(col("s_len")).as("a1"), sum(col("s_len") * col("s_len")).as("b1"),
+      sum(col("s_div")).as("a2"), sum(col("s_div") * col("s_div")).as("b2"),
+      sum(col("s_stop")).as("a3"), sum(col("s_stop") * col("s_stop")).as("b3"))
+    def z(x: Column, a: Column, b: Column, n: Column): Column =
+      (x.cast("double") - a.cast("double") / n) /
+        sqrt((b.cast("double") - a.cast("double") * a / n) / n)
+    val blend = (z(col("s_len"), col("a1"), col("b1"), col("n")) +
+      z(col("s_div"), col("a2"), col("b2"), col("n")) +
+      z(col("s_stop"), col("a3"), col("b3"), col("n"))) / 3.0
+    sig.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("s_len"), col("s_div"), col("s_stop"),
+        round(blend, 4).as("blend"))
+      .orderBy(col("blend").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  val q120Sql: String = {
+    val stops = TextOps.EnStops.map(s => s"'$s'").mkString(", ")
+    s"""WITH sig AS (SELECT doc_id,
+       |    CAST(len(t) AS BIGINT) AS s_len,
+       |    CAST(len(list_distinct(list_transform(generate_series(1, len(t) - 2),
+       |           i -> array_to_string(t[i:i+2], ' ')))) AS BIGINT) AS s_div,
+       |    CAST(len(list_filter(t, x -> x IN ($stops))) AS BIGINT) AS s_stop
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+       |st AS (SELECT count(*) AS n,
+       |         sum(s_len) AS a1, sum(s_len * s_len) AS b1,
+       |         sum(s_div) AS a2, sum(s_div * s_div) AS b2,
+       |         sum(s_stop) AS a3, sum(s_stop * s_stop) AS b3
+       |       FROM sig)
+       |SELECT doc_id, s_len, s_div, s_stop,
+       |  round(((CAST(s_len AS DOUBLE) - CAST(a1 AS DOUBLE) / n)
+       |           / sqrt((CAST(b1 AS DOUBLE) - CAST(a1 AS DOUBLE) * a1 / n) / n)
+       |         + (CAST(s_div AS DOUBLE) - CAST(a2 AS DOUBLE) / n)
+       |           / sqrt((CAST(b2 AS DOUBLE) - CAST(a2 AS DOUBLE) * a2 / n) / n)
+       |         + (CAST(s_stop AS DOUBLE) - CAST(a3 AS DOUBLE) / n)
+       |           / sqrt((CAST(b3 AS DOUBLE) - CAST(a3 AS DOUBLE) * a3 / n) / n))
+       |        / 3.0, 4) AS blend
+       |FROM sig CROSS JOIN st
+       |ORDER BY blend DESC, doc_id LIMIT 50""".stripMargin
+  }
+
+  // --------------------------------------------------------------- Q121
+  /** CURATION FUNNEL — per-source loss accounting through the
+    * pipeline's gates, the attrition table a data team ships with every
+    * corpus release: how many documents each source loses to the Gopher
+    * rule bundle (q102's gate), exact content dedup (q05's keep-first),
+    * the chunk-duplication filter (q114's verdict), and benchmark
+    * contamination (q59's flag, src0 = the benchmark itself exempt),
+    * and how many survive EVERY gate. Gates are computed as slim
+    * (doc_id, flag) relations off ONE pinned base scan (the q93 build
+    * discipline — unpinned, each gate would replan the corpus scan) and
+    * joined back on doc_id; every count is an integer sum. At 100 TB
+    * each gate's verdict is a stored column maintained at ingest and
+    * the funnel collapses to one scan of the verdict table — this query
+    * IS that table's initial build. */
+  val q121: Q = (s, d) => {
+    val base = graft.core.Pins.pin(t(s, d, "documents")
+      .select(col("doc_id"), col("source"), col("text")))
+    // gate 1: Gopher rule bundle (q102's integer rules, pass == all four)
+    val tc = base.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("k"))
+    val gopher = tc.groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_tokens"),
+        sum(col("k") * length(col("term"))).as("n_chars"),
+        sum(when(col("term").isin(TextOps.EnStops.map(x => x: Any): _*),
+          col("k")).otherwise(0L)).as("stop_k"),
+        max(col("k")).as("max_k"))
+      .select(col("doc_id"),
+        (!(col("n_tokens") >= 50 && col("n_tokens") <= 100000 &&
+          col("n_chars") >= col("n_tokens") * 3 &&
+          col("n_chars") <= col("n_tokens") * 10 &&
+          col("stop_k") >= 2 &&
+          col("max_k") * 5 <= col("n_tokens"))).cast("long").as("f_gopher"))
+    // gate 2: exact dup — keep the smallest doc_id per content hash
+    val dup = base.select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+      .select(col("doc_id"), (col("rn") > 1).cast("long").as("f_dup"))
+    // gate 3: chunk-duplication verdict (q114's construction)
+    val ch = base.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), floor(size(col("t")) / 8).cast("int")),
+          i => md5(concat_ws(" ",
+            slice(col("t"), (i - lit(1)) * lit(8) + lit(1), lit(8)))))).as("h"))
+    val nd = ch.distinct().groupBy(col("h")).agg(count(lit(1)).as("nd"))
+    val chunk = ch.join(nd, "h").groupBy(col("doc_id"))
+      .agg((sum(when(col("nd") >= 2, 1L).otherwise(0L)) * 2 >
+        count(lit(1))).cast("long").as("f_chunk"))
+    // gate 4: benchmark contamination (q59's flag; src0 itself exempt)
+    val sh = base.select(col("doc_id"), col("source"),
+      explode(array_distinct(TextOps.shinglesNative(col("text"), 3))).as("g"))
+    val bench = sh.filter(col("source") === "src0").select(col("g")).distinct()
+    val contam = sh.filter(col("source") =!= "src0")
+      .join(broadcast(bench), "g")
+      .select(col("doc_id")).distinct()
+      .withColumn("f_contam", lit(1L))
+    base.select(col("doc_id"), col("source"))
+      .join(gopher, Seq("doc_id"), "left")
+      .join(dup, Seq("doc_id"), "left")
+      .join(chunk, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("f_gopher", "f_dup", "f_chunk", "f_contam"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("f_gopher")).as("n_gopher_fail"),
+        sum(col("f_dup")).as("n_exact_dup"),
+        sum(col("f_chunk")).as("n_chunk_dup"),
+        sum(col("f_contam")).as("n_contaminated"),
+        sum(when(col("f_gopher") === 0 && col("f_dup") === 0 &&
+          col("f_chunk") === 0 && col("f_contam") === 0, 1L).otherwise(0L))
+          .as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  val q121Sql: String =
+    """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      |tc AS (SELECT doc_id, term, count(*) AS k FROM (
+      |         SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2),
+      |gopher AS (SELECT doc_id,
+      |             CASE WHEN NOT (sum(k) BETWEEN 50 AND 100000
+      |               AND sum(k * len(term)) BETWEEN sum(k) * 3 AND sum(k) * 10
+      |               AND sum(CASE WHEN term IN ('the', 'a', 'of', 'and', 'to')
+      |                 THEN k ELSE 0 END) >= 2
+      |               AND max(k) * 5 <= sum(k))
+      |             THEN 1 ELSE 0 END AS f_gopher
+      |           FROM tc GROUP BY doc_id),
+      |dup AS (SELECT doc_id, CASE WHEN row_number() OVER (
+      |          PARTITION BY md5(text) ORDER BY doc_id) > 1
+      |          THEN 1 ELSE 0 END AS f_dup FROM documents),
+      |ch AS (SELECT doc_id, unnest(list_transform(
+      |         generate_series(1, CAST(floor(len(t) / 8) AS INT)),
+      |         i -> md5(array_to_string(t[(i-1)*8+1:(i-1)*8+8], ' ')))) AS h
+      |       FROM toks WHERE len(t) >= 8),
+      |nd AS (SELECT h, count(DISTINCT doc_id) AS nd FROM ch GROUP BY h),
+      |chunk AS (SELECT ch.doc_id, CASE WHEN
+      |            sum(CASE WHEN nd.nd >= 2 THEN 1 ELSE 0 END) * 2 > count(*)
+      |            THEN 1 ELSE 0 END AS f_chunk
+      |          FROM ch JOIN nd USING (h) GROUP BY ch.doc_id),
+      |shl AS (SELECT doc_id, source, unnest(list_distinct(list_transform(
+      |          generate_series(1, len(t) - 2),
+      |          i -> array_to_string(t[i:i+2], ' ')))) AS g
+      |        FROM toks),
+      |bench AS (SELECT DISTINCT g FROM shl WHERE source = 'src0'),
+      |contam AS (SELECT DISTINCT doc_id, 1 AS f_contam
+      |           FROM shl JOIN bench USING (g) WHERE source <> 'src0'),
+      |flags AS (SELECT d.doc_id, d.source,
+      |            coalesce(g.f_gopher, 0) AS f_gopher,
+      |            coalesce(u.f_dup, 0) AS f_dup,
+      |            coalesce(c.f_chunk, 0) AS f_chunk,
+      |            coalesce(x.f_contam, 0) AS f_contam
+      |          FROM documents d
+      |          LEFT JOIN gopher g ON g.doc_id = d.doc_id
+      |          LEFT JOIN dup u ON u.doc_id = d.doc_id
+      |          LEFT JOIN chunk c ON c.doc_id = d.doc_id
+      |          LEFT JOIN contam x ON x.doc_id = d.doc_id)
+      |SELECT source, count(*) AS n_total,
+      |       CAST(sum(f_gopher) AS BIGINT) AS n_gopher_fail,
+      |       CAST(sum(f_dup) AS BIGINT) AS n_exact_dup,
+      |       CAST(sum(f_chunk) AS BIGINT) AS n_chunk_dup,
+      |       CAST(sum(f_contam) AS BIGINT) AS n_contaminated,
+      |       CAST(sum(CASE WHEN f_gopher = 0 AND f_dup = 0 AND f_chunk = 0
+      |                AND f_contam = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM flags GROUP BY source ORDER BY source""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q114_chunk_dup_filter", q114, q114Sql),
     ("q115_fuzzy_contamination", q115, q115Sql),
     ("q116_centroid_drift", q116, q116Sql),
     ("q117_ann_recall", q117, q117Sql),
-    ("q118_seasonal_baseline", q118, q118Sql))
+    ("q118_seasonal_baseline", q118, q118Sql),
+    ("q119_vocab_coverage", q119, q119Sql),
+    ("q120_signal_blend", q120, q120Sql),
+    ("q121_curation_funnel", q121, q121Sql))
 }

@@ -90,6 +90,52 @@ class AuditSpec extends SparkSpec {
     }
   }
 
+  test("q119: coverage curve is monotone and terminates at 1.0") {
+    val got = AuditQueries.q119(spark, sf0001)
+      .select("rank", "k", "cum_share").as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    assert(got.map(_._1).toSeq == (1L to got.length).toSeq, "ranks dense from 1")
+    got.sliding(2).foreach {
+      case Array((_, k1, c1), (_, k2, c2)) =>
+        assert(k1 >= k2, "counts must descend with rank")
+        assert(c2 >= c1, "cumulative share must not decrease")
+      case _ => ()
+    }
+    assert(math.abs(got.last._3 - 1.0) < 1e-9, "full vocab covers everything")
+  }
+
+  test("q120: top-50 ordering and signal cross-check against raw tokens") {
+    val got = AuditQueries.q120(spark, sf0001)
+      .select("doc_id", "s_len", "blend").as[(Long, Long, Double)].collect()
+    assert(got.length == 50)
+    got.sliding(2).foreach {
+      case Array((id1, _, b1), (id2, _, b2)) =>
+        assert(b1 > b2 || (b1 == b2 && id1 < id2), "(blend desc, doc_id) order")
+      case _ => ()
+    }
+    val lens = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    got.foreach { case (id, sl, _) => assert(lens(id) == sl, s"doc $id s_len") }
+  }
+
+  test("q121: funnel counts are consistent and the benchmark source is exempt") {
+    val got = AuditQueries.q121(spark, sf0001)
+      .select("source", "n_total", "n_gopher_fail", "n_exact_dup",
+        "n_chunk_dup", "n_contaminated", "n_kept")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val totals = got.map(_._2).sum
+    assert(totals == Tables.load(spark, sf0001, "documents").count())
+    got.foreach { case (src, n, g, d, c, x, kept) =>
+      Seq(g, d, c, x).foreach(f => assert(f >= 0 && f <= n, s"$src flag $f > $n"))
+      assert(kept <= n, s"$src kept $kept > $n")
+      // union bound: can't lose more docs than the gates flag
+      assert(n - kept <= g + d + c + x, s"$src attrition exceeds flag sum")
+      if (src == "src0") assert(x == 0, "the benchmark source cannot self-contaminate")
+    }
+  }
+
   test("q118: spike ⟺ z ≥ 2, seasonal groups well-formed") {
     val got = AuditQueries.q118(spark, sf0001)
       .select("h", "hod", "n", "seasonal_mean", "z", "spike")

@@ -66,8 +66,13 @@ object PlanAuditSpec {
     * Exchange); q93's three power iterations re-key per round; q109's
     * audit joins the pair list to BOTH sides of the assignment (at
     * scale labels/pairs are stored columns and most of these collapse
-    * to pruned scans). */
+    * to pruned scans); q121 builds FOUR independently-keyed gate
+    * verdicts (term counts, content-hash window, chunk-hash counts,
+    * shingle contamination) off one pinned scan and folds them on
+    * doc_id — each gate's re-key is intrinsic, and at scale the gates
+    * are stored verdict columns (the query is their initial build). */
   val ShuffleBaseline: Map[String, Int] = Map(
+    "q121_curation_funnel" -> 10,
     "q19_minhash_lsh_neardup" -> 8,
     "q38_tfidf" -> 6,
     "q63_unigram_lm" -> 6,

@@ -299,6 +299,83 @@ object CorpusIngest {
       }
       .start()
 
+  /** One micro-batch of CHUNK-STORE maintenance (q114's continuous
+    * side): each batch document's 8-token chunk hashes land in the
+    * stored `(doc_id, h)` pair relation, and the batch's documents are
+    * verdict-scored against everything stored SO FAR — the incremental
+    * form of the chunk-duplication gate, where a new document dropping
+    * because it shares > ½ its chunks with an already-ingested one is
+    * decided at arrival time, not in a nightly rebuild.
+    *
+    * Replay discipline: appends are DOC-granular — a batch's docs are
+    * anti-joined against the store's doc_ids, so a crash-replayed
+    * batch appends nothing and re-emits identical verdicts
+    * (spec-pinned). Judging happens AFTER the append, against the
+    * store pruned to this batch's chunk hashes (per-batch cost
+    * O(batch), not O(store); at 100 TB the store is bucketed by `h`
+    * with a q84 bloom sidecar, so never-before-seen chunks skip the
+    * probe entirely). One batch containing the whole corpus reproduces
+    * batch q114 row for row (spec-pinned); across batches the verdicts
+    * are first-arrival-wins — an early singleton keeps even when its
+    * duplicate arrives later, which is exactly the decision an
+    * at-ingest gate can make (the batch query remains the
+    * whole-corpus re-audit). */
+  def chunkBatch(batch: DataFrame, chDir: String,
+                 chunkTokens: Int = 8): DataFrame = {
+    val spark = batch.sparkSession
+    val ch = batch
+      .select(col("doc_id"), graft.functions.TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= chunkTokens)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), floor(size(col("t")) / chunkTokens).cast("int")),
+        i => md5(concat_ws(" ", slice(col("t"),
+          (i - lit(1)) * lit(chunkTokens) + lit(1), lit(chunkTokens)))))).as("h"))
+      .localCheckpoint() // pin BEFORE touching the dir the lineage reads
+    val stored =
+      try {
+        val df = spark.read.parquet(chDir)
+        if (df.columns.contains("h")) Some(df) else None
+      } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val newPairs = stored match {
+      case Some(st) => ch.join(st.select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      case None => ch
+    }
+    newPairs.select(col("doc_id"), col("h")).distinct()
+      .localCheckpoint().write.mode(SaveMode.Append).parquet(chDir)
+    // score THIS batch against the store (now containing it), pruned to
+    // the batch's chunk hashes before any counting
+    val batchHashes = ch.select(col("h")).distinct()
+    val nd = spark.read.parquet(chDir)
+      .join(batchHashes, Seq("h"), "left_semi")
+      .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
+    ch.join(nd, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        round(col("n_dup_chunks").cast("double") / col("n_chunks"), 4)
+          .as("dup_ratio"),
+        when(col("n_dup_chunks") * 2 > col("n_chunks"), "drop")
+          .otherwise("keep").as("verdict"))
+  }
+
+  /** The continuous form of [[chunkBatch]]: per-batch verdicts append
+    * to `outDir`, the chunk-pair store advances in `chDir` — the
+    * at-ingest chunk-duplication gate. */
+  def startChunkGate(docs: DataFrame, chDir: String, outDir: String,
+                     checkpointDir: String,
+                     trigger: Trigger = Trigger.AvailableNow(),
+                     chunkTokens: Int = 8): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        chunkBatch(batch, chDir, chunkTokens)
+          .write.mode(SaveMode.Append).parquet(outDir): Unit
+      }
+      .start()
+
   /** The continuous form of [[noveltyBatch]]: per-batch novelty rows
     * append to `outDir`, the first-appearance store advances in
     * `shDir`. The content-yield dashboard a crawl ingest watches — a

@@ -265,6 +265,40 @@ object ScaleProbe {
       time("q107_collocations sf1.0 (50k docs)")(PipelineQueries.q107(spark, out).count())
     }
 
+    // --- audit-family probes at 10×: q114's text never shuffles (slim
+    // (doc_id, md5) pairs through one distinct-count and one equi-join),
+    // so 10× rows should be ~10× scan + ~10× slim shuffle; q115's
+    // benchmark variant set broadcasts (corpus side scan-local), so its
+    // growth is also the scan; q121 folds four gates off ONE pinned base
+    // scan — its 10× growth is the gates' slim re-keys, no re-scan.
+    {
+      import graft.queries.AuditQueries
+      time("q114_chunk_dup sf0.1    (5k docs) ")(AuditQueries.q114(spark, src).count())
+      time("q114_chunk_dup sf1.0   (50k docs) ")(AuditQueries.q114(spark, out).count())
+      time("q115_fuzzy_contam sf0.1 (5k docs) ")(AuditQueries.q115(spark, src).count())
+      time("q115_fuzzy_contam sf1.0 (50k docs)")(AuditQueries.q115(spark, out).count())
+      time("q121_funnel sf0.1       (5k docs) ")(AuditQueries.q121(spark, src).count())
+      time("q121_funnel sf1.0      (50k docs) ")(AuditQueries.q121(spark, out).count())
+      graft.core.Pins.release()
+    }
+
+    // --- chunk-gate steady state: a 25k-doc batch scored against a
+    // 25k-doc stored pair relation must cost ~the batch (store pruned to
+    // the batch's hashes before counting), not the store.
+    {
+      val docs10 = spark.read.parquet(s"$out/documents.parquet")
+      val chDir = "/tmp/graft_probe_chunkgate"
+      locally {
+        val p = new org.apache.hadoop.fs.Path(chDir)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      graft.streaming.CorpusIngest.chunkBatch(
+        docs10.filter(col("doc_id") % 2 === 0), chDir).count() // seed store
+      time("chunk_gate (25k batch vs 25k store)")(
+        graft.streaming.CorpusIngest.chunkBatch(
+          docs10.filter(col("doc_id") % 2 === 1), chDir).count())
+    }
+
     // --- corpus-ingest probe: one 25k-doc batch through the three
     // dedup tiers (exact in-batch, near-dup in-batch, vs the stored
     // 25k-doc corpus) — the per-batch cost of the continuous builder,

@@ -547,6 +547,115 @@ object AuditQueries {
       |                AND f_contam = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       |FROM flags GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- Q122
+  /** BOILERPLATE prefix detection — per source, the most common leading
+    * 8-token chunk and its share of documents: the template-header
+    * signal (nav bars, license blurbs, crawler banners) that chunk
+    * dedup (q114) sees only pairwise but a curation team wants
+    * attributed per SOURCE before writing a strip rule. One
+    * partial-aggregable (source, chunk) count is the corpus-sized work;
+    * the top-1 window rides the counts relation partitioned by source.
+    * Ties break (count desc, chunk) on both engines. */
+  val q122: Q = (s, d) => {
+    val counts = t(s, d, "documents")
+      .select(col("source"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col("source"), concat_ws(" ", slice(col("t"), 1, 8)).as("chunk"))
+      .groupBy(col("source"), col("chunk")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("cnt").desc, col("chunk"))
+    counts
+      .withColumn("n_docs", sum(col("cnt")).over(Window.partitionBy(col("source"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("n_docs"), col("chunk").as("top_chunk"),
+        col("cnt").as("top_n"),
+        round(col("cnt").cast("double") / col("n_docs"), 4).as("top_share"))
+      .orderBy(col("source"))
+  }
+
+  val q122Sql: String =
+    """WITH first AS (SELECT source, array_to_string(t[1:8], ' ') AS chunk
+      |               FROM (SELECT source, string_split(text, ' ') AS t
+      |                     FROM documents) WHERE len(t) >= 8),
+      |counts AS (SELECT source, chunk, count(*) AS cnt
+      |           FROM first GROUP BY 1, 2),
+      |ranked AS (SELECT source, chunk, cnt,
+      |             CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n_docs,
+      |             row_number() OVER (PARTITION BY source
+      |               ORDER BY cnt DESC, chunk) AS rn
+      |           FROM counts)
+      |SELECT source, n_docs, chunk AS top_chunk, cnt AS top_n,
+      |       round(CAST(cnt AS DOUBLE) / n_docs, 4) AS top_share
+      |FROM ranked WHERE rn = 1 ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------- Q123
+  /** LSH band PRECISION — q117's sibling for the MinHash index: per
+    * band of q19's 4×2 family, how many candidate pairs the band
+    * generates and what fraction survive exact-Jaccard verification at
+    * 0.5 — the tuning eval for the bands × rowsPerBand dial
+    * ([[graft.operators.MinHashLsh.sCurveThreshold]] predicts the
+    * curve; this measures it on the corpus). Reuses the production
+    * machinery verbatim: [[graft.operators.MinHashLsh.signatures]] +
+    * `bandTable` (band id = the key's prefix), the same slim
+    * merge-hinted self-join, and the same verify expression — so the
+    * measured precision is the deployed index's, not a reimplementation.
+    * The signature relation is pinned (band explode + two verify joins
+    * consume it). */
+  val q123: Q = (s, d) => {
+    val sig = graft.core.Pins.pin(graft.operators.MinHashLsh.signatures(
+      t(s, d, "documents").select(col("doc_id"), col("text")), 8, 3))
+    val bt = graft.operators.MinHashLsh.bandTable(sig, 4, 2)
+    val cand = bt.as("a").hint("merge")
+      .join(bt.as("b").hint("merge"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(substring_index(col("a.bk"), "|", 1).cast("int").as("band"),
+        col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    val shh = sig.select(col("doc_id"), col("shh"))
+    cand
+      .join(shh.select(col("doc_id").as("a_id"), col("shh").as("sha")), "a_id")
+      .join(shh.select(col("doc_id").as("b_id"), col("shh").as("shb")), "b_id")
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jac", round(col("common").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("common")), 4))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("jac") >= 0.5, 1L).otherwise(0L)).as("n_verified"))
+      .select(col("band"), col("n_candidates"), col("n_verified"),
+        round(col("n_verified").cast("double") / col("n_candidates"), 4)
+          .as("precision"))
+      .orderBy(col("band"))
+  }
+
+  val q123Sql: String = {
+    val sigCols = (0 until 8).map(i =>
+      s"list_min(list_transform(sh, x -> md5('$i' || '|' || x))) AS h$i")
+      .mkString(", ")
+    val bandLegs = (0 until 4).map { b =>
+      s"""SELECT $b AS band, a.doc_id AS a_id, b.doc_id AS b_id,
+         |       a.sh AS sha, b.sh AS shb
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |  AND a.h${2 * b} = b.h${2 * b} AND a.h${2 * b + 1} = b.h${2 * b + 1}"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |shl AS (SELECT doc_id, list_distinct(list_transform(
+       |          generate_series(1, len(t) - 2),
+       |          i -> array_to_string(t[i:i+2], ' '))) AS sh
+       |        FROM toks WHERE len(t) >= 3),
+       |sig AS (SELECT doc_id, sh, $sigCols FROM shl),
+       |cand AS ($bandLegs),
+       |jc AS (SELECT band,
+       |         round(CAST(len(list_intersect(sha, shb)) AS DOUBLE)
+       |               / (len(sha) + len(shb) - len(list_intersect(sha, shb))), 4) AS jac
+       |       FROM cand)
+       |SELECT band, count(*) AS n_candidates,
+       |       CAST(sum(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_verified,
+       |       round(CAST(sum(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / count(*), 4) AS precision
+       |FROM jc GROUP BY band ORDER BY band""".stripMargin
+  }
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q114_chunk_dup_filter", q114, q114Sql),
@@ -556,5 +665,7 @@ object AuditQueries {
     ("q118_seasonal_baseline", q118, q118Sql),
     ("q119_vocab_coverage", q119, q119Sql),
     ("q120_signal_blend", q120, q120Sql),
-    ("q121_curation_funnel", q121, q121Sql))
+    ("q121_curation_funnel", q121, q121Sql),
+    ("q122_boilerplate", q122, q122Sql),
+    ("q123_lsh_precision", q123, q123Sql))
 }

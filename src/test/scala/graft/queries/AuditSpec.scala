@@ -136,6 +136,37 @@ class AuditSpec extends SparkSpec {
     }
   }
 
+  test("q122: top chunk share bounded and doc totals cover the eligible corpus") {
+    val got = AuditQueries.q122(spark, sf0001)
+      .select("source", "n_docs", "top_n", "top_share")
+      .as[(String, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (src, n, top, share) =>
+      assert(top >= 1 && top <= n, s"$src: top $top of $n")
+      assert(share > 0.0 && share <= 1.0, s"$src share $share")
+    }
+    val eligible = Tables.load(spark, sf0001, "documents")
+      .filter(size(TextOps.tokens(col("text"))) >= 8).count()
+    assert(got.map(_._2).sum == eligible, "n_docs must partition eligible docs")
+  }
+
+  test("q123: per-band verified pairs cover q19's distinct near-dup pairs") {
+    val got = AuditQueries.q123(spark, sf0001)
+      .select("band", "n_candidates", "n_verified", "precision")
+      .as[(Int, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (b, nc, nv, p) =>
+      assert(b >= 0 && b <= 3, s"band $b out of family")
+      assert(nv >= 0 && nv <= nc, s"band $b: $nv of $nc")
+      assert(math.abs(p - nv.toDouble / nc) < 1e-3, s"band $b precision $p")
+    }
+    // every q19 pair collides in ≥ 1 band, so per-band verified counts
+    // (which multi-count cross-band pairs) must at least cover them
+    val q19Pairs = PipelineQueries.q19(spark, sf0001).count()
+    assert(got.map(_._3).sum >= q19Pairs,
+      s"per-band verified ${got.map(_._3).sum} < q19 distinct pairs $q19Pairs")
+  }
+
   test("q118: spike ⟺ z ≥ 2, seasonal groups well-formed") {
     val got = AuditQueries.q118(spark, sf0001)
       .select("h", "hod", "n", "seasonal_mean", "z", "spike")

@@ -99,14 +99,23 @@ object AuditQueries {
       .select(col("doc_id"), col("source"),
         explode(transform(sequence(lit(1), size(col("t")) - 4),
           i => slice(col("t"), i, lit(5)))).as("w"))
-    val keyed = grams
+    // drop-one variants UNROLLED to direct element_at string concats:
+    // the slice-arrays-then-concat formulation allocates two sub-arrays
+    // and a merged array per (gram, j) before stringifying — measured
+    // 3.3 s for the 1.25M-row variant relation at sf0.1 vs 0.9 s
+    // unrolled (no intermediate arrays, straight-line codegen)
+    def el(k: Int) = element_at(col("w"), k)
+    val variants = array((0 until 5).map { j =>
+      concat_ws(" ", (1 to 5).filter(_ != j + 1).map(el): _*)
+    }: _*)
+    // slim (doc_id, source, gram, vk) — PINNED: the variant explode
+    // runs ONCE; unpinned, the benchmark broadcast build and the corpus
+    // probe side each replan the whole tokenize+explode lineage
+    val keyed = graft.core.Pins.pin(grams
       .select(col("doc_id"), col("source"), concat_ws(" ", col("w")).as("gram"),
-        posexplode(transform(sequence(lit(0), lit(4)),
-          j => concat_ws(" ", concat(
-            slice(col("w"), lit(1), j),
-            slice(col("w"), j + lit(2), lit(4) - j))))).as(Seq("j", "v")))
+        posexplode(variants).as(Seq("j", "v")))
       .select(col("doc_id"), col("source"), col("gram"),
-        concat(col("j").cast("string"), lit("|"), col("v")).as("vk"))
+        concat(col("j").cast("string"), lit("|"), col("v")).as("vk")))
     val bench = keyed.filter(col("source") === "src0").select(col("vk")).distinct()
     keyed.filter(col("source") =!= "src0")
       .join(broadcast(bench), "vk")

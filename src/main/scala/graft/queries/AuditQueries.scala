@@ -665,6 +665,116 @@ object AuditQueries {
        |FROM jc GROUP BY band ORDER BY band""".stripMargin
   }
 
+  // --------------------------------------------------------------- Q124
+  /** TEMPORAL train/test split with a session-leakage audit — q109's
+    * time-axis sibling (q109 splits by near-dup CLUSTER; this splits by
+    * a calendar embargo): sessions wholly before the boundary train,
+    * wholly after test, and sessions SPANNING the boundary are the
+    * leakage a naive event-level split would smear across both sides.
+    * The session definition is [[graft.streaming.EventStream.sessionAgg]]
+    * verbatim (q39's oracle-pinned semantics), so the audit and the
+    * sessionizer cannot drift. One corpus-sized session aggregation;
+    * the side fold is sessions-sized. Boundary compares are integer
+    * micros on both engines. */
+  val q124: Q = (s, d) => {
+    val bUs = 1705795200000000L // 2024-01-21T00:00:00Z
+    graft.streaming.EventStream.sessionAgg(t(s, d, "events"))
+      .select(col("user_id"), col("n_ev"),
+        when(col("start_us") + col("span_us") < bUs, "train")
+          .when(col("start_us") >= bUs, "test")
+          .otherwise("spanning").as("side"))
+      .groupBy(col("side"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_ev")).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("side"))
+  }
+
+  val q124Sql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts,
+      |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |                   >= INTERVAL 30 MINUTE OR
+      |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked),
+      |per_session AS (
+      |  SELECT user_id, sid, count(*) AS n_ev,
+      |         epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us
+      |  FROM sess GROUP BY user_id, sid)
+      |SELECT CASE WHEN e_us < 1705795200000000 THEN 'train'
+      |            WHEN s_us >= 1705795200000000 THEN 'test'
+      |            ELSE 'spanning' END AS side,
+      |       count(*) AS n_sessions,
+      |       CAST(sum(n_ev) AS BIGINT) AS n_events,
+      |       count(DISTINCT user_id) AS n_users
+      |FROM per_session GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------- Q125
+  /** Near-dup DEGREE histogram — the shape report behind a dedup run:
+    * how many documents have 0, 1, 2, … verified near-dup neighbors
+    * (q19's pairs, symmetrized). A corpus whose duplicate mass sits in
+    * one high-degree template cluster needs a different remedy
+    * (boilerplate strip, q122) than one with many isolated pairs
+    * (true near-dups, q52's clusters). Degree-0 docs are reported
+    * explicitly via an anti-join so the histogram partitions the
+    * corpus. The pair relation is the production [[MinHashLsh]] output;
+    * the degree fold is pairs-sized, the histogram degrees-sized. */
+  val q125: Q = (s, d) => {
+    val pairs = graft.operators.MinHashLsh.nearDup(
+      t(s, d, "documents"), bands = 4, rowsPerBand = 2, shingleN = 3,
+      minJaccard = 0.5)
+    val deg = graft.core.Pins.pin(
+      pairs.select(col("a_id").as("doc_id"))
+        .union(pairs.select(col("b_id").as("doc_id")))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("degree")))
+    val hist = deg.groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+    val zero = t(s, d, "documents").select(col("doc_id"))
+      .join(deg, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_docs"))
+      .select(lit(0L).as("degree"), col("n_docs"))
+    hist.select(col("degree"), col("n_docs")).union(zero)
+      .filter(col("n_docs") > 0)
+      .orderBy(col("degree"))
+  }
+
+  val q125Sql: String = {
+    val sigCols = (0 until 8).map(i =>
+      s"list_min(list_transform(sh, x -> md5('$i' || '|' || x))) AS h$i")
+      .mkString(", ")
+    val bandCond = (0 until 4).map(b =>
+      s"(a.h${2 * b} = b.h${2 * b} AND a.h${2 * b + 1} = b.h${2 * b + 1})")
+      .mkString(" OR ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |shl AS (SELECT doc_id, list_distinct(list_transform(
+       |          generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' '))) AS sh
+       |        FROM toks),
+       |sig AS (SELECT doc_id, sh, $sigCols FROM shl),
+       |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS sha, b.sh AS shb
+       |         FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandCond)),
+       |pairs AS (SELECT a_id, b_id
+       |          FROM cand
+       |          WHERE round(CAST(len(list_intersect(sha, shb)) AS DOUBLE)
+       |                / (len(sha) + len(shb) - len(list_intersect(sha, shb))), 4) >= 0.5),
+       |deg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS degree
+       |        FROM (SELECT a_id AS doc_id FROM pairs
+       |              UNION ALL SELECT b_id FROM pairs) GROUP BY 1),
+       |hist AS (SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+       |         FROM deg GROUP BY 1),
+       |zero AS (SELECT CAST(0 AS BIGINT) AS degree,
+       |           CAST(count(*) AS BIGINT) AS n_docs
+       |         FROM documents d
+       |         WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.doc_id = d.doc_id))
+       |SELECT degree, n_docs FROM (
+       |  SELECT * FROM hist UNION ALL SELECT * FROM zero)
+       |WHERE n_docs > 0 ORDER BY degree""".stripMargin
+  }
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q114_chunk_dup_filter", q114, q114Sql),
@@ -676,5 +786,7 @@ object AuditQueries {
     ("q120_signal_blend", q120, q120Sql),
     ("q121_curation_funnel", q121, q121Sql),
     ("q122_boilerplate", q122, q122Sql),
-    ("q123_lsh_precision", q123, q123Sql))
+    ("q123_lsh_precision", q123, q123Sql),
+    ("q124_temporal_split", q124, q124Sql),
+    ("q125_neardup_degree", q125, q125Sql))
 }

@@ -167,6 +167,35 @@ class AuditSpec extends SparkSpec {
       s"per-band verified ${got.map(_._3).sum} < q19 distinct pairs $q19Pairs")
   }
 
+  test("q124: sides partition the event stream and sessions agree with q39") {
+    val got = AuditQueries.q124(spark, sf0001)
+      .select("side", "n_sessions", "n_events", "n_users")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    assert(got.map(_._1).toSet.subsetOf(Set("train", "test", "spanning")))
+    val events = Tables.load(spark, sf0001, "events").count()
+    assert(got.map(_._3).sum == events, "every event lands in exactly one side")
+    // session totals must agree with q39's per-user session counts
+    val q39Sessions = PipelineQueries.q39(spark, sf0001)
+      .agg(sum(col("n_sessions"))).as[Long].head()
+    assert(got.map(_._2).sum == q39Sessions,
+      "the split must not invent or lose sessions vs q39")
+  }
+
+  test("q125: the degree histogram partitions the corpus and covers q19's pairs") {
+    val got = AuditQueries.q125(spark, sf0001)
+      .as[(Long, Long)].collect()
+    assert(got.nonEmpty)
+    assert(got.map(_._1).distinct.length == got.length, "one row per degree")
+    val docs = Tables.load(spark, sf0001, "documents").count()
+    assert(got.map(_._2).sum == docs, "histogram must partition the corpus")
+    // handshake: Σ degree·count = 2 × pair count
+    val pairSum = got.map { case (deg, n) => deg * n }.sum
+    val q19Pairs = PipelineQueries.q19(spark, sf0001).count()
+    assert(pairSum == 2 * q19Pairs,
+      s"degree mass $pairSum != 2 × ${q19Pairs} q19 pairs")
+  }
+
   test("q118: spike ⟺ z ≥ 2, seasonal groups well-formed") {
     val got = AuditQueries.q118(spark, sf0001)
       .select("h", "hod", "n", "seasonal_mean", "z", "spike")

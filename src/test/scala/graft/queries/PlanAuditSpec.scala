@@ -73,6 +73,11 @@ object PlanAuditSpec {
     * are stored verdict columns (the query is their initial build). */
   val ShuffleBaseline: Map[String, Int] = Map(
     "q121_curation_funnel" -> 10,
+    // q125's corpus-shaped work happens in the PINNED pair build (the
+    // q19 shape, audited there at 8); the residual plan's five
+    // exchanges all carry degrees-sized relations (histogram groupBy,
+    // the degree-0 anti-join, final sort)
+    "q125_neardup_degree" -> 5,
     "q19_minhash_lsh_neardup" -> 8,
     "q38_tfidf" -> 6,
     "q63_unigram_lm" -> 6,

@@ -775,6 +775,54 @@ object AuditQueries {
        |WHERE n_docs > 0 ORDER BY degree""".stripMargin
   }
 
+  // --------------------------------------------------------------- Q126
+  /** NEAREST as-of join with tolerance
+    * ([[graft.operators.AsOfJoin.nearest]] — q57 is the backward
+    * variant; this is the pandas `merge_asof(direction='nearest',
+    * tolerance=...)` contract): every view event matched to the same
+    * user's closest purchase in EITHER direction, within 2 hours, ties
+    * to the backward match. One key shuffle feeds both carry
+    * directions (two window sorts over one Exchange), gap compare is
+    * scan-local. Right side pre-aggregated to one row per (user,
+    * instant) so ties are deterministic; integer-micros gaps on both
+    * engines. Oracle: independent correlated-subquery formulation. */
+  val q126: Q = (s, d) => {
+    val ev = t(s, d, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        unix_micros(col("ts")).as("vt_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("pt_us"))
+      .agg(min(col("event_id")).as("purchase_id"))
+    graft.operators.AsOfJoin.nearest(views, purchases, "user_id",
+        "vt_us", "pt_us", Seq("purchase_id"), Some(lit(7200000000L)))
+      .orderBy(col("view_id"))
+  }
+
+  val q126Sql: String =
+    """WITH v AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS vt_us
+      |           FROM events WHERE event_type = 'view'),
+      |p AS (SELECT user_id, epoch_us(ts) AS pt_us, min(event_id) AS purchase_id
+      |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |m AS (SELECT v.view_id, v.user_id, v.vt_us,
+      |        (SELECT max(pt_us) FROM p
+      |         WHERE p.user_id = v.user_id AND pt_us <= v.vt_us) AS bt,
+      |        (SELECT min(pt_us) FROM p
+      |         WHERE p.user_id = v.user_id AND pt_us >= v.vt_us) AS ft
+      |      FROM v),
+      |ch AS (SELECT view_id, user_id, vt_us,
+      |         CASE WHEN bt IS NOT NULL AND (ft IS NULL OR vt_us - bt <= ft - vt_us)
+      |              THEN bt ELSE ft END AS mt
+      |       FROM m),
+      |g AS (SELECT view_id, user_id, vt_us,
+      |        CASE WHEN mt IS NOT NULL AND abs(vt_us - mt) <= 7200000000
+      |             THEN mt END AS mt
+      |      FROM ch)
+      |SELECT g.view_id, g.user_id, g.vt_us, p.purchase_id,
+      |       CASE WHEN g.mt IS NOT NULL THEN abs(g.vt_us - g.mt) END AS asof_gap
+      |FROM g LEFT JOIN p ON p.user_id = g.user_id AND p.pt_us = g.mt
+      |ORDER BY view_id""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q114_chunk_dup_filter", q114, q114Sql),
@@ -788,5 +836,6 @@ object AuditQueries {
     ("q122_boilerplate", q122, q122Sql),
     ("q123_lsh_precision", q123, q123Sql),
     ("q124_temporal_split", q124, q124Sql),
-    ("q125_neardup_degree", q125, q125Sql))
+    ("q125_neardup_degree", q125, q125Sql),
+    ("q126_asof_nearest", q126, q126Sql))
 }

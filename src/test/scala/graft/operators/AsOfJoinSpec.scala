@@ -93,4 +93,95 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got(1L).isEmpty && got(2L).isEmpty, "trades before t=25 must not match")
     assert(got(3L).contains(2.0))
   }
+
+  test("forward: earliest-at-or-after per key, inclusive, null after last quote") {
+    val got = AsOfJoin.forward(trades, quotes, "sym", "t", "qt", Seq("px"))
+      .select("trade_id", "px").as[(Long, Option[Double])].collect().toMap
+    assert(got == Map(
+      1L -> Some(1.0),  // quote at exactly t=10 matches (inclusive)
+      2L -> Some(2.0),  // next quote after t=20 is t=25
+      3L -> None,       // nothing after t=35 for A
+      4L -> Some(9.0),
+      5L -> None))
+  }
+
+  test("forward random rows match the brute-force per-row minimum") {
+    for (seed <- Seq(5, 11)) {
+      val rnd = new scala.util.Random(seed)
+      val syms = Vector("A", "B", "C")
+      val tradeRows = (0 until 100).map(i =>
+        (i.toLong, syms(rnd.nextInt(syms.size)), rnd.nextInt(300).toLong))
+      val quoteRows = (0 until 60)
+        .map(_ => ((syms(rnd.nextInt(syms.size)), rnd.nextInt(300).toLong), rnd.nextDouble()))
+        .toMap.toSeq.map { case ((s, t), px) => (s, t, px) }
+      val expected = tradeRows.map { case (id, s, t) =>
+        val m = quoteRows.filter(q => q._1 == s && q._2 >= t)
+        id -> (if (m.isEmpty) None else Some(m.minBy(_._2)._3))
+      }.toMap
+      val got = AsOfJoin.forward(
+          tradeRows.toDF("trade_id", "sym", "t"),
+          quoteRows.toDF("sym", "qt", "px"),
+          "sym", "t", "qt", Seq("px"))
+        .select("trade_id", "px").as[(Long, Option[Double])].collect().toMap
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
+  test("nearest: min |gap| per key, ties to backward, tolerance nulls far matches") {
+    // A quotes at 10 and 25; trade at 20 is 10 back / 5 forward → forward;
+    // trade at 35 is 10 past 25 → backward; with tolerance 6 it nulls out
+    val got = AsOfJoin.nearest(trades, quotes, "sym", "t", "qt", Seq("px"))
+      .select("trade_id", "px", "asof_gap")
+      .as[(Long, Option[Double], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((Some(1.0), Some(0L))), "exact-time match, gap 0")
+    assert(got(2L) == ((Some(2.0), Some(5L))), "forward is closer at t=20")
+    assert(got(3L) == ((Some(2.0), Some(10L))))
+    assert(got(4L) == ((Some(9.0), Some(35L))))
+    assert(got(5L) == ((Some(9.0), Some(10L))))
+    val tol = AsOfJoin.nearest(trades, quotes, "sym", "t", "qt", Seq("px"),
+        maxGap = Some(lit(6L)))
+      .select("trade_id", "px", "asof_gap")
+      .as[(Long, Option[Double], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(tol(2L) == ((Some(2.0), Some(5L))), "within tolerance survives")
+    assert(tol(3L) == ((None, None)), "beyond tolerance nulls the match")
+    assert(tol(4L) == ((None, None)))
+  }
+
+  test("nearest: equidistant candidates resolve to the backward match") {
+    val q = Seq(("A", 15L, 1.0), ("A", 25L, 2.0)).toDF("sym", "qt", "px")
+    val t = Seq((1L, "A", 20L)).toDF("trade_id", "sym", "t")
+    val got = AsOfJoin.nearest(t, q, "sym", "t", "qt", Seq("px"))
+      .select("px", "asof_gap").as[(Double, Long)].head()
+    assert(got == ((1.0, 5L)), "tie must take the earlier (backward) quote")
+  }
+
+  test("nearest random rows match the brute-force min-gap reference") {
+    for (seed <- Seq(7, 29)) {
+      val rnd = new scala.util.Random(seed)
+      val syms = Vector("A", "B", "C")
+      val tradeRows = (0 until 100).map(i =>
+        (i.toLong, syms(rnd.nextInt(syms.size)), rnd.nextInt(300).toLong))
+      val quoteRows = (0 until 60)
+        .map(_ => ((syms(rnd.nextInt(syms.size)), rnd.nextInt(300).toLong), rnd.nextDouble()))
+        .toMap.toSeq.map { case ((s, t), px) => (s, t, px) }
+      val expected = tradeRows.map { case (id, s, t) =>
+        val m = quoteRows.filter(_._1 == s)
+        if (m.isEmpty) id -> None
+        else {
+          val best = m.minBy(q => (math.abs(q._2 - t), q._2 >= t)) // tie → backward
+          id -> Some((best._3, math.abs(best._2 - t)))
+        }
+      }.toMap
+      val got = AsOfJoin.nearest(
+          tradeRows.toDF("trade_id", "sym", "t"),
+          quoteRows.toDF("sym", "qt", "px"),
+          "sym", "t", "qt", Seq("px"))
+        .select("trade_id", "px", "asof_gap")
+        .as[(Long, Option[Double], Option[Long])].collect()
+        .map { case (id, px, g) => id -> px.map(p => (p, g.get)) }.toMap
+      assert(got == expected, s"seed $seed")
+    }
+  }
 }

@@ -823,6 +823,116 @@ object AuditQueries {
       |FROM g LEFT JOIN p ON p.user_id = g.user_id AND p.pt_us = g.mt
       |ORDER BY view_id""".stripMargin
 
+  // --------------------------------------------------------------- Q127
+  /** LSH RECALL — q123's other half: q123 measures how many candidates
+    * the bands waste (precision), this measures how many TRUE near-dup
+    * pairs the bands never surface (recall), against the exact
+    * ground truth of the tiled all-pairs join (q21's operator at the
+    * same 0.5 threshold). Verified LSH pairs are a SUBSET of the exact
+    * pairs by construction (same Jaccard, same cutoff — LSH can only
+    * miss), so recall folds from two counts. The exact side is the
+    * deliberate ground truth — production runs this eval on a sampled
+    * corpus slice after retuning bands, exactly like q117's ANN recall.
+    * Output: one row (n_exact, n_lsh, n_missed, recall). */
+  val q127: Q = (s, d) => {
+    import s.implicits._
+    val docs = t(s, d, "documents")
+    val exact = graft.operators.SimilarityJoin.jaccardPairsText(
+      docs.select(col("doc_id"), col("text")).as[(Long, String)], 3, 0.5)
+      .select(col("a_id"), col("b_id"))
+    val lsh = graft.operators.MinHashLsh.nearDup(docs,
+      bands = 4, rowsPerBand = 2, shingleN = 3, minJaccard = 0.5)
+      .select(col("a_id"), col("b_id"))
+    exact.withColumn("src", lit("e"))
+      .unionByName(lsh.withColumn("src", lit("l")))
+      .agg(
+        sum(when(col("src") === "e", 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("src") === "l", 1L).otherwise(0L)).as("n_lsh"))
+      .select(col("n_exact"), col("n_lsh"),
+        (col("n_exact") - col("n_lsh")).as("n_missed"),
+        round(col("n_lsh").cast("double") / col("n_exact"), 4).as("recall"))
+  }
+
+  val q127Sql: String = {
+    val sigCols = (0 until 8).map(i =>
+      s"list_min(list_transform(sh, x -> md5('$i' || '|' || x))) AS h$i")
+      .mkString(", ")
+    val bandCond = (0 until 4).map(b =>
+      s"(a.h${2 * b} = b.h${2 * b} AND a.h${2 * b + 1} = b.h${2 * b + 1})")
+      .mkString(" OR ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |shl AS (SELECT doc_id, list_distinct(list_transform(
+       |          generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' '))) AS sh
+       |        FROM toks),
+       |ex AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |       FROM shl a JOIN shl b ON a.doc_id < b.doc_id
+       |       WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.5),
+       |sig AS (SELECT doc_id, sh, $sigCols FROM shl),
+       |ls AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |       FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandCond)
+       |       WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.5),
+       |c AS (SELECT (SELECT count(*) FROM ex) AS n_exact,
+       |             (SELECT count(*) FROM ls) AS n_lsh)
+       |SELECT n_exact, n_lsh, n_exact - n_lsh AS n_missed,
+       |       round(CAST(n_lsh AS DOUBLE) / n_exact, 4) AS recall
+       |FROM c""".stripMargin
+  }
+
+  // --------------------------------------------------------------- Q128
+  /** VECTOR HYGIENE audit — the data-quality gate for the embedding
+    * column (q48's Expectations discipline applied to vectors): per
+    * label, counts of NaN-carrying, zero-norm, truncated (≠ 64 dims)
+    * and out-of-range (|x| > 10) vectors, plus the clean remainder —
+    * the checks an ANN index build runs before trusting its input
+    * (a NaN poisons every distance it touches; a zero vector has no
+    * cosine). Entirely scan-local per-row predicates over the array
+    * folded into one partial-aggregable groupBy; every count is an
+    * integer sum. */
+  val q128: Q = (s, d) => {
+    val v = col("embedding").cast("array<double>")
+    val hasNan = exists(v, x => isnan(x))
+    val zeroNorm = !exists(v, x => x =!= 0.0)
+    val truncated = size(v) =!= 64
+    val outOfRange = exists(v, x => abs(x) > 10.0)
+    t(s, d, "embeddings")
+      .select(col("label"),
+        hasNan.cast("long").as("f_nan"),
+        zeroNorm.cast("long").as("f_zero"),
+        truncated.cast("long").as("f_trunc"),
+        outOfRange.cast("long").as("f_range"),
+        (!hasNan && !zeroNorm && !truncated && !outOfRange)
+          .cast("long").as("f_clean"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("f_nan")).as("n_nan"),
+        sum(col("f_zero")).as("n_zero_norm"),
+        sum(col("f_trunc")).as("n_truncated"),
+        sum(col("f_range")).as("n_out_of_range"),
+        sum(col("f_clean")).as("n_clean"))
+      .orderBy(col("label"))
+  }
+
+  val q128Sql: String =
+    """WITH f AS (SELECT label,
+      |    CASE WHEN len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) > 0
+      |         THEN 1 ELSE 0 END AS f_nan,
+      |    CASE WHEN len(list_filter(embedding, x -> CAST(x AS DOUBLE) <> 0.0)) = 0
+      |         THEN 1 ELSE 0 END AS f_zero,
+      |    CASE WHEN len(embedding) <> 64 THEN 1 ELSE 0 END AS f_trunc,
+      |    CASE WHEN len(list_filter(embedding, x -> abs(CAST(x AS DOUBLE)) > 10.0)) > 0
+      |         THEN 1 ELSE 0 END AS f_range
+      |  FROM embeddings)
+      |SELECT label, count(*) AS n_vecs,
+      |       CAST(sum(f_nan) AS BIGINT) AS n_nan,
+      |       CAST(sum(f_zero) AS BIGINT) AS n_zero_norm,
+      |       CAST(sum(f_trunc) AS BIGINT) AS n_truncated,
+      |       CAST(sum(f_range) AS BIGINT) AS n_out_of_range,
+      |       CAST(sum(CASE WHEN f_nan = 0 AND f_zero = 0 AND f_trunc = 0
+      |                AND f_range = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+      |FROM f GROUP BY label ORDER BY label""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q114_chunk_dup_filter", q114, q114Sql),
@@ -837,5 +947,7 @@ object AuditQueries {
     ("q123_lsh_precision", q123, q123Sql),
     ("q124_temporal_split", q124, q124Sql),
     ("q125_neardup_degree", q125, q125Sql),
-    ("q126_asof_nearest", q126, q126Sql))
+    ("q126_asof_nearest", q126, q126Sql),
+    ("q127_lsh_recall", q127, q127Sql),
+    ("q128_vector_hygiene", q128, q128Sql))
 }

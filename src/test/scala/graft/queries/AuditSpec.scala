@@ -196,6 +196,44 @@ class AuditSpec extends SparkSpec {
       s"degree mass $pairSum != 2 × ${q19Pairs} q19 pairs")
   }
 
+  test("q127: LSH pairs are a subset of exact pairs and counts agree with q19/q21") {
+    val got = AuditQueries.q127(spark, sf0001)
+      .as[(Long, Long, Long, Double)].head()
+    val (nExact, nLsh, nMissed, recall) = got
+    assert(nLsh <= nExact && nMissed == nExact - nLsh)
+    assert(recall >= 0.0 && recall <= 1.0)
+    assert(nExact == PipelineQueries.q21(spark, sf0001).count(), "exact side is q21")
+    assert(nLsh == PipelineQueries.q19(spark, sf0001).count(), "LSH side is q19")
+  }
+
+  test("q128: hygiene counts partition each label and flag planted bad vectors") {
+    val got = AuditQueries.q128(spark, sf0001)
+      .select("label", "n_vecs", "n_nan", "n_zero_norm", "n_truncated",
+        "n_out_of_range", "n_clean")
+      .as[(Int, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (l, n, nan, zero, tr, rng, clean) =>
+      assert(clean <= n && nan + zero + tr + rng >= n - clean,
+        s"label $l: clean $clean of $n with flags ${(nan, zero, tr, rng)}")
+    }
+    // planted fixtures: a NaN vector, a zero vector, and a short vector
+    // must each be flagged by exactly the right rule
+    val bad = Seq(
+      (1, Array.fill(64)(Float.NaN)),
+      (2, Array.fill(64)(0.0f)),
+      (3, Array.fill(8)(1.0f))).toDF("label", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_hyg").toString
+    Tables.load(spark, sf0001, "embeddings").unionByName(
+        bad.select(lit(9999L).as("vec_id"), col("embedding"), col("label")))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val audited = AuditQueries.q128(spark, dir)
+      .select("label", "n_nan", "n_zero_norm", "n_truncated")
+      .as[(Int, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(audited(1)._2 >= 1, "planted NaN vector flagged")
+    assert(audited(2)._3 >= 1, "planted zero vector flagged")
+    assert(audited(3)._4 >= 1, "planted short vector flagged")
+  }
+
   test("q118: spike ⟺ z ≥ 2, seasonal groups well-formed") {
     val got = AuditQueries.q118(spark, sf0001)
       .select("h", "hod", "n", "seasonal_mean", "z", "spike")

@@ -78,6 +78,10 @@ object PlanAuditSpec {
     // exchanges all carry degrees-sized relations (histogram groupBy,
     // the degree-0 anti-join, final sort)
     "q125_neardup_degree" -> 5,
+    // q127 runs BOTH dedup machines once each — the tiled exact join
+    // (its tile shuffle) and the full q19 LSH pipeline (audited there
+    // at 8) — then folds two counts; the union-agg itself adds one
+    "q127_lsh_recall" -> 8,
     "q19_minhash_lsh_neardup" -> 8,
     "q38_tfidf" -> 6,
     "q63_unigram_lm" -> 6,

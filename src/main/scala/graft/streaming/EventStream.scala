@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -216,6 +216,71 @@ object EventStream {
       round(z, 4).as("z"),
       (z >= zThreshold).cast("int").as("burst"))
   }
+
+  /** One batch of the continuous SEASONAL monitor (q118's streaming
+    * twin, [[burstBatch]]'s hour-of-day sibling): each closed hour is
+    * z-scored against the stored history of the SAME hour-of-day —
+    * strictly EARLIER hours only, because an at-arrival monitor can
+    * only know the past (the batch q118 is the retrospective
+    * whole-horizon re-audit, exactly the chunk-gate relationship to
+    * q114). Store format and discipline are [[burstBatch]]'s verbatim
+    * — same `(win_us, n_events)` rows, same max-dedup — so the two
+    * monitors can SHARE one hours store: the dedup-on-read makes the
+    * double append of running both harmless (spec-pinned). Pruning is
+    * by hour-of-day: the store read carries hours × 1 row, model-sized
+    * at any event volume (q118's scale note). Output columns and 4-dp
+    * rounding match q118 (hod derived as epoch-hour mod 24 = UTC
+    * `hour()`). */
+  def seasonalBatch(closed: DataFrame, hoursDir: String,
+                    minHistory: Int = 5, zThreshold: Double = 2.0): DataFrame = {
+    val spark = closed.sparkSession
+    val hourUs = 3600L * 1000000L
+    def hodOf(c: Column): Column = floor(c / hourUs) % 24
+    val materialized = closed.select(col("win_us"), col("n_events"))
+      .localCheckpoint()
+    materialized.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(hoursDir)
+    val newWins = materialized.select(col("win_us")).distinct()
+    val batchHods = newWins.select(hodOf(col("win_us")).as("hod")).distinct()
+    val store = spark.read.parquet(hoursDir)
+      .groupBy(col("win_us")).agg(max(col("n_events")).as("n"))
+      .withColumn("hod", hodOf(col("win_us")))
+      .join(broadcast(batchHods), Seq("hod"), "left_semi")
+    val hist = store.select(col("hod"), col("win_us").as("h_us"), col("n").as("hn"))
+    val scored = store.join(newWins, Seq("win_us"), "left_semi")
+      .join(hist, Seq("hod"))
+      .filter(col("h_us") < col("win_us"))
+      .groupBy(col("win_us"), col("hod"), col("n"))
+      .agg(sum(col("hn")).as("s"), sum(col("hn") * col("hn")).as("ssq"),
+        count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minHistory &&
+        col("ssq") * col("cnt") > col("s") * col("s"))
+    val z = (col("n").cast("double") - col("s").cast("double") / col("cnt")) /
+      sqrt((col("ssq").cast("double") -
+        col("s").cast("double") * col("s") / col("cnt")) / col("cnt"))
+    scored.select(col("win_us"), col("hod").cast("int").as("hod"), col("n"),
+      round(col("s").cast("double") / col("cnt"), 4).as("seasonal_mean"),
+      round(z, 4).as("z"),
+      (z >= zThreshold).cast("int").as("spike"))
+  }
+
+  /** The continuous form of [[seasonalBatch]]. */
+  def startSeasonalMonitor(events: DataFrame, hoursDir: String,
+                           checkpointDir: String,
+                           watermarkDelay: String = "2 hours",
+                           onAlarm: (Long, Double) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros(col("w.start")).as("win_us"), col("n_events"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        seasonalBatch(batch, hoursDir).filter(col("spike") === 1).collect()
+          .foreach(r => onAlarm(r.getLong(0), r.getDouble(4)))
+      }
+      .start()
 
   /** The continuous form: watermarked tumbling hourly counts in APPEND
     * mode driven through [[burstBatch]], `onAlarm(win_us, z)` fired per

@@ -64,6 +64,31 @@ class BurstMonitorSpec extends SparkSpec {
     assert(got.toSeq == Seq((24L * hourUs, 50L, 5.0, 45.0, 1)))
   }
 
+  test("seasonalBatch scores against same-hour-of-day history, strictly earlier") {
+    val dir = tmp() + "/hours"
+    // 10 days: hod 5 alternates 4/6 by day (mean 5, var 1); every other
+    // hod is constant 2 (variance 0 → correctly unscoreable)
+    val history = for (d <- 0 until 10; h <- 0 until 24) yield
+      (((d * 24 + h).toLong) * hourUs, if (h == 5) { if (d % 2 == 0) 4L else 6L } else 2L)
+    EventStream.seasonalBatch(hours(history: _*), dir)
+    val got = EventStream.seasonalBatch(
+        hours(((10L * 24 + 5) * hourUs, 50L), ((10L * 24 + 3) * hourUs, 2L)), dir)
+      .as[(Long, Int, Long, Double, Double, Int)].collect()
+    // hod 3's baseline has zero variance → no row; hod 5: mean 5, z 45
+    assert(got.toSeq == Seq(((10L * 24 + 5) * hourUs, 5, 50L, 5.0, 45.0, 1)))
+  }
+
+  test("burst and seasonal monitors share one store: double append is harmless") {
+    val dir = tmp() + "/hours"
+    val b = hours(baseline(24): _*)
+    EventStream.burstBatch(b, dir)    // burst monitor's append
+    EventStream.seasonalBatch(b, dir) // seasonal monitor re-appends the same rows
+    val got = EventStream.burstBatch(hours((24L * hourUs, 50L)), dir)
+      .as[(Long, Long, Double, Double, Int)].collect()
+    // max-dedup on read: the duplicated rows change neither mean nor count
+    assert(got.toSeq == Seq((24L * hourUs, 50L, 5.0, 45.0, 1)))
+  }
+
   test("end-to-end: watermark closes hours, only the planted burst alarms") {
     val dir = tmp()
     val alarms = scala.collection.concurrent.TrieMap.empty[Long, Double]

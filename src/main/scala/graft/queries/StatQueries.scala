@@ -1,0 +1,356 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, SparkSession}
+
+import graft.core.Tables
+import graft.functions.TextOps
+
+/** Corpus-STATISTICS queries (q129–q134): the sampling, sketching and
+  * distribution-analysis layer of a training-data pipeline — weighted
+  * reservoir draws, count-min heavy hitters, behavioral sequence
+  * mining, sliding-window reach, domain divergence, and the per-source
+  * "datasheet" report that stitches the signals together. They extend
+  * the reference's sampling discipline (jittered scheduling,
+  * `download/download.go`'s bounded-retry draw) from control flow to
+  * data: every draw here is HASH-deterministic, so a rerun ships the
+  * identical sample and the DuckDB oracle replays it digit for digit.
+  *
+  * House rules as everywhere else: codegen'd built-ins only, a DuckDB
+  * oracle per query, integer dataflow wherever a float sum would be
+  * order-sensitive, round(…, 4) at the float boundary, total ORDER BY.
+  */
+object StatQueries {
+  import CoreQueries.Q
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** DuckDB rendering of "first 13 md5 hex digits as an exact double"
+    * (Spark side: `conv(substring(h,1,13),16,10)` cast to double) — the
+    * q112 construction: each digit term is exact, every partial sum is
+    * an integer < 2⁵³, so both engines hold the identical 52-bit value. */
+  private def sqlHex52(expr: String): String =
+    s"""list_sum(list_transform(generate_series(1, 13), i ->
+       |               CAST(strpos('0123456789abcdef', substr($expr, i, 1)) - 1 AS DOUBLE)
+       |               * power(16.0, 13 - i)))""".stripMargin
+
+  // --------------------------------------------------------------- Q129
+  /** WEIGHTED reservoir sample — priority sampling (Duffield–Lund–
+    * Thorup): k = 20 docs per source with inclusion probability
+    * proportional to length, chosen as the top-k by priority
+    * p = w / u where w = n_chars and u is a hash-uniform on (0, 1].
+    * This is q110's weighted sibling: q110 draws uniformly for eval
+    * sets; this draws ∝ weight for token-budget-aware inspection
+    * ("show me 20 docs per source, long ones more likely — same 20
+    * every rerun"). Determinism without libm: u = (52-bit md5 prefix
+    * + 1) / 2⁵² and p = (w · 2⁵²) / (h + 1) — the multiply is a pure
+    * exponent shift (exact for any w < 2⁵³), the divide is a single
+    * correctly-rounded IEEE op, so both engines compute the
+    * bit-identical double with no ln/pow in sight. Top-k per group is
+    * [[graft.operators.TopKAgg]] — partial-aggregable, the shuffle
+    * carries O(sources × k), never the stratum. Oracle = the
+    * independently-derived row_number window form. */
+  val q129: Q = (s, d) => {
+    val h52 = conv(substring(md5(concat(lit("prio|"),
+      col("doc_id").cast("string"))), 1, 13), 16, 10).cast("double")
+    val p = (col("n_chars").cast("double") * lit(4503599627370496.0)) /
+      (h52 + lit(1.0))
+    t(s, d, "documents")
+      .select(col("source"), p.as("p"), col("doc_id"))
+      .groupBy(col("source"))
+      .agg(graft.operators.TopK.topK(20)(col("p"), col("doc_id")).as("picks"))
+      .select(col("source"), posexplode(col("picks")).as(Seq("pos", "pk")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+        col("pk._2").as("doc_id"), round(col("pk._1"), 4).as("priority"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  val q129Sql: String =
+    s"""WITH pr AS (
+       |  SELECT source, doc_id,
+       |         (CAST(n_chars AS DOUBLE) * 4503599627370496.0)
+       |         / (${sqlHex52("md5('prio|' || CAST(doc_id AS VARCHAR))")} + 1.0) AS p
+       |  FROM documents),
+       |rk AS (SELECT source, doc_id, p,
+       |         CAST(row_number() OVER (PARTITION BY source
+       |                ORDER BY p DESC, doc_id) AS BIGINT) AS rank
+       |       FROM pr)
+       |SELECT source, rank, doc_id, round(p, 4) AS priority
+       |FROM rk WHERE rank <= 20 ORDER BY source, rank""".stripMargin
+
+  // --------------------------------------------------------------- Q130
+  /** COUNT-MIN sketch heavy hitters — the fixed-memory frequency
+    * sketch (Cormode–Muthukrishnan) over event actors: d = 4 hash
+    * rows × w = 256 buckets (bucket = first 2 md5 hex digits, keyed
+    * by row index), estimate(x) = min over rows of its bucket count,
+    * report the top 20 users by estimate beside their true counts.
+    * Like q112's KMV, the sketch is DETERMINISTIC on md5 so the
+    * whole estimator replays in DuckDB and the family gets a second
+    * oracle-EXACT member (est ≥ true always — the one-sided CMS
+    * guarantee — is additionally spec-pinned). Scale shape: the
+    * sketch build is one scan exploded ×4 into slim (row, bucket)
+    * pairs folded by a partial-aggregable count into ≤ 1024 cells —
+    * mergeable across partitions, days, or streams by cellwise add;
+    * the probe side joins candidate users to the BROADCAST sketch.
+    * At 100 TB the candidate set is the sketch's own promise: any
+    * user with true count ≥ T has est ≥ T, so screening on the
+    * broadcast sketch never misses a heavy hitter. */
+  val q130: Q = (s, d) => {
+    val rows = typedLit(Seq(0, 1, 2, 3))
+    def bucket(j: Column, x: Column): Column =
+      substring(md5(concat(j.cast("string"), lit("|"), x.cast("string"))), 1, 2)
+    val ev = t(s, d, "events").select(col("user_id"))
+    val sk = graft.core.Pins.pin(
+      ev.select(col("user_id"), explode(rows).as("j"))
+        .select(col("j"), bucket(col("j"), col("user_id")).as("b"))
+        .groupBy(col("j"), col("b")).agg(count(lit(1)).as("c")))
+    val est = ev.groupBy(col("user_id")).agg(count(lit(1)).as("true_cnt"))
+      .select(col("user_id"), col("true_cnt"), explode(rows).as("j"))
+      .withColumn("b", bucket(col("j"), col("user_id")))
+      .join(broadcast(sk), Seq("j", "b"))
+      .groupBy(col("user_id"), col("true_cnt"))
+      .agg(min(col("c")).as("est_cnt"))
+    // top-20 via TakeOrderedAndProject (scalable), rank over the 20
+    val top = est.orderBy(col("est_cnt").desc, col("user_id").asc).limit(20)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("est_cnt").desc, col("user_id").asc))
+          .cast("long"))
+      .select(col("rank"), col("user_id"), col("true_cnt"), col("est_cnt"),
+        (col("est_cnt") - col("true_cnt")).as("overcount"))
+      .orderBy(col("rank"))
+  }
+
+  val q130Sql: String =
+    """WITH jj AS (SELECT unnest(generate_series(0, 3)) AS j),
+      |sk AS (SELECT j, substr(md5(CAST(j AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)), 1, 2) AS b,
+      |         count(*) AS c
+      |       FROM events, jj GROUP BY 1, 2),
+      |truth AS (SELECT user_id, count(*) AS true_cnt FROM events GROUP BY 1),
+      |est AS (SELECT t.user_id, t.true_cnt, min(sk.c) AS est_cnt
+      |        FROM truth t, jj
+      |        JOIN sk ON sk.j = jj.j
+      |          AND sk.b = substr(md5(CAST(jj.j AS VARCHAR) || '|' || CAST(t.user_id AS VARCHAR)), 1, 2)
+      |        GROUP BY 1, 2),
+      |rk AS (SELECT CAST(row_number() OVER (ORDER BY est_cnt DESC, user_id) AS BIGINT) AS rank,
+      |         user_id, true_cnt, est_cnt
+      |       FROM est)
+      |SELECT rank, user_id, true_cnt, est_cnt, est_cnt - true_cnt AS overcount
+      |FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin
+
+  // --------------------------------------------------------------- Q131
+  /** SEQUENCE mining — support counts for every length-3 event-type
+    * sequence (consecutive, per user, time-ordered): the behavioral
+    * n-gram table behind funnel design (q87 checks ONE hypothesized
+    * order; this surfaces which orders actually occur, with user and
+    * occurrence support). Two `lead`s over one (user, time) window —
+    * a single key shuffle, sequences assembled scan-side, then a
+    * partial-aggregable fold over at most |event_types|³ groups.
+    * Event-time ties are broken by event_id so the sequence relation
+    * is total and both engines see the same neighbor pairs. */
+  val q131: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    t(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("l1", lead(col("event_type"), 1).over(w))
+      .withColumn("l2", lead(col("event_type"), 2).over(w))
+      .filter(col("l2").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("l1"), col("l2")).as("seq"),
+        col("user_id"))
+      .groupBy(col("seq"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n_users").desc, col("n_occurrences").desc, col("seq").asc)
+  }
+
+  val q131Sql: String =
+    """WITH nx AS (
+      |  SELECT user_id, event_type,
+      |         lead(event_type, 1) OVER w AS l1,
+      |         lead(event_type, 2) OVER w AS l2
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT event_type || '>' || l1 || '>' || l2 AS seq,
+      |       count(*) AS n_occurrences,
+      |       count(DISTINCT user_id) AS n_users
+      |FROM nx WHERE l2 IS NOT NULL
+      |GROUP BY 1 ORDER BY n_users DESC, n_occurrences DESC, seq""".stripMargin
+
+  // --------------------------------------------------------------- Q132
+  /** SLIDING-window distinct reach — trailing-24h distinct active
+    * users for EVERY hour, exactly. `count(DISTINCT)` over a sliding
+    * window is the classic non-aggregable ask (q94's WAU sidesteps it
+    * with per-day buckets); the scalable exact form is a SWEEP-LINE:
+    * a user active at hour a covers window-ends [a, a+23], so per
+    * user, merge overlapping coverage intervals (one lag + running
+    * sum over the user's DISTINCT active hours — corpus-sized work,
+    * fully distributed), emit ±1 boundary deltas, and integrate over
+    * the hour grid. The only single-partition step is the final
+    * running sum over the GRID (one row per hour — 8,760/year no
+    * matter how many trillion events), which is also why the oracle
+    * can afford an independent derivation: a correlated
+    * count-distinct probe per grid hour. */
+  val q132: Q = (s, d) => {
+    val uh = t(s, d, "events")
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 3600000000").as("hr"))
+      .distinct()
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+    val iv = uh
+      .withColumn("prev", lag(col("hr"), 1).over(wu))
+      .withColumn("brk",
+        when(col("prev").isNull || col("hr") > col("prev") + 23, 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum(col("brk"))
+        .over(wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(min(col("hr")).as("s"), (max(col("hr")) + 23).as("e"))
+    val deltas = iv.select(col("s").as("h"), lit(1L).as("dlt"))
+      .unionByName(iv.select((col("e") + 1).as("h"), lit(-1L).as("dlt")))
+      .groupBy(col("h")).agg(sum(col("dlt")).as("dlt"))
+    val grid = uh.agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("h"))
+    grid.join(deltas, Seq("h"), "left")
+      .withColumn("active_24h",
+        sum(coalesce(col("dlt"), lit(0L)))
+          .over(Window.orderBy(col("h"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("h").as("hr"), col("active_24h"))
+      .orderBy(col("hr"))
+  }
+
+  val q132Sql: String =
+    """WITH uh AS (SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS hr
+      |            FROM events),
+      |g AS (SELECT unnest(generate_series((SELECT min(hr) FROM uh),
+      |                                    (SELECT max(hr) FROM uh))) AS hr)
+      |SELECT g.hr,
+      |       (SELECT count(DISTINCT user_id) FROM uh
+      |        WHERE uh.hr BETWEEN g.hr - 23 AND g.hr) AS active_24h
+      |FROM g ORDER BY g.hr""".stripMargin
+
+  // --------------------------------------------------------------- Q133
+  /** DOMAIN divergence — per-source KL(source ‖ corpus) over unigram
+    * distributions: the mixture-design signal ("which sources speak a
+    * different language than the blend?") that decides q111's epoch
+    * weights and flags sources worth their own quality gate. ONE
+    * tokenize/explode pass (q89's discipline): the (source, word)
+    * count relation is pinned and every downstream distribution —
+    * per-source totals, corpus totals, the grand total — folds from
+    * it; corpus-level relations are vocabulary-sized broadcasts. The
+    * probability ratio is assembled from exact integer counts cast
+    * late ((c·N) / (ns·cw) — identical correctly-rounded IEEE ops both
+    * engines) with the single ln at the boundary, summed per source
+    * and rounded at 4 dp. */
+  val q133: Q = (s, d) => {
+    val tok = t(s, d, "documents")
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+    val cnt = graft.core.Pins.pin(
+      tok.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c")))
+    val ns = cnt.groupBy(col("source"))
+      .agg(sum(col("c")).as("ns"), count(lit(1)).as("vocab_used"))
+    val cw = cnt.groupBy(col("w")).agg(sum(col("c")).as("cw"))
+    val nn = cw.agg(sum(col("cw")).as("nn"))
+    val term = (col("c").cast("double") / col("ns").cast("double")) *
+      log((col("c").cast("double") * col("nn").cast("double")) /
+        (col("ns").cast("double") * col("cw").cast("double")))
+    cnt.join(broadcast(cw), "w")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(nn))
+      .groupBy(col("source"), col("ns"), col("vocab_used"))
+      .agg(round(sum(term), 4).as("kl_vs_corpus"))
+      .select(col("source"), col("ns").as("n_tokens"), col("vocab_used"),
+        col("kl_vs_corpus"))
+      .orderBy(col("source"))
+  }
+
+  val q133Sql: String =
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+      |             FROM documents),
+      |cnt AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+      |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns,
+      |         count(*) AS vocab_used FROM cnt GROUP BY 1),
+      |cw AS (SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM cnt GROUP BY 1),
+      |nn AS (SELECT CAST(sum(cw) AS BIGINT) AS nn FROM cw)
+      |SELECT cnt.source, ns.ns AS n_tokens, ns.vocab_used,
+      |       round(sum((CAST(c AS DOUBLE) / CAST(ns.ns AS DOUBLE))
+      |         * ln((CAST(c AS DOUBLE) * CAST(nn.nn AS DOUBLE))
+      |               / (CAST(ns.ns AS DOUBLE) * CAST(cw.cw AS DOUBLE)))), 4)
+      |         AS kl_vs_corpus
+      |FROM cnt JOIN cw USING (w) JOIN ns ON cnt.source = ns.source, nn
+      |GROUP BY 1, 2, 3 ORDER BY cnt.source""".stripMargin
+
+  // --------------------------------------------------------------- Q134
+  /** DATASET CARD — the per-source datasheet row that stitches the
+    * audit signals into the one table a curation review reads first:
+    * volume (docs, chars, mean length), language identity (majority
+    * lang + its share), and exact-duplicate mass (distinct-md5
+    * deficit). Two scans by design: the heavy pass reads text ONCE
+    * for the content hash; the lang-majority pass prunes to two
+    * 8-byte-ish columns (column pruning makes it nearly free —
+    * ReadSchema shows (source, lang) only). Majority-lang ties break
+    * lexicographically via the row_number order so the card is total.
+    * Every downstream relation is sources-sized. */
+  val q134: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val vol = docs
+      .select(col("source"), col("n_chars"), md5(col("text")).as("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("h")).as("n_uniq"))
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        round(col("total_chars").cast("double") / col("n_docs"), 4)
+          .as("mean_chars"),
+        (col("n_docs") - col("n_uniq")).as("n_exact_dups"),
+        round((col("n_docs") - col("n_uniq")).cast("double") / col("n_docs"), 4)
+          .as("dup_ratio"))
+    val wl = Window.partitionBy(col("source"))
+      .orderBy(col("n_lang").desc, col("lang").asc)
+    val langs = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_lang"))
+      .withColumn("rn", row_number().over(wl))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"), col("n_lang"))
+    vol.join(langs, "source")
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        col("mean_chars"), col("top_lang"),
+        round(col("n_lang").cast("double") / col("n_docs"), 4)
+          .as("top_lang_share"),
+        col("n_exact_dups"), col("dup_ratio"))
+      .orderBy(col("source"))
+  }
+
+  val q134Sql: String =
+    """WITH vol AS (
+      |  SELECT source, count(*) AS n_docs,
+      |         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |         count(DISTINCT md5(text)) AS n_uniq
+      |  FROM documents GROUP BY 1),
+      |langs AS (
+      |  SELECT source, lang AS top_lang, n_lang FROM (
+      |    SELECT source, lang, count(*) AS n_lang,
+      |           row_number() OVER (PARTITION BY source
+      |             ORDER BY count(*) DESC, lang) AS rn
+      |    FROM documents GROUP BY source, lang)
+      |  WHERE rn = 1)
+      |SELECT v.source, v.n_docs, v.total_chars,
+      |       round(CAST(v.total_chars AS DOUBLE) / v.n_docs, 4) AS mean_chars,
+      |       l.top_lang,
+      |       round(CAST(l.n_lang AS DOUBLE) / v.n_docs, 4) AS top_lang_share,
+      |       v.n_docs - v.n_uniq AS n_exact_dups,
+      |       round(CAST(v.n_docs - v.n_uniq AS DOUBLE) / v.n_docs, 4) AS dup_ratio
+      |FROM vol v JOIN langs l USING (source)
+      |ORDER BY v.source""".stripMargin
+
+  /** name → (query, oracle) */
+  val entries: Seq[(String, Q, String)] = Seq(
+    ("q129_priority_sample", q129, q129Sql),
+    ("q130_countmin_heavy", q130, q130Sql),
+    ("q131_event_sequences", q131, q131Sql),
+    ("q132_sliding_distinct", q132, q132Sql),
+    ("q133_domain_divergence", q133, q133Sql),
+    ("q134_dataset_card", q134, q134Sql))
+}

@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** Invariant tests for the corpus-statistics family (q129–q134) on
+  * sf0.001 — the properties the exact-value oracle compare cannot
+  * express: sketch one-sidedness, sample-size contracts, sweep-line
+  * consistency against a brute-force recount, and KL non-negativity.
+  */
+class StatSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q129: exactly k picks per source, ranks contiguous, weights respected in aggregate") {
+    val got = StatQueries.q129(spark, sf0001)
+      .select("source", "rank", "doc_id", "priority")
+      .as[(String, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val perSrc = got.groupBy(_._1)
+    val nDocs = Tables.load(spark, sf0001, "documents")
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    perSrc.foreach { case (src, rows) =>
+      val k = math.min(20L, nDocs(src))
+      assert(rows.length == k, s"$src: ${rows.length} picks, expected $k")
+      assert(rows.map(_._2).sorted.toSeq == rows.map(_._2).distinct.sorted.toSeq,
+        s"$src: duplicate doc in sample")
+      assert(rows.map(_._2).toSeq == rows.sortBy(_._2).map(_._2).toSeq ||
+        rows.sortBy(_._2).nonEmpty) // ranks 1..k present
+      assert(rows.map(_._2).min >= 1, s"$src: rank below 1")
+    }
+    // priority sampling must over-represent long docs vs a uniform draw:
+    // sampled docs' mean length > corpus mean length (in aggregate)
+    val sampled = got.map(_._3).toSet
+    val lens = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "n_chars").as[(Long, Long)].collect()
+    val meanAll = lens.map(_._2).sum.toDouble / lens.length
+    val meanSamp = lens.filter(l => sampled(l._1)).map(_._2).sum.toDouble / sampled.size
+    assert(meanSamp > meanAll,
+      f"weighted draw not length-biased: sample $meanSamp%.1f vs corpus $meanAll%.1f")
+  }
+
+  test("q130: CMS estimates are one-sided (est >= true), top-20 ordered") {
+    val got = StatQueries.q130(spark, sf0001)
+      .select("rank", "user_id", "true_cnt", "est_cnt", "overcount")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty && got.length <= 20)
+    got.foreach { case (r, u, tc, ec, over) =>
+      assert(ec >= tc, s"user $u: est $ec < true $tc — CMS guarantee broken")
+      assert(over == ec - tc, s"user $u: overcount inconsistent")
+    }
+    assert(got.map(_._1).toSeq == (1L to got.length).toSeq, "ranks not contiguous")
+    assert(got.map(_._4).toSeq == got.map(_._4).sortBy(-_).toSeq,
+      "top-20 not ordered by estimate")
+  }
+
+  test("q131: sequence supports consistent; occurrences == sum of per-user chains") {
+    val got = StatQueries.q131(spark, sf0001)
+      .select("seq", "n_occurrences", "n_users")
+      .as[(String, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (seq, occ, users) =>
+      assert(seq.split('>').length == 3, s"malformed sequence $seq")
+      assert(occ >= users, s"$seq: $occ occurrences < $users users")
+      assert(users >= 1)
+    }
+    // total 3-chains = sum over users of max(0, n_events - 2)
+    val perUser = Tables.load(spark, sf0001, "events")
+      .groupBy("user_id").count().as[(Long, Long)].collect()
+    val expected = perUser.map(c => math.max(0L, c._2 - 2)).sum
+    assert(got.map(_._2).sum == expected,
+      s"chain mass ${got.map(_._2).sum} != expected $expected")
+  }
+
+  test("q132: sweep-line equals brute-force trailing-24h distinct, everywhere") {
+    val got = StatQueries.q132(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    assert(got.nonEmpty)
+    val uh = Tables.load(spark, sf0001, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 3600000000").as("hr"))
+      .distinct().as[(Long, Long)].collect()
+    val (lo, hi) = (uh.map(_._2).min, uh.map(_._2).max)
+    assert(got.keySet == (lo to hi).toSet, "grid must cover [min, max] hours")
+    (lo to hi).foreach { h =>
+      val brute = uh.filter(p => p._2 >= h - 23 && p._2 <= h).map(_._1).distinct.length
+      assert(got(h) == brute, s"hour $h: sweep ${got(h)} != brute $brute")
+    }
+  }
+
+  test("q133: KL >= 0 per source, token totals partition the corpus") {
+    val got = StatQueries.q133(spark, sf0001)
+      .select("source", "n_tokens", "vocab_used", "kl_vs_corpus")
+      .as[(String, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (src, n, v, kl) =>
+      assert(n > 0 && v > 0)
+      assert(kl >= -0.0001, s"$src: KL $kl negative beyond rounding slack")
+    }
+    val total = Tables.load(spark, sf0001, "documents")
+      .select(explode(split(col("text"), " "))).count()
+    assert(got.map(_._2).sum == total, "per-source token totals must partition corpus")
+  }
+
+  test("q134: card shares bounded, dup accounting consistent, covers all sources") {
+    val got = StatQueries.q134(spark, sf0001)
+      .select("source", "n_docs", "total_chars", "mean_chars", "top_lang",
+        "top_lang_share", "n_exact_dups", "dup_ratio")
+      .as[(String, Long, Long, Double, String, Double, Long, Double)].collect()
+    val docs = Tables.load(spark, sf0001, "documents")
+    assert(got.length == docs.select("source").distinct().count())
+    val totalDocs = docs.count()
+    assert(got.map(_._2).sum == totalDocs, "n_docs must partition the corpus")
+    got.foreach { case (src, n, chars, mean, lang, share, dups, ratio) =>
+      assert(share > 0.0 && share <= 1.0, s"$src share $share")
+      assert(ratio >= 0.0 && ratio < 1.0, s"$src dup ratio $ratio")
+      assert(dups >= 0 && dups < n)
+      assert(math.abs(mean - chars.toDouble / n) < 0.001, s"$src mean drift")
+      assert(lang.nonEmpty)
+    }
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.SparkSession
 
 import graft.core.Tables
 import graft.functions.TextOps
@@ -97,20 +97,12 @@ object StatQueries {
     * user with true count ≥ T has est ≥ T, so screening on the
     * broadcast sketch never misses a heavy hitter. */
   val q130: Q = (s, d) => {
-    val rows = typedLit(Seq(0, 1, 2, 3))
-    def bucket(j: Column, x: Column): Column =
-      substring(md5(concat(j.cast("string"), lit("|"), x.cast("string"))), 1, 2)
     val ev = t(s, d, "events").select(col("user_id"))
     val sk = graft.core.Pins.pin(
-      ev.select(col("user_id"), explode(rows).as("j"))
-        .select(col("j"), bucket(col("j"), col("user_id")).as("b"))
-        .groupBy(col("j"), col("b")).agg(count(lit(1)).as("c")))
-    val est = ev.groupBy(col("user_id")).agg(count(lit(1)).as("true_cnt"))
-      .select(col("user_id"), col("true_cnt"), explode(rows).as("j"))
-      .withColumn("b", bucket(col("j"), col("user_id")))
-      .join(broadcast(sk), Seq("j", "b"))
-      .groupBy(col("user_id"), col("true_cnt"))
-      .agg(min(col("c")).as("est_cnt"))
+      graft.operators.CountMin.cells(ev, "user_id"))
+    val est = graft.operators.CountMin.estimates(
+      ev.groupBy(col("user_id")).agg(count(lit(1)).as("true_cnt")),
+      sk, "user_id")
     // top-20 via TakeOrderedAndProject (scalable), rank over the 20
     val top = est.orderBy(col("est_cnt").desc, col("user_id").asc).limit(20)
     top.withColumn("rank",

@@ -542,6 +542,66 @@ object EventStream {
       .start()
   }
 
+  /** Continuous count-min maintenance — q130's streaming twin, and the
+    * DISTRIBUTED member of the sketch-twin family: where the
+    * Misra-Gries monitor above collects its capacity-bounded sketch to
+    * the driver, the CMS cells stay a DataFrame end to end — each
+    * micro-batch builds its own cells ([[graft.operators.CountMin
+    * .cells]], one partial-aggregable scan) and folds into the store by
+    * cellwise ADD ([[graft.operators.CountMin.merge]]). Integer
+    * addition is associative and commutative, so incremental
+    * maintenance is BIT-EQUAL to a batch rebuild over the full corpus
+    * regardless of how the stream was batched (spec-pinned) — the
+    * mergeable-summaries property, same family as the KMV store's
+    * min-union, but where KMV merge is idempotent under replay CMS
+    * addition is NOT: replay protection is the batch-id transaction
+    * rule (merge only when `batchId` exceeds the stored id), shared
+    * verbatim with the heavy-hitters monitor above. The store is
+    * (j, b, c, batch_id) parquet — ≤ d×256 cells — swapped atomically;
+    * any consumer answers point-frequency queries from the store
+    * without touching the corpus ([[graft.operators.CountMin
+    * .estimates]] against a broadcast of it). */
+  def startCountMinMonitor(updates: DataFrame, itemCol: String,
+                           sketchDir: String, checkpointDir: String,
+                           d: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    updates.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          graft.core.Sinks.recoverStrandedBackup(sketchDir)
+          val stored =
+            if (new java.io.File(sketchDir).isDirectory)
+              Some(spark.read.parquet(sketchDir).select("j", "b", "c", "batch_id"))
+            else None
+          val storedId = stored
+            .map(_.agg(max(col("batch_id"))).head().getLong(0))
+            .getOrElse(-1L)
+          if (batchId > storedId) {
+            val bs = graft.operators.CountMin.cells(
+              batch.select(col(itemCol)), itemCol, d)
+            val merged = stored match {
+              case Some(st) => graft.operators.CountMin.merge(st.select("j", "b", "c"), bs)
+              case None => bs
+            }
+            // materialize BEFORE overwriting the store the lineage reads
+            val out = merged.localCheckpoint()
+            graft.core.Sinks.atomicSwap(sketchDir, "sketch") { tmp =>
+              out.withColumn("batch_id", lit(batchId))
+                .coalesce(1).write.parquet(tmp)
+            }
+            graft.core.Pins.releaseCheckpoint(out)
+          }
+          // batchId <= storedId: crash-replay of an already-merged
+          // batch — skip (cell addition would double-count). Consumers
+          // read the store, so there is no notification to re-deliver.
+        }
+      }
+      .start()
+  }
+
   /** Continuous funnel monitor — the streaming twin of q87: per-user
     * ordered view → click → purchase stage times as typed state, an
     * update emitted whenever a user's progress changes. State is ONE

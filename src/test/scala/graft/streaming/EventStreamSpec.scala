@@ -207,6 +207,59 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("startCountMinMonitor: incremental cell merge bit-equal to batch rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cms")
+    val sketchDir = s"$dir/sketch"
+    val input = MemoryStream[String]
+    val q = EventStream.startCountMinMonitor(
+      input.toDF().withColumnRenamed("value", "item"), "item",
+      sketchDir, s"$dir/ckpt")
+    val b1 = Seq.fill(40)("alpha") ++ (0 until 15).map(i => s"t$i")
+    val b2 = Seq.fill(25)("beta") ++ Seq.fill(10)("alpha")
+    val b3 = (0 until 15).map(i => s"t$i") ++ Seq.fill(5)("beta")
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      input.addData(b3: _*); q.processAllAvailable()
+      val stored = spark.read.parquet(sketchDir)
+        .select("j", "b", "c").as[(Int, String, Long)].collect().toSet
+      // batching must not matter: cellwise integer addition commutes,
+      // so three merged batches == one build over the concatenation
+      val rebuilt = graft.operators.CountMin.cells(
+          (b1 ++ b2 ++ b3).toDF("item"), "item")
+        .as[(Int, String, Long)].collect().toSet
+      assert(stored == rebuilt, "incremental cells drifted from batch rebuild")
+      assert(spark.read.parquet(sketchDir)
+        .select("batch_id").head().getLong(0) == 2L)
+      // one-sided estimates served FROM THE STORE, corpus untouched
+      val est = graft.operators.CountMin.estimates(
+          Seq("alpha", "beta", "t3", "ghost").toDF("item"),
+          spark.read.parquet(sketchDir).select("j", "b", "c"), "item")
+        .as[(String, Long)].collect().toMap
+      val truth = Map("alpha" -> 50L, "beta" -> 30L, "t3" -> 2L, "ghost" -> 0L)
+      truth.foreach { case (k, n) =>
+        assert(est(k) >= n, s"$k: est ${est(k)} < true $n")
+      }
+    } finally q.stop()
+    // transaction guard: a FRESH checkpoint lineage restarts batch ids at
+    // 0 — merging against this store must be refused (would double-count),
+    // the documented one-store-one-lineage rule
+    val input2 = MemoryStream[String]
+    val q2 = EventStream.startCountMinMonitor(
+      input2.toDF().withColumnRenamed("value", "item"), "item",
+      sketchDir, s"$dir/ckpt2")
+    try {
+      input2.addData("alpha"); q2.processAllAvailable()
+      val after = spark.read.parquet(sketchDir)
+        .select("j", "b", "c").as[(Int, String, Long)].collect().toSet
+      val before = graft.operators.CountMin.cells(
+          (b1 ++ b2 ++ b3).toDF("item"), "item")
+        .as[(Int, String, Long)].collect().toSet
+      assert(after == before, "stale batch id was merged — replay guard broken")
+    } finally q2.stop()
+  }
+
   test("stream-static enrichment joins dims per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((7L, "gold"), (8L, "basic")).toDF("user_id", "tier")

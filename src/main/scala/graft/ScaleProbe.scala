@@ -282,6 +282,32 @@ object ScaleProbe {
       graft.core.Pins.release()
     }
 
+    // --- stat-family probes at 10×: q130's sketch is ≤ 1024 cells no
+    // matter the event count (the shuffle after map-side combine carries
+    // cells, not events) and the probe side joins a broadcast — growth
+    // must be ~the scan; q132's corpus-sized work (distinct hours,
+    // interval merge) is distributed while the single-partition
+    // integration rides the GRID, which replication leaves UNCHANGED
+    // (same hour span) — growth again ~the scan; q129's TopK shuffle
+    // carries O(sources × k) whatever the stratum size; q133 is one
+    // tokenize pass + vocab-sized broadcasts (vocab saturates, so 10×
+    // rows is 10× scan against flat model relations).
+    // (the 10× events table was written by the temporal-join probe above
+    // — same 30-day span, 10× density, which is exactly the densification
+    // q130/q132 care about)
+    {
+      import graft.queries.StatQueries
+      time("q130_countmin sf0.1   (100k ev)  ")(StatQueries.q130(spark, src).count())
+      time("q130_countmin sf1.0     (1M ev)  ")(StatQueries.q130(spark, out).count())
+      time("q132_sliding sf0.1    (100k ev)  ")(StatQueries.q132(spark, src).count())
+      time("q132_sliding sf1.0      (1M ev)  ")(StatQueries.q132(spark, out).count())
+      time("q129_prio_sample sf0.1 (5k docs) ")(StatQueries.q129(spark, src).count())
+      time("q129_prio_sample sf1.0 (50k docs)")(StatQueries.q129(spark, out).count())
+      time("q133_divergence sf0.1  (5k docs) ")(StatQueries.q133(spark, src).count())
+      time("q133_divergence sf1.0  (50k docs)")(StatQueries.q133(spark, out).count())
+      graft.core.Pins.release()
+    }
+
     // --- chunk-gate steady state: a 25k-doc batch scored against a
     // 25k-doc stored pair relation must cost ~the batch (store pruned to
     // the batch's hashes before counting), not the store.

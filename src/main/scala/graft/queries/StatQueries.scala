@@ -337,6 +337,224 @@ object StatQueries {
       |FROM vol v JOIN langs l USING (source)
       |ORDER BY v.source""".stripMargin
 
+  // --------------------------------------------------------------- Q135
+  /** DECAYED engagement — exponential time-decay score per user
+    * (score = Σ 2^−age_days over the user's events, 1-day half-life):
+    * the recency-weighted frequency every feature store keeps beside
+    * the raw count, here in a form that is EXACT and order-independent:
+    * 2^−k is computed as 1 / (1 << k) — an integer shift and one exact
+    * power-of-two divide, no libm pow — and every partial sum of such
+    * terms is exact in a double (exponent span ≤ data-age span + log₂
+    * count ≪ 53 bits), so Spark's unordered aggregation and DuckDB's
+    * ordered one produce the identical bits. The reference age is the
+    * corpus max event time (one-row broadcast). Scan-local arithmetic
+    * + one partial-aggregable groupBy; top-50 via
+    * TakeOrderedAndProject. */
+  val q135: Q = (s, d) => {
+    val ev = t(s, d, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val ref = ev.agg(max(col("us")).as("ref"))
+    ev.crossJoin(broadcast(ref))
+      .withColumn("age", expr("(ref - us) div 86400000000"))
+      .withColumn("decay",
+        when(col("age") > 62, 0.0).otherwise(
+          expr("1.0 / cast(shiftleft(1L, cast(age as int)) as double)")))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("decay")), 4).as("decayed_score"))
+      .orderBy(col("decayed_score").desc, col("user_id").asc)
+      .limit(50)
+  }
+
+  val q135Sql: String =
+    """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      |ref AS (SELECT max(us) AS ref FROM ev),
+      |sc AS (SELECT user_id,
+      |         (ref - us) // 86400000000 AS age
+      |       FROM ev, ref),
+      |agg AS (SELECT user_id, count(*) AS n_events,
+      |          round(sum(CASE WHEN age > 62 THEN 0.0
+      |            ELSE 1.0 / CAST((CAST(1 AS BIGINT) << age) AS DOUBLE) END), 4)
+      |            AS decayed_score
+      |        FROM sc GROUP BY 1)
+      |SELECT user_id, n_events, decayed_score FROM agg
+      |ORDER BY decayed_score DESC, user_id LIMIT 50""".stripMargin
+
+  // --------------------------------------------------------------- Q136
+  /** Asymmetric CONTAINMENT near-dup — |A∩B| / min(|A|,|B|) over LSH
+    * band candidates: catches "B quotes most of A" where symmetric
+    * Jaccard (q19/q21) stays low because |B| ≫ |A| — the
+    * excerpt/quotation relation a span detector (q61/q100) sees at
+    * passage level, here as whole-document set containment. Candidates
+    * come from the SAME production band machinery as q19
+    * ([[graft.operators.MinHashLsh]]'s fused band-key kernel — slim
+    * (doc_id, bk) self-join, text never in the join); the verify
+    * re-join computes both directional containments from the hashed
+    * shingle sets, keeps max-containment ≥ 0.7, and reports pairs the
+    * symmetric threshold would have missed alongside their Jaccard.
+    * At 100 TB this rides the stored band table exactly like q19. */
+  val q136: Q = (s, d) => {
+    val sh = TextOps.shinglesNative(col("text"), 3)
+    val docs = t(s, d, "documents")
+    val slim = docs.select(col("doc_id"),
+      explode(TextOps.bandKeysNative(sh, 4, 2)).as("bk"))
+    val shh = docs.select(col("doc_id"),
+      array_sort(array_distinct(transform(sh, x => xxhash64(x)))).as("shh"))
+    val cands = slim.as("a").join(slim.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+    cands
+      .join(shh.select(col("doc_id").as("a_id"), col("shh").as("sa")), "a_id")
+      .join(shh.select(col("doc_id").as("b_id"), col("shh").as("sb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(inter / least(size(col("sa")), size(col("sb"))).cast("double"), 4)
+          .as("containment"),
+        round(inter / (size(col("sa")) + size(col("sb")) -
+          size(array_intersect(col("sa"), col("sb")))).cast("double"), 4)
+          .as("jaccard"))
+      .filter(col("containment") >= 0.7)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val q136Sql: String = {
+    val sigCols = (0 until 8).map(i =>
+      s"list_min(list_transform(sh, x -> md5('$i' || '|' || x))) AS h$i")
+      .mkString(", ")
+    val bandCond = (0 until 4).map(b =>
+      s"(a.h${2 * b} = b.h${2 * b} AND a.h${2 * b + 1} = b.h${2 * b + 1})")
+      .mkString(" OR ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |shl AS (SELECT doc_id, list_distinct(list_transform(
+       |          generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' '))) AS sh
+       |        FROM toks),
+       |sig AS (SELECT doc_id, sh, $sigCols FROM shl),
+       |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS sa, b.sh AS sb
+       |         FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandCond)),
+       |m AS (SELECT a_id, b_id,
+       |        round(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+       |          / CAST(least(len(sa), len(sb)) AS DOUBLE), 4) AS containment,
+       |        round(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+       |          / CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS DOUBLE), 4)
+       |          AS jaccard
+       |      FROM cand)
+       |SELECT a_id, b_id, containment, jaccard FROM m
+       |WHERE containment >= 0.7 ORDER BY a_id, b_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------- Q137
+  /** RFM segmentation — recency/frequency/monetary quartile binning of
+    * the user base (the classic engagement-marketing cut, equally the
+    * shape of contributor-quality binning for a data pipeline): per
+    * user, days since last event, event count, and EXACT integer cents
+    * (round(value·100) per event — a float money SUM would be
+    * order-sensitive; integer cents are not), then `ntile(4)` per
+    * dimension under a total (dim, user_id) order → 64 possible
+    * "R#F#M#" segments, reported with their populations. The corpus
+    * folds to ONE ROW PER USER before any window: the ntile windows
+    * ride the users-sized relation, and at production scale the three
+    * quartile BREAKPOINTS become stored artifacts (q90's discipline)
+    * with binning a broadcast compare — semantics unchanged. */
+  val q137: Q = (s, d) => {
+    val ev = t(s, d, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val ref = ev.agg(max(col("us")).as("ref"))
+    val base = ev.crossJoin(broadcast(ref))
+      .groupBy(col("user_id"))
+      .agg(expr("(max(ref) - max(us)) div 86400000000").as("rec_days"),
+        count(lit(1)).as("freq"),
+        sum(col("cents")).as("mon_cents"))
+    def quart(c: String) = ntile(4)
+      .over(Window.orderBy(col(c).asc, col("user_id").asc))
+    base
+      .withColumn("rq", quart("rec_days"))
+      .withColumn("fq", quart("freq"))
+      .withColumn("mq", quart("mon_cents"))
+      .select(concat(lit("R"), col("rq"), lit("F"), col("fq"),
+        lit("M"), col("mq")).as("segment"), col("user_id"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("segment"))
+  }
+
+  val q137Sql: String =
+    """WITH ev AS (SELECT user_id, epoch_us(ts) AS us,
+      |              CAST(round(value * 100) AS BIGINT) AS cents
+      |            FROM events),
+      |ref AS (SELECT max(us) AS ref FROM ev),
+      |base AS (SELECT user_id,
+      |           (max(ref) - max(us)) // 86400000000 AS rec_days,
+      |           count(*) AS freq,
+      |           CAST(sum(cents) AS BIGINT) AS mon_cents
+      |         FROM ev, ref GROUP BY 1),
+      |q AS (SELECT user_id,
+      |        ntile(4) OVER (ORDER BY rec_days, user_id) AS rq,
+      |        ntile(4) OVER (ORDER BY freq, user_id) AS fq,
+      |        ntile(4) OVER (ORDER BY mon_cents, user_id) AS mq
+      |      FROM base)
+      |SELECT 'R' || rq || 'F' || fq || 'M' || mq AS segment,
+      |       count(*) AS n_users
+      |FROM q GROUP BY 1 ORDER BY segment""".stripMargin
+
+  // --------------------------------------------------------------- Q138
+  /** BURSTINESS — per-user inter-arrival regularity B = (σ−μ)/(σ+μ)
+    * over gap seconds (Goh–Barabási): B → −1 for metronomic traffic,
+    * → +1 for extreme bursts; the behavioral fingerprint that
+    * separates schedulers/bots from humans, and for a pipeline the
+    * crawl-cadence health check per source. Determinism discipline:
+    * gaps are INTEGER seconds off one (user, time) window; each user
+    * folds to exact integer (n, Σg, Σg²) in a partial-aggregable
+    * aggregate — order-independent by construction — and only the
+    * final μ/σ/B arithmetic touches doubles, in the same literal
+    * expression order on both engines (variance clamped ≥ 0: the
+    * all-equal-gaps case rounds to −ε and sqrt(−ε) would NaN). */
+  val q138: Q = (s, d) => {
+    val gaps = t(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("g", expr("(us - lag(us, 1) over (partition by user_id order by ts, event_id)) div 1000000"))
+      .filter(col("g").isNotNull)
+    val agg = gaps.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("g")).as("sg"),
+        sum(col("g") * col("g")).as("sg2"))
+      .filter(col("n_gaps") >= 2)
+    val n = col("n_gaps").cast("double")
+    val mu = col("sg").cast("double") / n
+    val variance = (col("sg2").cast("double") -
+      col("sg").cast("double") * col("sg").cast("double") / n) / n
+    val sigma = sqrt(greatest(variance, lit(0.0)))
+    agg.select(col("user_id"), col("n_gaps"),
+        round(mu, 4).as("mean_gap_s"),
+        round((sigma - mu) / (sigma + mu), 4).as("burstiness"))
+      .orderBy(col("user_id"))
+  }
+
+  val q138Sql: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |         (epoch_us(ts) - lag(epoch_us(ts), 1) OVER
+      |            (PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS g
+      |  FROM events),
+      |agg AS (SELECT user_id, count(*) AS n_gaps,
+      |          CAST(sum(g) AS BIGINT) AS sg,
+      |          CAST(sum(g * g) AS BIGINT) AS sg2
+      |        FROM g WHERE g IS NOT NULL GROUP BY 1
+      |        HAVING count(*) >= 2)
+      |SELECT user_id, n_gaps,
+      |       round(CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE), 4) AS mean_gap_s,
+      |       round((sqrt(greatest((CAST(sg2 AS DOUBLE)
+      |                - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+      |               / CAST(n_gaps AS DOUBLE), 0.0))
+      |              - CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+      |             / (sqrt(greatest((CAST(sg2 AS DOUBLE)
+      |                - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+      |               / CAST(n_gaps AS DOUBLE), 0.0))
+      |              + CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 4) AS burstiness
+      |FROM agg ORDER BY user_id""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q129_priority_sample", q129, q129Sql),
@@ -344,5 +562,9 @@ object StatQueries {
     ("q131_event_sequences", q131, q131Sql),
     ("q132_sliding_distinct", q132, q132Sql),
     ("q133_domain_divergence", q133, q133Sql),
-    ("q134_dataset_card", q134, q134Sql))
+    ("q134_dataset_card", q134, q134Sql),
+    ("q135_decayed_engagement", q135, q135Sql),
+    ("q136_containment", q136, q136Sql),
+    ("q137_rfm_segments", q137, q137Sql),
+    ("q138_burstiness", q138, q138Sql))
 }

@@ -102,6 +102,60 @@ class StatSpec extends SparkSpec {
     assert(got.map(_._2).sum == total, "per-source token totals must partition corpus")
   }
 
+  test("q135: decay bounded by count, exact power-of-two terms, ordered") {
+    val got = StatQueries.q135(spark, sf0001)
+      .select("user_id", "n_events", "decayed_score")
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty && got.length <= 50)
+    got.foreach { case (u, n, sc) =>
+      assert(sc > 0.0 && sc <= n.toDouble,
+        s"user $u: score $sc outside (0, $n] — decay must shrink, not grow, mass")
+    }
+    assert(got.map(_._3).toSeq == got.map(_._3).sortBy(-_).toSeq, "not ordered")
+  }
+
+  test("q136: containment >= jaccard >= 0, thresholds respected") {
+    val got = StatQueries.q136(spark, sf0001)
+      .select("a_id", "b_id", "containment", "jaccard")
+      .as[(Long, Long, Double, Double)].collect()
+    got.foreach { case (a, b, c, j) =>
+      assert(a < b, s"pair ($a,$b) not oriented")
+      assert(c >= 0.7 && c <= 1.0, s"($a,$b): containment $c")
+      assert(j <= c + 0.0001, s"($a,$b): jaccard $j > containment $c")
+      assert(j > 0.0, s"($a,$b): jaccard 0 on a band collision with intersection")
+    }
+  }
+
+  test("q137: segments partition the user base, quartile labels well-formed") {
+    val got = StatQueries.q137(spark, sf0001)
+      .select("segment", "n_users").as[(String, Long)].collect()
+    assert(got.nonEmpty)
+    val users = Tables.load(spark, sf0001, "events")
+      .select("user_id").distinct().count()
+    assert(got.map(_._2).sum == users, "segment populations must partition users")
+    val re = "^R[1-4]F[1-4]M[1-4]$".r
+    got.foreach { case (seg, n) =>
+      assert(re.matches(seg), s"malformed segment $seg")
+      assert(n >= 1)
+    }
+  }
+
+  test("q138: burstiness in [-1,1], gap accounting matches event counts") {
+    val got = StatQueries.q138(spark, sf0001)
+      .select("user_id", "n_gaps", "mean_gap_s", "burstiness")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.nonEmpty)
+    val perUser = Tables.load(spark, sf0001, "events")
+      .groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    got.foreach { case (u, ng, mg, b) =>
+      assert(ng == perUser(u) - 1, s"user $u: $ng gaps vs ${perUser(u)} events")
+      assert(mg >= 0.0)
+      assert(b >= -1.0 && b <= 1.0001, s"user $u: burstiness $b out of range")
+    }
+    // every user with >= 3 events appears
+    assert(got.length == perUser.count(_._2 >= 3))
+  }
+
   test("q134: card shares bounded, dup accounting consistent, covers all sources") {
     val got = StatQueries.q134(spark, sf0001)
       .select("source", "n_docs", "total_chars", "mean_chars", "top_lang",

@@ -555,6 +555,186 @@ object StatQueries {
       |              + CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 4) AS burstiness
       |FROM agg ORDER BY user_id""".stripMargin
 
+  // --------------------------------------------------------------- Q139
+  /** QUOTA-allocated holdout — proportional stratified sampling with
+    * the largest-remainder (Hamilton) method: a fixed eval budget of
+    * k = 100 docs split across sources ∝ size, exactly (Σ nᵢ = k,
+    * every nᵢ within 1 of its exact quota — the apportionment rule
+    * census systems use). q110 fixes k PER stratum; this fixes the
+    * TOTAL and derives the strata shares. All-integer dataflow:
+    * quota = k·Nₛ split as div/mod against N, leftover seats go to the
+    * largest remainders (ties by source) via one rank over the
+    * SOURCES-sized relation — the corpus contributes only its per-
+    * stratum counts (one partial-aggregable fold). The draw itself
+    * would then reuse q110's min-k-by-hash machinery per stratum;
+    * reported here is the allocation table a reviewer signs off. */
+  val q139: Q = (s, d) => {
+    val k = 100
+    val counts = t(s, d, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(col("n_docs")).as("n_total"))
+    val base = counts.crossJoin(broadcast(tot))
+      .withColumn("base_alloc", expr(s"($k * n_docs) div n_total"))
+      .withColumn("rem", expr(s"($k * n_docs) % n_total"))
+    val leftover = base.agg((lit(k) - sum(col("base_alloc"))).as("seats"))
+    val wr = Window.orderBy(col("rem").desc, col("source").asc)
+    base.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(wr))
+      .select(col("source"), col("n_docs"), col("base_alloc"),
+        (col("base_alloc") +
+          when(col("rk") <= col("seats"), 1L).otherwise(0L)).as("n_alloc"))
+      .orderBy(col("source"))
+  }
+
+  val q139Sql: String =
+    """WITH counts AS (SELECT source, count(*) AS n_docs
+      |                FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM counts),
+      |base AS (SELECT source, n_docs,
+      |           (100 * n_docs) // n_total AS base_alloc,
+      |           (100 * n_docs) % n_total AS rem
+      |         FROM counts, tot),
+      |lo AS (SELECT 100 - CAST(sum(base_alloc) AS BIGINT) AS seats FROM base),
+      |rk AS (SELECT source, n_docs, base_alloc, rem,
+      |         row_number() OVER (ORDER BY rem DESC, source) AS rk
+      |       FROM base)
+      |SELECT source, n_docs, base_alloc,
+      |       base_alloc + CASE WHEN rk <= (SELECT seats FROM lo)
+      |                         THEN 1 ELSE 0 END AS n_alloc
+      |FROM rk ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------- Q140
+  /** Dedup THRESHOLD SWEEP — verified near-dup pair counts at Jaccard
+    * cutoffs 0.5 … 0.9 from ONE candidate generation + ONE verify
+    * pass: the tuning table read before committing a dedup threshold
+    * (how much duplicate mass does each notch remove?), where running
+    * q19 five times would re-shingle and re-join five times. The
+    * exact Jaccard is computed once per candidate pair; the sweep is
+    * a conditional-sum fold over the pair relation (pairs-sized, five
+    * integer sums), cumulative by construction (≥ 0.9 ⊆ ≥ 0.8 ⊆ …,
+    * spec-pinned). Candidates ride the q19 band machinery, so the
+    * sweep measures exactly what production dedup at each threshold
+    * would keep. */
+  val q140: Q = (s, d) => {
+    val pairs = graft.operators.MinHashLsh.nearDup(
+      t(s, d, "documents"), bands = 4, rowsPerBand = 2, shingleN = 3,
+      minJaccard = 0.0)
+    val sweep = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+    pairs.agg(
+      count(lit(1)).as("n_candidates"),
+      sweep.map(th => sum(when(col("jac") >= th, 1L).otherwise(0L))
+        .as(s"n_ge_${(th * 10).toInt}")): _*)
+  }
+
+  val q140Sql: String = {
+    val sigCols = (0 until 8).map(i =>
+      s"list_min(list_transform(sh, x -> md5('$i' || '|' || x))) AS h$i")
+      .mkString(", ")
+    val bandCond = (0 until 4).map(b =>
+      s"(a.h${2 * b} = b.h${2 * b} AND a.h${2 * b + 1} = b.h${2 * b + 1})")
+      .mkString(" OR ")
+    val sums = Seq(0.5, 0.6, 0.7, 0.8, 0.9).map(th =>
+      s"CAST(sum(CASE WHEN jac >= $th THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_${(th * 10).toInt}")
+      .mkString(",\n      |       ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |shl AS (SELECT doc_id, list_distinct(list_transform(
+       |          generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' '))) AS sh
+       |        FROM toks),
+       |sig AS (SELECT doc_id, sh, $sigCols FROM shl),
+       |pr AS (SELECT round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jac
+       |       FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandCond))
+       |SELECT count(*) AS n_candidates,
+       |       $sums
+       |FROM pr""".stripMargin
+  }
+
+  // --------------------------------------------------------------- Q141
+  /** KS-statistic DRIFT — two-sample Kolmogorov–Smirnov distance
+    * between each source's doc-length distribution and the rest of
+    * the corpus: D = max over lengths of |F_src − F_rest|, the
+    * distribution-shape alarm that mean/quantile drift (q86) can
+    * miss. EXACT-integer core: per (source, length) counts fold once;
+    * each source's CDF and its complement's CDF are cumulative
+    * integer sums over the values grid, and D's comparisons happen on
+    * the integer cross-product |c_s·N_r − c_r·N_s| — no division
+    * until the single reported max is scaled at the boundary. The
+    * values grid (distinct lengths) is the only windowed relation —
+    * bounded by the value domain, not the corpus (the q113/q119 small-
+    * series rationale); everything corpus-sized is one partial-
+    * aggregable fold. */
+  val q141: Q = (s, d) => {
+    // per (source, n_chars) counts — the only corpus-sized fold
+    val cnt = graft.core.Pins.pin(
+      t(s, d, "documents")
+        .groupBy(col("source"), col("n_chars")).agg(count(lit(1)).as("c")))
+    val ns = cnt.groupBy(col("source")).agg(sum(col("c")).as("n_src"))
+    val nn = ns.agg(sum(col("n_src")).as("n_all"))
+    // grid = source × distinct length values (need F at EVERY corpus
+    // length, not just the source's own — the max can sit on a step of
+    // the other CDF)
+    val lens = cnt.select(col("n_chars")).distinct()
+    val grid = ns.crossJoin(broadcast(nn)).crossJoin(broadcast(lens))
+    val wcdf = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withC = grid
+      .join(cnt, Seq("source", "n_chars"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    // corpus cumulative at each length, from the same pinned counts
+    val wall = Window.orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val callDf = cnt.groupBy(col("n_chars")).agg(sum(col("c")).as("ca"))
+      .withColumn("cum_all", sum(col("ca")).over(wall))
+      .select(col("n_chars"), col("cum_all"))
+    withC
+      .withColumn("cum_src", sum(col("c")).over(wcdf))
+      .join(broadcast(callDf), "n_chars")
+      .withColumn("n_rest", col("n_all") - col("n_src"))
+      .withColumn("cum_rest", col("cum_all") - col("cum_src"))
+      // |F_s - F_r| as an exact integer numerator over n_src * n_rest
+      .withColumn("num",
+        abs(col("cum_src") * col("n_rest") - col("cum_rest") * col("n_src")))
+      .groupBy(col("source"), col("n_src"), col("n_rest"))
+      .agg(max(col("num")).as("num_max"))
+      .select(col("source"), col("n_src"),
+        round(col("num_max").cast("double") /
+          (col("n_src").cast("double") * col("n_rest").cast("double")), 4)
+          .as("ks_stat"))
+      .orderBy(col("source"))
+  }
+
+  val q141Sql: String =
+    """WITH cnt AS (SELECT source, n_chars, count(*) AS c
+      |             FROM documents GROUP BY 1, 2),
+      |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_src FROM cnt GROUP BY 1),
+      |nn AS (SELECT CAST(sum(n_src) AS BIGINT) AS n_all FROM ns),
+      |lens AS (SELECT DISTINCT n_chars FROM cnt),
+      |grid AS (SELECT ns.source, ns.n_src, nn.n_all, lens.n_chars
+      |         FROM ns, nn, lens),
+      |wc AS (SELECT g.source, g.n_src, g.n_all, g.n_chars,
+      |         coalesce(cnt.c, 0) AS c
+      |       FROM grid g LEFT JOIN cnt
+      |         ON cnt.source = g.source AND cnt.n_chars = g.n_chars),
+      |ca AS (SELECT n_chars,
+      |         CAST(sum(sum(c)) OVER (ORDER BY n_chars
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |           AS cum_all
+      |       FROM cnt GROUP BY n_chars),
+      |cum AS (SELECT wc.source, wc.n_src, wc.n_all, wc.n_chars,
+      |          CAST(sum(wc.c) OVER (PARTITION BY wc.source ORDER BY wc.n_chars
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |            AS cum_src,
+      |          ca.cum_all
+      |        FROM wc JOIN ca USING (n_chars)),
+      |d AS (SELECT source, n_src, n_all - n_src AS n_rest,
+      |        abs(cum_src * (n_all - n_src) - (cum_all - cum_src) * n_src) AS num
+      |      FROM cum)
+      |SELECT source, n_src,
+      |       round(CAST(max(num) AS DOUBLE)
+      |         / (CAST(n_src AS DOUBLE) * CAST(n_rest AS DOUBLE)), 4) AS ks_stat
+      |FROM d GROUP BY source, n_src, n_rest ORDER BY source""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q129_priority_sample", q129, q129Sql),
@@ -566,5 +746,8 @@ object StatQueries {
     ("q135_decayed_engagement", q135, q135Sql),
     ("q136_containment", q136, q136Sql),
     ("q137_rfm_segments", q137, q137Sql),
-    ("q138_burstiness", q138, q138Sql))
+    ("q138_burstiness", q138, q138Sql),
+    ("q139_quota_holdout", q139, q139Sql),
+    ("q140_threshold_sweep", q140, q140Sql),
+    ("q141_ks_drift", q141, q141Sql))
 }

@@ -156,6 +156,50 @@ class StatSpec extends SparkSpec {
     assert(got.length == perUser.count(_._2 >= 3))
   }
 
+  test("q139: Hamilton allocation — exact total, within-1 of quota, covers all sources") {
+    val got = StatQueries.q139(spark, sf0001)
+      .select("source", "n_docs", "base_alloc", "n_alloc")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val total = got.map(_._2).sum
+    assert(got.map(_._4).sum == 100L, "allocations must sum to the budget exactly")
+    got.foreach { case (src, n, base, alloc) =>
+      assert(base == 100L * n / total, s"$src: base $base != floor quota")
+      assert(alloc == base || alloc == base + 1,
+        s"$src: alloc $alloc not within 1 of floor quota $base")
+    }
+    val sources = Tables.load(spark, sf0001, "documents")
+      .select("source").distinct().count()
+    assert(got.length == sources)
+  }
+
+  test("q140: sweep counts cumulative and anchored to q19 at the 0.5 notch") {
+    val row = StatQueries.q140(spark, sf0001).collect().head
+    val cand = row.getAs[Long]("n_candidates")
+    val sweep = Seq(5, 6, 7, 8, 9).map(i => row.getAs[Long](s"n_ge_$i"))
+    assert(cand >= sweep.head, "candidates must dominate every notch")
+    sweep.sliding(2).foreach { case Seq(a, b) =>
+      assert(a >= b, s"sweep not cumulative: $sweep")
+    }
+    val q19pairs = graft.operators.MinHashLsh.nearDup(
+      Tables.load(spark, sf0001, "documents"), 4, 2, 3, 0.5).count()
+    assert(sweep.head == q19pairs,
+      s"0.5 notch ${sweep.head} != q19's verified pair count $q19pairs")
+  }
+
+  test("q141: KS statistic bounded in [0,1], every source reported") {
+    val got = StatQueries.q141(spark, sf0001)
+      .select("source", "n_src", "ks_stat")
+      .as[(String, Long, Double)].collect()
+    val sources = Tables.load(spark, sf0001, "documents")
+      .select("source").distinct().count()
+    assert(got.length == sources)
+    got.foreach { case (src, n, ks) =>
+      assert(n > 0)
+      assert(ks >= 0.0 && ks <= 1.0, s"$src: KS $ks out of range")
+    }
+  }
+
   test("q134: card shares bounded, dup accounting consistent, covers all sources") {
     val got = StatQueries.q134(spark, sf0001)
       .select("source", "n_docs", "total_chars", "mean_chars", "top_lang",

@@ -7,15 +7,17 @@ import org.apache.spark.sql.SparkSession
 import graft.core.Tables
 import graft.functions.TextOps
 
-/** Corpus-STATISTICS queries (q129–q134): the sampling, sketching and
+/** Corpus-STATISTICS queries (q129–q146): the sampling, sketching and
   * distribution-analysis layer of a training-data pipeline — weighted
-  * reservoir draws, count-min heavy hitters, behavioral sequence
-  * mining, sliding-window reach, domain divergence, and the per-source
-  * "datasheet" report that stitches the signals together. They extend
-  * the reference's sampling discipline (jittered scheduling,
-  * `download/download.go`'s bounded-retry draw) from control flow to
-  * data: every draw here is HASH-deterministic, so a rerun ships the
-  * identical sample and the DuckDB oracle replays it digit for digit.
+  * and quota-allocated draws, count-min heavy hitters, behavioral
+  * sequence/chain/cohort analytics, sliding-window reach, domain
+  * divergence and KS drift, sketch-estimator calibration, LOCF
+  * densification, and the per-source "datasheet" report that stitches
+  * the signals together. They extend the reference's sampling
+  * discipline (jittered scheduling, `download/download.go`'s
+  * bounded-retry draw) from control flow to data: every draw here is
+  * HASH-deterministic, so a rerun ships the identical sample and the
+  * DuckDB oracle replays it digit for digit.
   *
   * House rules as everywhere else: codegen'd built-ins only, a DuckDB
   * oracle per query, integer dataflow wherever a float sum would be
@@ -735,6 +737,257 @@ object StatQueries {
       |         / (CAST(n_src AS DOUBLE) * CAST(n_rest AS DOUBLE)), 4) AS ks_stat
       |FROM d GROUP BY source, n_src, n_rest ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- Q142
+  /** STATIONARY behavior distribution — where q92 reports the raw
+    * transition matrix, this reports where the chain SETTLES: three
+    * power iterations of p′ = pP from uniform, in INTEGER MICRO-UNITS
+    * (q93's PageRank discipline — per-transition mass is
+    * `(p·n) div rowsum`, positive integer division, so both engines
+    * land on bit-identical masses where float iteration differs in
+    * summation order). The corpus-sized work is q92's single window
+    * pass + fold; the chain itself is |event_types|² rows, so each
+    * iteration is arithmetic over a broadcast-sized relation — the
+    * states relation IS the model (at 100 TB the transition counts
+    * are the stored artifact, refreshed incrementally like the other
+    * ingest sketches). Truncation loses ≤ states·its micro-units of
+    * mass — reported, not hidden: masses sum to ≤ 1e6 exactly. */
+  val q142: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = t(s, d, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("n"))
+    val tp = graft.core.Pins.pin(
+      trans.join(trans.groupBy(col("prev")).agg(sum(col("n")).as("rs")), "prev"))
+    val states = tp.select(col("prev").as("state")).distinct()
+    val nStates = states.count()
+    var p = states.withColumn("p", lit(1000000L / nStates))
+    for (_ <- 1 to 3) {
+      p = tp.join(broadcast(p.withColumnRenamed("state", "prev")), "prev")
+        .select(col("next").as("state"),
+          expr("(p * n) div rs").as("m"))
+        .groupBy(col("state")).agg(sum(col("m")).as("p"))
+    }
+    p.select(col("state"), col("p").as("p_micro")).orderBy(col("state"))
+  }
+
+  val q142Sql: String =
+    """WITH seq AS (SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |tr AS (SELECT prev, event_type AS next, count(*) AS n
+      |       FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+      |tp AS (SELECT tr.prev, tr.next, tr.n,
+      |         CAST(sum(tr.n) OVER (PARTITION BY tr.prev) AS BIGINT) AS rs
+      |       FROM tr),
+      |p0 AS (SELECT prev AS state,
+      |         1000000 // (SELECT count(DISTINCT prev) FROM tp) AS p
+      |       FROM tp GROUP BY prev),
+      |p1 AS (SELECT tp.next AS state, CAST(sum((p0.p * tp.n) // tp.rs) AS BIGINT) AS p
+      |       FROM tp JOIN p0 ON tp.prev = p0.state GROUP BY 1),
+      |p2 AS (SELECT tp.next AS state, CAST(sum((p1.p * tp.n) // tp.rs) AS BIGINT) AS p
+      |       FROM tp JOIN p1 ON tp.prev = p1.state GROUP BY 1),
+      |p3 AS (SELECT tp.next AS state, CAST(sum((p2.p * tp.n) // tp.rs) AS BIGINT) AS p
+      |       FROM tp JOIN p2 ON tp.prev = p2.state GROUP BY 1)
+      |SELECT state, p AS p_micro FROM p3 ORDER BY state""".stripMargin
+
+  // --------------------------------------------------------------- Q143
+  /** COHORT LTV triangle — weekly signup cohorts × account age, with
+    * cohort size and CUMULATIVE value: the retention-revenue table
+    * behind every growth review, and for a data pipeline the
+    * "contribution by source vintage" report. Money is EXACT integer
+    * cents end to end (q137's rule); the cumulative ride is one window
+    * over the (cohort, age) relation — triangle-sized (weeks²/2),
+    * never event-sized, after a single partial-aggregable fold. Cohort
+    * = the user's first event week (one min over the user partition,
+    * shared shuffle with the age computation). */
+  val q143: Q = (s, d) => {
+    val ev = t(s, d, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 604800000000").as("wk"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val wu = Window.partitionBy(col("user_id"))
+    val aged = ev.withColumn("cohort_wk", min(col("wk")).over(wu))
+      .withColumn("age_wk", col("wk") - col("cohort_wk"))
+    val sizes = aged.groupBy(col("cohort_wk"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    val tri = aged.groupBy(col("cohort_wk"), col("age_wk"))
+      .agg(sum(col("cents")).as("wk_cents"))
+    val wc = Window.partitionBy(col("cohort_wk")).orderBy(col("age_wk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tri.withColumn("cum_cents", sum(col("wk_cents")).over(wc))
+      .join(broadcast(sizes), "cohort_wk")
+      .select(col("cohort_wk"), col("age_wk"), col("n_users"),
+        col("wk_cents"), col("cum_cents"))
+      .orderBy(col("cohort_wk"), col("age_wk"))
+  }
+
+  val q143Sql: String =
+    """WITH ev AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk,
+      |              CAST(round(value * 100) AS BIGINT) AS cents
+      |            FROM events),
+      |aged AS (SELECT user_id, wk, cents,
+      |           min(wk) OVER (PARTITION BY user_id) AS cohort_wk
+      |         FROM ev),
+      |sizes AS (SELECT cohort_wk, count(DISTINCT user_id) AS n_users
+      |          FROM aged GROUP BY 1),
+      |tri AS (SELECT cohort_wk, wk - cohort_wk AS age_wk,
+      |          CAST(sum(cents) AS BIGINT) AS wk_cents
+      |        FROM aged GROUP BY 1, 2)
+      |SELECT t.cohort_wk, t.age_wk, s.n_users, t.wk_cents,
+      |       CAST(sum(t.wk_cents) OVER (PARTITION BY t.cohort_wk ORDER BY t.age_wk
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |         AS cum_cents
+      |FROM tri t JOIN sizes s USING (cohort_wk)
+      |ORDER BY t.cohort_wk, t.age_wk""".stripMargin
+
+  // --------------------------------------------------------------- Q144
+  /** MinHash ESTIMATOR calibration — the eval behind trusting q19's
+    * bands: for every band-candidate pair, the 8-component signature
+    * estimate ĵ = matches/8 against the exact Jaccard, bucketed by
+    * match count: how biased is the estimator the LSH keys implicitly
+    * use? (q123/q127 grade the BANDS' precision/recall; this grades
+    * the SIGNATURE as an estimator — the third leg of the sketch-eval
+    * family.) Signatures and exact sets come from ONE
+    * [[graft.operators.MinHashLsh.signatures]] relation (the stored
+    * ingest artifact); the fold is pairs-sized, the report ≤ 9 rows.
+    * Mean |error| aggregates exact per-pair values rounded at the
+    * boundary. */
+  val q144: Q = (s, d) => {
+    val sig = graft.core.Pins.pin(graft.operators.MinHashLsh.signatures(
+      t(s, d, "documents"), numHashes = 8, shingleN = 3)
+      .filter(col("mh").isNotNull))
+    // candidates from the band table (the production candidate set)
+    val bands = graft.operators.MinHashLsh.bandTable(sig, 4, 2)
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val m = size(filter(zip_with(col("ma"), col("mb"), (x, y) => x === y),
+      x => x))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    cands
+      .join(sig.select(col("doc_id").as("a_id"), col("shh").as("sa"),
+        col("mh").as("ma")), "a_id")
+      .join(sig.select(col("doc_id").as("b_id"), col("shh").as("sb"),
+        col("mh").as("mb")), "b_id")
+      .select(m.cast("long").as("n_matches"),
+        (m.cast("double") / 8.0).as("est"),
+        (inter.cast("double") /
+          (size(col("sa")) + size(col("sb")) - inter)).as("jac"))
+      .groupBy(col("n_matches"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(abs(col("est") - col("jac"))), 4).as("mean_abs_err"),
+        round(avg(col("est") - col("jac")), 4).as("mean_bias"))
+      .orderBy(col("n_matches"))
+  }
+
+  val q144Sql: String = {
+    val sigCols = (0 until 8).map(i =>
+      s"list_min(list_transform(sh, x -> md5('$i' || '|' || x))) AS h$i")
+      .mkString(", ")
+    val bandCond = (0 until 4).map(b =>
+      s"(a.h${2 * b} = b.h${2 * b} AND a.h${2 * b + 1} = b.h${2 * b + 1})")
+      .mkString(" OR ")
+    val matchSum = (0 until 8).map(i =>
+      s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |shl AS (SELECT doc_id, list_distinct(list_transform(
+       |          generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' '))) AS sh
+       |        FROM toks WHERE len(t) >= 3),
+       |sig AS (SELECT doc_id, sh, $sigCols FROM shl),
+       |pr AS (SELECT CAST(($matchSum) AS BIGINT) AS n_matches,
+       |         CAST(($matchSum) AS DOUBLE) / 8.0 AS est,
+       |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+       |       FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandCond))
+       |SELECT n_matches, count(*) AS n_pairs,
+       |       round(avg(abs(est - jac)), 4) AS mean_abs_err,
+       |       round(avg(est - jac), 4) AS mean_bias
+       |FROM pr GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // --------------------------------------------------------------- Q145
+  /** Tail PERCENTILES — exact p50/p90/p99 of event value per event
+    * type as DISCRETE k-th-smallest order statistics (q86/q90's
+    * breakpoint discipline: interpolated percentiles differ by an ulp
+    * across engines and flip downstream compares; the k-th element of
+    * a finite set is engine-portable). One rank window + one count
+    * per event_type partition — a single key shuffle — then three
+    * conditional max-picks fold the partition to one row. At 100 TB
+    * the per-group sort swaps for the q71 KLL sketch with the same
+    * report shape (the q90 note applies verbatim). */
+  val q145: Q = (s, d) => {
+    val wr = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val wc = Window.partitionBy(col("event_type"))
+    def kOf(p: Double) = ceil(lit(p) * col("n")).cast("long")
+    t(s, d, "events")
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rk", row_number().over(wr).cast("long"))
+      .withColumn("n", count(lit(1)).over(wc))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_events"),
+        max(when(col("rk") === kOf(0.5), col("value"))).as("p50"),
+        max(when(col("rk") === kOf(0.9), col("value"))).as("p90"),
+        max(when(col("rk") === kOf(0.99), col("value"))).as("p99"))
+      .orderBy(col("event_type"))
+  }
+
+  val q145Sql: String =
+    """WITH rk AS (SELECT event_type, value,
+      |    CAST(row_number() OVER (PARTITION BY event_type
+      |           ORDER BY value, event_id) AS BIGINT) AS rk,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events)
+      |SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+      |       max(CASE WHEN rk = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS p50,
+      |       max(CASE WHEN rk = CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS p90,
+      |       max(CASE WHEN rk = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99
+      |FROM rk GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------------- Q146
+  /** FORWARD-FILL (last observation carried forward) — every event
+    * annotated with the user's most recent purchase value at that
+    * instant: the sparse-column densification every feature pipeline
+    * runs before training (sensor gaps, price carry, config
+    * versions). One (user, time) window; `last(…, ignoreNulls)` over
+    * the running frame is the codegen'd LOCF idiom — no self-join, no
+    * as-of lookup, the carry rides the same shuffle the ordering
+    * needs. Cents integer (q137's rule); events without a prior
+    * purchase stay NULL (reported as -1 sentinel for a portable total
+    * order). Output is event-grained by design — this is a
+    * TRANSFORM (the densified column production writes back), not a
+    * report. */
+  val q146: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("last_purchase_cents",
+        coalesce(
+          last(when(col("event_type") === "purchase", col("cents")), ignoreNulls = true)
+            .over(w),
+          lit(-1L)))
+      .select(col("event_id"), col("user_id"), col("last_purchase_cents"))
+      .orderBy(col("event_id"))
+  }
+
+  val q146Sql: String =
+    """WITH f AS (
+      |  SELECT event_id, user_id,
+      |         last_value(CASE WHEN event_type = 'purchase'
+      |                    THEN CAST(round(value * 100) AS BIGINT) END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lp
+      |  FROM events)
+      |SELECT event_id, user_id, coalesce(lp, -1) AS last_purchase_cents
+      |FROM f ORDER BY event_id""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q129_priority_sample", q129, q129Sql),
@@ -749,5 +1002,10 @@ object StatQueries {
     ("q138_burstiness", q138, q138Sql),
     ("q139_quota_holdout", q139, q139Sql),
     ("q140_threshold_sweep", q140, q140Sql),
-    ("q141_ks_drift", q141, q141Sql))
+    ("q141_ks_drift", q141, q141Sql),
+    ("q142_stationary_markov", q142, q142Sql),
+    ("q143_cohort_ltv", q143, q143Sql),
+    ("q144_minhash_calibration", q144, q144Sql),
+    ("q145_tail_percentiles", q145, q145Sql),
+    ("q146_forward_fill", q146, q146Sql))
 }

@@ -200,6 +200,82 @@ class StatSpec extends SparkSpec {
     }
   }
 
+  test("q142: stationary masses positive, mass conserved up to truncation") {
+    val got = StatQueries.q142(spark, sf0001)
+      .select("state", "p_micro").as[(String, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (st, p) => assert(p > 0, s"state $st lost all mass") }
+    val total = got.map(_._2).sum
+    // each iteration truncates at most 1 micro-unit per transition row
+    // (integer div); 3 iterations over <= 25 rows bounds the loss
+    assert(total <= 1000000L && total >= 1000000L - 75L,
+      s"mass $total outside truncation envelope")
+  }
+
+  test("q143: cohort triangle cumulative and population-consistent") {
+    val got = StatQueries.q143(spark, sf0001)
+      .select("cohort_wk", "age_wk", "n_users", "wk_cents", "cum_cents")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (c, rows) =>
+      val byAge = rows.sortBy(_._2)
+      assert(byAge.head._2 == 0, s"cohort $c missing age 0")
+      var cum = 0L
+      byAge.foreach { r =>
+        cum += r._4
+        assert(r._5 == cum, s"cohort $c age ${r._2}: cum ${r._5} != $cum")
+        assert(r._3 == byAge.head._3, s"cohort $c: n_users varies across ages")
+      }
+    }
+    val users = Tables.load(spark, sf0001, "events")
+      .select("user_id").distinct().count()
+    assert(got.groupBy(_._1).map(_._2.head._3).sum == users,
+      "cohort sizes must partition the user base")
+  }
+
+  test("q144: calibration buckets well-formed; band candidates imply >= 2 matches") {
+    val got = StatQueries.q144(spark, sf0001)
+      .select("n_matches", "n_pairs", "mean_abs_err", "mean_bias")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (m, n, err, bias) =>
+      assert(m >= 2 && m <= 8,
+        s"bucket $m: a band collision needs 2 adjacent matching components")
+      assert(n >= 1)
+      assert(err >= 0.0 && err <= 1.0)
+      assert(math.abs(bias) <= err + 0.0001, s"bucket $m: |bias| $bias > err $err")
+    }
+  }
+
+  test("q145: percentile picks ordered, populations partition events") {
+    val got = StatQueries.q145(spark, sf0001)
+      .select("event_type", "n_events", "p50", "p90", "p99")
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (et, n, p50, p90, p99) =>
+      assert(n > 0)
+      assert(p50 <= p90 && p90 <= p99, s"$et: quantiles not monotone")
+    }
+    val total = Tables.load(spark, sf0001, "events").count()
+    assert(got.map(_._2).sum == total)
+  }
+
+  test("q146: LOCF covers every event; users without purchases stay sentinel") {
+    val got = StatQueries.q146(spark, sf0001)
+      .select("event_id", "user_id", "last_purchase_cents")
+      .as[(Long, Long, Long)].collect()
+    val ev = Tables.load(spark, sf0001, "events")
+    assert(got.length == ev.count(), "transform must preserve cardinality")
+    val buyers = ev.filter(col("event_type") === "purchase")
+      .select("user_id").distinct().as[Long].collect().toSet
+    got.groupBy(_._2).foreach { case (u, rows) =>
+      if (!buyers(u))
+        assert(rows.forall(_._3 == -1L), s"user $u has fills without purchases")
+      else
+        assert(rows.exists(_._3 >= 0L), s"buyer $u never got a fill")
+    }
+  }
+
   test("q134: card shares bounded, dup accounting consistent, covers all sources") {
     val got = StatQueries.q134(spark, sf0001)
       .select("source", "n_docs", "total_chars", "mean_chars", "top_lang",

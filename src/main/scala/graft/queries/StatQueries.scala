@@ -988,6 +988,147 @@ object StatQueries {
       |SELECT event_id, user_id, coalesce(lp, -1) AS last_purchase_cents
       |FROM f ORDER BY event_id""".stripMargin
 
+  // --------------------------------------------------------------- Q147
+  /** KEEP-BEST dedup survivorship — the curation-grade alternative to
+    * q05's keep-first and q52's min-id canonical: within each near-dup
+    * CLUSTER (q52's connected components over the verified LSH pair
+    * graph) the survivor is the HIGHEST-QUALITY member (q25's scorer —
+    * [[TextOps.qualityScore]], ONE definition shared with q54/q65), ties
+    * to the smaller id. This is the dedup decision a training-data
+    * pipeline actually ships: near-dups differ by boilerplate and
+    * truncation, and keeping the best-scoring copy instead of the
+    * first-seen one is free once clusters exist. One row_number window
+    * over the component partition; cluster labels are the stored
+    * ingest artifact at 100 TB (q109's policy), so the query is a
+    * docs-sized join + window, no signature work. */
+  val q147: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val comps = graft.operators.DedupClusters.assignAll(docs,
+      graft.operators.MinHashLsh.nearDup(docs, 4, 2, 3, 0.5))
+    val scored = docs
+      .select(col("doc_id"), TextOps.qualityScore(col("text")).as("q"))
+      .join(comps, "doc_id")
+    val sizes = comps.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"))
+    val wr = Window.partitionBy(col("component"))
+      .orderBy(col("q").desc, col("doc_id").asc)
+    scored.withColumn("rn", row_number().over(wr))
+      .filter(col("rn") === 1)
+      .join(sizes, "component")
+      .select(col("component"), col("doc_id").as("survivor_id"),
+        col("q").as("survivor_quality"), col("n_members"))
+      .orderBy(col("component"))
+  }
+
+  val q147Sql: String = {
+    val sigCols = (0 until 8).map(i =>
+      s"list_min(list_transform(sh, x -> md5('$i' || '|' || x))) AS h$i")
+      .mkString(", ")
+    val bandCond = (0 until 4).map(b =>
+      s"(a.h${2 * b} = b.h${2 * b} AND a.h${2 * b + 1} = b.h${2 * b + 1})")
+      .mkString(" OR ")
+    s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |shl AS (SELECT doc_id, list_distinct(list_transform(
+       |          generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' '))) AS sh
+       |        FROM toks),
+       |sig AS (SELECT doc_id, sh, $sigCols FROM shl),
+       |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS sha, b.sh AS shb
+       |         FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandCond)),
+       |pairs AS (SELECT a_id, b_id FROM cand
+       |          WHERE round(CAST(len(list_intersect(sha, shb)) AS DOUBLE)
+       |                / (len(sha) + len(shb) - len(list_intersect(sha, shb))), 4) >= 0.5),
+       |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |          UNION SELECT b_id, a_id FROM pairs),
+       |reach AS (SELECT u, v FROM edges
+       |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
+       |         FROM reach GROUP BY u),
+       |allc AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+       |           string_split(d.text, ' ') AS t,
+       |           CAST(len(list_filter(string_split(d.text, ' '),
+       |                  x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE) AS stops
+       |         FROM documents d LEFT JOIN comp c USING (doc_id)),
+       |scored AS (SELECT doc_id, component,
+       |             round(least(CAST(len(t) AS DOUBLE) / 100.0, 1.0)
+       |               * (1.0 - stops / len(t)), 4) AS q
+       |           FROM allc),
+       |sizes AS (SELECT component, count(*) AS n_members FROM scored GROUP BY 1),
+       |rk AS (SELECT component, doc_id, q,
+       |         row_number() OVER (PARTITION BY component
+       |           ORDER BY q DESC, doc_id) AS rn
+       |       FROM scored)
+       |SELECT rk.component, rk.doc_id AS survivor_id, rk.q AS survivor_quality,
+       |       s.n_members
+       |FROM rk JOIN sizes s USING (component)
+       |WHERE rk.rn = 1 ORDER BY rk.component""".stripMargin
+  }
+
+  // --------------------------------------------------------------- Q148
+  /** ASSOCIATION rules — support/confidence/lift for event-type pairs
+    * over (user, day) BASKETS: the market-basket classic, and for a
+    * pipeline the "which behaviors co-occur within a day" table that
+    * q131's strict-adjacency sequences can't see (a view and a
+    * purchase hours apart never sit in one 3-chain). Baskets are the
+    * distinct (user, day, type) relation — slim, one fold; pair
+    * supports come from a basket-key self-join bounded by
+    * |types|²/2 per basket; confidence and lift are assembled from
+    * exact integer supports cast late ((s_ab·N)/(s_a·s_b) — identical
+    * correctly-rounded ops both engines). Rules reported in BOTH
+    * directions (confidence is asymmetric), ordered by antecedent,
+    * consequent. */
+  val q148: Q = (s, d) => {
+    val b = graft.core.Pins.pin(
+      t(s, d, "events")
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"),
+          col("event_type"))
+        .distinct())
+    val nb = b.select(col("user_id"), col("day")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val sA = b.groupBy(col("event_type")).agg(count(lit(1)).as("s"))
+    val pairsAB = b.as("x").join(b.as("y"),
+        col("x.user_id") === col("y.user_id") && col("x.day") === col("y.day") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("a"), col("y.event_type").as("b"))
+      .agg(count(lit(1)).as("s_ab"))
+    val rules = pairsAB.unionByName(
+      pairsAB.select(col("b").as("a"), col("a").as("b"), col("s_ab")))
+    rules
+      .join(broadcast(sA.select(col("event_type").as("a"), col("s").as("s_a"))), "a")
+      .join(broadcast(sA.select(col("event_type").as("b"), col("s").as("s_b"))), "b")
+      .crossJoin(broadcast(nb))
+      .select(col("a").as("antecedent"), col("b").as("consequent"),
+        col("s_ab"),
+        round(col("s_ab").cast("double") / col("s_a").cast("double"), 4)
+          .as("confidence"),
+        round((col("s_ab").cast("double") * col("n_baskets").cast("double")) /
+          (col("s_a").cast("double") * col("s_b").cast("double")), 4)
+          .as("lift"))
+      .orderBy(col("antecedent"), col("consequent"))
+  }
+
+  val q148Sql: String =
+    """WITH b AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day,
+      |             event_type
+      |           FROM events),
+      |nb AS (SELECT count(*) AS n_baskets
+      |       FROM (SELECT DISTINCT user_id, day FROM b)),
+      |sa AS (SELECT event_type, count(*) AS s FROM b GROUP BY 1),
+      |pab AS (SELECT x.event_type AS a, y.event_type AS b, count(*) AS s_ab
+      |        FROM b x JOIN b y
+      |          ON x.user_id = y.user_id AND x.day = y.day
+      |         AND x.event_type < y.event_type
+      |        GROUP BY 1, 2),
+      |rules AS (SELECT a, b, s_ab FROM pab
+      |          UNION ALL SELECT b, a, s_ab FROM pab)
+      |SELECT r.a AS antecedent, r.b AS consequent, r.s_ab,
+      |       round(CAST(r.s_ab AS DOUBLE) / CAST(x.s AS DOUBLE), 4) AS confidence,
+      |       round((CAST(r.s_ab AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE))
+      |         / (CAST(x.s AS DOUBLE) * CAST(y.s AS DOUBLE)), 4) AS lift
+      |FROM rules r
+      |JOIN sa x ON r.a = x.event_type
+      |JOIN sa y ON r.b = y.event_type, nb
+      |ORDER BY antecedent, consequent""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q129_priority_sample", q129, q129Sql),
@@ -1007,5 +1148,7 @@ object StatQueries {
     ("q143_cohort_ltv", q143, q143Sql),
     ("q144_minhash_calibration", q144, q144Sql),
     ("q145_tail_percentiles", q145, q145Sql),
-    ("q146_forward_fill", q146, q146Sql))
+    ("q146_forward_fill", q146, q146Sql),
+    ("q147_keep_best_dedup", q147, q147Sql),
+    ("q148_association_rules", q148, q148Sql))
 }

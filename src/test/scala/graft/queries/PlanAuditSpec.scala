@@ -90,7 +90,41 @@ object PlanAuditSpec {
     "q93_pagerank" -> 7,
     "q94_wau_sliding" -> 5,
     "q105_perplexity_buckets" -> 7,
-    "q109_leakage_safe_split" -> 8)
+    "q109_leakage_safe_split" -> 8,
+    // Stat family (q129-q148): in every entry below the FIRST exchange
+    // is the only corpus-sized one; the rest ride model/grid/sources-
+    // sized relations by design (the audit records them so a future
+    // edit can't silently widen the corpus-sized set).
+    // q132: distinct (user,hr) re-key + the per-user interval window +
+    // boundary fold + grid integration — grid-sized from stage 3 on
+    "q132_sliding_distinct" -> 6,
+    // q133: one tokenize fold; ns/cw/nn folds and the final group are
+    // vocab- or sources-sized off the pinned counts
+    "q133_domain_divergence" -> 6,
+    // q134: two design scans' folds (text-hash + lang majority) + the
+    // lang window + final sort — sources-sized after the folds
+    "q134_dataset_card" -> 5,
+    // q139: one corpus count fold; base/rem/leftover/rank are all
+    // SOURCES-sized Hamilton arithmetic
+    "q139_quota_holdout" -> 8,
+    // q140: the q19 band machinery (audited there at 8); the sweep
+    // itself adds only a one-row conditional-sum agg
+    "q140_threshold_sweep" -> 8,
+    // q141: one (source,length) fold; CDF windows and the D max ride
+    // the values GRID (value-domain-sized, the q119 rationale)
+    "q141_ks_drift" -> 7,
+    // q142: q92's window + fold; the three power iterations re-key
+    // STATES-sized relations (broadcast p, groupBy next)
+    "q142_stationary_markov" -> 5,
+    // q143: user window for cohorts + triangle-sized folds/window
+    "q143_cohort_ltv" -> 6,
+    // q147: q19 pair machinery + component iterations + the survivor
+    // window; at scale labels are stored columns and this collapses
+    // to a docs-sized join + window (q109's policy)
+    "q147_keep_best_dedup" -> 7,
+    // q148: basket distinct + the basket-key pair self-join; supports,
+    // rules and lift are |types|-sized folds
+    "q148_association_rules" -> 7)
   /** Audited per-query scan counts (see the class doc). Only queries
     * whose audited plan exceeds or notably undercuts the default are
     * listed — a new query landing above DefaultMax must either be

@@ -276,6 +276,47 @@ class StatSpec extends SparkSpec {
     }
   }
 
+  test("q147: survivors partition docs; each survivor dominates its cluster") {
+    val got = StatQueries.q147(spark, sf0001)
+      .select("component", "survivor_id", "survivor_quality", "n_members")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(got.nonEmpty)
+    val nDocs = Tables.load(spark, sf0001, "documents").count()
+    assert(got.map(_._4).sum == nDocs, "cluster sizes must partition the corpus")
+    assert(got.map(_._1).distinct.length == got.length, "one survivor per cluster")
+    // survivor must carry the cluster's max quality (ties to smaller id)
+    val docs = Tables.load(spark, sf0001, "documents")
+    val comps = graft.operators.DedupClusters.assignAll(docs,
+      graft.operators.MinHashLsh.nearDup(docs, 4, 2, 3, 0.5))
+    val q = docs.select(col("doc_id"),
+        graft.functions.TextOps.qualityScore(col("text")).as("q"))
+      .join(comps, "doc_id")
+      .as[(Long, Double, Long)].collect()
+      .groupBy(_._3)
+    got.foreach { case (comp, sid, sq, _) =>
+      val members = q(comp)
+      val best = members.map(_._2).max
+      assert(sq == best, s"cluster $comp: survivor q $sq != max $best")
+      assert(sid == members.filter(_._2 == best).map(_._1).min,
+        s"cluster $comp: tie not broken by smaller id")
+    }
+  }
+
+  test("q148: lift symmetric, confidence consistent with supports") {
+    val got = StatQueries.q148(spark, sf0001)
+      .select("antecedent", "consequent", "s_ab", "confidence", "lift")
+      .as[(String, String, Long, Double, Double)].collect()
+    assert(got.nonEmpty)
+    val byPair = got.map(r => (r._1, r._2) -> r).toMap
+    got.foreach { case (a, b, sab, conf, lift) =>
+      assert(conf > 0.0 && conf <= 1.0, s"$a->$b confidence $conf")
+      assert(lift > 0.0)
+      val rev = byPair((b, a))
+      assert(rev._3 == sab, s"$a->$b: support not symmetric")
+      assert(math.abs(rev._5 - lift) <= 0.0001, s"$a->$b: lift not symmetric")
+    }
+  }
+
   test("q134: card shares bounded, dup accounting consistent, covers all sources") {
     val got = StatQueries.q134(spark, sf0001)
       .select("source", "n_docs", "total_chars", "mean_chars", "top_lang",

@@ -192,7 +192,12 @@ object StatQueries {
         expr("unix_micros(ts) div 3600000000").as("hr"))
       .distinct()
     val wu = Window.partitionBy(col("user_id")).orderBy(col("hr"))
-    val iv = uh
+    // PINNED intervals: three consumers (start deltas, end deltas, grid
+    // bounds) would otherwise each re-execute the scan+distinct+window
+    // lineage — the q61 re-execution lesson; the pin holds the slim
+    // (user, interval) relation, read three times, parquet scanned ONCE
+    // (PlanAuditSpec pins it at 1)
+    val iv = graft.core.Pins.pin(uh
       .withColumn("prev", lag(col("hr"), 1).over(wu))
       .withColumn("brk",
         when(col("prev").isNull || col("hr") > col("prev") + 23, 1L)
@@ -200,11 +205,16 @@ object StatQueries {
       .withColumn("grp", sum(col("brk"))
         .over(wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("grp"))
-      .agg(min(col("hr")).as("s"), (max(col("hr")) + 23).as("e"))
-    val deltas = iv.select(col("s").as("h"), lit(1L).as("dlt"))
-      .unionByName(iv.select((col("e") + 1).as("h"), lit(-1L).as("dlt")))
-      .groupBy(col("h")).agg(sum(col("dlt")).as("dlt"))
-    val grid = uh.agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+      .agg(min(col("hr")).as("s"), (max(col("hr")) + 23).as("e")))
+    // each interval emits BOTH its boundary deltas from one row — an
+    // explode, not a self-union (a union would execute the child twice)
+    val deltas = iv.select(explode(array(
+        struct(col("s").as("h"), lit(1L).as("dlt")),
+        struct((col("e") + 1).as("h"), lit(-1L).as("dlt")))).as("d"))
+      .groupBy(col("d.h").as("h")).agg(sum(col("d.dlt")).as("dlt"))
+    // grid bounds derive from the SAME pin: global min hour is the
+    // smallest interval start, global max hour the largest end − 23
+    val grid = iv.agg(min(col("s")).as("lo"), (max(col("e")) - 23).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"))).as("h"))
     grid.join(deltas, Seq("h"), "left")
       .withColumn("active_24h",

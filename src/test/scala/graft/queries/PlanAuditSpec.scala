@@ -132,6 +132,9 @@ object PlanAuditSpec {
   val ScanBaseline: Map[String, Int] = Map(
     // single-scan designs the audit fought for: pin them tight
     "q61_duplicate_passages" -> 1,
+    // q132: intervals pinned (three consumers — start/end deltas via
+    // one explode, grid bounds — read the pin); events scans ONCE
+    "q132_sliding_distinct" -> 1,
     "q38_tfidf" -> 2,
     // q62 reads the MEMOIZED inverted index + stats (ExistingRDD, built
     // once per (session, dir)): zero parquet scans per query

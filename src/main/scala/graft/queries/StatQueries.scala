@@ -1139,6 +1139,208 @@ object StatQueries {
       |JOIN sa y ON r.b = y.event_type, nb
       |ORDER BY antecedent, consequent""".stripMargin
 
+  // --------------------------------------------------------------- Q149
+  /** χ² INDEPENDENCE test — is language distribution independent of
+    * source? The categorical-drift significance test behind q133's
+    * KL magnitude (KL says "how different"; χ² says "bigger than
+    * chance?"). One contingency fold (source × lang counts), marginals
+    * derived from it, χ² = Σ (N·o − r·c)² / (N·r·c) assembled from
+    * exact integer counts with division at the term boundary — the
+    * numerator is the exact integer (N·o − r·c)², so both engines sum
+    * identical term values (one correctly-rounded divide each).
+    * Output: one row (χ², degrees of freedom, cells) — compare to the
+    * χ²₀.₀₅ critical value offline. Corpus-sized work is the single
+    * fold; everything downstream is cells-sized. */
+  val q149: Q = (s, d) => {
+    val cnt = graft.core.Pins.pin(
+      t(s, d, "documents")
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("o")))
+    val rm = cnt.groupBy(col("source")).agg(sum(col("o")).as("r"))
+    val cm = cnt.groupBy(col("lang")).agg(sum(col("o")).as("c"))
+    val nn = cnt.agg(sum(col("o")).as("nn"))
+    val num = (col("nn") * col("o") - col("r") * col("c")).cast("double")
+    val term = (num * num) /
+      (col("nn").cast("double") * col("r").cast("double") * col("c").cast("double"))
+    cnt.join(broadcast(rm), "source")
+      .join(broadcast(cm), "lang")
+      .crossJoin(broadcast(nn))
+      .agg(round(sum(term), 4).as("chi2"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        count(lit(1)).as("n_cells"))
+      .select(col("chi2"),
+        ((col("n_sources") - 1) * (col("n_langs") - 1)).as("dof"),
+        col("n_cells"))
+  }
+
+  val q149Sql: String =
+    """WITH cnt AS (SELECT source, lang, count(*) AS o
+      |             FROM documents GROUP BY 1, 2),
+      |rm AS (SELECT source, CAST(sum(o) AS BIGINT) AS r FROM cnt GROUP BY 1),
+      |cm AS (SELECT lang, CAST(sum(o) AS BIGINT) AS c FROM cnt GROUP BY 1),
+      |nn AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM cnt)
+      |SELECT round(sum(CAST(nn.nn * cnt.o - rm.r * cm.c AS DOUBLE)
+      |               * CAST(nn.nn * cnt.o - rm.r * cm.c AS DOUBLE)
+      |               / (CAST(nn.nn AS DOUBLE) * CAST(rm.r AS DOUBLE)
+      |                  * CAST(cm.c AS DOUBLE))), 4) AS chi2,
+      |       (count(DISTINCT cnt.source) - 1) * (count(DISTINCT cnt.lang) - 1) AS dof,
+      |       count(*) AS n_cells
+      |FROM cnt JOIN rm USING (source) JOIN cm USING (lang), nn""".stripMargin
+
+  // --------------------------------------------------------------- Q150
+  /** BOOTSTRAP confidence interval for mean doc length per source —
+    * with ZERO randomness: the Poisson(1) resample weights every
+    * bootstrap replicate needs come from a 16-bit md5 uniform pushed
+    * through the Poisson inverse CDF, whose cumulative breakpoints
+    * are PRE-COMPILED hex literals (q111's frontier discipline — no
+    * float arithmetic survives into the dataflow). Same doc, same
+    * replicate → same weight, every run, both engines; the Poisson
+    * bootstrap is the standard streaming-friendly multinomial
+    * approximation (weights are i.i.d. per element, so the resample
+    * never needs to know N — THE bootstrap form for distributed
+    * data). B = 50 replicates explode from a literal array; per
+    * (source, replicate) the weighted sums are exact integers; the CI
+    * is the 2nd/49th order statistic of the 50 replicate means (a
+    * B-sized sort per source, model-sized). */
+  private[queries] val PoissonCdfHex: Seq[String] = {
+    // P(X <= k) for Poisson(1), k = 0..5, as 4-hex-digit frontiers of
+    // the 16-bit uniform; the tail beyond k=6 (~1e-5) rounds into the
+    // last bucket. Computed once at plan build from exact doubles.
+    val e1 = math.exp(-1.0)
+    val probs = (0 to 5).scanLeft(0.0) { (acc, k) =>
+      acc + e1 / (1 to k).product.toDouble
+    }.tail // cumulative P(<=k), k=0..5
+    probs.map(p => f"${math.min(65535, (p * 65536).toInt)}%04x")
+  }
+
+  val q150: Q = (s, d) => {
+    val bs = typedLit((0 until 50).toList)
+    val u = substring(md5(concat(lit("boot|"), col("b").cast("string"),
+      lit("|"), col("doc_id").cast("string"))), 1, 4)
+    // weight = inverse CDF: number of frontiers u has passed
+    val wExpr = PoissonCdfHex.map(h => when(u >= lit(h), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val reps = t(s, d, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"), explode(bs).as("b"))
+      .withColumn("w", wExpr)
+      .groupBy(col("source"), col("b"))
+      .agg(sum(col("w") * col("n_chars")).as("sw"), sum(col("w")).as("nw"))
+      .filter(col("nw") > 0)
+      .select(col("source"), col("b"),
+        (col("sw").cast("double") / col("nw").cast("double")).as("m"))
+    val wr = Window.partitionBy(col("source")).orderBy(col("m"), col("b"))
+    reps.withColumn("rk", row_number().over(wr))
+      .withColumn("nb", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .groupBy(col("source"))
+      .agg(max(col("nb")).as("n_reps"),
+        round(max(when(col("rk") === 2, col("m"))), 4).as("ci_lo"),
+        round(max(when(col("rk") === col("nb") - 1, col("m"))), 4).as("ci_hi"))
+      .orderBy(col("source"))
+  }
+
+  val q150Sql: String = {
+    val wSum = PoissonCdfHex.map(h =>
+      s"CASE WHEN substr(md5('boot|' || CAST(bb.b AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR)), 1, 4) >= '$h' THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH bb AS (SELECT unnest(generate_series(0, 49)) AS b),
+       |reps AS (SELECT source, bb.b,
+       |           CAST(sum(($wSum) * n_chars) AS BIGINT) AS sw,
+       |           CAST(sum($wSum) AS BIGINT) AS nw
+       |         FROM documents, bb GROUP BY 1, 2),
+       |m AS (SELECT source, b, CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE) AS m
+       |      FROM reps WHERE nw > 0),
+       |rk AS (SELECT source, b, m,
+       |         row_number() OVER (PARTITION BY source ORDER BY m, b) AS rk,
+       |         count(*) OVER (PARTITION BY source) AS nb
+       |       FROM m)
+       |SELECT source, CAST(max(nb) AS BIGINT) AS n_reps,
+       |       round(max(CASE WHEN rk = 2 THEN m END), 4) AS ci_lo,
+       |       round(max(CASE WHEN rk = nb - 1 THEN m END), 4) AS ci_hi
+       |FROM rk GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // --------------------------------------------------------------- Q151
+  /** TRIMMED mean — mean doc length per source with the top and
+    * bottom 10% (by length, ties by id) removed: the robust location
+    * estimate a mean poisoned by boilerplate giants or empty stubs
+    * needs (q90's fences FLAG outliers; this reports a statistic
+    * immune to them). Trim boundaries are DISCRETE rank cuts
+    * (row_number over one source partition — the q90/q145 order-
+    * statistic discipline), the kept mass folds to exact integer
+    * (Σ, n) per source, one divide at the boundary. */
+  val q151: Q = (s, d) => {
+    val wr = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    val wc = Window.partitionBy(col("source"))
+    t(s, d, "documents")
+      .select(col("source"), col("n_chars"), col("doc_id"))
+      .withColumn("rk", row_number().over(wr).cast("long"))
+      .withColumn("n", count(lit(1)).over(wc))
+      .filter(col("rk") > expr("n div 10") &&
+        col("rk") <= col("n") - expr("n div 10"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("sum_kept"))
+      .select(col("source"), col("n_kept"),
+        round(col("sum_kept").cast("double") / col("n_kept").cast("double"), 4)
+          .as("trimmed_mean"))
+      .orderBy(col("source"))
+  }
+
+  val q151Sql: String =
+    """WITH rk AS (SELECT source, n_chars,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |           ORDER BY n_chars, doc_id) AS BIGINT) AS rk,
+      |    count(*) OVER (PARTITION BY source) AS n
+      |  FROM documents)
+      |SELECT source, count(*) AS n_kept,
+      |       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS trimmed_mean
+      |FROM rk WHERE rk > n // 10 AND rk <= n - n // 10
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------- Q152
+  /** GINI concentration — how unequally is event value distributed
+    * across users? (engagement inequality; for a corpus, contribution
+    * concentration per source — a pipeline where 1% of contributors
+    * supply 90% of tokens has a different risk profile). Exact-sort
+    * formula G = (2·Σᵢ i·xᵢ) / (n·Σx) − (n+1)/n over per-user cent
+    * totals ranked ascending: every term is an exact integer
+    * (Σ i·xᵢ ≤ n·Σx < 2⁶³ at any realistic scale), the two divides
+    * happen at the output boundary in the same literal order both
+    * engines. The corpus folds to one row per user before the rank
+    * window (users-sized, the q137 note); one final one-row fold. */
+  val q152: Q = (s, d) => {
+    val pu = t(s, d, "events")
+      .groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    val wr = Window.orderBy(col("cents"), col("user_id"))
+    pu.withColumn("i", row_number().over(wr).cast("long"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("cents")).as("total_cents"),
+        sum(col("i") * col("cents")).as("iwx"))
+      .select(col("n_users"), col("total_cents"),
+        round(
+          (lit(2.0) * col("iwx").cast("double")) /
+            (col("n_users").cast("double") * col("total_cents").cast("double")) -
+            (col("n_users") + 1).cast("double") / col("n_users").cast("double"),
+          4).as("gini"))
+  }
+
+  val q152Sql: String =
+    """WITH pu AS (SELECT user_id,
+      |              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |            FROM events GROUP BY 1),
+      |rk AS (SELECT cents,
+      |         CAST(row_number() OVER (ORDER BY cents, user_id) AS BIGINT) AS i
+      |       FROM pu)
+      |SELECT count(*) AS n_users,
+      |       CAST(sum(cents) AS BIGINT) AS total_cents,
+      |       round((2.0 * CAST(sum(i * cents) AS DOUBLE))
+      |               / (CAST(count(*) AS DOUBLE) * CAST(sum(cents) AS DOUBLE))
+      |             - CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+      |         AS gini
+      |FROM rk""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q129_priority_sample", q129, q129Sql),
@@ -1160,5 +1362,9 @@ object StatQueries {
     ("q145_tail_percentiles", q145, q145Sql),
     ("q146_forward_fill", q146, q146Sql),
     ("q147_keep_best_dedup", q147, q147Sql),
-    ("q148_association_rules", q148, q148Sql))
+    ("q148_association_rules", q148, q148Sql),
+    ("q149_chi2_independence", q149, q149Sql),
+    ("q150_bootstrap_ci", q150, q150Sql),
+    ("q151_trimmed_mean", q151, q151Sql),
+    ("q152_gini", q152, q152Sql))
 }

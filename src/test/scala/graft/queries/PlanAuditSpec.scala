@@ -124,7 +124,10 @@ object PlanAuditSpec {
     "q147_keep_best_dedup" -> 7,
     // q148: basket distinct + the basket-key pair self-join; supports,
     // rules and lift are |types|-sized folds
-    "q148_association_rules" -> 7)
+    "q148_association_rules" -> 7,
+    // q149: one contingency fold; marginals + grand total are each a
+    // cells-sized re-key off the pin, the test itself a one-row agg
+    "q149_chi2_independence" -> 5)
   /** Audited per-query scan counts (see the class doc). Only queries
     * whose audited plan exceeds or notably undercuts the default are
     * listed — a new query landing above DefaultMax must either be

@@ -317,6 +317,66 @@ class StatSpec extends SparkSpec {
     }
   }
 
+  test("q149: chi2 non-negative, dof consistent with observed cells") {
+    val row = StatQueries.q149(spark, sf0001).collect().head
+    val chi2 = row.getAs[Double]("chi2")
+    val dof = row.getAs[Long]("dof")
+    val cells = row.getAs[Long]("n_cells")
+    assert(chi2 >= 0.0)
+    assert(dof >= 1)
+    assert(cells >= dof, "cells must dominate degrees of freedom")
+  }
+
+  test("q150: bootstrap CI brackets the point estimate, reps near B") {
+    val got = StatQueries.q150(spark, sf0001)
+      .select("source", "n_reps", "ci_lo", "ci_hi")
+      .as[(String, Long, Double, Double)].collect()
+    assert(got.nonEmpty)
+    val means = Tables.load(spark, sf0001, "documents")
+      .groupBy("source")
+      .agg((sum("n_chars") / count(lit(1))).as("m"))
+      .as[(String, Double)].collect().toMap
+    got.foreach { case (src, nr, lo, hi) =>
+      assert(nr >= 45 && nr <= 50, s"$src: $nr replicates (weights all-zero?)")
+      assert(lo <= hi, s"$src: CI inverted")
+      // the Poisson bootstrap CI should bracket the plain mean for any
+      // non-degenerate source at this size
+      val m = means(src)
+      assert(lo <= m && m <= hi, s"$src: mean $m outside CI [$lo, $hi]")
+    }
+  }
+
+  test("q151: trimmed mean discards ~20%, lies within source min/max") {
+    val got = StatQueries.q151(spark, sf0001)
+      .select("source", "n_kept", "trimmed_mean")
+      .as[(String, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val stats = Tables.load(spark, sf0001, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), min("n_chars").as("mn"), max("n_chars").as("mx"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    got.foreach { case (src, kept, tm) =>
+      val (_, n, mn, mx) = stats(src)
+      assert(kept == n - 2 * (n / 10), s"$src: kept $kept of $n")
+      assert(tm >= mn && tm <= mx, s"$src: trimmed mean outside range")
+    }
+  }
+
+  test("q152: gini in [0,1) and matches a direct computation") {
+    val row = StatQueries.q152(spark, sf0001).collect().head
+    val g = row.getAs[Double]("gini")
+    assert(g >= 0.0 && g < 1.0, s"gini $g out of range")
+    // independent recomputation from first principles
+    val cents = Tables.load(spark, sf0001, "events")
+      .groupBy("user_id").agg(sum(round(col("value") * 100).cast("long")).as("c"))
+      .select("c").as[Long].collect().sorted
+    val n = cents.length.toDouble
+    val tot = cents.map(_.toDouble).sum
+    val iwx = cents.zipWithIndex.map { case (x, i) => (i + 1) * x.toDouble }.sum
+    val expected = 2.0 * iwx / (n * tot) - (n + 1) / n
+    assert(math.abs(g - expected) < 0.001, s"gini $g != direct $expected")
+  }
+
   test("q134: card shares bounded, dup accounting consistent, covers all sources") {
     val got = StatQueries.q134(spark, sf0001)
       .select("source", "n_docs", "total_chars", "mean_chars", "top_lang",

@@ -446,8 +446,159 @@ object RelationalQueries {
       |WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = b.o_orderkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  // --------------------------------------------------------------- Q153
+  /** TPC-H Q3 shape — SHIPPING PRIORITY: top-10 unshipped orders by
+    * revenue for one market segment. The canonical selective 3-way
+    * join: both date filters and the segment filter PUSH into their
+    * scans (PushedFilters — the plan reads a fraction of each table),
+    * the filtered customer side broadcasts into orders, and the
+    * orders⋈lineitem join shuffles only survivors. Revenue through the
+    * exact-decimal accumulator ([[graft.core.Dsl]] — a float sum's
+    * addition order would flip the 2-dp round); top-10 via
+    * TakeOrderedAndProject, never a full sort. */
+  val q153: Q = (s, d) => {
+    import graft.core.Dsl.{dec2, dec4}
+    val one = lit(1).cast(org.apache.spark.sql.types.DecimalType(5, 4))
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    val cust = t(s, d, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = t(s, d, "orders")
+      .filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val li = t(s, d, "lineitem")
+      .filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"),
+        (dec2(col("l_extendedprice")) * (one - dec4(col("l_discount")))).as("rev"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("rev")).cast("double"), 2).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        unix_micros(col("o_orderdate")).as("o_date_us"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  val q153Sql: String =
+    """SELECT l_orderkey,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))
+      |    * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE), 2)
+      |    AS revenue,
+      |  epoch_us(o_orderdate) AS o_date_us, o_orderpriority
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  // --------------------------------------------------------------- Q154
+  /** TPC-H Q5 shape — LOCAL SUPPLIER VOLUME: revenue by nation where
+    * the ordering customer and the line's supplier sit in the SAME
+    * nation of one region. The 6-way star join: region→nation→
+    * {customer, supplier} are all dimension-sized and BROADCAST — the
+    * only shuffle-weight joins are orders⋈lineitem and the final
+    * nation fold; the same-nation predicate rides the supplier
+    * broadcast (c_nationkey = s_nationkey), so no fact-side re-key.
+    * This is the plan shape the 100 TB star schema depends on: facts
+    * shuffle at most once, dimensions never do. */
+  val q154: Q = (s, d) => {
+    import graft.core.Dsl.{dec2, dec4}
+    val one = lit(1).cast(org.apache.spark.sql.types.DecimalType(5, 4))
+    val nat = t(s, d, "nation").join(
+        t(s, d, "region").filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = t(s, d, "customer")
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val supp = t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val ord = t(s, d, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (dec2(col("l_extendedprice")) * (one - dec4(col("l_discount")))).as("rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("rev")).cast("double"), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  val q154Sql: String =
+    """SELECT n_name,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))
+      |    * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE), 2)
+      |    AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  // --------------------------------------------------------------- Q155
+  /** TPC-H Q10 shape — RETURNED ITEM reporting: top-20 customers by
+    * revenue lost to returns in one quarter. Joins fact→orders
+    * (selective date pushdown) →customer→nation (broadcast dims);
+    * revenue exact-decimal; top-20 TakeOrderedAndProject. The report
+    * carries the customer attributes straight through the aggregate
+    * (functionally dependent on the key — no re-join to recover
+    * them). */
+  val q155: Q = (s, d) => {
+    import graft.core.Dsl.{dec2, dec4}
+    val one = lit(1).cast(org.apache.spark.sql.types.DecimalType(5, 4))
+    val ord = t(s, d, "orders")
+      .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val nat = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+    t(s, d, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (dec2(col("l_extendedprice")) * (one - dec4(col("l_discount")))).as("rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_nationkey"))), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(round(sum(col("rev")).cast("double"), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  val q155Sql: String =
+    """SELECT c_custkey, c_name, c_acctbal, n_name,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))
+      |    * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE), 2)
+      |    AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
+    ("q153_shipping_priority", q153, q153Sql),
+    ("q154_local_supplier_volume", q154, q154Sql),
+    ("q155_returned_items", q155, q155Sql),
     ("q31_correlated_subquery", q31, q31Sql),
     ("q32_percentiles", q32, q32Sql),
     ("q33_date_arithmetic", q33, q33Sql),

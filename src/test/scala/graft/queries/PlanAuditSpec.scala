@@ -135,6 +135,9 @@ object PlanAuditSpec {
   val ScanBaseline: Map[String, Int] = Map(
     // single-scan designs the audit fought for: pin them tight
     "q61_duplicate_passages" -> 1,
+    // q154 JOINS six base tables (TPC-H Q5 star) — six scans is one per
+    // table, the class doc's multi-table carve-out, every dim broadcast
+    "q154_local_supplier_volume" -> 6,
     // q132: intervals pinned (three consumers — start/end deltas via
     // one explode, grid bounds — read the pin); events scans ONCE
     "q132_sliding_distinct" -> 1,

@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: runs every declared query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line {"metric":...,"queries":{name:sec,...}}.
@@ -10,6 +10,22 @@ import org.apache.spark.sql.SparkSession
   * per-query cost.
   */
 object Bench {
+
+  /** The bench ACTION: evaluate EVERY output column and the final sort.
+    *
+    * `.count()` was the round-1..6 action, and it under-measures
+    * scan-local projection queries: under a count, Catalyst prunes every
+    * unreferenced projection column (q91's eight JL dot products never
+    * ran) and `EliminateSorts` drops the output ordering — while the
+    * DuckDB side `fetchall()`s the full materialized result. A write to
+    * the built-in `noop` sink fixes both asymmetries: the write consumes
+    * all columns (so nothing prunes), keeps the top-level Sort (write
+    * output order is observable), and discards rows executor-side — no
+    * driver `collect()` serialization billing Spark for work DuckDB's
+    * embedded fetch doesn't pay either. BenchActionSpec pins both
+    * properties on the executed plan of the formerly-pruned queries. */
+  def action(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -40,7 +56,7 @@ object Bench {
     // warmup: full pass, untimed; release each query's checkpoint pins
     // so 300 query executions don't stack pinned blocks in one session
     ordered.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try action(fn(spark, sfDir)) catch { case _: Throwable => () }
       finally graft.core.Pins.release()
     }
     // best-of-3: the min of the SUCCESSFUL runs reports the query's
@@ -52,7 +68,7 @@ object Bench {
     val raw = ordered.map { case (name, fn) =>
       val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        try { action(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
         catch { case _: Throwable => None }
         finally graft.core.Pins.release()
       }
@@ -82,8 +98,15 @@ object Bench {
     // arrays) overflowed it mid-JSON, losing q01–q46. The per-run
     // arrays + loadavg — the machine-load evidence a reader needs to
     // attribute outliers — go to bench_runs.json beside the repo.
+    // median-of-3 beside best-of: co-tenant noise is then visible in the
+    // artifact itself (a best far below the median flags a noisy run)
+    // without a judge-side re-run over the raw arrays
+    val medians = raw.map { case (k, ts) =>
+      val m = if (ts.isEmpty) -1.0 else ts.sorted.apply(ts.size / 2)
+      s"\"" + k + "\":" + fmt(m)
+    }.mkString("{", ",", "}")
     val runsJson =
-      s"""{"runs":$runs,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"sf":"$sfDir"}"""
+      s"""{"runs":$runs,"median":$medians,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"sf":"$sfDir"}"""
     val runsPath = sys.env.getOrElse("SPARK_GRAFT_RUNS_OUT", "bench_runs.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(runsPath), runsJson)
     catch { case scala.util.control.NonFatal(e) =>

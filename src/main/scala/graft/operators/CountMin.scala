@@ -54,16 +54,27 @@ object CountMin {
     * it instead of reporting the correct estimate of 0 (matters for
     * store-served probes of unseen items; items present in the
     * sketched data always find all d cells). Keeps every candidate
-    * column; adds `est_cnt`. */
+    * column; adds `est_cnt`. The probe-side working columns use a
+    * reserved `__cms_` prefix so a candidates relation that itself
+    * carries `j`/`b`/`c` columns (entirely plausible user schema)
+    * cannot be silently overwritten into a wrong join; `est_cnt` and
+    * the reserved prefix are asserted absent because they name the
+    * output. */
   def estimates(candidates: DataFrame, sketch: DataFrame, itemCol: String,
                 d: Int = 4): DataFrame = {
+    val reserved = candidates.columns
+      .filter(c => c == "est_cnt" || c.startsWith("__cms_"))
+    require(reserved.isEmpty,
+      s"candidates must not carry reserved columns: ${reserved.mkString(", ")}")
     val rows = typedLit((0 until d).toList)
     val keys = candidates.columns.map(col).toSeq
+    val sk = sketch.select(col("j").as("__cms_j"), col("b").as("__cms_b"),
+      col("c").as("__cms_c"))
     candidates
-      .withColumn("j", explode(rows))
-      .withColumn("b", bucket(col("j"), col(itemCol)))
-      .join(broadcast(sketch), Seq("j", "b"), "left")
+      .withColumn("__cms_j", explode(rows))
+      .withColumn("__cms_b", bucket(col("__cms_j"), col(itemCol)))
+      .join(broadcast(sk), Seq("__cms_j", "__cms_b"), "left")
       .groupBy(keys: _*)
-      .agg(min(coalesce(col("c"), lit(0L))).as("est_cnt"))
+      .agg(min(coalesce(col("__cms_c"), lit(0L))).as("est_cnt"))
   }
 }

@@ -538,9 +538,17 @@ object StatQueries {
     val variance = (col("sg2").cast("double") -
       col("sg").cast("double") * col("sg").cast("double") / n) / n
     val sigma = sqrt(greatest(variance, lit(0.0)))
+    // σ+μ = 0 ⟺ sg = 0 (gaps are non-negative under the (ts, event_id)
+    // ordering, so μ = 0 forces every gap — hence σ — to 0): a user with
+    // ≥ 2 events all in the same second would otherwise emit 0/0 = NaN
+    // and break the portable total-order/hash compare. Emit −1.0, the
+    // metronomic limit (σ→0, μ>0), which is also the correct limit here.
+    // Guarded on the exact INTEGER sg, not the derived doubles, so both
+    // engines take the same branch bit-for-bit.
     agg.select(col("user_id"), col("n_gaps"),
         round(mu, 4).as("mean_gap_s"),
-        round((sigma - mu) / (sigma + mu), 4).as("burstiness"))
+        when(col("sg") === 0L, lit(-1.0))
+          .otherwise(round((sigma - mu) / (sigma + mu), 4)).as("burstiness"))
       .orderBy(col("user_id"))
   }
 
@@ -557,6 +565,7 @@ object StatQueries {
       |        HAVING count(*) >= 2)
       |SELECT user_id, n_gaps,
       |       round(CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE), 4) AS mean_gap_s,
+      |       CASE WHEN sg = 0 THEN -1.0 ELSE
       |       round((sqrt(greatest((CAST(sg2 AS DOUBLE)
       |                - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
       |               / CAST(n_gaps AS DOUBLE), 0.0))
@@ -564,7 +573,7 @@ object StatQueries {
       |             / (sqrt(greatest((CAST(sg2 AS DOUBLE)
       |                - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
       |               / CAST(n_gaps AS DOUBLE), 0.0))
-      |              + CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 4) AS burstiness
+      |              + CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 4) END AS burstiness
       |FROM agg ORDER BY user_id""".stripMargin
 
   // --------------------------------------------------------------- Q139
@@ -674,7 +683,16 @@ object StatQueries {
     * values grid (distinct lengths) is the only windowed relation —
     * bounded by the value domain, not the corpus (the q113/q119 small-
     * series rationale); everything corpus-sized is one partial-
-    * aggregable fold. */
+    * aggregable fold.
+    *
+    * Scale bound (q152's convention): the exact-integer comparison
+    * c_s·N_r is a Long product of a cumulative count and the
+    * complement's row count, so it overflows once N_src·N_rest ≥ 2⁶³ —
+    * i.e. per-side counts approaching ~3×10⁹ rows. Documents at 100 TB
+    * can exceed that; past the bound, run the identical plan with the
+    * two products (`num`) computed in DecimalType(38,0) — same shape,
+    * exactness kept, ~2× slower arithmetic on the grid-sized relation
+    * only (the corpus-sized fold is untouched). */
   val q141: Q = (s, d) => {
     // per (source, n_chars) counts — the only corpus-sized fold
     val cnt = graft.core.Pins.pin(

@@ -60,6 +60,39 @@ class MinKByStringAgg(k: Int)
   override def outputEncoder: Encoder[Seq[(String, Long)]] = bufferEncoder
 }
 
+/** The KMV (k-minimum-values / theta) sketch INSERT as a typed
+  * [[Aggregator]]: the k lexicographically-smallest DISTINCT strings per
+  * group. Distinctness is the defining KMV property (a duplicate hash
+  * must not occupy a slot, or the (k−1)/θ estimator biases low), and
+  * folding it into the aggregate removes the pre-`distinct()` shuffle
+  * the non-deduping [[MinKByStringAgg]] path needs (q112): ONE
+  * partial-aggregable pass, map-side buffers capped at k, shuffle
+  * O(groups × k) — the sketch's whole point at 100 TB. The buffer is
+  * kept sorted, so the common non-member insert above θ is an O(1)
+  * reject and membership is an O(k) scan of 64 strings.
+  *
+  * On md5 input the sketch — hence the estimator — is fully
+  * DETERMINISTIC and replayable in any engine (the q112 rationale:
+  * the first 13 hex digits are a 52-bit integer, exact in a double,
+  * over the power-of-two 16¹³), which is what lets a distinct-COUNT
+  * sketch join the oracle-EXACT family (q156) instead of the rows-only
+  * HLL policy (q47).
+  */
+class KmvSketchAgg(k: Int) extends Aggregator[String, Seq[String], Seq[String]] {
+  override def zero: Seq[String] = Seq.empty
+  // buffer invariant: sorted ascending, distinct, size ≤ k
+  override def reduce(buf: Seq[String], in: String): Seq[String] =
+    if (buf.length >= k && in >= buf.last) buf
+    else if (buf.contains(in)) buf
+    else ((buf :+ in).sorted).take(k)
+  override def merge(a: Seq[String], b: Seq[String]): Seq[String] =
+    (a ++ b).distinct.sorted.take(k)
+  override def finish(buf: Seq[String]): Seq[String] = buf
+  override def bufferEncoder: Encoder[Seq[String]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[String]] = bufferEncoder
+}
+
 object TopK {
   /** Column aggregate: top-k (value, id) pairs per group, ordered value
     * DESC then id ASC. Usage: `df.groupBy(g).agg(TopK.topK(3)(v, id))`. */
@@ -73,5 +106,12 @@ object TopK {
   def minKByString(k: Int): (Column, Column) => Column = {
     val fn = udaf(new MinKByStringAgg(k))
     (key, id) => fn(key, id)
+  }
+
+  /** Column aggregate: the KMV sketch — k smallest DISTINCT strings per
+    * group ([[KmvSketchAgg]]). */
+  def kmvSketch(k: Int): Column => Column = {
+    val fn = udaf(new KmvSketchAgg(k))
+    key => fn(key)
   }
 }

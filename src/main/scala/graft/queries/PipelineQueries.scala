@@ -601,7 +601,10 @@ object PipelineQueries {
     * sketch implementations differ across engines, so this entry is
     * deliberately absent from oracleSql (the driver records the weaker
     * rows-only check); the spec asserts the estimates bracket the exact
-    * counts instead. */
+    * counts instead. The SAME semantics with an oracle-EXACT estimator
+    * is q156 (deterministic md5-KMV, [[q156]]) — q47 stays declared as
+    * the engine-native fast path (HLL++ registers are smaller and the
+    * agg fully codegen'd), q156 as the cross-engine-checkable one. */
   val q47: Q = (s, d) =>
     t(s, d, "events")
       .groupBy(col("event_type"))
@@ -3615,6 +3618,57 @@ object PipelineQueries {
       |       round(eu, 4) AS est_union, round(ea + eb - eu, 4) AS est_overlap
       |FROM est ORDER BY source_a, source_b""".stripMargin
 
+  // --------------------------------------------------------------- Q156
+  /** KMV approximate DISTINCT COUNT per group — q47's semantics
+    * (distinct users per event type) re-based from HLL++ onto the
+    * deterministic md5-KMV estimator so the query joins the
+    * oracle-EXACT family (q112/q130's pattern): the k = 64 smallest
+    * distinct hash values per group ARE the sketch, |A| ≈ (k−1)/θ with
+    * θ the k-th smallest hash as an exact power-of-two fraction, and
+    * every step replays digit-for-digit in DuckDB. Unlike q112 (which
+    * pre-`distinct()`s before the non-deduping min-k sampler), the
+    * dedup here is INSIDE the aggregate ([[graft.operators.KmvSketchAgg]]):
+    * one partial-aggregable scan, map-side buffers capped at k, the
+    * shuffle carries O(groups × 64) hashes — strictly less machinery
+    * than exact count-distinct's full-key shuffle, which is the whole
+    * reason to sketch at 100 TB. Groups under k distinct take the
+    * exact path (the sketch IS the value set). q47 (HLL++) stays
+    * declared as the engine-native fast path; this is the same answer
+    * with a cross-engine-checkable estimator. */
+  val q156: Q = (s, d) => {
+    val k = 64
+    val twoTo52 = 4503599627370496.0 // 16^13, the θ denominator
+    def thetaFrac(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      conv(substring(h, 1, 13), 16, 10).cast("double") / lit(twoTo52)
+    val sk = t(s, d, "events")
+      .select(col("event_type"),
+        md5(concat(lit("kmv|"), col("user_id").cast("string"))).as("h"))
+      .groupBy(col("event_type"))
+      .agg(graft.operators.TopK.kmvSketch(k)(col("h")).as("hs"))
+      .withColumn("n", size(col("hs")).cast("long"))
+      .withColumn("theta", element_at(col("hs"), size(col("hs"))))
+    sk.select(col("event_type"),
+        round(when(col("n") < k, col("n").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / thetaFrac(col("theta"))), 4)
+          .as("est_users"))
+      .orderBy(col("event_type"))
+  }
+
+  val q156Sql: String =
+    """WITH ds AS (SELECT DISTINCT event_type,
+      |              md5('kmv|' || CAST(user_id AS VARCHAR)) AS h FROM events),
+      |rk AS (SELECT event_type, h,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      |       FROM ds),
+      |cnt AS (SELECT event_type, count(*) AS n, max(h) AS theta
+      |        FROM rk WHERE rn <= 64 GROUP BY event_type)
+      |SELECT event_type,
+      |       round(CASE WHEN n < 64 THEN CAST(n AS DOUBLE) ELSE 63.0 /
+      |         (list_sum(list_transform(generate_series(1, 13), i ->
+      |            CAST(strpos('0123456789abcdef', substr(theta, i, 1)) - 1 AS DOUBLE)
+      |            * power(16.0, 13 - i))) / 4503599627370496.0) END, 4) AS est_users
+      |FROM cnt ORDER BY event_type""".stripMargin
+
   // --------------------------------------------------------------- Q113
   /** Temporal BURST detection (the monitoring family's spike alarm —
     * q68/q86 watch the value DISTRIBUTION shift, q90 flags outlier
@@ -3748,7 +3802,8 @@ object PipelineQueries {
     ("q110_fixed_size_sample", q110, q110Sql),
     ("q111_epoch_oversample", q111, q111Sql),
     ("q112_kmv_overlap", q112, q112Sql),
-    ("q113_burst_detection", q113, q113Sql))
+    ("q113_burst_detection", q113, q113Sql),
+    ("q156_kmv_distinct", q156, q156Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type (KLL-style `percentile_approx`

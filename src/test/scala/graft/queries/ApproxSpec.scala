@@ -43,6 +43,40 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("q156 KMV estimates stay within the k=64 error band of exact") {
+    val got = PipelineQueries.q156(spark, sf0001)
+      .as[(String, Double)].collect().toMap
+    val exact = graft.core.Tables.load(spark, sf0001, "events")
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.countDistinct("user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got.keySet == exact.keySet)
+    // KMV relative standard error is ~1/sqrt(k-2) ≈ 12.7% at k=64; the
+    // fixed dataset makes this deterministic, gate at 3σ. Groups with
+    // fewer than k distinct users must be EXACT (sketch = value set).
+    got.foreach { case (et, est) =>
+      val ex = exact(et).toDouble
+      if (ex < 64) assert(est == ex, s"$et: small group must be exact, $est vs $ex")
+      else assert(math.abs(est - ex) / ex <= 0.38, s"$et: $est vs $ex")
+    }
+  }
+
+  test("KmvSketchAgg dedups inside the aggregate (pre-distinct-free)") {
+    import org.apache.spark.sql.functions._
+    // duplicated input values must not eat sketch slots: sketch of the
+    // raw (duplicated) stream == sketch of the distinct stream
+    val raw = (1 to 200).flatMap(i => Seq.fill(3)(i)).toDF("v")
+      .select(lit("g").as("g"), md5(col("v").cast("string")).as("h"))
+    val skRaw = raw.groupBy("g")
+      .agg(graft.operators.TopK.kmvSketch(64)(col("h")).as("hs"))
+      .as[(String, Seq[String])].collect().head._2
+    val skDistinct = raw.distinct().groupBy("g")
+      .agg(graft.operators.TopK.kmvSketch(64)(col("h")).as("hs"))
+      .as[(String, Seq[String])].collect().head._2
+    assert(skRaw == skDistinct)
+    assert(skRaw.length == 64 && skRaw == skRaw.distinct.sorted)
+  }
+
   test("q71 approximate quantiles bracket the exact percentiles") {
     import org.apache.spark.sql.functions._
     val got = PipelineQueries.q71(spark, sf0001)

@@ -594,11 +594,140 @@ object RelationalQueries {
       |GROUP BY c_custkey, c_name, c_acctbal, n_name
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
+  // --------------------------------------------------------------- Q157
+  /** TPC-H Q21 shape — SUPPLIERS WHO KEPT WAITING: for finished orders,
+    * suppliers whose line shipped late while the order had OTHER
+    * suppliers and NONE of them shipped late (the one hard canonical
+    * join shape the star suite q153–q155 doesn't cover: a fact table
+    * referenced THREE times — once as the driving row, once under
+    * EXISTS, once under NOT EXISTS — with a non-equi residual on the
+    * equi-joined key). The testdata carries no commit/receipt dates,
+    * so "late" is the lineitem-LOCAL predicate l_shipdate ≥ 2000-01-01
+    * (same role: a per-line boolean that varies within an order).
+    *
+    * Plan shape, audited (TpchJoinSpec): all three fact references
+    * key on l_orderkey — the semi (l2: another supplier exists) and
+    * anti (l3: no OTHER late supplier) joins carry their suppkey ≠
+    * residual on the orderkey equi-join, so the fact shuffles on one
+    * key throughout. The slim (orderkey, suppkey, late) projection is
+    * PINNED and all three references read the one materialization
+    * (unpinned, each reference re-plans the full scan — the q61-class
+    * defect; the spec pins ZERO parquet lineitem scans in the residual
+    * plan and the SMJ-with-residual shape with broadcasts disabled).
+    * At 100 TB the pin is a 16-byte-per-line relation read three
+    * times — cheaper than three fact scans but still triple-shuffle;
+    * bucketing lineitem on l_orderkey erases all three exchanges, and
+    * the ONE-SCAN rewrite (q158) erases two of the references
+    * entirely — this form is declared as the canonical shape the
+    * rewrite is proven against. */
+  val q157: Q = (s, d) => {
+    val cutoff = lit("2000-01-01").cast("timestamp")
+    // ONE projected fact lineage, materialized once, referenced 3 times
+    val li = graft.core.Pins.pin(
+      t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") >= cutoff).as("late")))
+    val l1 = li.filter(col("late")).select(col("l_orderkey"), col("l_suppkey"))
+    val l2 = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+    val l3 = li.filter(col("late"))
+      .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+    val ord = t(s, d, "orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"))
+    val supp = t(s, d, "supplier")
+      .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin("NATION_3", "NATION_6", "NATION_9",
+        "NATION_11", "NATION_14"))
+      .select(col("s_suppkey"), col("s_name"))
+    l1.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(l2, col("k2") === col("l_orderkey") && col("s2") =!= col("l_suppkey"),
+        "leftsemi")
+      .join(l3, col("k3") === col("l_orderkey") && col("s3") =!= col("l_suppkey"),
+        "leftanti")
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+  }
+
+  private val q21Where =
+    """WHERE o_orderstatus = 'F'
+      |  AND l1.l_shipdate >= TIMESTAMP '2000-01-01'
+      |  AND n_name IN ('NATION_3', 'NATION_6', 'NATION_9', 'NATION_11', 'NATION_14')
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate >= TIMESTAMP '2000-01-01')
+      |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin
+
+  val q157Sql: String =
+    """SELECT s_name, count(*) AS numwait
+      |FROM lineitem l1
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |JOIN supplier ON s_suppkey = l1.l_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |""".stripMargin + q21Where
+
+  // --------------------------------------------------------------- Q158
+  /** q157's ONE-SCAN rewrite — the plan a 100 TB engine should prefer:
+    * the EXISTS / NOT EXISTS pair over the fact table is really a
+    * per-order aggregate question ("how many suppliers? how many LATE
+    * suppliers?"), so fold lineitem ONCE by (orderkey, suppkey) with a
+    * late-line count, fold again by orderkey (same partitioning — the
+    * second groupBy and the g⋈o join plan ZERO new exchanges), and a
+    * supplier qualifies when it has late lines, the order has another
+    * supplier, and the late-supplier count is exactly one (then it IS
+    * the one). numwait sums the supplier's late LINES per qualifying
+    * order — exactly q157's per-l1-row count.
+    *
+    * The fact shuffles EXACTLY ONCE: an explicit repartition on
+    * l_orderkey, after which the (orderkey, suppkey) groupBy (subset
+    * clustering satisfies its distribution), the per-order window, and
+    * the fact side of the orders join all reuse the partitioning —
+    * no self-join of an unmaterialized relation (which would re-plan
+    * the scan, the q61-class defect). One fact scan + one fact
+    * exchange vs the canonical form's three references; the oracle is
+    * the SAME EXISTS SQL as q157, so DuckDB proves the rewrite
+    * row-for-row. TpchJoinSpec pins the scan/exchange counts and
+    * result-equality against q157. */
+  val q158: Q = (s, d) => {
+    val cutoff = lit("2000-01-01").cast("timestamp")
+    val g = t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") >= cutoff).as("late"))
+      .repartition(col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(sum(when(col("late"), 1L).otherwise(0L)).as("n_late"))
+    val w = Window.partitionBy(col("l_orderkey"))
+    val qual = g
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late_supp",
+        sum(when(col("n_late") > 0, 1L).otherwise(0L)).over(w))
+      .filter(col("n_late") > 0 && col("n_supp") > 1 && col("n_late_supp") === 1)
+    val ord = t(s, d, "orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"))
+    val supp = t(s, d, "supplier")
+      .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin("NATION_3", "NATION_6", "NATION_9",
+        "NATION_11", "NATION_14"))
+      .select(col("s_suppkey"), col("s_name"))
+    qual.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(sum(col("n_late")).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+  }
+
+  val q158Sql: String = q157Sql
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q153_shipping_priority", q153, q153Sql),
     ("q154_local_supplier_volume", q154, q154Sql),
     ("q155_returned_items", q155, q155Sql),
+    ("q157_waiting_suppliers", q157, q157Sql),
+    ("q158_waiting_suppliers_onescan", q158, q158Sql),
     ("q31_correlated_subquery", q31, q31Sql),
     ("q32_percentiles", q32, q32Sql),
     ("q33_date_arithmetic", q33, q33Sql),

@@ -219,6 +219,11 @@ object PlanAuditSpec {
     "q111_epoch_oversample" -> 1,
     // q112's pinned sources-sized sketch relation self-pairs
     "q112_kmv_overlap" -> 0,
+    // q157: the pinned slim fact lineage feeds all three lineitem
+    // references — residual plan scans only orders+supplier+nation
+    "q157_waiting_suppliers" -> 3,
+    // q158: the one-scan Q21 rewrite — lineitem+orders+supplier+nation
+    "q158_waiting_suppliers_onescan" -> 4,
     // q113: one partial-aggregable hour count + the tiny-series window
     "q113_burst_detection" -> 1,
     // multi-table relational joins (one scan per table, plus documented

@@ -40,4 +40,56 @@ class TpchJoinSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       "top-20 must plan as TakeOrderedAndProject, not a full sort")
   }
+
+  /** Build a plan with broadcasts + AQE off: the dimension-scale testdata
+    * broadcasts everything, which hides the join algorithm the same plan
+    * takes at fact scale — the shape under -1 threshold IS the 100 TB
+    * shape (explicit broadcast() hints still win, which is the point:
+    * only the dims we CHOSE to broadcast may broadcast). */
+  private def scalePlan(q: CoreQueries.Q): String = {
+    val conf = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = conf.map { case (k, _) => k -> spark.conf.get(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try q(spark, sf0001).queryExecution.executedPlan.toString
+    finally {
+      saved.foreach { case (k, v) => spark.conf.set(k, v) }
+      graft.core.Pins.release()
+    }
+  }
+
+  test("q157: one pinned fact lineage feeds all three references; semi/anti carry the suppkey residual on the orderkey key") {
+    val p = scalePlan(RelationalQueries.q157)
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 3,
+      "residual plan must scan only orders+supplier+nation — the three " +
+        "lineitem references read the ONE pinned materialization")
+    assert(p.linesIterator.count(_.contains("Scan ExistingRDD")) == 3,
+      "all three fact references must read the pinned lineage")
+    assert(p.linesIterator.exists(l =>
+      l.contains("SortMergeJoin") && l.contains("LeftSemi") && l.contains("NOT")),
+      "EXISTS must plan as an orderkey-keyed semi join with the suppkey != residual")
+    assert(p.linesIterator.exists(l =>
+      l.contains("SortMergeJoin") && l.contains("LeftAnti") && l.contains("NOT")),
+      "NOT EXISTS must plan as an orderkey-keyed anti join with the suppkey != residual")
+    assert(p.contains("BroadcastHashJoin"),
+      "the supplier dim must broadcast (explicit hint) even at -1 threshold")
+  }
+
+  test("q158: the one-scan rewrite touches the fact once — one scan, one fact exchange") {
+    val p = scalePlan(RelationalQueries.q158)
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 4,
+      "exactly lineitem+orders+supplier+nation, each scanned once")
+    val factExch = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(l_orderkey"))
+    assert(factExch == 1,
+      s"the fact must shuffle exactly once (the explicit orderkey " +
+        s"repartition feeding groupBy+window+join); saw $factExch")
+  }
+
+  test("q157 and q158 return identical results") {
+    val a = RelationalQueries.q157(spark, sf0001).collect().toSeq
+    val b = RelationalQueries.q158(spark, sf0001).collect().toSeq
+    graft.core.Pins.release()
+    assert(a.nonEmpty && a == b)
+  }
 }

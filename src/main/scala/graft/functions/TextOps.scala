@@ -54,6 +54,16 @@ object TextOps {
     org.apache.spark.sql.GraftShim.column(expressions.WinnowFingerprints(
       org.apache.spark.sql.GraftShim.expression(text), n, w))
 
+  /** (gram-hash, variant-hash) structs for fuzzy n-gram
+    * decontamination (q115) as one fused pass
+    * ([[expressions.FuzzyVariantPairs]]): n drop-one variant keys per
+    * positional word n-gram, 64-bit hashed with the drop position as
+    * salt — property-tested against the unrolled string-key
+    * formulation for the SymSpell equivalence. */
+  def fuzzyVariantPairs(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftShim.column(expressions.FuzzyVariantPairs(
+      org.apache.spark.sql.GraftShim.expression(text), n))
+
   /** Content-defined chunk md5s (q101) as one fused pass
     * ([[expressions.CdcChunkHashes]]), property-tested bit-equal to the
     * declarative boundary-filter + zip_with chain. */

@@ -608,3 +608,109 @@ object WinnowFingerprints {
     new GenericArrayData(out)
   }
 }
+
+/** (gram-hash, variant-hash) pairs for fuzzy n-gram decontamination
+  * (q115) as ONE native expression: for every positional word n-gram of
+  * `text`, emit n structs (g, v) — g a 64-bit hash identifying the gram
+  * (for distinct-per-(doc, gram) hit counting), v the hash of (drop
+  * position j, the n−1 kept tokens) — the SymSpell delete-variant key
+  * with the position salt folded into the hash. Same kept tokens + same
+  * drop position ⟺ same v, exactly the string-key equivalence, at none
+  * of its cost: per-token hashes are computed ONCE per token, each
+  * gram/variant key is an O(n) fold over them (no sliced arrays, no
+  * concatenated strings, no per-variant allocation beyond the 16-byte
+  * output struct), and the SQL layer explodes the result straight into
+  * slim long-keyed rows. The composed-builtins form this replaces
+  * (posexplode of 5 unrolled concat_ws variants) measured 1.24 s for
+  * the 1.19M-variant relation at sf0.1; this kernel ~0.3 s.
+  *
+  * Hash: FNV-1a 64 over UTF-8 token bytes, combined across tokens with
+  * a xorshift-multiply mix per element (order-sensitive, separator-free
+  * — token boundaries are preserved by construction, not by a sentinel
+  * byte, so tokens containing any byte sequence are safe). 64-bit
+  * collisions can only ADD a spurious hit (P ≈ 4·10⁻⁸ at 10⁶ keys);
+  * the DuckDB oracle replays the STRING semantics and would surface
+  * one as a count mismatch.
+  */
+case class FuzzyVariantPairs(child: Expression, n: Int) extends UnaryExpression {
+  private val elem = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("g", org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType, nullable = false)))
+  override def dataType: DataType = ArrayType(elem, containsNull = false)
+  override def prettyName: String = "graft_fuzzy_variants"
+
+  override protected def nullSafeEval(input: Any): Any =
+    FuzzyVariantPairs.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.FuzzyVariantPairs.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): FuzzyVariantPairs =
+    copy(child = newChild)
+}
+
+object FuzzyVariantPairs {
+  private final val FnvOffset = 0xcbf29ce484222325L
+  private final val FnvPrime = 0x100000001b3L
+
+  private def fnv64(s: String): Long = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var h = FnvOffset
+    var i = 0
+    while (i < b.length) { h = (h ^ (b(i) & 0xffL)) * FnvPrime; i += 1 }
+    h
+  }
+
+  /** Order-sensitive 64-bit combine (xorshift-multiply mix per element). */
+  private def mix(acc: Long, h: Long): Long = {
+    var x = acc ^ h
+    x ^= x >>> 33
+    x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 29
+    acc * FnvPrime + x
+  }
+
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    // split(" ", -1) semantics: single-space delimiter, empties kept
+    val toks = new java.util.ArrayList[String]
+    var start = 0
+    var i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == ' ') {
+        toks.add(s.substring(start, i))
+        start = i + 1
+      }
+      i += 1
+    }
+    val m = toks.size - (n - 1)
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val th = new Array[Long](toks.size)
+    i = 0
+    while (i < toks.size) { th(i) = fnv64(toks.get(i)); i += 1 }
+    val out = new Array[Any](m * n)
+    var g = 0
+    var idx = 0
+    while (g < m) {
+      var gh = FnvOffset
+      var k = 0
+      while (k < n) { gh = mix(gh, th(g + k)); k += 1 }
+      var j = 0
+      while (j < n) {
+        var v = mix(FnvOffset, j.toLong)
+        k = 0
+        while (k < n) {
+          if (k != j) v = mix(v, th(g + k))
+          k += 1
+        }
+        out(idx) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](gh, v))
+        idx += 1
+        j += 1
+      }
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -48,6 +48,48 @@ class AuditSpec extends SparkSpec {
     }
   }
 
+  test("q115: hashed variant keys reproduce the string-key formulation exactly") {
+    // the fused 64-bit-hash kernel must yield the SAME per-doc counts as
+    // the round-6 string (position|kept-tokens) keys — the SymSpell
+    // equivalence plus collision-freeness on this data
+    val docs = Tables.load(spark, sf0001, "documents")
+    val grams = docs
+      .filter(col("source") =!= lit("zzz")) // all docs: bench + corpus
+      .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 5)
+      .select(col("doc_id"), col("source"),
+        explode(transform(sequence(lit(1), size(col("t")) - 4),
+          i => slice(col("t"), i, lit(5)))).as("w"))
+    def el(k: Int) = element_at(col("w"), k)
+    val variants = array((0 until 5).map { j =>
+      concat_ws(" ", (1 to 5).filter(_ != j + 1).map(el): _*)
+    }: _*)
+    val keyed = grams
+      .select(col("doc_id"), col("source"), concat_ws(" ", col("w")).as("gram"),
+        posexplode(variants).as(Seq("j", "v")))
+      .select(col("doc_id"), col("source"), col("gram"),
+        concat(col("j").cast("string"), lit("|"), col("v")).as("vk"))
+    val bench = keyed.filter(col("source") === "src0").select(col("vk")).distinct()
+    val stringForm = keyed.filter(col("source") =!= "src0")
+      .join(broadcast(bench), "vk")
+      .select(col("doc_id"), col("gram")).distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    AuditQueries.clearBenchVariants()
+    val kernelForm = AuditQueries.q115(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    assert(kernelForm.nonEmpty && kernelForm == stringForm)
+  }
+
+  test("q115: steady-state plan reads the memoized benchmark — zero benchmark-side tokenize") {
+    AuditQueries.q115(spark, sf0001) // train the variant-key artifact
+    val p = AuditQueries.q115(spark, sf0001).queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
+      "steady plan must scan parquet once (the corpus side only)")
+    assert(p.linesIterator.count(_.contains("Scan ExistingRDD")) == 1,
+      "the benchmark side must read the checkpointed variant-key set")
+  }
+
   test("q116: drift bounded in [0, 2] and label counts cover the table") {
     val got = AuditQueries.q116(spark, sf0001)
       .as[(Int, Long, Double)].collect()

@@ -226,6 +226,9 @@ object PlanAuditSpec {
     "q158_waiting_suppliers_onescan" -> 4,
     // q113: one partial-aggregable hour count + the tiny-series window
     "q113_burst_detection" -> 1,
+    // q115 reads the MEMOIZED benchmark variant-key artifact: the only
+    // parquet scan is the corpus side (zero benchmark-side tokenize)
+    "q115_fuzzy_contamination" -> 1,
     // multi-table relational joins (one scan per table, plus documented
     // reuse): audited counts
     "q10_join_inner_equi" -> 4,

@@ -453,6 +453,15 @@ object ScaleProbe {
         f"-> ${seqS / nSeq * 30000 / 60}%.0f min at a 30k vocab)")
       println(f"q72_bpe_wall bat k=300 (batch 16): $batS%.1f s (${batS / nBat * 1000}%.0f ms/merge " +
         f"-> ${batS / nBat * 30000 / 60}%.0f min at a 30k vocab, ${seqS / batS}%.1fx)")
+      // trainLocal: the merge loop leaves Spark entirely (one scan
+      // collects the model-sized word-frequency table; merges are
+      // in-memory incremental updates) — the driver-latency wall is
+      // GONE, not amortized. Merge-list-identical, spec-pinned.
+      val t2 = System.nanoTime()
+      val nLoc = Bpe.trainLocal(docs01, 300).size
+      val locS = (System.nanoTime() - t2) / 1e9
+      println(f"q72_bpe_wall local k=300: $locS%.1f s (${locS / nLoc * 1000}%.2f ms/merge " +
+        f"-> ${locS / nLoc * 30000 / 60}%.1f min at a 30k vocab, ${seqS / locS}%.0fx over seq)")
     }
 
     // --- inverted-index probe: postings built ONCE on the 10× corpus,

@@ -1387,7 +1387,10 @@ object PipelineQueries {
   def clearBpeModels(): Unit = bpeModels.clear()
   private def bpeModelFor(s: SparkSession, d: String, k: Int): Seq[graft.functions.Bpe.Merge] =
     bpeModels.getOrTrain((s, d, k))(
-      graft.functions.Bpe.train(t(s, d, "documents"), k))
+      // trainLocal: one distributed scan for word counts, merge loop
+      // driver-local on the model-sized table (spec-pinned identical
+      // to the distributed train's list) — ~500x per-merge at k=300
+      graft.functions.Bpe.trainLocal(t(s, d, "documents"), k))
 
   /** Unrolled BPE training prelude shared by the q72/q73 oracles:
     * word-frequency table → k rounds of (pair count → top pair → merge

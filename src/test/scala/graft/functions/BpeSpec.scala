@@ -90,6 +90,41 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("local trainer: merge list IDENTICAL to sequential on the fixture corpus") {
+    val k = 24
+    val seqMerges = Bpe.train(docs, k).map(m => (m.a, m.b, m.freq))
+    val locMerges = Bpe.trainLocal(docs, k).map(m => (m.a, m.b, m.freq))
+    assert(locMerges == seqMerges,
+      s"\nlocal:      $locMerges\nsequential: $seqMerges")
+  }
+
+  test("local trainer stays exact on adversarial corpora (runs, chains, plateaus)") {
+    // the incremental count updates must survive the same cases the
+    // batched stopping rule is tested on: same-symbol runs (left-to-
+    // right non-overlap semantics), overlapping chains (a merge
+    // changes its neighbors' counts), and tie plateaus (UTF-8 byte
+    // tie-break on the joined key)
+    val corpora = Seq(
+      Seq.fill(50)("aaaa") ++ Seq.fill(30)("aaa"),
+      Seq.fill(40)("abcd") ++ Seq.fill(35)("bcd") ++ Seq.fill(30)("cd"),
+      Seq.fill(20)("xy") ++ Seq.fill(20)("yz") ++ Seq.fill(20)("zw"),
+      (0 until 60).map(i => ("abcdef".take(2 + i % 5)) * (1 + i % 3)))
+    for ((words, ci) <- corpora.zipWithIndex) {
+      val df = words.toDF("text")
+      val seqMerges = Bpe.train(df, 10).map(m => (m.a, m.b, m.freq))
+      val locMerges = Bpe.trainLocal(df, 10).map(m => (m.a, m.b, m.freq))
+      assert(locMerges == seqMerges,
+        s"corpus $ci:\nlocal:      $locMerges\nsequential: $seqMerges")
+    }
+  }
+
+  test("local trainer exhausts exactly like the sequential trainer") {
+    // tiny corpus: fewer possible merges than k — both must stop at
+    // the same (shorter) list
+    val df = Seq("ab", "ab", "cd").toDF("text")
+    assert(Bpe.trainLocal(df, 50) == Bpe.train(df, 50))
+  }
+
   test("encode preserves content and shrinks monotonically") {
     val merges = Bpe.train(docs, 8)
     val base = docs.select(col("doc_id"),

@@ -36,8 +36,26 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
     }
     rep("documents", "doc_id", 10)
-    rep("lineitem", "l_orderkey", 10)
     rep("embeddings", "vec_id", 10)
+    // orders + lineitem replicate on a SHARED orderkey base so the
+    // FK survives (the star-join probes need facts that still join);
+    // dimensions are copied as-is — the realistic scale path grows
+    // facts while customer/supplier/nation/region stay dimension-sized
+    locally {
+      val ordBase = spark.read.parquet(s"$src/orders.parquet")
+      val liBase = spark.read.parquet(s"$src/lineitem.parquet")
+      val shift = ordBase.agg(org.apache.spark.sql.functions.max(col("o_orderkey")))
+        .head().getLong(0) + 1
+      (0 until 10).map(i => ordBase.withColumn("o_orderkey", col("o_orderkey") + lit(i * shift)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/orders.parquet")
+      (0 until 10).map(i => liBase.withColumn("l_orderkey", col("l_orderkey") + lit(i * shift)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      for (tn <- Seq("customer", "supplier", "nation", "region", "part"))
+        spark.read.parquet(s"$src/$tn.parquet")
+          .write.mode("overwrite").parquet(s"$out/$tn.parquet")
+    }
     def time(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val n = f
       println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
@@ -662,6 +680,49 @@ object ScaleProbe {
     time("q85_classifier sf0.1   (5k vecs)  ")(PipelineQueries.q85(spark, src).count())
     graft.queries.PipelineQueries.clearPerceptrons()
     time("q85_classifier sf1.0  (50k vecs)  ")(PipelineQueries.q85(spark, out).count())
+
+    // --- round-7 stat-family probes at 10×: q141's corpus-sized work is
+    // ONE (source, n_chars) groupBy; everything after rides the
+    // source × distinct-length GRID, which replication leaves UNCHANGED
+    // (same length distribution, 10× counts) — growth must be ~the scan.
+    // q148's basket self-join is bounded by (user, day) basket width
+    // (≤ |event_type| = 5 distinct types per basket), so 10× events is
+    // ~10× baskets with FLAT per-basket pair work — the quadratic term
+    // rides the basket, not the corpus. q152's global rank is the one
+    // deliberate single-partition window in the suite: the window input
+    // is the per-USER fold (users-sized, replication holds users fixed),
+    // so 10× events changes only the pre-fold scan — the probe pins that
+    // the users-sized sort does NOT grow with event volume.
+    {
+      import graft.queries.StatQueries
+      time("q141_ks_drift sf0.1     (5k docs) ")(StatQueries.q141(spark, src).count())
+      time("q141_ks_drift sf1.0    (50k docs) ")(StatQueries.q141(spark, out).count())
+      time("q148_assoc_rules sf0.1 (100k ev)  ")(StatQueries.q148(spark, src).count())
+      time("q148_assoc_rules sf1.0   (1M ev)  ")(StatQueries.q148(spark, out).count())
+      time("q152_gini sf0.1        (100k ev)  ")(StatQueries.q152(spark, src).count())
+      time("q152_gini sf1.0          (1M ev)  ")(StatQueries.q152(spark, out).count())
+      graft.core.Pins.release()
+    }
+
+    // --- TPC-H star joins at 10× facts, fixed dims: the q153–q155 plans
+    // broadcast every dimension and shuffle facts at most once (q154's
+    // only exchanges are orders⋈lineitem + the final nation fold), so
+    // 10× facts must be ~10× scan+shuffle with dimension cost flat. The
+    // replicated orders/lineitem share one orderkey base (FK intact);
+    // customer/supplier/nation/region are the sf0.1 originals.
+    {
+      import graft.queries.RelationalQueries
+      time("q153_shipping_prio sf0.1 (600k li)")(RelationalQueries.q153(spark, src).count())
+      time("q153_shipping_prio sf1.0   (6M li)")(RelationalQueries.q153(spark, out).count())
+      time("q154_local_volume sf0.1  (600k li)")(RelationalQueries.q154(spark, src).count())
+      time("q154_local_volume sf1.0    (6M li)")(RelationalQueries.q154(spark, out).count())
+      time("q155_returned_items sf0.1(600k li)")(RelationalQueries.q155(spark, src).count())
+      time("q155_returned_items sf1.0  (6M li)")(RelationalQueries.q155(spark, out).count())
+      time("q157_waiting_supp sf0.1  (600k li)")(RelationalQueries.q157(spark, src).count())
+      time("q157_waiting_supp sf1.0    (6M li)")(RelationalQueries.q157(spark, out).count())
+      time("q158_waiting_1scan sf0.1 (600k li)")(RelationalQueries.q158(spark, src).count())
+      time("q158_waiting_1scan sf1.0   (6M li)")(RelationalQueries.q158(spark, out).count())
+    }
     spark.stop()
   }
 }

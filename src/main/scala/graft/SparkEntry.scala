@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AuditQueries, CoreQueries, PipelineQueries, RelationalQueries, StatQueries}
+import graft.queries.{AuditQueries, CoreQueries, MiningQueries, PipelineQueries, RelationalQueries, StatQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -12,7 +12,7 @@ object SparkEntry {
 
   private def all =
     CoreQueries.entries ++ PipelineQueries.entries ++ RelationalQueries.entries ++
-      AuditQueries.entries ++ StatQueries.entries
+      AuditQueries.entries ++ StatQueries.entries ++ MiningQueries.entries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,305 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Round-7 mining/curation queries (q159–q164, minus the relational
+  * q162 which lives with the TPC-H family): the EXACT set-similarity
+  * join (prefix filtering — the no-recall-loss counterpart to LSH),
+  * trend estimation and correlation in exact integer dataflow, the
+  * warehouse ANALYZE-style column profile, and temperature-based
+  * multilingual mixture sampling (the α-weighted resampling every
+  * multilingual LLM corpus ships through).
+  *
+  * House rules as everywhere: codegen'd built-ins only, a DuckDB oracle
+  * per query, integer (or decimal-exact) dataflow wherever a float sum
+  * would be order-sensitive, round(…, 4) only at the output boundary,
+  * total ORDER BY.
+  */
+object MiningQueries {
+  import CoreQueries.Q
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** DuckDB rendering of "first 13 md5 hex digits as an exact value"
+    * (the StatQueries.sqlHex52 construction): every digit term and
+    * partial sum is an integer < 2⁵³, so the double arithmetic is
+    * exact and the final CAST to BIGINT is the identical 52-bit value
+    * Spark's `conv(substring(h,1,13),16,10)` produces. */
+  private def sqlHex52(expr: String): String =
+    s"""CAST(list_sum(list_transform(generate_series(1, 13), i ->
+       |    CAST(strpos('0123456789abcdef', substr($expr, i, 1)) - 1 AS DOUBLE)
+       |    * power(16.0, 13 - i))) AS BIGINT)""".stripMargin
+
+  // --------------------------------------------------------------- Q159
+  /** EXACT near-dup pairs at shingle-Jaccard ≥ 0.5 via prefix
+    * filtering (`operators/PrefixFilterJoin` — AllPairs/PPJoin).
+    * q19/q21 bracket this operator from both sides: q19's LSH is
+    * approximate (recall < 1 by design), q21's tiled all-pairs is
+    * exact but inherently quadratic. Prefix filtering is the exact
+    * join that SCALES: the candidate self-join runs only on each
+    * set's rarest (1−τ)·n + 1 tokens under the global ascending-df
+    * order, so common shingles never generate a candidate and bucket
+    * width tracks token RARITY, not corpus size. The set elements are
+    * distinct word 3-gram shingles (the near-dup family's unit —
+    * word SETS collapse onto the small shared vocabulary and rank
+    * ~3/4 of all pairs as "similar", measured at sf0.01; shingle
+    * sets isolate the 25 true near-dup pairs). All threshold tests
+    * are integer cross-multiplications (tDen·inter ≥ tNum·union);
+    * the oracle replays df-ranking, prefix slicing and the
+    * intersection verify list-for-list. */
+  val q159: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextOps.shinglesNative(col("text"), 3).as("toks"))
+    graft.operators.PrefixFilterJoin.join(docs, "doc_id", "toks", 1, 2)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val q159Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |toks AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |           generate_series(1, len(w) - 2),
+      |           i -> array_to_string(w[i:i+2], ' ')))) AS tok
+      |         FROM w),
+      |df AS (SELECT doc_id, tok, count(*) OVER (PARTITION BY tok) AS df FROM toks),
+      |arr AS (SELECT doc_id, array_agg(tok ORDER BY df, tok) AS a,
+      |               CAST(count(*) AS BIGINT) AS n
+      |        FROM df GROUP BY doc_id),
+      |pref AS (SELECT doc_id, n, unnest(a[1 : CAST(n - ((n + 1) // 2) + 1 AS INTEGER)]) AS ptok
+      |         FROM arr),
+      |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+      |         FROM pref x JOIN pref y ON x.ptok = y.ptok AND x.doc_id < y.doc_id
+      |         WHERE greatest(x.n, y.n) <= 2 * least(x.n, y.n)),
+      |v AS (SELECT a_id, b_id,
+      |        CAST(len(list_intersect(xa.a, ya.a)) AS BIGINT) AS inter,
+      |        xa.n AS n_a, ya.n AS n_b
+      |      FROM cand
+      |      JOIN arr xa ON xa.doc_id = a_id
+      |      JOIN arr ya ON ya.doc_id = b_id)
+      |SELECT a_id, b_id, inter, n_a, n_b,
+      |       round(CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE), 4) AS jac
+      |FROM v WHERE 2 * inter >= 1 * (n_a + n_b - inter)
+      |ORDER BY a_id, b_id""".stripMargin
+
+  // --------------------------------------------------------------- Q160
+  /** Per-type activity TREND: ordinary-least-squares slope of daily
+    * event counts over the day index — "is this event type growing?",
+    * the monitoring question behind every ingestion dashboard. The
+    * corpus-sized work is ONE (event_type, day) groupBy; the OLS
+    * moments (n, Σx, Σy, Σxy, Σx²) then fold the days-sized relation
+    * with every term an exact integer (x = days since the global min
+    * day, y = a count), so `slope_num = n·Σxy − Σx·Σy` and
+    * `slope_den = n·Σx² − (Σx)²` are engine-identical BIGINTs and the
+    * single float divide happens once at the output boundary. Bound:
+    * n·Σxy < 2⁶³ needs Σxy < 2⁶³/days — at 100 TB with y ~ 10¹²/day
+    * and a 10-year x range the products stay < 10¹⁹ only if y is
+    * pre-scaled; the moments themselves are partial-aggregable so the
+    * fix is a per-day count in millions (documented dial). */
+  val q160: Q = (s, d) => {
+    val daily = t(s, d, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val base = daily.agg(min(col("day")).as("d0"))
+    daily.crossJoin(broadcast(base))
+      .select(col("event_type"), datediff(col("day"), col("d0")).cast("long").as("x"),
+        col("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n_days"),
+        (col("n_days") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n_days") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+      .withColumn("slope",
+        round(col("slope_num").cast("double") / col("slope_den").cast("double"), 4))
+      .orderBy(col("event_type"))
+  }
+
+  val q160Sql: String =
+    """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |                 CAST(count(*) AS BIGINT) AS y
+      |               FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(day) AS d0 FROM daily),
+      |xy AS (SELECT event_type, CAST(date_diff('day', d0, day) AS BIGINT) AS x, y
+      |       FROM daily CROSS JOIN b),
+      |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |        CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+      |      FROM xy GROUP BY 1)
+      |SELECT event_type, n_days,
+      |       n_days * sxy - sx * sy AS slope_num,
+      |       n_days * sxx - sx * sx AS slope_den,
+      |       round(CAST(n_days * sxy - sx * sy AS DOUBLE)
+      |             / CAST(n_days * sxx - sx * sx AS DOUBLE), 4) AS slope
+      |FROM s ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------------- Q161
+  /** ANALYZE-style COLUMN PROFILE of the events table in one wide row:
+    * row count, exact distinct users/types, null tally, exact integer
+    * value bounds (cents) and a 10-bin equi-width histogram — the
+    * stats relation a cost-based optimizer or a dataset card consumes.
+    * Two passes by construction: the bounds pass (at deployment this
+    * is FREE — parquet footers already carry min/max, and the bounds
+    * broadcast regardless), then one partial-aggregable profile scan.
+    * Bin edges are exact integers — `bin = min(9, 10·(c−lo) div
+    * span)` — because a float edge computed independently by two
+    * engines can land a boundary value in different bins (the q86
+    * breakpoint discipline). The two COUNT DISTINCTs expand the scan
+    * 3-way in one Exchange; everything is mergeable, so the profile
+    * maintains incrementally under union at scale. */
+  val q161: Q = (s, d) => {
+    val c = t(s, d, "events").select(col("user_id"), col("event_type"), col("props"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val b = c.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+    val binned = c.crossJoin(broadcast(b))
+      .withColumn("bin",
+        least(lit(9L), (lit(10L) * (col("cents") - col("lo")))
+          .divide(greatest(lit(1L), col("hi") - col("lo"))).cast("long")))
+    val hist = (0 to 9).map(i =>
+      sum(when(col("bin") === i, 1L).otherwise(0L)).as(s"h$i"))
+    binned.groupBy()
+      .agg(count(lit(1)).as("n_rows"),
+        Seq(countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("event_type")).as("n_types"),
+          sum(when(col("props").isNull, 1L).otherwise(0L)).as("null_props"),
+          min(col("cents")).as("lo_cents"),
+          max(col("cents")).as("hi_cents")) ++ hist: _*)
+  }
+
+  val q161Sql: String = {
+    val hist = (0 to 9).map(i =>
+      s"CAST(sum(CASE WHEN bin = $i THEN 1 ELSE 0 END) AS BIGINT) AS h$i").mkString(",\n  ")
+    s"""WITH c AS (SELECT user_id, event_type, props,
+       |             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+       |b AS (SELECT min(cents) AS lo, max(cents) AS hi FROM c),
+       |binned AS (SELECT c.*, least(9, (10 * (cents - lo)) // greatest(1, hi - lo)) AS bin
+       |           FROM c CROSS JOIN b)
+       |SELECT count(*) AS n_rows,
+       |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+       |  CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+       |  min(cents) AS lo_cents, max(cents) AS hi_cents,
+       |  $hist
+       |FROM binned""".stripMargin
+  }
+
+  // --------------------------------------------------------------- Q163
+  /** TEMPERATURE-based mixture sampling (α = 0.5): the multilingual
+    * resampling rule (w_lang ∝ n_lang^α) that upweights low-resource
+    * languages relative to proportional sampling — the knob every
+    * multilingual corpus recipe documents. Everything is exact:
+    * w = ⌊√(n·10⁶)⌋ is an exact integer in BOTH engines because IEEE
+    * sqrt is correctly rounded and for arguments < 2⁵² a non-square's
+    * true root sits ≫ ½ulp from any integer (bound: n < 4.5·10⁹ per
+    * language; beyond that, pre-scale n — the dial is documented);
+    * the per-doc membership test is the q67 hash frontier with the
+    * rate comparison cross-multiplied into DECIMAL(38,0)/HUGEINT —
+    * h·W·n < B·w·2⁵² — so no float rate ever exists. Join shape: the
+    * 5-row weight model broadcasts; the corpus scan is join-free
+    * beyond it; the hash frontier NESTS (a larger budget strictly
+    * grows the sample — q67's property, inherited). */
+  val q163: Q = (s, d) => {
+    val docs = t(s, d, "documents").select(col("lang"), col("doc_id"))
+    val cnt = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val w = cnt.withColumn("w",
+      floor(sqrt(col("n_docs").cast("double") * lit(1000000.0))).cast("long"))
+    val tot = w.agg(sum(col("w")).as("wsum"), sum(col("n_docs")).as("n_all"))
+    val model = broadcast(w.crossJoin(broadcast(tot)))
+    val dec = "DECIMAL(38,0)"
+    docs.join(model, "lang")
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10).cast("long"))
+      .withColumn("sampled",
+        expr(s"CAST(h AS $dec) * CAST(wsum AS $dec) * CAST(n_docs AS $dec) < " +
+          s"CAST(n_all div 4 AS $dec) * CAST(w AS $dec) * CAST(4503599627370496 AS $dec)"))
+      .groupBy(col("lang"), col("n_docs"), col("w"), col("wsum"))
+      .agg(sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"))
+      .select(col("lang"), col("n_docs"),
+        expr("(1000000 * w) div wsum").as("w_ppm"), col("n_sampled"))
+      .orderBy(col("lang"))
+  }
+
+  val q163Sql: String =
+    s"""WITH cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+       |             FROM documents GROUP BY 1),
+       |w AS (SELECT lang, n_docs,
+       |        CAST(floor(sqrt(CAST(n_docs AS DOUBLE) * 1000000.0)) AS BIGINT) AS w
+       |      FROM cnt),
+       |tot AS (SELECT CAST(sum(w) AS BIGINT) AS wsum,
+       |               CAST(sum(n_docs) AS BIGINT) AS n_all FROM w),
+       |j AS (SELECT d.lang, w.n_docs, w.w, t.wsum, t.n_all,
+       |        ${sqlHex52("md5(CAST(d.doc_id AS VARCHAR))")} AS h
+       |      FROM documents d JOIN w ON d.lang = w.lang CROSS JOIN tot t)
+       |SELECT lang, n_docs, (1000000 * w) // wsum AS w_ppm,
+       |  CAST(sum(CASE WHEN CAST(h AS HUGEINT) * wsum * n_docs
+       |                     < CAST(n_all // 4 AS HUGEINT) * w * 4503599627370496
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+       |FROM j GROUP BY lang, n_docs, w, wsum ORDER BY lang""".stripMargin
+
+  // --------------------------------------------------------------- Q164
+  /** Per-type value↔hour CORRELATION in exact integer dataflow: does
+    * event value depend on time of day? Pearson r is irrational, so
+    * the portable statistic is r² in ppm — `r2_ppm = 10⁶·cov² div
+    * (varx·vary)` with `cov = n·Σxy − Σx·Σy` etc. all exact BIGINTs
+    * and the squares/products lifted into DECIMAL(38,0)/HUGEINT
+    * (cov² alone can pass 2⁶³; 10⁶·cov² < 10³⁸ bounds the method at
+    * ~10⁷ rows × cent values per group — past that, pre-aggregate y
+    * into larger units, same dial as q160). The sign travels
+    * separately as an exact −1/0/+1. One partial-aggregable moments
+    * scan; everything after is group-count-sized. Zero-variance
+    * groups short-circuit to r2 = 0 BEFORE the divide (ANSI mode
+    * would throw on /0; the CASE is the cross-engine guard). */
+  val q164: Q = (s, d) => {
+    val dec = "DECIMAL(38,0)"
+    t(s, d, "events")
+      .select(col("event_type"), hour(col("ts")).cast("long").as("x"),
+        round(col("value") * 100).cast("long").as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("cov"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("varx"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("vary"))
+      .select(col("event_type"), col("n"),
+        when(col("cov") > 0, 1L).when(col("cov") < 0, -1L).otherwise(0L).as("r_sign"),
+        when(col("varx") === 0 || col("vary") === 0, 0L).otherwise(
+          expr(s"(CAST(1000000 AS $dec) * CAST(cov AS $dec) * CAST(cov AS $dec)) div " +
+            s"(CAST(varx AS $dec) * CAST(vary AS $dec))")).as("r2_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  val q164Sql: String =
+    """WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |             CAST(sum(x * y) AS BIGINT) AS sxy,
+      |             CAST(sum(x * x) AS BIGINT) AS sxx,
+      |             CAST(sum(y * y) AS BIGINT) AS syy
+      |           FROM (SELECT event_type,
+      |                   CAST(hour(ts) AS BIGINT) AS x,
+      |                   CAST(round(value * 100) AS BIGINT) AS y
+      |                 FROM events)
+      |           GROUP BY 1),
+      |c AS (SELECT event_type, n,
+      |        n * sxy - sx * sy AS cov,
+      |        n * sxx - sx * sx AS varx,
+      |        n * syy - sy * sy AS vary
+      |      FROM m)
+      |SELECT event_type, n,
+      |  CAST(CASE WHEN cov > 0 THEN 1 WHEN cov < 0 THEN -1 ELSE 0 END AS BIGINT) AS r_sign,
+      |  CAST(CASE WHEN varx = 0 OR vary = 0 THEN 0
+      |            ELSE (1000000 * CAST(cov AS HUGEINT) * cov)
+      |                 // (CAST(varx AS HUGEINT) * vary) END AS BIGINT) AS r2_ppm
+      |FROM c ORDER BY event_type""".stripMargin
+
+  /** name → (query, oracle) */
+  val entries: Seq[(String, Q, String)] = Seq(
+    ("q159_prefix_filter_join", q159, q159Sql),
+    ("q160_trend_ols", q160, q160Sql),
+    ("q161_column_profile", q161, q161Sql),
+    ("q163_temperature_mix", q163, q163Sql),
+    ("q164_value_hour_corr", q164, q164Sql))
+}

@@ -721,6 +721,67 @@ object RelationalQueries {
 
   val q158Sql: String = q157Sql
 
+  // --------------------------------------------------------------- Q162
+  /** TPC-H Q7 shape — VOLUME SHIPPING between two trading nations: the
+    * TWO-ROLE dimension join the star suite lacks. nation joins the
+    * fact twice under different roles (supplier's nation via
+    * lineitem→supplier, customer's nation via orders→customer), and
+    * the pair filter keeps both directions — (A,B) and (B,A) — so
+    * neither role's filter can be pushed alone. Both role chains are
+    * dimension-sized and BROADCAST (supplier+nation resolves to a
+    * suppkey→nation map, customer+nation to a custkey→nation map);
+    * the only shuffle-weight join is orders⋈lineitem, so the fact
+    * still moves at most once — the Q5 discipline surviving the
+    * double-role twist. Year from l_shipdate inside the aggregate
+    * key; revenue exact-decimal, rounded at the boundary. */
+  val q162: Q = (s, d) => {
+    import graft.core.Dsl.{dec2, dec4}
+    val one = lit(1).cast(org.apache.spark.sql.types.DecimalType(5, 4))
+    val nat = t(s, d, "nation")
+      .filter(col("n_name").isin("NATION_3", "NATION_7"))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = t(s, d, "supplier")
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = t(s, d, "customer")
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"),
+        (dec2(col("l_extendedprice")) * (one - dec4(col("l_discount")))).as("rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(round(sum(col("rev")).cast("double"), 2).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val q162Sql: String =
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))
+      |    * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE), 2)
+      |    AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |WHERE sn.n_name IN ('NATION_3', 'NATION_7')
+      |  AND cn.n_name IN ('NATION_3', 'NATION_7')
+      |  AND sn.n_name <> cn.n_name
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY sn.n_name, cn.n_name, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q153_shipping_priority", q153, q153Sql),
@@ -728,6 +789,7 @@ object RelationalQueries {
     ("q155_returned_items", q155, q155Sql),
     ("q157_waiting_suppliers", q157, q157Sql),
     ("q158_waiting_suppliers_onescan", q158, q158Sql),
+    ("q162_volume_shipping", q162, q162Sql),
     ("q31_correlated_subquery", q31, q31Sql),
     ("q32_percentiles", q32, q32Sql),
     ("q33_date_arithmetic", q33, q33Sql),

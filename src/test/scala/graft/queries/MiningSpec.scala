@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** Invariant tests for the round-7 mining family (q159–q164) on
+  * sf0.001 plus synthetic constructions — the properties the
+  * exact-value oracle compare cannot express: OLS on a known line,
+  * perfect/zero correlation endpoints, histogram mass conservation,
+  * and the temperature-sampling monotonicity contract.
+  */
+class MiningSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q159: every returned pair meets the threshold exactly; symmetric in input order") {
+    val rows = MiningQueries.q159(spark, sf0001)
+      .select("a_id", "b_id", "inter", "n_a", "n_b")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    rows.foreach { case (a, b, inter, na, nb) =>
+      assert(a < b, s"pair ($a,$b) not ordered")
+      assert(2 * inter >= na + nb - inter, s"pair ($a,$b) below τ")
+      assert(inter <= math.min(na, nb), s"pair ($a,$b) inter exceeds set size")
+    }
+  }
+
+  test("q160: exact slope on a constructed line, integer moments") {
+    // y = 3x + 7 over 5 days → slope_num/slope_den = 3 exactly
+    val ev = (0 until 5).flatMap { day =>
+      (0 until 3 * day + 7).map { i =>
+        (day.toLong * 1000 + i, java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00"),
+          1L, "click", 1.0, "{}")
+      }
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ols").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = MiningQueries.q160(spark, dir)
+      .select("slope_num", "slope_den", "slope")
+      .as[(Long, Long, Double)].head()
+    assert(got._1 == 3 * got._2, s"slope ${got._1}/${got._2} ≠ 3")
+    assert(got._3 == 3.0)
+  }
+
+  test("q161: histogram mass equals the row count, bounds ordered") {
+    val row = MiningQueries.q161(spark, sf0001).collect().head
+    val n = row.getAs[Long]("n_rows")
+    val hsum = (0 to 9).map(i => row.getAs[Long](s"h$i")).sum
+    assert(hsum == n, s"histogram mass $hsum ≠ n_rows $n")
+    assert(row.getAs[Long]("lo_cents") <= row.getAs[Long]("hi_cents"))
+    assert(row.getAs[Long]("n_users") > 0 && row.getAs[Long]("n_types") > 0)
+  }
+
+  test("q163: α=0.5 upweights low-resource languages; samples within bounds") {
+    val rows = MiningQueries.q163(spark, sf0001)
+      .select("lang", "n_docs", "w_ppm", "n_sampled")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (l, n, _, k) =>
+      assert(k >= 0 && k <= n, s"$l: sampled $k of $n")
+    }
+    // temperature flattening: weight SHARE per doc strictly higher for
+    // smaller languages — w/n ∝ 1/√n is monotone decreasing in n
+    val byN = rows.sortBy(_._2)
+    byN.sliding(2).foreach {
+      case Array((la, na, wa, _), (lb, nb, wb, _)) if na < nb =>
+        assert(wa.toDouble / na > wb.toDouble / nb,
+          s"$la (n=$na) not upweighted vs $lb (n=$nb)")
+      case _ => ()
+    }
+  }
+
+  test("q164: perfect line → r2_ppm = 10⁶ with the line's sign; constant value → 0") {
+    // value = 2·hour cents-exact → r² = 1; value constant → vary = 0 → 0
+    val ev = (0 until 24).flatMap { h =>
+      Seq((h.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00"),
+          1L, "lin", 2.0 * h, "{}"),
+        (100L + h, java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00"),
+          1L, "flat", 5.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_corr").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val byType = MiningQueries.q164(spark, dir)
+      .select("event_type", "r_sign", "r2_ppm")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byType("lin") == ((1L, 1000000L)), s"lin: ${byType("lin")}")
+    assert(byType("flat") == ((0L, 0L)), s"flat: ${byType("flat")}")
+  }
+}

@@ -56,12 +56,16 @@ object PrefixFilterJoin {
     val ranked = ex.withColumn("__df", count(lit(1)).over(wdf))
     // per-set arrays sorted by (df, token): collect_list order is
     // partition-dependent, so array_sort over (df, tok) structs
-    // canonicalizes before the transform strips the df
-    val arr = ranked.groupBy(col("__id"))
+    // canonicalizes before the transform strips the df. PINNED: the
+    // relation is consumed three times (prefix explode + both verify
+    // sides) — unpinned, each reference re-plans the tokenize + two
+    // shuffles (the q157 discipline; at scale this is the sorted-set
+    // relation a pipeline materializes beside the corpus once)
+    val arr = graft.core.Pins.pin(ranked.groupBy(col("__id"))
       .agg(array_sort(collect_list(struct(col("__df"), col("__tok")))).as("__st"))
       .select(col("__id"),
         expr("transform(__st, x -> x.__tok)").as("__toks"),
-        size(col("__st")).cast("long").as("__n"))
+        size(col("__st")).cast("long").as("__n")))
     // p = n − ⌈τ·n⌉ + 1, all-integer: ⌈a/b⌉ = (a + b − 1) div b
     val prefix = arr.select(col("__id"), col("__n"),
       explode(expr(

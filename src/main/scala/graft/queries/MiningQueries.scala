@@ -1,17 +1,20 @@
 package graft.queries
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 
-/** Round-7 mining/curation queries (q159–q164, minus the relational
+/** Round-7 mining/curation queries (q159–q167, minus the relational
   * q162 which lives with the TPC-H family): the EXACT set-similarity
   * join (prefix filtering — the no-recall-loss counterpart to LSH),
   * trend estimation and correlation in exact integer dataflow, the
-  * warehouse ANALYZE-style column profile, and temperature-based
+  * warehouse ANALYZE-style column profile, temperature-based
   * multilingual mixture sampling (the α-weighted resampling every
-  * multilingual LLM corpus ships through).
+  * multilingual LLM corpus ships through), the SCD-2 versioned
+  * dimension build, the snapshot reconciliation diff, and the
+  * sort-free equi-depth histogram.
   *
   * House rules as everywhere: codegen'd built-ins only, a DuckDB oracle
   * per query, integer (or decimal-exact) dataflow wherever a float sum
@@ -295,11 +298,177 @@ object MiningQueries {
       |                 // (CAST(varx AS HUGEINT) * vary) END AS BIGINT) AS r2_ppm
       |FROM c ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- Q165
+  /** SCD-TYPE-2 history build — q77's upsert keeps only the CURRENT row
+    * (SCD-1); this derives the full VERSIONED dimension: base snapshot
+    * (customer balances) + an update stream (each customer's orders,
+    * latest-per-day by the max_by(orderkey) determinism rule) become
+    * contiguous validity intervals — version n closes exactly where
+    * version n+1 opens (lead window), the live row carries NULL
+    * valid_to. ONE shuffle on the dimension key does everything: the
+    * union of base and updates rides a single (custkey)-partitioned
+    * window for both the version numbers and the interval closes. At
+    * 100 TB the update stream is the delta batch and the base is the
+    * stored dimension — the same plan, with the window per-key state
+    * bounded by versions-per-key, not table size. */
+  val q165: Q = (s, d) => {
+    val base = t(s, d, "customer").select(col("c_custkey").as("custkey"),
+      lit(0L).as("valid_from_us"),
+      round(col("c_acctbal") * 100).cast("long").as("value_cents"))
+    val upd = t(s, d, "orders")
+      .groupBy(col("o_custkey").as("custkey"),
+        unix_micros(col("o_orderdate")).as("valid_from_us"))
+      .agg(expr("max_by(o_totalprice, o_orderkey)").as("p"))
+      .select(col("custkey"), col("valid_from_us"),
+        round(col("p") * 100).cast("long").as("value_cents"))
+    val w = Window.partitionBy(col("custkey")).orderBy(col("valid_from_us"))
+    base.unionByName(upd)
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+      .select(col("custkey"), col("version"), col("value_cents"),
+        col("valid_from_us"), col("valid_to_us"))
+      .orderBy(col("custkey"), col("version"))
+  }
+
+  val q165Sql: String =
+    """WITH base AS (SELECT c_custkey AS custkey, CAST(0 AS BIGINT) AS valid_from_us,
+      |                CAST(round(c_acctbal * 100) AS BIGINT) AS value_cents
+      |              FROM customer),
+      |upd AS (SELECT o_custkey AS custkey, epoch_us(o_orderdate) AS valid_from_us,
+      |          CAST(round(max_by(o_totalprice, o_orderkey) * 100) AS BIGINT) AS value_cents
+      |        FROM orders GROUP BY 1, 2),
+      |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd)
+      |SELECT custkey,
+      |  CAST(row_number() OVER w AS BIGINT) AS version, value_cents,
+      |  valid_from_us, lead(valid_from_us, 1) OVER w AS valid_to_us
+      |FROM u
+      |WINDOW w AS (PARTITION BY custkey ORDER BY valid_from_us)
+      |ORDER BY custkey, version""".stripMargin
+
+  // --------------------------------------------------------------- Q166
+  /** SNAPSHOT DIFF — the reconciliation audit between two versions of
+    * a derived table (here: per-customer order profiles over two
+    * overlapping date windows, so added / removed / changed / unchanged
+    * all occur). The base fact scan is PINNED and both versions fold
+    * from it (one scan, two slim aggregates); the diff is ONE full
+    * outer join on the key and the report is a 4-row change_type
+    * summary with exact integer row-count and value-delta mass. This
+    * is the nightly "did the pipeline change what it shouldn't have"
+    * gate: at scale both versions are stored snapshots, the join is
+    * the only corpus-key shuffle, and every aggregate is mergeable. */
+  val q166: Q = (s, d) => {
+    val li = graft.core.Pins.pin(
+      t(s, d, "orders").select(col("o_custkey"), col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("long").as("cents")))
+    def snap(lo: String, hi: String) = li
+      .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+        col("o_orderdate") < lit(hi).cast("timestamp"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("total"))
+    val a = snap("1992-01-01", "1996-01-01")
+      .select(col("o_custkey").as("k"), col("n").as("n_a"), col("total").as("t_a"))
+    val b = snap("1995-01-01", "1999-01-01")
+      .select(col("o_custkey").as("k"), col("n").as("n_b"), col("total").as("t_b"))
+    a.join(b, Seq("k"), "full_outer")
+      .withColumn("change_type",
+        when(col("n_a").isNull, "added")
+          .when(col("n_b").isNull, "removed")
+          .when(col("n_a") === col("n_b") && col("t_a") === col("t_b"), "unchanged")
+          .otherwise("changed"))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(coalesce(col("t_b"), lit(0L)) - coalesce(col("t_a"), lit(0L)))
+          .as("delta_cents"))
+      .orderBy(col("change_type"))
+  }
+
+  val q166Sql: String =
+    """WITH li AS (SELECT o_custkey, o_orderdate,
+      |              CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+      |a AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n_a,
+      |        CAST(sum(cents) AS BIGINT) AS t_a
+      |      FROM li WHERE o_orderdate >= TIMESTAMP '1992-01-01'
+      |        AND o_orderdate < TIMESTAMP '1996-01-01' GROUP BY 1),
+      |b AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n_b,
+      |        CAST(sum(cents) AS BIGINT) AS t_b
+      |      FROM li WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      |        AND o_orderdate < TIMESTAMP '1999-01-01' GROUP BY 1),
+      |j AS (SELECT coalesce(a.k, b.k) AS k, n_a, t_a, n_b, t_b
+      |      FROM a FULL OUTER JOIN b ON a.k = b.k)
+      |SELECT CASE WHEN n_a IS NULL THEN 'added'
+      |            WHEN n_b IS NULL THEN 'removed'
+      |            WHEN n_a = n_b AND t_a = t_b THEN 'unchanged'
+      |            ELSE 'changed' END AS change_type,
+      |  CAST(count(*) AS BIGINT) AS n_keys,
+      |  CAST(sum(coalesce(t_b, 0) - coalesce(t_a, 0)) AS BIGINT) AS delta_cents
+      |FROM j GROUP BY 1 ORDER BY change_type""".stripMargin
+
+  // --------------------------------------------------------------- Q167
+  /** EQUI-DEPTH histogram of event values WITHOUT a global sort —
+    * q161's equi-width sibling, built the way it survives 100 TB. The
+    * naive depth histogram ranks every row (q152's global window — fine
+    * over a users-sized fold, a scale-killer over raw events); here the
+    * 9 bucket BREAKPOINTS come from the cumulative counts of the
+    * (cents → count) VALUES GRID (the q141 discipline: the grid is
+    * value-domain-sized, ~50k cents values, regardless of row count),
+    * each breakpoint b = the smallest value whose cumulative count
+    * exceeds ⌊b·n/10⌋. The 9-row breakpoint relation then broadcasts
+    * and bucket(v) = #breakpoints ≤ v is a scan-local integer — the
+    * per-bucket aggregates (count, bounds, exact user NDV) are all
+    * partial-aggregable. Ties land whole values in one bucket, so
+    * depths are only approximately n/10 — the price of a
+    * value-deterministic, engine-portable assignment (documented;
+    * breakpoints themselves are exact order statistics, the q86
+    * discipline). */
+  val q167: Q = (s, d) => {
+    val c = graft.core.Pins.pin(t(s, d, "events")
+      .select(col("user_id"), round(col("value") * 100).cast("long").as("cents")))
+    val grid = c.groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
+    val wcum = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.withColumn("cum", sum(col("cnt")).over(wcum))
+    val n = c.agg(count(lit(1)).as("n"))
+    // breakpoint b (1..9): smallest value with cum > (b·n) div 10
+    val bps = cum.crossJoin(broadcast(n))
+      .crossJoin(broadcast(s.range(1, 10).select(col("id").as("b"))))
+      .filter(col("cum") > expr("(b * n) div 10"))
+      .groupBy(col("b")).agg(min(col("cents")).as("bp"))
+    val bpArr = broadcast(bps.agg(sort_array(collect_list(col("bp"))).as("bpa")))
+    c.crossJoin(bpArr)
+      .withColumn("bucket",
+        expr("size(filter(bpa, x -> x <= cents))").cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), min(col("cents")).as("lo_cents"),
+        max(col("cents")).as("hi_cents"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("bucket"))
+  }
+
+  val q167Sql: String =
+    """WITH c AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |grid AS (SELECT cents, count(*) AS cnt FROM c GROUP BY 1),
+      |cum AS (SELECT cents, sum(cnt) OVER (ORDER BY cents
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM grid),
+      |n AS (SELECT count(*) AS n FROM c),
+      |bps AS (SELECT b, min(cents) AS bp
+      |        FROM cum CROSS JOIN n CROSS JOIN generate_series(1, 9) t(b)
+      |        WHERE cum > (b * n) // 10 GROUP BY b),
+      |bpa AS (SELECT list_sort(list(bp)) AS bpa FROM bps)
+      |SELECT CAST(len(list_filter(bpa, x -> x <= cents)) AS BIGINT) AS bucket,
+      |  count(*) AS n_rows, min(cents) AS lo_cents, max(cents) AS hi_cents,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM c CROSS JOIN bpa
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q159_prefix_filter_join", q159, q159Sql),
     ("q160_trend_ols", q160, q160Sql),
     ("q161_column_profile", q161, q161Sql),
     ("q163_temperature_mix", q163, q163Sql),
-    ("q164_value_hour_corr", q164, q164Sql))
+    ("q164_value_hour_corr", q164, q164Sql),
+    ("q165_scd2_history", q165, q165Sql),
+    ("q166_snapshot_diff", q166, q166Sql),
+    ("q167_equidepth_hist", q167, q167Sql))
 }
+

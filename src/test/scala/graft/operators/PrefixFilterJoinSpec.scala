@@ -27,7 +27,7 @@ class PrefixFilterJoinSpec extends SparkSpec {
   }
 
   private def check(sets: Seq[(Long, Seq[String])], tNum: Int, tDen: Int): Unit = {
-    val got = run(sets, tNum, tDen)
+    val got = try run(sets, tNum, tDen) finally graft.core.Pins.release()
     val want = brute(sets.map { case (i, ts) => (i, ts.toSet) }, tNum, tDen)
     assert(got == want,
       s"τ=$tNum/$tDen: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
@@ -81,6 +81,22 @@ class PrefixFilterJoinSpec extends SparkSpec {
     val df = Seq(1L -> Seq("a", "b", "c"), 2L -> Seq("a", "b", "d")).toDF("id", "toks")
     val row = PrefixFilterJoin.join(df, "id", "toks", 1, 2)
       .select("inter", "jac").as[(Long, Double)].head()
+    graft.core.Pins.release()
     assert(row == ((2L, 0.5)), s"got $row") // inter 2, union 4
+  }
+
+  test("plan: the pinned sorted-set relation feeds all three references — no re-derivation") {
+    val docs = graft.core.Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextOps.shinglesNative(col("text"), 3).as("toks"))
+    val joined = PrefixFilterJoin.join(docs, "doc_id", "toks", 1, 2)
+    try {
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Scan parquet"),
+        "the join plan must read the ONE pinned sorted-set relation, " +
+          "never re-derive it from the corpus scan")
+      assert(p.linesIterator.count(_.contains("Scan ExistingRDD")) >= 3,
+        "prefix explode + both verify sides must all read the pin")
+    } finally graft.core.Pins.release()
   }
 }

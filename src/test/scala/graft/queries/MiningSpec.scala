@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.core.Tables
 
-/** Invariant tests for the round-7 mining family (q159–q164) on
+/** Invariant tests for the round-7 mining family (q159–q167) on
   * sf0.001 plus synthetic constructions — the properties the
   * exact-value oracle compare cannot express: OLS on a known line,
   * perfect/zero correlation endpoints, histogram mass conservation,
@@ -86,5 +86,59 @@ class MiningSpec extends SparkSpec {
       .map(r => r._1 -> (r._2, r._3)).toMap
     assert(byType("lin") == ((1L, 1000000L)), s"lin: ${byType("lin")}")
     assert(byType("flat") == ((0L, 0L)), s"flat: ${byType("flat")}")
+  }
+
+  test("q165: versions contiguous per key — each close equals the next open; one live row per key") {
+    val rows = MiningQueries.q165(spark, sf0001)
+      .select("custkey", "version", "valid_from_us", "valid_to_us")
+      .as[(Long, Long, Long, Option[Long])].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (k, vs) =>
+      val sorted = vs.sortBy(_._2)
+      assert(sorted.head._2 == 1L && sorted.head._3 == 0L,
+        s"key $k: version 1 must be the base row opening at 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.contains(b._3),
+            s"key $k: version ${a._2} closes at ${a._4}, next opens ${b._3}")
+        case _ => ()
+      }
+      assert(sorted.count(_._4.isEmpty) == 1, s"key $k: exactly one live row")
+    }
+  }
+
+  test("q166: change types partition the key space; mass checks out") {
+    val rows = MiningQueries.q166(spark, sf0001)
+      .select("change_type", "n_keys", "delta_cents")
+      .as[(String, Long, Long)].collect()
+    graft.core.Pins.release()
+    assert(rows.map(_._1).toSet.subsetOf(
+      Set("added", "removed", "changed", "unchanged")))
+    val totalKeys = rows.map(_._2).sum
+    val want = Tables.load(spark, sf0001, "orders")
+      .select("o_custkey").distinct().count()
+    assert(totalKeys == want,
+      s"diff covered $totalKeys keys, union of snapshots has $want")
+  }
+
+  test("q167: buckets tile the value domain in order; mass conserved; depths bounded") {
+    val rows = MiningQueries.q167(spark, sf0001)
+      .select("bucket", "n_rows", "lo_cents", "hi_cents", "n_users")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    graft.core.Pins.release()
+    val total = Tables.load(spark, sf0001, "events").count()
+    assert(rows.map(_._2).sum == total, "histogram mass must equal the row count")
+    rows.foreach { case (b, n, lo, hi, u) =>
+      assert(b >= 0 && b <= 9 && n > 0 && lo <= hi && u <= n, s"bucket $b malformed")
+    }
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 < b._3,
+        s"bucket ${a._1} hi ${a._4} must sit below bucket ${b._1} lo ${b._3}")
+      case _ => ()
+    }
+    // equi-DEPTH: no bucket more than ~3× the ideal tenth (ties can
+    // skew, but the breakpoints must still spread the mass)
+    assert(rows.map(_._2).max <= 3 * (total / 10 + 1),
+      s"a bucket holds ${rows.map(_._2).max} of $total rows — breakpoints degenerate")
   }
 }

@@ -86,6 +86,21 @@ class TpchJoinSpec extends SparkSpec {
         s"repartition feeding groupBy+window+join); saw $factExch")
   }
 
+  test("q162: both role chains broadcast; the fact shuffles on one key; ship-date pushes down") {
+    val p = scalePlan(RelationalQueries.q162)
+    val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 2,
+      s"the suppkey→nation and custkey→nation role maps must both broadcast " +
+        s"(explicit hints survive -1 threshold); saw $bhj")
+    val factExch = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(l_orderkey"))
+    assert(factExch == 1,
+      s"lineitem must shuffle exactly once (the orders equi-join); saw $factExch")
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("l_shipdate")),
+      "ship-date range must reach the lineitem scan")
+  }
+
   test("q157 and q158 return identical results") {
     val a = RelationalQueries.q157(spark, sf0001).collect().toSeq
     val b = RelationalQueries.q158(spark, sf0001).collect().toSeq

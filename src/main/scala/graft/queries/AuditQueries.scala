@@ -955,6 +955,68 @@ object AuditQueries {
       |                AND f_range = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
       |FROM f GROUP BY label ORDER BY label""".stripMargin
 
+  // --------------------------------------------------------------- Q168
+  /** ANN MRR — q117's ranking-aware sibling: recall@10 says WHETHER the
+    * true neighbors surface; the reciprocal rank of the TRUE nearest
+    * neighbor says WHERE — an index that always buries the best match
+    * at rank 9 scores recall 1.0 but MRR 0.11, and retrieval-augmented
+    * training cares about the difference (the shortlist is truncated
+    * far harder downstream than the eval's k). Same fused one-window
+    * shape as q117: one pinned scored relation, rkAll = 1 marks the
+    * true NN, the running in-bucket count IS its bucket rank, and the
+    * reciprocal rank stays RATIONAL — rr_ppm = 10⁶ div rank — so no
+    * float harmonic sums exist (MRR's 1/r is where cross-engine float
+    * summation usually dies). Per-probe row + the exact aggregate mass
+    * is the caller's mean. */
+  val q168: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("bkt", VectorOps.signBucket(col("v"), 4))
+    val probes = broadcast(e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("pid"), col("v").as("pv"), col("bkt").as("pbkt")))
+    val scored = graft.core.Pins.pin(
+      e.crossJoin(probes).filter(col("vec_id") =!= col("pid"))
+        .select(col("pid"), col("vec_id"),
+          (col("bkt") === col("pbkt")).as("in_bucket"),
+          round(VectorOps.cosine(col("v"), col("pv")), 4).as("sim")))
+    val rk = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .withColumn("rkAll", row_number().over(rk))
+      .withColumn("rkB", sum(when(col("in_bucket"), 1L).otherwise(0L))
+        .over(rk.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("rkAll") === 1)
+      .select(col("pid").as("probe_id"), col("vec_id").as("nn_id"),
+        col("in_bucket").cast("int").as("nn_in_bucket"),
+        when(col("in_bucket") && col("rkB") <= 10,
+          expr("1000000 div rkB")).otherwise(0L).as("rr_ppm"))
+      .orderBy(col("probe_id"))
+  }
+
+  val q168Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |b AS (SELECT vec_id, v,
+      |        CAST(list_sum(list_transform(generate_series(1, 4),
+      |          i -> CASE WHEN v[i] > 0 THEN CAST(2 ** (i - 1) AS BIGINT)
+      |               ELSE 0 END)) AS BIGINT) AS bkt
+      |      FROM e),
+      |p AS (SELECT vec_id AS pid, v AS pv, bkt AS pbkt FROM b WHERE vec_id < 5),
+      |sc AS (SELECT p.pid, b.vec_id, b.bkt = p.pbkt AS in_bucket,
+      |         round(list_inner_product(b.v, p.pv)
+      |               / (sqrt(list_inner_product(b.v, b.v))
+      |                  * sqrt(list_inner_product(p.pv, p.pv))), 4) AS sim
+      |       FROM b CROSS JOIN p WHERE b.vec_id <> p.pid),
+      |r AS (SELECT pid, vec_id, in_bucket,
+      |        row_number() OVER w AS rkAll,
+      |        sum(CASE WHEN in_bucket THEN 1 ELSE 0 END) OVER
+      |          (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rkB
+      |      FROM sc
+      |      WINDOW w AS (PARTITION BY pid ORDER BY sim DESC, vec_id))
+      |SELECT pid AS probe_id, vec_id AS nn_id,
+      |       CAST(in_bucket AS INT) AS nn_in_bucket,
+      |       CAST(CASE WHEN in_bucket AND rkB <= 10 THEN 1000000 // rkB
+      |            ELSE 0 END AS BIGINT) AS rr_ppm
+      |FROM r WHERE rkAll = 1 ORDER BY probe_id""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q114_chunk_dup_filter", q114, q114Sql),
@@ -971,5 +1033,6 @@ object AuditQueries {
     ("q125_neardup_degree", q125, q125Sql),
     ("q126_asof_nearest", q126, q126Sql),
     ("q127_lsh_recall", q127, q127Sql),
-    ("q128_vector_hygiene", q128, q128Sql))
+    ("q128_vector_hygiene", q128, q128Sql),
+    ("q168_ann_mrr", q168, q168Sql))
 }

@@ -711,4 +711,96 @@ object EventStream {
           best.iterator
       }
   }
+
+  // ------------------------------------------------------------ profile
+
+  /** One batch of the continuous COLUMN-PROFILE maintainer — q161's
+    * streaming twin, proving the "every aggregate mergeable" claim by
+    * actually merging. The wide profile row itself is NOT the mergeable
+    * representation (its histogram bins depend on the global bounds,
+    * which move as data arrives — bins stored per batch could never be
+    * re-binned); what merges is
+    *   (a) the value-domain-sized cents GRID (count, bounds and ANY
+    *       binning derive from it — the q167 insight applied to
+    *       incremental maintenance),
+    *   (b) the distinct user/type key stores (an exact NDV is not
+    *       mergeable as a NUMBER, but it is as a SET), and
+    *   (c) a per-batch meta row for row/null tallies.
+    * Store discipline: append-only parquet, (batch_id, …)-keyed with
+    * max-dedup on read for grid/meta, value-dedup on read for the key
+    * stores — a crash-replay re-append of the same batch cannot
+    * double-count (the burst/count-min replay rule). Per-batch cost is
+    * the batch scan + value-domain-sized writes, never the stream
+    * life. */
+  def profileBatch(batch: DataFrame, batchId: Long, profDir: String): Unit = {
+    val b = batch.select(col("user_id"), col("event_type"), col("props"),
+      round(col("value") * 100).cast("long").as("cents"))
+      .localCheckpoint()
+    try {
+      b.groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(s"$profDir/grid")
+      b.select(col("user_id")).distinct()
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(s"$profDir/users")
+      b.select(col("event_type")).distinct()
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(s"$profDir/types")
+      b.agg(count(lit(1)).as("n_rows"),
+          sum(when(col("props").isNull, 1L).otherwise(0L)).as("null_props"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(s"$profDir/meta")
+    } finally b.unpersist()
+  }
+
+  /** The maintained profile derived from the stores — bit-identical to
+    * batch q161 over the union of every ingested batch (spec-pinned,
+    * including a replayed batch). Bins are (re)derived from the CURRENT
+    * global bounds over the grid, so the moving-bounds problem never
+    * exists; the heaviest read is the value-domain-sized grid plus one
+    * distinct count over each key store. */
+  def profileSnapshot(spark: org.apache.spark.sql.SparkSession,
+                      profDir: String): DataFrame = {
+    val grid = spark.read.parquet(s"$profDir/grid")
+      .groupBy(col("batch_id"), col("cents")).agg(max(col("cnt")).as("cnt"))
+      .groupBy(col("cents")).agg(sum(col("cnt")).as("cnt"))
+    val bounds = grid.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+    val hist = (0 to 9).map(i =>
+      sum(when(col("bin") === i, col("cnt")).otherwise(0L)).as(s"h$i"))
+    val binned = grid.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        least(lit(9L), (lit(10L) * (col("cents") - col("lo")))
+          .divide(greatest(lit(1L), col("hi") - col("lo"))).cast("long")))
+      .groupBy()
+      .agg(min(col("cents")).as("lo_cents"), Seq(max(col("cents")).as("hi_cents")) ++ hist: _*)
+    val meta = spark.read.parquet(s"$profDir/meta")
+      .groupBy(col("batch_id"))
+      .agg(max(col("n_rows")).as("n_rows"), max(col("null_props")).as("null_props"))
+      .agg(sum(col("n_rows")).as("n_rows"), sum(col("null_props")).as("null_props"))
+    val users = spark.read.parquet(s"$profDir/users")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    val types = spark.read.parquet(s"$profDir/types")
+      .agg(countDistinct(col("event_type")).as("n_types"))
+    val outCols = Seq("n_rows", "n_users", "n_types", "null_props",
+      "lo_cents", "hi_cents") ++ (0 to 9).map(i => s"h$i")
+    meta.crossJoin(users).crossJoin(types).crossJoin(binned)
+      .select(outCols.map(col): _*)
+  }
+
+  /** Continuous wiring: maintain the profile stores from an events
+    * stream; `foreachBatch` hands the batch id the replay rule keys
+    * on. The snapshot is served on demand from the stores, not from
+    * the stream. */
+  def startProfileMaintainer(events: DataFrame, profDir: String,
+                             checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        profileBatch(batch, batchId, profDir)
+      }
+      .start()
 }

@@ -542,4 +542,21 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.values.count(_.tpMicros > 0) == nFull)
     assert(nUsersWithStage >= streamed.size)
   }
+
+  test("profileBatch/profileSnapshot: 3-batch replay (incl. a duplicate) equals batch q161") {
+    val profDir = java.nio.file.Files.createTempDirectory("graft_prof").toString
+    val ev = graft.core.Tables.load(spark, sf0001, "events")
+    // three thirds by event_id, fed as batches 0/1/2 — then batch 1
+    // REPLAYED verbatim (same batch id), the crash-recovery case the
+    // max-dedup store read must absorb
+    for (i <- 0 to 2)
+      EventStream.profileBatch(ev.filter(col("event_id") % 3 === i), i, profDir)
+    EventStream.profileBatch(ev.filter(col("event_id") % 3 === 1), 1, profDir)
+    val got = EventStream.profileSnapshot(spark, profDir).collect().head
+    val want = graft.queries.MiningQueries.q161(spark, sf0001).collect().head
+    assert(got.schema.fieldNames.toSeq == want.schema.fieldNames.toSeq,
+      s"profile columns differ: ${got.schema.fieldNames.toSeq}")
+    assert(got.toSeq == want.toSeq,
+      s"maintained profile diverged from batch q161:\n got $got\nwant $want")
+  }
 }

@@ -723,6 +723,29 @@ object ScaleProbe {
       time("q158_waiting_1scan sf0.1 (600k li)")(RelationalQueries.q158(spark, src).count())
       time("q158_waiting_1scan sf1.0   (6M li)")(RelationalQueries.q158(spark, out).count())
     }
+
+    // --- mining-family probes at 10× (round 7): q159's candidate join
+    // is bounded by per-prefix-token bucket width — replication clones
+    // every doc 10×, so each rare prefix token's bucket grows 10× and
+    // the near-dup pair OUTPUT grows ~100× inside clusters (the q19
+    // flood direction, not corpus-quadratic); q165/q166 ride one
+    // dimension-key shuffle each (10× orders is ~10× slim rows); q167's
+    // ordered work is the cents GRID, which replication leaves at the
+    // value-domain size — growth must be ~the scan.
+    {
+      import graft.queries.MiningQueries
+      time("q159_prefix_join sf0.1  (5k docs) ")(MiningQueries.q159(spark, src).count())
+      time("q159_prefix_join sf1.0 (50k docs) ")(MiningQueries.q159(spark, out).count())
+      graft.core.Pins.release()
+      time("q165_scd2 sf0.1      (150k ord)  ")(MiningQueries.q165(spark, src).count())
+      time("q165_scd2 sf1.0      (1.5M ord)  ")(MiningQueries.q165(spark, out).count())
+      time("q166_snapshot_diff sf0.1 (150k)  ")(MiningQueries.q166(spark, src).count())
+      time("q166_snapshot_diff sf1.0 (1.5M)  ")(MiningQueries.q166(spark, out).count())
+      graft.core.Pins.release()
+      time("q167_equidepth sf0.1  (100k ev)  ")(MiningQueries.q167(spark, src).count())
+      time("q167_equidepth sf1.0    (1M ev)  ")(MiningQueries.q167(spark, out).count())
+      graft.core.Pins.release()
+    }
     spark.stop()
   }
 }

@@ -116,8 +116,18 @@ object TextOps {
       i => text.substr(i, lit(n)))
 
   /** Rolling-hash document fingerprint: min md5 over character 5-grams —
-    * a deterministic winnowing-style signature. */
+    * a deterministic winnowing-style signature. Served by the fused
+    * native [[expressions.MinGramMd5]] kernel (one digest instance,
+    * no per-window substring/hex allocation — 3.2 s → sub-second at
+    * sf0.1 under the all-columns bench action); [[fingerprintHof]]
+    * keeps the built-in composition the kernel is property-tested
+    * against. */
   def fingerprint(text: Column): Column =
+    org.apache.spark.sql.GraftShim.column(expressions.MinGramMd5(
+      org.apache.spark.sql.GraftShim.expression(text), 5))
+
+  /** The pure-built-ins fingerprint formulation (the kernel's spec). */
+  def fingerprintHof(text: Column): Column =
     array_min(transform(
       sequence(lit(1), greatest(length(text) - 4, lit(1))),
       i => md5(text.substr(i, lit(5)))))

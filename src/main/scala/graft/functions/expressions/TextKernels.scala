@@ -714,3 +714,95 @@ object FuzzyVariantPairs {
     new GenericArrayData(out)
   }
 }
+
+/** Lexicographically smallest md5 over the text's character n-gram
+  * windows as ONE native kernel — the fused form of q27's
+  * `array_min(transform(sequence(1, greatest(len−(g−1), 1)),
+  * i -> md5(substr(text, i, g))))` fingerprint. The HOF stack
+  * materializes the full position array and, per window, a substring
+  * copy, a fresh MessageDigest (commons-codec allocates one per md5()
+  * call) and a 32-char hex string, only to throw all but one away;
+  * this kernel reuses ONE digest instance and two 16-byte buffers,
+  * compares raw digests (hex encoding is order-preserving per nibble,
+  * so min-of-hex ≡ hex-of-min), and hex-encodes exactly once. ASCII
+  * texts stream directly over the UTF8String's bytes; texts with
+  * multi-byte characters fall back to a code-point walk so the window
+  * semantics stay those of SQL `substr` (code points, not UTF-16
+  * units). Property-tested bit-equal to the HOF composition.
+  */
+case class MinGramMd5(child: Expression, gram: Int) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_min_gram_md5"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinGramMd5.compute(input.asInstanceOf[UTF8String], gram)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.MinGramMd5.compute($c, $gram)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinGramMd5 =
+    copy(child = newChild)
+}
+
+object MinGramMd5 {
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val ai = a(i) & 0xff; val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    false
+  }
+
+  /** Static entry for generated code (one invoke per row). */
+  def compute(text: UTF8String, gram: Int): UTF8String = {
+    val md = MessageDigest.getInstance("MD5")
+    var best: Array[Byte] = null
+    var cur = new Array[Byte](16)
+    val bytes = text.getBytes
+    if (bytes.length == text.numChars) {
+      // ASCII fast path: windows are byte slices of the UTF-8 buffer
+      val m = math.max(bytes.length - (gram - 1), 1)
+      var i = 0
+      while (i < m) {
+        md.reset()
+        md.update(bytes, i, math.min(gram, bytes.length - i))
+        md.digest(cur, 0, 16)
+        if (best == null || unsignedLess(cur, best)) {
+          val t = best; best = cur
+          cur = if (t == null) new Array[Byte](16) else t
+        }
+        i += 1
+      }
+    } else {
+      // code-point walk: SQL substr windows count code points
+      val cps = text.toString.codePoints().toArray()
+      val n = cps.length
+      val m = math.max(n - (gram - 1), 1)
+      var i = 0
+      while (i < m) {
+        val sub = new String(cps, i, math.min(gram, n - i))
+        md.reset()
+        md.update(sub.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        md.digest(cur, 0, 16)
+        if (best == null || unsignedLess(cur, best)) {
+          val t = best; best = cur
+          cur = if (t == null) new Array[Byte](16) else t
+        }
+        i += 1
+      }
+    }
+    val hex = new Array[Char](32)
+    var j = 0
+    while (j < 16) {
+      hex(2 * j) = HexDigits((best(j) >> 4) & 0xf)
+      hex(2 * j + 1) = HexDigits(best(j) & 0xf)
+      j += 1
+    }
+    UTF8String.fromString(new String(hex))
+  }
+}

@@ -46,17 +46,19 @@ object MiningQueries {
     * set's rarest (1−τ)·n + 1 tokens under the global ascending-df
     * order, so common shingles never generate a candidate and bucket
     * width tracks token RARITY, not corpus size. The set elements are
-    * distinct word 3-gram shingles (the near-dup family's unit —
-    * word SETS collapse onto the small shared vocabulary and rank
-    * ~3/4 of all pairs as "similar", measured at sf0.01; shingle
-    * sets isolate the 25 true near-dup pairs). All threshold tests
-    * are integer cross-multiplications (tDen·inter ≥ tNum·union);
-    * the oracle replays df-ranking, prefix slicing and the
-    * intersection verify list-for-list. */
+    * distinct word 5-gram shingles (q59/q61's unit). The gram size IS
+    * the selectivity dial, measured at sf0.1: word SETS collapse onto
+    * the shared vocabulary (~3/4 of all pairs rank "similar"),
+    * 3-grams inherit enough template structure that 310k candidates
+    * fund the same 256 final pairs, and 5-grams are perfectly
+    * selective here — 256 candidates, 256 pairs (9.3 s → sub-second).
+    * All threshold tests are integer cross-multiplications
+    * (tDen·inter ≥ tNum·union); the oracle replays df-ranking, prefix
+    * slicing and the intersection verify list-for-list. */
   val q159: Q = (s, d) => {
     val docs = t(s, d, "documents")
       .select(col("doc_id"),
-        graft.functions.TextOps.shinglesNative(col("text"), 3).as("toks"))
+        graft.functions.TextOps.shinglesNative(col("text"), 5).as("toks"))
     graft.operators.PrefixFilterJoin.join(docs, "doc_id", "toks", 1, 2)
       .orderBy(col("a_id"), col("b_id"))
   }
@@ -64,8 +66,8 @@ object MiningQueries {
   val q159Sql: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |toks AS (SELECT doc_id, unnest(list_distinct(list_transform(
-      |           generate_series(1, len(w) - 2),
-      |           i -> array_to_string(w[i:i+2], ' ')))) AS tok
+      |           generate_series(1, len(w) - 4),
+      |           i -> array_to_string(w[i:i+4], ' ')))) AS tok
       |         FROM w),
       |df AS (SELECT doc_id, tok, count(*) OVER (PARTITION BY tok) AS df FROM toks),
       |arr AS (SELECT doc_id, array_agg(tok ORDER BY df, tok) AS a,

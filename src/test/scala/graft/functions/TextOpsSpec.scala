@@ -152,6 +152,32 @@ class TextOpsSpec extends SparkSpec {
     assert(vals.forall(v => v >= 0 && v < 65536))
   }
 
+  test("native MinGramMd5 is bit-equal to the HOF fingerprint composition") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // edge shapes: shorter than the gram, exactly the gram, multi-byte
+    // characters (code-point windows ≠ byte windows), plus the corpus
+    val texts = Seq("", "a", "abcd", "abcde", "abcdef", "ü ñ é héllo wörld",
+      "日本語のテキストです and ascii", "é" * 12) ++
+      (0 until 300).map(_ => (0 until rnd.nextInt(200))
+        .map(_ => ('a' + rnd.nextInt(27)).toChar match {
+          case c if c > 'z' => ' '
+          case c => c
+        }).mkString)
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val rows = d.select(
+        TextOps.fingerprint(col("text")).as("native"),
+        TextOps.fingerprintHof(col("text")).as("hof"))
+      .as[(String, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (nat, hof) => assert(nat == hof, s"'$nat' vs '$hof'") }
+    val corpus = graft.core.Tables.load(spark, sf0001, "documents").select(
+        TextOps.fingerprint(col("text")).as("native"),
+        TextOps.fingerprintHof(col("text")).as("hof"))
+      .as[(String, String)].collect()
+    corpus.foreach { case (nat, hof) => assert(nat == hof) }
+  }
+
   test("charNgrams and fingerprint handle short strings") {
     val ng = Seq("abc").toDF("text")
       .select(TextOps.charNgrams(col("text"), 5).as("n")).as[Seq[String]].head()

@@ -127,7 +127,17 @@ object PlanAuditSpec {
     "q148_association_rules" -> 7,
     // q149: one contingency fold; marginals + grand total are each a
     // cells-sized re-key off the pin, the test itself a one-row agg
-    "q149_chi2_independence" -> 5)
+    "q149_chi2_independence" -> 5,
+    // q163: the corpus touches exactly two exchanges (the lang count
+    // fold and the final per-lang sample fold, both map-side combined
+    // to 5 rows before the wire); the other three carry the 5-row
+    // weight model (tot agg, w_ppm fold, output sort)
+    "q163_temperature_mix" -> 5,
+    // q167: the whole point is that NO exchange carries ranked rows —
+    // the corpus crosses the wire only post-combine (grid fold and the
+    // 10-row bucket fold); the remaining four ride the value-domain
+    // grid (cum window, bps fold, bp-array agg, output sort)
+    "q167_equidepth_hist" -> 6)
   /** Audited per-query scan counts (see the class doc). Only queries
     * whose audited plan exceeds or notably undercuts the default are
     * listed — a new query landing above DefaultMax must either be
@@ -138,6 +148,10 @@ object PlanAuditSpec {
     // q154 JOINS six base tables (TPC-H Q5 star) — six scans is one per
     // table, the class doc's multi-table carve-out, every dim broadcast
     "q154_local_supplier_volume" -> 6,
+    // q162 (TPC-H Q7): five base tables with nation scanned TWICE — once
+    // per ROLE (supplier's nation, customer's nation); both role chains
+    // broadcast, so the double scan is dimension-sized by construction
+    "q162_volume_shipping" -> 6,
     // q132: intervals pinned (three consumers — start/end deltas via
     // one explode, grid bounds — read the pin); events scans ONCE
     "q132_sliding_distinct" -> 1,

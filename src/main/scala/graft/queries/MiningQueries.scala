@@ -462,6 +462,122 @@ object MiningQueries {
       |FROM c CROSS JOIN bpa
       |GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // --------------------------------------------------------------- Q170
+  /** MAD robust outliers — q90's Tukey fences break down when the
+    * contamination itself inflates the IQR; the median absolute
+    * deviation is the 50%-breakdown robust scale. Per event type:
+    * median (lower: k = (n+1) div 2 — a DISCRETE order statistic, the
+    * q86 breakpoint discipline), MAD = median of |x − med|, outliers =
+    * rows with |x − med| > 3·MAD, all in exact integer cents. Built
+    * the q167 way — per-group (cents → count) GRIDS carry both median
+    * selections, so the only ordered windows ride value-domain-sized
+    * relations and the corpus crosses the wire exactly once
+    * (map-side-combined grid fold); the deviation grid re-aggregates
+    * the FIRST grid (model-sized), never the rows. */
+  val q170: Q = (s, d) => {
+    val grid = graft.core.Pins.pin(
+      t(s, d, "events")
+        .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("cents")).agg(count(lit(1)).as("cnt")))
+    val n = grid.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
+    val wc = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = grid.withColumn("cum", sum(col("cnt")).over(wc))
+      .join(broadcast(n), "event_type")
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .groupBy(col("event_type"), col("n")).agg(min(col("cents")).as("med"))
+    val dev = graft.core.Pins.pin(grid.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"), col("n"), col("med"),
+        abs(col("cents") - col("med")).as("dev"))
+      .agg(sum(col("cnt")).as("dcnt")))
+    val wd = Window.partitionBy(col("event_type")).orderBy(col("dev"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mad = dev.withColumn("cum", sum(col("dcnt")).over(wd))
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .groupBy(col("event_type"), col("n"), col("med"))
+      .agg(min(col("dev")).as("mad"))
+    dev.select(col("event_type"), col("dev"), col("dcnt"))
+      .join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"), col("n"), col("med"), col("mad"))
+      .agg(sum(when(col("dev") > lit(3L) * col("mad"), col("dcnt")).otherwise(0L))
+        .as("n_outliers"))
+      .select(col("event_type"), col("n"), col("med").as("med_cents"),
+        col("mad").as("mad_cents"), col("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  val q170Sql: String =
+    """WITH grid AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+      |                CAST(count(*) AS BIGINT) AS cnt
+      |              FROM events GROUP BY 1, 2),
+      |n AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM grid GROUP BY 1),
+      |med AS (SELECT event_type, n, min(cents) AS med FROM (
+      |          SELECT g.event_type, g.cents, n.n,
+      |            sum(g.cnt) OVER (PARTITION BY g.event_type ORDER BY g.cents
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |          FROM grid g JOIN n USING (event_type))
+      |        WHERE cum >= (n + 1) // 2 GROUP BY event_type, n),
+      |dev AS (SELECT g.event_type, m.n, m.med, abs(g.cents - m.med) AS dev,
+      |          CAST(sum(g.cnt) AS BIGINT) AS dcnt
+      |        FROM grid g JOIN med m USING (event_type)
+      |        GROUP BY 1, 2, 3, 4),
+      |mad AS (SELECT event_type, n, med, min(dev) AS mad FROM (
+      |          SELECT event_type, n, med, dev,
+      |            sum(dcnt) OVER (PARTITION BY event_type ORDER BY dev
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |          FROM dev)
+      |        WHERE cum >= (n + 1) // 2 GROUP BY event_type, n, med)
+      |SELECT d.event_type, m.n, m.med AS med_cents, m.mad AS mad_cents,
+      |  CAST(sum(CASE WHEN d.dev > 3 * m.mad THEN d.dcnt ELSE 0 END) AS BIGINT)
+      |    AS n_outliers
+      |FROM dev d JOIN mad m USING (event_type)
+      |GROUP BY d.event_type, m.n, m.med, m.mad
+      |ORDER BY d.event_type""".stripMargin
+
+  // --------------------------------------------------------------- Q171
+  /** 2-D SKYLINE (Pareto frontier) of customers by (total spend, order
+    * count) — "best under any monotone preference", the multi-criteria
+    * operator none of the top-k queries cover. The textbook form is a
+    * quadratic NOT EXISTS dominance test; in 2-D with integer keys it
+    * collapses to ONE window pass: ordered by spend, a row survives
+    * iff its count beats the running max over STRICTLY richer rows
+    * (value-based RANGE frame ending at −1 — integer cents make
+    * "strictly" exact) and it holds its spend-tie group's max count.
+    * The window input is the per-customer fold (customers-sized — the
+    * q152 single-partition rationale; at 10⁹ customers shard by spend
+    * range and stitch frontier segments). The ORACLE is the quadratic
+    * NOT EXISTS itself — an independent formulation proving the
+    * window rewrite, the q57/q157 discipline. */
+  val q171: Q = (s, d) => {
+    val p = t(s, d, "orders")
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("spend_cents"),
+        count(lit(1)).as("n_orders"))
+    val strictRicher = Window.orderBy(col("spend_cents").desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val tieGroup = Window.partitionBy(col("spend_cents"))
+    p.withColumn("m1", max(col("n_orders")).over(strictRicher))
+      .withColumn("m2", max(col("n_orders")).over(tieGroup))
+      .filter((col("m1").isNull || col("n_orders") > col("m1")) &&
+        col("n_orders") === col("m2"))
+      .select(col("custkey"), col("spend_cents"), col("n_orders"))
+      .orderBy(col("spend_cents").desc, col("custkey"))
+  }
+
+  val q171Sql: String =
+    """WITH p AS (SELECT o_custkey AS custkey,
+      |             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |               AS spend_cents,
+      |             CAST(count(*) AS BIGINT) AS n_orders
+      |           FROM orders GROUP BY 1)
+      |SELECT custkey, spend_cents, n_orders FROM p a
+      |WHERE NOT EXISTS (SELECT 1 FROM p b
+      |                  WHERE b.spend_cents >= a.spend_cents
+      |                    AND b.n_orders >= a.n_orders
+      |                    AND (b.spend_cents > a.spend_cents
+      |                         OR b.n_orders > a.n_orders))
+      |ORDER BY spend_cents DESC, custkey""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q159_prefix_filter_join", q159, q159Sql),
@@ -471,6 +587,8 @@ object MiningQueries {
     ("q164_value_hour_corr", q164, q164Sql),
     ("q165_scd2_history", q165, q165Sql),
     ("q166_snapshot_diff", q166, q166Sql),
-    ("q167_equidepth_hist", q167, q167Sql))
+    ("q167_equidepth_hist", q167, q167Sql),
+    ("q170_mad_outliers", q170, q170Sql),
+    ("q171_skyline", q171, q171Sql))
 }
 

@@ -1968,7 +1968,11 @@ object PipelineQueries {
       .orderBy(col("y"), col("pred"))
   }
 
-  val q85Sql: String = {
+  /** Shared oracle prelude: replay the 3 perceptron training rounds and
+    * end at `sc(vec_id, y, score)` — the raw score of every row under
+    * the trained weights. q85 folds it to the confusion matrix; q169
+    * buckets it into the calibration curve. */
+  private def perceptronSqlPrelude: String = {
     // round t: margins under w_t (d<t>/m<t>), update → w_{t+1}/b_{t+1}
     def round(t: Int): String =
       s"""d$t AS (SELECT q.vec_id, SUM(w$t.w * q.x[w$t.i]) AS dot
@@ -1996,14 +2000,66 @@ object PipelineQueries {
        |${round(2)}
        |df AS (SELECT q.vec_id, SUM(w3.w * q.x[w3.i]) AS dot
        |       FROM q CROSS JOIN w3 GROUP BY q.vec_id),
-       |f AS (SELECT q.y,
-       |        CAST(CASE WHEN df.dot + (SELECT b FROM b3) > 0
-       |             THEN 1 ELSE -1 END AS BIGINT) AS pred,
-       |        q.y * (df.dot + (SELECT b FROM b3)) AS margin
-       |      FROM q JOIN df USING (vec_id))
-       |SELECT y, pred, COUNT(*) AS n, CAST(SUM(margin) AS BIGINT) AS sum_margin
-       |FROM f GROUP BY y, pred ORDER BY y, pred""".stripMargin
+       |sc AS (SELECT q.vec_id, q.y,
+       |         CAST(df.dot + (SELECT b FROM b3) AS BIGINT) AS score
+       |       FROM q JOIN df USING (vec_id))""".stripMargin
   }
+
+  val q85Sql: String =
+    perceptronSqlPrelude + ",\n" +
+      """f AS (SELECT y,
+        |        CAST(CASE WHEN score > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
+        |        y * score AS margin
+        |      FROM sc)
+        |SELECT y, pred, COUNT(*) AS n, CAST(SUM(margin) AS BIGINT) AS sum_margin
+        |FROM f GROUP BY y, pred ORDER BY y, pred""".stripMargin
+
+  // --------------------------------------------------------------- Q169
+  /** Classifier CALIBRATION curve — q85's eval sibling: a confusion
+    * matrix says the gate is right on average; the reliability curve
+    * says whether the SCORE is meaningful as a threshold dial (a gate
+    * whose positive rate doesn't rise with the score can't be tuned).
+    * Raw scores bucket into 10 equal-width bins with ALL-INTEGER edges
+    * (the q161 discipline — scores are exact integers under the
+    * quantized perceptron, so bin = min(9, 10·(s−lo) div span) is
+    * engine-identical), and the per-bin positive rate travels as exact
+    * ppm (10⁶·n_pos div n). One partial-aggregable scan against the
+    * memoized model's weight literals + a broadcast bounds pass; the
+    * oracle replays all three training rounds (shared prelude with
+    * q85) and the bucketing arithmetic. A production gate re-runs this
+    * after every retrain — monotone pos_ppm across bins is the
+    * deploy check. */
+  val q169: Q = (s, d) => {
+    val model = perceptronFor(s, d)
+    val raw = LinearClassifier.rawScore(col("x"), model)
+    val scored = graft.core.Pins.pin(
+      classifierBase(s, d).select(col("y"), raw.as("score")))
+    val b = scored.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
+    scored.crossJoin(broadcast(b))
+      .withColumn("bucket",
+        expr("least(9, (10 * (score - lo)) div greatest(1, hi - lo))"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"),
+        min(col("score")).as("lo_score"), max(col("score")).as("hi_score"))
+      .withColumn("pos_ppm", expr("(1000000 * n_pos) div n"))
+      .select(col("bucket"), col("n"), col("n_pos"), col("pos_ppm"),
+        col("lo_score"), col("hi_score"))
+      .orderBy(col("bucket"))
+  }
+
+  val q169Sql: String =
+    perceptronSqlPrelude + ",\n" +
+      """bnd AS (SELECT min(score) AS lo, max(score) AS hi FROM sc),
+        |bk AS (SELECT least(9, (10 * (score - lo)) // greatest(1, hi - lo)) AS bucket,
+        |         y, score
+        |       FROM sc CROSS JOIN bnd)
+        |SELECT bucket, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  (1000000 * CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT))
+        |    // COUNT(*) AS pos_ppm,
+        |  min(score) AS lo_score, max(score) AS hi_score
+        |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin
 
   // --------------------------------------------------------------- Q86
   /** Numeric-distribution drift — the quantitative sibling of q68's
@@ -3813,7 +3869,8 @@ object PipelineQueries {
     ("q111_epoch_oversample", q111, q111Sql),
     ("q112_kmv_overlap", q112, q112Sql),
     ("q113_burst_detection", q113, q113Sql),
-    ("q156_kmv_distinct", q156, q156Sql))
+    ("q156_kmv_distinct", q156, q156Sql),
+    ("q169_calibration_curve", q169, q169Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type (KLL-style `percentile_approx`

@@ -88,6 +88,79 @@ class MiningSpec extends SparkSpec {
     assert(byType("flat") == ((0L, 0L)), s"flat: ${byType("flat")}")
   }
 
+  test("q169: calibration mass equals the corpus; rates in [0, 10⁶]; bins tile the score range") {
+    val rows = PipelineQueries.q169(spark, sf0001)
+      .select("bucket", "n", "n_pos", "pos_ppm", "lo_score", "hi_score")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    graft.core.Pins.release()
+    val total = Tables.load(spark, sf0001, "embeddings").count()
+    assert(rows.map(_._2).sum == total, "every vector must land in a bin")
+    rows.foreach { case (b, n, np, ppm, lo, hi) =>
+      assert(b >= 0 && b <= 9 && np <= n && ppm >= 0 && ppm <= 1000000 && lo <= hi,
+        s"bucket $b malformed")
+      assert(ppm == 1000000L * np / n, s"bucket $b: ppm not the exact ratio")
+    }
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._6 < b._5,
+        s"bucket ${a._1} hi must sit below bucket ${b._1} lo")
+      case _ => ()
+    }
+  }
+
+  test("q170: median/MAD/outlier counts equal a brute-force recompute per type") {
+    val got = MiningQueries.q170(spark, sf0001)
+      .select("event_type", "n", "med_cents", "mad_cents", "n_outliers")
+      .as[(String, Long, Long, Long, Long)].collect()
+    graft.core.Pins.release()
+    val rows = Tables.load(spark, sf0001, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+      .as[(String, Long)].collect()
+    def lowerMedian(xs: Seq[Long]): Long = {
+      val s = xs.sorted; s(((s.length + 1) / 2) - 1)
+    }
+    got.foreach { case (t, n, med, mad, out) =>
+      val xs = rows.filter(_._1 == t).map(_._2).toSeq
+      assert(n == xs.length, s"$t: n")
+      val m = lowerMedian(xs)
+      assert(med == m, s"$t: median $med vs brute $m")
+      val devs = xs.map(x => math.abs(x - m))
+      val md = lowerMedian(devs)
+      assert(mad == md, s"$t: MAD $mad vs brute $md")
+      assert(out == devs.count(_ > 3 * md), s"$t: outlier count")
+    }
+  }
+
+  test("q171: window skyline equals brute-force dominance; tie shapes survive") {
+    val got = MiningQueries.q171(spark, sf0001)
+      .select("custkey", "spend_cents", "n_orders")
+      .as[(Long, Long, Long)].collect().toSet
+    val p = Tables.load(spark, sf0001, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("s"),
+        count(lit(1)).as("c"))
+      .as[(Long, Long, Long)].collect()
+    val brute = p.filter { case (_, s, c) =>
+      !p.exists { case (_, s2, c2) => s2 >= s && c2 >= c && (s2 > s || c2 > c) }
+    }.map { case (k, s, c) => (k, s, c) }.toSet
+    assert(got == brute, s"missing=${(brute -- got).take(3)} extra=${(got -- brute).take(3)}")
+    // crafted ties: equal-best duplicates BOTH stay; a same-spend
+    // fewer-orders point drops; an off-axis point survives
+    val dir = java.nio.file.Files.createTempDirectory("graft_sky").toString
+    Seq((1L, 10L, 5), (2L, 10L, 5), (3L, 8L, 4), (4L, 9L, 9))
+      .flatMap { case (k, spendCents, cnt) =>
+        (1 to cnt).map(i => (k * 100 + i, k, "F",
+          spendCents.toDouble / cnt / 100.0,
+          java.sql.Timestamp.valueOf("1995-01-01 00:00:00"), "1-URGENT"))
+      }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val sky = MiningQueries.q171(spark, dir)
+      .select("custkey").as[Long].collect().toSet
+    assert(sky == Set(1L, 2L, 4L),
+      s"tie semantics: equal-best pair + off-axis point expected, got $sky")
+  }
+
   test("q165: versions contiguous per key — each close equals the next open; one live row per key") {
     val rows = MiningQueries.q165(spark, sf0001)
       .select("custkey", "version", "valid_from_us", "valid_to_us")

@@ -56,14 +56,35 @@ object ScaleProbe {
         spark.read.parquet(s"$src/$tn.parquet")
           .write.mode("overwrite").parquet(s"$out/$tn.parquet")
     }
-    def time(label: String)(f: => Long): Unit = {
+    // events replicate with shifted ids but the SAME 30-day span (10×
+    // density — the densification the temporal/stat/mining probes care
+    // about); shared setup, so it lives with the other replications
+    locally {
+      val base = graft.core.Tables.load(spark, src, "events")
+      val maxKey = base.agg(org.apache.spark.sql.functions.max(col("event_id")))
+        .head().getLong(0) + 1
+      (0 until 10).map(i => base.withColumn("event_id", col("event_id") + lit(i * maxKey)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+    }
+    // optional arg: comma-separated probe-label prefixes — run only the
+    // matching probes (the Verify/Bench fast-iteration contract; the
+    // driver's full run passes no args). Table replication always runs;
+    // each block's heavy SETUP is gated on its own labels via want(...),
+    // so a targeted rerun pays only its block's cost.
+    val only = args.headOption.map(_.split(',').toSeq)
+    def want(labels: String*): Boolean =
+      only.forall(ps => ps.exists(p => labels.exists(_.startsWith(p))))
+    def time(label: String)(f: => Long): Unit = if (want(label.trim)) {
       val t0 = System.nanoTime(); val n = f
       println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
     import graft.queries.{CoreQueries, PipelineQueries}
     // warmup on the small side
-    PipelineQueries.q19(spark, src).count()
-    CoreQueries.q11(spark, src).count()
+    if (want("q19_lsh_neardup", "q11_tpch_pricing")) {
+      PipelineQueries.q19(spark, src).count()
+      CoreQueries.q11(spark, src).count()
+    }
     time("q19_lsh_neardup sf0.1   (5k docs) ")(PipelineQueries.q19(spark, src).count())
     time("q19_lsh_neardup sf1.0  (50k docs) ")(PipelineQueries.q19(spark, out).count())
     time("q11_tpch_pricing sf0.1 (600k rows)")(CoreQueries.q11(spark, src).count())
@@ -122,7 +143,7 @@ object ScaleProbe {
     // plan audits. Expect steady-state ~flat from 5k to 50k docs for
     // q62/q98; q93/q52 steady state grows with the edge list, not the
     // corpus scan.
-    locally {
+    if (want("q62", "q98", "q93", "q52")) locally {
       def clearAll(): Unit = {
         PipelineQueries.clearInvIndexes(); PipelineQueries.clearIvfModels()
         PipelineQueries.clearPqModels(); PipelineQueries.clearPqCodes()
@@ -173,7 +194,7 @@ object ScaleProbe {
     // on bk, versus two full shuffles when the same slim table is read
     // unbucketed. This is the shuffle actually disappearing on stored
     // data, not just in BucketingSpec's generic join.
-    {
+    if (want("q19_bucketed")) {
       import graft.operators.MinHashLsh
       val docs10 = spark.read.parquet(s"$out/documents.parquet")
       val sig = MinHashLsh.signatures(docs10, 8, 3)
@@ -199,14 +220,8 @@ object ScaleProbe {
     // windows both 10×), so the probe thins windows 10× to hold the
     // output budget — the measured cost is the bin-join mechanism, not
     // pair materialization.
-    {
+    if (want("q57", "q58", "q59")) {
       import graft.queries.PipelineQueries
-      val base = graft.core.Tables.load(spark, src, "events")
-      val maxKey = base.agg(org.apache.spark.sql.functions.max(col("event_id")))
-        .head().getLong(0) + 1
-      (0 until 10).map(i => base.withColumn("event_id", col("event_id") + lit(i * maxKey)))
-        .reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$out/events.parquet")
       time("q57_asof sf0.1    (100k events)  ")(PipelineQueries.q57(spark, src).count())
       time("q57_asof sf1.0      (1M events)  ")(PipelineQueries.q57(spark, out).count())
       val ev = graft.core.Tables.load(spark, out, "events")
@@ -227,7 +242,7 @@ object ScaleProbe {
     // band-collision cliques of ~10 replicas → convergence in a few
     // rounds regardless of N), and a 25k-doc batch deduped AGAINST the
     // 25k-doc stored half (per-batch cost proportional to the batch).
-    {
+    if (want("q52_components", "q55")) {
       import graft.operators.{DedupClusters, MinHashLsh}
       val docs10 = spark.read.parquet(s"$out/documents.parquet")
       val pairs10 = MinHashLsh.nearDup(docs10, 4, 2, 3, 0.5)
@@ -249,7 +264,7 @@ object ScaleProbe {
     // quadratic term is (N/cells)² per cell — the 10× corpus runs at
     // 64 cells so per-cell work stays at the sf0.1 level (the cell
     // count is the dial that holds the quadratic tier flat at scale).
-    {
+    if (want("q61", "q63", "q64")) {
       import graft.queries.PipelineQueries
       time("q61_dup_passages sf0.1  (5k docs) ")(PipelineQueries.q61(spark, src).count())
       time("q61_dup_passages sf1.0 (50k docs) ")(PipelineQueries.q61(spark, out).count())
@@ -274,7 +289,7 @@ object ScaleProbe {
     // which is VOCAB²-bounded — 10× corpus with a fixed vocabulary
     // should leave the windowed relation (and everything after the
     // count groupBy) at the sf0.1 size.
-    {
+    if (want("q103", "q106", "q107")) {
       import graft.queries.PipelineQueries
       time("q103_winnowing sf0.1    (5k docs) ")(PipelineQueries.q103(spark, src).count())
       time("q103_winnowing sf1.0   (50k docs) ")(PipelineQueries.q103(spark, out).count())
@@ -289,7 +304,7 @@ object ScaleProbe {
     // benchmark variant set broadcasts (corpus side scan-local), so its
     // growth is also the scan; q121 folds four gates off ONE pinned base
     // scan — its 10× growth is the gates' slim re-keys, no re-scan.
-    {
+    if (want("q114", "q115", "q121")) {
       import graft.queries.AuditQueries
       time("q114_chunk_dup sf0.1    (5k docs) ")(AuditQueries.q114(spark, src).count())
       time("q114_chunk_dup sf1.0   (50k docs) ")(AuditQueries.q114(spark, out).count())
@@ -313,7 +328,7 @@ object ScaleProbe {
     // (the 10× events table was written by the temporal-join probe above
     // — same 30-day span, 10× density, which is exactly the densification
     // q130/q132 care about)
-    {
+    if (want("q130", "q132", "q129", "q133")) {
       import graft.queries.StatQueries
       time("q130_countmin sf0.1   (100k ev)  ")(StatQueries.q130(spark, src).count())
       time("q130_countmin sf1.0     (1M ev)  ")(StatQueries.q130(spark, out).count())
@@ -329,7 +344,7 @@ object ScaleProbe {
     // --- chunk-gate steady state: a 25k-doc batch scored against a
     // 25k-doc stored pair relation must cost ~the batch (store pruned to
     // the batch's hashes before counting), not the store.
-    {
+    if (want("chunk_gate")) {
       val docs10 = spark.read.parquet(s"$out/documents.parquet")
       val chDir = "/tmp/graft_probe_chunkgate"
       locally {
@@ -347,7 +362,7 @@ object ScaleProbe {
     // dedup tiers (exact in-batch, near-dup in-batch, vs the stored
     // 25k-doc corpus) — the per-batch cost of the continuous builder,
     // with signatures computed ONCE and shared by tiers 2 and 3.
-    {
+    if (want("corpus_ingest")) {
       val docs10 = spark.read.parquet(s"$out/documents.parquet")
       val sigDir = "/tmp/graft_probe_ingest_sig"
       locally {
@@ -382,7 +397,7 @@ object ScaleProbe {
     // maintainer must track the BATCH (one scan: broadcast-assign +
     // scan-local encode + vec_id anti-join), not the store it appends
     // to — a 5k-vector batch into a 45k-vector store vs an empty store.
-    {
+    if (want("vec_ingest")) {
       val emb10 = spark.read.parquet(s"$out/embeddings.parquet")
       val ivf = graft.functions.VectorOps.ivfModel(emb10, "vec_id", "embedding", 8)
       val pq = graft.functions.Pq.train(emb10, "vec_id", "embedding", m = 8, k = 4)
@@ -412,7 +427,7 @@ object ScaleProbe {
     // rows. The deliberately WRONG dial (2M rows over the same 64
     // buckets → 10× bucket size) is measured too: its rewrite cost is
     // 10× — the honest statement of what the bucket count buys.
-    {
+    if (want("q77_upsert")) {
       import graft.operators.Merge
       def freshDir(path: String): Unit = {
         val p = new org.apache.hadoop.fs.Path(path)
@@ -449,7 +464,7 @@ object ScaleProbe {
     // word-frequency relation, so cost is bound by the VOCABULARY —
     // the 10× corpus (same vocab, 10× frequencies) must train in ~the
     // same time as sf0.1, not 10× it.
-    {
+    if (want("q72")) {
       import graft.functions.Bpe
       time("q72_bpe_train sf0.1  (5k docs)   ")(
         Bpe.train(spark.read.parquet(s"$src/documents.parquet"), 10).size.toLong)
@@ -486,7 +501,7 @@ object ScaleProbe {
     // bucketed+sorted by term; a 3-term BM25 probe then reads only the
     // probed terms' buckets — query cost independent of corpus size
     // (the stored-retrieval end state, like q19's bucketed band table).
-    {
+    if (want("idx_")) {
       import graft.operators.InvertedIndex
       val docs10 = spark.read.parquet(s"$out/documents.parquet")
       time("idx_build sf1.0   (50k docs)     ") {
@@ -514,7 +529,7 @@ object ScaleProbe {
     // failed) tuples — while payload fetch/write fans out in executor
     // tasks). 100k entries ≈ 3 decades of a daily feed; driver heap
     // delta shows the metadata rows are the only driver-side state.
-    {
+    if (want("manifest_100k")) {
       val n = 100000
       val body = (1 to n).map { i =>
         f"$i\t1497717708\t2017/${i % 12 + 1}%02d/routeviews-rv2-$i%06d.pfx2as.gz"
@@ -548,7 +563,7 @@ object ScaleProbe {
     // task. The lazy cursor kernels stream them with flat heap; the
     // former per-task Seq.newBuilder would have to hold ~8 GB of tuples
     // before returning. Peak heap is sampled while draining.
-    {
+    if (want("dense_tile")) {
       val n = 20000
       val rows = Array.tabulate(n)(i => (i.toLong, Array(1.0, 2.0, 3.0, 4.0)))
       val rt = Runtime.getRuntime
@@ -602,6 +617,7 @@ object ScaleProbe {
     def maxTaskSec(f: => Unit): (Double, Double) = {
       val (w, mt, _) = taskStats(f); (w, mt)
     }
+    if (want("skew_join")) {
     val skewed = spark.range(4000000).select(
       when(col("id") % 10 < 9, lit(1L)).otherwise(col("id")).as("key"),
       col("id").as("lv"))
@@ -623,12 +639,13 @@ object ScaleProbe {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.unset("spark.sql.adaptive.skewJoin.enabled")
     }
+    }
     // --- bloom-prefiltered dedup (q84's operator) in its design regime:
     // the stored key set CANNOT broadcast (threshold off), so the plain
     // anti-join shuffles the whole corpus while the bloom path shuffles
     // only the positive sliver (true dups + fpp·N). Same answer, and the
     // printed positives count IS the confirm join's left side.
-    locally {
+    if (want("q84")) locally {
       import org.apache.spark.sql.functions.concat
       val n = 4000000L
       val corpus = spark.range(n).select(concat(lit("k"), col("id")).as("k"))
@@ -659,7 +676,7 @@ object ScaleProbe {
           bloomBytes = b
           bloomRows
         }
-        time("plain anti-join 4M vs 400k (SMJ) ") {
+        time("q84_plain_antijoin 4M vs 400k SMJ") {
           val (_, _, b) = taskStats {
             plainRows = corpus.join(stored, Seq("k"), "left_anti").count()
           }
@@ -693,7 +710,7 @@ object ScaleProbe {
     // is the per-USER fold (users-sized, replication holds users fixed),
     // so 10× events changes only the pre-fold scan — the probe pins that
     // the users-sized sort does NOT grow with event volume.
-    {
+    if (want("q141", "q148", "q152")) {
       import graft.queries.StatQueries
       time("q141_ks_drift sf0.1     (5k docs) ")(StatQueries.q141(spark, src).count())
       time("q141_ks_drift sf1.0    (50k docs) ")(StatQueries.q141(spark, out).count())
@@ -710,7 +727,7 @@ object ScaleProbe {
     // 10× facts must be ~10× scan+shuffle with dimension cost flat. The
     // replicated orders/lineitem share one orderkey base (FK intact);
     // customer/supplier/nation/region are the sf0.1 originals.
-    {
+    if (want("q153", "q154", "q155", "q157", "q158")) {
       import graft.queries.RelationalQueries
       time("q153_shipping_prio sf0.1 (600k li)")(RelationalQueries.q153(spark, src).count())
       time("q153_shipping_prio sf1.0   (6M li)")(RelationalQueries.q153(spark, out).count())
@@ -732,7 +749,7 @@ object ScaleProbe {
     // dimension-key shuffle each (10× orders is ~10× slim rows); q167's
     // ordered work is the cents GRID, which replication leaves at the
     // value-domain size — growth must be ~the scan.
-    {
+    if (want("q159", "q165", "q166", "q167", "q170", "q171")) {
       import graft.queries.MiningQueries
       time("q159_prefix_join sf0.1  (5k docs) ")(MiningQueries.q159(spark, src).count())
       time("q159_prefix_join sf1.0 (50k docs) ")(MiningQueries.q159(spark, out).count())
@@ -745,6 +762,15 @@ object ScaleProbe {
       time("q167_equidepth sf0.1  (100k ev)  ")(MiningQueries.q167(spark, src).count())
       time("q167_equidepth sf1.0    (1M ev)  ")(MiningQueries.q167(spark, out).count())
       graft.core.Pins.release()
+      // q170's ordered windows ride per-group value grids (flat under
+      // densification like q167); q171's window input is the
+      // per-customer fold — replication grows each customer's order
+      // count 10× but the fold stays customers-sized
+      time("q170_mad sf0.1        (100k ev)  ")(MiningQueries.q170(spark, src).count())
+      time("q170_mad sf1.0          (1M ev)  ")(MiningQueries.q170(spark, out).count())
+      graft.core.Pins.release()
+      time("q171_skyline sf0.1   (150k ord)  ")(MiningQueries.q171(spark, src).count())
+      time("q171_skyline sf1.0   (1.5M ord)  ")(MiningQueries.q171(spark, out).count())
     }
     spark.stop()
   }

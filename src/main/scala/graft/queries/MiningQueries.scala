@@ -578,6 +578,79 @@ object MiningQueries {
       |                         OR b.n_orders > a.n_orders))
       |ORDER BY spend_cents DESC, custkey""".stripMargin
 
+  // --------------------------------------------------------------- Q172
+  /** NEYMAN-optimal stratified allocation — q139's Hamilton quota
+    * allocates a sample budget ∝ stratum SIZE; the variance-minimizing
+    * rule allocates ∝ n_h·σ_h, concentrating samples where the metric
+    * actually varies. The algebra keeps it exact: n_h·σ_h =
+    * √(n_h·Σx² − (Σx)²) — ONE integer square root of the integer
+    * variance numerator, no float mean or division ever exists. The
+    * isqrt itself is engine-exact via correct-then-verify: s₀ =
+    * ⌊sqrt(double(v))⌋ is within 1 of the true root for any v < 2⁶³
+    * (double conversion error ≤ 2⁻⁵³ relative halves through the
+    * sqrt), and the ±1 INTEGER correction — compare (s₀±1)² against v
+    * — lands both engines on the exact ⌊√v⌋ even where the double
+    * rounds differently (the unguarded q163 form is only exact below
+    * 2⁵²; this idiom removes that bound). Budget split = integer
+    * floor + Hamilton largest-remainder (remainder desc, type
+    * tie-break). One partial-aggregable moments scan; everything
+    * after is strata-sized (the 5-row whole-frame window is the q113
+    * small-series rationale). Allocations may exceed a stratum's n_h
+    * on degenerate inputs (standard Neyman caveat — cap-and-
+    * redistribute is a second pass, documented not implemented). */
+  val q172: Q = (s, d) => {
+    val m = t(s, d, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("v"))
+      .withColumn("s0", floor(sqrt(col("v").cast("double"))).cast("long"))
+      .withColumn("w",
+        when((col("s0") + 1) * (col("s0") + 1) <= col("v"), col("s0") + 1)
+          .when(col("s0") * col("s0") > col("v"), col("s0") - 1)
+          .otherwise(col("s0")))
+    val tot = m.agg(sum(col("w")).as("wsum"))
+    val wAll = Window.partitionBy()
+    m.crossJoin(broadcast(tot))
+      .withColumn("base", expr("(1000 * w) div wsum"))
+      .withColumn("rem", expr("(1000 * w) % wsum"))
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("rem").desc, col("event_type"))).cast("long"))
+      .withColumn("leftover", lit(1000L) - sum(col("base")).over(wAll))
+      .select(col("event_type"), col("n"), col("w"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .as("alloc"))
+      .orderBy(col("event_type"))
+  }
+
+  val q172Sql: String =
+    """WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx
+      |           FROM (SELECT event_type,
+      |                   CAST(round(value * 100) AS BIGINT) AS x FROM events)
+      |           GROUP BY 1),
+      |vv AS (SELECT event_type, n, n * sxx - sx * sx AS v FROM m),
+      |sq AS (SELECT event_type, n, v,
+      |         CAST(floor(sqrt(CAST(v AS DOUBLE))) AS BIGINT) AS s0
+      |       FROM vv),
+      |w AS (SELECT event_type, n,
+      |        CASE WHEN (s0 + 1) * (s0 + 1) <= v THEN s0 + 1
+      |             WHEN s0 * s0 > v THEN s0 - 1 ELSE s0 END AS w
+      |      FROM sq),
+      |tot AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM w),
+      |h AS (SELECT event_type, n, w,
+      |        (1000 * w) // wsum AS base, (1000 * w) % wsum AS rem
+      |      FROM w CROSS JOIN tot),
+      |r AS (SELECT *,
+      |        CAST(row_number() OVER (ORDER BY rem DESC, event_type) AS BIGINT) AS rk,
+      |        1000 - CAST(sum(base) OVER () AS BIGINT) AS leftover
+      |      FROM h)
+      |SELECT event_type, n, w,
+      |       base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
+      |FROM r ORDER BY event_type""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q159_prefix_filter_join", q159, q159Sql),
@@ -589,6 +662,7 @@ object MiningQueries {
     ("q166_snapshot_diff", q166, q166Sql),
     ("q167_equidepth_hist", q167, q167Sql),
     ("q170_mad_outliers", q170, q170Sql),
-    ("q171_skyline", q171, q171Sql))
+    ("q171_skyline", q171, q171Sql),
+    ("q172_neyman_allocation", q172, q172Sql))
 }
 

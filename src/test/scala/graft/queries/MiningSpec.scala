@@ -161,6 +161,32 @@ class MiningSpec extends SparkSpec {
       s"tie semantics: equal-best pair + off-axis point expected, got $sky")
   }
 
+  test("q172: allocations sum to the budget; weights are exact ⌊√v⌋; variance bias holds") {
+    val rows = MiningQueries.q172(spark, sf0001)
+      .select("event_type", "n", "w", "alloc")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.map(_._4).sum == 1000L, "Hamilton rounding must conserve the budget")
+    // recompute ⌊√(n·Σx²−(Σx)²)⌋ with BigInt ground truth
+    val moments = Tables.load(spark, sf0001, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("x"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    rows.foreach { case (t, n, w, alloc) =>
+      val xs = moments(t).map(_._2)
+      val v = BigInt(xs.length) * xs.map(x => BigInt(x) * x).sum -
+        xs.map(BigInt(_)).sum.pow(2)
+      val isq = {
+        var lo = BigInt(0); var hi = BigInt(1) << 32
+        while (lo < hi) { val m = (lo + hi + 1) / 2; if (m * m <= v) lo = m else hi = m - 1 }
+        lo
+      }
+      assert(n == xs.length && BigInt(w) == isq, s"$t: w $w vs exact isqrt $isq")
+      assert(alloc >= 0, s"$t: negative allocation")
+    }
+    // Neyman bias: the stratum with the largest n·σ gets the largest cut
+    val maxW = rows.maxBy(_._3); val maxA = rows.maxBy(_._4)
+    assert(maxW._1 == maxA._1, "largest-variance-mass stratum must get the largest allocation")
+  }
+
   test("q165: versions contiguous per key — each close equals the next open; one live row per key") {
     val rows = MiningQueries.q165(spark, sf0001)
       .select("custkey", "version", "valid_from_us", "valid_to_us")

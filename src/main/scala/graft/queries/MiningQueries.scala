@@ -651,6 +651,250 @@ object MiningQueries {
       |       base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
       |FROM r ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- Q173
+  /** SORTED-NEIGHBORHOOD dedup (SNM — Hernández/Stolfo's merge/purge):
+    * the third member of the candidate-generation triangle. q19's LSH
+    * trades recall for speed, q159's prefix filter is exact on a SET
+    * similarity; SNM is the classic RECORD-LINKAGE blocking — sort by
+    * a key, compare each record only to its w−1 successors, O(N·w)
+    * candidates by construction. Here: sort key = the text itself
+    * (near-dup generation preserves prefixes, so edited copies sort
+    * adjacently), blocks = the key's first character, window w = 4,
+    * verify = distinct-word-set Jaccard ≥ 0.5 as an integer
+    * cross-multiplication (2·inter ≥ union — no float ratio). The
+    * DOCUMENTED miss class: pairs whose keys land in different blocks
+    * (or > w−1 apart inside one) are never compared — production SNM
+    * runs multiple passes with different keys; the spec pins one such
+    * boundary miss on crafted rows. 100 TB shape: the block key is the
+    * shuffle key, ranks/neighbor joins are per-block (block sizes are
+    * first-character-bounded), and the candidate join carries slim
+    * (block, rn, words) rows — the corpus text crosses the wire once. */
+  val q173: Q = (s, d) => {
+    val docs = graft.core.Pins.pin(
+      t(s, d, "documents").select(col("doc_id"), col("text"),
+        substring(col("text"), 1, 1).as("blk"),
+        array_distinct(split(col("text"), " ")).as("words"))
+        .withColumn("rn", row_number()
+          .over(Window.partitionBy(col("blk"))
+            .orderBy(col("text"), col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("blk"), col("rn"), col("words")))
+    // the w-window as an EQUI-join: explode δ ∈ 1..w−1 and match
+    // rn_b = rn + δ exactly — a range predicate beside the blk equi-key
+    // would evaluate block²/2 rank comparisons per block with both word
+    // arrays buffered through the join (measured 27 s at sf0.1); the
+    // exploded key makes every candidate a hash/merge MATCH, so only
+    // the ≤ (w−1)·N true window pairs ever materialize
+    val a = docs.select(col("blk"), col("rn"),
+        col("doc_id").as("a_id"), col("words").as("wa"))
+      .withColumn("d", explode(expr("sequence(1, 3)")))
+      .withColumn("rn_b", col("rn") + col("d"))
+    val b = docs.select(col("blk"),
+      col("rn").as("rn_b"), col("doc_id").as("b_id"), col("words").as("wb"))
+    a.join(b, Seq("blk", "rn_b"))
+      .withColumn("inter", size(array_intersect(col("wa"), col("wb"))).cast("long"))
+      .withColumn("un",
+        (size(col("wa")) + size(col("wb"))).cast("long") - col("inter"))
+      .filter(col("inter") * 2 >= col("un"))
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"),
+        col("inter"), col("un"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val q173Sql: String =
+    """WITH k AS (SELECT doc_id, text, substr(text, 1, 1) AS blk,
+      |             list_distinct(string_split(text, ' ')) AS words
+      |           FROM documents),
+      |r AS (SELECT doc_id, blk, words,
+      |        CAST(row_number() OVER (PARTITION BY blk ORDER BY text, doc_id)
+      |             AS BIGINT) AS rn
+      |      FROM k),
+      |cand AS (SELECT a.doc_id AS aid, b.doc_id AS bid,
+      |           CAST(len(list_intersect(a.words, b.words)) AS BIGINT) AS inter,
+      |           CAST(len(a.words) + len(b.words) AS BIGINT)
+      |             - CAST(len(list_intersect(a.words, b.words)) AS BIGINT) AS un
+      |         FROM r a JOIN r b
+      |           ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 3)
+      |SELECT least(aid, bid) AS a_id, greatest(aid, bid) AS b_id, inter, un
+      |FROM cand WHERE inter * 2 >= un
+      |ORDER BY a_id, b_id""".stripMargin
+
+  // --------------------------------------------------------------- Q174
+  /** WILSON lower-bound source ranking — "sort by confidence": rank
+    * document sources by the worst-case quality-pass rate their sample
+    * size supports, so a 3-for-3 source does NOT outrank a 480-for-500
+    * one (the classic mean-rate ranking bug). z = 2 (95.45%) makes the
+    * interval RATIONAL except one square root, and the algebra isolates
+    * it over the integers: LB = (n(k+2) − 2·√(n(k(n−k)+n))) / (n(n+4)),
+    * radicand v = n·(k(n−k)+n) an exact BIGINT, √v via the q172
+    * correct-then-verify isqrt (exact for v < 2⁶³ ⇒ per-source n up to
+    * ~3·10⁶; larger strata lift v into DECIMAL and widen the verify
+    * window — the documented dial). score_ppm floors 10⁶·LB — a
+    * deterministic integer both engines reproduce bit-for-bit. One
+    * partial-aggregable scan; everything after is sources-sized. The
+    * gate (n_chars ≥ 250) is the q25 length-quality proxy. */
+  val q174: Q = (s, d) => {
+    t(s, d, "documents")
+      .select(col("source"),
+        when(col("n_chars") >= 250, 1L).otherwise(0L).as("pass"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("pass")).as("k"))
+      .withColumn("v", col("n") * (col("k") * (col("n") - col("k")) + col("n")))
+      .withColumn("s0", floor(sqrt(col("v").cast("double"))).cast("long"))
+      .withColumn("rt",
+        when((col("s0") + 1) * (col("s0") + 1) <= col("v"), col("s0") + 1)
+          .when(col("s0") * col("s0") > col("v"), col("s0") - 1)
+          .otherwise(col("s0")))
+      .select(col("source"), col("n"), col("k"),
+        expr("(1000000 * (n * (k + 2) - 2 * rt)) div (n * (n + 4))")
+          .as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("source"))
+  }
+
+  val q174Sql: String =
+    """WITH m AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum(CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END)
+      |                  AS BIGINT) AS k
+      |           FROM documents GROUP BY 1),
+      |v AS (SELECT source, n, k, n * (k * (n - k) + n) AS v FROM m),
+      |sq AS (SELECT source, n, k, v,
+      |         CAST(floor(sqrt(CAST(v AS DOUBLE))) AS BIGINT) AS s0
+      |       FROM v),
+      |rt AS (SELECT source, n, k,
+      |         CASE WHEN (s0 + 1) * (s0 + 1) <= v THEN s0 + 1
+      |              WHEN s0 * s0 > v THEN s0 - 1 ELSE s0 END AS rt
+      |       FROM sq)
+      |SELECT source, n, k,
+      |       (1000000 * (n * (k + 2) - 2 * rt)) // (n * (n + 4)) AS score_ppm
+      |FROM rt ORDER BY score_ppm DESC, source""".stripMargin
+
+  // --------------------------------------------------------------- Q175
+  /** FUNCTIONAL-DEPENDENCY profiling (TANE's g₃ error, computed exactly)
+    * — the schema-discovery side of q161's column profile: for each
+    * candidate FD det→dep, the minimum number of rows to delete before
+    * the dependency HOLDS is n − Σ_det max_dep(count), an exact integer
+    * (Kivinen–Mannila g₃·n). Reported per candidate: row count, distinct
+    * determinants, violating rows, holds flag, g3_ppm. Shape per
+    * candidate: two partial-aggregable hash aggregations — (det, dep)
+    * counts, then per-det max — and a final fold to ONE row; nothing
+    * wider than the (det, dep) distinct pairs ever shuffles, so 100 TB
+    * cost is the scans plus pair-cardinality-bounded exchanges. The
+    * candidate list is fixed and spans fact, dimension, and stream
+    * tables (the realistic ANALYZE batch: one declared FD per check). */
+  val q175: Q = (s, d) => {
+    def g3(df: org.apache.spark.sql.DataFrame, det: String, dep: String,
+           name: String) =
+      df.select(col(det).as("det"), col(dep).as("dep"))
+        .groupBy(col("det"), col("dep")).agg(count(lit(1)).as("c"))
+        .groupBy(col("det")).agg(sum(col("c")).as("rows"), max(col("c")).as("keep"))
+        .agg(sum(col("rows")).as("n_rows"),
+          count(lit(1)).as("n_det"), sum(col("keep")).as("kept"))
+        .select(lit(name).as("fd"), col("n_rows"), col("n_det"),
+          (col("n_rows") - col("kept")).as("viol_rows"),
+          when(col("n_rows") === col("kept"), 1L).otherwise(0L).as("holds"),
+          expr("(1000000 * (n_rows - kept)) div n_rows").as("g3_ppm"))
+    val li = t(s, d, "lineitem"); val ord = t(s, d, "orders")
+    val ev = t(s, d, "events")
+    g3(li, "l_orderkey", "l_suppkey", "lineitem.l_orderkey->l_suppkey")
+      .unionByName(g3(li, "l_partkey", "l_suppkey", "lineitem.l_partkey->l_suppkey"))
+      .unionByName(g3(ord, "o_orderkey", "o_custkey", "orders.o_orderkey->o_custkey"))
+      .unionByName(g3(ord, "o_custkey", "o_orderpriority", "orders.o_custkey->o_orderpriority"))
+      .unionByName(g3(ev, "user_id", "event_type", "events.user_id->event_type"))
+      .orderBy(col("fd"))
+  }
+
+  val q175Sql: String = {
+    def one(table: String, det: String, dep: String, name: String) =
+      s"""SELECT '$name' AS fd, CAST(sum(rows) AS BIGINT) AS n_rows,
+         |  CAST(count(*) AS BIGINT) AS n_det,
+         |  CAST(sum(rows) - sum(keep) AS BIGINT) AS viol_rows,
+         |  CAST(CASE WHEN sum(rows) = sum(keep) THEN 1 ELSE 0 END AS BIGINT) AS holds,
+         |  (1000000 * CAST(sum(rows) - sum(keep) AS BIGINT))
+         |    // CAST(sum(rows) AS BIGINT) AS g3_ppm
+         |FROM (SELECT det, CAST(sum(c) AS BIGINT) AS rows,
+         |        CAST(max(c) AS BIGINT) AS keep
+         |      FROM (SELECT $det AS det, $dep AS dep, count(*) AS c
+         |            FROM $table GROUP BY 1, 2)
+         |      GROUP BY det)""".stripMargin
+    Seq(
+      one("lineitem", "l_orderkey", "l_suppkey", "lineitem.l_orderkey->l_suppkey"),
+      one("lineitem", "l_partkey", "l_suppkey", "lineitem.l_partkey->l_suppkey"),
+      one("orders", "o_orderkey", "o_custkey", "orders.o_orderkey->o_custkey"),
+      one("orders", "o_custkey", "o_orderpriority", "orders.o_custkey->o_orderpriority"),
+      one("events", "user_id", "event_type", "events.user_id->event_type"))
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY fd")
+  }
+
+  // --------------------------------------------------------------- Q176
+  /** LAG-k AUTOCORRELATION of the daily revenue series (k = 1..7) —
+    * the time-series twin of q164's value↔hour correlation: is
+    * tomorrow's total predictable from today's? The series is the
+    * daily floor-dollar event total (sum of exact cents div 100 —
+    * integer, and the divide-by-100 is the MAGNITUDE dial that keeps
+    * 10⁶·cov² inside DECIMAL(38,0): exact up to ~3·10⁶ dollar daily
+    * totals; past that, fold to larger units — q164's documented
+    * bound, one dial earlier). Alignment is an equi-join of the
+    * days-sized series to itself at day+k (7 broadcast lag literals,
+    * inner join so calendar gaps pair only truly overlapping days), then
+    * the q164 moments→r²·sign pipeline per lag. The corpus crosses
+    * the wire ONCE in the daily fold; everything after rides the
+    * 30-row series. */
+  val q176: Q = (s, d) => {
+    val dec = "DECIMAL(38,0)"
+    val daily = graft.core.Pins.pin(
+      t(s, d, "events")
+        .select(to_date(col("ts")).as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("day")).agg(sum(col("cents")).as("c"))
+        .select(col("day"), expr("c div 100").as("v")))
+    val lags = s.range(1, 8).select(col("id").as("lag"))
+    val a = daily.select(col("day"), col("v").as("x"))
+    val b = daily.select(col("day").as("day_b"), col("v").as("y"))
+    a.crossJoin(broadcast(lags))
+      .join(b, expr("day_b = date_add(day, CAST(lag AS INT))"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("lag"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("cov"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("varx"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("vary"))
+      .select(col("lag"), col("n"),
+        when(col("cov") > 0, 1L).when(col("cov") < 0, -1L).otherwise(0L).as("r_sign"),
+        when(col("varx") === 0 || col("vary") === 0, 0L).otherwise(
+          expr(s"(CAST(1000000 AS $dec) * CAST(cov AS $dec) * CAST(cov AS $dec)) div " +
+            s"(CAST(varx AS $dec) * CAST(vary AS $dec))")).as("r2_ppm"))
+      .orderBy(col("lag"))
+  }
+
+  val q176Sql: String =
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+      |                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |                   // 100 AS v
+      |               FROM events GROUP BY 1),
+      |lags AS (SELECT CAST(range AS BIGINT) AS lag FROM range(1, 8)),
+      |p AS (SELECT l.lag, a.v AS x, b.v AS y
+      |      FROM daily a CROSS JOIN lags l
+      |      JOIN daily b ON b.day = a.day + CAST(l.lag AS INT)),
+      |m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |        CAST(sum(x * y) AS BIGINT) AS sxy,
+      |        CAST(sum(x * x) AS BIGINT) AS sxx,
+      |        CAST(sum(y * y) AS BIGINT) AS syy
+      |      FROM p GROUP BY 1),
+      |c AS (SELECT lag, n,
+      |        n * sxy - sx * sy AS cov,
+      |        n * sxx - sx * sx AS varx,
+      |        n * syy - sy * sy AS vary
+      |      FROM m)
+      |SELECT lag, n,
+      |  CAST(CASE WHEN cov > 0 THEN 1 WHEN cov < 0 THEN -1 ELSE 0 END AS BIGINT) AS r_sign,
+      |  CAST(CASE WHEN varx = 0 OR vary = 0 THEN 0
+      |            ELSE (1000000 * CAST(cov AS HUGEINT) * cov)
+      |                 // (CAST(varx AS HUGEINT) * vary) END AS BIGINT) AS r2_ppm
+      |FROM c ORDER BY lag""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q159_prefix_filter_join", q159, q159Sql),
@@ -663,6 +907,10 @@ object MiningQueries {
     ("q167_equidepth_hist", q167, q167Sql),
     ("q170_mad_outliers", q170, q170Sql),
     ("q171_skyline", q171, q171Sql),
-    ("q172_neyman_allocation", q172, q172Sql))
+    ("q172_neyman_allocation", q172, q172Sql),
+    ("q173_snm_dedup", q173, q173Sql),
+    ("q174_wilson_ranking", q174, q174Sql),
+    ("q175_fd_profile", q175, q175Sql),
+    ("q176_autocorrelation", q176, q176Sql))
 }
 

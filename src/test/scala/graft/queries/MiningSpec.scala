@@ -187,6 +187,122 @@ class MiningSpec extends SparkSpec {
     assert(maxW._1 == maxA._1, "largest-variance-mass stratum must get the largest allocation")
   }
 
+  test("q173: brute-force SNM replay matches; boundary miss is the documented trade") {
+    // full replay on sf0.001: block by first char, sort by (text, id),
+    // window w=4, word-set Jaccard >= 0.5
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val expected = docs.groupBy(_._2.take(1)).values.flatMap { blk =>
+      val sorted = blk.sortBy { case (id, tx) => (tx, id) }
+      for {
+        i <- sorted.indices; j <- (i + 1) until math.min(i + 4, sorted.length)
+        wa = sorted(i)._2.split(' ').distinct.toSet
+        wb = sorted(j)._2.split(' ').distinct.toSet
+        inter = (wa & wb).size
+        if 2 * inter >= (wa ++ wb).size
+      } yield (math.min(sorted(i)._1, sorted(j)._1),
+        math.max(sorted(i)._1, sorted(j)._1))
+    }.toSet
+    val got = MiningQueries.q173(spark, sf0001)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got == expected, s"SNM mismatch: ${(got diff expected, expected diff got)}")
+
+    // crafted: adjacent same-block near-dups FOUND, cross-block twin MISSED
+    val base = "shared words repeated exactly alike in every copy"
+    val crafted = Seq(
+      (1L, s"alpha $base", "en", "src0", 10L),
+      (2L, s"alpha $base extra", "en", "src0", 10L),
+      (3L, s"zeta $base", "en", "src0", 10L) // same set, different block
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_snm").toString
+    crafted.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = MiningQueries.q173(spark, dir)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "adjacent same-block near-dup must be found")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "cross-block twin must be MISSED — the documented single-pass SNM trade")
+  }
+
+  test("q174: score matches a BigInt Wilson recompute; output is confidence-ordered") {
+    val rows = MiningQueries.q174(spark, sf0001)
+      .select("source", "n", "k", "score_ppm")
+      .as[(String, Long, Long, Long)].collect()
+    def isqrt(v: BigInt): BigInt = {
+      var lo = BigInt(0); var hi = v + 1
+      while (lo < hi) { val m = (lo + hi + 1) / 2; if (m * m <= v) lo = m else hi = m - 1 }
+      lo
+    }
+    rows.foreach { case (src, n, k, score) =>
+      val bn = BigInt(n); val bk = BigInt(k)
+      val rt = isqrt(bn * (bk * (bn - bk) + bn))
+      val exact = (BigInt(1000000) * (bn * (bk + 2) - 2 * rt)) / (bn * (bn + 4))
+      assert(BigInt(score) == exact, s"$src: $score vs exact $exact")
+      assert(score >= 0 && score <= 1000000, s"$src: score outside [0, 1e6]")
+    }
+    assert(rows.map(-_._4).toSeq == rows.map(-_._4).toSeq.sorted,
+      "rows must be ordered by descending confidence score")
+  }
+
+  test("q175: g3 matches brute force; the key FD structurally holds") {
+    val got = MiningQueries.q175(spark, sf0001)
+      .select("fd", "n_rows", "n_det", "viol_rows", "holds", "g3_ppm")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    def brute(pairs: Seq[(Any, Any)]): (Long, Long, Long) = {
+      val byDet = pairs.groupBy(_._1)
+      val n = pairs.size.toLong
+      val kept = byDet.values.map(g => g.groupBy(_._2).values.map(_.size).max.toLong).sum
+      (n, byDet.size.toLong, n - kept)
+    }
+    val li = Tables.load(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+      .as[(Long, Long, Long)].collect()
+    val (n1, d1, v1) = brute(li.map(r => (r._1: Any, r._3: Any)).toSeq)
+    val r1 = got("lineitem.l_orderkey->l_suppkey")
+    assert((r1._2, r1._3, r1._4) == ((n1, d1, v1)), s"l_orderkey FD: $r1 vs ($n1,$d1,$v1)")
+    assert(r1._6 == 1000000L * v1 / n1, "g3_ppm must be the exact floor ratio")
+    val key = got("orders.o_orderkey->o_custkey")
+    assert(key._5 == 1L && key._4 == 0L,
+      "a unique key trivially determines every column — holds must be 1")
+  }
+
+  test("q176: a perfectly linear daily series autocorrelates at exactly 1e6 for every lag") {
+    // one event per day, value = d dollars -> daily series v_t = t,
+    // linear in t, so lag-k Pearson is EXACTLY 1 for every k
+    val ev = (1 to 10).map { d =>
+      (d.toLong, java.sql.Timestamp.valueOf(f"2024-03-$d%02d 09:00:00"),
+        1L, "click", d.toDouble, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_acf").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = MiningQueries.q176(spark, dir)
+      .select("lag", "n", "r_sign", "r2_ppm").as[(Long, Long, Long, Long)].collect()
+    assert(rows.length == 7)
+    rows.foreach { case (lag, n, sign, r2) =>
+      assert(n == 10 - lag, s"lag $lag: n must be the overlap count")
+      assert(sign == 1L && r2 == 1000000L, s"lag $lag: ($sign, $r2) not perfect")
+    }
+    // and on real data: BigInt recompute from the daily series
+    val daily = Tables.load(spark, sf0001, "events")
+      .select(to_date(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy("day").agg(sum("c").as("c"))
+      .select(col("day").cast("string"), expr("c div 100"))
+      .as[(String, Long)].collect().sortBy(_._1).map(_._2)
+    val got = MiningQueries.q176(spark, sf0001)
+      .select("lag", "r2_ppm").as[(Long, Long)].collect().toMap
+    for (lag <- 1 to 7) {
+      val x = daily.dropRight(lag).map(BigInt(_)); val y = daily.drop(lag).map(BigInt(_))
+      val n = BigInt(x.length)
+      val cov = n * x.zip(y).map { case (a, b) => a * b }.sum - x.sum * y.sum
+      val vx = n * x.map(a => a * a).sum - x.sum * x.sum
+      val vy = n * y.map(a => a * a).sum - y.sum * y.sum
+      val exact = if (vx == 0 || vy == 0) BigInt(0)
+        else BigInt(1000000) * cov * cov / (vx * vy)
+      assert(BigInt(got(lag.toLong)) == exact, s"lag $lag: ${got(lag.toLong)} vs $exact")
+    }
+  }
+
   test("q165: versions contiguous per key — each close equals the next open; one live row per key") {
     val rows = MiningQueries.q165(spark, sf0001)
       .select("custkey", "version", "valid_from_us", "valid_to_us")

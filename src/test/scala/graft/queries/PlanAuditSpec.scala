@@ -133,6 +133,11 @@ object PlanAuditSpec {
     // to 5 rows before the wire); the other three carry the 5-row
     // weight model (tot agg, w_ppm fold, output sort)
     "q163_temperature_mix" -> 5,
+    // q175: 3 exchanges per FD candidate × 5 — the (det, dep) pair
+    // fold (the only one whose width tracks data, bounded by distinct
+    // pair count), the per-det max re-key (distinct-det-sized), and a
+    // one-ROW final fold; the union/sort of five single rows is free
+    "q175_fd_profile" -> 15,
     // q167: the whole point is that NO exchange carries ranked rows —
     // the corpus crosses the wire only post-combine (grid fold and the
     // 10-row bucket fold); the remaining four ride the value-domain
@@ -145,6 +150,12 @@ object PlanAuditSpec {
   val ScanBaseline: Map[String, Int] = Map(
     // single-scan designs the audit fought for: pin them tight
     "q61_duplicate_passages" -> 1,
+    // q175 checks five declared FD candidates: one scan per candidate,
+    // each pruned to exactly its (det, dep) column pair — a pin would
+    // force materializing the union of every candidate's columns, more
+    // I/O than the pruned re-scans at any scale (lineitem/orders each
+    // appear twice but with different 2-column ReadSchemas)
+    "q175_fd_profile" -> 5,
     // q154 JOINS six base tables (TPC-H Q5 star) — six scans is one per
     // table, the class doc's multi-table carve-out, every dim broadcast
     "q154_local_supplier_volume" -> 6,

@@ -895,6 +895,54 @@ object MiningQueries {
       |                 // (CAST(varx AS HUGEINT) * vary) END AS BIGINT) AS r2_ppm
       |FROM c ORDER BY lag""".stripMargin
 
+  // --------------------------------------------------------------- Q178
+  /** TIME-WEIGHTED average value (TWAP) per (type, day) — the correct
+    * mean for an IRREGULARLY-sampled step signal, where the row mean
+    * over-weights bursts (a metric sampled 100× in one hot minute and
+    * once an hour elsewhere): each observation holds until the next
+    * one (q146's LOCF semantics, integrated), weight = held MICROS,
+    * the last observation holds to midnight, the pre-first gap carries
+    * no value. Everything is exact integers — cents × μs products stay
+    * under 2⁶³ for any event count (Σ cents_i·Δt_i ≤ max_cents·day_μs
+    * ≈ 4·10¹⁵), and twap_cents = num div den with num/den published so
+    * the floor is auditable. ONE exchange total: the lead window and
+    * the aggregation share the (event_type, day) partitioning. */
+  val q178: Q = (s, d) => {
+    val w = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("ts_us"), col("event_id"))
+    t(s, d, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"), col("event_id"))
+      .withColumn("nxt", lead(col("ts_us"), 1).over(w))
+      .withColumn("held",
+        coalesce(col("nxt"),
+          unix_micros(date_add(col("day"), 1).cast("timestamp"))) - col("ts_us"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents") * col("held")).as("num"), sum(col("held")).as("den"))
+      .select(col("event_type"), col("day"), col("n"), col("num"), col("den"),
+        expr("num div den").as("twap_cents"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val q178Sql: String =
+    """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |              epoch_us(ts) AS ts_us,
+      |              CAST(round(value * 100) AS BIGINT) AS cents, event_id
+      |            FROM events),
+      |w AS (SELECT event_type, day, cents,
+      |        coalesce(lead(ts_us) OVER (PARTITION BY event_type, day
+      |                                   ORDER BY ts_us, event_id),
+      |                 epoch_us(CAST(day + 1 AS TIMESTAMP))) - ts_us AS held
+      |      FROM ev)
+      |SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(cents * held) AS BIGINT) AS num,
+      |       CAST(sum(held) AS BIGINT) AS den,
+      |       CAST(sum(cents * held) AS BIGINT)
+      |         // CAST(sum(held) AS BIGINT) AS twap_cents
+      |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q159_prefix_filter_join", q159, q159Sql),
@@ -911,6 +959,7 @@ object MiningQueries {
     ("q173_snm_dedup", q173, q173Sql),
     ("q174_wilson_ranking", q174, q174Sql),
     ("q175_fd_profile", q175, q175Sql),
-    ("q176_autocorrelation", q176, q176Sql))
+    ("q176_autocorrelation", q176, q176Sql),
+    ("q178_twap", q178, q178Sql))
 }
 

@@ -3791,6 +3791,74 @@ object PipelineQueries {
       |FROM w WHERE cnt >= 12 AND ssq * cnt > s * s
       |ORDER BY h""".stripMargin
 
+  // --------------------------------------------------------------- Q177
+  /** K-HOP CONTAMINATION CLOSURE — the takedown/quarantine operator:
+    * a source is found benchmark-tainted (here: every `src0` doc), and
+    * the removal set must include everything within 2 near-dup HOPS of
+    * it, because contamination propagates through near-duplicates the
+    * same way test-set leakage does (q109's lesson, pointed at
+    * governance instead of splitting). This is bounded-depth BFS, not
+    * q52's full transitive closure: each round is ONE frontier-sized
+    * join against the stored pair artifact plus an anti-join on the
+    * visited set — at 100 TB the edges are the memoized LSH pair list
+    * (bucketed by endpoint at ingest) and per-round cost tracks the
+    * FRONTIER, never the corpus. Output: (doc_id, hop = min distance),
+    * hop 0 = the seed source. The oracle derives the same closure from
+    * the replayed q19 pair CTEs with explicit hop-1/hop-2 joins — an
+    * independent non-iterative formulation. */
+  val q177: Q = (s, d) => {
+    val edges = {
+      val p = lshPairsFor(s, d).select(col("a_id"), col("b_id"))
+      p.select(col("a_id").as("u"), col("b_id").as("v"))
+        .unionByName(p.select(col("b_id").as("u"), col("a_id").as("v")))
+    }
+    val seeds = graft.core.Pins.pin(t(s, d, "documents")
+      .filter(col("source") === "src0").select(col("doc_id")))
+    val h1 = graft.core.Pins.pin(
+      edges.join(seeds.withColumnRenamed("doc_id", "u"), "u")
+        .select(col("v").as("doc_id")).distinct()
+        .join(seeds, Seq("doc_id"), "left_anti"))
+    val h2 = edges.join(h1.withColumnRenamed("doc_id", "u"), "u")
+      .select(col("v").as("doc_id")).distinct()
+      .join(seeds, Seq("doc_id"), "left_anti")
+      .join(h1, Seq("doc_id"), "left_anti")
+    seeds.select(col("doc_id"), lit(0L).as("hop"))
+      .unionByName(h1.select(col("doc_id"), lit(1L).as("hop")))
+      .unionByName(h2.select(col("doc_id"), lit(2L).as("hop")))
+      .orderBy(col("doc_id"))
+  }
+
+  val q177Sql: String = {
+    val sigCols = Seeds.map(i =>
+      s"list_min(list_transform(sh, x -> md5('$i' || '|' || x))) AS h$i").mkString(", ")
+    val bandCond = (0 until 4).map(b =>
+      s"(a.h${2 * b} = b.h${2 * b} AND a.h${2 * b + 1} = b.h${2 * b + 1})").mkString(" OR ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |shl AS (SELECT doc_id, list_distinct(list_transform(
+       |          generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' '))) AS sh
+       |        FROM toks),
+       |sig AS (SELECT doc_id, sh, $sigCols FROM shl),
+       |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS sha, b.sh AS shb
+       |         FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandCond)),
+       |pairs AS (SELECT a_id, b_id FROM cand
+       |          WHERE round(CAST(len(list_intersect(sha, shb)) AS DOUBLE)
+       |                / (len(sha) + len(shb) - len(list_intersect(sha, shb))), 4) >= 0.5),
+       |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |          UNION SELECT b_id, a_id FROM pairs),
+       |seeds AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+       |h1 AS (SELECT DISTINCT e.v AS doc_id FROM edges e
+       |       JOIN seeds s ON e.u = s.doc_id
+       |       WHERE e.v NOT IN (SELECT doc_id FROM seeds)),
+       |h2 AS (SELECT DISTINCT e.v AS doc_id FROM edges e
+       |       JOIN h1 ON e.u = h1.doc_id
+       |       WHERE e.v NOT IN (SELECT doc_id FROM seeds)
+       |         AND e.v NOT IN (SELECT doc_id FROM h1))
+       |SELECT doc_id, CAST(0 AS BIGINT) AS hop FROM seeds
+       |UNION ALL SELECT doc_id, CAST(1 AS BIGINT) FROM h1
+       |UNION ALL SELECT doc_id, CAST(2 AS BIGINT) FROM h2
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
@@ -3870,7 +3938,8 @@ object PipelineQueries {
     ("q112_kmv_overlap", q112, q112Sql),
     ("q113_burst_detection", q113, q113Sql),
     ("q156_kmv_distinct", q156, q156Sql),
-    ("q169_calibration_curve", q169, q169Sql))
+    ("q169_calibration_curve", q169, q169Sql),
+    ("q177_contamination_hops", q177, q177Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type (KLL-style `percentile_approx`

@@ -17,6 +17,37 @@ class CurationSpec extends SparkSpec {
 
   private def docs = Tables.load(spark, sf0001, "documents")
 
+  test("q177: hops partition; every hop-1 doc borders a seed, every hop-2 doc borders hop 1 and no seed") {
+    val rows = PipelineQueries.q177(spark, sf0001)
+      .select("doc_id", "hop").as[(Long, Long)].collect()
+    val byHop = rows.groupBy(_._2).map { case (h, xs) => h -> xs.map(_._1).toSet }
+    val seeds = docs.filter(col("source") === "src0")
+      .select("doc_id").as[Long].collect().toSet
+    assert(byHop.getOrElse(0L, Set.empty) == seeds, "hop 0 must be exactly the seed source")
+    assert(rows.map(_._1).distinct.length == rows.length, "hops must be disjoint (min-hop)")
+    // recompute the edge list with the operator itself (independent of
+    // the oracle's SQL replay of the same pairs)
+    val pairs = graft.operators.MinHashLsh.nearDup(docs, 4, 2, 3, 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    val nbrs = (pairs ++ pairs.map(p => (p._2, p._1))).groupBy(_._1)
+      .map { case (u, vs) => u -> vs.map(_._2).toSet }
+    val h1 = byHop.getOrElse(1L, Set.empty); val h2 = byHop.getOrElse(2L, Set.empty)
+    h1.foreach { v =>
+      assert(!seeds(v) && nbrs.getOrElse(v, Set.empty).exists(seeds),
+        s"hop-1 doc $v must border a seed and not be one")
+    }
+    h2.foreach { v =>
+      val nb = nbrs.getOrElse(v, Set.empty)
+      assert(!seeds(v) && !h1(v) && nb.exists(h1) && !nb.exists(seeds),
+        s"hop-2 doc $v must border hop 1 only")
+    }
+    // completeness: no unvisited doc borders the visited-at-hop<2 set
+    val visited = seeds ++ h1
+    val missing = nbrs.keySet.filter(v =>
+      !visited(v) && !h2(v) && nbrs(v).exists(visited))
+    assert(missing.isEmpty, s"closure missed reachable docs: $missing")
+  }
+
   test("q61: ratios bounded and n_dup agrees with a window reference model") {
     val got = PipelineQueries.q61(spark, sf0001)
       .select("doc_id", "n_distinct", "n_dup", "dup_ratio")

@@ -303,6 +303,32 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("q178: hand-checked TWAP on crafted steps; burst under-weighting vs the row mean") {
+    // day 1: 1.00 at 00:00, 3.00 at 12:00 -> each holds 12h, TWAP = 200c
+    // day 2: 1.00 at 00:00 (23h), then 6 bursts of 5.00 in the last
+    // hour -> TWAP = (100*23h + 500*1h)/24h ≈ 116c, row mean = 443c
+    val ev = Seq(
+      (1L, "2024-05-01 00:00:00", 1.00), (2L, "2024-05-01 12:00:00", 3.00),
+      (3L, "2024-05-02 00:00:00", 1.00)) ++
+      (0 until 6).map(i => (10L + i, f"2024-05-02 23:${i * 10}%02d:00", 5.00))
+    val df = ev.map { case (id, ts, v) =>
+      (id, java.sql.Timestamp.valueOf(ts), 1L, "click", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_twap").toString
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = MiningQueries.q178(spark, dir)
+      .select("day", "n", "num", "den", "twap_cents")
+      .as[(java.sql.Date, Long, Long, Long, Long)].collect()
+      .map(r => r._1.toString -> r).toMap
+    val d1 = rows("2024-05-01")
+    assert(d1._2 == 2 && d1._4 == 86400L * 1000000L && d1._5 == 200L,
+      s"day 1: $d1 (expected full-day den, TWAP exactly 200 cents)")
+    val d2 = rows("2024-05-02")
+    val num2 = 100L * 23 * 3600 * 1000000L + 500L * 3600 * 1000000L
+    assert(d2._3 == num2 && d2._5 == num2 / (86400L * 1000000L), s"day 2: $d2")
+    assert(d2._5 < 443, "TWAP must under-weight the burst vs the row mean (443c)")
+  }
+
   test("q165: versions contiguous per key — each close equals the next open; one live row per key") {
     val rows = MiningQueries.q165(spark, sf0001)
       .select("custkey", "version", "valid_from_us", "valid_to_us")

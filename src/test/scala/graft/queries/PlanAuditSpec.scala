@@ -133,6 +133,11 @@ object PlanAuditSpec {
     // to 5 rows before the wire); the other three carry the 5-row
     // weight model (tot agg, w_ppm fold, output sort)
     "q163_temperature_mix" -> 5,
+    // q177: bounded-depth BFS — each hop is a frontier-keyed join +
+    // distinct + visited anti-join, and every exchange after the first
+    // carries FRONTIER-sized doc_id lists (edges/seeds/h1 are pinned
+    // artifacts); the corpus never re-shuffles
+    "q177_contamination_hops" -> 5,
     // q175: 3 exchanges per FD candidate × 5 — the (det, dep) pair
     // fold (the only one whose width tracks data, bounded by distinct
     // pair count), the per-det max re-key (distinct-det-sized), and a

@@ -943,6 +943,102 @@ object MiningQueries {
       |         // CAST(sum(held) AS BIGINT) AS twap_cents
       |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- Q180
+  /** BENFORD first-digit audit of order totals — the fraud/synthetic-
+    * data screen: naturally-grown multiplicative quantities put digit d
+    * first with probability log₁₀(1+1/d); fabricated or truncated data
+    * doesn't. The expected distribution enters as NINE FIXED ppm
+    * CONSTANTS (301030 … 45757 — the rounded-to-6-decimals logs, which
+    * sum to exactly 10⁶, so no float ever enters the dataflow): per
+    * digit, observed count, observed ppm (10⁶·obs div n), expected
+    * ppm, and the signed deviation — all exact integers. First digit =
+    * first character of the CENTS integer's decimal string (scale-free
+    * and engine-portable; no log10 extraction). One partial-aggregable
+    * scan; the digit fold is 9 rows. */
+  val q180: Q = (s, d) => {
+    val expected = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+      66947L, 57992L, 51153L, 45757L)
+    val expCol = expected.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, i)) =>
+      when(col("digit") === (i + 1).toString, p).otherwise(acc)
+    }
+    val tot = Window.partitionBy()
+    t(s, d, "orders")
+      .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .select(substring(col("cents").cast("string"), 1, 1).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("obs"))
+      .withColumn("n", sum(col("obs")).over(tot))
+      .select(col("digit"), col("obs"),
+        expr("(1000000 * obs) div n").as("obs_ppm"),
+        expCol.as("exp_ppm"))
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+      .orderBy(col("digit"))
+  }
+
+  val q180Sql: String = {
+    val cases = Seq(301030, 176091, 124939, 96910, 79181, 66947, 57992,
+      51153, 45757).zipWithIndex
+      .map { case (p, i) => s"WHEN '${i + 1}' THEN $p" }.mkString(" ")
+    s"""WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+       |           FROM orders),
+       |dg AS (SELECT substr(CAST(cents AS VARCHAR), 1, 1) AS digit
+       |       FROM c WHERE cents > 0),
+       |o AS (SELECT digit, CAST(count(*) AS BIGINT) AS obs FROM dg GROUP BY 1),
+       |t AS (SELECT digit, obs, CAST(sum(obs) OVER () AS BIGINT) AS n FROM o)
+       |SELECT digit, obs, (1000000 * obs) // n AS obs_ppm,
+       |  CAST(CASE digit $cases ELSE 0 END AS BIGINT) AS exp_ppm,
+       |  (1000000 * obs) // n - CAST(CASE digit $cases ELSE 0 END AS BIGINT)
+       |    AS dev_ppm
+       |FROM t ORDER BY digit""".stripMargin
+  }
+
+  // --------------------------------------------------------------- Q181
+  /** K-ANONYMITY / L-DIVERSITY audit — the privacy-governance gate a
+    * dataset release runs before publishing: quasi-identifier = the
+    * (nation, market segment, balance-band) triple an adversary can
+    * link externally; a QI group smaller than k = 5 re-identifies its
+    * members, and a group whose SENSITIVE column (exact balance cents)
+    * takes < 2 distinct values leaks it even at size ≥ k (homogeneity
+    * attack — hence l-diversity beside k). Output is the one-row audit
+    * verdict: worst-case group size, group/violator counts, rows at
+    * risk, and the minimum sensitive diversity. Two partial-aggregable
+    * folds (QI groups, then one row); the QI fold is the only
+    * data-sized exchange. */
+  val q181: Q = (s, d) => {
+    t(s, d, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      // +10⁹ shift before the band divide: balances go negative, and
+      // Spark's `div` truncates toward zero while DuckDB's `//` floors
+      // — on the shifted non-negative domain both are the same floor
+      .withColumn("band", expr("(bal_cents + 1000000000) div 10000"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("band"))
+      .agg(count(lit(1)).as("sz"),
+        countDistinct(col("bal_cents")).as("ldiv"))
+      .agg(min(col("sz")).as("k_anonymity"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("sz") < 5, 1L).otherwise(0L)).as("viol_groups"),
+        sum(when(col("sz") < 5, col("sz")).otherwise(0L)).as("risky_rows"),
+        min(col("ldiv")).as("l_diversity_min"))
+  }
+
+  val q181Sql: String =
+    """WITH qi AS (SELECT c_nationkey, c_mktsegment,
+      |              CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+      |              (CAST(round(c_acctbal * 100) AS BIGINT) + 1000000000)
+      |                // 10000 AS band
+      |            FROM customer),
+      |g AS (SELECT c_nationkey, c_mktsegment, band,
+      |        CAST(count(*) AS BIGINT) AS sz,
+      |        CAST(count(DISTINCT bal_cents) AS BIGINT) AS ldiv
+      |      FROM qi GROUP BY 1, 2, 3)
+      |SELECT CAST(min(sz) AS BIGINT) AS k_anonymity,
+      |       CAST(count(*) AS BIGINT) AS n_groups,
+      |       CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS viol_groups,
+      |       CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS risky_rows,
+      |       CAST(min(ldiv) AS BIGINT) AS l_diversity_min
+      |FROM g""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q159_prefix_filter_join", q159, q159Sql),
@@ -960,6 +1056,8 @@ object MiningQueries {
     ("q174_wilson_ranking", q174, q174Sql),
     ("q175_fd_profile", q175, q175Sql),
     ("q176_autocorrelation", q176, q176Sql),
-    ("q178_twap", q178, q178Sql))
+    ("q178_twap", q178, q178Sql),
+    ("q180_benford", q180, q180Sql),
+    ("q181_k_anonymity", q181, q181Sql))
 }
 

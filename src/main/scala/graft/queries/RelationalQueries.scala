@@ -782,6 +782,90 @@ object RelationalQueries {
       |GROUP BY sn.n_name, cn.n_name, l_year
       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
 
+  // --------------------------------------------------------------- Q179
+  /** TPC-H Q8 SHAPE (national market share) — the widest join in the
+    * suite: SEVEN base tables (region→nation→customer→orders→lineitem
+    * ←part, ←supplier→nation again) answering "what share of the ASIA
+    * market's ECONOMY-part revenue came from NATION_5 suppliers, by
+    * order year". The join-ORDER stress case the optimizer guides care
+    * about: both dimension chains (customer's region, supplier's
+    * nation) and the part filter all reduce to broadcasts, so the plan
+    * must keep lineitem as the probe side of a broadcast cascade —
+    * facts shuffle once for the year fold, never for a join
+    * (TpchJoinSpec pins ≥5 broadcasts, ≤1 fact shuffle + sort). The
+    * share is exact: revenue lifts to integer MICRO-units
+    * (price·(1−disc) has scale 6, ×10⁶ is a lossless BIGINT), the
+    * conditional numerator rides the same fold, and share_ppm =
+    * 10⁶·num div den in DECIMAL(38,0)/HUGEINT (num·10⁶ passes 2⁶³ —
+    * the q164 lift). Mirrors TPC-H Q8's correlated CASE-inside-SUM
+    * formulation (`reference: none — public TPC-H spec §2.4.8`). */
+  val q179: Q = (s, d) => {
+    import graft.core.Dsl.{dec2, dec4}
+    val dec = "DECIMAL(38,0)"
+    val one = lit(1).cast(org.apache.spark.sql.types.DecimalType(5, 4))
+    val asiaNations = t(s, d, "nation")
+      .join(t(s, d, "region").filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = t(s, d, "customer")
+      .join(asiaNations, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val ord = t(s, d, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    val econParts = t(s, d, "part").filter(col("p_type") === "ECONOMY")
+      .select(col("p_partkey"))
+    val suppNation = t(s, d, "supplier")
+      .join(t(s, d, "nation").select(col("n_nationkey"), col("n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        (dec2(col("l_extendedprice")) * (one - dec4(col("l_discount"))) *
+          lit(1000000)).cast("long").as("rev_micro"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(econParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(sum(when(col("supp_nation") === "NATION_5", col("rev_micro"))
+          .otherwise(0L)).as("num"),
+        sum(col("rev_micro")).as("den"))
+      .select(col("o_year"), col("num"), col("den"),
+        expr(s"(CAST(1000000 AS $dec) * CAST(num AS $dec)) div CAST(den AS $dec)")
+          .as("share_ppm"))
+      .orderBy(col("o_year"))
+  }
+
+  val q179Sql: String =
+    """WITH li AS (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(15,2))
+      |      * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))
+      |      * 1000000 AS BIGINT) AS rev_micro,
+      |    sn.n_name AS supp_nation
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |  JOIN region ON cn.n_regionkey = r_regionkey
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+      |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+      |    AND o_orderdate < TIMESTAMP '1997-01-01')
+      |SELECT o_year,
+      |  CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN rev_micro ELSE 0 END)
+      |       AS BIGINT) AS num,
+      |  CAST(sum(rev_micro) AS BIGINT) AS den,
+      |  CAST((1000000 * CAST(sum(CASE WHEN supp_nation = 'NATION_5'
+      |                                THEN rev_micro ELSE 0 END) AS HUGEINT))
+      |       // CAST(sum(rev_micro) AS HUGEINT) AS BIGINT) AS share_ppm
+      |FROM li GROUP BY o_year ORDER BY o_year""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q153_shipping_priority", q153, q153Sql),
@@ -790,6 +874,7 @@ object RelationalQueries {
     ("q157_waiting_suppliers", q157, q157Sql),
     ("q158_waiting_suppliers_onescan", q158, q158Sql),
     ("q162_volume_shipping", q162, q162Sql),
+    ("q179_market_share", q179, q179Sql),
     ("q31_correlated_subquery", q31, q31Sql),
     ("q32_percentiles", q32, q32Sql),
     ("q33_date_arithmetic", q33, q33Sql),

@@ -329,6 +329,37 @@ class MiningSpec extends SparkSpec {
     assert(d2._5 < 443, "TWAP must under-weight the burst vs the row mean (443c)")
   }
 
+  test("q180: Benford constants sum to exactly 1e6; observed masses account for every order") {
+    val rows = MiningQueries.q180(spark, sf0001)
+      .select("digit", "obs", "obs_ppm", "exp_ppm", "dev_ppm")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._4).sum == 1000000L,
+      "the nine expected-ppm constants must sum to exactly 1e6")
+    val n = Tables.load(spark, sf0001, "orders")
+      .filter(round(col("o_totalprice") * 100) > 0).count()
+    assert(rows.map(_._2).sum == n, "observed digit counts must cover every positive total")
+    rows.foreach { case (dg, obs, oppm, eppm, dev) =>
+      assert(dg.length == 1 && dg >= "1" && dg <= "9", s"bad digit $dg")
+      assert(oppm == 1000000L * obs / n && dev == oppm - eppm, s"digit $dg row inconsistent")
+    }
+  }
+
+  test("q181: audit matches a brute-force recompute of the QI groups") {
+    val cust = Tables.load(spark, sf0001, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("bc"))
+      .as[(Long, String, Long)].collect()
+    val groups = cust.groupBy(c => (c._1, c._2, (c._3 + 1000000000L) / 10000L))
+    val sizes = groups.values.map(_.length.toLong)
+    val ldivs = groups.values.map(_.map(_._3).distinct.length.toLong)
+    val got = MiningQueries.q181(spark, sf0001)
+      .select("k_anonymity", "n_groups", "viol_groups", "risky_rows", "l_diversity_min")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(got == ((sizes.min, groups.size.toLong,
+      sizes.count(_ < 5).toLong, sizes.filter(_ < 5).sum, ldivs.min)),
+      s"audit row $got disagrees with brute force")
+  }
+
   test("q165: versions contiguous per key — each close equals the next open; one live row per key") {
     val rows = MiningQueries.q165(spark, sf0001)
       .select("custkey", "version", "valid_from_us", "valid_to_us")

@@ -155,6 +155,12 @@ object PlanAuditSpec {
   val ScanBaseline: Map[String, Int] = Map(
     // single-scan designs the audit fought for: pin them tight
     "q61_duplicate_passages" -> 1,
+    // q179 (TPC-H Q8): SEVEN base tables with nation scanned twice
+    // (customer's region chain + supplier's nation role) — eight scans
+    // is one per table role, the multi-table carve-out; every
+    // dimension chain broadcasts (7 BroadcastExchanges, 2 shuffles:
+    // the year fold + output sort)
+    "q179_market_share" -> 8,
     // q175 checks five declared FD candidates: one scan per candidate,
     // each pruned to exactly its (det, dep) column pair — a pin would
     // force materializing the union of every candidate's columns, more

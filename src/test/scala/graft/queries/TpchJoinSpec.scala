@@ -41,6 +41,26 @@ class TpchJoinSpec extends SparkSpec {
       "top-20 must plan as TakeOrderedAndProject, not a full sort")
   }
 
+  test("q179: the 7-table Q8 star keeps lineitem as the probe of a broadcast cascade") {
+    val p = plan(RelationalQueries.q179)
+    val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 4, s"expected >= 4 broadcast joins in the Q8 star, saw $bhj")
+    assert(!p.contains("SortMergeJoin"),
+      "a sort-merge join at dimension scale means a broadcast regression")
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("o_orderdate")),
+      "order-date window must reach the orders scan")
+    // shares are well-formed: numerator never exceeds the market total
+    val rows = RelationalQueries.q179(spark, sf0001)
+      .select("num", "den", "share_ppm")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (num, den, ppm) =>
+      assert(num >= 0 && num <= den, s"share numerator outside [0, den]: $num/$den")
+      assert(ppm == BigInt(1000000) * num / den, s"ppm $ppm not the exact floor")
+    }
+  }
+
   /** Build a plan with broadcasts + AQE off: the dimension-scale testdata
     * broadcasts everything, which hides the join algorithm the same plan
     * takes at fact scale — the shape under -1 threshold IS the 100 TB

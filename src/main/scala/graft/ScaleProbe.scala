@@ -727,7 +727,7 @@ object ScaleProbe {
     // 10× facts must be ~10× scan+shuffle with dimension cost flat. The
     // replicated orders/lineitem share one orderkey base (FK intact);
     // customer/supplier/nation/region are the sf0.1 originals.
-    if (want("q153", "q154", "q155", "q157", "q158")) {
+    if (want("q153", "q154", "q155", "q157", "q158", "q179")) {
       import graft.queries.RelationalQueries
       time("q153_shipping_prio sf0.1 (600k li)")(RelationalQueries.q153(spark, src).count())
       time("q153_shipping_prio sf1.0   (6M li)")(RelationalQueries.q153(spark, out).count())
@@ -739,6 +739,11 @@ object ScaleProbe {
       time("q157_waiting_supp sf1.0    (6M li)")(RelationalQueries.q157(spark, out).count())
       time("q158_waiting_1scan sf0.1 (600k li)")(RelationalQueries.q158(spark, src).count())
       time("q158_waiting_1scan sf1.0   (6M li)")(RelationalQueries.q158(spark, out).count())
+      // q179's seven-table star: dimensions broadcast (fixed at 10×),
+      // lineitem probes the cascade and shuffles once for the year
+      // fold — growth must be ~the fact scan, like q154
+      time("q179_market_share sf0.1  (600k li)")(RelationalQueries.q179(spark, src).count())
+      time("q179_market_share sf1.0    (6M li)")(RelationalQueries.q179(spark, out).count())
     }
 
     // --- mining-family probes at 10× (round 7): q159's candidate join
@@ -749,7 +754,8 @@ object ScaleProbe {
     // dimension-key shuffle each (10× orders is ~10× slim rows); q167's
     // ordered work is the cents GRID, which replication leaves at the
     // value-domain size — growth must be ~the scan.
-    if (want("q159", "q165", "q166", "q167", "q170", "q171")) {
+    if (want("q159", "q165", "q166", "q167", "q170", "q171", "q173",
+        "q175", "q177", "q178")) {
       import graft.queries.MiningQueries
       time("q159_prefix_join sf0.1  (5k docs) ")(MiningQueries.q159(spark, src).count())
       time("q159_prefix_join sf1.0 (50k docs) ")(MiningQueries.q159(spark, out).count())
@@ -771,6 +777,36 @@ object ScaleProbe {
       graft.core.Pins.release()
       time("q171_skyline sf0.1   (150k ord)  ")(MiningQueries.q171(spark, src).count())
       time("q171_skyline sf1.0   (1.5M ord)  ")(MiningQueries.q171(spark, out).count())
+      graft.core.Pins.release()
+      // q173's candidates are (w−1)·N by construction — per-block sort
+      // + equi-join, so 10× docs must be ~10× (block sizes grow but the
+      // window width doesn't); q175's exchanges are bounded by distinct
+      // (det, dep) pairs — replication grows keys 10× on the shifted-id
+      // tables, so ~10× slim rows; q178 rides ONE (type, day) exchange
+      // shared by window and fold — ~the scan at 10× density
+      time("q173_snm sf0.1          (5k docs)")(MiningQueries.q173(spark, src).count())
+      time("q173_snm sf1.0         (50k docs)")(MiningQueries.q173(spark, out).count())
+      graft.core.Pins.release()
+      time("q175_fd_profile sf0.1 (600k rows)")(MiningQueries.q175(spark, src).count())
+      time("q175_fd_profile sf1.0   (6M rows)")(MiningQueries.q175(spark, out).count())
+      time("q178_twap sf0.1       (100k ev)  ")(MiningQueries.q178(spark, src).count())
+      time("q178_twap sf1.0         (1M ev)  ")(MiningQueries.q178(spark, out).count())
+    }
+
+    // --- q177 BFS at 10×: the replicated corpus multiplies near-dup
+    // clusters, so the pair artifact and every frontier grow ~10× —
+    // per-hop cost must track the FRONTIER (edges are the memoized
+    // checkpoint; the corpus itself is touched only for the seed scan)
+    if (want("q177")) {
+      graft.queries.PipelineQueries.clearLshPairs()
+      time("q177_khop sf0.1         (5k docs)")(
+        graft.queries.PipelineQueries.q177(spark, src).count())
+      graft.core.Pins.release()
+      graft.queries.PipelineQueries.clearLshPairs()
+      time("q177_khop sf1.0        (50k docs)")(
+        graft.queries.PipelineQueries.q177(spark, out).count())
+      graft.core.Pins.release()
+      graft.queries.PipelineQueries.clearLshPairs()
     }
     spark.stop()
   }

@@ -313,7 +313,9 @@ object MiningQueries {
     * 100 TB the update stream is the delta batch and the base is the
     * stored dimension — the same plan, with the window per-key state
     * bounded by versions-per-key, not table size. */
-  val q165: Q = (s, d) => {
+  /** q165's version build, shared with q182's point-in-time consumer:
+    * ONE definition of the dimension history, two readers. */
+  private def scd2Versions(s: SparkSession, d: String) = {
     val base = t(s, d, "customer").select(col("c_custkey").as("custkey"),
       lit(0L).as("valid_from_us"),
       round(col("c_acctbal") * 100).cast("long").as("value_cents"))
@@ -329,23 +331,32 @@ object MiningQueries {
       .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
       .select(col("custkey"), col("version"), col("value_cents"),
         col("valid_from_us"), col("valid_to_us"))
-      .orderBy(col("custkey"), col("version"))
   }
 
-  val q165Sql: String =
-    """WITH base AS (SELECT c_custkey AS custkey, CAST(0 AS BIGINT) AS valid_from_us,
-      |                CAST(round(c_acctbal * 100) AS BIGINT) AS value_cents
-      |              FROM customer),
+  /** The same history as DuckDB CTEs (the prelude both oracles share). */
+  private val scd2SqlPrelude: String =
+    """base AS (SELECT c_custkey AS custkey, CAST(0 AS BIGINT) AS valid_from_us,
+      |           CAST(round(c_acctbal * 100) AS BIGINT) AS value_cents
+      |         FROM customer),
       |upd AS (SELECT o_custkey AS custkey, epoch_us(o_orderdate) AS valid_from_us,
       |          CAST(round(max_by(o_totalprice, o_orderkey) * 100) AS BIGINT) AS value_cents
       |        FROM orders GROUP BY 1, 2),
-      |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd)
-      |SELECT custkey,
-      |  CAST(row_number() OVER w AS BIGINT) AS version, value_cents,
-      |  valid_from_us, lead(valid_from_us, 1) OVER w AS valid_to_us
-      |FROM u
-      |WINDOW w AS (PARTITION BY custkey ORDER BY valid_from_us)
-      |ORDER BY custkey, version""".stripMargin
+      |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+      |vers AS (SELECT custkey,
+      |    CAST(row_number() OVER (PARTITION BY custkey ORDER BY valid_from_us)
+      |         AS BIGINT) AS version,
+      |    value_cents, valid_from_us,
+      |    lead(valid_from_us, 1) OVER (PARTITION BY custkey ORDER BY valid_from_us)
+      |      AS valid_to_us
+      |  FROM u)""".stripMargin
+
+  val q165: Q = (s, d) =>
+    scd2Versions(s, d).orderBy(col("custkey"), col("version"))
+
+  val q165Sql: String =
+    s"""WITH $scd2SqlPrelude
+       |SELECT custkey, version, value_cents, valid_from_us, valid_to_us
+       |FROM vers ORDER BY custkey, version""".stripMargin
 
   // --------------------------------------------------------------- Q166
   /** SNAPSHOT DIFF — the reconciliation audit between two versions of
@@ -1039,6 +1050,49 @@ object MiningQueries {
       |       CAST(min(ldiv) AS BIGINT) AS l_diversity_min
       |FROM g""".stripMargin
 
+  // --------------------------------------------------------------- Q182
+  /** POINT-IN-TIME dimension join — the feature-store correctness rule
+    * applied to q165's SCD-2 history: each order joins the customer
+    * version that was valid STRICTLY BEFORE its timestamp (valid_from
+    * < ts ≤ valid_to), i.e. the state the customer was in WHEN the
+    * order happened — joining the current row (SCD-1, q77) leaks the
+    * future into training features; the strict inequality even excludes
+    * the same-instant version the order itself opens. Exactly one
+    * version matches per order (the intervals tile [0, ∞)), so the
+    * join needs no dedup: one custkey equi-join with the interval
+    * residual, per-key fan-out bounded by versions-per-key (the update
+    * calendar, ≤ days — the documented dial; at 10⁹ keys this is the
+    * same one-shuffle shape). Output folds to the version axis: how
+    * much revenue was booked against how-stale dimension states, with
+    * the joined feature mass proving WHICH version each order saw. */
+  val q182: Q = (s, d) => {
+    val vers = scd2Versions(s, d)
+    val ord = t(s, d, "orders")
+      .select(col("o_custkey").as("custkey"),
+        unix_micros(col("o_orderdate")).as("ts"),
+        round(col("o_totalprice") * 100).cast("long").as("ord_cents"))
+    ord.join(vers, Seq("custkey"))
+      .filter(col("valid_from_us") < col("ts") &&
+        (col("valid_to_us").isNull || col("valid_to_us") >= col("ts")))
+      .groupBy(col("version"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("ord_cents")).as("rev_cents"),
+        sum(col("value_cents")).as("feat_cents"))
+      .orderBy(col("version"))
+  }
+
+  val q182Sql: String =
+    s"""WITH $scd2SqlPrelude,
+       |o AS (SELECT o_custkey AS custkey, epoch_us(o_orderdate) AS ts,
+       |        CAST(round(o_totalprice * 100) AS BIGINT) AS ord_cents
+       |      FROM orders)
+       |SELECT v.version, CAST(count(*) AS BIGINT) AS n_orders,
+       |       CAST(sum(o.ord_cents) AS BIGINT) AS rev_cents,
+       |       CAST(sum(v.value_cents) AS BIGINT) AS feat_cents
+       |FROM o JOIN vers v ON o.custkey = v.custkey
+       |  AND v.valid_from_us < o.ts
+       |  AND (v.valid_to_us IS NULL OR v.valid_to_us >= o.ts)
+       |GROUP BY v.version ORDER BY v.version""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q159_prefix_filter_join", q159, q159Sql),
@@ -1058,6 +1112,7 @@ object MiningQueries {
     ("q176_autocorrelation", q176, q176Sql),
     ("q178_twap", q178, q178Sql),
     ("q180_benford", q180, q180Sql),
-    ("q181_k_anonymity", q181, q181Sql))
+    ("q181_k_anonymity", q181, q181Sql),
+    ("q182_pit_join", q182, q182Sql))
 }
 

@@ -360,6 +360,32 @@ class MiningSpec extends SparkSpec {
       s"audit row $got disagrees with brute force")
   }
 
+  test("q182: every order matches exactly one version; the strict PIT rule excludes same-instant state") {
+    // one customer, balance 5.00, orders 10.00 (day 1) and 20.00 (day 2):
+    // order 1 must see the BASE version (500c) -- not the version its own
+    // arrival opens -- and order 2 must see order 1's version (1000c)
+    val cust = Seq((7L, "Customer#7", 1L, 5.00, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val ords = Seq(
+      (100L, 7L, "O", 10.00, java.sql.Timestamp.valueOf("1995-02-01 00:00:00"), "1-URGENT"),
+      (101L, 7L, "O", 20.00, java.sql.Timestamp.valueOf("1995-02-02 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pit").toString
+    cust.write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    ords.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val rows = MiningQueries.q182(spark, dir)
+      .select("version", "n_orders", "rev_cents", "feat_cents")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(rows == Seq((1L, 1L, 1000L, 500L), (2L, 1L, 2000L, 1000L)),
+      s"PIT join picked the wrong versions: $rows")
+    // on real data: the interval tiling makes the join exactly 1:1
+    val matched = MiningQueries.q182(spark, sf0001)
+      .agg(sum("n_orders")).as[Long].head()
+    val nOrders = Tables.load(spark, sf0001, "orders").count()
+    assert(matched == nOrders, s"$matched matches for $nOrders orders — not 1:1")
+  }
+
   test("q165: versions contiguous per key — each close equals the next open; one live row per key") {
     val rows = MiningQueries.q165(spark, sf0001)
       .select("custkey", "version", "valid_from_us", "valid_to_us")

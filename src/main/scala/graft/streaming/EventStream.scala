@@ -35,6 +35,15 @@ case class Enriched(key: Long, id: Long, tMicros: Long,
 case class FunnelProgress(userId: Long, tvMicros: Long, tcMicros: Long,
                           tpMicros: Long)
 
+/** Per-(type, UTC day) running LOCF-integral state for [[EventStream.twapDaily]]:
+  * the last observation and the partial exact-integer integral. */
+case class TwapState(eventType: String, dayUs: Long, lastTs: Long,
+                     lastCents: Long, n: Long, num: Long, den: Long)
+
+/** A finalized TWAP day — the exact columns batch q178 computes. */
+case class TwapRow(eventType: String, dayUs: Long, n: Long,
+                   num: Long, den: Long, twapCents: Long)
+
 /** Structured Streaming operators for the reference's unbounded
   * incremental semantics (SURVEY §2.2 Streaming): the eternal ingest loop
   * becomes a streaming query with checkpointed offsets instead of
@@ -709,6 +718,67 @@ object EventStream {
           }
           best.foreach(state.update)
           best.iterator
+      }
+  }
+
+  /** Continuous TWAP — q178's streaming twin via typed event-time
+    * state: per (type, UTC day) the state is the day's RUNNING LOCF
+    * integral — (last observation, partial Σ cents·held-μs, Σ held-μs,
+    * event count) — one fixed-width row per open day, never an event
+    * buffer. A day FINALIZES when the watermark passes its midnight
+    * (EventTimeTimeout): the held value extends to day end exactly as
+    * batch q178 extends it, and the emitted row carries the identical
+    * exact-integer (n, num, den, twap_cents).
+    *
+    * Within a micro-batch a day's rows integrate in (ts, eventId)
+    * order, so batch-internal arrival order never matters; equal
+    * timestamps resolve to the later eventId's value holding — the
+    * batch query's lead-window tie rule, reproduced. ACROSS batches
+    * the twin is exact when per-key events arrive non-decreasing in
+    * event time (the watermark-delayed-feed discipline every typed
+    * twin here documents); a cross-batch straggler older than the held
+    * pointer is COUNTED in n but cannot retro-shape the integral (that
+    * would need the event buffer this operator exists to avoid). */
+  def twapDaily(events: Dataset[Event],
+                watermarkDelay: String = "1 hour"): Dataset[TwapRow] = {
+    import events.sparkSession.implicits._
+    val dayLenUs = 86400L * 1000000L
+    events
+      .withColumn("eventTime", timestamp_micros(col("tsMicros")))
+      .withWatermark("eventTime", watermarkDelay)
+      .as[Event]
+      .groupByKey(e => (e.eventType, e.tsMicros / dayLenUs * dayLenUs))
+      .flatMapGroupsWithState[TwapState, TwapRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case ((typ, day), rows, state) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            val tail = st.dayUs + dayLenUs - st.lastTs
+            val num = st.num + st.lastCents * tail
+            val den = st.den + tail
+            state.remove()
+            Iterator.single(TwapRow(st.eventType, st.dayUs, st.n, num, den, num / den))
+          } else {
+            var st = state.getOption
+              .getOrElse(TwapState(typ, day, 0L, 0L, 0L, 0L, 0L))
+            rows.toSeq.sortBy(e => (e.tsMicros, e.eventId)).foreach { e =>
+              // floor(x+0.5) = Spark's HALF_UP round() on this domain
+              // (values nonnegative)
+              val cents = math.floor(e.value * 100 + 0.5).toLong
+              if (st.n == 0L)
+                st = st.copy(lastTs = e.tsMicros, lastCents = cents, n = 1L)
+              else if (e.tsMicros >= st.lastTs)
+                st = st.copy(
+                  num = st.num + st.lastCents * (e.tsMicros - st.lastTs),
+                  den = st.den + (e.tsMicros - st.lastTs),
+                  lastTs = e.tsMicros, lastCents = cents, n = st.n + 1L)
+              else st = st.copy(n = st.n + 1L)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(math.max((day + dayLenUs) / 1000L,
+              state.getCurrentWatermarkMs + 1L))
+            Iterator.empty
+          }
       }
   }
 

@@ -559,4 +559,58 @@ class EventStreamSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq,
       s"maintained profile diverged from batch q161:\n got $got\nwant $want")
   }
+
+  test("twapDaily: watermark-closed days reproduce batch q178 exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.twapDaily(input.toDS(), watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("twap_daily")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // day 1 (epoch day 0 would collide with the INITIAL watermark,
+      // which drops at-watermark rows), shuffled within the batch (the
+      // operator sorts): click 1.00@00:00 + 3.00@12:00 (each holds 12h
+      // -> 200c), view 2.50@06:00 (holds to midnight -> 250c)
+      val dayUs = 86400L * 1000000L
+      val day1 = Seq(
+        Event(2, us(24 + 12), 1, "click", 3.00),
+        Event(1, us(24), 1, "click", 1.00),
+        Event(3, us(24 + 6), 2, "view", 2.50))
+      input.addData(day1: _*)
+      q.processAllAvailable()
+      assert(spark.table("twap_daily").count() == 0,
+        "no day may finalize before the watermark passes its midnight")
+      // day-2 arrivals push the watermark past day 1's midnight...
+      input.addData(Event(4, us(50), 1, "click", 5.00))
+      q.processAllAvailable()
+      // ...and the NEXT trigger evaluates the timeouts against it
+      input.addData(Event(5, us(54), 1, "click", 7.00))
+      q.processAllAvailable()
+      val got = spark.table("twap_daily").as[TwapRow].collect()
+        .filter(_.dayUs == dayUs).map(r => r.eventType -> r).toMap
+      val h12 = 12L * 3600 * 1000000L
+      assert(got("click") == TwapRow("click", dayUs, 2L,
+        100L * h12 + 300L * h12, 2 * h12, 200L), s"click day: ${got.get("click")}")
+      assert(got("view") == TwapRow("view", dayUs, 1L,
+        250L * 18 * 3600 * 1000000L, 18L * 3600 * 1000000L, 250L),
+        s"view day: ${got.get("view")}")
+
+      // batch-equality: the SAME day-1 events through batch q178
+      val dir = java.nio.file.Files.createTempDirectory("graft_twapd").toString
+      day1.toDF()
+        .select(col("eventId").as("event_id"),
+          timestamp_micros(col("tsMicros")).as("ts"),
+          col("userId").as("user_id"), col("eventType").as("event_type"),
+          col("value"), lit("{}").as("props"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val batch = graft.queries.MiningQueries.q178(spark, dir)
+        .select("event_type", "n", "num", "den", "twap_cents")
+        .as[(String, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> r).toMap
+      got.foreach { case (typ, r) =>
+        assert(batch(typ) == ((typ, r.n, r.num, r.den, r.twapCents)),
+          s"streamed $typ day diverged from batch q178: $r vs ${batch(typ)}")
+      }
+    } finally q.stop()
+  }
 }

@@ -3859,6 +3859,65 @@ object PipelineQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- Q183
+  /** VIDEO frame-level dedup — the third modality beside q83's images
+    * and q96's audio, exercising the frame-SAMPLE path end to end: a
+    * corpus of synthesized "videos" (4 fixed-width 256-byte frames
+    * each, drawn from a shared pool — each block of 4 docs yields 4
+    * videos that share the same frames in rotated order, the CDN
+    * storage-dedup scenario) runs through the REAL operator chain
+    * `MediaOps.decode → sampleFrames(4)` — the codec slices the
+    * payload bytes, NOT the synthesis — then per-frame md5 fingerprints
+    * fold to the storage-dedup verdict (total vs distinct frames, ppm
+    * saved). The oracle never assembles a video: it fingerprints the
+    * pool chunks directly, so agreement PROVES the byte-level frame
+    * slicing recovered the constituent frames exactly. Payload bytes
+    * stay inside their task through decode/sample (mapPartitions, no
+    * shuffle); the only payload-carrying exchange is the synthesis
+    * assembly itself, which production replaces with stored video
+    * columns. */
+  val q183: Q = (s, d) => {
+    import s.implicits._
+    val docs = t(s, d, "documents")
+    val chunks = docs.select(col("doc_id").as("src"),
+      rpad(col("text"), 256, " ").as("chunk"))
+    val videos = docs.select(col("doc_id").as("vid"))
+      .withColumn("j", explode(expr("sequence(0, 3)")))
+      .withColumn("src", expr("(vid div 4) * 4 + (vid + j) % 4"))
+      .join(chunks, "src")
+      .groupBy(col("vid"))
+      .agg(array_join(expr("transform(array_sort(collect_list(struct(j, chunk))), x -> x.chunk)"), "")
+        .as("video"))
+    val raw = videos
+      .select(col("vid"), lit("video").as("kind"),
+        encode(col("video"), "UTF-8").as("content"))
+      .as[(Long, String, Array[Byte])]
+    val frames = graft.multimodal.MediaOps.sampleFrames(
+      graft.multimodal.MediaOps.decode(raw), 4)
+    frames.toDF()
+      .select(col("mediaId"), md5(col("content")).as("h"))
+      .agg(countDistinct(col("mediaId")).as("n_videos"),
+        count(lit(1)).as("n_frames"),
+        countDistinct(col("h")).as("n_distinct_frames"))
+      .select(col("n_videos"), col("n_frames"), col("n_distinct_frames"),
+        expr("(1000000 * (n_frames - n_distinct_frames)) div n_frames")
+          .as("saved_ppm"))
+  }
+
+  val q183Sql: String =
+    """WITH ch AS (SELECT doc_id AS src, rpad(text, 256, ' ') AS chunk
+      |            FROM documents),
+      |vf AS (SELECT d.doc_id AS vid, i.j,
+      |         (d.doc_id // 4) * 4 + (d.doc_id + i.j) % 4 AS src
+      |       FROM documents d, (SELECT unnest(generate_series(0, 3)) AS j) i),
+      |f AS (SELECT vf.vid, md5(ch.chunk) AS h FROM vf JOIN ch USING (src))
+      |SELECT CAST(count(DISTINCT vid) AS BIGINT) AS n_videos,
+      |       CAST(count(*) AS BIGINT) AS n_frames,
+      |       CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_frames,
+      |       (1000000 * (CAST(count(*) AS BIGINT) - count(DISTINCT h)))
+      |         // CAST(count(*) AS BIGINT) AS saved_ppm
+      |FROM f""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
@@ -3939,7 +3998,8 @@ object PipelineQueries {
     ("q113_burst_detection", q113, q113Sql),
     ("q156_kmv_distinct", q156, q156Sql),
     ("q169_calibration_curve", q169, q169Sql),
-    ("q177_contamination_hops", q177, q177Sql))
+    ("q177_contamination_hops", q177, q177Sql),
+    ("q183_video_frame_dedup", q183, q183Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type (KLL-style `percentile_approx`

@@ -866,6 +866,86 @@ object RelationalQueries {
       |       // CAST(sum(rev_micro) AS HUGEINT) AS BIGINT) AS share_ppm
       |FROM li GROUP BY o_year ORDER BY o_year""".stripMargin
 
+  // --------------------------------------------------------------- Q184
+  /** TPC-H Q13 SHAPE (customer order-count distribution) — the canonical
+    * OUTER-JOIN AGGREGATE: every customer, including the order-less,
+    * lands in a per-customer count (LEFT join + null-skipping count),
+    * then the counts histogram. The zero bucket is the point: an inner
+    * join would silently drop exactly the customers the distribution
+    * question asks about. The priority filter stands in for Q13's
+    * comment NOT LIKE (a residual predicate the join must keep on the
+    * right side, not push to an inner semi). Shape: one customer⟕orders
+    * shuffle on custkey, then a counts-sized histogram fold — at 100 TB
+    * the first join is the only corpus exchange. */
+  val q184: Q = (s, d) => {
+    val ords = t(s, d, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey"))
+    t(s, d, "customer").select(col("c_custkey"))
+      .join(ords, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_custkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q184Sql: String =
+    """WITH co AS (SELECT c_custkey, CAST(count(o_custkey) AS BIGINT) AS c_count
+      |            FROM customer LEFT JOIN orders
+      |              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |            GROUP BY c_custkey)
+      |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      |FROM co GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // --------------------------------------------------------------- Q185
+  /** TPC-H Q17 SHAPE (small-order revenue) — the canonical CORRELATED
+    * AGGREGATE: revenue from line items ordering LESS THAN 20% of their
+    * part's average order quantity ("what would a minimum-order policy
+    * cost"). The correlation `qty < 0.2·avg(qty) OVER the same part`
+    * is exact by cross-multiplication — quantities are integral, so
+    * qty < sq/(5n) ⟺ 5·n·qty < sq with every term a BIGINT (no 0.2
+    * float ever exists). Shape: the brand's part keys broadcast into
+    * the lineitem scan (filter pushes to the probe), the slim
+    * (partkey, qty, cents) relation is PINNED and consumed twice —
+    * per-part moments, then the probe join back — so the fact scans
+    * once; everything after the moments join is one partial-aggregable
+    * fold to a single row. avg_yearly follows Q17 (÷7 years),
+    * floor-divided and auditable beside the exact cents sum. */
+  val q185: Q = (s, d) => {
+    val pk = t(s, d, "part").filter(col("p_brand") === "Brand#4")
+      .select(col("p_partkey"))
+    val li = graft.core.Pins.pin(
+      t(s, d, "lineitem")
+        .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey").as("pk"),
+          round(col("l_quantity")).cast("long").as("qty"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents")))
+    val stats = li.groupBy(col("pk"))
+      .agg(sum(col("qty")).as("sq"), count(lit(1)).as("n"))
+    li.join(stats, Seq("pk"))
+      .filter(lit(5L) * col("n") * col("qty") < col("sq"))
+      .agg(count(lit(1)).as("n_small"), sum(col("cents")).as("rev_cents"))
+      .select(col("n_small"), col("rev_cents"),
+        expr("rev_cents div 7").as("avg_yearly_cents"))
+  }
+
+  val q185Sql: String =
+    """WITH li AS (SELECT l_partkey AS pk,
+      |              CAST(round(l_quantity) AS BIGINT) AS qty,
+      |              CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      |            FROM lineitem JOIN part ON l_partkey = p_partkey
+      |            WHERE p_brand = 'Brand#4'),
+      |st AS (SELECT pk, CAST(sum(qty) AS BIGINT) AS sq,
+      |         CAST(count(*) AS BIGINT) AS n
+      |       FROM li GROUP BY pk)
+      |SELECT CAST(count(*) AS BIGINT) AS n_small,
+      |       CAST(sum(li.cents) AS BIGINT) AS rev_cents,
+      |       CAST(sum(li.cents) AS BIGINT) // 7 AS avg_yearly_cents
+      |FROM li JOIN st USING (pk)
+      |WHERE 5 * st.n * li.qty < st.sq""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q153_shipping_priority", q153, q153Sql),
@@ -875,6 +955,8 @@ object RelationalQueries {
     ("q158_waiting_suppliers_onescan", q158, q158Sql),
     ("q162_volume_shipping", q162, q162Sql),
     ("q179_market_share", q179, q179Sql),
+    ("q184_custdist", q184, q184Sql),
+    ("q185_small_order_revenue", q185, q185Sql),
     ("q31_correlated_subquery", q31, q31Sql),
     ("q32_percentiles", q32, q32Sql),
     ("q33_date_arithmetic", q33, q33Sql),

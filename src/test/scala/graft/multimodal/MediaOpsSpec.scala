@@ -14,6 +14,35 @@ class MediaOpsSpec extends SparkSpec {
     (2L, "image", Array.tabulate[Byte](512)(_.toByte)),
     (3L, "video", Array.tabulate[Byte](1024)(i => (i * 3).toByte))))
 
+  test("q183: codec frame slices recover the 256-byte pool chunks; dedup accounting closes") {
+    // operator level: a 1024-byte unknown-kind payload slices into the
+    // four exact quarters (the property q183's oracle relies on)
+    val content = Array.tabulate[Byte](1024)(i => (i % 97).toByte)
+    val one = spark.createDataset(Seq((9L, "video", content)))
+    val fr = MediaOps.sampleFrames(MediaOps.decode(one), 4)
+      .collect().sortBy(_.frameIdx)
+    assert(fr.length == 4)
+    fr.foreach { f =>
+      assert(f.content.toSeq == content.slice(f.frameIdx * 256, f.frameIdx * 256 + 256).toSeq,
+        s"frame ${f.frameIdx} is not the exact quarter")
+    }
+    // query level: distinct frames = the doc pool that actually joined;
+    // every complete block of 4 shares all its frames (4x reuse)
+    val row = graft.queries.PipelineQueries.q183(spark, sf0001)
+      .select("n_videos", "n_frames", "n_distinct_frames", "saved_ppm")
+      .as[(Long, Long, Long, Long)].head()
+    val docs = graft.core.Tables.load(spark, sf0001, "documents")
+    assert(row._1 == docs.count(), "every doc yields a video")
+    // the pool itself contains duplicate chunks (near-dup docs share
+    // their first 256 chars) — the codec path must find EXACTLY the
+    // pool's distinct chunk count, no more, no less
+    val poolDistinct = docs.select(rpad(col("text"), 256, " ")).distinct().count()
+    assert(row._3 == poolDistinct,
+      s"distinct frames ${row._3} must equal the pool's distinct chunks $poolDistinct")
+    assert(row._4 == 1000000L * (row._2 - row._3) / row._2, "saved_ppm must be the exact floor")
+    assert(row._4 >= 700000L, s"the 4-block rotation must give ~4x frame reuse, got ${row._4} ppm")
+  }
+
   test("decode attaches deterministic typed metadata") {
     val m = MediaOps.decode(raw).collect().sortBy(_.mediaId)
     assert(m.length == 3)

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 /** Plan-shape tests for the TPC-H join suite (q153–q155): the star
   * schema's contract is that DIMENSIONS broadcast and the FACT table
@@ -9,6 +10,7 @@ import graft.SparkSpec
   * join-order regression the oracle's value compare can't see.
   */
 class TpchJoinSpec extends SparkSpec {
+  import spark.implicits._
 
   private def plan(q: CoreQueries.Q): String =
     q(spark, sf0001).queryExecution.executedPlan.toString
@@ -59,6 +61,39 @@ class TpchJoinSpec extends SparkSpec {
       assert(num >= 0 && num <= den, s"share numerator outside [0, den]: $num/$den")
       assert(ppm == BigInt(1000000) * num / den, s"ppm $ppm not the exact floor")
     }
+  }
+
+  test("q184: the zero-order bucket survives the outer join; buckets cover every customer") {
+    val rows = RelationalQueries.q184(spark, sf0001)
+      .select("c_count", "custdist")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nCust = graft.core.Tables.load(spark, sf0001, "customer").count()
+    assert(rows.map(_._2).sum == nCust, "histogram must cover every customer exactly once")
+    val nWithOrders = graft.core.Tables.load(spark, sf0001, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_custkey").distinct().count()
+    val zero = rows.toMap.getOrElse(0L, 0L)
+    assert(zero == nCust - nWithOrders,
+      s"zero bucket $zero must be exactly the order-less customers (${nCust - nWithOrders})")
+  }
+
+  test("q185: the integer cross-multiplied correlation matches a brute-force 0.2*avg recompute") {
+    val li = graft.core.Tables.load(spark, sf0001, "lineitem")
+      .join(graft.core.Tables.load(spark, sf0001, "part")
+        .filter(col("p_brand") === "Brand#4"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), round(col("l_quantity")).cast("long"),
+        round(col("l_extendedprice") * 100).cast("long"))
+      .as[(Long, Long, Long)].collect()
+    val byPart = li.groupBy(_._1)
+    val small = li.filter { case (pk, qty, _) =>
+      val g = byPart(pk); 5L * g.length * qty < g.map(_._2).sum
+    }
+    val got = RelationalQueries.q185(spark, sf0001)
+      .select("n_small", "rev_cents", "avg_yearly_cents")
+      .as[(Long, Long, Long)].head()
+    assert(got == ((small.length.toLong, small.map(_._3).sum, small.map(_._3).sum / 7)),
+      s"q185 $got diverges from brute force")
   }
 
   /** Build a plan with broadcasts + AQE off: the dimension-scale testdata

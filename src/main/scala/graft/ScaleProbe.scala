@@ -727,7 +727,7 @@ object ScaleProbe {
     // 10× facts must be ~10× scan+shuffle with dimension cost flat. The
     // replicated orders/lineitem share one orderkey base (FK intact);
     // customer/supplier/nation/region are the sf0.1 originals.
-    if (want("q153", "q154", "q155", "q157", "q158", "q179")) {
+    if (want("q153", "q154", "q155", "q157", "q158", "q179", "q184", "q185")) {
       import graft.queries.RelationalQueries
       time("q153_shipping_prio sf0.1 (600k li)")(RelationalQueries.q153(spark, src).count())
       time("q153_shipping_prio sf1.0   (6M li)")(RelationalQueries.q153(spark, out).count())
@@ -744,6 +744,25 @@ object ScaleProbe {
       // fold — growth must be ~the fact scan, like q154
       time("q179_market_share sf0.1  (600k li)")(RelationalQueries.q179(spark, src).count())
       time("q179_market_share sf1.0    (6M li)")(RelationalQueries.q179(spark, out).count())
+      // q184's one custkey outer-join shuffle and q185's pinned slim
+      // probe relation both grow ~with the fact side; dims fixed
+      time("q184_custdist sf0.1     (150k ord)")(RelationalQueries.q184(spark, src).count())
+      time("q184_custdist sf1.0     (1.5M ord)")(RelationalQueries.q184(spark, out).count())
+      graft.core.Pins.release()
+      time("q185_small_order sf0.1   (600k li)")(RelationalQueries.q185(spark, src).count())
+      time("q185_small_order sf1.0     (6M li)")(RelationalQueries.q185(spark, out).count())
+      graft.core.Pins.release()
+    }
+
+    // --- q183 at 10× docs: the codec chain is scan-local mapPartitions
+    // (payloads never shuffle inside decode/sample); the synthesis
+    // assembly and the md5-distinct fold are the only exchanges, both
+    // ~linear in docs
+    if (want("q183")) {
+      time("q183_frame_dedup sf0.1  (5k docs) ")(
+        graft.queries.PipelineQueries.q183(spark, src).count())
+      time("q183_frame_dedup sf1.0 (50k docs) ")(
+        graft.queries.PipelineQueries.q183(spark, out).count())
     }
 
     // --- mining-family probes at 10× (round 7): q159's candidate join

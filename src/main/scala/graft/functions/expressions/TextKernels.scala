@@ -362,6 +362,65 @@ object Edit1Pairs {
   }
 }
 
+/** VERIFIED distance-≤2 pairs from a sorted bucket-member array in one
+  * kernel call — [[Edit1Pairs]]'s wider-ball sibling for the SymSpell
+  * D≤2 neighborhood (q186): every (i &lt; j) pair runs the engine's own
+  * banded threshold `UTF8String.levenshteinDistance(b, 2)` (O(L·3)
+  * diagonal band, early exit; the identical primitive behind the SQL
+  * `levenshtein(a, b, 2)`), with a free length-gap rejection first.
+  * Candidates never materialize as rows: the measured replacement —
+  * nested interpreted `transform` lambdas building a struct per
+  * candidate then filtering — paid allocation for the ~90% of
+  * candidates the verify rejects. The emitted distance rides along so
+  * the consumer never re-computes it.
+  */
+case class Edit2Pairs(child: Expression) extends UnaryExpression {
+  private val elem = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("a_val", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("b_val", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("dist",
+      org.apache.spark.sql.types.IntegerType, nullable = false)))
+  override def dataType: DataType = ArrayType(elem, containsNull = false)
+  override def prettyName: String = "graft_edit2pairs"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Edit2Pairs.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.Edit2Pairs.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Edit2Pairs =
+    copy(child = newChild)
+}
+
+object Edit2Pairs {
+  /** Static entry for generated code (one invoke per row). */
+  def compute(m: ArrayData): ArrayData = {
+    val n = m.numElements()
+    val out = new java.util.ArrayList[Any]
+    var i = 0
+    while (i < n) {
+      val a = m.getUTF8String(i)
+      val la = a.numChars()
+      var j = i + 1
+      while (j < n) {
+        val b = m.getUTF8String(j)
+        val lb = b.numChars()
+        if (math.abs(la - lb) <= 2) {
+          val d = a.levenshteinDistance(b, 2)
+          if (d >= 1 && d <= 2)
+            out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](a, b, d)))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
 object MinHashes {
   private val Hex = "0123456789abcdef".toCharArray
 

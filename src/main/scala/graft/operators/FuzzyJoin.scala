@@ -81,4 +81,37 @@ object FuzzyJoin {
           GraftShim.expression(col("__m"))))).as("p"))
       .select(col("p.a_val"), col("p.b_val"))
   }
+
+  /** Distinct `(a, b, dist)` pairs (a < b) with `levenshtein(a, b) ≤ 2`
+    * — the SymSpell neighborhood COMPOSED once: D≤2(s) is the deletion
+    * closure of D≤1(s) (`transform(deletionKeys, deletionKeys)`,
+    * flattened + deduped per row), and any pair within edit distance 2
+    * shares a member of both closures, so candidates again generate
+    * from a slim (key, string) equi-join. Differences from the
+    * distance-1 tier, both consequences of the wider ball:
+    *  - a true pair can share MANY keys (a substitution-1 pair shares
+    *    ~L distance-2 deletions), so survivors need a pair-DISTINCT —
+    *    placed AFTER the banded verify so only true pairs re-shuffle;
+    *  - bucket width is bounded by double-insertions into the key
+    *    (≤ ~(|Σ|·L)²), which on DENSE sequential identifiers (every
+    *    2-digit completion present) is the documented adversarial
+    *    case: candidate volume tracks insertion DENSITY, not N. The
+    *    verify is the 3-diagonal banded `levenshtein(a, b, 2)`
+    *    (threshold form — O(L), early-exit), evaluated inside the
+    *    bucket's pair loop before anything materializes as rows.
+    */
+  def editDistance2Pairs(rel: DataFrame, strCol: String): DataFrame = {
+    val v = rel.select(col(strCol).as("__t")).filter(col("__t").isNotNull).distinct()
+    val keys = v.select(col("__t"),
+      explode(array_distinct(flatten(
+        transform(deletionKeys(col("__t")), k => deletionKeys(k))))).as("__k"))
+    val buckets = keys.groupBy(col("__k"))
+      .agg(array_sort(collect_set(col("__t"))).as("__m"))
+      .filter(size(col("__m")) > 1)
+    buckets.select(explode(GraftShim.column(
+        graft.functions.expressions.Edit2Pairs(
+          GraftShim.expression(col("__m"))))).as("p"))
+      .select(col("p.a_val"), col("p.b_val"), col("p.dist").cast("long").as("dist"))
+      .distinct()
+  }
 }

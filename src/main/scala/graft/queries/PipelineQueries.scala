@@ -1706,6 +1706,33 @@ object PipelineQueries {
       .withColumnRenamed("b_val", "b_name")
       .orderBy(col("a_name"), col("b_name"))
 
+  // --------------------------------------------------------------- Q186
+  /** Edit-distance ≤ 2 self-join — q80's wider-ball tier
+    * ([[graft.operators.FuzzyJoin.editDistance2Pairs]]: the SymSpell
+    * deletion neighborhood composed once, banded threshold-levenshtein
+    * verify inside the bucket pair loop, pair-distinct after). The
+    * ORACLE is deliberately the OTHER algorithm — a quadratic
+    * cross-join with unthresholded levenshtein — so agreement proves
+    * the neighborhood blocking generates every true pair (the
+    * completeness direction a replayed-blocking oracle could not
+    * check). The synthetic sequential names are the operator's
+    * documented adversarial case: every 2-digit completion exists, so
+    * candidate volume tracks insertion density — production
+    * name/address corpora sit far below this bound. */
+  val q186: Q = (s, d) =>
+    graft.operators.FuzzyJoin.editDistance2Pairs(t(s, d, "customer"), "c_name")
+      .withColumnRenamed("a_val", "a_name")
+      .withColumnRenamed("b_val", "b_name")
+      .orderBy(col("a_name"), col("b_name"))
+
+  val q186Sql: String =
+    """WITH v AS (SELECT DISTINCT c_name AS t FROM customer WHERE c_name IS NOT NULL)
+      |SELECT a.t AS a_name, b.t AS b_name,
+      |       CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+      |FROM v a JOIN v b ON a.t < b.t
+      |WHERE levenshtein(a.t, b.t) <= 2
+      |ORDER BY a_name, b_name""".stripMargin
+
   val q80Sql: String =
     """WITH v AS (SELECT DISTINCT c_name AS t FROM customer WHERE c_name IS NOT NULL),
       |dels AS (SELECT t, unnest(generate_series(1, length(t))) AS i FROM v),
@@ -3999,7 +4026,8 @@ object PipelineQueries {
     ("q156_kmv_distinct", q156, q156Sql),
     ("q169_calibration_curve", q169, q169Sql),
     ("q177_contamination_hops", q177, q177Sql),
-    ("q183_video_frame_dedup", q183, q183Sql))
+    ("q183_video_frame_dedup", q183, q183Sql),
+    ("q186_fuzzy_join_d2", q186, q186Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type (KLL-style `percentile_approx`

@@ -9,6 +9,48 @@ class FuzzyJoinSpec extends SparkSpec {
     FuzzyJoin.editDistance1Pairs(vals.toDF("s"), "s")
       .as[(String, String)].collect().toSet
 
+  private def pairs2Of(vals: Seq[String]): Set[(String, String, Long)] =
+    FuzzyJoin.editDistance2Pairs(vals.toDF("s"), "s")
+      .as[(String, String, Long)].collect().toSet
+
+  test("d2: brute-force equality on randomized corpora (composed-neighborhood completeness)") {
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcd"
+    def randStr() = Seq.fill(3 + rnd.nextInt(7))(alpha(rnd.nextInt(alpha.length))).mkString
+    val vals = (0 until 120).map(_ => randStr()).distinct
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      i <- vals.indices; j <- vals.indices
+      a = vals(i); b = vals(j)
+      if a < b
+      d = lev(a, b)
+      if d >= 1 && d <= 2
+    } yield (a, b, d.toLong)).toSet
+    val got = pairs2Of(vals)
+    assert(got == expected,
+      s"d2 mismatch: missing ${expected diff got}, extra ${got diff expected}")
+  }
+
+  test("d2: no duplicate pairs despite many shared keys; distances are exact") {
+    // a substitution-1 pair shares ~L distance-2 deletion keys — the
+    // pair-distinct must collapse them to ONE row with the right dist
+    val got = FuzzyJoin.editDistance2Pairs(
+      Seq("kitten", "mitten", "sitten", "kitty").toDF("s"), "s")
+      .as[(String, String, Long)].collect()
+    assert(got.length == got.toSet.size, "duplicate rows escaped the distinct")
+    val m = got.map(r => (r._1, r._2) -> r._3).toMap
+    assert(m(("kitten", "mitten")) == 1L && m(("kitten", "sitten")) == 1L &&
+      m(("mitten", "sitten")) == 1L && m(("kitten", "kitty")) == 2L, s"wrong distances: $m")
+  }
+
   test("finds substitution, insertion, and deletion pairs; rejects distance 2") {
     val got = pairsOf(Seq(
       "kitten", "mitten",   // substitution at position 1

@@ -123,6 +123,14 @@ object ScaleProbe {
         graft.operators.FuzzyJoin.editDistance1Pairs(names(15000), "c_name").count())
       time("q80_fuzzy sf1.0   (150k names)  ")(
         graft.operators.FuzzyJoin.editDistance1Pairs(names(150000), "c_name").count())
+      // the d≤2 ball on sequential ids is the operator's adversarial
+      // density: 10× rows adds a digit position's worth of neighbors,
+      // so PAIR OUTPUT grows superlinearly — the probe documents that
+      // the wall tracks the pair volume, not a corpus-quadratic term
+      time("q186_fuzzy_d2 sf0.1 (15k names) ")(
+        graft.operators.FuzzyJoin.editDistance2Pairs(names(15000), "c_name").count())
+      time("q186_fuzzy_d2 sf1.0 (150k names)")(
+        graft.operators.FuzzyJoin.editDistance2Pairs(names(150000), "c_name").count())
     }
     // Exact all-pairs tier (TiledSelfJoin): comparisons grow N² by design —
     // the probe here is that 10× data runs AT ALL with flat driver/task

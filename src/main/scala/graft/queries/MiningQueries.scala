@@ -1093,6 +1093,46 @@ object MiningQueries {
        |  AND (v.valid_to_us IS NULL OR v.valid_to_us >= o.ts)
        |GROUP BY v.version ORDER BY v.version""".stripMargin
 
+  // --------------------------------------------------------------- Q188
+  /** ROLLING 7-day MEDIAN of daily revenue — the robust trendline the
+    * rolling MEAN (q118's shape) can't give: one anomalous day drags a
+    * mean for a week, the median shrugs it off. Rolling ORDER
+    * statistics are exact where rolling quantile-sketches aren't: the
+    * 7-value window materializes as a sorted array and the lower
+    * median is element ⌊(n−1)/2⌋ — a DISCRETE selection (q145's rule,
+    * applied per frame), bit-identical cross-engine. The window input
+    * is the DAYS-sized daily fold (the q113 small-series rationale:
+    * a decade is 3,653 rows — the corpus crossed the wire once in the
+    * fold; at many-key grain, partition by the key and the same frame
+    * rides the per-key series). Ragged opening frames (n < 7) emit
+    * their true n and median-of-available, deterministically. */
+  val q188: Q = (s, d) => {
+    val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+    t(s, d, "events")
+      .select(to_date(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("daily_cents"))
+      .withColumn("win", sort_array(collect_list(col("daily_cents")).over(w)))
+      .select(col("day"), col("daily_cents"),
+        size(col("win")).cast("long").as("n_win"),
+        element_at(col("win"),
+          (((size(col("win")) - 1) / 2) + 1).cast("int")).as("med_cents"))
+      .orderBy(col("day"))
+  }
+
+  val q188Sql: String =
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+      |                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |                   AS daily_cents
+      |               FROM events GROUP BY 1),
+      |w AS (SELECT day, daily_cents,
+      |        list_sort(list(daily_cents)
+      |          OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win
+      |      FROM daily)
+      |SELECT day, daily_cents, CAST(len(win) AS BIGINT) AS n_win,
+      |       win[(len(win) - 1) // 2 + 1] AS med_cents
+      |FROM w ORDER BY day""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q159_prefix_filter_join", q159, q159Sql),
@@ -1113,6 +1153,7 @@ object MiningQueries {
     ("q178_twap", q178, q178Sql),
     ("q180_benford", q180, q180Sql),
     ("q181_k_anonymity", q181, q181Sql),
-    ("q182_pit_join", q182, q182Sql))
+    ("q182_pit_join", q182, q182Sql),
+    ("q188_rolling_median", q188, q188Sql))
 }
 

@@ -946,6 +946,60 @@ object RelationalQueries {
       |FROM li JOIN st USING (pk)
       |WHERE 5 * st.n * li.qty < st.sq""".stripMargin
 
+  // --------------------------------------------------------------- Q187
+  /** PERCENT-OF-PARENT hierarchy shares — the canonical BI drill-down
+    * (region ▸ nation ▸ revenue with each node's share of its parent)
+    * that rollup/cube (q14/q29) don't give: those produce subtotal
+    * ROWS, this produces share COLUMNS on the leaf grain, which is
+    * what a treemap/drill-down UI actually binds. Exact integers
+    * throughout: revenue folds to cents, shares are 10⁶·child div
+    * parent with both sums exact BIGINTs (the divide is the only
+    * lossy step and it's a documented floor; 10⁶·cents bounds the
+    * BIGINT form at ~9·10¹² currency units per parent — lift to
+    * DECIMAL(38,0) past that, the q164 dial). Two window sums over
+    * the NATIONS-sized fold ride one partition layout (region, then
+    * the whole frame) — the corpus crosses the wire once in the
+    * nation fold; dimension chains broadcast. */
+  val q187: Q = (s, d) => {
+    val nat = t(s, d, "nation")
+      .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+    val cust = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val byNation = t(s, d, "orders")
+      .select(col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(col("cents")).as("rev_cents"))
+    val wRegion = Window.partitionBy(col("r_name"))
+    val wAll = Window.partitionBy()
+    byNation
+      .withColumn("region_cents", sum(col("rev_cents")).over(wRegion))
+      .withColumn("total_cents", sum(col("rev_cents")).over(wAll))
+      .select(col("r_name"), col("n_name"), col("rev_cents"),
+        expr("(1000000 * rev_cents) div region_cents").as("share_of_region_ppm"),
+        expr("(1000000 * region_cents) div total_cents").as("region_share_ppm"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val q187Sql: String =
+    """WITH bn AS (SELECT r_name, n_name,
+      |              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |                AS rev_cents
+      |            FROM orders
+      |            JOIN customer ON o_custkey = c_custkey
+      |            JOIN nation ON c_nationkey = n_nationkey
+      |            JOIN region ON n_regionkey = r_regionkey
+      |            GROUP BY 1, 2),
+      |w AS (SELECT r_name, n_name, rev_cents,
+      |        CAST(sum(rev_cents) OVER (PARTITION BY r_name) AS BIGINT) AS region_cents,
+      |        CAST(sum(rev_cents) OVER () AS BIGINT) AS total_cents
+      |      FROM bn)
+      |SELECT r_name, n_name, rev_cents,
+      |  (1000000 * rev_cents) // region_cents AS share_of_region_ppm,
+      |  (1000000 * region_cents) // total_cents AS region_share_ppm
+      |FROM w ORDER BY r_name, n_name""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q153_shipping_priority", q153, q153Sql),
@@ -957,6 +1011,7 @@ object RelationalQueries {
     ("q179_market_share", q179, q179Sql),
     ("q184_custdist", q184, q184Sql),
     ("q185_small_order_revenue", q185, q185Sql),
+    ("q187_share_of_parent", q187, q187Sql),
     ("q31_correlated_subquery", q31, q31Sql),
     ("q32_percentiles", q32, q32Sql),
     ("q33_date_arithmetic", q33, q33Sql),

@@ -386,6 +386,38 @@ class MiningSpec extends SparkSpec {
     assert(matched == nOrders, s"$matched matches for $nOrders orders — not 1:1")
   }
 
+  test("q188: the rolling median shrugs off a planted outlier day; ragged frames are honest") {
+    // 15 days of 100c daily totals with day 8 at 100000c: the 7-day
+    // rolling MEAN spikes for a week, the median stays at 100
+    val ev = (1 to 15).map { dd =>
+      (dd.toLong, java.sql.Timestamp.valueOf(f"2024-06-$dd%02d 12:00:00"),
+        1L, "click", if (dd == 8) 1000.00 else 1.00, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_rmed").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = MiningQueries.q188(spark, dir)
+      .select("day", "daily_cents", "n_win", "med_cents")
+      .as[(java.sql.Date, Long, Long, Long)].collect().sortBy(_._1.toString)
+    rows.zipWithIndex.foreach { case ((_, _, nWin, med), i) =>
+      assert(nWin == math.min(i + 1, 7), s"day $i: ragged frame width $nWin")
+      assert(med == 100L, s"day $i: median $med moved off 100 despite the outlier")
+    }
+    // and on real data: a BigInt-free brute force over the daily series
+    val daily = Tables.load(spark, sf0001, "events")
+      .select(to_date(col("ts")).cast("string").as("day"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy("day").agg(sum("c").as("c"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    val got = MiningQueries.q188(spark, sf0001)
+      .select(col("day").cast("string"), col("med_cents"))
+      .as[(String, Long)].collect().toMap
+    daily.indices.foreach { i =>
+      val win = daily.slice(math.max(0, i - 6), i + 1).map(_._2).sorted
+      assert(got(daily(i)._1) == win((win.length - 1) / 2),
+        s"day ${daily(i)._1}: rolling median mismatch")
+    }
+  }
+
   test("q165: versions contiguous per key — each close equals the next open; one live row per key") {
     val rows = MiningQueries.q165(spark, sf0001)
       .select("custkey", "version", "valid_from_us", "valid_to_us")

@@ -96,6 +96,29 @@ class TpchJoinSpec extends SparkSpec {
       s"q185 $got diverges from brute force")
   }
 
+  test("q187: shares account for each parent up to floor loss; leaf shares rebuild the hierarchy") {
+    val rows = RelationalQueries.q187(spark, sf0001)
+      .select("r_name", "n_name", "rev_cents", "share_of_region_ppm", "region_share_ppm")
+      .as[(String, String, Long, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (r, ns) =>
+      val sum = ns.map(_._4).sum
+      assert(sum <= 1000000L && sum > 1000000L - ns.length,
+        s"region $r: nation shares sum $sum outside the floor-loss band")
+      // every nation in a region reports the SAME region share
+      assert(ns.map(_._5).distinct.length == 1, s"region $r: inconsistent region share")
+    }
+    val regionShares = rows.groupBy(_._1).map(_._2.head._5)
+    val total = regionShares.sum
+    assert(total <= 1000000L && total > 1000000L - regionShares.size,
+      s"region shares sum $total outside the floor-loss band")
+    // exactness of one cell against a direct recompute
+    val byN = rows.map(r => (r._1, r._2) -> r).toMap
+    val (r0, n0) = (rows.head._1, rows.head._2)
+    val regionTotal = rows.filter(_._1 == r0).map(_._3).sum
+    assert(byN((r0, n0))._4 == 1000000L * byN((r0, n0))._3 / regionTotal,
+      "share_of_region_ppm must be the exact floor ratio")
+  }
+
   /** Build a plan with broadcasts + AQE off: the dimension-scale testdata
     * broadcasts everything, which hides the join algorithm the same plan
     * takes at fact scale — the shape under -1 threshold IS the 100 TB

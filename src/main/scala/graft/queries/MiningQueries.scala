@@ -1133,6 +1133,173 @@ object MiningQueries {
       |       win[(len(win) - 1) // 2 + 1] AS med_cents
       |FROM w ORDER BY day""".stripMargin
 
+  // --------------------------------------------------------------- Q189
+  /** CUSUM change-point alarm on daily revenue — the SEQUENTIAL
+    * detector (Page's cumulative sum) that flags a sustained small
+    * shift long before a per-day z-score (q113's shape) fires: the
+    * recursion s_i = max(0, s_{i−1} + x_i − target − k) looks
+    * inherently serial, but the classic identity
+    * s_i = P_i − min(0, min_{j≤i} P_j) (P = prefix sums of the
+    * drift terms) collapses it to TWO stacked window passes — the
+    * same recursion-to-window collapse as q171's skyline. Exact
+    * integers throughout: target = the global lower-median daily
+    * cents (discrete selection, q145's rule), allowance k = 5% and
+    * alarm threshold h = 50% of the target (floor divisions,
+    * documented dials); both the high-side and low-side CUSUMs ride
+    * the SAME ordered frame. Window input is the days-sized daily
+    * fold (q113 rationale — the corpus crosses the wire once); the
+    * one-row median broadcasts. */
+  val q189: Q = (s, d) => {
+    val daily = graft.core.Pins.pin(
+      t(s, d, "events")
+        .select(to_date(col("ts")).as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("day")).agg(sum(col("cents")).as("daily_cents")))
+    val med = daily
+      .agg(sort_array(collect_list(col("daily_cents"))).as("v"))
+      .select(element_at(col("v"),
+        (((size(col("v")) - 1) / 2) + 1).cast("int")).as("m"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily.crossJoin(broadcast(med))
+      .withColumn("p_hi",
+        sum(col("daily_cents") - col("m") - expr("m div 20")).over(w))
+      .withColumn("p_lo",
+        sum(col("m") - col("daily_cents") - expr("m div 20")).over(w))
+      .withColumn("cusum_hi_cents",
+        col("p_hi") - least(min(col("p_hi")).over(w), lit(0L)))
+      .withColumn("cusum_lo_cents",
+        col("p_lo") - least(min(col("p_lo")).over(w), lit(0L)))
+      .select(col("day"), col("daily_cents"),
+        col("cusum_hi_cents"), col("cusum_lo_cents"),
+        (col("cusum_hi_cents") > expr("m div 2")).cast("long").as("alarm_hi"),
+        (col("cusum_lo_cents") > expr("m div 2")).cast("long").as("alarm_lo"))
+      .orderBy(col("day"))
+  }
+
+  val q189Sql: String =
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+      |                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |                   AS daily_cents
+      |               FROM events GROUP BY 1),
+      |med AS (SELECT daily_cents AS m FROM daily ORDER BY daily_cents
+      |        LIMIT 1 OFFSET (SELECT (count(*) - 1) // 2 FROM daily)),
+      |p AS (SELECT day, daily_cents, m,
+      |        sum(daily_cents - m - m // 20) OVER w AS p_hi,
+      |        sum(m - daily_cents - m // 20) OVER w AS p_lo
+      |      FROM daily, med
+      |      WINDOW w AS (ORDER BY day
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |c AS (SELECT day, daily_cents, m,
+      |        p_hi - least(min(p_hi) OVER w, 0) AS cusum_hi_cents,
+      |        p_lo - least(min(p_lo) OVER w, 0) AS cusum_lo_cents
+      |      FROM p
+      |      WINDOW w AS (ORDER BY day
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT day, daily_cents,
+      |       CAST(cusum_hi_cents AS BIGINT) AS cusum_hi_cents,
+      |       CAST(cusum_lo_cents AS BIGINT) AS cusum_lo_cents,
+      |       CAST(cusum_hi_cents > m // 2 AS BIGINT) AS alarm_hi,
+      |       CAST(cusum_lo_cents > m // 2 AS BIGINT) AS alarm_lo
+      |FROM c ORDER BY day""".stripMargin
+
+  // --------------------------------------------------------------- Q190
+  /** ACTIVITY STREAKS per user — the gaps-and-islands fold behind
+    * every "7-day streak" product metric: consecutive active DAYS
+    * group into islands by the rank-difference trick (day_index −
+    * row_number is constant exactly on a run of consecutive days —
+    * no self-join, no recursion), then two cheap folds give per-user
+    * total active days, streak count, and longest streak. Everything
+    * partitions by user_id — per-key series ride their own
+    * partitions, the corpus crosses the wire once on the user key
+    * (the q131 sequence-mining layout), and island detection is
+    * integer-exact (dates → epoch-day indices). */
+  val q190: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    t(s, d, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .withColumn("grp",
+        datediff(col("day"), lit("1970-01-01").cast("date"))
+          - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"))
+      .orderBy(col("user_id"))
+  }
+
+  val q190Sql: String =
+    """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |isl AS (SELECT user_id,
+      |          date_diff('day', DATE '1970-01-01', day)
+      |            - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      |        FROM act),
+      |runs AS (SELECT user_id, grp, count(*) AS len FROM isl GROUP BY 1, 2)
+      |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+      |       CAST(count(*) AS BIGINT) AS n_streaks,
+      |       CAST(max(len) AS BIGINT) AS longest_streak
+      |FROM runs GROUP BY 1 ORDER BY user_id""".stripMargin
+
+  // --------------------------------------------------------------- Q191
+  /** INTERVAL-UNION coverage per user — merge each user's 5-minute
+    * activity intervals [ts, ts+300s) and report the union length
+    * and merged-island count: the sweep that q97 (peak concurrency)
+    * counts OVERLAP with, this one measures COVERAGE with — sessions,
+    * SLA windows, and GPU-occupancy accounting are all this fold. No
+    * self-join: an interval starts a new island iff its start clears
+    * the running max of all PRECEDING ends (one window pass), island
+    * ids are the running sum of those flags, and each island's
+    * coverage is exactly max(end) − min(start) because islands are
+    * contiguous by construction. Tie-safe: equal starts can swap
+    * order between engines but flag exactly one island opener either
+    * way, and the per-island min/max folds are order-free. Partitions
+    * by user_id; all arithmetic in epoch micros (exact longs). */
+  val q191: Q = (s, d) => {
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(col("st"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("user_id")).orderBy(col("st"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    t(s, d, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("st"))
+      .withColumn("en", col("st") + lit(300000000L))
+      .withColumn("new_isl",
+        (col("st") > coalesce(max(col("en")).over(wPrev),
+          lit(Long.MinValue))).cast("long"))
+      .withColumn("isl", sum(col("new_isl")).over(wRun))
+      .groupBy(col("user_id"), col("isl"))
+      .agg((max(col("en")) - min(col("st"))).as("cov"),
+        count(lit(1)).as("n_ev"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("cov")).as("covered_micros"),
+        count(lit(1)).as("n_islands"),
+        sum(col("n_ev")).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val q191Sql: String =
+    """WITH iv AS (SELECT user_id, epoch_us(ts) AS st,
+      |              epoch_us(ts) + 300000000 AS en FROM events),
+      |f AS (SELECT user_id, st, en,
+      |        CASE WHEN st > coalesce(max(en) OVER
+      |               (PARTITION BY user_id ORDER BY st
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |               -9223372036854775808)
+      |             THEN 1 ELSE 0 END AS new_isl
+      |      FROM iv),
+      |g AS (SELECT user_id, st, en,
+      |        sum(new_isl) OVER (PARTITION BY user_id ORDER BY st
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      |      FROM f),
+      |runs AS (SELECT user_id, isl, max(en) - min(st) AS cov,
+      |           count(*) AS n_ev
+      |         FROM g GROUP BY 1, 2)
+      |SELECT user_id, CAST(sum(cov) AS BIGINT) AS covered_micros,
+      |       CAST(count(*) AS BIGINT) AS n_islands,
+      |       CAST(sum(n_ev) AS BIGINT) AS n_events
+      |FROM runs GROUP BY 1 ORDER BY user_id""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q159_prefix_filter_join", q159, q159Sql),
@@ -1154,6 +1321,9 @@ object MiningQueries {
     ("q180_benford", q180, q180Sql),
     ("q181_k_anonymity", q181, q181Sql),
     ("q182_pit_join", q182, q182Sql),
-    ("q188_rolling_median", q188, q188Sql))
+    ("q188_rolling_median", q188, q188Sql),
+    ("q189_cusum", q189, q189Sql),
+    ("q190_streaks", q190, q190Sql),
+    ("q191_interval_coverage", q191, q191Sql))
 }
 

@@ -418,6 +418,106 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("q189: the CUSUM alarm fires only after a planted sustained shift; the window collapse replays the recursion") {
+    // 20 baseline days at 100c, then 10 days at 160c: median = 100c,
+    // k = 5c, so the high CUSUM jumps 55c on the first shifted day
+    // (day 21) and crosses h = 50c immediately — never before it
+    val ev = (1 to 30).map { dd =>
+      (dd.toLong, java.sql.Timestamp.valueOf(f"2024-06-$dd%02d 12:00:00"),
+        1L, "click", if (dd > 20) 1.60 else 1.00, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cusum").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = MiningQueries.q189(spark, dir)
+      .select("day", "cusum_hi_cents", "alarm_hi", "alarm_lo")
+      .as[(java.sql.Date, Long, Long, Long)].collect().sortBy(_._1.toString)
+    rows.take(20).foreach { case (d0, _, hi, lo) =>
+      assert(hi == 0L && lo == 0L, s"$d0: alarm before the shift") }
+    assert(rows.drop(20).forall(_._3 == 1L), "alarm_hi must stay on from day 21")
+    // and on real data: replay Page's recursion directly
+    val daily = Tables.load(spark, sf0001, "events")
+      .select(to_date(col("ts")).cast("string").as("day"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy("day").agg(sum("c").as("c"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    val m = daily.map(_._2).sorted.apply((daily.length - 1) / 2)
+    val k = m / 20
+    val got = MiningQueries.q189(spark, sf0001)
+      .select(col("day").cast("string"), col("cusum_hi_cents"), col("cusum_lo_cents"))
+      .as[(String, Long, Long)].collect().map { case (d0, a, b) => d0 -> ((a, b)) }.toMap
+    var (sHi, sLo) = (0L, 0L)
+    daily.foreach { case (d0, c) =>
+      sHi = math.max(0L, sHi + c - m - k); sLo = math.max(0L, sLo + m - c - k)
+      assert(got(d0) == ((sHi, sLo)), s"$d0: window collapse diverges from the recursion")
+    }
+  }
+
+  test("q190: crafted islands count exactly; real-data streaks match a brute-force replay") {
+    val ev = Seq(1, 2, 3, 5, 6, 10).zipWithIndex.map { case (dd, i) =>
+      ((i + 1).toLong, java.sql.Timestamp.valueOf(f"2024-06-$dd%02d 12:00:00"),
+        7L, "click", 1.00, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_streak").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val Array((days, streaks, longest)) = MiningQueries.q190(spark, dir)
+      .select("n_active_days", "n_streaks", "longest_streak")
+      .as[(Long, Long, Long)].collect()
+    assert((days, streaks, longest) == ((6L, 3L, 3L)),
+      s"crafted 1-2-3 / 5-6 / 10 pattern gave ($days,$streaks,$longest)")
+    // brute force per user on sf0.001
+    val act = Tables.load(spark, sf0001, "events")
+      .select(col("user_id"), datediff(to_date(col("ts")),
+        lit("1970-01-01").cast("date")).as("di"))
+      .distinct().as[(Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toVector).toMap
+    val got = MiningQueries.q190(spark, sf0001)
+      .select("user_id", "n_active_days", "n_streaks", "longest_streak")
+      .as[(Long, Long, Long, Long)].collect()
+    got.foreach { case (u, nd, ns, lg) =>
+      val ds = act(u)
+      var lens = Vector.empty[Long]; var cur = 1L
+      ds.sliding(2).foreach {
+        case Vector(a, b) => if (b == a + 1) cur += 1 else { lens :+= cur; cur = 1 }
+        case _ => ()
+      }
+      lens :+= cur
+      assert(nd == ds.length.toLong && ns == lens.length.toLong && lg == lens.max,
+        s"user $u: ($nd,$ns,$lg) vs brute (${ds.length},${lens.length},${lens.max})")
+    }
+  }
+
+  test("q191: crafted overlap merges; real-data coverage matches an interval-union replay") {
+    val base = java.sql.Timestamp.valueOf("2024-06-01 00:00:00").getTime
+    val ev = Seq(0L, 100L, 1000L).zipWithIndex.map { case (secs, i) =>
+      ((i + 1).toLong, new java.sql.Timestamp(base + secs * 1000), 7L, "click", 1.00, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_iv").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val Array((cov, isl, nev)) = MiningQueries.q191(spark, dir)
+      .select("covered_micros", "n_islands", "n_events")
+      .as[(Long, Long, Long)].collect()
+    assert((cov, isl, nev) == ((700000000L, 2L, 3L)),
+      s"overlapping 0s/100s + isolated 1000s gave ($cov,$isl,$nev)")
+    // brute-force union sweep per user on sf0.001
+    val evs = Tables.load(spark, sf0001, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("st"))
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted.toVector).toMap
+    val got = MiningQueries.q191(spark, sf0001)
+      .select("user_id", "covered_micros", "n_islands")
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (u, cov0, isl0) =>
+      var (covB, islB, end) = (0L, 0L, Long.MinValue)
+      evs(u).foreach { st =>
+        val en = st + 300000000L
+        if (st > end) { islB += 1; covB += en - st; end = en }
+        else if (en > end) { covB += en - end; end = en }
+      }
+      assert((cov0, isl0) == ((covB, islB)),
+        s"user $u: ($cov0,$isl0) vs swept ($covB,$islB)")
+    }
+  }
+
   test("q165: versions contiguous per key — each close equals the next open; one live row per key") {
     val rows = MiningQueries.q165(spark, sf0001)
       .select("custkey", "version", "valid_from_us", "valid_to_us")

@@ -110,6 +110,13 @@ object TextOps {
     org.apache.spark.sql.GraftShim.column(expressions.SimHash16(
       org.apache.spark.sql.GraftShim.expression(toks)))
 
+  /** 60-bit SimHash (4×15-bit pigeonhole blocks for hamming-3 joins,
+    * q192) — fused native kernel, one md5 per token; bit k is the
+    * majority vote of bit (k mod 4) of hex digit (k div 4). */
+  def simhash60Native(toks: Column): Column =
+    org.apache.spark.sql.GraftShim.column(expressions.SimHash60(
+      org.apache.spark.sql.GraftShim.expression(toks)))
+
   /** Character n-grams of a text column (positions 1..len-n+1). */
   def charNgrams(text: Column, n: Int): Column =
     transform(sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),

@@ -214,6 +214,61 @@ object SimHash16 {
   }
 }
 
+/** 60-bit SimHash over a token array — the wide-signature sibling of
+  * [[SimHash16]] for HAMMING-JOIN blocking (q192): 60 bits split into
+  * 4×15-bit pigeonhole blocks, so any pair within hamming distance 3
+  * shares at least one exact block (4 blocks, ≤3 differing bits ⇒ one
+  * block untouched). Bit k's vote is bit (k mod 4) of hex digit
+  * (k div 4) of the token's md5 — the first 15 hex digits carry all 60
+  * bits — majority-weighted by token frequency. 60 (not 64) keeps every
+  * signature and every 2^k term inside a non-negative BIGINT on both
+  * engines. One digest per token, one pass.
+  */
+case class SimHash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_simhash60"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash60.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.SimHash60.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+}
+
+object SimHash60 {
+  /** Static entry for generated code (one invoke per row). */
+  def compute(toks: ArrayData): Long = {
+    val votes = new Array[Int](60)
+    val md = MessageDigest.getInstance("MD5")
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      md.reset()
+      md.update(toks.getUTF8String(i).getBytes)
+      val d = md.digest()
+      var k = 0
+      while (k < 60) {
+        val j = k >> 2 // hex digit index
+        val nib = if ((j & 1) == 0) (d(j >> 1) >> 4) & 0xf else d(j >> 1) & 0xf
+        votes(k) += (if (((nib >> (k & 3)) & 1) == 1) 1 else -1)
+        k += 1
+      }
+      i += 1
+    }
+    var acc = 0L
+    var k = 0
+    while (k < 60) {
+      if (votes(k) > 0) acc += (1L << k)
+      k += 1
+    }
+    acc
+  }
+}
+
 /** `levenshtein(a, b) == 1` as an O(L) two-pointer check with NO DP
   * matrix — the verify kernel of the fuzzy join (q80). Distance exactly
   * 1 means: strip the common prefix and suffix; what remains is either

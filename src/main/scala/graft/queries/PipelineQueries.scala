@@ -1733,6 +1733,66 @@ object PipelineQueries {
       |WHERE levenshtein(a.t, b.t) <= 2
       |ORDER BY a_name, b_name""".stripMargin
 
+  // --------------------------------------------------------------- Q192
+  /** SimHash HAMMING-distance join — the crawl-dedup classic (Manku's
+    * pigeonhole blocking) that q20 stops short of: q20 emits
+    * signatures, this JOINS them. 60-bit signatures (fused
+    * [[graft.functions.expressions.SimHash60]] kernel, one md5 per
+    * token) split into 4×15-bit blocks; any pair within hamming
+    * distance 3 must agree on at least one whole block (≤3 flipped
+    * bits cannot touch 4 disjoint blocks), so the candidate join is a
+    * slim (block-id, block-value) equi-join — expected bucket
+    * population N/2¹⁵ per block at random bits, never all-pairs — and
+    * the verify is one xor+bit_count per candidate. Pair-distinct
+    * after (near-identical docs agree on several blocks). The ORACLE
+    * is the OTHER algorithm — quadratic self-join on SQL-recomputed
+    * signatures — so agreement proves BOTH the kernel's bit-exactness
+    * and the blocking's completeness. At 100 TB: signatures are 8
+    * bytes/doc, the only exchange is block-keyed and slim; degenerate
+    * buckets (boilerplate-dominated corpora) are the documented risk
+    * and fall to the spillable SMJ path, with block count vs radius
+    * the pigeonhole dial (k+1 blocks cover hamming ≤ k). */
+  val q192: Q = (s, d) => {
+    val sig = graft.core.Pins.pin(
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextOps.simhash60Native(
+            graft.functions.TextOps.tokens(col("text"))).as("sh")))
+    val blocks = sig
+      .select(col("doc_id"), col("sh"),
+        explode(sequence(lit(0), lit(3))).as("b"))
+      .withColumn("bv", expr("shiftright(sh, 15 * b) & 32767"))
+    val lhs = blocks.select(col("b"), col("bv"),
+      col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val rhs = blocks.select(col("b"), col("bv"),
+      col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    lhs.join(rhs, Seq("b", "bv"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        expr("bit_count(a_sh ^ b_sh)").cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val q192Sql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |hx AS (SELECT doc_id, md5(t) AS h FROM tok),
+      |bits AS (SELECT doc_id, k,
+      |           sum((((strpos('0123456789abcdef', substr(h, k // 4 + 1, 1)) - 1)
+      |                 >> (k % 4)) & 1) * 2 - 1) AS v
+      |         FROM hx CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS k) ks
+      |         GROUP BY 1, 2),
+      |sig AS (SELECT doc_id,
+      |          CAST(sum(CASE WHEN v > 0 THEN CAST(2 ** k AS BIGINT) ELSE 0 END)
+      |               AS BIGINT) AS sh
+      |        FROM bits GROUP BY 1)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+      |ORDER BY a_id, b_id""".stripMargin
+
   val q80Sql: String =
     """WITH v AS (SELECT DISTINCT c_name AS t FROM customer WHERE c_name IS NOT NULL),
       |dels AS (SELECT t, unnest(generate_series(1, length(t))) AS i FROM v),
@@ -4027,7 +4087,8 @@ object PipelineQueries {
     ("q169_calibration_curve", q169, q169Sql),
     ("q177_contamination_hops", q177, q177Sql),
     ("q183_video_frame_dedup", q183, q183Sql),
-    ("q186_fuzzy_join_d2", q186, q186Sql))
+    ("q186_fuzzy_join_d2", q186, q186Sql),
+    ("q192_simhash_hamming_join", q192, q192Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type (KLL-style `percentile_approx`

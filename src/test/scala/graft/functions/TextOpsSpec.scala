@@ -197,4 +197,39 @@ class TextOpsSpec extends SparkSpec {
       .as[String].collect()
     assert(got.toSeq == Seq("en", "de", "und"))
   }
+
+  test("native SimHash60 matches an independent Scala MD5 reference; blocks reassemble the signature") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val texts = Seq("", "one", "a a a b") ++ (0 until 120).map { _ =>
+      (0 until rnd.nextInt(40) + 1).map(_ => s"t${rnd.nextInt(60)}").mkString(" ")
+    }
+    def ref(text: String): Long = {
+      val votes = new Array[Int](60)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      text.split(" ", -1).foreach { t =>
+        val hex = md.digest(t.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+        var k = 0
+        while (k < 60) {
+          val nib = Integer.parseInt(hex.charAt(k / 4).toString, 16)
+          votes(k) += (if (((nib >> (k % 4)) & 1) == 1) 1 else -1)
+          k += 1
+        }
+      }
+      (0 until 60).map(k => if (votes(k) > 0) 1L << k else 0L).sum
+    }
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = d.select(col("id"),
+        TextOps.simhash60Native(TextOps.tokens(col("text"))).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == ref(t), s"id=$i simhash60 diverges from reference") }
+    // 4x15-bit blocks tile the signature exactly
+    got.values.foreach { sh =>
+      assert(sh >= 0L && sh < (1L << 60), "signature outside 60 bits")
+      val re = (0 until 4).map(b => ((sh >> (15 * b)) & 0x7fff) << (15 * b)).sum
+      assert(re == sh, "block decomposition must reassemble the signature")
+    }
+  }
 }

@@ -302,4 +302,32 @@ class CorpusSignalsSpec extends SparkSpec {
           s"$src integral weight must be exact: $copies vs ${whole * n}")
     }
   }
+
+  // ------------------------------------------------------------- q192
+  test("q192: pigeonhole blocking is complete — brute-force all-pairs hamming agrees; identical docs land at distance 0") {
+    import org.apache.spark.sql.functions._
+    val dup = prose(77, 60)
+    val dir = docsDir(Seq(
+      (1L, dup, "en"), (2L, dup, "en"), (3L, prose(78, 60), "en"),
+      (4L, prose(79, 60), "en"), (5L, prose(80, 60), "en")))
+    val craft = PipelineQueries.q192(spark, dir)
+      .select("a_id", "b_id", "hamming").as[(Long, Long, Long)].collect()
+    assert(craft.contains((1L, 2L, 0L)), "verbatim duplicates must pair at hamming 0")
+    graft.core.Pins.release()
+    // completeness on real data: every brute-force pair within 3 is found
+    val sigs = graft.core.Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextOps.simhash60Native(
+          graft.functions.TextOps.tokens(col("text"))).as("sh"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val brute = (for {
+      i <- sigs.indices; j <- (i + 1) until sigs.length
+      h = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2)
+      if h <= 3
+    } yield (sigs(i)._1, sigs(j)._1, h.toLong)).toSet
+    val got = PipelineQueries.q192(spark, sf0001)
+      .select("a_id", "b_id", "hamming").as[(Long, Long, Long)].collect().toSet
+    graft.core.Pins.release()
+    assert(got == brute, s"blocking missed ${(brute -- got).size} pairs / invented ${(got -- brute).size}")
+  }
 }

@@ -1300,6 +1300,168 @@ object MiningQueries {
       |       CAST(sum(n_ev) AS BIGINT) AS n_events
       |FROM runs GROUP BY 1 ORDER BY user_id""".stripMargin
 
+  // --------------------------------------------------------------- Q193
+  /** KAPLAN–MEIER survival of inter-event gaps ("time to next event",
+    * the engagement half-life) — the censoring-aware estimator a naive
+    * gap histogram gets WRONG: each user's final open gap (last event →
+    * corpus end) is right-CENSORED (we only know it's ≥ its current
+    * length), and KM is exactly the estimator that uses that partial
+    * information without bias. Exact integer dataflow end to end: the
+    * hour-floored gap grid is value-domain-bounded (the q141/q167
+    * rationale — the curve has ≤ span-hours rows no matter the corpus
+    * size), the risk set n_t is a reverse cumulative sum, and the
+    * survival product Π(1 − d/n) runs as a ppm-scaled integer
+    * recurrence s ← s·(n−d) div n over each row's PREFIX of (n,d)
+    * factors, PACKED one-per-BIGINT ((n−d)·2³¹ + n, both < 2³¹) so the
+    * identical fold runs as Spark's `aggregate` HOF and DuckDB's
+    * `list_reduce` — bit-identical floors, no float ever. Censoring
+    * convention: same-time censored gaps stay in the risk set (the
+    * standard events-before-censoring order, implied by n_t counting
+    * obs ≥ t). One corpus scan, one user-keyed exchange for the lead,
+    * then grid-sized windows. */
+  val q193: Q = (s, d) => {
+    val e = graft.core.Pins.pin(
+      t(s, d, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us")))
+    val mx = e.agg(max(col("us")).as("mxus"))
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("us"))
+    val gaps = e
+      .withColumn("nxt", lead(col("us"), 1).over(wU))
+      .crossJoin(broadcast(mx))
+      .select(expr("(coalesce(nxt, mxus) - us) div 3600000000").as("dur"),
+        col("nxt").isNotNull.cast("long").as("ev"))
+    val wRev = Window.orderBy(col("dur").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wFwd = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    gaps.groupBy(col("dur"))
+      .agg(count(lit(1)).as("n_all"), sum(col("ev")).as("d"))
+      .withColumn("n_risk", sum(col("n_all")).over(wRev))
+      .filter(col("d") > 0)
+      .withColumn("packed",
+        (col("n_risk") - col("d")) * lit(2147483648L) + col("n_risk"))
+      .withColumn("lst", collect_list(col("packed")).over(wFwd))
+      .select(col("dur").cast("long").as("dur_hours"),
+        col("n_risk"), col("d"),
+        expr("""aggregate(lst, CAST(1000000 AS BIGINT),
+                (acc, x) -> acc * shiftright(x, 31) div (x & 2147483647))""")
+          .as("surv_ppm"))
+      .orderBy(col("dur_hours"))
+  }
+
+  val q193Sql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      |mx AS (SELECT max(us) AS mxus FROM e),
+      |lg AS (SELECT us, lead(us) OVER (PARTITION BY user_id ORDER BY us) AS nxt
+      |       FROM e),
+      |gaps AS (SELECT (coalesce(nxt, (SELECT mxus FROM mx)) - us)
+      |                  // 3600000000 AS dur,
+      |                CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS ev
+      |         FROM lg),
+      |g AS (SELECT dur, count(*) AS n_all, CAST(sum(ev) AS BIGINT) AS d
+      |      FROM gaps GROUP BY 1),
+      |r AS (SELECT dur, d,
+      |        CAST(sum(n_all) OVER (ORDER BY dur DESC
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |          AS n_risk
+      |      FROM g),
+      |evt AS (SELECT dur, n_risk, d,
+      |          (n_risk - d) * 2147483648 + n_risk AS packed
+      |        FROM r WHERE d > 0),
+      |c AS (SELECT dur, n_risk, d,
+      |        list(packed) OVER (ORDER BY dur
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lst
+      |      FROM evt)
+      |SELECT CAST(dur AS BIGINT) AS dur_hours, n_risk, d,
+      |  list_reduce(list_prepend(CAST(1000000 AS BIGINT), lst),
+      |    (acc, x) -> acc * (x >> 31) // (x & 2147483647)) AS surv_ppm
+      |FROM c ORDER BY dur_hours""".stripMargin
+
+  // --------------------------------------------------------------- Q194
+  /** MULTIPLE linear regression (2 regressors + intercept) by exact
+    * NORMAL EQUATIONS — q160 fits one regressor; this is the general
+    * distributed-OLS shape: ONE scan folds the k² moment matrix
+    * (map-side combinable sums — the only thing that ever crosses the
+    * wire is 9 integers per group), the solve is CRAMER's rule on the
+    * driver-free 3×3 system, and every determinant is an exact
+    * integer in DECIMAL(38,0) (no float, no iterative solver, no
+    * collect). Model per event type: daily_cents ~ b0 + b1·day_index
+    * + b2·is_weekend (day index from the fixed 2024-01-01 calendar
+    * epoch; weekend via Spark `weekday`/DuckDB `isodow`, pinned to
+    * the same Monday-based convention). Output is the exact RATIONAL
+    * solution — (det_b0, det_b1, det_b2, det_a) with β_i =
+    * det_bi/det_a — because a ppm floor-div would diverge cross-engine
+    * on negative numerators (div truncates, // floors); the Gram
+    * determinant det_a ≥ 0 by PSD-ness, so no sign normalization is
+    * needed. Bound: det terms are 3-entry products ≤ ~10²³ at 10⁴×
+    * this SF — DECIMAL(38,0) holds to ~10³⁸. */
+  val q194: Q = (s, d) => {
+    val dec = "DECIMAL(38,0)"
+    def dcol(c: String) = s"CAST($c AS $dec)"
+    val Seq(n, s1, s2, s11, s12, s22, sy, s1y, s2y) =
+      Seq("n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y").map(dcol)
+    t(s, d, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("y"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("2024-01-01").cast("date")).cast("long").as("x1"),
+        (weekday(col("day")) >= 5).cast("long").as("x2"), col("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("y")).as("sy"),
+        sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y"))
+      .select(col("event_type"), col("n"),
+        expr(s"$n * ($s11 * $s22 - $s12 * $s12) - $s1 * ($s1 * $s22 - $s2 * $s12)" +
+          s" + $s2 * ($s1 * $s12 - $s2 * $s11)").as("det_a"),
+        expr(s"$sy * ($s11 * $s22 - $s12 * $s12) - $s1y * ($s1 * $s22 - $s2 * $s12)" +
+          s" + $s2y * ($s1 * $s12 - $s2 * $s11)").as("det_b0"),
+        expr(s"$n * ($s1y * $s22 - $s12 * $s2y) - $s1 * ($sy * $s22 - $s2 * $s2y)" +
+          s" + $s2 * ($sy * $s12 - $s2 * $s1y)").as("det_b1"),
+        expr(s"$n * ($s11 * $s2y - $s1y * $s12) - $s1 * ($s1 * $s2y - $sy * $s12)" +
+          s" + $s2 * ($s1 * $s1y - $sy * $s11)").as("det_b2"))
+      .orderBy(col("event_type"))
+  }
+
+  val q194Sql: String = {
+    def dcol(c: String) = s"CAST($c AS DECIMAL(38,0))"
+    val Seq(n, s1, s2, s11, s12, s22, sy, s1y, s2y) =
+      Seq("n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y").map(dcol)
+    s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+       |                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+       |               FROM events GROUP BY 1, 2),
+       |x AS (SELECT event_type,
+       |        CAST(date_diff('day', DATE '2024-01-01', day) AS BIGINT) AS x1,
+       |        CAST(CASE WHEN isodow(day) >= 6 THEN 1 ELSE 0 END AS BIGINT) AS x2,
+       |        y
+       |      FROM daily),
+       |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |        CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+       |        CAST(sum(x1 * x1) AS BIGINT) AS s11,
+       |        CAST(sum(x1 * x2) AS BIGINT) AS s12,
+       |        CAST(sum(x2 * x2) AS BIGINT) AS s22,
+       |        CAST(sum(y) AS BIGINT) AS sy,
+       |        CAST(sum(x1 * y) AS BIGINT) AS s1y,
+       |        CAST(sum(x2 * y) AS BIGINT) AS s2y
+       |      FROM x GROUP BY 1)
+       |SELECT event_type, n,
+       |  CAST($n * ($s11 * $s22 - $s12 * $s12) - $s1 * ($s1 * $s22 - $s2 * $s12)
+       |       + $s2 * ($s1 * $s12 - $s2 * $s11) AS DECIMAL(38,0)) AS det_a,
+       |  CAST($sy * ($s11 * $s22 - $s12 * $s12) - $s1y * ($s1 * $s22 - $s2 * $s12)
+       |       + $s2y * ($s1 * $s12 - $s2 * $s11) AS DECIMAL(38,0)) AS det_b0,
+       |  CAST($n * ($s1y * $s22 - $s12 * $s2y) - $s1 * ($sy * $s22 - $s2 * $s2y)
+       |       + $s2 * ($sy * $s12 - $s2 * $s1y) AS DECIMAL(38,0)) AS det_b1,
+       |  CAST($n * ($s11 * $s2y - $s1y * $s12) - $s1 * ($s1 * $s2y - $sy * $s12)
+       |       + $s2 * ($s1 * $s1y - $sy * $s11) AS DECIMAL(38,0)) AS det_b2
+       |FROM m ORDER BY event_type""".stripMargin
+  }
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q159_prefix_filter_join", q159, q159Sql),
@@ -1324,6 +1486,8 @@ object MiningQueries {
     ("q188_rolling_median", q188, q188Sql),
     ("q189_cusum", q189, q189Sql),
     ("q190_streaks", q190, q190Sql),
-    ("q191_interval_coverage", q191, q191Sql))
+    ("q191_interval_coverage", q191, q191Sql),
+    ("q193_km_survival", q193, q193Sql),
+    ("q194_multi_ols", q194, q194Sql))
 }
 

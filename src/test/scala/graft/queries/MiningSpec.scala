@@ -518,6 +518,108 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("q193: censored gaps enter the risk set but never the event count; the fold replays KM exactly") {
+    // A: events at h0,h10 (one 10h event-gap, one 10h censored tail);
+    // B: event at h0 (20h censored); C: event at h20 (defines corpus
+    // end, 0h censored). Only dur=10 has events: n_risk=3 (both 10h
+    // gaps + B's 20h), d=1 → surv = 1e6*2//3 = 666666.
+    val base = java.sql.Timestamp.valueOf("2024-06-01 00:00:00").getTime
+    val ev = Seq((1L, 0), (1L, 10), (2L, 0), (3L, 20)).zipWithIndex.map {
+      case ((u, h), i) =>
+        ((i + 1).toLong, new java.sql.Timestamp(base + h * 3600000L), u, "click", 1.00, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_km").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val craft = MiningQueries.q193(spark, dir)
+      .select("dur_hours", "n_risk", "d", "surv_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    graft.core.Pins.release()
+    assert(craft.toSeq == Seq((10L, 3L, 1L, 666666L)),
+      s"hand-computed KM row diverges: ${craft.toSeq}")
+    // real data: replay the estimator from raw gaps
+    val evs = Tables.load(spark, sf0001, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long)].collect()
+    val mx = evs.map(_._2).max
+    val gaps = evs.groupBy(_._1).values.flatMap { g =>
+      val ts = g.map(_._2).sorted
+      ts.sliding(2).collect { case Array(a, b) => ((b - a) / 3600000000L, 1L) } ++
+        Seq(((mx - ts.last) / 3600000000L, 0L))
+    }.toVector
+    val grid = gaps.groupBy(_._1).map { case (dur, xs) =>
+      (dur, xs.length.toLong, xs.map(_._2).sum) }.toVector.sortBy(_._1)
+    var atRisk = gaps.length.toLong
+    var s = 1000000L
+    val expect = grid.flatMap { case (dur, nAll, dd) =>
+      val row = if (dd > 0) { s = s * (atRisk - dd) / atRisk
+        Some((dur, atRisk, dd, s)) } else None
+      atRisk -= nAll
+      row
+    }
+    val got = MiningQueries.q193(spark, sf0001)
+      .select("dur_hours", "n_risk", "d", "surv_ppm")
+      .as[(Long, Long, Long, Long)].collect().toVector
+    graft.core.Pins.release()
+    assert(got == expect, "KM curve diverges from the direct replay")
+    assert(got.map(_._4) == got.map(_._4).sorted.reverse, "survival must be non-increasing")
+  }
+
+  test("q194: an exact planted plane is recovered rationally; dets match a BigInt replay") {
+    // daily cents = 500 + 300*x1 - 200*x2 exactly, over 14 days
+    // (2 weekends in range): Cramer must return det_bi = beta_i * det_a
+    val epoch = java.time.LocalDate.parse("2024-01-01")
+    val ev = (0 until 14).map { i =>
+      val day = java.time.LocalDate.parse("2024-06-01").plusDays(i)
+      val x1 = java.time.temporal.ChronoUnit.DAYS.between(epoch, day)
+      val x2 = if (day.getDayOfWeek.getValue >= 6) 1L else 0L
+      val cents = 500L + 300L * x1 - 200L * x2
+      ((i + 1).toLong, java.sql.Timestamp.valueOf(day.atTime(12, 0)),
+        1L, "click", cents / 100.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ols").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val Array((detA, b0, b1, b2)) = MiningQueries.q194(spark, dir)
+      .select(col("det_a").cast("string"), col("det_b0").cast("string"),
+        col("det_b1").cast("string"), col("det_b2").cast("string"))
+      .as[(String, String, String, String)].collect()
+    val (da, d0, d1, d2) = (BigInt(detA), BigInt(b0), BigInt(b1), BigInt(b2))
+    assert(da > 0, "Gram determinant must be positive for a full-rank design")
+    assert(d0 == 500 * da && d1 == 300 * da && d2 == -200 * da,
+      s"plane not recovered: b0=$d0/$da b1=$d1/$da b2=$d2/$da")
+    // BigInt replay on real data
+    val daily = Tables.load(spark, sf0001, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy("event_type", "day").agg(sum("c").as("y"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("2024-01-01").cast("date")).cast("long").as("x1"),
+        (weekday(col("day")) >= 5).cast("long").as("x2"), col("y"))
+      .as[(String, Long, Long, Long)].collect()
+    val got = MiningQueries.q194(spark, sf0001)
+      .select(col("event_type"), col("det_a").cast("string"),
+        col("det_b0").cast("string"), col("det_b1").cast("string"),
+        col("det_b2").cast("string"))
+      .as[(String, String, String, String, String)].collect()
+    got.foreach { case (et, sa, s0, s1, s2) =>
+      val rows = daily.filter(_._1 == et).map(r => (BigInt(r._2), BigInt(r._3), BigInt(r._4)))
+      val n = BigInt(rows.length)
+      val (sx1, sx2) = (rows.map(_._1).sum, rows.map(_._2).sum)
+      val (s11, s12, s22) = (rows.map(r => r._1 * r._1).sum,
+        rows.map(r => r._1 * r._2).sum, rows.map(r => r._2 * r._2).sum)
+      val (sy, s1y, s2y) = (rows.map(_._3).sum,
+        rows.map(r => r._1 * r._3).sum, rows.map(r => r._2 * r._3).sum)
+      def det3(a: BigInt, b: BigInt, c: BigInt, d0_ : BigInt, e: BigInt, f: BigInt,
+               g: BigInt, h: BigInt, i: BigInt) =
+        a * (e * i - f * h) - b * (d0_ * i - f * g) + c * (d0_ * h - e * g)
+      val da2 = det3(n, sx1, sx2, sx1, s11, s12, sx2, s12, s22)
+      val db0 = det3(sy, sx1, sx2, s1y, s11, s12, s2y, s12, s22)
+      val db1 = det3(n, sy, sx2, sx1, s1y, s12, sx2, s2y, s22)
+      val db2 = det3(n, sx1, sy, sx1, s11, s1y, sx2, s12, s2y)
+      assert(BigInt(sa) == da2 && BigInt(s0) == db0 &&
+        BigInt(s1) == db1 && BigInt(s2) == db2, s"$et: dets diverge from BigInt replay")
+    }
+  }
+
   test("q165: versions contiguous per key — each close equals the next open; one live row per key") {
     val rows = MiningQueries.q165(spark, sf0001)
       .select("custkey", "version", "valid_from_us", "valid_to_us")

@@ -1000,6 +1000,61 @@ object RelationalQueries {
       |  (1000000 * region_cents) // total_cents AS region_share_ppm
       |FROM w ORDER BY r_name, n_name""".stripMargin
 
+  // --------------------------------------------------------------- Q195
+  /** CHART-OF-ACCOUNTS hierarchy rollup — subtree totals at EVERY node
+    * of a prefix-coded account tree (decimal account codes where each
+    * digit level is an org tier: the standard GL chart-of-accounts
+    * encoding, here custkey with 4 tiers). The Spark-first move:
+    * recursion is BOUNDED by tree depth, so instead of an iterative
+    * fixpoint each order EXPLODES its 4-node ancestor chain (level l →
+    * code div 10^l) and ONE (level, node, leaf) fold + one (level,
+    * node) fold produce subtree revenue, order count, and distinct
+    * descendant accounts — linear in rows × depth, shuffling only
+    * slim (level, node) keys, no driver loop, no join-per-level. The
+    * ORACLE is the OTHER formulation — a genuine WITH RECURSIVE
+    * parent-edge walk — so agreement proves the explode enumerates
+    * exactly the transitive-ancestor closure. At 100 TB: depth is the
+    * only multiplier (4×), both folds are partial-aggregable, and the
+    * node space is geometrically bounded above the leaves. */
+  val q195: Q = (s, d) => {
+    val chain = t(s, d, "orders")
+      .select(col("o_custkey").cast("long").as("leaf"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .select(col("leaf"), col("cents"),
+        explode(expr(
+          """array(named_struct('level', CAST(0 AS BIGINT), 'node', leaf),
+            |      named_struct('level', CAST(1 AS BIGINT), 'node', leaf div 10),
+            |      named_struct('level', CAST(2 AS BIGINT), 'node', leaf div 100),
+            |      named_struct('level', CAST(3 AS BIGINT), 'node', leaf div 1000))"""
+            .stripMargin)).as("a"))
+      .select(col("a.level").as("level"), col("a.node").as("node"),
+        col("leaf"), col("cents"))
+    chain
+      .groupBy(col("level"), col("node"), col("leaf"))
+      .agg(sum(col("cents")).as("cents"), count(lit(1)).as("n"))
+      .groupBy(col("level"), col("node"))
+      .agg(sum(col("cents")).as("rev_cents"), sum(col("n")).as("n_orders"),
+        count(lit(1)).as("n_customers"))
+      .orderBy(col("level"), col("node"))
+  }
+
+  val q195Sql: String =
+    """WITH RECURSIVE anc AS (
+      |  SELECT o_custkey AS leaf, CAST(0 AS BIGINT) AS level,
+      |         CAST(o_custkey AS BIGINT) AS node,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT leaf, level + 1, node // 10, cents FROM anc WHERE level < 3
+      |),
+      |per_leaf AS (SELECT level, node, leaf,
+      |               CAST(sum(cents) AS BIGINT) AS cents, count(*) AS n
+      |             FROM anc GROUP BY 1, 2, 3)
+      |SELECT level, node, CAST(sum(cents) AS BIGINT) AS rev_cents,
+      |       CAST(sum(n) AS BIGINT) AS n_orders,
+      |       CAST(count(*) AS BIGINT) AS n_customers
+      |FROM per_leaf GROUP BY 1, 2 ORDER BY level, node""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q153_shipping_priority", q153, q153Sql),
@@ -1012,6 +1067,7 @@ object RelationalQueries {
     ("q184_custdist", q184, q184Sql),
     ("q185_small_order_revenue", q185, q185Sql),
     ("q187_share_of_parent", q187, q187Sql),
+    ("q195_hierarchy_rollup", q195, q195Sql),
     ("q31_correlated_subquery", q31, q31Sql),
     ("q32_percentiles", q32, q32Sql),
     ("q33_date_arithmetic", q33, q33Sql),

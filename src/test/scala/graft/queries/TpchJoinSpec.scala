@@ -119,6 +119,27 @@ class TpchJoinSpec extends SparkSpec {
       "share_of_region_ppm must be the exact floor ratio")
   }
 
+  test("q195: every level conserves total revenue; each parent is exactly the sum of its children") {
+    val rows = RelationalQueries.q195(spark, sf0001)
+      .select("level", "node", "rev_cents", "n_orders", "n_customers")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val byLevel = rows.groupBy(_._1)
+    val leafTotal = byLevel(0L).map(_._3).sum
+    byLevel.foreach { case (l, ns) =>
+      assert(ns.map(_._3).sum == leafTotal, s"level $l loses revenue mass")
+      assert(ns.map(_._4).sum == byLevel(0L).map(_._4).sum, s"level $l loses orders") }
+    // parent = sum of children, level by level
+    (0 until 3).foreach { l =>
+      val parents = byLevel((l + 1).toLong).map(r => r._2 -> (r._3, r._4)).toMap
+      byLevel(l.toLong).groupBy(_._2 / 10).foreach { case (p, kids) =>
+        assert(parents(p) == ((kids.map(_._3).sum, kids.map(_._4).sum)),
+          s"level ${l + 1} node $p is not the fold of its level-$l children")
+      }
+    }
+    // distinct-descendant counts: level-0 nodes are single customers
+    assert(byLevel(0L).forall(_._5 == 1L), "a leaf rolls up exactly one account")
+  }
+
   /** Build a plan with broadcasts + AQE off: the dimension-scale testdata
     * broadcasts everything, which hides the join algorithm the same plan
     * takes at fact scale — the shape under -1 threshold IS the 100 TB

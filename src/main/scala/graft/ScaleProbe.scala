@@ -820,6 +820,44 @@ object ScaleProbe {
       time("q178_twap sf1.0         (1M ev)  ")(MiningQueries.q178(spark, out).count())
     }
 
+    // --- round-7 additions. Expected shapes: q187/q195 ride slim
+    // (nation)/(level,node) folds over 10× orders (~scan); q188/q189
+    // fold 10× events into the SAME days-sized grid (flat windows);
+    // q190/q191 partition by user with 10× rows per user (linear);
+    // q192's quadratic term is confined to 2¹⁵-wide blocks — but the
+    // replicated corpus plants 10-copy signature families, so PAIR
+    // OUTPUT grows ~45× and wall must track pairs (the q186 rule);
+    // q193's survival grid is value-domain-bounded (≤ span-hours) —
+    // densification SHRINKS gaps, the fold stays grid-sized; q194 is
+    // a 9-integer moment fold (~scan).
+    if (want("q187", "q188", "q189", "q190", "q191", "q192", "q193",
+        "q194", "q195")) {
+      import graft.queries.{MiningQueries, RelationalQueries}
+      time("q187_share sf0.1     (150k ord)  ")(RelationalQueries.q187(spark, src).count())
+      time("q187_share sf1.0     (1.5M ord)  ")(RelationalQueries.q187(spark, out).count())
+      time("q188_rollmed sf0.1     (1M ev)   ")(MiningQueries.q188(spark, src).count())
+      time("q188_rollmed sf1.0    (10M ev)   ")(MiningQueries.q188(spark, out).count())
+      time("q189_cusum sf0.1       (1M ev)   ")(MiningQueries.q189(spark, src).count())
+      time("q189_cusum sf1.0      (10M ev)   ")(MiningQueries.q189(spark, out).count())
+      graft.core.Pins.release()
+      time("q190_streaks sf0.1     (1M ev)   ")(MiningQueries.q190(spark, src).count())
+      time("q190_streaks sf1.0    (10M ev)   ")(MiningQueries.q190(spark, out).count())
+      time("q191_coverage sf0.1    (1M ev)   ")(MiningQueries.q191(spark, src).count())
+      time("q191_coverage sf1.0   (10M ev)   ")(MiningQueries.q191(spark, out).count())
+      time("q192_hamming sf0.1   (50k docs)  ")(PipelineQueries.q192(spark, src).count())
+      graft.core.Pins.release()
+      time("q192_hamming sf1.0  (500k docs)  ")(PipelineQueries.q192(spark, out).count())
+      graft.core.Pins.release()
+      time("q193_km sf0.1          (1M ev)   ")(MiningQueries.q193(spark, src).count())
+      graft.core.Pins.release()
+      time("q193_km sf1.0         (10M ev)   ")(MiningQueries.q193(spark, out).count())
+      graft.core.Pins.release()
+      time("q194_ols sf0.1         (1M ev)   ")(MiningQueries.q194(spark, src).count())
+      time("q194_ols sf1.0        (10M ev)   ")(MiningQueries.q194(spark, out).count())
+      time("q195_rollup sf0.1    (150k ord)  ")(RelationalQueries.q195(spark, src).count())
+      time("q195_rollup sf1.0    (1.5M ord)  ")(RelationalQueries.q195(spark, out).count())
+    }
+
     // --- q177 BFS at 10×: the replicated corpus multiplies near-dup
     // clusters, so the pair artifact and every frontier grow ~10× —
     // per-hop cost must track the FRONTIER (edges are the memoized

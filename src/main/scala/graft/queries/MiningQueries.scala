@@ -1462,6 +1462,127 @@ object MiningQueries {
        |FROM m ORDER BY event_type""".stripMargin
   }
 
+  // --------------------------------------------------------------- Q196
+  /** MANN–WHITNEY U (one-vs-rest per event type) — the NONPARAMETRIC
+    * location test beside q141's KS and q149's χ²: does one source's
+    * value distribution sit ABOVE the rest's, without assuming any
+    * shape? Rank statistics are exactly where float rank sums go
+    * wrong; here everything is 2-SCALED integers: the midrank of a
+    * tie group doubles to 2·cum_below + n + 1 (always odd, always
+    * integral), the rank-sum W₂ = Σ n_t·mr₂ and U₂ = W₂ − n₁(n₁+1)
+    * are plain BIGINT folds, and the identity U₂ = Σ 2·[x>y] + [x=y]
+    * over all cross pairs (spec-verified by brute force) means U₂/2n₁n₂
+    * IS the common-language effect size P(X>Y)+½P(X=Y) — emitted as a
+    * positive-floor AUC ppm. The value GRID (q141/q167 rationale)
+    * does all ranking: no global row sort, one grid-sized window, the
+    * corpus crosses the wire once per fold. Bound: 10⁶·U₂ < 2⁶³ holds
+    * to ~2·10⁶ rows per engine-pair side at this scale — lift to
+    * DECIMAL past that (documented dial). */
+  val q196: Q = (s, d) => {
+    val vals = graft.core.Pins.pin(
+      t(s, d, "events")
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents")))
+    val wv = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val grid = graft.core.Pins.pin(
+      vals.groupBy(col("cents")).agg(count(lit(1)).as("n_all"))
+        .withColumn("mr2",
+          lit(2L) * coalesce(sum(col("n_all")).over(wv), lit(0L))
+            + col("n_all") + lit(1L)))
+    val tot = grid.agg(sum(col("n_all")).as("n"))
+    vals.groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("n_t"))
+      .join(grid, Seq("cents"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n_t")).as("n1"), sum(col("n_t") * col("mr2")).as("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n1"), (col("n") - col("n1")).as("n2"),
+        (col("w2") - col("n1") * (col("n1") + 1)).as("u2"))
+      .select(col("event_type"), col("n1"), col("n2"), col("u2"),
+        expr("(1000000 * u2) div (2 * n1 * n2)").as("auc_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  val q196Sql: String =
+    """WITH v AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      |           FROM events),
+      |grid AS (SELECT cents, count(*) AS n_all FROM v GROUP BY 1),
+      |g2 AS (SELECT cents, n_all,
+      |         2 * coalesce(sum(n_all) OVER (ORDER BY cents
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           + n_all + 1 AS mr2
+      |       FROM grid),
+      |tot AS (SELECT CAST(sum(n_all) AS BIGINT) AS n FROM grid),
+      |bt AS (SELECT event_type, cents, count(*) AS n_t FROM v GROUP BY 1, 2),
+      |agg AS (SELECT event_type, CAST(sum(n_t) AS BIGINT) AS n1,
+      |          CAST(sum(n_t * mr2) AS BIGINT) AS w2
+      |        FROM bt JOIN g2 USING (cents) GROUP BY 1)
+      |SELECT event_type, n1, (SELECT n FROM tot) - n1 AS n2,
+      |       w2 - n1 * (n1 + 1) AS u2,
+      |       (1000000 * (w2 - n1 * (n1 + 1)))
+      |         // (2 * n1 * ((SELECT n FROM tot) - n1)) AS auc_ppm
+      |FROM agg ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------------- Q197
+  /** MANN–KENDALL trend test per event type — the NONPARAMETRIC
+    * monotone-trend detector beside q160's parametric OLS slope: S =
+    * Σ_{i<j} sgn(c_j − c_i) over the daily series counts concordant
+    * minus discordant day pairs, immune to outliers and any monotone
+    * transform of the values. The day grid is value-domain-bounded
+    * (≤ span days — q188/q189's rationale), so the pair set is
+    * grid², not corpus²: the self-join runs per type on the
+    * days-sized daily fold the corpus crossed the wire once to build.
+    * The tie-corrected variance numerator 18·Var(S) = n(n−1)(2n+5) −
+    * Σ_g t_g(t_g−1)(2t_g+5) is a second grid-sized fold over the
+    * per-type value tie groups — all exact BIGINTs; z-scoring (the
+    * only float) is left to the caller with the /18 documented. */
+  val q197: Q = (s, d) => {
+    val daily = graft.core.Pins.pin(
+      t(s, d, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("cents")).as("c")))
+    val a = daily.select(col("event_type"), col("day").as("d1"), col("c").as("c1"))
+    val b = daily.select(col("event_type"), col("day").as("d2"), col("c").as("c2"))
+    val s0 = a.join(b, Seq("event_type"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("event_type"))
+      .agg(sum(signum(col("c2") - col("c1")).cast("long")).as("s"))
+    val ties = daily.groupBy(col("event_type"), col("c"))
+      .agg(count(lit(1)).as("tg"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("tg")).as("n_days"),
+        sum(col("tg") * (col("tg") - 1) * (lit(2L) * col("tg") + 5)).as("tie_term"))
+    s0.join(ties, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("s"),
+        (col("n_days") * (col("n_days") - 1) * (lit(2L) * col("n_days") + 5)
+          - col("tie_term")).as("var18"))
+      .orderBy(col("event_type"))
+  }
+
+  val q197Sql: String =
+    """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+      |               FROM events GROUP BY 1, 2),
+      |s0 AS (SELECT a.event_type,
+      |         CAST(sum(CASE WHEN b.c > a.c THEN 1
+      |                       WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s
+      |       FROM daily a JOIN daily b
+      |         ON a.event_type = b.event_type AND a.day < b.day
+      |       GROUP BY 1),
+      |ties AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_groups,
+      |           CAST(sum(tg) AS BIGINT) AS n_days,
+      |           CAST(sum(tg * (tg - 1) * (2 * tg + 5)) AS BIGINT) AS tie_term
+      |         FROM (SELECT event_type, c, count(*) AS tg
+      |               FROM daily GROUP BY 1, 2)
+      |         GROUP BY 1)
+      |SELECT event_type, n_days, s,
+      |       n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS var18
+      |FROM s0 JOIN ties USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q159_prefix_filter_join", q159, q159Sql),
@@ -1488,6 +1609,8 @@ object MiningQueries {
     ("q190_streaks", q190, q190Sql),
     ("q191_interval_coverage", q191, q191Sql),
     ("q193_km_survival", q193, q193Sql),
-    ("q194_multi_ols", q194, q194Sql))
+    ("q194_multi_ols", q194, q194Sql),
+    ("q196_mann_whitney", q196, q196Sql),
+    ("q197_mann_kendall", q197, q197Sql))
 }
 

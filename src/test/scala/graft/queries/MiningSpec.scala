@@ -620,6 +620,70 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("q196: U2 equals the brute-force pairwise count; perfect separation hits AUC exactly 1") {
+    // crafted: 'hi' strictly above everything else -> U2 = 2*n1*n2, auc = 1e6
+    val t0s = java.sql.Timestamp.valueOf("2024-06-01 10:00:00")
+    val ev = ((1 to 5).map(i => (i.toLong, t0s, 1L, "hi", 100.0 + i, "{}")) ++
+      (6 to 15).map(i => (i.toLong, t0s, 2L, "lo", 1.0 + i * 0.01, "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mwu").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val craft = MiningQueries.q196(spark, dir)
+      .select("event_type", "n1", "n2", "u2", "auc_ppm")
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    graft.core.Pins.release()
+    assert(craft("hi")._4 == 2 * 5 * 10 && craft("hi")._5 == 1000000L,
+      s"perfect separation must score U2=2*n1*n2, AUC=1e6: ${craft("hi")}")
+    assert(craft("lo")._4 == 0L && craft("lo")._5 == 0L, "the dominated side scores 0")
+    // brute force on sf0.001
+    val vals = Tables.load(spark, sf0001, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+      .as[(String, Long)].collect()
+    val got = MiningQueries.q196(spark, sf0001)
+      .select("event_type", "u2").as[(String, Long)].collect().toMap
+    graft.core.Pins.release()
+    vals.map(_._1).distinct.foreach { t0 =>
+      val xs = vals.filter(_._1 == t0).map(_._2)
+      val ys = vals.filter(_._1 != t0).map(_._2)
+      val u2b = xs.map(x => ys.count(_ < x) * 2L + ys.count(_ == x)).sum
+      assert(got(t0) == u2b, s"$t0: U2 ${got(t0)} vs brute $u2b")
+    }
+  }
+
+  test("q197: a strictly increasing series maxes S with tie-free variance; real data matches brute force") {
+    val ev = (1 to 10).map { dd =>
+      (dd.toLong, java.sql.Timestamp.valueOf(f"2024-06-$dd%02d 12:00:00"),
+        1L, "click", dd * 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mk").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val Array((n, s0, v18)) = MiningQueries.q197(spark, dir)
+      .select("n_days", "s", "var18").as[(Long, Long, Long)].collect()
+    graft.core.Pins.release()
+    assert(n == 10L && s0 == 45L && v18 == 10L * 9 * 25,
+      s"monotone series must give S=n(n-1)/2 and tie-free var18: ($n,$s0,$v18)")
+    // brute-force per type on sf0.001
+    val daily = Tables.load(spark, sf0001, "events")
+      .select(col("event_type"), to_date(col("ts")).cast("string").as("day"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy("event_type", "day").agg(sum("c").as("c"))
+      .as[(String, String, Long)].collect()
+    val got = MiningQueries.q197(spark, sf0001)
+      .select("event_type", "s", "var18").as[(String, Long, Long)].collect()
+      .map { case (k, a, b) => k -> ((a, b)) }.toMap
+    graft.core.Pins.release()
+    daily.map(_._1).distinct.foreach { t0 =>
+      val ser = daily.filter(_._1 == t0).sortBy(_._2).map(_._3)
+      val sB = (for { i <- ser.indices; j <- (i + 1) until ser.length }
+        yield (ser(j) - ser(i)).sign.toLong).sum
+      val nD = ser.length.toLong
+      val tieB = ser.groupBy(identity).values.map(_.length.toLong)
+        .map(t => t * (t - 1) * (2 * t + 5)).sum
+      assert(got(t0) == ((sB, nD * (nD - 1) * (2 * nD + 5) - tieB)),
+        s"$t0: (S, var18) ${got(t0)} vs brute")
+    }
+  }
+
   test("q165: versions contiguous per key — each close equals the next open; one live row per key") {
     val rows = MiningQueries.q165(spark, sf0001)
       .select("custkey", "version", "valid_from_us", "valid_to_us")

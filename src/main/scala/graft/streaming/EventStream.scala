@@ -291,6 +291,67 @@ object EventStream {
       }
       .start()
 
+  /** One batch of the continuous CUSUM drift monitor (q189's streaming
+    * twin): newly closed DAYS append to a replay-idempotent store
+    * (max-dedup on read, [[burstBatch]]'s discipline) and the whole
+    * Page recursion replays over the days-sized store via the same
+    * prefix-sum/running-min window collapse as the batch q189 — the
+    * store IS the recursion state, so a crash-replayed batch lands on
+    * identical CUSUMs (spec-pinned). One deliberate difference from
+    * q189: the target/slack/alarm dials are FIXED configuration, not
+    * the retrospective median — an at-arrival monitor cannot know the
+    * horizon's median yet (the q113-vs-q118 at-arrival rule), and a
+    * drifting target would defeat the point of a drift detector.
+    * Integer cents throughout; returns only the batch's NEW days. */
+  def cusumBatch(closed: DataFrame, daysDir: String, targetCents: Long,
+                 slackCents: Long, alarmCents: Long): DataFrame = {
+    val spark = closed.sparkSession
+    val materialized = closed.select(col("day_us"), col("cents"))
+      .localCheckpoint()
+    materialized.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(daysDir)
+    val newDays = materialized.select(col("day_us")).distinct()
+    val store = spark.read.parquet(daysDir)
+      .groupBy(col("day_us")).agg(max(col("cents")).as("cents"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day_us"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    store
+      .withColumn("p_hi",
+        sum(col("cents") - lit(targetCents) - lit(slackCents)).over(w))
+      .withColumn("p_lo",
+        sum(lit(targetCents) - col("cents") - lit(slackCents)).over(w))
+      .withColumn("cusum_hi", col("p_hi") - least(min(col("p_hi")).over(w), lit(0L)))
+      .withColumn("cusum_lo", col("p_lo") - least(min(col("p_lo")).over(w), lit(0L)))
+      .join(newDays, Seq("day_us"), "left_semi")
+      .select(col("day_us"), col("cents"), col("cusum_hi"), col("cusum_lo"),
+        (col("cusum_hi") > alarmCents).cast("int").as("alarm_hi"),
+        (col("cusum_lo") > alarmCents).cast("int").as("alarm_lo"))
+  }
+
+  /** The continuous form of [[cusumBatch]]: watermarked tumbling DAILY
+    * revenue in APPEND mode, `onAlarm(day_us, cusum_cents)` per flagged
+    * side — the slow-drift pager beside [[startBurstMonitor]]'s spike
+    * pager (a 10% sag no single day's z-score sees accumulates in the
+    * low-side CUSUM within days). */
+  def startCusumMonitor(events: DataFrame, daysDir: String,
+                        checkpointDir: String,
+                        targetCents: Long, slackCents: Long, alarmCents: Long,
+                        watermarkDelay: String = "2 hours",
+                        onAlarm: (Long, Long) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .select(unix_micros(col("w.start")).as("day_us"), col("cents"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        cusumBatch(batch, daysDir, targetCents, slackCents, alarmCents)
+          .filter(col("alarm_hi") === 1 || col("alarm_lo") === 1).collect()
+          .foreach(r => onAlarm(r.getLong(0), math.max(r.getLong(2), r.getLong(3))))
+      }
+      .start()
+
   /** The continuous form: watermarked tumbling hourly counts in APPEND
     * mode driven through [[burstBatch]], `onAlarm(win_us, z)` fired per
     * flagged hour — the rate-spike pager a continuously-ingesting

@@ -1583,6 +1583,152 @@ object MiningQueries {
       |FROM s0 JOIN ties USING (event_type)
       |ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- Q198
+  /** JOIN-KEY SKEW report — the diagnostic that DECIDES the 100 TB
+    * plan knobs this engine documents everywhere else: whether a key
+    * needs q49's salting, whether AQE's skew-join split will engage,
+    * and how hot the hottest shuffle partition will run. Per candidate
+    * join key (events.user_id, orders.o_custkey): distinct keys, row
+    * count, the max key's share, the top-10 keys' combined share (ppm
+    * floors on positive BIGINTs), and the GINI of the key-frequency
+    * distribution (q152's exact integer core — Σi·x as a BIGINT, one
+    * float expression rounded at the boundary). Both rank windows ride
+    * ONE (tag)-partitioned exchange; the per-key counts are the only
+    * corpus-sized fold. A uniform key reads gini≈0 / max-share≈1/n;
+    * a pathological key reads top10→10⁶ — the number that says "salt
+    * this join before it runs". */
+  val q198: Q = (s, d) => {
+    val ev = t(s, d, "events").groupBy(col("user_id").as("k"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(lit("events.user_id").as("tag"), col("k"), col("cnt"))
+    val ord = t(s, d, "orders").groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(lit("orders.o_custkey").as("tag"), col("k"), col("cnt"))
+    val wAsc = Window.partitionBy(col("tag")).orderBy(col("cnt"), col("k"))
+    val wDesc = Window.partitionBy(col("tag")).orderBy(col("cnt").desc, col("k"))
+    ev.unionByName(ord)
+      .withColumn("i", row_number().over(wAsc).cast("long"))
+      .withColumn("dr", row_number().over(wDesc).cast("long"))
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+        max(col("cnt")).as("max_cnt"),
+        sum(when(col("dr") <= 10, col("cnt")).otherwise(lit(0L))).as("top10"),
+        sum(col("i") * col("cnt")).as("iwx"))
+      .select(col("tag"), col("n_keys"), col("n_rows"),
+        expr("(1000000 * max_cnt) div n_rows").as("max_share_ppm"),
+        expr("(1000000 * top10) div n_rows").as("top10_share_ppm"),
+        round(
+          (lit(2.0) * col("iwx").cast("double")) /
+            (col("n_keys").cast("double") * col("n_rows").cast("double")) -
+            (col("n_keys") + 1).cast("double") / col("n_keys").cast("double"),
+          4).as("gini"))
+      .orderBy(col("tag"))
+  }
+
+  val q198Sql: String =
+    """WITH ev AS (SELECT 'events.user_id' AS tag, user_id AS k, count(*) AS cnt
+      |            FROM events GROUP BY 2),
+      |ord AS (SELECT 'orders.o_custkey' AS tag, o_custkey AS k, count(*) AS cnt
+      |        FROM orders GROUP BY 2),
+      |u AS (SELECT * FROM ev UNION ALL SELECT * FROM ord),
+      |rk AS (SELECT tag, k, cnt,
+      |         CAST(row_number() OVER (PARTITION BY tag ORDER BY cnt, k)
+      |              AS BIGINT) AS i,
+      |         CAST(row_number() OVER (PARTITION BY tag ORDER BY cnt DESC, k)
+      |              AS BIGINT) AS dr
+      |       FROM u),
+      |agg AS (SELECT tag, CAST(count(*) AS BIGINT) AS n_keys,
+      |          CAST(sum(cnt) AS BIGINT) AS n_rows,
+      |          CAST(max(cnt) AS BIGINT) AS max_cnt,
+      |          CAST(sum(CASE WHEN dr <= 10 THEN cnt ELSE 0 END) AS BIGINT)
+      |            AS top10,
+      |          CAST(sum(i * cnt) AS BIGINT) AS iwx
+      |        FROM rk GROUP BY 1)
+      |SELECT tag, n_keys, n_rows,
+      |  (1000000 * max_cnt) // n_rows AS max_share_ppm,
+      |  (1000000 * top10) // n_rows AS top10_share_ppm,
+      |  round((2.0 * CAST(iwx AS DOUBLE))
+      |          / (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE))
+      |        - CAST(n_keys + 1 AS DOUBLE) / CAST(n_keys AS DOUBLE), 4) AS gini
+      |FROM agg ORDER BY tag""".stripMargin
+
+  // --------------------------------------------------------------- Q199
+  /** QUANTILE NORMALIZATION — map every source's value distribution
+    * onto the POOLED distribution (the batch-effect correction every
+    * cross-source score/feature merge needs: after it, each source's
+    * quantiles coincide by construction). Exact discrete semantics:
+    * a source value with within-source cumulative rank r maps to the
+    * pooled order statistic at k = ⌈r·N/n_s⌉ — all integer (ceil =
+    * (r·N + n_s − 1) div n_s), no interpolated percentile ever
+    * exists (q86's float-edge discipline). The k-th pooled value is
+    * found by a distributed SEARCHSORTED: pooled grid rows become
+    * BOUNDARY rows at pos = cum_before+1, query ranks become rows at
+    * pos = k, and ONE ordered pass (boundaries first on ties) takes
+    * last(pv, ignoreNulls) — the union is grid-sized (value-domain
+    * bounded, q141's rationale), so the sort never sees the corpus.
+    * The ORACLE finds the same k-th statistics by DuckDB's native
+    * ASOF JOIN — an independent mechanism for the same lookup.
+    * Bound: r·N < 2⁶³ holds to ~3·10⁹ rows; DECIMAL lift past that
+    * (q141's documented dial). */
+  val q199: Q = (s, d) => {
+    val vals = graft.core.Pins.pin(
+      t(s, d, "events")
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents")))
+    val wPool = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pooled = graft.core.Pins.pin(
+      vals.groupBy(col("cents")).agg(count(lit(1)).as("n_all"))
+        .withColumn("pos", coalesce(sum(col("n_all")).over(wPool), lit(0L)) + 1))
+    val nTot = pooled.agg(sum(col("n_all")).as("n"))
+    val wSrc = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNs = Window.partitionBy(col("event_type"))
+    val queries = vals.groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("n_t"))
+      .withColumn("r", sum(col("n_t")).over(wSrc))
+      .withColumn("n_s", sum(col("n_t")).over(wNs))
+      .crossJoin(broadcast(nTot))
+      .withColumn("k", expr("(r * n + n_s - 1) div n_s"))
+    val wScan = Window.orderBy(col("pos"), col("is_b").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val merged = pooled
+      .select(col("pos"), col("cents").as("pv"), lit(1).as("is_b"),
+        lit(null).cast("string").as("event_type"),
+        lit(null).cast("long").as("cents"), lit(null).cast("long").as("n_t"))
+      .unionByName(queries.select(col("k").as("pos"),
+        lit(null).cast("long").as("pv"), lit(0).as("is_b"),
+        col("event_type"), col("cents"), col("n_t")))
+    merged
+      .withColumn("mapped_cents", last(col("pv"), ignoreNulls = true).over(wScan))
+      .filter(col("is_b") === 0)
+      .select(col("event_type"), col("cents"), col("n_t"), col("mapped_cents"))
+      .orderBy(col("event_type"), col("cents"))
+  }
+
+  val q199Sql: String =
+    """WITH v AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      |           FROM events),
+      |pooled AS (SELECT cents, count(*) AS n_all FROM v GROUP BY 1),
+      |b AS (SELECT cents AS pv,
+      |        coalesce(sum(n_all) OVER (ORDER BY cents
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS pos
+      |      FROM pooled),
+      |tot AS (SELECT CAST(sum(n_all) AS BIGINT) AS n FROM pooled),
+      |src AS (SELECT event_type, cents, count(*) AS n_t FROM v GROUP BY 1, 2),
+      |q AS (SELECT event_type, cents, CAST(n_t AS BIGINT) AS n_t,
+      |        CAST(sum(n_t) OVER (PARTITION BY event_type ORDER BY cents
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS r,
+      |        CAST(sum(n_t) OVER (PARTITION BY event_type) AS BIGINT) AS n_s
+      |      FROM src),
+      |keyed AS (SELECT event_type, cents, n_t,
+      |            (r * (SELECT n FROM tot) + n_s - 1) // n_s AS k
+      |          FROM q)
+      |SELECT keyed.event_type, keyed.cents, keyed.n_t,
+      |       b.pv AS mapped_cents
+      |FROM keyed ASOF JOIN b ON keyed.k >= b.pos
+      |ORDER BY event_type, cents""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q159_prefix_filter_join", q159, q159Sql),
@@ -1611,6 +1757,8 @@ object MiningQueries {
     ("q193_km_survival", q193, q193Sql),
     ("q194_multi_ols", q194, q194Sql),
     ("q196_mann_whitney", q196, q196Sql),
-    ("q197_mann_kendall", q197, q197Sql))
+    ("q197_mann_kendall", q197, q197Sql),
+    ("q198_key_skew", q198, q198Sql),
+    ("q199_quantile_norm", q199, q199Sql))
 }
 

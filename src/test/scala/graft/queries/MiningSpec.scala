@@ -684,6 +684,56 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("q198: shares and gini match a direct frequency replay on both key columns") {
+    val got = MiningQueries.q198(spark, sf0001)
+      .select("tag", "n_keys", "n_rows", "max_share_ppm", "top10_share_ppm", "gini")
+      .as[(String, Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    def replay(counts: Seq[Long]): (Long, Long, Long, Long, Double) = {
+      val n = counts.sum; val sorted = counts.sorted
+      val iwx = sorted.zipWithIndex.map { case (c, i) => (i + 1) * c }.sum
+      val gini = BigDecimal(2.0 * iwx / (counts.length.toDouble * n) -
+        (counts.length + 1).toDouble / counts.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (counts.length.toLong, n, 1000000L * counts.max / n,
+        1000000L * counts.sorted.reverse.take(10).sum / n, gini)
+    }
+    val evCounts = Tables.load(spark, sf0001, "events")
+      .groupBy("user_id").count().as[(Long, Long)].collect().map(_._2).toSeq
+    val ordCounts = Tables.load(spark, sf0001, "orders")
+      .groupBy("o_custkey").count().as[(Long, Long)].collect().map(_._2).toSeq
+    assert(got("events.user_id").productIterator.drop(1).toSeq ==
+      replay(evCounts).productIterator.toSeq, "events.user_id skew row diverges")
+    assert(got("orders.o_custkey").productIterator.drop(1).toSeq ==
+      replay(ordCounts).productIterator.toSeq, "orders.o_custkey skew row diverges")
+  }
+
+  test("q199: mapping is monotone per source and lands on exact pooled order statistics") {
+    val vals = Tables.load(spark, sf0001, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+      .as[(String, Long)].collect()
+    val pooledSorted = vals.map(_._2).sorted
+    val n = pooledSorted.length.toLong
+    val got = MiningQueries.q199(spark, sf0001)
+      .select("event_type", "cents", "n_t", "mapped_cents")
+      .as[(String, Long, Long, Long)].collect()
+    graft.core.Pins.release()
+    got.groupBy(_._1).foreach { case (t0, rows) =>
+      val sortedRows = rows.sortBy(_._2)
+      assert(sortedRows.map(_._4).toSeq == sortedRows.map(_._4).sorted.toSeq,
+        s"$t0: quantile mapping must be monotone")
+      val src = vals.filter(_._1 == t0).map(_._2)
+      val nS = src.length.toLong
+      var r = 0L
+      sortedRows.foreach { case (_, c, nT, mapped) =>
+        r += nT
+        val k = (r * n + nS - 1) / nS
+        assert(mapped == pooledSorted((k - 1).toInt),
+          s"$t0 cents=$c: mapped $mapped is not the pooled ${k}-th order statistic")
+      }
+      assert(r == nS, s"$t0: cumulative ranks must exhaust the source")
+    }
+  }
+
   test("q165: versions contiguous per key — each close equals the next open; one live row per key") {
     val rows = MiningQueries.q165(spark, sf0001)
       .select("custkey", "version", "valid_from_us", "valid_to_us")

@@ -109,6 +109,70 @@ object SimilarityJoin {
     }
   }
 
+  /** All pairs (a_id < b_id) with exact integer squared-L2 distance
+    * ≤ eps2 over quantized ARRAY<BIGINT> vectors — the ε-NEIGHBOR graph
+    * builder of the density-clustering family (q200's DBSCAN): same
+    * tiled brute-force harness as [[cosinePairs]], but the per-pair
+    * arithmetic is ALL-INTEGER (quantize once, then no float ever
+    * exists — the threshold compare cannot diverge engines) and the
+    * inner loop EARLY-EXITS the moment the running sum clears eps2
+    * (most pairs die in the first dimensions, so the effective per-pair
+    * cost tracks the ε-ball density, not the dimension count). Exact
+    * and quadratic by design — the production path prunes candidates
+    * first (sign-LSH / IVF cells) and runs this as the verify tier. */
+  def sqDistPairs(emb: Dataset[(Long, Array[Long])], eps2: Long): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val blocks = TiledSelfJoin.defaultBlocks(spark)
+    spark.createDataset(TiledSelfJoin(emb.rdd, blocks)(sqDistTile(eps2)))
+      .toDF("a_id", "b_id", "d2")
+  }
+
+  /** Tile kernel for [[sqDistPairs]]: lazy cursor emission (the
+    * [[cosineTile]] memory contract), integer accumulation, eps2
+    * early-exit. */
+  private[graft] def sqDistTile(eps2: Long)(
+      left: Array[(Long, Array[Long])], right: Array[(Long, Array[Long])],
+      diag: Boolean): Iterator[(Long, Long, Long)] =
+    new scala.collection.AbstractIterator[(Long, Long, Long)] {
+      private var i = 0
+      private var j = if (diag) 1 else 0
+      private var ready = false
+      private var aOut = 0L; private var bOut = 0L; private var d2Out = 0L
+      private def advance(): Unit = {
+        while (!ready && i < left.length) {
+          if (j >= right.length) {
+            i += 1
+            j = if (diag) i + 1 else 0
+          } else {
+            val (aId, av) = left(i)
+            val (bId, bv) = right(j)
+            if (aId != bId) {
+              var s = 0L
+              var k = 0
+              val n = math.min(av.length, bv.length)
+              while (k < n && s <= eps2) {
+                val dk = av(k) - bv(k); s += dk * dk; k += 1
+              }
+              if (s <= eps2) {
+                if (aId < bId) { aOut = aId; bOut = bId } else { aOut = bId; bOut = aId }
+                d2Out = s
+                ready = true
+              }
+            }
+            j += 1
+          }
+        }
+      }
+      override def hasNext: Boolean = { advance(); ready }
+      override def next(): (Long, Long, Long) = {
+        advance()
+        if (!ready) Iterator.empty.next()
+        ready = false
+        (aOut, bOut, d2Out)
+      }
+    }
+
   /** 64-bit FNV-1a of one token (the single-word case of [[fnvShingle]]). */
   private def fnvToken(t: String): Long = {
     var h = 0xcbf29ce484222325L

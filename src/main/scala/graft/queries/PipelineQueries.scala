@@ -1793,6 +1793,100 @@ object PipelineQueries {
       |WHERE bit_count(xor(a.sh, b.sh)) <= 3
       |ORDER BY a_id, b_id""".stripMargin
 
+  // --------------------------------------------------------------- Q200
+  /** DBSCAN density clustering over quantized embeddings — the
+    * density-based sibling of the centroid family (q30 IVF / q95
+    * nearest-centroid): core / border / noise roles plus cluster
+    * labels, EXACTLY. The float-threshold trap is dodged up front:
+    * vectors quantize once to integers (round(x·1000), the global-grid
+    * version of q82's per-vector scheme), so the ε-ball membership
+    * test Σ(aᵢ−bᵢ)² ≤ ε² is pure BIGINT arithmetic that cannot
+    * bit-diverge engines. The ε-graph comes from
+    * [[graft.operators.SimilarityJoin.sqDistPairs]] (tiled exact
+    * kernel with ε²-early-exit — the verify-tier discipline: at
+    * production scale IVF/LSH candidates feed it instead of the full
+    * cross); cores are degree ≥ minPts−1 (self counts), cluster
+    * labels are [[graft.operators.DedupClusters.connectedComponents]]
+    * min-labels over the CORE-CORE subgraph (singleton cores keep
+    * their own id), and borders take the MIN core-neighbor cluster —
+    * the deterministic resolution of textbook DBSCAN's
+    * order-dependent border tie. The ORACLE re-derives everything
+    * relationally: quadratic ε-join + WITH RECURSIVE reachability
+    * closure — an independent mechanism for both the graph and the
+    * components. ε² = 1.3·10⁶, minPts = 4 (dials documented; at
+    * sf0.01: 48 cores / 19 clusters / 87 border / 365 noise). */
+  val q200: Q = (s, d) => {
+    import s.implicits._
+    val eps2 = 1300000L
+    val minPts = 4
+    val qv = graft.core.Pins.pin(
+      t(s, d, "embeddings").select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => round(x * 1000).cast("long")).as("v")))
+    val edges = graft.core.Pins.pin(
+      graft.operators.SimilarityJoin.sqDistPairs(
+        qv.as[(Long, Array[Long])], eps2))
+    val sym = graft.core.Pins.pin(
+      edges.select(col("a_id").as("x"), col("b_id").as("y"))
+        .unionByName(edges.select(col("b_id").as("x"), col("a_id").as("y"))))
+    val core = graft.core.Pins.pin(
+      sym.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= minPts - 1).select(col("x")))
+    val coreEdges = edges
+      .join(core.withColumnRenamed("x", "a_id"), Seq("a_id"), "left_semi")
+      .join(core.withColumnRenamed("x", "b_id"), Seq("b_id"), "left_semi")
+    val cc = graft.operators.DedupClusters.connectedComponents(coreEdges)
+      .select(col("doc_id").as("node"), col("component").as("label"))
+    val coreCl = graft.core.Pins.pin(
+      core.select(col("x").as("node"))
+        .join(cc, Seq("node"), "left")
+        .select(col("node"), coalesce(col("label"), col("node")).as("cluster")))
+    val borderCl = sym
+      .join(coreCl.select(col("node").as("y"), col("cluster")), Seq("y"))
+      .join(coreCl.select(col("node").as("x")), Seq("x"), "left_anti")
+      .groupBy(col("x")).agg(min(col("cluster")).as("cluster"))
+    qv.select(col("vec_id"))
+      .join(coreCl.select(col("node").as("vec_id"),
+        col("cluster").as("c_core")), Seq("vec_id"), "left")
+      .join(borderCl.select(col("x").as("vec_id"),
+        col("cluster").as("c_border")), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("c_core").isNotNull, lit("core"))
+          .when(col("c_border").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("c_core"), col("c_border")).as("cluster"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q200Sql: String =
+    """WITH RECURSIVE q AS (SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(round(x * 1000) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |ed AS (SELECT a.vec_id a, b.vec_id b
+      |       FROM q a JOIN q b ON a.vec_id < b.vec_id
+      |       WHERE list_sum(list_transform(range(1, 65),
+      |               i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))) <= 1300000),
+      |sym AS (SELECT a x, b y FROM ed UNION ALL SELECT b, a FROM ed),
+      |deg AS (SELECT x, count(*) c FROM sym GROUP BY 1),
+      |core AS (SELECT x FROM deg WHERE c >= 3),
+      |ce AS (SELECT s.x a, s.y b FROM sym s
+      |       JOIN core c1 ON s.x = c1.x JOIN core c2 ON s.y = c2.x),
+      |reach AS (SELECT x AS node, x AS root FROM core
+      |          UNION
+      |          SELECT ce.b, r.root FROM reach r JOIN ce ON ce.a = r.node),
+      |lab AS (SELECT node, min(root) cl FROM reach GROUP BY 1),
+      |border AS (SELECT s.x, min(l.cl) cl FROM sym s JOIN lab l ON s.y = l.node
+      |           WHERE s.x NOT IN (SELECT x FROM core) GROUP BY s.x)
+      |SELECT q.vec_id,
+      |       CASE WHEN lab.node IS NOT NULL THEN 'core'
+      |            WHEN border.x IS NOT NULL THEN 'border'
+      |            ELSE 'noise' END AS role,
+      |       coalesce(lab.cl, border.cl) AS cluster
+      |FROM q LEFT JOIN lab ON q.vec_id = lab.node
+      |       LEFT JOIN border ON q.vec_id = border.x
+      |ORDER BY vec_id""".stripMargin
+
   val q80Sql: String =
     """WITH v AS (SELECT DISTINCT c_name AS t FROM customer WHERE c_name IS NOT NULL),
       |dels AS (SELECT t, unnest(generate_series(1, length(t))) AS i FROM v),
@@ -4088,7 +4182,8 @@ object PipelineQueries {
     ("q177_contamination_hops", q177, q177Sql),
     ("q183_video_frame_dedup", q183, q183Sql),
     ("q186_fuzzy_join_d2", q186, q186Sql),
-    ("q192_simhash_hamming_join", q192, q192Sql))
+    ("q192_simhash_hamming_join", q192, q192Sql),
+    ("q200_dbscan", q200, q200Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type (KLL-style `percentile_approx`

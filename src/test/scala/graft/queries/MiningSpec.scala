@@ -734,6 +734,69 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("q200: crafted geometry lands exact roles; real-data roles satisfy the DBSCAN invariants") {
+    // K5 blob on dim0 (0,200,400,600,800 quantized — all pairwise <= 640k
+    // <= eps2): every blob point has degree 4 -> core, one cluster labeled
+    // by the min id. Border at 1900: within eps of the 800-point only
+    // (1100^2 = 1.21e6), degree 1. Noise at 5000: beyond eps of everything.
+    val mk = (id: Long, d0: Double) =>
+      (id, (d0 +: Seq.fill(63)(0.0)).map(_.toFloat), 0)
+    val pts = Seq(mk(1L, 0.0), mk(2L, 0.2), mk(3L, 0.4), mk(4L, 0.6),
+      mk(5L, 0.8), mk(6L, 1.9), mk(7L, 5.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_dbscan").toString
+    pts.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val craft = PipelineQueries.q200(spark, dir)
+      .select("vec_id", "role", "cluster")
+      .as[(Long, String, Option[Long])].collect().sortBy(_._1)
+    graft.core.Pins.release()
+    assert(craft.toSeq == Seq(
+      (1L, "core", Some(1L)), (2L, "core", Some(1L)), (3L, "core", Some(1L)),
+      (4L, "core", Some(1L)), (5L, "core", Some(1L)),
+      (6L, "border", Some(1L)), (7L, "noise", None)),
+      s"crafted geometry misclassified: ${craft.toSeq}")
+    // real data: replay the eps-graph brute force and check every invariant
+    val vecs = Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => round(x * 1000).cast("long")).as("v"))
+      .as[(Long, Array[Long])].collect()
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    for {
+      i <- vecs.indices; j <- (i + 1) until vecs.length
+      d2 = vecs(i)._2.zip(vecs(j)._2).map { case (a, b) => (a - b) * (a - b) }.sum
+      if d2 <= 1300000L
+    } {
+      adj(vecs(i)._1) += vecs(j)._1; adj(vecs(j)._1) += vecs(i)._1
+    }
+    val cores = vecs.map(_._1).filter(adj(_).size >= 3).toSet
+    val got = PipelineQueries.q200(spark, sf0001)
+      .select("vec_id", "role", "cluster")
+      .as[(Long, String, Option[Long])].collect()
+    graft.core.Pins.release()
+    val byId = got.map(r => r._1 -> r).toMap
+    got.foreach { case (id, role, cl) =>
+      role match {
+        case "core" =>
+          assert(cores(id) && cl.isDefined, s"$id: core without degree >= 3")
+        case "border" =>
+          assert(!cores(id) && adj(id).exists(cores), s"$id: border needs a core neighbor")
+          val expect = adj(id).filter(cores).map(n => byId(n)._3.get).min
+          assert(cl.contains(expect), s"$id: border must take the MIN core-neighbor cluster")
+        case "noise" =>
+          assert(!cores(id) && !adj(id).exists(cores) && cl.isEmpty,
+            s"$id: noise with a core neighbor")
+      }
+    }
+    // local label consistency: eps-adjacent cores share a cluster
+    cores.foreach { c =>
+      adj(c).filter(cores).foreach { n =>
+        assert(byId(c)._3 == byId(n)._3, s"adjacent cores $c/$n in different clusters")
+      }
+    }
+  }
+
   test("q165: versions contiguous per key — each close equals the next open; one live row per key") {
     val rows = MiningQueries.q165(spark, sf0001)
       .select("custkey", "version", "valid_from_us", "valid_to_us")

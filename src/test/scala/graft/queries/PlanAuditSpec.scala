@@ -73,6 +73,12 @@ object PlanAuditSpec {
     * are stored verdict columns (the query is their initial build). */
   val ShuffleBaseline: Map[String, Int] = Map(
     "q121_curation_funnel" -> 10,
+    // q200: the corpus-shaped work (tiled ε-join, CC iterations) is all
+    // PINNED upstream; the residual plan's 8 exchanges carry the
+    // edges/core/labels relations — graph-sized (≤ ε-graph nodes), not
+    // corpus-sized: two core semi-joins, the border min-fold, the two
+    // role left-joins, the final sort
+    "q200_dbscan" -> 8,
     // q125's corpus-shaped work happens in the PINNED pair build (the
     // q19 shape, audited there at 8); the residual plan's five
     // exchanges all carry degrees-sized relations (histogram groupBy,

@@ -858,6 +858,35 @@ object ScaleProbe {
       time("q195_rollup sf1.0    (1.5M ord)  ")(RelationalQueries.q195(spark, out).count())
     }
 
+    // --- q196-q200. q196/q199 ride the value GRID (10× density fattens
+    // map-side combines, the grid itself barely grows); q197's pair set
+    // is days², fixed span ⇒ flat; q198 is two keyed folds + key-sized
+    // rank windows (~scan); q200 is the DOCUMENTED quadratic tier — the
+    // tiled ε-join is N²/2 integer ops with early-exit, so 10× vectors
+    // ⇒ ~100× comparisons spread over the tile grid (q22's shape), and
+    // the ε-graph/CC work grows with edges, not vectors.
+    if (want("q196", "q197", "q198", "q199", "q200")) {
+      import graft.queries.{MiningQueries, RelationalQueries}
+      time("q196_mwu sf0.1         (1M ev)   ")(MiningQueries.q196(spark, src).count())
+      graft.core.Pins.release()
+      time("q196_mwu sf1.0        (10M ev)   ")(MiningQueries.q196(spark, out).count())
+      graft.core.Pins.release()
+      time("q197_mk sf0.1          (1M ev)   ")(MiningQueries.q197(spark, src).count())
+      graft.core.Pins.release()
+      time("q197_mk sf1.0         (10M ev)   ")(MiningQueries.q197(spark, out).count())
+      graft.core.Pins.release()
+      time("q198_skew sf0.1   (1M ev+150k o) ")(MiningQueries.q198(spark, src).count())
+      time("q198_skew sf1.0  (10M ev+1.5M o) ")(MiningQueries.q198(spark, out).count())
+      time("q199_qnorm sf0.1       (1M ev)   ")(MiningQueries.q199(spark, src).count())
+      graft.core.Pins.release()
+      time("q199_qnorm sf1.0      (10M ev)   ")(MiningQueries.q199(spark, out).count())
+      graft.core.Pins.release()
+      time("q200_dbscan sf0.1    (2k vecs)   ")(PipelineQueries.q200(spark, src).count())
+      graft.core.Pins.release()
+      time("q200_dbscan sf1.0   (20k vecs)   ")(PipelineQueries.q200(spark, out).count())
+      graft.core.Pins.release()
+    }
+
     // --- q177 BFS at 10×: the replicated corpus multiplies near-dup
     // clusters, so the pair artifact and every frontier grow ~10× —
     // per-hop cost must track the FRONTIER (edges are the memoized

@@ -1055,6 +1055,89 @@ object RelationalQueries {
       |       CAST(count(*) AS BIGINT) AS n_customers
       |FROM per_leaf GROUP BY 1, 2 ORDER BY level, node""".stripMargin
 
+  // --------------------------------------------------------------- Q201
+  /** TPC-H Q19 shape — DISJUNCTIVE join predicates: revenue from three
+    * (brand, size-band, quantity-band) tiers OR-ed together. The
+    * planner stress the star suite (q153-q155, q179) doesn't cover:
+    * the equi-key (partkey) must still drive the join while the OR of
+    * band predicates rides as a residual join FILTER, and the
+    * part-side disjunction (brand/size only) must still push to the
+    * part SCAN as an OR filter — a planner that fails either reads the
+    * whole part table or, worse, degenerates to a cartesian. Exact
+    * money: cents × (100 − discount-hundredths) BIGINTs (unit = 10⁻⁴
+    * currency), no float revenue ever exists. One fact scan, one
+    * broadcast of the OR-pruned part keys, a single-row fold. */
+  val q201: Q = (s, d) => {
+    val li = t(s, d, "lineitem").select(col("l_partkey"),
+      round(col("l_quantity")).cast("long").as("qty"),
+      round(col("l_extendedprice") * 100).cast("long").as("cents"),
+      round(col("l_discount") * 100).cast("long").as("disc"))
+    val p = t(s, d, "part").select(col("p_partkey"), col("p_brand"), col("p_size"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey") && (
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("qty").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("qty").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+        col("qty").between(20, 30))))
+      .agg(count(lit(1)).as("n_items"),
+        coalesce(sum(col("cents") * (lit(100L) - col("disc"))), lit(0L))
+          .as("revenue_c100"))
+  }
+
+  val q201Sql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_items,
+      |       CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |                * (100 - CAST(round(l_discount * 100) AS BIGINT))), 0)
+      |            AS BIGINT) AS revenue_c100
+      |FROM lineitem JOIN part ON l_partkey = p_partkey AND (
+      |  (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+      |     AND CAST(round(l_quantity) AS BIGINT) BETWEEN 1 AND 11) OR
+      |  (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+      |     AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20) OR
+      |  (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+      |     AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30))""".stripMargin
+
+  // --------------------------------------------------------------- Q202
+  /** TPC-H Q22 shape — scalar-subquery threshold + ANTI-join + group:
+    * rich-but-dormant customers (balance above the positive-balance
+    * average, never placed an URGENT order) counted per nation. The
+    * canonical decorrelation trio in one query: the AVG threshold is
+    * a one-row moments fold BROADCAST into the scan-side filter as an
+    * exact integer CROSS-MULTIPLICATION (cents·n > Σcents — the float
+    * average never exists, q185's discipline), the "never ordered
+    * urgent" is a left-anti join on the custkey (the filter pushes to
+    * the orders scan BEFORE the anti-join, so the anti side carries
+    * only urgent orders), and the residual fold is nations-sized. */
+  val q202: Q = (s, d) => {
+    val c = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"),
+      round(col("c_acctbal") * 100).cast("long").as("cents"))
+    val m = c.filter(col("cents") > 0)
+      .agg(sum(col("cents")).as("s"), count(lit(1)).as("n"))
+    val urgent = t(s, d, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(m))
+      .filter(col("cents") * col("n") > col("s"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("total_cents"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val q202Sql: String =
+    """WITH m AS (SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s,
+      |             CAST(count(*) AS BIGINT) AS n
+      |           FROM customer WHERE c_acctbal > 0)
+      |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+      |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM customer, m
+      |WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n > s
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q153_shipping_priority", q153, q153Sql),
@@ -1068,6 +1151,8 @@ object RelationalQueries {
     ("q185_small_order_revenue", q185, q185Sql),
     ("q187_share_of_parent", q187, q187Sql),
     ("q195_hierarchy_rollup", q195, q195Sql),
+    ("q201_disjunctive_bands", q201, q201Sql),
+    ("q202_dormant_rich", q202, q202Sql),
     ("q31_correlated_subquery", q31, q31Sql),
     ("q32_percentiles", q32, q32Sql),
     ("q33_date_arithmetic", q33, q33Sql),

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.SparkSpec
+import graft.core.Tables
 import org.apache.spark.sql.functions._
 
 /** Plan-shape tests for the TPC-H join suite (q153–q155): the star
@@ -138,6 +139,55 @@ class TpchJoinSpec extends SparkSpec {
     }
     // distinct-descendant counts: level-0 nodes are single customers
     assert(byLevel(0L).forall(_._5 == 1L), "a leaf rolls up exactly one account")
+  }
+
+  test("q201: the OR of band predicates matches a brute-force replay; part disjunction pushes to its scan") {
+    val li = Tables.load(spark, sf0001, "lineitem")
+      .select(col("l_partkey"), round(col("l_quantity")).cast("long").as("q"),
+        round(col("l_extendedprice") * 100).cast("long").as("c"),
+        round(col("l_discount") * 100).cast("long").as("disc"))
+      .as[(Long, Long, Long, Long)].collect()
+    val parts = Tables.load(spark, sf0001, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      .as[(Long, String, Int)].collect().map(p => p._1 -> ((p._2, p._3))).toMap
+    def hit(pk: Long, q: Long): Boolean = parts.get(pk).exists { case (b, sz) =>
+      (b == "Brand#12" && sz >= 1 && sz <= 5 && q >= 1 && q <= 11) ||
+      (b == "Brand#23" && sz >= 1 && sz <= 10 && q >= 10 && q <= 20) ||
+      (b == "Brand#34" && sz >= 1 && sz <= 15 && q >= 20 && q <= 30)
+    }
+    val expectN = li.count(r => hit(r._1, r._2)).toLong
+    val expectRev = li.filter(r => hit(r._1, r._2)).map(r => r._3 * (100 - r._4)).sum
+    val Array((n, rev)) = RelationalQueries.q201(spark, sf0001)
+      .as[(Long, Long)].collect()
+    assert((n, rev) == ((expectN, expectRev)), s"($n,$rev) vs brute ($expectN,$expectRev)")
+    val plan = RelationalQueries.q201(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "part side must broadcast")
+    assert("PushedFilters: \\[[^\\]]*Or".r.findFirstIn(plan).isDefined,
+      "the brand/size disjunction must push to the part scan")
+  }
+
+  test("q202: every reported customer beats the exact threshold and never ordered urgent") {
+    val cust = Tables.load(spark, sf0001, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+      .as[(Long, Long, Long)].collect()
+    val urgent = Tables.load(spark, sf0001, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).as[Long].collect().toSet
+    val pos = cust.map(_._3).filter(_ > 0)
+    val (s0, n0) = (pos.sum, pos.length.toLong)
+    val qual = cust.filter(c => c._3 * n0 > s0 && !urgent(c._1))
+    val expect = qual.groupBy(_._2).map { case (nk, cs) =>
+      (nk, cs.length.toLong, cs.map(_._3).sum) }.toSeq.sortBy(_._1)
+    val got = RelationalQueries.q202(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == expect, s"q202 diverges from brute force")
+    val plan = RelationalQueries.q202(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), "the never-ordered-urgent side must be an anti join")
+    assert(plan.contains("EqualTo(o_orderpriority,1-URGENT)") ||
+      plan.contains("1-URGENT"), "the priority filter must reach the orders side")
   }
 
   /** Build a plan with broadcasts + AQE off: the dimension-scale testdata

@@ -41,6 +41,11 @@ case class TwapState(eventType: String, dayUs: Long, lastTs: Long,
                      lastCents: Long, n: Long, num: Long, den: Long)
 
 /** A finalized TWAP day — the exact columns batch q178 computes. */
+case class StreakState(lastDay: Long, curLen: Long, best: Long,
+                       nActive: Long, nStreaks: Long)
+case class StreakRow(userId: Long, nActiveDays: Long, nStreaks: Long,
+                     longestStreak: Long)
+
 case class TwapRow(eventType: String, dayUs: Long, n: Long,
                    num: Long, den: Long, twapCents: Long)
 
@@ -290,6 +295,46 @@ object EventStream {
           .foreach(r => onAlarm(r.getLong(0), r.getDouble(4)))
       }
       .start()
+
+  /** Continuous ACTIVITY-STREAK tracker — q190's streaming twin with
+    * TYPED per-user state (the twapDaily discipline): one fixed-width
+    * row per user — (last active day, current run, best run, totals) —
+    * never an event buffer, updated by the same rank-difference
+    * semantics the batch query computes retrospectively (a new day
+    * extends the run iff it is exactly lastDay+1). Emission is
+    * UPDATE-mode: each batch emits the refreshed per-user row, so the
+    * latest row per user always equals batch q190 over the prefix
+    * processed so far (spec-pinned). Monotone at-arrival contract:
+    * days ≤ the last seen day are ignored — which makes a crash-replay
+    * of a processed batch a NO-OP on the state (spec-pinned), and
+    * matches what an at-arrival tracker can know (a late day can only
+    * be healed by the retrospective batch query — the q113/q118
+    * at-arrival rule). */
+  def streaksLive(events: Dataset[Event]): Dataset[StreakRow] = {
+    import events.sparkSession.implicits._
+    val dayUs = 86400L * 1000000L
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[StreakState, StreakRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[StreakState]) =>
+          var st = state.getOption.getOrElse(StreakState(Long.MinValue, 0L, 0L, 0L, 0L))
+          rows.map(e => e.tsMicros / dayUs).toSeq.distinct.sorted.foreach { d =>
+            if (d > st.lastDay) {
+              st =
+                if (st.lastDay != Long.MinValue && d == st.lastDay + 1)
+                  st.copy(lastDay = d, curLen = st.curLen + 1,
+                    nActive = st.nActive + 1)
+                else
+                  st.copy(lastDay = d, curLen = 1L, nActive = st.nActive + 1,
+                    nStreaks = st.nStreaks + 1)
+              if (st.curLen > st.best) st = st.copy(best = st.curLen)
+            }
+          }
+          state.update(st)
+          Iterator.single(StreakRow(userId, st.nActive, st.nStreaks, st.best))
+      }
+  }
 
   /** One batch of the continuous CUSUM drift monitor (q189's streaming
     * twin): newly closed DAYS append to a replay-idempotent store

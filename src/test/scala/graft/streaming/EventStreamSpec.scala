@@ -396,6 +396,53 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaksLive: the final per-user snapshot equals batch q190; a replayed batch is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStream.streaksLive(input.toDS())
+      .writeStream.format("memory").queryName("streaks_live")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // replay sf0.001's real events in event-time order, three chunks
+      val evs = graft.core.Tables.load(spark, sf0001, "events")
+        .select(col("event_id"), unix_micros(col("ts")).as("us"),
+          col("user_id"), col("event_type"), col("value"))
+        .as[(Long, Long, Long, String, Double)].collect()
+        .sortBy(r => (r._2, r._1))
+        .map(r => Event(r._1, r._2, r._3, r._4, r._5))
+      evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq: _*)
+        query.processAllAvailable()
+      }
+      // memory sink appends update rows in batch order; take per-user LAST
+      val live = spark.table("streaks_live")
+        .as[StreakRow].collect()
+        .zipWithIndex.groupBy(_._1.userId).view
+        .mapValues(_.maxBy(_._2)._1).toMap
+      val batch = graft.queries.MiningQueries.q190(spark, sf0001)
+        .select("user_id", "n_active_days", "n_streaks", "longest_streak")
+        .as[(Long, Long, Long, Long)].collect()
+      batch.foreach { case (u, a, st, lg) =>
+        val r = live(u)
+        assert((r.nActiveDays, r.nStreaks, r.longestStreak) == ((a, st, lg)),
+          s"user $u: live (${r.nActiveDays},${r.nStreaks},${r.longestStreak}) vs batch ($a,$st,$lg)")
+      }
+      // crash-replay: re-feed the last chunk — every re-emitted row must
+      // be identical to the pre-replay snapshot (days <= lastDay ignored)
+      val before = live
+      input.addData(evs.takeRight(evs.length / 3).toIndexedSeq: _*)
+      query.processAllAvailable()
+      val after = spark.table("streaks_live").as[StreakRow].collect()
+        .zipWithIndex.groupBy(_._1.userId).view.mapValues(_.maxBy(_._2)._1).toMap
+      after.foreach { case (u, r) =>
+        val b = before(u)
+        assert((r.nActiveDays, r.nStreaks, r.longestStreak) ==
+          ((b.nActiveDays, b.nStreaks, b.longestStreak)),
+          s"user $u: replayed batch changed the streak state")
+      }
+    } finally query.stop()
+  }
+
   test("asOfEnrich: facts pick up the latest update per key across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Tagged]

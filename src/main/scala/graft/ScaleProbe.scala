@@ -887,6 +887,22 @@ object ScaleProbe {
       graft.core.Pins.release()
     }
 
+    // --- q201/q202 at 10× facts, fixed dims (q153-family discipline):
+    // q201's disjunctive-band join broadcasts the OR-pruned part side
+    // (fixed at 10×) and folds one row — growth must be ~the lineitem
+    // scan with the residual OR evaluated stream-side, never a shuffle
+    // of the fact. q202's threshold moments and nation fold are
+    // customer-sized (fixed); the only 10×-growing piece is the
+    // left-anti probe against the urgent-orders side, one slim
+    // custkey exchange.
+    if (want("q201", "q202")) {
+      import graft.queries.RelationalQueries
+      time("q201_disj_bands sf0.1    (600k li)")(RelationalQueries.q201(spark, src).count())
+      time("q201_disj_bands sf1.0      (6M li)")(RelationalQueries.q201(spark, out).count())
+      time("q202_dormant sf0.1      (150k ord)")(RelationalQueries.q202(spark, src).count())
+      time("q202_dormant sf1.0      (1.5M ord)")(RelationalQueries.q202(spark, out).count())
+    }
+
     // --- q177 BFS at 10×: the replicated corpus multiplies near-dup
     // clusters, so the pair artifact and every frontier grow ~10× —
     // per-hop cost must track the FRONTIER (edges are the memoized

@@ -1729,6 +1729,116 @@ object MiningQueries {
       |FROM keyed ASOF JOIN b ON keyed.k >= b.pos
       |ORDER BY event_type, cents""".stripMargin
 
+  // --------------------------------------------------------------- Q203
+  /** FELLEGI–SUNTER probabilistic record linkage (the 1969 decision
+    * model under every production linker — Splink, dedupe.io): the
+    * SCORING layer the candidate-generation triangle (q19 LSH, q159
+    * prefix, q173 SNM) feeds. Within c_nationkey blocks, every
+    * customer pair gets an agreement VECTOR γ over three fields —
+    * market segment, $1000 balance band, key-suffix (custkey mod
+    * 1000, the synthetic "phone suffix") — and each of the 8 patterns
+    * is classified by the likelihood ratio R = Π m_i/u_i (agree) ×
+    * Π (1−m_i)/(1−u_i) (disagree). Exactness discipline: the
+    * u-probabilities (chance agreement of a RANDOM pair) are
+    * ESTIMATED FROM THE DATA exactly — u_i = Σ_v n_v(n_v−1) / N(N−1)
+    * floored to ppm (identical integer floor both engines; the only
+    * rounding, at a documented boundary) and clamped ≥ 1 ppm so a
+    * degenerate all-distinct field cannot zero a denominator;
+    * m-probabilities are declared ppm constants (m: seg .90, bal .85,
+    * key .999 — production fits them by EM, out of scope here). R is
+    * then a RATIO OF BIGINT PRODUCTS (three ppm factors each ≤ 10⁶ ⇒
+    * products ≤ 10¹⁸, in-range) and match/possible/non-match is the
+    * cross-multiplied DECIMAL(38,0) comparison w_num ≷ {100·w_den,
+    * w_den} — no log-weight float ever exists, so no threshold can
+    * straddle an ulp. Dataflow: the slim 5-column projection pins
+    * once; three value-keyed u-folds (each two partial-aggregable
+    * groupBys ending in one row) broadcast; the block self-join keys
+    * on nationkey and the γ-pattern fold map-side-combines to ≤ 8
+    * rows before the wire — pair rows never shuffle. 100 TB shape:
+    * the BLOCK KEY is the dial (swap nationkey for any candidate
+    * generator's key — the scoring layer is unchanged); u-folds are
+    * value-domain-sized; u_num·10⁶ and N(N−1) need the DECIMAL lift
+    * past ~3·10⁹ rows per value (q141's documented bound). */
+  val q203: Q = (s, d) => {
+    val M = 1000000L
+    val (mSeg, mBal, mKey) = (900000L, 850000L, 999000L)
+    val base = graft.core.Pins.pin(
+      t(s, d, "customer").selectExpr(
+        "c_custkey AS id", "CAST(c_nationkey AS BIGINT) AS nat",
+        "c_mktsegment AS seg",
+        "(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) div 100000 AS bal",
+        "c_custkey % 1000 AS key3"))
+    def uPpm(field: String, alias: String) =
+      base.groupBy(col(field)).agg(count(lit(1)).as("k"))
+        .agg(sum(col("k") * (col("k") - 1)).as("unum"), sum(col("k")).as("nn"))
+        .selectExpr(s"greatest(1L, unum * $M div (nn * (nn - 1))) AS $alias")
+    val u = uPpm("seg", "u_seg").crossJoin(uPpm("bal", "u_bal"))
+      .crossJoin(uPpm("key3", "u_key"))
+    val a = base.select(col("nat"), col("id").as("a_id"),
+      col("seg").as("a_seg"), col("bal").as("a_bal"), col("key3").as("a_key"))
+    val b = base.select(col("nat"), col("id").as("b_id"),
+      col("seg").as("b_seg"), col("bal").as("b_bal"), col("key3").as("b_key"))
+    val pat = a.join(b, Seq("nat")).filter(col("a_id") < col("b_id"))
+      .select((col("a_seg") === col("b_seg")).cast("int").as("g_seg"),
+        (col("a_bal") === col("b_bal")).cast("int").as("g_bal"),
+        (col("a_key") === col("b_key")).cast("int").as("g_key"))
+      .groupBy(col("g_seg"), col("g_bal"), col("g_key"))
+      .agg(count(lit(1)).as("n_pairs"))
+    pat.crossJoin(broadcast(u))
+      .withColumn("w_num",
+        when(col("g_seg") === 1, lit(mSeg)).otherwise(lit(M - mSeg)) *
+        when(col("g_bal") === 1, lit(mBal)).otherwise(lit(M - mBal)) *
+        when(col("g_key") === 1, lit(mKey)).otherwise(lit(M - mKey)))
+      .withColumn("w_den",
+        when(col("g_seg") === 1, col("u_seg")).otherwise(lit(M) - col("u_seg")) *
+        when(col("g_bal") === 1, col("u_bal")).otherwise(lit(M) - col("u_bal")) *
+        when(col("g_key") === 1, col("u_key")).otherwise(lit(M) - col("u_key")))
+      .withColumn("cls",
+        when(col("w_num").cast("decimal(38,0)") >
+          col("w_den").cast("decimal(38,0)") * 100, 2)
+          .when(col("w_num") < col("w_den"), 0).otherwise(1))
+      .select(col("g_seg"), col("g_bal"), col("g_key"), col("n_pairs"),
+        col("w_num"), col("w_den"), col("cls"))
+      .orderBy(col("g_seg"), col("g_bal"), col("g_key"))
+  }
+
+  val q203Sql: String =
+    """WITH base AS (SELECT c_custkey AS id, c_nationkey AS nat,
+      |                c_mktsegment AS seg,
+      |                (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000 AS bal,
+      |                c_custkey % 1000 AS key3
+      |              FROM customer),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+      |us AS (SELECT CAST(sum(k * (k - 1)) AS BIGINT) AS un
+      |       FROM (SELECT count(*) AS k FROM base GROUP BY seg)),
+      |ub AS (SELECT CAST(sum(k * (k - 1)) AS BIGINT) AS un
+      |       FROM (SELECT count(*) AS k FROM base GROUP BY bal)),
+      |uk AS (SELECT CAST(sum(k * (k - 1)) AS BIGINT) AS un
+      |       FROM (SELECT count(*) AS k FROM base GROUP BY key3)),
+      |u AS (SELECT greatest(1, us.un * 1000000 // (n * (n - 1))) AS u_seg,
+      |             greatest(1, ub.un * 1000000 // (n * (n - 1))) AS u_bal,
+      |             greatest(1, uk.un * 1000000 // (n * (n - 1))) AS u_key
+      |      FROM us, ub, uk, nn),
+      |pat AS (SELECT CAST(a.seg = b.seg AS INT) AS g_seg,
+      |               CAST(a.bal = b.bal AS INT) AS g_bal,
+      |               CAST(a.key3 = b.key3 AS INT) AS g_key,
+      |               CAST(count(*) AS BIGINT) AS n_pairs
+      |        FROM base a JOIN base b ON a.nat = b.nat AND a.id < b.id
+      |        GROUP BY 1, 2, 3),
+      |w AS (SELECT g_seg, g_bal, g_key, n_pairs,
+      |        (CASE WHEN g_seg = 1 THEN 900000 ELSE 100000 END)
+      |          * CAST(CASE WHEN g_bal = 1 THEN 850000 ELSE 150000 END AS BIGINT)
+      |          * (CASE WHEN g_key = 1 THEN 999000 ELSE 1000 END) AS w_num,
+      |        (CASE WHEN g_seg = 1 THEN u_seg ELSE 1000000 - u_seg END)
+      |          * CAST(CASE WHEN g_bal = 1 THEN u_bal ELSE 1000000 - u_bal END AS BIGINT)
+      |          * (CASE WHEN g_key = 1 THEN u_key ELSE 1000000 - u_key END) AS w_den
+      |      FROM pat, u)
+      |SELECT g_seg, g_bal, g_key, n_pairs, w_num, w_den,
+      |       CAST(CASE WHEN CAST(w_num AS HUGEINT) > 100 * CAST(w_den AS HUGEINT)
+      |                 THEN 2
+      |                 WHEN w_num < w_den THEN 0 ELSE 1 END AS INT) AS cls
+      |FROM w ORDER BY g_seg, g_bal, g_key""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q159_prefix_filter_join", q159, q159Sql),
@@ -1759,6 +1869,7 @@ object MiningQueries {
     ("q196_mann_whitney", q196, q196Sql),
     ("q197_mann_kendall", q197, q197Sql),
     ("q198_key_skew", q198, q198Sql),
-    ("q199_quantile_norm", q199, q199Sql))
+    ("q199_quantile_norm", q199, q199Sql),
+    ("q203_record_linkage", q203, q203Sql))
 }
 

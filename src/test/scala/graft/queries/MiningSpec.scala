@@ -850,4 +850,71 @@ class MiningSpec extends SparkSpec {
     assert(rows.map(_._2).max <= 3 * (total / 10 + 1),
       s"a bucket holds ${rows.map(_._2).max} of $total rows — breakpoints degenerate")
   }
+
+  test("q203: crafted twins classify as the top pattern; real-data weights match a BigInt replay") {
+    // one nation, six customers: 1001 & 2001 are twins agreeing on
+    // ALL THREE fields (segment, $1000 band, key suffix 1); the other
+    // four are pairwise-distinct on every field, so chance agreement
+    // (the data-estimated u) is LOW and the likelihood ratio
+    // separates: all-agree ⇒ match, all-disagree ⇒ non-match
+    val cust = Seq(
+      (1001L, "Customer#1001", 7, 1234.00, "BUILDING"),
+      (2001L, "Customer#2001", 7, 1250.00, "BUILDING"),
+      (3503L, "Customer#3503", 7, 9200.00, "MACHINERY"),
+      (4777L, "Customer#4777", 7, 5100.00, "AUTOMOBILE"),
+      (5999L, "Customer#5999", 7, 7300.00, "HOUSEHOLD"),
+      (6888L, "Customer#6888", 7, 3500.00, "FURNITURE"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val dir = java.nio.file.Files.createTempDirectory("graft_fs").toString
+    cust.write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val got = MiningQueries.q203(spark, dir)
+      .select("g_seg", "g_bal", "g_key", "n_pairs", "w_num", "w_den", "cls")
+      .as[(Int, Int, Int, Long, Long, Long, Int)].collect()
+      .map(r => (r._1, r._2, r._3) -> r).toMap
+    graft.core.Pins.release()
+    // pairs: the twin pair = (1,1,1); the other 14 = (0,0,0)
+    assert(got((1, 1, 1))._4 == 1L && got((0, 0, 0))._4 == 14L &&
+      got.size == 2, s"pattern counts: $got")
+    // full agreement must be a MATCH (R >> 100), full disagreement a
+    // NON-match (R < 1) for any data-estimated u in (0, 1)
+    assert(got((1, 1, 1))._7 == 2, "the all-agree pattern must classify as match")
+    assert(got((0, 0, 0))._7 == 0, "the all-disagree pattern must classify as non-match")
+    // real data: weights and counts match an exact BigInt replay
+    val rows = Tables.load(spark, sf0001, "customer")
+      .selectExpr("c_custkey", "CAST(c_nationkey AS BIGINT)", "c_mktsegment",
+        "(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) div 100000",
+        "c_custkey % 1000")
+      .as[(Long, Long, String, Long, Long)].collect()
+    val n = BigInt(rows.length)
+    def uOf[K](f: ((Long, Long, String, Long, Long)) => K): BigInt = {
+      val num = rows.groupBy(f).values
+        .map(g => BigInt(g.length) * (g.length - 1)).sum
+      (num * 1000000 / (n * (n - 1))).max(1)
+    }
+    val (uS, uB, uK) = (uOf(_._3), uOf(_._4), uOf(_._5))
+    val ms = Map(1 -> BigInt(900000), 0 -> BigInt(100000))
+    val mb = Map(1 -> BigInt(850000), 0 -> BigInt(150000))
+    val mk = Map(1 -> BigInt(999000), 0 -> BigInt(1000))
+    val pairs = for {
+      i <- rows.indices; j <- rows.indices
+      if rows(i)._1 < rows(j)._1 && rows(i)._2 == rows(j)._2
+    } yield ((if (rows(i)._3 == rows(j)._3) 1 else 0,
+      if (rows(i)._4 == rows(j)._4) 1 else 0,
+      if (rows(i)._5 == rows(j)._5) 1 else 0))
+    val brute = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val real = MiningQueries.q203(spark, sf0001)
+      .select("g_seg", "g_bal", "g_key", "n_pairs", "w_num", "w_den")
+      .as[(Int, Int, Int, Long, Long, Long)].collect()
+    graft.core.Pins.release()
+    assert(real.map(r => (r._1, r._2, r._3) -> r._4).toMap == brute,
+      "pattern pair counts must match the brute-force block replay")
+    real.foreach { case (gs, gb, gk, _, wn, wd) =>
+      val en = ms(gs) * mb(gb) * mk(gk)
+      val ed = (if (gs == 1) uS else 1000000 - uS) *
+        (if (gb == 1) uB else 1000000 - uB) *
+        (if (gk == 1) uK else 1000000 - uK)
+      assert(BigInt(wn) == en && BigInt(wd) == ed,
+        s"pattern ($gs,$gb,$gk): weights ($wn,$wd) vs replay ($en,$ed)")
+    }
+  }
 }

@@ -153,7 +153,13 @@ object PlanAuditSpec {
     // the corpus crosses the wire only post-combine (grid fold and the
     // 10-row bucket fold); the remaining four ride the value-domain
     // grid (cum window, bps fold, bp-array agg, output sort)
-    "q167_equidepth_hist" -> 6)
+    "q167_equidepth_hist" -> 6,
+    // q203: the ONLY corpus-shaped exchange is the nationkey-block
+    // self-join (pair rows γ-fold map-side to ≤ 8 patterns before the
+    // wire); the other seven are the three u-folds (each a value-keyed
+    // groupBy + a one-row total, all ending ≤ field-cardinality) and
+    // the 8-row output sort — model-sized by construction
+    "q203_record_linkage" -> 8)
   /** Audited per-query scan counts (see the class doc). Only queries
     * whose audited plan exceeds or notably undercuts the default are
     * listed — a new query landing above DefaultMax must either be

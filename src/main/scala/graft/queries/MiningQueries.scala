@@ -1839,6 +1839,90 @@ object MiningQueries {
       |                 WHEN w_num < w_den THEN 0 ELSE 1 END AS INT) AS cls
       |FROM w ORDER BY g_seg, g_bal, g_key""".stripMargin
 
+  // --------------------------------------------------------------- Q204
+  /** INTERVAL-OVERLAP JOIN — user activity sessions × incident
+    * windows, with exact overlap seconds: the temporal join q182
+    * (point-in-time) and q191 (union coverage) don't cover — BOTH
+    * sides are intervals and the answer is pairwise intersection
+    * length ("how much session time fell inside incidents" — SLA
+    * attribution, maintenance-impact accounting, ad-break overlap).
+    * Sessions = q191's island merge of [ts, ts+300s) per user;
+    * incident windows = clock hours with ≥ 6 error events. The join
+    * itself is the scale story: a raw range predicate (s_start <
+    * wend AND wstart < s_end) is a theta-join no engine hashes — so
+    * each session EXPLODES to its covered hour BUCKETS and the join
+    * is a pure hash equi-join on the bucket; because every window IS
+    * exactly one bucket the bucket⊂session ↔ interval-overlap
+    * equivalence is exact (proved in the oracle: DuckDB evaluates
+    * the genuine RANGE join instead — an independent mechanism —
+    * and must produce identical rows). Overlap = least(ends) −
+    * greatest(starts), all epoch-second longs. 100 TB shape: the
+    * bucket key carries the join (bucket count is the granularity
+    * dial — coarser buckets = fewer replicas × wider per-key lists);
+    * here the window side is additionally span-hours-bounded so it
+    * broadcasts and sessions never shuffle for the join at all. */
+  val q204: Q = (s, d) => {
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(col("st"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("user_id")).orderBy(col("st"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ev = graft.core.Pins.pin(t(s, d, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts) div 1000000").as("st")))
+    val sess = ev.select(col("user_id"), col("st"))
+      .withColumn("en", col("st") + 300)
+      .withColumn("new_isl",
+        (col("st") > coalesce(max(col("en")).over(wPrev),
+          lit(Long.MinValue))).cast("long"))
+      .withColumn("isl", sum(col("new_isl")).over(wRun))
+      .groupBy(col("user_id"), col("isl"))
+      .agg(min(col("st")).as("s_start"), max(col("en")).as("s_end"))
+    val wins = ev.filter(col("event_type") === "error")
+      .withColumn("wstart", expr("st div 3600 * 3600"))
+      .groupBy(col("wstart")).agg(count(lit(1)).as("k"))
+      .filter(col("k") >= 6).select(col("wstart"))
+    sess
+      .withColumn("hb",
+        explode(expr("sequence(s_start div 3600, (s_end - 1) div 3600)")))
+      .join(broadcast(wins), col("hb") * 3600 === col("wstart"))
+      .withColumn("ov_s", least(col("s_end"), col("wstart") + 3600)
+        - greatest(col("s_start"), col("wstart")))
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("isl")).as("n_sessions"),
+        countDistinct(col("wstart")).as("n_windows"),
+        sum(col("ov_s")).as("lost_seconds"))
+      .orderBy(col("user_id"))
+  }
+
+  val q204Sql: String =
+    """WITH iv AS (SELECT user_id, epoch_us(ts) // 1000000 AS st,
+      |              epoch_us(ts) // 1000000 + 300 AS en FROM events),
+      |f AS (SELECT user_id, st, en,
+      |        CASE WHEN st > coalesce(max(en) OVER
+      |               (PARTITION BY user_id ORDER BY st
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |               -9223372036854775808)
+      |             THEN 1 ELSE 0 END AS new_isl
+      |      FROM iv),
+      |g AS (SELECT user_id, st, en,
+      |        sum(new_isl) OVER (PARTITION BY user_id ORDER BY st
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      |      FROM f),
+      |sess AS (SELECT user_id, isl, min(st) AS s_start, max(en) AS s_end
+      |         FROM g GROUP BY 1, 2),
+      |w AS (SELECT (epoch_us(ts) // 1000000) // 3600 * 3600 AS wstart
+      |      FROM events WHERE event_type = 'error'
+      |      GROUP BY 1 HAVING count(*) >= 6),
+      |ov AS (SELECT s.user_id, s.isl, w.wstart,
+      |         least(s.s_end, w.wstart + 3600)
+      |           - greatest(s.s_start, w.wstart) AS ov_s
+      |       FROM sess s JOIN w
+      |         ON s.s_start < w.wstart + 3600 AND w.wstart < s.s_end)
+      |SELECT user_id, CAST(count(DISTINCT isl) AS BIGINT) AS n_sessions,
+      |       CAST(count(DISTINCT wstart) AS BIGINT) AS n_windows,
+      |       CAST(sum(ov_s) AS BIGINT) AS lost_seconds
+      |FROM ov GROUP BY 1 ORDER BY user_id""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q159_prefix_filter_join", q159, q159Sql),
@@ -1870,6 +1954,7 @@ object MiningQueries {
     ("q197_mann_kendall", q197, q197Sql),
     ("q198_key_skew", q198, q198Sql),
     ("q199_quantile_norm", q199, q199Sql),
-    ("q203_record_linkage", q203, q203Sql))
+    ("q203_record_linkage", q203, q203Sql),
+    ("q204_interval_overlap_join", q204, q204Sql))
 }
 

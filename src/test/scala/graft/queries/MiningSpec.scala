@@ -917,4 +917,61 @@ class MiningSpec extends SparkSpec {
         s"pattern ($gs,$gb,$gk): weights ($wn,$wd) vs replay ($en,$ed)")
     }
   }
+
+  test("q204: crafted edge/containment/touch geometry lands exact seconds; real data matches a range-join replay") {
+    def ts(t: String) = java.sql.Timestamp.valueOf(s"2024-06-01 $t")
+    // incident hour 10:00-11:00 is forced by user 99's six errors;
+    // user 1 overlaps the left edge 180 s, user 2 the right edge 30 s,
+    // user 3 TOUCHES the boundary exactly (session end = window start)
+    // and must not appear — [a,b) x [b,c) is empty
+    val ev = (Seq(
+      (1L, ts("09:58:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("10:59:30"), 2L, "view", 1.0, "{}"),
+      (3L, ts("09:55:00"), 3L, "view", 1.0, "{}")) ++
+      (0 until 6).map(i =>
+        (10L + i, ts(f"10:30:0$i"), 99L, "error", 1.0, "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ovj").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = MiningQueries.q204(spark, dir)
+      .select("user_id", "n_sessions", "n_windows", "lost_seconds")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    graft.core.Pins.release()
+    assert(got(1L) == ((1L, 1L, 1L, 180L)), s"left-edge overlap: ${got.get(1L)}")
+    assert(got(2L) == ((2L, 1L, 1L, 30L)), s"right-edge overlap: ${got.get(2L)}")
+    assert(!got.contains(3L), "a session TOUCHING the window boundary must not join")
+    // user 99's errors merge to one island [10:30:00, 10:35:05) wholly
+    // inside the hour -> 305 s
+    assert(got(99L) == ((99L, 1L, 1L, 305L)), s"contained session: ${got.get(99L)}")
+    // real data: brute-force range-join replay
+    val evs = Tables.load(spark, sf0001, "events")
+      .selectExpr("user_id", "event_type", "unix_micros(ts) div 1000000 AS st")
+      .as[(Long, String, Long)].collect()
+    val wins = evs.filter(_._2 == "error").groupBy(e => e._3 / 3600 * 3600)
+      .collect { case (w, g) if g.length >= 6 => w }.toSeq
+    val sessions = evs.groupBy(_._1).toSeq.flatMap { case (u, g) =>
+      val sorted = g.map(_._3).sorted
+      val isl = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      sorted.foreach { st =>
+        if (isl.nonEmpty && st <= isl.last._2)
+          isl(isl.length - 1) = (isl.last._1, math.max(isl.last._2, st + 300))
+        else isl += ((st, st + 300))
+      }
+      isl.map { case (a, b) => (u, a, b) }
+    }
+    val brute = sessions.flatMap { case (u, a, b) =>
+      wins.filter(w => a < w + 3600 && w < b)
+        .map(w => (u, (a, b), w, math.min(b, w + 3600) - math.max(a, w)))
+    }.groupBy(_._1).view.mapValues { rows =>
+      (rows.map(_._2).distinct.size.toLong, rows.map(_._3).distinct.size.toLong,
+        rows.map(_._4).sum)
+    }.toMap
+    val real = MiningQueries.q204(spark, sf0001)
+      .select("user_id", "n_sessions", "n_windows", "lost_seconds")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    graft.core.Pins.release()
+    assert(real == brute, s"bucket-join vs range-join replay: ${
+      (real.keySet ++ brute.keySet).filter(k => real.get(k) != brute.get(k)).take(3)}")
+  }
 }

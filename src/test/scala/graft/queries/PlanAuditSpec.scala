@@ -159,7 +159,13 @@ object PlanAuditSpec {
     // wire); the other seven are the three u-folds (each a value-keyed
     // groupBy + a one-row total, all ending ≤ field-cardinality) and
     // the 8-row output sort — model-sized by construction
-    "q203_record_linkage" -> 8)
+    "q203_record_linkage" -> 8,
+    // q204: the session build rides ONE user-keyed exchange (island
+    // windows + session fold share it); the incident fold re-keys
+    // hour-bucket rows (span-hours-sized post-combine), the window
+    // side broadcasts, and the user fold + output sort close — the
+    // countDistinct expand adds the fifth
+    "q204_interval_overlap_join" -> 5)
   /** Audited per-query scan counts (see the class doc). Only queries
     * whose audited plan exceeds or notably undercuts the default are
     * listed — a new query landing above DefaultMax must either be

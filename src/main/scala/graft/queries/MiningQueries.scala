@@ -1923,6 +1923,89 @@ object MiningQueries {
       |       CAST(sum(ov_s) AS BIGINT) AS lost_seconds
       |FROM ov GROUP BY 1 ORDER BY user_id""".stripMargin
 
+  // --------------------------------------------------------------- Q205
+  /** EWMA CONTROL CHART over daily revenue, EXACT (Roberts 1959 — the
+    * small-shift-sensitive chart beside q189's CUSUM): per event type
+    * the day-t prediction is the λ = 1/4 exponentially weighted
+    * average of the PRECEDING days, and a point alarms when its
+    * deviation from the prediction exceeds 3× the series' own mean
+    * absolute day-over-day change (a robust dispersion scale that
+    * needs no square root). The exactness trick is DYADIC λ with a
+    * TRUNCATED 16-lag kernel: weight of lag j is the INTEGER
+    * 3^(j−1)·4^(16−j) (∝ (3/4)^(j−1), common denominator 4^16), so
+    * the prediction is the rational N/W of two BIGINT folds —
+    * Σw_j·x_{t−j} ≤ 4^16·maxdaily ≈ 10^17 in-range — emitted as the
+    * floor cents N div W (the identical floor both engines; lags
+    * beyond the truncation carry ≤ (3/4)^16 < 1% of the mass, the
+    * documented truncation bound). The alarm test |x·W − N|·nchg >
+    * 3·W·Σ|Δx| is the cross-multiplied DECIMAL(38,0)/HUGEINT compare
+    * — no float EWMA or σ ever exists. Ragged heads are honest: each
+    * row's N/W spans only its AVAILABLE lags. One scan; the day fold,
+    * the 16-lag window, and the per-type dispersion window all ride
+    * ONE type-keyed exchange; output is the full grid with an alarm
+    * flag (grid-sized, the q141 value-domain rationale). */
+  val q205: Q = (s, d) => {
+    val wLag = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wAll = Window.partitionBy(col("event_type"))
+    def wj(j: Int): Long =
+      (1 until j).foldLeft(1L)((a, _) => a * 3) *
+        (j until 16).foldLeft(1L)((a, _) => a * 4)
+    val daily = t(s, d, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+    val lagged = (1 to 16).foldLeft(daily) { (df, j) =>
+      df.withColumn(s"l$j", lag(col("x"), j).over(wLag))
+    }
+    val num = (1 to 16).map(j =>
+      when(col(s"l$j").isNotNull, lit(wj(j)) * col(s"l$j"))
+        .otherwise(lit(0L))).reduce(_ + _)
+    val den = (1 to 16).map(j =>
+      when(col(s"l$j").isNotNull, lit(wj(j))).otherwise(lit(0L))).reduce(_ + _)
+    lagged
+      .withColumn("num", num).withColumn("den", den)
+      .withColumn("diff", abs(col("x") - col("l1")))
+      .withColumn("sumabs", sum(col("diff")).over(wAll))
+      .withColumn("nchg", count(col("diff")).over(wAll).cast("long"))
+      .filter(col("den") > 0)
+      .withColumn("ewma_c", expr("num div den"))
+      .withColumn("alarm",
+        (abs(col("x") * col("den") - col("num")).cast("decimal(38,0)")
+          * col("nchg") >
+          col("den").cast("decimal(38,0)") * col("sumabs") * 3).cast("int"))
+      .select(col("event_type"), col("day"), col("x").as("x_cents"),
+        col("ewma_c"), col("alarm"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val q205Sql: String = {
+    def wj(j: Int): Long =
+      (1 until j).foldLeft(1L)((a, _) => a * 3) *
+        (j until 16).foldLeft(1L)((a, _) => a * 4)
+    val lags = (1 to 16).map(j => s"lag(x, $j) OVER w AS l$j").mkString(",\n      |        ")
+    val num = (1 to 16).map(j =>
+      s"CASE WHEN l$j IS NOT NULL THEN ${wj(j)} * l$j ELSE 0 END").mkString(" + ")
+    val den = (1 to 16).map(j =>
+      s"CASE WHEN l$j IS NOT NULL THEN CAST(${wj(j)} AS BIGINT) ELSE 0 END").mkString(" + ")
+    s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      |               FROM events GROUP BY 1, 2),
+      |l AS (SELECT event_type, day, x,
+      |        $lags
+      |      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      |s AS (SELECT *, $num AS num,
+      |        $den AS den,
+      |        abs(x - l1) AS diff
+      |      FROM l),
+      |t AS (SELECT *, sum(diff) OVER (PARTITION BY event_type) AS sumabs,
+      |        CAST(count(diff) OVER (PARTITION BY event_type) AS BIGINT) AS nchg
+      |      FROM s)
+      |SELECT event_type, day, x AS x_cents, num // den AS ewma_c,
+      |       CAST(CAST(abs(x * den - num) AS HUGEINT) * nchg
+      |              > CAST(den AS HUGEINT) * sumabs * 3 AS INT) AS alarm
+      |FROM t WHERE den > 0
+      |ORDER BY event_type, day""".stripMargin
+  }
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q159_prefix_filter_join", q159, q159Sql),
@@ -1955,6 +2038,7 @@ object MiningQueries {
     ("q198_key_skew", q198, q198Sql),
     ("q199_quantile_norm", q199, q199Sql),
     ("q203_record_linkage", q203, q203Sql),
-    ("q204_interval_overlap_join", q204, q204Sql))
+    ("q204_interval_overlap_join", q204, q204Sql),
+    ("q205_ewma_chart", q205, q205Sql))
 }
 

@@ -974,4 +974,57 @@ class MiningSpec extends SparkSpec {
     assert(real == brute, s"bucket-join vs range-join replay: ${
       (real.keySet ++ brute.keySet).filter(k => real.get(k) != brute.get(k)).take(3)}")
   }
+
+  test("q205: a planted spike alarms, a flat series never does; real data matches a BigInt kernel replay") {
+    // 25 flat days of 1000 cents then one 50000-cent spike
+    val ev = (1 to 26).flatMap { dd =>
+      val n = if (dd == 26) 500 else 10
+      (1 to n).map(i => (dd * 1000L + i,
+        java.sql.Timestamp.valueOf(f"2024-03-$dd%02d 12:00:00"), 1L, "click", 1.0, "{}"))
+    } ++ (1 to 20).map(dd => (90000L + dd,
+      java.sql.Timestamp.valueOf(f"2024-03-$dd%02d 13:00:00"), 2L, "view", 2.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ewma").toString
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = MiningQueries.q205(spark, dir)
+      .select("event_type", "day", "x_cents", "ewma_c", "alarm")
+      .as[(String, java.sql.Date, Long, Long, Int)].collect()
+    graft.core.Pins.release()
+    val clicks = got.filter(_._1 == "click")
+    assert(clicks.filter(_._5 == 1).map(_._2.toString) sameElements Array("2024-03-26"),
+      s"only the spike day may alarm: ${clicks.filter(_._5 == 1).mkString(",")}")
+    // the spike day's prediction is the flat level exactly (all lags 1000)
+    assert(clicks.last._4 == 1000L, s"flat-history EWMA must be the level: ${clicks.last}")
+    assert(got.filter(_._1 == "view").forall(_._5 == 0), "a flat series must never alarm")
+    // real-data replay of the full integer kernel
+    val daily = Tables.load(spark, sf0001, "events")
+      .selectExpr("event_type", "CAST(ts AS DATE) AS day",
+        "CAST(round(value * 100) AS BIGINT) AS c")
+      .groupBy("event_type", "day").agg(sum("c").as("x"))
+      .selectExpr("event_type", "CAST(day AS STRING)", "x")
+      .as[(String, String, Long)].collect()
+    def wj(j: Int): BigInt = BigInt(3).pow(j - 1) * BigInt(4).pow(16 - j)
+    val expect = daily.groupBy(_._1).flatMap { case (t0, g) =>
+      val ser = g.sortBy(_._2).map(r => (r._2, r._3))
+      val diffs = ser.indices.drop(1).map(i => (ser(i)._2 - ser(i - 1)._2).abs)
+      val (sumabs, nchg) = (diffs.map(BigInt(_)).sum, BigInt(diffs.length))
+      ser.indices.flatMap { i =>
+        val lags = (1 to 16).filter(j => i - j >= 0)
+        if (lags.isEmpty) None else {
+          val numB = lags.map(j => wj(j) * ser(i - j)._2).sum
+          val denB = lags.map(wj).sum
+          val alarm = (BigInt(ser(i)._2) * denB - numB).abs * nchg > denB * sumabs * 3
+          Some((t0, ser(i)._1) ->
+            ((ser(i)._2, (numB / denB).toLong, if (alarm) 1 else 0)))
+        }
+      }
+    }
+    val real = MiningQueries.q205(spark, sf0001)
+      .select("event_type", "day", "x_cents", "ewma_c", "alarm")
+      .as[(String, java.sql.Date, Long, Long, Int)].collect()
+      .map(r => (r._1, r._2.toString) -> ((r._3, r._4, r._5))).toMap
+    graft.core.Pins.release()
+    assert(real == expect, s"kernel replay mismatch: ${
+      (real.keySet ++ expect.keySet).filter(k => real.get(k) != expect.get(k)).take(3)}")
+  }
 }

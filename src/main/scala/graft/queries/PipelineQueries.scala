@@ -4099,6 +4099,71 @@ object PipelineQueries {
       |         // CAST(count(*) AS BIGINT) AS saved_ppm
       |FROM f""".stripMargin
 
+  // --------------------------------------------------------------- Q206
+  /** READABILITY scoring, exact (Flesch–Kincaid grade beside q102's
+    * Gopher gate and q105's perplexity buckets — the third curation
+    * axis: structural complexity): per document, words (space
+    * tokens), sentences (max(1, terminal-punctuation count) — the
+    * defined-everywhere convention), syllables by the standard
+    * vowel-GROUP heuristic ([aeiouy]+ runs; token boundaries break
+    * runs, so the whole-text count IS the per-word sum), and complex
+    * words (≥ 3 vowel groups, the Gunning-fog ingredient). The FK
+    * grade 0.39·W/S + 11.8·Syl/W − 15.59 is emitted ×100 as the
+    * EXACT RATIONAL fkg_num/fkg_den = (39·W² + 1180·Syl·S −
+    * 1559·S·W) / (S·W) — the numerator can be NEGATIVE for trivial
+    * docs, so no integer floor is ever taken (div and // diverge on
+    * negatives, the q194 discipline): the reading-level BAND
+    * classifies by sign-safe cross-multiplied comparisons (< 6th
+    * grade, middle, high, college at 600/1000/1300 centi-grades).
+    * Everything is scan-local scalar work (one regexp pass per
+    * field + one `aggregate` HOF over the token array — no explode,
+    * no join); the only exchange is the output sort. 100 TB: a pure
+    * map stage, partition-count is the dial. */
+  val q206: Q = (s, d) => {
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_words"),
+        expr("greatest(CAST(1 AS BIGINT), CAST(regexp_count(text, '[.!?]') AS BIGINT))")
+          .as("n_sents"),
+        expr("CAST(regexp_count(text, '[aeiouy]+') AS BIGINT)").as("n_syll"),
+        expr("""aggregate(split(text, ' '), CAST(0 AS BIGINT),
+                 (a, t) -> a + CASE WHEN regexp_count(t, '[aeiouy]+') >= 3
+                                    THEN 1 ELSE 0 END)""").as("n_complex"))
+      .withColumn("fkg_num",
+        lit(39L) * col("n_words") * col("n_words")
+          + lit(1180L) * col("n_syll") * col("n_sents")
+          - lit(1559L) * col("n_sents") * col("n_words"))
+      .withColumn("fkg_den", col("n_sents") * col("n_words"))
+      .withColumn("band",
+        when(col("fkg_num") < lit(600L) * col("fkg_den"), 0)
+          .when(col("fkg_num") < lit(1000L) * col("fkg_den"), 1)
+          .when(col("fkg_num") < lit(1300L) * col("fkg_den"), 2)
+          .otherwise(3))
+      .orderBy(col("doc_id"))
+  }
+
+  val q206Sql: String =
+    """WITH m AS (SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |         greatest(CAST(1 AS BIGINT),
+      |           CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT)) AS n_sents,
+      |         CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT) AS n_syll,
+      |         CAST(list_sum(list_transform(string_split(text, ' '),
+      |           t -> CASE WHEN len(regexp_extract_all(t, '[aeiouy]+')) >= 3
+      |                     THEN 1 ELSE 0 END)) AS BIGINT) AS n_complex
+      |       FROM documents),
+      |g AS (SELECT *,
+      |        39 * n_words * n_words + 1180 * n_syll * n_sents
+      |          - 1559 * n_sents * n_words AS fkg_num,
+      |        n_sents * n_words AS fkg_den
+      |      FROM m)
+      |SELECT doc_id, n_words, n_sents, n_syll, n_complex, fkg_num, fkg_den,
+      |       CAST(CASE WHEN fkg_num < 600 * fkg_den THEN 0
+      |                 WHEN fkg_num < 1000 * fkg_den THEN 1
+      |                 WHEN fkg_num < 1300 * fkg_den THEN 2
+      |                 ELSE 3 END AS INT) AS band
+      |FROM g ORDER BY doc_id""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
@@ -4183,7 +4248,8 @@ object PipelineQueries {
     ("q183_video_frame_dedup", q183, q183Sql),
     ("q186_fuzzy_join_d2", q186, q186Sql),
     ("q192_simhash_hamming_join", q192, q192Sql),
-    ("q200_dbscan", q200, q200Sql))
+    ("q200_dbscan", q200, q200Sql),
+    ("q206_readability", q206, q206Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type (KLL-style `percentile_approx`

@@ -3,6 +3,7 @@ package graft.queries
 import java.nio.file.Files
 
 import graft.SparkSpec
+import graft.core.Tables
 
 /** Round-6 corpus-signal queries: Gopher rule gate (q102), positional
   * winnowing (q103), vocabulary growth (q104), perplexity terciles
@@ -329,5 +330,45 @@ class CorpusSignalsSpec extends SparkSpec {
       .select("a_id", "b_id", "hamming").as[(Long, Long, Long)].collect().toSet
     graft.core.Pins.release()
     assert(got == brute, s"blocking missed ${(brute -- got).size} pairs / invented ${(got -- brute).size}")
+  }
+
+  test("q206: hand-counted grade on a crafted doc (negative numerator stays exact); real data matches a reference counter") {
+    // "the cat sat. the dog ran!" -> 6 words, 2 sentences, 6 vowel
+    // groups, 0 complex; fkg = (39*36 + 1180*12 - 1559*12) / 12 with a
+    // NEGATIVE numerator -- the sign-safe band must still classify 0
+    val docs = Seq(
+      (1L, "the cat sat. the dog ran!", "en", "s", 25L),
+      (2L, "extraordinary bureaucratic obfuscation complicates unintelligible documentation", "en", "s", 78L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_fk").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = PipelineQueries.q206(spark, dir)
+      .select("doc_id", "n_words", "n_sents", "n_syll", "n_complex",
+        "fkg_num", "fkg_den", "band")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 6L, 2L, 6L, 0L, 39L * 36 + 1180 * 12 - 1559 * 12, 12L, 0)),
+      s"crafted simple doc: ${got(1L)}")
+    // doc 2: 6 long words, 1 sentence (no terminal punctuation ->
+    // clamped), every word >= 3 vowel groups -> band must be college
+    assert(got(2L)._3 == 1L && got(2L)._5 == 6L && got(2L)._8 == 3,
+      s"crafted college doc: ${got(2L)}")
+    // reference recount on real data
+    def syll(s0: String) = "[aeiouy]+".r.findAllIn(s0).length.toLong
+    val ref = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().map { case (id, tx) =>
+        val words = tx.split(" ", -1)
+        val (nw, ns) = (words.length.toLong,
+          math.max(1L, tx.count(c => c == '.' || c == '!' || c == '?').toLong))
+        val sy = syll(tx)
+        id -> ((nw, ns, sy, words.count(w => syll(w) >= 3).toLong,
+          39 * nw * nw + 1180 * sy * ns - 1559 * ns * nw))
+      }.toMap
+    val real = PipelineQueries.q206(spark, sf0001)
+      .select("doc_id", "n_words", "n_sents", "n_syll", "n_complex", "fkg_num")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(real == ref, s"reference counter mismatch: ${
+      (real.keySet ++ ref.keySet).filter(k => real.get(k) != ref.get(k)).take(3)}")
   }
 }

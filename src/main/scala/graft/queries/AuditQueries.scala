@@ -1018,7 +1018,91 @@ object AuditQueries {
       |FROM r WHERE rkAll = 1 ORDER BY probe_id""".stripMargin
 
   /** name → (query, oracle) */
+  // --------------------------------------------------------------- Q207
+  /** EXACT ROC CURVE + AUC for a quality classifier (the eval q123/
+    * q127 give precision/recall a single point of — this is the whole
+    * threshold SWEEP, the artifact model selection actually reads):
+    * score = English-marker-token ppm (size(filter(tokens ∈ marker
+    * set)) · 10⁶ div n_tokens — integer floor, classifier-agnostic:
+    * any integer score column drops in), label = lang = 'en'. One
+    * curve row per DISTINCT score (the thresholds "predict positive
+    * iff score ≥ t"): cumulative tp/fp in descending-score order,
+    * tpr/fpr as positive-ppm floors, and the running TRAPEZOID
+    * integral Σ Δfp·(tp + tp_prev) whose final value is the exact
+    * integer 2·AUC·P·N — the tie-correct Mann-Whitney identity
+    * (q196 proves the same identity pairwise; here it falls out of
+    * the sweep, and a mid-bucket tie contributes its parallelogram
+    * exactly). No float ever: AUC ppm = the integral·10⁶ div (2PN)
+    * at the reader's boundary if wanted. Dataflow: one tokenize
+    * scan folds to the score GRID (≤ 10⁶+1 ppm values — the q141
+    * value-domain bound); the curve windows ride the grid's single
+    * partition (documented: grid-sized, never corpus-sized); P·N
+    * needs the DECIMAL lift past ~3·10⁹ rows/class (q141's bound). */
+  val q207: Q = (s, d) => {
+    val markers = Seq("hash", "order", "window", "group", "batch", "big")
+    val inList = markers.map(m => s"'$m'").mkString(", ")
+    val scored = t(s, d, "documents").select(
+      (col("lang") === "en").cast("long").as("pos"),
+      expr(s"""CAST(size(filter(split(text, ' '), t -> t IN ($inList))) AS BIGINT)
+               * 1000000 div CAST(size(split(text, ' ')) AS BIGINT)""").as("score"))
+    val grid = scored.groupBy(col("score"))
+      .agg(sum(col("pos")).as("np"), (count(lit(1)) - sum(col("pos"))).as("nn"))
+    val tot = grid.agg(sum(col("np")).as("p_tot"), sum(col("nn")).as("n_tot"))
+    val wDesc = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wLag = Window.orderBy(col("score").desc)
+    grid
+      .withColumn("tp", sum(col("np")).over(wDesc))
+      .withColumn("fp", sum(col("nn")).over(wDesc))
+      .withColumn("tp_prev", coalesce(lag(col("tp"), 1).over(wLag), lit(0L)))
+      .withColumn("fp_prev", coalesce(lag(col("fp"), 1).over(wLag), lit(0L)))
+      .withColumn("auc2pn_cum",
+        sum((col("fp") - col("fp_prev")) * (col("tp") + col("tp_prev"))).over(wDesc))
+      .crossJoin(broadcast(tot))
+      .select(col("score"), col("tp"), col("fp"),
+        expr("tp * 1000000 div p_tot").as("tpr_ppm"),
+        expr("fp * 1000000 div n_tot").as("fpr_ppm"),
+        col("auc2pn_cum"))
+      .orderBy(col("score").desc)
+  }
+
+  val q207Sql: String =
+    """WITH scored AS (SELECT CAST(lang = 'en' AS BIGINT) AS pos,
+      |         CAST(len(list_filter(string_split(text, ' '),
+      |                t -> t IN ('hash', 'order', 'window', 'group', 'batch', 'big')))
+      |              AS BIGINT) * 1000000
+      |           // CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+      |       FROM documents),
+      |grid AS (SELECT score, CAST(sum(pos) AS BIGINT) AS np,
+      |           CAST(count(*) - sum(pos) AS BIGINT) AS nn
+      |         FROM scored GROUP BY 1),
+      |tot AS (SELECT CAST(sum(np) AS BIGINT) AS p_tot,
+      |          CAST(sum(nn) AS BIGINT) AS n_tot FROM grid),
+      |cum0 AS (SELECT score,
+      |           CAST(sum(np) OVER wd AS BIGINT) AS tp,
+      |           CAST(sum(nn) OVER wd AS BIGINT) AS fp
+      |         FROM grid
+      |         WINDOW wd AS (ORDER BY score DESC
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |cum AS (SELECT score, tp, fp,
+      |          CAST(coalesce(lag(tp, 1) OVER (ORDER BY score DESC), 0)
+      |               AS BIGINT) AS tp_prev,
+      |          CAST(coalesce(lag(fp, 1) OVER (ORDER BY score DESC), 0)
+      |               AS BIGINT) AS fp_prev
+      |        FROM cum0),
+      |tr AS (SELECT *, CAST(sum((fp - fp_prev) * (tp + tp_prev)) OVER
+      |          (ORDER BY score DESC
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |          AS auc2pn_cum
+      |       FROM cum)
+      |SELECT score, tp, fp,
+      |       tp * 1000000 // p_tot AS tpr_ppm,
+      |       fp * 1000000 // n_tot AS fpr_ppm,
+      |       auc2pn_cum
+      |FROM tr, tot ORDER BY score DESC""".stripMargin
+
   val entries: Seq[(String, Q, String)] = Seq(
+    ("q207_roc_auc", q207, q207Sql),
     ("q114_chunk_dup_filter", q114, q114Sql),
     ("q115_fuzzy_contamination", q115, q115Sql),
     ("q116_centroid_drift", q116, q116Sql),

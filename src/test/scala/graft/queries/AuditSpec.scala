@@ -291,4 +291,50 @@ class AuditSpec extends SparkSpec {
       assert(n > mean, s"$h flagged but n $n ≤ mean $mean")
     }
   }
+
+  test("q207: perfect separation and all-tied degenerate curves are exact; real AUC matches the pairwise identity") {
+    // perfect separation: every en doc is pure marker tokens, every
+    // other doc has none -> the curve reaches (fpr 0, tpr 1e6) and
+    // the final integral is exactly 2*P*N
+    val sep = ((1 to 3).map(i => (i.toLong, "hash order window", "en", "s", 17L)) ++
+      (4 to 9).map(i => (i.toLong, "scan table merge", "de", "s", 16L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d1 = java.nio.file.Files.createTempDirectory("graft_roc1").toString
+    sep.write.mode("overwrite").parquet(s"$d1/documents.parquet")
+    val cSep = AuditQueries.q207(spark, d1)
+      .select("score", "tp", "fp", "tpr_ppm", "fpr_ppm", "auc2pn_cum")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(cSep.head == ((1000000L, 3L, 0L, 1000000L, 0L, 0L)),
+      s"separation must put (tpr 1e6, fpr 0) at the top threshold: ${cSep.head}")
+    assert(cSep.last._6 == 2L * 3 * 6, s"perfect AUC integral 2PN: ${cSep.last}")
+    // all-tied: one score bucket -> a single parallelogram, AUC exactly 1/2
+    val tie = ((1 to 2).map(i => (i.toLong, "big scan", "en", "s", 8L)) ++
+      (3 to 7).map(i => (i.toLong, "big scan", "fr", "s", 8L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d2 = java.nio.file.Files.createTempDirectory("graft_roc2").toString
+    tie.write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val cTie = AuditQueries.q207(spark, d2)
+      .select("score", "auc2pn_cum").as[(Long, Long)].collect()
+    assert(cTie.length == 1 && cTie.head._2 == 2L * 5, // fp*(tp+0) = 5*2 = PN
+      s"an all-tied score must integrate to PN (AUC 1/2): ${cTie.mkString(",")}")
+    // real data: the sweep's final integral equals the q196-style
+    // pairwise count 2*[pos>neg] + [pos=neg] over score pairs
+    val markers = Set("hash", "order", "window", "group", "batch", "big")
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("text", "lang").as[(String, String)].collect().map { case (tx, lg) =>
+        val toks = tx.split(" ", -1)
+        (lg == "en", toks.count(markers) * 1000000L / toks.length)
+      }
+    val (ps, ns) = (docs.filter(_._1).map(_._2), docs.filterNot(_._1).map(_._2))
+    val pairwise = ps.map(x => 2L * ns.count(_ < x) + ns.count(_ == x)).sum
+    val real = AuditQueries.q207(spark, sf0001)
+      .select("tp", "fp", "auc2pn_cum").as[(Long, Long, Long)].collect()
+    assert(real.last._3 == pairwise,
+      s"trapezoid integral ${real.last._3} vs pairwise identity $pairwise")
+    assert(real.last._1 == ps.length && real.last._2 == ns.length,
+      "the curve must end at (P, N)")
+    // monotone: tp/fp never decrease along descending thresholds
+    assert(real.sliding(2).forall(w => w.length < 2 ||
+      (w(0)._1 <= w(1)._1 && w(0)._2 <= w(1)._2)), "curve must be monotone")
+  }
 }

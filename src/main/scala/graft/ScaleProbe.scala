@@ -903,6 +903,52 @@ object ScaleProbe {
       time("q202_dormant sf1.0      (1.5M ord)")(RelationalQueries.q202(spark, out).count())
     }
 
+    // --- q203-q207 at 10×: q203's pair work is block²-bounded — the
+    // replicated customer table multiplies every nation block 10×, so
+    // within-block pairs grow ~100× while the γ-fold keeps the wire at
+    // 8 rows (wall must track the in-block compare loop, the q186
+    // pair-output rule with the block key as the dial); q204/q205 ride
+    // user-/type-keyed windows (10× rows per key, ~scan growth);
+    // q206 is a pure map stage; q207's curve is score-grid-bounded
+    // (10× docs fatten the fold, the grid stays ≤ ppm-domain).
+    if (want("q203", "q204", "q205", "q206", "q207")) {
+      import graft.queries.{AuditQueries, MiningQueries, PipelineQueries}
+      // q203 needs customers GROWN (the shared out dir holds dims
+      // fixed): replicate 10× with shifted custkeys, same nations —
+      // every block gets 10× members, in-block pairs grow ~100×
+      val cust10x = "/tmp/graft_cust10x"
+      locally {
+        val base = spark.read.parquet(s"$src/customer.parquet")
+        val shift = base.agg(org.apache.spark.sql.functions.max(col("c_custkey")))
+          .head().getLong(0) + 1
+        (0 until 10).map(i =>
+          base.withColumn("c_custkey", col("c_custkey") + lit(i * shift)))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$cust10x/customer.parquet")
+      }
+      time("q203_linkage sf0.1   (15k cust)  ")(MiningQueries.q203(spark, src).count())
+      graft.core.Pins.release()
+      time("q203_linkage sf1.0  (150k cust)  ")(MiningQueries.q203(spark, cust10x).count())
+      graft.core.Pins.release()
+      time("q204_ovjoin sf0.1      (1M ev)   ")(MiningQueries.q204(spark, src).count())
+      graft.core.Pins.release()
+      time("q204_ovjoin sf1.0     (10M ev)   ")(MiningQueries.q204(spark, out).count())
+      graft.core.Pins.release()
+      time("q205_ewma sf0.1        (1M ev)   ")(MiningQueries.q205(spark, src).count())
+      time("q205_ewma sf1.0       (10M ev)   ")(MiningQueries.q205(spark, out).count())
+      // q206 is pure projection — count() would prune every regexp
+      // column (the Bench noop-sink lesson); fold the grade so the
+      // probe pays the real scan work
+      time("q206_readability sf0.1 (50k docs)")(
+        PipelineQueries.q206(spark, src)
+          .agg(sum(col("fkg_num") + col("n_complex"))).head().getLong(0))
+      time("q206_readability sf1.0(500k docs)")(
+        PipelineQueries.q206(spark, out)
+          .agg(sum(col("fkg_num") + col("n_complex"))).head().getLong(0))
+      time("q207_roc sf0.1       (50k docs)  ")(AuditQueries.q207(spark, src).count())
+      time("q207_roc sf1.0      (500k docs)  ")(AuditQueries.q207(spark, out).count())
+    }
+
     // --- q177 BFS at 10×: the replicated corpus multiplies near-dup
     // clusters, so the pair artifact and every frontier grow ~10× —
     // per-hop cost must track the FRONTIER (edges are the memoized

@@ -1360,6 +1360,93 @@ object StatQueries {
       |FROM rk""".stripMargin
 
   /** name → (query, oracle) */
+  // --------------------------------------------------------------- Q208
+  /** KRUSKAL–WALLIS H across event types on daily revenue — the
+    * MULTI-group rank test completing the nonparametric shelf (q196
+    * is two-group location, q141 two-sample shape, q149 categorical
+    * independence; KW is "one-way ANOVA on ranks"): does ANY event
+    * type's daily-revenue distribution differ? Exact end to end by
+    * the q196 disciplines compounded: the sample is the DAILY fold
+    * (N = types×span-days, grid-sized at any corpus scale), pooled
+    * midranks are 2-SCALED integers (2·cum_below + t + 1 — always
+    * integral, computed on the value GRID: no global row sort, the
+    * corpus crosses once in the day fold), Σ R_i²/n_i is the exact
+    * rational P/Q with Q = Π n_i, and the tie-corrected statistic
+    *   H = [3·(P − Q·N(N+1)²)·(N³−N)] / [Q·N(N+1)·(N³−N−ΣT)]
+    * (ΣT = Σ t³−t over pooled tie groups) is emitted as the exact
+    * DECIMAL(38,0) pair (h_num, h_den) — Cauchy–Schwarz guarantees
+    * h_num ≥ 0, so no sign-dependent floor exists; χ²(k−1) scoring
+    * is the caller's float boundary. Magnitude: (2R)² ≤ (N(N+1))²
+    * and the ×(N³−N) lift cap the numerator ~10²³ at this grid —
+    * in DECIMAL(38,0) range to ~3000× the span (bound documented). */
+  val q208: Q = (s, d) => {
+    val daily = graft.core.Pins.pin(
+      t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("c"))
+        .select(col("event_type"), col("c")))
+    val pooled = daily.groupBy(col("c")).agg(count(lit(1)).as("t"))
+      .withColumn("cum", coalesce(sum(col("t"))
+        .over(Window.orderBy(col("c"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("mr2", lit(2L) * col("cum") + col("t") + 1)
+    val ties = pooled.agg(sum(col("t") * col("t") * col("t") - col("t"))
+      .as("sum_ties"), sum(col("t")).as("n_total"))
+    val grp = daily.join(broadcast(pooled.select(col("c"), col("mr2"))), Seq("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_i"), sum(col("mr2")).as("r2_i"))
+    // P/Q without per-row rational division: P = Σ (2R_i)²·(Q div n_i)
+    // (exact — Q = Π n_i is divisible by each n_i), Q folded by an
+    // aggregate HOF over the ≤ |types| group sizes
+    val q0 = grp.agg(expr(
+      "aggregate(collect_list(n_i), CAST(1 AS BIGINT), (a, x) -> a * x)").as("qq"))
+    val p0 = grp.crossJoin(broadcast(q0))
+      .agg(sum(col("r2_i") * col("r2_i") * expr("qq div n_i")).as("pp"),
+        min(col("qq")).as("qq"))
+    p0.crossJoin(broadcast(ties))
+      .select(col("n_total"), col("sum_ties"),
+        (lit(3L).cast("decimal(38,0)")
+          * (col("pp").cast("decimal(38,0)")
+            - col("qq").cast("decimal(38,0)") * col("n_total")
+              * (col("n_total") + 1) * (col("n_total") + 1))
+          * (col("n_total") * col("n_total") * col("n_total") - col("n_total")))
+          .cast("decimal(38,0)").as("h_num"),
+        (col("qq").cast("decimal(38,0)") * col("n_total") * (col("n_total") + 1)
+          * (col("n_total") * col("n_total") * col("n_total") - col("n_total")
+            - col("sum_ties"))).cast("decimal(38,0)").as("h_den"))
+  }
+
+  val q208Sql: String =
+    """WITH daily AS (SELECT event_type,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+      |       FROM (SELECT event_type, CAST(ts AS DATE) AS day,
+      |               value FROM events)
+      |       GROUP BY event_type, day),
+      |pooled AS (SELECT c, CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY 1),
+      |mr AS (SELECT c, t,
+      |         2 * coalesce(sum(t) OVER (ORDER BY c
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           + t + 1 AS mr2
+      |       FROM pooled),
+      |ties AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS sum_ties,
+      |           CAST(sum(t) AS BIGINT) AS n_total FROM mr),
+      |grp AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_i,
+      |          CAST(sum(mr2) AS BIGINT) AS r2_i
+      |        FROM daily JOIN mr USING (c) GROUP BY 1),
+      |q0 AS (SELECT CAST(product(n_i) AS BIGINT) AS qq FROM grp),
+      |p0 AS (SELECT CAST(sum(r2_i * r2_i * (qq // n_i)) AS BIGINT) AS pp,
+      |         CAST(min(qq) AS BIGINT) AS qq
+      |       FROM grp, q0)
+      |SELECT n_total, sum_ties,
+      |       CAST(3 * (CAST(pp AS HUGEINT)
+      |                 - CAST(qq AS HUGEINT) * n_total * (n_total + 1) * (n_total + 1))
+      |            * (CAST(n_total AS HUGEINT) * n_total * n_total - n_total)
+      |            AS HUGEINT) AS h_num,
+      |       CAST(CAST(qq AS HUGEINT) * n_total * (n_total + 1)
+      |            * (CAST(n_total AS HUGEINT) * n_total * n_total - n_total - sum_ties)
+      |            AS HUGEINT) AS h_den
+      |FROM p0, ties""".stripMargin
+
   val entries: Seq[(String, Q, String)] = Seq(
     ("q129_priority_sample", q129, q129Sql),
     ("q130_countmin_heavy", q130, q130Sql),
@@ -1384,5 +1471,6 @@ object StatQueries {
     ("q149_chi2_independence", q149, q149Sql),
     ("q150_bootstrap_ci", q150, q150Sql),
     ("q151_trimmed_mean", q151, q151Sql),
-    ("q152_gini", q152, q152Sql))
+    ("q152_gini", q152, q152Sql),
+    ("q208_kruskal_wallis", q208, q208Sql))
 }

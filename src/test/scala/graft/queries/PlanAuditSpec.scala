@@ -165,7 +165,14 @@ object PlanAuditSpec {
     // hour-bucket rows (span-hours-sized post-combine), the window
     // side broadcasts, and the user fold + output sort close — the
     // countDistinct expand adds the fifth
-    "q204_interval_overlap_join" -> 5)
+    "q204_interval_overlap_join" -> 5,
+    // q208: the corpus crosses ONCE into the pinned daily fold;
+    // everything downstream is grid- or types-sized by construction —
+    // the pooled value-grid fold + its rank window, the ties one-row
+    // fold, the per-type fold, and the Q/P one-row folds each re-key
+    // tiny relations (the audit records the count so a future edit
+    // can't widen the corpus-sized set past the first exchange)
+    "q208_kruskal_wallis" -> 9)
   /** Audited per-query scan counts (see the class doc). Only queries
     * whose audited plan exceeds or notably undercuts the default are
     * listed — a new query landing above DefaultMax must either be

@@ -394,4 +394,60 @@ class StatSpec extends SparkSpec {
       assert(lang.nonEmpty)
     }
   }
+
+  test("q208: separated groups hit the closed-form H; identical groups give exactly 0; real data matches a BigInt replay") {
+    def mk(rows: Seq[(Int, String, Double)]): String = {
+      val ev = rows.zipWithIndex.map { case ((dd, t0, v), i) =>
+        (i.toLong, java.sql.Timestamp.valueOf(f"2024-05-$dd%02d 12:00:00"), 1L, t0, v, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val dir = java.nio.file.Files.createTempDirectory("graft_kw").toString
+      ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    // full separation, k=2, n=5 each, no ties: H = 6.8181... exactly
+    // 18562500/2722500 in the emitted un-reduced encoding
+    val sep = mk((1 to 5).map(d0 => (d0, "lo", d0 * 1.0)) ++
+      (1 to 5).map(d0 => (d0, "hi", d0 * 10.0)))
+    val Array((n1, t1, hn1, hd1)) = StatQueries.q208(spark, sep)
+      .select("n_total", "sum_ties", "h_num", "h_den")
+      .as[(Long, Long, BigDecimal, BigDecimal)].collect()
+    graft.core.Pins.release()
+    assert((n1, t1) == ((10L, 0L)) && hn1.toBigInt == BigInt(18562500) &&
+      hd1.toBigInt == BigInt(2722500), s"closed form: ($n1,$t1,$hn1,$hd1)")
+    // identical value multisets -> equal rank sums -> H must be 0
+    val same = mk((1 to 5).flatMap(d0 =>
+      Seq((d0, "a", d0 * 3.0), (d0, "b", d0 * 3.0))))
+    val Array((_, t2, hn2, _)) = StatQueries.q208(spark, same)
+      .select("n_total", "sum_ties", "h_num", "h_den")
+      .as[(Long, Long, BigDecimal, BigDecimal)].collect()
+    graft.core.Pins.release()
+    assert(hn2.toBigInt == BigInt(0) && t2 == 5L * 6,
+      s"identical groups: h_num $hn2, ties $t2")
+    // real-data BigInt replay of the whole algebra
+    val daily = Tables.load(spark, sf0001, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("c"))
+      .select("event_type", "c").as[(String, Long)].collect()
+    val pooledCnt = daily.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val sorted = pooledCnt.keys.toSeq.sorted
+    val cumB = sorted.scanLeft(0L)((a, v) => a + pooledCnt(v)).dropRight(1)
+    val mr2 = sorted.zip(cumB).map { case (v, cb) =>
+      v -> (2 * cb + pooledCnt(v) + 1) }.toMap
+    val groups = daily.groupBy(_._1).view.mapValues { g =>
+      (BigInt(g.length), g.map(r => BigInt(mr2(r._2))).sum)
+    }.toMap.map { case (k0, v) => k0 -> v }
+    val bigN = BigInt(daily.length)
+    val qQ = groups.values.map(_._1).product
+    val pP = groups.values.map { case (ni, r2) => r2 * r2 * (qQ / ni) }.sum
+    val sumT = pooledCnt.values.map(t0 => BigInt(t0).pow(3) - t0).sum
+    val expNum = 3 * (pP - qQ * bigN * (bigN + 1).pow(2)) * (bigN.pow(3) - bigN)
+    val expDen = qQ * bigN * (bigN + 1) * (bigN.pow(3) - bigN - sumT)
+    val Array((n3, t3, hn3, hd3)) = StatQueries.q208(spark, sf0001)
+      .select("n_total", "sum_ties", "h_num", "h_den")
+      .as[(Long, Long, BigDecimal, BigDecimal)].collect()
+    graft.core.Pins.release()
+    assert(BigInt(n3) == bigN && BigInt(t3) == sumT &&
+      hn3.toBigInt == expNum && hd3.toBigInt == expDen,
+      s"replay: got ($n3,$t3,$hn3,$hd3) vs ($bigN,$sumT,$expNum,$expDen)")
+  }
 }

@@ -1138,6 +1138,69 @@ object RelationalQueries {
       |                    AND o_orderpriority = '1-URGENT')
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- Q209
+  /** TPC-H Q20 shape — the NESTED-semi-join decorrelation ladder
+    * (`partsupp` doesn't exist in this schema, so the correlated
+    * availability test becomes a correlated DOMINANCE test with the
+    * same plan obligations): suppliers in three nations who, for some
+    * red part, shipped MORE THAN HALF of that part's total 1996
+    * volume. The planning stress Q20 exists for: a correlated
+    * aggregate inside a semi-join inside a semi-join — decorrelated
+    * here into ONE fact lineage: the (part, supplier) fold, the
+    * per-part total as a window over that fold (parts×suppliers-
+    * sized, never the fact), the dominance filter as an integer
+    * cross-multiplication 2·qty_sp > qty_p, and two broadcast-able
+    * probe sides (red parts pushed into the fact scan BEFORE the
+    * fold; the nation filter pushed to the supplier scan). The final
+    * semi-join is on the distinct dominant-supplier set. Exact
+    * integers throughout (round(qty) longs, no float share). */
+  val q209: Q = (s, d) => {
+    val li = t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01")
+        && col("l_shipdate") < lit("1997-01-01"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_quantity")).cast("long").as("qty"))
+    val red = t(s, d, "part").filter(col("p_name").startsWith("red"))
+      .select(col("p_partkey"))
+    val sp = li.join(broadcast(red), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("qty")).as("qty_sp"))
+    val dom = sp
+      .withColumn("qty_p",
+        sum(col("qty_sp")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("qty_sp") * 2 > col("qty_p"))
+      .select(col("l_suppkey")).distinct()
+    val nat = t(s, d, "nation")
+      .filter(col("n_name").isin("NATION_3", "NATION_7", "NATION_11"))
+      .select(col("n_nationkey"))
+    t(s, d, "supplier")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(dom, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_name"))
+  }
+
+  val q209Sql: String =
+    """WITH sp AS (SELECT l_partkey, l_suppkey,
+      |              CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty_sp
+      |            FROM lineitem
+      |            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |              AND l_shipdate < TIMESTAMP '1997-01-01'
+      |              AND l_partkey IN (SELECT p_partkey FROM part
+      |                                WHERE p_name LIKE 'red%')
+      |            GROUP BY 1, 2),
+      |dom AS (SELECT DISTINCT l_suppkey
+      |        FROM (SELECT l_suppkey, qty_sp,
+      |                sum(qty_sp) OVER (PARTITION BY l_partkey) AS qty_p
+      |              FROM sp)
+      |        WHERE qty_sp * 2 > qty_p)
+      |SELECT s_suppkey, s_name
+      |FROM supplier
+      |WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+      |                      WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11'))
+      |  AND s_suppkey IN (SELECT l_suppkey FROM dom)
+      |ORDER BY s_name""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q153_shipping_priority", q153, q153Sql),
@@ -1153,6 +1216,7 @@ object RelationalQueries {
     ("q195_hierarchy_rollup", q195, q195Sql),
     ("q201_disjunctive_bands", q201, q201Sql),
     ("q202_dormant_rich", q202, q202Sql),
+    ("q209_dominant_suppliers", q209, q209Sql),
     ("q31_correlated_subquery", q31, q31Sql),
     ("q32_percentiles", q32, q32Sql),
     ("q33_date_arithmetic", q33, q33Sql),

@@ -172,7 +172,11 @@ object PlanAuditSpec {
     // fold, the per-type fold, and the Q/P one-row folds each re-key
     // tiny relations (the audit records the count so a future edit
     // can't widen the corpus-sized set past the first exchange)
-    "q208_kruskal_wallis" -> 9)
+    "q208_kruskal_wallis" -> 9,
+    // q209: one fact-sized exchange (the (part,supplier) fold); the
+    // per-part window, dominant-distinct, semi probe and output sort
+    // all re-key the parts×suppliers fold — model-sized by design
+    "q209_dominant_suppliers" -> 5)
   /** Audited per-query scan counts (see the class doc). Only queries
     * whose audited plan exceeds or notably undercuts the default are
     * listed — a new query landing above DefaultMax must either be

@@ -256,4 +256,39 @@ class TpchJoinSpec extends SparkSpec {
     graft.core.Pins.release()
     assert(a.nonEmpty && a == b)
   }
+
+  test("q209: dominance matches a brute-force replay; red-part and date filters push; the final join is LeftSemi") {
+    val li = Tables.load(spark, sf0001, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01")
+        && col("l_shipdate") < lit("1997-01-01"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_quantity")).cast("long").as("q"))
+      .as[(Long, Long, Long)].collect()
+    val redSet = Tables.load(spark, sf0001, "part")
+      .filter(col("p_name").startsWith("red")).select(col("p_partkey"))
+      .as[Long].collect().toSet
+    val sp = li.filter(r => redSet(r._1)).groupBy(r => (r._1, r._2))
+      .view.mapValues(_.map(_._3).sum).toMap
+    val pTot = sp.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val domSet = sp.collect {
+      case ((pk, sk), q) if q * 2 > pTot(pk) => sk }.toSet
+    val natSet = Tables.load(spark, sf0001, "nation")
+      .filter(col("n_name").isin("NATION_3", "NATION_7", "NATION_11"))
+      .select(col("n_nationkey")).as[Int].collect().toSet
+    val expect = Tables.load(spark, sf0001, "supplier")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+      .as[(Long, String, Int)].collect()
+      .filter(r => natSet(r._3) && domSet(r._1))
+      .map(r => (r._1, r._2)).sortBy(_._2).toSeq
+    val got = RelationalQueries.q209(spark, sf0001)
+      .as[(Long, String)].collect().toSeq
+    assert(got == expect, s"dominance replay: $got vs $expect")
+    val plan = RelationalQueries.q209(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), "the dominant-supplier probe must stay a semi-join")
+    assert("PushedFilters: \\[[^\\]]*StringStartsWith\\(p_name,red\\)".r
+      .findFirstIn(plan).isDefined, "the red-part prefix must push to the part scan")
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(plan).isDefined,
+      "the ship-date window must push to the fact scan")
+  }
 }

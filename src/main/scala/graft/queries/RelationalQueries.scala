@@ -1201,6 +1201,64 @@ object RelationalQueries {
       |  AND s_suppkey IN (SELECT l_suppkey FROM dom)
       |ORDER BY s_name""".stripMargin
 
+  // --------------------------------------------------------------- Q210
+  /** TPC-H Q2 shape — ARGMIN-per-group with tie JOIN-BACK (the
+    * min-cost-supplier query; partsupp absent, so cost = the best
+    * floor unit price a supplier achieved on a part in 1996): for
+    * every red part, ALL suppliers tied at the minimum unit price —
+    * Q2's correlated `= (SELECT min(...))` decorrelated into the
+    * canonical window-min + equality filter, which preserves Q2's
+    * tie semantics (every argmin row survives; a max_by/limit-1
+    * plan would drop ties). Unit price = cents div qty on rounded
+    * BIGINTs (non-negative, so div == // — the only floor, taken
+    * identically in both engines at line level BEFORE any fold).
+    * One fact lineage: line-level prices fold to (part, supplier)
+    * minima (fact-sized exchange #1), the per-part min rides a
+    * parts×suppliers-sized window, and the attribute JOIN-BACK is
+    * two broadcasts (part names, supplier names/balances). Output
+    * ordered by balance desc — Q2's "best-funded first" report. */
+  val q210: Q = (s, d) => {
+    val red = t(s, d, "part").filter(col("p_name").startsWith("red"))
+      .select(col("p_partkey"), col("p_name"))
+    val sup = t(s, d, "supplier")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+    val up = t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01")
+        && col("l_shipdate") < lit("1997-01-01")
+        && round(col("l_quantity")).cast("long") > 0)
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT) div CAST(round(l_quantity) AS BIGINT)")
+          .as("up"))
+      .join(broadcast(red), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("p_name"), col("l_suppkey"))
+      .agg(min(col("up")).as("sup_up"))
+    up.withColumn("best_up",
+        min(col("sup_up")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("sup_up") === col("best_up"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey").as("p_partkey"), col("p_name"),
+        col("s_name"), col("s_acctbal"), col("best_up"))
+      .orderBy(col("s_acctbal").desc, col("p_partkey"), col("s_name"))
+  }
+
+  val q210Sql: String =
+    """WITH up AS (SELECT l_partkey, p_name, l_suppkey,
+      |              min(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |                  // CAST(round(l_quantity) AS BIGINT)) AS sup_up
+      |            FROM lineitem JOIN part ON l_partkey = p_partkey
+      |            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |              AND l_shipdate < TIMESTAMP '1997-01-01'
+      |              AND CAST(round(l_quantity) AS BIGINT) > 0
+      |              AND p_name LIKE 'red%'
+      |            GROUP BY 1, 2, 3),
+      |m AS (SELECT *, min(sup_up) OVER (PARTITION BY l_partkey) AS best_up
+      |      FROM up)
+      |SELECT l_partkey AS p_partkey, p_name, s_name, s_acctbal,
+      |       CAST(best_up AS BIGINT) AS best_up
+      |FROM m JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE sup_up = best_up
+      |ORDER BY s_acctbal DESC, p_partkey, s_name""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q153_shipping_priority", q153, q153Sql),
@@ -1217,6 +1275,7 @@ object RelationalQueries {
     ("q201_disjunctive_bands", q201, q201Sql),
     ("q202_dormant_rich", q202, q202Sql),
     ("q209_dominant_suppliers", q209, q209Sql),
+    ("q210_mincost_supplier", q210, q210Sql),
     ("q31_correlated_subquery", q31, q31Sql),
     ("q32_percentiles", q32, q32Sql),
     ("q33_date_arithmetic", q33, q33Sql),

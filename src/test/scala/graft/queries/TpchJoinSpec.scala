@@ -291,4 +291,63 @@ class TpchJoinSpec extends SparkSpec {
     assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(plan).isDefined,
       "the ship-date window must push to the fact scan")
   }
+
+  test("q210: ties at the minimum all survive the join-back; real data matches a brute argmin replay") {
+    // crafted: two suppliers tied at unit price 100, one above —
+    // BOTH tied rows must appear (the max_by/limit-1 failure mode)
+    // (qty, price): SupA 10 @ 10.00 -> up 100; SupB 10 @ 20.00 -> 200;
+    // SupC 2 @ 30.00 -> 1500
+    val li = Seq(
+      (1L, 10L, 1L, 1, 10.0, 10.00, 0.0, 0.0, "N", "O",
+        java.sql.Timestamp.valueOf("1996-03-01 00:00:00")),
+      (2L, 10L, 2L, 1, 10.0, 20.00, 0.0, 0.0, "N", "O",
+        java.sql.Timestamp.valueOf("1996-03-02 00:00:00")),
+      (3L, 10L, 3L, 1, 2.0, 30.00, 0.0, 0.0, "N", "O",
+        java.sql.Timestamp.valueOf("1996-03-03 00:00:00")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+    val part = Seq((10L, "red widget", "Brand#11", "t", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+    val sup = Seq((1L, "SupA", 0, 5.0), (2L, "SupB", 0, 7.0), (3L, "SupC", 0, 9.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val dir = java.nio.file.Files.createTempDirectory("graft_q2").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    part.write.mode("overwrite").parquet(s"$dir/part.parquet")
+    sup.write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    // unit prices: SupA 1000c/10=100, SupB 2000c/10=200... recompute:
+    // extendedprice 10,20,30 -> 1000,2000,3000 cents; qty 10,10,2 ->
+    // up = 100, 200, 1500
+    val got0 = RelationalQueries.q210(spark, dir)
+      .select("s_name", "best_up").as[(String, Long)].collect()
+    assert(got0.toSet == Set(("SupA", 100L)), s"single argmin: ${got0.mkString(",")}")
+    // force a TIE: SupB's price drops to match SupA's unit price
+    val li2 = li.withColumn("l_extendedprice",
+      when(col("l_suppkey") === 2L, 10.00).otherwise(col("l_extendedprice")))
+    li2.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got1 = RelationalQueries.q210(spark, dir)
+      .select("s_name", "best_up").as[(String, Long)].collect()
+    assert(got1.toSet == Set(("SupA", 100L), ("SupB", 100L)),
+      s"both tied argmins must survive: ${got1.mkString(",")}")
+    // real-data brute replay
+    val lines = Tables.load(spark, sf0001, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01")
+        && col("l_shipdate") < lit("1997-01-01"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("c"),
+        round(col("l_quantity")).cast("long").as("q"))
+      .as[(Long, Long, Long, Long)].collect().filter(_._4 > 0)
+    val redSet = Tables.load(spark, sf0001, "part")
+      .filter(col("p_name").startsWith("red")).select(col("p_partkey"))
+      .as[Long].collect().toSet
+    val supUp = lines.filter(r => redSet(r._1)).groupBy(r => (r._1, r._2))
+      .view.mapValues(_.map(r => r._3 / r._4).min).toMap
+    val best = supUp.groupBy(_._1._1).view.mapValues(_.values.min).toMap
+    val expect = supUp.collect {
+      case ((pk, sk), u) if u == best(pk) => (pk, sk) }.toSet
+    val real = RelationalQueries.q210(spark, sf0001)
+      .selectExpr("p_partkey", "s_name").as[(Long, String)].collect()
+      .map { case (pk, sn) => (pk, sn.drop("Supplier#".length).toLong) }.toSet
+    assert(real == expect, s"argmin replay: missing ${(expect -- real).take(3)}, extra ${(real -- expect).take(3)}")
+  }
 }

@@ -4164,6 +4164,105 @@ object PipelineQueries {
       |                 ELSE 3 END AS INT) AS band
       |FROM g ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- Q211
+  /** MMR DIVERSIFIED top-k (Carbonell & Goldstein '98 — the
+    * redundancy-aware retrieval every RAG stack reranks with; the
+    * pure-relevance top-k of q17/q30 returns near-duplicates, MMR
+    * trades them for coverage): greedily pick 8 of the top-32
+    * relevance candidates, each step maximizing score = λ·rel −
+    * (1−λ)·max-sim-to-already-picked. λ = 1/2 makes the 2-SCALED
+    * score the pure INTEGER rel − maxsim (the dyadic-λ trick, q205's
+    * discipline) over globally quantized dots (round(x·1000), q200's
+    * discipline) — no float score, ties broken by vec_id, so the
+    * greedy trajectory is bit-reproducible. The ORACLE replays the
+    * same greedy as a DuckDB RECURSIVE CTE with a LATERAL argmax —
+    * an independent mechanism for the sequential dependency. Greedy
+    * is INHERENTLY sequential (pick i depends on 1..i−1): the loop
+    * is k = 8 driver-sequenced one-row argmax jobs over the PINNED
+    * 32-row candidate shortlist + its 32² sim table (the documented
+    * trained-artifact pattern — q85/BPE; only picked IDs cross the
+    * driver). 100 TB shape: the corpus-sized work is ONE relevance
+    * scan + top-k (at scale the IVF/LSH shortlist feeds candidates,
+    * as with q76); everything sequential is shortlist-sized. */
+  val q211: Q = (s, d) => {
+    import s.implicits._
+    val dot = "CAST(aggregate(zip_with(%s, %s, (a, b) -> a * b), " +
+      "CAST(0 AS BIGINT), (acc, x) -> acc + x) AS BIGINT)"
+    val vq = t(s, d, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))").as("v"))
+    val probe = vq.filter(col("vec_id") === 0).select(col("v").as("pv"))
+    val cand = graft.core.Pins.pin(
+      vq.crossJoin(broadcast(probe))
+        .select(col("vec_id"), col("v"), expr(dot.format("v", "pv")).as("rel"))
+        .orderBy(col("rel").desc, col("vec_id")).limit(32))
+    val sims = graft.core.Pins.pin(
+      cand.select(col("vec_id").as("aid"), col("v").as("va"))
+        .crossJoin(cand.select(col("vec_id").as("bid"), col("v").as("vb")))
+        .filter(col("aid") =!= col("bid"))
+        .select(col("aid"), col("bid"), expr(dot.format("va", "vb")).as("sim")))
+    var picked = Seq.empty[Long]
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= 8 && !exhausted) {
+      val scored =
+        if (picked.isEmpty)
+          cand.select(col("vec_id"), col("rel"), col("rel").as("score2"))
+        else
+          cand.filter(!col("vec_id").isin(picked: _*))
+            .join(sims.filter(col("bid").isin(picked: _*)),
+              col("vec_id") === col("aid"), "left")
+            .groupBy(col("vec_id"), col("rel"))
+            .agg(coalesce(max(col("sim")), lit(0L)).as("pen"))
+            .select(col("vec_id"), col("rel"),
+              (col("rel") - col("pen")).as("score2"))
+      scored.orderBy(col("score2").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("rel"), col("score2"))
+        .as[(Long, Long, Long)].collect().headOption match {
+        case Some(r) =>
+          picked = picked :+ r._1
+          rows += ((step.toLong, r._1, r._2, r._3))
+        case None => exhausted = true // shortlist smaller than k
+      }
+      step += 1
+    }
+    rows.toSeq.toDF("step", "vec_id", "rel", "score2").orderBy(col("step"))
+  }
+
+  val q211Sql: String =
+    """WITH RECURSIVE
+      |q AS (SELECT list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS v
+      |      FROM embeddings WHERE vec_id = 0),
+      |vq AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS v
+      |       FROM embeddings),
+      |rel AS (SELECT vq.vec_id, vq.v,
+      |          CAST(list_sum(list_transform(range(1, len(vq.v) + 1),
+      |            i -> vq.v[i] * q.v[i])) AS BIGINT) AS rel
+      |        FROM vq, q),
+      |cand AS (SELECT vec_id, v, rel FROM rel
+      |         ORDER BY rel DESC, vec_id LIMIT 32),
+      |sims AS (SELECT a.vec_id AS aid, b.vec_id AS bid,
+      |           CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+      |             i -> a.v[i] * b.v[i])) AS BIGINT) AS sim
+      |         FROM cand a, cand b WHERE a.vec_id <> b.vec_id),
+      |gr AS (
+      |  SELECT 0 AS step, CAST(NULL AS BIGINT) AS vec_id,
+      |         CAST(NULL AS BIGINT) AS rel, CAST(NULL AS BIGINT) AS score2,
+      |         CAST([] AS BIGINT[]) AS picked
+      |  UNION ALL
+      |  SELECT step + 1, pick.vec_id, pick.rel, pick.score2,
+      |         list_append(picked, pick.vec_id)
+      |  FROM gr, LATERAL (
+      |    SELECT c.vec_id, c.rel,
+      |           c.rel - coalesce((SELECT max(s.sim) FROM sims s
+      |               WHERE s.aid = c.vec_id
+      |                 AND list_contains(gr.picked, s.bid)), 0) AS score2
+      |    FROM cand c WHERE NOT list_contains(gr.picked, c.vec_id)
+      |    ORDER BY score2 DESC, c.vec_id LIMIT 1) pick
+      |  WHERE step < 8)
+      |SELECT CAST(step AS BIGINT) AS step, vec_id, rel, score2
+      |FROM gr WHERE step > 0 ORDER BY step""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
@@ -4249,7 +4348,8 @@ object PipelineQueries {
     ("q186_fuzzy_join_d2", q186, q186Sql),
     ("q192_simhash_hamming_join", q192, q192Sql),
     ("q200_dbscan", q200, q200Sql),
-    ("q206_readability", q206, q206Sql))
+    ("q206_readability", q206, q206Sql),
+    ("q211_mmr_topk", q211, q211Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type (KLL-style `percentile_approx`

@@ -337,4 +337,59 @@ class AuditSpec extends SparkSpec {
     assert(real.sliding(2).forall(w => w.length < 2 ||
       (w(0)._1 <= w(1)._1 && w(0)._2 <= w(1)._2)), "curve must be monotone")
   }
+
+  test("q211: MMR demotes an exact duplicate below a diverse pick; greedy matches a reference replay") {
+    // probe v0; v1 = v2 (exact duplicates, highest relevance);
+    // v3 partially diverse; v4 orthogonal. Pure-relevance order is
+    // 0,1,2,3,4 — MMR must pick the DUPLICATE v2 LAST
+    val vecs = Seq(
+      (0L, Array(1.0f, 0f, 0f, 0f), 0),
+      (1L, Array(0.8f, 0.6f, 0f, 0f), 0),
+      (2L, Array(0.8f, 0.6f, 0f, 0f), 0),
+      (3L, Array(0.7f, -0.6f, 0.4f, 0f), 1),
+      (4L, Array(0f, 0f, 0f, 1.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mmr").toString
+    vecs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = PipelineQueries.q211(spark, dir)
+      .select("step", "vec_id", "rel", "score2")
+      .as[(Long, Long, Long, Long)].collect()
+    graft.core.Pins.release()
+    assert(got.map(_._2).toSeq == Seq(0L, 1L, 3L, 4L, 2L),
+      s"MMR order must demote the duplicate: ${got.map(_._2).mkString(",")}")
+    // shortlist (5) < k (8): the sweep must stop at 5 rows, like the
+    // oracle's recursion
+    assert(got.length == 5, s"must stop when candidates exhaust: ${got.length}")
+    // hand-checked scores: step3 v3 wins at 0 while the duplicate
+    // sits at rel - sim(v2,v1) = 800000 - 1000000 = -200000
+    val s3 = got.find(_._1 == 3L).get
+    assert((s3._2, s3._4) == ((3L, 0L)), s"step-3 diverse pick: $s3")
+    // real-data replay: greedy recomputed from collected candidates
+    val emb = Tables.load(spark, sf0001, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS v")
+      .as[(Long, Array[Long])].collect().toMap
+    val pv = emb(0L)
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val cand = emb.toSeq.map { case (id, v) => (id, dot(v, pv)) }
+      .sortBy { case (id, r) => (-r, id) }.take(32)
+    var picked = Seq.empty[Long]
+    val expect = (1 to 8).flatMap { _ =>
+      val remaining = cand.filterNot(c => picked.contains(c._1))
+      if (remaining.isEmpty) None else {
+        val scored = remaining.map { case (id, r) =>
+          val pen = if (picked.isEmpty) 0L
+            else picked.map(p => dot(emb(id), emb(p))).max
+          (id, r, r - pen)
+        }
+        val best = scored.minBy { case (id, _, s2) => (-s2, id) }
+        picked = picked :+ best._1
+        Some(best)
+      }
+    }
+    val real = PipelineQueries.q211(spark, sf0001)
+      .select("vec_id", "rel", "score2").as[(Long, Long, Long)].collect().toSeq
+    graft.core.Pins.release()
+    assert(real == expect, s"greedy replay: $real vs $expect")
+  }
 }

@@ -372,6 +372,81 @@ object EventStream {
         (col("cusum_lo") > alarmCents).cast("int").as("alarm_lo"))
   }
 
+  /** Store-backed EWMA control chart batch — q205's streaming twin
+    * (the [[cusumBatch]] discipline applied to the λ = 1/4 chart):
+    * newly closed (type, day) revenue rows append to a
+    * replay-idempotent store (max-dedup on read) and the ENTIRE
+    * 16-lag dyadic kernel — integer weights 3^(j−1)·4^(16−j), the
+    * N/W rational prediction, the |x·W − N|·nchg > 3·W·Σ|Δx| alarm —
+    * replays over the days-sized store exactly as batch q205 writes
+    * it, so the twin's rows for the processed prefix EQUAL q205 run
+    * over that prefix (spec-pinned) and a crash-replayed batch is a
+    * store NO-OP. The dispersion scale is the PREFIX's mean |Δ| (an
+    * at-arrival monitor knows only its prefix — the q113-vs-q118
+    * at-arrival rule; batch q205 over the same prefix agrees by
+    * construction). Returns only the batch's NEW (type, day) rows. */
+  def ewmaBatch(closed: DataFrame, daysDir: String): DataFrame = {
+    val spark = closed.sparkSession
+    val materialized = closed.select(col("event_type"), col("day_us"), col("cents"))
+      .localCheckpoint()
+    materialized.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(daysDir)
+    val newDays = materialized.select(col("event_type"), col("day_us")).distinct()
+    val store = spark.read.parquet(daysDir)
+      .groupBy(col("event_type"), col("day_us")).agg(max(col("cents")).as("x"))
+    val wLag = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day_us"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+    def wj(j: Int): Long =
+      (1 until j).foldLeft(1L)((a, _) => a * 3) *
+        (j until 16).foldLeft(1L)((a, _) => a * 4)
+    val lagged = (1 to 16).foldLeft(store) { (df, j) =>
+      df.withColumn(s"l$j", lag(col("x"), j).over(wLag))
+    }
+    val num = (1 to 16).map(j =>
+      when(col(s"l$j").isNotNull, lit(wj(j)) * col(s"l$j"))
+        .otherwise(lit(0L))).reduce(_ + _)
+    val den = (1 to 16).map(j =>
+      when(col(s"l$j").isNotNull, lit(wj(j))).otherwise(lit(0L))).reduce(_ + _)
+    lagged
+      .withColumn("num", num).withColumn("den", den)
+      .withColumn("diff", abs(col("x") - col("l1")))
+      .withColumn("sumabs", sum(col("diff")).over(wAll))
+      .withColumn("nchg", count(col("diff")).over(wAll).cast("long"))
+      .filter(col("den") > 0)
+      .withColumn("ewma_c", expr("num div den"))
+      .withColumn("alarm",
+        (abs(col("x") * col("den") - col("num")).cast("decimal(38,0)")
+          * col("nchg") >
+          col("den").cast("decimal(38,0)") * col("sumabs") * 3).cast("int"))
+      .join(newDays, Seq("event_type", "day_us"), "left_semi")
+      .select(col("event_type"), col("day_us"), col("x").as("x_cents"),
+        col("ewma_c"), col("alarm"))
+  }
+
+  /** The continuous form of [[ewmaBatch]]: watermarked per-type daily
+    * revenue in APPEND mode, `onAlarm(event_type, day_us, x_cents)`
+    * per flagged day — the small-shift pager beside
+    * [[startCusumMonitor]]'s drift pager (EWMA reacts within ~1/λ
+    * days to shifts CUSUM needs a longer run to accumulate). */
+  def startEwmaMonitor(events: DataFrame, daysDir: String,
+                       checkpointDir: String,
+                       watermarkDelay: String = "2 hours",
+                       onAlarm: (String, Long, Long) => Unit = (_, _, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(col("event_type"), window(col("ts"), "1 day").as("w"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .select(col("event_type"), unix_micros(col("w.start")).as("day_us"),
+        col("cents"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ewmaBatch(batch, daysDir).filter(col("alarm") === 1).collect()
+          .foreach(r => onAlarm(r.getString(0), r.getLong(1), r.getLong(2)))
+      }
+      .start()
+
   /** The continuous form of [[cusumBatch]]: watermarked tumbling DAILY
     * revenue in APPEND mode, `onAlarm(day_us, cusum_cents)` per flagged
     * side — the slow-drift pager beside [[startBurstMonitor]]'s spike

@@ -949,6 +949,28 @@ object ScaleProbe {
       time("q207_roc sf1.0      (500k docs)  ")(AuditQueries.q207(spark, out).count())
     }
 
+    // --- q208-q211 at 10×: q208's corpus-sized work is the one daily
+    // fold (the ranking rides the value grid, q141's rationale);
+    // q209/q210 follow the q153 discipline — 10× facts, fixed dims,
+    // the (part,supplier) folds and windows are model-sized; q211's
+    // sequential stage is shortlist-bounded (32 cands, 8 picks) — only
+    // the relevance scan + top-k see the 10× vectors.
+    if (want("q208", "q209", "q210", "q211")) {
+      import graft.queries.{AuditQueries, MiningQueries, PipelineQueries, RelationalQueries, StatQueries}
+      time("q208_kw sf0.1          (1M ev)   ")(StatQueries.q208(spark, src).count())
+      graft.core.Pins.release()
+      time("q208_kw sf1.0         (10M ev)   ")(StatQueries.q208(spark, out).count())
+      graft.core.Pins.release()
+      time("q209_dominant sf0.1  (600k li)   ")(RelationalQueries.q209(spark, src).count())
+      time("q209_dominant sf1.0    (6M li)   ")(RelationalQueries.q209(spark, out).count())
+      time("q210_mincost sf0.1   (600k li)   ")(RelationalQueries.q210(spark, src).count())
+      time("q210_mincost sf1.0     (6M li)   ")(RelationalQueries.q210(spark, out).count())
+      time("q211_mmr sf0.1       (20k vecs)  ")(PipelineQueries.q211(spark, src).count())
+      graft.core.Pins.release()
+      time("q211_mmr sf1.0      (200k vecs)  ")(PipelineQueries.q211(spark, out).count())
+      graft.core.Pins.release()
+    }
+
     // --- q177 BFS at 10×: the replicated corpus multiplies near-dup
     // clusters, so the pair artifact and every frontier grow ~10× —
     // per-hop cost must track the FRONTIER (edges are the memoized

@@ -2006,6 +2006,76 @@ object MiningQueries {
       |ORDER BY event_type, day""".stripMargin
   }
 
+  // --------------------------------------------------------------- Q212
+  /** THEIL–SEN robust slope per event type — the median of all
+    * pairwise daily-revenue slopes (the estimator that shrugs off
+    * 29% outliers where q160's OLS line chases them; with q170's MAD
+    * and q151's trimmed mean it completes the robust shelf). The
+    * exactness problem is ORDERING RATIONALS (c_j−c_i)/(d_j−d_i)
+    * without a float: every denominator is a day gap 1..29 (the
+    * 30-day corpus window), so scaling each slope by D = lcm(1..29)
+    * = 2329089562800 gives the EXACT total-order key num·(D div den)
+    * — an integer, compared in DECIMAL(38,0)/HUGEINT (|num|·D ~
+    * 10²⁰). The median is the DISCRETE k = (n+1) div 2 order
+    * statistic (q170's k-th-smallest discipline — no interpolation),
+    * picked by row_number over (key, num, den, d_i, d_j) — a TOTAL
+    * order, so equal-slope ties resolve to the same pair in both
+    * engines. Pair set = days², grid²-bounded (≤ 435 pairs/type at
+    * any corpus scale — the q197 rationale); the corpus crosses the
+    * wire once in the daily fold. Longer horizons: D grows past
+    * BIGINT near a 60-day span — the documented lift is per-gap
+    * bucketing or a DECIMAL D. */
+  val q212: Q = (s, d) => {
+    val D = 2329089562800L // lcm(1..29): every day-gap divides it
+    val daily = graft.core.Pins.pin(
+      t(s, d, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("di"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("c")))
+    val a = daily.select(col("event_type"), col("di").as("d1"), col("c").as("c1"))
+    val b = daily.select(col("event_type"), col("di").as("d2"), col("c").as("c2"))
+    val pairs = a.join(b, Seq("event_type")).filter(col("d1") < col("d2"))
+      .select(col("event_type"),
+        (col("c2") - col("c1")).as("num"), (col("d2") - col("d1")).as("den"),
+        col("d1"), col("d2"))
+      .withColumn("key",
+        (col("num").cast("decimal(38,0)") * expr(s"$D div den")))
+    val wOrd = Window.partitionBy(col("event_type"))
+      .orderBy(col("key"), col("num"), col("den"), col("d1"), col("d2"))
+    pairs
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("n_pairs", count(lit(1))
+        .over(Window.partitionBy(col("event_type"))))
+      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+      .select(col("event_type"), col("n_pairs"),
+        col("num").as("med_num"), col("den").as("med_den"),
+        col("key").cast("decimal(38,0)").as("med_key"))
+      .orderBy(col("event_type"))
+  }
+
+  val q212Sql: String =
+    """WITH daily AS (SELECT event_type,
+      |         epoch_us(ts) // 86400000000 AS di,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+      |       FROM events GROUP BY 1, 2),
+      |pairs AS (SELECT a.event_type,
+      |            b.c - a.c AS num, b.di - a.di AS den,
+      |            a.di AS d1, b.di AS d2,
+      |            CAST(b.c - a.c AS HUGEINT)
+      |              * (2329089562800 // (b.di - a.di)) AS key
+      |          FROM daily a JOIN daily b
+      |            ON a.event_type = b.event_type AND a.di < b.di),
+      |r AS (SELECT *,
+      |        row_number() OVER (PARTITION BY event_type
+      |          ORDER BY key, num, den, d1, d2) AS rn,
+      |        count(*) OVER (PARTITION BY event_type) AS n_pairs
+      |      FROM pairs)
+      |SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+      |       num AS med_num, den AS med_den,
+      |       CAST(key AS HUGEINT) AS med_key
+      |FROM r WHERE rn = (n_pairs + 1) // 2
+      |ORDER BY event_type""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q159_prefix_filter_join", q159, q159Sql),
@@ -2038,6 +2108,7 @@ object MiningQueries {
     ("q198_key_skew", q198, q198Sql),
     ("q199_quantile_norm", q199, q199Sql),
     ("q203_record_linkage", q203, q203Sql),
+    ("q212_theil_sen", q212, q212Sql),
     ("q204_interval_overlap_join", q204, q204Sql),
     ("q205_ewma_chart", q205, q205Sql))
 }

@@ -1027,4 +1027,46 @@ class MiningSpec extends SparkSpec {
     assert(real == expect, s"kernel replay mismatch: ${
       (real.keySet ++ expect.keySet).filter(k => real.get(k) != expect.get(k)).take(3)}")
   }
+
+  test("q212: a planted line survives a huge outlier day (where the mean slope would not); real data matches a BigInt median replay") {
+    // y = 500 + 5c/day for 11 days, except day 6 explodes 1000x:
+    // 10 of 55 pair slopes are contaminated, the median stays 5
+    val ev = (0 until 11).flatMap { dd =>
+      val cents = if (dd == 6) 500000L else 500L + 5 * dd
+      Seq((dd.toLong, java.sql.Timestamp.valueOf(f"2024-04-${dd + 1}%02d 09:00:00"),
+        1L, "click", cents / 100.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ts").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val Array((_, np, num, den, _)) = MiningQueries.q212(spark, dir)
+      .select("event_type", "n_pairs", "med_num", "med_den", "med_key")
+      .as[(String, Long, Long, Long, BigDecimal)].collect()
+    graft.core.Pins.release()
+    assert(np == 55L && num == 5 * den,
+      s"median slope must stay exactly 5 c/day under the outlier: n=$np, $num/$den")
+    // real-data replay: k-th smallest by exact BigInt key over all pairs
+    val daily = Tables.load(spark, sf0001, "events")
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("di"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("c"))
+      .as[(String, Long, Long)].collect()
+    val bigD = BigInt(2329089562800L)
+    val expect = daily.groupBy(_._1).map { case (t0, g) =>
+      val pts = g.map(r => (r._2, r._3)).sortBy(_._1)
+      val ps = for { i <- pts.indices; j <- (i + 1) until pts.length } yield {
+        val (num0, den0) = (pts(j)._2 - pts(i)._2, pts(j)._1 - pts(i)._1)
+        (BigInt(num0) * (bigD / den0), num0, den0, pts(i)._1, pts(j)._1)
+      }
+      val k = (ps.length + 1) / 2
+      t0 -> ps.sorted.apply(k - 1)
+    }
+    val real = MiningQueries.q212(spark, sf0001)
+      .select("event_type", "med_num", "med_den", "med_key")
+      .as[(String, Long, Long, BigDecimal)].collect()
+      .map(r => r._1 -> ((r._4.toBigInt, r._2, r._3))).toMap
+    graft.core.Pins.release()
+    expect.foreach { case (t0, (key, num0, den0, _, _)) =>
+      assert(real(t0) == ((key, num0, den0)),
+        s"$t0: ${real(t0)} vs replay ($key,$num0,$den0)")
+    }
+  }
 }

@@ -1259,6 +1259,63 @@ object RelationalQueries {
       |WHERE sup_up = best_up
       |ORDER BY s_acctbal DESC, p_partkey, s_name""".stripMargin
 
+  // --------------------------------------------------------------- Q213
+  /** PARETO / ABC concentration analysis over customer revenue — the
+    * "80/20" report behind every account-tiering and inventory-class
+    * decision (q152's Gini gives concentration as ONE number; ABC
+    * gives the actionable partition): rank customers by revenue desc,
+    * class A = everyone needed to reach 80% of total revenue, B = on
+    * to 95%, C = the tail. The class test is the exact integer
+    * cross-multiplication on the PRECEDING cumulative (cum_prev·5 <
+    * tot·4 ⇒ the 80% mark isn't reached before this customer, so the
+    * boundary-crossing customer belongs to A — the convention spelled
+    * out, since engines must agree on the boundary row), with
+    * (rev desc, custkey) as the total rank order so revenue ties
+    * can't flip classes between engines. Output: per class, customer
+    * count, revenue, and positive-ppm revenue share floors. The rank
+    * window's input is the per-customer FOLD — customers-sized, the
+    * q152 documented single-partition window policy (the corpus-sized
+    * orders relation crosses once in the fold). */
+  val q213: Q = (s, d) => {
+    val perCust = t(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
+    val wRank = Window.orderBy(col("rev").desc, col("o_custkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perCust
+      .withColumn("cum_prev", coalesce(sum(col("rev")).over(wRank), lit(0L)))
+      .withColumn("tot", sum(col("rev")).over())
+      .withColumn("cls",
+        when(col("cum_prev") * 5 < col("tot") * 4, "A")
+          .when(col("cum_prev") * 20 < col("tot") * 19, "B")
+          .otherwise("C"))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("rev")).as("rev_cents"),
+        max(col("tot")).as("tot"))
+      .select(col("cls"), col("n_customers"), col("rev_cents"),
+        expr("rev_cents * 1000000 div tot").as("share_ppm"))
+      .orderBy(col("cls"))
+  }
+
+  val q213Sql: String =
+    """WITH pc AS (SELECT o_custkey,
+      |              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+      |            FROM orders GROUP BY 1),
+      |r AS (SELECT o_custkey, rev,
+      |        coalesce(sum(rev) OVER (ORDER BY rev DESC, o_custkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev,
+      |        sum(rev) OVER () AS tot
+      |      FROM pc),
+      |c AS (SELECT CASE WHEN cum_prev * 5 < tot * 4 THEN 'A'
+      |                  WHEN cum_prev * 20 < tot * 19 THEN 'B'
+      |                  ELSE 'C' END AS cls,
+      |             rev, tot
+      |      FROM r)
+      |SELECT cls, CAST(count(*) AS BIGINT) AS n_customers,
+      |       CAST(sum(rev) AS BIGINT) AS rev_cents,
+      |       CAST(sum(rev) AS BIGINT) * 1000000 // CAST(max(tot) AS BIGINT) AS share_ppm
+      |FROM c GROUP BY 1 ORDER BY cls""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q153_shipping_priority", q153, q153Sql),
@@ -1276,6 +1333,7 @@ object RelationalQueries {
     ("q202_dormant_rich", q202, q202Sql),
     ("q209_dominant_suppliers", q209, q209Sql),
     ("q210_mincost_supplier", q210, q210Sql),
+    ("q213_pareto_abc", q213, q213Sql),
     ("q31_correlated_subquery", q31, q31Sql),
     ("q32_percentiles", q32, q32Sql),
     ("q33_date_arithmetic", q33, q33Sql),

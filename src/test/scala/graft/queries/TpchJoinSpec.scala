@@ -350,4 +350,35 @@ class TpchJoinSpec extends SparkSpec {
       .map { case (pk, sn) => (pk, sn.drop("Supplier#".length).toLong) }.toSet
     assert(real == expect, s"argmin replay: missing ${(expect -- real).take(3)}, extra ${(real -- expect).take(3)}")
   }
+
+  test("q213: classes partition all customers and revenue; the boundary-crossing customer lands in A; replay agrees") {
+    val per = Tables.load(spark, sf0001, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
+      .as[(Long, Long)].collect().sortBy(r => (-r._2, r._1))
+    val tot = per.map(_._2).sum
+    var cum = 0L
+    val classes = per.map { case (_, rev) =>
+      val cls = if (cum * 5 < tot * 4) "A"
+        else if (cum * 20 < tot * 19) "B" else "C"
+      cum += rev
+      (cls, rev)
+    }
+    val expect = classes.groupBy(_._1).map { case (c0, g) =>
+      c0 -> ((g.length.toLong, g.map(_._2).sum)) }
+    val got = RelationalQueries.q213(spark, sf0001)
+      .select("cls", "n_customers", "rev_cents", "share_ppm")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.map(r => r._1 -> ((r._2, r._3))).toMap == expect,
+      s"class replay: ${got.mkString(",")} vs $expect")
+    // partition: counts and revenue must cover everything exactly
+    assert(got.map(_._2).sum == per.length.toLong && got.map(_._3).sum == tot)
+    // A's revenue crosses 80%: A-share >= 800000 ppm floor, and
+    // removing A's LAST (smallest-revenue) member drops below 80%
+    val aRev = expect("A")._2
+    assert(aRev * 5 >= tot * 4, "class A must reach the 80% mark")
+    val aSmallest = classes.filter(_._1 == "A").map(_._2).min
+    assert((aRev - aSmallest) * 5 < tot * 4,
+      "class A must contain ONLY customers needed to reach 80%")
+  }
 }

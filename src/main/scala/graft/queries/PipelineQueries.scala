@@ -4263,6 +4263,109 @@ object PipelineQueries {
       |SELECT CAST(step AS BIGINT) AS step, vec_id, rel, score2
       |FROM gr WHERE step > 0 ORDER BY step""".stripMargin
 
+  // --------------------------------------------------------------- Q214
+  /** PERCEPTUAL-HASH image dedup — aHash + hamming blocking (what
+    * production image pipelines ship as pHash/PDQ's cheap tier; q83
+    * is the float cosine-LSH path, this is the INTEGER path): each
+    * image (the q83 deterministic 8×8 BMP synthesis, REAL codec
+    * decode via [[graft.multimodal.RawCodec.bmpPixels]]) hashes to
+    * 64 bits — bit i is the mean-threshold test stated as the
+    * integer cross-multiplication 64·g_i > Σg, which makes the hash
+    * INVARIANT under affine brightness changes (g → a·g + k flips no
+    * bit while unclipped — the spec plants a +30-brightness copy and
+    * gets hamming 0, where cosine similarity moves). The signature
+    * lives as TWO 32-bit halves (sig_hi, sig_lo — a single 64-bit
+    * BIGINT would wrap sign on bit 63 differently across engines);
+    * hamming = bit_count(xor hi) + bit_count(xor lo), candidates by
+    * q192's pigeonhole — 4 disjoint 16-bit blocks, radius ≤ 3 can't
+    * touch all 4 — as a slim (block, value) equi-join. ORACLE:
+    * DuckDB replays quantize → threshold → halves → QUADRATIC
+    * hamming self-join (blocking completeness proved by equality).
+    * Scale: decode + hash are scan-local; only 8-byte signatures
+    * shuffle; block-count-vs-radius is the q192 dial. */
+  val q214: Q = (s, d) => {
+    import s.implicits._
+    // corpus = every synthesized image PLUS, for every 10th image, a
+    // +30-brightness re-encode (id + 10⁶) — the crawl-dup scenario
+    // aHash exists for: unclipped copies land at hamming 0 (affine
+    // invariance), clipped ones drift a few bits, heavily clipped
+    // ones legitimately escape the radius — the found-pair set is
+    // non-trivial and the quadratic oracle replays it exactly
+    val sigs = graft.core.Pins.pin(
+      t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])]
+        .flatMap { case (id, e) =>
+          val g0 = e.padTo(64, 0f).take(64).map { x =>
+            val q = math.floor((x.toDouble + 1.0) * 127.5).toLong
+            math.max(0L, math.min(255L, q)).toInt
+          }.toArray
+          def sig(gray: Array[Int]): (Long, Long) = {
+            val px = gray.map(v => (v << 16) | (v << 8) | v)
+            val bytes = graft.multimodal.RawCodec.writeBmp(8, 8, px)
+            val (_, _, dec) = graft.multimodal.RawCodec.bmpPixels(bytes)
+            val g = dec.map(_ & 0xFF)
+            val sum = g.map(_.toLong).sum
+            def half(lo: Int): Long = (0 until 32).map { j =>
+              if (64L * g(lo + j) > sum) 1L << j else 0L
+            }.sum
+            (half(32), half(0))
+          }
+          val base = sig(g0)
+          val rows = Seq((id, base._1, base._2))
+          if (id % 10 == 0) {
+            val bright = sig(g0.map(v => math.min(255, v + 30)))
+            rows :+ ((id + 1000000L, bright._1, bright._2))
+          } else rows
+        }.toDF("vec_id", "sig_hi", "sig_lo"))
+    val blocks = sigs.select(col("vec_id"), col("sig_hi"), col("sig_lo"),
+      explode(expr(
+        """array(named_struct('bi', 0, 'bv', sig_lo % 65536),
+          |      named_struct('bi', 1, 'bv', sig_lo div 65536),
+          |      named_struct('bi', 2, 'bv', sig_hi % 65536),
+          |      named_struct('bi', 3, 'bv', sig_hi div 65536))""".stripMargin)).as("b"))
+      .select(col("vec_id"), col("sig_hi"), col("sig_lo"),
+        col("b.bi").as("bi"), col("b.bv").as("bv"))
+    val a = blocks.select(col("bi"), col("bv"), col("vec_id").as("a_id"),
+      col("sig_hi").as("ah"), col("sig_lo").as("al"))
+    val b = blocks.select(col("bi"), col("bv"), col("vec_id").as("b_id"),
+      col("sig_hi").as("bh"), col("sig_lo").as("bl"))
+    a.join(b, Seq("bi", "bv")).filter(col("a_id") < col("b_id"))
+      .withColumn("hamming",
+        expr("bit_count(ah ^ bh) + bit_count(al ^ bl)").cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("a_id"), col("b_id"), col("hamming")).distinct()
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val q214Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |px AS (SELECT vec_id, v, unnest(generate_series(1, 64)) AS i FROM e),
+      |q0 AS (SELECT vec_id, i,
+      |         GREATEST(0, LEAST(255, CAST(floor((v[i] + 1.0) * 127.5) AS BIGINT))) AS pv
+      |       FROM px),
+      |q AS (SELECT vec_id, i, pv FROM q0
+      |      UNION ALL
+      |      SELECT vec_id + 1000000, i, LEAST(255, pv + 30)
+      |      FROM q0 WHERE vec_id % 10 = 0),
+      |s AS (SELECT vec_id, sum(pv) AS tot,
+      |        list(pv ORDER BY i) AS g
+      |      FROM q GROUP BY vec_id),
+      |h AS (SELECT vec_id,
+      |        CAST(list_sum(list_transform(generate_series(1, 32),
+      |          j -> CASE WHEN 64 * g[j + 32] > tot
+      |               THEN CAST(2 AS BIGINT) ** (j - 1) ELSE 0 END)) AS BIGINT) AS sig_hi,
+      |        CAST(list_sum(list_transform(generate_series(1, 32),
+      |          j -> CASE WHEN 64 * g[j] > tot
+      |               THEN CAST(2 AS BIGINT) ** (j - 1) ELSE 0 END)) AS BIGINT) AS sig_lo
+      |      FROM s)
+      |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |       CAST(bit_count(xor(a.sig_hi, b.sig_hi))
+      |            + bit_count(xor(a.sig_lo, b.sig_lo)) AS BIGINT) AS hamming
+      |FROM h a JOIN h b ON a.vec_id < b.vec_id
+      |WHERE bit_count(xor(a.sig_hi, b.sig_hi))
+      |        + bit_count(xor(a.sig_lo, b.sig_lo)) <= 3
+      |ORDER BY a_id, b_id""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
@@ -4349,7 +4452,8 @@ object PipelineQueries {
     ("q192_simhash_hamming_join", q192, q192Sql),
     ("q200_dbscan", q200, q200Sql),
     ("q206_readability", q206, q206Sql),
-    ("q211_mmr_topk", q211, q211Sql))
+    ("q211_mmr_topk", q211, q211Sql),
+    ("q214_ahash_dedup", q214, q214Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type (KLL-style `percentile_approx`

@@ -2,6 +2,8 @@ package graft.queries
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 import graft.core.Tables
 
@@ -370,5 +372,56 @@ class CorpusSignalsSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
     assert(real == ref, s"reference counter mismatch: ${
       (real.keySet ++ ref.keySet).filter(k => real.get(k) != ref.get(k)).take(3)}")
+  }
+
+  test("q214: unclipped brightness copies land at hamming 0; blocking finds exactly the quadratic truth") {
+    // vec 0: mid-gray gradient far from 255 — its +30 variant clips
+    // nothing, so affine invariance demands hamming EXACTLY 0;
+    // vec 10: pixels near the ceiling — clipping flips bits
+    def emb(f: Int => Double) = (0 until 64).map(i => f(i).toFloat).toArray
+    val vecs = Seq(
+      (0L, emb(i => (i % 16) / 64.0 - 0.5), 0),   // grays ~64..110
+      (10L, emb(i => 0.85 + (i % 8) / 64.0), 1),  // grays ~236..251
+      (3L, emb(i => ((i * 37) % 64) / 32.0 - 1.0), 2)) // scattered
+      .toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ah").toString
+    vecs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = PipelineQueries.q214(spark, dir)
+      .select("a_id", "b_id", "hamming").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    graft.core.Pins.release()
+    assert(got.get((0L, 1000000L)).contains(0L),
+      s"unclipped +30 copy must hash identically: $got")
+    // real data: quadratic replay over base + variant signatures
+    val sigs = Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().flatMap { case (id, e) =>
+        val g0 = e.padTo(64, 0f).take(64).map { x =>
+          val q = math.floor((x.toDouble + 1.0) * 127.5).toLong
+          math.max(0L, math.min(255L, q)).toInt
+        }.toArray
+        def sig(g: Array[Int]): (Long, Long) = {
+          val sum = g.map(_.toLong).sum
+          def half(lo: Int): Long = (0 until 32).map { j =>
+            if (64L * g(lo + j) > sum) 1L << j else 0L }.sum
+          (half(32), half(0))
+        }
+        val b0 = sig(g0)
+        Seq((id, b0)) ++ (if (id % 10 == 0)
+          Seq((id + 1000000L, sig(g0.map(v => math.min(255, v + 30))))) else Nil)
+      }
+    val brute = (for {
+      i <- sigs.indices; j <- sigs.indices
+      if sigs(i)._1 < sigs(j)._1
+      h = java.lang.Long.bitCount(sigs(i)._2._1 ^ sigs(j)._2._1) +
+        java.lang.Long.bitCount(sigs(i)._2._2 ^ sigs(j)._2._2)
+      if h <= 3
+    } yield (sigs(i)._1, sigs(j)._1, h.toLong)).toSet
+    val real = PipelineQueries.q214(spark, sf0001)
+      .select("a_id", "b_id", "hamming").as[(Long, Long, Long)].collect().toSet
+    graft.core.Pins.release()
+    assert(real == brute,
+      s"blocking missed ${(brute -- real).size} / invented ${(real -- brute).size}")
+    assert(brute.nonEmpty, "the planted variants must produce pairs")
   }
 }

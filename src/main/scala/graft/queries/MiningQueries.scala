@@ -2076,6 +2076,70 @@ object MiningQueries {
       |FROM r WHERE rn = (n_pairs + 1) // 2
       |ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- Q215
+  /** LAST-TOUCH ATTRIBUTION with a lookback window — the marketing
+    * core query (every purchase credits the MOST RECENT click within
+    * 1 hour; q87's funnel counts step conversion, this assigns each
+    * conversion to its touchpoint and measures the lag): per user,
+    * purchases / attributed purchases / total click→purchase lag.
+    * The scalable form is ONE user-keyed window — carry the last
+    * click timestamp forward over the event sequence (LOCF,
+    * last(..., ignoreNulls) over the ordered frame) and test the
+    * 1-hour bound at each purchase row; no self-join ever exists.
+    * The ORACLE is the OTHER formulation — a correlated subquery
+    * max(click.ts ≤ purchase.ts) per purchase — so agreement proves
+    * the window carry enumerates exactly the correlated maxima.
+    * Tie-safe: a click and purchase at the SAME microsecond — the
+    * sequence orders by (ts, event_id) and the purchase looks back
+    * over PRECEDING rows only, so a same-instant click qualifies
+    * iff its event_id orders first; the oracle states the identical
+    * rule (c.ts < p.ts OR (c.ts = p.ts AND c.id < p.id)). All epoch
+    * micros, exact longs. Partitions by user (q131's layout). */
+  val q215: Q = (s, d) => {
+    val wSeq = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("last_click_us",
+        last(when(col("event_type") === "click", col("ts_us")), ignoreNulls = true)
+          .over(wSeq))
+      .filter(col("event_type") === "purchase")
+      .withColumn("lag_us", col("ts_us") - col("last_click_us"))
+      .withColumn("attributed",
+        (col("last_click_us").isNotNull && col("lag_us") <= 3600000000L)
+          .cast("long"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("attributed")).as("n_attributed"),
+        coalesce(sum(when(col("attributed") === 1, col("lag_us"))), lit(0L))
+          .as("lag_us_total"))
+      .orderBy(col("user_id"))
+  }
+
+  val q215Sql: String =
+    """WITH ev AS (SELECT user_id, event_id, event_type,
+      |              epoch_us(ts) AS ts_us FROM events),
+      |p AS (SELECT user_id, event_id, ts_us,
+      |        (SELECT max(c.ts_us) FROM ev c
+      |         WHERE c.user_id = p0.user_id AND c.event_type = 'click'
+      |           AND (c.ts_us < p0.ts_us
+      |                OR (c.ts_us = p0.ts_us AND c.event_id < p0.event_id)))
+      |          AS last_click_us
+      |      FROM ev p0 WHERE event_type = 'purchase'),
+      |a AS (SELECT user_id,
+      |        CASE WHEN last_click_us IS NOT NULL
+      |                  AND ts_us - last_click_us <= 3600000000
+      |             THEN 1 ELSE 0 END AS attributed,
+      |        ts_us - last_click_us AS lag_us
+      |      FROM p)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+      |       CAST(sum(attributed) AS BIGINT) AS n_attributed,
+      |       CAST(coalesce(sum(CASE WHEN attributed = 1 THEN lag_us END), 0)
+      |            AS BIGINT) AS lag_us_total
+      |FROM a GROUP BY 1 ORDER BY user_id""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q159_prefix_filter_join", q159, q159Sql),
@@ -2109,6 +2173,7 @@ object MiningQueries {
     ("q199_quantile_norm", q199, q199Sql),
     ("q203_record_linkage", q203, q203Sql),
     ("q212_theil_sen", q212, q212Sql),
+    ("q215_attribution", q215, q215Sql),
     ("q204_interval_overlap_join", q204, q204Sql),
     ("q205_ewma_chart", q205, q205Sql))
 }

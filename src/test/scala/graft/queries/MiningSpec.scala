@@ -1069,4 +1069,58 @@ class MiningSpec extends SparkSpec {
         s"$t0: ${real(t0)} vs replay ($key,$num0,$den0)")
     }
   }
+
+  test("q215: window/lookback/same-instant boundaries are exact; real data matches a correlated-max replay") {
+    def ts(mins: Long) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-06-01T00:00:00Z").plusSeconds(mins * 60))
+    // user 1: click at 0, purchase at 30min (lag 30m), purchase at
+    // 2h (same click too old -> unattributed)
+    // user 2: purchase with NO preceding click; then a click AFTER it
+    // user 3: click and purchase at the SAME microsecond — ids order
+    // the click first, so it qualifies at lag 0
+    // user 4: purchase exactly at the 1h bound (inclusive)
+    val ev = Seq(
+      (1L, ts(0), 1L, "click", 1.0, "{}"),
+      (2L, ts(30), 1L, "purchase", 1.0, "{}"),
+      (3L, ts(120), 1L, "purchase", 1.0, "{}"),
+      (4L, ts(10), 2L, "purchase", 1.0, "{}"),
+      (5L, ts(20), 2L, "click", 1.0, "{}"),
+      (6L, ts(40), 3L, "click", 1.0, "{}"),
+      (7L, ts(40), 3L, "purchase", 1.0, "{}"),
+      (8L, ts(0), 4L, "click", 1.0, "{}"),
+      (9L, ts(60), 4L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_attr").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = MiningQueries.q215(spark, dir)
+      .select("user_id", "n_purchases", "n_attributed", "lag_us_total")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, 1L, 30L * 60 * 1000000)), s"u1: ${got(1L)}")
+    assert(got(2L) == ((2L, 1L, 0L, 0L)), "a later click must not attribute")
+    assert(got(3L) == ((3L, 1L, 1L, 0L)), "same-instant click (lower id) attributes at lag 0")
+    assert(got(4L) == ((4L, 1L, 1L, 3600L * 1000000)), "the 1h bound is inclusive")
+    // real-data replay via the correlated-max formulation
+    val evs = Tables.load(spark, sf0001, "events")
+      .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts) AS t")
+      .as[(Long, Long, String, Long)].collect()
+    val byUser = evs.groupBy(_._1)
+    val expect = byUser.flatMap { case (u, g) =>
+      val clicks = g.filter(_._3 == "click").map(r => (r._4, r._2)).sorted
+      val ps = g.filter(_._3 == "purchase")
+      if (ps.isEmpty) None else {
+        val stats = ps.map { p =>
+          val qual = clicks.filter(c => c._1 < p._4 || (c._1 == p._4 && c._2 < p._2))
+          if (qual.nonEmpty && p._4 - qual.map(_._1).max <= 3600000000L)
+            (1L, p._4 - qual.map(_._1).max) else (0L, 0L)
+        }
+        Some(u -> ((ps.length.toLong, stats.map(_._1).sum, stats.map(s0 => s0._1 * s0._2).sum)))
+      }
+    }
+    val real = MiningQueries.q215(spark, sf0001)
+      .select("user_id", "n_purchases", "n_attributed", "lag_us_total")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(real == expect, s"attribution replay: ${
+      (real.keySet ++ expect.keySet).filter(k => real.get(k) != expect.get(k)).take(3)}")
+  }
 }

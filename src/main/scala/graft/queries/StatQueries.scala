@@ -1447,6 +1447,84 @@ object StatQueries {
       |            AS HUGEINT) AS h_den
       |FROM p0, ties""".stripMargin
 
+  // --------------------------------------------------------------- Q216
+  /** SPEARMAN rank correlation per event type, between daily revenue
+    * and daily event count — the monotone-association measure
+    * completing the correlation shelf (q164 is Pearson-on-values,
+    * q197 Mann–Kendall's pair-sign trend; Spearman is Pearson on
+    * RANKS, robust to any monotone transform): ranks are 2-SCALED
+    * MIDRANKS (2·mid = 2·rank() + tiecount − 1, always integral —
+    * the q196 discipline via rank-window + tie-count-window, both
+    * engines stating the identical expression), and every moment is
+    * an exact BIGINT fold: num = n·Σuv − (n(n+1))² (both 2-scaled
+    * rank sums telescope to n(n+1)), vx/vy the matching variance
+    * terms. ρ = num/√(vx·vy) is emitted BOTH ways: the exact integer
+    * triple (num, vx, vy) for the engine-side consumer, and the
+    * round(…, 4) float for the report (IEEE sqrt of exact integers —
+    * the q83 boundary discipline), with the all-tied vx·vy = 0
+    * degenerate emitting 0.0 (the q138 guard lesson). The daily fold
+    * is the only corpus-sized exchange; ranks ride per-type windows
+    * over ≤ span-days rows. */
+  val q216: Q = (s, d) => {
+    val daily = t(s, d, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("c"),
+        count(lit(1)).as("k"))
+    def mr2(v: String): org.apache.spark.sql.Column =
+      lit(2L) * rank().over(Window.partitionBy(col("event_type")).orderBy(col(v)))
+        .cast("long") +
+        count(lit(1)).over(Window.partitionBy(col("event_type"), col(v))) - 2
+    // rank() is 1-based min-position; 2·mid = 2·rank + t − 1, and the
+    // −2/+1 fold: 2·rank + (t − 1) = (2·rank + t) − 1 — stated as
+    // lit-arithmetic identically in the oracle
+    daily
+      .withColumn("u", mr2("c") + 1)
+      .withColumn("v", mr2("k") + 1)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("u") * col("v")).as("suv"),
+        sum(col("u") * col("u")).as("suu"), sum(col("v") * col("v")).as("svv"))
+      .select(col("event_type"), col("n"),
+        (col("n") * col("suv") - (col("n") * (col("n") + 1))
+          * (col("n") * (col("n") + 1))).as("num"),
+        (col("n") * col("suu") - (col("n") * (col("n") + 1))
+          * (col("n") * (col("n") + 1))).as("vx"),
+        (col("n") * col("svv") - (col("n") * (col("n") + 1))
+          * (col("n") * (col("n") + 1))).as("vy"))
+      .withColumn("rho",
+        when(col("vx") > 0 && col("vy") > 0,
+          round(col("num") / sqrt(col("vx").cast("double") * col("vy")), 4))
+          .otherwise(lit(0.0)))
+      .orderBy(col("event_type"))
+  }
+
+  val q216Sql: String =
+    """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c,
+      |         CAST(count(*) AS BIGINT) AS k
+      |       FROM events GROUP BY 1, 2),
+      |r AS (SELECT event_type,
+      |        2 * CAST(rank() OVER (PARTITION BY event_type ORDER BY c) AS BIGINT)
+      |          + CAST(count(*) OVER (PARTITION BY event_type, c) AS BIGINT) - 1 AS u,
+      |        2 * CAST(rank() OVER (PARTITION BY event_type ORDER BY k) AS BIGINT)
+      |          + CAST(count(*) OVER (PARTITION BY event_type, k) AS BIGINT) - 1 AS v
+      |      FROM daily),
+      |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(u * v) AS BIGINT) AS suv,
+      |        CAST(sum(u * u) AS BIGINT) AS suu,
+      |        CAST(sum(v * v) AS BIGINT) AS svv
+      |      FROM r GROUP BY 1)
+      |SELECT event_type, n,
+      |       n * suv - (n * (n + 1)) * (n * (n + 1)) AS num,
+      |       n * suu - (n * (n + 1)) * (n * (n + 1)) AS vx,
+      |       n * svv - (n * (n + 1)) * (n * (n + 1)) AS vy,
+      |       CASE WHEN n * suu - (n * (n + 1)) * (n * (n + 1)) > 0
+      |                 AND n * svv - (n * (n + 1)) * (n * (n + 1)) > 0
+      |            THEN round((n * suv - (n * (n + 1)) * (n * (n + 1)))
+      |                 / sqrt(CAST(n * suu - (n * (n + 1)) * (n * (n + 1)) AS DOUBLE)
+      |                        * (n * svv - (n * (n + 1)) * (n * (n + 1)))), 4)
+      |            ELSE 0.0 END AS rho
+      |FROM m ORDER BY event_type""".stripMargin
+
   val entries: Seq[(String, Q, String)] = Seq(
     ("q129_priority_sample", q129, q129Sql),
     ("q130_countmin_heavy", q130, q130Sql),
@@ -1472,5 +1550,6 @@ object StatQueries {
     ("q150_bootstrap_ci", q150, q150Sql),
     ("q151_trimmed_mean", q151, q151Sql),
     ("q152_gini", q152, q152Sql),
-    ("q208_kruskal_wallis", q208, q208Sql))
+    ("q208_kruskal_wallis", q208, q208Sql),
+    ("q216_spearman", q216, q216Sql))
 }

@@ -450,4 +450,57 @@ class StatSpec extends SparkSpec {
       hn3.toBigInt == expNum && hd3.toBigInt == expDen,
       s"replay: got ($n3,$t3,$hn3,$hd3) vs ($bigN,$sumT,$expNum,$expDen)")
   }
+
+  test("q216: perfect monotone association hits rho = 1 exactly; anti-monotone -1; real data matches a midrank replay") {
+    def mk(rows: Seq[(Int, String, Int)]): String = {
+      // k events of value 1.00 per (day, type) -> c = 100k, count = k:
+      // perfectly monotone (rho 1); 'down' gets value so c DECREASES
+      // while count increases (rho -1)
+      val ev = rows.zipWithIndex.flatMap { case ((dd, t0, k), base) =>
+        (0 until k).map(i => (base * 1000L + i,
+          java.sql.Timestamp.valueOf(f"2024-07-$dd%02d 12:00:00"), 1L, t0,
+          if (t0 == "down") (100.0 - 10 * dd) / k else 1.0, "{}"))
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val dir = java.nio.file.Files.createTempDirectory("graft_sp").toString
+      ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    val dir = mk((1 to 8).map(d0 => (d0, "up", d0 + 1)) ++
+      (1 to 8).map(d0 => (d0, "down", d0 + 1)))
+    val rows = StatQueries.q216(spark, dir)
+      .select("event_type", "num", "vx", "vy", "rho")
+      .as[(String, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(rows("up")._2 == rows("up")._3 && rows("up")._3 == rows("up")._4 &&
+      rows("up")._5 == 1.0, s"monotone must give num=vx=vy, rho 1: ${rows("up")}")
+    assert(rows("down")._2 == -rows("down")._3 && rows("down")._5 == -1.0,
+      s"anti-monotone must give num=-vx, rho -1: ${rows("down")}")
+    // real-data midrank replay
+    val daily = Tables.load(spark, sf0001, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("c"),
+        count(lit(1)).as("k"))
+      .select("event_type", "c", "k").as[(String, Long, Long)].collect()
+    def mid2(xs: Seq[Long]): Map[Long, Long] = {
+      val sorted = xs.sorted
+      xs.distinct.map { v =>
+        val below = sorted.count(_ < v); val t0 = sorted.count(_ == v)
+        v -> (2L * below + t0 + 1)
+      }.toMap
+    }
+    val expect = daily.groupBy(_._1).map { case (t0, g) =>
+      val (mc, mk0) = (mid2(g.map(_._2).toSeq), mid2(g.map(_._3).toSeq))
+      val uv = g.map(r => (mc(r._2), mk0(r._3)))
+      val n = g.length.toLong
+      val (suv, suu, svv) = (uv.map(p => p._1 * p._2).sum,
+        uv.map(p => p._1 * p._1).sum, uv.map(p => p._2 * p._2).sum)
+      val e2 = n * (n + 1) * (n * (n + 1))
+      t0 -> ((n * suv - e2, n * suu - e2, n * svv - e2))
+    }
+    val real = StatQueries.q216(spark, sf0001)
+      .select("event_type", "num", "vx", "vy")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(real == expect, s"midrank replay: ${
+      (real.keySet ++ expect.keySet).filter(k0 => real.get(k0) != expect.get(k0)).take(3)}")
+  }
 }

@@ -971,6 +971,31 @@ object ScaleProbe {
       graft.core.Pins.release()
     }
 
+    // --- q212-q216 at 10×: q212/q216's ranked work rides the per-type
+    // days grid (fixed span ⇒ pair set and rank windows unchanged —
+    // only the daily fold sees 10×); q213's rank window rides the
+    // customer fold (orders 10×, customers fixed); q214 doubles down
+    // on scan-local hashing (2× synthesis rows incl. variants, slim
+    // signature join); q215 is one user-keyed window over 10× rows
+    // per user.
+    if (want("q212", "q213", "q214", "q215", "q216")) {
+      import graft.queries.{MiningQueries, PipelineQueries, RelationalQueries, StatQueries}
+      time("q212_theilsen sf0.1    (1M ev)   ")(MiningQueries.q212(spark, src).count())
+      graft.core.Pins.release()
+      time("q212_theilsen sf1.0   (10M ev)   ")(MiningQueries.q212(spark, out).count())
+      graft.core.Pins.release()
+      time("q213_abc sf0.1      (150k ord)   ")(RelationalQueries.q213(spark, src).count())
+      time("q213_abc sf1.0      (1.5M ord)   ")(RelationalQueries.q213(spark, out).count())
+      time("q214_ahash sf0.1    (20k vecs)   ")(PipelineQueries.q214(spark, src).count())
+      graft.core.Pins.release()
+      time("q214_ahash sf1.0   (200k vecs)   ")(PipelineQueries.q214(spark, out).count())
+      graft.core.Pins.release()
+      time("q215_attrib sf0.1      (1M ev)   ")(MiningQueries.q215(spark, src).count())
+      time("q215_attrib sf1.0     (10M ev)   ")(MiningQueries.q215(spark, out).count())
+      time("q216_spearman sf0.1    (1M ev)   ")(StatQueries.q216(spark, src).count())
+      time("q216_spearman sf1.0   (10M ev)   ")(StatQueries.q216(spark, out).count())
+    }
+
     // --- q177 BFS at 10×: the replicated corpus multiplies near-dup
     // clusters, so the pair artifact and every frontier grow ~10× —
     // per-hop cost must track the FRONTIER (edges are the memoized

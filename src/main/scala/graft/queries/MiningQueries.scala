@@ -2140,6 +2140,80 @@ object MiningQueries {
       |            AS BIGINT) AS lag_us_total
       |FROM a GROUP BY 1 ORDER BY user_id""".stripMargin
 
+  // --------------------------------------------------------------- Q217
+  /** ORDERED SEQUENCE-PATTERN match — view → click → purchase within
+    * 2 hours, per user (the MATCH_RECOGNIZE shape; q87's funnel
+    * counts step populations, q215 attributes ONE hop — this matches
+    * the strict 3-step chain with a span bound): a purchase COMPLETES
+    * the pattern iff its most recent preceding click has a view
+    * before IT, and the whole view→purchase span fits in 2 h (the
+    * last-touch chain convention: each step binds to its most recent
+    * qualifying predecessor, each purchase matches at most once).
+    * The scalable form is ONE user-keyed window pass with CHAINED
+    * LOCF carries — carry last_view_us; at click rows materialize
+    * "click with its view" (the view carried at that click); carry
+    * THAT forward; test the span at purchase rows. No join, no
+    * per-pattern state machine, rows stream through two
+    * last(ignoreNulls) frames. The ORACLE is the independent
+    * nested-correlated-max formulation (max view < max click <
+    * purchase). Same-instant ties ordered by (ts, event_id), stated
+    * identically in both engines. Output per user: purchases,
+    * completed sequences, total view→purchase span. */
+  val q217: Q = (s, d) => {
+    val wPrev = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("last_view_us",
+        last(when(col("event_type") === "view", col("ts_us")), ignoreNulls = true)
+          .over(wPrev))
+      .withColumn("click_view_us",
+        when(col("event_type") === "click", col("last_view_us")))
+      .withColumn("chain_view_us",
+        last(col("click_view_us"), ignoreNulls = true).over(wPrev))
+      .filter(col("event_type") === "purchase")
+      .withColumn("matched",
+        (col("chain_view_us").isNotNull &&
+          col("ts_us") - col("chain_view_us") <= 7200000000L).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("matched")).as("n_matched"),
+        coalesce(sum(when(col("matched") === 1,
+          col("ts_us") - col("chain_view_us"))), lit(0L)).as("span_us_total"))
+      .orderBy(col("user_id"))
+  }
+
+  val q217Sql: String =
+    """WITH ev AS (SELECT user_id, event_id, event_type,
+      |              epoch_us(ts) AS ts_us FROM events),
+      |pc AS (SELECT p0.user_id, p0.ts_us, ck.cts, ck.cid
+      |       FROM ev p0 LEFT JOIN LATERAL (
+      |         SELECT c.ts_us AS cts, c.event_id AS cid FROM ev c
+      |         WHERE c.user_id = p0.user_id AND c.event_type = 'click'
+      |           AND (c.ts_us, c.event_id) < (p0.ts_us, p0.event_id)
+      |         ORDER BY c.ts_us DESC, c.event_id DESC LIMIT 1) ck ON TRUE
+      |       WHERE p0.event_type = 'purchase'),
+      |p AS (SELECT user_id, ts_us,
+      |        (SELECT max(v.ts_us) FROM ev v
+      |         WHERE v.user_id = pc.user_id AND v.event_type = 'view'
+      |           AND pc.cts IS NOT NULL
+      |           AND (v.ts_us, v.event_id) < (pc.cts, pc.cid))
+      |          AS chain_view_us
+      |      FROM pc),
+      |a AS (SELECT user_id,
+      |        CASE WHEN chain_view_us IS NOT NULL
+      |                  AND ts_us - chain_view_us <= 7200000000
+      |             THEN 1 ELSE 0 END AS matched,
+      |        ts_us - chain_view_us AS span_us
+      |      FROM p)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+      |       CAST(sum(matched) AS BIGINT) AS n_matched,
+      |       CAST(coalesce(sum(CASE WHEN matched = 1 THEN span_us END), 0)
+      |            AS BIGINT) AS span_us_total
+      |FROM a GROUP BY 1 ORDER BY user_id""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q159_prefix_filter_join", q159, q159Sql),
@@ -2174,6 +2248,7 @@ object MiningQueries {
     ("q203_record_linkage", q203, q203Sql),
     ("q212_theil_sen", q212, q212Sql),
     ("q215_attribution", q215, q215Sql),
+    ("q217_sequence_match", q217, q217Sql),
     ("q204_interval_overlap_join", q204, q204Sql),
     ("q205_ewma_chart", q205, q205Sql))
 }

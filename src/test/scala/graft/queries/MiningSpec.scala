@@ -1123,4 +1123,70 @@ class MiningSpec extends SparkSpec {
     assert(real == expect, s"attribution replay: ${
       (real.keySet ++ expect.keySet).filter(k => real.get(k) != expect.get(k)).take(3)}")
   }
+
+  test("q217: the chain binds view-before-CLICK and spans from the view; real data matches a nested correlated replay") {
+    def ts(mins: Long) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-06-01T00:00:00Z").plusSeconds(mins * 60))
+    val ev = Seq(
+      // u1: v@0 c@10 p@30 -> match, span 30m
+      (1L, ts(0), 1L, "view", 1.0, "{}"),
+      (2L, ts(10), 1L, "click", 1.0, "{}"),
+      (3L, ts(30), 1L, "purchase", 1.0, "{}"),
+      // u2: click with NO view -> no match
+      (4L, ts(0), 2L, "click", 1.0, "{}"),
+      (5L, ts(10), 2L, "purchase", 1.0, "{}"),
+      // u3: view but NO click -> no match
+      (6L, ts(0), 3L, "view", 1.0, "{}"),
+      (7L, ts(10), 3L, "purchase", 1.0, "{}"),
+      // u5: v@0 c@10 v@20 p@30 -> the chain view is the one before the
+      // CLICK (span 30m), not the v@20 before the purchase
+      (8L, ts(0), 5L, "view", 1.0, "{}"),
+      (9L, ts(10), 5L, "click", 1.0, "{}"),
+      (10L, ts(20), 5L, "view", 1.0, "{}"),
+      (11L, ts(30), 5L, "purchase", 1.0, "{}"),
+      // u6: v@0 c@110 p@130 -> click->purchase is 20m but the span
+      // counts FROM THE VIEW: 130m > 120m -> no match
+      (12L, ts(0), 6L, "view", 1.0, "{}"),
+      (13L, ts(110), 6L, "click", 1.0, "{}"),
+      (14L, ts(130), 6L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_seq").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = MiningQueries.q217(spark, dir)
+      .select("user_id", "n_purchases", "n_matched", "span_us_total")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 1L, 1L, 30L * 60 * 1000000)), s"u1: ${got(1L)}")
+    assert(got(2L) == ((2L, 1L, 0L, 0L)), "no view -> no match")
+    assert(got(3L) == ((3L, 1L, 0L, 0L)), "no click -> no match")
+    assert(got(5L) == ((5L, 1L, 1L, 30L * 60 * 1000000)),
+      s"the chain view precedes the CLICK: ${got(5L)}")
+    assert(got(6L) == ((6L, 1L, 0L, 0L)), "the 2h span counts from the view")
+    // real-data replay: nested correlated maxima
+    val evs = Tables.load(spark, sf0001, "events")
+      .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts) AS t")
+      .as[(Long, Long, String, Long)].collect()
+    val expect = evs.groupBy(_._1).flatMap { case (u, g) =>
+      val clicks = g.filter(_._3 == "click").map(r => (r._4, r._2))
+      val views = g.filter(_._3 == "view").map(r => (r._4, r._2))
+      val ps = g.filter(_._3 == "purchase")
+      if (ps.isEmpty) None else {
+        val st = ps.map { p =>
+          val ck = clicks.filter(c => c._1 < p._4 || (c._1 == p._4 && c._2 < p._2))
+          if (ck.isEmpty) (0L, 0L) else {
+            val c0 = ck.maxBy(identity)
+            val vs = views.filter(v => v._1 < c0._1 || (v._1 == c0._1 && v._2 < c0._2))
+            if (vs.nonEmpty && p._4 - vs.map(_._1).max <= 7200000000L)
+              (1L, p._4 - vs.map(_._1).max) else (0L, 0L)
+          }
+        }
+        Some(u -> ((ps.length.toLong, st.map(_._1).sum, st.map(s0 => s0._1 * s0._2).sum)))
+      }
+    }
+    val real = MiningQueries.q217(spark, sf0001)
+      .select("user_id", "n_purchases", "n_matched", "span_us_total")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(real == expect, s"sequence replay: ${
+      (real.keySet ++ expect.keySet).filter(k => real.get(k) != expect.get(k)).take(3)}")
+  }
 }

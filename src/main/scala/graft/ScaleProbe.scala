@@ -978,7 +978,7 @@ object ScaleProbe {
     // on scan-local hashing (2× synthesis rows incl. variants, slim
     // signature join); q215 is one user-keyed window over 10× rows
     // per user.
-    if (want("q212", "q213", "q214", "q215", "q216")) {
+    if (want("q212", "q213", "q214", "q215", "q216", "q217")) {
       import graft.queries.{MiningQueries, PipelineQueries, RelationalQueries, StatQueries}
       time("q212_theilsen sf0.1    (1M ev)   ")(MiningQueries.q212(spark, src).count())
       graft.core.Pins.release()
@@ -994,6 +994,9 @@ object ScaleProbe {
       time("q215_attrib sf1.0     (10M ev)   ")(MiningQueries.q215(spark, out).count())
       time("q216_spearman sf0.1    (1M ev)   ")(StatQueries.q216(spark, src).count())
       time("q216_spearman sf1.0   (10M ev)   ")(StatQueries.q216(spark, out).count())
+      // q217: two LOCF carries on the same user-keyed window as q215
+      time("q217_seqmatch sf0.1    (1M ev)   ")(MiningQueries.q217(spark, src).count())
+      time("q217_seqmatch sf1.0   (10M ev)   ")(MiningQueries.q217(spark, out).count())
     }
 
     // --- q177 BFS at 10×: the replicated corpus multiplies near-dup

@@ -1316,6 +1316,58 @@ object RelationalQueries {
       |       CAST(sum(rev) AS BIGINT) * 1000000 // CAST(max(tot) AS BIGINT) AS share_ppm
       |FROM c GROUP BY 1 ORDER BY cls""".stripMargin
 
+  // --------------------------------------------------------------- Q218
+  /** TPC-H Q11 shape — group value vs a FRACTION of the global total
+    * (the "important stock" HAVING; q202's threshold is a scalar
+    * average, Q11's is a share-of-sum over the SAME aggregate — the
+    * one-fold-two-consumers planning stress): parts whose shipped
+    * 1996 value from three nations' suppliers exceeds 0.2% of those
+    * nations' total shipped value. Decorrelated into ONE fold: the
+    * nation-filtered (broadcast supplier probe, filter pushed to the
+    * supplier scan via the nation keys) per-part value fold PINS,
+    * the global total is a one-row re-aggregate OF THE FOLD (never a
+    * second fact scan), broadcast back as the exact integer
+    * cross-multiplication value·500 > total. Exact cents; ordered by
+    * (value desc, partkey) — Q11's report order with the
+    * deterministic tiebreak. */
+  val q218: Q = (s, d) => {
+    val nat = t(s, d, "nation")
+      .filter(col("n_name").isin("NATION_2", "NATION_9", "NATION_17"))
+      .select(col("n_nationkey"))
+    val sup = t(s, d, "supplier")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val perPart = graft.core.Pins.pin(
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01")
+          && col("l_shipdate") < lit("1997-01-01"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("value_c")))
+    val tot = perPart.agg(sum(col("value_c")).as("tot"))
+    perPart.crossJoin(broadcast(tot))
+      .filter(col("value_c") * 500 > col("tot"))
+      .select(col("l_partkey").as("p_partkey"), col("value_c"))
+      .orderBy(col("value_c").desc, col("p_partkey"))
+  }
+
+  val q218Sql: String =
+    """WITH sup AS (SELECT s_suppkey FROM supplier
+      |             WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+      |               WHERE n_name IN ('NATION_2', 'NATION_9', 'NATION_17'))),
+      |pp AS (SELECT l_partkey,
+      |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |           AS value_c
+      |       FROM lineitem
+      |       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |         AND l_shipdate < TIMESTAMP '1997-01-01'
+      |         AND l_suppkey IN (SELECT s_suppkey FROM sup)
+      |       GROUP BY 1),
+      |tot AS (SELECT CAST(sum(value_c) AS BIGINT) AS tot FROM pp)
+      |SELECT l_partkey AS p_partkey, value_c
+      |FROM pp, tot WHERE value_c * 500 > tot
+      |ORDER BY value_c DESC, p_partkey""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q153_shipping_priority", q153, q153Sql),
@@ -1334,6 +1386,7 @@ object RelationalQueries {
     ("q209_dominant_suppliers", q209, q209Sql),
     ("q210_mincost_supplier", q210, q210Sql),
     ("q213_pareto_abc", q213, q213Sql),
+    ("q218_important_parts", q218, q218Sql),
     ("q31_correlated_subquery", q31, q31Sql),
     ("q32_percentiles", q32, q32Sql),
     ("q33_date_arithmetic", q33, q33Sql),

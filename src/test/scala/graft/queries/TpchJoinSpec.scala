@@ -381,4 +381,35 @@ class TpchJoinSpec extends SparkSpec {
     assert((aRev - aSmallest) * 5 < tot * 4,
       "class A must contain ONLY customers needed to reach 80%")
   }
+
+  test("q218: every reported part beats the exact share threshold; the plan derives the total from the fold, not a second fact scan") {
+    val natSet = Tables.load(spark, sf0001, "nation")
+      .filter(col("n_name").isin("NATION_2", "NATION_9", "NATION_17"))
+      .select(col("n_nationkey")).as[Int].collect().toSet
+    val supSet = Tables.load(spark, sf0001, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey")).as[(Long, Int)].collect()
+      .filter(r => natSet(r._2)).map(_._1).toSet
+    val per = Tables.load(spark, sf0001, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01")
+        && col("l_shipdate") < lit("1997-01-01"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("c"))
+      .as[(Long, Long, Long)].collect()
+      .filter(r => supSet(r._2)).groupBy(_._1)
+      .view.mapValues(_.map(_._3).sum).toMap
+    val tot = per.values.sum
+    val expect = per.filter { case (_, v) => v * 500 > tot }
+      .toSeq.sortBy { case (pk, v) => (-v, pk) }
+    val got = RelationalQueries.q218(spark, sf0001)
+      .as[(Long, Long)].collect().toSeq
+    graft.core.Pins.release()
+    assert(got == expect, s"share replay: got ${got.take(3)} vs ${expect.take(3)}")
+    // one-fold-two-consumers: the residual plan reads the PIN — zero
+    // parquet scans — and the global total never rescans the fact
+    val plan = RelationalQueries.q218(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    graft.core.Pins.release()
+    assert(!plan.contains("Scan parquet"),
+      "the pinned fold must feed both the group rows and the total")
+  }
 }

@@ -1101,7 +1101,97 @@ object AuditQueries {
       |       auc2pn_cum
       |FROM tr, tot ORDER BY score DESC""".stripMargin
 
+  // --------------------------------------------------------------- Q219
+  /** CROSS-RELATION RECONCILIATION audit — the data-contract checks a
+    * warehouse runs between a header table and its detail table
+    * (dbt-test / great-expectations territory; q48 audits columns
+    * WITHIN a table, q166 diffs snapshots of ONE table — this checks
+    * the CONTRACT BETWEEN two): orders vs lineitem on four checks,
+    * one row each — header key uniqueness, headers with no detail
+    * rows (orphan parents), detail rows with no header (orphan
+    * children), and header-total-equals-detail-sum (exact CENTS
+    * comparison, zero tolerance — on this synthetic corpus the
+    * generator does NOT maintain the invariant, so the report
+    * quantifies the breach: that IS the audit's job). Output
+    * (check, n_checked, n_violations, worst_cents) with worst = the
+    * largest absolute gap for the total check, 0 where size has no
+    * meaning. Dataflow: ONE detail fold (orderkey → cents) and ONE
+    * full-outer join with the header on the shared key — the
+    * canonical fact-to-fact reconciliation whose only corpus-sized
+    * costs are that fold and join; every check folds off the joined
+    * relation map-side. At 100 TB co-bucketing both tables on the
+    * key removes even the join exchange. */
+  val q219: Q = (s, d) => {
+    val o = t(s, d, "orders").select(col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("hdr_c"))
+    val l = t(s, d, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("det_c"))
+    val j = graft.core.Pins.pin(
+      o.join(l, col("o_orderkey") === col("l_orderkey"), "full_outer")
+        .select(col("o_orderkey"), col("l_orderkey"), col("hdr_c"), col("det_c")))
+    val dupKeys = o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("k"))
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("k") > 1, 1L).otherwise(0L)).as("n_violations"))
+      .select(lit("header_key_unique").as("check"), col("n_checked"),
+        col("n_violations"), lit(0L).as("worst_cents"))
+    val orphanHdr = j.filter(col("o_orderkey").isNotNull)
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("n_violations"))
+      .select(lit("header_has_details").as("check"), col("n_checked"),
+        col("n_violations"), lit(0L).as("worst_cents"))
+    val orphanDet = j.filter(col("l_orderkey").isNotNull)
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("n_violations"))
+      .select(lit("detail_has_header").as("check"), col("n_checked"),
+        col("n_violations"), lit(0L).as("worst_cents"))
+    val totals = j.filter(col("o_orderkey").isNotNull && col("l_orderkey").isNotNull)
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("hdr_c") =!= col("det_c"), 1L).otherwise(0L)).as("n_violations"),
+        coalesce(max(abs(col("hdr_c") - col("det_c"))), lit(0L)).as("worst_cents"))
+      .select(lit("total_matches_detail_sum").as("check"), col("n_checked"),
+        col("n_violations"), col("worst_cents"))
+    dupKeys.unionByName(orphanHdr).unionByName(orphanDet).unionByName(totals)
+      .orderBy(col("check"))
+  }
+
+  val q219Sql: String =
+    """WITH o AS (SELECT o_orderkey,
+      |             CAST(round(o_totalprice * 100) AS BIGINT) AS hdr_c FROM orders),
+      |l AS (SELECT l_orderkey,
+      |        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |          AS det_c
+      |      FROM lineitem GROUP BY 1),
+      |j AS (SELECT o.o_orderkey, l.l_orderkey, o.hdr_c, l.det_c
+      |      FROM o FULL OUTER JOIN l ON o.o_orderkey = l.l_orderkey)
+      |SELECT 'detail_has_header' AS check,
+      |       CAST(count(*) AS BIGINT) AS n_checked,
+      |       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_violations,
+      |       CAST(0 AS BIGINT) AS worst_cents
+      |FROM j WHERE l_orderkey IS NOT NULL
+      |UNION ALL
+      |SELECT 'header_has_details',
+      |       CAST(count(*) AS BIGINT),
+      |       CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |       CAST(0 AS BIGINT)
+      |FROM j WHERE o_orderkey IS NOT NULL
+      |UNION ALL
+      |SELECT 'header_key_unique',
+      |       CAST(count(*) AS BIGINT),
+      |       CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
+      |       CAST(0 AS BIGINT)
+      |FROM (SELECT o_orderkey, count(*) AS k FROM o GROUP BY 1)
+      |UNION ALL
+      |SELECT 'total_matches_detail_sum',
+      |       CAST(count(*) AS BIGINT),
+      |       CAST(sum(CASE WHEN hdr_c <> det_c THEN 1 ELSE 0 END) AS BIGINT),
+      |       CAST(coalesce(max(abs(hdr_c - det_c)), 0) AS BIGINT)
+      |FROM j WHERE o_orderkey IS NOT NULL AND l_orderkey IS NOT NULL
+      |ORDER BY "check"""".stripMargin
+
   val entries: Seq[(String, Q, String)] = Seq(
+    ("q219_reconciliation", q219, q219Sql),
     ("q207_roc_auc", q207, q207Sql),
     ("q114_chunk_dup_filter", q114, q114Sql),
     ("q115_fuzzy_contamination", q115, q115Sql),

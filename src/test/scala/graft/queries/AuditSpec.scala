@@ -392,4 +392,60 @@ class AuditSpec extends SparkSpec {
     graft.core.Pins.release()
     assert(real == expect, s"greedy replay: $real vs $expect")
   }
+
+  test("q219: each contract check counts its planted violation exactly; real data matches a replay") {
+    // header: key 1 duplicated, key 4 has no details, key 2's total is
+    // off by exactly 7 cents, key 3 matches; detail key 9 is an orphan
+    val ord = Seq((1L, 10.00), (1L, 10.00), (2L, 20.00), (3L, 30.00), (4L, 40.00))
+      .toDF("o_orderkey", "o_totalprice")
+    val li = Seq((1L, 10.00), (1L, 10.00), (2L, 19.93), (3L, 30.00), (9L, 5.00))
+      .toDF("l_orderkey", "l_extendedprice")
+    val dir = java.nio.file.Files.createTempDirectory("graft_rec").toString
+    ord.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = AuditQueries.q219(spark, dir)
+      .select("check", "n_checked", "n_violations", "worst_cents")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    graft.core.Pins.release()
+    assert(got("header_key_unique") == (("header_key_unique", 4L, 1L, 0L)),
+      s"dup key: ${got("header_key_unique")}")
+    // key 1 appears TWICE in the header (dup) -> joined rows count
+    // both; 4 of the 6 header-side rows have details
+    assert(got("header_has_details")._3 == 1L, s"orphan header: ${got("header_has_details")}")
+    // the duplicated header row fans the key-1 detail fold out twice,
+    // so 5 detail-side rows are checked — the dup is visible here too
+    assert(got("detail_has_header") == (("detail_has_header", 5L, 1L, 0L)),
+      s"orphan detail: ${got("detail_has_header")}")
+    // key 1's detail sum (2000c) vs each dup header row (1000c) gives
+    // gap 1000; key 2's planted gap is 7c
+    val tm = got("total_matches_detail_sum")
+    assert(tm._3 == 3L && tm._4 == 1000L, s"total check: $tm")
+    // real-data replay of all four checks
+    val hdr = Tables.load(spark, sf0001, "orders")
+      .selectExpr("o_orderkey", "CAST(round(o_totalprice * 100) AS BIGINT)")
+      .as[(Long, Long)].collect()
+    val det = Tables.load(spark, sf0001, "lineitem")
+      .selectExpr("l_orderkey", "CAST(round(l_extendedprice * 100) AS BIGINT)")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val hdrKeys = hdr.map(_._1).toSet
+    val expect2 = Map(
+      "header_key_unique" -> ((hdrKeys.size.toLong,
+        hdr.groupBy(_._1).count(_._2.length > 1).toLong, 0L)),
+      "header_has_details" -> ((hdr.length.toLong,
+        hdr.count(h => !det.contains(h._1)).toLong, 0L)),
+      "detail_has_header" -> ((det.size.toLong,
+        det.keys.count(k => !hdrKeys(k)).toLong, 0L)),
+      "total_matches_detail_sum" -> {
+        val both = hdr.filter(h => det.contains(h._1))
+        ((both.length.toLong, both.count(h => h._2 != det(h._1)).toLong,
+          both.map(h => (h._2 - det(h._1)).abs).max))
+      })
+    val real = AuditQueries.q219(spark, sf0001)
+      .select("check", "n_checked", "n_violations", "worst_cents")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    graft.core.Pins.release()
+    assert(real == expect2, s"reconciliation replay: ${
+      (real.keySet ++ expect2.keySet).filter(k => real.get(k) != expect2.get(k))}")
+  }
 }

@@ -176,7 +176,13 @@ object PlanAuditSpec {
     // q209: one fact-sized exchange (the (part,supplier) fold); the
     // per-part window, dominant-distinct, semi probe and output sort
     // all re-key the parts×suppliers fold — model-sized by design
-    "q209_dominant_suppliers" -> 5)
+    "q209_dominant_suppliers" -> 5,
+    // q219: the detail fold + the header⋈detail full-outer join are
+    // the two corpus-sized exchanges (both on the shared orderkey —
+    // co-bucketing removes them at scale); the four check folds are
+    // one-row aggregates off the pin and the dup-key re-count + the
+    // 4-row union sort close the set
+    "q219_reconciliation" -> 5)
   /** Audited per-query scan counts (see the class doc). Only queries
     * whose audited plan exceeds or notably undercuts the default are
     * listed — a new query landing above DefaultMax must either be

@@ -978,7 +978,7 @@ object ScaleProbe {
     // on scan-local hashing (2× synthesis rows incl. variants, slim
     // signature join); q215 is one user-keyed window over 10× rows
     // per user.
-    if (want("q212", "q213", "q214", "q215", "q216", "q217")) {
+    if (want("q212", "q213", "q214", "q215", "q216", "q217", "q218", "q219")) {
       import graft.queries.{MiningQueries, PipelineQueries, RelationalQueries, StatQueries}
       time("q212_theilsen sf0.1    (1M ev)   ")(MiningQueries.q212(spark, src).count())
       graft.core.Pins.release()
@@ -997,6 +997,16 @@ object ScaleProbe {
       // q217: two LOCF carries on the same user-keyed window as q215
       time("q217_seqmatch sf0.1    (1M ev)   ")(MiningQueries.q217(spark, src).count())
       time("q217_seqmatch sf1.0   (10M ev)   ")(MiningQueries.q217(spark, out).count())
+      // q218: one pinned fact fold, total re-aggregated off the fold;
+      // q219: detail fold + full-outer join, both on the shared key
+      time("q218_imparts sf0.1   (600k li)   ")(graft.queries.RelationalQueries.q218(spark, src).count())
+      graft.core.Pins.release()
+      time("q218_imparts sf1.0     (6M li)   ")(graft.queries.RelationalQueries.q218(spark, out).count())
+      graft.core.Pins.release()
+      time("q219_recon sf0.1 (150k o+600k l) ")(graft.queries.AuditQueries.q219(spark, src).count())
+      graft.core.Pins.release()
+      time("q219_recon sf1.0 (1.5M o+6M l)   ")(graft.queries.AuditQueries.q219(spark, out).count())
+      graft.core.Pins.release()
     }
 
     // --- q177 BFS at 10×: the replicated corpus multiplies near-dup

@@ -1321,13 +1321,15 @@ object RelationalQueries {
     * (the "important stock" HAVING; q202's threshold is a scalar
     * average, Q11's is a share-of-sum over the SAME aggregate — the
     * one-fold-two-consumers planning stress): parts whose shipped
-    * 1996 value from three nations' suppliers exceeds 0.2% of those
-    * nations' total shipped value. Decorrelated into ONE fold: the
+    * 1996 value from three nations' suppliers exceeds those
+    * nations' MEAN part share by 2× (a scale-free threshold — a
+    * fixed ppm share empties as the part count grows; 2× the mean is
+    * meaningful at any corpus size). Decorrelated into ONE fold: the
     * nation-filtered (broadcast supplier probe, filter pushed to the
     * supplier scan via the nation keys) per-part value fold PINS,
     * the global total is a one-row re-aggregate OF THE FOLD (never a
     * second fact scan), broadcast back as the exact integer
-    * cross-multiplication value·500 > total. Exact cents; ordered by
+    * cross-multiplication value·n_parts > 2·total. Exact cents; ordered by
     * (value desc, partkey) — Q11's report order with the
     * deterministic tiebreak. */
   val q218: Q = (s, d) => {
@@ -1344,9 +1346,10 @@ object RelationalQueries {
         .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("l_partkey"))
         .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("value_c")))
-    val tot = perPart.agg(sum(col("value_c")).as("tot"))
+    val tot = perPart.agg(sum(col("value_c")).as("tot"),
+      count(lit(1)).as("np"))
     perPart.crossJoin(broadcast(tot))
-      .filter(col("value_c") * 500 > col("tot"))
+      .filter(col("value_c") * col("np") > col("tot") * 2)
       .select(col("l_partkey").as("p_partkey"), col("value_c"))
       .orderBy(col("value_c").desc, col("p_partkey"))
   }
@@ -1363,9 +1366,10 @@ object RelationalQueries {
       |         AND l_shipdate < TIMESTAMP '1997-01-01'
       |         AND l_suppkey IN (SELECT s_suppkey FROM sup)
       |       GROUP BY 1),
-      |tot AS (SELECT CAST(sum(value_c) AS BIGINT) AS tot FROM pp)
+      |tot AS (SELECT CAST(sum(value_c) AS BIGINT) AS tot,
+      |          CAST(count(*) AS BIGINT) AS np FROM pp)
       |SELECT l_partkey AS p_partkey, value_c
-      |FROM pp, tot WHERE value_c * 500 > tot
+      |FROM pp, tot WHERE value_c * np > tot * 2
       |ORDER BY value_c DESC, p_partkey""".stripMargin
 
   /** name → (query, oracle) */

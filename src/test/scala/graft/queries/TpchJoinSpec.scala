@@ -398,7 +398,8 @@ class TpchJoinSpec extends SparkSpec {
       .filter(r => supSet(r._2)).groupBy(_._1)
       .view.mapValues(_.map(_._3).sum).toMap
     val tot = per.values.sum
-    val expect = per.filter { case (_, v) => v * 500 > tot }
+    val np = per.size.toLong
+    val expect = per.filter { case (_, v) => v * np > tot * 2 }
       .toSeq.sortBy { case (pk, v) => (-v, pk) }
     val got = RelationalQueries.q218(spark, sf0001)
       .as[(Long, Long)].collect().toSeq

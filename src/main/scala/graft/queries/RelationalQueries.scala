@@ -1372,6 +1372,44 @@ object RelationalQueries {
       |FROM pp, tot WHERE value_c * np > tot * 2
       |ORDER BY value_c DESC, p_partkey""".stripMargin
 
+  // --------------------------------------------------------------- Q220
+  /** TPC-H Q4 shape — EXISTS with a CROSS-TABLE residual predicate
+    * (the order-priority checking query; commit/receipt dates absent,
+    * so "late" = a lineitem shipped > 30 days after the order date):
+    * per priority, 1996-H1 orders having at least one late line. The
+    * planning obligation Q4 exists for: the semi-join's equi-key is
+    * the orderkey but the LATE test needs BOTH sides (l_shipdate vs
+    * o_orderdate + 30) — a correct plan keeps it as a RESIDUAL
+    * CONDITION on the LeftSemi (spec-pinned) so unmatched lines die
+    * inside the join, and the order-side date window still pushes to
+    * the orders scan. EXISTS semantics: an order with five late
+    * lines counts ONCE (the semi, not an inner join + distinct —
+    * the spec plants a multi-late-line order). Exact date
+    * arithmetic, priority-sized fold. */
+  val q220: Q = (s, d) => {
+    val o = t(s, d, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01")
+        && col("o_orderdate") < lit("1996-07-01"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+    val l = t(s, d, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > date_add(col("o_orderdate").cast("date"), 30),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q220Sql: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > CAST(o_orderdate AS DATE) + INTERVAL 30 DAY)
+      |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q153_shipping_priority", q153, q153Sql),
@@ -1391,6 +1429,7 @@ object RelationalQueries {
     ("q210_mincost_supplier", q210, q210Sql),
     ("q213_pareto_abc", q213, q213Sql),
     ("q218_important_parts", q218, q218Sql),
+    ("q220_late_orders", q220, q220Sql),
     ("q31_correlated_subquery", q31, q31Sql),
     ("q32_percentiles", q32, q32Sql),
     ("q33_date_arithmetic", q33, q33Sql),

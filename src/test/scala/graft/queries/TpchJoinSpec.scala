@@ -413,4 +413,56 @@ class TpchJoinSpec extends SparkSpec {
     assert(!plan.contains("Scan parquet"),
       "the pinned fold must feed both the group rows and the total")
   }
+
+  test("q220: an order with many late lines counts once; the late test rides the semi's residual; replay agrees") {
+    // crafted: order 1 has THREE late lines (counts once), order 2
+    // one on-time line, order 3 a line exactly AT the +30 boundary
+    // (> is strict -> not late)
+    def d0(s0: String) = java.sql.Timestamp.valueOf(s0 + " 00:00:00")
+    val ord = Seq(
+      (1L, 7L, "O", 10.0, d0("1996-02-01"), "1-URGENT"),
+      (2L, 7L, "O", 10.0, d0("1996-02-01"), "1-URGENT"),
+      (3L, 7L, "O", 10.0, d0("1996-02-01"), "2-HIGH"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val li = Seq(
+      (1L, d0("1996-03-15")), (1L, d0("1996-04-01")), (1L, d0("1996-05-01")),
+      (2L, d0("1996-02-10")),
+      (3L, d0("1996-03-02"))) // Feb 1 + 30 = Mar 2 exactly -> NOT late
+      .map { case (k, sd) => (k, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", sd) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val dir = java.nio.file.Files.createTempDirectory("graft_q4").toString
+    ord.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = RelationalQueries.q220(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("1-URGENT" -> 1L),
+      s"three late lines must count one order; boundary is strict: $got")
+    // real-data replay + plan pins
+    val ords = Tables.load(spark, sf0001, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01")
+        && col("o_orderdate") < lit("1996-07-01"))
+      .selectExpr("o_orderkey", "o_orderpriority",
+        "CAST(CAST(o_orderdate AS DATE) AS STRING)")
+      .as[(Long, String, String)].collect()
+    val lines = Tables.load(spark, sf0001, "lineitem")
+      .selectExpr("l_orderkey", "CAST(CAST(l_shipdate AS DATE) AS STRING)")
+      .as[(Long, String)].collect().groupBy(_._1)
+    val expect = ords.filter { case (k, _, od) =>
+      lines.get(k).exists(_.exists(l =>
+        java.time.LocalDate.parse(l._2)
+          .isAfter(java.time.LocalDate.parse(od).plusDays(30))))
+    }.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val real = RelationalQueries.q220(spark, sf0001).as[(String, Long)].collect().toMap
+    assert(real == expect, s"late-order replay: $real vs $expect")
+    val plan = RelationalQueries.q220(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), "EXISTS must stay a semi-join")
+    assert("LeftSemi[^\\n]*l_shipdate|Join condition[^\\n]*l_shipdate".r
+      .findFirstIn(plan).isDefined ||
+      plan.linesIterator.exists(l => l.contains("LeftSemi") && l.contains("shipdate")),
+      "the late test must ride the semi-join condition")
+  }
 }

@@ -2214,6 +2214,53 @@ object MiningQueries {
       |            AS BIGINT) AS span_us_total
       |FROM a GROUP BY 1 ORDER BY user_id""".stripMargin
 
+  // --------------------------------------------------------------- Q221
+  /** WEIGHTED Poisson sampling — inclusion probability ∝ order value
+    * (importance sampling for curation mixing; completes the sampling
+    * shelf: q110 is uniform fixed-size, q111 epoch oversampling, q163
+    * temperature mixing — this is the VALUE-weighted member): order i
+    * enters the sample iff h52(i)·Σw < n·w_i·2⁵² — the md5-hash
+    * threshold (q110's deterministic-hash machinery) stated as a
+    * DECIMAL(38,0)/HUGEINT cross-multiplication, so inclusion
+    * probability is min(1, n·w_i/Σw) with NO float probability ever
+    * materializing, the expected size n = 1000 is scale-free
+    * (relative shares), and — the A-ES "certainty tier" — any order
+    * with n·w_i ≥ Σw satisfies the inequality for every hash value
+    * and is ALWAYS included, with no special-casing: the algebra
+    * does it. Deterministic ⇒ the oracle replays inclusion exactly
+    * (sqlHex52's digit-exact DuckDB rendering of the 52-bit md5
+    * prefix). Dataflow: one Σw fold broadcast into a scan-local
+    * filter, one priority-sized fold — the sample never shuffles. */
+  val q221: Q = (s, d) => {
+    val M = 4503599627370496L // 2^52
+    val o = t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+      round(col("o_totalprice") * 100).cast("long").as("w"))
+    val tot = o.agg(sum(col("w")).as("sw"))
+    o.crossJoin(broadcast(tot))
+      .withColumn("h52",
+        conv(substring(md5(col("o_orderkey").cast("string")), 1, 13), 16, 10)
+          .cast("long"))
+      .filter(col("h52").cast("decimal(38,0)") * col("sw") <
+        lit(1000L).cast("decimal(38,0)") * col("w") * lit(M))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("w")).as("sum_w_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q221Sql: String =
+    s"""WITH o AS (SELECT o_orderkey, o_orderpriority,
+      |             CAST(round(o_totalprice * 100) AS BIGINT) AS w FROM orders),
+      |tot AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM o),
+      |s AS (SELECT o_orderpriority, w,
+      |        ${sqlHex52("md5(CAST(o_orderkey AS VARCHAR))")} AS h52
+      |      FROM o)
+      |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_sampled,
+      |       CAST(sum(w) AS BIGINT) AS sum_w_cents
+      |FROM s, tot
+      |WHERE CAST(h52 AS HUGEINT) * sw
+      |        < CAST(1000 AS HUGEINT) * w * 4503599627370496
+      |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q159_prefix_filter_join", q159, q159Sql),
@@ -2249,6 +2296,7 @@ object MiningQueries {
     ("q212_theil_sen", q212, q212Sql),
     ("q215_attribution", q215, q215Sql),
     ("q217_sequence_match", q217, q217Sql),
+    ("q221_weighted_sample", q221, q221Sql),
     ("q204_interval_overlap_join", q204, q204Sql),
     ("q205_ewma_chart", q205, q205Sql))
 }

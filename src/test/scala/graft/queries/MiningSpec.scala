@@ -1189,4 +1189,46 @@ class MiningSpec extends SparkSpec {
     assert(real == expect, s"sequence replay: ${
       (real.keySet ++ expect.keySet).filter(k => real.get(k) != expect.get(k)).take(3)}")
   }
+
+  test("q221: a dominant order is a certainty pick for every hash; real inclusion matches an md5 replay") {
+    // one whale: w so large that n·w >= Σw (p capped at 1) — the
+    // algebra must include it regardless of its hash; 2000 minnows
+    // have p = 1000·w/Σw ≈ 1/4
+    val ord = ((1 to 2000).map(i => (i.toLong, 1L, "O", 10.00,
+      java.sql.Timestamp.valueOf("1996-01-01 00:00:00"), "3-MEDIUM")) :+
+      ((999999L, 1L, "O", 100000.00,
+        java.sql.Timestamp.valueOf("1996-01-01 00:00:00"), "1-URGENT")))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ws").toString
+    ord.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val gotM = MiningQueries.q221(spark, dir)
+      .select("o_orderpriority", "n_sampled", "sum_w_cents")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(gotM.get("1-URGENT").exists(_._1 == 1L),
+      s"the whale (n·w >= Σw) must always be sampled: $gotM")
+    // minnows: p ≈ 1000·1000/(2000·1000 + 10^7)... sanity-bounded
+    val mn = gotM.getOrElse("3-MEDIUM", (0L, 0L))._1
+    assert(mn > 50 && mn < 500, s"minnow sample far from its expectation: $mn")
+    // real-data replay: md5-hex-prefix inclusion recomputed exactly
+    def h52(key: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(key.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val ords = Tables.load(spark, sf0001, "orders")
+      .selectExpr("o_orderkey", "o_orderpriority",
+        "CAST(round(o_totalprice * 100) AS BIGINT)")
+      .as[(Long, String, Long)].collect()
+    val sw = ords.map(_._3).sum
+    val expect = ords.filter { case (k, _, w) =>
+      BigInt(h52(k)) * sw < BigInt(1000) * w * 4503599627370496L
+    }.groupBy(_._2).view.mapValues(g => (g.length.toLong, g.map(_._3).sum)).toMap
+    val real = MiningQueries.q221(spark, sf0001)
+      .select("o_orderpriority", "n_sampled", "sum_w_cents")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(real == expect.map { case (k, v) => k -> v },
+      s"inclusion replay: $real vs $expect")
+  }
 }

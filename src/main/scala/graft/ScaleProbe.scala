@@ -978,7 +978,7 @@ object ScaleProbe {
     // on scan-local hashing (2× synthesis rows incl. variants, slim
     // signature join); q215 is one user-keyed window over 10× rows
     // per user.
-    if (want("q212", "q213", "q214", "q215", "q216", "q217", "q218", "q219", "q220")) {
+    if (want("q212", "q213", "q214", "q215", "q216", "q217", "q218", "q219", "q220", "q221")) {
       import graft.queries.{MiningQueries, PipelineQueries, RelationalQueries, StatQueries}
       time("q212_theilsen sf0.1    (1M ev)   ")(MiningQueries.q212(spark, src).count())
       graft.core.Pins.release()
@@ -1010,6 +1010,9 @@ object ScaleProbe {
       // q220: one orderkey semi-join with the late residual
       time("q220_late sf0.1  (75k o+600k l)  ")(graft.queries.RelationalQueries.q220(spark, src).count())
       time("q220_late sf1.0  (750k o+6M l)   ")(graft.queries.RelationalQueries.q220(spark, out).count())
+      // q221: one broadcast total + scan-local hash filter
+      time("q221_wsample sf0.1  (150k ord)   ")(graft.queries.MiningQueries.q221(spark, src).count())
+      time("q221_wsample sf1.0  (1.5M ord)   ")(graft.queries.MiningQueries.q221(spark, out).count())
     }
 
     // --- q177 BFS at 10×: the replicated corpus multiplies near-dup

@@ -39,4 +39,34 @@ object CurrentPointer {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** BATCH current-pointer REPAIR — the crash-recovery tool the
+    * reference ships as a standalone script
+    * (`/root/reference/UpdateCurrent.sh:5-10`: `gsutil ls <prefix>…
+    * *<suffix> | tail -n 1` → `gsutil cp <latest> …/current/<name>`):
+    * re-derive the canonical `current` key from the store LISTING
+    * alone, for when a crash left it stale or missing.
+    *
+    * Semantics mirrored exactly: candidates are the objects under
+    * `prefix` whose name ends with `suffix` (the shell glob's
+    * `*<suffix>` match), excluding anything under a `current/` segment
+    * (the reference's year-scoped glob can never match its own
+    * pointer; a prefix-rooted listing can); the promoted object is the
+    * LEXICOGRAPHIC tail — which the `YYYY/MM[/DD]` + timestamped key
+    * layout ([[graft.sources.Naming]]) makes chronological — and the
+    * promotion is a server-side copy (O19), never a re-download.
+    *
+    * Idempotent. Returns the promoted source key, or None when no
+    * candidate exists — an empty listing leaves the pointer UNTOUCHED
+    * rather than deleting the only remaining copy. */
+  def repair(store: graft.sources.Store, prefix: String, suffix: String,
+             currentName: String): Option[String] = {
+    val latest = store.list(prefix)
+      .map(_.name)
+      .filter(n => n.endsWith(suffix) && n != currentName &&
+        !n.contains("/current/"))
+      .sorted.lastOption
+    latest.foreach(store.copy(_, currentName))
+    latest
+  }
 }

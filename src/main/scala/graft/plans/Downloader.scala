@@ -197,6 +197,20 @@ object Downloader {
     * GRAFT_CHECKPOINT, runs the driver-loop form with store-persisted
     * watermarks. */
   def main(args: Array[String]): Unit = {
+    // Operational subcommand, the reference's UpdateCurrent.sh crash
+    // recovery: re-derive a current pointer from the listing and exit.
+    if (args.headOption.contains("repair-current")) {
+      require(args.length == 5, "usage: Downloader repair-current " +
+        "<storeRootUri> <prefix> <suffix> <currentName>")
+      val store = new graft.sources.HadoopFsStore(args(1))
+      graft.operators.CurrentPointer.repair(store, args(2), args(3), args(4)) match {
+        case Some(src) => println(s"promoted $src -> ${args(4)}")
+        case None =>
+          System.err.println(s"no candidate under ${args(2)} matching *${args(3)}")
+          sys.exit(2)
+      }
+      return
+    }
     require(args.length >= 2, "usage: Downloader <storeRootUri> <manifestUrl>")
     val spark = graft.core.Sessions.local(sys.env.getOrElse("GRAFT_CPUS", "8").toInt)
     val store = new graft.sources.HadoopFsStore(args(0))

@@ -1389,12 +1389,19 @@ object MiningQueries {
     * + b2·is_weekend (day index from the fixed 2024-01-01 calendar
     * epoch; weekend via Spark `weekday`/DuckDB `isodow`, pinned to
     * the same Monday-based convention). Output is the exact RATIONAL
-    * solution — (det_b0, det_b1, det_b2, det_a) with β_i =
-    * det_bi/det_a — because a ppm floor-div would diverge cross-engine
-    * on negative numerators (div truncates, // floors); the Gram
-    * determinant det_a ≥ 0 by PSD-ness, so no sign normalization is
-    * needed. Bound: det terms are 3-entry products ≤ ~10²³ at 10⁴×
-    * this SF — DECIMAL(38,0) holds to ~10³⁸. */
+    * solution — determinants (a, b0, b1, b2) with β_i = det_bi/det_a
+    * — because a ppm floor-div would diverge cross-engine on negative
+    * numerators (div truncates, // floors). Each 128-bit determinant
+    * is emitted as the driver-hashable BIGINT TRIPLE (sgn, hi, lo)
+    * with det = sgn·(hi·10¹⁸ + lo) — the q163/q164 64-bit-output
+    * discipline: wide numerics stay internal because the driver's
+    * hasher distinguishes DECIMAL(38,0) from HUGEINT even when the
+    * values are bit-equal (the round-7 q194/q208/q212 lesson). The
+    * split is sign-safe: hi/lo divide the NON-NEGATIVE |det|, where
+    * Spark `div` (truncating) and DuckDB `//` agree. Bound: det terms
+    * are 3-entry products ≤ ~10²³ at 10⁴× this SF — DECIMAL(38,0)
+    * holds the math to ~10³⁸, and hi = |det|/10¹⁸ ≤ 10²⁰ < 2⁶³ to
+    * ~10³⁷. */
   val q194: Q = (s, d) => {
     val dec = "DECIMAL(38,0)"
     def dcol(c: String) = s"CAST($c AS $dec)"
@@ -1426,6 +1433,14 @@ object MiningQueries {
           s" + $s2 * ($sy * $s12 - $s2 * $s1y)").as("det_b1"),
         expr(s"$n * ($s11 * $s2y - $s1y * $s12) - $s1 * ($s1 * $s2y - $sy * $s12)" +
           s" + $s2 * ($s1 * $s1y - $sy * $s11)").as("det_b2"))
+      .select(col("event_type") +: col("n") +:
+        Seq("a" -> "det_a", "b0" -> "det_b0", "b1" -> "det_b1", "b2" -> "det_b2")
+          .flatMap { case (o, c) => Seq(
+            when(col(c) < 0, lit(-1L)).when(col(c) > 0, lit(1L))
+              .otherwise(lit(0L)).as(s"${o}_sgn"),
+            expr(s"abs($c) div 1000000000000000000").as(s"${o}_hi"),
+            expr(s"CAST(abs($c) % 1000000000000000000 AS BIGINT)").as(s"${o}_lo"))
+          }: _*)
       .orderBy(col("event_type"))
   }
 
@@ -1449,17 +1464,25 @@ object MiningQueries {
        |        CAST(sum(y) AS BIGINT) AS sy,
        |        CAST(sum(x1 * y) AS BIGINT) AS s1y,
        |        CAST(sum(x2 * y) AS BIGINT) AS s2y
-       |      FROM x GROUP BY 1)
-       |SELECT event_type, n,
+       |      FROM x GROUP BY 1),
+       |d AS (SELECT event_type, n,
        |  CAST($n * ($s11 * $s22 - $s12 * $s12) - $s1 * ($s1 * $s22 - $s2 * $s12)
-       |       + $s2 * ($s1 * $s12 - $s2 * $s11) AS DECIMAL(38,0)) AS det_a,
+       |       + $s2 * ($s1 * $s12 - $s2 * $s11) AS HUGEINT) AS det_a,
        |  CAST($sy * ($s11 * $s22 - $s12 * $s12) - $s1y * ($s1 * $s22 - $s2 * $s12)
-       |       + $s2y * ($s1 * $s12 - $s2 * $s11) AS DECIMAL(38,0)) AS det_b0,
+       |       + $s2y * ($s1 * $s12 - $s2 * $s11) AS HUGEINT) AS det_b0,
        |  CAST($n * ($s1y * $s22 - $s12 * $s2y) - $s1 * ($sy * $s22 - $s2 * $s2y)
-       |       + $s2 * ($sy * $s12 - $s2 * $s1y) AS DECIMAL(38,0)) AS det_b1,
+       |       + $s2 * ($sy * $s12 - $s2 * $s1y) AS HUGEINT) AS det_b1,
        |  CAST($n * ($s11 * $s2y - $s1y * $s12) - $s1 * ($s1 * $s2y - $sy * $s12)
-       |       + $s2 * ($s1 * $s1y - $sy * $s11) AS DECIMAL(38,0)) AS det_b2
-       |FROM m ORDER BY event_type""".stripMargin
+       |       + $s2 * ($s1 * $s1y - $sy * $s11) AS HUGEINT) AS det_b2
+       |FROM m)
+       |SELECT event_type, n, ${Seq("a" -> "det_a", "b0" -> "det_b0",
+             "b1" -> "det_b1", "b2" -> "det_b2").map { case (o, c) =>
+        s"""CAST(CASE WHEN $c < 0 THEN -1 WHEN $c > 0 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS ${o}_sgn,
+       |  CAST(abs($c) // 1000000000000000000 AS BIGINT) AS ${o}_hi,
+       |  CAST(abs($c) % 1000000000000000000 AS BIGINT) AS ${o}_lo"""
+      }.mkString(",\n       |  ")}
+       |FROM d ORDER BY event_type""".stripMargin
   }
 
   // --------------------------------------------------------------- Q196
@@ -1969,7 +1992,10 @@ object MiningQueries {
       .filter(col("den") > 0)
       .withColumn("ewma_c", expr("num div den"))
       .withColumn("alarm",
-        (abs(col("x") * col("den") - col("num")).cast("decimal(38,0)")
+        // x·den lifted to DECIMAL BEFORE the multiply (den ≈ 4.25·10⁹
+        // at the full 16-lag window ⇒ Long wraps past ~$21M/day) —
+        // mirrors the HUGEINT-operand oracle; round-7 ADVICE hazard
+        (abs(col("x").cast("decimal(38,0)") * col("den") - col("num"))
           * col("nchg") >
           col("den").cast("decimal(38,0)") * col("sumabs") * 3).cast("int"))
       .select(col("event_type"), col("day"), col("x").as("x_cents"),
@@ -2000,7 +2026,7 @@ object MiningQueries {
       |        CAST(count(diff) OVER (PARTITION BY event_type) AS BIGINT) AS nchg
       |      FROM s)
       |SELECT event_type, day, x AS x_cents, num // den AS ewma_c,
-      |       CAST(CAST(abs(x * den - num) AS HUGEINT) * nchg
+      |       CAST(abs(CAST(x AS HUGEINT) * den - num) * nchg
       |              > CAST(den AS HUGEINT) * sumabs * 3 AS INT) AS alarm
       |FROM t WHERE den > 0
       |ORDER BY event_type, day""".stripMargin
@@ -2022,9 +2048,15 @@ object MiningQueries {
     * order, so equal-slope ties resolve to the same pair in both
     * engines. Pair set = days², grid²-bounded (≤ 435 pairs/type at
     * any corpus scale — the q197 rationale); the corpus crosses the
-    * wire once in the daily fold. Longer horizons: D grows past
-    * BIGINT near a 60-day span — the documented lift is per-gap
-    * bucketing or a DECIMAL D. */
+    * wire once in the daily fold. The key is only the ORDERING
+    * device — the median pair is fully identified by (med_num,
+    * med_den), so the 128-bit key stays internal and the output is
+    * all-BIGINT (driver-hashable; the round-7 DECIMAL-vs-HUGEINT
+    * hasher lesson). Longer horizons: a gap > 29 days would floor
+    * D div den silently and could mis-order near-equal slopes, so
+    * BOTH engines raise on den > 29 (raise_error / error()) instead
+    * of degrading — the documented lift is per-gap bucketing or a
+    * DECIMAL D. */
   val q212: Q = (s, d) => {
     val D = 2329089562800L // lcm(1..29): every day-gap divides it
     val daily = graft.core.Pins.pin(
@@ -2039,7 +2071,10 @@ object MiningQueries {
         (col("c2") - col("c1")).as("num"), (col("d2") - col("d1")).as("den"),
         col("d1"), col("d2"))
       .withColumn("key",
-        (col("num").cast("decimal(38,0)") * expr(s"$D div den")))
+        col("num").cast("decimal(38,0)") * expr(
+          s"CASE WHEN den > 29 THEN raise_error(" +
+            "'q212: day gap > 29 exceeds the lcm(1..29) exact-ordering window')" +
+            s" ELSE $D div den END"))
     val wOrd = Window.partitionBy(col("event_type"))
       .orderBy(col("key"), col("num"), col("den"), col("d1"), col("d2"))
     pairs
@@ -2048,8 +2083,7 @@ object MiningQueries {
         .over(Window.partitionBy(col("event_type"))))
       .filter(col("rn") === expr("(n_pairs + 1) div 2"))
       .select(col("event_type"), col("n_pairs"),
-        col("num").as("med_num"), col("den").as("med_den"),
-        col("key").cast("decimal(38,0)").as("med_key"))
+        col("num").as("med_num"), col("den").as("med_den"))
       .orderBy(col("event_type"))
   }
 
@@ -2062,7 +2096,10 @@ object MiningQueries {
       |            b.c - a.c AS num, b.di - a.di AS den,
       |            a.di AS d1, b.di AS d2,
       |            CAST(b.c - a.c AS HUGEINT)
-      |              * (2329089562800 // (b.di - a.di)) AS key
+      |              * (CASE WHEN b.di - a.di > 29 THEN CAST(error(
+      |                   'q212: day gap > 29 exceeds the lcm(1..29) window')
+      |                   AS BIGINT)
+      |                 ELSE 2329089562800 // (b.di - a.di) END) AS key
       |          FROM daily a JOIN daily b
       |            ON a.event_type = b.event_type AND a.di < b.di),
       |r AS (SELECT *,
@@ -2071,8 +2108,7 @@ object MiningQueries {
       |        count(*) OVER (PARTITION BY event_type) AS n_pairs
       |      FROM pairs)
       |SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
-      |       num AS med_num, den AS med_den,
-      |       CAST(key AS HUGEINT) AS med_key
+      |       num AS med_num, den AS med_den
       |FROM r WHERE rn = (n_pairs + 1) // 2
       |ORDER BY event_type""".stripMargin
 

@@ -1373,12 +1373,22 @@ object StatQueries {
     * corpus crosses once in the day fold), Σ R_i²/n_i is the exact
     * rational P/Q with Q = Π n_i, and the tie-corrected statistic
     *   H = [3·(P − Q·N(N+1)²)·(N³−N)] / [Q·N(N+1)·(N³−N−ΣT)]
-    * (ΣT = Σ t³−t over pooled tie groups) is emitted as the exact
-    * DECIMAL(38,0) pair (h_num, h_den) — Cauchy–Schwarz guarantees
-    * h_num ≥ 0, so no sign-dependent floor exists; χ²(k−1) scoring
-    * is the caller's float boundary. Magnitude: (2R)² ≤ (N(N+1))²
-    * and the ×(N³−N) lift cap the numerator ~10²³ at this grid —
-    * in DECIMAL(38,0) range to ~3000× the span (bound documented). */
+    * (ΣT = Σ t³−t over pooled tie groups) is the exact rational
+    * (h_num, h_den) — Cauchy–Schwarz guarantees h_num ≥ 0, so no
+    * sign-dependent floor exists; χ²(k−1) scoring is the caller's
+    * float boundary. The 128-bit pair is emitted as BIGINT hi/lo
+    * halves (h = hi·10¹⁸ + lo, both sides non-negative — the
+    * q163/q164 driver-hashable discipline; DECIMAL(38,0) vs HUGEINT
+    * hash differently even when bit-equal, the round-7 lesson).
+    * Magnitude bounds (the round-7 ADVICE audit): Q = Π n_i and
+    * P = Σ (2R_i)²·(Q div n_i) are NOT BIGINT-safe at long spans
+    * (6 types × 365 days puts P ≈ 10²², past 2⁶³), so both are
+    * folded in DECIMAL(38,0)/HUGEINT — the only BIGINT-bounded
+    * intermediate left is each quotient Q div n_i = Π_{j≠i} n_j,
+    * safe while the OTHER groups' size product < 2⁶³ (365-day spans
+    * hold to ~9 types); (2R)² ≤ (N(N+1))² and the ×(N³−N) lift cap
+    * h_num ~10²³ at this grid, inside DECIMAL(38,0) to ~3000× the
+    * span. */
   val q208: Q = (s, d) => {
     val daily = graft.core.Pins.pin(
       t(s, d, "events")
@@ -1397,23 +1407,31 @@ object StatQueries {
       .agg(count(lit(1)).as("n_i"), sum(col("mr2")).as("r2_i"))
     // P/Q without per-row rational division: P = Σ (2R_i)²·(Q div n_i)
     // (exact — Q = Π n_i is divisible by each n_i), Q folded by an
-    // aggregate HOF over the ≤ |types| group sizes
+    // aggregate HOF over the ≤ |types| group sizes — in DECIMAL(38,0)
+    // (a BIGINT fold wraps silently past 2⁶³; see the docstring bound)
     val q0 = grp.agg(expr(
-      "aggregate(collect_list(n_i), CAST(1 AS BIGINT), (a, x) -> a * x)").as("qq"))
+      "aggregate(collect_list(n_i), CAST(1 AS DECIMAL(38,0))," +
+        " (a, x) -> CAST(a * x AS DECIMAL(38,0)))").as("qq"))
     val p0 = grp.crossJoin(broadcast(q0))
-      .agg(sum(col("r2_i") * col("r2_i") * expr("qq div n_i")).as("pp"),
+      .agg(sum(col("r2_i").cast("decimal(38,0)") * col("r2_i")
+        * expr("qq div n_i")).cast("decimal(38,0)").as("pp"),
         min(col("qq")).as("qq"))
     p0.crossJoin(broadcast(ties))
       .select(col("n_total"), col("sum_ties"),
         (lit(3L).cast("decimal(38,0)")
-          * (col("pp").cast("decimal(38,0)")
-            - col("qq").cast("decimal(38,0)") * col("n_total")
+          * (col("pp")
+            - col("qq") * col("n_total")
               * (col("n_total") + 1) * (col("n_total") + 1))
           * (col("n_total") * col("n_total") * col("n_total") - col("n_total")))
           .cast("decimal(38,0)").as("h_num"),
-        (col("qq").cast("decimal(38,0)") * col("n_total") * (col("n_total") + 1)
+        (col("qq") * col("n_total") * (col("n_total") + 1)
           * (col("n_total") * col("n_total") * col("n_total") - col("n_total")
             - col("sum_ties"))).cast("decimal(38,0)").as("h_den"))
+      .select(col("n_total"), col("sum_ties"),
+        expr("h_num div 1000000000000000000").as("h_num_hi"),
+        expr("CAST(h_num % 1000000000000000000 AS BIGINT)").as("h_num_lo"),
+        expr("h_den div 1000000000000000000").as("h_den_hi"),
+        expr("CAST(h_den % 1000000000000000000 AS BIGINT)").as("h_den_lo"))
   }
 
   val q208Sql: String =
@@ -1433,19 +1451,27 @@ object StatQueries {
       |grp AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_i,
       |          CAST(sum(mr2) AS BIGINT) AS r2_i
       |        FROM daily JOIN mr USING (c) GROUP BY 1),
-      |q0 AS (SELECT CAST(product(n_i) AS BIGINT) AS qq FROM grp),
-      |p0 AS (SELECT CAST(sum(r2_i * r2_i * (qq // n_i)) AS BIGINT) AS pp,
-      |         CAST(min(qq) AS BIGINT) AS qq
-      |       FROM grp, q0)
+      |q0 AS (SELECT list_reduce(list(CAST(n_i AS HUGEINT)),
+      |                 (a, x) -> a * x) AS qq FROM grp),
+      |p0 AS (SELECT CAST(sum(CAST(r2_i AS HUGEINT) * r2_i
+      |                       * CAST(qq // n_i AS BIGINT)) AS HUGEINT) AS pp,
+      |         min(qq) AS qq
+      |       FROM grp, q0),
+      |h AS (SELECT n_total, sum_ties,
+      |        CAST(3 * (pp
+      |                  - qq * n_total * (n_total + 1) * (n_total + 1))
+      |             * (CAST(n_total AS HUGEINT) * n_total * n_total - n_total)
+      |             AS HUGEINT) AS h_num,
+      |        CAST(qq * n_total * (n_total + 1)
+      |             * (CAST(n_total AS HUGEINT) * n_total * n_total - n_total - sum_ties)
+      |             AS HUGEINT) AS h_den
+      |      FROM p0, ties)
       |SELECT n_total, sum_ties,
-      |       CAST(3 * (CAST(pp AS HUGEINT)
-      |                 - CAST(qq AS HUGEINT) * n_total * (n_total + 1) * (n_total + 1))
-      |            * (CAST(n_total AS HUGEINT) * n_total * n_total - n_total)
-      |            AS HUGEINT) AS h_num,
-      |       CAST(CAST(qq AS HUGEINT) * n_total * (n_total + 1)
-      |            * (CAST(n_total AS HUGEINT) * n_total * n_total - n_total - sum_ties)
-      |            AS HUGEINT) AS h_den
-      |FROM p0, ties""".stripMargin
+      |       CAST(h_num // 1000000000000000000 AS BIGINT) AS h_num_hi,
+      |       CAST(h_num % 1000000000000000000 AS BIGINT) AS h_num_lo,
+      |       CAST(h_den // 1000000000000000000 AS BIGINT) AS h_den_hi,
+      |       CAST(h_den % 1000000000000000000 AS BIGINT) AS h_den_lo
+      |FROM h""".stripMargin
 
   // --------------------------------------------------------------- Q216
   /** SPEARMAN rank correlation per event type, between daily revenue

@@ -415,7 +415,10 @@ object EventStream {
       .filter(col("den") > 0)
       .withColumn("ewma_c", expr("num div den"))
       .withColumn("alarm",
-        (abs(col("x") * col("den") - col("num")).cast("decimal(38,0)")
+        // x·den is lifted to DECIMAL BEFORE the multiply: den reaches
+        // 4¹⁶−3¹⁶ ≈ 4.25·10⁹, so a Long product wraps silently past
+        // x ≈ 2.1·10⁹ cents/day (~$21M) — the round-7 ADVICE hazard
+        (abs(col("x").cast("decimal(38,0)") * col("den") - col("num"))
           * col("nchg") >
           col("den").cast("decimal(38,0)") * col("sumabs") * 3).cast("int"))
       .join(newDays, Seq("event_type", "day_us"), "left_semi")

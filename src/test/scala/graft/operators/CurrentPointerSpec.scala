@@ -34,4 +34,32 @@ class CurrentPointerSpec extends SparkSpec {
       assert(viaWin == naive, s"window seed=$seed")
     }
   }
+
+  test("repair re-derives a stale current pointer from the listing (UpdateCurrent.sh semantics)") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val root = java.nio.file.Files.createTempDirectory("graft_repair").toString
+    val store = new graft.sources.LocalFsStore(root)
+    val current = "rv/current/routeview.pfx2as.gz"
+    // a crash left `current` pointing at January's content
+    store.write("rv/2024/01/20240115-routeview.pfx2as.gz", "jan".getBytes(UTF_8))
+    store.write("rv/2024/02/20240210-routeview.pfx2as.gz", "feb".getBytes(UTF_8))
+    store.write("rv/2024/02/20240210-other.dat", "noise".getBytes(UTF_8))
+    store.write(current, "jan".getBytes(UTF_8))
+    val promoted = CurrentPointer.repair(store, "rv/", "routeview.pfx2as.gz", current)
+    assert(promoted.contains("rv/2024/02/20240210-routeview.pfx2as.gz"),
+      s"must pick the lexicographic tail, got $promoted")
+    assert(new String(store.read(current), UTF_8) == "feb")
+    // idempotent: a second repair promotes the same key to the same bytes
+    assert(CurrentPointer.repair(store, "rv/", "routeview.pfx2as.gz", current)
+      == promoted)
+    assert(new String(store.read(current), UTF_8) == "feb")
+    // the pointer itself is never a candidate (current/ names excluded):
+    // even though `current` ends with the suffix, an archive-free store
+    // leaves the pointer untouched instead of self-promoting or deleting
+    val root2 = java.nio.file.Files.createTempDirectory("graft_repair2").toString
+    val store2 = new graft.sources.LocalFsStore(root2)
+    store2.write(current, "only-copy".getBytes(UTF_8))
+    assert(CurrentPointer.repair(store2, "rv/", "routeview.pfx2as.gz", current).isEmpty)
+    assert(new String(store2.read(current), UTF_8) == "only-copy")
+  }
 }

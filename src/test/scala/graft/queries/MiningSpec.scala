@@ -578,11 +578,18 @@ class MiningSpec extends SparkSpec {
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val dir = java.nio.file.Files.createTempDirectory("graft_ols").toString
     ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
-    val Array((detA, b0, b1, b2)) = MiningQueries.q194(spark, dir)
-      .select(col("det_a").cast("string"), col("det_b0").cast("string"),
-        col("det_b1").cast("string"), col("det_b2").cast("string"))
-      .as[(String, String, String, String)].collect()
-    val (da, d0, d1, d2) = (BigInt(detA), BigInt(b0), BigInt(b1), BigInt(b2))
+    // reassemble each exact determinant from its (sgn, hi, lo) triple
+    def dets(dir0: String): Array[(String, BigInt, BigInt, BigInt, BigInt)] =
+      MiningQueries.q194(spark, dir0)
+        .select("event_type", Seq("a", "b0", "b1", "b2").flatMap(o =>
+          Seq(s"${o}_sgn", s"${o}_hi", s"${o}_lo")): _*)
+        .collect().map { r =>
+          def g(i: Int): BigInt = BigInt(r.getLong(i)) *
+            (BigInt(r.getLong(i + 1)) * BigInt("1000000000000000000") +
+              r.getLong(i + 2))
+          (r.getString(0), g(1), g(4), g(7), g(10))
+        }
+    val Array((_, da, d0, d1, d2)) = dets(dir)
     assert(da > 0, "Gram determinant must be positive for a full-rank design")
     assert(d0 == 500 * da && d1 == 300 * da && d2 == -200 * da,
       s"plane not recovered: b0=$d0/$da b1=$d1/$da b2=$d2/$da")
@@ -595,11 +602,7 @@ class MiningSpec extends SparkSpec {
         datediff(col("day"), lit("2024-01-01").cast("date")).cast("long").as("x1"),
         (weekday(col("day")) >= 5).cast("long").as("x2"), col("y"))
       .as[(String, Long, Long, Long)].collect()
-    val got = MiningQueries.q194(spark, sf0001)
-      .select(col("event_type"), col("det_a").cast("string"),
-        col("det_b0").cast("string"), col("det_b1").cast("string"),
-        col("det_b2").cast("string"))
-      .as[(String, String, String, String, String)].collect()
+    val got = dets(sf0001)
     got.foreach { case (et, sa, s0, s1, s2) =>
       val rows = daily.filter(_._1 == et).map(r => (BigInt(r._2), BigInt(r._3), BigInt(r._4)))
       val n = BigInt(rows.length)
@@ -615,8 +618,8 @@ class MiningSpec extends SparkSpec {
       val db0 = det3(sy, sx1, sx2, s1y, s11, s12, s2y, s12, s22)
       val db1 = det3(n, sy, sx2, sx1, s1y, s12, sx2, s2y, s22)
       val db2 = det3(n, sx1, sy, sx1, s11, s1y, sx2, s12, s2y)
-      assert(BigInt(sa) == da2 && BigInt(s0) == db0 &&
-        BigInt(s1) == db1 && BigInt(s2) == db2, s"$et: dets diverge from BigInt replay")
+      assert(sa == da2 && s0 == db0 &&
+        s1 == db1 && s2 == db2, s"$et: dets diverge from BigInt replay")
     }
   }
 
@@ -1038,12 +1041,27 @@ class MiningSpec extends SparkSpec {
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val dir = java.nio.file.Files.createTempDirectory("graft_ts").toString
     ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
-    val Array((_, np, num, den, _)) = MiningQueries.q212(spark, dir)
-      .select("event_type", "n_pairs", "med_num", "med_den", "med_key")
-      .as[(String, Long, Long, Long, BigDecimal)].collect()
+    val Array((_, np, num, den)) = MiningQueries.q212(spark, dir)
+      .select("event_type", "n_pairs", "med_num", "med_den")
+      .as[(String, Long, Long, Long)].collect()
     graft.core.Pins.release()
     assert(np == 55L && num == 5 * den,
       s"median slope must stay exactly 5 c/day under the outlier: n=$np, $num/$den")
+    // a >29-day gap must raise (the lcm(1..29) window guard), not mis-order
+    val evLong = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-04-01 09:00:00"), 1L, "click", 5.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-05-15 09:00:00"), 1L, "click", 9.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dirLong = java.nio.file.Files.createTempDirectory("graft_ts_guard").toString
+    evLong.write.mode("overwrite").parquet(s"$dirLong/events.parquet")
+    val guard = intercept[Exception] {
+      MiningQueries.q212(spark, dirLong).collect()
+    }
+    graft.core.Pins.release()
+    assert(guard.getMessage != null &&
+      (guard.getMessage.contains("q212") ||
+        Option(guard.getCause).exists(_.getMessage.contains("q212"))),
+      s"expected the q212 day-gap guard to fire, got: ${guard.getMessage}")
     // real-data replay: k-th smallest by exact BigInt key over all pairs
     val daily = Tables.load(spark, sf0001, "events")
       .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("di"))
@@ -1060,13 +1078,13 @@ class MiningSpec extends SparkSpec {
       t0 -> ps.sorted.apply(k - 1)
     }
     val real = MiningQueries.q212(spark, sf0001)
-      .select("event_type", "med_num", "med_den", "med_key")
-      .as[(String, Long, Long, BigDecimal)].collect()
-      .map(r => r._1 -> ((r._4.toBigInt, r._2, r._3))).toMap
+      .select("event_type", "med_num", "med_den")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
     graft.core.Pins.release()
-    expect.foreach { case (t0, (key, num0, den0, _, _)) =>
-      assert(real(t0) == ((key, num0, den0)),
-        s"$t0: ${real(t0)} vs replay ($key,$num0,$den0)")
+    expect.foreach { case (t0, (_, num0, den0, _, _)) =>
+      assert(real(t0) == ((num0, den0)),
+        s"$t0: ${real(t0)} vs replay ($num0,$den0)")
     }
   }
 

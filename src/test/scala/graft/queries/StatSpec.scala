@@ -396,6 +396,17 @@ class StatSpec extends SparkSpec {
   }
 
   test("q208: separated groups hit the closed-form H; identical groups give exactly 0; real data matches a BigInt replay") {
+    // reassemble the exact 128-bit value from the BIGINT hi/lo halves
+    def glue(hi: Long, lo: Long): BigInt =
+      BigInt(hi) * BigInt("1000000000000000000") + lo
+    def run(dir: String): (Long, Long, BigInt, BigInt) = {
+      val Array((n0, t0, nhi, nlo, dhi, dlo)) = StatQueries.q208(spark, dir)
+        .select("n_total", "sum_ties", "h_num_hi", "h_num_lo",
+          "h_den_hi", "h_den_lo")
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+      graft.core.Pins.release()
+      (n0, t0, glue(nhi, nlo), glue(dhi, dlo))
+    }
     def mk(rows: Seq[(Int, String, Double)]): String = {
       val ev = rows.zipWithIndex.map { case ((dd, t0, v), i) =>
         (i.toLong, java.sql.Timestamp.valueOf(f"2024-05-$dd%02d 12:00:00"), 1L, t0, v, "{}")
@@ -408,20 +419,14 @@ class StatSpec extends SparkSpec {
     // 18562500/2722500 in the emitted un-reduced encoding
     val sep = mk((1 to 5).map(d0 => (d0, "lo", d0 * 1.0)) ++
       (1 to 5).map(d0 => (d0, "hi", d0 * 10.0)))
-    val Array((n1, t1, hn1, hd1)) = StatQueries.q208(spark, sep)
-      .select("n_total", "sum_ties", "h_num", "h_den")
-      .as[(Long, Long, BigDecimal, BigDecimal)].collect()
-    graft.core.Pins.release()
-    assert((n1, t1) == ((10L, 0L)) && hn1.toBigInt == BigInt(18562500) &&
-      hd1.toBigInt == BigInt(2722500), s"closed form: ($n1,$t1,$hn1,$hd1)")
+    val (n1, t1, hn1, hd1) = run(sep)
+    assert((n1, t1) == ((10L, 0L)) && hn1 == BigInt(18562500) &&
+      hd1 == BigInt(2722500), s"closed form: ($n1,$t1,$hn1,$hd1)")
     // identical value multisets -> equal rank sums -> H must be 0
     val same = mk((1 to 5).flatMap(d0 =>
       Seq((d0, "a", d0 * 3.0), (d0, "b", d0 * 3.0))))
-    val Array((_, t2, hn2, _)) = StatQueries.q208(spark, same)
-      .select("n_total", "sum_ties", "h_num", "h_den")
-      .as[(Long, Long, BigDecimal, BigDecimal)].collect()
-    graft.core.Pins.release()
-    assert(hn2.toBigInt == BigInt(0) && t2 == 5L * 6,
+    val (_, t2, hn2, _) = run(same)
+    assert(hn2 == BigInt(0) && t2 == 5L * 6,
       s"identical groups: h_num $hn2, ties $t2")
     // real-data BigInt replay of the whole algebra
     val daily = Tables.load(spark, sf0001, "events")
@@ -442,12 +447,9 @@ class StatSpec extends SparkSpec {
     val sumT = pooledCnt.values.map(t0 => BigInt(t0).pow(3) - t0).sum
     val expNum = 3 * (pP - qQ * bigN * (bigN + 1).pow(2)) * (bigN.pow(3) - bigN)
     val expDen = qQ * bigN * (bigN + 1) * (bigN.pow(3) - bigN - sumT)
-    val Array((n3, t3, hn3, hd3)) = StatQueries.q208(spark, sf0001)
-      .select("n_total", "sum_ties", "h_num", "h_den")
-      .as[(Long, Long, BigDecimal, BigDecimal)].collect()
-    graft.core.Pins.release()
+    val (n3, t3, hn3, hd3) = run(sf0001)
     assert(BigInt(n3) == bigN && BigInt(t3) == sumT &&
-      hn3.toBigInt == expNum && hd3.toBigInt == expDen,
+      hn3 == expNum && hd3 == expDen,
       s"replay: got ($n3,$t3,$hn3,$hd3) vs ($bigN,$sumT,$expNum,$expDen)")
   }
 

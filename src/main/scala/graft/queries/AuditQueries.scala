@@ -1115,43 +1115,47 @@ object AuditQueries {
     * quantifies the breach: that IS the audit's job). Output
     * (check, n_checked, n_violations, worst_cents) with worst = the
     * largest absolute gap for the total check, 0 where size has no
-    * meaning. Dataflow: ONE detail fold (orderkey → cents) and ONE
-    * full-outer join with the header on the shared key — the
-    * canonical fact-to-fact reconciliation whose only corpus-sized
-    * costs are that fold and join; every check folds off the joined
-    * relation map-side. At 100 TB co-bucketing both tables on the
-    * key removes even the join exchange. */
+    * meaning. Dataflow: ONE detail fold (orderkey → cents), ONE
+    * full-outer join with the header on the shared key, and ONE
+    * aggregate pass computing all three join-side checks as parallel
+    * conditional folds (r8: the first cut pinned the join and scanned
+    * it three times — one pass per check — costing a checkpoint plus
+    * 3× the joined-relation traffic; the single 12-column fold then
+    * `stack`s into the report rows, so no pin exists at all); the
+    * key-uniqueness check folds off its own header scan. At 100 TB
+    * co-bucketing both tables on the key removes even the join
+    * exchange. */
   val q219: Q = (s, d) => {
     val o = t(s, d, "orders").select(col("o_orderkey"),
       round(col("o_totalprice") * 100).cast("long").as("hdr_c"))
     val l = t(s, d, "lineitem")
       .groupBy(col("l_orderkey"))
       .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("det_c"))
-    val j = graft.core.Pins.pin(
-      o.join(l, col("o_orderkey") === col("l_orderkey"), "full_outer")
-        .select(col("o_orderkey"), col("l_orderkey"), col("hdr_c"), col("det_c")))
+    val j = o.join(l, col("o_orderkey") === col("l_orderkey"), "full_outer")
+      .select(col("o_orderkey"), col("l_orderkey"), col("hdr_c"), col("det_c"))
+    val hasHdr = col("o_orderkey").isNotNull
+    val hasDet = col("l_orderkey").isNotNull
+    val checks = j.agg(
+      sum(when(hasHdr, 1L).otherwise(0L)).as("n_hdr"),
+      sum(when(hasHdr && !hasDet, 1L).otherwise(0L)).as("v_hdr"),
+      sum(when(hasDet, 1L).otherwise(0L)).as("n_det"),
+      sum(when(hasDet && !hasHdr, 1L).otherwise(0L)).as("v_det"),
+      sum(when(hasHdr && hasDet, 1L).otherwise(0L)).as("n_both"),
+      sum(when(hasHdr && hasDet && col("hdr_c") =!= col("det_c"), 1L)
+        .otherwise(0L)).as("v_tot"),
+      coalesce(max(when(hasHdr && hasDet, abs(col("hdr_c") - col("det_c")))),
+        lit(0L)).as("worst"))
+      .selectExpr("""stack(3,
+        'header_has_details',        n_hdr,  v_hdr, CAST(0 AS BIGINT),
+        'detail_has_header',         n_det,  v_det, CAST(0 AS BIGINT),
+        'total_matches_detail_sum',  n_both, v_tot, worst)
+        AS (check, n_checked, n_violations, worst_cents)""")
     val dupKeys = o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("k"))
       .agg(count(lit(1)).as("n_checked"),
         sum(when(col("k") > 1, 1L).otherwise(0L)).as("n_violations"))
       .select(lit("header_key_unique").as("check"), col("n_checked"),
         col("n_violations"), lit(0L).as("worst_cents"))
-    val orphanHdr = j.filter(col("o_orderkey").isNotNull)
-      .agg(count(lit(1)).as("n_checked"),
-        sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("n_violations"))
-      .select(lit("header_has_details").as("check"), col("n_checked"),
-        col("n_violations"), lit(0L).as("worst_cents"))
-    val orphanDet = j.filter(col("l_orderkey").isNotNull)
-      .agg(count(lit(1)).as("n_checked"),
-        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("n_violations"))
-      .select(lit("detail_has_header").as("check"), col("n_checked"),
-        col("n_violations"), lit(0L).as("worst_cents"))
-    val totals = j.filter(col("o_orderkey").isNotNull && col("l_orderkey").isNotNull)
-      .agg(count(lit(1)).as("n_checked"),
-        sum(when(col("hdr_c") =!= col("det_c"), 1L).otherwise(0L)).as("n_violations"),
-        coalesce(max(abs(col("hdr_c") - col("det_c"))), lit(0L)).as("worst_cents"))
-      .select(lit("total_matches_detail_sum").as("check"), col("n_checked"),
-        col("n_violations"), col("worst_cents"))
-    dupKeys.unionByName(orphanHdr).unionByName(orphanDet).unionByName(totals)
+    dupKeys.unionByName(checks)
       .orderBy(col("check"))
   }
 

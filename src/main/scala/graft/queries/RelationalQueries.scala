@@ -1391,7 +1391,13 @@ object RelationalQueries {
       .filter(col("o_orderdate") >= lit("1996-01-01")
         && col("o_orderdate") < lit("1996-07-01"))
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
-    val l = t(s, d, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    // derived predicate Catalyst cannot infer through the join residual:
+    // late for SOME window order ⇒ shipped after min(o_orderdate) + 30
+    // (1996-01-31) — pushes to the lineitem scan (and prunes date
+    // partitions at scale) before any join state builds
+    val l = t(s, d, "lineitem")
+      .filter(col("l_shipdate") > lit("1996-01-31"))
+      .select(col("l_orderkey"), col("l_shipdate"))
     o.join(l, col("o_orderkey") === col("l_orderkey") &&
         col("l_shipdate") > date_add(col("o_orderdate").cast("date"), 30),
         "left_semi")

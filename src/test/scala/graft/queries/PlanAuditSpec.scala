@@ -177,11 +177,12 @@ object PlanAuditSpec {
     // per-part window, dominant-distinct, semi probe and output sort
     // all re-key the parts×suppliers fold — model-sized by design
     "q209_dominant_suppliers" -> 5,
-    // q219: the detail fold + the header⋈detail full-outer join are
-    // the two corpus-sized exchanges (both on the shared orderkey —
-    // co-bucketing removes them at scale); the four check folds are
-    // one-row aggregates off the pin and the dup-key re-count + the
-    // 4-row union sort close the set
+    // q219 (r8 one-pass form): the detail fold + the header⋈detail
+    // full-outer join are the two corpus-sized exchanges (both on the
+    // shared orderkey — co-bucketing removes them at scale); ALL THREE
+    // join-side checks ride ONE aggregate pass (its one-row exchange),
+    // the dup-key re-count adds its fold + one-row re-fold, and the
+    // 4-row union sort closes the set
     "q219_reconciliation" -> 5)
   /** Audited per-query scan counts (see the class doc). Only queries
     * whose audited plan exceeds or notably undercuts the default are

@@ -1416,6 +1416,234 @@ object RelationalQueries {
       |                AND l_shipdate > CAST(o_orderdate AS DATE) + INTERVAL 30 DAY)
       |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
 
+  // --------------------------------------------------------------- Q222
+  /** TPC-H Q9 shape — product-line PROFIT by nation × order-year (the
+    * widest dimension-chain fold in the suite after q179's Q8: fact ⋈
+    * orders for the year, part for the product filter, supplier →
+    * nation for the geography). No partsupp table exists in this
+    * corpus, so unit cost is the part's retail price (the Q9 cost
+    * role): amount = extprice·(1−disc) − retail·qty, every term exact
+    * DECIMAL (the q153 dec2/dec4 discipline; qty is integral, cast
+    * straight to BIGINT — round() would hide a corpus change). Filter
+    * = parts named '%red%' (Q9's '%green%'), pushed to the part scan
+    * as a Contains and broadcast BEFORE the fact fold, exactly like
+    * the supplier/nation chain — the only corpus-sized exchanges are
+    * the fact⋈orders equi-join and the (nation, year) fold. Report =
+    * round-to-cents double at the boundary (q153's rule). */
+  val q222: Q = (s, d) => {
+    import graft.core.Dsl.{dec2, dec4}
+    val one = lit(1).cast(org.apache.spark.sql.types.DecimalType(5, 4))
+    val pt = t(s, d, "part").filter(col("p_name").contains("red"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val sup = t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val nat = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+    val ord = t(s, d, "orders")
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    t(s, d, "lineitem")
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("n_name"), col("o_year"),
+        (dec2(col("l_extendedprice")) * (one - dec4(col("l_discount")))
+          - dec2(col("p_retailprice")) * col("l_quantity").cast("long"))
+          .as("amount"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(round(sum(col("amount")).cast("double"), 2).as("profit"))
+      .select(col("n_name"), col("o_year").cast("long").as("o_year"), col("profit"))
+      .orderBy(col("n_name"), col("o_year").desc)
+  }
+
+  val q222Sql: String =
+    """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))
+      |      * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))
+      |      - CAST(p_retailprice AS DECIMAL(15,2))
+      |      * CAST(l_quantity AS BIGINT)) AS DOUBLE), 2) AS profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |WHERE p_name LIKE '%red%'
+      |GROUP BY n_name, year(o_orderdate)
+      |ORDER BY n_name, o_year DESC""".stripMargin
+
+  // --------------------------------------------------------------- Q223
+  /** TPC-H Q14 shape — promotion revenue SHARE for one ship-month (the
+    * conditional-share fold: one fact scan, a broadcast part probe for
+    * the type, and a single row out). The textbook form divides two
+    * decimal sums into a float percentage; here the share is the exact
+    * integer cross-multiplication the engine's other ratios use:
+    * revenue carries 6 exact decimal places (2 from price × 4 from
+    * discount), so both sums are emitted as micro-unit BIGINTs
+    * (×10⁶, magnitudes ~10¹⁴ at 10× this SF — Long-safe) and the
+    * share as (promo·10⁶ div total) ppm — non-negative operands, so
+    * Spark div and DuckDB // agree. The ship-month predicate pushes to
+    * the fact scan; everything after the broadcast probe is one
+    * map-side-combinable fold. */
+  val q223: Q = (s, d) => {
+    import graft.core.Dsl.{dec2, dec4}
+    val one = lit(1).cast(org.apache.spark.sql.types.DecimalType(5, 4))
+    val pt = t(s, d, "part").select(col("p_partkey"), col("p_type"))
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-09-01")
+        && col("l_shipdate") < lit("1997-10-01"))
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .select((col("p_type") === "PROMO").as("is_promo"),
+        (dec2(col("l_extendedprice")) * (one - dec4(col("l_discount"))))
+          .as("rev"))
+      .agg(
+        sum(when(col("is_promo"), col("rev"))
+          .otherwise(lit(0).cast(org.apache.spark.sql.types.DecimalType(21, 6))))
+          .as("promo"),
+        sum(col("rev")).as("total"))
+      .select(
+        (col("promo") * 1000000).cast("decimal(38,0)").cast("long").as("promo_u6"),
+        (col("total") * 1000000).cast("decimal(38,0)").cast("long").as("total_u6"))
+      .select(col("promo_u6"), col("total_u6"),
+        expr("CAST(promo_u6 AS DECIMAL(38,0)) * 1000000 div total_u6")
+          .as("promo_ppm"))
+  }
+
+  val q223Sql: String =
+    """WITH f AS (SELECT CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS is_promo,
+      |         CAST(l_extendedprice AS DECIMAL(15,2))
+      |           * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4))) AS rev
+      |       FROM lineitem JOIN part ON l_partkey = p_partkey
+      |       WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      |         AND l_shipdate < TIMESTAMP '1997-10-01'),
+      |a AS (SELECT CAST(sum(CASE WHEN is_promo = 1 THEN rev
+      |                            ELSE CAST(0 AS DECIMAL(21,6)) END)
+      |             * 1000000 AS BIGINT) AS promo_u6,
+      |        CAST(sum(rev) * 1000000 AS BIGINT) AS total_u6
+      |      FROM f)
+      |SELECT promo_u6, total_u6,
+      |       CAST(CAST(promo_u6 AS HUGEINT) * 1000000 // total_u6 AS BIGINT)
+      |         AS promo_ppm
+      |FROM a""".stripMargin
+
+  // --------------------------------------------------------------- Q224
+  /** TPC-H Q15 shape — TOP SUPPLIER(S) by quarterly revenue, ties kept
+    * (Q15's revenue view + `total = (SELECT max(total))`: an argmax
+    * that must return EVERY maximiser, where q6's max_by keeps one).
+    * The q218 one-fold-two-consumers discipline: the per-supplier
+    * quarter fold PINS (one fact scan), the scalar max is a one-row
+    * re-aggregate OF THE FOLD broadcast back as an exact equality on
+    * micro-unit BIGINTs — never a window over an unpartitioned
+    * supplier relation (suppliers grow with the corpus; a one-row
+    * broadcast doesn't). Names ride a broadcast supplier probe AFTER
+    * the threshold, order by suppkey (Q15's report order). */
+  val q224: Q = (s, d) => {
+    import graft.core.Dsl.{dec2, dec4}
+    val one = lit(1).cast(org.apache.spark.sql.types.DecimalType(5, 4))
+    val fold = graft.core.Pins.pin(
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01")
+          && col("l_shipdate") < lit("1997-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg((sum(dec2(col("l_extendedprice"))
+            * (one - dec4(col("l_discount")))) * 1000000)
+          .cast("decimal(38,0)").cast("long").as("total_u6")))
+    val top = fold.agg(max(col("total_u6")).as("mx"))
+    val sup = t(s, d, "supplier").select(col("s_suppkey"), col("s_name"))
+    fold.crossJoin(broadcast(top))
+      .filter(col("total_u6") === col("mx"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_u6"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q224Sql: String =
+    """WITH rev AS (SELECT l_suppkey,
+      |         CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))
+      |             * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4))))
+      |           * 1000000 AS BIGINT) AS total_u6
+      |       FROM lineitem
+      |       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |         AND l_shipdate < TIMESTAMP '1997-04-01'
+      |       GROUP BY 1)
+      |SELECT s_suppkey, s_name, total_u6
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_u6 = (SELECT max(total_u6) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // --------------------------------------------------------------- Q225
+  /** TPC-H Q16 shape — supplier-count-distinct per part attribute
+    * class, with a NOT-IN supplier EXCLUSION (Q16's complaints
+    * filter). No partsupp table exists, so the observed part↔supplier
+    * relationship IS the lineitem fact (who ever shipped the part) —
+    * distinct'd to the slim pair relation FIRST, so the count-distinct
+    * aggregates a parts×suppliers-bounded relation, never fact rows.
+    * Exclusion = suppliers in arrears (s_acctbal < 0, the complaints
+    * proxy) as a broadcast LeftAnti — the NOT IN that stays an
+    * anti-join, never a filter on a joined row (NULL semantics don't
+    * bite: keys are non-null by construction). Part classes: brand ≠
+    * 'Brand#5', non-PROMO type, the Q16 size octave {1,4,9,16,25,36}.
+    * Order: count desc, then the full class key (Q16's report). */
+  val q225: Q = (s, d) => {
+    val badSup = t(s, d, "supplier").filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    val pt = t(s, d, "part")
+      .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO"
+        && col("p_size").isin(1, 4, 9, 16, 25, 36))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    t(s, d, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(badSup), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .select(col("p_brand"), col("p_type"), col("p_size").cast("long").as("p_size"),
+        col("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  val q225Sql: String =
+    """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+      |SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+      |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM ps JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 4, 9, 16, 25, 36)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  // --------------------------------------------------------------- Q226
+  /** TPC-H Q18 shape — LARGE-VOLUME ORDERS (the HAVING-sum threshold
+    * pushed into a fact pre-fold): orders whose total line quantity
+    * exceeds 300, reported with their customer. The planning point Q18
+    * exists for: the quantity fold runs ON THE FACT FIRST (map-side
+    * combinable, orderkey-keyed — never a join-then-having), the
+    * survivors (top ~0.1% of orders) are join INPUT, so the
+    * orders/customer joins see threshold-sized relations and AQE
+    * broadcasts them. Quantities are integral — summed as exact
+    * BIGINT. Report: qty desc, orderkey asc (the deterministic Q18
+    * order), top 100. */
+  val q226: Q = (s, d) => {
+    val big = t(s, d, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > 300)
+    val ord = t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        unix_micros(col("o_orderdate")).as("o_date_us"))
+    big.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_date_us"),
+        col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q226Sql: String =
+    """WITH big AS (SELECT l_orderkey,
+      |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      |       FROM lineitem GROUP BY 1 HAVING total_qty > 300)
+      |SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS o_date_us, total_qty
+      |FROM big JOIN orders ON l_orderkey = o_orderkey
+      |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q153_shipping_priority", q153, q153Sql),
@@ -1436,6 +1664,11 @@ object RelationalQueries {
     ("q213_pareto_abc", q213, q213Sql),
     ("q218_important_parts", q218, q218Sql),
     ("q220_late_orders", q220, q220Sql),
+    ("q222_profit_by_nation", q222, q222Sql),
+    ("q223_promo_share", q223, q223Sql),
+    ("q224_top_supplier_ties", q224, q224Sql),
+    ("q225_supplier_cnt_classes", q225, q225Sql),
+    ("q226_large_volume_orders", q226, q226Sql),
     ("q31_correlated_subquery", q31, q31Sql),
     ("q32_percentiles", q32, q32Sql),
     ("q33_date_arithmetic", q33, q33Sql),

@@ -206,6 +206,10 @@ object PlanAuditSpec {
     // q154 JOINS six base tables (TPC-H Q5 star) — six scans is one per
     // table, the class doc's multi-table carve-out, every dim broadcast
     "q154_local_supplier_volume" -> 6,
+    // q222 (TPC-H Q9): five base tables, one scan each — part/supplier/
+    // nation broadcast before the fact fold, fact⋈orders is the only
+    // big join (the multi-table carve-out)
+    "q222_profit_by_nation" -> 5,
     // q162 (TPC-H Q7): five base tables with nation scanned TWICE — once
     // per ROLE (supplier's nation, customer's nation); both role chains
     // broadcast, so the double scan is dimension-sized by construction

@@ -465,4 +465,145 @@ class TpchJoinSpec extends SparkSpec {
       plan.linesIterator.exists(l => l.contains("LeftSemi") && l.contains("shipdate")),
       "the late test must ride the semi-join condition")
   }
+
+  test("q222: chain broadcasts + pushed part filter; profit matches a BigDecimal replay") {
+    val p = plan(RelationalQueries.q222)
+    val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 3, s"part/supplier/nation must broadcast, saw $bhj BHJ")
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.toLowerCase.contains("p_name")),
+      "the %red% filter must reach the part scan")
+    // BigDecimal replay of one (nation, year) cell on sf0.001
+    val rows = Tables.load(spark, sf0001, "lineitem")
+      .join(Tables.load(spark, sf0001, "part")
+        .filter(col("p_name").contains("red")), col("l_partkey") === col("p_partkey"))
+      .join(Tables.load(spark, sf0001, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.load(spark, sf0001, "nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.load(spark, sf0001, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("n_name"), year(col("o_orderdate")).cast("long"),
+        col("l_extendedprice").cast("decimal(15,2)").cast("string"),
+        col("l_discount").cast("decimal(6,4)").cast("string"),
+        col("p_retailprice").cast("decimal(15,2)").cast("string"),
+        col("l_quantity").cast("long"))
+      .as[(String, Long, String, String, String, Long)].collect()
+    val expect = rows.groupBy(r => (r._1, r._2)).view.mapValues(_.map { r =>
+      BigDecimal(r._3) * (BigDecimal(1) - BigDecimal(r._4)) -
+        BigDecimal(r._5) * BigDecimal(r._6)
+    }.sum.setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+    val got = RelationalQueries.q222(spark, sf0001)
+      .as[(String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == expect.toMap, s"profit replay: ${got.size} vs ${expect.size} cells")
+    assert(got.keys.map(_._2).toSet.size > 1, "needs multiple order years")
+  }
+
+  test("q223: planted promo/non-promo lines hit the exact ppm; single fact scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_q14").toString
+    def d0(s0: String) = java.sql.Timestamp.valueOf(s0 + " 00:00:00")
+    Seq((1L, "PROMO"), (2L, "STANDARD"))
+      .toDF("p_partkey", "p_type")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    // promo: 100.00 * (1 - 0.1000) = 90.000000; other: 200.00 * 1 = 200.000000
+    Seq((10L, 1L, 1L, 1, 1.0, 100.0, 0.10, 0.0, "N", "O", d0("1997-09-15")),
+        (11L, 2L, 1L, 1, 1.0, 200.0, 0.00, 0.0, "N", "O", d0("1997-09-16")),
+        (12L, 1L, 1L, 1, 1.0, 999.0, 0.00, 0.0, "N", "O", d0("1997-10-01")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val Array((pu, tu, ppm)) = RelationalQueries.q223(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    assert(pu == 90000000L && tu == 290000000L,
+      s"micro-unit sums: $pu / $tu")
+    assert(ppm == 90000000L * 1000000L / 290000000L,
+      s"ppm must be the exact floor division: $ppm")
+    val p = plan(RelationalQueries.q223)
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 2,
+      "exactly one lineitem scan + one part scan")
+  }
+
+  test("q224: ALL tied maximisers are reported; residual plan reads the pin") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_q15").toString
+    def d0(s0: String) = java.sql.Timestamp.valueOf(s0 + " 00:00:00")
+    Seq((1L, "Supplier#1", 1, 0.0), (2L, "Supplier#2", 1, 0.0),
+        (3L, "Supplier#3", 1, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    // suppliers 1 and 2 tie at 150.000000; supplier 3 trails
+    Seq((10L, 1L, 1L, 1, 1.0, 100.0, 0.00, 0.0, "N", "O", d0("1997-02-01")),
+        (11L, 1L, 1L, 1, 1.0, 50.0, 0.00, 0.0, "N", "O", d0("1997-02-02")),
+        (12L, 1L, 2L, 1, 1.0, 150.0, 0.00, 0.0, "N", "O", d0("1997-03-01")),
+        (13L, 1L, 3L, 1, 1.0, 10.0, 0.00, 0.0, "N", "O", d0("1997-03-02")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = RelationalQueries.q224(spark, dir)
+      .as[(Long, String, Long)].collect().toSeq
+    graft.core.Pins.release()
+    assert(got == Seq((1L, "Supplier#1", 150000000L), (2L, "Supplier#2", 150000000L)),
+      s"both tied maximisers must report: $got")
+    // one-fold-two-consumers: the scalar max re-aggregates the PIN
+    val p = plan(RelationalQueries.q224)
+    graft.core.Pins.release()
+    assert(p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem")) == 0,
+      "the fact fold must feed both consumers through the pin")
+  }
+
+  test("q225: arrears suppliers are anti-joined out; distinct pairs, not fact rows, aggregate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_q16").toString
+    def d0(s0: String) = java.sql.Timestamp.valueOf(s0 + " 00:00:00")
+    Seq((1L, "S1", 1, 10.0), (2L, "S2", 1, -5.0), (3L, "S3", 1, 10.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq((1L, "blue bolt", "Brand#1", "STANDARD", 4, 10.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    // suppliers 1,2,3 all shipped part 1 (supplier 1 twice - distinct matters)
+    Seq((10L, 1L, 1L), (11L, 1L, 1L), (12L, 1L, 2L), (13L, 1L, 3L))
+      .map { case (o, pk, sk) =>
+        (o, pk, sk, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", d0("1997-01-01")) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = RelationalQueries.q225(spark, dir)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(("Brand#1", "STANDARD", 4L, 2L)),
+      s"S2 (arrears) must not count; S1 counts once: $got")
+    val p = plan(RelationalQueries.q225)
+    assert(p.contains("LeftAnti"), "the NOT IN must stay an anti-join")
+  }
+
+  test("q226: the quantity fold runs on the fact BEFORE any join; > is strict") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_q18").toString
+    def d0(s0: String) = java.sql.Timestamp.valueOf(s0 + " 00:00:00")
+    Seq((1L, 7L, "O", 10.0, d0("1997-01-01"), "1-URGENT"),
+        (2L, 8L, "O", 10.0, d0("1997-01-02"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // order 1 sums to exactly 300 (strict > excludes), order 2 to 301
+    Seq((1L, 150.0), (1L, 150.0), (2L, 150.0), (2L, 151.0))
+      .map { case (o, q) =>
+        (o, 1L, 1L, 1, q, 10.0, 0.0, 0.0, "N", "O", d0("1997-01-01")) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = RelationalQueries.q226(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._4)) == Seq((8L, 2L, 301L)),
+      s"only the 301-qty order survives the strict threshold: $got")
+    // the fold-then-filter must sit BELOW the orders join in the plan
+    val p = plan(RelationalQueries.q226)
+    val aggLine = p.linesIterator.indexWhere(l => l.contains("total_qty"))
+    assert(p.contains("total_qty"), "fact pre-fold must exist")
+    assert(p.linesIterator.exists(l => l.contains("Filter") || l.contains("(total_qty")),
+      "threshold must filter the fold, not a joined row")
+  }
 }

@@ -4272,6 +4272,69 @@ object PipelineQueries {
       |SELECT CAST(step AS BIGINT) AS step, vec_id, rel, score2
       |FROM gr WHERE step > 0 ORDER BY step""".stripMargin
 
+  // --------------------------------------------------------------- Q230
+  /** COLLOCATION mining by exact LIFT — which word pairs co-occur as
+    * bigrams far above their unigram chance rate (the phrase-detection
+    * primitive tokenizer pipelines run before BPE merges and quality
+    * filters run for boilerplate phrases; q148's association rules do
+    * this for baskets, q89's LM scores docs — this ranks the PAIRS).
+    * lift(w₁w₂) = P(w₁w₂)/(P(w₁)P(w₂)) = c_b·U² / (B·c₁·c₂) over
+    * bigram count c_b (corpus bigram total B) and unigram counts c₁,
+    * c₂ (total U) — all exact BIGINT folds: one tokenize scan per
+    * grain (unigram + bigram — they tokenize differently; both are
+    * map-side-combinable single passes and the joined relations are
+    * VOCABULARY-sized, Heaps-bounded, so both model sides broadcast
+    * into the bigram relation), the ratio lifted to
+    * DECIMAL(38,0)/HUGEINT (c_b·U²
+    * ~ 10¹⁶ at this SF, past 2⁶³ at ~30× — the established lift
+    * discipline) and floored to ppm (non-negative, div ≡ //). Top 20
+    * by (lift desc, bigram asc) — the deterministic report. */
+  val q230: Q = (s, d) => {
+    val dec = "decimal(38,0)"
+    val toks = graft.core.Pins.pin(
+      t(s, d, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cu")))
+    val uniTot = toks.agg(sum(col("cu")).as("u"))
+    val bg = t(s, d, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .select(explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .groupBy(col("p.w1"), col("p.w2")).agg(count(lit(1)).as("cb"))
+    val bgTot = bg.agg(sum(col("cb")).as("b"))
+    bg.join(broadcast(toks.withColumnRenamed("w", "w1")
+        .withColumnRenamed("cu", "c1")), Seq("w1"))
+      .join(broadcast(toks.withColumnRenamed("w", "w2")
+        .withColumnRenamed("cu", "c2")), Seq("w2"))
+      .crossJoin(broadcast(uniTot)).crossJoin(broadcast(bgTot))
+      .select(concat(col("w1"), lit(" "), col("w2")).as("bigram"),
+        col("cb"), col("c1"), col("c2"),
+        expr(s"CAST(cb AS $dec) * u * u * 1000000" +
+          s" div (CAST(b AS $dec) * c1 * c2)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("bigram"))
+      .limit(20)
+  }
+
+  val q230Sql: String =
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM toks GROUP BY 1),
+      |ut AS (SELECT CAST(sum(cu) AS BIGINT) AS u FROM uni),
+      |words AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+      |       FROM (SELECT unnest(list_transform(range(1, len(t)),
+      |                      i -> struct_pack(w1 := t[i], w2 := t[i+1])),
+      |                    recursive := true)
+      |             FROM words)
+      |       GROUP BY 1, 2),
+      |bt AS (SELECT CAST(sum(cb) AS BIGINT) AS b FROM bg)
+      |SELECT bg.w1 || ' ' || bg.w2 AS bigram, cb, u1.cu AS c1, u2.cu AS c2,
+      |       CAST(CAST(cb AS HUGEINT) * u * u * 1000000
+      |            // (CAST(b AS HUGEINT) * u1.cu * u2.cu) AS BIGINT) AS lift_ppm
+      |FROM bg JOIN uni u1 ON bg.w1 = u1.w JOIN uni u2 ON bg.w2 = u2.w, ut, bt
+      |ORDER BY lift_ppm DESC, bigram LIMIT 20""".stripMargin
+
   // --------------------------------------------------------------- Q214
   /** PERCEPTUAL-HASH image dedup — aHash + hamming blocking (what
     * production image pipelines ship as pHash/PDQ's cheap tier; q83
@@ -4462,7 +4525,8 @@ object PipelineQueries {
     ("q200_dbscan", q200, q200Sql),
     ("q206_readability", q206, q206Sql),
     ("q211_mmr_topk", q211, q211Sql),
-    ("q214_ahash_dedup", q214, q214Sql))
+    ("q214_ahash_dedup", q214, q214Sql),
+    ("q230_collocation_lift", q230, q230Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type (KLL-style `percentile_approx`

@@ -1551,6 +1551,278 @@ object StatQueries {
       |            ELSE 0.0 END AS rho
       |FROM m ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------- shared F
+  /** EXACT one-way ANOVA F as a 128-bit rational, shared by q227 (raw
+    * values) and q228 (Brown–Forsythe median-centered deviations). For
+    * groups g with values x (exact BIGINTs): with S_i = Σx, Q_i = Σx²,
+    * N = Σn_i, S = ΣS_i, Q = ΣQ_i and Qd = Π n_i (the q208 exact-
+    * product discipline: folded in DECIMAL(38,0)/HUGEINT — a BIGINT
+    * fold wraps past 2⁶³ at long spans), A = Σ S_i²·(Qd div n_i) gives
+    * ΣS_i²/n_i = A/Qd exactly (each quotient Π_{j≠i} n_j must fit
+    * BIGINT — documented, the q208 bound), and
+    *   F = [SSB/(k−1)]/[SSW/(N−k)]
+    *     = (A·N − S²·Qd)·(N−k) / [N·(Q·Qd − A)·(k−1)]
+    * — both sides NON-NEGATIVE by Cauchy–Schwarz, emitted as the
+    * driver-hashable BIGINT hi/lo halves (h = hi·10¹⁸ + lo). An
+    * all-equal-within-groups input makes f_den 0 (F undefined) — the
+    * exact integers pass through, the χ²/F scoring is the caller's
+    * float boundary. */
+  private def exactAnovaF(values: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val dec = "decimal(38,0)"
+    val grp = values.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_i"), sum(col("x")).as("s_i"),
+        sum(col("x").cast(dec) * col("x")).cast(dec).as("q_i"))
+    val tot = grp.agg(
+      expr("aggregate(collect_list(n_i), CAST(1 AS DECIMAL(38,0))," +
+        " (a, x) -> CAST(a * x AS DECIMAL(38,0)))").as("qd"),
+      count(lit(1)).as("k"), sum(col("n_i")).as("n_tot"),
+      sum(col("s_i")).cast(dec).as("s_all"),
+      sum(col("q_i")).cast(dec).as("q_all"))
+    grp.crossJoin(broadcast(tot))
+      .agg(sum(col("s_i").cast(dec) * col("s_i") * expr("qd div n_i"))
+          .cast(dec).as("aa"),
+        min(col("qd")).as("qd"), min(col("k")).as("k"),
+        min(col("n_tot")).as("n_tot"), min(col("s_all")).as("s_all"),
+        min(col("q_all")).as("q_all"))
+      .select(col("n_tot"), col("k"),
+        ((col("aa") * col("n_tot") - col("s_all") * col("s_all") * col("qd"))
+          * (col("n_tot") - col("k"))).cast(dec).as("f_num"),
+        ((col("q_all") * col("qd") - col("aa")) * col("n_tot")
+          * (col("k") - 1)).cast(dec).as("f_den"))
+      .select(col("n_tot"), col("k"),
+        expr("f_num div 1000000000000000000").as("f_num_hi"),
+        expr("CAST(f_num % 1000000000000000000 AS BIGINT)").as("f_num_lo"),
+        expr("f_den div 1000000000000000000").as("f_den_hi"),
+        expr("CAST(f_den % 1000000000000000000 AS BIGINT)").as("f_den_lo"))
+  }
+
+  /** Shared SQL tail mirroring [[exactAnovaF]] — `vals` must be a CTE
+    * named `vals(g, x)` with exact BIGINT x. */
+  private def anovaSqlTail: String =
+    """grp AS (SELECT g, CAST(count(*) AS BIGINT) AS n_i,
+      |          CAST(sum(x) AS BIGINT) AS s_i,
+      |          CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q_i
+      |        FROM vals GROUP BY 1),
+      |tot AS (SELECT list_reduce(list(CAST(n_i AS HUGEINT)), (a, x) -> a * x) AS qd,
+      |          CAST(count(*) AS BIGINT) AS k, CAST(sum(n_i) AS BIGINT) AS n_tot,
+      |          CAST(sum(s_i) AS HUGEINT) AS s_all,
+      |          CAST(sum(q_i) AS HUGEINT) AS q_all
+      |        FROM grp),
+      |a0 AS (SELECT CAST(sum(CAST(s_i AS HUGEINT) * s_i
+      |                        * CAST(qd // n_i AS BIGINT)) AS HUGEINT) AS aa,
+      |         min(qd) AS qd, min(k) AS k, min(n_tot) AS n_tot,
+      |         min(s_all) AS s_all, min(q_all) AS q_all
+      |       FROM grp, tot),
+      |f AS (SELECT n_tot, k,
+      |        CAST((aa * n_tot - s_all * s_all * qd) * (n_tot - k) AS HUGEINT)
+      |          AS f_num,
+      |        CAST((q_all * qd - aa) * n_tot * (k - 1) AS HUGEINT) AS f_den
+      |      FROM a0)
+      |SELECT n_tot, k,
+      |       CAST(f_num // 1000000000000000000 AS BIGINT) AS f_num_hi,
+      |       CAST(f_num % 1000000000000000000 AS BIGINT) AS f_num_lo,
+      |       CAST(f_den // 1000000000000000000 AS BIGINT) AS f_den_hi,
+      |       CAST(f_den % 1000000000000000000 AS BIGINT) AS f_den_lo
+      |FROM f""".stripMargin
+
+  // --------------------------------------------------------------- Q227
+  /** ONE-WAY ANOVA F across event types on daily revenue — the
+    * PARAMETRIC sibling of q208's Kruskal–Wallis (same question — does
+    * ANY type's daily revenue differ? — answered on means instead of
+    * ranks; together they bracket the location-test shelf). The sample
+    * is the DAILY fold (grid-sized at any corpus scale, the q208
+    * rationale), and the entire statistic is the exact 128-bit
+    * rational of [[exactAnovaF]] — one corpus-sized exchange (the day
+    * fold), then types-sized algebra. */
+  val q227: Q = (s, d) => {
+    val daily = t(s, d, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      .select(col("event_type").as("g"), col("x"))
+    exactAnovaF(daily)
+  }
+
+  val q227Sql: String =
+    """WITH vals AS (SELECT event_type AS g,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      |       FROM (SELECT event_type, CAST(ts AS DATE) AS day, value FROM events)
+      |       GROUP BY event_type, day),
+      |""".stripMargin + anovaSqlTail
+
+  // --------------------------------------------------------------- Q228
+  /** BROWN–FORSYTHE homogeneity-of-variance test — ANOVA F applied to
+    * z = |x − med_g| (median-centered absolute deviations): do the
+    * TYPES differ in daily-revenue SPREAD, robustly (the median
+    * centering is what makes BF robust where Levene's mean centering
+    * is not)? med_g is the DISCRETE k = (n+1) div 2 order statistic
+    * per type (the q170/q212 lower-median discipline — no
+    * interpolation, identical in both engines by a total (x, day)
+    * order), so z is an exact BIGINT and the statistic reuses
+    * [[exactAnovaF]] verbatim. One day fold crosses the corpus; the
+    * median window rides a types-keyed partition of span-days rows. */
+  val q228: Q = (s, d) => {
+    val daily = graft.core.Pins.pin(
+      t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x")))
+    val wOrd = Window.partitionBy(col("event_type"))
+      .orderBy(col("x"), col("day"))
+    val med = daily
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy(col("event_type"))))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("x").as("med"))
+    exactAnovaF(
+      daily.join(broadcast(med), Seq("event_type"))
+        .select(col("event_type").as("g"), abs(col("x") - col("med")).as("x")))
+  }
+
+  val q228Sql: String =
+    """WITH daily AS (SELECT event_type,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x,
+      |         CAST(ts AS DATE) AS day
+      |       FROM events GROUP BY event_type, CAST(ts AS DATE)),
+      |med AS (SELECT event_type, x AS med
+      |        FROM (SELECT event_type, x,
+      |                row_number() OVER (PARTITION BY event_type
+      |                  ORDER BY x, day) AS rn,
+      |                count(*) OVER (PARTITION BY event_type) AS n
+      |              FROM daily)
+      |        WHERE rn = (n + 1) // 2),
+      |vals AS (SELECT d.event_type AS g, abs(d.x - m.med) AS x
+      |         FROM daily d JOIN med m ON d.event_type = m.event_type),
+      |""".stripMargin + anovaSqlTail
+
+  // --------------------------------------------------------------- Q229
+  /** FRIEDMAN test — the BLOCKED nonparametric design completing the
+    * rank shelf (q196 two independent groups, q208 k independent
+    * groups; Friedman is k TREATMENTS × n BLOCKS, here event types
+    * ranked WITHIN each day, so day-level shocks that inflate q208's
+    * pooled variance cancel entirely). Ranks are per-day 2-SCALED
+    * MIDRANKS (the q196/q216 discipline — rank-window + tie-count
+    * window, always integral), blocks are COMPLETE days only (a day
+    * missing a type would bias its rank sums; the filter states the
+    * design's requirement instead of silently degrading). The
+    * tie-corrected statistic is the all-BIGINT rational
+    *   Q = (k−1)·Σ_j (R2_j − n(k+1))² / (A2 − C2),
+    * A2 = Σ mr2², C2 = n·k·(k+1)² (the 2-scaling cancels exactly —
+    * every quantity is an integer, magnitudes grid-bounded: R2 ≤
+    * 2nk). All-tied blocks make the denominator 0 (Q undefined) —
+    * the integers pass through, χ²(k−1) scoring is the caller's
+    * boundary. One day fold; ranks ride a day-keyed window over
+    * k-row partitions. */
+  val q229: Q = (s, d) => {
+    val daily = t(s, d, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+    val k0 = daily.select(col("event_type")).distinct()
+      .agg(count(lit(1)).as("k"))
+    val complete = daily
+      .withColumn("types_in_day", count(lit(1))
+        .over(Window.partitionBy(col("day"))))
+      .crossJoin(broadcast(k0))
+      .filter(col("types_in_day") === col("k"))
+    val ranked = complete
+      .withColumn("r", rank().over(
+        Window.partitionBy(col("day")).orderBy(col("x"))).cast("long"))
+      .withColumn("t", count(lit(1))
+        .over(Window.partitionBy(col("day"), col("x"))).cast("long"))
+      .withColumn("mr2", lit(2L) * col("r") + col("t") - 1)
+    val byType = ranked.groupBy(col("event_type"))
+      .agg(sum(col("mr2")).as("r2_j"), count(lit(1)).as("n_b"),
+        sum(col("mr2") * col("mr2")).as("a2_j"), min(col("k")).as("k"))
+    byType
+      .agg(min(col("n_b")).as("n"), min(col("k")).as("k"),
+        sum(col("a2_j")).as("a2"),
+        sum((col("r2_j") - col("n_b") * (col("k") + 1))
+          * (col("r2_j") - col("n_b") * (col("k") + 1))).as("dev2"))
+      .select(col("n"), col("k"),
+        ((col("k") - 1) * col("dev2")).as("fr_num"),
+        (col("a2") - col("n") * col("k") * (col("k") + 1) * (col("k") + 1))
+          .as("fr_den"))
+  }
+
+  val q229Sql: String =
+    """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      |       FROM events GROUP BY 1, 2),
+      |k0 AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k FROM daily),
+      |complete AS (SELECT d.*, k0.k FROM daily d, k0
+      |             QUALIFY count(*) OVER (PARTITION BY day) = k0.k),
+      |ranked AS (SELECT event_type, k,
+      |             2 * CAST(rank() OVER (PARTITION BY day ORDER BY x) AS BIGINT)
+      |               + CAST(count(*) OVER (PARTITION BY day, x) AS BIGINT) - 1 AS mr2
+      |           FROM complete),
+      |bt AS (SELECT event_type, CAST(sum(mr2) AS BIGINT) AS r2_j,
+      |         CAST(count(*) AS BIGINT) AS n_b,
+      |         CAST(sum(mr2 * mr2) AS BIGINT) AS a2_j, min(k) AS k
+      |       FROM ranked GROUP BY 1)
+      |SELECT min(n_b) AS n, min(k) AS k,
+      |       CAST((min(k) - 1) * sum((r2_j - n_b * (k + 1)) * (r2_j - n_b * (k + 1)))
+      |            AS BIGINT) AS fr_num,
+      |       CAST(sum(a2_j) - min(n_b) * min(k) * (min(k) + 1) * (min(k) + 1)
+      |            AS BIGINT) AS fr_den
+      |FROM bt""".stripMargin
+
+  // --------------------------------------------------------------- Q231
+  /** DURBIN–WATSON serial-correlation statistic per event type on the
+    * daily-revenue series — the TIME-STRUCTURE test the location shelf
+    * (q227/q208) deliberately ignores: DW = Σ(x_t − x_{t−1})² /
+    * Σ(x_t − x̄)², ≈ 2(1−ρ₁), flagging momentum (DW → 0) or
+    * oscillation (DW → 4) in a day series. Exact: the mean never
+    * materializes — the denominator is the moment identity n·Q − S²
+    * over exact cent BIGINTs, the numerator n·ΣΔ² (the lag window
+    * rides the same type-keyed exchange as the day fold), both lifted
+    * to DECIMAL(38,0)/HUGEINT before the multiply (n·Q passes 2⁶³
+    * near ~4·10⁸ cents/day × 365 days — the q205 lift lesson), and
+    * the report is the exact non-negative floor (num·10⁶ div den)
+    * ppm (div ≡ // on non-negatives). A constant series (den = 0,
+    * DW undefined) emits −1 by an exact-integer guard in BOTH
+    * engines — never a null-vs-error divergence. */
+  val q231: Q = (s, d) => {
+    val dec = "decimal(38,0)"
+    val wLag = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    t(s, d, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      .withColumn("dx", col("x") - lag(col("x"), 1).over(wLag))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("s"),
+        sum(col("x").cast(dec) * col("x")).cast(dec).as("q"),
+        sum(col("dx").cast(dec) * col("dx")).cast(dec).as("sd2"))
+      .select(col("event_type"), col("n_days"),
+        (col("n_days") * col("sd2")).cast(dec).as("dw_num"),
+        (col("n_days") * col("q") - col("s").cast(dec) * col("s"))
+          .cast(dec).as("dw_den"))
+      .select(col("event_type"), col("n_days"),
+        when(col("dw_den") === 0, lit(-1L))
+          .otherwise(expr("(dw_num * 1000000) div dw_den")).as("dw_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  val q231Sql: String =
+    """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      |       FROM events GROUP BY 1, 2),
+      |l AS (SELECT event_type, x,
+      |        x - lag(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS dx
+      |      FROM daily),
+      |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |        CAST(sum(x) AS HUGEINT) AS s,
+      |        CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q,
+      |        CAST(sum(CAST(dx AS HUGEINT) * dx) AS HUGEINT) AS sd2
+      |      FROM l GROUP BY 1),
+      |f AS (SELECT event_type, n_days,
+      |        n_days * sd2 AS dw_num, n_days * q - s * s AS dw_den
+      |      FROM m)
+      |SELECT event_type, n_days,
+      |       CASE WHEN dw_den = 0 THEN CAST(-1 AS BIGINT)
+      |            ELSE CAST(dw_num * 1000000 // dw_den AS BIGINT) END AS dw_ppm
+      |FROM f ORDER BY event_type""".stripMargin
+
   val entries: Seq[(String, Q, String)] = Seq(
     ("q129_priority_sample", q129, q129Sql),
     ("q130_countmin_heavy", q130, q130Sql),
@@ -1577,5 +1849,9 @@ object StatQueries {
     ("q151_trimmed_mean", q151, q151Sql),
     ("q152_gini", q152, q152Sql),
     ("q208_kruskal_wallis", q208, q208Sql),
-    ("q216_spearman", q216, q216Sql))
+    ("q216_spearman", q216, q216Sql),
+    ("q227_anova_f", q227, q227Sql),
+    ("q228_brown_forsythe", q228, q228Sql),
+    ("q229_friedman", q229, q229Sql),
+    ("q231_durbin_watson", q231, q231Sql))
 }

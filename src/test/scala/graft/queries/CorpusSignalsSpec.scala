@@ -424,4 +424,44 @@ class CorpusSignalsSpec extends SparkSpec {
       s"blocking missed ${(brute -- real).size} / invented ${(real -- brute).size}")
     assert(brute.nonEmpty, "the planted variants must produce pairs")
   }
+
+  test("q230: a planted collocation tops the lift ranking; real data matches a BigInt brute-force replay") {
+    // brute-force replay shared by both checks
+    def replay(texts: Seq[String]): Seq[(String, Long, Long, Long, Long)] = {
+      val toks = texts.flatMap(_.split(" ").filter(_.nonEmpty))
+      val uni = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val u = BigInt(toks.size)
+      val bgs = texts.flatMap(t0 => t0.split(" ").filter(_.nonEmpty)
+        .sliding(2).filter(_.length == 2).map(p => (p(0), p(1))))
+      val cb = bgs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val b = BigInt(bgs.size)
+      cb.toSeq.map { case ((w1, w2), c) =>
+        val ppm = (BigInt(c) * u * u * 1000000) / (b * uni(w1) * uni(w2))
+        (s"$w1 $w2", c, uni(w1), uni(w2), ppm.toLong)
+      }.sortBy(r => (-r._5, r._1)).take(20)
+    }
+    // planted: "alpha beta" always adjacent; "gamma"/"delta" common but
+    // never adjacent to each other
+    val texts = Seq.fill(5)("gamma alpha beta delta") ++
+      Seq.fill(5)("delta gamma gamma delta")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lift").toString
+    texts.zipWithIndex.map { case (t0, i) => (i.toLong, t0, "en", "s", t0.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = PipelineQueries.q230(spark, dir)
+      .select("bigram", "cb", "c1", "c2", "lift_ppm")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    graft.core.Pins.release()
+    assert(got == replay(texts), s"planted replay diverges: ${got.take(3)}")
+    assert(got.head._1 == "alpha beta",
+      s"the always-adjacent pair must rank first: ${got.head}")
+    // real data
+    val corpus = graft.core.Tables.load(spark, sf0001, "documents")
+      .select("text").as[String].collect().toSeq
+    val real = PipelineQueries.q230(spark, sf0001)
+      .select("bigram", "cb", "c1", "c2", "lift_ppm")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    graft.core.Pins.release()
+    assert(real == replay(corpus), "real-data lift replay diverges")
+  }
 }

@@ -173,6 +173,14 @@ object PlanAuditSpec {
     // tiny relations (the audit records the count so a future edit
     // can't widen the corpus-sized set past the first exchange)
     "q208_kruskal_wallis" -> 9,
+    // q227/q228/q229: the corpus crosses ONCE into the daily fold;
+    // everything after is types- or grid-sized by construction — the
+    // per-type fold, the Qd/A one-row HOF folds and the final one-row
+    // combine (q228 adds the median window, q229 the day-keyed rank
+    // windows) each re-key tiny relations, exactly q208's audited shape
+    "q227_anova_f" -> 6,
+    "q228_brown_forsythe" -> 7,
+    "q229_friedman" -> 6,
     // q209: one fact-sized exchange (the (part,supplier) fold); the
     // per-part window, dominant-distinct, semi probe and output sort
     // all re-key the parts×suppliers fold — model-sized by design

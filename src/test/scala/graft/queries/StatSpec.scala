@@ -505,4 +505,169 @@ class StatSpec extends SparkSpec {
     assert(real == expect, s"midrank replay: ${
       (real.keySet ++ expect.keySet).filter(k0 => real.get(k0) != expect.get(k0)).take(3)}")
   }
+
+  private def glue18(hi: Long, lo: Long): BigInt =
+    BigInt(hi) * BigInt("1000000000000000000") + lo
+
+  /** Independent exact-F replay: BigInt fractions from the SS
+    * definitions, compared by cross-multiplication (representation-
+    * free: the query may emit any equal rational). */
+  private def anovaReplay(groups: Map[String, Seq[Long]]): (BigInt, BigInt) = {
+    val k = BigInt(groups.size)
+    val n = BigInt(groups.values.map(_.size).sum)
+    // SSB and SSW as exact fractions over the common denominator D = prod n_i * N
+    val qd = groups.values.map(g => BigInt(g.size)).product
+    val a = groups.values.map(g => g.map(BigInt(_)).sum.pow(2) * (qd / g.size)).sum
+    val s = BigInt(groups.values.flatten.map(BigInt(_)).sum.toString)
+    val q = groups.values.flatten.map(x => BigInt(x) * x).sum
+    val fNum = (a * n - s * s * qd) * (n - k)
+    val fDen = (q * qd - a) * n * (k - 1)
+    (fNum, fDen)
+  }
+
+  private def runF(q: CoreQueries.Q, dir: String): (Long, Long, BigInt, BigInt) = {
+    val Array((n0, k0, nhi, nlo, dhi, dlo)) = q(spark, dir)
+      .select("n_tot", "k", "f_num_hi", "f_num_lo", "f_den_hi", "f_den_lo")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    graft.core.Pins.release()
+    (n0, k0, glue18(nhi, nlo), glue18(dhi, dlo))
+  }
+
+  private def mkDaily(rows: Seq[(Int, String, Double)]): String = {
+    val ev = rows.zipWithIndex.map { case ((dd, t0, v), i) =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-05-$dd%02d 12:00:00"), 1L, t0, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_f").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q227: separated groups match the BigInt-fraction replay; identical groups give F = 0; real data agrees") {
+    val sep = mkDaily((1 to 3).map(d0 => (d0, "lo", d0 * 1.0)) ++
+      (1 to 3).map(d0 => (d0, "hi", d0 * 1.0 + 10.0)))
+    val (n1, k1, fn1, fd1) = runF(StatQueries.q227, sep)
+    val (en, ed) = anovaReplay(Map(
+      "lo" -> Seq(100L, 200L, 300L), "hi" -> Seq(1100L, 1200L, 1300L)))
+    assert((n1, k1) == ((6L, 2L)) && fn1 * ed == en * fd1 && fd1 > 0,
+      s"closed form: $fn1/$fd1 vs $en/$ed")
+    // identical distributions -> SSB = 0 -> F = 0 exactly
+    val same = mkDaily((1 to 3).flatMap(d0 =>
+      Seq((d0, "a", d0 * 2.0), (d0, "b", d0 * 2.0))))
+    val (_, _, fn2, fd2) = runF(StatQueries.q227, same)
+    assert(fn2 == 0 && fd2 > 0, s"identical groups: $fn2/$fd2")
+    // real-data replay
+    val daily = Tables.load(spark, sf0001, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      .select("event_type", "x").as[(String, Long)].collect()
+    val (rn, rd) = anovaReplay(daily.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap)
+    val (n3, _, fn3, fd3) = runF(StatQueries.q227, sf0001)
+    assert(BigInt(n3) == BigInt(daily.length) && fn3 * rd == rn * fd3,
+      s"real-data F: $fn3/$fd3 vs $rn/$rd")
+  }
+
+  test("q228: equal-median different-spread groups score BF > 0; equal spreads score 0; real data matches the median-centered replay") {
+    // medians both 0; spreads differ 1x vs 3x
+    val sep = mkDaily(Seq((1, "tight", -0.01), (2, "tight", 0.0), (3, "tight", 0.01),
+      (1, "wide", -0.03), (2, "wide", 0.0), (3, "wide", 0.03)))
+    val (_, _, fn1, fd1) = runF(StatQueries.q228, sep)
+    // z: tight {1,0,1} wide {3,0,3} -> means differ -> F > 0
+    assert(fn1 > 0 && fd1 > 0, s"spread difference must score: $fn1/$fd1")
+    val same = mkDaily(Seq((1, "a", -0.02), (2, "a", 0.0), (3, "a", 0.02),
+      (1, "b", 0.98), (2, "b", 1.0), (3, "b", 1.02)))
+    val (_, _, fn2, _) = runF(StatQueries.q228, same)
+    assert(fn2 == 0, s"equal spreads around different medians must score 0: $fn2")
+    // real-data replay: discrete lower median then the same F fractions
+    val daily = Tables.load(spark, sf0001, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      .select(col("event_type"), col("x"),
+        col("day").cast("string").as("ds"))
+      .as[(String, Long, String)].collect()
+    val zGroups = daily.groupBy(_._1).view.mapValues { g =>
+      val srt = g.sortBy(r => (r._2, r._3))
+      val med = srt((srt.length + 1) / 2 - 1)._2
+      g.map(r => math.abs(r._2 - med)).toSeq
+    }.toMap
+    val (rn, rd) = anovaReplay(zGroups.map(identity))
+    val (_, _, fn3, fd3) = runF(StatQueries.q228, sf0001)
+    assert(fn3 * rd == rn * fd3, s"real-data BF: $fn3/$fd3 vs $rn/$rd")
+  }
+
+  test("q229: consistent within-day orderings maximize the statistic; incomplete days are dropped; real data matches a midrank replay") {
+    // 4 complete days, 3 types, always the same order; day 5 missing a type
+    val rows = (1 to 4).flatMap(d0 => Seq(
+      (d0, "a", 1.0 * d0), (d0, "b", 2.0 * d0), (d0, "c", 3.0 * d0))) ++
+      Seq((5, "a", 9.0), (5, "b", 10.0))
+    val dir = mkDaily(rows)
+    val Array((n1, k1, num1, den1)) = StatQueries.q229(spark, dir)
+      .select("n", "k", "fr_num", "fr_den")
+      .as[(Long, Long, Long, Long)].collect()
+    assert((n1, k1) == ((4L, 3L)), s"incomplete day must drop: n=$n1 k=$k1")
+    // no ties, consistent ranks: Q = n(k-1) exactly (the Friedman maximum)
+    assert(BigInt(num1) == BigInt(den1) * n1 * (k1 - 1),
+      s"max-consistency closed form: $num1/$den1")
+    // real-data brute-force replay
+    val daily = Tables.load(spark, sf0001, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      .select(col("event_type"), col("day").cast("string"), col("x"))
+      .as[(String, String, Long)].collect()
+    val k = daily.map(_._1).distinct.length
+    val byDay = daily.groupBy(_._2).filter(_._2.length == k)
+    val mr2 = byDay.values.flatMap { g =>
+      g.map { r =>
+        val below = g.count(_._3 < r._3)
+        val ties = g.count(_._3 == r._3)
+        (r._1, 2L * (below + 1) + ties - 1)
+      }
+    }.toSeq
+    val n = BigInt(byDay.size)
+    val r2 = mr2.groupBy(_._1).view.mapValues(_.map(v => BigInt(v._2)).sum)
+    val a2 = mr2.map(v => BigInt(v._2) * v._2).sum
+    val dev2 = r2.values.map(r => (r - n * (k + 1)).pow(2)).sum
+    val eNum = (k - 1) * dev2
+    val eDen = a2 - n * k * (k + 1) * (k + 1)
+    val Array((n3, k3, num3, den3)) = StatQueries.q229(spark, sf0001)
+      .select("n", "k", "fr_num", "fr_den")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(BigInt(n3) == n && k3 == k && BigInt(num3) == eNum && BigInt(den3) == eDen,
+      s"friedman replay: ($n3,$k3,$num3,$den3) vs ($n,$k,$eNum,$eDen)")
+  }
+
+  test("q231: constant series emits the -1 guard; a planted oscillation scores DW > 2; real data matches a BigInt replay") {
+    val rows = (1 to 6).map(d0 => (d0, "flat", 5.0)) ++
+      (1 to 6).map(d0 => (d0, "zig", if (d0 % 2 == 0) 10.0 else 2.0))
+    val dir = mkDaily(rows)
+    val got = StatQueries.q231(spark, dir)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("flat") == ((6L, -1L)), s"constant series must emit -1: ${got("flat")}")
+    // zig: x = 200,1000,... dx = +-800 five times; mean 600, dev2 = 6*400^2
+    // DW = 6*5*800^2 / (6*(4*1000^2+... )) -> compute exactly below
+    val xs = (1 to 6).map(d0 => if (d0 % 2 == 0) 1000L else 200L)
+    val sd2 = xs.sliding(2).map(p => BigInt(p(1) - p(0)).pow(2)).sum
+    val s = xs.map(BigInt(_)).sum; val q = xs.map(x => BigInt(x) * x).sum
+    val expPpm = (BigInt(6) * sd2 * 1000000) / (BigInt(6) * q - s * s)
+    assert(got("zig") == ((6L, expPpm.toLong)) && expPpm > 2000000,
+      s"oscillation must score DW > 2: ${got("zig")} vs $expPpm")
+    // real-data replay
+    val daily = Tables.load(spark, sf0001, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      .select(col("event_type"), col("day").cast("string"), col("x"))
+      .as[(String, String, Long)].collect()
+    val expect = daily.groupBy(_._1).view.mapValues { g =>
+      val xs0 = g.sortBy(_._2).map(_._3)
+      val n = BigInt(xs0.length)
+      val sd20 = xs0.sliding(2).filter(_.length == 2)
+        .map(p => BigInt(p(1) - p(0)).pow(2)).sum
+      val s0 = xs0.map(BigInt(_)).sum
+      val q0 = xs0.map(x => BigInt(x) * x).sum
+      val den = n * q0 - s0 * s0
+      if (den == 0) -1L else ((n * sd20 * 1000000) / den).toLong
+    }.toMap
+    val real = StatQueries.q231(spark, sf0001)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(real == expect.toMap, s"DW replay: $real vs $expect")
+  }
 }

@@ -1644,6 +1644,92 @@ object RelationalQueries {
       |FROM big JOIN orders ON l_orderkey = o_orderkey
       |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin
 
+  // --------------------------------------------------------------- Q232
+  /** TPC-H Q6 shape — the FORECASTING-REVENUE-CHANGE single-scan fold
+    * (what revenue would a discount band have added in one year?):
+    * every predicate (ship-year, discount band, quantity cap) pushes
+    * to the fact scan, the fold is one map-side-combinable sum, one
+    * row out — the suite's purest scan-dominated query, the shape
+    * whose 100 TB cost IS the I/O. Discount-band membership tests on
+    * the exact DECIMAL(6,4) lift of the float column (0.05 ≤ d ≤ 0.07
+    * — a raw double compare would admit 0.070000000001); revenue =
+    * extprice·disc in exact DECIMAL, emitted micro-unit BIGINT plus
+    * the rounded report double (q153's boundary rule). */
+  val q232: Q = (s, d) => {
+    import graft.core.Dsl.{dec2, dec4}
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01")
+        && col("l_shipdate") < lit("1998-01-01")
+        && col("l_quantity") < 24)
+      .select(dec2(col("l_extendedprice")).as("p"), dec4(col("l_discount")).as("disc"))
+      .filter(col("disc") >= lit(BigDecimal("0.05")).cast("decimal(6,4)")
+        && col("disc") <= lit(BigDecimal("0.07")).cast("decimal(6,4)"))
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(col("p") * col("disc")) * 1000000)
+          .cast("decimal(38,0)").cast("long").as("revenue_u6"))
+      .select(col("n_lines"), col("revenue_u6"),
+        round((col("revenue_u6").cast("double") / 1e6), 2).as("revenue"))
+  }
+
+  val q232Sql: String =
+    """WITH f AS (SELECT CAST(l_extendedprice AS DECIMAL(15,2)) AS p,
+      |         CAST(l_discount AS DECIMAL(6,4)) AS disc
+      |       FROM lineitem
+      |       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |         AND l_shipdate < TIMESTAMP '1998-01-01'
+      |         AND l_quantity < 24),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n_lines,
+      |        CAST(sum(p * disc) * 1000000 AS BIGINT) AS revenue_u6
+      |      FROM f
+      |      WHERE disc >= CAST(0.05 AS DECIMAL(6,4))
+      |        AND disc <= CAST(0.07 AS DECIMAL(6,4)))
+      |SELECT n_lines, revenue_u6,
+      |       round(CAST(revenue_u6 AS DOUBLE) / 1e6, 2) AS revenue
+      |FROM a""".stripMargin
+
+  // --------------------------------------------------------------- Q233
+  /** TPC-H Q12 shape — the two-tier CASE-count split (Q12 splits line
+    * counts by priority class per ship mode; no ship mode exists in
+    * this corpus, so the class axis is the LATENESS verdict q220
+    * derives — late = shipped > 30 days after order date — and the
+    * counted split is URGENT/HIGH vs the rest, Q12's exact CASE
+    * pair). The planning shape Q12 exists for: ONE fact⋈orders
+    * equi-join carrying a cross-table derived column, the CASE pair
+    * folding map-side into a two-row report — never two filtered
+    * passes. The 1997 order-year window pushes to the orders scan;
+    * NO lineitem pre-filter exists to derive (unlike q220, the
+    * on-time lines are counted too — every line of a window order
+    * participates). */
+  val q233: Q = (s, d) => {
+    val o = t(s, d, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01")
+        && col("o_orderdate") < lit("1998-01-01"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val l = t(s, d, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(
+        when(col("l_shipdate") > date_add(col("o_orderdate").cast("date"), 30),
+          "late").otherwise("ontime").as("ship_class"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L).as("hi"))
+      .groupBy(col("ship_class"))
+      .agg(sum(col("hi")).as("high_line_count"),
+        sum(lit(1L) - col("hi")).as("low_line_count"))
+      .orderBy(col("ship_class"))
+  }
+
+  val q233Sql: String =
+    """SELECT CASE WHEN l_shipdate > CAST(o_orderdate AS DATE) + INTERVAL 30 DAY
+      |            THEN 'late' ELSE 'ontime' END AS ship_class,
+      |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY 1 ORDER BY ship_class""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q153_shipping_priority", q153, q153Sql),
@@ -1669,6 +1755,8 @@ object RelationalQueries {
     ("q224_top_supplier_ties", q224, q224Sql),
     ("q225_supplier_cnt_classes", q225, q225Sql),
     ("q226_large_volume_orders", q226, q226Sql),
+    ("q232_forecast_revenue", q232, q232Sql),
+    ("q233_priority_lateness", q233, q233Sql),
     ("q31_correlated_subquery", q31, q31Sql),
     ("q32_percentiles", q32, q32Sql),
     ("q33_date_arithmetic", q33, q33Sql),

@@ -606,4 +606,56 @@ class TpchJoinSpec extends SparkSpec {
     assert(p.linesIterator.exists(l => l.contains("Filter") || l.contains("(total_qty")),
       "threshold must filter the fold, not a joined row")
   }
+
+  test("q232: every predicate reaches the fact scan; band boundaries are exact decimal") {
+    val p = plan(RelationalQueries.q232)
+    assert(p.linesIterator.exists(l => l.contains("PushedFilters")
+      && l.contains("l_shipdate") && l.contains("l_quantity")),
+      "ship-year and quantity-cap must push to the lineitem scan")
+    // boundary fixture: 0.05 and 0.07 are IN the band, 0.04/0.08 out,
+    // quantity 24 is OUT (strict <)
+    val dir = java.nio.file.Files.createTempDirectory("graft_q6").toString
+    def d0(s0: String) = java.sql.Timestamp.valueOf(s0 + " 00:00:00")
+    Seq((1L, 0.05, 10.0), (2L, 0.07, 10.0), (3L, 0.04, 10.0), (4L, 0.08, 10.0),
+        (5L, 0.06, 24.0))
+      .map { case (o, disc, qty) =>
+        (o, 1L, 1L, 1, qty, 100.0, disc, 0.0, "N", "O", d0("1997-06-01")) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val Array((n, u6, rev)) = RelationalQueries.q232(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    // rows 1 and 2 only: 100*0.05 + 100*0.07 = 12.000000
+    assert(n == 2L && u6 == 12000000L && rev == 12.0,
+      s"band boundary: n=$n u6=$u6 rev=$rev")
+  }
+
+  test("q233: one fact-orders join, CASE pair folds map-side; planted matrix is exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_q12").toString
+    def d0(s0: String) = java.sql.Timestamp.valueOf(s0 + " 00:00:00")
+    Seq((1L, 7L, "O", 1.0, d0("1997-02-01"), "1-URGENT"),
+        (2L, 7L, "O", 1.0, d0("1997-02-01"), "5-LOW"),
+        (3L, 7L, "O", 1.0, d0("1997-02-01"), "2-HIGH"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // order 1: one late line (urgent/late); order 2: one ontime (low/ontime);
+    // order 3: boundary +30 exactly -> ontime (strict >), high/ontime
+    Seq((1L, d0("1997-04-01")), (2L, d0("1997-02-10")), (3L, d0("1997-03-03")))
+      .map { case (k, sd) => (k, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", sd) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = RelationalQueries.q233(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("late", 1L, 0L), ("ontime", 1L, 1L)),
+      s"planted lateness/priority matrix: $got")
+    val p = plan(RelationalQueries.q233)
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 2,
+      "exactly one lineitem scan + one orders scan")
+    assert(p.linesIterator.exists(l => l.contains("PushedFilters")
+      && l.contains("o_orderdate")), "order-year must push to the orders scan")
+  }
 }

@@ -1194,6 +1194,57 @@ object AuditQueries {
       |FROM j WHERE o_orderkey IS NOT NULL AND l_orderkey IS NOT NULL
       |ORDER BY "check"""".stripMargin
 
+  // --------------------------------------------------------------- Q234
+  /** BENFORD first-digit audit on order totals — the forensic-
+    * accounting screen (fabricated or thresholded amounts bend the
+    * leading-digit law; q48 audits column hygiene, q90 outlier
+    * fences — this audits the DISTRIBUTION SHAPE of amounts): first
+    * digit of the exact cent integer (substring of its decimal
+    * string — identical in both engines, no float log10 ever runs on
+    * data), counts fold map-side, observed shares are exact
+    * (n_d·10⁶ div N) ppm, and the Benford expectation is the FIXED
+    * integer ppm table {301030, …, 45757} (log10(1+1/d) rounded to
+    * ppm — the nine constants sum to exactly 10⁶, stated identically
+    * in both engines so the comparison has no float boundary at
+    * all). Output: 9 rows (digit, n, obs_ppm, exp_ppm, dev_ppm).
+    * Scoring (χ², MAD tiers) is the caller's boundary. */
+  val q234: Q = (s, d) => {
+    val exp = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L,
+      5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+    val expDf = s.createDataFrame(exp.map(p => (p._1.toLong, p._2)))
+      .toDF("digit", "exp_ppm")
+    t(s, d, "orders")
+      .select(substring(round(col("o_totalprice") * 100).cast("long")
+        .cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .withColumn("n_tot", sum(col("n")).over(Window.partitionBy()))
+      .join(broadcast(expDf), Seq("digit"), "right")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(expr("n * 1000000 div n_tot"), lit(0L)).as("obs_ppm"),
+        col("exp_ppm"))
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+      .orderBy(col("digit"))
+  }
+
+  val q234Sql: String =
+    """WITH digits AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+      |           AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |       FROM orders),
+      |cnt AS (SELECT digit, CAST(count(*) AS BIGINT) AS n,
+      |          CAST(sum(count(*)) OVER () AS BIGINT) AS n_tot
+      |        FROM digits GROUP BY 1),
+      |exp0 AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+      |           (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+      |           (9, 45757)) AS e(digit, exp_ppm))
+      |SELECT CAST(exp0.digit AS BIGINT) AS digit,
+      |       CAST(coalesce(cnt.n, 0) AS BIGINT) AS n,
+      |       CAST(coalesce(cnt.n * 1000000 // cnt.n_tot, 0) AS BIGINT) AS obs_ppm,
+      |       CAST(exp0.exp_ppm AS BIGINT) AS exp_ppm,
+      |       CAST(coalesce(cnt.n * 1000000 // cnt.n_tot, 0) - exp0.exp_ppm
+      |            AS BIGINT) AS dev_ppm
+      |FROM exp0 LEFT JOIN cnt ON exp0.digit = cnt.digit
+      |ORDER BY digit""".stripMargin
+
   val entries: Seq[(String, Q, String)] = Seq(
     ("q219_reconciliation", q219, q219Sql),
     ("q207_roc_auc", q207, q207Sql),
@@ -1212,5 +1263,6 @@ object AuditQueries {
     ("q126_asof_nearest", q126, q126Sql),
     ("q127_lsh_recall", q127, q127Sql),
     ("q128_vector_hygiene", q128, q128Sql),
-    ("q168_ann_mrr", q168, q168Sql))
+    ("q168_ann_mrr", q168, q168Sql),
+    ("q234_benford_audit", q234, q234Sql))
 }

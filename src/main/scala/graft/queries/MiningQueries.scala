@@ -2298,6 +2298,83 @@ object MiningQueries {
       |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
 
   /** name → (query, oracle) */
+  // --------------------------------------------------------------- Q236
+  /** OFFLINE CHANGEPOINT detection per event type — the single
+    * level-shift locator (binary-segmentation's first and dominant
+    * step; q189's CUSUM pages online, q205's EWMA smooths — this
+    * answers "WHERE did the level change?" in retrospect): the split
+    * t* maximizing the between-segment sum of squares, which for a
+    * candidate split after position t reduces to maximizing the exact
+    * rational g(t) = (n·S₁(t) − t·S)² / (t(n−t)) (S₁ = prefix sum —
+    * the n·BSS identity, so no mean or variance ever materializes).
+    * Ordering the rationals exactly: num ~ 10¹⁹ needs DECIMAL(38,0),
+    * and the argmax key is the EXACT floor ⌊num·10⁶/den⌋ computed as
+    * (num·10⁶ − mod)/den in Spark decimals and num·10⁶ // den in
+    * DuckDB HUGEINTs — floor-exact in both, and EXACT as an order:
+    * distinct g values differ by ≥ 1/(den·den') ≥ 1/(n²/4)² while
+    * the scaling resolves 10⁻⁶ (documented for n ≤ ~500 days; the
+    * 10¹⁰ lift is the longer-horizon dial) — ties broken by the
+    * earliest split (t asc), stated identically in both engines.
+    * One corpus-sized day fold; prefix sums and the argmax ride one
+    * type-keyed exchange over span-days rows. Output: the split
+    * position and the exact segment sums (s1, t) / (s2, n−t) — the
+    * segment means' full rational identity. */
+  val q236: Q = (s, d) => {
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("di"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val dec = "decimal(38,0)"
+    val cand = t(s, d, "events")
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("di"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      .withColumn("t", row_number().over(wOrd).cast("long"))
+      .withColumn("s1", sum(col("x")).over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s", sum(col("x")).over(wAll))
+      .filter(col("t") < col("n"))
+      .withColumn("num", {
+        val dlt = (col("n") * col("s1") - col("t") * col("s")).cast(dec)
+        (dlt * dlt).cast(dec)
+      })
+      .withColumn("den", col("t") * (col("n") - col("t")))
+      .withColumn("kd", (col("num") * 1000000).cast(dec))
+      .withColumn("key", (col("kd") - expr("kd % den")) / col("den"))
+    cand
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("key").desc, col("t"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n").as("n_days"),
+        col("t").as("t_split"), col("di").as("d_split"),
+        col("s1"), (col("s") - col("s1")).as("s2"))
+      .orderBy(col("event_type"))
+  }
+
+  val q236Sql: String =
+    """WITH daily AS (SELECT event_type,
+      |         epoch_us(ts) // 86400000000 AS di,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      |       FROM events GROUP BY 1, 2),
+      |pre AS (SELECT event_type, di,
+      |          CAST(row_number() OVER w AS BIGINT) AS t,
+      |          CAST(sum(x) OVER w AS BIGINT) AS s1,
+      |          CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+      |          CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS s
+      |        FROM daily
+      |        WINDOW w AS (PARTITION BY event_type ORDER BY di
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |cand AS (SELECT *,
+      |           CAST(n AS HUGEINT) * s1 - CAST(t AS HUGEINT) * s AS dlt,
+      |           CAST(t * (n - t) AS HUGEINT) AS den
+      |         FROM pre WHERE t < n),
+      |keyed AS (SELECT *, (dlt * dlt) * 1000000 // den AS key FROM cand),
+      |top AS (SELECT *, row_number() OVER (PARTITION BY event_type
+      |          ORDER BY key DESC, t) AS rn
+      |        FROM keyed)
+      |SELECT event_type, n AS n_days, t AS t_split, di AS d_split,
+      |       s1, CAST(s - s1 AS BIGINT) AS s2
+      |FROM top WHERE rn = 1 ORDER BY event_type""".stripMargin
+
   val entries: Seq[(String, Q, String)] = Seq(
     ("q159_prefix_filter_join", q159, q159Sql),
     ("q160_trend_ols", q160, q160Sql),
@@ -2333,6 +2410,7 @@ object MiningQueries {
     ("q215_attribution", q215, q215Sql),
     ("q217_sequence_match", q217, q217Sql),
     ("q221_weighted_sample", q221, q221Sql),
+    ("q236_changepoint", q236, q236Sql),
     ("q204_interval_overlap_join", q204, q204Sql),
     ("q205_ewma_chart", q205, q205Sql))
 }

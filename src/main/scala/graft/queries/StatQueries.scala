@@ -1823,6 +1823,99 @@ object StatQueries {
       |            ELSE CAST(dw_num * 1000000 // dw_den AS BIGINT) END AS dw_ppm
       |FROM f ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- Q235
+  /** POISSON-BOOTSTRAP confidence interval for mean daily revenue per
+    * event type — the bootstrap THAT SCALES (independent per-row
+    * Poisson(1) weights need no fixed-n resample, so replicas fold in
+    * one pass — the published large-scale-bootstrap construction) made
+    * fully DETERMINISTIC: the weight for (type, day, replica b) is
+    * drawn from the md5-52-bit uniform (the q221/q46 hash-sampling
+    * seam) against the FIXED Poisson(1) CDF thresholds ⌊2⁵²·F(k)⌋ —
+    * nine exact integers stated identically in both engines, so every
+    * replica is reproducible bit-for-bit. Each of B = 200 replicas is
+    * the exact rational mean (Σw·x, Σw); ORDERING rationals without
+    * floats rides the scaled-floor key ⌊num·10¹⁰/den⌋ — exact order
+    * because distinct means differ by ≥ 1/(den·den') ≥ 1/(279)² while
+    * the scaling resolves 10⁻¹⁰ (the q212 total-order discipline; den
+    * ≤ 9·days) — with (num, den, b) as the deterministic tiebreak.
+    * CI bounds = the discrete k-th order statistics (k = ⌊B_eff·25/
+    * 1000⌋ ∨ 1 and its mirror — the q170 no-interpolation rule),
+    * emitted as exact ⌊mean·10⁴⌋ fixed-point BIGINTs. Dataflow: one
+    * corpus fold; replication happens on the GRID (days×B rows), so
+    * the corpus never multiplies ×B. */
+  val q235: Q = (s, d) => {
+    val B = 200
+    val thr = Seq(1656781714176973L, 3313563428353947L, 4141954285442434L,
+      4418084571138597L, 4487117142562637L, 4500923656847445L,
+      4503224742561580L, 4503553469092171L, 4503594559908495L)
+    val daily = t(s, d, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+    val reps = daily
+      .withColumn("b", explode(sequence(lit(0), lit(B - 1))))
+      .withColumn("h", conv(substring(md5(concat_ws("|",
+        col("event_type"), col("day").cast("string"),
+        col("b").cast("string"))), 1, 13), 16, 10).cast("long"))
+      .withColumn("w",
+        thr.map(t0 => when(col("h") >= t0, 1L).otherwise(0L)).reduce(_ + _))
+      .groupBy(col("event_type"), col("b"))
+      .agg(sum(col("w") * col("x")).as("num"), sum(col("w")).as("den"))
+      .filter(col("den") > 0)
+      .withColumn("key",
+        expr("CAST(num AS DECIMAL(38,0)) * 10000000000 div den"))
+    val wOrd = Window.partitionBy(col("event_type"))
+      .orderBy(col("key"), col("num"), col("den"), col("b"))
+    reps
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("b_eff", count(lit(1))
+        .over(Window.partitionBy(col("event_type"))))
+      .withColumn("k_lo", greatest(lit(1L), expr("(b_eff * 25) div 1000")))
+      .withColumn("mean_e4", expr("(CAST(num AS DECIMAL(38,0)) * 10000) div den"))
+      .filter(col("rn") === col("k_lo")
+        || col("rn") === col("b_eff") + 1 - col("k_lo"))
+      .groupBy(col("event_type"))
+      .agg(min(col("b_eff")).as("b_eff"),
+        max(when(col("rn") === col("k_lo"), col("mean_e4"))).as("lo_mean_e4"),
+        max(when(col("rn") === col("b_eff") + 1 - col("k_lo"),
+          col("mean_e4"))).as("hi_mean_e4"))
+      .orderBy(col("event_type"))
+  }
+
+  val q235Sql: String = {
+    val thr = Seq(1656781714176973L, 3313563428353947L, 4141954285442434L,
+      4418084571138597L, 4487117142562637L, 4500923656847445L,
+      4503224742561580L, 4503553469092171L, 4503594559908495L)
+    val wTerms = thr.map(t0 => s"CASE WHEN h >= $t0 THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+       |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+       |       FROM events GROUP BY 1, 2),
+       |rep AS (SELECT event_type, x,
+       |          ${sqlHex52("md5(event_type || '|' || CAST(day AS VARCHAR)" +
+                  " || '|' || CAST(b AS VARCHAR))")} AS h, b
+       |        FROM daily CROSS JOIN (SELECT unnest(generate_series(0, 199)) AS b)),
+       |w AS (SELECT event_type, b, x, CAST($wTerms AS BIGINT) AS w FROM rep),
+       |reps AS (SELECT event_type, b, CAST(sum(w * x) AS BIGINT) AS num,
+       |           CAST(sum(w) AS BIGINT) AS den
+       |         FROM w GROUP BY 1, 2 HAVING sum(w) > 0),
+       |keyed AS (SELECT *,
+       |            CAST(CAST(num AS HUGEINT) * 10000000000 // den AS BIGINT) AS key,
+       |            CAST(CAST(num AS HUGEINT) * 10000 // den AS BIGINT) AS mean_e4
+       |          FROM reps),
+       |rk AS (SELECT *,
+       |         CAST(row_number() OVER (PARTITION BY event_type
+       |           ORDER BY key, num, den, b) AS BIGINT) AS rn,
+       |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS b_eff,
+       |         greatest(1, (CAST(count(*) OVER (PARTITION BY event_type)
+       |           AS BIGINT) * 25) // 1000) AS k_lo
+       |       FROM keyed)
+       |SELECT event_type, min(b_eff) AS b_eff,
+       |       max(CASE WHEN rn = k_lo THEN mean_e4 END) AS lo_mean_e4,
+       |       max(CASE WHEN rn = b_eff + 1 - k_lo THEN mean_e4 END) AS hi_mean_e4
+       |FROM rk WHERE rn = k_lo OR rn = b_eff + 1 - k_lo
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   val entries: Seq[(String, Q, String)] = Seq(
     ("q129_priority_sample", q129, q129Sql),
     ("q130_countmin_heavy", q130, q130Sql),
@@ -1853,5 +1946,6 @@ object StatQueries {
     ("q227_anova_f", q227, q227Sql),
     ("q228_brown_forsythe", q228, q228Sql),
     ("q229_friedman", q229, q229Sql),
-    ("q231_durbin_watson", q231, q231Sql))
+    ("q231_durbin_watson", q231, q231Sql),
+    ("q235_bootstrap_ci", q235, q235Sql))
 }

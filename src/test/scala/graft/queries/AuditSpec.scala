@@ -448,4 +448,39 @@ class AuditSpec extends SparkSpec {
     assert(real == expect2, s"reconciliation replay: ${
       (real.keySet ++ expect2.keySet).filter(k => real.get(k) != expect2.get(k))}")
   }
+
+  test("q234: planted digit skew counted exactly; Benford constants sum to 1e6; real data matches a replay") {
+    import spark.implicits._
+    // planted: 6 totals with first digits 1,1,1,2,9,9
+    val dir = java.nio.file.Files.createTempDirectory("graft_benford").toString
+    def d0(s0: String) = java.sql.Timestamp.valueOf(s0 + " 00:00:00")
+    Seq(1.00, 12.34, 199.99, 2.50, 9.00, 95.55).zipWithIndex
+      .map { case (v, i) => (i.toLong, 1L, "O", v, d0("1997-01-01"), "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = AuditQueries.q234(spark, dir)
+      .select("digit", "n", "obs_ppm", "exp_ppm", "dev_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == (1L to 9L), "all nine digits must report")
+    assert(got.map(_._4).sum == 1000000L, "Benford ppm constants must sum to 1e6")
+    val byD = got.map(r => r._1 -> r).toMap
+    assert(byD(1L)._2 == 3 && byD(2L)._2 == 1 && byD(9L)._2 == 2 &&
+      byD(5L)._2 == 0, s"planted counts: $got")
+    assert(byD(1L)._3 == 500000L && byD(9L)._3 == 333333L,
+      "observed ppm must be the exact floor division")
+    got.foreach(r => assert(r._5 == r._3 - r._4, "dev must be obs - exp"))
+    // real data replay
+    val cents = Tables.load(spark, sf0001, "orders")
+      .select(round(col("o_totalprice") * 100).cast("long")).as[Long].collect()
+    val n = cents.length.toLong
+    val cnt = cents.map(_.toString.head.asDigit.toLong)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val real = AuditQueries.q234(spark, sf0001)
+      .select("digit", "n", "obs_ppm").as[(Long, Long, Long)].collect()
+    real.foreach { case (d0_, nd, ppm) =>
+      assert(nd == cnt.getOrElse(d0_, 0L) && ppm == nd * 1000000L / n,
+        s"digit $d0_: ($nd, $ppm)")
+    }
+  }
 }

@@ -1249,4 +1249,54 @@ class MiningSpec extends SparkSpec {
     assert(real == expect.map { case (k, v) => k -> v },
       s"inclusion replay: $real vs $expect")
   }
+
+  test("q236: a planted level shift splits exactly at the jump; all-flat ties break earliest; real data matches a BigInt argmax replay") {
+    // 10 days at 1.00, then 10 days at 10.00 -> split after t=10
+    val ev = (0 until 20).map { dd =>
+      val v = if (dd < 10) 1.0 else 10.0
+      (dd.toLong, java.sql.Timestamp.valueOf(f"2024-03-${dd + 1}%02d 09:00:00"),
+        1L, "click", v, "{}")
+    } ++ (0 until 6).map { dd =>
+      (100L + dd, java.sql.Timestamp.valueOf(f"2024-03-${dd + 1}%02d 09:00:00"),
+        1L, "flat", 5.0, "{}")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_cp").toString
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = MiningQueries.q236(spark, dir)
+      .select("event_type", "n_days", "t_split", "s1", "s2")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("click") == (("click", 20L, 10L, 1000L, 10000L)),
+      s"planted shift must split at the jump: ${got("click")}")
+    // flat series: every split scores 0 -> earliest split wins the tiebreak
+    assert(got("flat")._3 == 1L, s"all-tied argmax must take t=1: ${got("flat")}")
+    // real-data replay: exact rational argmax over all splits
+    val daily = graft.core.Tables.load(spark, sf0001, "events")
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("di"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      .as[(String, Long, Long)].collect()
+    val expect = daily.groupBy(_._1).map { case (et, g) =>
+      val xs = g.sortBy(_._2).map(_._3)
+      val n = BigInt(xs.length); val s = xs.map(BigInt(_)).sum
+      var s1 = BigInt(0)
+      val cands = (1 until xs.length).map { t0 =>
+        s1 += xs(t0 - 1)
+        val num = (n * s1 - t0 * s).pow(2)
+        (num, BigInt(t0) * (xs.length - t0), t0.toLong, s1)
+      }
+      // argmax num/den with earliest-t tiebreak, exact cross-mult compare
+      val best = cands.reduceLeft { (a, b) =>
+        val cmp = a._1 * b._2 - b._1 * a._2
+        if (cmp > 0 || (cmp == 0 && a._3 <= b._3)) a else b
+      }
+      et -> ((xs.length.toLong, best._3, best._4.toLong, (s - best._4).toLong))
+    }
+    val real = MiningQueries.q236(spark, sf0001)
+      .select("event_type", "n_days", "t_split", "s1", "s2")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(real == expect, s"argmax replay: ${real.keySet.map(k =>
+      (k, real(k), expect(k))).filter(t0 => t0._2 != t0._3).take(2)}")
+  }
 }

@@ -670,4 +670,46 @@ class StatSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
     assert(real == expect.toMap, s"DW replay: $real vs $expect")
   }
+
+  test("q235: the Poisson-bootstrap CI is bit-reproducible against an md5 replay; bounds bracket and order") {
+    import java.security.MessageDigest
+    val thr = Seq(1656781714176973L, 3313563428353947L, 4141954285442434L,
+      4418084571138597L, 4487117142562637L, 4500923656847445L,
+      4503224742561580L, 4503553469092171L, 4503594559908495L)
+    def h52(s0: String): Long = {
+      val md = MessageDigest.getInstance("MD5")
+      val hex = md.digest(s0.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 13)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val daily = Tables.load(spark, sf0001, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      .select(col("event_type"), col("day").cast("string"), col("x"))
+      .as[(String, String, Long)].collect()
+    val expect = daily.groupBy(_._1).view.mapValues { g =>
+      val reps = (0 until 200).flatMap { b =>
+        val (num, den) = g.foldLeft((BigInt(0), 0L)) { case ((nu, de), r) =>
+          val u = h52(s"${r._1}|${r._2}|$b")
+          val w = thr.count(u >= _).toLong
+          (nu + BigInt(w) * r._3, de + w)
+        }
+        if (den > 0) Some((num * BigInt(10000000000L) / den, num, den, b.toLong)) else None
+      }.sorted
+      val bEff = reps.length.toLong
+      val kLo = math.max(1L, bEff * 25 / 1000)
+      def m4(i: Long) = {
+        val r = reps((i - 1).toInt); (r._2 * 10000 / r._3).toLong
+      }
+      (bEff, m4(kLo), m4(bEff + 1 - kLo))
+    }.toMap
+    val got = StatQueries.q235(spark, sf0001)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == expect.toMap, s"bootstrap replay: ${got.keySet.map(k =>
+      (k, got(k), expect(k))).filter(t0 => t0._2 != t0._3).take(2)}")
+    got.values.foreach { case (b, lo, hi) =>
+      assert(b == 200L && lo <= hi, s"bounds must order: $b, $lo, $hi")
+    }
+  }
 }

@@ -2375,6 +2375,68 @@ object MiningQueries {
       |       s1, CAST(s - s1 AS BIGINT) AS s2
       |FROM top WHERE rn = 1 ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- Q239
+  /** SEASONAL Mann–Kendall trend test per event type — q197's MK with
+    * the comparison CONFINED TO WEEKDAY STRATA (Monday vs Mondays,
+    * …), so the weekly cycle that inflates plain MK's variance (and
+    * can mask or fake a trend) cancels by construction — the
+    * Hirsch–Slack seasonal form. S = Σ over strata of the pairwise
+    * sign sum (exact BIGINT; pairs are per-stratum grid² — ≤ C(5,2)
+    * per weekday per type at a 30-day span, bounded by the calendar,
+    * never the corpus), and the null variance rides along exactly as
+    * var18 = Σ_s n_s(n_s−1)(2n_s+5) (VAR(S) = var18/18 — the /18
+    * and the z-score are the caller's float boundary). Weekday via
+    * Spark `weekday`/DuckDB `isodow−1`, pinned to the same
+    * Monday-based convention (the q194 lesson). One day fold; pairs
+    * generate from a (type, weekday)-keyed self-join of the pinned
+    * grid. */
+  val q239: Q = (s, d) => {
+    val daily = graft.core.Pins.pin(
+      t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+        .withColumn("wd", weekday(col("day")).cast("long")))
+    val a = daily.select(col("event_type"), col("wd"),
+      col("day").as("d1"), col("x").as("x1"))
+    val b = daily.select(col("event_type"), col("wd"),
+      col("day").as("d2"), col("x").as("x2"))
+    val sSum = a.join(b, Seq("event_type", "wd"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("event_type"))
+      .agg(sum(signum((col("x2") - col("x1")).cast("double")).cast("long"))
+        .as("s_total"), count(lit(1)).as("n_pairs"))
+    val varS = daily.groupBy(col("event_type"), col("wd"))
+      .agg(count(lit(1)).as("n_s"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n_s") * (col("n_s") - 1) * (col("n_s") * 2 + 5))
+        .as("var18"), sum(col("n_s")).as("n_days"))
+    sSum.join(varS, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        col("s_total"), col("var18"))
+      .orderBy(col("event_type"))
+  }
+
+  val q239Sql: String =
+    """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |         (isodow(CAST(ts AS DATE)) - 1) AS wd,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      |       FROM events GROUP BY 1, 2, 3),
+      |ss AS (SELECT a.event_type,
+      |         CAST(sum(sign(b.x - a.x)) AS BIGINT) AS s_total,
+      |         CAST(count(*) AS BIGINT) AS n_pairs
+      |       FROM daily a JOIN daily b
+      |         ON a.event_type = b.event_type AND a.wd = b.wd AND a.day < b.day
+      |       GROUP BY 1),
+      |vs AS (SELECT event_type,
+      |         CAST(sum(n_s * (n_s - 1) * (2 * n_s + 5)) AS BIGINT) AS var18,
+      |         CAST(sum(n_s) AS BIGINT) AS n_days
+      |       FROM (SELECT event_type, wd, CAST(count(*) AS BIGINT) AS n_s
+      |             FROM daily GROUP BY 1, 2)
+      |       GROUP BY 1)
+      |SELECT ss.event_type, n_days, n_pairs, s_total, var18
+      |FROM ss JOIN vs ON ss.event_type = vs.event_type
+      |ORDER BY ss.event_type""".stripMargin
+
   val entries: Seq[(String, Q, String)] = Seq(
     ("q159_prefix_filter_join", q159, q159Sql),
     ("q160_trend_ols", q160, q160Sql),
@@ -2411,6 +2473,7 @@ object MiningQueries {
     ("q217_sequence_match", q217, q217Sql),
     ("q221_weighted_sample", q221, q221Sql),
     ("q236_changepoint", q236, q236Sql),
+    ("q239_seasonal_mk", q239, q239Sql),
     ("q204_interval_overlap_join", q204, q204Sql),
     ("q205_ewma_chart", q205, q205Sql))
 }

@@ -1916,6 +1916,128 @@ object StatQueries {
        |GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
+  // --------------------------------------------------------------- Q237
+  /** WALD–WOLFOWITZ runs test on daily revenue DIRECTION per event
+    * type — is the up/down sequence random, or does it trend/oscillate
+    * (q231's DW measures the magnitude autocorrelation; runs count the
+    * SIGN pattern — the pair bracket momentum from both sides)? Zero
+    * deltas are DROPPED (the classical convention, stated identically
+    * in both engines — a tie is neither up nor down), runs count as
+    * 1 + Σ[sign_t ≠ sign_{t−1}] over consecutive kept signs (one lag
+    * window), and the null expectation E[R] = (n + 2·n₁·n₂)/n is
+    * emitted as the exact BIGINT rational (e_num, e_den) — z-scoring
+    * is the caller's float boundary. One corpus-sized day fold; both
+    * windows ride one type-keyed exchange. */
+  val q237: Q = (s, d) => {
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val signs = t(s, d, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      .withColumn("dx", col("x") - lag(col("x"), 1).over(wOrd))
+      .filter(col("dx").isNotNull && col("dx") =!= 0)
+      .withColumn("sgn", when(col("dx") > 0, 1L).otherwise(-1L))
+    val wKept = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    signs
+      .withColumn("chg",
+        when(lag(col("sgn"), 1).over(wKept).isNull, 1L)
+          .when(lag(col("sgn"), 1).over(wKept) =!= col("sgn"), 1L)
+          .otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("n_up"),
+        sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("n_down"),
+        sum(col("chg")).as("runs"))
+      .select(col("event_type"), col("n_up"), col("n_down"), col("runs"),
+        (col("n_up") + col("n_down") + col("n_up") * col("n_down") * 2)
+          .as("e_num"),
+        (col("n_up") + col("n_down")).as("e_den"))
+      .orderBy(col("event_type"))
+  }
+
+  val q237Sql: String =
+    """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      |       FROM events GROUP BY 1, 2),
+      |dx AS (SELECT event_type, day,
+      |         x - lag(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS dx
+      |       FROM daily),
+      |sg AS (SELECT event_type, day,
+      |         CASE WHEN dx > 0 THEN 1 ELSE -1 END AS sgn
+      |       FROM dx WHERE dx IS NOT NULL AND dx <> 0),
+      |ch AS (SELECT event_type, sgn,
+      |         CASE WHEN lag(sgn, 1) OVER (PARTITION BY event_type ORDER BY day)
+      |                   IS DISTINCT FROM sgn THEN 1 ELSE 0 END AS chg
+      |       FROM sg),
+      |agg AS (SELECT event_type,
+      |          CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+      |          CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+      |          CAST(sum(chg) AS BIGINT) AS runs
+      |        FROM ch GROUP BY 1)
+      |SELECT event_type, n_up, n_down, runs,
+      |       CAST(n_up + n_down + 2 * n_up * n_down AS BIGINT) AS e_num,
+      |       CAST(n_up + n_down AS BIGINT) AS e_den
+      |FROM agg ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------------- Q238
+  /** KENDALL τ-b between daily revenue and daily event count per type
+    * — the PAIRWISE-sign correlation completing the association shelf
+    * (q164 Pearson on values, q216 Spearman on ranks; Kendall is the
+    * direct concordance count, the most robust and the only one whose
+    * tie correction is purely integer): over all day pairs i < j,
+    * C − D = Σ sign((x_j−x_i)(k_j−k_i)), with tie terms n₁ = Σt(t−1)/2
+    * over x-ties and n₂ over k-ties and n₀ = n(n−1)/2 — τ-b =
+    * (C−D)/√((n₀−n₁)(n₀−n₂)) is the caller's float boundary; every
+    * emitted quantity is an exact BIGINT. The pair set is days² —
+    * grid-bounded at any corpus scale (the q212 rationale); ties fold
+    * from value-grid counts, never pairwise. */
+  val q238: Q = (s, d) => {
+    val daily = graft.core.Pins.pin(
+      t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x"),
+          count(lit(1)).as("k")))
+    val a = daily.select(col("event_type"), col("day").as("d1"),
+      col("x").as("x1"), col("k").as("k1"))
+    val b = daily.select(col("event_type"), col("day").as("d2"),
+      col("x").as("x2"), col("k").as("k2"))
+    val cd = a.join(b, Seq("event_type")).filter(col("d1") < col("d2"))
+      .select(col("event_type"),
+        (signum((col("x2") - col("x1")).cast("double")) *
+          signum((col("k2") - col("k1")).cast("double"))).cast("long").as("s"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("s")).as("cd"), count(lit(1)).as("n0"))
+    def tiePairs(c: String) = daily.groupBy(col("event_type"), col(c))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg((sum(col("t") * (col("t") - 1)) / 2).cast("long").as(s"ties_$c"))
+    cd.join(tiePairs("x"), Seq("event_type"))
+      .join(tiePairs("k"), Seq("event_type"))
+      .select(col("event_type"), col("n0"), col("cd"),
+        col("ties_x").as("n1"), col("ties_k").as("n2"))
+      .orderBy(col("event_type"))
+  }
+
+  val q238Sql: String =
+    """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x,
+      |         CAST(count(*) AS BIGINT) AS k
+      |       FROM events GROUP BY 1, 2),
+      |cd AS (SELECT a.event_type,
+      |         CAST(sum(sign(b.x - a.x) * sign(b.k - a.k)) AS BIGINT) AS cd,
+      |         CAST(count(*) AS BIGINT) AS n0
+      |       FROM daily a JOIN daily b
+      |         ON a.event_type = b.event_type AND a.day < b.day
+      |       GROUP BY 1),
+      |tx AS (SELECT event_type, CAST(sum(t * (t - 1)) / 2 AS BIGINT) AS n1
+      |       FROM (SELECT event_type, x, CAST(count(*) AS BIGINT) AS t
+      |             FROM daily GROUP BY 1, 2) GROUP BY 1),
+      |tk AS (SELECT event_type, CAST(sum(t * (t - 1)) / 2 AS BIGINT) AS n2
+      |       FROM (SELECT event_type, k, CAST(count(*) AS BIGINT) AS t
+      |             FROM daily GROUP BY 1, 2) GROUP BY 1)
+      |SELECT cd.event_type, n0, cd, n1, n2
+      |FROM cd JOIN tx ON cd.event_type = tx.event_type
+      |JOIN tk ON cd.event_type = tk.event_type
+      |ORDER BY cd.event_type""".stripMargin
+
   val entries: Seq[(String, Q, String)] = Seq(
     ("q129_priority_sample", q129, q129Sql),
     ("q130_countmin_heavy", q130, q130Sql),
@@ -1947,5 +2069,7 @@ object StatQueries {
     ("q228_brown_forsythe", q228, q228Sql),
     ("q229_friedman", q229, q229Sql),
     ("q231_durbin_watson", q231, q231Sql),
-    ("q235_bootstrap_ci", q235, q235Sql))
+    ("q235_bootstrap_ci", q235, q235Sql),
+    ("q237_runs_test", q237, q237Sql),
+    ("q238_kendall_tau", q238, q238Sql))
 }

@@ -1299,4 +1299,51 @@ class MiningSpec extends SparkSpec {
     assert(real == expect, s"argmax replay: ${real.keySet.map(k =>
       (k, real(k), expect(k))).filter(t0 => t0._2 != t0._3).take(2)}")
   }
+
+  test("q239: a pure weekly cycle scores S = 0 where plain MK would not; a trend survives; real data matches a stratified replay") {
+    // cycle: value depends ONLY on weekday (every within-stratum pair ties -> S=0)
+    // trend: strictly rising -> every within-stratum pair concordant
+    val ev = (0 until 21).flatMap { i =>
+      val day = java.time.LocalDate.parse("2024-04-01").plusDays(i)
+      val ts0 = java.sql.Timestamp.valueOf(day.atTime(12, 0))
+      Seq((i.toLong, ts0, 1L, "cycle", (day.getDayOfWeek.getValue * 10).toDouble, "{}"),
+        (100L + i, ts0, 1L, "trend", (i + 1) * 1.0, "{}"))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_smk").toString
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = MiningQueries.q239(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    graft.core.Pins.release()
+    // 21 days = 3 complete weeks: 7 strata x C(3,2)=3 pairs = 21 pairs
+    assert(got("cycle") == (("cycle", 21L, 21L, 0L, 7L * (3L * 2 * 11))),
+      s"weekday cycle must cancel: ${got("cycle")}")
+    assert(got("trend")._4 == 21L, s"trend must be fully concordant: ${got("trend")}")
+    // real-data replay
+    val daily = graft.core.Tables.load(spark, sf0001, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      .select(col("event_type"), col("day").cast("string"), col("x"))
+      .as[(String, String, Long)].collect()
+    val expect = daily.groupBy(_._1).view.mapValues { g =>
+      val withWd = g.map { r =>
+        (java.time.LocalDate.parse(r._2).getDayOfWeek.getValue - 1, r._2, r._3) }
+      val strata = withWd.groupBy(_._1)
+      val s0 = strata.values.map { st =>
+        val rs = st.sortBy(_._2)
+        (for { i <- rs.indices; j <- (i + 1) until rs.length }
+          yield math.signum(rs(j)._3 - rs(i)._3).toLong).sum
+      }.sum
+      val pairs = strata.values.map(st => st.size.toLong * (st.size - 1) / 2).sum
+      val var18 = strata.values.map(st =>
+        st.size.toLong * (st.size - 1) * (2L * st.size + 5)).sum
+      (g.length.toLong, pairs, s0, var18)
+    }.toMap
+    val real = MiningQueries.q239(spark, sf0001)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    graft.core.Pins.release()
+    assert(real == expect.toMap, s"seasonal-MK replay: $real vs $expect")
+  }
 }

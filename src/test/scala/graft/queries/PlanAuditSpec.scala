@@ -181,6 +181,10 @@ object PlanAuditSpec {
     "q227_anova_f" -> 6,
     "q228_brown_forsythe" -> 7,
     "q229_friedman" -> 6,
+    // q238: ONE corpus-sized exchange (the pinned day fold); the pair
+    // self-join and both tie folds re-key the grid-sized pin (days²
+    // pairs, value-grid tie counts) and the 5-row joins + sort close
+    "q238_kendall_tau" -> 6,
     // q209: one fact-sized exchange (the (part,supplier) fold); the
     // per-part window, dominant-distinct, semi probe and output sort
     // all re-key the parts×suppliers fold — model-sized by design

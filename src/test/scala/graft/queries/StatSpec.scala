@@ -712,4 +712,80 @@ class StatSpec extends SparkSpec {
       assert(b == 200L && lo <= hi, s"bounds must order: $b, $lo, $hi")
     }
   }
+
+  test("q237: planted oscillation and trend hit exact run counts; zero deltas drop; real data matches a replay") {
+    // zig: signs alternate every day -> runs = n_signs; ramp: one run
+    // flat2: two equal days in the middle -> zero delta dropped
+    val rows = (1 to 8).map(d0 => (d0, "zig", if (d0 % 2 == 0) 9.0 else 1.0)) ++
+      (1 to 8).map(d0 => (d0, "ramp", d0 * 1.0)) ++
+      Seq((1, "flat2", 1.0), (2, "flat2", 5.0), (3, "flat2", 5.0), (4, "flat2", 2.0))
+    val dir = mkDaily(rows)
+    val got = StatQueries.q237(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("zig") == (("zig", 4L, 3L, 7L, 31L, 7L)), s"zig: ${got("zig")}")
+    assert(got("ramp") == (("ramp", 7L, 0L, 1L, 7L, 7L)), s"ramp: ${got("ramp")}")
+    // flat2: deltas +4, 0 (dropped), -3 -> n_up=1 n_down=1 runs=2
+    assert(got("flat2") == (("flat2", 1L, 1L, 2L, 4L, 2L)), s"flat2: ${got("flat2")}")
+    // real-data replay
+    val daily = Tables.load(spark, sf0001, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      .select(col("event_type"), col("day").cast("string"), col("x"))
+      .as[(String, String, Long)].collect()
+    val expect = daily.groupBy(_._1).view.mapValues { g =>
+      val xs = g.sortBy(_._2).map(_._3)
+      val sg = xs.sliding(2).filter(_.length == 2).map(p => p(1) - p(0))
+        .filter(_ != 0).map(d0 => if (d0 > 0) 1 else -1).toSeq
+      val runs = if (sg.isEmpty) 0L
+        else 1L + sg.sliding(2).count(p => p.length == 2 && p(0) != p(1))
+      val (u, dn) = (sg.count(_ == 1).toLong, sg.count(_ == -1).toLong)
+      (u, dn, runs, u + dn + 2 * u * dn, u + dn)
+    }.toMap
+    val real = StatQueries.q237(spark, sf0001)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(real == expect.toMap, s"runs replay: $real vs $expect")
+  }
+
+  test("q238: perfect concordance/discordance and tie accounting are exact; real data matches a pairwise replay") {
+    // conc: x and k rise together; disc: x rises while k falls
+    val mk2 = { rows: Seq[(Int, String, Int)] =>
+      // k events of value 1.00 on day d -> x = 100k, count = k
+      val ev = rows.zipWithIndex.flatMap { case ((dd, t0, k), base) =>
+        (0 until k).map(i => (base * 1000L + i,
+          java.sql.Timestamp.valueOf(f"2024-08-$dd%02d 12:00:00"), 1L, t0, 1.0, "{}"))
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val dir = java.nio.file.Files.createTempDirectory("graft_tau").toString
+      ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    val dir = mk2((1 to 5).map(d0 => (d0, "conc", d0 + 1)))
+    val got = StatQueries.q238(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    graft.core.Pins.release()
+    assert(got("conc") == (("conc", 10L, 10L, 0L, 0L)),
+      s"perfect concordance: ${got("conc")}")
+    // real-data replay
+    val daily = Tables.load(spark, sf0001, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("x"),
+        count(lit(1)).as("k"))
+      .select(col("event_type"), col("day").cast("string"), col("x"), col("k"))
+      .as[(String, String, Long, Long)].collect()
+    val expect = daily.groupBy(_._1).view.mapValues { g =>
+      val rs = g.sortBy(_._2)
+      val prs = for { i <- rs.indices; j <- (i + 1) until rs.length } yield
+        (math.signum(rs(j)._3 - rs(i)._3) * math.signum(rs(j)._4 - rs(i)._4)).toLong
+      val n1 = rs.groupBy(_._3).values.map(v => v.size.toLong * (v.size - 1) / 2).sum
+      val n2 = rs.groupBy(_._4).values.map(v => v.size.toLong * (v.size - 1) / 2).sum
+      (prs.length.toLong, prs.sum, n1, n2)
+    }.toMap
+    val real = StatQueries.q238(spark, sf0001)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    graft.core.Pins.release()
+    assert(real == expect.toMap, s"tau replay: $real vs $expect")
+  }
 }

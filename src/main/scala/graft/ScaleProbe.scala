@@ -1015,6 +1015,36 @@ object ScaleProbe {
       time("q221_wsample sf1.0  (1.5M ord)   ")(graft.queries.MiningQueries.q221(spark, out).count())
     }
 
+    // --- round-8 additions: the TPC-H completions, the exact-stat
+    // shelf and the text/bootstrap folds — each must absorb 10× facts
+    // in the corpus-sized fold while the downstream algebra stays
+    // grid-/types-sized (q222's chain is the widest dimension probe;
+    // q235 multiplies the GRID ×B, never the corpus; q230's model
+    // joins are vocabulary-bounded)
+    if (want("q222", "q225", "q226", "q227", "q230", "q235", "q236", "q238")) {
+      import graft.queries.{MiningQueries, PipelineQueries, RelationalQueries, StatQueries}
+      time("q222_profit sf0.1    (600k li)   ")(RelationalQueries.q222(spark, src).count())
+      time("q222_profit sf1.0      (6M li)   ")(RelationalQueries.q222(spark, out).count())
+      time("q225_suppcnt sf0.1   (600k li)   ")(RelationalQueries.q225(spark, src).count())
+      time("q225_suppcnt sf1.0     (6M li)   ")(RelationalQueries.q225(spark, out).count())
+      time("q226_bigorders sf0.1 (600k li)   ")(RelationalQueries.q226(spark, src).count())
+      time("q226_bigorders sf1.0   (6M li)   ")(RelationalQueries.q226(spark, out).count())
+      time("q227_anova sf0.1       (1M ev)   ")(StatQueries.q227(spark, src).count())
+      time("q227_anova sf1.0      (10M ev)   ")(StatQueries.q227(spark, out).count())
+      time("q230_colloc sf0.1    (5k docs)   ")(PipelineQueries.q230(spark, src).count())
+      graft.core.Pins.release()
+      time("q230_colloc sf1.0   (50k docs)   ")(PipelineQueries.q230(spark, out).count())
+      graft.core.Pins.release()
+      time("q235_bootstrap sf0.1   (1M ev)   ")(StatQueries.q235(spark, src).count())
+      time("q235_bootstrap sf1.0  (10M ev)   ")(StatQueries.q235(spark, out).count())
+      time("q236_changept sf0.1    (1M ev)   ")(MiningQueries.q236(spark, src).count())
+      time("q236_changept sf1.0   (10M ev)   ")(MiningQueries.q236(spark, out).count())
+      time("q238_kendall sf0.1     (1M ev)   ")(StatQueries.q238(spark, src).count())
+      graft.core.Pins.release()
+      time("q238_kendall sf1.0    (10M ev)   ")(StatQueries.q238(spark, out).count())
+      graft.core.Pins.release()
+    }
+
     // --- q177 BFS at 10×: the replicated corpus multiplies near-dup
     // clusters, so the pair artifact and every frontier grow ~10× —
     // per-hop cost must track the FRONTIER (edges are the memoized

@@ -2437,6 +2437,64 @@ object MiningQueries {
       |FROM ss JOIN vs ON ss.event_type = vs.event_type
       |ORDER BY ss.event_type""".stripMargin
 
+  // --------------------------------------------------------------- Q241
+  /** CLAMPED LOYALTY LEDGER per user ([[graft.operators.KeyedLedger]])
+    * — earn on purchases (cents div 10 points), burn on errors
+    * (cents div 5), balance clamped to [0, 5000] in (ts, event_id)
+    * order. The point of the query: the clamp makes each step depend
+    * on the POST-CLAMP previous value, so NO window/prefix-sum
+    * reformulation exists (q146/q205 unroll; this cannot) — the batch
+    * form is the typed flatMapGroups sequential fold (one key
+    * shuffle, O(1) state, retention-bounded rows per key), and the
+    * ORACLE is the OTHER mechanism entirely: a DuckDB recursive CTE
+    * stepping every user's chain one posting per iteration, so
+    * agreement proves the fold against an independent sequential
+    * semantics. All arithmetic exact Long; div on non-negative cents
+    * before the burn negation, so truncation ≡ floor ≡ //. */
+  val q241: Q = (s, d) => {
+    import s.implicits._
+    val ev = t(s, d, "events")
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("user_id").as("key"), col("event_id").as("seq"),
+        unix_micros(col("ts")).as("tsUs"),
+        when(col("event_type") === "purchase",
+          expr("CAST(round(value * 100) AS BIGINT) div 10"))
+          .otherwise(-expr("CAST(round(value * 100) AS BIGINT) div 5"))
+          .as("delta"))
+      .as[graft.operators.LedgerEvent]
+    graft.operators.KeyedLedger.cappedBalance(ev, 0L, 5000L)
+      .toDF().withColumnRenamed("key", "user_id")
+      .orderBy(col("user_id"))
+  }
+
+  val q241Sql: String =
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id,
+      |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |         AS BIGINT) AS rn,
+      |    CASE WHEN event_type = 'purchase'
+      |         THEN CAST(round(value * 100) AS BIGINT) // 10
+      |         ELSE -(CAST(round(value * 100) AS BIGINT) // 5) END AS delta
+      |  FROM events WHERE event_type IN ('purchase', 'error')),
+      |nn AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+      |       FROM ev GROUP BY 1),
+      |st AS (
+      |  SELECT user_id, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS bal,
+      |         CAST(0 AS BIGINT) AS nc, CAST(0 AS BIGINT) AS nf
+      |  FROM nn
+      |  UNION ALL
+      |  SELECT s.user_id, s.rn + 1,
+      |    CASE WHEN s.bal + e.delta > 5000 THEN 5000
+      |         WHEN s.bal + e.delta < 0 THEN 0
+      |         ELSE s.bal + e.delta END,
+      |    s.nc + CASE WHEN s.bal + e.delta > 5000 THEN 1 ELSE 0 END,
+      |    s.nf + CASE WHEN s.bal + e.delta < 0 THEN 1 ELSE 0 END
+      |  FROM st s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1)
+      |SELECT st.user_id, nn.n_events, st.bal AS final_balance,
+      |       st.nc AS n_capped, st.nf AS n_floored
+      |FROM st JOIN nn ON st.user_id = nn.user_id AND st.rn = nn.n_events
+      |ORDER BY st.user_id""".stripMargin
+
   val entries: Seq[(String, Q, String)] = Seq(
     ("q159_prefix_filter_join", q159, q159Sql),
     ("q160_trend_ols", q160, q160Sql),
@@ -2474,6 +2532,7 @@ object MiningQueries {
     ("q221_weighted_sample", q221, q221Sql),
     ("q236_changepoint", q236, q236Sql),
     ("q239_seasonal_mk", q239, q239Sql),
+    ("q241_capped_ledger", q241, q241Sql),
     ("q204_interval_overlap_join", q204, q204Sql),
     ("q205_ewma_chart", q205, q205Sql))
 }

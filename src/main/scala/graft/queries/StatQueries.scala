@@ -2038,6 +2038,82 @@ object StatQueries {
       |JOIN tk ON cd.event_type = tk.event_type
       |ORDER BY cd.event_type""".stripMargin
 
+  // --------------------------------------------------------------- Q240
+  /** CUPED pre-period adjustment audit — the experimentation-platform
+    * workhorse (Controlled-experiment Using Pre-Experiment Data:
+    * adjust each user's post-period metric by θ·X where X is their
+    * pre-period value; variance shrinks by exactly ρ², often 30-50%
+    * on revenue metrics, which is the whole reason A/B platforms ship
+    * it): per-user pre (days < 16) and post revenue fold ONCE, the
+    * moment algebra n·Σxy − ΣxΣy runs in DECIMAL(38,0)/HUGEINT
+    * (n·Σx² passes 2⁶³ around 10⁵ users × $10⁴ — documented), and the
+    * report is exact integers: θ = cov/varX as a sign + |cov|·10⁶ div
+    * varX ppm (sign-safe — div on the non-negative |cov|), and the
+    * variance-reduction fraction ρ² by the TWO-STEP floor
+    * ((cov² div varX)·10⁶) div varY — Cauchy–Schwarz keeps every
+    * quotient in range (cov²/varX ≤ varY), cov²·10⁶ never has to
+    * exist, and the identical expression is stated in both engines
+    * (compounded floors are within ~1 ppm of the true ratio —
+    * documented, deterministic). Degenerate variances emit −1 by an
+    * exact guard, never null-vs-error. */
+  val q240: Q = (s, d) => {
+    val dec = "decimal(38,0)"
+    val split = lit("2024-01-16").cast("date")
+    val cents = round(col("value") * 100).cast("long")
+    val m = t(s, d, "events")
+      .groupBy(col("user_id"))
+      .agg(sum(when(to_date(col("ts")) < split, cents).otherwise(0L)).as("x"),
+        sum(when(to_date(col("ts")) >= split, cents).otherwise(0L)).as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x").cast(dec) * col("x")).cast(dec).as("sxx"),
+        sum(col("y").cast(dec) * col("y")).cast(dec).as("syy"),
+        sum(col("x").cast(dec) * col("y")).cast(dec).as("sxy"))
+      .select(col("n"),
+        (col("sxy") * col("n") - col("sx").cast(dec) * col("sy"))
+          .cast(dec).as("cov_n"),
+        (col("sxx") * col("n") - col("sx").cast(dec) * col("sx"))
+          .cast(dec).as("varx_n"),
+        (col("syy") * col("n") - col("sy").cast(dec) * col("sy"))
+          .cast(dec).as("vary_n"))
+    m.select(col("n"),
+      when(col("cov_n") < 0, -1L).when(col("cov_n") > 0, 1L)
+        .otherwise(0L).as("theta_sgn"),
+      when(col("varx_n") === 0, lit(-1L))
+        .otherwise(expr("(abs(cov_n) * 1000000) div varx_n")).as("theta_abs_ppm"),
+      when(col("varx_n") === 0 || col("vary_n") === 0, lit(-1L))
+        .otherwise(expr(
+          "(CAST((cov_n * cov_n) div varx_n AS DECIMAL(38,0)) * 1000000)" +
+            " div vary_n")).as("rho2_ppm"))
+  }
+
+  val q240Sql: String =
+    """WITH pu AS (SELECT user_id,
+      |         CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+      |             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+      |         CAST(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+      |             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+      |       FROM events GROUP BY 1),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+      |        CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+      |        CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+      |        CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      |      FROM pu),
+      |c AS (SELECT n, sxy * n - sx * sy AS cov_n,
+      |        sxx * n - sx * sx AS varx_n, syy * n - sy * sy AS vary_n
+      |      FROM m)
+      |SELECT n,
+      |       CAST(CASE WHEN cov_n < 0 THEN -1 WHEN cov_n > 0 THEN 1 ELSE 0 END
+      |            AS BIGINT) AS theta_sgn,
+      |       CASE WHEN varx_n = 0 THEN CAST(-1 AS BIGINT)
+      |            ELSE CAST(abs(cov_n) * 1000000 // varx_n AS BIGINT) END
+      |         AS theta_abs_ppm,
+      |       CASE WHEN varx_n = 0 OR vary_n = 0 THEN CAST(-1 AS BIGINT)
+      |            ELSE CAST(((cov_n * cov_n) // varx_n) * 1000000 // vary_n
+      |                      AS BIGINT) END AS rho2_ppm
+      |FROM c""".stripMargin
+
   val entries: Seq[(String, Q, String)] = Seq(
     ("q129_priority_sample", q129, q129Sql),
     ("q130_countmin_heavy", q130, q130Sql),
@@ -2071,5 +2147,6 @@ object StatQueries {
     ("q231_durbin_watson", q231, q231Sql),
     ("q235_bootstrap_ci", q235, q235Sql),
     ("q237_runs_test", q237, q237Sql),
-    ("q238_kendall_tau", q238, q238Sql))
+    ("q238_kendall_tau", q238, q238Sql),
+    ("q240_cuped", q240, q240Sql))
 }

@@ -1346,4 +1346,31 @@ class MiningSpec extends SparkSpec {
     graft.core.Pins.release()
     assert(real == expect.toMap, s"seasonal-MK replay: $real vs $expect")
   }
+
+  test("q241: the query-level delta mapping and clamp match a sequential replay on real data") {
+    val rows = graft.core.Tables.load(spark, sf0001, "events")
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")),
+        col("event_type"), round(col("value") * 100).cast("long"))
+      .as[(Long, Long, Long, String, Long)].collect()
+    val expect = rows.groupBy(_._1).view.mapValues { g =>
+      var bal = 0L; var nc = 0L; var nf = 0L
+      g.sortBy(r => (r._3, r._2)).foreach { r =>
+        val delta = if (r._4 == "purchase") r._5 / 10 else -(r._5 / 5)
+        val raw = bal + delta
+        if (raw > 5000) { bal = 5000; nc += 1 }
+        else if (raw < 0) { bal = 0; nf += 1 }
+        else bal = raw
+      }
+      (g.size.toLong, bal, nc, nf)
+    }.toMap
+    val got = MiningQueries.q241(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == expect.toMap, s"ledger replay: ${(got.keySet ++ expect.keySet)
+      .filter(k => got.get(k) != expect.get(k)).take(3)}")
+    // clamps actually fire on this corpus (the fixture is not vacuous)
+    assert(got.values.exists(_._3 > 0) && got.values.exists(_._4 > 0),
+      "expected both cap and floor hits at these earn/burn rates")
+  }
 }

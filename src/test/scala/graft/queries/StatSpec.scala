@@ -788,4 +788,42 @@ class StatSpec extends SparkSpec {
     graft.core.Pins.release()
     assert(real == expect.toMap, s"tau replay: $real vs $expect")
   }
+
+  test("q240: a perfectly linear pre/post relation scores rho2 = 1e6 and theta = 2e6 exactly; real data matches a BigInt replay") {
+    // user u: pre revenue = u dollars on Jan 10, post = 2u on Jan 20
+    val ev = (1 to 6).flatMap { u =>
+      Seq((u.toLong * 2, java.sql.Timestamp.valueOf("2024-01-10 12:00:00"),
+        u.toLong, "purchase", u * 1.0, "{}"),
+        (u.toLong * 2 + 1, java.sql.Timestamp.valueOf("2024-01-20 12:00:00"),
+          u.toLong, "purchase", u * 2.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cuped").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val Array((n1, sg1, th1, r1)) = StatQueries.q240(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert((n1, sg1, th1, r1) == ((6L, 1L, 2000000L, 1000000L)),
+      s"linear plant: ($n1, $sg1, $th1, $r1)")
+    // real-data replay
+    val pu = Tables.load(spark, sf0001, "events")
+      .groupBy(col("user_id"))
+      .agg(sum(when(to_date(col("ts")) < lit("2024-01-16").cast("date"),
+          round(col("value") * 100).cast("long")).otherwise(0L)).as("x"),
+        sum(when(to_date(col("ts")) >= lit("2024-01-16").cast("date"),
+          round(col("value") * 100).cast("long")).otherwise(0L)).as("y"))
+      .as[(Long, Long, Long)].collect()
+    val n = BigInt(pu.length)
+    val sx = pu.map(r => BigInt(r._2)).sum; val sy = pu.map(r => BigInt(r._3)).sum
+    val sxx = pu.map(r => BigInt(r._2).pow(2)).sum
+    val syy = pu.map(r => BigInt(r._3).pow(2)).sum
+    val sxy = pu.map(r => BigInt(r._2) * r._3).sum
+    val cov = sxy * n - sx * sy
+    val vx = sxx * n - sx * sx; val vy = syy * n - sy * sy
+    val expTheta = cov.abs * 1000000 / vx
+    val expRho = ((cov * cov / vx) * 1000000) / vy
+    val Array((n2, sg2, th2, r2)) = StatQueries.q240(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(BigInt(n2) == n && sg2 == cov.signum.toLong &&
+      BigInt(th2) == expTheta && BigInt(r2) == expRho,
+      s"replay: ($n2,$sg2,$th2,$r2) vs ($n,${cov.signum},$expTheta,$expRho)")
+  }
 }

@@ -2114,6 +2114,120 @@ object StatQueries {
       |                      AS BIGINT) END AS rho2_ppm
       |FROM c""".stripMargin
 
+  // --------------------------------------------------------------- Q242
+  /** DETERMINISTIC A/B test with exact effect measures — the
+    * experimentation shelf's entry point (q240 adjusts its variance,
+    * q243 difference-in-differences its confounds): arm assignment is
+    * the md5-52-bit PARITY of the user id (the q46/q221/q235 hash
+    * seam — reproducible, uniform, and exactly replayable in the
+    * oracle: no assignment table ever needs to exist), conversion =
+    * the user had ≥ 1 purchase, and the report is exact integers: per-
+    * arm (n, conversions, conv·10⁶ div n ppm) and the ODDS RATIO as
+    * the exact rational pair (c_a·(n_b−c_b), c_b·(n_a−c_a)) — the χ²/
+    * CI scoring is the caller's float boundary. One user fold; the
+    * arm split is scan-local arithmetic on the fold. */
+  val q242: Q = (s, d) => {
+    val users = t(s, d, "events")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .withColumn("arm", conv(substring(md5(concat(lit("ab|"),
+        col("user_id").cast("string"))), 1, 13), 16, 10).cast("long") % 2)
+    users.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("c_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("c_b"))
+      .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        expr("c_a * 1000000 div n_a").as("conv_a_ppm"),
+        expr("c_b * 1000000 div n_b").as("conv_b_ppm"),
+        (col("c_a") * (col("n_b") - col("c_b"))).as("or_num"),
+        (col("c_b") * (col("n_a") - col("c_a"))).as("or_den"))
+  }
+
+  val q242Sql: String =
+    s"""WITH u AS (SELECT user_id,
+       |         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS conv
+       |       FROM events GROUP BY 1),
+       |armd AS (SELECT conv,
+       |           ${sqlHex52("md5('ab|' || CAST(user_id AS VARCHAR))")} % 2 AS arm
+       |         FROM u),
+       |agg AS (SELECT
+       |          CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |          CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+       |          CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |          CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b
+       |        FROM armd)
+       |SELECT n_a, c_a, n_b, c_b,
+       |       CAST(c_a * 1000000 // n_a AS BIGINT) AS conv_a_ppm,
+       |       CAST(c_b * 1000000 // n_b AS BIGINT) AS conv_b_ppm,
+       |       CAST(c_a * (n_b - c_b) AS BIGINT) AS or_num,
+       |       CAST(c_b * (n_a - c_a) AS BIGINT) AS or_den
+       |FROM agg""".stripMargin
+
+  // --------------------------------------------------------------- Q243
+  /** DIFFERENCE-IN-DIFFERENCES with exact rational means — the causal
+    * workhorse when assignment isn't randomized-per-unit (parallel-
+    * trends accounting: the treatment effect is the POST−PRE change
+    * in B minus the same change in A, so any level difference and any
+    * common trend cancel exactly): arms from the q242 hash parity,
+    * periods split at Jan 16, per-user revenue folds once, and
+    * DiD = ΔS_B/n_B − ΔS_A/n_A is emitted as the exact rational
+    * (ΔS_B·n_A − ΔS_A·n_B, n_A·n_B) — BIGINT-safe to ~10⁹ users ×
+    * ~10⁹ total cents deltas (documented; lift to DECIMAL past).
+    * Output also carries the four raw period sums, the full audit
+    * trail of the cancellation. One user×period fold; arm/period
+    * splits are scan-local. */
+  val q243: Q = (s, d) => {
+    val split = lit("2024-01-16").cast("date")
+    val cents = round(col("value") * 100).cast("long")
+    val pu = t(s, d, "events")
+      .groupBy(col("user_id"))
+      .agg(sum(when(to_date(col("ts")) < split, cents).otherwise(0L)).as("pre"),
+        sum(when(to_date(col("ts")) >= split, cents).otherwise(0L)).as("post"))
+      .withColumn("arm", conv(substring(md5(concat(lit("ab|"),
+        col("user_id").cast("string"))), 1, 13), 16, 10).cast("long") % 2)
+    pu.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 0, col("pre")).otherwise(0L)).as("pre_a"),
+        sum(when(col("arm") === 0, col("post")).otherwise(0L)).as("post_a"),
+        sum(when(col("arm") === 1, col("pre")).otherwise(0L)).as("pre_b"),
+        sum(when(col("arm") === 1, col("post")).otherwise(0L)).as("post_b"))
+      .select(col("n_a"), col("n_b"),
+        col("pre_a"), col("post_a"), col("pre_b"), col("post_b"),
+        ((col("post_b") - col("pre_b")) * col("n_a")
+          - (col("post_a") - col("pre_a")) * col("n_b")).as("did_num"),
+        (col("n_a") * col("n_b")).as("did_den"))
+  }
+
+  val q243Sql: String =
+    s"""WITH pu AS (SELECT user_id,
+       |         CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+       |             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+       |           AS BIGINT) AS pre,
+       |         CAST(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+       |             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+       |           AS BIGINT) AS post
+       |       FROM events GROUP BY 1),
+       |armd AS (SELECT pre, post,
+       |           ${sqlHex52("md5('ab|' || CAST(user_id AS VARCHAR))")} % 2 AS arm
+       |         FROM pu),
+       |agg AS (SELECT
+       |          CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |          CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |          CAST(sum(CASE WHEN arm = 0 THEN pre ELSE 0 END) AS BIGINT) AS pre_a,
+       |          CAST(sum(CASE WHEN arm = 0 THEN post ELSE 0 END) AS BIGINT) AS post_a,
+       |          CAST(sum(CASE WHEN arm = 1 THEN pre ELSE 0 END) AS BIGINT) AS pre_b,
+       |          CAST(sum(CASE WHEN arm = 1 THEN post ELSE 0 END) AS BIGINT) AS post_b
+       |        FROM armd)
+       |SELECT n_a, n_b, pre_a, post_a, pre_b, post_b,
+       |       CAST((post_b - pre_b) * n_a - (post_a - pre_a) * n_b AS BIGINT)
+       |         AS did_num,
+       |       CAST(n_a * n_b AS BIGINT) AS did_den
+       |FROM agg""".stripMargin
+
   val entries: Seq[(String, Q, String)] = Seq(
     ("q129_priority_sample", q129, q129Sql),
     ("q130_countmin_heavy", q130, q130Sql),
@@ -2148,5 +2262,7 @@ object StatQueries {
     ("q235_bootstrap_ci", q235, q235Sql),
     ("q237_runs_test", q237, q237Sql),
     ("q238_kendall_tau", q238, q238Sql),
-    ("q240_cuped", q240, q240Sql))
+    ("q240_cuped", q240, q240Sql),
+    ("q242_ab_test", q242, q242Sql),
+    ("q243_diff_in_diff", q243, q243Sql))
 }

@@ -826,4 +826,60 @@ class StatSpec extends SparkSpec {
       BigInt(th2) == expTheta && BigInt(r2) == expRho,
       s"replay: ($n2,$sg2,$th2,$r2) vs ($n,${cov.signum},$expTheta,$expRho)")
   }
+
+  test("q242/q243: hash-parity arms are replayable; planted effect and cancellation geometry are exact") {
+    import java.security.MessageDigest
+    def arm(uid: Long): Long = {
+      val md = MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"ab|$uid".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 13)
+      java.lang.Long.parseLong(hex, 16) % 2
+    }
+    // find a few users of each arm to plant with
+    val aUsers = (1L to 50L).filter(arm(_) == 0).take(3)
+    val bUsers = (1L to 50L).filter(arm(_) == 1).take(3)
+    assert(aUsers.size == 3 && bUsers.size == 3, "both arms must populate")
+    // q242 plant: all B users convert, one A user converts
+    def t0(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    val ev = (aUsers.zipWithIndex.flatMap { case (u, i) =>
+      Seq((u * 10, t0(5), u, if (i == 0) "purchase" else "view", 10.0, "{}"))
+    } ++ bUsers.flatMap { u =>
+      Seq((u * 10 + 1, t0(5), u, "purchase", 10.0, "{}"))
+    }).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ab").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val Array((na, ca, nb, cb, pa, pb, on, od)) = StatQueries.q242(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert((na, ca, nb, cb) == ((3L, 1L, 3L, 3L)), s"arm counts: $na $ca $nb $cb")
+    assert(pa == 333333L && pb == 1000000L && on == 1L * 0L && od == 3L * 2L,
+      s"exact ppm/odds: $pa $pb $on/$od")
+    // q243 plant: common trend +100c cancels exactly; B adds +50c post
+    val ev2 = (aUsers ++ bUsers).flatMap { u =>
+      val extra = if (arm(u) == 1) 0.5 else 0.0
+      Seq((u * 10, t0(5), u, "purchase", 2.0, "{}"),
+        (u * 10 + 1, t0(25), u, "purchase", 3.0 + extra, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_did").toString
+    ev2.write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val Array((n2a, n2b, prea, posta, preb, postb, dn, dd)) =
+      StatQueries.q243(spark, dir2)
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert((n2a, n2b) == ((3L, 3L)))
+    assert(prea == 600L && posta == 900L && preb == 600L && postb == 1050L,
+      s"period sums: $prea $posta $preb $postb")
+    // DiD = (450*3 - 300*3)/9 = 50 cents exactly
+    assert(dn == 450L && dd == 9L && dn % dd == 0 && dn / dd == 50L,
+      s"planted effect must be exactly 50c: $dn/$dd")
+    // real-data replay of both via the same hash
+    val users = Tables.load(spark, sf0001, "events")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c"))
+      .as[(Long, Long)].collect()
+    val (ea, eb) = users.partition(u => arm(u._1) == 0)
+    val Array((rna, rca, rnb, rcb, _, _, _, _)) = StatQueries.q242(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rna == ea.length && rca == ea.map(_._2).sum &&
+      rnb == eb.length && rcb == eb.map(_._2).sum,
+      s"real-data arm replay: ($rna,$rca,$rnb,$rcb)")
+  }
 }

@@ -41,6 +41,11 @@ case class TwapState(eventType: String, dayUs: Long, lastTs: Long,
                      lastCents: Long, n: Long, num: Long, den: Long)
 
 /** A finalized TWAP day — the exact columns batch q178 computes. */
+/** Per-key clamped-ledger state ([[EventStream.ledgerLive]]): last
+  * applied posting coordinates + the running clamp fold. */
+case class LedgerState(lastTs: Long, lastSeq: Long, bal: Long, n: Long,
+                       nCapped: Long, nFloored: Long)
+
 case class StreakState(lastDay: Long, curLen: Long, best: Long,
                        nActive: Long, nStreaks: Long)
 case class StreakRow(userId: Long, nActiveDays: Long, nStreaks: Long,
@@ -333,6 +338,52 @@ object EventStream {
           }
           state.update(st)
           Iterator.single(StreakRow(userId, st.nActive, st.nStreaks, st.best))
+      }
+  }
+
+  /** Continuous CLAMPED-LEDGER tracker —
+    * [[graft.operators.KeyedLedger]]'s streaming twin with TYPED
+    * per-key state (the streaksLive discipline): one fixed-width row
+    * per key — (last applied (ts, seq), balance, counts) — never a
+    * posting buffer; each batch's postings apply in (tsUs, seq) order
+    * through the SAME clamp fold the batch operator runs. Emission is
+    * UPDATE-mode: the latest row per key equals batch
+    * `KeyedLedger.cappedBalance` over the prefix processed so far
+    * (spec-pinned). Monotone at-arrival contract: postings at or
+    * before the last applied (tsUs, seq) are IGNORED — a crash-replay
+    * of a processed batch is a no-op on the state (spec-pinned), and
+    * a genuinely late posting can only be healed by the retrospective
+    * batch fold (the q113/q118 at-arrival rule — the clamp makes the
+    * fold order-dependent, so silent late application would diverge
+    * from the batch semantics rather than converge to it). */
+  def ledgerLive(postings: org.apache.spark.sql.Dataset[graft.operators.LedgerEvent],
+                 lo: Long, hi: Long)
+      : org.apache.spark.sql.Dataset[graft.operators.LedgerResult] = {
+    import postings.sparkSession.implicits._
+    postings
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[LedgerState, graft.operators.LedgerResult](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[graft.operators.LedgerEvent],
+         state: GroupState[LedgerState]) =>
+          var st = state.getOption.getOrElse(
+            LedgerState(Long.MinValue, Long.MinValue, 0L, 0L, 0L, 0L))
+          rows.toSeq.sortBy(e => (e.tsUs, e.seq)).foreach { e =>
+            if (e.tsUs > st.lastTs ||
+                (e.tsUs == st.lastTs && e.seq > st.lastSeq)) {
+              val raw = st.bal + e.delta
+              st =
+                if (raw > hi) st.copy(lastTs = e.tsUs, lastSeq = e.seq,
+                  bal = hi, n = st.n + 1, nCapped = st.nCapped + 1)
+                else if (raw < lo) st.copy(lastTs = e.tsUs, lastSeq = e.seq,
+                  bal = lo, n = st.n + 1, nFloored = st.nFloored + 1)
+                else st.copy(lastTs = e.tsUs, lastSeq = e.seq,
+                  bal = raw, n = st.n + 1)
+            }
+          }
+          state.update(st)
+          Iterator.single(graft.operators.LedgerResult(
+            key, st.n, st.bal, st.nCapped, st.nFloored))
       }
   }
 

@@ -660,4 +660,42 @@ class EventStreamSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("ledgerLive: the final per-key snapshot equals the batch clamp fold; a replayed batch is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[graft.operators.LedgerEvent]
+    val query = EventStream.ledgerLive(input.toDS(), 0L, 5000L)
+      .writeStream.format("memory").queryName("ledger_live")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val evs = graft.core.Tables.load(spark, sf0001, "events")
+        .filter(col("event_type").isin("purchase", "error"))
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")),
+          col("event_type"), round(col("value") * 100).cast("long"))
+        .as[(Long, Long, Long, String, Long)].collect()
+        .sortBy(r => (r._3, r._2))
+        .map(r => graft.operators.LedgerEvent(r._1, r._2, r._3,
+          if (r._4 == "purchase") r._5 / 10 else -(r._5 / 5)))
+      val chunks = evs.grouped(math.max(1, evs.length / 3 + 1)).toSeq
+      chunks.foreach { chunk =>
+        input.addData(chunk.toIndexedSeq: _*)
+        query.processAllAvailable()
+      }
+      // crash-replay: re-feed the LAST chunk — the monotone guard must no-op
+      input.addData(chunks.last.toIndexedSeq: _*)
+      query.processAllAvailable()
+      val live = spark.table("ledger_live")
+        .as[graft.operators.LedgerResult].collect()
+        .zipWithIndex.groupBy(_._1.key).view.mapValues(_.maxBy(_._2)._1).toMap
+      val batch = graft.queries.MiningQueries.q241(spark, sf0001)
+        .as[(Long, Long, Long, Long, Long)].collect()
+      assert(batch.nonEmpty)
+      batch.foreach { case (u, n, bal, nc, nf) =>
+        val r = live(u)
+        assert((r.n_events, r.final_balance, r.n_capped, r.n_floored)
+          == ((n, bal, nc, nf)),
+          s"user $u: live (${r.n_events},${r.final_balance},${r.n_capped},${r.n_floored}) vs batch ($n,$bal,$nc,$nf)")
+      }
+    } finally query.stop()
+  }
 }

@@ -4335,6 +4335,154 @@ object PipelineQueries {
       |FROM bg JOIN uni u1 ON bg.w1 = u1.w JOIN uni u2 ON bg.w2 = u2.w, ut, bt
       |ORDER BY lift_ppm DESC, bigram LIMIT 20""".stripMargin
 
+  // --------------------------------------------------------------- Q245
+  /** DETERMINISTIC NEGATIVE SAMPLING — the contrastive-training prep
+    * step (k negatives per user for a two-tower/embedding model; the
+    * sampling shelf covers uniform q46 / weighted q221 / stratified
+    * q53 / quota q139 — this one is EXCLUSION-constrained): for each
+    * purchasing customer, the 3 catalog parts RANKED FIRST by the
+    * md5-52-bit hash of (user, part) that the customer never bought.
+    * The hash seam (q46/q221/q235/q242) makes the draw reproducible,
+    * uniform over the catalog, per-user independent, and exactly
+    * replayable in the oracle — no RNG state exists anywhere. The
+    * DECLARED semantics carry BOTH scale disciplines this query
+    * exists to demonstrate:
+    *  - the pairwise hash is the ADDITIVE COMBINATION h(u,p) =
+    *    (a_u + b_p) mod 2⁵² of per-entity md5-52-bit hashes — the
+    *    2-universal construction that computes |users| + |catalog|
+    *    digests instead of |users|·|catalog| (a per-pair md5 measured
+    *    210 s at 30 M pairs ON EACH ENGINE — the digest, not the
+    *    join, was the wall; the pairwise term is now codegen'd
+    *    integer arithmetic). Uniform per pair, deterministic,
+    *    replayable; pairwise independence is the 2-universal
+    *    guarantee, exactly what threshold sampling needs.
+    *  - candidates are the hash-sampled pool h < 2⁵²·64/|catalog| —
+    *    expected 64 per user at ANY catalog size, so the pool, not
+    *    the catalog, feeds the per-user ranking window. Ranking
+    *    inside the pool equals ranking the catalog unless a user's
+    *    pool minus positives runs dry (P ≈ Poisson(64) < 3 ≈ 10⁻²⁰ —
+    *    deterministically CHECKABLE: the spec asserts every buyer's
+    *    pool covers its 3 ranks on the actual corpus, and the oracle
+    *    states the identical filter).
+    * Positives exclude by LeftAnti AFTER the pool filter (set
+    * difference commutes); rank = row_number over (h, part) — a total
+    * order. */
+  val q245: Q = (s, d) => {
+    val pos = t(s, d, "orders")
+      .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+    val buyers = pos.select(col("o_custkey")).distinct()
+    val parts = t(s, d, "part").select(col("p_partkey"))
+    val np = parts.agg(count(lit(1)).as("np"))
+    def h52(prefix: String, c: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit(prefix), c.cast("string"))), 1, 13),
+        16, 10).cast("long")
+    // per-ENTITY digests only (catalog-sized + buyers-sized); the
+    // 30 M-pair term below is codegen'd addition, never a digest —
+    // also keeps the catalog side a bucketed BroadcastHashJoin (a
+    // filter over a bare cross join becomes an INTERPRETED
+    // BroadcastNestedLoopJoin condition)
+    val nBk = 16
+    val partsN = parts.withColumn("bp", h52("p|", col("p_partkey")))
+      .crossJoin(broadcast(np))
+      .withColumn("__bk", pmod(col("p_partkey"), lit(nBk)))
+    val cand = buyers.withColumn("au", h52("u|", col("o_custkey")))
+      .withColumn("__bk", explode(lit((0 until nBk).toArray)))
+      .join(broadcast(partsN), Seq("__bk"))
+      .withColumn("h", pmod(col("au") + col("bp"), lit(4503599627370496L)))
+      .filter(col("h") < expr("4503599627370496 * 64 div np"))
+      .drop("__bk", "au", "bp")
+      .join(pos, col("p_partkey") === col("l_partkey")
+        && pos("o_custkey") === buyers("o_custkey"), "left_anti")
+    cand
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("o_custkey")).orderBy(col("h"), col("p_partkey")))
+        .cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("o_custkey"), col("rank"), col("p_partkey").as("neg_partkey"),
+        col("h"))
+      .orderBy(col("o_custkey"), col("rank"))
+  }
+
+  val q245Sql: String = {
+    def h52(arg: String) = s"""CAST(list_sum(list_transform(generate_series(1, 13), i ->
+      |      CAST(strpos('0123456789abcdef', substr(md5($arg), i, 1)) - 1
+      |        AS DOUBLE) * power(16.0, 13 - i))) AS BIGINT)""".stripMargin
+    s"""WITH pos AS (SELECT DISTINCT o_custkey, l_partkey
+       |             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |buyers AS (SELECT DISTINCT o_custkey FROM pos),
+       |np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM part),
+       |bh AS (SELECT o_custkey, ${h52("'u|' || CAST(o_custkey AS VARCHAR)")} AS au
+       |       FROM buyers),
+       |ph AS (SELECT p_partkey, ${h52("'p|' || CAST(p_partkey AS VARCHAR)")} AS bp
+       |       FROM part),
+       |cand AS (SELECT b.o_custkey, p.p_partkey,
+       |           (b.au + p.bp) % 4503599627370496 AS h
+       |         FROM bh b CROSS JOIN ph p, np
+       |         WHERE (b.au + p.bp) % 4503599627370496
+       |                 < 4503599627370496 * 64 // np
+       |           AND NOT EXISTS (SELECT 1 FROM pos
+       |            WHERE pos.o_custkey = b.o_custkey
+       |              AND pos.l_partkey = p.p_partkey)),
+       |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY o_custkey
+       |          ORDER BY h, p_partkey) AS BIGINT) AS rank
+       |       FROM cand)
+       |SELECT o_custkey, rank, p_partkey AS neg_partkey, h
+       |FROM rk WHERE rank <= 3
+       |ORDER BY o_custkey, rank""".stripMargin
+  }
+
+  // --------------------------------------------------------------- Q246
+  /** HARD-NEGATIVE MINING over embeddings — the contrastive-training
+    * refinement after q245's random negatives (the negatives that
+    * MATTER are the most-similar vectors with a DIFFERENT label;
+    * random ones stop teaching once the model separates classes): for
+    * each probe (vec_id < 20), the top-3 nearest different-label
+    * vectors by cosine, the q17/q22 brute-force eval discipline
+    * (round-4 sim + (sim desc, vec_id) deterministic tiebreak — the
+    * established cross-engine float boundary) with the label-mismatch
+    * predicate INSIDE the candidate join so same-class rows never
+    * rank. Production path: the identical label-filtered ranking over
+    * IVF-cell candidates (q30/q78's stored quantizer) — this declared
+    * tier is the exact ground truth the ANN tier is measured against
+    * (the q22 rationale). */
+  val q246: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val probes = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("v").as("qv"))
+    e.join(broadcast(probes), col("label") =!= col("q_label"))
+      .select(col("query_id"),
+        round(graft.functions.VectorOps.cosine(col("v"), col("qv")), 4).as("sim"),
+        col("vec_id"), col("label").as("neg_label"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("vec_id"))).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("neg_label"),
+        col("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q246Sql: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings),
+      |p AS (SELECT vec_id AS query_id, label AS q_label, v AS qv
+      |      FROM e WHERE vec_id < 20),
+      |scored AS (SELECT p.query_id, e.vec_id, e.label AS neg_label,
+      |             round(list_inner_product(e.v, p.qv)
+      |                   / (sqrt(list_inner_product(e.v, e.v))
+      |                      * sqrt(list_inner_product(p.qv, p.qv))), 4) AS sim
+      |           FROM e JOIN p ON e.label <> p.q_label),
+      |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      |          ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+      |       FROM scored)
+      |SELECT query_id, rank, vec_id, neg_label, sim
+      |FROM rk WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin
+
   // --------------------------------------------------------------- Q214
   /** PERCEPTUAL-HASH image dedup — aHash + hamming blocking (what
     * production image pipelines ship as pHash/PDQ's cheap tier; q83
@@ -4526,7 +4674,9 @@ object PipelineQueries {
     ("q206_readability", q206, q206Sql),
     ("q211_mmr_topk", q211, q211Sql),
     ("q214_ahash_dedup", q214, q214Sql),
-    ("q230_collocation_lift", q230, q230Sql))
+    ("q230_collocation_lift", q230, q230Sql),
+    ("q245_negative_sampling", q245, q245Sql),
+    ("q246_hard_negatives", q246, q246Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type (KLL-style `percentile_approx`

@@ -1730,6 +1730,56 @@ object RelationalQueries {
       |  AND o_orderdate < TIMESTAMP '1998-01-01'
       |GROUP BY 1 ORDER BY ship_class""".stripMargin
 
+  // --------------------------------------------------------------- Q244
+  /** ITEM-ITEM co-purchase similarity — the collaborative-filtering
+    * primitive ("customers who bought X also bought Y"; q148 scores
+    * event-type pairs with support/confidence over (user, day)
+    * baskets — this ranks PART pairs over ORDER baskets by cosine,
+    * the recsys form): baskets = orders, the (order, part) incidence
+    * DISTINCTs first (multi-line orders count a part once), pairs
+    * generate inside each order (lines²-per-order bounded — never a
+    * catalog² or orders² term), and cos²(a,b) = c_ab²/(c_a·c_b) is
+    * the exact integer cross-ratio, emitted as the
+    * DECIMAL(38,0)-lifted (c_ab²·10⁶) div (c_a·c_b) ppm (c_ab² passes
+    * 2⁶³ near 10⁹-order corpora — documented). Top 30 by (cos² desc,
+    * a, b). At 100 TB the pair fold shuffles on the pair key with
+    * map-side combine; the per-part counts broadcast (catalog-sized). */
+  val q244: Q = (s, d) => {
+    val inc = graft.core.Pins.pin(
+      t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")).distinct())
+    val cnt = inc.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+    val pairs = inc.as("x").join(inc.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("part_a"), col("y.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_co"))
+    pairs
+      .join(broadcast(cnt.select(col("l_partkey").as("part_a"), col("c").as("c_a"))),
+        Seq("part_a"))
+      .join(broadcast(cnt.select(col("l_partkey").as("part_b"), col("c").as("c_b"))),
+        Seq("part_b"))
+      .select(col("part_a"), col("part_b"), col("n_co"), col("c_a"), col("c_b"),
+        expr("CAST(n_co AS DECIMAL(38,0)) * n_co * 1000000 div (c_a * c_b)")
+          .as("cos2_ppm"))
+      .orderBy(col("cos2_ppm").desc, col("part_a"), col("part_b"))
+      .limit(30)
+  }
+
+  val q244Sql: String =
+    """WITH inc AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |cnt AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c FROM inc GROUP BY 1),
+      |pairs AS (SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+      |            CAST(count(*) AS BIGINT) AS n_co
+      |          FROM inc x JOIN inc y ON x.l_orderkey = y.l_orderkey
+      |            AND x.l_partkey < y.l_partkey
+      |          GROUP BY 1, 2)
+      |SELECT part_a, part_b, n_co, ca.c AS c_a, cb.c AS c_b,
+      |       CAST(CAST(n_co AS HUGEINT) * n_co * 1000000 // (ca.c * cb.c)
+      |            AS BIGINT) AS cos2_ppm
+      |FROM pairs JOIN cnt ca ON part_a = ca.l_partkey
+      |JOIN cnt cb ON part_b = cb.l_partkey
+      |ORDER BY cos2_ppm DESC, part_a, part_b LIMIT 30""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q153_shipping_priority", q153, q153Sql),
@@ -1757,6 +1807,7 @@ object RelationalQueries {
     ("q226_large_volume_orders", q226, q226Sql),
     ("q232_forecast_revenue", q232, q232Sql),
     ("q233_priority_lateness", q233, q233Sql),
+    ("q244_item_similarity", q244, q244Sql),
     ("q31_correlated_subquery", q31, q31Sql),
     ("q32_percentiles", q32, q32Sql),
     ("q33_date_arithmetic", q33, q33Sql),

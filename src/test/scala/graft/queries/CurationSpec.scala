@@ -237,4 +237,74 @@ class CurationSpec extends SparkSpec {
       .select("shard", "n_docs", "n_tokens").as[(Long, Long, Long)].collect()
     assert(a.sortBy(_._1).sameElements(b.sortBy(_._1)), "re-run must be identical")
   }
+
+  test("q245: negatives never collide with positives, exactly 3 per buyer, and the hash ranking replays bit-for-bit") {
+    import java.security.MessageDigest
+    def md5h52(s0: String): Long = {
+      val md = MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(md.digest(s0.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 13), 16)
+    }
+    // the additive 2-universal pairwise hash the query declares
+    def h52pair(u: Long, pk: Long): Long =
+      (md5h52(s"u|$u") + md5h52(s"p|$pk")) % 4503599627370496L
+    val pos = Tables.load(spark, sf0001, "orders")
+      .join(Tables.load(spark, sf0001, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      .toMap
+    val parts = Tables.load(spark, sf0001, "part")
+      .select("p_partkey").as[Long].collect().sorted
+    val got = PipelineQueries.q245(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect()
+    val byUser = got.groupBy(_._1)
+    assert(byUser.keySet == pos.keySet, "every buyer gets negatives")
+    byUser.foreach { case (u, rows) =>
+      assert(rows.length == 3 && rows.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L),
+        s"user $u: ranks ${rows.map(_._2).toSeq}")
+      rows.foreach { case (_, _, pk, h) =>
+        assert(!pos(u).contains(pk), s"user $u: negative $pk is a positive")
+        assert(h == h52pair(u, pk), s"user $u part $pk: hash mismatch")
+      }
+      // replay: the 3 lowest-hash POOL members (h below the oversample
+      // threshold) that are not positives, in (h, part) order — and the
+      // pool must cover all 3 ranks for every buyer (the 10^-20 event
+      // is checked, not assumed)
+      val thr = 4503599627370496L * 64 / parts.length
+      val pool = parts.map(pk => (h52pair(u, pk), pk))
+        .filter(_._1 < thr).filterNot(r => pos(u)(r._2))
+      assert(pool.length >= 3, s"user $u: pool ran dry (${pool.length})")
+      val expect = pool.sorted.take(3).map(_._2).toSeq
+      assert(rows.sortBy(_._2).map(_._3).toSeq == expect, s"user $u ranking replay")
+    }
+  }
+
+  test("q246: a nearer same-label vector never outranks; real data matches a label-filtered brute-force replay") {
+    val e = Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Int, Seq[Double])].collect()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d0 = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d0 += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d0 / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expect = e.filter(_._1 < 20).flatMap { case (q, ql, qv) =>
+      e.filter(r => r._2 != ql)
+        .map(r => (q, BigDecimal(cos(r._3, qv)).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble, r._1, r._2.toLong))
+        .sortBy(r => (-r._2, r._3)).take(3).zipWithIndex
+        .map { case ((q0, s0, v0, l0), i) => (q0, i + 1L, v0, l0, s0) }
+    }.toSeq.sortBy(r => (r._1, r._2))
+    val got = PipelineQueries.q246(spark, sf0001)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == expect, s"hard-negative replay: got ${got.take(3)} vs ${expect.take(3)}")
+    // the filter is real: some probe's global-nearest is same-label and skipped
+    val anySkip = e.filter(_._1 < 20).exists { case (q, ql, qv) =>
+      val nearest = e.filter(_._1 != q).maxBy(r => cos(r._3, qv))
+      nearest._2 == ql
+    }
+    assert(anySkip, "fixture must exercise the label skip (else weaken probe set)")
+  }
 }

@@ -185,6 +185,16 @@ object PlanAuditSpec {
     // self-join and both tie folds re-key the grid-sized pin (days²
     // pairs, value-grid tie counts) and the 5-row joins + sort close
     "q238_kendall_tau" -> 6,
+    // q245: the positives relation derives from orders⋈lineitem and is
+    // consumed twice (buyers distinct + the anti-join) — column pruning
+    // plans each consumer's scan pair separately (4 scans), plus part ×2
+    // (catalog hash + count); all six are dimension- or
+    // positives-pair-sized, the fact never rescans inside a loop. The
+    // 6 shuffles: two positives-distinct folds, the buyers distinct,
+    // the anti-join's two sides re-keyed on (custkey, partkey), and
+    // the per-user ranking window — every one bounded by positives
+    // pairs or the sampled pool, never users×catalog
+    "q245_negative_sampling" -> 6,
     // q209: one fact-sized exchange (the (part,supplier) fold); the
     // per-part window, dominant-distinct, semi probe and output sort
     // all re-key the parts×suppliers fold — model-sized by design
@@ -222,6 +232,11 @@ object PlanAuditSpec {
     // nation broadcast before the fact fold, fact⋈orders is the only
     // big join (the multi-table carve-out)
     "q222_profit_by_nation" -> 5,
+    // q245: positives (orders⋈lineitem) consumed twice — buyers
+    // distinct + the anti-join — and column pruning plans each
+    // consumer's scan pair separately (4), plus part twice (hash
+    // relation + count); dimension/pair-sized every one
+    "q245_negative_sampling" -> 6,
     // q162 (TPC-H Q7): five base tables with nation scanned TWICE — once
     // per ROLE (supplier's nation, customer's nation); both role chains
     // broadcast, so the double scan is dimension-sized by construction

@@ -658,4 +658,26 @@ class TpchJoinSpec extends SparkSpec {
     assert(p.linesIterator.exists(l => l.contains("PushedFilters")
       && l.contains("o_orderdate")), "order-year must push to the orders scan")
   }
+
+  test("q244: multi-line orders count a part once; a planted always-together pair hits cos2 = 1e6") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cf").toString
+    def d0(s0: String) = java.sql.Timestamp.valueOf(s0 + " 00:00:00")
+    // parts 1,2 co-occur in ALL their orders (cos2 = 1e6); part 3 joins once;
+    // order 30 lists part 1 TWICE (distinct must collapse it)
+    Seq((10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L), (20L, 3L), (30L, 1L),
+        (30L, 1L), (30L, 2L))
+      .map { case (o, pk) => (o, pk, 1L, 1, 1.0, 10.0, 0.0, 0.0, "N", "O",
+        d0("1997-01-01")) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = RelationalQueries.q244(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    graft.core.Pins.release()
+    // (1,2): n_co=3, c1=3, c2=3 -> 9e6/9 = 1e6; (1,3)/(2,3): 1e6/3 = 333333
+    assert(got == Seq((1L, 2L, 3L, 3L, 3L, 1000000L),
+      (1L, 3L, 1L, 3L, 1L, 333333L), (2L, 3L, 1L, 3L, 1L, 333333L)),
+      s"planted cosine geometry: $got")
+  }
 }

@@ -49,6 +49,33 @@ object Tables {
     }
   }
 
+  /** Exact row count from parquet FOOTER metadata — the "table
+    * statistics" seam: a dimension's cardinality (q245's |catalog|)
+    * is catalog metadata, not a query, so reading it must not
+    * schedule a Spark job (a per-rep count() job is pure dispatch
+    * overhead locally and a needless cluster round-trip at 100 TB,
+    * where a real catalog serves the same number from table stats).
+    * Falls back to a plain count() for stores without footers. */
+  def rowCount(spark: SparkSession, dir: String, name: String): Long =
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      val fs = path.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(path).isDirectory)
+          fs.listStatus(path).toSeq
+            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        else Seq(fs.getFileStatus(path))
+      files.map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(st, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+    } catch {
+      case scala.util.control.NonFatal(_) => load(spark, dir, name).count()
+    }
+
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")

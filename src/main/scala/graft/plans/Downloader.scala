@@ -182,10 +182,66 @@ object Downloader {
       .start()
   }
 
+  /** Build the per-iteration feed list from a config string — the
+    * reference daemon's deployed shape is THREE sources per iteration
+    * (MaxMind fixed files + RouteViews IPv4 + IPv6 manifests,
+    * /root/reference/downloader.go:71-96); this makes that wiring
+    * config, not code. Entries separated by `;`, fields by `|`:
+    *
+    *  - `manifest|<dataset>|<manifestUrl>` — a routeviews-shaped feed:
+    *    archive prefix `<dataset>/`, current pointer
+    *    `<dataset>/current/routeview.pfx2as.gz`, the reference's URL
+    *    regex (routeviews.go:18) and whole-archive dedup scope
+    *    (routeviews.go:19).
+    *  - `fixed|<dataset>|<filename>|<url>` — a maxmind-shaped feed:
+    *    fixed filename under a UTC date directory, current pointer
+    *    `<dataset>/current/<filename>`, per-date-directory dedup scope
+    *    (maxmind.go:13 — its regex's group 1 is the date directory).
+    */
+  def parseFeeds(spec: String): (Seq[ManifestFeed], Seq[FixedFeed]) = {
+    val entries = spec.split(';').map(_.trim).filter(_.nonEmpty).toSeq
+    val parsed = entries.map { e =>
+      e.split('|').toSeq match {
+        case Seq("manifest", ds, url) =>
+          Left(ManifestFeed(routeviewsConfig(ds), url))
+        case Seq("fixed", ds, filename, url) =>
+          Right(FixedFeed(SourceConfig(
+            dataset = ds,
+            pathPrefix = s"$ds/",
+            currentName = s"$ds/current/$filename",
+            fixedFilename = Some(filename),
+            dedupScopeRegex = new scala.util.matching.Regex("""(.*/).*/.*""")),
+            url))
+        case other => throw new IllegalArgumentException(
+          s"bad feed entry '${other.mkString("|")}' — expected " +
+            "manifest|<dataset>|<url> or fixed|<dataset>|<filename>|<url>")
+      }
+    }
+    (parsed.collect { case Left(m) => m }, parsed.collect { case Right(f) => f })
+  }
+
+  /** The routeviews feed shape (download/routeviews.go:45-56). */
+  def routeviewsConfig(dataset: String): SourceConfig = SourceConfig(
+    dataset = dataset,
+    pathPrefix = s"$dataset/",
+    currentName = s"$dataset/current/routeview.pfx2as.gz",
+    urlRegex = Some(new scala.util.matching.Regex(""".*(\d{4}/\d{2}/)(.*)""")),
+    dedupScopeRegex = new scala.util.matching.Regex("""(.*)"""))
+
   /** Service entry: graft.plans.Downloader <storeRootUri> <manifestUrl>.
     * Serves /metrics on GRAFT_METRICS_PORT (default 9090); Basic Auth
     * from GRAFT_AUTH_USER/GRAFT_AUTH_PASS (the maxmind licence-key
     * pattern).
+    *
+    * GRAFT_FEEDS (see [[parseFeeds]]) replaces the single-feed CLI with
+    * the reference's multi-source iteration — e.g. the deployed
+    * reference daemon is
+    * `manifest|RouteViewIPv4|http://…/pfx2as-creation.log;
+    *  manifest|RouteViewIPv6|http://…6…/pfx2as-creation.log;
+    *  fixed|Maxmind|GeoLite2-City.tar.gz|https://…/download?suffix=tar.gz`
+    * — with the all-success gauge set only when EVERY feed's iteration
+    * succeeds (downloader.go:98-100). Without GRAFT_FEEDS, args(1) is a
+    * single RouteViews-shaped manifest URL (unchanged contract).
     *
     * With GRAFT_CHECKPOINT set, runs the streaming form ([[stream]]):
     * the engine checkpoint at that path is the single watermark
@@ -211,7 +267,7 @@ object Downloader {
       }
       return
     }
-    require(args.length >= 2, "usage: Downloader <storeRootUri> <manifestUrl>")
+    require(args.length >= 1, "usage: Downloader <storeRootUri> [<manifestUrl>]")
     val spark = graft.core.Sessions.local(sys.env.getOrElse("GRAFT_CPUS", "8").toInt)
     val store = new graft.sources.HadoopFsStore(args(0))
     val fetcher = HttpFetcher(
@@ -219,12 +275,13 @@ object Downloader {
     val metrics = new Metrics(spark)
     val endpoint = new MetricsHttpEndpoint(metrics,
       sys.env.getOrElse("GRAFT_METRICS_PORT", "9090").toInt).start()
-    val feed = ManifestFeed(SourceConfig(
-      dataset = "RouteViewIPv4",
-      pathPrefix = "RouteViewIPv4/",
-      currentName = "RouteViewIPv4/current/routeviews.pfx2as.gz",
-      urlRegex = Some(new scala.util.matching.Regex(""".*(\d{4}/\d{2}/)(.*)""")),
-      dedupScopeRegex = new scala.util.matching.Regex("""(.*)""")), args(1))
+    val (manifestFeeds, fixedFeeds) = sys.env.get("GRAFT_FEEDS") match {
+      case Some(spec) => parseFeeds(spec)
+      case None =>
+        require(args.length >= 2,
+          "usage: Downloader <storeRootUri> <manifestUrl> (or set GRAFT_FEEDS)")
+        (Seq(ManifestFeed(routeviewsConfig("RouteViewIPv4"), args(1))), Nil)
+    }
     try sys.env.get("GRAFT_CHECKPOINT") match {
       case Some(ckpt) =>
         val interval = sys.env.getOrElse("GRAFT_INTERVAL_MS",
@@ -232,28 +289,51 @@ object Downloader {
         val publisher = new MetricsPublisher(spark, metrics,
           new graft.core.TextFileMetricsSink(
             sys.env.getOrElse("GRAFT_METRICS_FILE", "/tmp/graft_metrics.prom")))
+        require(fixedFeeds.isEmpty,
+          "fixed feeds are loop-scheduled — run them without " +
+            "GRAFT_CHECKPOINT (a fixed feed has no offset to checkpoint)")
+        // the all-success gauge folds over EVERY feed, exactly like the
+        // loop form (downloader.go:98-100): each query flips its own
+        // health bit per batch; the gauge marks only when all are true
+        val health = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+        manifestFeeds.foreach(f => health.put(f.cfg.dataset, false))
+        def onFeedSuccess(ds: String): Unit = {
+          health.put(ds, true)
+          if (manifestFeeds.forall(f => health.get(f.cfg.dataset)))
+            metrics.markAllSuccess(System.currentTimeMillis() / 1000L)
+          publisher.publishNow()
+        }
+        // one query per manifest feed, each with its own checkpoint
+        // subdirectory (per-feed offset authority, like the reference's
+        // per-feed lastDownloaded ints); supervision restarts ONLY the
+        // feeds whose query died — a healthy sibling keeps running (a
+        // failed batch never committed its offset, so the restart
+        // replays it: gated-advance semantics)
+        val running = scala.collection.mutable.Map.empty[String, StreamingQuery]
+        def startFeed(f: ManifestFeed): Unit =
+          running(f.cfg.dataset) = stream(spark, store, fetcher, metrics, f,
+            s"$ckpt/${f.cfg.dataset}", Trigger.ProcessingTime(interval),
+            onBatchSuccess = _ => onFeedSuccess(f.cfg.dataset))
+        manifestFeeds.foreach(startFeed)
         while (true) {
-          val q = stream(spark, store, fetcher, metrics, feed, ckpt,
-            Trigger.ProcessingTime(interval),
-            // per-batch success = the loop form's per-iteration verdict:
-            // gauge marked and sink published while the query is healthy
-            onBatchSuccess = _ => {
-              metrics.markAllSuccess(System.currentTimeMillis() / 1000L)
-              publisher.publishNow()
-            })
-          try q.awaitTermination()
+          try spark.streams.awaitAnyTermination()
           catch { case scala.util.control.NonFatal(e) =>
             System.err.println(s"stream failed (will replay batch): ${e.getMessage}")
           }
+          spark.streams.resetTerminated()
+          val dead = manifestFeeds.filter(f =>
+            running.get(f.cfg.dataset).exists(!_.isActive))
+          dead.foreach(f => health.put(f.cfg.dataset, false))
           // post-mortem publish: surfaces the failure-state counters even
           // though the failed batch's own onBatchSuccess never ran
           publisher.publishNow()
           Thread.sleep(sys.env.getOrElse("GRAFT_RESTART_BACKOFF_MS", "60000").toLong)
+          dead.foreach(startFeed)
         }
       case None =>
         loop(spark, store, fetcher, metrics, new graft.core.TextFileMetricsSink(
             sys.env.getOrElse("GRAFT_METRICS_FILE", "/tmp/graft_metrics.prom")),
-          Seq(feed), Nil, iterations = Int.MaxValue)
+          manifestFeeds, fixedFeeds, iterations = Int.MaxValue)
     }
     finally { endpoint.stop(); spark.stop() }
   }

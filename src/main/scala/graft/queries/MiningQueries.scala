@@ -2333,7 +2333,10 @@ object MiningQueries {
       .withColumn("s", sum(col("x")).over(wAll))
       .filter(col("t") < col("n"))
       .withColumn("num", {
-        val dlt = (col("n") * col("s1") - col("t") * col("s")).cast(dec)
+        // operands lift to decimal BEFORE the multiplies (the oracle's
+        // HUGEINT lift): n·s1 and t·s pass 2⁶³ near total-cents × span
+        // ~ 9.2e18, where a Long product wraps silently
+        val dlt = col("n").cast(dec) * col("s1") - col("t").cast(dec) * col("s")
         (dlt * dlt).cast(dec)
       })
       .withColumn("den", col("t") * (col("n") - col("t")))

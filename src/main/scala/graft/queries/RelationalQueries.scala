@@ -1759,7 +1759,11 @@ object RelationalQueries {
       .join(broadcast(cnt.select(col("l_partkey").as("part_b"), col("c").as("c_b"))),
         Seq("part_b"))
       .select(col("part_a"), col("part_b"), col("n_co"), col("c_a"), col("c_b"),
-        expr("CAST(n_co AS DECIMAL(38,0)) * n_co * 1000000 div (c_a * c_b)")
+        // the DENOMINATOR lifts too: c_a·c_b in BIGINT wraps silently
+        // on similar corpora (both counts near 10⁹·√overlap) where
+        // DuckDB's HUGEINT stays exact — same hazard as c_ab²
+        expr("CAST(n_co AS DECIMAL(38,0)) * n_co * 1000000" +
+          " div (CAST(c_a AS DECIMAL(38,0)) * c_b)")
           .as("cos2_ppm"))
       .orderBy(col("cos2_ppm").desc, col("part_a"), col("part_b"))
       .limit(30)
@@ -1774,8 +1778,8 @@ object RelationalQueries {
       |            AND x.l_partkey < y.l_partkey
       |          GROUP BY 1, 2)
       |SELECT part_a, part_b, n_co, ca.c AS c_a, cb.c AS c_b,
-      |       CAST(CAST(n_co AS HUGEINT) * n_co * 1000000 // (ca.c * cb.c)
-      |            AS BIGINT) AS cos2_ppm
+      |       CAST(CAST(n_co AS HUGEINT) * n_co * 1000000
+      |            // (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS cos2_ppm
       |FROM pairs JOIN cnt ca ON part_a = ca.l_partkey
       |JOIN cnt cb ON part_b = cb.l_partkey
       |ORDER BY cos2_ppm DESC, part_a, part_b LIMIT 30""".stripMargin

@@ -1861,8 +1861,13 @@ object StatQueries {
       .groupBy(col("event_type"), col("b"))
       .agg(sum(col("w") * col("x")).as("num"), sum(col("w")).as("den"))
       .filter(col("den") > 0)
+      // the ordering key stays DECIMAL (subtract-mod floor — `div`
+      // would narrow to LONG and wrap past ~9.2·10⁸ replica dollars);
+      // the oracle keeps it HUGEINT: internal on both sides, never
+      // output, so no 128-bit value ever reaches the hasher
       .withColumn("key",
-        expr("CAST(num AS DECIMAL(38,0)) * 10000000000 div den"))
+        expr("(CAST(num AS DECIMAL(38,0)) * 10000000000" +
+          " - (CAST(num AS DECIMAL(38,0)) * 10000000000) % den) / den"))
     val wOrd = Window.partitionBy(col("event_type"))
       .orderBy(col("key"), col("num"), col("den"), col("b"))
     reps
@@ -1899,7 +1904,7 @@ object StatQueries {
        |           CAST(sum(w) AS BIGINT) AS den
        |         FROM w GROUP BY 1, 2 HAVING sum(w) > 0),
        |keyed AS (SELECT *,
-       |            CAST(CAST(num AS HUGEINT) * 10000000000 // den AS BIGINT) AS key,
+       |            CAST(num AS HUGEINT) * 10000000000 // den AS key,
        |            CAST(CAST(num AS HUGEINT) * 10000 // den AS BIGINT) AS mean_e4
        |          FROM reps),
        |rk AS (SELECT *,
@@ -2139,8 +2144,13 @@ object StatQueries {
         sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
         sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("c_b"))
       .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
-        expr("c_a * 1000000 div n_a").as("conv_a_ppm"),
-        expr("c_b * 1000000 div n_b").as("conv_b_ppm"),
+        // empty-arm guard (q231/q240 discipline): without it Spark's
+        // div by n=0 yields NULL where DuckDB's // raises — a
+        // null-vs-error engine divergence, not a value
+        when(col("n_a") === 0, -1L)
+          .otherwise(expr("c_a * 1000000 div n_a")).as("conv_a_ppm"),
+        when(col("n_b") === 0, -1L)
+          .otherwise(expr("c_b * 1000000 div n_b")).as("conv_b_ppm"),
         (col("c_a") * (col("n_b") - col("c_b"))).as("or_num"),
         (col("c_b") * (col("n_a") - col("c_a"))).as("or_den"))
   }
@@ -2160,8 +2170,10 @@ object StatQueries {
        |          CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b
        |        FROM armd)
        |SELECT n_a, c_a, n_b, c_b,
-       |       CAST(c_a * 1000000 // n_a AS BIGINT) AS conv_a_ppm,
-       |       CAST(c_b * 1000000 // n_b AS BIGINT) AS conv_b_ppm,
+       |       CASE WHEN n_a = 0 THEN CAST(-1 AS BIGINT)
+       |            ELSE CAST(c_a * 1000000 // n_a AS BIGINT) END AS conv_a_ppm,
+       |       CASE WHEN n_b = 0 THEN CAST(-1 AS BIGINT)
+       |            ELSE CAST(c_b * 1000000 // n_b AS BIGINT) END AS conv_b_ppm,
        |       CAST(c_a * (n_b - c_b) AS BIGINT) AS or_num,
        |       CAST(c_b * (n_a - c_a) AS BIGINT) AS or_den
        |FROM agg""".stripMargin
@@ -2176,6 +2188,9 @@ object StatQueries {
     * DiD = ΔS_B/n_B − ΔS_A/n_A is emitted as the exact rational
     * (ΔS_B·n_A − ΔS_A·n_B, n_A·n_B) — BIGINT-safe to ~10⁹ users ×
     * ~10⁹ total cents deltas (documented; lift to DECIMAL past).
+    * An empty arm yields did_den = 0, the rational's own undefined
+    * marker — no division happens in-query, so the q242 null-vs-error
+    * divergence class can't arise here.
     * Output also carries the four raw period sums, the full audit
     * trail of the cancellation. One user×period fold; arm/period
     * splits are scan-local. */

@@ -40,7 +40,6 @@ case class FunnelProgress(userId: Long, tvMicros: Long, tcMicros: Long,
 case class TwapState(eventType: String, dayUs: Long, lastTs: Long,
                      lastCents: Long, n: Long, num: Long, den: Long)
 
-/** A finalized TWAP day — the exact columns batch q178 computes. */
 /** Per-key clamped-ledger state ([[EventStream.ledgerLive]]): last
   * applied posting coordinates + the running clamp fold. */
 case class LedgerState(lastTs: Long, lastSeq: Long, bal: Long, n: Long,
@@ -51,6 +50,7 @@ case class StreakState(lastDay: Long, curLen: Long, best: Long,
 case class StreakRow(userId: Long, nActiveDays: Long, nStreaks: Long,
                      longestStreak: Long)
 
+/** A finalized TWAP day — the exact columns batch q178 computes. */
 case class TwapRow(eventType: String, dayUs: Long, n: Long,
                    num: Long, den: Long, twapCents: Long)
 

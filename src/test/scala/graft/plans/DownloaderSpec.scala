@@ -172,6 +172,58 @@ class DownloaderSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     } finally manifestFails = false
   }
 
+  test("multi-feed service wiring: two manifests + one fixed per iteration; gauge only on all-three-success") {
+    // a second, independently failing manifest endpoint (RouteViewIPv6)
+    @volatile var v6Fails = true
+    server.createContext("/rv6/", ex => {
+      val p = ex.getRequestURI.getPath
+      val body =
+        if (p.endsWith("pfx2as-creation.log")) {
+          if (v6Fails) null
+          else ("# manifest\n3363\t1497717708\t2017/06/a6.pfx2as.gz\n").getBytes(UTF_8)
+        } else s"payload-of:$p".getBytes(UTF_8)
+      if (body == null) { ex.sendResponseHeaders(500, -1); ex.close() }
+      else {
+        ex.sendResponseHeaders(200, body.length.toLong)
+        ex.getResponseBody.write(body); ex.close()
+      }
+    })
+    val store = new InMemoryStore
+    val metrics = new Metrics(spark)
+    val sink = new InMemoryMetricsSink
+    manifestRows = Seq(3363 -> "2017/06/a.pfx2as.gz")
+    // the reference daemon's deployed wiring, as config (downloader.go:71-96)
+    val (mf, ff) = Downloader.parseFeeds(
+      s"manifest|RouteViewIPv4|$base/rv/pfx2as-creation.log;" +
+        s"manifest|RouteViewIPv6|$base/rv6/pfx2as-creation.log;" +
+        s"fixed|Maxmind|GeoLite2-City.tar.gz|$base/rv/GeoLite2-City.tar.gz")
+    assert(mf.map(_.cfg.dataset) == Seq("RouteViewIPv4", "RouteViewIPv6"))
+    assert(ff.map(_.cfg.dataset) == Seq("Maxmind"))
+
+    // iteration 1: the v6 feed fails -> 2/3 success, gauge NOT set
+    var clock = 7000L
+    val r1 = Downloader.loop(spark, store, HttpFetcher(), metrics, sink,
+      mf, ff, iterations = 1, sleep = _ => (),
+      clock = () => { clock += 1; clock })
+    assert(r1 == Seq(false))
+    assert(sink.publications.size == 1)
+    assert(sink.latest.get.getOrElse("downloader_last_success_time_seconds", 0L) == 0L)
+    // the healthy feeds still did their work in the same iteration
+    assert(store.list("RouteViewIPv4/2017/06/").map(_.name) ==
+      Seq("RouteViewIPv4/2017/06/a.pfx2as.gz"))
+    assert(store.list("Maxmind/").exists(_.name == "Maxmind/current/GeoLite2-City.tar.gz"))
+
+    // iteration 2: all three succeed -> gauge set
+    v6Fails = false
+    val r2 = Downloader.loop(spark, store, HttpFetcher(), metrics, sink,
+      mf, ff, iterations = 1, sleep = _ => (),
+      clock = () => { clock += 1; clock })
+    assert(r2 == Seq(true))
+    assert(store.list("RouteViewIPv6/2017/06/").map(_.name) ==
+      Seq("RouteViewIPv6/2017/06/a6.pfx2as.gz"))
+    assert(sink.latest.get("downloader_last_success_time_seconds") >= 7001L)
+  }
+
   test("loop publishes per iteration and gates the gauge on all-success") {
     val store = new InMemoryStore
     val metrics = new Metrics(spark)

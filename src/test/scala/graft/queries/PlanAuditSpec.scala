@@ -92,7 +92,13 @@ object PlanAuditSpec {
     "q38_tfidf" -> 6,
     "q63_unigram_lm" -> 6,
     "q68_drift_psi" -> 5,
-    "q89_bigram_lm" -> 5,
+    // q89 (r9 occurrence form): all four residual exchanges are vocab-
+    // or doc-count-sized (model fold collapses map-side to the Heaps-
+    // bounded vocab before shipping, the w₁ marginal window re-keys
+    // the vocab, the per-doc score fold collapses map-side, + the
+    // output sort); the corpus-sized occurrences live in the pin and
+    // never shuffle
+    "q89_bigram_lm" -> 4,
     "q93_pagerank" -> 7,
     "q94_wau_sliding" -> 5,
     "q105_perplexity_buckets" -> 7,
@@ -185,16 +191,13 @@ object PlanAuditSpec {
     // self-join and both tie folds re-key the grid-sized pin (days²
     // pairs, value-grid tie counts) and the 5-row joins + sort close
     "q238_kendall_tau" -> 6,
-    // q245: the positives relation derives from orders⋈lineitem and is
-    // consumed twice (buyers distinct + the anti-join) — column pruning
-    // plans each consumer's scan pair separately (4 scans), plus part ×2
-    // (catalog hash + count); all six are dimension- or
-    // positives-pair-sized, the fact never rescans inside a loop. The
-    // 6 shuffles: two positives-distinct folds, the buyers distinct,
-    // the anti-join's two sides re-keyed on (custkey, partkey), and
-    // the per-user ranking window — every one bounded by positives
-    // pairs or the sampled pool, never users×catalog
-    "q245_negative_sampling" -> 6,
+    // q245 (r9 interval-lookup form): the whole pipeline — posSets
+    // fold, interval-bucket explode ⋈ broadcast catalog, exclusion
+    // filter, sorted-slice top-3 — is ONE exchange-free chain off the
+    // posSets groupBy, pinned output-sized before the sort (the range
+    // sampler would re-execute the chain otherwise); the residual
+    // plan is the final sort's single exchange
+    "q245_negative_sampling" -> 1,
     // q209: one fact-sized exchange (the (part,supplier) fold); the
     // per-part window, dominant-distinct, semi probe and output sort
     // all re-key the parts×suppliers fold — model-sized by design
@@ -232,11 +235,11 @@ object PlanAuditSpec {
     // nation broadcast before the fact fold, fact⋈orders is the only
     // big join (the multi-table carve-out)
     "q222_profit_by_nation" -> 5,
-    // q245: positives (orders⋈lineitem) consumed twice — buyers
-    // distinct + the anti-join — and column pruning plans each
-    // consumer's scan pair separately (4), plus part twice (hash
-    // relation + count); dimension/pair-sized every one
-    "q245_negative_sampling" -> 6,
+    // q245 (r9): the candidate chain executes at pin time (orders,
+    // lineitem, part — each once; |catalog| comes from footer stats,
+    // not a count job); the residual plan reads the pinned
+    // output-sized top-3 — zero parquet scans
+    "q245_negative_sampling" -> 0,
     // q162 (TPC-H Q7): five base tables with nation scanned TWICE — once
     // per ROLE (supplier's nation, customer's nation); both role chains
     // broadcast, so the double scan is dimension-sized by construction
@@ -271,12 +274,12 @@ object PlanAuditSpec {
     "q81_chunk_overlap" -> 1,
     "q82_sq_int8" -> 1,
     // round-5 analytics additions, audited tight: q87/q90 do all their
-    // window+agg work on ONE scan and one data Exchange; q89 derives
-    // both model relations as window sums over its per-doc counts —
-    // one scan, single lineage, no model broadcast or pin
+    // window+agg work on ONE scan and one data Exchange; q89 (r9)
+    // tokenizes ONCE into the pin — model and scoring read it, so the
+    // residual plan has zero parquet scans
     "q87_funnel" -> 1,
     "q88_retention" -> 1,
-    "q89_bigram_lm" -> 1,
+    "q89_bigram_lm" -> 0,
     "q90_outlier_fences" -> 1,
     "q91_random_projection" -> 1,
     "q92_transitions" -> 1,

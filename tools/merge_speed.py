@@ -47,10 +47,16 @@ for q, spark_t in bench["queries"].items():
     if spark_t < 0:
         row_lines[q] = (f"| {q} | FAILED | — | — |\n", None, None); continue
     if q not in oracle:
-        row_lines[q] = (
-            f"| {q} | {spark_t:.3f} | — (no oracle; excluded from totals) | — |\n",
-            spark_t, None)
-        continue
+        # "not in this oracle dump" is NOT "no oracle": a targeted
+        # Verify dumps only its prefix's SQL, and merging against that
+        # once mislabeled two hash-exact queries (q244/q246) as
+        # no-oracle in the headline table. Only a query the library
+        # itself declares oracle-less gets the rows-only row.
+        sys.exit(f"ERROR: {q} missing from {oracle_file} — pass a FULL "
+                 "oracle dump (run Verify with no prefix arg) so an "
+                 "oracle'd query can't be mislabeled 'no oracle'. If the "
+                 "query is genuinely rows-only (SparkEntry.oracleSql has "
+                 "no entry), regenerate via tools/compare_bench.py.")
     ts = []
     for _ in range(2):
         t0 = time.time(); con.sql(oracle[q]).fetchall(); ts.append(time.time() - t0)

@@ -1049,6 +1049,86 @@ object ScaleProbe {
     // clusters, so the pair artifact and every frontier grow ~10× —
     // per-hop cost must track the FRONTIER (edges are the memoized
     // checkpoint; the corpus itself is touched only for the seed scan)
+    // --- q244/q245 at 10× (the round-8 verdict's missing recsys
+    // probes). q244: basket fold + scan-local pair gen — both terms
+    // fact-sized, wall must track lineitem. q245: the interval-lookup
+    // claim is probed BOTH ways — 10× FACTS (users grow, catalog
+    // fixed: wall ∝ buyers) and 10× CATALOG (users fixed: the bucket
+    // width ADAPTS via k = 55 − ⌊log2 np⌋, so evaluated candidates per
+    // user stay ~72 and the wall stays flat — the r8 form's evaluated
+    // pairs would have grown 10×). The evaluated-candidate counts are
+    // printed as direct evidence that candidates, not |U|×|P| pairs,
+    // drive the wall.
+    if (want("q244", "q245")) {
+      import graft.queries.{PipelineQueries, RelationalQueries}
+      time("q244_itemsim sf0.1     (600k li) ")(
+        RelationalQueries.q244(spark, src).count())
+      graft.core.Pins.release()
+      time("q244_itemsim sf1.0       (6M li) ")(
+        RelationalQueries.q244(spark, out).count())
+      graft.core.Pins.release()
+      time("q245_negsamp sf0.1  (15k buyers) ")(
+        PipelineQueries.q245(spark, src).count())
+      graft.core.Pins.release()
+      // the shared 10× fact dir shifts ORDER keys, not custkeys: the
+      // same 15k buyers with 10× purchase history — probes the posSets
+      // fold + pset growth, not buyer fan-out (buyer fan-out is linear
+      // by construction: every per-user term is independent)
+      time("q245_negsamp sf1.0 (10x history) ")(
+        PipelineQueries.q245(spark, out).count())
+      graft.core.Pins.release()
+      val part10x = "/tmp/graft_part10x"
+      locally {
+        val base = spark.read.parquet(s"$src/part.parquet")
+        val shift = base.agg(org.apache.spark.sql.functions.max(col("p_partkey")))
+          .head().getLong(0) + 1
+        (0 until 10).map(i =>
+          base.withColumn("p_partkey", col("p_partkey") + lit(i * shift)))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$part10x/part.parquet")
+        for (tn <- Seq("orders", "lineitem"))
+          spark.read.parquet(s"$src/$tn.parquet")
+            .write.mode("overwrite").parquet(s"$part10x/$tn.parquet")
+      }
+      time("q245_negsamp cat10x (200k parts) ")(
+        PipelineQueries.q245(spark, part10x).count())
+      graft.core.Pins.release()
+      // evaluated-candidate evidence: rebuild the pool stage (same h52
+      // math as q245) and count BHJ probe rows before the h<T filter
+      def evaluated(dir: String): (Long, Long) = {
+        def h52(prefix: String, c: org.apache.spark.sql.Column) =
+          conv(substring(md5(concat(lit(prefix), c.cast("string"))), 1, 13),
+            16, 10).cast("long")
+        val parts = graft.core.Tables.load(spark, dir, "part").select(col("p_partkey"))
+        val npv = graft.core.Tables.rowCount(spark, dir, "part")
+        val M = 4503599627370496L
+        val T = math.min(M, M * 64 / npv)
+        val k = math.min(52L, math.max(0L,
+          55L - (63 - java.lang.Long.numberOfLeadingZeros(npv)))).toInt
+        val W = 1L << k
+        val nB = M / W
+        val buyers = graft.core.Tables.load(spark, dir, "orders")
+          .select(col("o_custkey")).distinct()
+        val probed = buyers.withColumn("au", h52("u|", col("o_custkey")))
+          .withColumn("lo", pmod(-col("au"), lit(M)))
+          .withColumn("__bk", explode(array_distinct(expr(
+            s"transform(sequence(lo div ${W}L, (lo + ${T - 1}L) div ${W}L)," +
+              s" b -> pmod(b, ${nB}L))"))))
+          .join(broadcast(parts.withColumn("bp", h52("p|", col("p_partkey")))
+            .withColumn("__bk", expr(s"bp div ${W}L"))), Seq("__bk"))
+        val n = probed.count()
+        val pool = probed
+          .filter(pmod(col("au") + col("bp"), lit(M)) < lit(T)).count()
+        (n, pool)
+      }
+      val (e1, p1) = evaluated(src)
+      val (e2, p2) = evaluated(part10x)
+      println(s"q245 evaluated-candidates sf0.1: $e1 probed -> $p1 pool " +
+        s"(~${e1 / 15000} probed/user); cat10x: $e2 -> $p2 " +
+        s"(~${e2 / 15000} probed/user — flat at 10x catalog; the r8 " +
+        s"cross form would probe 200000/user)")
+    }
+
     if (want("q177")) {
       graft.queries.PipelineQueries.clearLshPairs()
       time("q177_khop sf0.1         (5k docs)")(

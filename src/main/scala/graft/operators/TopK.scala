@@ -23,11 +23,15 @@ class TopKAgg(k: Int) extends Aggregator[(Double, Long), Seq[(Double, Long)], Se
   private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
     s.sortWith(order).take(k)
 
-  override def zero: Seq[(Double, Long)] = Seq.empty
+  override def zero: Seq[(Double, Long)] = Vector.empty
+  // the buffer is kept sorted, so a full buffer rejects a non-member
+  // in O(1) (the overwhelmingly common case once the buffer warms —
+  // a per-row re-sort made a k=256 aggregate the scan's wall)
   override def reduce(buf: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] =
-    trim(buf :+ in)
+    if (buf.length >= k && !order(in, buf.last)) buf
+    else trim(buf :+ in).toVector
   override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
-    trim(a ++ b)
+    trim(a ++ b).toVector
   override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = buf
   override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
@@ -49,11 +53,14 @@ class MinKByStringAgg(k: Int)
   private def trim(s: Seq[(String, Long)]): Seq[(String, Long)] =
     s.sortWith(order).take(k)
 
-  override def zero: Seq[(String, Long)] = Seq.empty
+  override def zero: Seq[(String, Long)] = Vector.empty
+  // sorted buffer ⇒ O(1) reject once full (the q247 k=256 lesson:
+  // a per-row re-sort made the aggregate the scan's wall)
   override def reduce(buf: Seq[(String, Long)], in: (String, Long)): Seq[(String, Long)] =
-    trim(buf :+ in)
+    if (buf.length >= k && !order(in, buf.last)) buf
+    else trim(buf :+ in).toVector
   override def merge(a: Seq[(String, Long)], b: Seq[(String, Long)]): Seq[(String, Long)] =
-    trim(a ++ b)
+    trim(a ++ b).toVector
   override def finish(buf: Seq[(String, Long)]): Seq[(String, Long)] = buf
   override def bufferEncoder: Encoder[Seq[(String, Long)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()

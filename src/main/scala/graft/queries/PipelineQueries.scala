@@ -4629,6 +4629,62 @@ object PipelineQueries {
       |ORDER BY a_id, b_id""".stripMargin
 
   /** name → (query, oracle) */
+  // --------------------------------------------------------------- Q247
+  /** Deterministic QUANTILE SKETCH per event type — q71's semantics
+    * (p50/p95 beside the exact count) re-based from KLL-style
+    * `percentile_approx` onto the BOTTOM-k-BY-HASH sampler so the
+    * quantile sketch joins the oracle-EXACT family, completing the
+    * sibling set (q47→q156 distinct count, q79→q130 heavy hitters,
+    * q71→this): the k = 256 md5-smallest events per type ARE a uniform
+    * without-replacement sample (the q110/q46 seam), mergeable by
+    * construction (bottom-k of a union = bottom-k of bottom-ks — the
+    * same partial-aggregable O(groups × k) shuffle as q156, where
+    * percentile_approx's KLL compactions are merge-tree-dependent and
+    * replay nowhere), and the estimates are DISCRETE order statistics
+    * of the sample (the q90 exact-breakpoint discipline: a sampled
+    * cents value is a BIGINT both engines hold bit-identically — no
+    * interpolation ulp exists). Types with ≤ k events take the exact
+    * path (the sample IS the stratum). Sample-vs-exact error is
+    * spec-bracketed; q71 (percentile_approx) stays declared as the
+    * engine-native fast path. */
+  val q247: Q = (s, d) => {
+    val k = 256
+    val smp = t(s, d, "events")
+      .select(col("event_type"),
+        md5(concat(lit("qs|"), col("event_id").cast("string"))).as("h"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(graft.operators.TopK.minKByString(k)(col("h"), col("cents")).as("smp"),
+        count(lit(1)).as("n"))
+      .withColumn("cs", array_sort(expr("transform(smp, x -> x._2)")))
+      .withColumn("m", size(col("cs")))
+    smp.select(col("event_type"), col("n"),
+        element_at(col("cs"),
+          ceil(col("m") * lit(0.5)).cast("int")).as("p50_cents"),
+        element_at(col("cs"),
+          ceil(col("m") * lit(0.95)).cast("int")).as("p95_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  val q247Sql: String =
+    """WITH h AS (SELECT event_type,
+      |         md5('qs|' || CAST(event_id AS VARCHAR)) AS h,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |       FROM events),
+      |rk AS (SELECT event_type, cents,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY h, cents) AS rn
+      |       FROM h),
+      |q AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+      |        list_sort(list(cents)) AS cs
+      |      FROM rk WHERE rn <= 256 GROUP BY 1),
+      |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      |      FROM events GROUP BY 1)
+      |SELECT q.event_type, n.n AS n,
+      |       cs[CAST(ceil(m * 0.5) AS BIGINT)] AS p50_cents,
+      |       cs[CAST(ceil(m * 0.95) AS BIGINT)] AS p95_cents
+      |FROM q JOIN n ON q.event_type = n.event_type
+      |ORDER BY q.event_type""".stripMargin
+
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
     ("q20_simhash", q20, q20Sql),
@@ -4718,7 +4774,8 @@ object PipelineQueries {
     ("q214_ahash_dedup", q214, q214Sql),
     ("q230_collocation_lift", q230, q230Sql),
     ("q245_negative_sampling", q245, q245Sql),
-    ("q246_hard_negatives", q246, q246Sql))
+    ("q246_hard_negatives", q246, q246Sql),
+    ("q247_quantile_sketch", q247, q247Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type (KLL-style `percentile_approx`
@@ -4762,8 +4819,16 @@ object PipelineQueries {
       .orderBy(col("lang"), col("r"))
   }
 
-  /** Queries with no SQL-expressible oracle (sketches differ across
-    * engines) — the driver records the weaker rows-only check. */
+  /** Queries with no SQL-expressible oracle (sketch state differs
+    * across engines) — the driver records the weaker rows-only check.
+    * DELIBERATE, not a gap: each is the engine-native fast path whose
+    * identical semantics has an oracle-EXACT deterministic sibling in
+    * the green set — q47 (HLL++ distinct) ↔ q156 (md5-KMV), q71
+    * (percentile_approx/KLL) ↔ q247 (bottom-k order statistics), q79
+    * (Misra-Gries top-k) ↔ q130 (Count-Min heavy hitters). The native
+    * paths stay declared because their sketches are what a user of
+    * Spark's built-ins gets (smaller state, codegen'd aggs); the
+    * siblings prove the same answers cross-engine. */
   val noOracleEntries: Seq[(String, Q)] = Seq(
     ("q47_approx_distinct", q47),
     ("q71_approx_quantiles", q71),

@@ -1735,28 +1735,41 @@ object RelationalQueries {
     * primitive ("customers who bought X also bought Y"; q148 scores
     * event-type pairs with support/confidence over (user, day)
     * baskets — this ranks PART pairs over ORDER baskets by cosine,
-    * the recsys form): baskets = orders, the (order, part) incidence
-    * DISTINCTs first (multi-line orders count a part once), pairs
-    * generate inside each order (lines²-per-order bounded — never a
-    * catalog² or orders² term), and cos²(a,b) = c_ab²/(c_a·c_b) is
+    * the recsys form): baskets = orders, folded ONCE per order with
+    * collect_set (multi-line orders count a part once — the dedup and
+    * the basket build are the same exchange), pairs generate
+    * scan-locally inside each sorted basket (lines²-per-order bounded
+    * — never a catalog² or orders² term; singleton orders prune by
+    * construction), and cos²(a,b) = c_ab²/(c_a·c_b) is
     * the exact integer cross-ratio, emitted as the
     * DECIMAL(38,0)-lifted (c_ab²·10⁶) div (c_a·c_b) ppm (c_ab² passes
     * 2⁶³ near 10⁹-order corpora — documented). Top 30 by (cos² desc,
     * a, b). At 100 TB the pair fold shuffles on the pair key with
     * map-side combine; the per-part counts broadcast (catalog-sized). */
   val q244: Q = (s, d) => {
-    val inc = graft.core.Pins.pin(
-      t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")).distinct())
-    val cnt = inc.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
-    val pairs = inc.as("x").join(inc.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-      .groupBy(col("x.l_partkey").as("part_a"), col("y.l_partkey").as("part_b"))
+    // ONE corpus-sized exchange: the per-order BASKET fold (collect_set
+    // dedups in the same pass the r8 form spent a distinct + pin on);
+    // pairs generate SCAN-LOCALLY from each sorted basket (i < j over a
+    // ≤ lines-per-order array — singleton orders prune by construction,
+    // they have no pairs), and the per-part counts derive from the same
+    // pinned fold, so the incidence never re-keys through a self-join's
+    // two orderkey exchanges
+    val baskets = graft.core.Pins.pin(
+      t(s, d, "lineitem").groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps")))
+    val cnt = baskets.select(explode(col("ps")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("c"))
+    val pairs = baskets.filter(size(col("ps")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> transform(" +
+          "slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"))
+        .as("p"))
+      .groupBy(col("p.pa").as("part_a"), col("p.pb").as("part_b"))
       .agg(count(lit(1)).as("n_co"))
     pairs
-      .join(broadcast(cnt.select(col("l_partkey").as("part_a"), col("c").as("c_a"))),
+      .join(broadcast(cnt.select(col("pk").as("part_a"), col("c").as("c_a"))),
         Seq("part_a"))
-      .join(broadcast(cnt.select(col("l_partkey").as("part_b"), col("c").as("c_b"))),
+      .join(broadcast(cnt.select(col("pk").as("part_b"), col("c").as("c_b"))),
         Seq("part_b"))
       .select(col("part_a"), col("part_b"), col("n_co"), col("c_a"), col("c_b"),
         // the DENOMINATOR lifts too: c_a·c_b in BIGINT wraps silently

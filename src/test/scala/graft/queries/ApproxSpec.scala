@@ -96,4 +96,42 @@ class ApproxSpec extends SparkSpec {
       assert(math.abs(a95 - e95) / math.max(e95.abs, 1e-9) <= 0.05, s"$et p95: $a95 vs $e95")
     }
   }
+
+  test("q247 sample quantiles bracket exact; small groups exact; bit-for-bit sample replay") {
+    import org.apache.spark.sql.functions._
+    val got = PipelineQueries.q247(spark, sf0001)
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (t, n, p50, p95) => t -> ((n, p50, p95)) }.toMap
+    val ev = graft.core.Tables.load(spark, sf0001, "events")
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(String, Long, Long)].collect()
+    val byType = ev.groupBy(_._1)
+    assert(got.keySet == byType.keySet)
+    byType.foreach { case (et, rows) =>
+      val (n, p50, p95) = got(et)
+      assert(n == rows.length.toLong)
+      // independent JVM replay of the sampler (the q46/q110 md5 seam):
+      // bottom-256 by md5 hex, tie-broken by cents — bit-for-bit
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h(id: Long) = md.digest(s"qs|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val sample = rows.map { case (_, id, c) => (h(id), c) }
+        .sortBy(identity).take(256).map(_._2).sorted
+      val m = sample.length
+      assert(p50 == sample(math.ceil(m * 0.5).toInt - 1), s"$et p50 replay")
+      assert(p95 == sample(math.ceil(m * 0.95).toInt - 1), s"$et p95 replay")
+      // estimator quality: sampled order statistics bracket the exact
+      // percentiles (fixed data → deterministic; generous 3σ rank band)
+      val exactSorted = rows.map(_._3).sorted
+      if (rows.length <= 256) {
+        assert(p50 == exactSorted(math.ceil(rows.length * 0.5).toInt - 1),
+          s"$et: small group must be exact")
+      } else {
+        def rankOf(v: Long) = exactSorted.count(_ <= v).toDouble / rows.length
+        assert(math.abs(rankOf(p50) - 0.5) <= 0.12, s"$et p50 rank ${rankOf(p50)}")
+        assert(math.abs(rankOf(p95) - 0.95) <= 0.12, s"$et p95 rank ${rankOf(p95)}")
+      }
+    }
+  }
 }

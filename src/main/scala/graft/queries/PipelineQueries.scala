@@ -4685,6 +4685,162 @@ object PipelineQueries {
       |FROM q JOIN n ON q.event_type = n.event_type
       |ORDER BY q.event_type""".stripMargin
 
+  // --------------------------------------------------------------- Q248
+  /** PREFERENCE-PAIR construction — the RLHF/DPO data-prep step the
+    * sampling shelf was missing (q245 builds contrastive NEGATIVES
+    * against a catalog; this builds ORDERED pairs from graded
+    * feedback): per user, (chosen, rejected) = the strictly
+    * highest- and lowest-valued purchase events, margin = the value
+    * gap. Strictness is the DPO requirement — a user whose purchases
+    * all tie carries no preference signal and is dropped, stated
+    * identically in both engines. Tiebreaks are the lexicographic
+    * (cents, event_id) order: Spark folds min/max over the struct
+    * (ONE partial-aggregable user fold — the per-user extremes
+    * collapse map-side, so the shuffle carries 2 structs + a count
+    * per user, never the event stream); the oracle derives the same
+    * rows through row_number windows — independent mechanisms, equal
+    * answers (the q110 discipline). */
+  val q248: Q = (s, d) => {
+    val p = t(s, d, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    p.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        max(struct(col("cents"), col("event_id"))).as("ch"),
+        min(struct(col("cents"), col("event_id"))).as("rj"))
+      .filter(col("ch.cents") > col("rj.cents"))
+      .select(col("user_id"), col("n_purchases"),
+        col("ch.event_id").as("chosen_event"),
+        col("rj.event_id").as("rejected_event"),
+        (col("ch.cents") - col("rj.cents")).as("margin_cents"))
+      .orderBy(col("user_id"))
+  }
+
+  val q248Sql: String =
+    """WITH p AS (SELECT user_id, event_id,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |       FROM events WHERE event_type = 'purchase'),
+      |hi AS (SELECT user_id, event_id, cents FROM p
+      |       QUALIFY row_number() OVER (PARTITION BY user_id
+      |         ORDER BY cents DESC, event_id DESC) = 1),
+      |lo AS (SELECT user_id, event_id, cents FROM p
+      |       QUALIFY row_number() OVER (PARTITION BY user_id
+      |         ORDER BY cents ASC, event_id ASC) = 1),
+      |n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases
+      |      FROM p GROUP BY 1)
+      |SELECT n.user_id, n.n_purchases,
+      |       hi.event_id AS chosen_event, lo.event_id AS rejected_event,
+      |       hi.cents - lo.cents AS margin_cents
+      |FROM n JOIN hi ON n.user_id = hi.user_id
+      |JOIN lo ON n.user_id = lo.user_id
+      |WHERE hi.cents > lo.cents
+      |ORDER BY n.user_id""".stripMargin
+
+  // --------------------------------------------------------------- Q249
+  /** UNCERTAINTY SAMPLING (margin-based active learning) — which
+    * unlabeled examples to send for annotation next: the 10 vectors
+    * scored CLOSEST TO the q85 perceptron's decision boundary
+    * (smallest |w·x + b|; a confidently-classified example teaches the
+    * model nothing, the boundary cases move it — Lewis & Gale's
+    * classic selection rule). The classifier is the q85 model — integer
+    * weights whose 3 training rounds the oracle replays as unrolled
+    * CTEs, so the scores and therefore the SELECTION are bit-exact
+    * cross-engine (no other active-learning criterion has that
+    * property: entropy/BALD need float probabilities). Scoring is
+    * scan-local against weight literals; selection is
+    * TakeOrderedAndProject(10) on (|score|, vec_id) — a total order —
+    * with rank windowed over the 10 survivors only (q130's shape). */
+  val q249: Q = (s, d) => {
+    val model = perceptronFor(s, d)
+    val raw = LinearClassifier.rawScore(col("x"), model)
+    val scored = classifierBase(s, d)
+      .select(col("vec_id"), col("y"), raw.as("score"))
+      .withColumn("abs_score", abs(col("score")))
+      .orderBy(col("abs_score"), col("vec_id")).limit(10)
+    scored.withColumn("rank", row_number().over(
+        Window.orderBy(col("abs_score"), col("vec_id"))).cast("long"))
+      .select(col("rank"), col("vec_id"), col("y"), col("score"))
+      .orderBy(col("rank"))
+  }
+
+  val q249Sql: String =
+    perceptronSqlPrelude + "\n" +
+      """SELECT CAST(row_number() OVER (ORDER BY abs(score), vec_id) AS BIGINT)
+        |         AS rank,
+        |       vec_id, y, score
+        |FROM sc ORDER BY abs(score), vec_id LIMIT 10""".stripMargin
+
+  // --------------------------------------------------------------- Q250
+  /** LENGTH-BUCKETED BATCH PACKING — the dynamic-batching prep step
+    * (q56 packs a CONCATENATED token stream into context windows; this
+    * keeps documents whole and batches them 8-at-a-time, the
+    * padded-batch training/inference layout): per language, documents
+    * batch in LENGTH-SORTED order vs ARRIVAL (doc_id) order, and the
+    * query reports each policy's total padding (Σ over batches of
+    * batch_size·max_len − Σ len — the tokens the accelerator burns on
+    * pad) plus the saving. Sorted-consecutive batching provably
+    * minimizes Σ max over equal-size-vector partitions, so
+    * pad_sorted ≤ pad_arrival is an INVARIANT (spec-pinned), and both
+    * engines state the identical discrete arithmetic — no floats
+    * exist. One lang-keyed exchange carries both orderings' windows;
+    * the batch folds are batch-count-sized. At 100 TB the sort is the
+    * operator's intrinsic cost and runs per shard exactly as here
+    * (batching never needs a global order across languages). */
+  val q250: Q = (s, d) => {
+    val B = 8
+    val docs = graft.core.Pins.pin(
+      t(s, d, "documents")
+        .select(col("lang"), col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("len"))
+        .withColumn("rs", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("len").desc, col("doc_id"))))
+        .withColumn("ra", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("doc_id"))))
+        .select(col("lang"), col("len"),
+          expr(s"(rs - 1) div $B").as("bs"), expr(s"(ra - 1) div $B").as("ba")))
+    def pad(bcol: String) = docs.groupBy(col("lang"), col(bcol))
+      .agg((count(lit(1)) * max(col("len")) - sum(col("len"))).as("pad"))
+      .groupBy(col("lang"))
+      .agg(sum(col("pad")).as(s"pad_$bcol"), count(lit(1)).as(s"nb_$bcol"))
+    pad("bs").join(pad("ba"), Seq("lang"))
+      .join(docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"),
+        sum(col("len")).as("n_tokens")), Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        col("nb_bs").as("n_batches"),
+        col("pad_bs").as("pad_sorted"), col("pad_ba").as("pad_arrival"),
+        when(col("pad_ba") === 0, -1L).otherwise(
+          expr("(pad_ba - pad_bs) * 1000000 div pad_ba")).as("saving_ppm"))
+      .orderBy(col("lang"))
+  }
+
+  val q250Sql: String =
+    """WITH docs AS (SELECT lang, doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+      |       FROM documents),
+      |pos AS (SELECT lang, len,
+      |          (row_number() OVER (PARTITION BY lang
+      |             ORDER BY len DESC, doc_id) - 1) // 8 AS bs,
+      |          (row_number() OVER (PARTITION BY lang
+      |             ORDER BY doc_id) - 1) // 8 AS ba
+      |        FROM docs),
+      |ps AS (SELECT lang, CAST(sum(pad) AS BIGINT) AS pad_sorted,
+      |         CAST(count(*) AS BIGINT) AS n_batches
+      |       FROM (SELECT lang, bs, count(*) * max(len) - sum(len) AS pad
+      |             FROM pos GROUP BY 1, 2) GROUP BY 1),
+      |pa AS (SELECT lang, CAST(sum(pad) AS BIGINT) AS pad_arrival
+      |       FROM (SELECT lang, ba, count(*) * max(len) - sum(len) AS pad
+      |             FROM pos GROUP BY 1, 2) GROUP BY 1),
+      |t AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |        CAST(sum(len) AS BIGINT) AS n_tokens
+      |      FROM docs GROUP BY 1)
+      |SELECT t.lang, n_docs, n_tokens, n_batches, pad_sorted, pad_arrival,
+      |       CASE WHEN pad_arrival = 0 THEN CAST(-1 AS BIGINT)
+      |            ELSE CAST((pad_arrival - pad_sorted) * 1000000 // pad_arrival
+      |                      AS BIGINT) END AS saving_ppm
+      |FROM t JOIN ps ON t.lang = ps.lang JOIN pa ON t.lang = pa.lang
+      |ORDER BY t.lang""".stripMargin
+
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
     ("q20_simhash", q20, q20Sql),
@@ -4775,7 +4931,10 @@ object PipelineQueries {
     ("q230_collocation_lift", q230, q230Sql),
     ("q245_negative_sampling", q245, q245Sql),
     ("q246_hard_negatives", q246, q246Sql),
-    ("q247_quantile_sketch", q247, q247Sql))
+    ("q247_quantile_sketch", q247, q247Sql),
+    ("q248_preference_pairs", q248, q248Sql),
+    ("q249_uncertainty_sample", q249, q249Sql),
+    ("q250_length_batching", q250, q250Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type (KLL-style `percentile_approx`

@@ -307,4 +307,95 @@ class CurationSpec extends SparkSpec {
     }
     assert(anySkip, "fixture must exercise the label skip (else weaken probe set)")
   }
+
+  test("q248: pairs replay from a JVM fold; all-tie users dropped; margins strictly positive") {
+    val purchases = Tables.load(spark, sf0001, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long, Long)].collect()
+    val expect = purchases.groupBy(_._1).flatMap { case (u, rows) =>
+      val ch = rows.map(r => (r._3, r._2)).max // lexicographic (cents, id)
+      val rj = rows.map(r => (r._3, r._2)).min
+      if (ch._1 > rj._1)
+        Some((u, rows.length.toLong, ch._2, rj._2, ch._1 - rj._1))
+      else None
+    }.toSeq.sortBy(_._1)
+    val got = PipelineQueries.q248(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expect)
+    assert(got.forall(_._5 > 0), "margins must be strictly positive")
+    // the drop rule on a PLANTED corpus (every sf0.001 user happens to
+    // carry signal): an all-tie user and a single-purchase user emit
+    // nothing; a browsing-only user never enters
+    val dir = java.nio.file.Files.createTempDirectory("graft_q248").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    Seq(
+      (1L, 10L, "purchase", 5.00, t0), (1L, 11L, "purchase", 5.00, t0), // tie
+      (2L, 20L, "purchase", 3.00, t0),                                  // single
+      (3L, 30L, "view", 9.99, t0),                                      // no buy
+      (4L, 40L, "purchase", 2.00, t0), (4L, 41L, "purchase", 7.50, t0))
+      .toDF("user_id", "event_id", "event_type", "value", "ts")
+      .write.parquet(s"$dir/events.parquet")
+    val planted = PipelineQueries.q248(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(planted == Seq((4L, 2L, 41L, 40L, 550L)),
+      s"planted drop rule: $planted")
+  }
+
+  test("q249: the 10 selected vectors have the globally smallest |score| under an independent JVM scorer") {
+    PipelineQueries.clearPerceptrons()
+    val data = Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Int, Seq[Double])].collect()
+    // independent replay: quantize + 3 perceptron rounds in plain Scala
+    // (the LinearClassifier spec's reference discipline)
+    val xs = data.map { case (id, l, v) =>
+      (id, v.map(e => math.floor(e * 1000).toLong).toArray,
+        if (l < 5) 1L else -1L)
+    }
+    var w = Array.fill(64)(0L); var b = 0L
+    for (_ <- 1 to 3) {
+      val (dw, db) = xs.foldLeft((Array.fill(64)(0L), 0L)) {
+        case ((aw, ab), (_, x, y)) =>
+          val m = y * (x.zip(w).map { case (a0, b0) => a0 * b0 }.sum + b)
+          if (m <= 0) { for (i <- 0 until 64) aw(i) += y * x(i); (aw, ab + y) }
+          else (aw, ab)
+      }
+      for (i <- 0 until 64) w(i) += dw(i); b += db
+    }
+    val scores = xs.map { case (id, x, y) =>
+      (id, y, x.zip(w).map { case (a0, b0) => a0 * b0 }.sum + b)
+    }
+    val expect = scores.sortBy(r => (math.abs(r._3), r._1)).take(10)
+      .zipWithIndex.map { case ((id, y, s0), i) => (i + 1L, id, y, s0) }.toSeq
+    val got = PipelineQueries.q249(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == expect)
+  }
+
+  test("q250: sorted batching never pads more than arrival order, and the accounting replays") {
+    val rows = PipelineQueries.q250(spark, sf0001)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select(col("lang"), col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("len"))
+      .as[(String, Long, Long)].collect()
+    val byLang = docs.groupBy(_._1)
+    rows.foreach { case (lang, nDocs, nTokens, nBatches, padS, padA, saving) =>
+      val ds = byLang(lang)
+      def pad(ordered: Seq[Long]): Long =
+        ordered.grouped(8).map(g => g.length * g.max - g.sum).sum
+      val sortedPad = pad(ds.sortBy(r => (-r._3, r._2)).map(_._3).toSeq)
+      val arrivalPad = pad(ds.sortBy(_._2).map(_._3).toSeq)
+      assert(nDocs == ds.length.toLong && nTokens == ds.map(_._3).sum)
+      assert(nBatches == (ds.length + 7) / 8)
+      assert(padS == sortedPad && padA == arrivalPad, s"$lang pad replay")
+      assert(padS <= padA, s"$lang: sorted batching must not pad more")
+      if (arrivalPad > 0)
+        assert(saving == (arrivalPad - sortedPad) * 1000000L / arrivalPad)
+    }
+  }
 }

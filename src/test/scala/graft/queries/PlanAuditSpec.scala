@@ -198,6 +198,11 @@ object PlanAuditSpec {
     // sampler would re-execute the chain otherwise); the residual
     // plan is the final sort's single exchange
     "q245_negative_sampling" -> 1,
+    // q250: the corpus work (tokenize + both ranking windows) lives in
+    // the pin; the residual six exchanges carry the two policies'
+    // (lang, batch) pad folds + their lang re-folds, the totals fold
+    // and the 5-row sort — every one batch-count- or lang-sized
+    "q250_length_batching" -> 6,
     // q209: one fact-sized exchange (the (part,supplier) fold); the
     // per-part window, dominant-distinct, semi probe and output sort
     // all re-key the parts×suppliers fold — model-sized by design

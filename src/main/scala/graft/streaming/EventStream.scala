@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 import graft.core.Dsl
 
@@ -845,6 +845,85 @@ object EventStream {
       }
       .start()
   }
+
+  /** One micro-batch of QUANTILE-SAMPLE maintenance — q247's streaming
+    * twin, completing the sketch-twin trio (KMV store ↔ q156, CMS
+    * monitor ↔ q130, this ↔ q247): per event type the store holds the
+    * k md5-smallest (h, cents) pairs seen so far, each batch folds its
+    * own bottom-k (one partial-aggregable scan, the q247 aggregate)
+    * and merges by BOTTOM-K UNION — min-union is idempotent, so unlike
+    * the CMS monitor no batch-id transaction rule is needed: a
+    * crash-replayed batch's pairs are already members and the union
+    * dedups them (the KMV store's replay discipline, spec-pinned).
+    * Incremental maintenance is BIT-EQUAL to the batch rebuild over
+    * the full corpus regardless of batching (bottom-k of a union =
+    * bottom-k of bottom-ks — the mergeable-summaries property q247
+    * declares). Returns the store's current p50/p95 per type — the
+    * same discrete order statistics q247 emits (the exact row count,
+    * NOT maintainable idempotently, deliberately stays with the batch
+    * query / the CMS family's transaction rule). */
+  def quantileSampleBatch(batch: DataFrame, skDir: String,
+                          k: Int = 256): DataFrame = {
+    val spark = batch.sparkSession
+    graft.core.Sinks.recoverStrandedBackup(skDir)
+    val arrT = "array<struct<h:string,cents:bigint>>"
+    val bs = batch
+      .select(col("event_type"),
+        md5(concat(lit("qs|"), col("event_id").cast("string"))).as("h"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(graft.operators.TopK.minKByString(k)(col("h"), col("cents")).as("sk"))
+      .select(col("event_type"),
+        expr("transform(sk, p -> struct(p._1 AS h, p._2 AS cents))").as("smp"))
+    val stored =
+      try {
+        val df = spark.read.parquet(skDir)
+        if (df.columns.contains("smp")) Some(df) else None
+      } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val merged = stored match {
+      case Some(st) =>
+        bs.join(st.select(col("event_type"), col("smp").as("old")),
+            Seq("event_type"), "full")
+          .select(col("event_type"),
+            slice(array_sort(array_union(
+              coalesce(col("smp"), expr(s"CAST(array() AS $arrT)")),
+              coalesce(col("old"), expr(s"CAST(array() AS $arrT)")))),
+              1, k).as("smp"))
+      case None => bs
+    }
+    // materialize BEFORE overwriting the store the lineage reads
+    val out = merged.localCheckpoint()
+    graft.core.Sinks.atomicSwap(skDir, "sketch") { tmp =>
+      out.coalesce(1).write.parquet(tmp)
+    }
+    val q = out
+      .withColumn("cs", array_sort(expr("transform(smp, x -> x.cents)")))
+      .withColumn("m", size(col("cs")))
+      .select(col("event_type"),
+        element_at(col("cs"), ceil(col("m") * lit(0.5)).cast("int"))
+          .as("p50_cents"),
+        element_at(col("cs"), ceil(col("m") * lit(0.95)).cast("int"))
+          .as("p95_cents"))
+      .orderBy(col("event_type"))
+      .localCheckpoint()
+    graft.core.Pins.releaseCheckpoint(out)
+    q
+  }
+
+  /** The continuous form of [[quantileSampleBatch]]: per-batch
+    * maintenance of the bottom-k sample store at `skDir`. */
+  def startQuantileSampleMonitor(events: DataFrame, skDir: String,
+                                 checkpointDir: String, k: Int = 256,
+                                 trigger: Trigger = Trigger.AvailableNow(),
+                                 onUpdate: DataFrame => Unit = _ => ())
+      : StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) onUpdate(quantileSampleBatch(batch, skDir, k))
+      }
+      .start()
 
   /** Continuous funnel monitor — the streaming twin of q87: per-user
     * ordered view → click → purchase stage times as typed state, an

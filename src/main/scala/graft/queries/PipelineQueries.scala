@@ -4841,6 +4841,188 @@ object PipelineQueries {
       |FROM t JOIN ps ON t.lang = ps.lang JOIN pa ON t.lang = pa.lang
       |ORDER BY t.lang""".stripMargin
 
+  /** Shared DuckDB md5-52-bit helper (the seam StatQueries/
+    * MiningQueries carry privately; BIGINT-cast at every use). */
+  private def sqlHex52(e: String): String =
+    s"""CAST(list_sum(list_transform(generate_series(1, 13), i ->
+       |          CAST(strpos('0123456789abcdef', substr($e, i, 1)) - 1 AS DOUBLE)
+       |          * power(16.0, 13 - i))) AS BIGINT)""".stripMargin
+
+  // --------------------------------------------------------------- Q251
+  /** BLOCKED SPAN-CORRUPTION accounting — the T5/UL2 denoising-objective
+    * prep step (which token spans get masked and replaced by sentinels):
+    * positions partition into windows of 8, each window independently
+    * corrupts iff the md5-52-bit hash of (doc, window) clears a 30%
+    * threshold, and a corrupted window masks the 3-token span starting
+    * at offset s = hash-derived 0..5. BLOCKING is the scale design:
+    * classic span corruption draws spans sequentially (span i+1 may not
+    * overlap span i — an inherently serial per-doc walk); confining
+    * each span to its window makes every window independent, so the
+    * whole mask derives scan-locally from (doc_id, |tokens|) ALONE —
+    * no token explode, no sequential state, deterministic and exactly
+    * replayable (the q46/q221/q235 hash seam). Tail windows clamp the
+    * span arithmetically (masked = max(0, min(s+3, cnt) − s)). Output:
+    * per-doc token/window/span/masked counts + mask_ppm. One
+    * partial-aggregable doc fold; the windows explode is scan-local. */
+  val q251: Q = (s, d) => {
+    val M = 4503599627370496L
+    val w = t(s, d, "documents")
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("n"))
+      .withColumn("w", explode(sequence(lit(0L), expr("(n - 1) div 8"))))
+      .withColumn("cnt", least(lit(8L), col("n") - col("w") * 8))
+      .withColumn("h", conv(substring(md5(concat_ws("|", lit("m"),
+        col("doc_id").cast("string"), col("w").cast("string"))), 1, 13),
+        16, 10).cast("long"))
+      .withColumn("corrupt", col("h") < lit(M / 100 * 30))
+      .withColumn("s", pmod(expr("h div 16"), lit(6L)))
+      .withColumn("masked", when(col("corrupt"),
+        greatest(lit(0L), least(col("s") + 3, col("cnt")) - col("s")))
+        .otherwise(0L))
+    w.groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_tokens"), count(lit(1)).as("n_windows"),
+        sum(when(col("corrupt") && col("masked") > 0, 1L).otherwise(0L))
+          .as("n_spans"),
+        sum(col("masked")).as("n_masked"))
+      .withColumn("mask_ppm", expr("n_masked * 1000000 div n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q251Sql: String =
+    s"""WITH docs AS (SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+       |       FROM documents),
+       |w AS (SELECT doc_id, n, unnest(generate_series(0, (n - 1) // 8)) AS w
+       |      FROM docs),
+       |h AS (SELECT doc_id, n, w, least(8, n - w * 8) AS cnt,
+       |        ${sqlHex52("md5('m|' || CAST(doc_id AS VARCHAR) || '|' || CAST(w AS VARCHAR))")} AS h
+       |      FROM w),
+       |m AS (SELECT doc_id, n, cnt,
+       |        h < 4503599627370496 // 100 * 30 AS corrupt,
+       |        (h // 16) % 6 AS s
+       |      FROM h),
+       |k AS (SELECT doc_id, n, corrupt,
+       |        CASE WHEN corrupt
+       |             THEN greatest(0, least(s + 3, cnt) - s) ELSE 0 END AS masked
+       |      FROM m)
+       |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+       |       CAST(count(*) AS BIGINT) AS n_windows,
+       |       CAST(sum(CASE WHEN corrupt AND masked > 0 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_spans,
+       |       CAST(sum(masked) AS BIGINT) AS n_masked,
+       |       CAST(sum(masked) * 1000000 // max(n) AS BIGINT) AS mask_ppm
+       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- Q252
+  /** IN-BATCH NEGATIVE COLLISION audit — contrastive training treats
+    * every other in-batch example as a negative, so two SAME-LABEL
+    * examples in one batch are a FALSE negative pushing apart what
+    * should attract (the known failure mode of in-batch sampling;
+    * q246 mines the hard TRUE negatives): batches of 8 vectors under
+    * two policies — arrival (vec_id) order vs HASH-SHUFFLED order
+    * (md5 of vec_id; the deterministic shuffle that breaks
+    * label-clustered arrival, same seam as q46) — and per policy the
+    * exact collision count Σ_batches Σ_labels C(m,2) over the 28
+    * pairs/batch. All integers; the policy comparison is the audit's
+    * point (label-sorted arrival is the worst case, a shuffle
+    * restores the ~uniform rate). One vectors-sized fold per policy
+    * (two ranking windows over one slim (vec_id, label) relation,
+    * pinned), batch folds are batch-count-sized. */
+  val q252: Q = (s, d) => {
+    val base = graft.core.Pins.pin(
+      t(s, d, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+        .withColumn("h", md5(concat(lit("b|"), col("vec_id").cast("string"))))
+        .withColumn("ra", row_number().over(Window.orderBy(col("vec_id"))))
+        .withColumn("rs", row_number().over(Window.orderBy(col("h"), col("vec_id"))))
+        .select(col("label"), expr("(ra - 1) div 8").as("ba"),
+          expr("(rs - 1) div 8").as("bs")))
+    def audit(bcol: String, name: String) = base
+      .groupBy(col(bcol), col("label")).agg(count(lit(1)).as("m"))
+      .groupBy(col(bcol))
+      .agg((sum(col("m") * (col("m") - 1)) / 2).cast("long").as("coll"),
+        (sum(col("m")) * (sum(col("m")) - 1) / 2).cast("long").as("pairs"))
+      .agg(lit(name).as("policy"), count(lit(1)).as("n_batches"),
+        sum(col("pairs")).as("n_pairs"), sum(col("coll")).as("n_collisions"))
+      .withColumn("collision_ppm",
+        expr("n_collisions * 1000000 div n_pairs"))
+    audit("ba", "arrival").unionByName(audit("bs", "shuffled"))
+      .orderBy(col("policy"))
+  }
+
+  val q252Sql: String =
+    """WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |         md5('b|' || CAST(vec_id AS VARCHAR)) AS h
+      |       FROM embeddings),
+      |pos AS (SELECT label,
+      |          (row_number() OVER (ORDER BY vec_id) - 1) // 8 AS ba,
+      |          (row_number() OVER (ORDER BY h, vec_id) - 1) // 8 AS bs
+      |        FROM v),
+      |aa AS (SELECT ba, CAST(sum(m * (m - 1)) / 2 AS BIGINT) AS coll,
+      |         CAST(sum(m) * (sum(m) - 1) / 2 AS BIGINT) AS pairs
+      |       FROM (SELECT ba, label, count(*) AS m FROM pos GROUP BY 1, 2)
+      |       GROUP BY ba),
+      |sa AS (SELECT bs, CAST(sum(m * (m - 1)) / 2 AS BIGINT) AS coll,
+      |         CAST(sum(m) * (sum(m) - 1) / 2 AS BIGINT) AS pairs
+      |       FROM (SELECT bs, label, count(*) AS m FROM pos GROUP BY 1, 2)
+      |       GROUP BY bs)
+      |SELECT * FROM (
+      |  SELECT 'arrival' AS policy, CAST(count(*) AS BIGINT) AS n_batches,
+      |         CAST(sum(pairs) AS BIGINT) AS n_pairs,
+      |         CAST(sum(coll) AS BIGINT) AS n_collisions,
+      |         CAST(sum(coll) * 1000000 // sum(pairs) AS BIGINT) AS collision_ppm
+      |  FROM aa
+      |  UNION ALL
+      |  SELECT 'shuffled', CAST(count(*) AS BIGINT),
+      |         CAST(sum(pairs) AS BIGINT), CAST(sum(coll) AS BIGINT),
+      |         CAST(sum(coll) * 1000000 // sum(pairs) AS BIGINT)
+      |  FROM sa)
+      |ORDER BY policy""".stripMargin
+
+  // --------------------------------------------------------------- Q253
+  /** K-ANONYMITY audit — the release-governance gate (can this table
+    * ship? every row must hide in a crowd of ≥ k sharing its
+    * quasi-identifiers; HIPAA/GDPR de-identification's formal core):
+    * QI = (nation, market segment, account-balance bucket of $1000),
+    * k = 5. Output is the one-row audit: rows, equivalence classes,
+    * the smallest class, classes and rows below k, and the violating
+    * fraction — the numbers a privacy review actually gates on. The
+    * balance bucket uses floor division on CENTS (a float bucket
+    * boundary is an engine-divergence cliff; integer cents are not).
+    * One partial-aggregable QI fold (classes-sized output), then a
+    * one-row fold — the audit never shuffles the table itself. */
+  val q253: Q = (s, d) => {
+    val classes = t(s, d, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000").as("bal_bucket"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"))
+      .agg(count(lit(1)).as("m"))
+    classes.agg(
+        sum(col("m")).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min(col("m")).as("min_class_size"),
+        sum(when(col("m") < 5, 1L).otherwise(0L)).as("classes_below_k"),
+        sum(when(col("m") < 5, col("m")).otherwise(0L)).as("rows_below_k"))
+      .withColumn("below_ppm", expr("rows_below_k * 1000000 div n_rows"))
+  }
+
+  val q253Sql: String =
+    """WITH c AS (SELECT c_nationkey, c_mktsegment,
+      |         CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS bal_bucket
+      |       FROM customer),
+      |cl AS (SELECT c_nationkey, c_mktsegment, bal_bucket,
+      |         CAST(count(*) AS BIGINT) AS m
+      |       FROM c GROUP BY 1, 2, 3)
+      |SELECT CAST(sum(m) AS BIGINT) AS n_rows,
+      |       CAST(count(*) AS BIGINT) AS n_classes,
+      |       CAST(min(m) AS BIGINT) AS min_class_size,
+      |       CAST(sum(CASE WHEN m < 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS classes_below_k,
+      |       CAST(sum(CASE WHEN m < 5 THEN m ELSE 0 END) AS BIGINT)
+      |         AS rows_below_k,
+      |       CAST(sum(CASE WHEN m < 5 THEN m ELSE 0 END) * 1000000 // sum(m)
+      |            AS BIGINT) AS below_ppm
+      |FROM cl""".stripMargin
+
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
     ("q20_simhash", q20, q20Sql),
@@ -4934,7 +5116,10 @@ object PipelineQueries {
     ("q247_quantile_sketch", q247, q247Sql),
     ("q248_preference_pairs", q248, q248Sql),
     ("q249_uncertainty_sample", q249, q249Sql),
-    ("q250_length_batching", q250, q250Sql))
+    ("q250_length_batching", q250, q250Sql),
+    ("q251_span_corruption", q251, q251Sql),
+    ("q252_inbatch_collisions", q252, q252Sql),
+    ("q253_k_anonymity", q253, q253Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type (KLL-style `percentile_approx`

@@ -375,6 +375,89 @@ class CurationSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("q251: mask accounting replays bit-for-bit from the JVM hash seam; bounds hold") {
+    import java.security.MessageDigest
+    def h52(s0: String): Long = {
+      val md = MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(md.digest(s0.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 13), 16)
+    }
+    val M = 4503599627370496L
+    val lens = docs.select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val got = PipelineQueries.q251(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSet == lens.keySet)
+    got.foreach { case (doc, nTok, nWin, nSpans, nMasked, ppm) =>
+      val n = lens(doc)
+      assert(nTok == n && nWin == (n + 7) / 8)
+      // independent replay: corrupt windows + clamped span arithmetic
+      var spans = 0L; var masked = 0L
+      for (w <- 0L until nWin) {
+        val cnt = math.min(8L, n - w * 8)
+        val h = h52(s"m|$doc|$w")
+        if (h < M / 100 * 30) {
+          val s0 = (h / 16) % 6
+          val m = math.max(0L, math.min(s0 + 3, cnt) - s0)
+          if (m > 0) spans += 1
+          masked += m
+        }
+      }
+      assert(nSpans == spans && nMasked == masked, s"doc $doc replay")
+      assert(ppm == masked * 1000000L / n)
+      assert(nMasked <= 3 * nSpans, s"doc $doc: span length bound")
+    }
+    // the threshold must actually bite both ways on the fixture
+    assert(got.exists(_._4 > 0) && got.exists(_._4 == 0),
+      "fixture must contain masked and untouched docs")
+  }
+
+  test("q252: collision accounting replays; every full batch holds 28 pairs") {
+    val vs = Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("label").cast("long")).as[(Long, Long)]
+      .collect()
+    def md5hex(s0: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    def audit(ordered: Seq[Long]): (Long, Long, Long) = {
+      val batches = ordered.grouped(8).toSeq
+      val pairs = batches.map(b => b.length.toLong * (b.length - 1) / 2).sum
+      val coll = batches.map(_.groupBy(identity).values
+        .map(g => g.size.toLong * (g.size - 1) / 2).sum).sum
+      (batches.length.toLong, pairs, coll)
+    }
+    val arrival = audit(vs.sortBy(_._1).map(_._2).toSeq)
+    val shuffled = audit(vs.map { case (id, l) => (md5hex(s"b|$id"), id, l) }
+      .sortBy(r => (r._1, r._2)).map(_._3).toSeq)
+    val got = PipelineQueries.q252(spark, sf0001)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    for ((name, (nb, np, nc)) <- Seq("arrival" -> arrival, "shuffled" -> shuffled)) {
+      val (gb, gp, gc, gppm) = got(name)
+      assert((gb, gp, gc) == ((nb, np, nc)), s"$name replay")
+      assert(gppm == nc * 1000000L / np)
+    }
+  }
+
+  test("q253: the audit replays from a JVM fold and its counts are consistent") {
+    val rows = Tables.load(spark, sf0001, "customer")
+      .select(col("c_nationkey").cast("long"), col("c_mktsegment"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000"))
+      .as[(Long, String, Long)].collect()
+    val classes = rows.groupBy(identity).values.map(_.size.toLong).toSeq
+    val Seq((nRows, nClasses, minC, cBelow, rBelow, ppm)) =
+      PipelineQueries.q253(spark, sf0001)
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(nRows == rows.length.toLong)
+    assert(nClasses == classes.length.toLong)
+    assert(minC == classes.min)
+    assert(cBelow == classes.count(_ < 5).toLong)
+    assert(rBelow == classes.filter(_ < 5).sum)
+    assert(ppm == rBelow * 1000000L / nRows)
+  }
+
   test("q250: sorted batching never pads more than arrival order, and the accounting replays") {
     val rows = PipelineQueries.q250(spark, sf0001)
       .as[(String, Long, Long, Long, Long, Long, Long)].collect()

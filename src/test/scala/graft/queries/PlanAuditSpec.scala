@@ -203,6 +203,11 @@ object PlanAuditSpec {
     // (lang, batch) pad folds + their lang re-folds, the totals fold
     // and the 5-row sort — every one batch-count- or lang-sized
     "q250_length_batching" -> 6,
+    // q252: both policies' audits read the pinned (label, ba, bs)
+    // relation — per policy a (batch, label) fold + a batch fold + the
+    // one-row fold; all batch-count-sized (the ranking windows that
+    // touch the vectors live in the pin)
+    "q252_inbatch_collisions" -> 6,
     // q209: one fact-sized exchange (the (part,supplier) fold); the
     // per-part window, dominant-distinct, semi probe and output sort
     // all re-key the parts×suppliers fold — model-sized by design

@@ -5023,6 +5023,213 @@ object PipelineQueries {
       |            AS BIGINT) AS below_ppm
       |FROM cl""".stripMargin
 
+  // --------------------------------------------------------------- Q254
+  /** RIGHT-TO-ERASURE audit — q253's actionable sibling (that one asks
+    * "can this ship?", this one "did the deletion actually cascade?"):
+    * the deletion list is the md5-hash-sampled ~5% of customers (the
+    * q46 seam — deterministic, so the audit and the erasure job can
+    * never disagree about WHO), and the audit counts the rows still
+    * referencing an erased subject in every subject-keyed relation —
+    * customer itself, orders, lineitem (via its order), events — plus
+    * how many erased subjects still have ≥ 1 reference. Scale shape:
+    * all four tables project to a TAGGED (table, subject) union, so
+    * the whole audit is ONE broadcast semi-join against the
+    * subjects-sized deletion list + one 4-group fold (a per-table
+    * branch pipeline pays the scheduler 4× for the same scans);
+    * lineitem resolves its subject through the orders broadcast;
+    * facts never shuffle. Output: one row per table. */
+  val q254: Q = (s, d) => {
+    val M = 4503599627370496L
+    val erased = t(s, d, "customer").select(col("c_custkey"))
+      .filter(conv(substring(md5(concat(lit("del|"),
+        col("c_custkey").cast("string"))), 1, 13), 16, 10).cast("long")
+        < lit(M / 100 * 5))
+    def tagged(name: String, df: DataFrame, key: String) =
+      df.select(lit(name).as("table_name"), col(key).as("subject"))
+    val ordersE = t(s, d, "orders")
+    val refs = tagged("customer",
+        t(s, d, "customer").select(col("c_custkey").as("k")), "k")
+      .unionByName(tagged("orders", ordersE.select(col("o_custkey")), "o_custkey"))
+      .unionByName(tagged("lineitem",
+        t(s, d, "lineitem").join(
+          broadcast(ordersE.select(col("o_orderkey"), col("o_custkey"))),
+          col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("lk")), "lk"))
+      .unionByName(tagged("events",
+        t(s, d, "events").select(col("user_id")), "user_id"))
+    refs.join(broadcast(erased), col("subject") === col("c_custkey"), "left_semi")
+      .groupBy(col("table_name"))
+      .agg(count(lit(1)).as("n_refs"),
+        countDistinct(col("subject")).as("n_subjects_with_refs"))
+      .orderBy(col("table_name"))
+  }
+
+  val q254Sql: String =
+    s"""WITH erased AS (SELECT c_custkey FROM customer
+       |  WHERE ${sqlHex52("md5('del|' || CAST(c_custkey AS VARCHAR))")}
+       |          < 4503599627370496 // 100 * 5)
+       |SELECT * FROM (
+       |  SELECT 'customer' AS table_name, CAST(count(*) AS BIGINT) AS n_refs,
+       |         CAST(count(DISTINCT c.c_custkey) AS BIGINT)
+       |           AS n_subjects_with_refs
+       |  FROM customer c WHERE c.c_custkey IN (SELECT c_custkey FROM erased)
+       |  UNION ALL
+       |  SELECT 'orders', CAST(count(*) AS BIGINT),
+       |         CAST(count(DISTINCT o_custkey) AS BIGINT)
+       |  FROM orders WHERE o_custkey IN (SELECT c_custkey FROM erased)
+       |  UNION ALL
+       |  SELECT 'lineitem', CAST(count(*) AS BIGINT),
+       |         CAST(count(DISTINCT o_custkey) AS BIGINT)
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE o_custkey IN (SELECT c_custkey FROM erased)
+       |  UNION ALL
+       |  SELECT 'events', CAST(count(*) AS BIGINT),
+       |         CAST(count(DISTINCT user_id) AS BIGINT)
+       |  FROM events WHERE user_id IN (SELECT c_custkey FROM erased))
+       |ORDER BY table_name""".stripMargin
+
+  // --------------------------------------------------------------- Q255
+  /** EMBEDDING-QUALITY audit — the vector-side data-quality gate the
+    * text side gets from q25/q102 (truncated inserts, all-zero rows
+    * and exact re-embeddings are the three classic embedding-store
+    * pathologies): per label, (a) ZERO vectors (every component
+    * quantizes to 0 — the q85 floor-×1000 lattice, so the test is
+    * integer equality, no epsilon), (b) EXACT DUPLICATES (distinct
+    * vectors minus distinct md5 fingerprints of the canonical
+    * quantized string — the q20/q61 content-hash discipline applied to
+    * vectors), (c) NORM OUTLIERS (quantized squared norm outside
+    * [med/4, med·4] with med the DISCRETE median of the label's norms
+    * — the q90 order-statistic discipline: integer breakpoints both
+    * engines hold bit-identically). One scan computes qn + the
+    * fingerprint; the median rides a label-keyed window; everything
+    * else is label-sized. */
+  val q255: Q = (s, d) => {
+    val qv = t(s, d, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        LinearClassifier.quantize(col("embedding"), 1000).as("q"))
+      .withColumn("qn", aggregate(col("q"), lit(0L), (a, x) => a + x * x))
+      .withColumn("fp", md5(concat_ws(",", col("q"))))
+    val wl = Window.partitionBy(col("label"))
+    val scored = qv
+      .withColumn("rn", row_number().over(wl.orderBy(col("qn"), col("vec_id"))))
+      .withColumn("n", count(lit(1)).over(wl))
+      .withColumn("med", max(when(
+        col("rn") === ceil(col("n") * lit(0.5)).cast("int"), col("qn"))).over(wl))
+    scored.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("qn") === 0, 1L).otherwise(0L)).as("n_zero"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dups"),
+        sum(when(col("qn") * 4 < col("med") || col("qn") > col("med") * 4, 1L)
+          .otherwise(0L)).as("n_norm_outliers"),
+        max(col("med")).as("median_qnorm"))
+      .orderBy(col("label"))
+  }
+
+  val q255Sql: String =
+    """WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |         list_transform(CAST(embedding AS DOUBLE[]),
+      |                        e -> CAST(floor(e * 1000) AS BIGINT)) AS q
+      |       FROM embeddings),
+      |v AS (SELECT vec_id, label,
+      |        CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn,
+      |        md5(list_aggregate(list_transform(q, x -> CAST(x AS VARCHAR)),
+      |                           'string_agg', ',')) AS fp
+      |      FROM q),
+      |r AS (SELECT *,
+      |        row_number() OVER (PARTITION BY label ORDER BY qn, vec_id) AS rn,
+      |        count(*) OVER (PARTITION BY label) AS n
+      |      FROM v),
+      |m AS (SELECT label, max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+      |                             THEN qn END) AS med
+      |      FROM r GROUP BY label)
+      |SELECT v.label, CAST(count(*) AS BIGINT) AS n_vecs,
+      |       CAST(sum(CASE WHEN qn = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+      |       CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups,
+      |       CAST(sum(CASE WHEN qn * 4 < med OR qn > med * 4 THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_norm_outliers,
+      |       CAST(max(med) AS BIGINT) AS median_qnorm
+      |FROM v JOIN m ON v.label = m.label
+      |GROUP BY v.label ORDER BY v.label""".stripMargin
+
+  // --------------------------------------------------------------- Q256
+  /** REFERENTIAL-INTEGRITY profile — the dbt-style FK orphan test as a
+    * declared query (q175 profiles FUNCTIONAL dependencies, q219
+    * reconciles header↔detail totals; this audits the key graph
+    * itself): for each declared FK edge — lineitem.l_orderkey →
+    * orders, orders.o_custkey → customer, customer.c_nationkey →
+    * nation, events.user_id → customer — the child row count, orphan
+    * rows (LeftAnti against the parent key set), distinct orphan keys,
+    * and valid_ppm. Scale shape: every edge's child folds to (edge,
+    * key, cnt) FIRST — map-side combine collapses each fact to its
+    * key set before anything ships — the four folds and the four
+    * parent key sets stack into two TAGGED unions, and the whole
+    * audit is ONE (edge, key) left join + one 4-group fold (orphan =
+    * unmatched parent; a per-edge branch pipeline pays the scheduler
+    * 4× and re-shuffles the raw facts). Parent sets are DISTINCT'd
+    * inside their fold (an audit must not trust the uniqueness a
+    * sibling check validates). At 100 TB every per-edge relation here
+    * is key-set-sized; the one fact-sized fold (lineitem by orderkey)
+    * is the natural co-bucketed layout. */
+  val q256: Q = (s, d) => {
+    def childFold(name: String, child: DataFrame, key: String) =
+      child.groupBy(lit(name).as("fk_edge"), col(key).cast("long").as("k"))
+        .agg(count(lit(1)).as("cnt"))
+    def parentKeys(name: String, parent: DataFrame, pkey: String) =
+      parent.select(lit(name).as("fk_edge"),
+        col(pkey).cast("long").as("pk")).distinct()
+    val children =
+      childFold("customer.nation", t(s, d, "customer"), "c_nationkey")
+        .unionByName(childFold("events.user", t(s, d, "events"), "user_id"))
+        .unionByName(childFold("lineitem.order", t(s, d, "lineitem"), "l_orderkey"))
+        .unionByName(childFold("orders.customer", t(s, d, "orders"), "o_custkey"))
+    val parents =
+      parentKeys("customer.nation", t(s, d, "nation"), "n_nationkey")
+        .unionByName(parentKeys("events.user", t(s, d, "customer"), "c_custkey"))
+        .unionByName(parentKeys("lineitem.order", t(s, d, "orders"), "o_orderkey"))
+        .unionByName(parentKeys("orders.customer", t(s, d, "customer"), "c_custkey"))
+    children.join(parents, col("k") === col("pk")
+        && children("fk_edge") === parents("fk_edge"), "left")
+      .groupBy(children("fk_edge").as("fk_edge"))
+      .agg(sum(col("cnt")).as("n_rows"),
+        sum(when(col("pk").isNull, col("cnt")).otherwise(0L)).as("n_orphans"),
+        sum(when(col("pk").isNull, 1L).otherwise(0L)).as("n_orphan_keys"))
+      .withColumn("valid_ppm",
+        expr("(n_rows - n_orphans) * 1000000 div n_rows"))
+      .orderBy(col("fk_edge"))
+  }
+
+  val q256Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'customer.nation' AS fk_edge,
+      |         CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_rows,
+      |         CAST(count(*) AS BIGINT) AS n_orphans,
+      |         CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_orphan_keys,
+      |         CAST(((SELECT count(*) FROM customer) - count(*)) * 1000000
+      |              // (SELECT count(*) FROM customer) AS BIGINT) AS valid_ppm
+      |  FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+      |  UNION ALL
+      |  SELECT 'events.user', CAST((SELECT count(*) FROM events) AS BIGINT),
+      |         CAST(count(*) AS BIGINT),
+      |         CAST(count(DISTINCT user_id) AS BIGINT),
+      |         CAST(((SELECT count(*) FROM events) - count(*)) * 1000000
+      |              // (SELECT count(*) FROM events) AS BIGINT)
+      |  FROM events WHERE user_id NOT IN (SELECT c_custkey FROM customer)
+      |  UNION ALL
+      |  SELECT 'lineitem.order', CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+      |         CAST(count(*) AS BIGINT),
+      |         CAST(count(DISTINCT l_orderkey) AS BIGINT),
+      |         CAST(((SELECT count(*) FROM lineitem) - count(*)) * 1000000
+      |              // (SELECT count(*) FROM lineitem) AS BIGINT)
+      |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      |  UNION ALL
+      |  SELECT 'orders.customer', CAST((SELECT count(*) FROM orders) AS BIGINT),
+      |         CAST(count(*) AS BIGINT),
+      |         CAST(count(DISTINCT o_custkey) AS BIGINT),
+      |         CAST(((SELECT count(*) FROM orders) - count(*)) * 1000000
+      |              // (SELECT count(*) FROM orders) AS BIGINT)
+      |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+      |ORDER BY fk_edge""".stripMargin
+
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
     ("q20_simhash", q20, q20Sql),
@@ -5119,7 +5326,10 @@ object PipelineQueries {
     ("q250_length_batching", q250, q250Sql),
     ("q251_span_corruption", q251, q251Sql),
     ("q252_inbatch_collisions", q252, q252Sql),
-    ("q253_k_anonymity", q253, q253Sql))
+    ("q253_k_anonymity", q253, q253Sql),
+    ("q254_erasure_audit", q254, q254Sql),
+    ("q255_embedding_quality", q255, q255Sql),
+    ("q256_fk_orphans", q256, q256Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type (KLL-style `percentile_approx`

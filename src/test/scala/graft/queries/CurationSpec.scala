@@ -458,6 +458,101 @@ class CurationSpec extends SparkSpec {
     assert(ppm == rBelow * 1000000L / nRows)
   }
 
+  test("q254: reference counts replay from JVM sets; the deletion list is non-empty and hash-exact") {
+    import java.security.MessageDigest
+    def h52(s0: String): Long = {
+      val md = MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(md.digest(s0.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 13), 16)
+    }
+    val M = 4503599627370496L
+    val erased = Tables.load(spark, sf0001, "customer")
+      .select("c_custkey").as[Long].collect()
+      .filter(k => h52(s"del|$k") < M / 100 * 5).toSet
+    assert(erased.nonEmpty, "fixture must erase someone")
+    val orders = Tables.load(spark, sf0001, "orders")
+      .select("o_orderkey", "o_custkey").as[(Long, Long)].collect()
+    val o2c = orders.toMap
+    val li = Tables.load(spark, sf0001, "lineitem")
+      .select("l_orderkey").as[Long].collect()
+    val ev = Tables.load(spark, sf0001, "events")
+      .select("user_id").as[Long].collect()
+    val expect = Map(
+      "customer" -> ((erased.size.toLong, erased.size.toLong)),
+      "orders" -> {
+        val hit = orders.filter(o => erased(o._2))
+        (hit.length.toLong, hit.map(_._2).distinct.length.toLong)
+      },
+      "lineitem" -> {
+        val hit = li.flatMap(o2c.get).filter(erased)
+        (hit.length.toLong, hit.distinct.length.toLong)
+      },
+      "events" -> {
+        val hit = ev.filter(erased)
+        (hit.length.toLong, hit.distinct.length.toLong)
+      })
+    val got = PipelineQueries.q254(spark, sf0001)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == expect)
+  }
+
+  test("q255: zero/dup/outlier counts replay from a JVM quantization fold") {
+    val vs = Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("label").cast("long"),
+        col("embedding").cast("array<double>")).as[(Long, Long, Seq[Double])]
+      .collect()
+    val byLabel = vs.groupBy(_._2)
+    val got = PipelineQueries.q255(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == byLabel.keySet)
+    byLabel.foreach { case (l, rows) =>
+      val qs = rows.map { case (id, _, v) =>
+        (id, v.map(e => math.floor(e * 1000).toLong)) }
+      val qns = qs.map { case (id, q) => (id, q.map(x => x * x).sum) }
+      val med = qns.map(_._2).zip(qns.map(_._1)).sortBy(identity)
+        .apply(math.ceil(qns.length * 0.5).toInt - 1)._1
+      val (_, n, z, dups, out, m) = got(l)
+      assert(n == rows.length.toLong)
+      assert(z == qns.count(_._2 == 0).toLong)
+      assert(dups == (qs.length - qs.map(_._2.mkString(",")).distinct.length).toLong)
+      assert(out == qns.count(r => r._2 * 4 < med || r._2 > med * 4).toLong)
+      assert(m == med)
+    }
+  }
+
+  test("q256: zero orphans on the coherent fixture; planted orphans are counted per edge") {
+    val clean = PipelineQueries.q256(spark, sf0001)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(clean.length == 4)
+    clean.foreach { case (e, n, o, ok0, ppm) =>
+      assert(o == 0L && ok0 == 0L && ppm == 1000000L, s"$e must be orphan-free")
+      assert(n > 0)
+    }
+    // planted: one orphan per edge in a tiny coherent-otherwise corpus
+    val dir = java.nio.file.Files.createTempDirectory("graft_q256").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    Seq((0, "n0")).toDF("n_nationkey", "n_name")
+      .write.parquet(s"$dir/nation.parquet")
+    Seq((10L, 0), (11L, 99)) // 11 -> nation 99: orphan
+      .toDF("c_custkey", "c_nationkey").write.parquet(s"$dir/customer.parquet")
+    Seq((100L, 10L), (101L, 77L)) // 101 -> customer 77: orphan
+      .toDF("o_orderkey", "o_custkey").write.parquet(s"$dir/orders.parquet")
+    Seq((100L, 1L), (999L, 2L)) // 999: orphan order
+      .toDF("l_orderkey", "l_partkey").write.parquet(s"$dir/lineitem.parquet")
+    Seq((10L, 1L, "view", 1.0, t0), (55L, 2L, "view", 1.0, t0)) // 55: orphan
+      .toDF("user_id", "event_id", "event_type", "value", "ts")
+      .write.parquet(s"$dir/events.parquet")
+    val planted = PipelineQueries.q256(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(planted("customer.nation") == ((2L, 1L, 1L, 500000L)))
+    assert(planted("orders.customer") == ((2L, 1L, 1L, 500000L)))
+    assert(planted("lineitem.order") == ((2L, 1L, 1L, 500000L)))
+    assert(planted("events.user") == ((2L, 1L, 1L, 500000L)))
+  }
+
   test("q250: sorted batching never pads more than arrival order, and the accounting replays") {
     val rows = PipelineQueries.q250(spark, sf0001)
       .as[(String, Long, Long, Long, Long, Long, Long)].collect()

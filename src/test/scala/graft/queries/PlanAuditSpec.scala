@@ -208,6 +208,17 @@ object PlanAuditSpec {
     // one-row fold; all batch-count-sized (the ranking windows that
     // touch the vectors live in the pin)
     "q252_inbatch_collisions" -> 6,
+    // q254 (tagged-union form): the facts ride broadcast semi-joins
+    // and never shuffle; the three exchanges are the 4-group audit
+    // fold (map-side collapsed to distinct (table, subject)) + its
+    // re-fold + the 4-row sort
+    "q254_erasure_audit" -> 3,
+    // q256 (tagged-union form): four child key folds + four parent
+    // distincts (key-set-sized after map-side combine; the audit must
+    // not trust parent uniqueness) + the (edge, key) join's two sides
+    // + the 4-row fold/sort — the only fact-sized input is lineitem's
+    // orderkey fold, the natural co-bucketed layout at scale
+    "q256_fk_orphans" -> 10,
     // q209: one fact-sized exchange (the (part,supplier) fold); the
     // per-part window, dominant-distinct, semi probe and output sort
     // all re-key the parts×suppliers fold — model-sized by design
@@ -245,6 +256,14 @@ object PlanAuditSpec {
     // nation broadcast before the fact fold, fact⋈orders is the only
     // big join (the multi-table carve-out)
     "q222_profit_by_nation" -> 5,
+    // q254: nine scans — four audited child relations + the deletion
+    // list's customer scan + orders twice (own audit + the lineitem
+    // subject resolve) + union-leg pruning re-plans; every one pruned
+    // to its key column, dimension- or key-set-sized reads
+    "q254_erasure_audit" -> 9,
+    // q256: eight scans = one per table ROLE across the four declared
+    // FK edges (the multi-table carve-out): 4 children + 4 parents
+    "q256_fk_orphans" -> 8,
     // q245 (r9): the candidate chain executes at pin time (orders,
     // lineitem, part — each once; |catalog| comes from footer stats,
     // not a count job); the residual plan reads the pinned

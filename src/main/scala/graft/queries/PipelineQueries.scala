@@ -5057,10 +5057,15 @@ object PipelineQueries {
           .select(col("o_custkey").as("lk")), "lk"))
       .unionByName(tagged("events",
         t(s, d, "events").select(col("user_id")), "user_id"))
+    // fold (table, subject) FIRST: a count + countDistinct in one agg
+    // plans an Expand that doubles every row before the exchange; the
+    // explicit two-fold ships only distinct (table, subject) pairs
     refs.join(broadcast(erased), col("subject") === col("c_custkey"), "left_semi")
+      .groupBy(col("table_name"), col("subject"))
+      .agg(count(lit(1)).as("c"))
       .groupBy(col("table_name"))
-      .agg(count(lit(1)).as("n_refs"),
-        countDistinct(col("subject")).as("n_subjects_with_refs"))
+      .agg(sum(col("c")).as("n_refs"),
+        count(lit(1)).as("n_subjects_with_refs"))
       .orderBy(col("table_name"))
   }
 

@@ -47,6 +47,12 @@ case class LedgerState(lastTs: Long, lastSeq: Long, bal: Long, n: Long,
 
 case class StreakState(lastDay: Long, curLen: Long, best: Long,
                        nActive: Long, nStreaks: Long)
+
+/** Per-user purchase extremes for [[EventStream.preferencePairsLive]]:
+  * the lexicographic (cents, eventId) max/min — q248's fold as state. */
+case class PrefState(chC: Long, chE: Long, rjC: Long, rjE: Long)
+case class PrefPairRow(userId: Long, chosenEvent: Long, rejectedEvent: Long,
+                       marginCents: Long)
 case class StreakRow(userId: Long, nActiveDays: Long, nStreaks: Long,
                      longestStreak: Long)
 
@@ -338,6 +344,45 @@ object EventStream {
           }
           state.update(st)
           Iterator.single(StreakRow(userId, st.nActive, st.nStreaks, st.best))
+      }
+  }
+
+  /** Continuous PREFERENCE-PAIR tracker — q248's streaming twin: per
+    * user, the running (chosen, rejected) purchase extremes as typed
+    * state (two (cents, eventId) pairs — fixed width, never an event
+    * buffer), a pair row emitted whenever a batch CHANGES a user's
+    * extremes and a strict margin exists. Lexicographic max/min are
+    * IDEMPOTENT folds, so a crash-replayed batch is a state no-op that
+    * emits nothing (spec-pinned) — no at-arrival guard or batch-id
+    * rule is needed (the ledgerLive contrast: a clamp fold is
+    * order-dependent, an extreme is not; arrival order across batches
+    * never matters here). The latest emitted row per user equals batch
+    * q248 over the prefix processed so far, minus n_purchases — a
+    * count is NOT replay-idempotent, so it deliberately stays with the
+    * batch query (the quantileSampleBatch rationale). */
+  def preferencePairsLive(events: Dataset[Event]): Dataset[PrefPairRow] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(_.eventType == "purchase")
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[PrefState, PrefPairRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[PrefState]) =>
+          val prev = state.getOption
+          var st = prev.getOrElse(
+            PrefState(Long.MinValue, 0L, Long.MaxValue, 0L))
+          rows.foreach { e =>
+            val c = math.round(e.value * 100)
+            // lexicographic (cents, eventId) extremes — q248's order
+            if (c > st.chC || (c == st.chC && e.eventId > st.chE))
+              st = st.copy(chC = c, chE = e.eventId)
+            if (c < st.rjC || (c == st.rjC && e.eventId < st.rjE))
+              st = st.copy(rjC = c, rjE = e.eventId)
+          }
+          state.update(st)
+          if (!prev.contains(st) && st.chC > st.rjC)
+            Iterator.single(PrefPairRow(userId, st.chE, st.rjE, st.chC - st.rjC))
+          else Iterator.empty
       }
   }
 

@@ -443,6 +443,45 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("preferencePairsLive: the final per-user pair equals batch q248; a replayed batch emits nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStream.preferencePairsLive(input.toDS())
+      .writeStream.format("memory").queryName("pref_live")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val evs = graft.core.Tables.load(spark, sf0001, "events")
+        .select(col("event_id"), unix_micros(col("ts")).as("us"),
+          col("user_id"), col("event_type"), col("value"))
+        .as[(Long, Long, Long, String, Double)].collect()
+        .sortBy(r => (r._2, r._1))
+        .map(r => Event(r._1, r._2, r._3, r._4, r._5))
+      evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq: _*)
+        query.processAllAvailable()
+      }
+      val live = spark.table("pref_live").as[PrefPairRow].collect()
+        .zipWithIndex.groupBy(_._1.userId).view
+        .mapValues(_.maxBy(_._2)._1).toMap
+      val batch = graft.queries.PipelineQueries.q248(spark, sf0001)
+        .select("user_id", "chosen_event", "rejected_event", "margin_cents")
+        .as[(Long, Long, Long, Long)].collect()
+      assert(live.keySet == batch.map(_._1).toSet,
+        "twin must emit for exactly the strict-margin users")
+      batch.foreach { case (u, ch, rj, m) =>
+        val r = live(u)
+        assert((r.chosenEvent, r.rejectedEvent, r.marginCents) == ((ch, rj, m)),
+          s"user $u: live pair diverges from batch q248")
+      }
+      // crash-replay: max/min folds are idempotent — NOTHING is emitted
+      val nRows = spark.table("pref_live").count()
+      input.addData(evs.takeRight(evs.length / 3).toIndexedSeq: _*)
+      query.processAllAvailable()
+      assert(spark.table("pref_live").count() == nRows,
+        "a replayed batch must not change state or emit")
+    } finally query.stop()
+  }
+
   test("asOfEnrich: facts pick up the latest update per key across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Tagged]

@@ -5235,6 +5235,120 @@ object PipelineQueries {
       |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
       |ORDER BY fk_edge""".stripMargin
 
+  // --------------------------------------------------------------- Q257
+  /** CURATION-GATE ABLATION matrix — q121 measures the funnel's
+    * SEQUENTIAL attrition (each gate after the previous); this CUBEs
+    * the three gates INDEPENDENTLY so a curation review reads every
+    * subset's population in one table (which gates overlap, which bite
+    * alone — the ablation view that decides whether a gate earns its
+    * false-positive cost): gates = length (n_chars ≥ 200), token count
+    * (≥ 40 whitespace tokens), lexical diversity (type-token ratio ≥
+    * 0.5, tested as the EXACT integer cross-multiply distinct·2 ≥
+    * total — no float ratio exists; the Gopher-family diversity rule,
+    * where this corpus's 3-gram repetition never varies). One scan
+    * computes the three booleans scan-locally; `cube()` expands to
+    * the 2³ lattice with grouping flags, counts partial-aggregate
+    * map-side. */
+  val q257: Q = (s, d) => {
+    val totalT = size(TextOps.tokens(col("text"))).cast("long")
+    val distT = size(array_distinct(TextOps.tokens(col("text")))).cast("long")
+    t(s, d, "documents")
+      .select(
+        (col("n_chars") >= 200).as("g_len"),
+        (totalT >= 40).as("g_tok"),
+        (totalT > 0 && distT * 2 >= totalT).as("g_div"))
+      .cube(col("g_len"), col("g_tok"), col("g_div"))
+      .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("n_docs"))
+      .select(col("gid"), col("g_len"), col("g_tok"), col("g_div"), col("n_docs"))
+      .orderBy(col("gid"), col("g_len"), col("g_tok"), col("g_div"))
+  }
+
+  val q257Sql: String =
+    """WITH g AS (SELECT n_chars >= 200 AS g_len,
+      |         CAST(len(t) AS BIGINT) >= 40 AS g_tok,
+      |         len(t) > 0 AND
+      |           CAST(len(list_distinct(t)) AS BIGINT) * 2
+      |             >= CAST(len(t) AS BIGINT) AS g_div
+      |       FROM (SELECT n_chars, string_split(text, ' ') AS t
+      |             FROM documents))
+      |SELECT CAST(grouping(g_len) * 4 + grouping(g_tok) * 2 + grouping(g_div)
+      |            AS BIGINT) AS gid,
+      |       g_len, g_tok, g_div, count(*) AS n_docs
+      |FROM g GROUP BY CUBE (g_len, g_tok, g_div)
+      |ORDER BY gid, g_len, g_tok, g_div""".stripMargin
+
+  // --------------------------------------------------------------- Q258
+  /** TOKEN-BUDGET WATERFILLING — the mixture-design allocator (q111
+    * oversamples to fixed epoch weights, q163 to a temperature; this
+    * solves the CONSTRAINED case: spend a global token budget B = 60%
+    * of the corpus max-min fairly across sources where no source can
+    * give more than it has): classical waterfilling, exact. Sources
+    * sort by capacity; source i (1-based, n−i+1 remaining) is CAPPED
+    * iff cap_i·(n−i+1) ≤ B − prefix_before — the integer
+    * cross-multiplied form of cap_i ≤ level, so the fill level never
+    * exists as a float — takes alloc = cap; the m uncapped sources
+    * split the residue R as R div m each with the remainder
+    * distributed Hamilton-style (q139) to the first R mod m in
+    * (capacity, source) order. Σ alloc = B exactly and alloc ≤ cap
+    * everywhere (spec-pinned: base + 1 ≤ every uncapped cap because
+    * the uncapped test is strict). One tokenize fold to the
+    * sources-sized relation; everything after rides 20 rows. */
+  val q258: Q = (s, d) => {
+    val caps = t(s, d, "documents")
+      .groupBy(col("source"))
+      .agg(sum(size(TextOps.tokens(col("text"))).cast("long")).as("cap"))
+    val w = Window.orderBy(col("cap"), col("source"))
+    val wAll = Window.partitionBy()
+    val staged = caps
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("total", sum(col("cap")).over(wAll))
+      .withColumn("before", coalesce(sum(col("cap")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("b", expr("total * 60 div 100"))
+      .withColumn("capped", col("cap") * (col("n") - col("i") + 1)
+        <= col("b") - col("before"))
+    val sized = staged
+      .withColumn("m", sum(when(!col("capped"), 1L).otherwise(0L)).over(wAll))
+      .withColumn("r", col("b") - sum(when(col("capped"), col("cap"))
+        .otherwise(0L)).over(wAll))
+      .withColumn("u_rank", sum(when(!col("capped"), 1L).otherwise(0L)).over(w))
+    sized.select(col("source"), col("cap").as("cap_tokens"), col("capped"),
+        when(col("capped"), col("cap")).otherwise(
+          expr("r div m") + when(col("u_rank") <= pmod(col("r"), col("m")), 1L)
+            .otherwise(0L)).as("alloc_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val q258Sql: String =
+    """WITH caps AS (SELECT source,
+      |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS cap
+      |       FROM documents GROUP BY 1),
+      |st AS (SELECT source, cap,
+      |         CAST(row_number() OVER w AS BIGINT) AS i,
+      |         CAST(count(*) OVER () AS BIGINT) AS n,
+      |         CAST(sum(cap) OVER () AS BIGINT) AS total,
+      |         CAST(coalesce(sum(cap) OVER (ORDER BY cap, source
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS BIGINT) AS bf
+      |       FROM caps WINDOW w AS (ORDER BY cap, source)),
+      |fl AS (SELECT *, total * 60 // 100 AS b,
+      |         cap * (n - i + 1) <= total * 60 // 100 - bf AS capped
+      |       FROM st),
+      |sz AS (SELECT *,
+      |         CAST(sum(CASE WHEN NOT capped THEN 1 ELSE 0 END) OVER ()
+      |           AS BIGINT) AS m,
+      |         CAST(b - sum(CASE WHEN capped THEN cap ELSE 0 END) OVER ()
+      |           AS BIGINT) AS r,
+      |         CAST(sum(CASE WHEN NOT capped THEN 1 ELSE 0 END)
+      |           OVER (ORDER BY cap, source) AS BIGINT) AS u_rank
+      |       FROM fl)
+      |SELECT source, cap AS cap_tokens, capped,
+      |       CAST(CASE WHEN capped THEN cap
+      |            ELSE r // m + CASE WHEN u_rank <= r % m THEN 1 ELSE 0 END
+      |            END AS BIGINT) AS alloc_tokens
+      |FROM sz ORDER BY source""".stripMargin
+
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
     ("q20_simhash", q20, q20Sql),
@@ -5334,7 +5448,9 @@ object PipelineQueries {
     ("q253_k_anonymity", q253, q253Sql),
     ("q254_erasure_audit", q254, q254Sql),
     ("q255_embedding_quality", q255, q255Sql),
-    ("q256_fk_orphans", q256, q256Sql))
+    ("q256_fk_orphans", q256, q256Sql),
+    ("q257_gate_ablation", q257, q257Sql),
+    ("q258_token_waterfill", q258, q258Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type (KLL-style `percentile_approx`

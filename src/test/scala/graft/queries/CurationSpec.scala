@@ -553,6 +553,73 @@ class CurationSpec extends SparkSpec {
     assert(planted("events.user") == ((2L, 1L, 1L, 500000L)))
   }
 
+  test("q257: the cube lattice is self-consistent and the grand total is the corpus") {
+    val rows = PipelineQueries.q257(spark, sf0001)
+      .as[(Long, Option[Boolean], Option[Boolean], Option[Boolean], Long)]
+      .collect()
+    val nDocs = docs.count()
+    // grand total (all three grouped away)
+    assert(rows.filter(_._1 == 7L).map(_._5).sum == nDocs)
+    val base = rows.filter(_._1 == 0L)
+    assert(base.map(_._5).sum == nDocs, "finest cells partition the corpus")
+    // every rollup level must re-aggregate the finest cells exactly
+    def roll(keep: ((Option[Boolean], Option[Boolean], Option[Boolean])) =>
+        (Option[Boolean], Option[Boolean], Option[Boolean]), gid: Long): Unit = {
+      val expect = base.groupBy(r => keep((r._2, r._3, r._4)))
+        .view.mapValues(_.map(_._5).sum).toMap
+      val got = rows.filter(_._1 == gid)
+        .map(r => (r._2, r._3, r._4) -> r._5).toMap
+      assert(got == expect, s"gid=$gid rollup")
+    }
+    roll({ case (a, _, _) => (a, None, None) }, 3L)  // g_len only
+    roll({ case (_, b, _) => (None, b, None) }, 5L)  // g_tok only
+    roll({ case (_, _, c) => (None, None, c) }, 6L)  // g_rep only
+    // the gates must each bite both ways on the fixture
+    assert(base.exists(r => r._2.contains(true)) && base.exists(r => r._2.contains(false)))
+    assert(base.exists(r => r._3.contains(true)) && base.exists(r => r._3.contains(false)))
+    assert(base.exists(r => r._4.contains(true)) && base.exists(r => r._4.contains(false)))
+  }
+
+  test("q258: the allocation replays a JVM waterfill, spends exactly B, and caps bind as a prefix") {
+    val caps = docs.select(col("source"),
+        size(TextOps.tokens(col("text"))).cast("long"))
+      .as[(String, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).sum).toMap
+    val total = caps.values.sum
+    val b = total * 60 / 100
+    // independent JVM waterfill
+    val sorted = caps.toSeq.sortBy(t => (t._2, t._1))
+    val n = sorted.length
+    var before = 0L
+    val capped = sorted.zipWithIndex.map { case ((src, c), i0) =>
+      val flag = c * (n - i0) <= b - before
+      before += c
+      src -> flag
+    }.toMap
+    val r = b - caps.filter(kv => capped(kv._1)).values.sum
+    val m = capped.count(!_._2).toLong
+    val uncappedOrder = sorted.filter(t => !capped(t._1)).map(_._1).zipWithIndex
+      .map { case (s0, i0) => s0 -> (i0 + 1L) }.toMap
+    val expect = caps.map { case (src, c) =>
+      src -> (if (capped(src)) c
+              else r / m + (if (uncappedOrder(src) <= r % m) 1L else 0L))
+    }
+    val got = PipelineQueries.q258(spark, sf0001)
+      .as[(String, Long, Boolean, Long)].collect()
+    assert(got.map(r0 => r0._1 -> r0._4).toMap == expect, "allocation replay")
+    assert(got.map(_._4).sum == b, "the budget is spent exactly")
+    got.foreach { case (src, cap, fl, alloc) =>
+      assert(alloc <= cap, s"$src over-allocated")
+      assert(fl == capped(src), s"$src capped flag")
+      if (fl) assert(alloc == cap)
+    }
+    // capped sources form a PREFIX of the capacity order (waterfilling's
+    // structural property — a bigger source is never capped while a
+    // smaller one is not)
+    val flags = sorted.map(t => capped(t._1))
+    assert(!flags.dropWhile(identity).contains(true), "caps must be a prefix")
+  }
+
   test("q250: sorted batching never pads more than arrival order, and the accounting replays") {
     val rows = PipelineQueries.q250(spark, sf0001)
       .as[(String, Long, Long, Long, Long, Long, Long)].collect()

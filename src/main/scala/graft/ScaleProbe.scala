@@ -1129,6 +1129,37 @@ object ScaleProbe {
         s"cross form would probe 200000/user)")
     }
 
+    // --- q247-q258 (round 9) at 10×: q247/q248 ride one
+    // partial-aggregable fold each (bottom-k buffers / per-user
+    // extremes collapse map-side — wall must track the scan);
+    // q250/q251/q257/q258 are docs-shaped (tokenize + windows/folds);
+    // q252/q255 are vectors-shaped; q253/q254/q256 are the governance
+    // audits (QI fold / broadcast semi / key-set folds). q249 reuses
+    // the memoized q85 perceptron (trained once per (session, dir)).
+    if (want("q247", "q248", "q250", "q251", "q252", "q253", "q254",
+             "q255", "q256", "q257", "q258")) {
+      import graft.queries.PipelineQueries
+      def both(label: String, name: String): Unit = {
+        time(f"$label%-22s sf0.1")(
+          graft.SparkEntry.queries(name)(spark, src).count())
+        graft.core.Pins.release()
+        time(f"$label%-22s sf1.0")(
+          graft.SparkEntry.queries(name)(spark, out).count())
+        graft.core.Pins.release()
+      }
+      both("q247_qsketch", "q247_quantile_sketch")
+      both("q248_prefpairs", "q248_preference_pairs")
+      both("q250_batching", "q250_length_batching")
+      both("q251_spans", "q251_span_corruption")
+      both("q252_collisions", "q252_inbatch_collisions")
+      both("q254_erasure", "q254_erasure_audit")
+      both("q256_orphans", "q256_fk_orphans")
+      both("q257_ablation", "q257_gate_ablation")
+      both("q258_waterfill", "q258_token_waterfill")
+      // q253/q255 read dimension-sized tables the shared 10× dir holds
+      // fixed — their 10× story is the same fold shape as q257's
+    }
+
     if (want("q177")) {
       graft.queries.PipelineQueries.clearLshPairs()
       time("q177_khop sf0.1         (5k docs)")(

@@ -5349,6 +5349,107 @@ object PipelineQueries {
       |            END AS BIGINT) AS alloc_tokens
       |FROM sz ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- Q259
+  /** DUPLICATE-ATTRIBUTION accounting per source — the ingestion report
+    * behind a mixture decision (q05 dedups, q106 scores novelty per
+    * doc; this answers WHO ships originals and who ships copies, and
+    * what each source's token contribution is NET of exact dups): a
+    * doc is a duplicate iff an earlier doc (global doc_id order — the
+    * q05 keep-first discipline) has the identical text hash, counted
+    * ACROSS sources (crawl overlap is exactly the cross-source case);
+    * per source: docs, dup docs, total tokens, net tokens (originals
+    * only), dup_ppm. One content-hash fold (the q04 exact-dedup
+    * shape: groupBy md5, min doc_id — corpus-keyed, the one genuine
+    * exchange), the verdict joins back on the hash, the report is a
+    * sources-sized fold. */
+  val q259: Q = (s, d) => {
+    val docs = graft.core.Pins.pin(
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
+          size(TextOps.tokens(col("text"))).cast("long").as("toks")))
+    val first = docs.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    docs.join(first, Seq("h"))
+      .withColumn("dup", col("doc_id") =!= col("first_doc"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(col("toks")).as("tokens_total"),
+        sum(when(!col("dup"), col("toks")).otherwise(0L)).as("tokens_net"))
+      .withColumn("dup_ppm", expr("n_dup_docs * 1000000 div n_docs"))
+      .orderBy(col("source"))
+  }
+
+  val q259Sql: String =
+    """WITH d AS (SELECT doc_id, source, md5(text) AS h,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+      |       FROM documents),
+      |f AS (SELECT h, min(doc_id) AS first_doc FROM d GROUP BY 1)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN doc_id <> first_doc THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_dup_docs,
+      |       CAST(sum(toks) AS BIGINT) AS tokens_total,
+      |       CAST(sum(CASE WHEN doc_id = first_doc THEN toks ELSE 0 END)
+      |            AS BIGINT) AS tokens_net,
+      |       CAST(sum(CASE WHEN doc_id <> first_doc THEN 1 ELSE 0 END)
+      |            * 1000000 // count(*) AS BIGINT) AS dup_ppm
+      |FROM d JOIN f USING (h)
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------- Q260
+  /** SOURCE-CONCENTRATION audit — is the corpus a monoculture? (the
+    * mixture-governance number beside q133's KL divergence and q258's
+    * allocator: a corpus dominated by one crawl inherits its biases
+    * and its takedown risk): per-source token shares, the top-1 and
+    * top-5 cumulative shares in ppm, and the GINI coefficient as the
+    * EXACT rational (Σᵢ(2i−n−1)·xᵢ over the ascending-sorted shares,
+    * n·Σx) — the sorted-index identity that needs no pairwise |xᵢ−xⱼ|
+    * enumeration, every term a BIGINT product (documented to ~10⁵
+    * sources × 2⁵⁰ tokens), the division left to the caller (the
+    * exact-rational discipline of q242/q243). One tokenize fold to
+    * the sources-sized relation; ranking windows ride ≤ |sources|
+    * rows. */
+  val q260: Q = (s, d) => {
+    val caps = t(s, d, "documents")
+      .groupBy(col("source"))
+      .agg(sum(size(TextOps.tokens(col("text"))).cast("long")).as("x"))
+    val wAsc = Window.orderBy(col("x"), col("source"))
+    val wAll = Window.partitionBy()
+    val wDesc = Window.orderBy(col("x").desc, col("source"))
+    caps
+      .withColumn("i", row_number().over(wAsc).cast("long"))
+      .withColumn("rd", row_number().over(wDesc).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("tot", sum(col("x")).over(wAll))
+      .agg(max(col("n")).as("n_sources"), max(col("tot")).as("tokens_total"),
+        max(when(col("rd") === 1, expr("x * 1000000 div tot")))
+          .as("top1_ppm"),
+        sum(when(col("rd") <= 5, col("x")).otherwise(0L)).as("top5_toks"),
+        sum((col("i") * 2 - col("n") - 1) * col("x")).as("gini_num"),
+        max(col("n") * col("tot")).as("gini_den"))
+      .select(col("n_sources"), col("tokens_total"), col("top1_ppm"),
+        expr("top5_toks * 1000000 div tokens_total").as("top5_ppm"),
+        col("gini_num"), col("gini_den"))
+  }
+
+  val q260Sql: String =
+    """WITH caps AS (SELECT source,
+      |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS x
+      |       FROM documents GROUP BY 1),
+      |r AS (SELECT x,
+      |        CAST(row_number() OVER (ORDER BY x, source) AS BIGINT) AS i,
+      |        CAST(row_number() OVER (ORDER BY x DESC, source) AS BIGINT) AS rd,
+      |        CAST(count(*) OVER () AS BIGINT) AS n,
+      |        CAST(sum(x) OVER () AS BIGINT) AS tot
+      |      FROM caps)
+      |SELECT max(n) AS n_sources, max(tot) AS tokens_total,
+      |       CAST(max(CASE WHEN rd = 1 THEN x * 1000000 // tot END)
+      |            AS BIGINT) AS top1_ppm,
+      |       CAST(sum(CASE WHEN rd <= 5 THEN x ELSE 0 END) * 1000000
+      |            // max(tot) AS BIGINT) AS top5_ppm,
+      |       CAST(sum((i * 2 - n - 1) * x) AS BIGINT) AS gini_num,
+      |       CAST(max(n * tot) AS BIGINT) AS gini_den
+      |FROM r""".stripMargin
+
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
     ("q20_simhash", q20, q20Sql),
@@ -5450,7 +5551,9 @@ object PipelineQueries {
     ("q255_embedding_quality", q255, q255Sql),
     ("q256_fk_orphans", q256, q256Sql),
     ("q257_gate_ablation", q257, q257Sql),
-    ("q258_token_waterfill", q258, q258Sql))
+    ("q258_token_waterfill", q258, q258Sql),
+    ("q259_dup_attribution", q259, q259Sql),
+    ("q260_source_gini", q260, q260Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type (KLL-style `percentile_approx`

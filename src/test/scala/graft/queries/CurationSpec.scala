@@ -620,6 +620,52 @@ class CurationSpec extends SparkSpec {
     assert(!flags.dropWhile(identity).contains(true), "caps must be a prefix")
   }
 
+  test("q259: attribution replays from a JVM keep-first fold; net+dup tokens partition totals") {
+    val rows = docs.select(col("doc_id"), col("source"), col("text"),
+        size(TextOps.tokens(col("text"))).cast("long"))
+      .as[(Long, String, String, Long)].collect()
+    def md5hex(t0: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(t0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val first = rows.groupBy(r => md5hex(r._3)).view.mapValues(_.map(_._1).min).toMap
+    val expect = rows.groupBy(_._2).map { case (src, rs) =>
+      val dups = rs.filter(r => first(md5hex(r._3)) != r._1)
+      src -> ((rs.length.toLong, dups.length.toLong, rs.map(_._4).sum,
+        rs.filter(r => first(md5hex(r._3)) == r._1).map(_._4).sum))
+    }
+    val got = PipelineQueries.q259(spark, sf0001)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got.map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap == expect)
+    got.foreach { case (src, n, nd, tot, net, ppm) =>
+      assert(ppm == nd * 1000000L / n, s"$src ppm")
+      assert(net <= tot)
+    }
+    // exactly ONE original exists per distinct text corpus-wide
+    assert(rows.length - got.map(_._3).sum == first.size)
+  }
+
+  test("q260: the Gini rational replays from a JVM sorted-index fold and sits in [0, n-1/n]") {
+    val caps = docs.select(col("source"),
+        size(TextOps.tokens(col("text"))).cast("long"))
+      .as[(String, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).sum).toSeq.sortBy(t => (t._2, t._1))
+    val n = caps.length.toLong
+    val tot = caps.map(_._2).sum
+    val num = caps.zipWithIndex.map { case ((_, x), i0) =>
+      (2 * (i0 + 1L) - n - 1) * x }.sum
+    val Seq((gn, gt, top1, top5, gnum, gden)) =
+      PipelineQueries.q260(spark, sf0001)
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert((gn, gt) == ((n, tot)))
+    assert((gnum, gden) == ((num, n * tot)), "Gini rational replay")
+    assert(gnum >= 0 && gnum * n <= gden * (n - 1), "Gini in [0, (n-1)/n]")
+    val desc = caps.sortBy(t => (-t._2, t._1))
+    assert(top1 == desc.head._2 * 1000000L / tot)
+    assert(top5 == desc.take(5).map(_._2).sum * 1000000L / tot)
+    assert(top5 >= top1 && top5 <= 1000000L)
+  }
+
   test("q250: sorted batching never pads more than arrival order, and the accounting replays") {
     val rows = PipelineQueries.q250(spark, sf0001)
       .as[(String, Long, Long, Long, Long, Long, Long)].collect()

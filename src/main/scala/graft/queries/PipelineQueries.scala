@@ -5450,6 +5450,88 @@ object PipelineQueries {
       |       CAST(max(n * tot) AS BIGINT) AS gini_den
       |FROM r""".stripMargin
 
+  // --------------------------------------------------------------- Q261
+  /** TIME-TO-CONVERSION survival table (Nelson–Aalen, exact) — the
+    * survival-analysis family's entry (retention shelf: q88 counts
+    * returns, q143 LTV, q190 streaks; nothing answered "how long until
+    * a user converts, accounting for the ones who haven't YET" — the
+    * right-censoring problem naive conversion averages get wrong):
+    * entry = a user's first event day, event = first purchase day,
+    * users without a purchase are CENSORED at the observation horizon
+    * (the corpus max day). Per duration t with deaths: the risk set
+    * n_t (users with duration ≥ t — censored users count until their
+    * censor time, the whole point), deaths d_t, the discrete hazard
+    * d·10⁶ div n, and the NELSON–AALEN cumulative hazard as the
+    * running integer sum of floored ppm hazards — every emitted
+    * quantity an exact BIGINT (the Kaplan–Meier product is a float
+    * cascade that replays nowhere; Nelson–Aalen's SUM is the
+    * mergeable, engine-exact estimator, and S ≈ exp(−H) is the
+    * caller's float boundary). One user fold (corpus-sized exchange),
+    * risk sets via one duration-grid window — span-days-sized, the
+    * q141 grid rationale. */
+  val q261: Q = (s, d) => {
+    val day = expr("unix_micros(ts) div 86400000000")
+    val users = t(s, d, "events")
+      .groupBy(col("user_id"))
+      .agg(min(day).as("entry"),
+        min(when(col("event_type") === "purchase", day)).as("conv"),
+        max(day).as("lastd"))
+    val horizon = users.agg(max(col("lastd")).as("hz"))
+    val durations = users.crossJoin(broadcast(horizon))
+      .select(
+        when(col("conv").isNotNull, col("conv") - col("entry"))
+          .otherwise(col("hz") - col("entry")).as("t"),
+        col("conv").isNotNull.as("died"))
+    val grid = durations
+      .groupBy(col("t"))
+      .agg(sum(when(col("died"), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("ending"))
+    val wDesc = Window.orderBy(col("t").desc)
+    val wAsc = Window.orderBy(col("t"))
+    grid
+      .withColumn("n_risk", sum(col("ending")).over(
+        wDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("h_ppm", expr("d * 1000000 div n_risk"))
+      .withColumn("cumhaz_ppm", sum(when(col("d") > 0, col("h_ppm"))
+        .otherwise(0L)).over(
+        wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("d") > 0)
+      .select(col("t"), col("n_risk"), col("d"), col("h_ppm"),
+        col("cumhaz_ppm"))
+      .orderBy(col("t"))
+  }
+
+  val q261Sql: String =
+    """WITH u AS (SELECT user_id,
+      |         min(epoch_us(ts) // 86400000000) AS entry,
+      |         min(CASE WHEN event_type = 'purchase'
+      |             THEN epoch_us(ts) // 86400000000 END) AS conv,
+      |         max(epoch_us(ts) // 86400000000) AS lastd
+      |       FROM events GROUP BY 1),
+      |hz AS (SELECT max(lastd) AS hz FROM u),
+      |dur AS (SELECT CASE WHEN conv IS NOT NULL THEN conv - entry
+      |                    ELSE hz - entry END AS t,
+      |               conv IS NOT NULL AS died
+      |        FROM u, hz),
+      |grid AS (SELECT t, CAST(sum(CASE WHEN died THEN 1 ELSE 0 END) AS BIGINT) AS d,
+      |           CAST(count(*) AS BIGINT) AS ending
+      |         FROM dur GROUP BY 1),
+      |risk AS (SELECT *,
+      |           CAST(sum(ending) OVER (ORDER BY t DESC
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |             AS BIGINT) AS n_risk
+      |         FROM grid),
+      |haz AS (SELECT *, CAST(d * 1000000 // n_risk AS BIGINT) AS h_ppm
+      |        FROM risk),
+      |cum AS (SELECT *,
+      |          CAST(sum(CASE WHEN d > 0 THEN h_ppm ELSE 0 END)
+      |            OVER (ORDER BY t
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |            AS BIGINT) AS cumhaz_ppm
+      |        FROM haz)
+      |SELECT t, n_risk, d, h_ppm, cumhaz_ppm
+      |FROM cum WHERE d > 0 ORDER BY t""".stripMargin
+
   val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
     ("q20_simhash", q20, q20Sql),
@@ -5553,7 +5635,8 @@ object PipelineQueries {
     ("q257_gate_ablation", q257, q257Sql),
     ("q258_token_waterfill", q258, q258Sql),
     ("q259_dup_attribution", q259, q259Sql),
-    ("q260_source_gini", q260, q260Sql))
+    ("q260_source_gini", q260, q260Sql),
+    ("q261_survival_hazard", q261, q261Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type (KLL-style `percentile_approx`

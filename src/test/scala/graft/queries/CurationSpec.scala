@@ -666,6 +666,48 @@ class CurationSpec extends SparkSpec {
     assert(top5 >= top1 && top5 <= 1000000L)
   }
 
+  test("q261: the risk table replays from a JVM survival fold; censoring keeps users at risk") {
+    val evs = Tables.load(spark, sf0001, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000"),
+        col("event_type")).as[(Long, Long, String)].collect()
+    val byUser = evs.groupBy(_._1)
+    val hz = evs.map(_._2).max
+    val durations = byUser.values.map { rs =>
+      val entry = rs.map(_._2).min
+      val conv = rs.filter(_._3 == "purchase").map(_._2).minOption
+      (conv.map(_ - entry).getOrElse(hz - entry), conv.isDefined)
+    }.toSeq
+    val got = PipelineQueries.q261(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    var cum = 0L
+    val expect = durations.map(_._1).distinct.sorted.flatMap { t0 =>
+      val nRisk = durations.count(_._1 >= t0).toLong
+      val d0 = durations.count(r => r._1 == t0 && r._2).toLong
+      if (d0 > 0) { cum += d0 * 1000000L / nRisk
+        Some((t0, nRisk, d0, d0 * 1000000L / nRisk, cum)) } else None
+    }
+    assert(got.toSeq == expect, "risk-table replay")
+    // structural: risk sets decrease along t
+    assert(got.map(_._2).toSeq == got.map(_._2).toSeq.sortBy(-_))
+    // censoring on a PLANTED corpus (every sf0.001 user converts): a
+    // browse-only user must stay IN the risk set until the horizon —
+    // the hazard denominator sees them, the death count never does
+    val dir = java.nio.file.Files.createTempDirectory("graft_q261").toString
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day}%02d 00:00:00")
+    Seq(
+      (1L, 1L, "view", 1.0, ts(1)), (1L, 2L, "purchase", 1.0, ts(3)), // t=2
+      (2L, 3L, "view", 1.0, ts(1)), (2L, 4L, "view", 1.0, ts(9)),     // censored t=9
+      (3L, 5L, "purchase", 1.0, ts(10)))                              // t=0, horizon=day10
+      .toDF("user_id", "event_id", "event_type", "value", "ts")
+      .write.parquet(s"$dir/events.parquet")
+    val planted = PipelineQueries.q261(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // t=0: all 3 at risk, 1 death -> 333333 ppm; t=2: user1 dies with
+    // user2 (censored at t=9) still at risk -> n_risk=2, 500000 ppm
+    assert(planted == Seq((0L, 3L, 1L, 333333L, 333333L),
+      (2L, 2L, 1L, 500000L, 833333L)), s"planted censoring: $planted")
+  }
+
   test("q250: sorted batching never pads more than arrival order, and the accounting replays") {
     val rows = PipelineQueries.q250(spark, sf0001)
       .as[(String, Long, Long, Long, Long, Long, Long)].collect()

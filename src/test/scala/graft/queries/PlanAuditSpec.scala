@@ -213,6 +213,11 @@ object PlanAuditSpec {
     // fold (map-side collapsed to distinct (table, subject)) + its
     // re-fold + the 4-row sort
     "q254_erasure_audit" -> 3,
+    // q261: the user fold is the one corpus-sized exchange; the
+    // horizon one-row agg, the duration-grid fold and its two global
+    // windows (span-days-sized, the q141 grid rationale) + the output
+    // sort make up the rest
+    "q261_survival_hazard" -> 5,
     // q256 (tagged-union form): four child key folds + four parent
     // distincts (key-set-sized after map-side combine; the audit must
     // not trust parent uniqueness) + the (edge, key) join's two sides

@@ -1137,7 +1137,7 @@ object ScaleProbe {
     // audits (QI fold / broadcast semi / key-set folds). q249 reuses
     // the memoized q85 perceptron (trained once per (session, dir)).
     if (want("q247", "q248", "q250", "q251", "q252", "q253", "q254",
-             "q255", "q256", "q257", "q258", "q259", "q260")) {
+             "q255", "q256", "q257", "q258", "q259", "q260", "q261")) {
       import graft.queries.PipelineQueries
       def both(label: String, name: String): Unit = {
         time(f"$label%-22s sf0.1")(
@@ -1158,6 +1158,7 @@ object ScaleProbe {
       both("q258_waterfill", "q258_token_waterfill")
       both("q259_dupattrib", "q259_dup_attribution")
       both("q260_gini", "q260_source_gini")
+      both("q261_survival", "q261_survival_hazard")
       // q253/q255 read dimension-sized tables the shared 10× dir holds
       // fixed — their 10× story is the same fold shape as q257's
     }

@@ -36,10 +36,19 @@ object Bench {
     val spark = graft.core.Sessions.local(cpus.toInt, extra)
     spark.sparkContext.setLogLevel("WARN")
     // optional arg: comma-separated name prefixes for fast iteration
-    // (same contract as Verify); the driver's full run passes no args
+    // (same contract as Verify); the driver's full run passes no args.
+    // The engine-native sketch fast paths (EngineNative.fastPaths,
+    // `native_` prefix) are OUTSIDE the declared surface and excluded
+    // from the no-args run (they have no oracle row and would skew the
+    // headline total); target them explicitly with a `native_` prefix.
     val only = args.headOption.map(_.split(',').toSeq)
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+    val pool = SparkEntry.queries.toSeq ++ graft.queries.EngineNative.fastPaths
+    val ordered = pool.sortBy(_._1).filter { case (n, _) =>
+      only match {
+        case Some(ps) => ps.exists(n.startsWith)
+        case None     => !n.startsWith("native_")
+      }
+    }
     // Machine-load honesty: this bench runs on a shared machine, and a
     // loaded neighbor can spike individual queries (a round-3 verdict
     // burned judge time proving two such spikes were noise). The JSON
@@ -84,7 +93,7 @@ object Bench {
     // mid-JSON. %.4f is locale-independent ASCII and valid JSON.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    val best = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val runs = raw.map { case (k, ts) =>
       s"\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
@@ -93,11 +102,6 @@ object Bench {
     // (it must not DEFLATE the headline) and surface the count instead
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
-    // The stdout line carries best-of values ONLY: the driver stores a
-    // bounded tail of this stream, and r5's line (100 queries × 2-run
-    // arrays) overflowed it mid-JSON, losing q01–q46. The per-run
-    // arrays + loadavg — the machine-load evidence a reader needs to
-    // attribute outliers — go to bench_runs.json beside the repo.
     // median-of-3 beside best-of: co-tenant noise is then visible in the
     // artifact itself (a best far below the median flags a noisy run)
     // without a judge-side re-run over the raw arrays
@@ -106,12 +110,28 @@ object Bench {
       s"\"" + k + "\":" + fmt(m)
     }.mkString("{", ",", "}")
     val runsJson =
-      s"""{"runs":$runs,"median":$medians,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"sf":"$sfDir"}"""
+      s"""{"best":$best,"runs":$runs,"median":$medians,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"sf":"$sfDir"}"""
     val runsPath = sys.env.getOrElse("SPARK_GRAFT_RUNS_OUT", "bench_runs.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(runsPath), runsJson)
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write $runsPath: $e") }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"queries":$qs,"runs_file":"$runsPath","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"sf":"$sfDir"}""")
+    // The stdout line must stay SHORT on the driver's no-args full run:
+    // it stores a bounded tail of this stream, and the r8/r9 lines
+    // (260+ queries × "name":sec) overran it mid-key, leaving
+    // BENCH_r{N}.json with parsed:null two rounds running. The full run
+    // therefore prints totals plus ONLY the 18 reference-surface
+    // headline queries (the full best/median/runs tables live in
+    // bench_runs.json, committed each round); a targeted prefix run
+    // prints every query it ran — merge_speed.py reads them from here.
+    val lineQs =
+      if (only.isDefined) results
+      else {
+        val coreNames = graft.queries.CoreQueries.entries.map(_._1).toSet
+        results.filter(r => coreNames.contains(r._1))
+      }
+    val qsJson = lineQs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"queries":$qsJson,"runs_file":"$runsPath","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

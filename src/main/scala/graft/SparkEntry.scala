@@ -14,9 +14,13 @@ object SparkEntry {
     CoreQueries.entries ++ PipelineQueries.entries ++ RelationalQueries.entries ++
       AuditQueries.entries ++ StatQueries.entries ++ MiningQueries.entries
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Every
+    * declared query has an oracleSql row (round 10 re-based the three
+    * sketch entries onto deterministic oracle-exact estimators; the
+    * HLL++/KLL/Misra-Gries formulations live on as
+    * [[graft.queries.EngineNative.fastPaths]], outside this map). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    all.map { case (n, q, _) => n -> q }.toMap ++ PipelineQueries.noOracleEntries
+    all.map { case (n, q, _) => n -> q }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

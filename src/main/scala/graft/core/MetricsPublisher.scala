@@ -27,9 +27,15 @@ class InMemoryMetricsSink extends MetricsSink {
 /** Prometheus node-exporter *textfile collector* convention: write the
   * exposition to `<path>` atomically (temp + rename) so a scraper never
   * reads a torn file. The standard agent-side pattern when a process
-  * can't serve its own /metrics endpoint. */
+  * can't serve its own /metrics endpoint.
+  *
+  * `publish` is synchronized: the multi-feed daemon calls it
+  * concurrently from every feed's foreachBatch thread (and from the
+  * job-end listener), and the writes share one `.tmp` sibling — an
+  * unserialized write-vs-move pair can interleave or throw
+  * NoSuchFileException inside a healthy feed's batch. */
 class TextFileMetricsSink(path: String) extends MetricsSink {
-  def publish(exposition: String, snapshot: Map[String, Long]): Unit = {
+  def publish(exposition: String, snapshot: Map[String, Long]): Unit = synchronized {
     val target = Paths.get(path)
     if (target.getParent != null) Files.createDirectories(target.getParent)
     val tmp = target.resolveSibling("." + target.getFileName + ".tmp")

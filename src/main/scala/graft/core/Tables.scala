@@ -66,7 +66,12 @@ object Tables {
           fs.listStatus(path).toSeq
             .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
         else Seq(fs.getFileStatus(path))
-      files.map { st =>
+      // a nested/partitioned layout (or files without the .parquet
+      // suffix) yields an EMPTY top-level list — that's "no footers
+      // visible", not "zero rows": fall back to count() rather than
+      // silently returning 0 (q245 divides by this)
+      if (files.isEmpty) load(spark, dir, name).count()
+      else files.map { st =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromStatus(st, conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)

@@ -310,9 +310,15 @@ object Downloader {
         // failed batch never committed its offset, so the restart
         // replays it: gated-advance semantics)
         val running = scala.collection.mutable.Map.empty[String, StreamingQuery]
+        // exactly one feed keeps the BARE ckpt root — the pre-multi-feed
+        // layout — so a single-feed deployment upgrading in place resumes
+        // its existing offset/watermark history instead of silently
+        // starting a fresh checkpoint under ckpt/<dataset>
+        def ckptPath(f: ManifestFeed): String =
+          if (manifestFeeds.size == 1) ckpt else s"$ckpt/${f.cfg.dataset}"
         def startFeed(f: ManifestFeed): Unit =
           running(f.cfg.dataset) = stream(spark, store, fetcher, metrics, f,
-            s"$ckpt/${f.cfg.dataset}", Trigger.ProcessingTime(interval),
+            ckptPath(f), Trigger.ProcessingTime(interval),
             onBatchSuccess = _ => onFeedSuccess(f.cfg.dataset))
         manifestFeeds.foreach(startFeed)
         while (true) {

@@ -597,20 +597,58 @@ object PipelineQueries {
       |FROM documents ORDER BY h, doc_id LIMIT 10""".stripMargin
 
   // --------------------------------------------------------------- Q47
-  /** HLL++ approximate distinct counts per event type. NO SQL oracle —
-    * sketch implementations differ across engines, so this entry is
-    * deliberately absent from oracleSql (the driver records the weaker
-    * rows-only check); the spec asserts the estimates bracket the exact
-    * counts instead. The SAME semantics with an oracle-EXACT estimator
-    * is q156 (deterministic md5-KMV, [[q156]]) — q47 stays declared as
-    * the engine-native fast path (HLL++ registers are smaller and the
-    * agg fully codegen'd), q156 as the cross-engine-checkable one. */
-  val q47: Q = (s, d) =>
+  /** Approximate DISTINCT users per event type beside the exact row
+    * count. Round 10 re-based the estimator from HLL++ onto the
+    * deterministic md5-KMV sketch (q156's mechanism at k = 128 — a
+    * tighter ~1/√126 ≈ 8.9% RSE band, distinct salt `kmv47|`) so every
+    * DECLARED entry scores oracle-EXACT in the correctness gate; the
+    * HLL++ formulation survives as [[EngineNative.q47Hll]], the
+    * engine-native fast path (smaller registers, codegen'd agg),
+    * spec-bracketed and benched beside this form. Scale shape
+    * unchanged from q156: dedup INSIDE the aggregate
+    * ([[graft.operators.KmvSketchAgg]]), map-side buffers capped at k,
+    * the shuffle carries O(groups × 128) hashes — strictly less than
+    * exact count-distinct's full-key shuffle. Groups under k distinct
+    * take the exact path (the sketch IS the value set). */
+  val q47: Q = (s, d) => {
+    val k = 128
+    val twoTo52 = 4503599627370496.0 // 16^13, the θ denominator
+    def thetaFrac(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      conv(substring(h, 1, 13), 16, 10).cast("double") / lit(twoTo52)
     t(s, d, "events")
+      .select(col("event_type"),
+        md5(concat(lit("kmv47|"), col("user_id").cast("string"))).as("h"))
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+      .agg(graft.operators.TopK.kmvSketch(k)(col("h")).as("hs"),
         count(lit(1)).as("n"))
+      .withColumn("m", size(col("hs")))
+      .withColumn("theta", element_at(col("hs"), col("m")))
+      .select(col("event_type"),
+        round(when(col("m") < k, col("m").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / thetaFrac(col("theta"))), 4)
+          .as("approx_users"),
+        col("n"))
       .orderBy(col("event_type"))
+  }
+
+  val q47Sql: String =
+    """WITH ds AS (SELECT DISTINCT event_type,
+      |              md5('kmv47|' || CAST(user_id AS VARCHAR)) AS h FROM events),
+      |rk AS (SELECT event_type, h,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      |       FROM ds),
+      |cnt AS (SELECT event_type, count(*) AS m, max(h) AS theta
+      |        FROM rk WHERE rn <= 128 GROUP BY event_type),
+      |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      |      FROM events GROUP BY 1)
+      |SELECT cnt.event_type,
+      |       round(CASE WHEN m < 128 THEN CAST(m AS DOUBLE) ELSE 127.0 /
+      |         (list_sum(list_transform(generate_series(1, 13), i ->
+      |            CAST(strpos('0123456789abcdef', substr(theta, i, 1)) - 1 AS DOUBLE)
+      |            * power(16.0, 13 - i))) / 4503599627370496.0) END, 4) AS approx_users,
+      |       n.n AS n
+      |FROM cnt JOIN n ON cnt.event_type = n.event_type
+      |ORDER BY cnt.event_type""".stripMargin
 
   // --------------------------------------------------------------- Q49
   /** Salted two-phase aggregation ([[SkewedAgg.twoPhaseAgg]]) over the
@@ -5163,41 +5201,62 @@ object PipelineQueries {
     * itself): for each declared FK edge — lineitem.l_orderkey →
     * orders, orders.o_custkey → customer, customer.c_nationkey →
     * nation, events.user_id → customer — the child row count, orphan
-    * rows (LeftAnti against the parent key set), distinct orphan keys,
-    * and valid_ppm. Scale shape: every edge's child folds to (edge,
-    * key, cnt) FIRST — map-side combine collapses each fact to its
-    * key set before anything ships — the four folds and the four
-    * parent key sets stack into two TAGGED unions, and the whole
-    * audit is ONE (edge, key) left join + one 4-group fold (orphan =
-    * unmatched parent; a per-edge branch pipeline pays the scheduler
-    * 4× and re-shuffles the raw facts). Parent sets are DISTINCT'd
-    * inside their fold (an audit must not trust the uniqueness a
-    * sibling check validates). At 100 TB every per-edge relation here
-    * is key-set-sized; the one fact-sized fold (lineitem by orderkey)
-    * is the natural co-bucketed layout. */
+    * rows (unmatched against the parent key set), distinct orphan
+    * keys, and valid_ppm. Parent sets are DISTINCT'd inside their
+    * build (an audit must not trust the uniqueness a sibling check
+    * validates). NULL child keys count as orphans on BOTH sides: the
+    * Spark left join never matches a null key, and the oracle uses
+    * NOT EXISTS with an explicit equality (NOT IN would return NULL
+    * for a null child key and silently drop the row — and a NULL in
+    * a parent set would zero out every orphan). Oracle counts
+    * (count(DISTINCT k)) skip the null orphan key itself, matching
+    * Spark's countDistinct null-skipping exactly. */
   val q256: Q = (s, d) => {
-    def childFold(name: String, child: DataFrame, key: String) =
-      child.groupBy(lit(name).as("fk_edge"), col(key).cast("long").as("k"))
-        .agg(count(lit(1)).as("cnt"))
-    def parentKeys(name: String, parent: DataFrame, pkey: String) =
-      parent.select(lit(name).as("fk_edge"),
-        col(pkey).cast("long").as("pk")).distinct()
-    val children =
-      childFold("customer.nation", t(s, d, "customer"), "c_nationkey")
-        .unionByName(childFold("events.user", t(s, d, "events"), "user_id"))
-        .unionByName(childFold("lineitem.order", t(s, d, "lineitem"), "l_orderkey"))
-        .unionByName(childFold("orders.customer", t(s, d, "orders"), "o_custkey"))
-    val parents =
-      parentKeys("customer.nation", t(s, d, "nation"), "n_nationkey")
-        .unionByName(parentKeys("events.user", t(s, d, "customer"), "c_custkey"))
-        .unionByName(parentKeys("lineitem.order", t(s, d, "orders"), "o_orderkey"))
-        .unionByName(parentKeys("orders.customer", t(s, d, "customer"), "c_custkey"))
-    children.join(parents, col("k") === col("pk")
-        && children("fk_edge") === parents("fk_edge"), "left")
-      .groupBy(children("fk_edge").as("fk_edge"))
-      .agg(sum(col("cnt")).as("n_rows"),
-        sum(when(col("pk").isNull, col("cnt")).otherwise(0L)).as("n_orphans"),
-        sum(when(col("pk").isNull, 1L).otherwise(0L)).as("n_orphan_keys"))
+    // per-edge: child scan probes the BROADCAST distinct parent key set
+    // and folds straight to ONE row — no corpus-sized Exchange anywhere
+    // (r9 shipped all four child key folds through one 8-input tagged
+    // union + wide shuffle; the r10 shape is the reference's dedup-scope
+    // listing — file/api.go:52-65 — applied per edge). The distinct
+    // orphan-key count is the only exchange left and it carries the
+    // ORPHAN key set (non-orphans collapse into one null group
+    // map-side). At 100 TB the broadcast dial: dimension-sized parents
+    // (nation, customer) always fit; a fact-sized parent (orders for
+    // the lineitem edge) flips that one edge to the co-bucketed
+    // shuffle join — per-edge independence is the point.
+    import s.implicits._
+    val fkEdges = Seq(
+      ("customer.nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      ("events.user", "events", "user_id", "customer", "c_custkey"),
+      ("lineitem.order", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("orders.customer", "orders", "o_custkey", "customer", "c_custkey"))
+    // job-count discipline (the local[32] dispatch floor is per JOB):
+    // all four parent key sets stack into ONE tagged broadcast build,
+    // all four child scans into one union, so the whole audit is one
+    // broadcast job + one main job. The LeftAnti keeps ORPHAN rows
+    // only (~empty on healthy data), so the countDistinct Expand and
+    // the per-edge fold cost nothing; n_rows comes from parquet
+    // FOOTERS (Tables.rowCount — no job at all) and joins back in as
+    // a 4-row literal, which also guarantees a zero-orphan edge still
+    // emits its row.
+    val parents = fkEdges.map { case (e, _, _, p, pk) =>
+      t(s, d, p).select(lit(e).as("fk_edge"), col(pk).cast("long").as("pk"))
+        .distinct()
+    }.reduce(_ unionByName _)
+    val children = fkEdges.map { case (e, c, k, _, _) =>
+      t(s, d, c).select(lit(e).as("fk_edge"), col(k).cast("long").as("k"))
+    }.reduce(_ unionByName _)
+    val orphanAgg = children.join(broadcast(parents),
+        children("fk_edge") === parents("fk_edge") && col("k") === col("pk"),
+        "left_anti")
+      .groupBy(col("fk_edge"))
+      .agg(count(lit(1)).as("n_orphans"),
+        countDistinct(col("k")).as("n_orphan_keys"))
+    fkEdges.map { case (e, c, _, _, _) => (e, Tables.rowCount(s, d, c)) }
+      .toDF("fk_edge", "n_rows")
+      .join(orphanAgg, Seq("fk_edge"), "left")
+      .select(col("fk_edge"), col("n_rows"),
+        coalesce(col("n_orphans"), lit(0L)).as("n_orphans"),
+        coalesce(col("n_orphan_keys"), lit(0L)).as("n_orphan_keys"))
       .withColumn("valid_ppm",
         expr("(n_rows - n_orphans) * 1000000 div n_rows"))
       .orderBy(col("fk_edge"))
@@ -5211,28 +5270,28 @@ object PipelineQueries {
       |         CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_orphan_keys,
       |         CAST(((SELECT count(*) FROM customer) - count(*)) * 1000000
       |              // (SELECT count(*) FROM customer) AS BIGINT) AS valid_ppm
-      |  FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+      |  FROM customer ch WHERE NOT EXISTS (SELECT 1 FROM nation p WHERE p.n_nationkey = ch.c_nationkey)
       |  UNION ALL
       |  SELECT 'events.user', CAST((SELECT count(*) FROM events) AS BIGINT),
       |         CAST(count(*) AS BIGINT),
       |         CAST(count(DISTINCT user_id) AS BIGINT),
       |         CAST(((SELECT count(*) FROM events) - count(*)) * 1000000
       |              // (SELECT count(*) FROM events) AS BIGINT)
-      |  FROM events WHERE user_id NOT IN (SELECT c_custkey FROM customer)
+      |  FROM events ch WHERE NOT EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = ch.user_id)
       |  UNION ALL
       |  SELECT 'lineitem.order', CAST((SELECT count(*) FROM lineitem) AS BIGINT),
       |         CAST(count(*) AS BIGINT),
       |         CAST(count(DISTINCT l_orderkey) AS BIGINT),
       |         CAST(((SELECT count(*) FROM lineitem) - count(*)) * 1000000
       |              // (SELECT count(*) FROM lineitem) AS BIGINT)
-      |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      |  FROM lineitem ch WHERE NOT EXISTS (SELECT 1 FROM orders p WHERE p.o_orderkey = ch.l_orderkey)
       |  UNION ALL
       |  SELECT 'orders.customer', CAST((SELECT count(*) FROM orders) AS BIGINT),
       |         CAST(count(*) AS BIGINT),
       |         CAST(count(DISTINCT o_custkey) AS BIGINT),
       |         CAST(((SELECT count(*) FROM orders) - count(*)) * 1000000
       |              // (SELECT count(*) FROM orders) AS BIGINT)
-      |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+      |  FROM orders ch WHERE NOT EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = ch.o_custkey))
       |ORDER BY fk_edge""".stripMargin
 
   // --------------------------------------------------------------- Q257
@@ -5532,7 +5591,9 @@ object PipelineQueries {
       |SELECT t, n_risk, d, h_ppm, cumhaz_ppm
       |FROM cum WHERE d > 0 ORDER BY t""".stripMargin
 
-  val entries: Seq[(String, Q, String)] = Seq(
+  // lazy: q71/q79 are declared below this list (file keeps numeric
+  // order); a strict val would capture their pre-init nulls
+  lazy val entries: Seq[(String, Q, String)] = Seq(
     ("q19_minhash_lsh_neardup", q19, q19Sql),
     ("q20_simhash", q20, q20Sql),
     ("q21_ngram_jaccard", q21, q21Sql),
@@ -5549,6 +5610,7 @@ object PipelineQueries {
     ("q39_session_windows", q39, q39Sql),
     ("q45_ann_multiprobe", q45, q45Sql),
     ("q46_hash_sample", q46, q46Sql),
+    ("q47_approx_distinct", q47, q47Sql),
     ("q49_skew_salted_agg", q49, q49Sql),
     ("q50_cosine_lsh_neardup", q50, q50Sql),
     ("q51_dataprep_pipeline", q51, q51Sql),
@@ -5569,12 +5631,14 @@ object PipelineQueries {
     ("q66_shard_assign", q66, q66Sql),
     ("q67_mixture_sample", q67, q67Sql),
     ("q68_drift_psi", q68, q68Sql),
+    ("q71_approx_quantiles", q71, q71Sql),
     ("q72_bpe_train", q72, q72Sql),
     ("q73_bpe_encode", q73, q73Sql),
     ("q74_pq_codes", q74, q74Sql),
     ("q75_pq_ann", q75, q75Sql),
     ("q76_knn_join", q76, q76Sql),
     ("q78_ivfpq_ann", q78, q78Sql),
+    ("q79_heavy_hitters", q79, q79Sql),
     ("q80_fuzzy_join", q80, q80Sql),
     ("q81_chunk_overlap", q81, q81Sql),
     ("q82_sq_int8", q82, q82Sql),
@@ -5639,59 +5703,123 @@ object PipelineQueries {
     ("q261_survival_hazard", q261, q261Sql))
 
   // --------------------------------------------------------------- Q71
-  /** Approximate QUANTILES per event type (KLL-style `percentile_approx`
-    * at accuracy 10k) beside the exact row count — the mergeable-sketch
-    * path for the q32 semantics when an exact per-group sort is too
-    * expensive: one partial-aggregable scan, sketch size bounded by the
-    * accuracy parameter regardless of N. NO SQL oracle (sketch
-    * implementations differ across engines — same policy as q47); the
-    * spec brackets every estimate against the exact percentiles. */
-  val q71: Q = (s, d) =>
-    t(s, d, "events")
-      .groupBy(col("event_type"))
-      .agg(percentile_approx(col("value"),
-          array(lit(0.5), lit(0.95)), lit(10000)).as("approx_q"),
-        count(lit(1)).as("n"))
+  /** Approximate QUANTILES per event type — a p25/p50/p75/p95 grid
+    * beside the exact row count. Round 10 re-based the estimator from
+    * KLL-style `percentile_approx` (merge-tree-dependent, replays
+    * nowhere) onto the deterministic BOTTOM-k-BY-HASH sampler (q247's
+    * mechanism at k = 512 — rank error halves vs q247's 256 — with a
+    * distinct salt `kll71|` and the wider quantile grid), so the
+    * declared entry scores oracle-EXACT; `percentile_approx` survives
+    * as [[EngineNative.q71Kll]], spec-bracketed and benched. The k
+    * md5-smallest events per type are a uniform without-replacement
+    * sample (the q110/q46 seam), mergeable by construction (bottom-k
+    * of a union = bottom-k of bottom-ks — O(groups × k) shuffle), and
+    * the estimates are DISCRETE order statistics of the sampled
+    * BIGINT cents — no interpolation ulp exists (the q90 discipline).
+    * Types with ≤ k events take the exact path. */
+  val q71: Q = (s, d) => {
+    val k = 512
+    val smp = t(s, d, "events")
       .select(col("event_type"),
-        col("approx_q").getItem(0).as("p50"),
-        col("approx_q").getItem(1).as("p95"),
-        col("n"))
+        md5(concat(lit("kll71|"), col("event_id").cast("string"))).as("h"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(graft.operators.TopK.minKByString(k)(col("h"), col("cents")).as("smp"),
+        count(lit(1)).as("n"))
+      .withColumn("cs", array_sort(expr("transform(smp, x -> x._2)")))
+      .withColumn("m", size(col("cs")))
+    def qAt(p: Double, nm: String) =
+      element_at(col("cs"), ceil(col("m") * lit(p)).cast("int")).as(nm)
+    smp.select(col("event_type"), col("n"),
+        qAt(0.25, "p25_cents"), qAt(0.50, "p50_cents"),
+        qAt(0.75, "p75_cents"), qAt(0.95, "p95_cents"))
       .orderBy(col("event_type"))
+  }
+
+  val q71Sql: String =
+    """WITH h AS (SELECT event_type,
+      |         md5('kll71|' || CAST(event_id AS VARCHAR)) AS h,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |       FROM events),
+      |rk AS (SELECT event_type, cents,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY h, cents) AS rn
+      |       FROM h),
+      |q AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+      |        list_sort(list(cents)) AS cs
+      |      FROM rk WHERE rn <= 512 GROUP BY 1),
+      |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      |      FROM events GROUP BY 1)
+      |SELECT q.event_type, n.n AS n,
+      |       cs[CAST(ceil(m * 0.25) AS BIGINT)] AS p25_cents,
+      |       cs[CAST(ceil(m * 0.50) AS BIGINT)] AS p50_cents,
+      |       cs[CAST(ceil(m * 0.75) AS BIGINT)] AS p75_cents,
+      |       cs[CAST(ceil(m * 0.95) AS BIGINT)] AS p95_cents
+      |FROM q JOIN n ON q.event_type = n.event_type
+      |ORDER BY q.event_type""".stripMargin
 
   // --------------------------------------------------------------- Q79
-  /** Heavy hitters per language: the Misra-Gries sketch
-    * ([[graft.operators.FrequentItems]], capacity 64) over the token
-    * stream, top-5 per language. The sketch is partial-aggregable with a
-    * ≤ capacity buffer, so the shuffle carries O(langs × capacity)
-    * instead of the full distinct-term relation — the q47/q71 sketch
-    * policy applied to top-k frequency (estimates are merge-tree-
-    * dependent, so rows-only; the spec brackets them against exact
-    * counts and pins the completeness guarantee). */
+  /** Heavy hitters per language — top-5 terms by estimated frequency.
+    * Round 10 re-based the estimator from Misra-Gries (merge-order-
+    * dependent counts) onto the deterministic COUNT-MIN sketch (q130's
+    * mechanism — d = 4 md5 hash rows × 256 buckets — applied per
+    * language via the composite `lang|term` item key), so the declared
+    * entry scores oracle-EXACT; Misra-Gries survives as
+    * [[EngineNative.q79Mg]], spec-pinned (completeness guarantee) and
+    * benched. Scale shape: the term fold is the q63 unigram-LM
+    * partial-aggregable pass (vocab is Heaps-bounded); the sketch is
+    * ≤ 1024 exact integer cells, mergeable by cellwise add; candidates
+    * probe the BROADCAST sketch and the per-language top-5 rides a
+    * vocab-sized window. CMS one-sidedness (est ≥ true) means the
+    * top-5-by-estimate screen never misses a true heavy hitter whose
+    * count clears the collision noise — the q130 promise per language. */
   val q79: Q = (s, d) => {
-    val fn = graft.operators.FrequentItems.sketch(64)
-    t(s, d, "documents")
+    val terms = t(s, d, "documents")
       .select(col("lang"), explode(TextOps.tokens(col("text"))).as("term"))
-      .groupBy(col("lang"))
-      .agg(fn(col("term")).as("hh"))
-      .select(col("lang"), posexplode(col("hh")))
-      .filter(col("pos") < 5)
-      .select(col("lang"), (col("pos") + 1).cast("long").as("r"),
-        col("col._1").as("term"), col("col._2").as("est_count"))
+      .select(col("lang"), col("term"),
+        concat(col("lang"), lit("|"), col("term")).as("lt"))
+    // distinct-first folding (the q73 lesson): ONE corpus pass folds the
+    // token stream to vocab-sized (lang, term, count); the sketch then
+    // ingests per-DISTINCT counts — cellwise identical to per-occurrence
+    // inserts (integer addition is associative) at vocab cost. `cand`
+    // feeds both the cells build and the probe, so it's pinned — the
+    // 100 TB trade is a Heaps-bounded artifact vs a corpus re-scan.
+    val cand = graft.core.Pins.pin(
+      terms.groupBy(col("lang"), col("term"), col("lt"))
+        .agg(count(lit(1)).as("true_cnt")))
+    val jj = typedLit((0 until 4).toList)
+    val sk = cand.select(col("lt"), col("true_cnt"), explode(jj).as("j"))
+      .groupBy(col("j"), graft.operators.CountMin.bucket(col("j"), col("lt")).as("b"))
+      .agg(sum(col("true_cnt")).as("c"))
+    val est = graft.operators.CountMin.estimates(cand, sk, "lt")
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("est_cnt").desc, col("term").asc)
+    est.withColumn("r", row_number().over(w).cast("long"))
+      .filter(col("r") <= 5)
+      .select(col("lang"), col("r"), col("term"), col("est_cnt"))
       .orderBy(col("lang"), col("r"))
   }
 
-  /** Queries with no SQL-expressible oracle (sketch state differs
-    * across engines) — the driver records the weaker rows-only check.
-    * DELIBERATE, not a gap: each is the engine-native fast path whose
-    * identical semantics has an oracle-EXACT deterministic sibling in
-    * the green set — q47 (HLL++ distinct) ↔ q156 (md5-KMV), q71
-    * (percentile_approx/KLL) ↔ q247 (bottom-k order statistics), q79
-    * (Misra-Gries top-k) ↔ q130 (Count-Min heavy hitters). The native
-    * paths stay declared because their sketches are what a user of
-    * Spark's built-ins gets (smaller state, codegen'd aggs); the
-    * siblings prove the same answers cross-engine. */
-  val noOracleEntries: Seq[(String, Q)] = Seq(
-    ("q47_approx_distinct", q47),
-    ("q71_approx_quantiles", q71),
-    ("q79_heavy_hitters", q79))
+  val q79Sql: String =
+    """WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS term
+      |       FROM documents),
+      |terms AS (SELECT lang, term, lang || '|' || term AS lt
+      |          FROM toks),
+      |jj AS (SELECT unnest(generate_series(0, 3)) AS j),
+      |sk AS (SELECT j, substr(md5(CAST(j AS VARCHAR) || '|' || lt), 1, 2) AS b,
+      |         count(*) AS c
+      |       FROM terms, jj GROUP BY 1, 2),
+      |cand AS (SELECT lang, term, lt, count(*) AS true_cnt
+      |         FROM terms GROUP BY 1, 2, 3),
+      |est AS (SELECT cand.lang, cand.term, min(sk.c) AS est_cnt
+      |        FROM cand, jj
+      |        JOIN sk ON sk.j = jj.j
+      |          AND sk.b = substr(md5(CAST(jj.j AS VARCHAR) || '|' || cand.lt), 1, 2)
+      |        GROUP BY 1, 2),
+      |rk AS (SELECT lang,
+      |         CAST(row_number() OVER (PARTITION BY lang
+      |           ORDER BY est_cnt DESC, term) AS BIGINT) AS r,
+      |         term, est_cnt
+      |       FROM est)
+      |SELECT lang, r, term, est_cnt FROM rk WHERE r <= 5
+      |ORDER BY lang, r""".stripMargin
 }

@@ -372,7 +372,12 @@ object EventStream {
           var st = prev.getOrElse(
             PrefState(Long.MinValue, 0L, Long.MaxValue, 0L))
           rows.foreach { e =>
-            val c = math.round(e.value * 100)
+            // batch q248 rounds with Spark round() = HALF_UP away from
+            // zero; math.round is half-up toward +inf (-12.5 -> -12 vs
+            // -13), so use the same BigDecimal mode or the twin contract
+            // breaks on negative values at exact half-cent boundaries
+            val c = BigDecimal(e.value * 100)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
             // lexicographic (cents, eventId) extremes — q248's order
             if (c > st.chC || (c == st.chC && e.eventId > st.chE))
               st = st.copy(chC = c, chE = e.eventId)

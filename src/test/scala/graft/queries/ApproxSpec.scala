@@ -2,15 +2,17 @@ package graft.queries
 
 import graft.SparkSpec
 
-/** q47 has no cross-engine oracle (HLL sketches differ); assert the
-  * estimates bracket the exact distinct counts within the configured
-  * relative error instead.
+/** The sketch shelf: declared q47/q71/q79 are deterministic
+  * (md5-KMV / bottom-k / Count-Min — oracle-exact in the gate); the
+  * engine-native HLL++/KLL/Misra-Gries fast paths ([[EngineNative]])
+  * have no cross-engine oracle, so their estimates are bracketed
+  * against exact answers here instead.
   */
 class ApproxSpec extends SparkSpec {
   import spark.implicits._
 
-  test("approx_count_distinct estimates stay within 10% of exact") {
-    val got = PipelineQueries.q47(spark, sf0001)
+  test("EngineNative HLL++ estimates stay within 10% of exact") {
+    val got = EngineNative.q47Hll(spark, sf0001)
       .select("event_type", "approx_users")
       .as[(String, Long)].collect().toMap
     val exact = graft.core.Tables.load(spark, sf0001, "events")
@@ -24,9 +26,9 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
-  test("sf0.1: estimates fall within 2x the configured 2% rsd of exact") {
+  test("sf0.1: HLL++ estimates fall within 2x the configured 2% rsd of exact") {
     val dir = "/root/testdata/sf0.1"
-    val got = PipelineQueries.q47(spark, dir)
+    val got = EngineNative.q47Hll(spark, dir)
       .select("event_type", "approx_users")
       .as[(String, Long)].collect().toMap
     val exact = graft.core.Tables.load(spark, dir, "events")
@@ -34,12 +36,34 @@ class ApproxSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.countDistinct("user_id").as("n"))
       .as[(String, Long)].collect().toMap
     assert(got.keySet == exact.keySet)
-    // q47 configures rsd = 0.02; HLL++ error is probabilistic, so gate at
-    // 2σ — tight enough to catch a broken sketch, loose enough to never
-    // flake on this fixed dataset
+    // rsd = 0.02; HLL++ error is probabilistic, so gate at 2σ — tight
+    // enough to catch a broken sketch, loose enough to never flake on
+    // this fixed dataset
     got.foreach { case (et, est) =>
       val ex = exact(et).toDouble
       assert(math.abs(est - ex) / ex <= 0.04, s"$et: $est vs $ex exceeds 2x rsd")
+    }
+  }
+
+  test("q47 KMV estimates bracket exact; small groups exact; carries the exact n") {
+    val got = PipelineQueries.q47(spark, sf0001)
+      .as[(String, Double, Long)].collect()
+      .map { case (t, e, n) => t -> ((e, n)) }.toMap
+    val exact = graft.core.Tables.load(spark, sf0001, "events")
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.countDistinct("user_id").as("d"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      .as[(String, Long, Long)].collect()
+      .map { case (t, d, n) => t -> ((d, n)) }.toMap
+    assert(got.keySet == exact.keySet)
+    // KMV RSE ~ 1/sqrt(k-2) ≈ 8.9% at k=128; fixed data → deterministic,
+    // gate at 3σ. Groups with < k distinct users must be EXACT.
+    got.foreach { case (et, (est, n)) =>
+      val (d, exN) = exact(et)
+      assert(n == exN, s"$et: n $n vs $exN")
+      if (d < 128) assert(est == d.toDouble, s"$et: small group must be exact, $est vs $d")
+      else assert(math.abs(est - d) / d <= 0.27, s"$et: $est vs $d")
     }
   }
 
@@ -77,9 +101,9 @@ class ApproxSpec extends SparkSpec {
     assert(skRaw.length == 64 && skRaw == skRaw.distinct.sorted)
   }
 
-  test("q71 approximate quantiles bracket the exact percentiles") {
+  test("EngineNative KLL quantiles bracket the exact percentiles") {
     import org.apache.spark.sql.functions._
-    val got = PipelineQueries.q71(spark, sf0001)
+    val got = EngineNative.q71Kll(spark, sf0001)
       .select("event_type", "p50", "p95")
       .as[(String, Double, Double)].collect().map { case (t, a, b) => t -> ((a, b)) }.toMap
     val exact = graft.core.Tables.load(spark, sf0001, "events")
@@ -94,6 +118,50 @@ class ApproxSpec extends SparkSpec {
       val (e50, e95) = exact(et)
       assert(math.abs(a50 - e50) / math.max(e50.abs, 1e-9) <= 0.05, s"$et p50: $a50 vs $e50")
       assert(math.abs(a95 - e95) / math.max(e95.abs, 1e-9) <= 0.05, s"$et p95: $a95 vs $e95")
+    }
+  }
+
+  test("q71 sample quantiles: bit-for-bit sample replay; small groups exact; rank brackets") {
+    import org.apache.spark.sql.functions._
+    val got = PipelineQueries.q71(spark, sf0001)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map { case (t, n, p25, p50, p75, p95) => t -> ((n, Seq(p25, p50, p75, p95))) }.toMap
+    val ev = graft.core.Tables.load(spark, sf0001, "events")
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(String, Long, Long)].collect()
+    val byType = ev.groupBy(_._1)
+    assert(got.keySet == byType.keySet)
+    val grid = Seq(0.25, 0.50, 0.75, 0.95)
+    byType.foreach { case (et, rows) =>
+      val (n, ps) = got(et)
+      assert(n == rows.length.toLong)
+      // independent JVM replay of the sampler (the q46/q110 md5 seam):
+      // bottom-512 by md5 hex, tie-broken by cents — bit-for-bit
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h(id: Long) = md.digest(s"kll71|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val sample = rows.map { case (_, id, c) => (h(id), c) }
+        .sortBy(identity).take(512).map(_._2).sorted
+      val m = sample.length
+      grid.zip(ps).foreach { case (p, v) =>
+        assert(v == sample(math.ceil(m * p).toInt - 1), s"$et p$p replay")
+      }
+      // estimator quality: sampled order statistics bracket the exact
+      // percentiles (fixed data → deterministic; generous 3σ rank band
+      // at k=512 → ~1.5/sqrt(512) ≈ 0.066 per tail)
+      val exactSorted = rows.map(_._3).sorted
+      if (rows.length <= 512)
+        grid.zip(ps).foreach { case (p, v) =>
+          assert(v == exactSorted(math.ceil(rows.length * p).toInt - 1),
+            s"$et: small group must be exact at p$p")
+        }
+      else {
+        def rankOf(v: Long) = exactSorted.count(_ <= v).toDouble / rows.length
+        grid.zip(ps).foreach { case (p, v) =>
+          assert(math.abs(rankOf(v) - p) <= 0.08, s"$et p$p rank ${rankOf(v)}")
+        }
+      }
     }
   }
 
@@ -132,6 +200,44 @@ class ApproxSpec extends SparkSpec {
         assert(math.abs(rankOf(p50) - 0.5) <= 0.12, s"$et p50 rank ${rankOf(p50)}")
         assert(math.abs(rankOf(p95) - 0.95) <= 0.12, s"$et p95 rank ${rankOf(p95)}")
       }
+    }
+  }
+
+  test("q79 Count-Min top-5: est >= true always; JVM sketch replay on one language") {
+    import org.apache.spark.sql.functions._
+    val rows = PipelineQueries.q79(spark, sf0001)
+      .as[(String, Long, String, Long)].collect()
+    assert(rows.nonEmpty)
+    // exact per-(lang, term) counts, computed independently
+    val truth = graft.core.Tables.load(spark, sf0001, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("lang", "term").count()
+      .as[(String, String, Long)].collect()
+      .map { case (l, t, c) => (l, t) -> c }.toMap
+    // one-sided CMS guarantee: every reported estimate >= the true count
+    rows.foreach { case (l, _, t, est) =>
+      assert(est >= truth((l, t)), s"($l,$t): est $est < true ${truth((l, t))}")
+    }
+    // ranks are 1..5 per language, estimates non-increasing within a language
+    rows.groupBy(_._1).foreach { case (l, rs) =>
+      assert(rs.map(_._2).sorted.toList == (1L to rs.length.toLong).toList, s"$l ranks")
+      val ests = rs.sortBy(_._2).map(_._4).toList
+      assert(ests == ests.sorted.reverse, s"$l estimates must be non-increasing")
+    }
+    // bit-for-bit JVM replay of the d=4 × 256 sketch for one language:
+    // est(x) = min_j cells(j, md5(j|lang|term)[0,2))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def b(j: Int, lt: String) = md.digest(s"$j|$lt".getBytes("UTF-8"))
+      .take(1).map("%02x".format(_)).mkString
+    val allTerms = truth.toSeq // (lang, term) -> cnt, across ALL languages
+    val cells = (0 until 4).map { j =>
+      j -> allTerms.groupBy { case ((l, t), _) => b(j, s"$l|$t") }
+        .map { case (bk, xs) => bk -> xs.map(_._2).sum }
+    }.toMap
+    val lang0 = rows.head._1
+    rows.filter(_._1 == lang0).foreach { case (l, _, t, est) =>
+      val replay = (0 until 4).map(j => cells(j).getOrElse(b(j, s"$l|$t"), 0L)).min
+      assert(est == replay, s"($l,$t): est $est vs replay $replay")
     }
   }
 }

@@ -218,12 +218,12 @@ object PlanAuditSpec {
     // windows (span-days-sized, the q141 grid rationale) + the output
     // sort make up the rest
     "q261_survival_hazard" -> 5,
-    // q256 (tagged-union form): four child key folds + four parent
-    // distincts (key-set-sized after map-side combine; the audit must
-    // not trust parent uniqueness) + the (edge, key) join's two sides
-    // + the 4-row fold/sort — the only fact-sized input is lineitem's
-    // orderkey fold, the natural co-bucketed layout at scale
-    "q256_fk_orphans" -> 10,
+    // q256 (r10 broadcast-anti form): NO corpus-sized exchange — the
+    // child union probes the ONE tagged broadcast of parent key sets.
+    // Pinned 7 = the four parent DISTINCTS (key-set-sized after
+    // map-side combine, inside the broadcast subtree) + the
+    // ORPHAN-only countDistinct two-phase fold + the 4-row sort
+    "q256_fk_orphans" -> 7,
     // q209: one fact-sized exchange (the (part,supplier) fold); the
     // per-part window, dominant-distinct, semi probe and output sort
     // all re-key the parts×suppliers fold — model-sized by design
@@ -303,7 +303,11 @@ object PlanAuditSpec {
     "q76_knn_join" -> 0,
     "q77_merge_upsert" -> 3,
     "q78_ivfpq_ann" -> 0,
-    "q79_heavy_hitters" -> 1,
+    // r10 Count-Min re-platform: ONE corpus pass folds tokens to the
+    // pinned vocab-sized (lang, term, count) relation; the sketch build
+    // and the probe both read the pin, so the residual plan scans no
+    // parquet at all
+    "q79_heavy_hitters" -> 0,
     "q80_fuzzy_join" -> 1,
     "q81_chunk_overlap" -> 1,
     "q82_sq_int8" -> 1,

@@ -14,6 +14,17 @@ raw = open(bench_file).read()
 bench = json.loads(raw[raw.index('{"metric"'):])
 oracle = json.load(open(oracle_file))
 
+# Round 10: the stdout line is deliberately compact (the driver's tail
+# capture is bounded — r8/r9 overran it); the FULL per-query best-of
+# table lives in bench_runs.json ("best"). Prefer it when the line
+# carries fewer queries than it ran.
+if bench.get("n_queries", 0) > len(bench["queries"]):
+    runs_path = bench.get("runs_file", "bench_runs.json")
+    if not os.path.exists(runs_path):
+        runs_path = os.path.join(os.path.dirname(bench_file), "bench_runs.json")
+    full = json.load(open(runs_path))
+    bench["queries"] = full["best"]
+
 con = duckdb.connect()
 register_views(con, sfdir)
 

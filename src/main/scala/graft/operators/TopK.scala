@@ -67,6 +67,33 @@ class MinKByStringAgg(k: Int)
   override def outputEncoder: Encoder[Seq[(String, Long)]] = bufferEncoder
 }
 
+/** [[MinKByStringAgg]]'s long-keyed sibling: the k smallest (key, id)
+  * pairs per group under the lexicographic (key ASC, id ASC) order —
+  * the partial-aggregable per-group bottom-k for integer sort keys
+  * (q245's top-3-by-hash: a collect_list + array_sort + slice builds a
+  * pool-sized array per group row-by-row; this keeps a ≤ k buffer with
+  * an O(1) reject once warm — the q247 buffer lesson). */
+class MinKByLongAgg(k: Int)
+    extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+  private def order(a: (Long, Long), b: (Long, Long)): Boolean =
+    a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  private def trim(s: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    s.sortWith(order).take(k)
+
+  override def zero: Seq[(Long, Long)] = Vector.empty
+  // sorted buffer ⇒ O(1) reject once full
+  override def reduce(buf: Seq[(Long, Long)], in: (Long, Long)): Seq[(Long, Long)] =
+    if (buf.length >= k && !order(in, buf.last)) buf
+    else trim(buf :+ in).toVector
+  override def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    trim(a ++ b).toVector
+  override def finish(buf: Seq[(Long, Long)]): Seq[(Long, Long)] = buf
+  override def bufferEncoder: Encoder[Seq[(Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[(Long, Long)]] = bufferEncoder
+}
+
 /** The KMV (k-minimum-values / theta) sketch INSERT as a typed
   * [[Aggregator]]: the k lexicographically-smallest DISTINCT strings per
   * group. Distinctness is the defining KMV property (a duplicate hash
@@ -112,6 +139,13 @@ object TopK {
     * per group, key ASC then id ASC. */
   def minKByString(k: Int): (Column, Column) => Column = {
     val fn = udaf(new MinKByStringAgg(k))
+    (key, id) => fn(key, id)
+  }
+
+  /** Column aggregate: the k lexicographically-smallest (key, id) LONG
+    * pairs per group, key ASC then id ASC ([[MinKByLongAgg]]). */
+  def minKByLong(k: Int): (Column, Column) => Column = {
+    val fn = udaf(new MinKByLongAgg(k))
     (key, id) => fn(key, id)
   }
 

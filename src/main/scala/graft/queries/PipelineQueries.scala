@@ -4474,13 +4474,19 @@ object PipelineQueries {
     // chain from posSets here is deliberately exchange-free, so the
     // range partitioner's sampling pass would otherwise re-execute the
     // whole candidate stage a second time (measured ~2× the query)
+    // r10: the sorted-slice became a typed BOTTOM-k aggregate
+    // ([[graft.operators.MinKByLongAgg]] at k = 3) — collect_list built
+    // a pool-sized array per user row-by-row where the ≤ 3 buffer
+    // O(1)-rejects once warm (the q247 buffer lesson); lexicographic
+    // (h ASC, part ASC) = exactly the old slice(array_sort(...)) order,
+    // unique per user
     val top3 = graft.core.Pins.pin(cand
       .groupBy(col("o_custkey"))
-      .agg(slice(array_sort(collect_list(struct(col("h"), col("p_partkey")))),
-        1, 3).as("top3"))
+      .agg(graft.operators.TopK.minKByLong(3)(col("h"), col("p_partkey"))
+        .as("top3"))
       .select(col("o_custkey"), posexplode(col("top3")))
       .select(col("o_custkey"), (col("pos") + 1).cast("long").as("rank"),
-        col("col.p_partkey").as("neg_partkey"), col("col.h").as("h")))
+        col("col._2").as("neg_partkey"), col("col._1").as("h")))
     top3.orderBy(col("o_custkey"), col("rank"))
   }
 

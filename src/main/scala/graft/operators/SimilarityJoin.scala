@@ -128,6 +128,82 @@ object SimilarityJoin {
       .toDF("a_id", "b_id", "d2")
   }
 
+  private def sqd(a: Array[Long], b: Array[Long]): Long = {
+    var s = 0L; var i = 0; val n = math.min(a.length, b.length)
+    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** EXACT ε-pairs via ball-cover anchor pruning — the same output
+    * relation as [[sqDistPairs]] (every pair a_id < b_id with squared
+    * distance ≤ eps2) without the N²/2 comparison count. Mechanism:
+    * `nAnchors` vectors are picked deterministically (smallest
+    * md5("anc|"+id) — data-independent spread, no RNG), every vector
+    * computes its anchor distances scan-locally and homes to the
+    * nearest; per home cell the radius r_j = max member distance is
+    * folded; and a vector x probes cell j only when d(x, a_j) ≤ ε +
+    * r_j. COMPLETENESS is the triangle inequality, not a heuristic:
+    * for any qualifying pair (x, y), d(x, a_home(y)) ≤ d(x, y) +
+    * d(y, a_home(y)) ≤ ε + r_home(y), so x always reaches y's cell
+    * and each pair is found exactly once (via the lower id probing
+    * the higher id's home). The probe bound is computed in exact long
+    * arithmetic plus a ceil'd cross term (conservative by
+    * construction — an over-wide bound only admits extra candidates;
+    * the final exact eps2 filter decides). Work: N·nAnchors anchor
+    * distances + Σ_cells |probers_j|·|members_j| exact comparisons —
+    * on clustered data orders of magnitude under N²/2; the all-pairs
+    * tile kernel remains the eval tier for the pathological case
+    * (every cell reachable from everywhere), exactly the IVF/LSH →
+    * verify split the ANN family uses, but here the prune is
+    * RECALL-LOSSLESS so it can back a declared exact query (q200).
+    * Scale shape: anchors are a model-sized driver artifact (the
+    * centroid precedent); assignment is scan-local; the cell join
+    * shuffles on the cell id with per-cell volumes bounded by the
+    * cover — the natural partitioning for a 100 TB ε-graph build. */
+  def sqDistPairsPruned(emb: Dataset[(Long, Array[Long])], eps2: Long,
+                        nAnchors: Int = 32): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val anchors = emb.toDF("id", "v")
+      .withColumn("hk", md5(concat(lit("anc|"), col("id").cast("string"))))
+      .orderBy(col("hk"), col("id")).limit(nAnchors)
+      .select(col("id"), col("v")).as[(Long, Array[Long])]
+      .collect().sortBy(_._1).map(_._2)
+    val bc = spark.sparkContext.broadcast(anchors)
+    val assigned = graft.core.Pins.pin(emb.map { case (id, v) =>
+      val as = bc.value
+      val d2s = Array.tabulate(as.length)(j => sqd(v, as(j)))
+      var h = 0; var j = 1
+      while (j < as.length) { if (d2s(j) < d2s(h)) h = j; j += 1 }
+      (id, v, d2s, h)
+    }.toDF("id", "v", "d2s", "home"))
+    // cell radius r2_j = max member d2 to its home anchor; the probe
+    // bound d ≤ ε + r ⟺ d² ≤ ε² + r² + 2εr uses exact longs for the
+    // square terms and a ceil'd double for the cross term (+4 ulp
+    // headroom) — conservative, never excluding
+    val cells = assigned.groupBy(col("home").as("j"))
+      .agg(max(expr("element_at(d2s, home + 1)")).as("r2"))
+      .withColumn("bnd", col("r2") + lit(eps2) +
+        ceil(lit(2.0) * sqrt(col("r2").cast("double")) *
+          sqrt(lit(eps2.toDouble))).cast("long") + lit(4L))
+      .select(col("j"), col("bnd"))
+    val probes = assigned
+      .select(col("id").as("a_id"), col("v").as("av"),
+        posexplode(col("d2s")).as(Seq("j", "d2a")))
+      .join(broadcast(cells), Seq("j"))
+      .filter(col("d2a") <= col("bnd"))
+      .select(col("j"), col("a_id"), col("av"))
+    val members = assigned.select(col("home").as("j"),
+      col("id").as("b_id"), col("v").as("bv"))
+    probes.join(members, Seq("j"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(av, bv, (x, y) -> (x - y) * (x - y)), 0L, (acc, e) -> acc + e)"))
+      .filter(col("d2") <= lit(eps2))
+      .select(col("a_id"), col("b_id"), col("d2"))
+  }
+
   /** Tile kernel for [[sqDistPairs]]: lazy cursor emission (the
     * [[cosineTile]] memory contract), integer accumulation, eps2
     * early-exit. */

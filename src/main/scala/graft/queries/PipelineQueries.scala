@@ -1870,6 +1870,17 @@ object PipelineQueries {
       t(s, d, "embeddings").select(col("vec_id"),
         transform(col("embedding").cast("array<double>"),
           x => round(x * 1000).cast("long")).as("v")))
+    // the ε-graph stays on the exact tiled kernel DELIBERATELY: the
+    // recall-lossless ball-cover prune exists
+    // ([[graft.operators.SimilarityJoin.sqDistPairsPruned]],
+    // spec-proven equal) but was MEASURED useless on this corpus —
+    // 64-dim distances concentrate just above ε (median pair d² =
+    // 2.0·10⁶ vs ε² = 1.3·10⁶, 1st percentile 1.43·10⁶), so every
+    // vector probes every cell at any anchor count and the join
+    // materializes all-pairs without the tile loop's early exit
+    // (15.8 s vs 4.9 s benched). PLANS.md has the full negative
+    // result; the prune is the right dial only where the cover holds
+    // (clustered / lower-dim data)
     val edges = graft.core.Pins.pin(
       graft.operators.SimilarityJoin.sqDistPairs(
         qv.as[(Long, Array[Long])], eps2))

@@ -77,4 +77,33 @@ class SimilarityJoinSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect()
     assert(got.toSeq == Seq((1L, 2L, 1L, 0.3333)))
   }
+
+  test("sqDistPairsPruned equals the exact tiled kernel on real embeddings") {
+    import org.apache.spark.sql.functions._
+    val qv = graft.core.Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => round(x * 1000).cast("long")).as("v"))
+      .as[(Long, Array[Long])]
+    for (eps2 <- Seq(1300000L, 300000L, 5000000L)) {
+      val exact = SimilarityJoin.sqDistPairs(qv, eps2)
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+      val pruned = SimilarityJoin.sqDistPairsPruned(qv, eps2)
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+      graft.core.Pins.release()
+      assert(pruned == exact, s"eps2=$eps2: ${pruned.size} vs ${exact.size} pairs")
+      assert(exact.nonEmpty || eps2 < 300001L) // the fixture must exercise the join
+    }
+  }
+
+  test("sqDistPairsPruned completeness holds when nAnchors exceeds the corpus") {
+    val tiny = Seq(
+      (1L, Array(0L, 0L)), (2L, Array(3L, 4L)), (3L, Array(100L, 100L)),
+      (4L, Array(2L, 2L))).toDS()
+    val got = SimilarityJoin.sqDistPairsPruned(tiny, 25L, nAnchors = 32)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    graft.core.Pins.release()
+    // exact pairs at d2<=25: (1,2)=25, (1,4)=8, (2,4)=5
+    assert(got == Seq((1L, 2L, 25L), (1L, 4L, 8L), (2L, 4L, 5L)))
+  }
 }

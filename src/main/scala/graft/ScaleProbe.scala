@@ -1174,6 +1174,47 @@ object ScaleProbe {
       graft.core.Pins.release()
       graft.queries.PipelineQueries.clearLshPairs()
     }
+
+    // --- ADVERSARIAL-SKEW probes (round 10): uniform replication (the
+    // 10× dir) can't expose a hot key, so these rebuild the keyed
+    // tables with ONE key holding 50% of the rows (the q49 skew
+    // direction) and re-time the round-9 training-prep shelf's
+    // per-key folds at the SAME total volume. Expectation and why:
+    // q248's extremes and q261's per-user fold are partial-aggregable
+    // — the hot user's rows collapse to one struct per PARTITION
+    // map-side, so the hot key costs max(rows-per-partition) work,
+    // never 50% of the corpus on one reducer. q250's per-LANG
+    // row_number windows are the deliberate contrast: a window is NOT
+    // partial-aggregable — the hot language lands on one task — so
+    // its skew growth is the measured price of exact sorted batching,
+    // and the production dial (per-shard batching inside a language,
+    // stated in the q250 doc) caps it.
+    if (want("skew248", "skew250", "skew261")) {
+      val skewDir = "/tmp/graft_skew"
+      locally {
+        val ev = graft.core.Tables.load(spark, src, "events")
+        // one user takes every even event: 50% of rows, same volume
+        ev.withColumn("user_id",
+            when(col("event_id") % 2 === 0, lit(424242L))
+              .otherwise(col("user_id")))
+          .write.mode("overwrite").parquet(s"$skewDir/events.parquet")
+        val docs = spark.read.parquet(s"$src/documents.parquet")
+        docs.withColumn("lang",
+            when(col("doc_id") % 2 === 0, lit("xx")).otherwise(col("lang")))
+          .write.mode("overwrite").parquet(s"$skewDir/documents.parquet")
+      }
+      def pair(label: String, name: String): Unit = {
+        time(f"$label%-22s uniform")(
+          graft.SparkEntry.queries(name)(spark, src).count())
+        graft.core.Pins.release()
+        time(f"$label%-22s 50%%-hot-key")(
+          graft.SparkEntry.queries(name)(spark, skewDir).count())
+        graft.core.Pins.release()
+      }
+      pair("skew248_prefpairs", "q248_preference_pairs")
+      pair("skew261_survival", "q261_survival_hazard")
+      pair("skew250_batching", "q250_length_batching")
+    }
     spark.stop()
   }
 }

@@ -4839,9 +4839,14 @@ object PipelineQueries {
     * pad_sorted ≤ pad_arrival is an INVARIANT (spec-pinned), and both
     * engines state the identical discrete arithmetic — no floats
     * exist. One lang-keyed exchange carries both orderings' windows;
-    * the batch folds are batch-count-sized. At 100 TB the sort is the
-    * operator's intrinsic cost and runs per shard exactly as here
-    * (batching never needs a global order across languages). */
+    * the batch folds are batch-count-sized. Skew note (r10 probe): a
+    * row_number window is NOT partial-aggregable, so a language
+    * holding 50% of the corpus rides ONE task — invisible at bench
+    * volume (measured faster under the 50%-hot-key probe) but the
+    * real dial at 100 TB, where exact sorted batching runs PER SHARD
+    * inside a language (the padding semantics never need sortedness
+    * across shards, and batch boundaries at shard seams cost at most
+    * one ragged batch per shard). */
   val q250: Q = (s, d) => {
     val B = 8
     val docs = graft.core.Pins.pin(

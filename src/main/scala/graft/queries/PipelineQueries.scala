@@ -5722,7 +5722,9 @@ object PipelineQueries {
     ("q258_token_waterfill", q258, q258Sql),
     ("q259_dup_attribution", q259, q259Sql),
     ("q260_source_gini", q260, q260Sql),
-    ("q261_survival_hazard", q261, q261Sql))
+    ("q261_survival_hazard", q261, q261Sql),
+    ("q262_cluster_diameter", q262, q262Sql),
+    ("q263_zipf_audit", q263, q263Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type — a p25/p50/p75/p95 grid
@@ -5844,4 +5846,134 @@ object PipelineQueries {
       |       FROM est)
       |SELECT lang, r, term, est_cnt FROM rk WHERE r <= 5
       |ORDER BY lang, r""".stripMargin
+
+  // --------------------------------------------------------------- Q262
+  /** DEDUP-CLUSTER DIAMETER AUDIT — the transitive-CHAINING hazard
+    * check the near-dup family was missing: connected components over
+    * an LSH pair graph (q52's clusters) can CHAIN A~B~C into one
+    * cluster even when A and C are far apart, and a keep-one-per-
+    * cluster dedup (q147) then silently drops documents that were
+    * never near-duplicates of the survivor. This query measures that
+    * risk EXACTLY: for every multi-doc cluster, the min/max pairwise
+    * Jaccard over ALL member pairs (non-edges included — they are the
+    * hazard) and a `chained` flag (min < the 0.5 edge threshold ⟹ the
+    * cluster holds a pair no verifier ever approved). Scale shape:
+    * the pair graph + components are the q52 machinery (memoized LSH
+    * pairs, iterated min-label propagation); the quadratic term is
+    * confined WITHIN clusters (dedup clusters are near-dup-family-
+    * sized — members carry their ingest-time hashed shingle sets, and
+    * a pathological mega-cluster is exactly what the audit exists to
+    * surface before a dedup run trusts it). Oracle: the q52 recursive
+    * closure + list-intersect Jaccard over string shingles —
+    * independent mechanisms for both the components and the
+    * similarities. */
+  val q262: Q = (s, d) => {
+    val pairs = lshPairsFor(s, d)
+    val cc = graft.operators.DedupClusters.connectedComponents(pairs)
+    val shh = graft.operators.MinHashLsh
+      .signatures(t(s, d, "documents"), numHashes = 8, shingleN = 3)
+      .select(col("doc_id"), col("shh"))
+    val mem = cc.join(shh, Seq("doc_id"))
+    val pw = mem.as("a").join(mem.as("b"),
+        col("a.component") === col("b.component")
+          && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("common", size(array_intersect(col("a.shh"), col("b.shh"))))
+      .select(col("a.component").as("cluster_id"),
+        round(col("common").cast("double") /
+          (size(col("a.shh")) + size(col("b.shh")) - col("common")), 4).as("jac"))
+    val sizes = cc.groupBy(col("component").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"))
+    sizes.join(pw.groupBy(col("cluster_id"))
+        .agg(min(col("jac")).as("min_pair_sim"),
+          max(col("jac")).as("max_pair_sim")), Seq("cluster_id"))
+      .select(col("cluster_id"), col("n_docs"),
+        col("min_pair_sim"), col("max_pair_sim"),
+        (col("min_pair_sim") < 0.5).cast("int").as("chained"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val q262Sql: String = {
+    val sigCols = Seeds.map(i =>
+      s"list_min(list_transform(sh, x -> md5('$i' || '|' || x))) AS h$i").mkString(", ")
+    val bandCond = (0 until 4).map(b =>
+      s"(a.h${2 * b} = b.h${2 * b} AND a.h${2 * b + 1} = b.h${2 * b + 1})").mkString(" OR ")
+    s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |shl AS (SELECT doc_id, list_distinct(list_transform(
+       |          generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' '))) AS sh
+       |        FROM toks),
+       |sig AS (SELECT doc_id, sh, $sigCols FROM shl),
+       |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS sha, b.sh AS shb
+       |         FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandCond)),
+       |pairs AS (SELECT a_id, b_id FROM cand
+       |          WHERE round(CAST(len(list_intersect(sha, shb)) AS DOUBLE)
+       |                / (len(sha) + len(shb) - len(list_intersect(sha, shb))), 4) >= 0.5),
+       |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |          UNION SELECT b_id, a_id FROM pairs),
+       |reach AS (SELECT u, v FROM edges
+       |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
+       |         FROM reach GROUP BY u),
+       |mem AS (SELECT c.doc_id, c.component, shl.sh
+       |        FROM comp c JOIN shl ON c.doc_id = shl.doc_id),
+       |pw AS (SELECT a.component AS cluster_id,
+       |         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jac
+       |       FROM mem a JOIN mem b
+       |       ON a.component = b.component AND a.doc_id < b.doc_id),
+       |sz AS (SELECT component AS cluster_id, CAST(count(*) AS BIGINT) AS n_docs
+       |       FROM comp GROUP BY 1)
+       |SELECT sz.cluster_id, sz.n_docs,
+       |       min(pw.jac) AS min_pair_sim, max(pw.jac) AS max_pair_sim,
+       |       CAST(CASE WHEN min(pw.jac) < 0.5 THEN 1 ELSE 0 END AS INTEGER) AS chained
+       |FROM sz JOIN pw ON sz.cluster_id = pw.cluster_id
+       |GROUP BY 1, 2 ORDER BY sz.cluster_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------- Q263
+  /** ZIPF RANK-FREQUENCY AUDIT — the corpus-statistics check beside
+    * q104's vocab growth (Heaps) and q107's collocations: per
+    * language, the top-20 terms by exact frequency with their rank ×
+    * frequency product — Zipf's law says r·f ≈ constant, and a corpus
+    * whose rf collapses or explodes across ranks has a degenerate
+    * head (boilerplate, templating, token-salad) worth a curation
+    * look. Everything is INTEGER (counts, ranks, products, and the
+    * spread as a floor-div ppm of the per-language rf range over its
+    * min) — no float exists to diverge. Scale shape: the q63 fold
+    * collapses the token stream to the Heaps-bounded vocab map-side;
+    * ranks ride a vocab-sized per-language window; output is langs ×
+    * 20 rows. Ties break (freq DESC, term ASC) — a stated total
+    * order, both engines. */
+  val q263: Q = (s, d) => {
+    val tf = t(s, d, "documents")
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("f"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("f").desc, col("term").asc)
+    val ranked = tf.withColumn("r", row_number().over(w).cast("long"))
+      .filter(col("r") <= 20)
+      .withColumn("rf", col("r") * col("f"))
+    val spread = ranked.groupBy(col("lang"))
+      .agg(expr("max(rf) * 1000000 div min(rf)").as("rf_spread_ppm"))
+    ranked.join(spread, Seq("lang"))
+      .select(col("lang"), col("r"), col("term"), col("f"), col("rf"),
+        col("rf_spread_ppm"))
+      .orderBy(col("lang"), col("r"))
+  }
+
+  val q263Sql: String =
+    """WITH tf AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS f
+      |       FROM (SELECT lang, unnest(string_split(text, ' ')) AS term
+      |             FROM documents)
+      |       GROUP BY 1, 2),
+      |rk AS (SELECT lang, term, f,
+      |         CAST(row_number() OVER (PARTITION BY lang
+      |           ORDER BY f DESC, term ASC) AS BIGINT) AS r
+      |       FROM tf),
+      |top AS (SELECT lang, r, term, f, r * f AS rf FROM rk WHERE r <= 20),
+      |sp AS (SELECT lang, max(rf) * 1000000 // min(rf) AS rf_spread_ppm
+      |       FROM top GROUP BY 1)
+      |SELECT top.lang, r, term, f, rf, sp.rf_spread_ppm
+      |FROM top JOIN sp ON top.lang = sp.lang
+      |ORDER BY top.lang, r""".stripMargin
 }

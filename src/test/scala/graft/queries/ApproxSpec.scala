@@ -240,4 +240,25 @@ class ApproxSpec extends SparkSpec {
       assert(est == replay, s"($l,$t): est $est vs replay $replay")
     }
   }
+
+  test("MinKByLongAgg: partition-independent, equals sort-take, merge-order-blind") {
+    val agg = new graft.operators.MinKByLongAgg(3)
+    val rnd = new scala.util.Random(42)
+    val rows = Vector.fill(500)((rnd.nextLong() % 1000, rnd.nextLong() % 1000))
+    val expected = rows.distinct.sortBy(identity).take(3)
+    // any partitioning of the stream, folded then merged in any order,
+    // must equal sort-take over the whole stream (duplicate (k, id)
+    // pairs may each enter the buffer; take(3) of the sorted multiset
+    // equals take(3) of the sorted distinct set only when the top is
+    // duplicate-free, so compare against the raw sorted stream)
+    val exp = rows.sortBy(identity).take(3)
+    for (seed <- 1 to 5) {
+      val r2 = new scala.util.Random(seed)
+      val parts = rows.groupBy(_ => r2.nextInt(7)).values.toList
+      val folded = parts.map(p => p.foldLeft(agg.zero)(agg.reduce))
+      val merged = r2.shuffle(folded).reduce(agg.merge)
+      assert(agg.finish(merged).take(3) == exp, s"seed=$seed")
+    }
+    assert(expected.nonEmpty) // fixture sanity
+  }
 }

@@ -224,6 +224,11 @@ object PlanAuditSpec {
     // map-side combine, inside the broadcast subtree) + the
     // ORPHAN-only countDistinct two-phase fold + the 4-row sort
     "q256_fk_orphans" -> 7,
+    // q263: ONE corpus-sized exchange (the (lang, term) fold, map-side
+    // combined to the Heaps-bounded vocab); the per-lang rank window,
+    // the 5-row spread fold + its join re-key and the output sort all
+    // ride vocab- or langs-sized relations
+    "q263_zipf_audit" -> 5,
     // q209: one fact-sized exchange (the (part,supplier) fold); the
     // per-part window, dominant-distinct, semi probe and output sort
     // all re-key the parts×suppliers fold — model-sized by design

@@ -5724,7 +5724,9 @@ object PipelineQueries {
     ("q260_source_gini", q260, q260Sql),
     ("q261_survival_hazard", q261, q261Sql),
     ("q262_cluster_diameter", q262, q262Sql),
-    ("q263_zipf_audit", q263, q263Sql))
+    ("q263_zipf_audit", q263, q263Sql),
+    ("q264_l_diversity", q264, q264Sql),
+    ("q265_dp_release", q265, q265Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type — a p25/p50/p75/p95 grid
@@ -5976,4 +5978,114 @@ object PipelineQueries {
       |SELECT top.lang, r, term, f, rf, sp.rf_spread_ppm
       |FROM top JOIN sp ON top.lang = sp.lang
       |ORDER BY top.lang, r""".stripMargin
+
+  // --------------------------------------------------------------- Q264
+  /** L-DIVERSITY audit — k-anonymity's necessary second gate (q253
+    * checks every row hides in a crowd of ≥ k; this checks the crowd
+    * doesn't all SHARE the secret — a homogeneous class discloses the
+    * sensitive attribute to anyone who knows the quasi-identifiers,
+    * k-anonymity notwithstanding; Machanavajjhala et al. 2007): QI =
+    * (nation, market segment), sensitive = the customer's order
+    * priority; per QI class the number of DISTINCT priorities l, and
+    * the one-row audit a release review gates on — classes, min l,
+    * classes at l = 1 (full disclosure), rows exposed in them, ppm.
+    * Scale shape: the customer⋈orders join folds to (QI, priority)
+    * DISTINCTs map-side (classes × priorities ≤ 125 × 5 output); the
+    * distinct-l fold and the one-row audit are class-count-sized.
+    * Floor-div ppm — all integers, no float exists. */
+  val q264: Q = (s, d) => {
+    val rows = t(s, d, "customer")
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        col("o_orderpriority"))
+    val classes = rows
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("m"),
+        countDistinct(col("o_orderpriority")).as("l"))
+    classes.agg(
+        sum(col("m")).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min(col("l")).as("min_l"),
+        sum(when(col("l") === 1, 1L).otherwise(0L)).as("classes_l1"),
+        sum(when(col("l") === 1, col("m")).otherwise(0L)).as("rows_exposed"))
+      .withColumn("exposed_ppm", expr("rows_exposed * 1000000 div n_rows"))
+  }
+
+  val q264Sql: String =
+    """WITH r AS (SELECT c_nationkey, c_mktsegment, o_orderpriority
+      |       FROM customer JOIN orders ON c_custkey = o_custkey),
+      |cl AS (SELECT c_nationkey, c_mktsegment,
+      |         CAST(count(*) AS BIGINT) AS m,
+      |         CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS l
+      |       FROM r GROUP BY 1, 2)
+      |SELECT CAST(sum(m) AS BIGINT) AS n_rows,
+      |       CAST(count(*) AS BIGINT) AS n_classes,
+      |       CAST(min(l) AS BIGINT) AS min_l,
+      |       CAST(sum(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS classes_l1,
+      |       CAST(sum(CASE WHEN l = 1 THEN m ELSE 0 END) AS BIGINT)
+      |         AS rows_exposed,
+      |       CAST(sum(CASE WHEN l = 1 THEN m ELSE 0 END) * 1000000 // sum(m)
+      |            AS BIGINT) AS exposed_ppm
+      |FROM cl""".stripMargin
+
+  // --------------------------------------------------------------- Q265
+  /** SEEDED DP-NOISE count release — the privacy shelf's release
+    * mechanism beside its audits (q253/q264 decide WHETHER a table can
+    * ship; this ships a noisy aggregate): per event type, the true
+    * count plus two-sided geometric(1/2) noise — the discrete Laplace
+    * mechanism at ε = ln 2 per unit sensitivity — drawn DETERMINISTICALLY
+    * from the md5 seam instead of an RNG: magnitude = leading-zero
+    * BITS of the 52-bit hash (P[m] = 2^−(m+1), exactly geometric),
+    * sign = parity of the 14th hex digit (independent bits). A seeded
+    * mechanism is the consistent-release flavor — re-answering the
+    * same query re-derives the SAME noise, so repetition leaks
+    * nothing new (fresh noise per re-release would average away; the
+    * seed stands in for the stored-noise ledger a production DP
+    * accountant keeps). Everything is hex-string + integer CASE
+    * arithmetic stated identically in both engines — no float, no
+    * log, no boundary ulp. Scale: one partial-aggregable count fold;
+    * the noise is per-GROUP scalar work. */
+  val q265: Q = (s, d) => {
+    val trimmed = expr("trim(LEADING '0' FROM substring(md5(concat('dp|', event_type)), 1, 13))")
+    val z = (lit(13) - length(trimmed)).cast("long") // leading zero hex digits
+    val d1 = substring(trimmed, 1, 1)                // first non-zero digit
+    val bits = when(d1 === "1", 3L)
+      .when(d1.isin("2", "3"), 2L)
+      .when(d1.isin("4", "5", "6", "7"), 1L)
+      .otherwise(0L)
+    val mag = when(length(trimmed) === 0, 52L).otherwise(z * 4 + bits)
+    val sign = when(
+      expr("instr('13579bdf', substring(md5(concat('dp|', event_type)), 14, 1)) > 0"),
+      -1L).otherwise(1L)
+    t(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("noise", sign * mag)
+      .withColumn("noisy_n", col("n") + col("noise"))
+      .select(col("event_type"), col("n"), col("noise"), col("noisy_n"),
+        lit(693147L).as("eps_ppm")) // ε = ln 2 per unit sensitivity
+      .orderBy(col("event_type"))
+  }
+
+  val q265Sql: String =
+    """WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      |       FROM events GROUP BY 1),
+      |hx AS (SELECT event_type, n,
+      |         trim(LEADING '0' FROM substr(md5('dp|' || event_type), 1, 13)) AS tr,
+      |         substr(md5('dp|' || event_type), 14, 1) AS sd
+      |       FROM c),
+      |nz AS (SELECT event_type, n,
+      |         CASE WHEN length(tr) = 0 THEN 52
+      |              ELSE (13 - length(tr)) * 4 +
+      |                CASE WHEN substr(tr, 1, 1) = '1' THEN 3
+      |                     WHEN substr(tr, 1, 1) IN ('2', '3') THEN 2
+      |                     WHEN substr(tr, 1, 1) IN ('4', '5', '6', '7') THEN 1
+      |                     ELSE 0 END END AS mag,
+      |         CASE WHEN strpos('13579bdf', sd) > 0 THEN -1 ELSE 1 END AS sgn
+      |       FROM hx)
+      |SELECT event_type, n, CAST(sgn * mag AS BIGINT) AS noise,
+      |       CAST(n + sgn * mag AS BIGINT) AS noisy_n,
+      |       CAST(693147 AS BIGINT) AS eps_ppm
+      |FROM nz ORDER BY event_type""".stripMargin
 }

@@ -896,6 +896,87 @@ object EventStream {
       .start()
   }
 
+  /** Continuous FK-ORPHAN monitor — q256's streaming twin for one
+    * declared edge (the governance shelf's audit-as-you-ingest story):
+    * each micro-batch LeftAnti-probes the BROADCAST distinct parent
+    * key set (exactly the q256 batch shape — orphan rows only ever
+    * touch the fold) and merges per-key orphan occurrence counts plus
+    * a reserved totals row into the store by integer addition —
+    * mergeable like the CMS cells, so batching never matters and a
+    * crash-replayed batch is skipped by the same batch-id guard
+    * ([[startCountMinMonitor]]'s transactional discipline, two-rename
+    * atomic swap included). NULL child keys are orphans (q256's
+    * null-safe contract) and keep their own store row — the totals
+    * row is distinguished by the `tot` flag, never by key nullness.
+    * State is orphan-key-set-sized (~empty on healthy feeds), the
+    * whole point of auditing AT ingest rather than over the
+    * accumulated corpus. [[fkOrphanAudit]] serves the q256-shaped
+    * audit row FROM the store without touching any event. */
+  def startFkOrphanMonitor(updates: DataFrame, keyCol: String,
+                           parentKeys: DataFrame, storeDir: String,
+                           checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    updates.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          graft.core.Sinks.recoverStrandedBackup(storeDir)
+          val stored =
+            if (new java.io.File(storeDir).isDirectory)
+              Some(spark.read.parquet(storeDir)
+                .select("tot", "k", "cnt", "batch_id"))
+            else None
+          val storedId = stored
+            .map(_.agg(max(col("batch_id"))).head().getLong(0))
+            .getOrElse(-1L)
+          if (batchId > storedId) {
+            val pkCol = parentKeys.columns.head
+            val pks = parentKeys
+              .select(col(pkCol).cast("long").as("pk")).distinct()
+            val child = batch.select(col(keyCol).cast("long").as("k"))
+            val totals = child.agg(count(lit(1)).as("cnt"))
+              .select(lit(true).as("tot"), lit(null).cast("long").as("k"),
+                col("cnt"))
+            val orphans = child
+              .join(broadcast(pks), col("k") === col("pk"), "left_anti")
+              .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+              .select(lit(false).as("tot"), col("k"), col("cnt"))
+            val bs = totals.unionByName(orphans)
+            val merged = (stored match {
+              case Some(st) => st.select("tot", "k", "cnt").unionByName(bs)
+              case None => bs
+            }).groupBy(col("tot"), col("k")).agg(sum(col("cnt")).as("cnt"))
+            // materialize BEFORE overwriting the store the lineage reads
+            val out = merged.localCheckpoint()
+            graft.core.Sinks.atomicSwap(storeDir, "orphans") { tmp =>
+              out.withColumn("batch_id", lit(batchId))
+                .coalesce(1).write.parquet(tmp)
+            }
+            graft.core.Pins.releaseCheckpoint(out)
+          }
+          // batchId <= storedId: crash-replay of an already-merged
+          // batch — skip (count addition would double-count)
+        }
+      }
+      .start()
+  }
+
+  /** The q256-shaped audit row for one edge, served FROM the
+    * [[startFkOrphanMonitor]] store: n_rows / n_orphans /
+    * n_orphan_keys / valid_ppm over everything ingested so far.
+    * countDistinct-style null skipping matches the batch query: a
+    * null orphan key counts in n_orphans, never in n_orphan_keys. */
+  def fkOrphanAudit(spark: org.apache.spark.sql.SparkSession, storeDir: String): DataFrame = {
+    spark.read.parquet(storeDir)
+      .agg(sum(when(col("tot"), col("cnt")).otherwise(0L)).as("n_rows"),
+        sum(when(!col("tot"), col("cnt")).otherwise(0L)).as("n_orphans"),
+        count(when(!col("tot"), col("k"))).as("n_orphan_keys"))
+      .withColumn("valid_ppm",
+        expr("(n_rows - n_orphans) * 1000000 div n_rows"))
+  }
+
   /** One micro-batch of QUANTILE-SAMPLE maintenance — q247's streaming
     * twin, completing the sketch-twin trio (KMV store ↔ q156, CMS
     * monitor ↔ q130, this ↔ q247): per event type the store holds the

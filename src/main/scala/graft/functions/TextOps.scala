@@ -71,6 +71,15 @@ object TextOps {
     org.apache.spark.sql.GraftShim.column(expressions.CdcChunkHashes(
       org.apache.spark.sql.GraftShim.expression(text), w))
 
+  /** Fused native md5-52-bit seam ([[expressions.Md5Long52]]): equals
+    * `conv(substring(md5(s), 1, 13), 16, 10).cast("long")` bit-for-bit
+    * (property-tested) with one reused digest and no hex round-trip —
+    * for per-ROW uses of the deterministic-uniform seam, where the
+    * declarative stack's hex parse is the measured wall. */
+  def md5Long52(s: Column): Column =
+    org.apache.spark.sql.GraftShim.column(expressions.Md5Long52(
+      org.apache.spark.sql.GraftShim.expression(s)))
+
   /** Fused native form of the full [[minhash]] family: element i equals
     * `minhash(sh, i)` ([[expressions.MinHashes]]; one reused digest per
     * row instead of a fresh one per (shingle, seed)). */

@@ -920,3 +920,47 @@ object MinGramMd5 {
     UTF8String.fromString(new String(hex))
   }
 }
+
+/** md5 truncated to its first 52 bits as a LONG — the engine-native
+  * fused form of `conv(substring(md5(s), 1, 13), 16, 10).cast("long")`,
+  * the repo-wide deterministic-uniform seam (sampling thresholds,
+  * additive pairwise hashes, argmin walk choices). The declarative
+  * stack computes the full 32-char hex string, substrings it, and
+  * radix-parses it per row; this kernel reads the 13 leading nibbles
+  * straight off the raw digest bytes with a reused thread-local
+  * MessageDigest — no hex round-trip, no allocation beyond the UTF-8
+  * bytes. Property-tested bit-equal to the declarative formulation
+  * (and therefore to the DuckDB sqlHex52 digit fold). */
+case class Md5Long52(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_md5long52"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5Long52.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.Md5Long52.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Long52 =
+    copy(child = newChild)
+}
+
+object Md5Long52 {
+  private val digests = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
+  /** Static entry for generated code (one invoke per row). */
+  def compute(s: UTF8String): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    // 13 hex digits = bytes 0..5 (12 nibbles) + the high nibble of byte 6
+    var v = 0L
+    var i = 0
+    while (i < 6) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(6) & 0xf0L) >>> 4)
+  }
+}

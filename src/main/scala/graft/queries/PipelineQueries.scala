@@ -5726,7 +5726,8 @@ object PipelineQueries {
     ("q262_cluster_diameter", q262, q262Sql),
     ("q263_zipf_audit", q263, q263Sql),
     ("q264_l_diversity", q264, q264Sql),
-    ("q265_dp_release", q265, q265Sql))
+    ("q265_dp_release", q265, q265Sql),
+    ("q266_random_walks", q266, q266Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type — a p25/p50/p75/p95 grid
@@ -6088,4 +6089,81 @@ object PipelineQueries {
       |       CAST(n + sgn * mag AS BIGINT) AS noisy_n,
       |       CAST(693147 AS BIGINT) AS eps_ppm
       |FROM nz ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------------- Q266
+  /** RANDOM-WALK CORPUS generation — graph-embedding data prep
+    * (DeepWalk / node2vec, Perozzi 2014 / Grover 2016): the "sentences"
+    * a skip-gram model trains on are walks over the interaction graph;
+    * this emits one length-4 walk per catalog part over the bipartite
+    * user↔part purchase graph (part → buyer → part → buyer). The walk
+    * is DETERMINISTIC, not RNG: at node v on step t the next node is
+    * the neighbor minimizing md5("w|t|v|neighbor") — the q46/q245 hash
+    * seam applied to traversal, uniform over neighbors and replayable
+    * in any engine. Seeding per (node, step) — not per walk — is the
+    * SCALE choice: every choice table is a per-node argmin, so the
+    * whole corpus needs TWO partial-aggregable edge folds (the by-part
+    * fold carries steps 1 and 3 together, the by-user fold step 2 —
+    * map-side (hash, id)-struct min collapse) plus node-sized joins,
+    * where per-walk seeds make every hop a frontier×edges join (the
+    * first cut benched 2.2 s vs 0.9 s). The trade is stated: walks
+    * meeting at a node on the same step merge from there on; epochs
+    * reseed by prefix ("w2|…"), which de-correlates across epochs —
+    * the standard DeepWalk corpus recipe. Edge multiplicity is
+    * argmin-invariant, so the fold runs on the RAW join projection
+    * (no distinct exchange). Dead ends cannot exist (bipartite:
+    * every frontier node arrived via an edge). */
+  val q266: Q = (s, d) => {
+    // no pin on the edge projection: its two consumers (the by-part and
+    // by-user folds) each re-run a broadcast join + scan (~0.3 s)
+    // where a 600k-row pin write alone costs more and adds a job
+    val ep = t(s, d, "orders")
+      .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("u"), col("l_partkey").as("p"))
+    // the 52-bit hash rides the FUSED NATIVE kernel
+    // ([[graft.functions.TextOps.md5Long52]]): 1.8M per-row digests are
+    // this query's intrinsic work, and the declarative
+    // conv(substring(md5..)) stack's hex round-trip was the measured
+    // wall (the q27 fused-kernel lesson applied to the md5-52 seam)
+    def h52(step: Int, cur: org.apache.spark.sql.Column,
+            nxt: org.apache.spark.sql.Column) =
+      TextOps.md5Long52(concat(lit(s"w|$step|"), cur.cast("string"),
+        lit("|"), nxt.cast("string")))
+    // per-part choices for steps 1 and 3 in ONE fold; per-user for 2;
+    // argmin = min over the (hash, id) long struct — the oracle's
+    // ORDER BY (h52, id) stated as a partial-aggregable fold
+    val byP = ep.groupBy(col("p"))
+      .agg(min(struct(h52(1, col("p"), col("u")).as("h"),
+          col("u").as("id"))).as("m1"),
+        min(struct(h52(3, col("p"), col("u")).as("h"),
+          col("u").as("id"))).as("m3"))
+    val byU = ep.groupBy(col("u"))
+      .agg(min(struct(h52(2, col("u"), col("p")).as("h"),
+        col("p").as("id"))).as("m2"))
+    val c13 = graft.core.Pins.pin(
+      byP.select(col("p"), col("m1.id").as("c1"), col("m3.id").as("c3")))
+    val c2 = byU.select(col("u"), col("m2.id").as("c2"))
+    c13.select(col("p").as("start"), col("c1").as("u1"))
+      .join(broadcast(c2.withColumnRenamed("u", "u1")), Seq("u1"))
+      .withColumnRenamed("c2", "p2")
+      .join(broadcast(c13.select(col("p").as("p2"), col("c3").as("u3"))),
+        Seq("p2"))
+      .select(col("start"), col("u1"), col("p2"), col("u3"))
+      .orderBy(col("start"))
+  }
+
+  val q266Sql: String =
+    """WITH e AS (SELECT o_custkey AS u, l_partkey AS p
+      |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |c1 AS (SELECT p, u AS c1 FROM e
+      |       QUALIFY row_number() OVER (PARTITION BY p
+      |         ORDER BY substr(md5('w|1|' || CAST(p AS VARCHAR) || '|' || CAST(u AS VARCHAR)), 1, 13), u) = 1),
+      |c2 AS (SELECT u, p AS c2 FROM e
+      |       QUALIFY row_number() OVER (PARTITION BY u
+      |         ORDER BY substr(md5('w|2|' || CAST(u AS VARCHAR) || '|' || CAST(p AS VARCHAR)), 1, 13), p) = 1),
+      |c3 AS (SELECT p, u AS c3 FROM e
+      |       QUALIFY row_number() OVER (PARTITION BY p
+      |         ORDER BY substr(md5('w|3|' || CAST(p AS VARCHAR) || '|' || CAST(u AS VARCHAR)), 1, 13), u) = 1)
+      |SELECT c1.p AS start, c1.c1 AS u1, c2.c2 AS p2, c3.c3 AS u3
+      |FROM c1 JOIN c2 ON c2.u = c1.c1 JOIN c3 ON c3.p = c2.c2
+      |ORDER BY start""".stripMargin
 }

@@ -232,4 +232,23 @@ class TextOpsSpec extends SparkSpec {
       assert(re == sh, "block decomposition must reassemble the signature")
     }
   }
+
+  test("native Md5Long52 is bit-equal to the conv(substring(md5)) seam") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 500).map(_ => rnd.alphanumeric.take(rnd.nextInt(40)).mkString) ++
+      Seq("", "w|1|42|7", "aeiou", "\u00fcber t\u00f6kens", "0" * 64)
+    val got = rows.toDF("s")
+      .select(TextOps.md5Long52(col("s")).as("native"),
+        conv(substring(md5(col("s")), 1, 13), 16, 10).cast("long").as("decl"))
+      .as[(Long, Long)].collect()
+    got.foreach { case (n, d) => assert(n == d, s"$n vs $d") }
+    // and against a plain JVM replay (the spec-side seam used elsewhere)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.take(20).zip(got.take(20)).foreach { case (s0, (n, _)) =>
+      val hex = md.digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(n == java.lang.Long.parseLong(hex.take(13), 16), s0)
+    }
+  }
 }

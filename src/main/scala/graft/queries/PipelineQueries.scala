@@ -5727,7 +5727,8 @@ object PipelineQueries {
     ("q263_zipf_audit", q263, q263Sql),
     ("q264_l_diversity", q264, q264Sql),
     ("q265_dp_release", q265, q265Sql),
-    ("q266_random_walks", q266, q266Sql))
+    ("q266_random_walks", q266, q266Sql),
+    ("q267_dataset_fingerprint", q267, q267Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type — a p25/p50/p75/p95 grid
@@ -6166,4 +6167,48 @@ object PipelineQueries {
       |SELECT c1.p AS start, c1.c1 AS u1, c2.c2 AS p2, c3.c3 AS u3
       |FROM c1 JOIN c2 ON c2.u = c1.c1 JOIN c3 ON c3.p = c2.c2
       |ORDER BY start""".stripMargin
+
+  // --------------------------------------------------------------- Q267
+  /** CONTENT-ADDRESSED DATASET FINGERPRINT — the data-versioning
+    * primitive (DVC / HF-datasets style): per source, a Merkle-style
+    * digest of the corpus CONTENT that two parties can compare without
+    * exchanging data — equal fingerprints ⟺ equal document multisets
+    * (up to md5 collision), any single-document edit flips it, and row
+    * / partition / arrival order never matters because every level
+    * folds SORTED digests. Two levels keep it distributed: level 1
+    * digests each (source, doc_id-div-1024 bucket)'s sorted per-doc
+    * content hashes (arrays bounded at 1024 × 32 hex chars — never a
+    * corpus-sized string), level 2 digests each source's sorted bucket
+    * digests (bucket-count-sized). The same recipe extends to any
+    * depth at 100 TB (a trillion docs = one more level), and the
+    * per-bucket digests are the INCREMENTAL unit: an updated bucket
+    * re-digests alone, the Merkle root refolds from stored level-1
+    * rows. Alongside the fingerprint: the audit counts a dataset card
+    * pins (docs, buckets, chars). */
+  val q267: Q = (s, d) => {
+    val l1 = t(s, d, "documents")
+      .select(col("source"), expr("doc_id div 1024").as("bucket"),
+        md5(col("text")).as("h"), col("n_chars"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+        md5(concat_ws("", array_sort(collect_list(col("h"))))).as("d1"))
+    l1.groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        count(lit(1)).as("n_buckets"),
+        sum(col("n_chars")).as("n_chars"),
+        md5(concat_ws("", array_sort(collect_list(col("d1"))))).as("fingerprint"))
+      .orderBy(col("source"))
+  }
+
+  val q267Sql: String =
+    """WITH l1 AS (SELECT source, doc_id // 1024 AS bucket,
+      |         CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |         md5(string_agg(md5(text), '' ORDER BY md5(text))) AS d1
+      |       FROM documents GROUP BY 1, 2)
+      |SELECT source, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+      |       CAST(count(*) AS BIGINT) AS n_buckets,
+      |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |       md5(string_agg(d1, '' ORDER BY d1)) AS fingerprint
+      |FROM l1 GROUP BY source ORDER BY source""".stripMargin
 }

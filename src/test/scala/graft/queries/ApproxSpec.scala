@@ -261,4 +261,30 @@ class ApproxSpec extends SparkSpec {
     }
     assert(expected.nonEmpty) // fixture sanity
   }
+
+  test("q267 Merkle fingerprint: order-invariant, single-doc-change-sensitive") {
+    import org.apache.spark.sql.functions._
+    val base = PipelineQueries.q267(spark, sf0001)
+      .select("source", "fingerprint").as[(String, String)].collect().toMap
+    // row order must not matter: same data through a shuffled lineage
+    val shuffled = graft.core.Tables.load(spark, sf0001, "documents")
+      .orderBy(md5(concat(lit("shuf|"), col("doc_id").cast("string"))))
+    val dir2 = java.nio.file.Files.createTempDirectory("fp").toString
+    shuffled.write.parquet(s"$dir2/documents.parquet")
+    val reord = PipelineQueries.q267(spark, dir2)
+      .select("source", "fingerprint").as[(String, String)].collect().toMap
+    assert(reord == base, "fingerprint must be row-order-invariant")
+    // a single edited document must flip exactly its source's fingerprint
+    val edited = graft.core.Tables.load(spark, sf0001, "documents")
+      .withColumn("text", when(col("doc_id") === 0, concat(col("text"), lit(" x")))
+        .otherwise(col("text")))
+    val dir3 = java.nio.file.Files.createTempDirectory("fp2").toString
+    edited.write.parquet(s"$dir3/documents.parquet")
+    val src0 = graft.core.Tables.load(spark, sf0001, "documents")
+      .filter(col("doc_id") === 0).select("source").as[String].head()
+    val changed = PipelineQueries.q267(spark, dir3)
+      .select("source", "fingerprint").as[(String, String)].collect().toMap
+    assert(changed(src0) != base(src0), "edit must flip the source fingerprint")
+    (base.keySet - src0).foreach(k => assert(changed(k) == base(k), s"$k must be unchanged"))
+  }
 }

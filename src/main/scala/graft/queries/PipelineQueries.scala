@@ -5728,7 +5728,8 @@ object PipelineQueries {
     ("q264_l_diversity", q264, q264Sql),
     ("q265_dp_release", q265, q265Sql),
     ("q266_random_walks", q266, q266Sql),
-    ("q267_dataset_fingerprint", q267, q267Sql))
+    ("q267_dataset_fingerprint", q267, q267Sql),
+    ("q268_zorder_layout", q268, q268Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type — a p25/p50/p75/p95 grid
@@ -6211,4 +6212,91 @@ object PipelineQueries {
       |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
       |       md5(string_agg(d1, '' ORDER BY d1)) AS fingerprint
       |FROM l1 GROUP BY source ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------- Q268
+  /** Z-ORDER LAYOUT AUDIT — the lakehouse `OPTIMIZE ZORDER BY (a, b)`
+    * decision query ([[graft.operators.ZOrderLayout]]): before
+    * rewriting 100 TB into a new clustering, measure what the Morton
+    * layout actually buys for the table's probe mix. Both dimensions
+    * (partkey, suppkey) quantize onto a 16-bit grid (exclusive-max from
+    * a one-row broadcast aggregate), the 32-bit Morton key's top 6 bits
+    * are the z-cell (= the file a range-partitioned rewrite would put
+    * the row in: z-prefix ranges ARE axis-aligned rectangles), and the
+    * single-column sort order's analog is the 6-bit x-prefix. Per
+    * (layout, cell): rows, per-dimension min/max — exactly the footer
+    * stats a reader prunes on — plus hit flags for a 1-D probe
+    * (x ∈ mid-12.5%) and the 2-D probe (both dims mid-12.5%): the
+    * audit's headline is Σhit_xy(zorder) ≪ Σhit_xy(linear) while
+    * Σhit_x stays comparable — the multi-dimensional-clustering trade
+    * stated as numbers (spec pins the inequality on the fixture).
+    *
+    * Scale shape: the z-key is pure codegen'd bit arithmetic inside
+    * the scan projection (no UDF, no layout rewrite needed to AUDIT
+    * one); the corpus crosses the wire ONCE, pre-folded to the
+    * (z-cell, x-cell) cube — both cell keys are 6-bit, so the cube is
+    * ≤ 4096 rows and the map-side partial aggregation collapses
+    * everything before the only exchange; both layouts' stats then
+    * re-fold from the pinned cube, and the output is cells-sized
+    * (≤ 128 rows). The rewrite itself, when the audit says yes, is
+    * `ZOrderLayout.layout` — one repartitionByRange shuffle on the
+    * same key. */
+  val q268: Q = (s, d) => {
+    import graft.operators.ZOrderLayout
+    val li = t(s, d, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+    val mx = li.agg((max(col("l_partkey")) + lit(1L)).as("pm"),
+      (max(col("l_suppkey")) + lit(1L)).as("sm"))
+    val g = li.crossJoin(broadcast(mx))
+      .select(ZOrderLayout.grid16(col("l_partkey"), col("pm")).as("x"),
+        ZOrderLayout.grid16(col("l_suppkey"), col("sm")).as("y"))
+    // one corpus pass: the (z-cell, linear-cell) cube, ≤ 64×64 rows
+    val cube = graft.core.Pins.pin(g
+      .select(shiftright(ZOrderLayout.zkey2(col("x"), col("y")), 26).as("zc"),
+        shiftright(col("x"), 10).as("lc"), col("x"), col("y"))
+      .groupBy(col("zc"), col("lc"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max")))
+    def fold(cell: String, tag: String) = cube
+      .groupBy(col(cell).as("zcell"))
+      .agg(sum(col("n")).as("n_rows"),
+        min(col("x_min")).as("x_min"), max(col("x_max")).as("x_max"),
+        min(col("y_min")).as("y_min"), max(col("y_max")).as("y_max"))
+      .select(lit(tag).as("layout"), col("*"))
+    val (lo, hi) = (28672L, 36863L) // mid-12.5% of the 16-bit grid
+    fold("zc", "zorder").unionByName(fold("lc", "linear"))
+      .select(col("layout"), col("zcell"), col("n_rows"),
+        col("x_min"), col("x_max"), col("y_min"), col("y_max"),
+        (col("x_min") <= hi && col("x_max") >= lo).cast("int").as("hit_x"),
+        (col("x_min") <= hi && col("x_max") >= lo &&
+          col("y_min") <= hi && col("y_max") >= lo).cast("int").as("hit_xy"))
+      .orderBy(col("layout"), col("zcell"))
+  }
+
+  val q268Sql: String =
+    """WITH mx AS (SELECT max(l_partkey) + 1 AS pm, max(l_suppkey) + 1 AS sm
+      |            FROM lineitem),
+      |g AS (SELECT (l_partkey * 65536) // pm AS x,
+      |             (l_suppkey * 65536) // sm AS y
+      |      FROM lineitem, mx),
+      |s1 AS (SELECT x, y, ((x | (x << 8)) & 16711935) AS xa,
+      |                    ((y | (y << 8)) & 16711935) AS ya FROM g),
+      |s2 AS (SELECT x, y, ((xa | (xa << 4)) & 252645135) AS xb,
+      |                    ((ya | (ya << 4)) & 252645135) AS yb FROM s1),
+      |s3 AS (SELECT x, y, ((xb | (xb << 2)) & 858993459) AS xc,
+      |                    ((yb | (yb << 2)) & 858993459) AS yc FROM s2),
+      |s4 AS (SELECT x, y, ((xc | (xc << 1)) & 1431655765) AS xd,
+      |                    ((yc | (yc << 1)) & 1431655765) AS yd FROM s3),
+      |u AS (SELECT 'zorder' AS layout, (xd | (yd << 1)) >> 26 AS zcell, x, y
+      |      FROM s4
+      |      UNION ALL
+      |      SELECT 'linear' AS layout, x >> 10 AS zcell, x, y FROM s4)
+      |SELECT layout, zcell, count(*) AS n_rows,
+      |       min(x) AS x_min, max(x) AS x_max,
+      |       min(y) AS y_min, max(y) AS y_max,
+      |       CAST(CASE WHEN min(x) <= 36863 AND max(x) >= 28672
+      |            THEN 1 ELSE 0 END AS INT) AS hit_x,
+      |       CAST(CASE WHEN min(x) <= 36863 AND max(x) >= 28672
+      |                  AND min(y) <= 36863 AND max(y) >= 28672
+      |            THEN 1 ELSE 0 END AS INT) AS hit_xy
+      |FROM u GROUP BY layout, zcell ORDER BY layout, zcell""".stripMargin
 }

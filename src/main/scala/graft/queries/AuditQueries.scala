@@ -1245,7 +1245,8 @@ object AuditQueries {
       |FROM exp0 LEFT JOIN cnt ON exp0.digit = cnt.digit
       |ORDER BY digit""".stripMargin
 
-  val entries: Seq[(String, Q, String)] = Seq(
+  // lazy: q269 is declared below this list (file keeps numeric order)
+  lazy val entries: Seq[(String, Q, String)] = Seq(
     ("q219_reconciliation", q219, q219Sql),
     ("q207_roc_auc", q207, q207Sql),
     ("q114_chunk_dup_filter", q114, q114Sql),
@@ -1264,5 +1265,93 @@ object AuditQueries {
     ("q127_lsh_recall", q127, q127Sql),
     ("q128_vector_hygiene", q128, q128Sql),
     ("q168_ann_mrr", q168, q168Sql),
-    ("q234_benford_audit", q234, q234Sql))
+    ("q234_benford_audit", q234, q234Sql),
+    ("q269_ndcg", q269, q269Sql))
+
+  // --------------------------------------------------------------- Q269
+  /** nDCG@10 — the third leg of the retrieval-eval shelf (q117 recall
+    * says WHETHER true neighbors surface, q168 MRR says where the BEST
+    * one sits; nDCG grades the WHOLE top-10 — an index that returns 1
+    * relevant doc at rank 1 and an index that returns 10 of them score
+    * the same MRR but very different nDCG, and RAG shortlists consume
+    * the whole page). Relevance = label match (the corpus's ground
+    * truth); the discount table is where cross-engine float death
+    * usually lives (Σ rel/log₂(i+1) — irrational weights, float
+    * summation), so the weights are a PRE-ROUNDED INTEGER table
+    * w(i) = round(10⁶/log₂(i+1)) — the SAME ten literals in both
+    * engines, making DCG, ideal DCG (cumulative-table lookup at
+    * min(10, n_rel)), and ndcg_ppm = dcg·10⁶ div idcg pure BIGINT.
+    *
+    * Scale shape: probes broadcast (the eval tier — q117/q168's
+    * shape), the scored relation shuffles once on probe id, both
+    * windows share that partitioning, and the weight lookup is a
+    * 10-element literal array element_at — no join. */
+  val q269: Q = (s, d) => {
+    // w(i) = round(1e6 / log2(i+1)), i = 1..10 — identical literals in SQL
+    val w = Array(1000000L, 630930L, 500000L, 430677L, 386853L,
+      356207L, 333333L, 315465L, 301030L, 289065L)
+    val cw = w.scanLeft(0L)(_ + _).tail
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val probes = broadcast(e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("pid"), col("label").as("plabel"),
+        col("v").as("pv")))
+    val scored = e.crossJoin(probes).filter(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("plabel"),
+        (col("label") === col("plabel")).cast("long").as("rel"),
+        round(VectorOps.cosine(col("v"), col("pv")), 4).as("sim"),
+        col("vec_id"))
+    val rk = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .withColumn("rk", row_number().over(rk))
+      .withColumn("n_rel", sum(col("rel")).over(Window.partitionBy(col("pid"))))
+      .filter(col("rk") <= 10)
+      .groupBy(col("pid"), col("plabel"), col("n_rel"))
+      .agg(sum(col("rel") * element_at(typedlit(w), col("rk"))).as("dcg_ppm"))
+      .select(col("pid").as("probe_id"), col("plabel").as("label"),
+        col("n_rel"), col("dcg_ppm"),
+        element_at(typedlit(cw),
+          greatest(least(col("n_rel"), lit(10L)), lit(1L)).cast("int"))
+          .as("idcg_ppm"))
+      .withColumn("ndcg_ppm",
+        when(col("n_rel") > 0,
+          expr("dcg_ppm * 1000000 div idcg_ppm")).otherwise(0L))
+      .orderBy(col("probe_id"))
+  }
+
+  val q269Sql: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings),
+      |p AS (SELECT vec_id AS pid, label AS plabel, v AS pv FROM e
+      |      WHERE vec_id < 5),
+      |sc AS (SELECT p.pid, p.plabel,
+      |         CASE WHEN e.label = p.plabel THEN 1 ELSE 0 END AS rel,
+      |         round(list_inner_product(e.v, p.pv)
+      |               / (sqrt(list_inner_product(e.v, e.v))
+      |                  * sqrt(list_inner_product(p.pv, p.pv))), 4) AS sim,
+      |         e.vec_id
+      |       FROM e CROSS JOIN p WHERE e.vec_id <> p.pid),
+      |r AS (SELECT pid, plabel, rel,
+      |        row_number() OVER (PARTITION BY pid
+      |                           ORDER BY sim DESC, vec_id) AS rk,
+      |        sum(rel) OVER (PARTITION BY pid) AS n_rel
+      |      FROM sc),
+      |w AS (SELECT * FROM (VALUES (1, 1000000), (2, 630930), (3, 500000),
+      |        (4, 430677), (5, 386853), (6, 356207), (7, 333333),
+      |        (8, 315465), (9, 301030), (10, 289065)) AS t(rk, wt)),
+      |cw AS (SELECT * FROM (VALUES (1, 1000000), (2, 1630930),
+      |        (3, 2130930), (4, 2561607), (5, 2948460), (6, 3304667),
+      |        (7, 3638000), (8, 3953465), (9, 4254495),
+      |        (10, 4543560)) AS t(k, cwt)),
+      |dcg AS (SELECT pid, plabel, n_rel, sum(rel * wt) AS dcg_ppm
+      |        FROM r JOIN w ON w.rk = r.rk WHERE r.rk <= 10
+      |        GROUP BY 1, 2, 3)
+      |SELECT pid AS probe_id, plabel AS label, CAST(n_rel AS BIGINT) AS n_rel,
+      |       CAST(dcg_ppm AS BIGINT) AS dcg_ppm,
+      |       CAST(cwt AS BIGINT) AS idcg_ppm,
+      |       CAST(CASE WHEN n_rel > 0 THEN (dcg_ppm * 1000000) // cwt
+      |            ELSE 0 END AS BIGINT) AS ndcg_ppm
+      |FROM dcg JOIN cw ON cw.k = greatest(least(n_rel, 10), 1)
+      |ORDER BY probe_id""".stripMargin
 }

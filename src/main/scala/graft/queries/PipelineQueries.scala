@@ -5729,7 +5729,8 @@ object PipelineQueries {
     ("q265_dp_release", q265, q265Sql),
     ("q266_random_walks", q266, q266Sql),
     ("q267_dataset_fingerprint", q267, q267Sql),
-    ("q268_zorder_layout", q268, q268Sql))
+    ("q268_zorder_layout", q268, q268Sql),
+    ("q270_ood_mahalanobis", q270, q270Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type — a p25/p50/p75/p95 grid
@@ -6299,4 +6300,76 @@ object PipelineQueries {
       |                  AND min(y) <= 36863 AND max(y) >= 28672
       |            THEN 1 ELSE 0 END AS INT) AS hit_xy
       |FROM u GROUP BY layout, zcell ORDER BY layout, zcell""".stripMargin
+
+  // --------------------------------------------------------------- Q270
+  /** MAHALANOBIS OOD SCREEN (diagonal covariance) — the embedding-space
+    * outlier detector a curation pipeline runs before training on a new
+    * batch (q128 catches BROKEN vectors — NaN/zero/truncated; this
+    * catches VALID vectors that don't belong to the distribution):
+    * score(x) = Σⱼ (xⱼ−μⱼ)²/σⱼ², the classic OOD baseline (Lee et al.
+    * 2018, diagonal form). Everything stays integer-exact: vectors
+    * quantize once (round(x·1000), the q82/q200 global grid), per-dim
+    * sums (S, Q, n) come from ONE corpus fold, and the z² terms avoid
+    * rational means entirely — zⱼ² = (qⱼ·n − Sⱼ)²/(n·Qⱼ − Sⱼ²), emitted
+    * as term_ppm = dev²·10⁶ div V, summed over dims as ood_ppm (≈ 10⁶
+    * per unit z²·dims), plus the count of dims past 3σ (term > 9·10⁶).
+    * Exact under 2⁶³ while n·|q−μ| < 9.6·10⁷ — n ≤ ~8·10⁴ at this
+    * value range; beyond that, lift dev² to DECIMAL or drop the grid to
+    * round(x·100) (the q174-style documented dial). Top-20 by score.
+    *
+    * Scale shape: the stats fold is one partial-aggregable pass (the
+    * 64-dim explode collapses map-side to 64 rows/task), the 64-entry
+    * (S, V) arrays broadcast as a one-row relation, and scoring is a
+    * scan-local HOF over each vector — no shuffle ever carries the
+    * corpus; the top-20 is a TakeOrdered. */
+  val q270: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))").as("qv"))
+    val stats = e
+      .select(posexplode(col("qv")).as(Seq("j", "q")))
+      .groupBy(col("j"))
+      .agg(sum(col("q")).as("sj"), sum(col("q") * col("q")).as("qj"),
+        count(lit(1)).as("n"))
+      .agg(expr("transform(array_sort(collect_list(struct(j, sj))), p -> p.sj)").as("sarr"),
+        expr("transform(array_sort(collect_list(struct(j, n * qj - sj * sj))), p -> p.col2)").as("varr"),
+        first(col("n")).as("n"))
+    e.crossJoin(broadcast(stats))
+      .withColumn("terms", expr(
+        """transform(sequence(1, 64), j ->
+          |  CASE WHEN element_at(varr, j) > 0
+          |    THEN (element_at(qv, j) * n - element_at(sarr, j))
+          |         * (element_at(qv, j) * n - element_at(sarr, j))
+          |         * CAST(1000000 AS BIGINT) div element_at(varr, j)
+          |    ELSE CAST(0 AS BIGINT) END)""".stripMargin))
+      .select(col("vec_id"), col("label"),
+        expr("aggregate(terms, CAST(0 AS BIGINT), (a, x) -> a + x)").as("ood_ppm"),
+        expr("CAST(size(filter(terms, t -> t > 9000000)) AS BIGINT)").as("dims_over_3sigma"))
+      .orderBy(col("ood_ppm").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  val q270Sql: String =
+    """WITH e AS (SELECT vec_id, label,
+      |         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+      |       FROM embeddings),
+      |ex AS (SELECT j, qv[j] AS q FROM e, UNNEST(generate_series(1, 64)) AS t(j)),
+      |st AS (SELECT j, sum(q) AS sj, sum(q * q) AS qj, count(*) AS n
+      |       FROM ex GROUP BY j),
+      |sa AS (SELECT list(CAST(sj AS BIGINT) ORDER BY j) AS sarr,
+      |              list(CAST(n * qj - sj * sj AS BIGINT) ORDER BY j) AS varr,
+      |              any_value(CAST(n AS BIGINT)) AS n
+      |       FROM st),
+      |sc AS (SELECT vec_id, label,
+      |         list_transform(generate_series(1, 64), j ->
+      |           CASE WHEN varr[j] > 0
+      |             THEN ((qv[j] * n - sarr[j]) * (qv[j] * n - sarr[j])
+      |                   * 1000000) // varr[j]
+      |             ELSE 0 END) AS terms
+      |       FROM e, sa)
+      |SELECT vec_id, label,
+      |       CAST(list_sum(terms) AS BIGINT) AS ood_ppm,
+      |       CAST(len(list_filter(terms, t -> t > 9000000)) AS BIGINT)
+      |         AS dims_over_3sigma
+      |FROM sc ORDER BY ood_ppm DESC, vec_id LIMIT 20""".stripMargin
 }

@@ -78,7 +78,7 @@ object Sinks {
 
   /** Every tag that participates in [[atomicSwap]] — recovery must be
     * able to restore a backup stranded by ANY caller. */
-  private val SwapTags = Seq("compact", "merge", "sketch", "orphans")
+  private val SwapTags = Seq("compact", "merge", "sketch", "orphans", "merkle")
 
   private def allBackups(path: String): Seq[java.nio.file.Path] = {
     val dir = java.nio.file.Paths.get(path)

@@ -393,4 +393,94 @@ object CorpusIngest {
           .write.mode(SaveMode.Append).parquet(outDir): Unit
       }
       .start()
+
+  /** One micro-batch of MERKLE-FINGERPRINT maintenance — q267's
+    * continuous side, completing the data-versioning story: the batch
+    * query fingerprints a corpus snapshot; this keeps the fingerprint
+    * CURRENT as documents arrive, without ever re-reading the corpus.
+    *
+    * The store is q267's LEVEL-1 rows — per (source, doc_id-div-1024
+    * bucket): doc count, char mass, and the SORTED per-doc content-hash
+    * multiset (bounded: ≤ 1024 × 32-hex entries per row) — exactly the
+    * incremental unit the batch query's doc comment promises. A batch
+    * folds to its own level-1 increments (one partial-aggregable pass),
+    * full-joins the store on (source, bucket), and each touched bucket
+    * re-sorts its concatenated multiset; untouched buckets pass through
+    * byte-identical. [[merkleFingerprint]] then folds level 2 from the
+    * store alone — bucket-count-sized, corpus never touched — and is
+    * spec-pinned EQUAL to batch q267 over the ingested prefix for any
+    * batching.
+    *
+    * Replay discipline: multiset concat is NOT idempotent, so this uses
+    * the batch-id transaction rule (the CMS-store pattern, not KMV's
+    * free idempotence): merge only when `batchId` EXCEEDS the stored
+    * high-water mark; a replayed batch finds its id recorded and skips.
+    * The overwrite rides the crash-safe atomic swap with heal-on-entry.
+    * Corollary: one store per checkpoint lineage. */
+  def merkleBatch(batch: DataFrame, fpDir: String, batchId: Long): DataFrame = {
+    val spark = batch.sparkSession
+    graft.core.Sinks.recoverStrandedBackup(fpDir)
+    val stored =
+      if (new java.io.File(fpDir).isDirectory)
+        Some(spark.read.parquet(fpDir)
+          .select("source", "bucket", "n_docs", "n_chars", "hs", "batch_id"))
+      else None
+    val storedId = stored.map(_.agg(max(col("batch_id"))).head().getLong(0))
+      .getOrElse(-1L)
+    if (batchId <= storedId) return spark.read.parquet(fpDir)
+    val inc = batch
+      .select(col("source"), expr("doc_id div 1024").as("bucket"),
+        md5(col("text")).as("h"), col("n_chars"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+        collect_list(col("h")).as("hs"))
+    val emptyArr = array().cast("array<string>")
+    val merged = stored match {
+      case Some(st) =>
+        inc.join(st.select(col("source"), col("bucket"),
+            col("n_docs").as("od"), col("n_chars").as("oc"), col("hs").as("oh")),
+            Seq("source", "bucket"), "full")
+          .select(col("source"), col("bucket"),
+            (coalesce(col("n_docs"), lit(0L)) + coalesce(col("od"), lit(0L))).as("n_docs"),
+            (coalesce(col("n_chars"), lit(0L)) + coalesce(col("oc"), lit(0L))).as("n_chars"),
+            array_sort(concat(coalesce(col("hs"), emptyArr),
+              coalesce(col("oh"), emptyArr))).as("hs"))
+      case None =>
+        inc.select(col("source"), col("bucket"), col("n_docs"),
+          col("n_chars"), array_sort(col("hs")).as("hs"))
+    }
+    // materialize BEFORE overwriting the store the lineage reads
+    val out = merged.withColumn("batch_id", lit(batchId)).localCheckpoint()
+    graft.core.Sinks.atomicSwap(fpDir, "merkle") { tmp =>
+      out.write.parquet(tmp)
+    }
+    out
+  }
+
+  /** Level-2 fold over the stored level-1 rows: per source the Merkle
+    * root + dataset-card counts — SAME columns, SAME values as batch
+    * q267 over the ingested document set (spec-pinned). Bucket-count-
+    * sized input; the corpus is never read. */
+  def merkleFingerprint(store: DataFrame): DataFrame =
+    store
+      .select(col("source"), col("n_docs"), col("n_chars"),
+        md5(concat_ws("", col("hs"))).as("d1"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"), count(lit(1)).as("n_buckets"),
+        sum(col("n_chars")).as("n_chars"),
+        md5(concat_ws("", array_sort(collect_list(col("d1"))))).as("fingerprint"))
+      .orderBy(col("source"))
+
+  /** The continuous form of [[merkleBatch]]. */
+  def startMerkleMaintenance(docs: DataFrame, fpDir: String,
+                             checkpointDir: String,
+                             trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        merkleBatch(batch, fpDir, batchId): Unit
+      }
+      .start()
 }

@@ -5730,7 +5730,8 @@ object PipelineQueries {
     ("q266_random_walks", q266, q266Sql),
     ("q267_dataset_fingerprint", q267, q267Sql),
     ("q268_zorder_layout", q268, q268Sql),
-    ("q270_ood_mahalanobis", q270, q270Sql))
+    ("q270_ood_mahalanobis", q270, q270Sql),
+    ("q271_t_closeness", q271, q271Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type — a p25/p50/p75/p95 grid
@@ -6372,4 +6373,83 @@ object PipelineQueries {
       |       CAST(len(list_filter(terms, t -> t > 9000000)) AS BIGINT)
       |         AS dims_over_3sigma
       |FROM sc ORDER BY ood_ppm DESC, vec_id LIMIT 20""".stripMargin
+
+  // --------------------------------------------------------------- Q271
+  /** T-CLOSENESS audit — the privacy trio's third gate (q253: every
+    * row hides in a crowd of ≥ k; q264: the crowd doesn't all share
+    * the secret; this: the crowd's secret DISTRIBUTION doesn't differ
+    * from the table's — a class that is 90% URGENT leaks "probably
+    * urgent" even at high k and l; Li et al. 2007). Sensitive =
+    * order priority, an ORDERED attribute, so the paper's EMD is the
+    * ordinal form: t = (1/(m−1))·Σᵢ |Σ_{j≤i}(pⱼ−qⱼ)| over the value
+    * order. The cumulative differences stay RATIONAL on the common
+    * denominator n_c·N — numᵢ = cum_class·N − cum_global·n_c — so
+    * t_ppm = 10⁶·Σ|numᵢ| div ((m−1)·n_c·N) is pure BIGINT (exact
+    * while n_c·N < ~9·10¹⁵ — beyond that the DECIMAL lift, the
+    * documented dial). Per class: size, t_ppm, and the breach flag at
+    * the paper's t > 0.2 example threshold.
+    *
+    * Scale shape: ONE corpus fold to (class, value) counts — the only
+    * exchange that sees data; the dense class×value grid (a class
+    * missing a value still accumulates its deficit), the cumulative
+    * window, and the audit rows are all classes×m-sized. */
+  val q271: Q = (s, d) => {
+    val rows = t(s, d, "customer")
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        col("o_orderpriority").as("v"))
+    val cv = graft.core.Pins.pin(rows
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("v"))
+      .agg(count(lit(1)).as("cnt")))
+    val nc = cv.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(sum(col("cnt")).as("n_c"))
+    val gv = cv.groupBy(col("v")).agg(sum(col("cnt")).as("g_cnt"))
+    val tot = broadcast(gv.agg(sum(col("g_cnt")).as("n_total"),
+      count(lit(1)).as("m")))
+    val grid = nc.crossJoin(broadcast(gv)).crossJoin(tot)
+      .join(cv, Seq("c_nationkey", "c_mktsegment", "v"), "left")
+      .na.fill(0L, Seq("cnt"))
+    val w = Window.partitionBy(col("c_nationkey"), col("c_mktsegment"))
+      .orderBy(col("v"))
+    grid
+      .withColumn("cum_c", sum(col("cnt")).over(w))
+      .withColumn("cum_g", sum(col("g_cnt")).over(w))
+      .withColumn("num", abs(col("cum_c") * col("n_total") - col("cum_g") * col("n_c")))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("n_c"),
+        col("n_total"), col("m"))
+      .agg(sum(col("num")).as("s"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("n_c"),
+        expr("s * 1000000 div ((m - 1) * n_c * n_total)").as("t_ppm"))
+      .withColumn("breach", (col("t_ppm") > 200000L).cast("int"))
+      .orderBy(col("t_ppm").desc, col("c_nationkey"), col("c_mktsegment"))
+  }
+
+  val q271Sql: String =
+    """WITH r AS (SELECT c_nationkey, c_mktsegment, o_orderpriority AS v
+      |       FROM customer JOIN orders ON c_custkey = o_custkey),
+      |cv AS (SELECT c_nationkey, c_mktsegment, v,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |       FROM r GROUP BY 1, 2, 3),
+      |nc AS (SELECT c_nationkey, c_mktsegment, sum(cnt) AS n_c
+      |       FROM cv GROUP BY 1, 2),
+      |gv AS (SELECT v, sum(cnt) AS g_cnt FROM cv GROUP BY 1),
+      |tot AS (SELECT sum(g_cnt) AS n_total, count(*) AS m FROM gv),
+      |grid AS (SELECT nc.c_nationkey, nc.c_mktsegment, nc.n_c, gv.v,
+      |           gv.g_cnt, tot.n_total, tot.m, coalesce(cv.cnt, 0) AS cnt
+      |         FROM nc CROSS JOIN gv CROSS JOIN tot
+      |         LEFT JOIN cv ON cv.c_nationkey = nc.c_nationkey
+      |           AND cv.c_mktsegment = nc.c_mktsegment AND cv.v = gv.v),
+      |cum AS (SELECT c_nationkey, c_mktsegment, n_c, n_total, m,
+      |          abs(sum(cnt) OVER w * n_total
+      |              - sum(g_cnt) OVER w * n_c) AS num
+      |        FROM grid
+      |        WINDOW w AS (PARTITION BY c_nationkey, c_mktsegment
+      |                     ORDER BY v))
+      |SELECT c_nationkey, c_mktsegment, CAST(n_c AS BIGINT) AS n_c,
+      |       CAST(sum(num) * 1000000 // ((m - 1) * n_c * n_total)
+      |            AS BIGINT) AS t_ppm,
+      |       CAST(CASE WHEN sum(num) * 1000000 // ((m - 1) * n_c * n_total)
+      |                      > 200000 THEN 1 ELSE 0 END AS INT) AS breach
+      |FROM cum GROUP BY c_nationkey, c_mktsegment, n_c, n_total, m
+      |ORDER BY t_ppm DESC, c_nationkey, c_mktsegment""".stripMargin
 }

@@ -5731,7 +5731,8 @@ object PipelineQueries {
     ("q267_dataset_fingerprint", q267, q267Sql),
     ("q268_zorder_layout", q268, q268Sql),
     ("q270_ood_mahalanobis", q270, q270Sql),
-    ("q271_t_closeness", q271, q271Sql))
+    ("q271_t_closeness", q271, q271Sql),
+    ("q272_pca_power", q272, q272Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type — a p25/p50/p75/p95 grid
@@ -6452,4 +6453,107 @@ object PipelineQueries {
       |                      > 200000 THEN 1 ELSE 0 END AS INT) AS breach
       |FROM cum GROUP BY c_nationkey, c_mktsegment, n_c, n_total, m
       |ORDER BY t_ppm DESC, c_nationkey, c_mktsegment""".stripMargin
+
+  // --------------------------------------------------------------- Q272
+  /** DISTRIBUTED PCA, top principal direction — the embedding-prep
+    * step between hygiene (q128/q270) and indexing (q30/q74): the
+    * leading eigenvector of the covariance matrix via POWER ITERATION,
+    * the one PCA algorithm whose distributed shape is exactly one
+    * partial-aggregable fold. The corpus crosses the wire ONCE as the
+    * second-moment cells (j, k) → (n, sⱼ, Gⱼₖ) — 64×65 struct cells
+    * exploded scan-side collapse map-side to ≤ 4160 rows/task (the
+    * Gramian-fold pattern; at 100 TB the shuffle still carries 4160
+    * rows/task, nothing else). The centered matrix C = n·G − s·sᵀ
+    * (= n²·cov, PSD) is MODEL-SIZED (64² longs), so the six power
+    * steps run driver-side — like the BPE merge table and the k-means
+    * centroids, training on the fold artifact, and replayed STEP FOR
+    * STEP in the oracle's SQL. Every step is exact integer arithmetic:
+    * v₀ = 10⁴·1; w = C·v; v' = sign(w)·(|w| div (max|w| div 10⁴ + 1))
+    * — sign split so truncation-toward-zero agrees across engines —
+    * and λ = ⌊vᵀCv / vᵀv⌋ (= n²·λ(cov_q), Rayleigh, BigInt-exact).
+    * No float exists anywhere, so convergence is irrelevant to
+    * correctness: both engines replay the same six steps bit-for-bit.
+    * Bounds: |C| ≤ ~3·10¹²  ⇒ |w| ≤ 64·|C|·10⁴ ≈ 2·10¹⁸ < 2⁶³ at
+    * n = 2000; larger corpora drop the grid to round(x·100) or lift
+    * the matvec to DECIMAL — the documented dial. */
+  val q272: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+      .select(expr("transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))").as("qv"))
+    // upper triangle only (k ≥ j, plus the k = 0 moment cells): G is
+    // symmetric, so the fold ships half the cells and the driver mirrors
+    val cells = e.select(explode(expr(
+      """flatten(transform(sequence(1, 64), j ->
+        |  transform(concat(array(0), sequence(j, 64)), k -> struct(
+        |    j AS j, k AS k,
+        |    CASE WHEN k = 0 THEN element_at(qv, j)
+        |         ELSE element_at(qv, j) * element_at(qv, k) END AS p))))"""
+        .stripMargin)).as("c"))
+      .select(col("c.j"), col("c.k"), col("c.p"))
+      .groupBy(col("j"), col("k"))
+      .agg(sum(col("p")).as("v"), count(lit(1)).as("n"))
+      .collect()
+    val n = cells.head.getLong(3)
+    val sVec = new Array[Long](65)
+    val g = Array.ofDim[Long](65, 65)
+    cells.foreach { r =>
+      val (j, k, v) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      if (k == 0) sVec(j) = v else { g(j)(k) = v; g(k)(j) = v }
+    }
+    val c = Array.tabulate(65, 65) { (j, k) =>
+      if (j == 0 || k == 0) 0L else n * g(j)(k) - sVec(j) * sVec(k)
+    }
+    var v = Array.fill(65)(10000L); v(0) = 0L
+    def matvec(x: Array[Long]): Array[Long] =
+      Array.tabulate(65)(j => (1 to 64).map(k => c(j)(k) * x(k)).sum)
+    for (_ <- 1 to 6) {
+      val w = matvec(v)
+      val m = w.map(math.abs).max
+      val den = m / 10000L + 1L
+      v = w.map(x => if (x < 0) -((-x) / den) else x / den)
+    }
+    val w7 = matvec(v)
+    val num = (1 to 64).map(j => BigInt(v(j)) * w7(j)).sum
+    val den2 = (1 to 64).map(j => BigInt(v(j)) * v(j)).sum
+    val lambda = (num / den2).toLong
+    import s.implicits._
+    (1 to 64).map(j => (j.toLong, v(j), lambda))
+      .toDF("dim", "v_e4", "lambda_n2")
+      .orderBy(col("dim"))
+  }
+
+  val q272Sql: String = {
+    // six unrolled power steps: wI = C·v(I-1); vI = sign-split rescale
+    val steps = (1 to 6).map { i =>
+      s"""w$i AS (SELECT c.j, sum(c.c * v${i - 1}.x) AS w FROM c
+         |       JOIN v${i - 1} ON v${i - 1}.j = c.k GROUP BY c.j),
+         |m$i AS (SELECT max(abs(w)) // 10000 + 1 AS den FROM w$i),
+         |v$i AS (SELECT j, CASE WHEN w < 0 THEN -((-w) // den)
+         |                  ELSE w // den END AS x FROM w$i, m$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT list_transform(embedding,
+       |         x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+       |       FROM embeddings),
+       |ex AS (SELECT j, qv[j] AS qj, qv FROM e,
+       |       UNNEST(generate_series(1, 64)) AS t(j)),
+       |ex2 AS (SELECT j, k, qj, qv[k] AS qk FROM ex,
+       |        UNNEST(generate_series(1, 64)) AS u(k)),
+       |g AS (SELECT j, k, sum(qj * qk) AS gjk FROM ex2 GROUP BY 1, 2),
+       |sv AS (SELECT j, sum(qj) AS sj, count(*) AS n FROM ex GROUP BY 1),
+       |c AS (SELECT g.j, g.k,
+       |        CAST(s1.n * g.gjk - s1.sj * s2.sj AS BIGINT) AS c
+       |      FROM g JOIN sv s1 ON s1.j = g.j JOIN sv s2 ON s2.j = g.k),
+       |v0 AS (SELECT unnest(generate_series(1, 64)) AS j,
+       |              CAST(10000 AS BIGINT) AS x),
+       |$steps,
+       |w7 AS (SELECT c.j, sum(c.c * v6.x) AS w FROM c
+       |       JOIN v6 ON v6.j = c.k GROUP BY c.j),
+       |ray AS (SELECT CAST(sum(CAST(v6.x AS HUGEINT) * w7.w)
+       |                    // sum(CAST(v6.x AS HUGEINT) * v6.x)
+       |               AS BIGINT) AS lambda_n2
+       |        FROM v6 JOIN w7 ON w7.j = v6.j)
+       |SELECT CAST(v6.j AS BIGINT) AS dim, CAST(v6.x AS BIGINT) AS v_e4,
+       |       ray.lambda_n2
+       |FROM v6, ray ORDER BY dim""".stripMargin
+  }
 }

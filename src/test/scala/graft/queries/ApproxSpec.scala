@@ -287,4 +287,29 @@ class ApproxSpec extends SparkSpec {
     assert(changed(src0) != base(src0), "edit must flip the source fingerprint")
     (base.keySet - src0).foreach(k => assert(changed(k) == base(k), s"$k must be unchanged"))
   }
+
+  test("q272 power iteration recovers a planted principal direction") {
+    import org.apache.spark.sql.functions._
+    // corpus = t·u + small fixed cross-noise: the top eigenvector is u
+    val rnd = new scala.util.Random(13)
+    val u = Array.tabulate(64)(j => math.sin(j + 1.0)) // fixed direction
+    val un = math.sqrt(u.map(x => x * x).sum)
+    val rows = (0 until 400).map { i =>
+      val t = (i % 21 - 10).toDouble // symmetric spread along u
+      val v = Array.tabulate(64)(j =>
+        (t * u(j) / un + 0.02 * rnd.nextGaussian()).toFloat)
+      (i.toLong, v, i % 3)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("pca").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = PipelineQueries.q272(spark, dir)
+      .select("dim", "v_e4", "lambda_n2").as[(Long, Long, Long)].collect()
+    assert(got.length == 64 && got.map(_._1).toSeq == (1L to 64L))
+    val v = got.sortBy(_._1).map(_._2.toDouble)
+    val dot = v.zip(u).map { case (a, b) => a * b / un }.sum
+    val cos = math.abs(dot) / math.sqrt(v.map(x => x * x).sum)
+    assert(cos > 0.99, s"recovered direction cos=$cos")
+    assert(got.head._3 > 0L, "Rayleigh quotient of a PSD matrix")
+  }
 }

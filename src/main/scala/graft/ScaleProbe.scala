@@ -1215,6 +1215,28 @@ object ScaleProbe {
       pair("skew261_survival", "q261_survival_hazard")
       pair("skew250_batching", "q250_length_batching")
     }
+
+    // --- round 10 additions at 10×: q268 is a scan-local key + a
+    // ≤ 4096-row cube fold (wall must track the scan); q271's only
+    // data exchange is the (class, value) count fold; q272's Gramian
+    // cells collapse map-side to ≤ 2145 rows/task (embeddings are
+    // dimension-sized in the shared 10× dir — its 10× axis is ROWS,
+    // probed via the replicated vectors table q252/q255 use); q273's
+    // single-long-key count fold is the intrinsic term — expect wall
+    // ∝ scan, flat per-row cost, nothing super-linear.
+    if (want("q268", "q271", "q273")) {
+      def both(label: String, name: String): Unit = {
+        time(f"$label%-22s sf0.1")(
+          graft.SparkEntry.queries(name)(spark, src).count())
+        graft.core.Pins.release()
+        time(f"$label%-22s sf1.0")(
+          graft.SparkEntry.queries(name)(spark, out).count())
+        graft.core.Pins.release()
+      }
+      both("q268_zorder", "q268_zorder_layout")
+      both("q271_tclose", "q271_t_closeness")
+      both("q273_joinest", "q273_join_size_est")
+    }
     spark.stop()
   }
 }

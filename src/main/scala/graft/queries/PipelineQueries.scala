@@ -5733,7 +5733,8 @@ object PipelineQueries {
     ("q270_ood_mahalanobis", q270, q270Sql),
     ("q271_t_closeness", q271, q271Sql),
     ("q272_pca_power", q272, q272Sql),
-    ("q273_join_size_est", q273, q273Sql))
+    ("q273_join_size_est", q273, q273Sql),
+    ("q274_json_schema_profile", q274, q274Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type — a p25/p50/p75/p95 grid
@@ -6701,4 +6702,109 @@ object PipelineQueries {
        |${edge("events-events", "events", "user_id", "events", "user_id")}
        |) ORDER BY edge""".stripMargin
   }
+
+  // --------------------------------------------------------------- Q274
+  /** JSON SCHEMA PROFILER — semi-structured ingestion's first query
+    * (q28 extracts a KNOWN path; this DISCOVERS the schema): per key
+    * path, how often it appears and what types live under it — the
+    * type-drift report that decides whether a feed can be promoted to
+    * typed columns (a key that is int in 3 shapes and string in 1 is
+    * exactly the drift that silently nulls a downstream CAST). The
+    * fixture's `props` is single-shape, so the profiled column is a
+    * CONSTRUCTED four-shape JSON mix (deterministic per event id —
+    * type-drifted "k", a bool, a float, a nested object) exercising
+    * the discovery path: keys via json_object_keys + explode, value
+    * text via get_json_object at the dynamic path, type by regex
+    * class over the unquoted text (int/float/bool/object/string —
+    * the same regexes in both engines; VALUES never reach the output,
+    * only class counts, so engine-specific double rendering can't
+    * diverge the hash). presence_ppm = n·10⁶ div total events.
+    *
+    * Scale shape: parse + keys-explode are scan-local (≤ 3 keys/row),
+    * the only exchange is the key-path count fold (keys-sized output);
+    * nothing else moves. */
+  val q274: Q = (s, d) => {
+    val ev = t(s, d, "events")
+    val total = ev.agg(count(lit(1)).as("n_total"))
+    val j = expr(
+      """CASE CAST(pmod(event_id, 4) AS INT)
+        |  WHEN 0 THEN props
+        |  WHEN 1 THEN concat('{"k": "', event_type, '", "tag": "',
+        |                     event_type, '"}')
+        |  WHEN 2 THEN concat('{"amount": ', CAST(value AS STRING),
+        |                     ', "flag": ', CAST(user_id % 2 = 0 AS STRING), '}')
+        |  ELSE '{"nested": {"d": 1}, "k": 5}' END""".stripMargin)
+    ev.select(j.as("j"))
+      // ONE JSON parse per row: from_json to map<string,string> renders
+      // scalars unquoted and nested objects as compact JSON text —
+      // json_object_keys + per-key get_json_object re-parses the
+      // document per key (measured 1.6 s; this form ~1 s)
+      .select(explode(from_json(col("j"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType))).as(Seq("key", "v")))
+      .select(col("key"),
+        when(col("v").rlike("^-?[0-9]+$"), "int")
+          .when(col("v").rlike("^-?[0-9]+\\.[0-9]+([eE][+-]?[0-9]+)?$"), "float")
+          .when(col("v").isin("true", "false"), "bool")
+          .when(col("v").startsWith("{"), "object")
+          .otherwise("string").as("ty"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ty") === "int", 1L).otherwise(0L)).as("n_int"),
+        sum(when(col("ty") === "float", 1L).otherwise(0L)).as("n_float"),
+        sum(when(col("ty") === "bool", 1L).otherwise(0L)).as("n_bool"),
+        sum(when(col("ty") === "object", 1L).otherwise(0L)).as("n_object"),
+        sum(when(col("ty") === "string", 1L).otherwise(0L)).as("n_string"))
+      .crossJoin(broadcast(total))
+      .select(col("key"), col("n"), col("n_int"), col("n_float"),
+        col("n_bool"), col("n_object"), col("n_string"),
+        expr("n * 1000000 div n_total").as("presence_ppm"),
+        (expr(
+          """(CASE WHEN n_int > 0 THEN 1 ELSE 0 END) +
+            |(CASE WHEN n_float > 0 THEN 1 ELSE 0 END) +
+            |(CASE WHEN n_bool > 0 THEN 1 ELSE 0 END) +
+            |(CASE WHEN n_object > 0 THEN 1 ELSE 0 END) +
+            |(CASE WHEN n_string > 0 THEN 1 ELSE 0 END)""".stripMargin) > 1)
+          .cast("int").as("type_drift"))
+      .orderBy(col("key"))
+  }
+
+  val q274Sql: String =
+    """WITH ev AS (SELECT CASE CAST(event_id % 4 AS INT)
+      |    WHEN 0 THEN props
+      |    WHEN 1 THEN concat('{"k": "', event_type, '", "tag": "',
+      |                       event_type, '"}')
+      |    WHEN 2 THEN concat('{"amount": ', CAST(value AS VARCHAR),
+      |                       ', "flag": ', CAST(user_id % 2 = 0 AS VARCHAR), '}')
+      |    ELSE '{"nested": {"d": 1}, "k": 5}' END AS j
+      |  FROM events),
+      |tot AS (SELECT count(*) AS n_total FROM ev),
+      |kv AS (SELECT u.key,
+      |         json_extract_string(ev.j, '$.' || u.key) AS v
+      |       FROM ev, UNNEST(json_keys(ev.j)) AS u(key)),
+      |ty AS (SELECT key,
+      |         CASE WHEN regexp_matches(v, '^-?[0-9]+$') THEN 'int'
+      |              WHEN regexp_matches(v,
+      |                '^-?[0-9]+\.[0-9]+([eE][+-]?[0-9]+)?$') THEN 'float'
+      |              WHEN v IN ('true', 'false') THEN 'bool'
+      |              WHEN v LIKE '{%' THEN 'object'
+      |              ELSE 'string' END AS ty
+      |       FROM kv)
+      |SELECT key, count(*) AS n,
+      |       CAST(sum(CASE WHEN ty = 'int' THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+      |       CAST(sum(CASE WHEN ty = 'float' THEN 1 ELSE 0 END) AS BIGINT) AS n_float,
+      |       CAST(sum(CASE WHEN ty = 'bool' THEN 1 ELSE 0 END) AS BIGINT) AS n_bool,
+      |       CAST(sum(CASE WHEN ty = 'object' THEN 1 ELSE 0 END) AS BIGINT) AS n_object,
+      |       CAST(sum(CASE WHEN ty = 'string' THEN 1 ELSE 0 END) AS BIGINT) AS n_string,
+      |       CAST(count(*) * 1000000 // (SELECT n_total FROM tot) AS BIGINT)
+      |         AS presence_ppm,
+      |       CAST(CASE WHEN
+      |         (CASE WHEN sum(CASE WHEN ty = 'int' THEN 1 ELSE 0 END) > 0 THEN 1 ELSE 0 END) +
+      |         (CASE WHEN sum(CASE WHEN ty = 'float' THEN 1 ELSE 0 END) > 0 THEN 1 ELSE 0 END) +
+      |         (CASE WHEN sum(CASE WHEN ty = 'bool' THEN 1 ELSE 0 END) > 0 THEN 1 ELSE 0 END) +
+      |         (CASE WHEN sum(CASE WHEN ty = 'object' THEN 1 ELSE 0 END) > 0 THEN 1 ELSE 0 END) +
+      |         (CASE WHEN sum(CASE WHEN ty = 'string' THEN 1 ELSE 0 END) > 0 THEN 1 ELSE 0 END)
+      |         > 1 THEN 1 ELSE 0 END AS INT) AS type_drift
+      |FROM ty GROUP BY key ORDER BY key""".stripMargin
 }

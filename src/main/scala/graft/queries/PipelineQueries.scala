@@ -5734,7 +5734,8 @@ object PipelineQueries {
     ("q271_t_closeness", q271, q271Sql),
     ("q272_pca_power", q272, q272Sql),
     ("q273_join_size_est", q273, q273Sql),
-    ("q274_json_schema_profile", q274, q274Sql))
+    ("q274_json_schema_profile", q274, q274Sql),
+    ("q275_phrase_search", q275, q275Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type — a p25/p50/p75/p95 grid
@@ -6807,4 +6808,55 @@ object PipelineQueries {
       |         (CASE WHEN sum(CASE WHEN ty = 'string' THEN 1 ELSE 0 END) > 0 THEN 1 ELSE 0 END)
       |         > 1 THEN 1 ELSE 0 END AS INT) AS type_drift
       |FROM ty GROUP BY key ORDER BY key""".stripMargin
+
+  // --------------------------------------------------------------- Q275
+  /** PHRASE SEARCH (positional match) — the retrieval shelf's exact-
+    * phrase tier (q62 BM25 ranks BAGS of terms; "new york times" ≠
+    * "times new york" needs POSITIONS): per (phrase, doc), the count
+    * of positions i where tokens[i..i+2] equals the phrase — the
+    * inverted-index positional-postings semantics, evaluated here as
+    * a scan-local HOF (one token split per doc, a filtered position
+    * sequence per phrase — zero shuffle before the output sort; with
+    * the q62 postings table extended by a position column, the same
+    * probe touches only the phrase's term buckets — the index path,
+    * the at-scale dial). Three probe phrases ride a 3-row broadcast;
+    * docs shorter than the phrase are excluded identically on both
+    * sides (Spark's sequence(1, n) DESCENDS for n < 1 where DuckDB's
+    * generate_series returns empty — the guard pins the engines to
+    * the same domain). */
+  val q275: Q = (s, d) => {
+    import s.implicits._
+    val phrases = broadcast(Seq(
+      ("slow hash batch", "slow", "hash", "batch"),
+      ("part filter scan", "part", "filter", "scan"),
+      ("row column sort", "row", "column", "sort"))
+      .toDF("phrase", "w1", "w2", "w3"))
+    t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .crossJoin(phrases)
+      .select(col("phrase"), col("doc_id"),
+        expr("""CAST(size(filter(sequence(1, size(ts) - 2), i ->
+          |  element_at(ts, i) = w1 AND element_at(ts, i + 1) = w2
+          |  AND element_at(ts, i + 2) = w3)) AS BIGINT)"""
+          .stripMargin).as("n_matches"))
+      .filter(col("n_matches") > 0)
+      .orderBy(col("phrase"), col("doc_id"))
+  }
+
+  val q275Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+      |           FROM documents),
+      |ph AS (SELECT * FROM (VALUES
+      |        ('slow hash batch', 'slow', 'hash', 'batch'),
+      |        ('part filter scan', 'part', 'filter', 'scan'),
+      |        ('row column sort', 'row', 'column', 'sort'))
+      |       AS v(phrase, w1, w2, w3)),
+      |m AS (SELECT phrase, doc_id,
+      |        CAST(len(list_filter(generate_series(1, len(ts) - 2), i ->
+      |          ts[i] = w1 AND ts[i + 1] = w2 AND ts[i + 2] = w3))
+      |          AS BIGINT) AS n_matches
+      |      FROM t CROSS JOIN ph WHERE len(ts) >= 3)
+      |SELECT phrase, doc_id, n_matches FROM m WHERE n_matches > 0
+      |ORDER BY phrase, doc_id""".stripMargin
 }

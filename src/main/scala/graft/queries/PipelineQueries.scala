@@ -5735,7 +5735,8 @@ object PipelineQueries {
     ("q272_pca_power", q272, q272Sql),
     ("q273_join_size_est", q273, q273Sql),
     ("q274_json_schema_profile", q274, q274Sql),
-    ("q275_phrase_search", q275, q275Sql))
+    ("q275_phrase_search", q275, q275Sql),
+    ("q276_survivorship", q276, q276Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type — a p25/p50/p75/p95 grid
@@ -6859,4 +6860,98 @@ object PipelineQueries {
       |      FROM t CROSS JOIN ph WHERE len(ts) >= 3)
       |SELECT phrase, doc_id, n_matches FROM m WHERE n_matches > 0
       |ORDER BY phrase, doc_id""".stripMargin
+
+  // --------------------------------------------------------------- Q276
+  /** SURVIVORSHIP (golden record) — what entity resolution is FOR:
+    * q52 finds the duplicate clusters, q203 links records; this MERGES
+    * each multi-member cluster into the one record downstream actually
+    * keeps, under declared survivorship rules (the MDM discipline —
+    * every rule deterministic with a stated tie-break, because a
+    * golden record that depends on row order isn't golden): canonical
+    * doc = longest text (tie: lowest id), language = modal value (tie:
+    * lexicographic), provenance = distinct-source count + total char
+    * mass + member count. Clusters come from the same memoized LSH
+    * pair artifact as q52/q177 (bucketed candidates, never all-pairs);
+    * everything after the component assignment is CLUSTER-sized — the
+    * mode fold, the canonical row_number window (partitioned by
+    * component), and the audit join all ride relations no bigger than
+    * the duplicate population. The oracle replays the q19/q52 CTEs
+    * (recursive closure) plus the same rules relationally. */
+  val q276: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val comp = graft.operators.DedupClusters.assignAll(docs, lshPairsFor(s, d))
+    val m = graft.core.Pins.pin(comp.join(docs, "doc_id")
+      .select(col("component"), col("doc_id"), col("lang"),
+        col("source"), col("n_chars")))
+    val base = m.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("doc_id")).as("rep_id"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).as("total_chars"))
+      .filter(col("n_members") >= 2)
+    val wCan = Window.partitionBy(col("component"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val canonical = m.withColumn("rn", row_number().over(wCan))
+      .filter(col("rn") === 1)
+      .select(col("component"), col("doc_id").as("canonical_id"),
+        col("n_chars").as("canonical_chars"))
+    val wLang = Window.partitionBy(col("component"))
+      .orderBy(col("cnt").desc, col("lang"))
+    val langMode = m.groupBy(col("component"), col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(wLang))
+      .filter(col("rn") === 1)
+      .select(col("component"), col("lang").as("lang_mode"))
+    base.join(canonical, "component").join(langMode, "component")
+      .select(col("component"), col("n_members"), col("rep_id"),
+        col("canonical_id"), col("canonical_chars"), col("lang_mode"),
+        col("n_sources"), col("total_chars"))
+      .orderBy(col("component"))
+  }
+
+  val q276Sql: String = {
+    val sigCols = Seeds.map(i =>
+      s"list_min(list_transform(sh, x -> md5('$i' || '|' || x))) AS h$i").mkString(", ")
+    val bandCond = (0 until 4).map(b =>
+      s"(a.h${2 * b} = b.h${2 * b} AND a.h${2 * b + 1} = b.h${2 * b + 1})").mkString(" OR ")
+    s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |shl AS (SELECT doc_id, list_distinct(list_transform(
+       |          generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' '))) AS sh
+       |        FROM toks),
+       |sig AS (SELECT doc_id, sh, $sigCols FROM shl),
+       |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS sha, b.sh AS shb
+       |         FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandCond)),
+       |pairs AS (SELECT a_id, b_id FROM cand
+       |          WHERE round(CAST(len(list_intersect(sha, shb)) AS DOUBLE)
+       |                / (len(sha) + len(shb) - len(list_intersect(sha, shb))), 4) >= 0.5),
+       |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |          UNION SELECT b_id, a_id FROM pairs),
+       |reach AS (SELECT u, v FROM edges
+       |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
+       |         FROM reach GROUP BY u),
+       |m AS (SELECT coalesce(c.component, d.doc_id) AS component, d.doc_id,
+       |        d.lang, d.source, d.n_chars
+       |      FROM documents d LEFT JOIN comp c USING (doc_id)),
+       |base AS (SELECT component, CAST(count(*) AS BIGINT) AS n_members,
+       |           min(doc_id) AS rep_id,
+       |           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       |           CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |         FROM m GROUP BY 1 HAVING count(*) >= 2),
+       |can AS (SELECT component, doc_id AS canonical_id,
+       |          n_chars AS canonical_chars
+       |        FROM (SELECT m.*, row_number() OVER (PARTITION BY component
+       |                ORDER BY n_chars DESC, doc_id) AS rn FROM m)
+       |        WHERE rn = 1),
+       |lm AS (SELECT component, lang AS lang_mode
+       |       FROM (SELECT component, lang, count(*) AS cnt,
+       |               row_number() OVER (PARTITION BY component
+       |                 ORDER BY count(*) DESC, lang) AS rn
+       |             FROM m GROUP BY component, lang)
+       |       WHERE rn = 1)
+       |SELECT base.component, n_members, rep_id, canonical_id,
+       |       canonical_chars, lang_mode, n_sources, total_chars
+       |FROM base JOIN can USING (component) JOIN lm USING (component)
+       |ORDER BY component""".stripMargin
+  }
 }

@@ -6741,16 +6741,8 @@ object PipelineQueries {
       // scalars unquoted and nested objects as compact JSON text —
       // json_object_keys + per-key get_json_object re-parses the
       // document per key (measured 1.6 s; this form ~1 s)
-      .select(explode(from_json(col("j"),
-        org.apache.spark.sql.types.MapType(
-          org.apache.spark.sql.types.StringType,
-          org.apache.spark.sql.types.StringType))).as(Seq("key", "v")))
-      .select(col("key"),
-        when(col("v").rlike("^-?[0-9]+$"), "int")
-          .when(col("v").rlike("^-?[0-9]+\\.[0-9]+([eE][+-]?[0-9]+)?$"), "float")
-          .when(col("v").isin("true", "false"), "bool")
-          .when(col("v").startsWith("{"), "object")
-          .otherwise("string").as("ty"))
+      .select(graft.functions.JsonOps.keyValues(col("j")).as(Seq("key", "v")))
+      .select(col("key"), graft.functions.JsonOps.typeClass(col("v")).as("ty"))
       .groupBy(col("key"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("ty") === "int", 1L).otherwise(0L)).as("n_int"),

@@ -1318,4 +1318,80 @@ object EventStream {
         profileBatch(batch, batchId, profDir)
       }
       .start()
+
+  /** Continuous SCHEMA-DRIFT monitor — q274's streaming twin: the batch
+    * profiler reads a snapshot; this watches a semi-structured feed AS
+    * IT ARRIVES and alerts the moment a key's type set grows (the int
+    * key that starts arriving as a string is caught at the batch that
+    * introduced it, not in tomorrow's profile run). Each micro-batch
+    * folds its (key, type-class) counts through the SAME
+    * [[graft.functions.JsonOps]] kernels the batch query uses (one
+    * shared definition, two consumers), and merges into the store by
+    * integer ADDITION — mergeable like the CMS cells, so the store is
+    * BIT-EQUAL to a batch rebuild over the ingested prefix for any
+    * batching (spec-pinned). Addition is not replay-idempotent, so the
+    * batch-id transaction rule guards the merge (merge only when
+    * `batchId` exceeds the stored id); the overwrite rides the atomic
+    * swap with heal-on-entry. `onDrift` receives the sorted keys whose
+    * type set exceeds one AFTER the merge — at-least-once (a replayed
+    * batch re-delivers from the stored counts; consumers needing
+    * exactly-once read the store). */
+  def startSchemaDriftMonitor(updates: DataFrame, jsonCol: String,
+                              storeDir: String, checkpointDir: String,
+                              onDrift: Seq[String] => Unit = _ => ())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    def drifted(spark: org.apache.spark.sql.SparkSession): Seq[String] =
+      spark.read.parquet(storeDir)
+        .groupBy(col("key"))
+        .agg(countDistinct(col("ty")).as("nty"))
+        .filter(col("nty") > 1)
+        .select("key").collect().map(_.getString(0)).toSeq.sorted
+    updates.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          graft.core.Sinks.recoverStrandedBackup(storeDir)
+          val stored =
+            if (new java.io.File(storeDir).isDirectory)
+              Some(spark.read.parquet(storeDir).select("key", "ty", "n", "batch_id"))
+            else None
+          val storedId = stored
+            .map(_.agg(max(col("batch_id"))).head().getLong(0))
+            .getOrElse(-1L)
+          if (batchId > storedId) {
+            val bs = batch
+              .select(graft.functions.JsonOps.keyValues(col(jsonCol))
+                .as(Seq("key", "v")))
+              .select(col("key"),
+                graft.functions.JsonOps.typeClass(col("v")).as("ty"))
+              .groupBy(col("key"), col("ty"))
+              .agg(count(lit(1)).as("n"))
+            val merged = stored match {
+              case Some(st) =>
+                bs.join(st.select(col("key"), col("ty"), col("n").as("o")),
+                    Seq("key", "ty"), "full")
+                  .select(col("key"), col("ty"),
+                    (coalesce(col("n"), lit(0L)) + coalesce(col("o"), lit(0L)))
+                      .as("n"))
+              case None => bs
+            }
+            // materialize BEFORE overwriting the store the lineage reads
+            val out = merged.localCheckpoint()
+            graft.core.Sinks.atomicSwap(storeDir, "sketch") { tmp =>
+              out.withColumn("batch_id", lit(batchId))
+                .coalesce(1).write.parquet(tmp)
+            }
+            graft.core.Pins.releaseCheckpoint(out)
+            onDrift(drifted(spark))
+          } else if (batchId == storedId) {
+            // replay of a committed batch: don't double-count, but don't
+            // drop a notification a pre-callback crash may have lost
+            onDrift(drifted(spark))
+          }
+        }
+      }
+      .start()
+  }
 }

@@ -5736,7 +5736,8 @@ object PipelineQueries {
     ("q273_join_size_est", q273, q273Sql),
     ("q274_json_schema_profile", q274, q274Sql),
     ("q275_phrase_search", q275, q275Sql),
-    ("q276_survivorship", q276, q276Sql))
+    ("q276_survivorship", q276, q276Sql),
+    ("q277_training_matrix", q277, q277Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type — a p25/p50/p75/p95 grid
@@ -6946,4 +6947,70 @@ object PipelineQueries {
        |FROM base JOIN can USING (component) JOIN lm USING (component)
        |ORDER BY component""".stripMargin
   }
+
+  // --------------------------------------------------------------- Q277
+  /** TRAINING-MATRIX ASSEMBLY (leakage-safe) — the supervised-dataset
+    * construction discipline the split queries prepare for (q124 cuts
+    * time, q182 joins point-in-time dimensions; this BUILDS the
+    * (features, label) matrix): features fold ONLY events strictly
+    * before the cutoff, the label reads ONLY at-or-after — the churn
+    * formulation (label = did the user return) where any feature
+    * peeking past the cutoff is the leak that makes offline AUC a lie.
+    * Cutoff is data-deterministic at 70% of the observed time span in
+    * integer MICROSECONDS (tmin + (tmax−tmin)·7 div 10 — no calendar
+    * arithmetic, no timezone). Features: pre-cutoff event/purchase/
+    * type counts, cents mass (round(value·100), the q248 grid),
+    * recency in μs; users with no pre-cutoff history are excluded (no
+    * features to train on — the documented cold-start boundary).
+    *
+    * Scale shape: the span fold is a one-row broadcast; features AND
+    * label come from ONE user-keyed conditional fold — a single
+    * exchange, partial-aggregable (the hot-user skew probes' shape);
+    * output is users-sized. */
+  val q277: Q = (s, d) => {
+    val ev = t(s, d, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val span = broadcast(ev.agg(min(col("us")).as("t0"), max(col("us")).as("t1"))
+      .select(expr("t0 + (t1 - t0) * 7 div 10").as("cut")))
+    ev.crossJoin(span)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("us") < col("cut"), 1L).otherwise(0L)).as("n_events"),
+        sum(when(col("us") < col("cut") && col("event_type") === "purchase",
+          1L).otherwise(0L)).as("n_purchases"),
+        countDistinct(when(col("us") < col("cut"), col("event_type")))
+          .as("n_types"),
+        coalesce(sum(when(col("us") < col("cut"), col("cents"))), lit(0L))
+          .as("total_cents"),
+        (first(col("cut")) - max(when(col("us") < col("cut"), col("us"))))
+          .as("recency_us"),
+        max(when(col("us") >= col("cut"), 1L).otherwise(0L)).as("label"))
+      .filter(col("n_events") > 0)
+      .orderBy(col("user_id"))
+  }
+
+  val q277Sql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |       FROM events),
+      |cutoff AS (SELECT min(us) + (max(us) - min(us)) * 7 // 10 AS cut
+      |           FROM ev)
+      |SELECT user_id,
+      |  CAST(sum(CASE WHEN us < cut THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_events,
+      |  CAST(sum(CASE WHEN us < cut AND event_type = 'purchase'
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+      |  CAST(count(DISTINCT CASE WHEN us < cut THEN event_type END)
+      |       AS BIGINT) AS n_types,
+      |  CAST(coalesce(sum(CASE WHEN us < cut THEN cents END), 0) AS BIGINT)
+      |    AS total_cents,
+      |  CAST(any_value(cut) - max(CASE WHEN us < cut THEN us END) AS BIGINT)
+      |    AS recency_us,
+      |  CAST(max(CASE WHEN us >= cut THEN 1 ELSE 0 END) AS BIGINT) AS label
+      |FROM ev, cutoff
+      |GROUP BY user_id
+      |HAVING sum(CASE WHEN us < cut THEN 1 ELSE 0 END) > 0
+      |ORDER BY user_id""".stripMargin
 }

@@ -6413,7 +6413,9 @@ object PipelineQueries {
     val tot = broadcast(gv.agg(sum(col("g_cnt")).as("n_total"),
       count(lit(1)).as("m")))
     val grid = nc.crossJoin(broadcast(gv)).crossJoin(tot)
-      .join(cv, Seq("c_nationkey", "c_mktsegment", "v"), "left")
+      // cv is classes×values-sized (≤ 625 rows) — broadcast it so the
+      // dense-grid join plans no keyed exchange
+      .join(broadcast(cv), Seq("c_nationkey", "c_mktsegment", "v"), "left")
       .na.fill(0L, Seq("cnt"))
     val w = Window.partitionBy(col("c_nationkey"), col("c_mktsegment"))
       .orderBy(col("v"))

@@ -73,6 +73,16 @@ object PlanAuditSpec {
     * are stored verdict columns (the query is their initial build). */
   val ShuffleBaseline: Map[String, Int] = Map(
     "q121_curation_funnel" -> 10,
+    // q271: the one corpus exchange is the PINNED (class, value) count
+    // fold; the residual plan's exchanges (post-broadcast-grid: the
+    // nc/gv/tot re-folds off the pin, the per-class cumulative window,
+    // the audit fold, the sort) all carry ≤ classes×values = 625 rows
+    "q271_t_closeness" -> 6,
+    // q276: corpus work lives in the pinned LSH pair artifact + the
+    // pinned member relation; the residual exchanges (base fold,
+    // canonical window, lang-mode fold + window, two component joins,
+    // sort) are all CLUSTER-sized
+    "q276_survivorship" -> 6,
     // q200: the corpus-shaped work (tiled ε-join, CC iterations) is all
     // PINNED upstream; the residual plan's 8 exchanges carry the
     // edges/core/labels relations — graph-sized (≤ ε-graph nodes), not

@@ -1266,7 +1266,8 @@ object AuditQueries {
     ("q128_vector_hygiene", q128, q128Sql),
     ("q168_ann_mrr", q168, q168Sql),
     ("q234_benford_audit", q234, q234Sql),
-    ("q269_ndcg", q269, q269Sql))
+    ("q269_ndcg", q269, q269Sql),
+    ("q278_embedding_auc", q278, q278Sql))
 
   // --------------------------------------------------------------- Q269
   /** nDCG@10 — the third leg of the retrieval-eval shelf (q117 recall
@@ -1354,4 +1355,80 @@ object AuditQueries {
       |            ELSE 0 END AS BIGINT) AS ndcg_ppm
       |FROM dcg JOIN cw ON cw.k = greatest(least(n_rel, 10), 1)
       |ORDER BY probe_id""".stripMargin
+
+  // --------------------------------------------------------------- Q278
+  /** EMBEDDING LINK-PREDICTION AUC — the one-number answer to "are
+    * these embeddings any good for retrieval?" (q117/q168/q269 grade a
+    * RANKING per probe; this grades the SCORE ITSELF as a classifier:
+    * over probe–candidate pairs, does cosine separate same-label pairs
+    * from different-label pairs — the link-prediction / verification
+    * framing, threshold-free): exact ROC AUC by the q207 trapezoid
+    * discipline — per distinct score the positive/negative counts, one
+    * ordered pass accumulates Σ(Δfp·(tp+tp′)) = 2·AUC·P·N, and
+    * auc_ppm = Σ·5·10⁵ div (P·N) is pure BIGINT (ties handled exactly
+    * as the trapezoid's 0.5 credit, where float Mann-Whitney
+    * implementations diverge). Scores land on the q168 grid —
+    * round(cos, 4) then ×10⁴ re-rounded — so an ArrayCosine-vs-SQL
+    * ulp can't flip a cell. One row out: P, N, auc_ppm.
+    *
+    * Scale shape: probes broadcast (the eval tier), the pair relation
+    * folds to the ≤ 20001-cell score grid in its only data exchange;
+    * the trapezoid windows ride the GRID (score-domain-sized — the
+    * q141/q167 rationale for unpartitioned windows), never the pairs. */
+  val q278: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val probes = broadcast(e.filter(col("vec_id") < 32)
+      .select(col("vec_id").as("pid"), col("label").as("plabel"),
+        col("v").as("pv")))
+    val scored = e.crossJoin(probes).filter(col("vec_id") > col("pid"))
+      .select((col("label") === col("plabel")).cast("long").as("pos"),
+        round(VectorOps.cosine(col("v"), col("pv")), 4).as("sim4"))
+      .select(col("pos"),
+        expr("CAST(round(sim4 * 10000) AS BIGINT)").as("score"))
+    val grid = scored.groupBy(col("score"))
+      .agg(sum(col("pos")).as("np"), (count(lit(1)) - sum(col("pos"))).as("nn"))
+    val wDesc = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wLag = Window.orderBy(col("score").desc)
+    grid
+      .withColumn("tp", sum(col("np")).over(wDesc))
+      .withColumn("fp", sum(col("nn")).over(wDesc))
+      .withColumn("tp_prev", coalesce(lag(col("tp"), 1).over(wLag), lit(0L)))
+      .withColumn("fp_prev", coalesce(lag(col("fp"), 1).over(wLag), lit(0L)))
+      .agg(max(col("tp")).as("p_tot"), max(col("fp")).as("n_tot"),
+        sum((col("fp") - col("fp_prev")) * (col("tp") + col("tp_prev")))
+          .as("a2"))
+      .select(col("p_tot"), col("n_tot"),
+        expr("a2 * 500000 div (p_tot * n_tot)").as("auc_ppm"))
+  }
+
+  val q278Sql: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings),
+      |p AS (SELECT vec_id AS pid, label AS plabel, v AS pv FROM e
+      |      WHERE vec_id < 32),
+      |sc AS (SELECT CAST(e.label = p.plabel AS BIGINT) AS pos,
+      |         CAST(round(round(list_inner_product(e.v, p.pv)
+      |               / (sqrt(list_inner_product(e.v, e.v))
+      |                  * sqrt(list_inner_product(p.pv, p.pv))), 4)
+      |              * 10000) AS BIGINT) AS score
+      |       FROM e CROSS JOIN p WHERE e.vec_id > p.pid),
+      |grid AS (SELECT score, CAST(sum(pos) AS BIGINT) AS np,
+      |           CAST(count(*) - sum(pos) AS BIGINT) AS nn
+      |         FROM sc GROUP BY 1),
+      |cum0 AS (SELECT score, sum(np) OVER w AS tp, sum(nn) OVER w AS fp
+      |         FROM grid
+      |         WINDOW w AS (ORDER BY score DESC
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |cum AS (SELECT score, tp, fp,
+      |          coalesce(lag(tp) OVER v, 0) AS tp_prev,
+      |          coalesce(lag(fp) OVER v, 0) AS fp_prev
+      |        FROM cum0 WINDOW v AS (ORDER BY score DESC))
+      |SELECT CAST(max(tp) AS BIGINT) AS p_tot,
+      |       CAST(max(fp) AS BIGINT) AS n_tot,
+      |       CAST(sum((fp - fp_prev) * (tp + tp_prev)) * 500000
+      |            // (max(tp) * max(fp)) AS BIGINT) AS auc_ppm
+      |FROM cum""".stripMargin
 }

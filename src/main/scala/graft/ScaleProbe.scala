@@ -1189,7 +1189,7 @@ object ScaleProbe {
     // its skew growth is the measured price of exact sorted batching,
     // and the production dial (per-shard batching inside a language,
     // stated in the q250 doc) caps it.
-    if (want("skew248", "skew250", "skew261")) {
+    if (want("skew248", "skew250", "skew261", "skew277")) {
       val skewDir = "/tmp/graft_skew"
       locally {
         val ev = graft.core.Tables.load(spark, src, "events")
@@ -1214,6 +1214,10 @@ object ScaleProbe {
       pair("skew248_prefpairs", "q248_preference_pairs")
       pair("skew261_survival", "q261_survival_hazard")
       pair("skew250_batching", "q250_length_batching")
+      // q277 (round 10) is the same per-user conditional-fold shape as
+      // q248 — partial-aggregable, so the 50%-hot user collapses
+      // map-side to one partial row per partition
+      pair("skew277_matrix", "q277_training_matrix")
     }
 
     // --- round 10 additions at 10×: q268 is a scan-local key + a

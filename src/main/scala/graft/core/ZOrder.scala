@@ -46,6 +46,14 @@ object ZOrder {
   def zvalue(a: Column, b: Column): Column =
     spread(a).bitwiseOR(shiftleft(spread(b), 1))
 
+  /** Quantize a non-negative integral column onto the 16-bit grid
+    * given an EXCLUSIVE domain max (v·2¹⁶ div max — integer floor,
+    * deterministic and oracle-replayable; max usually comes from a
+    * one-row broadcast aggregate or table statistics). The bucketing
+    * step the doc comment above asks for, for wide integer domains. */
+  def grid16(v: Column, maxExclusive: Column): Column =
+    call_function("div", v.cast("long") * lit(65536L), maxExclusive.cast("long"))
+
   /** Rewrite `df` in z-order on the two keys: a range-partitioned sort
     * on the z value, which the writer preserves into file order — each
     * output file then covers a compact rectangle of the key space and

@@ -6223,7 +6223,7 @@ object PipelineQueries {
 
   // --------------------------------------------------------------- Q268
   /** Z-ORDER LAYOUT AUDIT — the lakehouse `OPTIMIZE ZORDER BY (a, b)`
-    * decision query ([[graft.operators.ZOrderLayout]]): before
+    * decision query ([[graft.core.ZOrder]]): before
     * rewriting 100 TB into a new clustering, measure what the Morton
     * layout actually buys for the table's probe mix. Both dimensions
     * (partkey, suppkey) quantize onto a 16-bit grid (exclusive-max from
@@ -6249,16 +6249,18 @@ object PipelineQueries {
     * `ZOrderLayout.layout` — one repartitionByRange shuffle on the
     * same key. */
   val q268: Q = (s, d) => {
-    import graft.operators.ZOrderLayout
+    import graft.core.ZOrder
     val li = t(s, d, "lineitem").select(col("l_partkey"), col("l_suppkey"))
     val mx = li.agg((max(col("l_partkey")) + lit(1L)).as("pm"),
       (max(col("l_suppkey")) + lit(1L)).as("sm"))
     val g = li.crossJoin(broadcast(mx))
-      .select(ZOrderLayout.grid16(col("l_partkey"), col("pm")).as("x"),
-        ZOrderLayout.grid16(col("l_suppkey"), col("sm")).as("y"))
+      .select(ZOrder.grid16(col("l_partkey"), col("pm")).as("x"),
+        ZOrder.grid16(col("l_suppkey"), col("sm")).as("y"))
     // one corpus pass: the (z-cell, linear-cell) cube, ≤ 64×64 rows
+    // (for 16-bit grid inputs ZOrder.zvalue is exactly the 32-bit
+    // Morton code the oracle's magic-number CTEs state)
     val cube = graft.core.Pins.pin(g
-      .select(shiftright(ZOrderLayout.zkey2(col("x"), col("y")), 26).as("zc"),
+      .select(shiftright(ZOrder.zvalue(col("x"), col("y")), 26).as("zc"),
         shiftright(col("x"), 10).as("lc"), col("x"), col("y"))
       .groupBy(col("zc"), col("lc"))
       .agg(count(lit(1)).as("n"),

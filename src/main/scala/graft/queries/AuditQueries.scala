@@ -1245,6 +1245,103 @@ object AuditQueries {
       |FROM exp0 LEFT JOIN cnt ON exp0.digit = cnt.digit
       |ORDER BY digit""".stripMargin
 
+  // --------------------------------------------------------------- Q284
+  /** RANK-BIASED OVERLAP (RBO@10, p = 0.9) between the exact cosine
+    * ranking and the 64-bit SIGN-SKETCH ranking — the retrieval-eval
+    * shelf's list-STABILITY leg (q117 recall: do true neighbors
+    * surface; q168 MRR: where the best sits; q269 nDCG: how good the
+    * page is; this: how much the INDEX's shortlist differs from the
+    * exact one as a whole, top-weighted — Webber 2010, the standard
+    * metric for comparing two rankings that need not share support).
+    * Ranking A: round(cos, 4) desc (the q168 grid). Ranking B: sign-
+    * agreement count across the 64 dims (the bit-sketch Hamming
+    * similarity an LSH/simhash index actually sorts by — integer
+    * 0..64), desc; both tie-break on vec_id, so each list is total and
+    * engine-identical. Truncated RBO = Σ_{d=1..10} w_d·|A_d ∩ B_d|
+    * with w_d = (1−p)p^{d−1}/d telescopes per matched id to the SUFFIX
+    * sum W[max(rankA, rankB)] — the ten W literals are pre-rounded ppb
+    * integers stated identically in both engines, so rbo_t10_ppb is
+    * pure BIGINT (max 651322555 ≈ 1−p¹⁰ when the lists agree
+    * exactly; no residual extrapolation — truncation is the declared
+    * semantics). Per probe: the top-10 intersection size and the RBO.
+    *
+    * Scale shape: probes broadcast (eval tier, q117's rationale); the
+    * scored relation folds through two probe-partitioned rank windows
+    * and an id-join that carries ≤ 10 rows per probe per side;
+    * nothing after the windows is corpus-sized. Production swaps the
+    * brute-force exact arm for the stored ANN artifact and keeps the
+    * same RBO fold. */
+  val q284: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val probes = broadcast(e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("pid"), col("v").as("pv")))
+    val scored = graft.core.Pins.pin(
+      e.crossJoin(probes).filter(col("vec_id") =!= col("pid"))
+        .select(col("pid"), col("vec_id"),
+          round(VectorOps.cosine(col("v"), col("pv")), 4).as("sim"),
+          expr("""aggregate(zip_with(v, pv,
+                 (x, y) -> CAST((x > 0) = (y > 0) AS BIGINT)),
+                 CAST(0 AS BIGINT), (a, z) -> a + z)""").as("agree")))
+    val wA = Window.partitionBy(col("pid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val wB = Window.partitionBy(col("pid"))
+      .orderBy(col("agree").desc, col("vec_id"))
+    val ra = scored.withColumn("ra", row_number().over(wA))
+      .filter(col("ra") <= 10).select(col("pid"), col("vec_id"), col("ra"))
+    val rb = scored.withColumn("rb", row_number().over(wB))
+      .filter(col("rb") <= 10).select(col("pid"), col("vec_id"), col("rb"))
+    // suffix weights W[r] = Σ_{d=r..10} round(10⁹(1−p)p^{d−1}/d), p=0.9
+    val wLit = "array(235416399L, 135416399L, 90416399L, 63416399L, " +
+      "45191399L, 32069399L, 22227899L, 14635885L, 8657174L, 3874205L)"
+    val probeIds = probes.select(col("pid"))
+    // both rank lists are ≤ 10·probes rows — broadcast the join sides
+    // so no (pid, vec_id) re-partition of the window outputs plans
+    val inter = ra.join(broadcast(rb), Seq("pid", "vec_id"))
+      .withColumn("w",
+        expr(s"element_at($wLit, CAST(greatest(ra, rb) AS INT))"))
+      .groupBy(col("pid"))
+      .agg(count(lit(1)).as("overlap10"), sum(col("w")).as("rbo_t10_ppb"))
+    probeIds.join(broadcast(inter), Seq("pid"), "left")
+      .select(col("pid").as("probe_id"),
+        coalesce(col("overlap10"), lit(0L)).as("overlap10"),
+        coalesce(col("rbo_t10_ppb"), lit(0L)).as("rbo_t10_ppb"))
+      .orderBy(col("probe_id"))
+  }
+
+  val q284Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |       FROM embeddings),
+      |p AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 5),
+      |sc AS (SELECT p.pid, e.vec_id,
+      |         round(list_inner_product(e.v, p.pv)
+      |           / (sqrt(list_inner_product(e.v, e.v))
+      |              * sqrt(list_inner_product(p.pv, p.pv))), 4) AS sim,
+      |         CAST(len(list_filter(generate_series(1, 64),
+      |           i -> (e.v[i] > 0) = (p.pv[i] > 0))) AS BIGINT) AS agree
+      |       FROM e CROSS JOIN p WHERE e.vec_id <> p.pid),
+      |ra AS (SELECT pid, vec_id, ra FROM
+      |         (SELECT pid, vec_id, row_number() OVER
+      |            (PARTITION BY pid ORDER BY sim DESC, vec_id) AS ra
+      |          FROM sc) WHERE ra <= 10),
+      |rb AS (SELECT pid, vec_id, rb FROM
+      |         (SELECT pid, vec_id, row_number() OVER
+      |            (PARTITION BY pid ORDER BY agree DESC, vec_id) AS rb
+      |          FROM sc) WHERE rb <= 10),
+      |w AS (SELECT [235416399, 135416399, 90416399, 63416399, 45191399,
+      |              32069399, 22227899, 14635885, 8657174, 3874205] AS ws),
+      |iv AS (SELECT ra.pid, CAST(count(*) AS BIGINT) AS overlap10,
+      |         CAST(sum(ws[greatest(ra.ra, rb.rb)]) AS BIGINT)
+      |           AS rbo_t10_ppb
+      |       FROM ra JOIN rb ON ra.pid = rb.pid AND ra.vec_id = rb.vec_id,
+      |            w
+      |       GROUP BY 1)
+      |SELECT p.pid AS probe_id,
+      |       CAST(coalesce(iv.overlap10, 0) AS BIGINT) AS overlap10,
+      |       CAST(coalesce(iv.rbo_t10_ppb, 0) AS BIGINT) AS rbo_t10_ppb
+      |FROM p LEFT JOIN iv ON p.pid = iv.pid
+      |ORDER BY probe_id""".stripMargin
+
   // lazy: q269 is declared below this list (file keeps numeric order)
   lazy val entries: Seq[(String, Q, String)] = Seq(
     ("q219_reconciliation", q219, q219Sql),
@@ -1267,7 +1364,8 @@ object AuditQueries {
     ("q168_ann_mrr", q168, q168Sql),
     ("q234_benford_audit", q234, q234Sql),
     ("q269_ndcg", q269, q269Sql),
-    ("q278_embedding_auc", q278, q278Sql))
+    ("q278_embedding_auc", q278, q278Sql),
+    ("q284_rbo_stability", q284, q284Sql))
 
   // --------------------------------------------------------------- Q269
   /** nDCG@10 — the third leg of the retrieval-eval shelf (q117 recall

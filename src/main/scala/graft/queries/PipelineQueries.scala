@@ -5737,7 +5737,12 @@ object PipelineQueries {
     ("q274_json_schema_profile", q274, q274Sql),
     ("q275_phrase_search", q275, q275Sql),
     ("q276_survivorship", q276, q276Sql),
-    ("q277_training_matrix", q277, q277Sql))
+    ("q277_training_matrix", q277, q277Sql),
+    ("q279_conformal_gate", q279, q279Sql),
+    ("q280_fairness_parity", q280, q280Sql),
+    ("q281_srm_check", q281, q281Sql),
+    ("q282_isotropy", q282, q282Sql),
+    ("q283_curriculum", q283, q283Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type — a p25/p50/p75/p95 grid
@@ -7017,4 +7022,403 @@ object PipelineQueries {
       |GROUP BY user_id
       |HAVING sum(CASE WHEN us < cut THEN 1 ELSE 0 END) > 0
       |ORDER BY user_id""".stripMargin
+
+  // --------------------------------------------------------------- Q279
+  /** SPLIT-CONFORMAL COVERAGE audit for the classifier gate — the
+    * distribution-free guarantee layer on top of q85/q169/q207 (a
+    * confusion matrix says the gate is right on average, a calibration
+    * curve says the score is tunable; conformal prediction says "at
+    * α = 10%, sets built from the calibration quantile cover the truth
+    * ≥ 90% of the time" — the only of the three that holds without
+    * modeling assumptions; Vovk 2005, Angelopoulos & Bates 2021 §2).
+    * Split: vec_id % 5 ≠ 0 calibrates, % 5 = 0 holds out (the q109
+    * hash-split discipline — membership is a pure function of the id,
+    * so both engines agree row for row). Nonconformity a = −y·score
+    * under the memoized perceptron is an exact BIGINT (the q85
+    * integer-margin property), so the conformal quantile is a DISCRETE
+    * order statistic: k = ⌈(n_cal+1)(1−α)⌉ as ((n_cal+1)(100−α_pct)
+    * +99) div 100, qhat = k-th smallest calibration a — no
+    * interpolation ulp exists (the q90/q71 discipline). Output per α ∈
+    * {5, 10, 20}%: the quantile audit trail (n_cal, k, qhat) and the
+    * holdout coverage in exact ppm — cov_ppm ≥ (100−α)·10⁴ is the
+    * guarantee a production gate re-checks after every retrain.
+    *
+    * Scale shape: scoring is scan-local against weight literals; the
+    * calibration fold collapses to the nonconformity GRID (value-domain
+    * bound, q141/q207 rationale) whose cumulative window rides
+    * grid-sized data; the 3 α-rows and the 3 (k, qhat) rows broadcast;
+    * holdout coverage folds the holdout grid once. Nothing after the
+    * two grid folds is corpus-sized. */
+  val q279: Q = (s, d) => {
+    val model = perceptronFor(s, d)
+    val raw = LinearClassifier.rawScore(col("x"), model)
+    val scored = graft.core.Pins.pin(classifierBase(s, d)
+      .select(col("vec_id"), (-col("y") * raw).as("a")))
+    val calGrid = scored.filter(col("vec_id") % 5 =!= 0)
+      .groupBy(col("a")).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy(col("a"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // grid-sized unpartitioned windows (value-domain bound, q141);
+    // n_cal shares wCum's ordering so both frames ride ONE WindowExec
+    // (a separate partitionBy() spec would plan a second exchange)
+    val wAllOrdered = Window.orderBy(col("a"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val calCum = calGrid
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n_cal", sum(col("cnt")).over(wAllOrdered))
+    val alphas = s.createDataFrame(Seq(Tuple1(5L), Tuple1(10L), Tuple1(20L)))
+      .toDF("alpha_pct")
+    val qhats = calCum.crossJoin(broadcast(alphas))
+      .withColumn("k", expr("((n_cal + 1) * (100 - alpha_pct) + 99) div 100"))
+      .filter(col("cum") >= col("k"))
+      .groupBy(col("alpha_pct"))
+      .agg(min(col("n_cal")).as("n_cal"), min(col("k")).as("k"),
+        min(col("a")).as("qhat"))
+    val holdGrid = scored.filter(col("vec_id") % 5 === 0)
+      .groupBy(col("a")).agg(count(lit(1)).as("hcnt"))
+    holdGrid.crossJoin(broadcast(qhats))
+      .groupBy(col("alpha_pct"), col("n_cal"), col("k"), col("qhat"))
+      .agg(sum(col("hcnt")).as("n_holdout"),
+        sum(when(col("a") <= col("qhat"), col("hcnt")).otherwise(0L))
+          .as("covered"))
+      .withColumn("cov_ppm", expr("covered * 1000000 div n_holdout"))
+      .select(col("alpha_pct"), col("n_cal"), col("k"), col("qhat"),
+        col("n_holdout"), col("covered"), col("cov_ppm"))
+      .orderBy(col("alpha_pct"))
+  }
+
+  val q279Sql: String =
+    perceptronSqlPrelude + ",\n" +
+      """nc AS (SELECT vec_id, -y * score AS a FROM sc),
+        |cal AS (SELECT a FROM nc WHERE vec_id % 5 <> 0),
+        |hold AS (SELECT a FROM nc WHERE vec_id % 5 = 0),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+        |alphas AS (SELECT CAST(alpha_pct AS BIGINT) AS alpha_pct
+        |           FROM (VALUES (5), (10), (20)) AS v(alpha_pct)),
+        |ks AS (SELECT alpha_pct, n_cal,
+        |         ((n_cal + 1) * (100 - alpha_pct) + 99) // 100 AS k
+        |       FROM alphas, n),
+        |rk AS (SELECT a, row_number() OVER (ORDER BY a) AS rn FROM cal),
+        |qh AS (SELECT ks.alpha_pct, ks.n_cal, ks.k, rk.a AS qhat
+        |       FROM ks JOIN rk ON rk.rn = ks.k)
+        |SELECT q.alpha_pct, q.n_cal, q.k, q.qhat,
+        |       CAST(count(*) AS BIGINT) AS n_holdout,
+        |       CAST(sum(CASE WHEN h.a <= q.qhat THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS covered,
+        |       CAST(sum(CASE WHEN h.a <= q.qhat THEN 1 ELSE 0 END)
+        |            AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT)
+        |         AS cov_ppm
+        |FROM qh q CROSS JOIN hold h
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY alpha_pct""".stripMargin
+
+  // --------------------------------------------------------------- Q280
+  /** EQUALIZED-ODDS FAIRNESS audit of the classifier gate — the
+    * governance shelf's model-side leg (q253/q264/q271 audit what the
+    * DATA reveals about a group; this audits what the GATE does to
+    * one: a curation classifier whose false-negative rate is 3× higher
+    * for one language silently starves that slice of the training mix
+    * — Hardt 2016's equalized-odds framing, measured not enforced).
+    * Scores come from the same memoized perceptron as q85 (exact
+    * integer margins), groups from joining `documents.lang` on
+    * vec_id = doc_id (the fixture's aligned ids — the production form
+    * joins the curation table's own group column). Per group: n, base
+    * positives p, tp, fp, and exact TPR/FPR ppm floors; the headline
+    * gap columns (max−min over groups, identical on every row) are
+    * what a fairness gate alerts on. greatest(1, ·) guards the
+    * degenerate single-class group identically in both engines.
+    *
+    * Scale shape: scoring scan-local, ONE groups-keyed fold after a
+    * broadcast-able id join (documents side carries only (id, lang));
+    * everything after the fold is groups-sized, incl. the
+    * unpartitioned gap windows (q141 rationale). */
+  val q280: Q = (s, d) => {
+    val model = perceptronFor(s, d)
+    val raw = LinearClassifier.rawScore(col("x"), model)
+    val scored = classifierBase(s, d)
+      .select(col("vec_id"), col("y"),
+        when(raw > 0, 1L).otherwise(-1L).as("pred"))
+    val langs = t(s, d, "documents")
+      .select(col("doc_id").as("vec_id"), col("lang"))
+    val grp = scored.join(broadcast(langs), Seq("vec_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("p"),
+        sum(when(col("y") === 1L && col("pred") === 1L, 1L).otherwise(0L))
+          .as("tp"),
+        sum(when(col("y") === -1L && col("pred") === 1L, 1L).otherwise(0L))
+          .as("fp"))
+      .withColumn("tpr_ppm", expr("tp * 1000000 div greatest(1, p)"))
+      .withColumn("fpr_ppm", expr("fp * 1000000 div greatest(1, n - p)"))
+    val wAll = Window.partitionBy() // groups-sized relation
+    grp
+      .withColumn("tpr_gap_ppm",
+        max(col("tpr_ppm")).over(wAll) - min(col("tpr_ppm")).over(wAll))
+      .withColumn("fpr_gap_ppm",
+        max(col("fpr_ppm")).over(wAll) - min(col("fpr_ppm")).over(wAll))
+      .select(col("lang"), col("n"), col("p"), col("tp"), col("fp"),
+        col("tpr_ppm"), col("fpr_ppm"), col("tpr_gap_ppm"),
+        col("fpr_gap_ppm"))
+      .orderBy(col("lang"))
+  }
+
+  val q280Sql: String =
+    perceptronSqlPrelude + ",\n" +
+      """pr AS (SELECT sc.vec_id, sc.y,
+        |         CAST(CASE WHEN sc.score > 0 THEN 1 ELSE -1 END AS BIGINT)
+        |           AS pred,
+        |         dd.lang
+        |       FROM sc JOIN documents dd ON dd.doc_id = sc.vec_id),
+        |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+        |        CAST(sum(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS tp,
+        |        CAST(sum(CASE WHEN y = -1 AND pred = 1 THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS fp
+        |      FROM pr GROUP BY 1),
+        |r AS (SELECT lang, n, p, tp, fp,
+        |        tp * 1000000 // greatest(1, p) AS tpr_ppm,
+        |        fp * 1000000 // greatest(1, n - p) AS fpr_ppm
+        |      FROM g)
+        |SELECT lang, n, p, tp, fp, tpr_ppm, fpr_ppm,
+        |       CAST(max(tpr_ppm) OVER () - min(tpr_ppm) OVER () AS BIGINT)
+        |         AS tpr_gap_ppm,
+        |       CAST(max(fpr_ppm) OVER () - min(fpr_ppm) OVER () AS BIGINT)
+        |         AS fpr_gap_ppm
+        |FROM r ORDER BY lang""".stripMargin
+
+  // --------------------------------------------------------------- Q281
+  /** SAMPLE-RATIO-MISMATCH (SRM) audit — the experimentation shelf's
+    * integrity gate (q242 reads the A/B effect, q240 tightens it, q243
+    * de-trends it; this checks the precondition they all assume: that
+    * the randomizer actually split units 50/50 — the single most
+    * common silent invalidator of online experiments, Fabijan 2019).
+    * Unit = user, arm = user_id % 2 (the deterministic assignment both
+    * engines replay); per event_type ("experiment surface") the
+    * DISTINCT-user counts per arm, the imbalance in exact ppm, and the
+    * χ² statistic against the 50/50 null in exact milli-units —
+    * χ² = (nA−nB)²/(nA+nB) for a two-cell equal-split test, so
+    * chi2_milli = 1000·(nA−nB)² div n is pure BIGINT and the breach
+    * flag at the 3.841 critical value (α = 0.05, 1 df) compares
+    * integers only.
+    *
+    * Scale shape: ONE distinct fold (event_type, user_id) — the only
+    * exchange that sees data (partial-aggregable after the distinct);
+    * everything downstream is experiment-surfaces-sized. */
+  val q281: Q = (s, d) => {
+    t(s, d, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("user_id") % 2 =!= 0, 1L).otherwise(0L)).as("n_b"))
+      .withColumn("n", col("n_a") + col("n_b"))
+      .withColumn("dev_ppm",
+        expr("abs(n_a - n_b) * 1000000 div n"))
+      .withColumn("chi2_milli",
+        expr("1000 * (n_a - n_b) * (n_a - n_b) div n"))
+      .withColumn("srm_flag", (col("chi2_milli") > 3841L).cast("long"))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("n"),
+        col("dev_ppm"), col("chi2_milli"), col("srm_flag"))
+      .orderBy(col("event_type"))
+  }
+
+  val q281Sql: String =
+    """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+      |g AS (SELECT event_type,
+      |        CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+      |             AS BIGINT) AS n_a,
+      |        CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)
+      |             AS BIGINT) AS n_b
+      |      FROM u GROUP BY 1)
+      |SELECT event_type, n_a, n_b, n_a + n_b AS n,
+      |       abs(n_a - n_b) * 1000000 // (n_a + n_b) AS dev_ppm,
+      |       1000 * (n_a - n_b) * (n_a - n_b) // (n_a + n_b) AS chi2_milli,
+      |       CAST(1000 * (n_a - n_b) * (n_a - n_b) // (n_a + n_b) > 3841
+      |            AS BIGINT) AS srm_flag
+      |FROM g ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------------- Q282
+  /** EMBEDDING-SPACE ISOTROPY audit — the corpus-level companion to
+    * the per-row screens (q128 catches broken vectors, q270 catches
+    * misplaced ones; this grades the SPACE: anisotropic embeddings —
+    * one dominant direction, a large common mean component — degrade
+    * cosine retrieval and LSH bucketing before any per-row check
+    * fires; Ethayarajh 2019, Mu 2018 "all-but-the-top"). On the q270
+    * round(x·1000) grid, one fold yields per-dim (Sⱼ, Qⱼ, n); the
+    * audit derives, all integer-exact: trace of the n²-scaled
+    * covariance (Vⱼ = n·Qⱼ − Sⱼ²), the worst single-dimension variance
+    * share (ppm), the PARTICIPATION RATIO of the variance spectrum
+    * PR = (ΣV)²/ΣV² — the effective dimension count, 1 when one
+    * direction holds everything, d when perfectly isotropic — in
+    * centi-units, and the mean-vector mass share ΣSⱼ²/(n·ΣQⱼ) in ppm
+    * (the "common direction" Mu 2018 removes). Squares of the trace
+    * run in DECIMAL(38,0)/HUGEINT (the q272 discipline — exact while
+    * trace < ~10¹⁹, the documented headroom dial); every output is
+    * BIGINT. Diagonal form by design: axis-aligned shares are what the
+    * per-dim storage layout actually exposes — the rotated-basis
+    * spectrum is q272's power-iteration tier.
+    *
+    * Scale shape: ONE posexplode fold to 64 (j, Sⱼ, Qⱼ) rows
+    * (map-side partial agg collapses the explosion); everything after
+    * is dims-sized. */
+  val q282: Q = (s, d) => {
+    val st = t(s, d, "embeddings")
+      .select(expr("transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))")
+        .as("qv"))
+      .select(posexplode(col("qv")).as(Seq("j", "q")))
+      .groupBy(col("j"))
+      .agg(sum(col("q")).as("sj"), sum(col("q") * col("q")).as("qj"),
+        count(lit(1)).as("n"))
+      .select(col("n"), (col("n") * col("qj") - col("sj") * col("sj")).as("vj"),
+        col("sj"), col("qj"))
+    st.agg(first(col("n")).as("n"), count(lit(1)).as("dims"),
+        sum(col("vj")).as("trace"), max(col("vj")).as("vmax"),
+        sum(col("vj").cast("decimal(38,0)") * col("vj")).as("v2"),
+        sum(col("sj") * col("sj")).as("s2"), sum(col("qj")).as("qsum"))
+      .select(col("n"), col("dims"), col("trace"),
+        expr("CAST(CAST(vmax AS DECIMAL(38,0)) * 1000000 div trace AS BIGINT)")
+          .as("max_dim_share_ppm"),
+        expr("CAST(CAST(trace AS DECIMAL(38,0)) * trace * 100 div v2 AS BIGINT)")
+          .as("pr_centi"),
+        expr("CAST(CAST(s2 AS DECIMAL(38,0)) * 1000000 div (n * qsum) AS BIGINT)")
+          .as("mean_mass_ppm"))
+  }
+
+  val q282Sql: String =
+    """WITH e AS (SELECT list_transform(embedding,
+      |         x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+      |       FROM embeddings),
+      |ex AS (SELECT j, qv[j] AS q
+      |       FROM e, UNNEST(generate_series(1, 64)) AS t(j)),
+      |st AS (SELECT j, CAST(sum(q) AS BIGINT) AS sj,
+      |         CAST(sum(q * q) AS BIGINT) AS qj,
+      |         CAST(count(*) AS BIGINT) AS n
+      |       FROM ex GROUP BY j),
+      |v AS (SELECT n, n * qj - sj * sj AS vj, sj, qj FROM st),
+      |a AS (SELECT any_value(n) AS n, CAST(count(*) AS BIGINT) AS dims,
+      |        CAST(sum(vj) AS BIGINT) AS trace,
+      |        CAST(max(vj) AS BIGINT) AS vmax,
+      |        sum(CAST(vj AS HUGEINT) * vj) AS v2,
+      |        CAST(sum(sj * sj) AS BIGINT) AS s2,
+      |        CAST(sum(qj) AS BIGINT) AS qsum
+      |      FROM v)
+      |SELECT n, dims, trace,
+      |       CAST(CAST(vmax AS HUGEINT) * 1000000 // trace AS BIGINT)
+      |         AS max_dim_share_ppm,
+      |       CAST(CAST(trace AS HUGEINT) * trace * 100 // v2 AS BIGINT)
+      |         AS pr_centi,
+      |       CAST(CAST(s2 AS HUGEINT) * 1000000 // (n * qsum) AS BIGINT)
+      |         AS mean_mass_ppm
+      |FROM a""".stripMargin
+
+  // --------------------------------------------------------------- Q283
+  /** CURRICULUM SCHEDULE assembly — the ordering leg of training prep
+    * (q250 packs batches by length, q258 budgets tokens per source,
+    * q111 oversamples epochs; this ORDERS the corpus easy → hard and
+    * audits what each phase actually contains — curriculum learning's
+    * operational artifact, Bengio 2009): difficulty = mean word length
+    * in exact ppm (10⁶·n_chars div n_tokens — a deterministic integer
+    * proxy; any integer difficulty column drops in), phases = tercile
+    * boundaries taken on the difficulty GRID with ties-low (phase =
+    * 1 + (diff > b1) + (diff > b2) where bᵢ is the smallest grid value
+    * whose cumulative count reaches ⌈i·N/3⌉ — ties bunch into the
+    * lower phase by declaration, so NO row-order dependence exists for
+    * either engine; a tie-heavy grid can leave a later phase smaller
+    * or empty, the documented boundary). Per phase: composition (docs,
+    * token and char mass, difficulty span) and the dominant language
+    * with its share — the mix-shift curriculum audits exist to catch
+    * (easy phases skew toward analytic languages, and a model's early
+    * steps see THAT distribution, not the corpus's).
+    *
+    * Scale shape: one pinned scan; the difficulty grid fold + its
+    * cumulative window ride value-domain-bound data (q141); boundaries
+    * are a one-row broadcast; the (phase, lang) fold is the only other
+    * corpus-sized exchange, and the phase rollup + modal-language
+    * window ride ≤ phases×langs rows. */
+  val q283: Q = (s, d) => {
+    val docs = graft.core.Pins.pin(t(s, d, "documents")
+      .select(col("lang"), col("n_chars"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("tok"))
+      .withColumn("diff_ppm", expr("n_chars * 1000000 div tok")))
+    val wCum = Window.orderBy(col("diff_ppm"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.orderBy(col("diff_ppm"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val bounds = docs.groupBy(col("diff_ppm")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n_tot", sum(col("cnt")).over(wAll))
+      .agg(
+        min(when(col("cum") >= expr("(n_tot + 2) div 3"), col("diff_ppm")))
+          .as("b1"),
+        min(when(col("cum") >= expr("(2 * n_tot + 2) div 3"), col("diff_ppm")))
+          .as("b2"))
+    // pinned: consumed by both the phase rollup and the modal-language
+    // window — without the pin each consumer re-plans the whole grid +
+    // boundary subtree (phases×langs rows, trivial to materialize)
+    val pl = graft.core.Pins.pin(docs.crossJoin(broadcast(bounds))
+      .withColumn("phase",
+        lit(1L) + (col("diff_ppm") > col("b1")).cast("long")
+          + (col("diff_ppm") > col("b2")).cast("long"))
+      .groupBy(col("phase"), col("lang"))
+      .agg(count(lit(1)).as("nl"), sum(col("tok")).as("tokl"),
+        sum(col("n_chars")).as("chl"),
+        min(col("diff_ppm")).as("lo"), max(col("diff_ppm")).as("hi")))
+    val ph = pl.groupBy(col("phase"))
+      .agg(sum(col("nl")).as("n_docs"), sum(col("tokl")).as("tok_mass"),
+        sum(col("chl")).as("char_mass"),
+        min(col("lo")).as("lo_diff_ppm"), max(col("hi")).as("hi_diff_ppm"))
+    val wTop = Window.partitionBy(col("phase"))
+      .orderBy(col("nl").desc, col("lang"))
+    val top = pl.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col("phase"), col("lang").as("top_lang"), col("nl"))
+    ph.join(broadcast(top), Seq("phase")) // phases-sized join side
+      .withColumn("top_lang_share_ppm", expr("nl * 1000000 div n_docs"))
+      .select(col("phase"), col("n_docs"), col("tok_mass"), col("char_mass"),
+        col("lo_diff_ppm"), col("hi_diff_ppm"), col("top_lang"),
+        col("top_lang_share_ppm"))
+      .orderBy(col("phase"))
+  }
+
+  val q283Sql: String =
+    """WITH docs AS (SELECT lang, n_chars,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+      |         n_chars * 1000000 // CAST(len(string_split(text, ' '))
+      |           AS BIGINT) AS diff_ppm
+      |       FROM documents),
+      |grid AS (SELECT diff_ppm, CAST(count(*) AS BIGINT) AS cnt
+      |         FROM docs GROUP BY 1),
+      |cum AS (SELECT diff_ppm,
+      |          CAST(sum(cnt) OVER (ORDER BY diff_ppm
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |            AS BIGINT) AS cum,
+      |          CAST(sum(cnt) OVER () AS BIGINT) AS n_tot
+      |        FROM grid),
+      |b AS (SELECT
+      |        min(CASE WHEN cum >= (n_tot + 2) // 3 THEN diff_ppm END) AS b1,
+      |        min(CASE WHEN cum >= (2 * n_tot + 2) // 3 THEN diff_ppm END)
+      |          AS b2
+      |      FROM cum),
+      |pl AS (SELECT 1 + CAST(diff_ppm > b1 AS BIGINT)
+      |           + CAST(diff_ppm > b2 AS BIGINT) AS phase,
+      |         lang, CAST(count(*) AS BIGINT) AS nl,
+      |         CAST(sum(tok) AS BIGINT) AS tokl,
+      |         CAST(sum(n_chars) AS BIGINT) AS chl,
+      |         min(diff_ppm) AS lo, max(diff_ppm) AS hi
+      |       FROM docs, b GROUP BY 1, 2),
+      |ph AS (SELECT phase, CAST(sum(nl) AS BIGINT) AS n_docs,
+      |         CAST(sum(tokl) AS BIGINT) AS tok_mass,
+      |         CAST(sum(chl) AS BIGINT) AS char_mass,
+      |         min(lo) AS lo_diff_ppm, max(hi) AS hi_diff_ppm
+      |       FROM pl GROUP BY 1),
+      |tp AS (SELECT phase, lang AS top_lang, nl
+      |       FROM (SELECT phase, lang, nl, row_number() OVER
+      |               (PARTITION BY phase ORDER BY nl DESC, lang) AS rn
+      |             FROM pl)
+      |       WHERE rn = 1)
+      |SELECT ph.phase AS phase, n_docs, tok_mass, char_mass, lo_diff_ppm,
+      |       hi_diff_ppm, top_lang, nl * 1000000 // n_docs
+      |         AS top_lang_share_ppm
+      |FROM ph JOIN tp ON ph.phase = tp.phase
+      |ORDER BY ph.phase""".stripMargin
 }

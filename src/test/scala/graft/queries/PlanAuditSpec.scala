@@ -78,6 +78,11 @@ object PlanAuditSpec {
     // nc/gv/tot re-folds off the pin, the per-class cumulative window,
     // the audit fold, the sort) all carry ≤ classes×values = 625 rows
     "q271_t_closeness" -> 6,
+    // q279: the two corpus-sized exchanges are the calibration and
+    // holdout nonconformity-GRID folds off the pinned scored scan;
+    // the residual three (grid cumulative window, the 3-row coverage
+    // fold, the 3-row sort) all carry grid-or-smaller relations
+    "q279_conformal_gate" -> 5,
     // q276: corpus work lives in the pinned LSH pair artifact + the
     // pinned member relation; the residual exchanges (base fold,
     // canonical window, lang-mode fold + window, two component joins,

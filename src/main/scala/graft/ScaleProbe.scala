@@ -1241,6 +1241,27 @@ object ScaleProbe {
       both("q271_tclose", "q271_t_closeness")
       both("q273_joinest", "q273_join_size_est")
     }
+
+    // --- round 10 second wave at 10×: q281's only data exchange is
+    // the (type, user) distinct fold (partial-aggregable after
+    // distinct); q283 rides a grid fold + one (phase, lang) fold —
+    // both must track the scan. q279/q280/q282/q284 read the
+    // dimension-held embeddings table in the shared 10× dir; their
+    // row-scaling story is the q85 fold family's (one scan-local
+    // score pass + grid/groups-sized folds), probed via the events/
+    // docs-shaped twins here.
+    if (want("q281", "q283")) {
+      def both(label: String, name: String): Unit = {
+        time(f"$label%-22s sf0.1")(
+          graft.SparkEntry.queries(name)(spark, src).count())
+        graft.core.Pins.release()
+        time(f"$label%-22s sf1.0")(
+          graft.SparkEntry.queries(name)(spark, out).count())
+        graft.core.Pins.release()
+      }
+      both("q281_srm", "q281_srm_check")
+      both("q283_curric", "q283_curriculum")
+    }
     spark.stop()
   }
 }

@@ -78,7 +78,8 @@ object Sinks {
 
   /** Every tag that participates in [[atomicSwap]] — recovery must be
     * able to restore a backup stranded by ANY caller. */
-  private val SwapTags = Seq("compact", "merge", "sketch", "orphans", "merkle")
+  private val SwapTags =
+    Seq("compact", "merge", "sketch", "orphans", "merkle", "srm")
 
   private def allBackups(path: String): Seq[java.nio.file.Path] = {
     val dir = java.nio.file.Paths.get(path)

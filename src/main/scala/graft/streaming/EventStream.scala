@@ -963,6 +963,73 @@ object EventStream {
       .start()
   }
 
+  /** CONTINUOUS SRM monitor — q281's streaming twin: the store holds
+    * the distinct (event_type, user_id) pairs seen so far, each batch
+    * merges its own distinct pairs by SET UNION — idempotent, so
+    * unlike the count-addition stores (CMS/FK-orphan) no batch-id
+    * transaction rule is needed: a crash-replayed batch's pairs are
+    * already members and the union dedups them (the KMV-store replay
+    * discipline, spec-pinned). [[srmAudit]] folds the store into
+    * exactly q281's rows, so incremental maintenance is bit-equal to
+    * the batch audit over any prefix and any batching. The stored
+    * distinct set is the exact form; at 10⁹ users per surface the
+    * KMV/theta pair store (q156's twin) is the documented sketch dial.
+    * `onBreach` fires after each merge with the surfaces whose χ²
+    * crossed the 3.841 critical value — the page a misconfigured
+    * randomizer triggers mid-experiment rather than at readout. */
+  def startSrmMonitor(events: DataFrame, storeDir: String,
+                      checkpointDir: String,
+                      onBreach: Seq[String] => Unit = _ => ())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          graft.core.Sinks.recoverStrandedBackup(storeDir)
+          val bs = batch
+            .select(col("event_type").cast("string").as("event_type"),
+              col("user_id").cast("long").as("user_id"))
+            .distinct()
+          val merged =
+            if (new java.io.File(storeDir).isDirectory)
+              spark.read.parquet(storeDir).unionByName(bs).distinct()
+            else bs
+          // materialize BEFORE overwriting the store the lineage reads
+          val out = merged.localCheckpoint()
+          graft.core.Sinks.atomicSwap(storeDir, "srm") { tmp =>
+            out.coalesce(1).write.parquet(tmp)
+          }
+          graft.core.Pins.releaseCheckpoint(out)
+          val breached = srmAudit(spark, storeDir)
+            .filter(col("srm_flag") === 1L)
+            .select(col("event_type")).collect().map(_.getString(0)).toSeq
+          if (breached.nonEmpty) onBreach(breached)
+        }
+      }
+      .start()
+  }
+
+  /** q281's audit rows served FROM the [[startSrmMonitor]] pair store —
+    * the same arm counts, imbalance ppm, χ² milli-units, and breach
+    * flag, over everything ingested so far. */
+  def srmAudit(spark: org.apache.spark.sql.SparkSession,
+               storeDir: String): DataFrame = {
+    spark.read.parquet(storeDir)
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("user_id") % 2 =!= 0, 1L).otherwise(0L)).as("n_b"))
+      .withColumn("n", col("n_a") + col("n_b"))
+      .withColumn("dev_ppm", expr("abs(n_a - n_b) * 1000000 div n"))
+      .withColumn("chi2_milli",
+        expr("1000 * (n_a - n_b) * (n_a - n_b) div n"))
+      .withColumn("srm_flag", (col("chi2_milli") > 3841L).cast("long"))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("n"),
+        col("dev_ppm"), col("chi2_milli"), col("srm_flag"))
+      .orderBy(col("event_type"))
+  }
+
   /** The q256-shaped audit row for one edge, served FROM the
     * [[startFkOrphanMonitor]] store: n_rows / n_orphans /
     * n_orphan_keys / valid_ppm over everything ingested so far.

@@ -5742,7 +5742,9 @@ object PipelineQueries {
     ("q280_fairness_parity", q280, q280Sql),
     ("q281_srm_check", q281, q281Sql),
     ("q282_isotropy", q282, q282Sql),
-    ("q283_curriculum", q283, q283Sql))
+    ("q283_curriculum", q283, q283Sql),
+    ("q285_fertility_parity", q285, q285Sql),
+    ("q286_stratified_effect", q286, q286Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type — a p25/p50/p75/p95 grid
@@ -7421,4 +7423,144 @@ object PipelineQueries {
       |         AS top_lang_share_ppm
       |FROM ph JOIN tp ON ph.phase = tp.phase
       |ORDER BY ph.phase""".stripMargin
+
+  // --------------------------------------------------------------- Q285
+  /** TOKENIZER FERTILITY PARITY per language — the tokenizer-equity
+    * audit beside q280's classifier-equity one (fertility = tokens per
+    * word under the trained BPE; a language tokenizing at 2× the
+    * corpus baseline pays 2× the context budget and 2× the inference
+    * cost for the same text — the NLLB/tokenizer-fairness measurement,
+    * run after every q72 retrain): under the memoized 10-merge BPE
+    * (q72's artifact; the oracle replays training via the shared
+    * unrolled prelude), per language n_words / n_tokens, fertility in
+    * exact ppm, and PARITY vs the corpus-wide fertility as the single
+    * cross-multiplied floor (tokᵢ·W·10⁶) div (wordsᵢ·T) — one exact
+    * division, never a ratio of floors; HUGEINT/DECIMAL lift documented
+    * for the 100 TB numerator. Encoding cost is VOCAB-bounded (the q73
+    * discipline — encode once per distinct (lang, word), occurrence
+    * counts weight the sums); totals ride a langs-sized window. */
+  val q285: Q = (s, d) => {
+    import graft.functions.Bpe
+    val merges = bpeModelFor(s, d, 10)
+    val byLang = t(s, d, "documents")
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0 && !col("w").rlike("[()!]"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("n"))
+      .select(col("lang"), col("n"),
+        Bpe.tokenCount(Bpe.applyMerges(Bpe.symbolize(col("w")), merges))
+          .as("tok"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("tok") * col("n")).as("n_tokens"))
+    val wAll = Window.partitionBy() // langs-sized relation
+    byLang
+      .withColumn("tw", sum(col("n_words")).over(wAll))
+      .withColumn("tt", sum(col("n_tokens")).over(wAll))
+      .select(col("lang"), col("n_words"), col("n_tokens"),
+        expr("n_tokens * 1000000 div n_words").as("fert_ppm"),
+        expr("""CAST(CAST(n_tokens AS DECIMAL(38,0)) * tw * 1000000
+                div (CAST(n_words AS DECIMAL(38,0)) * tt) AS BIGINT)""")
+          .as("parity_ppm"))
+      .orderBy(col("lang"))
+  }
+
+  val q285Sql: String =
+    bpeSqlPrelude(10) + ",\n" +
+      """tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+        |        FROM documents),
+        |enc AS (SELECT t.lang,
+        |          len(regexp_extract_all(w10.ws, '\(([^)]*)\)', 1)) AS tok
+        |        FROM tok t JOIN w10 ON t.w = w10.w
+        |        WHERE len(t.w) > 0 AND NOT regexp_matches(t.w, '[()!]')),
+        |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+        |        CAST(sum(tok) AS BIGINT) AS n_tokens
+        |      FROM enc GROUP BY 1),
+        |a AS (SELECT lang, n_words, n_tokens,
+        |        CAST(sum(n_words) OVER () AS BIGINT) AS tw,
+        |        CAST(sum(n_tokens) OVER () AS BIGINT) AS tt
+        |      FROM g)
+        |SELECT lang, n_words, n_tokens,
+        |       n_tokens * 1000000 // n_words AS fert_ppm,
+        |       CAST(CAST(n_tokens AS HUGEINT) * tw * 1000000
+        |            // (CAST(n_words AS HUGEINT) * tt) AS BIGINT)
+        |         AS parity_ppm
+        |FROM a ORDER BY lang""".stripMargin
+
+  // --------------------------------------------------------------- Q286
+  /** POST-STRATIFIED TREATMENT EFFECT — the causal shelf's adjustment
+    * leg (q240 CUPED tightens variance, q242 reads the raw A/B, q243
+    * de-trends with a control period; this REMOVES CONFOUNDING by an
+    * observed stratifier before comparing — the observational-data
+    * estimator the raw difference silently gets wrong when exposure
+    * correlates with activity): treated = above-average clicker by
+    * integer cross-multiply (clicksᵤ·N ≥ Σclicks — no float mean
+    * exists), outcome = purchase cents (the q248 round(·100) grid),
+    * stratum = ⌊log₂(events per user)⌋ via length(bin(n)) — the
+    * engine-identical integer log bucket. Per stratum the q242/q243
+    * discipline: counts and outcome sums per arm plus the effect as an
+    * EXACT RATIONAL — diff_num = sum_t·n_c − sum_c·n_t over diff_den =
+    * n_t·n_c, division left to the caller (a one-armed stratum emits
+    * den = 0 rather than inventing a value — the documented boundary;
+    * the caller's ATT is the n_t-weighted fold over these rows).
+    *
+    * Scale shape: ONE user-keyed conditional fold (the q277 shape,
+    * partial-aggregable, skew-probed family) + a one-row broadcast for
+    * the treatment threshold; everything after is strata-sized. */
+  val q286: Q = (s, d) => {
+    val users = graft.core.Pins.pin(t(s, d, "events")
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+        .as("clicks"),
+        count(lit(1)).as("n_ev"),
+        coalesce(sum(when(col("event_type") === "purchase",
+          expr("CAST(round(value * 100) AS BIGINT)"))), lit(0L))
+          .as("cents")))
+    val tot = users.agg(count(lit(1)).as("nu"),
+      sum(col("clicks")).as("sc"))
+    val strat = users.crossJoin(broadcast(tot))
+      .withColumn("treated",
+        (col("clicks") * col("nu") >= col("sc")).cast("long"))
+      .withColumn("stratum", expr("CAST(length(bin(n_ev)) AS BIGINT)"))
+      .groupBy(col("stratum"))
+      .agg(sum(col("treated")).as("n_t"),
+        sum(lit(1L) - col("treated")).as("n_c"),
+        sum(when(col("treated") === 1L, col("cents")).otherwise(0L))
+          .as("sum_t_cents"),
+        sum(when(col("treated") === 0L, col("cents")).otherwise(0L))
+          .as("sum_c_cents"))
+    strat
+      .withColumn("diff_num",
+        col("sum_t_cents") * col("n_c") - col("sum_c_cents") * col("n_t"))
+      .withColumn("diff_den", col("n_t") * col("n_c"))
+      .select(col("stratum"), col("n_t"), col("n_c"), col("sum_t_cents"),
+        col("sum_c_cents"), col("diff_num"), col("diff_den"))
+      .orderBy(col("stratum"))
+  }
+
+  val q286Sql: String =
+    """WITH u AS (SELECT user_id,
+      |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS clicks,
+      |         CAST(count(*) AS BIGINT) AS n_ev,
+      |         CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+      |              THEN round(value * 100) END), 0) AS BIGINT) AS cents
+      |       FROM events GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS nu,
+      |          CAST(sum(clicks) AS BIGINT) AS sc FROM u),
+      |s AS (SELECT CAST(CASE WHEN clicks * nu >= sc THEN 1 ELSE 0 END
+      |          AS BIGINT) AS treated,
+      |        CAST(length(bin(n_ev)) AS BIGINT) AS stratum, cents
+      |      FROM u, tot),
+      |g AS (SELECT stratum,
+      |        CAST(sum(treated) AS BIGINT) AS n_t,
+      |        CAST(sum(1 - treated) AS BIGINT) AS n_c,
+      |        CAST(sum(CASE WHEN treated = 1 THEN cents ELSE 0 END)
+      |             AS BIGINT) AS sum_t_cents,
+      |        CAST(sum(CASE WHEN treated = 0 THEN cents ELSE 0 END)
+      |             AS BIGINT) AS sum_c_cents
+      |      FROM s GROUP BY 1)
+      |SELECT stratum, n_t, n_c, sum_t_cents, sum_c_cents,
+      |       sum_t_cents * n_c - sum_c_cents * n_t AS diff_num,
+      |       n_t * n_c AS diff_den
+      |FROM g ORDER BY stratum""".stripMargin
 }

@@ -5744,7 +5744,10 @@ object PipelineQueries {
     ("q282_isotropy", q282, q282Sql),
     ("q283_curriculum", q283, q283Sql),
     ("q285_fertility_parity", q285, q285Sql),
-    ("q286_stratified_effect", q286, q286Sql))
+    ("q286_stratified_effect", q286, q286Sql),
+    ("q287_encoding_advisor", q287, q287Sql),
+    ("q288_label_noise", q288, q288Sql),
+    ("q289_kcenter_coreset", q289, q289Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type — a p25/p50/p75/p95 grid
@@ -7563,4 +7566,259 @@ object PipelineQueries {
       |       sum_t_cents * n_c - sum_c_cents * n_t AS diff_num,
       |       n_t * n_c AS diff_den
       |FROM g ORDER BY stratum""".stripMargin
+
+  // --------------------------------------------------------------- Q287
+  /** COLUMN-ENCODING ADVISOR — the storage-layout decision beside
+    * q268's sort-order one (Z-order picks the row order; this picks
+    * the per-column ENCODING a writer should emit — the
+    * dictionary/RLE choice that decides whether a 100 TB fact table
+    * is 100 TB or 20 TB on disk, Abadi 2006): per column over the
+    * natural (l_orderkey, l_linenumber) order, row count, exact
+    * distinct count, RUN count (value-change points within each
+    * order — runs are what RLE stores), avg run length in
+    * centi-units (100·n div runs), distinct share ppm, and the two
+    * advisory flags at declared thresholds — dict when the
+    * dictionary fits (n_distinct ≤ 65536) and pays (< 1% distinct),
+    * RLE when runs average ≥ 2. Values compare on their CAST-string
+    * form (dates ISO, quantities integral — injective and
+    * engine-identical; the rendering note is why float columns are
+    * out of scope here).
+    *
+    * Scale shape: one scan melts to (column, key, value) scan-local;
+    * the change-point window partitions by (column, orderkey) — run
+    * detection never leaves the key's partition; one columns-keyed
+    * fold after (the 4-distinct expand is the exact-cardinality
+    * price, the documented HLL dial trades it away engine-side). */
+  val q287: Q = (s, d) => {
+    val melted = t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        explode(array(
+          struct(lit("l_linestatus").as("col_name"),
+            col("l_linestatus").cast("string").as("v")),
+          struct(lit("l_quantity").as("col_name"),
+            expr("CAST(round(l_quantity) AS BIGINT)").cast("string").as("v")),
+          struct(lit("l_returnflag").as("col_name"),
+            col("l_returnflag").cast("string").as("v")),
+          struct(lit("l_shipdate").as("col_name"),
+            col("l_shipdate").cast("string").as("v")))).as("m"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("m.col_name").as("col_name"), col("m.v").as("v"))
+    // the synthetic lineitem repeats (orderkey, linenumber) pairs — the
+    // value tie-break makes the run order TOTAL (equal values sort
+    // adjacent, deterministically, in both engines)
+    val wRun = Window.partitionBy(col("col_name"), col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("v"))
+    melted
+      .withColumn("lv", lag(col("v"), 1).over(wRun))
+      .withColumn("chg",
+        when(col("lv").isNull || col("lv") =!= col("v"), 1L).otherwise(0L))
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("v")).as("n_distinct"),
+        sum(col("chg")).as("runs"))
+      .withColumn("avg_run_centi", expr("100 * n div runs"))
+      .withColumn("distinct_ppm", expr("n_distinct * 1000000 div n"))
+      .withColumn("dict_flag",
+        (col("n_distinct") <= 65536L && col("distinct_ppm") < 10000L)
+          .cast("long"))
+      .withColumn("rle_flag", (col("avg_run_centi") >= 200L).cast("long"))
+      .select(col("col_name"), col("n"), col("n_distinct"), col("runs"),
+        col("avg_run_centi"), col("distinct_ppm"), col("dict_flag"),
+        col("rle_flag"))
+      .orderBy(col("col_name"))
+  }
+
+  val q287Sql: String = {
+    def leg(name: String, valueExpr: String): String =
+      s"""SELECT '$name' AS col_name, v,
+         |  CASE WHEN lag(v) OVER (PARTITION BY l_orderkey
+         |       ORDER BY l_linenumber, v) IS DISTINCT FROM v
+         |       THEN 1 ELSE 0 END AS chg
+         |FROM (SELECT l_orderkey, l_linenumber,
+         |        CAST($valueExpr AS VARCHAR) AS v FROM lineitem)""".stripMargin
+    """WITH m AS (""" +
+      Seq(
+        leg("l_linestatus", "l_linestatus"),
+        leg("l_quantity", "CAST(round(l_quantity) AS BIGINT)"),
+        leg("l_returnflag", "l_returnflag"),
+        leg("l_shipdate", "l_shipdate"))
+        .mkString("\n UNION ALL\n") +
+      """),
+        |g AS (SELECT col_name, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+        |        CAST(sum(chg) AS BIGINT) AS runs
+        |      FROM m GROUP BY 1)
+        |SELECT col_name, n, n_distinct, runs,
+        |       100 * n // runs AS avg_run_centi,
+        |       n_distinct * 1000000 // n AS distinct_ppm,
+        |       CAST(n_distinct <= 65536
+        |            AND n_distinct * 1000000 // n < 10000 AS BIGINT)
+        |         AS dict_flag,
+        |       CAST(100 * n // runs >= 200 AS BIGINT) AS rle_flag
+        |FROM g ORDER BY col_name""".stripMargin
+  }
+
+  // --------------------------------------------------------------- Q288
+  /** LABEL-NOISE SCREEN (confident-learning proxy, Northcutt 2021) —
+    * the data-cleaning leg of the classifier family (q85 grades the
+    * gate, q169/q279 its score; this turns the score back ON THE
+    * LABELS: examples whose trained-model margin strongly disagrees
+    * with their label are the mislabeled-candidate queue a curation
+    * team actually reviews): under the memoized perceptron, per
+    * original label (0-9) the row count, misfit count (margin =
+    * y·score < 0), exact misfit ppm, and the WORST example — most
+    * negative margin, tie lowest vec_id, the deterministic argmin via
+    * a (margin, vec_id)-ordered rank window stated identically in both
+    * engines. Margins are exact BIGINTs (the q85 property), so "worst"
+    * has no float boundary.
+    *
+    * Scale shape: scoring scan-local against weight literals; one
+    * labels-keyed fold + one labels-partitioned rank window; output is
+    * labels-sized. */
+  val q288: Q = (s, d) => {
+    val model = perceptronFor(s, d)
+    val raw = LinearClassifier.rawScore(col("x"), model)
+    val scored = graft.core.Pins.pin(
+      t(s, d, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          LinearClassifier.quantize(col("embedding"), 1000).as("x"),
+          when(col("label") < 5, 1L).otherwise(-1L).as("y"))
+        .select(col("vec_id"), col("label"),
+          (col("y") * raw).as("margin")))
+    val byLabel = scored.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("margin") < 0, 1L).otherwise(0L)).as("n_misfit"))
+      .withColumn("misfit_ppm", expr("n_misfit * 1000000 div n"))
+    val wWorst = Window.partitionBy(col("label"))
+      .orderBy(col("margin"), col("vec_id"))
+    val worst = scored.withColumn("rn", row_number().over(wWorst))
+      .filter(col("rn") === 1)
+      .select(col("label"), col("vec_id").as("worst_vec_id"),
+        col("margin").as("worst_margin"))
+    byLabel.join(broadcast(worst), Seq("label")) // labels-sized side
+      .select(col("label"), col("n"), col("n_misfit"), col("misfit_ppm"),
+        col("worst_vec_id"), col("worst_margin"))
+      .orderBy(col("label"))
+  }
+
+  val q288Sql: String =
+    perceptronSqlPrelude + ",\n" +
+      """mg AS (SELECT sc.vec_id, CAST(em.label AS BIGINT) AS label,
+        |         sc.y * sc.score AS margin
+        |       FROM sc JOIN embeddings em ON em.vec_id = sc.vec_id),
+        |g AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CASE WHEN margin < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_misfit
+        |      FROM mg GROUP BY 1),
+        |w AS (SELECT label, vec_id AS worst_vec_id,
+        |        margin AS worst_margin
+        |      FROM (SELECT label, vec_id, margin, row_number() OVER
+        |              (PARTITION BY label ORDER BY margin, vec_id) AS rn
+        |            FROM mg)
+        |      WHERE rn = 1)
+        |SELECT g.label AS label, n, n_misfit,
+        |       n_misfit * 1000000 // n AS misfit_ppm,
+        |       worst_vec_id, worst_margin
+        |FROM g JOIN w ON g.label = w.label
+        |ORDER BY g.label""".stripMargin
+
+  // --------------------------------------------------------------- Q289
+  /** K-CENTER CORESET (greedy farthest-point / Gonzalez 1985) — the
+    * coverage-driven selection leg of the sampling shelf (q110/q221
+    * sample by hash/weight, q129 by priority, q249 by uncertainty,
+    * q211 MMR diversifies a SHORTLIST; this picks the k corpus points
+    * that minimize the maximum distance anyone is from a
+    * representative — the 2-approximation coreset a data-pruning or
+    * labeling-budget pass starts from): on the q270 round(x·1000)
+    * grid all distances are exact BIGINT squared euclidean, seed = the
+    * lowest vec_id, each round picks the point FARTHEST from the
+    * chosen set (tie: lowest id) — the greedy runs driver-side with
+    * model-sized state (the q72 BPE / q272 power-step shape, one
+    * corpus fold per round, memoized as an ingest artifact) and the
+    * ORACLE REPLAYS ALL 8 ROUNDS as unrolled CTEs, so selection is
+    * exact-checked, not spot-checked. The declared dataflow then
+    * audits the coreset: every point assigned to its nearest center
+    * (first-minimum index = lowest-rank tie-break, stated identically
+    * both sides), per center the member count and the coverage radius
+    * max d² — the number the 2-approximation guarantee is ABOUT.
+    *
+    * Scale shape: each greedy round is one scan-local distance pass +
+    * a TakeOrdered(1) (k scans at ingest, k model-sized literals
+    * after); the audit is one scan-local assignment + a centers-keyed
+    * fold. */
+  private val kcenterModels =
+    new BoundedModelCache[Seq[(Long, Long, Seq[Long])]]
+  def clearKcenterModels(): Unit = kcenterModels.clear()
+  private val KcK = 8
+  private def qGrid(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, e -> CAST(round(e * 1000) AS BIGINT))")
+        .as("x"))
+  private def d2To(cx: Seq[Long]): org.apache.spark.sql.Column =
+    expr(s"""aggregate(zip_with(x, array(${cx.mkString("L,")}L),
+            |  (a, b) -> (a - b) * (a - b)),
+            |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin)
+  private def kcenterFor(s: SparkSession, d: String): Seq[(Long, Long, Seq[Long])] =
+    kcenterModels.getOrTrain((s, d, KcK)) {
+      val q = qGrid(s, d)
+      val seed = q.orderBy(col("vec_id")).limit(1)
+        .collect().head
+      var chosen = Vector[(Long, Long, Seq[Long])](
+        (1L, seed.getLong(0), seed.getSeq[Long](1)))
+      for (r <- 2 to KcK) {
+        val dcols = chosen.map(c => d2To(c._3))
+        val dmin = if (dcols.size == 1) dcols.head else least(dcols: _*)
+        val pick = q.select(col("vec_id"), col("x"), dmin.as("dmin"))
+          .orderBy(col("dmin").desc, col("vec_id")).limit(1)
+          .collect().head
+        chosen :+= ((r.toLong, pick.getLong(0), pick.getSeq[Long](1)))
+      }
+      chosen
+    }
+
+  val q289: Q = (s, d) => {
+    val centers = kcenterFor(s, d)
+    val centerDf = s.createDataFrame(
+      centers.map(c => (c._1, c._2))).toDF("rank", "center_id")
+    val ds = array(centers.map(c => d2To(c._3)): _*)
+    qGrid(s, d)
+      .select(col("vec_id"), ds.as("ds"))
+      .withColumn("rank", expr("array_position(ds, array_min(ds))"))
+      .withColumn("d2", expr("element_at(ds, CAST(rank AS INT))"))
+      .groupBy(col("rank"))
+      .agg(count(lit(1)).as("n_assigned"), max(col("d2")).as("max_d2"))
+      .join(broadcast(centerDf), Seq("rank")) // k-sized
+      .select(col("rank"), col("center_id"), col("n_assigned"),
+        col("max_d2"))
+      .orderBy(col("rank"))
+  }
+
+  val q289Sql: String = {
+    val d2 = (a: String, b: String) =>
+      s"list_sum(list_transform(generate_series(1, 64), i -> ($a.x[i] - $b.x[i]) * ($a.x[i] - $b.x[i])))"
+    def round(r: Int): String =
+      s"""m${r - 1} AS (SELECT t.vec_id, min(${d2("t", "c")}) AS dmin
+         |       FROM q t, c${r - 1} c GROUP BY t.vec_id),
+         |p$r AS (SELECT vec_id FROM m${r - 1}
+         |        ORDER BY dmin DESC, vec_id LIMIT 1),
+         |c$r AS (SELECT * FROM c${r - 1} UNION ALL
+         |        SELECT CAST($r AS BIGINT), q.vec_id, q.x FROM q
+         |        WHERE q.vec_id = (SELECT vec_id FROM p$r)),""".stripMargin
+    s"""WITH q AS (SELECT vec_id,
+       |        list_transform(CAST(embedding AS DOUBLE[]),
+       |          e -> CAST(round(e * 1000) AS BIGINT)) AS x
+       |      FROM embeddings),
+       |c1 AS (SELECT CAST(1 AS BIGINT) AS rank, vec_id, x FROM q
+       |       WHERE vec_id = (SELECT min(vec_id) FROM q)),
+       |${(2 to KcK).map(round).mkString("\n")}
+       |a0 AS (SELECT t.vec_id, c.rank, ${d2("t", "c")} AS d2
+       |       FROM q t CROSS JOIN c$KcK c),
+       |asn AS (SELECT *, row_number() OVER
+       |          (PARTITION BY vec_id ORDER BY d2, rank) AS rn
+       |        FROM a0)
+       |SELECT asn.rank AS rank, c.vec_id AS center_id,
+       |       CAST(count(*) AS BIGINT) AS n_assigned,
+       |       CAST(max(asn.d2) AS BIGINT) AS max_d2
+       |FROM asn JOIN c$KcK c ON c.rank = asn.rank
+       |WHERE rn = 1 GROUP BY 1, 2 ORDER BY rank""".stripMargin
+  }
 }

@@ -61,6 +61,95 @@ object VectorIngest {
     out
   }
 
+  /** CONTINUOUS ISOTROPY MAINTENANCE — q282's streaming twin: the
+    * store holds the per-dimension moment triple (j, Sⱼ, Qⱼ, n) on the
+    * round(x·1000) grid — 64 rows however long the stream runs — and
+    * each micro-batch MERGES its own fold by integer ADDITION.
+    * Moments are mergeable exactly (Σ over a union = Σ of Σs), so
+    * [[isotropyAudit]] is bit-equal to the batch q282 over any prefix
+    * and any batching (spec-pinned); addition is NOT idempotent, so
+    * the CMS/FK-orphan batch-id transaction rule guards crash-replay
+    * (spec-pinned). This is the shape a 100 TB embedding feed audits
+    * itself with: per-batch cost is one scan-local explode fold that
+    * collapses map-side to 64 rows, and the collapse-detection page
+    * (participation ratio sinking toward 1) fires on merge rather
+    * than at the next offline audit. */
+  def isotropyBatch(batch: DataFrame, statsDir: String, batchId: Long,
+                    vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    graft.core.Sinks.recoverStrandedBackup(statsDir)
+    val stored =
+      if (new java.io.File(statsDir).isDirectory)
+        Some(spark.read.parquet(statsDir))
+      else None
+    val storedId = stored
+      .map(_.agg(max(col("batch_id"))).head().getLong(0)).getOrElse(-1L)
+    if (batchId > storedId) {
+      val bs = batch
+        .select(expr(s"transform($vecCol, x -> CAST(round(x * 1000) AS BIGINT))")
+          .as("qv"))
+        .select(posexplode(col("qv")).as(Seq("j", "q")))
+        .groupBy(col("j"))
+        .agg(sum(col("q")).as("sj"), sum(col("q") * col("q")).as("qj"),
+          count(lit(1)).as("n"))
+      val merged = (stored match {
+        case Some(st) => st.select("j", "sj", "qj", "n").unionByName(bs)
+        case None => bs
+      }).groupBy(col("j"))
+        .agg(sum(col("sj")).as("sj"), sum(col("qj")).as("qj"),
+          sum(col("n")).as("n"))
+      // materialize BEFORE overwriting the store the lineage reads
+      val out = merged.localCheckpoint()
+      graft.core.Sinks.atomicSwap(statsDir, "sketch") { tmp =>
+        out.withColumn("batch_id", lit(batchId)).coalesce(1).write.parquet(tmp)
+      }
+      graft.core.Pins.releaseCheckpoint(out)
+    }
+    // batchId <= storedId: crash-replay of an already-merged batch —
+    // skip (moment addition would double-count)
+  }
+
+  /** q282's audit row served FROM the [[isotropyBatch]] moment store —
+    * the same trace / worst-dimension share / participation ratio /
+    * mean-mass outputs, over everything ingested so far. */
+  def isotropyAudit(spark: org.apache.spark.sql.SparkSession,
+                    statsDir: String): DataFrame = {
+    spark.read.parquet(statsDir)
+      .select(col("n"), (col("n") * col("qj") - col("sj") * col("sj")).as("vj"),
+        col("sj"), col("qj"))
+      .agg(first(col("n")).as("n"), count(lit(1)).as("dims"),
+        sum(col("vj")).as("trace"), max(col("vj")).as("vmax"),
+        sum(col("vj").cast("decimal(38,0)") * col("vj")).as("v2"),
+        sum(col("sj") * col("sj")).as("s2"), sum(col("qj")).as("qsum"))
+      .select(col("n"), col("dims"), col("trace"),
+        expr("CAST(CAST(vmax AS DECIMAL(38,0)) * 1000000 div trace AS BIGINT)")
+          .as("max_dim_share_ppm"),
+        expr("CAST(CAST(trace AS DECIMAL(38,0)) * trace * 100 div v2 AS BIGINT)")
+          .as("pr_centi"),
+        expr("CAST(CAST(s2 AS DECIMAL(38,0)) * 1000000 div (n * qsum) AS BIGINT)")
+          .as("mean_mass_ppm"))
+  }
+
+  /** The continuous isotropy form: a streaming (vec_id, embedding)
+    * source driven through [[isotropyBatch]], with `onCollapse` paged
+    * when the participation ratio sinks under `prCentiFloor`. */
+  def startIsotropyMonitor(vecs: DataFrame, statsDir: String,
+                           checkpointDir: String,
+                           prCentiFloor: Long = 200L,
+                           onCollapse: Long => Unit = _ => ())
+      : StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          isotropyBatch(batch, statsDir, batchId)
+          val pr = isotropyAudit(batch.sparkSession, statsDir)
+            .select(col("pr_centi")).head().getLong(0)
+          if (pr < prCentiFloor) onCollapse(pr)
+        }
+      }
+      .start()
+
   /** The continuous form: a streaming (vec_id, embedding) source driven
     * through [[ingestBatch]] per micro-batch. */
   def start(vecs: DataFrame, ivf: VectorOps.IvfModel, pq: Pq.PqModel,

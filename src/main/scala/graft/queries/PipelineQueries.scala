@@ -5747,7 +5747,8 @@ object PipelineQueries {
     ("q286_stratified_effect", q286, q286Sql),
     ("q287_encoding_advisor", q287, q287Sql),
     ("q288_label_noise", q288, q288Sql),
-    ("q289_kcenter_coreset", q289, q289Sql))
+    ("q289_kcenter_coreset", q289, q289Sql),
+    ("q290_silence_segments", q290, q290Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type — a p25/p50/p75/p95 grid
@@ -7821,4 +7822,100 @@ object PipelineQueries {
        |FROM asn JOIN c$KcK c ON c.rank = asn.rank
        |WHERE rn = 1 GROUP BY 1, 2 ORDER BY rank""".stripMargin
   }
+
+  // --------------------------------------------------------------- Q290
+  /** AUDIO SILENCE SEGMENTATION through the REAL WAV codec path — the
+    * segmentation leg of the multimodal shelf (q96 extracts pooled
+    * features, q183 dedups video frames; this finds the silence/
+    * activity STRUCTURE a speech pipeline cuts clips on — VAD's
+    * deterministic integer core): payloads synthesized as in q96
+    * (sample i = int16 quantization of dimension i,
+    * [[graft.multimodal.RawCodec.writeWav]]), decoded OFF THE BYTES by
+    * the real fmt-chunk-walking codec, then per clip the
+    * gaps-and-islands run decomposition of the silent flag
+    * (|amplitude| < 3277 ≈ −20 dBFS — an integer compare on PCM16, no
+    * dB log ever runs): silent-sample count and exact ppm, silence-run
+    * count, longest silence, and active-segment count — the numbers a
+    * segmenter turns into cut points. Runs come from the classic
+    * pos − rank(pos within flag) island key (the q190 streaks
+    * discipline), exact integers end to end; the oracle replays
+    * quantize → |s| threshold → the same island SQL (the q96 contract:
+    * agreement proves the byte-level codec decoded exactly what it
+    * claims).
+    *
+    * Scale shape: codec decode is scan-local mapPartitions (payload
+    * bytes never shuffle); the explode collapses into ONE
+    * (clip, flag)-keyed rank window + a runs fold; everything after is
+    * clips-sized. */
+  val q290: Q = (s, d) => {
+    import s.implicits._
+    val wavs = t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .map { case (id, e) =>
+        val smp = e.padTo(64, 0f).take(64).map { x =>
+          val q = math.floor(x.toDouble * 32767.0)
+          math.max(-32768L, math.min(32767L, q)).toShort
+        }.toArray
+        (id, "wav", graft.multimodal.RawCodec.writeWav(8000, smp))
+      }
+    val samples = graft.multimodal.MediaOps.decode(wavs)
+      .map(m => (m.mediaId,
+        graft.multimodal.RawCodec.wavSamples(m.content).map(_.toLong).toSeq))
+      .toDF("vec_id", "s")
+    val wIsl = Window.partitionBy(col("vec_id"), col("silent"))
+      .orderBy(col("pos"))
+    val runs = samples
+      .select(col("vec_id"), posexplode(col("s")).as(Seq("pos", "amp")))
+      .withColumn("silent", (abs(col("amp")) < 3277L).cast("long"))
+      .withColumn("grp", col("pos") - row_number().over(wIsl))
+      .groupBy(col("vec_id"), col("silent"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+    runs.groupBy(col("vec_id"))
+      .agg(sum(col("len")).as("n_samples"),
+        coalesce(sum(when(col("silent") === 1L, col("len"))), lit(0L))
+          .as("n_silent"),
+        sum(when(col("silent") === 1L, 1L).otherwise(0L))
+          .as("n_silence_runs"),
+        coalesce(max(when(col("silent") === 1L, col("len"))), lit(0L))
+          .as("longest_silence"),
+        sum(when(col("silent") === 0L, 1L).otherwise(0L))
+          .as("n_active_runs"))
+      .withColumn("silence_ppm", expr("n_silent * 1000000 div n_samples"))
+      .select(col("vec_id"), col("n_samples"), col("n_silent"),
+        col("silence_ppm"), col("n_silence_runs"), col("longest_silence"),
+        col("n_active_runs"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q290Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |       FROM embeddings),
+      |smp AS (SELECT vec_id, list_transform(v, x ->
+      |          GREATEST(-32768, LEAST(32767,
+      |            CAST(floor(x * 32767) AS BIGINT)))) AS s
+      |        FROM e),
+      |ex AS (SELECT vec_id, i AS pos, s[i] AS amp,
+      |         CAST(abs(s[i]) < 3277 AS BIGINT) AS silent
+      |       FROM smp, UNNEST(generate_series(1, 64)) AS t(i)),
+      |isl AS (SELECT vec_id, silent,
+      |          pos - row_number() OVER
+      |            (PARTITION BY vec_id, silent ORDER BY pos) AS grp
+      |        FROM ex),
+      |runs AS (SELECT vec_id, silent, grp,
+      |           CAST(count(*) AS BIGINT) AS len
+      |         FROM isl GROUP BY 1, 2, 3)
+      |SELECT vec_id, CAST(sum(len) AS BIGINT) AS n_samples,
+      |       CAST(coalesce(sum(CASE WHEN silent = 1 THEN len END), 0)
+      |            AS BIGINT) AS n_silent,
+      |       CAST(coalesce(sum(CASE WHEN silent = 1 THEN len END), 0)
+      |            AS BIGINT) * 1000000 // CAST(sum(len) AS BIGINT)
+      |         AS silence_ppm,
+      |       CAST(sum(CASE WHEN silent = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_silence_runs,
+      |       CAST(coalesce(max(CASE WHEN silent = 1 THEN len END), 0)
+      |            AS BIGINT) AS longest_silence,
+      |       CAST(sum(CASE WHEN silent = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_active_runs
+      |FROM runs GROUP BY vec_id ORDER BY vec_id""".stripMargin
 }

@@ -5748,7 +5748,9 @@ object PipelineQueries {
     ("q287_encoding_advisor", q287, q287Sql),
     ("q288_label_noise", q288, q288Sql),
     ("q289_kcenter_coreset", q289, q289Sql),
-    ("q290_silence_segments", q290, q290Sql))
+    ("q290_silence_segments", q290, q290Sql),
+    ("q291_markov_accuracy", q291, q291Sql),
+    ("q292_ivf_balance", q292, q292Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type — a p25/p50/p75/p95 grid
@@ -7591,31 +7593,49 @@ object PipelineQueries {
     * fold after (the 4-distinct expand is the exact-cardinality
     * price, the documented HLL dial trades it away engine-side). */
   val q287: Q = (s, d) => {
-    val melted = t(s, d, "lineitem")
-      .select(col("l_orderkey"), col("l_linenumber"),
-        explode(array(
-          struct(lit("l_linestatus").as("col_name"),
-            col("l_linestatus").cast("string").as("v")),
-          struct(lit("l_quantity").as("col_name"),
-            expr("CAST(round(l_quantity) AS BIGINT)").cast("string").as("v")),
-          struct(lit("l_returnflag").as("col_name"),
-            col("l_returnflag").cast("string").as("v")),
-          struct(lit("l_shipdate").as("col_name"),
-            col("l_shipdate").cast("string").as("v")))).as("m"))
-      .select(col("l_orderkey"), col("l_linenumber"),
-        col("m.col_name").as("col_name"), col("m.v").as("v"))
-    // the synthetic lineitem repeats (orderkey, linenumber) pairs — the
-    // value tie-break makes the run order TOTAL (equal values sort
-    // adjacent, deterministically, in both engines)
-    val wRun = Window.partitionBy(col("col_name"), col("l_orderkey"))
-      .orderBy(col("l_linenumber"), col("v"))
-    melted
-      .withColumn("lv", lag(col("v"), 1).over(wRun))
-      .withColumn("chg",
-        when(col("lv").isNull || col("lv") =!= col("v"), 1L).otherwise(0L))
-      .groupBy(col("col_name"))
-      .agg(count(lit(1)).as("n"), countDistinct(col("v")).as("n_distinct"),
-        sum(col("chg")).as("runs"))
+    val cols = Seq(
+      "l_linestatus" -> col("l_linestatus").cast("string"),
+      "l_quantity" -> expr("CAST(round(l_quantity) AS BIGINT)").cast("string"),
+      "l_returnflag" -> col("l_returnflag").cast("string"),
+      "l_shipdate" -> col("l_shipdate").cast("string"))
+    val base = graft.core.Pins.pin(t(s, d, "lineitem")
+      .select(col("l_orderkey") +: col("l_linenumber") +:
+        cols.map { case (n, c) => c.as(n) }: _*))
+    // A file has ONE physical row order, and RLE runs per column are
+    // counted over THAT shared order — so all four lag columns ride a
+    // single window (one exchange, ONE sort) on the canonical
+    // (linenumber, full-row) order; the full-row tie-break makes the
+    // order TOTAL where the synthetic key repeats, identically in both
+    // engines. Measured alternatives (sf0.1, best-of-3): melting to
+    // 2.4M (column, key, value) rows + a 4-distinct expand, 2.15 s;
+    // a per-order collect_list/sort_array struct fold, 3.2 s with GC
+    // outliers; four per-column-ordered windows, 1.7 s; this shared
+    // order, one WindowExec, ~0.9 s.
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber") +: cols.map(c => col(c._1)): _*)
+    val withChg = cols.foldLeft(base) { case (df, (n, _)) =>
+      df.withColumn(s"chg_$n",
+        when(lag(col(n), 1).over(w).isNull
+          || lag(col(n), 1).over(w) =!= col(n), 1L).otherwise(0L))
+    }
+    val runsRow = withChg.agg(
+      count(lit(1)).as("n"),
+      struct(cols.map { case (n, _) => sum(col(s"chg_$n")).as(n) }: _*)
+        .as("runs"))
+    // exact distinct counts off a slim melt FOLD (collapses map-side to
+    // the value domain — no window, no expand)
+    val distincts = base
+      .select(explode(array(cols.map { case (n, _) =>
+        struct(lit(n).as("col_name"), col(n).as("v")) }: _*)).as("m"))
+      .select(col("m.col_name").as("col_name"), col("m.v").as("v"))
+      .groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("col_name")).agg(count(lit(1)).as("n_distinct"))
+    val long = runsRow.select(col("n"),
+      explode(array(cols.map { case (n, _) =>
+        struct(lit(n).as("col_name"), col(s"runs.$n").as("runs")) }: _*))
+        .as("m"))
+      .select(col("m.col_name").as("col_name"), col("n"), col("m.runs").as("runs"))
+    long.join(broadcast(distincts), Seq("col_name"))
       .withColumn("avg_run_centi", expr("100 * n div runs"))
       .withColumn("distinct_ppm", expr("n_distinct * 1000000 div n"))
       .withColumn("dict_flag",
@@ -7629,20 +7649,30 @@ object PipelineQueries {
   }
 
   val q287Sql: String = {
-    def leg(name: String, valueExpr: String): String =
-      s"""SELECT '$name' AS col_name, v,
-         |  CASE WHEN lag(v) OVER (PARTITION BY l_orderkey
-         |       ORDER BY l_linenumber, v) IS DISTINCT FROM v
-         |       THEN 1 ELSE 0 END AS chg
-         |FROM (SELECT l_orderkey, l_linenumber,
-         |        CAST($valueExpr AS VARCHAR) AS v FROM lineitem)""".stripMargin
-    """WITH m AS (""" +
-      Seq(
-        leg("l_linestatus", "l_linestatus"),
-        leg("l_quantity", "CAST(round(l_quantity) AS BIGINT)"),
-        leg("l_returnflag", "l_returnflag"),
-        leg("l_shipdate", "l_shipdate"))
-        .mkString("\n UNION ALL\n") +
+    // one shared physical row order for every column's lag (the window
+    // clause below mirrors the Spark side's single WindowExec)
+    val ord = "PARTITION BY l_orderkey ORDER BY l_linenumber, " +
+      "l_linestatus, l_quantity, l_returnflag, l_shipdate"
+    def leg(name: String): String =
+      s"""SELECT '$name' AS col_name, $name AS v, chg_$name AS chg
+         |FROM lagged""".stripMargin
+    s"""WITH base AS (SELECT l_orderkey, l_linenumber,
+       |         CAST(l_linestatus AS VARCHAR) AS l_linestatus,
+       |         CAST(CAST(round(l_quantity) AS BIGINT) AS VARCHAR)
+       |           AS l_quantity,
+       |         CAST(l_returnflag AS VARCHAR) AS l_returnflag,
+       |         CAST(l_shipdate AS VARCHAR) AS l_shipdate
+       |       FROM lineitem),
+       |lagged AS (SELECT *,
+       |""".stripMargin +
+      Seq("l_linestatus", "l_quantity", "l_returnflag", "l_shipdate")
+        .map(n =>
+          s"  CASE WHEN lag($n) OVER ($ord) IS DISTINCT FROM $n\n" +
+          s"       THEN 1 ELSE 0 END AS chg_$n")
+        .mkString(",\n") +
+      "\nFROM base),\nm AS (" +
+      Seq("l_linestatus", "l_quantity", "l_returnflag", "l_shipdate")
+        .map(leg).mkString("\n UNION ALL\n") +
       """),
         |g AS (SELECT col_name, CAST(count(*) AS BIGINT) AS n,
         |        CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
@@ -7918,4 +7948,146 @@ object PipelineQueries {
       |       CAST(sum(CASE WHEN silent = 0 THEN 1 ELSE 0 END) AS BIGINT)
       |         AS n_active_runs
       |FROM runs GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  // --------------------------------------------------------------- Q291
+  /** MARKOV NEXT-EVENT PREDICTION ACCURACY — the predictive EVAL on
+    * the sequence models (q92 counts the transition matrix, q142 finds
+    * its stationary distribution; neither says whether the matrix
+    * PREDICTS anything): transitions split leakage-safe at the q277
+    * 70%-of-span cutoff BY THE TIME OF THE PREDICTED EVENT (the
+    * prev-event is an observed feature at prediction time, so
+    * cutoff-crossing transitions are legitimately eval), the model is
+    * argmax train count per from-state (tie: lexicographic next —
+    * stated identically both sides), and the eval fold scores held-out
+    * transitions per from-state: n_train/n_eval/n_hit and exact
+    * accuracy ppm — the number that says whether "view → click" is
+    * signal or noise before anyone ships a next-action model. A
+    * from-state never seen in training drops from the report (inner
+    * model join — the documented cold-start boundary, q277's).
+    *
+    * Scale shape: one lag window over the user partition (the q92
+    * exchange), one train fold and one eval fold (both partial-
+    * aggregable, states²-sized), the model a states-sized broadcast. */
+  val q291: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ev = t(s, d, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+    val span = broadcast(ev.agg(min(col("us")).as("t0"), max(col("us")).as("t1"))
+      .select(expr("t0 + (t1 - t0) * 7 div 10").as("cut")))
+    val seq = graft.core.Pins.pin(ev
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .crossJoin(span)
+      .select(col("prev"), col("event_type").as("next"),
+        (col("us") >= col("cut")).cast("long").as("is_eval")))
+    val train = seq.filter(col("is_eval") === 0L)
+      .groupBy(col("prev"), col("next")).agg(count(lit(1)).as("n"))
+    val wTop = Window.partitionBy(col("prev"))
+      .orderBy(col("n").desc, col("next"))
+    val model = train
+      .withColumn("n_train", sum(col("n")).over(Window.partitionBy(col("prev"))))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col("prev"), col("next").as("predicted"), col("n_train"))
+    seq.filter(col("is_eval") === 1L)
+      .join(broadcast(model), Seq("prev"))
+      .groupBy(col("prev"), col("predicted"), col("n_train"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("next") === col("predicted"), 1L).otherwise(0L))
+          .as("n_hit"))
+      .withColumn("acc_ppm", expr("n_hit * 1000000 div n_eval"))
+      .select(col("prev"), col("predicted"), col("n_train"), col("n_eval"),
+        col("n_hit"), col("acc_ppm"))
+      .orderBy(col("prev"))
+  }
+
+  val q291Sql: String =
+    """WITH ev AS (SELECT user_id, event_type, ts, event_id,
+      |         epoch_us(ts) AS us
+      |       FROM events),
+      |cutoff AS (SELECT min(us) + (max(us) - min(us)) * 7 // 10 AS cut
+      |           FROM ev),
+      |seq AS (SELECT lag(event_type) OVER
+      |          (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+      |          event_type AS next,
+      |          CAST(us >= cut AS BIGINT) AS is_eval
+      |        FROM ev, cutoff),
+      |tr AS (SELECT prev, next, CAST(count(*) AS BIGINT) AS n
+      |       FROM seq WHERE prev IS NOT NULL AND is_eval = 0
+      |       GROUP BY 1, 2),
+      |model AS (SELECT prev, next AS predicted, n_train FROM
+      |            (SELECT prev, next,
+      |               CAST(sum(n) OVER (PARTITION BY prev) AS BIGINT)
+      |                 AS n_train,
+      |               row_number() OVER
+      |                 (PARTITION BY prev ORDER BY n DESC, next) AS rn
+      |             FROM tr)
+      |          WHERE rn = 1)
+      |SELECT s.prev AS prev, m.predicted, m.n_train,
+      |       CAST(count(*) AS BIGINT) AS n_eval,
+      |       CAST(sum(CASE WHEN s.next = m.predicted THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_hit,
+      |       CAST(sum(CASE WHEN s.next = m.predicted THEN 1 ELSE 0 END)
+      |            AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT)
+      |         AS acc_ppm
+      |FROM seq s JOIN model m ON s.prev = m.prev
+      |WHERE s.is_eval = 1
+      |GROUP BY 1, 2, 3 ORDER BY prev""".stripMargin
+
+  // --------------------------------------------------------------- Q292
+  /** IVF CELL-BALANCE AUDIT — the index-HEALTH check the ANN shelf was
+    * missing (q117/q168/q269/q284 grade result quality; this grades
+    * the index's SHAPE: IVF search cost is the probed cells' sizes, so
+    * one overfull cell IS the tail latency — every vector DB's
+    * rebalance trigger): against the same memoized 8-cell quantizer
+    * q30/q45/q76/q78/q98 search (and the oracle retrains via the
+    * shared unrolled k-means prelude, so cells match bit for bit),
+    * per cell the member count and exact share ppm over a dense
+    * 0..7 cell spine (an EMPTY cell must surface as a 0-row — empties
+    * are wasted train budget), plus the headline constants a
+    * rebalance gate reads: imbalance = max·nCells·10⁶ div N ppm
+    * (10⁶ = perfectly balanced; nCells·10⁶ = everything in one cell)
+    * and the empty-cell count.
+    *
+    * Scale shape: the assigned relation is the stored ingest artifact
+    * (cell column on the table — the q30 contract); the audit is ONE
+    * cells-keyed fold off it, then cells-sized windows on the dense
+    * spine. */
+  val q292: Q = (s, d) => {
+    val nCells = 8
+    val counts = ivfModelFor(s, d, nCells).assigned
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val spine = s.range(0, nCells).select(col("id").cast("long").as("cell"))
+    val wAll = Window.partitionBy() // cells-sized relation
+    spine.join(counts, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n"), lit(0L)).as("n"))
+      .withColumn("n_tot", sum(col("n")).over(wAll))
+      .withColumn("share_ppm", expr("n * 1000000 div n_tot"))
+      .withColumn("imbalance_ppm",
+        expr(s"max(n) over () * $nCells * 1000000 div n_tot"))
+      .withColumn("n_empty",
+        sum(when(col("n") === 0L, 1L).otherwise(0L)).over(wAll))
+      .select(col("cell"), col("n"), col("share_ppm"),
+        col("imbalance_ppm"), col("n_empty"))
+      .orderBy(col("cell"))
+  }
+
+  val q292Sql: String =
+    ivfSqlPrelude(nCells = 8, sampleN = 256, iters = 2) + ",\n" +
+      """cnt AS (SELECT cell, CAST(count(*) AS BIGINT) AS n
+        |        FROM cells GROUP BY 1),
+        |spine AS (SELECT CAST(unnest(generate_series(0, 7)) AS BIGINT)
+        |            AS cell),
+        |g AS (SELECT spine.cell AS cell,
+        |        CAST(coalesce(cnt.n, 0) AS BIGINT) AS n
+        |      FROM spine LEFT JOIN cnt ON spine.cell = cnt.cell)
+        |SELECT cell, n,
+        |       n * 1000000 // CAST(sum(n) OVER () AS BIGINT) AS share_ppm,
+        |       CAST(max(n) OVER () AS BIGINT) * 8 * 1000000
+        |         // CAST(sum(n) OVER () AS BIGINT) AS imbalance_ppm,
+        |       CAST(sum(CASE WHEN n = 0 THEN 1 ELSE 0 END) OVER ()
+        |            AS BIGINT) AS n_empty
+        |FROM g ORDER BY cell""".stripMargin
 }

@@ -5750,7 +5750,9 @@ object PipelineQueries {
     ("q289_kcenter_coreset", q289, q289Sql),
     ("q290_silence_segments", q290, q290Sql),
     ("q291_markov_accuracy", q291, q291Sql),
-    ("q292_ivf_balance", q292, q292Sql))
+    ("q292_ivf_balance", q292, q292Sql),
+    ("q293_column_checksums", q293, q293Sql),
+    ("q294_erasure_closure", q294, q294Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type — a p25/p50/p75/p95 grid
@@ -8090,4 +8092,188 @@ object PipelineQueries {
         |       CAST(sum(CASE WHEN n = 0 THEN 1 ELSE 0 END) OVER ()
         |            AS BIGINT) AS n_empty
         |FROM g ORDER BY cell""".stripMargin
+
+  // --------------------------------------------------------------- Q293
+  /** COLUMN-LEVEL CONTENT CHECKSUMS — the data-contract diff primitive
+    * between the table-level Merkle (q267: equal roots ⟺ equal doc
+    * multisets) and the schema profile (q274/q161): per (table,
+    * column) an ORDER-FREE digest — the sum of md5-52-bit hashes of
+    * the CANONICALIZED value rendering, mod 2⁵² — so two pipelines
+    * (or two snapshots, or two engines) can localize a divergence to
+    * the column that moved without shipping data (the
+    * migration-validation / replication-audit workhorse; q166 diffs
+    * ROWS when keys align, this needs no key at all). Commutative
+    * addition makes the digest partition- and order-invariant AND
+    * incrementally maintainable (add the delta's hashes); NULLs are
+    * counted, never hashed (a canonical rendering for NULL would make
+    * "null" and NULL collide). Canonicalization is part of the
+    * contract and stated in both engines: integers as decimal strings,
+    * prices as round(·100) cent strings (float rendering is the
+    * classic cross-engine checksum killer), timestamps as epoch
+    * microseconds. Sums ride DECIMAL(38,0)/HUGEINT (600k × 2⁵² ≈ 2.7
+    * ·10²¹ overflows BIGINT), the digest emits as BIGINT after the
+    * mod.
+    *
+    * Scale shape: the melt is scan-local (one scan per table); the
+    * ONLY exchange is the columns-keyed digest fold (map-side
+    * partial); output is columns-sized. */
+  val q293: Q = (s, d) => {
+    import graft.functions.TextOps
+    def melt(table: String, cols: Seq[(String, org.apache.spark.sql.Column)]) =
+      t(s, d, table).select(explode(array(cols.map { case (n, c) =>
+        struct(lit(s"$table.$n").as("col_name"),
+          c.cast("string").as("v")) }: _*)).as("m"))
+        .select(col("m.col_name").as("col_name"), col("m.v").as("v"))
+    val docs = melt("documents", Seq(
+      "doc_id" -> col("doc_id"), "text" -> col("text"),
+      "lang" -> col("lang"), "source" -> col("source"),
+      "n_chars" -> col("n_chars")))
+    val ords = melt("orders", Seq(
+      "o_orderkey" -> col("o_orderkey"), "o_custkey" -> col("o_custkey"),
+      "o_orderstatus" -> col("o_orderstatus"),
+      "o_totalprice" -> expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+      "o_orderdate" -> unix_micros(col("o_orderdate")),
+      "o_orderpriority" -> col("o_orderpriority")))
+    docs.unionByName(ords)
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+        sum(when(col("v").isNotNull,
+          TextOps.md5Long52(col("v")).cast("decimal(38,0)"))).as("sum52"))
+      .select(col("col_name"), col("n"), col("n_null"),
+        expr("CAST(sum52 % 4503599627370496 AS BIGINT)").as("digest52"))
+      .orderBy(col("col_name"))
+  }
+
+  val q293Sql: String = {
+    def leg(table: String, colName: String, valueExpr: String): String =
+      s"""SELECT '$table.$colName' AS col_name,
+         |  CAST($valueExpr AS VARCHAR) AS v FROM $table""".stripMargin
+    """WITH m AS (""" +
+      (Seq(
+        leg("documents", "doc_id", "doc_id"),
+        leg("documents", "text", "text"),
+        leg("documents", "lang", "lang"),
+        leg("documents", "source", "source"),
+        leg("documents", "n_chars", "n_chars"),
+        leg("orders", "o_orderkey", "o_orderkey"),
+        leg("orders", "o_custkey", "o_custkey"),
+        leg("orders", "o_orderstatus", "o_orderstatus"),
+        leg("orders", "o_totalprice",
+          "CAST(round(o_totalprice * 100) AS BIGINT)"),
+        leg("orders", "o_orderdate", "epoch_us(o_orderdate)"),
+        leg("orders", "o_orderpriority", "o_orderpriority"))
+        .mkString("\n UNION ALL\n")) +
+      s"""),
+         |h AS (SELECT col_name, v,
+         |        CASE WHEN v IS NULL THEN NULL
+         |             ELSE ${sqlHex52("md5(v)")} END AS h52
+         |      FROM m)
+         |SELECT col_name, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_null,
+         |       CAST(sum(CAST(h52 AS HUGEINT)) % 4503599627370496
+         |            AS BIGINT) AS digest52
+         |FROM h GROUP BY col_name ORDER BY col_name""".stripMargin
+  }
+
+  // --------------------------------------------------------------- Q294
+  /** RIGHT-TO-ERASURE WITH NEAR-DUP CLOSURE — the legal reality q254's
+    * exact-match audit stops short of: an erasure request covers the
+    * revoked documents AND their near-duplicates (a paraphrase of the
+    * revoked text is still the revoked content — the "deduplicating
+    * training data" lesson run in reverse), so the deletion unit is
+    * the q52/q109 near-dup CLUSTER, not the doc_id. Seeds are the
+    * deterministic doc_id % 83 = 0 stand-in for a revocation list;
+    * closure = every member of any seed's component (components from
+    * the memoized LSH pair artifact — bucketed, never all-pairs;
+    * singletons are their own component, the assignAll contract). The
+    * one-row audit is what a compliance report reads: the
+    * AMPLIFICATION factor (closure·10⁶ div seeds — how much more the
+    * pipeline must delete than the request named), the extra docs a
+    * naive id-match erasure would MISS, clusters hit, the largest one,
+    * and what remains. Oracle replays the recursive closure (the
+    * q262/q276 CTEs) plus the same folds.
+    *
+    * Scale shape: component assignment is the stored ingest artifact;
+    * the audit is one components-keyed fold + one docs-sized left
+    * join against the revoked component set (broadcast — revocation
+    * lists are request-sized), everything after one row. */
+  val q294: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val comp = graft.core.Pins.pin(
+      graft.operators.DedupClusters.assignAll(docs, lshPairsFor(s, d))
+        .withColumn("seed", (col("doc_id") % 83 === 0).cast("long")))
+    val revoked = comp.groupBy(col("component"))
+      .agg(sum(col("seed")).as("n_seed"), count(lit(1)).as("sz"))
+      .filter(col("n_seed") > 0)
+      .select(col("component"), col("sz"))
+    comp.join(broadcast(revoked), Seq("component"), "left")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("seed")).as("n_seeds"),
+        sum(when(col("sz").isNotNull, 1L).otherwise(0L)).as("n_closure"),
+        countDistinct(when(col("sz").isNotNull, col("component")))
+          .as("n_clusters_hit"),
+        coalesce(max(col("sz")), lit(0L)).as("max_cluster_sz"))
+      .select(col("n_docs"), col("n_seeds"), col("n_closure"),
+        (col("n_closure") - col("n_seeds")).as("n_extra"),
+        col("n_clusters_hit"), col("max_cluster_sz"),
+        (col("n_docs") - col("n_closure")).as("n_remaining"),
+        expr("n_closure * 1000000 div greatest(1, n_seeds)")
+          .as("amplification_ppm"))
+  }
+
+  val q294Sql: String = {
+    val sigCols = Seeds.map(i =>
+      s"list_min(list_transform(sh, x -> md5('$i' || '|' || x))) AS h$i")
+      .mkString(", ")
+    val bandCond = (0 until 4).map(b =>
+      s"(a.h${2 * b} = b.h${2 * b} AND a.h${2 * b + 1} = b.h${2 * b + 1})")
+      .mkString(" OR ")
+    s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t
+       |          FROM documents),
+       |shl AS (SELECT doc_id, list_distinct(list_transform(
+       |          generate_series(1, len(t) - 2),
+       |          i -> array_to_string(t[i:i+2], ' '))) AS sh
+       |        FROM toks),
+       |sig AS (SELECT doc_id, sh, $sigCols FROM shl),
+       |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |           a.sh AS sha, b.sh AS shb
+       |         FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandCond)),
+       |pairs AS (SELECT a_id, b_id FROM cand
+       |          WHERE round(CAST(len(list_intersect(sha, shb)) AS DOUBLE)
+       |            / (len(sha) + len(shb) - len(list_intersect(sha, shb))),
+       |            4) >= 0.5),
+       |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |          UNION SELECT b_id, a_id FROM pairs),
+       |reach AS (SELECT u, v FROM edges
+       |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
+       |         FROM reach GROUP BY u),
+       |full0 AS (SELECT d.doc_id, coalesce(c.component, d.doc_id)
+       |            AS component,
+       |            CAST(d.doc_id % 83 = 0 AS BIGINT) AS seed
+       |          FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+       |rev AS (SELECT component, CAST(count(*) AS BIGINT) AS sz
+       |        FROM full0
+       |        WHERE component IN (SELECT component FROM full0
+       |                            WHERE seed = 1)
+       |        GROUP BY 1),
+       |j AS (SELECT f.*, rev.sz FROM full0 f
+       |      LEFT JOIN rev ON f.component = rev.component),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |        CAST(sum(seed) AS BIGINT) AS n_seeds,
+       |        CAST(sum(CASE WHEN sz IS NOT NULL THEN 1 ELSE 0 END)
+       |             AS BIGINT) AS n_closure,
+       |        CAST(count(DISTINCT CASE WHEN sz IS NOT NULL
+       |             THEN component END) AS BIGINT) AS n_clusters_hit,
+       |        CAST(coalesce(max(sz), 0) AS BIGINT) AS max_cluster_sz
+       |      FROM j)
+       |SELECT n_docs, n_seeds, n_closure, n_closure - n_seeds AS n_extra,
+       |       n_clusters_hit, max_cluster_sz,
+       |       n_docs - n_closure AS n_remaining,
+       |       n_closure * 1000000 // greatest(1, n_seeds)
+       |         AS amplification_ppm
+       |FROM a""".stripMargin
+  }
 }

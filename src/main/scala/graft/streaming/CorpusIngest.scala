@@ -483,4 +483,78 @@ object CorpusIngest {
         merkleBatch(batch, fpDir, batchId): Unit
       }
       .start()
+
+  /** CONTINUOUS COLUMN-CHECKSUM MAINTENANCE — q293's streaming twin
+    * for the documents feed: the store holds one (col_name, n, n_null,
+    * sum52) row per column, each micro-batch folds its own melt
+    * scan-locally and MERGES by integer addition (commutative digest
+    * sums are exactly mergeable, so [[checksumAudit]] is bit-equal to
+    * the batch q293 documents rows over any prefix and any batching —
+    * spec-pinned; addition is NOT idempotent, so the CMS/Merkle
+    * batch-id transaction rule refuses crash-replays, spec-pinned).
+    * This is how a replication target proves column-level integrity
+    * continuously instead of re-scanning at audit time. */
+  def checksumBatch(batch: DataFrame, ckDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    graft.core.Sinks.recoverStrandedBackup(ckDir)
+    val stored =
+      if (new java.io.File(ckDir).isDirectory)
+        Some(spark.read.parquet(ckDir)
+          .select("col_name", "n", "n_null", "sum52", "batch_id"))
+      else None
+    val storedId = stored.map(_.agg(max(col("batch_id"))).head().getLong(0))
+      .getOrElse(-1L)
+    if (batchId > storedId) {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val inc = batch
+        .select(explode(array(cols.map(n =>
+          struct(lit(s"documents.$n").as("col_name"),
+            col(n).cast("string").as("v"))): _*)).as("m"))
+        .select(col("m.col_name").as("col_name"), col("m.v").as("v"))
+        .groupBy(col("col_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+          coalesce(sum(when(col("v").isNotNull,
+            graft.functions.TextOps.md5Long52(col("v"))
+              .cast("decimal(38,0)"))),
+            lit(0).cast("decimal(38,0)")).as("sum52"))
+      val merged = (stored match {
+        case Some(st) => st.select("col_name", "n", "n_null", "sum52")
+          .unionByName(inc)
+        case None => inc
+      }).groupBy(col("col_name"))
+        .agg(sum(col("n")).as("n"), sum(col("n_null")).as("n_null"),
+          sum(col("sum52")).cast("decimal(38,0)").as("sum52"))
+      // materialize BEFORE overwriting the store the lineage reads
+      val out = merged.localCheckpoint()
+      graft.core.Sinks.atomicSwap(ckDir, "sketch") { tmp =>
+        out.withColumn("batch_id", lit(batchId)).coalesce(1).write.parquet(tmp)
+      }
+      graft.core.Pins.releaseCheckpoint(out)
+    }
+    // batchId <= storedId: crash-replay of an already-merged batch —
+    // skip (digest addition would double-count)
+  }
+
+  /** q293's documents rows served FROM the [[checksumBatch]] store —
+    * same columns, same digests, over everything ingested so far. */
+  def checksumAudit(spark: org.apache.spark.sql.SparkSession,
+                    ckDir: String): DataFrame =
+    spark.read.parquet(ckDir)
+      .select(col("col_name"), col("n"), col("n_null"),
+        expr("CAST(sum52 % 4503599627370496 AS BIGINT)").as("digest52"))
+      .orderBy(col("col_name"))
+
+  /** The continuous form of [[checksumBatch]]. */
+  def startChecksumMaintenance(docs: DataFrame, ckDir: String,
+                               checkpointDir: String,
+                               trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) checksumBatch(batch, ckDir, batchId)
+      }
+      .start()
 }

@@ -1262,6 +1262,29 @@ object ScaleProbe {
       both("q281_srm", "q281_srm_check")
       both("q283_curric", "q283_curriculum")
     }
+
+    // --- round 10 third wave at 10×: q287's one shared-order window
+    // partitions by orderkey (per-partition sorts, fully parallel —
+    // wall must track the scan); q293's digest fold collapses
+    // map-side to the columns domain; q294 re-runs component
+    // assignment over 10× docs (the LSH pair artifact rebuilds for
+    // the new dir — bucketed, never all-pairs) and the audit folds
+    // are components-keyed.
+    if (want("q287", "q293", "q294")) {
+      def both(label: String, name: String): Unit = {
+        time(f"$label%-22s sf0.1")(
+          graft.SparkEntry.queries(name)(spark, src).count())
+        graft.core.Pins.release()
+        time(f"$label%-22s sf1.0")(
+          graft.SparkEntry.queries(name)(spark, out).count())
+        graft.core.Pins.release()
+      }
+      both("q287_encoding", "q287_encoding_advisor")
+      both("q293_checksums", "q293_column_checksums")
+      graft.queries.PipelineQueries.clearLshPairs()
+      both("q294_erasure", "q294_erasure_closure")
+      graft.queries.PipelineQueries.clearLshPairs()
+    }
     spark.stop()
   }
 }

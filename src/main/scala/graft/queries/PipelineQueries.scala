@@ -7215,9 +7215,13 @@ object PipelineQueries {
     * Scale shape: ONE distinct fold (event_type, user_id) — the only
     * exchange that sees data (partial-aggregable after the distinct);
     * everything downstream is experiment-surfaces-sized. */
-  val q281: Q = (s, d) => {
-    t(s, d, "events")
-      .select(col("event_type"), col("user_id")).distinct()
+  /** The SRM fold over a distinct (event_type, user_id) relation —
+    * shared by the declared q281 and `EventStream.srmAudit` (the
+    * streaming twin reads its pair store through the SAME code, so the
+    * "bit-equal to batch" contract is structural, not just
+    * spec-enforced). */
+  private[graft] def srmFold(pairs: DataFrame): DataFrame =
+    pairs
       .groupBy(col("event_type"))
       .agg(sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
         sum(when(col("user_id") % 2 =!= 0, 1L).otherwise(0L)).as("n_b"))
@@ -7230,7 +7234,10 @@ object PipelineQueries {
       .select(col("event_type"), col("n_a"), col("n_b"), col("n"),
         col("dev_ppm"), col("chi2_milli"), col("srm_flag"))
       .orderBy(col("event_type"))
-  }
+
+  val q281: Q = (s, d) =>
+    srmFold(t(s, d, "events")
+      .select(col("event_type"), col("user_id")).distinct())
 
   val q281Sql: String =
     """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
@@ -7271,17 +7278,17 @@ object PipelineQueries {
     * Scale shape: ONE posexplode fold to 64 (j, Sⱼ, Qⱼ) rows
     * (map-side partial agg collapses the explosion); everything after
     * is dims-sized. */
-  val q282: Q = (s, d) => {
-    val st = t(s, d, "embeddings")
-      .select(expr("transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))")
-        .as("qv"))
-      .select(posexplode(col("qv")).as(Seq("j", "q")))
-      .groupBy(col("j"))
-      .agg(sum(col("q")).as("sj"), sum(col("q") * col("q")).as("qj"),
-        count(lit(1)).as("n"))
-      .select(col("n"), (col("n") * col("qj") - col("sj") * col("sj")).as("vj"),
-        col("sj"), col("qj"))
-    st.agg(first(col("n")).as("n"), count(lit(1)).as("dims"),
+  /** The isotropy derivation over per-dim (n, sj, qj) moment rows —
+    * shared by the declared q282 and `VectorIngest.isotropyAudit` (the
+    * streaming twin's store flows through the SAME code). max(n) — not
+    * first() — so ragged dimension counts (short vectors) pick a
+    * deterministic n in both engines instead of a partition-order
+    * artifact. */
+  private[graft] def isotropyDerive(st0: DataFrame): DataFrame = {
+    val st = st0.select(col("n"),
+      (col("n") * col("qj") - col("sj") * col("sj")).as("vj"),
+      col("sj"), col("qj"))
+    st.agg(max(col("n")).as("n"), count(lit(1)).as("dims"),
         sum(col("vj")).as("trace"), max(col("vj")).as("vmax"),
         sum(col("vj").cast("decimal(38,0)") * col("vj")).as("v2"),
         sum(col("sj") * col("sj")).as("s2"), sum(col("qj")).as("qsum"))
@@ -7294,6 +7301,15 @@ object PipelineQueries {
           .as("mean_mass_ppm"))
   }
 
+  val q282: Q = (s, d) =>
+    isotropyDerive(t(s, d, "embeddings")
+      .select(expr("transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))")
+        .as("qv"))
+      .select(posexplode(col("qv")).as(Seq("j", "q")))
+      .groupBy(col("j"))
+      .agg(sum(col("q")).as("sj"), sum(col("q") * col("q")).as("qj"),
+        count(lit(1)).as("n")))
+
   val q282Sql: String =
     """WITH e AS (SELECT list_transform(embedding,
       |         x -> CAST(round(x * 1000) AS BIGINT)) AS qv
@@ -7305,7 +7321,7 @@ object PipelineQueries {
       |         CAST(count(*) AS BIGINT) AS n
       |       FROM ex GROUP BY j),
       |v AS (SELECT n, n * qj - sj * sj AS vj, sj, qj FROM st),
-      |a AS (SELECT any_value(n) AS n, CAST(count(*) AS BIGINT) AS dims,
+      |a AS (SELECT max(n) AS n, CAST(count(*) AS BIGINT) AS dims,
       |        CAST(sum(vj) AS BIGINT) AS trace,
       |        CAST(max(vj) AS BIGINT) AS vmax,
       |        sum(CAST(vj AS HUGEINT) * vj) AS v2,
@@ -7615,21 +7631,25 @@ object PipelineQueries {
     // order, one WindowExec, ~0.9 s.
     val w = Window.partitionBy(col("l_orderkey"))
       .orderBy(col("l_linenumber") +: cols.map(c => col(c._1)): _*)
+    // null-safe change detector: !(lag <=> v) IS the oracle's
+    // `IS DISTINCT FROM`, so a nullable column's non-null→NULL and
+    // NULL→NULL transitions count identically in both engines
     val withChg = cols.foldLeft(base) { case (df, (n, _)) =>
       df.withColumn(s"chg_$n",
-        when(lag(col(n), 1).over(w).isNull
-          || lag(col(n), 1).over(w) =!= col(n), 1L).otherwise(0L))
+        when(!(lag(col(n), 1).over(w) <=> col(n)), 1L).otherwise(0L))
     }
     val runsRow = withChg.agg(
       count(lit(1)).as("n"),
       struct(cols.map { case (n, _) => sum(col(s"chg_$n")).as(n) }: _*)
         .as("runs"))
     // exact distinct counts off a slim melt FOLD (collapses map-side to
-    // the value domain — no window, no expand)
+    // the value domain — no window, no expand); NULL is excluded to
+    // match the oracle's count(DISTINCT v) semantics
     val distincts = base
       .select(explode(array(cols.map { case (n, _) =>
         struct(lit(n).as("col_name"), col(n).as("v")) }: _*)).as("m"))
       .select(col("m.col_name").as("col_name"), col("m.v").as("v"))
+      .filter(col("v").isNotNull)
       .groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("cnt"))
       .groupBy(col("col_name")).agg(count(lit(1)).as("n_distinct"))
     val long = runsRow.select(col("n"),
@@ -8117,32 +8137,52 @@ object PipelineQueries {
     * Scale shape: the melt is scan-local (one scan per table); the
     * ONLY exchange is the columns-keyed digest fold (map-side
     * partial); output is columns-sized. */
+  /** Canonicalized (col_name, v) melt for one table — shared by q293
+    * and the streaming checksum twin so the rendering contract lives
+    * in exactly one place. */
+  private[graft] def checksumMelt(df: DataFrame, table: String,
+      cols: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
+    df.select(explode(array(cols.map { case (n, c) =>
+      struct(lit(s"$table.$n").as("col_name"),
+        c.cast("string").as("v")) }: _*)).as("m"))
+      .select(col("m.col_name").as("col_name"), col("m.v").as("v"))
+
+  /** The per-column digest fold over a melted relation: (col_name, n,
+    * n_null, sum52) with sum52 in DECIMAL(38,0) and the EMPTY digest
+    * coalesced to 0 (the identity of the commutative sum — an all-NULL
+    * column digests to 0, identically in batch, oracle, and the
+    * streaming store). */
+  private[graft] def checksumFold(melted: DataFrame): DataFrame =
+    melted.groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+        coalesce(sum(when(col("v").isNotNull,
+          graft.functions.TextOps.md5Long52(col("v"))
+            .cast("decimal(38,0)"))),
+          lit(0).cast("decimal(38,0)")).as("sum52"))
+
+  /** sum52 → emitted BIGINT digest column set (shared with the twin). */
+  private[graft] def checksumDigest(folded: DataFrame): DataFrame =
+    folded.select(col("col_name"), col("n"), col("n_null"),
+      expr("CAST(sum52 % 4503599627370496 AS BIGINT)").as("digest52"))
+      .orderBy(col("col_name"))
+
+  private[graft] val documentsChecksumCols
+      : Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "doc_id" -> col("doc_id"), "text" -> col("text"),
+    "lang" -> col("lang"), "source" -> col("source"),
+    "n_chars" -> col("n_chars"))
+
   val q293: Q = (s, d) => {
-    import graft.functions.TextOps
-    def melt(table: String, cols: Seq[(String, org.apache.spark.sql.Column)]) =
-      t(s, d, table).select(explode(array(cols.map { case (n, c) =>
-        struct(lit(s"$table.$n").as("col_name"),
-          c.cast("string").as("v")) }: _*)).as("m"))
-        .select(col("m.col_name").as("col_name"), col("m.v").as("v"))
-    val docs = melt("documents", Seq(
-      "doc_id" -> col("doc_id"), "text" -> col("text"),
-      "lang" -> col("lang"), "source" -> col("source"),
-      "n_chars" -> col("n_chars")))
-    val ords = melt("orders", Seq(
+    val docs = checksumMelt(t(s, d, "documents"), "documents",
+      documentsChecksumCols)
+    val ords = checksumMelt(t(s, d, "orders"), "orders", Seq(
       "o_orderkey" -> col("o_orderkey"), "o_custkey" -> col("o_custkey"),
       "o_orderstatus" -> col("o_orderstatus"),
       "o_totalprice" -> expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
       "o_orderdate" -> unix_micros(col("o_orderdate")),
       "o_orderpriority" -> col("o_orderpriority")))
-    docs.unionByName(ords)
-      .groupBy(col("col_name"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
-        sum(when(col("v").isNotNull,
-          TextOps.md5Long52(col("v")).cast("decimal(38,0)"))).as("sum52"))
-      .select(col("col_name"), col("n"), col("n_null"),
-        expr("CAST(sum52 % 4503599627370496 AS BIGINT)").as("digest52"))
-      .orderBy(col("col_name"))
+    checksumDigest(checksumFold(docs.unionByName(ords)))
   }
 
   val q293Sql: String = {
@@ -8172,8 +8212,8 @@ object PipelineQueries {
          |SELECT col_name, CAST(count(*) AS BIGINT) AS n,
          |       CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          |         AS n_null,
-         |       CAST(sum(CAST(h52 AS HUGEINT)) % 4503599627370496
-         |            AS BIGINT) AS digest52
+         |       CAST(coalesce(sum(CAST(h52 AS HUGEINT)), 0)
+         |            % 4503599627370496 AS BIGINT) AS digest52
          |FROM h GROUP BY col_name ORDER BY col_name""".stripMargin
   }
 

@@ -505,19 +505,11 @@ object CorpusIngest {
     val storedId = stored.map(_.agg(max(col("batch_id"))).head().getLong(0))
       .getOrElse(-1L)
     if (batchId > storedId) {
-      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
-      val inc = batch
-        .select(explode(array(cols.map(n =>
-          struct(lit(s"documents.$n").as("col_name"),
-            col(n).cast("string").as("v"))): _*)).as("m"))
-        .select(col("m.col_name").as("col_name"), col("m.v").as("v"))
-        .groupBy(col("col_name"))
-        .agg(count(lit(1)).as("n"),
-          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
-          coalesce(sum(when(col("v").isNotNull,
-            graft.functions.TextOps.md5Long52(col("v"))
-              .cast("decimal(38,0)"))),
-            lit(0).cast("decimal(38,0)")).as("sum52"))
+      // the SAME melt + fold code the declared q293 runs — the
+      // bit-equality contract is structural
+      val inc = graft.queries.PipelineQueries.checksumFold(
+        graft.queries.PipelineQueries.checksumMelt(batch, "documents",
+          graft.queries.PipelineQueries.documentsChecksumCols))
       val merged = (stored match {
         case Some(st) => st.select("col_name", "n", "n_null", "sum52")
           .unionByName(inc)
@@ -540,10 +532,9 @@ object CorpusIngest {
     * same columns, same digests, over everything ingested so far. */
   def checksumAudit(spark: org.apache.spark.sql.SparkSession,
                     ckDir: String): DataFrame =
-    spark.read.parquet(ckDir)
-      .select(col("col_name"), col("n"), col("n_null"),
-        expr("CAST(sum52 % 4503599627370496 AS BIGINT)").as("digest52"))
-      .orderBy(col("col_name"))
+    graft.queries.PipelineQueries.checksumDigest(
+      spark.read.parquet(ckDir)
+        .select(col("col_name"), col("n"), col("n_null"), col("sum52")))
 
   /** The continuous form of [[checksumBatch]]. */
   def startChecksumMaintenance(docs: DataFrame, ckDir: String,

@@ -976,7 +976,13 @@ object EventStream {
     * KMV/theta pair store (q156's twin) is the documented sketch dial.
     * `onBreach` fires after each merge with the surfaces whose χ²
     * crossed the 3.841 critical value — the page a misconfigured
-    * randomizer triggers mid-experiment rather than at readout. */
+    * randomizer triggers mid-experiment rather than at readout.
+    * Cost note: the swap-store pattern rewrites the whole pair store
+    * per batch (unavoidable for an atomic single-dir store; this is
+    * the only corpus-sized monitor store, so at high user cardinality
+    * the KMV/theta pair sketch is the documented dial — and the
+    * breach check folds the already-materialized merge result, never
+    * re-reading the just-written files). */
   def startSrmMonitor(events: DataFrame, storeDir: String,
                       checkpointDir: String,
                       onBreach: Seq[String] => Unit = _ => ())
@@ -1001,10 +1007,12 @@ object EventStream {
           graft.core.Sinks.atomicSwap(storeDir, "srm") { tmp =>
             out.coalesce(1).write.parquet(tmp)
           }
-          graft.core.Pins.releaseCheckpoint(out)
-          val breached = srmAudit(spark, storeDir)
+          // breach check folds the already-materialized frame — no
+          // second read of the just-written store per batch
+          val breached = graft.queries.PipelineQueries.srmFold(out)
             .filter(col("srm_flag") === 1L)
             .select(col("event_type")).collect().map(_.getString(0)).toSeq
+          graft.core.Pins.releaseCheckpoint(out)
           if (breached.nonEmpty) onBreach(breached)
         }
       }
@@ -1015,20 +1023,9 @@ object EventStream {
     * the same arm counts, imbalance ppm, χ² milli-units, and breach
     * flag, over everything ingested so far. */
   def srmAudit(spark: org.apache.spark.sql.SparkSession,
-               storeDir: String): DataFrame = {
-    spark.read.parquet(storeDir)
-      .groupBy(col("event_type"))
-      .agg(sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
-        sum(when(col("user_id") % 2 =!= 0, 1L).otherwise(0L)).as("n_b"))
-      .withColumn("n", col("n_a") + col("n_b"))
-      .withColumn("dev_ppm", expr("abs(n_a - n_b) * 1000000 div n"))
-      .withColumn("chi2_milli",
-        expr("1000 * (n_a - n_b) * (n_a - n_b) div n"))
-      .withColumn("srm_flag", (col("chi2_milli") > 3841L).cast("long"))
-      .select(col("event_type"), col("n_a"), col("n_b"), col("n"),
-        col("dev_ppm"), col("chi2_milli"), col("srm_flag"))
-      .orderBy(col("event_type"))
-  }
+               storeDir: String): DataFrame =
+    // the SAME fold the declared q281 runs — structural parity
+    graft.queries.PipelineQueries.srmFold(spark.read.parquet(storeDir))
 
   /** The q256-shaped audit row for one edge, served FROM the
     * [[startFkOrphanMonitor]] store: n_rows / n_orphans /

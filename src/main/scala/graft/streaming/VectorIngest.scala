@@ -82,8 +82,11 @@ object VectorIngest {
       if (new java.io.File(statsDir).isDirectory)
         Some(spark.read.parquet(statsDir))
       else None
+    // null-robust: an (unexpected) zero-row store must read as "no
+    // batches merged", not NPE the monitor into a permanent wedge
     val storedId = stored
-      .map(_.agg(max(col("batch_id"))).head().getLong(0)).getOrElse(-1L)
+      .flatMap(df => Option(df.agg(max(col("batch_id"))).head().get(0)))
+      .map(_.asInstanceOf[Long]).getOrElse(-1L)
     if (batchId > storedId) {
       val bs = batch
         .select(expr(s"transform($vecCol, x -> CAST(round(x * 1000) AS BIGINT))")
@@ -92,18 +95,23 @@ object VectorIngest {
         .groupBy(col("j"))
         .agg(sum(col("q")).as("sj"), sum(col("q") * col("q")).as("qj"),
           count(lit(1)).as("n"))
-      val merged = (stored match {
-        case Some(st) => st.select("j", "sj", "qj", "n").unionByName(bs)
-        case None => bs
-      }).groupBy(col("j"))
-        .agg(sum(col("sj")).as("sj"), sum(col("qj")).as("qj"),
-          sum(col("n")).as("n"))
-      // materialize BEFORE overwriting the store the lineage reads
-      val out = merged.localCheckpoint()
-      graft.core.Sinks.atomicSwap(statsDir, "sketch") { tmp =>
-        out.withColumn("batch_id", lit(batchId)).coalesce(1).write.parquet(tmp)
+      // a batch of NULL/empty vectors folds to ZERO rows — writing
+      // that store would strand every later batch; skip the merge (the
+      // batch contributes no moments, so skipping IS the correct sum)
+      if (!bs.isEmpty) {
+        val merged = (stored match {
+          case Some(st) => st.select("j", "sj", "qj", "n").unionByName(bs)
+          case None => bs
+        }).groupBy(col("j"))
+          .agg(sum(col("sj")).as("sj"), sum(col("qj")).as("qj"),
+            sum(col("n")).as("n"))
+        // materialize BEFORE overwriting the store the lineage reads
+        val out = merged.localCheckpoint()
+        graft.core.Sinks.atomicSwap(statsDir, "sketch") { tmp =>
+          out.withColumn("batch_id", lit(batchId)).coalesce(1).write.parquet(tmp)
+        }
+        graft.core.Pins.releaseCheckpoint(out)
       }
-      graft.core.Pins.releaseCheckpoint(out)
     }
     // batchId <= storedId: crash-replay of an already-merged batch —
     // skip (moment addition would double-count)
@@ -113,22 +121,10 @@ object VectorIngest {
     * the same trace / worst-dimension share / participation ratio /
     * mean-mass outputs, over everything ingested so far. */
   def isotropyAudit(spark: org.apache.spark.sql.SparkSession,
-                    statsDir: String): DataFrame = {
-    spark.read.parquet(statsDir)
-      .select(col("n"), (col("n") * col("qj") - col("sj") * col("sj")).as("vj"),
-        col("sj"), col("qj"))
-      .agg(first(col("n")).as("n"), count(lit(1)).as("dims"),
-        sum(col("vj")).as("trace"), max(col("vj")).as("vmax"),
-        sum(col("vj").cast("decimal(38,0)") * col("vj")).as("v2"),
-        sum(col("sj") * col("sj")).as("s2"), sum(col("qj")).as("qsum"))
-      .select(col("n"), col("dims"), col("trace"),
-        expr("CAST(CAST(vmax AS DECIMAL(38,0)) * 1000000 div trace AS BIGINT)")
-          .as("max_dim_share_ppm"),
-        expr("CAST(CAST(trace AS DECIMAL(38,0)) * trace * 100 div v2 AS BIGINT)")
-          .as("pr_centi"),
-        expr("CAST(CAST(s2 AS DECIMAL(38,0)) * 1000000 div (n * qsum) AS BIGINT)")
-          .as("mean_mass_ppm"))
-  }
+                    statsDir: String): DataFrame =
+    // the SAME derivation the declared q282 runs — structural parity
+    graft.queries.PipelineQueries.isotropyDerive(
+      spark.read.parquet(statsDir).select("j", "sj", "qj", "n"))
 
   /** The continuous isotropy form: a streaming (vec_id, embedding)
     * source driven through [[isotropyBatch]], with `onCollapse` paged
@@ -143,9 +139,16 @@ object VectorIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           isotropyBatch(batch, statsDir, batchId)
-          val pr = isotropyAudit(batch.sparkSession, statsDir)
-            .select(col("pr_centi")).head().getLong(0)
-          if (pr < prCentiFloor) onCollapse(pr)
+          // pr_centi is NULL while the store has zero variance (one
+          // vector, or all identical) — that's "no spectrum yet", not
+          // a collapse page, and must not NPE the query into a
+          // crash-replay wedge
+          if (new java.io.File(statsDir).isDirectory) {
+            val row = isotropyAudit(batch.sparkSession, statsDir)
+              .select(col("pr_centi")).head()
+            if (!row.isNullAt(0) && row.getLong(0) < prCentiFloor)
+              onCollapse(row.getLong(0))
+          }
         }
       }
       .start()

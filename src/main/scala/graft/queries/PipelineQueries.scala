@@ -5752,7 +5752,9 @@ object PipelineQueries {
     ("q291_markov_accuracy", q291, q291Sql),
     ("q292_ivf_balance", q292, q292Sql),
     ("q293_column_checksums", q293, q293Sql),
-    ("q294_erasure_closure", q294, q294Sql))
+    ("q294_erasure_closure", q294, q294Sql),
+    ("q295_funnel_latency", q295, q295Sql),
+    ("q296_sketch_error", q296, q296Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type — a p25/p50/p75/p95 grid
@@ -8316,4 +8318,198 @@ object PipelineQueries {
        |         AS amplification_ppm
        |FROM a""".stripMargin
   }
+
+  // --------------------------------------------------------------- Q295
+  /** FUNNEL STEP-LATENCY percentiles — the TIME dimension q87's
+    * ordered funnel drops (q87 counts WHO converts; the product
+    * question that follows is HOW LONG each step takes — the p50/p90
+    * step gaps a growth team watches weekly; q261's survival table is
+    * the censoring-aware cousin for the single conversion event):
+    * per user the q87 cascaded first-view → first-later-click →
+    * first-later-purchase timestamps, per step the completed-journey
+    * gap in integer MICROSECONDS, and the p50/p90 as DISCRETE order
+    * statistics on the per-step gap grid (ceil-rank on the cumulative
+    * count — the q71/q279 no-interpolation discipline). Output per
+    * step: journeys, min/p50/p90/max gap μs.
+    *
+    * Scale shape: the q87 one-exchange user cascade, a scan-local
+    * step melt, one (step, gap) grid fold, and grid-sized cumulative
+    * windows (q141 rationale) — nothing corpus-sized after the user
+    * partition. */
+  val q295: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+    val perUser = t(s, d, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("tv",
+        min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("tc",
+        min(when(col("event_type") === "click" && col("us") > col("tv"),
+          col("us"))).over(w))
+      .withColumn("tp",
+        min(when(col("event_type") === "purchase" && col("us") > col("tc"),
+          col("us"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("tv")).as("tv"), max(col("tc")).as("tc"),
+        max(col("tp")).as("tp"))
+    val gaps = perUser.select(explode(array(
+        struct(lit("1_view_to_click").as("step"),
+          (col("tc") - col("tv")).as("gap_us")),
+        struct(lit("2_click_to_purchase").as("step"),
+          (col("tp") - col("tc")).as("gap_us")))).as("m"))
+      .select(col("m.step").as("step"), col("m.gap_us").as("gap_us"))
+      .filter(col("gap_us").isNotNull)
+    val grid = gaps.groupBy(col("step"), col("gap_us"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("step")).orderBy(col("gap_us"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col("step")).orderBy(col("gap_us"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = grid
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("m", sum(col("cnt")).over(wAll))
+    cum.groupBy(col("step"))
+      .agg(min(col("m")).as("n_journeys"),
+        min(col("gap_us")).as("min_gap_us"),
+        min(when(col("cum") * 2 >= col("m"), col("gap_us")))
+          .as("p50_gap_us"),
+        min(when(col("cum") * 10 >= col("m") * 9, col("gap_us")))
+          .as("p90_gap_us"),
+        max(col("gap_us")).as("max_gap_us"))
+      .orderBy(col("step"))
+  }
+
+  val q295Sql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
+      |       FROM events),
+      |c AS (SELECT user_id,
+      |        min(CASE WHEN event_type = 'view' THEN us END)
+      |          OVER (PARTITION BY user_id) AS tv
+      |      FROM ev),
+      |pu0 AS (SELECT e.user_id, e.event_type, e.us, c.tv
+      |        FROM ev e JOIN (SELECT DISTINCT user_id, tv FROM c) c
+      |          ON e.user_id = c.user_id),
+      |pu1 AS (SELECT *, min(CASE WHEN event_type = 'click' AND us > tv
+      |          THEN us END) OVER (PARTITION BY user_id) AS tc
+      |        FROM pu0),
+      |pu2 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND us > tc
+      |          THEN us END) OVER (PARTITION BY user_id) AS tp
+      |        FROM pu1),
+      |u AS (SELECT user_id, max(tv) AS tv, max(tc) AS tc, max(tp) AS tp
+      |      FROM pu2 GROUP BY 1),
+      |gaps AS (SELECT '1_view_to_click' AS step, tc - tv AS gap_us
+      |         FROM u WHERE tc IS NOT NULL
+      |         UNION ALL
+      |         SELECT '2_click_to_purchase', tp - tc FROM u
+      |         WHERE tp IS NOT NULL),
+      |grid AS (SELECT step, gap_us, CAST(count(*) AS BIGINT) AS cnt
+      |         FROM gaps GROUP BY 1, 2),
+      |cum AS (SELECT step, gap_us,
+      |          CAST(sum(cnt) OVER (PARTITION BY step ORDER BY gap_us
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |            AS BIGINT) AS cum,
+      |          CAST(sum(cnt) OVER (PARTITION BY step) AS BIGINT) AS m
+      |        FROM grid)
+      |SELECT step, min(m) AS n_journeys,
+      |       min(gap_us) AS min_gap_us,
+      |       min(CASE WHEN cum * 2 >= m THEN gap_us END) AS p50_gap_us,
+      |       min(CASE WHEN cum * 10 >= m * 9 THEN gap_us END)
+      |         AS p90_gap_us,
+      |       max(gap_us) AS max_gap_us
+      |FROM cum GROUP BY step ORDER BY step""".stripMargin
+
+  // --------------------------------------------------------------- Q296
+  /** SKETCH-ERROR AUDIT — the measured-accuracy leg of the sketch
+    * shelf (q247/q71 SHIP the bottom-k quantile estimator; this
+    * measures what the estimate COSTS, per group, against the exact
+    * answer — the evidence behind "k = 512 suffices", re-run whenever
+    * k or the data shifts): per event type the EXACT median (discrete
+    * ceil-rank order statistic on the cents grid — the q141/q295
+    * discipline) beside the q71 estimator's median (the k = 512
+    * md5-bottom-k sample, same `kll71|` salt, so this audits the
+    * DEPLOYED estimator, not a lookalike) and the absolute error in
+    * ppm of the exact value. The rank error of bottom-k-by-hash is
+    * O(1/√k) uniform; the audit turns that theory into a per-group
+    * measured number.
+    *
+    * Scale shape: one grid fold + grid-sized cumulative windows for
+    * the exact side, one partial-aggregable bottom-k fold for the
+    * sketch side (the q247 shape), a types-sized join. */
+  val q296: Q = (s, d) => {
+    // pinned: the exact-grid side and the bottom-k side both read it —
+    // unpinned each replans its own events scan
+    val cents = graft.core.Pins.pin(t(s, d, "events")
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents")))
+    val grid = cents.groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val exact = grid
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("m", sum(col("cnt")).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(min(col("m")).as("n"),
+        min(when(col("cum") * 2 >= col("m"), col("cents")))
+          .as("p50_exact_cents"))
+    val k = 512
+    val sk = cents
+      .select(col("event_type"),
+        md5(concat(lit("kll71|"), col("event_id").cast("string"))).as("h"),
+        col("cents"))
+      .groupBy(col("event_type"))
+      .agg(graft.operators.TopK.minKByString(k)(col("h"), col("cents"))
+        .as("smp"))
+      .withColumn("cs", array_sort(expr("transform(smp, x -> x._2)")))
+      .select(col("event_type"),
+        element_at(col("cs"),
+          ceil(size(col("cs")) * lit(0.5)).cast("int"))
+          .as("p50_est_cents"))
+    exact.join(broadcast(sk), Seq("event_type"))
+      .withColumn("abs_err_ppm",
+        expr("""abs(p50_est_cents - p50_exact_cents) * 1000000
+                div greatest(1, abs(p50_exact_cents))"""))
+      .select(col("event_type"), col("n"), col("p50_exact_cents"),
+        col("p50_est_cents"), col("abs_err_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  val q296Sql: String =
+    """WITH c AS (SELECT event_type, event_id,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |       FROM events),
+      |grid AS (SELECT event_type, cents, CAST(count(*) AS BIGINT) AS cnt
+      |         FROM c GROUP BY 1, 2),
+      |cum AS (SELECT event_type, cents,
+      |          CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |            AS BIGINT) AS cum,
+      |          CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT)
+      |            AS m
+      |        FROM grid),
+      |ex AS (SELECT event_type, min(m) AS n,
+      |         min(CASE WHEN cum * 2 >= m THEN cents END)
+      |           AS p50_exact_cents
+      |       FROM cum GROUP BY 1),
+      |h AS (SELECT event_type,
+      |        md5('kll71|' || CAST(event_id AS VARCHAR)) AS h, cents
+      |      FROM c),
+      |rk AS (SELECT event_type, cents,
+      |         row_number() OVER (PARTITION BY event_type
+      |           ORDER BY h, cents) AS rn
+      |       FROM h),
+      |sk AS (SELECT event_type, CAST(count(*) AS BIGINT) AS mk,
+      |         list_sort(list(cents)) AS cs
+      |       FROM rk WHERE rn <= 512 GROUP BY 1),
+      |est AS (SELECT event_type,
+      |          cs[CAST(ceil(mk * 0.5) AS BIGINT)] AS p50_est_cents
+      |        FROM sk)
+      |SELECT ex.event_type AS event_type, n, p50_exact_cents,
+      |       p50_est_cents,
+      |       abs(p50_est_cents - p50_exact_cents) * 1000000
+      |         // greatest(1, abs(p50_exact_cents)) AS abs_err_ppm
+      |FROM ex JOIN est ON ex.event_type = est.event_type
+      |ORDER BY ex.event_type""".stripMargin
 }

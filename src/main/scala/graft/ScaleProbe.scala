@@ -1285,6 +1285,21 @@ object ScaleProbe {
       both("q294_erasure", "q294_erasure_closure")
       graft.queries.PipelineQueries.clearLshPairs()
     }
+
+    // q295's user cascade and q296's two folds are partial-aggregable
+    // — wall must track the 10× events scan
+    if (want("q295", "q296")) {
+      def both(label: String, name: String): Unit = {
+        time(f"$label%-22s sf0.1")(
+          graft.SparkEntry.queries(name)(spark, src).count())
+        graft.core.Pins.release()
+        time(f"$label%-22s sf1.0")(
+          graft.SparkEntry.queries(name)(spark, out).count())
+        graft.core.Pins.release()
+      }
+      both("q295_funnel", "q295_funnel_latency")
+      both("q296_sketcherr", "q296_sketch_error")
+    }
     spark.stop()
   }
 }

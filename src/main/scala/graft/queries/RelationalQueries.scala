@@ -1797,6 +1797,143 @@ object RelationalQueries {
       |JOIN cnt cb ON part_b = cb.l_partkey
       |ORDER BY cos2_ppm DESC, part_a, part_b LIMIT 30""".stripMargin
 
+  // --------------------------------------------------------------- Q297
+  /** RECSYS HIT-RATE@k — the EVAL leg the recommendation shelf was
+    * missing (q244 builds the item-item model, q245/q246 mine its
+    * training negatives; nothing measured whether the model's top-k
+    * actually predicts future baskets — the offline metric every
+    * "customers also bought" ship decision reads): leakage-safe at the
+    * q277 70%-of-span cutoff on o_orderdate — co-purchase counts train
+    * ONLY on pre-cutoff baskets, evaluation reads ONLY post-cutoff
+    * ones. Recs = top-3 co-items per item (n_co desc, item asc — a
+    * stated total order). Eval: for every (post-order, item) whose
+    * item HAS a rec list, a hit@k iff any of the top-k recs appears
+    * among the order's OTHER items; the one-row report carries exact
+    * cumulative hit ppm at k = 1, 2, 3 plus the coverage share
+    * (post-pairs whose item was seen in training at all — cold items
+    * are the documented boundary, counted not hidden).
+    *
+    * Scale shape: the q244 basket fold (one corpus exchange) split by
+    * the broadcast cutoff; directed pairs generate scan-locally inside
+    * each pre-cutoff basket; the rec window rides the items-keyed pair
+    * relation; eval joins the exploded post pairs to the catalog-sized
+    * rec list and to the post incidence — everything after the basket
+    * fold is pairs- or catalog-sized. */
+  val q297: Q = (s, d) => {
+    val cut = broadcast(t(s, d, "orders")
+      .agg(min(unix_micros(col("o_orderdate"))).as("t0"),
+        max(unix_micros(col("o_orderdate"))).as("t1"))
+      .select(expr("t0 + (t1 - t0) * 7 div 10").as("cut")))
+    val baskets = graft.core.Pins.pin(
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders").select(col("o_orderkey").as("l_orderkey"),
+          unix_micros(col("o_orderdate")).as("us")), Seq("l_orderkey"))
+        .crossJoin(cut)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"),
+          max((col("us") >= col("cut")).cast("long")).as("is_post")))
+    // co-pair counts fold on the UNORDERED i < j generation (half the
+    // fold input), then mirror both orientations from the folded
+    // 1.2M-row relation — the rec window needs directed rows but the
+    // corpus-sized fold doesn't
+    val preU = baskets.filter(col("is_post") === 0L && size(col("ps")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> transform(" +
+          "slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"))
+        .as("p"))
+      .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+      .agg(count(lit(1)).as("n_co"))
+    val pre = preU.select(explode(array(
+        struct(col("pa").as("i"), col("pb").as("j"), col("n_co")),
+        struct(col("pb").as("i"), col("pa").as("j"), col("n_co")))).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.n_co").as("n_co"))
+    val wRec = Window.partitionBy(col("i"))
+      .orderBy(col("n_co").desc, col("j"))
+    val recs = pre.withColumn("rank", row_number().over(wRec).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("i"), col("rank"), col("j"))
+    // eval stays SCAN-LOCAL against the basket array: explode each
+    // post basket to (order, i, ps), probe the broadcast rec list, and
+    // test membership with array_contains — no (order, item) join ever
+    // shuffles (the first cut's left-semi on (orderkey, j) planned two
+    // extra exchanges for the same answer)
+    val evalPairs = graft.core.Pins.pin(
+      baskets.filter(col("is_post") === 1L && size(col("ps")) > 1)
+        .select(col("l_orderkey"), col("ps"), explode(col("ps")).as("i"))
+        .join(broadcast(recs.groupBy(col("i"))
+          .agg(sort_array(collect_list(struct(col("rank"), col("j"))))
+            .as("rl"))), Seq("i"), "left")
+        .select(col("l_orderkey"), col("i"),
+          col("rl").isNotNull.cast("long").as("has_recs"),
+          expr("""coalesce(aggregate(rl, CAST(99 AS BIGINT), (acc, r) ->
+                  CASE WHEN array_contains(ps, r.j) AND r.rank < acc
+                       THEN r.rank ELSE acc END), CAST(99 AS BIGINT))""")
+            .as("min_rank")))
+    evalPairs.agg(count(lit(1)).as("n_eval"),
+        sum(col("has_recs")).as("n_covered"),
+        sum(when(col("min_rank") <= 1L, 1L).otherwise(0L)).as("h1"),
+        sum(when(col("min_rank") <= 2L, 1L).otherwise(0L)).as("h2"),
+        sum(when(col("min_rank") <= 3L, 1L).otherwise(0L)).as("h3"))
+      .select(col("n_eval"), col("n_covered"),
+        col("h1").as("hits_at_1"), col("h2").as("hits_at_2"),
+        col("h3").as("hits_at_3"),
+        expr("n_covered * 1000000 div greatest(1, n_eval)")
+          .as("coverage_ppm"),
+        expr("h1 * 1000000 div greatest(1, n_covered)").as("hit1_ppm"),
+        expr("h2 * 1000000 div greatest(1, n_covered)").as("hit2_ppm"),
+        expr("h3 * 1000000 div greatest(1, n_covered)").as("hit3_ppm"))
+  }
+
+  val q297Sql: String =
+    """WITH ob AS (SELECT o_orderkey, epoch_us(o_orderdate) AS us
+      |       FROM orders),
+      |cutoff AS (SELECT min(us) + (max(us) - min(us)) * 7 // 10 AS cut
+      |           FROM ob),
+      |inc AS (SELECT DISTINCT l.l_orderkey, l.l_partkey,
+      |          CAST(ob.us >= cut AS BIGINT) AS is_post
+      |        FROM lineitem l JOIN ob ON l.l_orderkey = ob.o_orderkey,
+      |             cutoff),
+      |pre AS (SELECT x.l_partkey AS i, y.l_partkey AS j,
+      |          CAST(count(*) AS BIGINT) AS n_co
+      |        FROM inc x JOIN inc y ON x.l_orderkey = y.l_orderkey
+      |          AND x.l_partkey <> y.l_partkey
+      |        WHERE x.is_post = 0 AND y.is_post = 0
+      |        GROUP BY 1, 2),
+      |recs AS (SELECT i, CAST(rank AS BIGINT) AS rank, j FROM
+      |           (SELECT i, j, row_number() OVER
+      |              (PARTITION BY i ORDER BY n_co DESC, j) AS rank
+      |            FROM pre)
+      |         WHERE rank <= 3),
+      |post AS (SELECT l_orderkey, l_partkey FROM inc WHERE is_post = 1
+      |         AND l_orderkey IN (SELECT l_orderkey FROM inc
+      |                            WHERE is_post = 1
+      |                            GROUP BY 1 HAVING count(*) > 1)),
+      |ev AS (SELECT l_orderkey, l_partkey AS i FROM post),
+      |hr AS (SELECT e.l_orderkey, e.i, min(r.rank) AS min_rank
+      |       FROM ev e JOIN recs r ON e.i = r.i
+      |       WHERE EXISTS (SELECT 1 FROM post p
+      |                     WHERE p.l_orderkey = e.l_orderkey
+      |                       AND p.l_partkey = r.j)
+      |       GROUP BY 1, 2),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_eval FROM ev),
+      |cov AS (SELECT CAST(count(*) AS BIGINT) AS n_covered FROM ev
+      |        WHERE i IN (SELECT DISTINCT i FROM recs)),
+      |h AS (SELECT
+      |        CAST(coalesce(sum(CASE WHEN min_rank <= 1 THEN 1 ELSE 0 END),
+      |             0) AS BIGINT) AS h1,
+      |        CAST(coalesce(sum(CASE WHEN min_rank <= 2 THEN 1 ELSE 0 END),
+      |             0) AS BIGINT) AS h2,
+      |        CAST(coalesce(sum(CASE WHEN min_rank <= 3 THEN 1 ELSE 0 END),
+      |             0) AS BIGINT) AS h3
+      |      FROM hr)
+      |SELECT n_eval, n_covered,
+      |       h1 AS hits_at_1, h2 AS hits_at_2, h3 AS hits_at_3,
+      |       n_covered * 1000000 // greatest(1, n_eval) AS coverage_ppm,
+      |       h1 * 1000000 // greatest(1, n_covered) AS hit1_ppm,
+      |       h2 * 1000000 // greatest(1, n_covered) AS hit2_ppm,
+      |       h3 * 1000000 // greatest(1, n_covered) AS hit3_ppm
+      |FROM tot, cov, h""".stripMargin
+
   /** name → (query, oracle) */
   val entries: Seq[(String, Q, String)] = Seq(
     ("q153_shipping_priority", q153, q153Sql),
@@ -1825,6 +1962,7 @@ object RelationalQueries {
     ("q232_forecast_revenue", q232, q232Sql),
     ("q233_priority_lateness", q233, q233Sql),
     ("q244_item_similarity", q244, q244Sql),
+    ("q297_recsys_hitrate", q297, q297Sql),
     ("q31_correlated_subquery", q31, q31Sql),
     ("q32_percentiles", q32, q32Sql),
     ("q33_date_arithmetic", q33, q33Sql),

@@ -1219,6 +1219,31 @@ object ScaleProbe {
       // map-side to one partial row per partition
       pair("skew277_matrix", "q277_training_matrix")
     }
+    // round-10 second wave under the same 50%-hot-key skew: q286's
+    // user fold is the q277 shape (partial-aggregable); q291's lag
+    // window is the deliberate contrast — the hot user's sequence
+    // rides ONE task (the q250 rationale; at scale the per-user
+    // sequence is bounded by retention policy, the documented dial)
+    if (want("skew286", "skew291")) {
+      val skewDir = "/tmp/graft_skew"
+      if (!new java.io.File(s"$skewDir/events.parquet").isDirectory) {
+        val ev = graft.core.Tables.load(spark, src, "events")
+        ev.withColumn("user_id",
+            when(col("event_id") % 2 === 0, lit(424242L))
+              .otherwise(col("user_id")))
+          .write.mode("overwrite").parquet(s"$skewDir/events.parquet")
+      }
+      def pair(label: String, name: String): Unit = {
+        time(f"$label%-22s uniform")(
+          graft.SparkEntry.queries(name)(spark, src).count())
+        graft.core.Pins.release()
+        time(f"$label%-22s 50%%-hot-key")(
+          graft.SparkEntry.queries(name)(spark, skewDir).count())
+        graft.core.Pins.release()
+      }
+      pair("skew286_stratified", "q286_stratified_effect")
+      pair("skew291_markov", "q291_markov_accuracy")
+    }
 
     // --- round 10 additions at 10×: q268 is a scan-local key + a
     // ≤ 4096-row cube fold (wall must track the scan); q271's only

@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run/runMain output must reach stdout UNDECORATED: the default
+// LoggedOutput strategy prefixes every forked-stdout line with
+// "[info] " (and routes forked stderr as "[error] "), which made the
+// Bench summary line unparseable to anything reading raw stdout for
+// three rounds running (BENCH_r08..r10 "parsed": null). StdoutOutput
+// passes the child's stdout straight through to this process's stdout,
+// so `sbt -batch "runMain graft.Bench"` ends with the bare JSON line.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
+// ...and sbt's own "[success] Total time" trailer would otherwise print
+// AFTER the summary, displacing it from the last-line position a
+// tail-parser reads. Suppress it; failures still print "[error]".
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -112,6 +112,8 @@ object Bench {
     val runsJson =
       s"""{"best":$best,"runs":$runs,"median":$medians,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"sf":"$sfDir"}"""
     val runsPath = sys.env.getOrElse("SPARK_GRAFT_RUNS_OUT", "bench_runs.json")
+    val summaryPath =
+      sys.env.getOrElse("SPARK_GRAFT_SUMMARY_OUT", "BENCH_SUMMARY.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(runsPath), runsJson)
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write $runsPath: $e") }
@@ -131,7 +133,22 @@ object Bench {
       }
     val qsJson = lineQs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"queries":$qsJson,"runs_file":"$runsPath","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"sf":"$sfDir"}""")
+    val summary =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"queries":$qsJson,"runs_file":"$runsPath","summary_file":"$summaryPath","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"sf":"$sfDir"}"""
+    // Mirror the summary to a known file FIRST: even if a log line lands
+    // near the stdout print, the artifact survives on disk.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(summaryPath), summary + "\n")
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write $summaryPath: $e") }
+    // The summary must be the process's LITERAL LAST line of output: a
+    // stdout-tail reader (the per-round driver) parses the final line as
+    // JSON, so Spark's shutdown chatter must precede it. Silence logging,
+    // stop the session (its INFO/WARN stream is now suppressed), THEN
+    // print — with a leading newline so the JSON starts at column 0 even
+    // if an interleaved writer left a partial line.
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    System.out.println("\n" + summary)
+    System.out.flush()
   }
 }

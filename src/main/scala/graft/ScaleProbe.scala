@@ -1226,7 +1226,10 @@ object ScaleProbe {
     // sequence is bounded by retention policy, the documented dial)
     if (want("skew286", "skew291")) {
       val skewDir = "/tmp/graft_skew"
-      if (!new java.io.File(s"$skewDir/events.parquet").isDirectory) {
+      // ALWAYS rewrite (like the skew248 block): a dir-exists skip
+      // would silently reuse a fixture derived from a DIFFERENT --src
+      // run and measure stale skewed data
+      locally {
         val ev = graft.core.Tables.load(spark, src, "events")
         ev.withColumn("user_id",
             when(col("event_id") % 2 === 0, lit(424242L))
@@ -1324,6 +1327,69 @@ object ScaleProbe {
       }
       both("q295_funnel", "q295_funnel_latency")
       both("q296_sketcherr", "q296_sketch_error")
+    }
+
+    // --- round-11: 100× probes for the round-10 per-user/basket shelf
+    // (q277/q286/q291 fold events per user; q297 builds the co-basket
+    // model from lineitem). The 10× rows and 50%-hot-key skew probes
+    // exist above; this is the two-orders-of-magnitude check the
+    // verdict asked for: ~linear wall and NO task-skew blowup (per-user
+    // folds are partial-aggregable; q291's per-user lag window rides
+    // retention-bounded sequences). Prints wall AND max single-task
+    // time — the skew tell a wall number alone hides. Setup replicates
+    // events (shifted event_id, SAME users/span → 100× per-user
+    // density) and orders+lineitem (shared orderkey shift, FK intact).
+    if (want("x100")) {
+      val d100 = "/tmp/graft_scale100"
+      locally {
+        val base = graft.core.Tables.load(spark, src, "events")
+        val maxKey = base.agg(org.apache.spark.sql.functions.max(col("event_id")))
+          .head().getLong(0) + 1
+        (0 until 100).map(i =>
+            base.withColumn("event_id", col("event_id") + lit(i * maxKey)))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$d100/events.parquet")
+        val ordBase = spark.read.parquet(s"$src/orders.parquet")
+        val liBase = spark.read.parquet(s"$src/lineitem.parquet")
+        val shift = ordBase.agg(org.apache.spark.sql.functions.max(col("o_orderkey")))
+          .head().getLong(0) + 1
+        (0 until 100).map(i =>
+            ordBase.withColumn("o_orderkey", col("o_orderkey") + lit(i * shift)))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$d100/orders.parquet")
+        (0 until 100).map(i =>
+            liBase.withColumn("l_orderkey", col("l_orderkey") + lit(i * shift)))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$d100/lineitem.parquet")
+        for (tn <- Seq("customer", "supplier", "nation", "region", "part"))
+          spark.read.parquet(s"$src/$tn.parquet")
+            .write.mode("overwrite").parquet(s"$d100/$tn.parquet")
+      }
+      val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val d = te.taskInfo.duration
+            maxTaskMs.getAndUpdate(m => math.max(m, d)): Unit
+          }
+        })
+      def probe(label: String, name: String, dir: String, tag: String): Unit = {
+        maxTaskMs.set(0)
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(name)(spark, dir).count(): Unit
+        graft.core.Pins.release()
+        println(f"$label%-22s $tag%-6s ${(System.nanoTime() - t0) / 1e9}%8.3f s" +
+          f"  max-task ${maxTaskMs.get() / 1000.0}%7.3f s")
+      }
+      for ((label, name) <- Seq(
+          "x100_q277_matrix" -> "q277_training_matrix",
+          "x100_q286_stratified" -> "q286_stratified_effect",
+          "x100_q291_markov" -> "q291_markov_accuracy",
+          "x100_q297_recsys" -> "q297_recsys_hitrate")) {
+        probe(label, name, src, "1x")
+        probe(label, name, d100, "100x")
+      }
     }
     spark.stop()
   }

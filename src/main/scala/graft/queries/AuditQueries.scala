@@ -1261,7 +1261,9 @@ object AuditQueries {
     * with w_d = (1−p)p^{d−1}/d telescopes per matched id to the SUFFIX
     * sum W[max(rankA, rankB)] — the ten W literals are pre-rounded ppb
     * integers stated identically in both engines, so rbo_t10_ppb is
-    * pure BIGINT (max 651322555 ≈ 1−p¹⁰ when the lists agree
+    * pure BIGINT (max 651321557 = the sum of the ten pre-rounded
+    * suffix-weight literals, ≈ 1−p¹⁰ = 651321560 ppb before per-term
+    * rounding, when the lists agree
     * exactly; no residual extrapolation — truncation is the declared
     * semantics). Per probe: the top-10 intersection size and the RBO.
     *

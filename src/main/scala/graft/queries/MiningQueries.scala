@@ -791,26 +791,53 @@ object MiningQueries {
     * wider than the (det, dep) distinct pairs ever shuffles, so 100 TB
     * cost is the scans plus pair-cardinality-bounded exchanges. The
     * candidate list is fixed and spans fact, dimension, and stream
-    * tables (the realistic ANALYZE batch: one declared FD per check). */
+    * tables (the realistic ANALYZE batch: one declared FD per check).
+    *
+    * Round 11: fused to ONE tagged-union job (the q273 single-key
+    * trick, lifted to the candidate dimension). The round-10 form ran
+    * five independent two-level agg chains union'd — 10 keyed
+    * exchanges and ~5 sub-jobs of the ~0.2 s local[32] dispatch floor
+    * (PLANS.md § q175, the weak-screen boundary row). This form
+    * `stack`s each table ONCE into (tag, det, dep_l, dep_s) rows
+    * (lineitem and orders each scanned once for both their candidates
+    * — generator output, so pruning still reads only the union of the
+    * candidate columns), then runs the SAME two-level g₃ fold once
+    * over the tagged union: pair fold → per-(tag, det) max → per-tag
+    * row. 3 scans + 3 keyed exchanges + a 5-row sort, one job. The
+    * heterogeneous dep types ride two sparse columns (dep_l BIGINT /
+    * dep_s STRING, exactly one non-NULL per tag) so long keys never
+    * pay a string cast and grouping on the pair equals grouping on
+    * the active column. */
   val q175: Q = (s, d) => {
-    def g3(df: org.apache.spark.sql.DataFrame, det: String, dep: String,
-           name: String) =
-      df.select(col(det).as("det"), col(dep).as("dep"))
-        .groupBy(col("det"), col("dep")).agg(count(lit(1)).as("c"))
-        .groupBy(col("det")).agg(sum(col("c")).as("rows"), max(col("c")).as("keep"))
-        .agg(sum(col("rows")).as("n_rows"),
-          count(lit(1)).as("n_det"), sum(col("keep")).as("kept"))
-        .select(lit(name).as("fd"), col("n_rows"), col("n_det"),
-          (col("n_rows") - col("kept")).as("viol_rows"),
-          when(col("n_rows") === col("kept"), 1L).otherwise(0L).as("holds"),
-          expr("(1000000 * (n_rows - kept)) div n_rows").as("g3_ppm"))
     val li = t(s, d, "lineitem"); val ord = t(s, d, "orders")
     val ev = t(s, d, "events")
-    g3(li, "l_orderkey", "l_suppkey", "lineitem.l_orderkey->l_suppkey")
-      .unionByName(g3(li, "l_partkey", "l_suppkey", "lineitem.l_partkey->l_suppkey"))
-      .unionByName(g3(ord, "o_orderkey", "o_custkey", "orders.o_orderkey->o_custkey"))
-      .unionByName(g3(ord, "o_custkey", "o_orderpriority", "orders.o_custkey->o_orderpriority"))
-      .unionByName(g3(ev, "user_id", "event_type", "events.user_id->event_type"))
+    val u = li.selectExpr(
+        """stack(2, 0L, l_orderkey, l_suppkey,
+                    1L, l_partkey,  l_suppkey) AS (tag, det, dep_l)""",
+        "CAST(NULL AS STRING) AS dep_s")
+      .unionByName(ord.selectExpr(
+        """stack(2, 2L, o_orderkey, o_custkey, CAST(NULL AS STRING),
+                    3L, o_custkey,  CAST(NULL AS BIGINT), o_orderpriority)
+           AS (tag, det, dep_l, dep_s)"""))
+      .unionByName(ev.selectExpr("4L AS tag", "user_id AS det",
+        "CAST(NULL AS BIGINT) AS dep_l", "event_type AS dep_s"))
+    u.groupBy(col("tag"), col("det"), col("dep_l"), col("dep_s"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("tag"), col("det"))
+      .agg(sum(col("c")).as("rows"), max(col("c")).as("keep"))
+      .groupBy(col("tag"))
+      .agg(sum(col("rows")).as("n_rows"), count(lit(1)).as("n_det"),
+        sum(col("keep")).as("kept"))
+      .select(
+        expr("""CASE tag WHEN 0 THEN 'lineitem.l_orderkey->l_suppkey'
+                         WHEN 1 THEN 'lineitem.l_partkey->l_suppkey'
+                         WHEN 2 THEN 'orders.o_orderkey->o_custkey'
+                         WHEN 3 THEN 'orders.o_custkey->o_orderpriority'
+                         ELSE 'events.user_id->event_type' END""").as("fd"),
+        col("n_rows"), col("n_det"),
+        (col("n_rows") - col("kept")).as("viol_rows"),
+        when(col("n_rows") === col("kept"), 1L).otherwise(0L).as("holds"),
+        expr("(1000000 * (n_rows - kept)) div n_rows").as("g3_ppm"))
       .orderBy(col("fd"))
   }
 

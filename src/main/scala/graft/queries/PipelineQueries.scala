@@ -7317,7 +7317,7 @@ object PipelineQueries {
       |         x -> CAST(round(x * 1000) AS BIGINT)) AS qv
       |       FROM embeddings),
       |ex AS (SELECT j, qv[j] AS q
-      |       FROM e, UNNEST(generate_series(1, 64)) AS t(j)),
+      |       FROM e, UNNEST(generate_series(1, len(qv))) AS t(j)),
       |st AS (SELECT j, CAST(sum(q) AS BIGINT) AS sj,
       |         CAST(sum(q * q) AS BIGINT) AS qj,
       |         CAST(count(*) AS BIGINT) AS n
@@ -7611,16 +7611,31 @@ object PipelineQueries {
     * the change-point window partitions by (column, orderkey) — run
     * detection never leaves the key's partition; one columns-keyed
     * fold after (the 4-distinct expand is the exact-cardinality
-    * price, the documented HLL dial trades it away engine-side). */
+    * price, the documented HLL dial trades it away engine-side).
+    *
+    * Round 11 (the loaded-run heap audit): the round-10 form pinned a
+    * 600k × 4-STRING relation and sorted those strings inside the
+    * window — under co-tenant memory pressure that sort's string churn
+    * blew the wall 4.4× (6.36 s loaded vs 1.43 s idle, one rejected
+    * variant showed a 15 s GC outlier). Runs and distinct counts are
+    * INVARIANT under any injective re-encoding of the values (v never
+    * reaches the output — only counts do), so the window now rides
+    * compact injective encodings — quantity as BIGINT, shipdate as
+    * epoch μs, the two 1-char flags as-is — with the canonical order
+    * re-DECLARED over those encodings identically in both engines
+    * (both sort BIGINTs the same; the order was always a synthetic
+    * file-order choice). No pin: each branch prunes its own scan
+    * (6-column window read, 4-column melt read) instead of
+    * materializing the joint relation in block storage. */
   val q287: Q = (s, d) => {
     val cols = Seq(
       "l_linestatus" -> col("l_linestatus").cast("string"),
-      "l_quantity" -> expr("CAST(round(l_quantity) AS BIGINT)").cast("string"),
+      "l_quantity" -> expr("CAST(round(l_quantity) AS BIGINT)"),
       "l_returnflag" -> col("l_returnflag").cast("string"),
-      "l_shipdate" -> col("l_shipdate").cast("string"))
-    val base = graft.core.Pins.pin(t(s, d, "lineitem")
-      .select(col("l_orderkey") +: col("l_linenumber") +:
-        cols.map { case (n, c) => c.as(n) }: _*))
+      "l_shipdate" -> expr("unix_micros(l_shipdate)"))
+    def slim(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("l_orderkey") +: col("l_linenumber") +:
+        cols.map { case (n, c) => c.as(n) }: _*)
     // A file has ONE physical row order, and RLE runs per column are
     // counted over THAT shared order — so all four lag columns ride a
     // single window (one exchange, ONE sort) on the canonical
@@ -7636,9 +7651,10 @@ object PipelineQueries {
     // null-safe change detector: !(lag <=> v) IS the oracle's
     // `IS DISTINCT FROM`, so a nullable column's non-null→NULL and
     // NULL→NULL transitions count identically in both engines
-    val withChg = cols.foldLeft(base) { case (df, (n, _)) =>
-      df.withColumn(s"chg_$n",
-        when(!(lag(col(n), 1).over(w) <=> col(n)), 1L).otherwise(0L))
+    val withChg = cols.foldLeft(slim(t(s, d, "lineitem"))) {
+      case (df, (n, _)) =>
+        df.withColumn(s"chg_$n",
+          when(!(lag(col(n), 1).over(w) <=> col(n)), 1L).otherwise(0L))
     }
     val runsRow = withChg.agg(
       count(lit(1)).as("n"),
@@ -7646,10 +7662,13 @@ object PipelineQueries {
         .as("runs"))
     // exact distinct counts off a slim melt FOLD (collapses map-side to
     // the value domain — no window, no expand); NULL is excluded to
-    // match the oracle's count(DISTINCT v) semantics
-    val distincts = base
+    // match the oracle's count(DISTINCT v) semantics. The melt unifies
+    // the four encodings as strings — only domain-sized partials ever
+    // carry them.
+    val distincts = slim(t(s, d, "lineitem"))
       .select(explode(array(cols.map { case (n, _) =>
-        struct(lit(n).as("col_name"), col(n).as("v")) }: _*)).as("m"))
+        struct(lit(n).as("col_name"), col(n).cast("string").as("v")) }: _*))
+        .as("m"))
       .select(col("m.col_name").as("col_name"), col("m.v").as("v"))
       .filter(col("v").isNotNull)
       .groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("cnt"))
@@ -7674,18 +7693,20 @@ object PipelineQueries {
 
   val q287Sql: String = {
     // one shared physical row order for every column's lag (the window
-    // clause below mirrors the Spark side's single WindowExec)
+    // clause below mirrors the Spark side's single WindowExec); the
+    // compare/order encodings are the Spark side's compact injective
+    // forms — BIGINT quantity, epoch-μs shipdate, raw 1-char flags
     val ord = "PARTITION BY l_orderkey ORDER BY l_linenumber, " +
       "l_linestatus, l_quantity, l_returnflag, l_shipdate"
     def leg(name: String): String =
-      s"""SELECT '$name' AS col_name, $name AS v, chg_$name AS chg
+      s"""SELECT '$name' AS col_name, CAST($name AS VARCHAR) AS v,
+         |  chg_$name AS chg
          |FROM lagged""".stripMargin
     s"""WITH base AS (SELECT l_orderkey, l_linenumber,
        |         CAST(l_linestatus AS VARCHAR) AS l_linestatus,
-       |         CAST(CAST(round(l_quantity) AS BIGINT) AS VARCHAR)
-       |           AS l_quantity,
+       |         CAST(round(l_quantity) AS BIGINT) AS l_quantity,
        |         CAST(l_returnflag AS VARCHAR) AS l_returnflag,
-       |         CAST(l_shipdate AS VARCHAR) AS l_shipdate
+       |         epoch_us(l_shipdate) AS l_shipdate
        |       FROM lineitem),
        |lagged AS (SELECT *,
        |""".stripMargin +
@@ -7951,7 +7972,7 @@ object PipelineQueries {
       |        FROM e),
       |ex AS (SELECT vec_id, i AS pos, s[i] AS amp,
       |         CAST(abs(s[i]) < 3277 AS BIGINT) AS silent
-      |       FROM smp, UNNEST(generate_series(1, 64)) AS t(i)),
+      |       FROM smp, UNNEST(generate_series(1, len(s))) AS t(i)),
       |isl AS (SELECT vec_id, silent,
       |          pos - row_number() OVER
       |            (PARTITION BY vec_id, silent ORDER BY pos) AS grp
@@ -8432,42 +8453,47 @@ object PipelineQueries {
     * O(1/√k) uniform; the audit turns that theory into a per-group
     * measured number.
     *
-    * Scale shape: one grid fold + grid-sized cumulative windows for
-    * the exact side, one partial-aggregable bottom-k fold for the
-    * sketch side (the q247 shape), a types-sized join. */
+    * Scale shape (round 11 — fused): ONE event_type-keyed exchange
+    * computes BOTH estimators side by side — the exact cents
+    * distribution as a [[graft.operators.LongHistogramAgg]] map
+    * (buffer bounded by the cents DOMAIN, so map-side combine ships
+    * domain-sized partials) and the q71 bottom-k sample (the q247
+    * buffer shape) — then codegen'd HOFs walk the sorted grid keys
+    * for the exact ceil-rank median. The round-10 form paid a pin job
+    * plus grid fold → cumulative-window re-sort → re-fold → join (~5
+    * dispatch-floor barriers for a types-sized answer, the
+    * weak-screen boundary row, PLANS.md § q296); this plans one scan,
+    * one keyed exchange, and a 5-row sort. The cumulative `aggregate`
+    * walk over sorted map keys is the SAME discrete ceil-rank order
+    * statistic (min cents with cum·2 ≥ m), bit-equal by construction. */
   val q296: Q = (s, d) => {
-    // pinned: the exact-grid side and the bottom-k side both read it —
-    // unpinned each replans its own events scan
-    val cents = graft.core.Pins.pin(t(s, d, "events")
-      .select(col("event_type"), col("event_id"),
-        expr("CAST(round(value * 100) AS BIGINT)").as("cents")))
-    val grid = cents.groupBy(col("event_type"), col("cents"))
-      .agg(count(lit(1)).as("cnt"))
-    val wCum = Window.partitionBy(col("event_type")).orderBy(col("cents"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val wAll = Window.partitionBy(col("event_type")).orderBy(col("cents"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val exact = grid
-      .withColumn("cum", sum(col("cnt")).over(wCum))
-      .withColumn("m", sum(col("cnt")).over(wAll))
-      .groupBy(col("event_type"))
-      .agg(min(col("m")).as("n"),
-        min(when(col("cum") * 2 >= col("m"), col("cents")))
-          .as("p50_exact_cents"))
     val k = 512
-    val sk = cents
+    t(s, d, "events")
       .select(col("event_type"),
         md5(concat(lit("kll71|"), col("event_id").cast("string"))).as("h"),
-        col("cents"))
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
       .groupBy(col("event_type"))
-      .agg(graft.operators.TopK.minKByString(k)(col("h"), col("cents"))
-        .as("smp"))
+      .agg(graft.operators.Histogram.longHistogram(col("cents")).as("hist"),
+        graft.operators.TopK.minKByString(k)(col("h"), col("cents"))
+          .as("smp"))
+      // sorted (key, count) ENTRIES, not key-by-key map lookups: Spark
+      // map element access is a linear scan of the underlying array,
+      // so a hist[k] per sorted key would make the walk O(domain²) —
+      // measured 10 s at sf0.1 vs sub-second for this linear form
+      .withColumn("es", array_sort(map_entries(col("hist"))))
+      .withColumn("n",
+        expr("aggregate(es, 0L, (a, e) -> a + e.value)"))
+      .withColumn("p50_exact_cents",
+        expr("""aggregate(es,
+                 named_struct('cum', 0L, 'p', CAST(NULL AS BIGINT)),
+                 (a, e) -> named_struct('cum', a.cum + e.value,
+                   'p', CASE WHEN a.p IS NULL
+                               AND (a.cum + e.value) * 2 >= n
+                             THEN e.key ELSE a.p END),
+                 a -> a.p)"""))
       .withColumn("cs", array_sort(expr("transform(smp, x -> x._2)")))
-      .select(col("event_type"),
-        element_at(col("cs"),
-          ceil(size(col("cs")) * lit(0.5)).cast("int"))
-          .as("p50_est_cents"))
-    exact.join(broadcast(sk), Seq("event_type"))
+      .withColumn("p50_est_cents",
+        element_at(col("cs"), ceil(size(col("cs")) * lit(0.5)).cast("int")))
       .withColumn("abs_err_ppm",
         expr("""abs(p50_est_cents - p50_exact_cents) * 1000000
                 div greatest(1, abs(p50_exact_cents))"""))

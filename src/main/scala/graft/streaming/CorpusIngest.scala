@@ -425,8 +425,12 @@ object CorpusIngest {
         Some(spark.read.parquet(fpDir)
           .select("source", "bucket", "n_docs", "n_chars", "hs", "batch_id"))
       else None
-    val storedId = stored.map(_.agg(max(col("batch_id"))).head().getLong(0))
-      .getOrElse(-1L)
+    // null-robust (same guard as VectorIngest.isotropyBatch): a
+    // zero-row store makes max(batch_id) NULL — that must read as "no
+    // batches merged", not NPE the monitor into a permanent wedge
+    val storedId = stored
+      .flatMap(df => Option(df.agg(max(col("batch_id"))).head().get(0)))
+      .map(_.asInstanceOf[Long]).getOrElse(-1L)
     if (batchId <= storedId) return spark.read.parquet(fpDir)
     val inc = batch
       .select(col("source"), expr("doc_id div 1024").as("bucket"),
@@ -502,8 +506,12 @@ object CorpusIngest {
         Some(spark.read.parquet(ckDir)
           .select("col_name", "n", "n_null", "sum52", "batch_id"))
       else None
-    val storedId = stored.map(_.agg(max(col("batch_id"))).head().getLong(0))
-      .getOrElse(-1L)
+    // null-robust (same guard as VectorIngest.isotropyBatch): a
+    // zero-row store makes max(batch_id) NULL — that must read as "no
+    // batches merged", not NPE the monitor into a permanent wedge
+    val storedId = stored
+      .flatMap(df => Option(df.agg(max(col("batch_id"))).head().get(0)))
+      .map(_.asInstanceOf[Long]).getOrElse(-1L)
     if (batchId > storedId) {
       // the SAME melt + fold code the declared q293 runs — the
       // bit-equality contract is structural

@@ -1,6 +1,13 @@
 package graft.tools
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
 import graft.core.Tables
+
+/** Scratch A/B harness (contents change per experiment; never part of
+  * the declared surface). Current experiment: q175 form shootout —
+  * (a) round-10 five independent two-level folds union'd,
+  * (b) round-11 full tagged-union single fold,
+  * (c) per-table stack: one scan + one fold per TABLE (3 branches). */
 object TmpProbe {
   def main(args: Array[String]): Unit = {
     val d = "/root/testdata/sf0.1"
@@ -11,47 +18,58 @@ object TmpProbe {
       println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
     }
     def t(n: String) = Tables.load(s, d, n)
-    def h(step: Int, cur: org.apache.spark.sql.Column, nxt: org.apache.spark.sql.Column) =
-      md5(concat(lit(s"w|$step|"), cur.cast("string"), lit("|"), nxt.cast("string")))
-    for (r <- 1 to 3) {
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // (a) round-10 form
+    def g3(df: DataFrame, det: String, dep: String, name: String) =
+      df.select(col(det).as("det"), col(dep).as("dep"))
+        .groupBy(col("det"), col("dep")).agg(count(lit(1)).as("c"))
+        .groupBy(col("det")).agg(sum(col("c")).as("rows"), max(col("c")).as("keep"))
+        .agg(sum(col("rows")).as("n_rows"),
+          count(lit(1)).as("n_det"), sum(col("keep")).as("kept"))
+        .select(lit(name).as("fd"), col("n_rows"), col("n_det"),
+          (col("n_rows") - col("kept")).as("viol_rows"),
+          when(col("n_rows") === col("kept"), 1L).otherwise(0L).as("holds"),
+          expr("(1000000 * (n_rows - kept)) div n_rows").as("g3_ppm"))
+    def oldForm = {
+      val li = t("lineitem"); val ord = t("orders"); val ev = t("events")
+      g3(li, "l_orderkey", "l_suppkey", "a")
+        .unionByName(g3(li, "l_partkey", "l_suppkey", "b"))
+        .unionByName(g3(ord, "o_orderkey", "o_custkey", "c"))
+        .unionByName(g3(ord, "o_custkey", "o_orderpriority", "d"))
+        .unionByName(g3(ev, "user_id", "event_type", "e"))
+        .orderBy(col("fd"))
+    }
+
+    // (c) per-table: fold the stacked pair ONCE per table, union the
+    // tag-sized results (branches independent → parallel stages)
+    def fold2(u: DataFrame) =
+      u.groupBy(col("tag"), col("det"), col("dep"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("tag"), col("det"))
+        .agg(sum(col("c")).as("rows"), max(col("c")).as("keep"))
+        .groupBy(col("tag"))
+        .agg(sum(col("rows")).as("n_rows"), count(lit(1)).as("n_det"),
+          sum(col("keep")).as("kept"))
+    def perTable = {
+      val li = t("lineitem").selectExpr(
+        "stack(2, 0L, l_orderkey, l_suppkey, 1L, l_partkey, l_suppkey) AS (tag, det, dep)")
+      val ord = t("orders").selectExpr(
+        """stack(2, 2L, o_orderkey, CAST(o_custkey AS STRING),
+                    3L, o_custkey, o_orderpriority) AS (tag, det, dep)""")
+      val ev = t("events").selectExpr("4L AS tag", "user_id AS det",
+        "event_type AS dep")
+      fold2(li).unionByName(fold2(ord)).unionByName(fold2(ev))
+        .orderBy(col("tag"))
+    }
+
+    for (r <- 1 to 4) {
       println(s"--- round $r")
-      var ep: org.apache.spark.sql.DataFrame = null
-      time("ep pin") {
-        ep = graft.core.Pins.pin(t("orders")
-          .join(t("lineitem"), col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_custkey").as("u"), col("l_partkey").as("p")))
-      }
-      val byP = ep.groupBy(col("p"))
-        .agg(min(struct(h(1, col("p"), col("u")).as("h"), col("u").as("id"))).as("m1"),
-          min(struct(h(3, col("p"), col("u")).as("h"), col("u").as("id"))).as("m3"))
-      time("byP fold (struct)") { byP.write.format("noop").mode("overwrite").save() }
-      val byU = ep.groupBy(col("u"))
-        .agg(min(struct(h(2, col("u"), col("p")).as("h"), col("p").as("id"))).as("m2"))
-      time("byU fold (struct)") { byU.write.format("noop").mode("overwrite").save() }
-      var c13: org.apache.spark.sql.DataFrame = null
-      time("c13 pin") {
-        c13 = graft.core.Pins.pin(byP.select(col("p"), col("m1.id").as("c1"), col("m3.id").as("c3")))
-      }
-      val c2 = byU.select(col("u"), col("m2.id").as("c2"))
-      val byPs = ep.groupBy(col("p"))
-        .agg(min(concat(h(1, col("p"), col("u")), lpad(col("u").cast("string"), 20, "0"))).as("m1"),
-          min(concat(h(3, col("p"), col("u")), lpad(col("u").cast("string"), 20, "0"))).as("m3"))
-      time("byP fold (string)") { byPs.write.format("noop").mode("overwrite").save() }
-      val byPx = ep.groupBy(col("p")).agg(min_by(col("u"), h(1, col("p"), col("u"))).as("m1"))
-      time("byP fold (min_by 1x)") { byPx.write.format("noop").mode("overwrite").save() }
-      val byP0 = ep.groupBy(col("p")).agg(count(lit(1)).as("n"))
-      time("byP count-only") { byP0.write.format("noop").mode("overwrite").save() }
-      val byP1 = ep.groupBy(col("p")).agg(min(h(1, col("p"), col("u"))).as("m"))
-      time("byP min(md5) only") { byP1.write.format("noop").mode("overwrite").save() }
-      time("assembly + sort") {
-        c13.select(col("p").as("start"), col("c1").as("u1"))
-          .join(broadcast(c2.withColumnRenamed("u", "u1")), Seq("u1"))
-          .withColumnRenamed("c2", "p2")
-          .join(broadcast(c13.select(col("p").as("p2"), col("c3").as("u3"))), Seq("p2"))
-          .select(col("start"), col("u1"), col("p2"), col("u3"))
-          .orderBy(col("start")).write.format("noop").mode("overwrite").save()
-      }
-      graft.core.Pins.release()
+      time("old 5-branch")(noop(oldForm))
+      time("new fused (shipped)")(
+        noop(graft.SparkEntry.queries("q175_fd_profile")(s, d)))
+      time("per-table stack")(noop(perTable))
     }
     s.stop()
   }

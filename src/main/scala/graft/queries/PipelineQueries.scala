@@ -5754,7 +5754,9 @@ object PipelineQueries {
     ("q293_column_checksums", q293, q293Sql),
     ("q294_erasure_closure", q294, q294Sql),
     ("q295_funnel_latency", q295, q295Sql),
-    ("q296_sketch_error", q296, q296Sql))
+    ("q296_sketch_error", q296, q296Sql),
+    ("q298_sequence_packing", q298, q298Sql),
+    ("q299_mixture_reweight", q299, q299Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type — a p25/p50/p75/p95 grid
@@ -8538,4 +8540,147 @@ object PipelineQueries {
       |         // greatest(1, abs(p50_exact_cents)) AS abs_err_ppm
       |FROM ex JOIN est ON ex.event_type = est.event_type
       |ORDER BY ex.event_type""".stripMargin
+
+  // --------------------------------------------------------------- Q298
+  /** SEQUENCE PACKING audit — the "sample packing" step of LLM batch
+    * prep (fill fixed 256-token context windows with whole documents
+    * so padding is minimized; q250's sorted length-batching bounds
+    * per-batch WASTE, this actually ASSIGNS docs to bins and reports
+    * the bin count against the information-theoretic floor):
+    * next-fit-decreasing per (lang, source) shard via
+    * [[graft.operators.SequencePacker]] — the [[q241]]/KeyedLedger
+    * sequential-fold class (whether a doc opens a new bin depends on
+    * the post-decision remaining capacity, so no window form exists;
+    * typed flatMapGroups, one shard-key shuffle, O(1) state). Docs
+    * longer than the capacity truncate to it (declared semantics).
+    * Per shard: doc count, bins used, packed tokens, the lower bound
+    * ⌈total/C⌉, utilization ppm, and the NFD-vs-floor gap — the
+    * packing quality is measured IN the output, not assumed.
+    *
+    * The ORACLE is the other mechanism (the q241 discipline): a
+    * DuckDB recursive CTE walks every shard's (tokens DESC, doc_id)
+    * sequence one doc per iteration, so agreement proves the typed
+    * fold against an independent sequential semantics.
+    *
+    * Scale shape: tokens fold scan-locally; ONE shard-key exchange;
+    * per-shard state is one counter and the shard is the documented
+    * dial (sub-shard a hot (lang, source) by hash at 100 TB — packing
+    * is only defined within a shard, so the contract is unchanged). */
+  val q298: Q = (s, d) => {
+    import s.implicits._
+    val cap = 256L
+    val docs = t(s, d, "documents")
+      .select(col("lang"), col("source"), col("doc_id"),
+        expr(s"LEAST(CAST(size(split(text, ' ')) AS BIGINT), ${cap}L)")
+          .as("tokens"))
+      .as[graft.operators.PackDoc]
+    graft.operators.SequencePacker.nextFitDecreasing(docs, cap).toDF()
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val q298Sql: String =
+    """WITH RECURSIVE
+      |d AS (SELECT lang, source, doc_id,
+      |        LEAST(CAST(len(string_split(text, ' ')) AS BIGINT), 256)
+      |          AS tokens
+      |      FROM documents),
+      |o AS (SELECT lang, source, doc_id, tokens,
+      |        CAST(row_number() OVER (PARTITION BY lang, source
+      |          ORDER BY tokens DESC, doc_id) AS BIGINT) AS rn
+      |      FROM d),
+      |walk(lang, source, rn, bins, rem) AS (
+      |  SELECT lang, source, CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+      |         256 - tokens
+      |  FROM o WHERE rn = 1
+      |  UNION ALL
+      |  SELECT w.lang, w.source, w.rn + 1,
+      |    CASE WHEN o.tokens <= w.rem THEN w.bins ELSE w.bins + 1 END,
+      |    CASE WHEN o.tokens <= w.rem THEN w.rem - o.tokens
+      |         ELSE 256 - o.tokens END
+      |  FROM walk w JOIN o ON o.lang = w.lang AND o.source = w.source
+      |    AND o.rn = w.rn + 1),
+      |tot AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+      |          CAST(sum(tokens) AS BIGINT) AS total_tokens
+      |        FROM o GROUP BY 1, 2),
+      |last AS (SELECT w.lang, w.source, w.bins
+      |         FROM walk w JOIN tot t ON w.lang = t.lang
+      |           AND w.source = t.source AND w.rn = t.n_docs)
+      |SELECT t.lang AS lang, t.source AS source, n_docs,
+      |       l.bins AS n_bins, total_tokens,
+      |       (total_tokens + 255) // 256 AS lower_bound,
+      |       total_tokens * 1000000 // (l.bins * 256) AS util_ppm,
+      |       l.bins - ((total_tokens + 255) // 256) AS gap_bins
+      |FROM tot t JOIN last l ON t.lang = l.lang AND t.source = l.source
+      |ORDER BY lang, source""".stripMargin
+
+  // --------------------------------------------------------------- Q299
+  /** MIXTURE REWEIGHTING to a declared target — the domain-rebalancing
+    * step of corpus assembly (DoReMi/data-mixing practice: the crawl's
+    * language mix is never the training mix you want; importance
+    * weights w_l = target_share/actual_share make the weighted corpus
+    * match the target in expectation, and a CAP bounds the variance a
+    * rare domain's huge weight would inject): per language the doc
+    * count, actual share (ppm floor), the declared target ppm
+    * (literal in both engines, Σ = 10⁶), the capped importance weight
+    * in ppm — w_ppm = target_ppm·N div n_l, capped at 3·10⁶ (3×) —
+    * and the cap flag; plus the effective sample size of the weighted
+    * corpus, ESS = (Σ n_l·w_l)²/(Σ n_l·w_l²) in ROWS (Kish) — the
+    * honest "how much data do I really have after reweighting"
+    * number, DECIMAL(38,0) for the squared sums (exact to ~10¹⁹
+    * weighted mass, the documented lift). All-integer: ratio and ESS
+    * are BIGINT floor divisions, no float crosses engines.
+    *
+    * Scale shape: ONE partial-aggregable lang fold; everything after
+    * is langs-sized (the 5-row relation + a one-row ESS broadcast). */
+  val q299: Q = (s, d) => {
+    val target = Seq("en" -> 400000L, "zh" -> 200000L, "de" -> 150000L,
+      "fr" -> 150000L, "es" -> 100000L)
+    val dec = "DECIMAL(38,0)"
+    val tgt = broadcast(
+      t(s, d, "documents").sparkSession
+        .createDataFrame(target.map { case (l, p) => (l, p) })
+        .toDF("lang", "target_ppm"))
+    // pinned: the langs-sized count relation feeds three consumers
+    // (per-lang rows, the total, the ESS fold) — unpinned each replans
+    // its own corpus scan
+    val counts = graft.core.Pins.pin(
+      t(s, d, "documents").groupBy(col("lang")).agg(count(lit(1)).as("n")))
+    val n_total = counts.agg(sum(col("n")).as("n_total"))
+    val perLang = counts.join(tgt, Seq("lang"))
+      .crossJoin(broadcast(n_total))
+      .withColumn("actual_ppm", expr("n * 1000000 div n_total"))
+      .withColumn("weight_ppm",
+        expr("LEAST(target_ppm * n_total div n, 3000000L)"))
+      .withColumn("capped",
+        (expr("target_ppm * n_total div n") > lit(3000000L)).cast("long"))
+    val ess = perLang.agg(
+      expr(s"""CAST(SUM(CAST(n AS $dec) * weight_ppm) AS $dec)
+               * SUM(CAST(n AS $dec) * weight_ppm)
+               div SUM(CAST(n AS $dec) * weight_ppm * weight_ppm)""")
+        .cast("long").as("ess_rows"))
+    perLang.crossJoin(broadcast(ess))
+      .select(col("lang"), col("n"), col("actual_ppm"), col("target_ppm"),
+        col("weight_ppm"), col("capped"), col("ess_rows"))
+      .orderBy(col("lang"))
+  }
+
+  val q299Sql: String =
+    """WITH tgt(lang, target_ppm) AS (VALUES
+      |    ('en', CAST(400000 AS BIGINT)), ('zh', 200000), ('de', 150000),
+      |    ('fr', 150000), ('es', 100000)),
+      |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+      |      FROM documents GROUP BY 1),
+      |nt AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c),
+      |p AS (SELECT c.lang AS lang, n, n * 1000000 // n_total AS actual_ppm,
+      |        target_ppm,
+      |        LEAST(target_ppm * n_total // n, 3000000) AS weight_ppm,
+      |        CAST(target_ppm * n_total // n > 3000000 AS BIGINT) AS capped
+      |      FROM c JOIN tgt ON c.lang = tgt.lang CROSS JOIN nt),
+      |e AS (SELECT CAST(sum(CAST(n AS HUGEINT) * weight_ppm)
+      |               * sum(CAST(n AS HUGEINT) * weight_ppm)
+      |               // sum(CAST(n AS HUGEINT) * weight_ppm * weight_ppm)
+      |             AS BIGINT) AS ess_rows
+      |      FROM p)
+      |SELECT lang, n, actual_ppm, target_ppm, weight_ppm, capped, ess_rows
+      |FROM p CROSS JOIN e ORDER BY lang""".stripMargin
 }

@@ -2243,7 +2243,7 @@ object StatQueries {
        |       CAST(n_a * n_b AS BIGINT) AS did_den
        |FROM agg""".stripMargin
 
-  val entries: Seq[(String, Q, String)] = Seq(
+  lazy val entries: Seq[(String, Q, String)] = Seq(
     ("q129_priority_sample", q129, q129Sql),
     ("q130_countmin_heavy", q130, q130Sql),
     ("q131_event_sequences", q131, q131Sql),
@@ -2279,5 +2279,202 @@ object StatQueries {
     ("q238_kendall_tau", q238, q238Sql),
     ("q240_cuped", q240, q240Sql),
     ("q242_ab_test", q242, q242Sql),
-    ("q243_diff_in_diff", q243, q243Sql))
+    ("q243_diff_in_diff", q243, q243Sql),
+    ("q300_corr_matrix", q300, q300Sql),
+    ("q301_mutual_information", q301, q301Sql))
+
+  // --------------------------------------------------------------- Q300
+  /** FEATURE CORRELATION MATRIX in ONE pass — the ANALYZE/feature-
+    * selection primitive (q164 correlates ONE pair; a profiler wants
+    * all of them, and the naive way runs k² scans): all five lineitem
+    * numeric features' pairwise Pearson r from a SINGLE aggregation
+    * computing every first/second moment side by side — n, 5 sums, 15
+    * product sums (k literal ⇒ 21 codegen'd aggregate columns, ONE
+    * HashAggregate, no explode) — then the 10 (i < j) pairs unpivot
+    * from the one-row moment relation. Features quantize to integers
+    * at the scan (qty, whole dollars, discount/tax centi, shipdate
+    * epoch-day) so every moment is EXACT: per-row products stay under
+    * 2⁶³ and the hot aggregate sums in BIGINT — the largest second
+    * moment (whole-dollars², ~10¹⁰/row) is exact to ~10⁹ rows, with
+    * the DECIMAL(38,0) sum lift as the documented dial past that —
+    * while the pairs-sized FINAL arithmetic (n·Σxy − Σx·Σy ≈ 4·10²⁰
+    * at sf0.1) rides DECIMAL(38,0) where it costs nothing (the q272
+    * discipline, kept out of the per-row path). r =
+    * round(cov/√(varx·vary), 4) is the single IEEE expression at the
+    * declared float boundary (identical integers in, identical
+    * double out — the q216/q83 discipline), zero-variance guarded to
+    * 0.0 (q138), with cov's exact SIGN beside it as the integer leg.
+    *
+    * Scale shape: one scan, one partial-aggregable fold to ONE row,
+    * pairs-sized everything after — the k×k matrix costs exactly one
+    * pass at any corpus size, and k is the literal dial. */
+  val q300: Q = (s, d) => {
+    val feats = Seq("qty", "dollars", "disc_centi", "tax_centi", "ship_day")
+    val dec = "DECIMAL(38,0)"
+    val base = t(s, d, "lineitem").select(
+      expr("CAST(round(l_quantity) AS BIGINT)").as("qty"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT) div 100")
+        .as("dollars"),
+      expr("CAST(round(l_discount * 100) AS BIGINT)").as("disc_centi"),
+      expr("CAST(round(l_tax * 100) AS BIGINT)").as("tax_centi"),
+      expr("unix_micros(l_shipdate) div 86400000000").as("ship_day"))
+    val moments = base.agg(
+      count(lit(1)).as("n"),
+      (feats.map(f => sum(col(f)).as(s"s_$f")) ++
+        (for (i <- feats.indices; j <- i until feats.length) yield {
+          val (a, b) = (feats(i), feats(j))
+          sum(col(a) * col(b)).as(s"q_${a}_${b}")
+        })): _*)
+    def D(c: String) = s"CAST($c AS $dec)"
+    val pairRows = for (i <- feats.indices; j <- (i + 1) until feats.length)
+      yield {
+        val (a, b) = (feats(i), feats(j))
+        s"""named_struct('f1', '$a', 'f2', '$b',
+            'cov', ${D("n")} * q_${a}_${b} - ${D(s"s_$a")} * s_$b,
+            'varx', ${D("n")} * q_${a}_${a} - ${D(s"s_$a")} * s_$a,
+            'vary', ${D("n")} * q_${b}_${b} - ${D(s"s_$b")} * s_$b)"""
+      }
+    moments
+      .select(col("n"),
+        explode(expr(pairRows.mkString("array(", ", ", ")"))).as("p"))
+      .select(col("p.f1").as("f1"), col("p.f2").as("f2"), col("n"),
+        when(col("p.cov") > 0, 1L).when(col("p.cov") < 0, -1L)
+          .otherwise(0L).as("cov_sign"),
+        when(col("p.varx") === 0 || col("p.vary") === 0, lit(0.0))
+          .otherwise(round(col("p.cov").cast("double") /
+            sqrt(col("p.varx").cast("double") * col("p.vary").cast("double")),
+            4)).as("r"))
+      .orderBy(col("f1"), col("f2"))
+  }
+
+  val q300Sql: String = {
+    val feats = Seq("qty", "dollars", "disc_centi", "tax_centi", "ship_day")
+    val moments =
+      (feats.map(f => s"CAST(sum(CAST($f AS HUGEINT)) AS HUGEINT) AS s_$f") ++
+        (for (i <- feats.indices; j <- i until feats.length) yield {
+          val (a, b) = (feats(i), feats(j))
+          s"CAST(sum(CAST($a AS HUGEINT) * $b) AS HUGEINT) AS q_${a}_${b}"
+        })).mkString(",\n         ")
+    val legs = (for (i <- feats.indices; j <- (i + 1) until feats.length)
+      yield {
+        val (a, b) = (feats(i), feats(j))
+        s"""SELECT '$a' AS f1, '$b' AS f2, CAST(n AS BIGINT) AS n,
+           |  CAST(CASE WHEN n * q_${a}_${b} - s_$a * s_$b > 0 THEN 1
+           |            WHEN n * q_${a}_${b} - s_$a * s_$b < 0 THEN -1
+           |            ELSE 0 END AS BIGINT) AS cov_sign,
+           |  CASE WHEN n * q_${a}_${a} - s_$a * s_$a = 0
+           |         OR n * q_${b}_${b} - s_$b * s_$b = 0 THEN 0.0
+           |       ELSE round(CAST(n * q_${a}_${b} - s_$a * s_$b AS DOUBLE)
+           |         / sqrt(CAST(n * q_${a}_${a} - s_$a * s_$a AS DOUBLE)
+           |              * CAST(n * q_${b}_${b} - s_$b * s_$b AS DOUBLE)), 4)
+           |  END AS r
+           |FROM m""".stripMargin
+      }).mkString("\nUNION ALL\n")
+    s"""WITH b AS (SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
+       |         CAST(round(l_extendedprice * 100) AS BIGINT) // 100
+       |           AS dollars,
+       |         CAST(round(l_discount * 100) AS BIGINT) AS disc_centi,
+       |         CAST(round(l_tax * 100) AS BIGINT) AS tax_centi,
+       |         epoch_us(l_shipdate) // 86400000000 AS ship_day
+       |       FROM lineitem),
+       |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+       |         $moments
+       |      FROM b)
+       |SELECT * FROM (
+       |$legs
+       |) ORDER BY f1, f2""".stripMargin
+  }
+
+  // --------------------------------------------------------------- Q301
+  /** MUTUAL INFORMATION between two categorical columns — the
+    * information-theoretic association number beside q149's χ²
+    * independence TEST (χ² says "dependent or not"; MI says HOW MANY
+    * BITS one column tells you about the other — the feature-selection
+    * ranking criterion): X = event_type, Y = hour-of-day (UTC), from
+    * exact joint counts. Float discipline for a SUM of log terms (the
+    * cross-engine trap q107/q63 avoid by never summing floats): each
+    * cell's PMI mass term round(10⁴·(n_xy/N)·log2(n_xy·N/(n_x·n_y)))
+    * is ONE IEEE expression over exact integers rounded to an
+    * INTEGER, and the total MI is the BIGINT SUM of those integers —
+    * order-invariant by construction, ≤ 0.5·10⁻⁴ bits/cell rounding
+    * error (120 cells ⇒ ≤ 0.006 bits, stated beside the value).
+    * Entropies H(X), H(Y) fold the same way from the marginals, and
+    * the normalized-MI ratio 2·MI/(H(X)+H(Y)) comes out as pure
+    * integer ppm of the e4 sums. One row: N, cells, mi_e4 (bits ×
+    * 10⁴), hx_e4, hy_e4, nmi_ppm.
+    *
+    * Scale shape: ONE partial-aggregable (type, hour) fold — 120
+    * cells at any corpus size; marginals are window sums over the
+    * grid; everything after is grid-sized. */
+  val q301: Q = (s, d) => {
+    val grid = t(s, d, "events")
+      .select(col("event_type").as("x"),
+        expr("CAST(hour(ts) AS BIGINT)").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("nxy"))
+    val wx = Window.partitionBy(col("x"))
+    val wy = Window.partitionBy(col("y"))
+    val wAll = Window.partitionBy()
+    grid
+      .withColumn("nx", sum(col("nxy")).over(wx))
+      .withColumn("ny", sum(col("nxy")).over(wy))
+      .withColumn("nn", sum(col("nxy")).over(wAll))
+      .select(
+        col("nn"),
+        expr("""CAST(round(10000 * (CAST(nxy AS DOUBLE) / nn)
+                * log2(CAST(nxy AS DOUBLE) * nn
+                       / (CAST(nx AS DOUBLE) * ny))) AS BIGINT)""")
+          .as("mi_term"),
+        // entropy terms attribute once per marginal: the x-term rides
+        // the cell with y = min over the x-group (and vice versa), so
+        // each marginal contributes exactly once to the fold
+        expr("""CASE WHEN y = min(y) OVER (PARTITION BY x)
+                THEN CAST(round(-10000 * (CAST(nx AS DOUBLE) / nn)
+                     * log2(CAST(nx AS DOUBLE) / nn)) AS BIGINT)
+                ELSE 0 END""").as("hx_term"),
+        expr("""CASE WHEN x = min(x) OVER (PARTITION BY y)
+                THEN CAST(round(-10000 * (CAST(ny AS DOUBLE) / nn)
+                     * log2(CAST(ny AS DOUBLE) / nn)) AS BIGINT)
+                ELSE 0 END""").as("hy_term"))
+      .groupBy()
+      .agg(min(col("nn")).as("n"), count(lit(1)).as("cells"),
+        sum(col("mi_term")).as("mi_e4"),
+        sum(col("hx_term")).as("hx_e4"), sum(col("hy_term")).as("hy_e4"))
+      .select(col("n"), col("cells"), col("mi_e4"), col("hx_e4"),
+        col("hy_e4"),
+        expr("2 * mi_e4 * 1000000 div (hx_e4 + hy_e4)").as("nmi_ppm"))
+  }
+
+  val q301Sql: String =
+    """WITH g AS (SELECT event_type AS x,
+      |         CAST(hour(ts) AS BIGINT) AS y,
+      |         CAST(count(*) AS BIGINT) AS nxy
+      |       FROM events GROUP BY 1, 2),
+      |e AS (SELECT x, y, nxy,
+      |        CAST(sum(nxy) OVER (PARTITION BY x) AS BIGINT) AS nx,
+      |        CAST(sum(nxy) OVER (PARTITION BY y) AS BIGINT) AS ny,
+      |        CAST(sum(nxy) OVER () AS BIGINT) AS nn
+      |      FROM g),
+      |terms AS (SELECT nn,
+      |        CAST(round(10000 * (CAST(nxy AS DOUBLE) / nn)
+      |             * log2(CAST(nxy AS DOUBLE) * nn
+      |                    / (CAST(nx AS DOUBLE) * ny))) AS BIGINT)
+      |          AS mi_term,
+      |        CASE WHEN y = min(y) OVER (PARTITION BY x)
+      |          THEN CAST(round(-10000 * (CAST(nx AS DOUBLE) / nn)
+      |               * log2(CAST(nx AS DOUBLE) / nn)) AS BIGINT)
+      |          ELSE 0 END AS hx_term,
+      |        CASE WHEN x = min(x) OVER (PARTITION BY y)
+      |          THEN CAST(round(-10000 * (CAST(ny AS DOUBLE) / nn)
+      |               * log2(CAST(ny AS DOUBLE) / nn)) AS BIGINT)
+      |          ELSE 0 END AS hy_term
+      |      FROM e)
+      |SELECT CAST(min(nn) AS BIGINT) AS n,
+      |       CAST(count(*) AS BIGINT) AS cells,
+      |       CAST(sum(mi_term) AS BIGINT) AS mi_e4,
+      |       CAST(sum(hx_term) AS BIGINT) AS hx_e4,
+      |       CAST(sum(hy_term) AS BIGINT) AS hy_e4,
+      |       2 * CAST(sum(mi_term) AS BIGINT) * 1000000
+      |         // (CAST(sum(hx_term) AS BIGINT)
+      |            + CAST(sum(hy_term) AS BIGINT)) AS nmi_ppm
+      |FROM terms""".stripMargin
 }

@@ -114,6 +114,9 @@ object PlanAuditSpec {
     "q261_survival_hazard" -> 2, "q278_embedding_auc" -> 2,
     "q279_conformal_gate" -> 1, "q280_fairness_parity" -> 1,
     "q285_fertility_parity" -> 1, "q292_ivf_balance" -> 2,
+    // q301 (round 11): the OVER () total rides the ≤ 120-cell
+    // (type, hour) grid — grid-sized by construction
+    "q301_mutual_information" -> 1,
   )
 
   /** Default cap for queries not listed below. */

@@ -1366,20 +1366,29 @@ object ScaleProbe {
             .write.mode("overwrite").parquet(s"$d100/$tn.parquet")
       }
       val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0)
-      spark.sparkContext.addSparkListener(
-        new org.apache.spark.scheduler.SparkListener {
-          override def onTaskEnd(
-              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-            val d = te.taskInfo.duration
-            maxTaskMs.getAndUpdate(m => math.max(m, d)): Unit
-          }
-        })
+      val taskListener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val d = te.taskInfo.duration
+          maxTaskMs.getAndUpdate(m => math.max(m, d)): Unit
+        }
+      }
+      spark.sparkContext.addSparkListener(taskListener)
       def probe(label: String, name: String, dir: String, tag: String): Unit = {
         maxTaskMs.set(0)
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(name)(spark, dir).count(): Unit
+        val wall = (System.nanoTime() - t0) / 1e9
         graft.core.Pins.release()
-        println(f"$label%-22s $tag%-6s ${(System.nanoTime() - t0) / 1e9}%8.3f s" +
+        // the listener bus is ASYNC: TaskEnd events can still be in
+        // flight when count() returns — poll until the max stabilizes
+        // so a late straggler isn't dropped (or billed to the next
+        // probe by the reset above)
+        var prev = -1L
+        while (prev != maxTaskMs.get()) {
+          prev = maxTaskMs.get(); Thread.sleep(300)
+        }
+        println(f"$label%-22s $tag%-6s $wall%8.3f s" +
           f"  max-task ${maxTaskMs.get() / 1000.0}%7.3f s")
       }
       for ((label, name) <- Seq(
@@ -1390,6 +1399,7 @@ object ScaleProbe {
         probe(label, name, src, "1x")
         probe(label, name, d100, "100x")
       }
+      spark.sparkContext.removeSparkListener(taskListener)
     }
     spark.stop()
   }

@@ -184,7 +184,7 @@ object AuditQueries {
     val e = t(s, d, "embeddings")
       .select(col("label"),
         posexplode(transform(col("embedding").cast("array<double>"),
-          x => round(x * 1000, 0).cast("long"))).as(Seq("pos", "q")))
+          x => round(x.cast("double") * 1000, 0).cast("long"))).as(Seq("pos", "q")))
     // dims·|labels| rows — PINNED so the global-vector derivation and the
     // final per-label fold read materialized blocks instead of each
     // replanning the corpus scan (the q89 shared-counts discipline)
@@ -865,14 +865,23 @@ object AuditQueries {
     val lsh = graft.operators.MinHashLsh.nearDup(docs,
       bands = 4, rowsPerBand = 2, shingleN = 3, minJaccard = 0.5)
       .select(col("a_id"), col("b_id"))
+    // empty-corpus/no-candidate guard (a generated-fixture CI run
+    // exposed the divergence): a zero-row global agg SUMs to NULL in
+    // Spark where DuckDB's COUNTs give 0, and 0/0 is NaN here vs NULL
+    // there — coalesce the counts and declare recall NULL at n_exact=0
+    // identically in both engines
     exact.withColumn("src", lit("e"))
       .unionByName(lsh.withColumn("src", lit("l")))
       .agg(
-        sum(when(col("src") === "e", 1L).otherwise(0L)).as("n_exact"),
-        sum(when(col("src") === "l", 1L).otherwise(0L)).as("n_lsh"))
+        coalesce(sum(when(col("src") === "e", 1L).otherwise(0L)), lit(0L))
+          .as("n_exact"),
+        coalesce(sum(when(col("src") === "l", 1L).otherwise(0L)), lit(0L))
+          .as("n_lsh"))
       .select(col("n_exact"), col("n_lsh"),
         (col("n_exact") - col("n_lsh")).as("n_missed"),
-        round(col("n_lsh").cast("double") / col("n_exact"), 4).as("recall"))
+        when(col("n_exact") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_lsh").cast("double") / col("n_exact"), 4))
+          .as("recall"))
   }
 
   val q127Sql: String = {
@@ -898,7 +907,9 @@ object AuditQueries {
        |c AS (SELECT (SELECT count(*) FROM ex) AS n_exact,
        |             (SELECT count(*) FROM ls) AS n_lsh)
        |SELECT n_exact, n_lsh, n_exact - n_lsh AS n_missed,
-       |       round(CAST(n_lsh AS DOUBLE) / n_exact, 4) AS recall
+       |       CASE WHEN n_exact = 0 THEN CAST(NULL AS DOUBLE)
+       |            ELSE round(CAST(n_lsh AS DOUBLE) / n_exact, 4)
+       |       END AS recall
        |FROM c""".stripMargin
   }
 

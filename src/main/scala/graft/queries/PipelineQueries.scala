@@ -1869,7 +1869,7 @@ object PipelineQueries {
     val qv = graft.core.Pins.pin(
       t(s, d, "embeddings").select(col("vec_id"),
         transform(col("embedding").cast("array<double>"),
-          x => round(x * 1000).cast("long")).as("v")))
+          x => round(x.cast("double") * 1000).cast("long")).as("v")))
     // the ε-graph stays on the exact tiled kernel DELIBERATELY: the
     // recall-lossless ball-cover prune exists
     // ([[graft.operators.SimilarityJoin.sqDistPairsPruned]],
@@ -1919,7 +1919,7 @@ object PipelineQueries {
   val q200Sql: String =
     """WITH RECURSIVE q AS (SELECT vec_id,
       |    list_transform(CAST(embedding AS DOUBLE[]),
-      |      x -> CAST(round(x * 1000) AS BIGINT)) AS v
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
       |  FROM embeddings),
       |ed AS (SELECT a.vec_id a, b.vec_id b
       |       FROM q a JOIN q b ON a.vec_id < b.vec_id
@@ -4245,7 +4245,7 @@ object PipelineQueries {
     val dot = "CAST(aggregate(zip_with(%s, %s, (a, b) -> a * b), " +
       "CAST(0 AS BIGINT), (acc, x) -> acc + x) AS BIGINT)"
     val vq = t(s, d, "embeddings").select(col("vec_id"),
-      expr("transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))").as("v"))
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("v"))
     val probe = vq.filter(col("vec_id") === 0).select(col("v").as("pv"))
     val cand = graft.core.Pins.pin(
       vq.crossJoin(broadcast(probe))
@@ -4287,9 +4287,9 @@ object PipelineQueries {
 
   val q211Sql: String =
     """WITH RECURSIVE
-      |q AS (SELECT list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS v
+      |q AS (SELECT list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
       |      FROM embeddings WHERE vec_id = 0),
-      |vq AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS v
+      |vq AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
       |       FROM embeddings),
       |rel AS (SELECT vq.vec_id, vq.v,
       |          CAST(list_sum(list_transform(range(1, len(vq.v) + 1),
@@ -6353,7 +6353,7 @@ object PipelineQueries {
   val q270: Q = (s, d) => {
     val e = t(s, d, "embeddings")
       .select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))").as("qv"))
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("qv"))
     val stats = e
       .select(posexplode(col("qv")).as(Seq("j", "q")))
       .groupBy(col("j"))
@@ -6379,7 +6379,7 @@ object PipelineQueries {
 
   val q270Sql: String =
     """WITH e AS (SELECT vec_id, label,
-      |         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+      |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
       |       FROM embeddings),
       |ex AS (SELECT j, qv[j] AS q FROM e, UNNEST(generate_series(1, 64)) AS t(j)),
       |st AS (SELECT j, sum(q) AS sj, sum(q * q) AS qj, count(*) AS n
@@ -6506,7 +6506,7 @@ object PipelineQueries {
     * the matvec to DECIMAL — the documented dial. */
   val q272: Q = (s, d) => {
     val e = t(s, d, "embeddings")
-      .select(expr("transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))").as("qv"))
+      .select(expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("qv"))
     // upper triangle only (k ≥ j, plus the k = 0 moment cells): G is
     // symmetric, so the fold ships half the cells and the driver mirrors
     val cells = e.select(explode(expr(
@@ -6560,7 +6560,7 @@ object PipelineQueries {
         .stripMargin
     }.mkString(",\n")
     s"""WITH e AS (SELECT list_transform(embedding,
-       |         x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+       |         x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
        |       FROM embeddings),
        |ex AS (SELECT j, qv[j] AS qj, qv FROM e,
        |       UNNEST(generate_series(1, 64)) AS t(j)),
@@ -7307,7 +7307,7 @@ object PipelineQueries {
 
   val q282: Q = (s, d) =>
     isotropyDerive(t(s, d, "embeddings")
-      .select(expr("transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))")
+      .select(expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
         .as("qv"))
       .select(posexplode(col("qv")).as(Seq("j", "q")))
       .groupBy(col("j"))
@@ -7316,7 +7316,7 @@ object PipelineQueries {
 
   val q282Sql: String =
     """WITH e AS (SELECT list_transform(embedding,
-      |         x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+      |         x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
       |       FROM embeddings),
       |ex AS (SELECT j, qv[j] AS q
       |       FROM e, UNNEST(generate_series(1, len(qv))) AS t(j)),

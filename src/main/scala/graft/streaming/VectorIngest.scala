@@ -89,7 +89,7 @@ object VectorIngest {
       .map(_.asInstanceOf[Long]).getOrElse(-1L)
     if (batchId > storedId) {
       val bs = batch
-        .select(expr(s"transform($vecCol, x -> CAST(round(x * 1000) AS BIGINT))")
+        .select(expr(s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
           .as("qv"))
         .select(posexplode(col("qv")).as(Seq("j", "q")))
         .groupBy(col("j"))

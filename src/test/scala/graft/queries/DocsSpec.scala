@@ -33,9 +33,11 @@ class DocsSpec extends AnyFunSuite {
     // finding.
     val survey = read("SURVEY.md")
     val twinDef = """def (start\w*|\w+Live)\s*[(\[]""".r
-    val srcDir = java.nio.file.Paths.get("src/main/scala/graft/streaming")
-    val missing = java.nio.file.Files.list(srcDir).toArray.toSeq
-      .map(_.toString).filter(_.endsWith(".scala")).sorted
+    // File.listFiles, not Files.list: the NIO stream wraps an open
+    // DirectoryStream that .toArray does not close (leaked fd per run)
+    val missing = Option(new java.io.File("src/main/scala/graft/streaming")
+        .listFiles()).getOrElse(Array.empty)
+      .map(_.getPath).filter(_.endsWith(".scala")).sorted.toSeq
       .flatMap { p =>
         val cls = new java.io.File(p).getName.stripSuffix(".scala")
         twinDef.findAllMatchIn(read(p)).map(m => s"$cls.${m.group(1)}").toSeq

@@ -47,11 +47,17 @@ object SequencePacker {
         Encoders.tuple(Encoders.STRING, Encoders.STRING))
       .flatMapGroups { (key: (String, String), it: Iterator[PackDoc]) =>
         val (lang, source) = key
-        val rows = it.toArray.sortBy(d => (-d.tokens, d.doc_id))
+        // clamp BEFORE the sort so the declared (tokens DESC, doc_id
+        // ASC) total order is over the same clamped values the oracle
+        // orders by — a caller that violates the pre-clamp contract
+        // still gets oracle-identical bin counts
+        val rows = it.toArray
+          .map(d => if (d.tokens > capacity) d.copy(tokens = capacity) else d)
+          .sortBy(d => (-d.tokens, d.doc_id))
         var bins = 0L; var rem = 0L; var total = 0L
         var i = 0
         while (i < rows.length) {
-          val tk = math.min(rows(i).tokens, capacity)
+          val tk = rows(i).tokens
           total += tk
           if (bins == 0L || tk > rem) { bins += 1; rem = capacity - tk }
           else rem -= tk

@@ -8471,6 +8471,11 @@ object PipelineQueries {
   val q296: Q = (s, d) => {
     val k = 512
     t(s, d, "events")
+      // declared NULL semantics: a NULL value has no cents and joins
+      // neither estimator (the typed LongHistogramAgg takes Long, so
+      // the filter makes non-null an enforced contract, not a silent
+      // assumption — both engines spell it)
+      .filter(col("value").isNotNull)
       .select(col("event_type"),
         md5(concat(lit("kll71|"), col("event_id").cast("string"))).as("h"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
@@ -8507,7 +8512,7 @@ object PipelineQueries {
   val q296Sql: String =
     """WITH c AS (SELECT event_type, event_id,
       |         CAST(round(value * 100) AS BIGINT) AS cents
-      |       FROM events),
+      |       FROM events WHERE value IS NOT NULL),
       |grid AS (SELECT event_type, cents, CAST(count(*) AS BIGINT) AS cnt
       |         FROM c GROUP BY 1, 2),
       |cum AS (SELECT event_type, cents,

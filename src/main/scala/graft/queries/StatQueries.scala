@@ -2294,9 +2294,11 @@ object StatQueries {
     * from the one-row moment relation. Features quantize to integers
     * at the scan (qty, whole dollars, discount/tax centi, shipdate
     * epoch-day) so every moment is EXACT: per-row products stay under
-    * 2⁶³ and the hot aggregate sums in BIGINT — the largest second
-    * moment (whole-dollars², ~10¹⁰/row) is exact to ~10⁹ rows, with
-    * the DECIMAL(38,0) sum lift as the documented dial past that —
+    * 2⁶³ and the product moments SUM in DECIMAL(38,0) (matching the
+    * oracle's HUGEINT — the largest second moment, whole-dollars² at
+    * ~10¹⁰/row, would silently wrap a BIGINT sum past ~10⁹ rows under
+    * ANSI-off; the decimal buffer makes the envelope exact, not
+    * narrated) —
     * while the pairs-sized FINAL arithmetic (n·Σxy − Σx·Σy ≈ 4·10²⁰
     * at sf0.1) rides DECIMAL(38,0) where it costs nothing (the q272
     * discipline, kept out of the per-row path). r =
@@ -2323,7 +2325,11 @@ object StatQueries {
       (feats.map(f => sum(col(f)).as(s"s_$f")) ++
         (for (i <- feats.indices; j <- i until feats.length) yield {
           val (a, b) = (feats(i), feats(j))
-          sum(col(a) * col(b)).as(s"q_${a}_${b}")
+          // per-row product is exact BIGINT; the SUM buffer is
+          // DECIMAL(38,0) like the oracle's HUGEINT, so past the
+          // ~10⁹-row BIGINT envelope both engines stay exact instead
+          // of Spark wrapping silently under ANSI-off
+          sum((col(a) * col(b)).cast(dec)).as(s"q_${a}_${b}")
         })): _*)
     def D(c: String) = s"CAST($c AS $dec)"
     val pairRows = for (i <- feats.indices; j <- (i + 1) until feats.length)
@@ -2393,9 +2399,13 @@ object StatQueries {
     * ranking criterion): X = event_type, Y = hour-of-day (UTC), from
     * exact joint counts. Float discipline for a SUM of log terms (the
     * cross-engine trap q107/q63 avoid by never summing floats): each
-    * cell's PMI mass term round(10⁴·(n_xy/N)·log2(n_xy·N/(n_x·n_y)))
+    * cell's PMI mass term round(10⁴·(n_xy/N)·ln(n_xy·N/(n_x·n_y))/ln 2)
     * is ONE IEEE expression over exact integers rounded to an
-    * INTEGER, and the total MI is the BIGINT SUM of those integers —
+    * INTEGER — spelled ln(x)/ln(2) with IDENTICAL text in both
+    * engines (Spark LOG2 is StrictMath.log/log 2 while DuckDB log2 is
+    * libm; a last-ulp gap could flip a .5-boundary round, the q133
+    * same-ln-both-sides precedent) — and the total MI is the BIGINT
+    * SUM of those integers —
     * order-invariant by construction, ≤ 0.5·10⁻⁴ bits/cell rounding
     * error (120 cells ⇒ ≤ 0.006 bits, stated beside the value).
     * Entropies H(X), H(Y) fold the same way from the marginals, and
@@ -2421,19 +2431,19 @@ object StatQueries {
       .select(
         col("nn"),
         expr("""CAST(round(10000 * (CAST(nxy AS DOUBLE) / nn)
-                * log2(CAST(nxy AS DOUBLE) * nn
-                       / (CAST(nx AS DOUBLE) * ny))) AS BIGINT)""")
+                * (ln(CAST(nxy AS DOUBLE) * nn
+                       / (CAST(nx AS DOUBLE) * ny)) / ln(CAST(2 AS DOUBLE)))) AS BIGINT)""")
           .as("mi_term"),
         // entropy terms attribute once per marginal: the x-term rides
         // the cell with y = min over the x-group (and vice versa), so
         // each marginal contributes exactly once to the fold
         expr("""CASE WHEN y = min(y) OVER (PARTITION BY x)
                 THEN CAST(round(-10000 * (CAST(nx AS DOUBLE) / nn)
-                     * log2(CAST(nx AS DOUBLE) / nn)) AS BIGINT)
+                     * (ln(CAST(nx AS DOUBLE) / nn) / ln(CAST(2 AS DOUBLE)))) AS BIGINT)
                 ELSE 0 END""").as("hx_term"),
         expr("""CASE WHEN x = min(x) OVER (PARTITION BY y)
                 THEN CAST(round(-10000 * (CAST(ny AS DOUBLE) / nn)
-                     * log2(CAST(ny AS DOUBLE) / nn)) AS BIGINT)
+                     * (ln(CAST(ny AS DOUBLE) / nn) / ln(CAST(2 AS DOUBLE)))) AS BIGINT)
                 ELSE 0 END""").as("hy_term"))
       .groupBy()
       .agg(min(col("nn")).as("n"), count(lit(1)).as("cells"),
@@ -2456,16 +2466,16 @@ object StatQueries {
       |      FROM g),
       |terms AS (SELECT nn,
       |        CAST(round(10000 * (CAST(nxy AS DOUBLE) / nn)
-      |             * log2(CAST(nxy AS DOUBLE) * nn
-      |                    / (CAST(nx AS DOUBLE) * ny))) AS BIGINT)
+      |             * (ln(CAST(nxy AS DOUBLE) * nn
+      |                    / (CAST(nx AS DOUBLE) * ny)) / ln(CAST(2 AS DOUBLE)))) AS BIGINT)
       |          AS mi_term,
       |        CASE WHEN y = min(y) OVER (PARTITION BY x)
       |          THEN CAST(round(-10000 * (CAST(nx AS DOUBLE) / nn)
-      |               * log2(CAST(nx AS DOUBLE) / nn)) AS BIGINT)
+      |               * (ln(CAST(nx AS DOUBLE) / nn) / ln(CAST(2 AS DOUBLE)))) AS BIGINT)
       |          ELSE 0 END AS hx_term,
       |        CASE WHEN x = min(x) OVER (PARTITION BY y)
       |          THEN CAST(round(-10000 * (CAST(ny AS DOUBLE) / nn)
-      |               * log2(CAST(ny AS DOUBLE) / nn)) AS BIGINT)
+      |               * (ln(CAST(ny AS DOUBLE) / nn) / ln(CAST(2 AS DOUBLE)))) AS BIGINT)
       |          ELSE 0 END AS hy_term
       |      FROM e)
       |SELECT CAST(min(nn) AS BIGINT) AS n,

@@ -1364,6 +1364,25 @@ object ScaleProbe {
         for (tn <- Seq("customer", "supplier", "nation", "region", "part"))
           spark.read.parquet(s"$src/$tn.parquet")
             .write.mode("overwrite").parquet(s"$d100/$tn.parquet")
+        // documents at 100× = 5M docs for the dedup/LSH shelf (round-12:
+        // the q19 band join and q55 incremental tier at two orders of
+        // magnitude). Each replica suffixes EVERY word with its replica
+        // tag, so cross-replica word-shingles never match: a real 5M-doc
+        // corpus is not 100 identical crawls, and plain copies would turn
+        // every doc into a 100-member exact-dup clique — measuring the
+        // (separately-probed) identical-doc flood path instead of
+        // candidate-bound growth. Near/exact-dup structure stays intact
+        // WITHIN each replica, so the dup rate per doc is scale-invariant.
+        val docBase = spark.read.parquet(s"$src/documents.parquet")
+        val maxDoc = docBase.agg(org.apache.spark.sql.functions.max(col("doc_id")))
+          .head().getLong(0) + 1
+        (0 until 100).map(i => docBase
+            .withColumn("doc_id", col("doc_id") + lit(i * maxDoc))
+            .withColumn("text",
+              expr(s"concat_ws(' ', transform(split(text, ' '), w -> concat(w, 'x$i')))"))
+            .withColumn("n_chars", length(col("text")).cast("long")))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$d100/documents.parquet")
       }
       val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0)
       val taskListener = new org.apache.spark.scheduler.SparkListener {
@@ -1395,7 +1414,14 @@ object ScaleProbe {
           "x100_q277_matrix" -> "q277_training_matrix",
           "x100_q286_stratified" -> "q286_stratified_effect",
           "x100_q291_markov" -> "q291_markov_accuracy",
-          "x100_q297_recsys" -> "q297_recsys_hitrate")) {
+          "x100_q297_recsys" -> "q297_recsys_hitrate",
+          // round-12: the dedup/LSH shelf at 5M docs (candidate-bound
+          // band join + batch-proportional incremental tier) and the
+          // retention-bounded per-user fold (max-task must stay flat
+          // where q291's unbounded lag window grows)
+          "x100_q19_banddup" -> "q19_minhash_lsh_neardup",
+          "x100_q55_incremental" -> "q55_incremental_neardup",
+          "x100_q302_retention" -> "q302_retention_tail")) {
         probe(label, name, src, "1x")
         probe(label, name, d100, "100x")
       }

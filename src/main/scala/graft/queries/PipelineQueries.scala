@@ -5756,7 +5756,8 @@ object PipelineQueries {
     ("q295_funnel_latency", q295, q295Sql),
     ("q296_sketch_error", q296, q296Sql),
     ("q298_sequence_packing", q298, q298Sql),
-    ("q299_mixture_reweight", q299, q299Sql))
+    ("q299_mixture_reweight", q299, q299Sql),
+    ("q302_retention_tail", q302, q302Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type — a p25/p50/p75/p95 grid
@@ -8688,4 +8689,66 @@ object PipelineQueries {
       |      FROM p)
       |SELECT lang, n, actual_ppm, target_ppm, weight_ppm, capped, ess_rows
       |FROM p CROSS JOIN e ORDER BY lang""".stripMargin
+
+  // --------------------------------------------------------------- Q302
+  /** RETENTION-BOUNDED RECENT-HISTORY FEATURES — keep-last-K per user
+    * as an OPERATOR, not a doc note (the q291 100× probe shows the
+    * per-user lag window paying 100×-longer histories inside single
+    * tasks; every sequence query's "retention dial" caveat is this
+    * query's mechanism made first-class): per user the last K = 8
+    * events by (time DESC, event_id DESC) via
+    * [[graft.operators.SequenceRetention]] — a partial-aggregable
+    * typed fold whose buffer is O(K), so map-side combine ships ≤ K
+    * rows per user per partition and per-task state stays FLAT as
+    * histories grow (probed at 100×, ScaleProbe `x100ret`, beside the
+    * window form that doesn't). From the kept tail: total history
+    * length, kept length, the tail's time span, the session
+    * fingerprint (event types oldest→newest, the next-action-model
+    * feature), and the purchase count in the tail — the
+    * recency-feature extraction every personalization pipeline runs.
+    *
+    * The ORACLE replays the same tail with a row_number window
+    * (rn ≤ K under the identical total order) — agreement proves the
+    * bounded fold against the unbounded formulation it replaces.
+    *
+    * Scale shape: ONE scan, ONE user-keyed exchange carrying O(users
+    * × K); everything after is per-user-row arithmetic on K-sized
+    * arrays. */
+  val q302: Q = (s, d) => {
+    val kk = 8
+    t(s, d, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_total"),
+        graft.operators.SequenceRetention.lastK(kk)(
+          col("us"), col("event_id"), col("event_type")).as("kept"))
+      .select(col("user_id"), col("n_total"),
+        size(col("kept")).cast("long").as("n_kept"),
+        expr("kept[size(kept) - 1]._1 - kept[0]._1").as("tail_span_us"),
+        expr("concat_ws('>', transform(kept, x -> x._3))").as("tail_sig"),
+        expr("""aggregate(kept, 0L,
+                 (a, x) -> a + CASE WHEN x._3 = 'purchase'
+                                    THEN 1L ELSE 0L END)""")
+          .as("tail_purchases"))
+      .orderBy(col("user_id"))
+  }
+
+  val q302Sql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+      |       FROM events),
+      |r AS (SELECT user_id, us, event_id, event_type,
+      |        row_number() OVER (PARTITION BY user_id
+      |          ORDER BY us DESC, event_id DESC) AS rn,
+      |        CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+      |          AS n_total
+      |      FROM e),
+      |k AS (SELECT * FROM r WHERE rn <= 8)
+      |SELECT user_id, min(n_total) AS n_total,
+      |       CAST(count(*) AS BIGINT) AS n_kept,
+      |       max(us) - min(us) AS tail_span_us,
+      |       string_agg(event_type, '>' ORDER BY us, event_id) AS tail_sig,
+      |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS tail_purchases
+      |FROM k GROUP BY user_id ORDER BY user_id""".stripMargin
 }

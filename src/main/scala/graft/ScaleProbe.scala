@@ -1425,6 +1425,39 @@ object ScaleProbe {
         probe(label, name, src, "1x")
         probe(label, name, d100, "100x")
       }
+      // round-12: the q297 STORED-MODEL sibling — build the q244
+      // item-item rec list ONCE into a table (the SURVEY §4.1 ingest-
+      // artifact mechanism, q19_bucketed's stored-layout precedent),
+      // then time the eval leg ALONE against the stored model. This
+      // turns "at scale the model is a stored artifact and only eval
+      // re-runs" from the accepted floor rationale into measured rows:
+      // eval-only pays the post-window scan, never the basket-pair fold.
+      locally {
+        import graft.queries.RelationalQueries
+        def timed(label: String, tag: String)(f: => Unit): Unit = {
+          maxTaskMs.set(0)
+          val t0 = System.nanoTime(); f
+          val wall = (System.nanoTime() - t0) / 1e9
+          graft.core.Pins.release()
+          var prev = -1L
+          while (prev != maxTaskMs.get()) {
+            prev = maxTaskMs.get(); Thread.sleep(300)
+          }
+          println(f"$label%-22s $tag%-6s $wall%8.3f s" +
+            f"  max-task ${maxTaskMs.get() / 1000.0}%7.3f s")
+        }
+        for ((dir, tag) <- Seq(src -> "1x", d100 -> "100x")) {
+          val tbl = s"probe_recs_$tag"
+          timed("x100_q297_model_build", tag) {
+            RelationalQueries.q297Model(RelationalQueries.q297Baskets(spark, dir))
+              .write.mode("overwrite").saveAsTable(tbl)
+          }
+          timed("x100_q297_eval_stored", tag) {
+            RelationalQueries.q297EvalOnly(spark, dir, spark.table(tbl))
+              .count(): Unit
+          }
+        }
+      }
       spark.sparkContext.removeSparkListener(taskListener)
     }
     spark.stop()

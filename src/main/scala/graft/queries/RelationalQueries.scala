@@ -1819,19 +1819,33 @@ object RelationalQueries {
     * relation; eval joins the exploded post pairs to the catalog-sized
     * rec list and to the post incidence — everything after the basket
     * fold is pairs- or catalog-sized. */
-  val q297: Q = (s, d) => {
-    val cut = broadcast(t(s, d, "orders")
+  /** q297's shared 70%-of-span order-date cutoff (the q277 boundary). */
+  private def q297Cut(s: SparkSession, d: String) =
+    broadcast(t(s, d, "orders")
       .agg(min(unix_micros(col("o_orderdate"))).as("t0"),
         max(unix_micros(col("o_orderdate"))).as("t1"))
       .select(expr("t0 + (t1 - t0) * 7 div 10").as("cut")))
-    val baskets = graft.core.Pins.pin(
+
+  /** q297's pinned basket relation: per order the sorted item set and
+    * the is_post split flag — shared by the model and eval legs. */
+  def q297Baskets(s: SparkSession, d: String): DataFrame =
+    graft.core.Pins.pin(
       t(s, d, "lineitem")
         .join(t(s, d, "orders").select(col("o_orderkey").as("l_orderkey"),
           unix_micros(col("o_orderdate")).as("us")), Seq("l_orderkey"))
-        .crossJoin(cut)
+        .crossJoin(q297Cut(s, d))
         .groupBy(col("l_orderkey"))
         .agg(sort_array(collect_set(col("l_partkey"))).as("ps"),
           max((col("us") >= col("cut")).cast("long")).as("is_post")))
+
+  /** q297's MODEL leg alone — the top-3 co-item rec list trained on
+    * pre-cutoff baskets: `(i, rank, j)`. At 100 TB this is a STORED
+    * INGEST ARTIFACT (the SURVEY §4.1 registry mechanism, the
+    * q19_bucketed stored-layout precedent): the probe materializes it
+    * once into a table and re-runs only [[q297EvalOnly]] against it —
+    * ScaleProbe `x100` measures both legs separately so "the model is
+    * stored at scale" is a benched row, not a floor rationale. */
+  def q297Model(baskets: DataFrame): DataFrame = {
     // co-pair counts fold on the UNORDERED i < j generation (half the
     // fold input), then mirror both orientations from the folded
     // 1.2M-row relation — the rec window needs directed rows but the
@@ -1849,9 +1863,14 @@ object RelationalQueries {
       .select(col("p.i").as("i"), col("p.j").as("j"), col("p.n_co").as("n_co"))
     val wRec = Window.partitionBy(col("i"))
       .orderBy(col("n_co").desc, col("j"))
-    val recs = pre.withColumn("rank", row_number().over(wRec).cast("long"))
+    pre.withColumn("rank", row_number().over(wRec).cast("long"))
       .filter(col("rank") <= 3)
       .select(col("i"), col("rank"), col("j"))
+  }
+
+  /** q297's EVAL leg against an already-built rec list: scores the
+    * post-cutoff baskets in `baskets`. */
+  def q297Eval(baskets: DataFrame, recs: DataFrame): DataFrame = {
     // eval stays SCAN-LOCAL against the basket array: explode each
     // post basket to (order, i, ps), probe the broadcast rec list, and
     // test membership with array_contains — no (order, item) join ever
@@ -1882,6 +1901,31 @@ object RelationalQueries {
         expr("h1 * 1000000 div greatest(1, n_covered)").as("hit1_ppm"),
         expr("h2 * 1000000 div greatest(1, n_covered)").as("hit2_ppm"),
         expr("h3 * 1000000 div greatest(1, n_covered)").as("hit3_ppm"))
+  }
+
+  /** The PRODUCTION re-run shape: eval alone against a STORED rec
+    * list, folding ONLY the post-cutoff window (an order's date is a
+    * per-order constant, so filtering orders to us ≥ cut BEFORE the
+    * basket fold is exactly the declared is_post = 1 split) — the
+    * model build never re-runs, and the eval pays the post-window
+    * scan, not the corpus. ScaleProbe `x100` benches this beside
+    * [[q297Model]] at 1× and 100×. */
+  def q297EvalOnly(s: SparkSession, d: String, recs: DataFrame): DataFrame = {
+    val post = graft.core.Pins.pin(
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders").select(col("o_orderkey").as("l_orderkey"),
+          unix_micros(col("o_orderdate")).as("us")), Seq("l_orderkey"))
+        .crossJoin(q297Cut(s, d))
+        .filter(col("us") >= col("cut"))
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"),
+          lit(1L).as("is_post")))
+    q297Eval(post, recs)
+  }
+
+  val q297: Q = (s, d) => {
+    val baskets = q297Baskets(s, d)
+    q297Eval(baskets, q297Model(baskets))
   }
 
   val q297Sql: String =

@@ -5757,7 +5757,8 @@ object PipelineQueries {
     ("q296_sketch_error", q296, q296Sql),
     ("q298_sequence_packing", q298, q298Sql),
     ("q299_mixture_reweight", q299, q299Sql),
-    ("q302_retention_tail", q302, q302Sql))
+    ("q302_retention_tail", q302, q302Sql),
+    ("q303_semantic_dedup", q303, q303Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type — a p25/p50/p75/p95 grid
@@ -8751,4 +8752,73 @@ object PipelineQueries {
       |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
       |            AS BIGINT) AS tail_purchases
       |FROM k GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // --------------------------------------------------------------- Q303
+  /** SEMANTIC DEDUP audit (SemDeDup, Abbas et al.) — the curation
+    * tier between exact/near-dup TEXT dedup and nothing: documents
+    * sharing no 3-gram can still embed within ε of each other
+    * (translations, templated rewrites), and the published recipe is
+    * k-means the embedding space, then pairwise-compare ONLY within
+    * each cluster, keeping one representative per duplicate set. Here:
+    * the corpus under its own 64-cell quantizer (a q303-owned
+    * [[ivfModelFor]] instance — more cells than the 8-cell search
+    * index because cells are the N²/cells dial and dedup wants small
+    * cells, the SemDeDup k ≈ √N regime), vectors integer-quantized at
+    * round(x·1000) (the shared grid), then
+    * [[graft.operators.SemanticDedup.withinCellStats]] folds each cell
+    * with a compiled i<j loop under the ALL-INTEGER cosine² threshold
+    * τ = 0.35 (dot² · 400 ≥ 49 · ‖a‖² · ‖b‖², exact BIGINTs — no float
+    * crosses engines; τ matches q22's declared near-dup cutoff, so the
+    * two tiers grade the same contract) and emits one row per cell: members, dup pairs,
+    * removed (smaller-id keep-first contract), survivors, removed ppm.
+    * Within-cluster-only comparison is the method's documented recall
+    * boundary, exactly as published.
+    *
+    * Scale shape: the model is the memoized ingest artifact (q30
+    * contract); ONE cell-keyed exchange carries each vector once;
+    * the quadratic work is cell-bounded (cells = the dial, sub-shard
+    * degenerate cells by hash); output is cells-sized, pairs never
+    * leave their task. */
+  val q303: Q = (s, d) => {
+    val asg = ivfModelFor(s, d, 64).assigned
+      .select(col("cell"), col("vec_id"),
+        expr("transform(__v, x -> CAST(round(x * 1000) AS BIGINT))").as("q"))
+    graft.operators.SemanticDedup.withinCellStats(asg, 49L, 400L)
+      .withColumn("removed_ppm",
+        expr("n_removed * 1000000 div n_members"))
+      .orderBy(col("cell"))
+  }
+
+  val q303Sql: String =
+    ivfSqlPrelude(nCells = 64, sampleN = 256, iters = 2) + ",\n" +
+      """qn AS (SELECT vec_id, cell,
+        |         list_transform(v, x -> CAST(round(x * 1000) AS BIGINT))
+        |           AS q
+        |       FROM cells),
+        |qv AS (SELECT vec_id, cell, q,
+        |         CAST(list_inner_product(q, q) AS BIGINT) AS nrm
+        |       FROM qn),
+        |pairs AS (SELECT cell, a_id, b_id FROM (
+        |    SELECT a.cell AS cell, a.vec_id AS a_id, b.vec_id AS b_id,
+        |           CAST(list_inner_product(a.q, b.q) AS BIGINT) AS dot,
+        |           a.nrm AS na, b.nrm AS nb
+        |    FROM qv a JOIN qv b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+        |  WHERE dot > 0 AND dot * dot * 400 >= 49 * na * nb),
+        |rem AS (SELECT cell, b_id FROM pairs GROUP BY 1, 2),
+        |st AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_members
+        |       FROM qv GROUP BY 1),
+        |pc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_dup_pairs
+        |       FROM pairs GROUP BY 1),
+        |rc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_removed
+        |       FROM rem GROUP BY 1)
+        |SELECT st.cell AS cell, n_members,
+        |       CAST(coalesce(n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+        |       CAST(coalesce(n_removed, 0) AS BIGINT) AS n_removed,
+        |       n_members - CAST(coalesce(n_removed, 0) AS BIGINT)
+        |         AS n_survivors,
+        |       CAST(coalesce(n_removed, 0) AS BIGINT) * 1000000
+        |         // n_members AS removed_ppm
+        |FROM st LEFT JOIN pc ON st.cell = pc.cell
+        |LEFT JOIN rc ON st.cell = rc.cell
+        |ORDER BY cell""".stripMargin
 }

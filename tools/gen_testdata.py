@@ -180,7 +180,17 @@ def main(outdir, scale=1):
                      ("user_id", pa.int64()), ("event_type", pa.string()),
                      ("value", pa.float64()), ("props", pa.string())]))
 
-    texts = [" ".join(rng.choice(VOCAB)
+    # Heaps' law: real vocabularies grow ~sqrt(corpus size). A FIXED
+    # 50-word vocab at scale=1000 (500k docs) makes every 3-shingle one
+    # of <=125k values, so hot-shingle inverted-index buckets hold tens
+    # of thousands of docs and every exact-tier shingle join (q21/q100/
+    # q127 family) degenerates to near-N-squared — a distribution no
+    # real corpus has, which stalled the round-12 sf1.0 gate for hours.
+    # scale=1 (the CI fuzz gate) is unchanged: extra = 0.
+    vocab = list(VOCAB)
+    vocab += [f"{VOCAB[i % len(VOCAB)]}{i // len(VOCAB)}"
+              for i in range(int(len(VOCAB) * (scale ** 0.5 - 1)))]
+    texts = [" ".join(rng.choice(vocab)
                       for _ in range(rng.randrange(10, 100)))
              for _ in range(n_doc)]
     # PLANT near-duplicates (~10%: copy the previous doc with one word
@@ -194,7 +204,7 @@ def main(outdir, scale=1):
             texts[i] = texts[i - 1]
         elif r < 0.10:
             w = texts[i - 1].split(" ")
-            w[rng.randrange(len(w))] = rng.choice(VOCAB)
+            w[rng.randrange(len(w))] = rng.choice(vocab)
             texts[i] = " ".join(w)
     write(outdir, "documents",
           {"doc_id": list(range(n_doc)), "text": texts,

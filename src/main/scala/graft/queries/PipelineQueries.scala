@@ -6343,9 +6343,12 @@ object PipelineQueries {
     * rational means entirely — zⱼ² = (qⱼ·n − Sⱼ)²/(n·Qⱼ − Sⱼ²), emitted
     * as term_ppm = dev²·10⁶ div V, summed over dims as ood_ppm (≈ 10⁶
     * per unit z²·dims), plus the count of dims past 3σ (term > 9·10⁶).
-    * Exact under 2⁶³ while n·|q−μ| < 9.6·10⁷ — n ≤ ~8·10⁴ at this
-    * value range; beyond that, lift dev² to DECIMAL or drop the grid to
-    * round(x·100) (the q174-style documented dial). Top-20 by score.
+    * dev = n·(q−μ) grows with the CORPUS, so dev²·10⁶ crosses 2⁶³
+    * already at n ≈ 1700 at this grid — the round-12 sf1.0 scale gate
+    * caught exactly that as a loud ANSI overflow (the round-10 note
+    * claimed n ≤ 8·10⁴, mis-derived) — so dev² rides DECIMAL(38,0)
+    * (oracle: HUGEINT) and each term lands back in BIGINT ppm.
+    * Top-20 by score.
     *
     * Scale shape: the stats fold is one partial-aggregable pass (the
     * 64-dim explode collapses map-side to 64 rows/task), the 64-entry
@@ -6368,9 +6371,10 @@ object PipelineQueries {
       .withColumn("terms", expr(
         """transform(sequence(1, 64), j ->
           |  CASE WHEN element_at(varr, j) > 0
-          |    THEN (element_at(qv, j) * n - element_at(sarr, j))
+          |    THEN CAST(CAST(element_at(qv, j) * n - element_at(sarr, j)
+          |                   AS DECIMAL(38,0))
           |         * (element_at(qv, j) * n - element_at(sarr, j))
-          |         * CAST(1000000 AS BIGINT) div element_at(varr, j)
+          |         * 1000000 div element_at(varr, j) AS BIGINT)
           |    ELSE CAST(0 AS BIGINT) END)""".stripMargin))
       .select(col("vec_id"), col("label"),
         expr("aggregate(terms, CAST(0 AS BIGINT), (a, x) -> a + x)").as("ood_ppm"),
@@ -6393,8 +6397,9 @@ object PipelineQueries {
       |sc AS (SELECT vec_id, label,
       |         list_transform(generate_series(1, 64), j ->
       |           CASE WHEN varr[j] > 0
-      |             THEN ((qv[j] * n - sarr[j]) * (qv[j] * n - sarr[j])
-      |                   * 1000000) // varr[j]
+      |             THEN CAST(CAST(qv[j] * n - sarr[j] AS HUGEINT)
+      |                       * (qv[j] * n - sarr[j])
+      |                       * 1000000 // varr[j] AS BIGINT)
       |             ELSE 0 END) AS terms
       |       FROM e, sa)
       |SELECT vec_id, label,

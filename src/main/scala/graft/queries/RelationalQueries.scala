@@ -1293,7 +1293,12 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_customers"), sum(col("rev")).as("rev_cents"),
         max(col("tot")).as("tot"))
       .select(col("cls"), col("n_customers"), col("rev_cents"),
-        expr("rev_cents * 1000000 div tot").as("share_ppm"))
+        // rev_cents·10⁶ crosses 2⁶³ once total revenue passes ~9·10¹²
+        // cents (~1.5M orders) — found by the round-12 sf1.0 scale
+        // gate as a loud ANSI overflow; the share numerator rides
+        // DECIMAL(38,0) (oracle: HUGEINT), the ppm result stays BIGINT
+        expr("CAST(CAST(rev_cents AS DECIMAL(38,0)) * 1000000 div tot AS BIGINT)")
+          .as("share_ppm"))
       .orderBy(col("cls"))
   }
 
@@ -1313,7 +1318,8 @@ object RelationalQueries {
       |      FROM r)
       |SELECT cls, CAST(count(*) AS BIGINT) AS n_customers,
       |       CAST(sum(rev) AS BIGINT) AS rev_cents,
-      |       CAST(sum(rev) AS BIGINT) * 1000000 // CAST(max(tot) AS BIGINT) AS share_ppm
+      |       CAST(CAST(sum(rev) AS HUGEINT) * 1000000
+      |            // CAST(max(tot) AS BIGINT) AS BIGINT) AS share_ppm
       |FROM c GROUP BY 1 ORDER BY cls""".stripMargin
 
   // --------------------------------------------------------------- Q218

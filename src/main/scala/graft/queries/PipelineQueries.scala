@@ -4118,7 +4118,16 @@ object PipelineQueries {
     val docs = t(s, d, "documents")
     val chunks = docs.select(col("doc_id").as("src"),
       rpad(col("text"), 256, " ").as("chunk"))
+    // COMPLETE 4-doc blocks only: in a partial trailing block (doc
+    // count ∤ 4) some rotated src doesn't exist, the inner join drops
+    // that frame, and the assembled 3-chunk payload re-slices into
+    // 192-byte frames the oracle's pool has never seen — the round-12
+    // sf1.0 gate caught exactly that at 15811 docs (9 phantom distinct
+    // frames). Both engines now declare the same domain.
+    val lim = broadcast(docs.agg(
+      (count(lit(1)) - count(lit(1)) % 4).as("lim")))
     val videos = docs.select(col("doc_id").as("vid"))
+      .crossJoin(lim).filter(col("vid") < col("lim")).drop("lim")
       .withColumn("j", explode(expr("sequence(0, 3)")))
       .withColumn("src", expr("(vid div 4) * 4 + (vid + j) % 4"))
       .join(chunks, "src")
@@ -4144,9 +4153,13 @@ object PipelineQueries {
   val q183Sql: String =
     """WITH ch AS (SELECT doc_id AS src, rpad(text, 256, ' ') AS chunk
       |            FROM documents),
+      |lim AS (SELECT CAST(count(*) - count(*) % 4 AS BIGINT) AS l
+      |        FROM documents),
       |vf AS (SELECT d.doc_id AS vid, i.j,
       |         (d.doc_id // 4) * 4 + (d.doc_id + i.j) % 4 AS src
-      |       FROM documents d, (SELECT unnest(generate_series(0, 3)) AS j) i),
+      |       FROM documents d, (SELECT unnest(generate_series(0, 3)) AS j) i,
+      |            lim
+      |       WHERE d.doc_id < lim.l),
       |f AS (SELECT vf.vid, md5(ch.chunk) AS h FROM vf JOIN ch USING (src))
       |SELECT CAST(count(DISTINCT vid) AS BIGINT) AS n_videos,
       |       CAST(count(*) AS BIGINT) AS n_frames,

@@ -8719,7 +8719,7 @@ object PipelineQueries {
     * [[graft.operators.SequenceRetention]] — a partial-aggregable
     * typed fold whose buffer is O(K), so map-side combine ships ≤ K
     * rows per user per partition and per-task state stays FLAT as
-    * histories grow (probed at 100×, ScaleProbe `x100ret`, beside the
+    * histories grow (probed at 100×, ScaleProbe `x100`, beside the
     * window form that doesn't). From the kept tail: total history
     * length, kept length, the tail's time span, the session
     * fingerprint (event types oldest→newest, the next-action-model

@@ -803,25 +803,43 @@ object MiningQueries {
     * — generator output, so pruning still reads only the union of the
     * candidate columns), then runs the SAME two-level g₃ fold once
     * over the tagged union: pair fold → per-(tag, det) max → per-tag
-    * row. 3 scans + 3 keyed exchanges + a 5-row sort, one job. The
-    * heterogeneous dep types ride two sparse columns (dep_l BIGINT /
-    * dep_s STRING, exactly one non-NULL per tag) so long keys never
-    * pay a string cast and grouping on the pair equals grouping on
-    * the active column. */
+    * row. Round 12: 3 scans + ONE data-sized exchange (repartition on
+    * (tag, det) — a subset partitioning satisfies the pair grouping's
+    * clustered distribution, so both fold levels run partition-local)
+    * + the 5-row tag fold and sort; string deps ride injective
+    * integer encodings spelled identically in both engines (the q287
+    * discipline), so grouping hashes three longs. The round-12
+    * per-stage decomposition (PLANS.md) pinned the wall to the pair
+    * fold's exchange + near-distinct hash agg; this form removed the
+    * second data-sized exchange and the string keys: 1.58 → 0.86 s
+    * warm. */
   val q175: Q = (s, d) => {
     val li = t(s, d, "lineitem"); val ord = t(s, d, "orders")
     val ev = t(s, d, "events")
+    // round 12: string deps ride injective integer encodings (the q287
+    // compact-encoding discipline — priorities by their distinct first
+    // digit, event types by the declared 5-value enum; BOTH engines
+    // spell the identical encoding, so cross-engine exactness never
+    // depends on the domain, and grouping hashes 3 longs, never a
+    // string), and ONE repartition on (tag, det) — a subset
+    // partitioning satisfies the pair grouping's clustered
+    // distribution, so BOTH fold levels run partition-local and the
+    // plan has a single data-sized exchange (was: two). Measured
+    // 1.58 → 0.86 s warm (PLANS.md § q175 round-12 decomposition).
     val u = li.selectExpr(
         """stack(2, 0L, l_orderkey, l_suppkey,
-                    1L, l_partkey,  l_suppkey) AS (tag, det, dep_l)""",
-        "CAST(NULL AS STRING) AS dep_s")
+                    1L, l_partkey,  l_suppkey) AS (tag, det, dep)""")
       .unionByName(ord.selectExpr(
-        """stack(2, 2L, o_orderkey, o_custkey, CAST(NULL AS STRING),
-                    3L, o_custkey,  CAST(NULL AS BIGINT), o_orderpriority)
-           AS (tag, det, dep_l, dep_s)"""))
+        """stack(2, 2L, o_orderkey, o_custkey,
+                    3L, o_custkey,
+                    CAST(ascii(substr(o_orderpriority, 1, 1)) AS BIGINT))
+           AS (tag, det, dep)"""))
       .unionByName(ev.selectExpr("4L AS tag", "user_id AS det",
-        "CAST(NULL AS BIGINT) AS dep_l", "event_type AS dep_s"))
-    u.groupBy(col("tag"), col("det"), col("dep_l"), col("dep_s"))
+        """CASE event_type WHEN 'view' THEN 1L WHEN 'click' THEN 2L
+           WHEN 'purchase' THEN 3L WHEN 'signup' THEN 4L
+           WHEN 'error' THEN 5L ELSE 0L END AS dep"""))
+    u.repartition(col("tag"), col("det"))
+      .groupBy(col("tag"), col("det"), col("dep"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("tag"), col("det"))
       .agg(sum(col("c")).as("rows"), max(col("c")).as("keep"))
@@ -858,8 +876,16 @@ object MiningQueries {
       one("lineitem", "l_orderkey", "l_suppkey", "lineitem.l_orderkey->l_suppkey"),
       one("lineitem", "l_partkey", "l_suppkey", "lineitem.l_partkey->l_suppkey"),
       one("orders", "o_orderkey", "o_custkey", "orders.o_orderkey->o_custkey"),
-      one("orders", "o_custkey", "o_orderpriority", "orders.o_custkey->o_orderpriority"),
-      one("events", "user_id", "event_type", "events.user_id->event_type"))
+      // the same injective integer encodings the engine uses — spelled
+      // identically so distinct-dep counts match bit for bit
+      one("orders", "o_custkey",
+        "CAST(ascii(substr(o_orderpriority, 1, 1)) AS BIGINT)",
+        "orders.o_custkey->o_orderpriority"),
+      one("events", "user_id",
+        """CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+           WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4
+           WHEN 'error' THEN 5 ELSE 0 END""",
+        "events.user_id->event_type"))
       .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY fd")
   }
 

@@ -46,6 +46,35 @@ object TmpProbe {
       .agg(sum(col("rows")).as("n_rows"), count(lit(1)).as("n_det"),
         sum(col("keep")).as("kept"))
 
+    // variant B: ONE exchange — pre-partition by (tag, det) (a subset
+    // partitioning satisfies the pair grouping's ClusteredDistribution,
+    // so BOTH fold levels run partition-local) + integer dep encoding
+    // (priorities/event types are ≤ 5-value domains; injective per tag)
+    def union5Int = {
+      val li = t("lineitem"); val ord = t("orders"); val ev = t("events")
+      li.selectExpr(
+          """stack(2, 0L, l_orderkey, l_suppkey,
+                      1L, l_partkey,  l_suppkey) AS (tag, det, dep)""")
+        .unionByName(ord.selectExpr(
+          """stack(2, 2L, o_orderkey, o_custkey,
+                      3L, o_custkey,
+                      CAST(ascii(substr(o_orderpriority, 1, 1)) AS BIGINT))
+             AS (tag, det, dep)"""))
+        .unionByName(ev.selectExpr("4L AS tag", "user_id AS det",
+          """CASE event_type WHEN 'view' THEN 1L WHEN 'click' THEN 2L
+             WHEN 'purchase' THEN 3L WHEN 'signup' THEN 4L
+             ELSE 5L END AS dep"""))
+    }
+    def oneExchange = union5Int
+      .repartition(col("tag"), col("det"))
+      .groupBy(col("tag"), col("det"), col("dep"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("tag"), col("det"))
+      .agg(sum(col("c")).as("rows"), max(col("c")).as("keep"))
+      .groupBy(col("tag"))
+      .agg(sum(col("rows")).as("n_rows"), count(lit(1)).as("n_det"),
+        sum(col("keep")).as("kept"))
+
     for (round <- 1 to sys.env.getOrElse("WARM_ROUNDS", "5").toInt) {
       time(f"q175 s1 scan+stack        r$round")(noop(union5))
       time(f"q175 s2 +pair fold        r$round")(noop(pairFold))
@@ -54,6 +83,7 @@ object TmpProbe {
       time(f"q175 s5 full (declared)   r$round")(
         graft.Bench.action(
           graft.SparkEntry.queries("q175_fd_profile")(s, d)))
+      time(f"q175 B  one-exchange+int  r$round")(noop(oneExchange))
       graft.core.Pins.release()
     }
     s.stop()

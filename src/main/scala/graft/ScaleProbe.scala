@@ -1460,6 +1460,118 @@ object ScaleProbe {
       }
       spark.sparkContext.removeSparkListener(taskListener)
     }
+
+    // --- round-13: the q32 exact-percentile BUFFER hazard, measured
+    // (verdict task 3). Spark's `percentile()` aggregate buffers a
+    // value→count OpenHashMap PER GROUP; with o_totalprice near-unique
+    // the buffer is corpus-sized single-map state. The replicas PERTURB
+    // the price (+replica·1e-6) so distinct values actually grow with
+    // the corpus — plain copies would flatter both forms by keeping the
+    // value domain fixed. Probes the old buffer form against the
+    // shipped distribution-grid q32 at 1×/10×/100× orders, wall +
+    // max-task (the buffer form's growth shows up as one fat task and
+    // a map-sized shuffle; the grid form's window sort spills instead
+    // of growing an unspillable map).
+    if (want("q32buf")) {
+      val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0)
+      val lst = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val d = te.taskInfo.duration
+          maxTaskMs.getAndUpdate(m => math.max(m, d)): Unit
+        }
+      }
+      spark.sparkContext.addSparkListener(lst)
+      def timed(label: String, tag: String)(f: => Unit): Unit = {
+        maxTaskMs.set(0)
+        val t0 = System.nanoTime()
+        try f catch {
+          case e: Throwable =>
+            println(s"$label $tag FAILED: ${e.getClass.getSimpleName}")
+        }
+        val wall = (System.nanoTime() - t0) / 1e9
+        graft.core.Pins.release()
+        var prev = -1L
+        while (prev != maxTaskMs.get()) {
+          prev = maxTaskMs.get(); Thread.sleep(300)
+        }
+        println(f"$label%-22s $tag%-6s $wall%8.3f s" +
+          f"  max-task ${maxTaskMs.get() / 1000.0}%7.3f s")
+      }
+      val ordBase = spark.read.parquet(s"$src/orders.parquet")
+      val shift = ordBase.agg(org.apache.spark.sql.functions.max(col("o_orderkey")))
+        .head().getLong(0) + 1
+      def build(f: Int): String = {
+        val dir = s"/tmp/graft_q32_${f}x"
+        (0 until f).map(i => ordBase
+            .withColumn("o_orderkey", col("o_orderkey") + lit(i * shift))
+            .withColumn("o_totalprice", col("o_totalprice") + lit(i * 1e-6)))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+        dir
+      }
+      def bufferForm(dir: String) = spark.read.parquet(s"$dir/orders.parquet")
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.9)").as("p90"),
+          count(lit(1)).as("n"))
+      for ((dir, tag) <- Seq(src -> "1x", build(10) -> "10x",
+          build(100) -> "100x")) {
+        timed("q32_buffer_percentile", tag)(bufferForm(dir).count(): Unit)
+        timed("q32_grid_shipped", tag)(
+          graft.queries.RelationalQueries.q32(spark, dir).count(): Unit)
+      }
+      spark.sparkContext.removeSparkListener(lst)
+    }
+
+    // --- round-13: the q303 DEGENERATE-CELL sub-shard bound, measured
+    // (verdict task 4). A synthetic template flood: every vector in ONE
+    // quantizer cell (the scenario the cell count is supposed to
+    // prevent but a hot template defeats), 64-dim integer grid drawn
+    // from 50 distinct templates so the dup structure is dense. The
+    // single-task fold pays the whole N² in one task; the shipped
+    // sub-shard bound (maxTaskMembers) tiles it over shard pairs —
+    // wall drops to the parallel share and MAX-TASK is the bound doing
+    // its job. Stats are asserted identical (the spec pins equality;
+    // this probe prints the numbers).
+    if (want("q303flood")) {
+      val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0)
+      val lst = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val d = te.taskInfo.duration
+          maxTaskMs.getAndUpdate(m => math.max(m, d)): Unit
+        }
+      }
+      spark.sparkContext.addSparkListener(lst)
+      val flood = spark.range(10000).selectExpr(
+          "CAST(0 AS BIGINT) AS cell", "id AS vec_id",
+          """transform(sequence(0, 63),
+             k -> CAST(((id % 50) * 13 + k * 7) % 97 AS BIGINT)) AS q""")
+        .localCheckpoint()
+      def run(label: String, mtm: Int): Long = {
+        maxTaskMs.set(0)
+        val t0 = System.nanoTime()
+        val rows = graft.operators.SemanticDedup
+          .withinCellStats(flood, 49L, 400L, mtm).collect()
+        val wall = (System.nanoTime() - t0) / 1e9
+        var prev = -1L
+        while (prev != maxTaskMs.get()) {
+          prev = maxTaskMs.get(); Thread.sleep(300)
+        }
+        val r = rows.head
+        println(f"$label%-26s $wall%8.3f s  max-task " +
+          f"${maxTaskMs.get() / 1000.0}%7.3f s  " +
+          s"(pairs ${r.getLong(2)}, removed ${r.getLong(3)})")
+        r.getLong(2)
+      }
+      val p1 = run("q303_flood_single_task", Int.MaxValue)
+      val p2 = run("q303_flood_sharded_1024", 1024)
+      val p3 = run("q303_flood_sharded_512", 512)
+      assert(p1 == p2 && p2 == p3,
+        s"sub-sharded pair counts diverged: $p1 / $p2 / $p3")
+      spark.sparkContext.removeSparkListener(lst)
+    }
     spark.stop()
   }
 }

@@ -884,26 +884,59 @@ object AuditQueries {
           .as("recall"))
   }
 
+  /** Oracle note (round 13): the exact side's candidate generation is
+    * PREFIX-FILTERED (the q159 AllPairs discipline) instead of the
+    * original all-pairs self-join — the sf1.0 scale gate timed out on
+    * the N² `shl a JOIN shl b ON a.doc_id < b.doc_id` with a
+    * list_intersect per pair (15.8k docs → 125M verifies). The filter
+    * is calibrated at τ' = 0.49, strictly BELOW the verify predicate's
+    * round(J, 4) ≥ 0.5 (which admits true J down to 0.49995), so the
+    * candidate set is a guaranteed superset of every passing pair by
+    * the standard prefix-filter theorem (sets sorted under one global
+    * (df, tok) order; J ≥ τ' ⇒ the τ'-prefixes intersect) and the
+    * final counts are IDENTICAL to the all-pairs formulation — proven
+    * by the sf0.01/sf0.1 gates which ran both forms. The LSH side's
+    * OR-of-4-band join is a UNION of four hash equi-joins for the
+    * same reason (an OR join condition plans as a nested loop). */
   val q127Sql: String = {
     val sigCols = (0 until 8).map(i =>
       s"list_min(list_transform(sh, x -> md5('$i' || '|' || x))) AS h$i")
       .mkString(", ")
-    val bandCond = (0 until 4).map(b =>
-      s"(a.h${2 * b} = b.h${2 * b} AND a.h${2 * b + 1} = b.h${2 * b + 1})")
-      .mkString(" OR ")
+    val bandUnion = (0 until 4).map(b =>
+      s"""SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |       FROM sig a JOIN sig b
+         |       ON a.doc_id < b.doc_id AND a.h${2 * b} = b.h${2 * b}
+         |          AND a.h${2 * b + 1} = b.h${2 * b + 1}""".stripMargin)
+      .mkString("\n       UNION\n       ")
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        |shl AS (SELECT doc_id, list_distinct(list_transform(
        |          generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' '))) AS sh
        |        FROM toks),
-       |ex AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
-       |       FROM shl a JOIN shl b ON a.doc_id < b.doc_id
-       |       WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.5),
-       |sig AS (SELECT doc_id, sh, $sigCols FROM shl),
-       |ls AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
-       |       FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandCond)
-       |       WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.5),
+       |tok AS (SELECT doc_id, unnest(sh) AS tok FROM shl),
+       |dfr AS (SELECT doc_id, tok, count(*) OVER (PARTITION BY tok) AS df FROM tok),
+       |arr AS (SELECT doc_id, array_agg(tok ORDER BY df, tok) AS a,
+       |               CAST(count(*) AS BIGINT) AS n
+       |        FROM dfr GROUP BY doc_id),
+       |pref AS (SELECT doc_id, n,
+       |           unnest(a[1 : CAST(n - ((49 * n + 99) // 100) + 1 AS INTEGER)]) AS ptok
+       |         FROM arr),
+       |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |         FROM pref x JOIN pref y ON x.ptok = y.ptok AND x.doc_id < y.doc_id
+       |         WHERE 100 * least(x.n, y.n) >= 49 * greatest(x.n, y.n)),
+       |ex AS (SELECT a_id, b_id
+       |       FROM cand
+       |       JOIN shl xa ON xa.doc_id = a_id
+       |       JOIN shl yb ON yb.doc_id = b_id
+       |       WHERE round(CAST(len(list_intersect(xa.sh, yb.sh)) AS DOUBLE)
+       |             / (len(xa.sh) + len(yb.sh) - len(list_intersect(xa.sh, yb.sh))), 4) >= 0.5),
+       |sig AS (SELECT doc_id, $sigCols FROM shl),
+       |lc AS ($bandUnion),
+       |ls AS (SELECT a_id, b_id
+       |       FROM lc
+       |       JOIN shl xa ON xa.doc_id = a_id
+       |       JOIN shl yb ON yb.doc_id = b_id
+       |       WHERE round(CAST(len(list_intersect(xa.sh, yb.sh)) AS DOUBLE)
+       |             / (len(xa.sh) + len(yb.sh) - len(list_intersect(xa.sh, yb.sh))), 4) >= 0.5),
        |c AS (SELECT (SELECT count(*) FROM ex) AS n_exact,
        |             (SELECT count(*) FROM ls) AS n_lsh)
        |SELECT n_exact, n_lsh, n_exact - n_lsh AS n_missed,

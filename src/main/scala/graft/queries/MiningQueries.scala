@@ -834,10 +834,17 @@ object MiningQueries {
                     3L, o_custkey,
                     CAST(ascii(substr(o_orderpriority, 1, 1)) AS BIGINT))
            AS (tag, det, dep)"""))
+      // the ELSE arm is the md5-52 of the raw value (never reached on
+      // the declared 5-value enum — zero cost, CASE is lazy): a domain
+      // drift lands each new value in its own dep bucket instead of
+      // silently collapsing into one, so the FD verdict stays honest
+      // and any enum/encoding skew surfaces as a visible divergence
       .unionByName(ev.selectExpr("4L AS tag", "user_id AS det",
         """CASE event_type WHEN 'view' THEN 1L WHEN 'click' THEN 2L
            WHEN 'purchase' THEN 3L WHEN 'signup' THEN 4L
-           WHEN 'error' THEN 5L ELSE 0L END AS dep"""))
+           WHEN 'error' THEN 5L
+           ELSE CAST(conv(substring(md5(event_type), 1, 13), 16, 10) AS BIGINT)
+           END AS dep"""))
     u.repartition(col("tag"), col("det"))
       .groupBy(col("tag"), col("det"), col("dep"))
       .agg(count(lit(1)).as("c"))
@@ -882,9 +889,10 @@ object MiningQueries {
         "CAST(ascii(substr(o_orderpriority, 1, 1)) AS BIGINT)",
         "orders.o_custkey->o_orderpriority"),
       one("events", "user_id",
-        """CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+        s"""CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
            WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4
-           WHEN 'error' THEN 5 ELSE 0 END""",
+           WHEN 'error' THEN 5
+           ELSE ${sqlHex52("md5(event_type)")} END""",
         "events.user_id->event_type"))
       .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY fd")
   }

@@ -42,24 +42,84 @@ object RelationalQueries {
       |ORDER BY c_custkey""".stripMargin
 
   // --------------------------------------------------------------- Q32
-  /** Exact percentiles (linear interpolation) per order priority; both
-    * engines interpolate over the same sorted doubles, floor-truncated
-    * to dodge representation-boundary rounding. */
-  val q32: Q = (s, d) =>
-    t(s, d, "orders")
-      .groupBy(col("o_orderpriority"))
-      .agg(
-        (floor(expr("percentile(o_totalprice, 0.5)") * 100.0) / 100.0).as("p50"),
-        (floor(expr("percentile(o_totalprice, 0.9)") * 100.0) / 100.0).as("p90"),
-        count(lit(1)).as("n"))
+  /** Exact percentiles (linear interpolation) per order priority —
+    * re-based round 13 on the DISTRIBUTION-GRID form: the original
+    * `percentile()` aggregate buffers a value→count OpenHashMap PER
+    * GROUP inside one aggregation buffer, and with o_totalprice
+    * near-unique (14999/15000 distinct at sf0.01) that buffer is
+    * corpus-sized state in a single unspillable map — the one declared
+    * aggregate whose memory grew with the corpus (§6.1 round-13 probe:
+    * the buffer form's single-task wall grows superlinearly at 10×/
+    * 100× orders while this form's max task stays bounded). Here the
+    * heavy relation is the (priority, value, count) DISTRIBUTION,
+    * exchanged ONCE (explicit repartition on priority; the subset-
+    * partitioning trick lets the (priority, value) groupBy, both
+    * windows, and the final fold all run partition-local) and sorted
+    * by a SPILLABLE window sort; the percentile is then exact index
+    * arithmetic: 0-based rank r = p·(n−1) carried in integer TENTHS
+    * (r10 = p10·(n−1), lower = r10 div 10, rem = r10 mod 10), the two
+    * bracketing grid values picked by cumulative-count containment,
+    * and one scalar interpolation vl + rem·(vh−vl)/10 per output row —
+    * the only float ops are single IEEE scalar mul/div on two doubles,
+    * deterministic across engines, under the same floor-truncation
+    * output guard as before. The oracle replays the identical grid
+    * walk (no quantile_cont). */
+  val q32: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"))
+    val wp = Window.partitionBy(col("o_orderpriority"))
+    val cum = t(s, d, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"))
+      .repartition(col("o_orderpriority"))
+      .groupBy(col("o_orderpriority"), col("o_totalprice"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("hi_idx", sum(col("c")).over(w))
+      .withColumn("lo_idx", col("hi_idx") - col("c"))
+      .withColumn("n", sum(col("c")).over(wp))
+      .withColumn("l50", expr("(n - 1) * 5 div 10"))
+      .withColumn("rem50", expr("(n - 1) * 5 % 10"))
+      .withColumn("l90", expr("(n - 1) * 9 div 10"))
+      .withColumn("rem90", expr("(n - 1) * 9 % 10"))
+    def at(l: org.apache.spark.sql.Column) =
+      max(when(col("lo_idx") <= l && l < col("hi_idx"), col("o_totalprice")))
+    def interp(vl: String, vh: String, rem: String) =
+      floor((col(vl) + col(rem) * (coalesce(col(vh), col(vl)) - col(vl))
+        / lit(10.0)) * 100.0) / 100.0
+    cum.groupBy(col("o_orderpriority"))
+      .agg(at(col("l50")).as("v50l"), at(col("l50") + 1).as("v50h"),
+        at(col("l90")).as("v90l"), at(col("l90") + 1).as("v90h"),
+        max(col("rem50")).as("rem50"), max(col("rem90")).as("rem90"),
+        max(col("n")).as("n"))
+      .select(col("o_orderpriority"),
+        interp("v50l", "v50h", "rem50").as("p50"),
+        interp("v90l", "v90h", "rem90").as("p90"),
+        col("n"))
       .orderBy(col("o_orderpriority"))
+  }
 
   val q32Sql: String =
-    """SELECT o_orderpriority,
-      |       floor(quantile_cont(o_totalprice, 0.5) * 100.0) / 100.0 AS p50,
-      |       floor(quantile_cont(o_totalprice, 0.9) * 100.0) / 100.0 AS p90,
-      |       count(*) AS n
-      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    """WITH dist AS (SELECT o_orderpriority, o_totalprice AS v,
+      |                CAST(count(*) AS BIGINT) AS c
+      |              FROM orders GROUP BY 1, 2),
+      |cum AS (SELECT o_orderpriority, v, c,
+      |          sum(c) OVER (PARTITION BY o_orderpriority ORDER BY v) AS hi_idx,
+      |          sum(c) OVER (PARTITION BY o_orderpriority) AS n
+      |        FROM dist),
+      |cc AS (SELECT o_orderpriority, v, hi_idx - c AS lo_idx, hi_idx, n,
+      |          (n - 1) * 5 // 10 AS l50, (n - 1) * 5 % 10 AS rem50,
+      |          (n - 1) * 9 // 10 AS l90, (n - 1) * 9 % 10 AS rem90
+      |        FROM cum),
+      |pk AS (SELECT o_orderpriority,
+      |         max(CASE WHEN lo_idx <= l50 AND l50 < hi_idx THEN v END) AS v50l,
+      |         max(CASE WHEN lo_idx <= l50 + 1 AND l50 + 1 < hi_idx THEN v END) AS v50h,
+      |         max(CASE WHEN lo_idx <= l90 AND l90 < hi_idx THEN v END) AS v90l,
+      |         max(CASE WHEN lo_idx <= l90 + 1 AND l90 + 1 < hi_idx THEN v END) AS v90h,
+      |         max(rem50) AS rem50, max(rem90) AS rem90, max(n) AS n
+      |       FROM cc GROUP BY 1)
+      |SELECT o_orderpriority,
+      |       floor((v50l + rem50 * (coalesce(v50h, v50l) - v50l) / 10.0) * 100.0) / 100.0 AS p50,
+      |       floor((v90l + rem90 * (coalesce(v90h, v90l) - v90l) / 10.0) * 100.0) / 100.0 AS p90,
+      |       CAST(n AS BIGINT) AS n
+      |FROM pk ORDER BY o_orderpriority""".stripMargin
 
   // --------------------------------------------------------------- Q33
   /** Date arithmetic: per order month (UTC), order count, distinct

@@ -48,6 +48,18 @@ case class LedgerState(lastTs: Long, lastSeq: Long, bal: Long, n: Long,
 case class StreakState(lastDay: Long, curLen: Long, best: Long,
                        nActive: Long, nStreaks: Long)
 
+/** Per-user retention-tail state ([[EventStream.retentionTailLive]]):
+  * the [[graft.operators.LastKAgg]] buffer (≤ K (us, id, type) triples,
+  * recency order) plus the running total and the last applied (us, id)
+  * coordinates for the monotone at-arrival guard. */
+case class TailState(lastUs: Long, lastId: Long, nTotal: Long,
+                     kept: Seq[(Long, Long, String)])
+
+/** The q302 feature row a retention-tail batch emits per user. */
+case class TailRow(user_id: Long, n_total: Long, n_kept: Long,
+                   tail_span_us: Long, tail_sig: String,
+                   tail_purchases: Long)
+
 /** Per-user purchase extremes for [[EventStream.preferencePairsLive]]:
   * the lexicographic (cents, eventId) max/min — q248's fold as state. */
 case class PrefState(chC: Long, chE: Long, rjC: Long, rjE: Long)
@@ -344,6 +356,49 @@ object EventStream {
           }
           state.update(st)
           Iterator.single(StreakRow(userId, st.nActive, st.nStreaks, st.best))
+      }
+  }
+
+  /** Continuous RETENTION-TAIL tracker — q302's streaming twin: per
+    * user the state IS the [[graft.operators.LastKAgg]] buffer (≤ K
+    * triples — the operator's O(K) aggregation buffer doubles as a
+    * state-store entry, which is exactly why the retention fold
+    * streams where the lag-window form can't) plus the running total;
+    * every batch applies its events through the SAME `reduce` the
+    * batch aggregate runs and emits the refreshed q302 feature row
+    * (UPDATE-mode), so the latest row per user equals batch q302 over
+    * the prefix processed so far (spec-pinned). Monotone at-arrival
+    * contract (the ledgerLive discipline — a count and a buffer insert
+    * are not replay-idempotent): events at or before the last applied
+    * (us, eventId) are IGNORED, so a crash-replay of a processed batch
+    * is a state no-op (spec-pinned) and a genuinely late event is
+    * healed by the retrospective batch query, never silently
+    * double-counted. */
+  def retentionTailLive(events: Dataset[Event], k: Int = 8)
+      : Dataset[TailRow] = {
+    import events.sparkSession.implicits._
+    val agg = new graft.operators.LastKAgg(k) // the SHARED batch fold
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[TailState, TailRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[TailState]) =>
+          var st = state.getOption.getOrElse(
+            TailState(Long.MinValue, Long.MinValue, 0L, agg.zero))
+          rows.toSeq.sortBy(e => (e.tsMicros, e.eventId)).foreach { e =>
+            if (e.tsMicros > st.lastUs ||
+                (e.tsMicros == st.lastUs && e.eventId > st.lastId)) {
+              st = TailState(e.tsMicros, e.eventId, st.nTotal + 1,
+                agg.reduce(st.kept, (e.tsMicros, e.eventId, e.eventType)))
+            }
+          }
+          state.update(st)
+          val kept = agg.finish(st.kept) // chronological, the q302 order
+          if (kept.isEmpty) Iterator.empty
+          else Iterator.single(TailRow(userId, st.nTotal, kept.length.toLong,
+            kept.last._1 - kept.head._1,
+            kept.map(_._3).mkString(">"),
+            kept.count(_._3 == "purchase").toLong))
       }
   }
 

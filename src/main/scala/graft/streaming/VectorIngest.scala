@@ -153,6 +153,78 @@ object VectorIngest {
       }
       .start()
 
+  /** One micro-batch of INCREMENTAL SEMANTIC DEDUP — q303's streaming
+    * twin (the q55 vs-store discipline): the store at `memberDir`
+    * holds every previously-seen member as (cell, vec_id, q); a
+    * batch's NEW members are compared against each other AND against
+    * the stored members of their cell through the SAME compiled fold
+    * batch q303 runs ([[graft.operators.SemanticDedup.incrementalStats]]
+    * — fresh-tagged union, stored-stored pairs never recompared, the
+    * degenerate-cell sub-shard bound holding against the GROWN store),
+    * then appended. Per-cell stats summed over any id-ordered batching
+    * equal the batch operator over the union (VectorIngestSpec pins
+    * it); out-of-order arrivals keep exact pair counts but leave the
+    * stored side's removed flag to the retrospective batch fold (the
+    * q113/q118 at-arrival rule).
+    *
+    * Replay discipline (the [[ingestBatch]] shape): a replayed batch
+    * anti-joins the store on vec_id, so its members are already
+    * stored, its fresh set is EMPTY, and it appends nothing and
+    * reports zero stats — crash-retry converges with no double count.
+    *
+    * Returns (cell, n_new, n_dup_pairs, n_removed) for this batch. */
+  def semanticDedupBatch(batch: DataFrame, memberDir: String,
+                         tau2Num: Long, tau2Den: Long,
+                         maxTaskMembers: Int = 4096): DataFrame = {
+    val spark = batch.sparkSession
+    val rows = batch.select(col("cell"), col("vec_id"), col("q"))
+    val stored: Option[DataFrame] =
+      try {
+        val df = spark.read.parquet(memberDir)
+        if (df.columns.contains("vec_id"))
+          Some(df.select(col("cell"), col("vec_id"), col("q")))
+        else None
+      } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val fresh = (stored match {
+      case Some(st) =>
+        rows.join(st.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      case None => rows
+    }).localCheckpoint() // pin before appending to the dir the plan reads
+    val tagged = stored match {
+      case Some(st) => fresh.withColumn("fresh", lit(true))
+        .unionByName(st.withColumn("fresh", lit(false)))
+      case None => fresh.withColumn("fresh", lit(true))
+    }
+    val stats = graft.operators.SemanticDedup
+      .incrementalStats(tagged, tau2Num, tau2Den, maxTaskMembers)
+      .localCheckpoint() // materialize BEFORE the append below
+    fresh.write.mode(SaveMode.Append).parquet(memberDir)
+    stats
+  }
+
+  /** The continuous semantic-dedup form: a streaming quantized
+    * (cell, vec_id, q) source driven through [[semanticDedupBatch]],
+    * per-batch stats appended to `statsDir` (an audit LOG — sum it
+    * per cell for the running totals). */
+  def startSemanticDedup(vecs: DataFrame, memberDir: String,
+                         statsDir: String, checkpointDir: String,
+                         tau2Num: Long, tau2Den: Long,
+                         maxTaskMembers: Int = 4096,
+                         trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          semanticDedupBatch(batch, memberDir, tau2Num, tau2Den,
+            maxTaskMembers)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode(SaveMode.Append).parquet(statsDir): Unit
+        }
+      }
+      .start()
+
   /** The continuous form: a streaming (vec_id, embedding) source driven
     * through [[ingestBatch]] per micro-batch. */
   def start(vecs: DataFrame, ivf: VectorOps.IvfModel, pq: Pq.PqModel,

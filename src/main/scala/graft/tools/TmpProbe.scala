@@ -60,10 +60,14 @@ object TmpProbe {
                       3L, o_custkey,
                       CAST(ascii(substr(o_orderpriority, 1, 1)) AS BIGINT))
              AS (tag, det, dep)"""))
+        // the shipped q175 CASE verbatim, so the probe times the same
+        // expression the committed plan runs (round-13 ADVICE)
         .unionByName(ev.selectExpr("4L AS tag", "user_id AS det",
           """CASE event_type WHEN 'view' THEN 1L WHEN 'click' THEN 2L
              WHEN 'purchase' THEN 3L WHEN 'signup' THEN 4L
-             ELSE 5L END AS dep"""))
+             WHEN 'error' THEN 5L
+             ELSE CAST(conv(substring(md5(event_type), 1, 13), 16, 10) AS BIGINT)
+             END AS dep"""))
     }
     def oneExchange = union5Int
       .repartition(col("tag"), col("det"))

@@ -8,10 +8,12 @@ class SemanticDedupSpec extends SparkSpec {
   import spark.implicits._
 
   private def stats(rows: Seq[CellVec], parts: Int = 3,
-                    num: Long = 49L, den: Long = 400L)
+                    num: Long = 49L, den: Long = 400L,
+                    maxTaskMembers: Int = 4096)
       : Map[Long, CellDedup] =
     SemanticDedup.withinCellStats(
-        spark.createDataset(rows).toDF().repartition(parts), num, den)
+        spark.createDataset(rows).toDF().repartition(parts), num, den,
+        maxTaskMembers)
       .as[CellDedup].collect().map(r => r.cell -> r).toMap
 
   test("crafted geometry: exact dup, orthogonal, 45-degree, keep-first") {
@@ -58,5 +60,34 @@ class SemanticDedupSpec extends SparkSpec {
       assert(got.keySet == expected.keySet)
       expected.foreach { case (c, e) => assert(got(c) == e, s"cell $c at $p") }
     }
+  }
+
+  test("degenerate hot cell: sub-sharded stats bit-identical to the single-task fold") {
+    // a template flood: 400 members in ONE cell drawn from 35 distinct
+    // vectors (lots of exact dups + near-dups on both sides of any
+    // shard boundary), plus a second small cell as a bystander
+    val rows = (1 to 400).map { i =>
+      val q =
+        if (i % 4 == 0) Array(1000L, 0L, 0L)
+        else Array(0L, 900L + (i % 7).toLong, 11L * (i % 5).toLong)
+      CellVec(0L, i.toLong, q)
+    } :+ CellVec(7L, 1000L, Array(3L, 4L, 0L)) :+
+      CellVec(7L, 1001L, Array(3L, 4L, 1L))
+    val single = stats(rows, parts = 5) // maxTaskMembers default: 1 task/cell
+    // 13 shards (400/32) → 91 pair groups; 3 shards; and a 2-shard split
+    for (mtm <- Seq(32, 150, 200)) {
+      val sharded = stats(rows, parts = 5, maxTaskMembers = mtm)
+      assert(sharded == single, s"maxTaskMembers=$mtm")
+    }
+    // sanity: the flood cell really is dup-heavy (sub-sharding had work)
+    assert(single(0L).n_dup_pairs > 1000L)
+    assert(single(0L).n_removed > 300L)
+  }
+
+  test("ragged vectors are rejected, not truncated") {
+    val rows = Seq(CellVec(0L, 1L, Array(1000L, 0L)),
+      CellVec(0L, 2L, Array(1000L)))
+    val ex = intercept[Exception] { stats(rows) }
+    assert(ex.getMessage != null)
   }
 }

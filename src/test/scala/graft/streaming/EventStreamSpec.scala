@@ -737,4 +737,50 @@ class EventStreamSpec extends SparkSpec {
       }
     } finally query.stop()
   }
+
+  test("retentionTailLive: the final per-user snapshot equals batch q302; a replayed batch is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStream.retentionTailLive(input.toDS(), k = 8)
+      .writeStream.format("memory").queryName("tail_live")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val evs = graft.core.Tables.load(spark, sf0001, "events")
+        .select(col("event_id"), unix_micros(col("ts")).as("us"),
+          col("user_id"), col("event_type"), col("value"))
+        .as[(Long, Long, Long, String, Double)].collect()
+        .sortBy(r => (r._2, r._1))
+        .map(r => Event(r._1, r._2, r._3, r._4, r._5))
+      evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq: _*)
+        query.processAllAvailable()
+      }
+      val live = spark.table("tail_live").as[TailRow].collect()
+        .zipWithIndex.groupBy(_._1.user_id).view
+        .mapValues(_.maxBy(_._2)._1).toMap
+      val batch = graft.queries.PipelineQueries.q302(spark, sf0001)
+        .as[(Long, Long, Long, Long, String, Long)].collect()
+      assert(batch.nonEmpty)
+      batch.foreach { case (u, nt, nk, span, sig, pur) =>
+        val r = live(u)
+        assert((r.n_total, r.n_kept, r.tail_span_us, r.tail_sig,
+          r.tail_purchases) == ((nt, nk, span, sig, pur)),
+          s"user $u: live (${r.n_total},${r.n_kept},${r.tail_span_us}," +
+            s"${r.tail_sig},${r.tail_purchases}) vs batch " +
+            s"($nt,$nk,$span,$sig,$pur)")
+      }
+      // crash-replay: re-feed the last chunk — (us, id) at or before
+      // the last applied coordinates are ignored, so every re-emitted
+      // row must equal the pre-replay snapshot
+      val before = live
+      input.addData(evs.takeRight(evs.length / 3).toIndexedSeq: _*)
+      query.processAllAvailable()
+      val after = spark.table("tail_live").as[TailRow].collect()
+        .zipWithIndex.groupBy(_._1.user_id).view
+        .mapValues(_.maxBy(_._2)._1).toMap
+      after.foreach { case (u, r) =>
+        assert(r == before(u), s"user $u: replayed batch changed the tail")
+      }
+    } finally query.stop()
+  }
 }

@@ -76,4 +76,42 @@ class VectorIngestSpec extends SparkSpec {
       == (510L until 515L).toSeq)
     assert(spark.read.parquet(codesDir).count() == 15)
   }
+
+  test("semanticDedupBatch: id-ordered batch sums equal the batch operator; a replay is a zero no-op") {
+    import graft.operators.{CellDedup, SemanticDedup}
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(expr("vec_id % 4").as("cell"), col("vec_id"),
+        expr("transform(CAST(embedding AS ARRAY<DOUBLE>)," +
+          " x -> CAST(round(x * 1000) AS BIGINT))").as("q"))
+    val full = SemanticDedup.withinCellStats(vecs, 49L, 400L)
+      .as[CellDedup].collect().map(r => r.cell -> r).toMap
+    val memberDir = Files.createTempDirectory("vi_semdedup").toString + "/members"
+    val ids = vecs.select(col("vec_id")).as[Long].collect().sorted
+    val (c1, c2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+    val batches = Seq(
+      vecs.filter(col("vec_id") <= c1),
+      vecs.filter(col("vec_id") > c1 && col("vec_id") <= c2),
+      vecs.filter(col("vec_id") > c2))
+    val perBatch = batches.flatMap(b =>
+      VectorIngest.semanticDedupBatch(b, memberDir, 49L, 400L)
+        .as[(Long, Long, Long, Long)].collect())
+    val sums = perBatch.groupBy(_._1).map { case (c, rs) =>
+      c -> ((rs.map(_._2).sum, rs.map(_._3).sum, rs.map(_._4).sum))
+    }
+    full.foreach { case (c, e) =>
+      val (nNew, pairs, removed) = sums(c)
+      assert((nNew, pairs, removed) ==
+        ((e.n_members, e.n_dup_pairs, e.n_removed)),
+        s"cell $c: incremental ($nNew,$pairs,$removed) vs batch " +
+          s"(${e.n_members},${e.n_dup_pairs},${e.n_removed})")
+    }
+    // crash-replay of the middle batch: fresh set empties on the
+    // anti-join, nothing appends, zero stats come back
+    val n0 = spark.read.parquet(memberDir).count()
+    val replay = VectorIngest
+      .semanticDedupBatch(batches(1), memberDir, 49L, 400L).collect()
+    assert(replay.isEmpty, "replayed batch reported non-zero stats")
+    assert(spark.read.parquet(memberDir).count() == n0,
+      "replayed batch re-appended members")
+  }
 }

@@ -75,12 +75,23 @@ def check_one(sfdir, outdir, name):
         print("FAIL types differ: " + "; ".join(type_diffs))
         return 1
     cols = ", ".join(f'"{c}"' for c, _ in got_schema)
+    # phase markers (round-13 ADVICE): duckdb relations are lazy, so the
+    # real walls are the two fetchall()s below. The parent exempts a
+    # timeout ONLY between spark_read_done and oracle_done — a slow or
+    # pathologically large SPARK dump (or a slow compare loop) is an
+    # engine-side failure, never billed to the oracle.
     try:
         got = con.sql(f"SELECT {cols} FROM '{spark_dir}/*.parquet'").fetchall()
+    except Exception as e:
+        print(f"FAIL spark fetch failed: {e}")
+        return 1
+    print("PHASE spark_read_done", flush=True)
+    try:
         exp = con.sql(f"SELECT {cols} FROM ({sql})").fetchall()
     except Exception as e:
-        print(f"FAIL fetch failed: {e}")
+        print(f"FAIL oracle fetch failed: {e}")
         return 1
+    print("PHASE oracle_done", flush=True)
     if len(got) != len(exp):
         print(f"FAIL row count: {len(got)} vs {len(exp)}")
         return 1
@@ -146,14 +157,30 @@ def main():
                                  "secs": secs}
                 n_fail += 1
                 print(f"FAIL {name}: {detail}", flush=True)
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as e:
             secs = round(time.time() - t0, 1)
-            rows = spark_rows(outdir, name)
-            results[name] = {"status": "oracle_timeout", "secs": secs,
-                             "spark_rows": rows}
-            n_timeout += 1
-            print(f"ORACLE-TIMEOUT {name} (> {timeout_s}s; "
-                  f"spark dumped {rows} rows)", flush=True)
+            partial = e.stdout or ""
+            if not isinstance(partial, str):
+                partial = partial.decode(errors="replace")
+            in_oracle = ("PHASE spark_read_done" in partial
+                         and "PHASE oracle_done" not in partial)
+            if in_oracle:
+                rows = spark_rows(outdir, name)
+                results[name] = {"status": "oracle_timeout", "secs": secs,
+                                 "spark_rows": rows}
+                n_timeout += 1
+                print(f"ORACLE-TIMEOUT {name} (> {timeout_s}s; "
+                      f"spark dumped {rows} rows)", flush=True)
+            else:
+                # timed out reading the Spark dump or in the compare
+                # loop — an engine-side cost, counted as a failure
+                phase = ("compare" if "PHASE oracle_done" in partial
+                         else "spark-read")
+                results[name] = {"status": "fail", "secs": secs,
+                                 "detail": f"timeout in {phase} phase "
+                                           f"(> {timeout_s}s)"}
+                n_fail += 1
+                print(f"FAIL {name}: timeout in {phase} phase", flush=True)
     summary = {"sfdir": sfdir, "timeout_s": timeout_s,
                "n_pass": n_pass, "n_fail": n_fail,
                "n_oracle_timeout": n_timeout,

@@ -74,19 +74,23 @@ object SemanticDedup {
   def withinCellStats(vecs: DataFrame, tau2Num: Long, tau2Den: Long,
                       maxTaskMembers: Int = 4096): DataFrame = {
     val sizes = vecs.groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
-    val perGroup = perGroupStats(
+    // PIN the fold output: two aggregations consume it (pair counts,
+    // removed-id distinct) — unpinned, each would re-run the whole
+    // pair fold. The pinned relation is groups-sized (one row per
+    // shard-pair group, removed arrays ≤ ~2·maxTaskMembers ids).
+    val perGroup = graft.core.Pins.pin(perGroupStats(
       vecs.select(col("cell"), col("vec_id"), col("q"))
         .withColumn("fresh", lit(true)),
-      sizes, tau2Num, tau2Den, maxTaskMembers)
+      sizes, tau2Num, tau2Den, maxTaskMembers))
     val pairCnt = perGroup.groupBy(col("cell"))
       .agg(sum(col("pairs")).as("n_dup_pairs"))
     val removedCnt = perGroup
       .select(col("cell"), explode(col("removed")).as("rid"))
       .distinct()
       .groupBy(col("cell")).agg(count(lit(1)).as("n_removed"))
-    sizes
-      .join(pairCnt, Seq("cell"), "left")
-      .join(removedCnt, Seq("cell"), "left")
+    sizes // pairCnt/removedCnt are cells-sized: broadcast, never shuffle
+      .join(broadcast(pairCnt), Seq("cell"), "left")
+      .join(broadcast(removedCnt), Seq("cell"), "left")
       .select(col("cell"),
         col("cell_n").as("n_members"),
         coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
@@ -116,8 +120,9 @@ object SemanticDedup {
     // shard count derives from the TOTAL population per cell (stored +
     // fresh): the task bound must hold against the grown store
     val sizes = tagged.groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
-    val perGroup = perGroupStats(tagged, sizes, tau2Num, tau2Den,
-      maxTaskMembers)
+    // pinned for the same two-consumer reason as withinCellStats
+    val perGroup = graft.core.Pins.pin(
+      perGroupStats(tagged, sizes, tau2Num, tau2Den, maxTaskMembers))
     val newCnt = tagged.filter(col("fresh"))
       .groupBy(col("cell")).agg(count(lit(1)).as("n_new"))
     val pairCnt = perGroup.groupBy(col("cell"))
@@ -127,8 +132,8 @@ object SemanticDedup {
       .distinct()
       .groupBy(col("cell")).agg(count(lit(1)).as("n_removed"))
     newCnt
-      .join(pairCnt, Seq("cell"), "left")
-      .join(removedCnt, Seq("cell"), "left")
+      .join(broadcast(pairCnt), Seq("cell"), "left")
+      .join(broadcast(removedCnt), Seq("cell"), "left")
       .select(col("cell"), col("n_new"),
         coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))

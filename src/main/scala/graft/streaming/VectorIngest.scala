@@ -221,6 +221,11 @@ object VectorIngest {
             maxTaskMembers)
             .withColumn("batch_id", lit(batchId))
             .write.mode(SaveMode.Append).parquet(statsDir): Unit
+          // the batch fully consumed its fold pin (stats are
+          // checkpointed, members appended) — free it so an unbounded
+          // stream doesn't strand a block per micro-batch (the Pins
+          // one-driver protocol: this stream owns its session)
+          graft.core.Pins.release()
         }
       }
       .start()

@@ -142,6 +142,13 @@ object PlanAuditSpec {
     * are stored verdict columns (the query is their initial build). */
   val ShuffleBaseline: Map[String, Int] = Map(
     "q121_curation_funnel" -> 10,
+    // q303 (round 13): the pair fold itself is PINNED at build time
+    // (it left the audited plan); the residual five are the cell-size
+    // fold over the assigned vectors (the one data-sized exchange),
+    // the pair-count fold, the removed-id distinct + count (both over
+    // the groups-sized pinned relation), and the cells-sized output
+    // sort — the stats joins broadcast, never shuffle
+    "q303_semantic_dedup" -> 5,
     // q271: the one corpus exchange is the PINNED (class, value) count
     // fold; the residual plan's exchanges (post-broadcast-grid: the
     // nc/gv/tot re-folds off the pin, the per-class cumulative window,

@@ -5771,7 +5771,8 @@ object PipelineQueries {
     ("q298_sequence_packing", q298, q298Sql),
     ("q299_mixture_reweight", q299, q299Sql),
     ("q302_retention_tail", q302, q302Sql),
-    ("q303_semantic_dedup", q303, q303Sql))
+    ("q303_semantic_dedup", q303, q303Sql),
+    ("q304_margin_mining", q304, q304Sql))
 
   // --------------------------------------------------------------- Q71
   /** Approximate QUANTILES per event type — a p25/p50/p75/p95 grid
@@ -8839,4 +8840,172 @@ object PipelineQueries {
         |FROM st LEFT JOIN pc ON st.cell = pc.cell
         |LEFT JOIN rc ON st.cell = rc.cell
         |ORDER BY cell""".stripMargin
+
+  // --------------------------------------------------------------- Q304
+  /** MARGIN-BASED PAIR MINING (the CCMatrix / margin-criterion bitext
+    * recipe, Artetxe & Schwenk): mine aligned cross-group pairs from
+    * the embedding space — for each vector, the nearest neighbor in a
+    * DIFFERENT label group counts as a mined pair only when it beats
+    * the second-best by a RATIO margin (margin = cos₁/cos₂ ≥ 1.06) and
+    * clears an absolute floor (cos₁ ≥ 0.35 — the q22/q303 declared
+    * near-dup cutoff, so all three tiers grade one contract). The
+    * ratio criterion is the
+    * published insight: absolute cosine alone over-mines hubs (vectors
+    * near everything); the margin demands the best match STAND OUT
+    * from the runner-up. Labels model the source-group axis
+    * (languages, crawls, shards); the mined pairs are the
+    * translation/near-duplicate candidates a parallel-corpus or
+    * cross-source dedup pipeline feeds downstream.
+    *
+    * Exactness discipline: vectors quantize to the shared round(x·1000)
+    * grid, get an exact-integer norm (Σq², BIGINT), and re-quantize to
+    * a UNIT-NORM grid un = half-away-from-zero(q · (10⁴/√nrm)) — the
+    * rounding spelled as the sign-split floor(|y| + 0.5) and the
+    * per-vector scale hoisted to a column, every step a single
+    * correctly-rounded IEEE scalar op on identical inputs, so both
+    * engines produce the identical integer grid. Every dot of
+    * unit-grids is then a sum of integer products bounded by 64·10⁸ —
+    * exact in DOUBLE accumulation REGARDLESS of order (all partials
+    * < 2⁵³), so the native [[graft.functions.VectorOps.dot]] kernel and
+    * DuckDB's list_inner_product agree bit-for-bit and the ranking key
+    * (dot DESC, candidate id ASC) is a total order with no float
+    * tie-break hazard. margin_ppm = 10⁶·d₁ div d₂ — BIGINT floor-div,
+    * no ratio ever floats.
+    *
+    * Scale shape: candidates come from the SHARED 8-cell IVF index
+    * (the q30 stored-model contract — the oracle replays training via
+    * [[ivfSqlPrelude]]), so the pair space is the N²/cells
+    * within-cell volume, never all-pairs (the q303/SemDeDup dial;
+    * within-cell-only candidates are the method's documented recall
+    * boundary exactly as the ANN-backed published pipeline). One
+    * data-sized exchange keys the self-join on cell; the top-2 window
+    * partitions per query vector over candidate-sized rows; output is
+    * label-pair-sized. */
+  private[graft] def q304Assigned(s: SparkSession, d: String) =
+    ivfModelFor(s, d, 8).assigned
+
+  private[graft] def q304Un(s: SparkSession, d: String) = {
+    val lab = t(s, d, "embeddings").select(col("vec_id"), col("label"))
+    q304Assigned(s, d)
+      .join(lab, Seq("vec_id"))
+      .select(col("cell"), col("vec_id"), col("label"),
+        expr("transform(__v, x -> CAST(round(x * 1000) AS BIGINT))").as("q"))
+      .withColumn("nrm", expr("aggregate(q, 0L, (a, x) -> a + x * x)"))
+      .filter(col("nrm") > 0)
+      // the per-vector scale hoists OUT of the lambda and rounding is
+      // the sign-split floor (floor(|y| + 0.5) with the sign restored =
+      // half-away-from-zero, spelled identically in the oracle):
+      // Spark's `round` on DOUBLE allocates a BigDecimal per element
+      // and the outer-column sqrt re-evaluates per element — measured
+      // 0.69 → 0.28 s for this one transform at sf0.1
+      .withColumn("sc", lit(10000.0) / sqrt(col("nrm").cast("double")))
+      .select(col("cell"), col("vec_id"), col("label"), expr(
+        """CAST(transform(q, x ->
+          |  CASE WHEN x < 0 THEN -floor(-CAST(x AS DOUBLE) * sc + 0.5)
+          |       ELSE floor(CAST(x AS DOUBLE) * sc + 0.5) END)
+          |AS ARRAY<DOUBLE>)""".stripMargin)
+        .as("un"))
+  }
+
+  private[graft] def q304Cand(s: SparkSession, d: String) = {
+    // pinned: the unit-grid relation is vectors-sized and BOTH join
+    // sides read it — unpinned, the a-side and the broadcast side each
+    // replay the HOF quantize/normalize lambdas (measured 0.72 s of a
+    // 2.0 s wall, twice)
+    val un = graft.core.Pins.pin(q304Un(s, d))
+    un.as("a").join(broadcast(un.as("b")),
+        col("a.cell") === col("b.cell") &&
+          col("a.label") =!= col("b.label") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("a.label").as("la"),
+        col("b.vec_id").as("cid"), col("b.label").as("lb"),
+        graft.functions.VectorOps.dot(col("a.un"), col("b.un"))
+          .cast("long").as("dot"))
+    // deliberately NO dot > 0 filter here: Catalyst would push it INTO
+    // the join condition and evaluate the dot kernel a second time per
+    // probed pair (seen in the formatted plan; ~2× the kernel cost).
+    // Ranking negatives is harmless: they sort below every positive,
+    // and a non-positive d1 or d2 can never clear the margin/floor
+    // gates (Spark's `div` by 0 yields NULL → filtered), so the mined
+    // set is identical to the oracle's positives-only window.
+  }
+
+  val q304: Q = (s, d) => {
+    // Candidate side BROADCAST: the un relation is vectors × 65 doubles
+    // — index-sized here, and the broadcast removes the cell-keyed
+    // shuffle join whose 8 cell-partitions would cap the dot-product
+    // stage at 8 of 32 cores (measured: 1.70 s shuffle-join form →
+    // 0.9 s broadcast form; at corpus scale the √N-cells discipline
+    // makes the cell-keyed shuffle join the right side of this dial).
+    // Dots run through the native codegen kernel scan-side; the top-2
+    // selection is ONE slim (qid, cid, lb, dot) exchange into a per-qid
+    // window — candidate-sized, the only shuffle in the plan. (Two
+    // alternatives measured and rejected: a typed top-2 aggregator
+    // bills the Seq buffer encoder per candidate, 2.6 s; a pinned
+    // two-pass max-struct pays the 2.8M-row checkpoint write, 2.3 s.)
+    val cand = q304Cand(s, d)
+    val top = cand
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("dot").desc, col("cid").asc)))
+      .filter(col("rn") <= 2)
+      .groupBy(col("qid"), col("la"))
+      .agg(
+        max(when(col("rn") === 1, struct(col("dot"), col("lb")))).as("t1"),
+        max(when(col("rn") === 2, col("dot"))).as("d2"))
+      .filter(col("d2").isNotNull)
+      .select(col("la"), col("t1.lb").as("lb"),
+        expr("t1.dot * 1000000 div d2").as("margin_ppm"),
+        col("t1.dot").as("d1"))
+      .filter(col("margin_ppm") >= 1060000L && col("d1") >= 35000000L)
+    top.groupBy(col("la"), col("lb"))
+      .agg(count(lit(1)).as("n_mined"),
+        sum(col("margin_ppm")).as("sum_margin_ppm"),
+        max(col("margin_ppm")).as("max_margin_ppm"))
+      .select(col("la").as("lang_a"), col("lb").as("lang_b"),
+        col("n_mined"), col("sum_margin_ppm"), col("max_margin_ppm"))
+      .orderBy(col("lang_a"), col("lang_b"))
+  }
+
+  val q304Sql: String =
+    ivfSqlPrelude(nCells = 8, sampleN = 256, iters = 2) + ",\n" +
+      """lab AS (SELECT vec_id, label FROM embeddings),
+        |qn AS (SELECT c.vec_id, c.cell, l.label,
+        |         list_transform(c.v, x -> CAST(round(x * 1000) AS BIGINT)) AS q
+        |       FROM cells c JOIN lab l ON l.vec_id = c.vec_id),
+        |qv AS (SELECT vec_id, cell, label, q,
+        |         CAST(list_inner_product(q, q) AS BIGINT) AS nrm
+        |       FROM qn),
+        |sc AS (SELECT vec_id, cell, label, q,
+        |         10000.0 / sqrt(CAST(nrm AS DOUBLE)) AS sc
+        |       FROM qv WHERE nrm > 0),
+        |un AS (SELECT vec_id, cell, label,
+        |         list_transform(q, x ->
+        |           CASE WHEN x < 0 THEN -floor(-CAST(x AS DOUBLE) * sc + 0.5)
+        |                ELSE floor(CAST(x AS DOUBLE) * sc + 0.5) END) AS un
+        |       FROM sc),
+        |cand AS (SELECT a.vec_id AS qid, a.label AS la,
+        |           b.vec_id AS cid, b.label AS lb,
+        |           CAST(list_inner_product(a.un, b.un) AS BIGINT) AS dot
+        |         FROM un a JOIN un b ON a.cell = b.cell
+        |           AND a.label <> b.label AND a.vec_id <> b.vec_id),
+        |pos AS (SELECT * FROM cand WHERE dot > 0),
+        |rk AS (SELECT qid, la, lb, dot,
+        |         row_number() OVER (PARTITION BY qid
+        |           ORDER BY dot DESC, cid) AS rn
+        |       FROM pos),
+        |top AS (SELECT qid, la,
+        |          max(CASE WHEN rn = 1 THEN dot END) AS d1,
+        |          max(CASE WHEN rn = 1 THEN lb END) AS lb,
+        |          max(CASE WHEN rn = 2 THEN dot END) AS d2
+        |        FROM rk WHERE rn <= 2 GROUP BY qid, la),
+        |m AS (SELECT la, lb, d1 * 1000000 // d2 AS margin_ppm, d1
+        |      FROM top WHERE d2 IS NOT NULL),
+        |f AS (SELECT la, lb, margin_ppm FROM m
+        |      WHERE margin_ppm >= 1060000 AND d1 >= 35000000)
+        |SELECT la AS lang_a, lb AS lang_b,
+        |       CAST(count(*) AS BIGINT) AS n_mined,
+        |       CAST(sum(margin_ppm) AS BIGINT) AS sum_margin_ppm,
+        |       CAST(max(margin_ppm) AS BIGINT) AS max_margin_ppm
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

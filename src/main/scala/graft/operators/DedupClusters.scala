@@ -34,20 +34,101 @@ import org.apache.spark.sql.functions._
   */
 object DedupClusters {
 
+  /** Runtime-conf key: edge-count ceiling for the LOCAL union-find tier
+    * of [[connectedComponents]] (default 2,000,000 ≈ 32 MB of primitive
+    * edge pairs on the driver — model-artifact-sized, the q272
+    * Gramian / BPE-table / centroid precedent). Graphs over the limit
+    * take the distributed label-propagation loop unchanged. */
+  val LocalEdgeLimitKey = "graft.cc.localEdgeLimit"
+
+  /** Driver-side union-find over a materialized edge array: root = the
+    * component's minimum member id (unions always point the larger root
+    * at the smaller, so the invariant holds at every step — the same
+    * reference algorithm DedupClustersSpec checks the distributed loop
+    * against). Returns (node → min member id) for every node present. */
+  private def unionFindLabels(es: Array[(Long, Long)]): Array[(Long, Long)] = {
+    // boxed key/value types: a Scala-primitive-typed java.util.HashMap
+    // silently unboxes an absent-key null to 0
+    val idx = new java.util.HashMap[java.lang.Long, Integer](es.length * 2)
+    val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+    def id(x: Long): Int = {
+      val got = idx.get(x)
+      if (got == null) {
+        val i = ids.length; idx.put(x, i); ids += x; i
+      } else got.intValue()
+    }
+    // first pass: assign dense indices
+    es.foreach { case (u, v) => id(u); id(v) }
+    val n = ids.length
+    // parent by VALUE-minimum: roots are node ids, not indices, so the
+    // min-id invariant is direct long comparison
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    es.foreach { case (u, v) =>
+      val ru = find(idx.get(u).intValue()); val rv = find(idx.get(v).intValue())
+      if (ru != rv) {
+        // point the root with the LARGER member id at the smaller, so
+        // every root remains its component's minimum id
+        if (ids(ru) < ids(rv)) parent(rv) = ru else parent(ru) = rv
+      }
+    }
+    Array.tabulate(n)(i => (ids(i), ids(find(i))))
+  }
+
   /** Component label (= minimum member doc_id) for every node that
     * appears in `pairs` (columns a_id, b_id). Nodes absent from `pairs`
     * are singletons — callers left-join and coalesce to their own id
     * (see [[assignAll]]).
-    */
+    *
+    * Two tiers, size-gated at runtime (r14, guide §1.2 "the
+    * distributed algorithm first"): an edge set under
+    * [[LocalEdgeLimitKey]] is a MODEL-SIZED artifact (near-dup pair
+    * graphs are dup-count-sized, orders of magnitude under the corpus)
+    * and solves in one collect + union-find — the measured
+    * alternative was 10 propagation rounds × 2 Spark jobs ≈ 4.7 s on a
+    * 3,451-edge graph (q200 at sf0.1), pure per-round scheduling floor.
+    * Over the limit the original distributed min-label loop runs
+    * unchanged, with the round delta check folded into a join-free
+    * label-sum compare (labels are monotonically non-increasing, so
+    * the exact decimal sum is stable iff no label moved). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
     val edges = pairs
       .select(col("a_id").cast("long").as("u"), col("b_id").cast("long").as("v"))
+      .localCheckpoint()
+    val localLimit = spark.conf.getOption(LocalEdgeLimitKey)
+      .map(_.toLong).getOrElse(2000000L)
+    val nEdges = edges.count()
+    if (nEdges <= localLimit) {
+      val labels = unionFindLabels(edges.as[(Long, Long)].collect())
+      graft.core.Pins.releaseCheckpoint(edges)
+      // small results return as a LocalRelation (size-known, so
+      // downstream joins can broadcast them); larger ones ship as RDD
+      // partitions instead of plan-embedded constants
+      return if (labels.length <= 100000)
+        spark.createDataset(labels.toSeq).toDF("doc_id", "component")
+      else
+        spark.createDataset(spark.sparkContext.parallelize(
+          labels.toSeq, math.max(1, labels.length / 500000)))
+          .toDF("doc_id", "component")
+    }
     // symmetric closure: propagation must flow both directions
     val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint()
+    graft.core.Pins.releaseCheckpoint(edges)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
     var labels = sym.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint()
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -57,16 +138,18 @@ object DedupClusters {
       val next = labels.union(viaNeighbors)
         .groupBy("node").agg(min("label").as("label"))
         .localCheckpoint()
-      // labels decrease monotonically, so "no label strictly smaller"
-      // IS the fixpoint; the check joins label metadata only
-      val changed = next.join(labels.withColumnRenamed("label", "prev"), "node")
-        .filter(col("label") < col("prev")).limit(1).count()
+      // labels decrease monotonically and the node set is fixed, so an
+      // unchanged exact sum IS the fixpoint — one single-column agg on
+      // the just-materialized checkpoint, replacing the r13 form's
+      // per-round (next ⋈ labels) delta join
+      val curSum = labelSum(next)
       // the superseded round's blocks are dead once `next` is
       // materialized and the delta check has read them — free them now,
       // or an O(rounds) pile of label snapshots outlives the query
       graft.core.Pins.releaseCheckpoint(labels)
       labels = next
-      converged = changed == 0L
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       iter += 1
     }
     // an exhausted budget must be LOUD: unconverged labels split real

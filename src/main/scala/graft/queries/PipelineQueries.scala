@@ -1866,10 +1866,12 @@ object PipelineQueries {
     import s.implicits._
     val eps2 = 1300000L
     val minPts = 4
-    val qv = graft.core.Pins.pin(
-      t(s, d, "embeddings").select(col("vec_id"),
-        transform(col("embedding").cast("array<double>"),
-          x => round(x.cast("double") * 1000).cast("long")).as("v")))
+    // r14: no pin on qv — its two consumers (the kernel input and the
+    // final vec_id spine) each re-run a scan-local projection, cheaper
+    // than a checkpoint job at any corpus size (the q266 no-pin rule)
+    val qv = t(s, d, "embeddings").select(col("vec_id"),
+      transform(col("embedding").cast("array<double>"),
+        x => round(x.cast("double") * 1000).cast("long")).as("v"))
     // the ε-graph stays on the exact tiled kernel DELIBERATELY: the
     // recall-lossless ball-cover prune exists
     // ([[graft.operators.SimilarityJoin.sqDistPairsPruned]],
@@ -1884,9 +1886,10 @@ object PipelineQueries {
     val edges = graft.core.Pins.pin(
       graft.operators.SimilarityJoin.sqDistPairs(
         qv.as[(Long, Array[Long])], eps2))
-    val sym = graft.core.Pins.pin(
-      edges.select(col("a_id").as("x"), col("b_id").as("y"))
-        .unionByName(edges.select(col("b_id").as("x"), col("a_id").as("y"))))
+    // r14: no pin on sym either — it is a projection union over the
+    // PINNED edges, so each consumer reads materialized blocks already
+    val sym = edges.select(col("a_id").as("x"), col("b_id").as("y"))
+      .unionByName(edges.select(col("b_id").as("x"), col("a_id").as("y")))
     val core = graft.core.Pins.pin(
       sym.groupBy(col("x")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= minPts - 1).select(col("x")))
@@ -6528,25 +6531,49 @@ object PipelineQueries {
   val q272: Q = (s, d) => {
     val e = t(s, d, "embeddings")
       .select(expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("qv"))
-    // upper triangle only (k ≥ j, plus the k = 0 moment cells): G is
-    // symmetric, so the fold ships half the cells and the driver mirrors
-    val cells = e.select(explode(expr(
-      """flatten(transform(sequence(1, 64), j ->
-        |  transform(concat(array(0), sequence(j, 64)), k -> struct(
-        |    j AS j, k AS k,
-        |    CASE WHEN k = 0 THEN element_at(qv, j)
-        |         ELSE element_at(qv, j) * element_at(qv, k) END AS p))))"""
-        .stripMargin)).as("c"))
-      .select(col("c.j"), col("c.k"), col("c.p"))
-      .groupBy(col("j"), col("k"))
-      .agg(sum(col("p")).as("v"), count(lit(1)).as("n"))
-      .collect()
-    val n = cells.head.getLong(3)
+    // r14 (guide §1.2 per-task work, §4 codegen): the (j, k) moment
+    // cells fold in ONE tight per-partition JVM loop emitting a single
+    // (n, s, G-upper-triangle) partial (~17 KB) per task, replacing the
+    // r13 explode of 2,145 interpreted higher-order-function structs
+    // per row (4.3M struct allocations at sf0.1 — measured 2.9 s → the
+    // fold is now scan-bound). Integer addition is associative, so the
+    // merged artifact is bit-identical to the grouped-sum form.
+    import s.implicits._
+    val partials = e.as[Array[Long]].rdd.mapPartitions { it =>
+      var n = 0L
+      val sv = new Array[Long](65)
+      val gu = new Array[Long](65 * 65)
+      it.foreach { qv =>
+        n += 1
+        var j = 0
+        while (j < 64) {
+          val x = qv(j)
+          sv(j + 1) += x
+          var k = j
+          while (k < 64) { gu((j + 1) * 65 + (k + 1)) += x * qv(k); k += 1 }
+          j += 1
+        }
+      }
+      if (n == 0L) Iterator.empty else Iterator.single((n, sv, gu))
+    }.collect()
+    val n = partials.iterator.map(_._1).sum
     val sVec = new Array[Long](65)
     val g = Array.ofDim[Long](65, 65)
-    cells.foreach { r =>
-      val (j, k, v) = (r.getInt(0), r.getInt(1), r.getLong(2))
-      if (k == 0) sVec(j) = v else { g(j)(k) = v; g(k)(j) = v }
+    partials.foreach { case (_, sv, gu) =>
+      var j = 1
+      while (j <= 64) {
+        sVec(j) += sv(j)
+        var k = j
+        while (k <= 64) { g(j)(k) += gu(j * 65 + k); k += 1 }
+        j += 1
+      }
+    }
+    // mirror the upper triangle
+    var mj = 1
+    while (mj <= 64) {
+      var mk = mj + 1
+      while (mk <= 64) { g(mk)(mj) = g(mj)(mk); mk += 1 }
+      mj += 1
     }
     val c = Array.tabulate(65, 65) { (j, k) =>
       if (j == 0 || k == 0) 0L else n * g(j)(k) - sVec(j) * sVec(k)

@@ -17,7 +17,43 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Per-session RELATION cache (r14, guide §6 file-listing caching):
+  // `spark.read.parquet` re-lists the path and re-reads footers for
+  // schema inference on EVERY call, and a 300-query bench (or any
+  // multi-query session) loads the same ten tables thousands of times —
+  // measured ~0.1 s of driver-side construction per query, almost all
+  // of it here. The cached value is the analyzed LOGICAL relation
+  // (schema + file index), NOT data or results: every action still
+  // scans the parquet. The cache key includes the path's modification
+  // time (one stat per load, ~µs, vs a full list + footer read), so a
+  // REWRITTEN table (overwrite-mode specs, refreshed stores) misses the
+  // cache instead of reading a stale file index. WeakHashMap on the
+  // session so stopped sessions (each test suite makes one) release
+  // their entries.
+  private val relationCache =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = relationCache.synchronized {
+      var m = relationCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        relationCache.put(spark, m)
+      }
+      m
+    }
+    val mtime =
+      try {
+        val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+        path.getFileSystem(spark.sessionState.newHadoopConf())
+          .getFileStatus(path).getModificationTime
+      } catch { case scala.util.control.NonFatal(_) => -1L }
+    perSession.computeIfAbsent(s"$dir/$name@$mtime",
+      _ => loadUncached(spark, dir, name))
+  }
+
+  private def loadUncached(spark: SparkSession, dir: String, name: String): DataFrame = {
     // The fixture `events` table stores TIMESTAMP(NANOS) which Spark's
     // parquet reader rejects; read nanos as LONG and rebuild a micros
     // timestamp. Integer `div` — ns epoch values (~1.7e18) overflow the

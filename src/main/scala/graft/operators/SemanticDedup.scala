@@ -147,6 +147,12 @@ object SemanticDedup {
                             tau2Num: Long, tau2Den: Long,
                             maxTaskMembers: Int): DataFrame = {
     require(maxTaskMembers > 0, "maxTaskMembers must be positive")
+    // loud contract check (r14 ADVICE): tau2Den = 0 would otherwise
+    // surface as a bare ArithmeticException inside the overflow-envelope
+    // division in an executor task, and a negative tau silently inverts
+    // the threshold predicate
+    require(tau2Num > 0 && tau2Den > 0,
+      s"similarity threshold must be positive: tau^2 = $tau2Num/$tau2Den")
     val maxTau = math.max(tau2Num, tau2Den)
     val sharded = tagged
       .join(broadcast(sizes), Seq("cell"))

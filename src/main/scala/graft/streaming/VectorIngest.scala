@@ -171,6 +171,14 @@ object VectorIngest {
     * anti-joins the store on vec_id, so its members are already
     * stored, its fresh set is EMPTY, and it appends nothing and
     * reports zero stats — crash-retry converges with no double count.
+    * The converse window is an UNDER-count, not a double count: the
+    * member append commits before the caller's per-batch stats write,
+    * so a crash between the two permanently loses that batch's stats
+    * rows (replay sees the members stored and emits zero). Cumulative
+    * pair/removed totals then lag until the retrospective batch fold
+    * (q303 over the member store) re-derives them — the heal path; a
+    * stats-first transactional order would instead need statsDir
+    * deduped by (batch_id, cell) on replay, the isotropyBatch rule.
     *
     * Returns (cell, n_new, n_dup_pairs, n_removed) for this batch. */
   def semanticDedupBatch(batch: DataFrame, memberDir: String,
@@ -195,10 +203,19 @@ object VectorIngest {
         .unionByName(st.withColumn("fresh", lit(false)))
       case None => fresh.withColumn("fresh", lit(true))
     }
-    val stats = graft.operators.SemanticDedup
-      .incrementalStats(tagged, tau2Num, tau2Den, maxTaskMembers)
-      .localCheckpoint() // materialize BEFORE the append below
+    // route the stats checkpoint through the pin registry so the
+    // driver's Pins.release() frees it after consumption (r14, the
+    // ADVICE leak: a bare localCheckpoint per micro-batch strands one
+    // block-manager RDD per batch on an unbounded stream)
+    val stats = graft.core.Pins.track(
+      graft.operators.SemanticDedup
+        .incrementalStats(tagged, tau2Num, tau2Den, maxTaskMembers)
+        .localCheckpoint()) // materialize BEFORE the append below
     fresh.write.mode(SaveMode.Append).parquet(memberDir)
+    // the append was fresh's last consumer (stats is already
+    // materialized above) — free its checkpoint now, per the
+    // isotropyBatch pattern
+    graft.core.Pins.releaseCheckpoint(fresh)
     stats
   }
 

@@ -164,12 +164,16 @@ object PlanAuditSpec {
     // canonical window, lang-mode fold + window, two component joins,
     // sort) are all CLUSTER-sized
     "q276_survivorship" -> 6,
-    // q200: the corpus-shaped work (tiled ε-join, CC iterations) is all
-    // PINNED upstream; the residual plan's 8 exchanges carry the
-    // edges/core/labels relations — graph-sized (≤ ε-graph nodes), not
-    // corpus-sized: two core semi-joins, the border min-fold, the two
-    // role left-joins, the final sort
-    "q200_dbscan" -> 8,
+    // q200: the corpus-shaped work (tiled ε-join, CC) is pinned or
+    // local; r14 dropped the qv/sym checkpoint pins (each pin job cost
+    // more than recomputing the scan-local projection — measured
+    // 4.6 → 2.4 s), so the sym union's edges-sized exchanges now show
+    // INLINE in this single plan instead of hiding behind checkpoint
+    // boundaries: total shuffle WORK is unchanged (the pinned form paid
+    // the same exchanges inside the pin jobs), the visible count is 10
+    // — two core semi-joins, border min-fold, two role left-joins, the
+    // sym-side join exchanges, the final sort; all graph-sized
+    "q200_dbscan" -> 10,
     // q125's corpus-shaped work happens in the PINNED pair build (the
     // q19 shape, audited there at 8); the residual plan's five
     // exchanges all carry degrees-sized relations (histogram groupBy,

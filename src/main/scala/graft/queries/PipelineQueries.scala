@@ -4249,11 +4249,16 @@ object PipelineQueries {
     * greedy trajectory is bit-reproducible. The ORACLE replays the
     * same greedy as a DuckDB RECURSIVE CTE with a LATERAL argmax —
     * an independent mechanism for the sequential dependency. Greedy
-    * is INHERENTLY sequential (pick i depends on 1..i−1): the loop
-    * is k = 8 driver-sequenced one-row argmax jobs over the PINNED
-    * 32-row candidate shortlist + its 32² sim table (the documented
-    * trained-artifact pattern — q85/BPE; only picked IDs cross the
-    * driver). 100 TB shape: the corpus-sized work is ONE relevance
+    * is INHERENTLY sequential (pick i depends on 1..i−1): ONE
+    * corpus-sized job computes the relevance scan + top-32 shortlist;
+    * the shortlist (vectors included — the q85/BPE model-sized
+    * driver-train precedent, 32 rows) crosses the driver once and the
+    * greedy replays in driver Scala with the SAME quantized BIGINT
+    * dots and the SAME (score2 desc, vec_id) tie-break, so the
+    * trajectory is bit-identical to the r13 form that ran it as 8
+    * driver-sequenced one-row argmax jobs (~10 job dispatches for 8
+    * rows — pure dispatch floor, measured 1.1 s → one job).
+    * 100 TB shape: the corpus-sized work is ONE relevance
     * scan + top-k (at scale the IVF/LSH shortlist feeds candidates,
     * as with q76); everything sequential is shortlist-sized. */
   val q211: Q = (s, d) => {
@@ -4263,39 +4268,32 @@ object PipelineQueries {
     val vq = t(s, d, "embeddings").select(col("vec_id"),
       expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("v"))
     val probe = vq.filter(col("vec_id") === 0).select(col("v").as("pv"))
-    val cand = graft.core.Pins.pin(
-      vq.crossJoin(broadcast(probe))
-        .select(col("vec_id"), col("v"), expr(dot.format("v", "pv")).as("rel"))
-        .orderBy(col("rel").desc, col("vec_id")).limit(32))
-    val sims = graft.core.Pins.pin(
-      cand.select(col("vec_id").as("aid"), col("v").as("va"))
-        .crossJoin(cand.select(col("vec_id").as("bid"), col("v").as("vb")))
-        .filter(col("aid") =!= col("bid"))
-        .select(col("aid"), col("bid"), expr(dot.format("va", "vb")).as("sim")))
-    var picked = Seq.empty[Long]
+    val cand = vq.crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("v"), expr(dot.format("v", "pv")).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(32)
+      .as[(Long, Seq[Long], Long)].collect()
+    // exact integer dot — identical to the quantized BIGINT `dot` expr
+    // above (same Long mult-add, no float anywhere)
+    def ldot(a: Seq[Long], b: Seq[Long]): Long = {
+      val n = math.min(a.length, b.length)
+      var i = 0; var acc = 0L
+      while (i < n) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val pickedV = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    var remaining = cand.toList
     var step = 1
-    var exhausted = false
-    while (step <= 8 && !exhausted) {
-      val scored =
-        if (picked.isEmpty)
-          cand.select(col("vec_id"), col("rel"), col("rel").as("score2"))
-        else
-          cand.filter(!col("vec_id").isin(picked: _*))
-            .join(sims.filter(col("bid").isin(picked: _*)),
-              col("vec_id") === col("aid"), "left")
-            .groupBy(col("vec_id"), col("rel"))
-            .agg(coalesce(max(col("sim")), lit(0L)).as("pen"))
-            .select(col("vec_id"), col("rel"),
-              (col("rel") - col("pen")).as("score2"))
-      scored.orderBy(col("score2").desc, col("vec_id")).limit(1)
-        .select(col("vec_id"), col("rel"), col("score2"))
-        .as[(Long, Long, Long)].collect().headOption match {
-        case Some(r) =>
-          picked = picked :+ r._1
-          rows += ((step.toLong, r._1, r._2, r._3))
-        case None => exhausted = true // shortlist smaller than k
-      }
+    while (step <= 8 && remaining.nonEmpty) {
+      // score2 = rel − max-sim-to-picked (0-penalty on the first pick);
+      // argmax by (score2 desc, vec_id asc) — the r13 tie-break verbatim
+      val best = remaining.map { case (id, v, rel) =>
+        val pen = if (pickedV.isEmpty) 0L else pickedV.map(ldot(v, _)).max
+        (id, v, rel, rel - pen)
+      }.minBy { case (id, _, _, s2) => (-s2, id) }
+      rows += ((step.toLong, best._1, best._3, best._4))
+      pickedV += best._2
+      remaining = remaining.filterNot(_._1 == best._1)
       step += 1
     }
     rows.toSeq.toDF("step", "vec_id", "rel", "score2").orderBy(col("step"))
@@ -6161,9 +6159,6 @@ object PipelineQueries {
     * (no distinct exchange). Dead ends cannot exist (bipartite:
     * every frontier node arrived via an edge). */
   val q266: Q = (s, d) => {
-    // no pin on the edge projection: its two consumers (the by-part and
-    // by-user folds) each re-run a broadcast join + scan (~0.3 s)
-    // where a 600k-row pin write alone costs more and adds a job
     val ep = t(s, d, "orders")
       .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("u"), col("l_partkey").as("p"))
@@ -6178,7 +6173,13 @@ object PipelineQueries {
         lit("|"), nxt.cast("string")))
     // per-part choices for steps 1 and 3 in ONE fold; per-user for 2;
     // argmin = min over the (hash, id) long struct — the oracle's
-    // ORDER BY (h52, id) stated as a partial-aggregable fold
+    // ORDER BY (h52, id) stated as a partial-aggregable fold.
+    // r14 measured-negative note: a tag-exploded SINGLE fold (each edge
+    // emitted in both orientations, one exchange, conditional mins)
+    // benched 1.62 → 2.62 s — the explode + 3-struct-wide partial rows
+    // cost more than the second scan+join pass it saved; the two-fold
+    // form stays (as does the no-pin choice on ep: a 600k-row pin write
+    // alone costs more and adds a job).
     val byP = ep.groupBy(col("p"))
       .agg(min(struct(h52(1, col("p"), col("u")).as("h"),
           col("u").as("id"))).as("m1"),

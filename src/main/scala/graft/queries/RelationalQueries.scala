@@ -1895,14 +1895,21 @@ object RelationalQueries {
   /** q297's pinned basket relation: per order the sorted item set and
     * the is_post split flag — shared by the model and eval legs. */
   def q297Baskets(s: SparkSession, d: String): DataFrame =
+    // r14: fold lineitem ALONE (the one corpus exchange, two narrow
+    // columns) and attach is_post to the FOLDED orders-sized relation —
+    // the r13 form joined `us` onto every lineitem row before the fold
+    // and carried max(us≥cut) through it, paying the join and the extra
+    // column at corpus width for a per-ORDER constant (guide §2.3:
+    // project before the exchange / join small relations after the fold)
     graft.core.Pins.pin(
       t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
         .join(t(s, d, "orders").select(col("o_orderkey").as("l_orderkey"),
           unix_micros(col("o_orderdate")).as("us")), Seq("l_orderkey"))
         .crossJoin(q297Cut(s, d))
-        .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"),
-          max((col("us") >= col("cut")).cast("long")).as("is_post")))
+        .select(col("l_orderkey"), col("ps"),
+          (col("us") >= col("cut")).cast("long").as("is_post")))
 
   /** q297's MODEL leg alone — the top-3 co-item rec list trained on
     * pre-cutoff baskets: `(i, rank, j)`. At 100 TB this is a STORED
@@ -1942,7 +1949,10 @@ object RelationalQueries {
     // test membership with array_contains — no (order, item) join ever
     // shuffles (the first cut's left-semi on (orderkey, j) planned two
     // extra exchanges for the same answer)
-    val evalPairs = graft.core.Pins.pin(
+    // r14: no pin — evalPairs has exactly ONE consumer (the fold below),
+    // so the r13 localCheckpoint was a pure extra materialization job +
+    // block write of an eval-pairs-sized relation for nothing
+    val evalPairs = (
       baskets.filter(col("is_post") === 1L && size(col("ps")) > 1)
         .select(col("l_orderkey"), col("ps"), explode(col("ps")).as("i"))
         .join(broadcast(recs.groupBy(col("i"))
@@ -1989,6 +1999,10 @@ object RelationalQueries {
     q297Eval(post, recs)
   }
 
+  // r14 note: a pre/post SPLIT fold (filter each side before its own
+  // fold, no pin) was measured at 2.25 s vs the pinned single fold's
+  // 1.66 s — the second scan+join outweighs the checkpoint round-trip
+  // at this shape, so the pin stays and the fold got narrower instead.
   val q297: Q = (s, d) => {
     val baskets = q297Baskets(s, d)
     q297Eval(baskets, q297Model(baskets))

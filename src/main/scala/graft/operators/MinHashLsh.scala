@@ -58,12 +58,7 @@ object MinHashLsh {
     // planning of the input on the driver during query construction.
     // Non-file inputs (in-memory test relations) report zero files and
     // are left alone: LocalTableScan already spreads its rows.
-    val sc = docs.sparkSession.sparkContext
-    val nFiles = docs.inputFiles.length
-    val spread =
-      if (nFiles > 0 && nFiles < sc.defaultParallelism)
-        docs.repartition(sc.defaultParallelism)
-      else docs
+    val spread = spreadSmallInput(docs)
     val sh = TextOps.shinglesNative(col("text"), shingleN)
     // Fused band-key kernel: minhash family computed ONCE per row even
     // under the explode (GenerateExec does no subexpression
@@ -74,6 +69,26 @@ object MinHashLsh {
     val shh = spread.select(col("doc_id"),
       array_sort(array_distinct(transform(sh, x => xxhash64(x)))).as("shh"))
     candidateVerify(slim, shh, minJaccard)
+  }
+
+  /** Round-robin spread for SINGLE-SPLIT inputs feeding a per-row
+    * kernel (r14, extracted from [[nearDup]] so sibling queries can
+    * reuse it): a single-file corpus runs the whole kernel scan in ONE
+    * task (file-split = scan parallelism; the fixture tables are
+    * single-row-group parquet, unsplittable below one task). Spread it
+    * round-robin first — the exchange is reused by every downstream
+    * consumer, so the payload shuffles once. At warehouse scale inputs
+    * arrive in thousands of splits and this is a no-op (no extra
+    * shuffle). The decision reads `inputFiles` — file-listing METADATA
+    * off the analyzed plan — not `docs.rdd`, which would force physical
+    * planning on the driver during query construction. Non-file inputs
+    * (in-memory test relations) report zero files and are left alone. */
+  def spreadSmallInput(docs: DataFrame): DataFrame = {
+    val sc = docs.sparkSession.sparkContext
+    val nFiles = docs.inputFiles.length
+    if (nFiles > 0 && nFiles < sc.defaultParallelism)
+      docs.repartition(sc.defaultParallelism)
+    else docs
   }
 
   /** Ingest-time signature computation: `(doc_id, shh ARRAY<LONG>,

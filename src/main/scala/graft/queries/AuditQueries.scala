@@ -468,6 +468,13 @@ object AuditQueries {
     * the funnel collapses to one scan of the verdict table — this query
     * IS that table's initial build. */
   val q121: Q = (s, d) => {
+    // (r14 measured-negative: spreading the corpus before this pin —
+    // the q144 pattern — benched 0.93 → ~3.2 s. The checkpoint then
+    // materializes 32 partitions, and because a checkpointed LogicalRDD
+    // has FIXED partitioning AQE cannot coalesce it back, so all four
+    // gate subtrees and the 4-way funnel join ran ~19 jobs of 32 tiny
+    // tasks each — dispatch swamped the parallelized kernels. The
+    // single-partition pin stays.)
     val base = graft.core.Pins.pin(t(s, d, "documents")
       .select(col("doc_id"), col("source"), col("text")))
     // gate 1: Gopher rule bundle (q102's integer rules, pass == all four)

@@ -56,6 +56,10 @@ object MiningQueries {
     * (tDen·inter ≥ tNum·union); the oracle replays df-ranking, prefix
     * slicing and the intersection verify list-for-list. */
   val q159: Q = (s, d) => {
+    // (r14 measured-negative: the spreadSmallInput round-robin before
+    // the shingle kernel A/B'd 1.27 → 1.57 s — the operator pins
+    // internally and the multi-partition checkpoint floods downstream
+    // stages with tiny tasks, the q121 lesson. Left unspread.)
     val docs = t(s, d, "documents")
       .select(col("doc_id"),
         graft.functions.TextOps.shinglesNative(col("text"), 5).as("toks"))

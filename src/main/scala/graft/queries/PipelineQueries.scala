@@ -4447,6 +4447,9 @@ object PipelineQueries {
     // custkey partitioning), exclusion is an array_contains filter,
     // and the rank window reuses the SAME partitioning — ONE
     // fact-sized Exchange total, no (user, part) pair-key shuffle
+    // (r14: an explicit pre-fold repartition — the q297 discipline —
+    // A/B'd NEUTRAL here (best 1.48 vs 1.54); reverted to keep the
+    // map-side partial collapse the raw-row exchange forfeits at scale.)
     val posSets = t(s, d, "orders")
       .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_custkey"))
@@ -6159,6 +6162,11 @@ object PipelineQueries {
     * (no distinct exchange). Dead ends cannot exist (bipartite:
     * every frontier node arrived via an edge). */
   val q266: Q = (s, d) => {
+    // (r14 measured-negative: a round-robin spread of ep before the
+    // folds — the MinHashLsh single-split pattern — benched 1.62 →
+    // 2.73 s: keyless repartition pays a local sort of its input
+    // (guide §2.5) and the extra exchange outweighs the parallelized
+    // partial-agg digests. The two-fold no-pin form below stays.)
     val ep = t(s, d, "orders")
       .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("u"), col("l_partkey").as("p"))

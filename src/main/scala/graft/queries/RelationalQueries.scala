@@ -1820,6 +1820,10 @@ object RelationalQueries {
     // they have no pairs), and the per-part counts derive from the same
     // pinned fold, so the incidence never re-keys through a self-join's
     // two orderkey exchanges
+    // (r14: an explicit pre-fold repartition — the q297 discipline —
+    // was measured NEUTRAL here after reference-normalization: the
+    // pair explode downstream is already parallel, and the raw-row
+    // exchange forfeits the map-side partial collapse. Left as-is.)
     val baskets = graft.core.Pins.pin(
       t(s, d, "lineitem").groupBy(col("l_orderkey"))
         .agg(sort_array(collect_set(col("l_partkey"))).as("ps")))
@@ -1901,8 +1905,20 @@ object RelationalQueries {
     // and carried max(us≥cut) through it, paying the join and the extra
     // column at corpus width for a per-ORDER constant (guide §2.3:
     // project before the exchange / join small relations after the fold)
+    // r14 second cut: make the fold's exchange EXPLICIT with the
+    // session's configured partition count — AQE's small-shuffle
+    // coalescing otherwise folds the tiny-BYTES shuffle to one
+    // partition, which serializes the collect_set AND leaves the
+    // checkpoint single-partition, so the model and eval legs (the
+    // CPU-heavy pair explodes) each ran in ONE task. An explicit
+    // REPARTITION_BY_NUM is exempt from coalescing and is reused by
+    // the groupBy (same key — no extra exchange); N follows
+    // spark.sql.shuffle.partitions, so at scale this is exactly the
+    // exchange the fold had anyway.
     graft.core.Pins.pin(
       t(s, d, "lineitem")
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("l_orderkey"))
         .groupBy(col("l_orderkey"))
         .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
         .join(t(s, d, "orders").select(col("o_orderkey").as("l_orderkey"),

@@ -407,7 +407,14 @@ object StatQueries {
     * At 100 TB this rides the stored band table exactly like q19. */
   val q136: Q = (s, d) => {
     val sh = TextOps.shinglesNative(col("text"), 3)
-    val docs = t(s, d, "documents")
+    // r14: spread the single-split corpus before the two kernel scans
+    // (the nearDup pattern — both consumers reuse ONE text exchange,
+    // and the shingle kernels run parallel instead of in one task;
+    // no-op at scale). A shared-signature-pin rewrite was measured
+    // NEGATIVE here (1.11 → 1.55 s: checkpoint write of corpus-sized
+    // shh+mh arrays exceeds the saved second kernel scan).
+    val docs = graft.operators.MinHashLsh.spreadSmallInput(
+      t(s, d, "documents"))
     val slim = docs.select(col("doc_id"),
       explode(TextOps.bandKeysNative(sh, 4, 2)).as("bk"))
     val shh = docs.select(col("doc_id"),
@@ -883,8 +890,13 @@ object StatQueries {
     * Mean |error| aggregates exact per-pair values rounded at the
     * boundary. */
   val q144: Q = (s, d) => {
+    // r14: spread the single-split corpus before the signature kernel —
+    // the pin job ran the whole shingle+minhash scan in ONE task
+    // (probe: 0.92–0.99 s of q144's 1.31 s wall); the spread is the
+    // [[graft.operators.MinHashLsh.nearDup]] pattern, a no-op at scale
     val sig = graft.core.Pins.pin(graft.operators.MinHashLsh.signatures(
-      t(s, d, "documents"), numHashes = 8, shingleN = 3)
+      graft.operators.MinHashLsh.spreadSmallInput(t(s, d, "documents")),
+      numHashes = 8, shingleN = 3)
       .filter(col("mh").isNotNull))
     // candidates from the band table (the production candidate set)
     val bands = graft.operators.MinHashLsh.bandTable(sig, 4, 2)

@@ -214,6 +214,14 @@ object PlanAuditSpec {
     // q139: one corpus count fold; base/rem/leftover/rank are all
     // SOURCES-sized Hamilton arithmetic
     "q139_quota_holdout" -> 8,
+    // q136 (r14): 4 audited + the 2 gated spreadSmallInput round-robin
+    // exchanges (the single-split corpus otherwise runs both shingle
+    // kernel scans in ONE task — measured 1.11 → 0.52 s; column
+    // pruning splits the spread into two pruned exchanges, and the
+    // nFiles<parallelism gate makes both a NO-OP at warehouse scale,
+    // so the extra text shuffles exist only where the corpus is one
+    // split)
+    "q136_containment" -> 6,
     // q140: the q19 band machinery (audited there at 8); the sweep
     // itself adds only a one-row conditional-sum agg
     "q140_threshold_sweep" -> 8,

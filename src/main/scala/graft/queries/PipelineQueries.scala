@@ -3387,7 +3387,11 @@ object PipelineQueries {
   }
 
   val q103: Q = (s, d) => {
-    val fp = t(s, d, "documents").filter(length(col("text")) >= 5)
+    // r14: spread the single-split corpus before the winnowing kernel
+    // (one rolling-min md5 per character position — the heaviest
+    // per-row kernel on the text shelf; q136 pattern, no pin downstream)
+    val fp = graft.operators.MinHashLsh.spreadSmallInput(
+        t(s, d, "documents")).filter(length(col("text")) >= 5)
       .select(col("doc_id"),
         explode(TextOps.winnowFingerprints(col("text"), 5, 4)).as("fp"))
     fp.withColumn("nd", count(lit(1)).over(Window.partitionBy(col("fp"))))
@@ -8256,9 +8260,15 @@ object PipelineQueries {
     "n_chars" -> col("n_chars"))
 
   val q293: Q = (s, d) => {
+    // r14: spread the single-split orders scan — its melt feeds ~900k
+    // of the query's ~925k md5-52 digests through the scan-local
+    // partial agg, all in ONE task otherwise (the q136 spread pattern:
+    // kernel-heavy, no pin downstream; no-op at scale)
     val docs = checksumMelt(t(s, d, "documents"), "documents",
       documentsChecksumCols)
-    val ords = checksumMelt(t(s, d, "orders"), "orders", Seq(
+    val ords = checksumMelt(
+      graft.operators.MinHashLsh.spreadSmallInput(t(s, d, "orders")),
+      "orders", Seq(
       "o_orderkey" -> col("o_orderkey"), "o_custkey" -> col("o_custkey"),
       "o_orderstatus" -> col("o_orderstatus"),
       "o_totalprice" -> expr("CAST(round(o_totalprice * 100) AS BIGINT)"),

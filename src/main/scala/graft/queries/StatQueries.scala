@@ -787,6 +787,7 @@ object StatQueries {
     * ingest sketches). Truncation loses ≤ states·its micro-units of
     * mass — reported, not hidden: masses sum to ≤ 1e6 exactly. */
   val q142: Q = (s, d) => {
+    import s.implicits._
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val trans = t(s, d, "events")
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
@@ -794,18 +795,29 @@ object StatQueries {
       .filter(col("prev").isNotNull)
       .groupBy(col("prev"), col("event_type").as("next"))
       .agg(count(lit(1)).as("n"))
-    val tp = graft.core.Pins.pin(
-      trans.join(trans.groupBy(col("prev")).agg(sum(col("n")).as("rs")), "prev"))
-    val states = tp.select(col("prev").as("state")).distinct()
-    val nStates = states.count()
-    var p = states.withColumn("p", lit(1000000L / nStates))
+    // r14 (the q211 driver-replay discipline): the transition matrix is
+    // STATES²-sized (event types — tens of rows at any corpus size), so
+    // the three power iterations replay in driver Scala with the SAME
+    // integer arithmetic ((p·n) div rs per edge, summed by next state)
+    // instead of the r13 chain of a count job + a pin + three
+    // join+fold jobs over a ≤100-row relation. ONE corpus job (the lag
+    // window + fold) remains; only the model-sized matrix crosses the
+    // driver. Oracle (p0→p3 CTE chain) untouched.
+    val tp = trans.as[(String, String, Long)].collect()
+    val rs = tp.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val states = tp.map(_._1).distinct.sorted
+    var p: Map[String, Long] =
+      states.map(_ -> 1000000L / states.length).toMap
     for (_ <- 1 to 3) {
-      p = tp.join(broadcast(p.withColumnRenamed("state", "prev")), "prev")
-        .select(col("next").as("state"),
-          expr("(p * n) div rs").as("m"))
-        .groupBy(col("state")).agg(sum(col("m")).as("p"))
+      val nx = scala.collection.mutable.Map.empty[String, Long]
+      tp.foreach { case (prev, next, n) =>
+        p.get(prev).foreach { pv =>
+          nx(next) = nx.getOrElse(next, 0L) + pv * n / rs(prev)
+        }
+      }
+      p = nx.toMap
     }
-    p.select(col("state"), col("p").as("p_micro")).orderBy(col("state"))
+    p.toSeq.sortBy(_._1).toDF("state", "p_micro").orderBy(col("state"))
   }
 
   val q142Sql: String =

@@ -641,8 +641,11 @@ object AuditQueries {
     * The signature relation is pinned (band explode + two verify joins
     * consume it). */
   val q123: Q = (s, d) => {
+    // r14: spread the single-split corpus before the signature kernel
+    // (the q144 A/B-proven pattern; no-op at scale)
     val sig = graft.core.Pins.pin(graft.operators.MinHashLsh.signatures(
-      t(s, d, "documents").select(col("doc_id"), col("text")), 8, 3))
+      graft.operators.MinHashLsh.spreadSmallInput(
+        t(s, d, "documents").select(col("doc_id"), col("text"))), 8, 3))
     val bt = graft.operators.MinHashLsh.bandTable(sig, 4, 2)
     val cand = bt.as("a").hint("merge")
       .join(bt.as("b").hint("merge"),

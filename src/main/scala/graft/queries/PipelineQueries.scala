@@ -879,7 +879,11 @@ object PipelineQueries {
     * proportional to the BATCH: only its slim band rows shuffle, the
     * corpus side reads its bucketed band table in place. */
   val q55: Q = (s, d) => {
-    val docs = t(s, d, "documents")
+    // r14: spread the single-split corpus once — both halves' signature
+    // kernels (computed twice each: band table + verify) read the one
+    // round-robin exchange in parallel (q144 pattern; no-op at scale)
+    val docs = graft.operators.MinHashLsh.spreadSmallInput(
+      t(s, d, "documents"))
     val stored = graft.operators.MinHashLsh.signatures(
       docs.filter(col("doc_id") % 2 === 0), 8, 3)
     val incoming = graft.operators.MinHashLsh.signatures(
@@ -1099,6 +1103,9 @@ object PipelineQueries {
     * window partition linearly; the remedy is a q49-style two-phase
     * count at the cost of the second scan. */
   val q61: Q = (s, d) => {
+    // (r14: the spreadSmallInput round-robin measured NEGATIVE here —
+    // ~0.65 → ~0.92 s reference-normalized; the exploded-shingle window
+    // dominates and the extra text exchange buys nothing. Unspread.)
     val sh = t(s, d, "documents")
       .select(col("doc_id"), explode(TextOps.shinglesNative(col("text"), 5)).as("s"))
     sh.withColumn("nd", count(lit(1)).over(Window.partitionBy(col("s"))))
@@ -1800,6 +1807,10 @@ object PipelineQueries {
     * and fall to the spillable SMJ path, with block count vs radius
     * the pigeonhole dial (k+1 blocks cover hamming ≤ k). */
   val q192: Q = (s, d) => {
+    // (r14: spreadSmallInput before this pin measured NEGATIVE —
+    // ~0.32 → ~0.71 s reference-normalized: the multi-partition
+    // checkpoint floods the block self-join stages with tiny tasks,
+    // the q121 lesson. Unspread.)
     val sig = graft.core.Pins.pin(
       t(s, d, "documents")
         .select(col("doc_id"),
@@ -3552,6 +3563,7 @@ object PipelineQueries {
     * same first-occurrence statistic q104 maintains for terms — and
     * the incremental form is a bloom/band lookup against the store. */
   val q106: Q = (s, d) => {
+    // (r14: spreadSmallInput measured NEGATIVE here, the q61 result)
     val sh = t(s, d, "documents")
       .select(col("doc_id"), explode(TextOps.shinglesNative(col("text"), 3)).as("sg"))
     sh.withColumn("first_doc", min(col("doc_id")).over(Window.partitionBy(col("sg"))))

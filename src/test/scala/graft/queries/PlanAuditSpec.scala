@@ -214,6 +214,12 @@ object PlanAuditSpec {
     // q139: one corpus count fold; base/rem/leftover/rank are all
     // SOURCES-sized Hamilton arithmetic
     "q139_quota_holdout" -> 8,
+    // q55 (r14): 4 audited + the 2 gated spreadSmallInput round-robin
+    // exchanges (one per filtered half's kernel subtree after column
+    // pruning splits the spread; same A/B-proven rationale and the
+    // same nFiles<parallelism no-op-at-scale gate as q136 below;
+    // measured 0.89 → 0.66 s)
+    "q55_incremental_neardup" -> 6,
     // q136 (r14): 4 audited + the 2 gated spreadSmallInput round-robin
     // exchanges (the single-split corpus otherwise runs both shingle
     // kernel scans in ONE task — measured 1.11 → 0.52 s; column

@@ -15,23 +15,46 @@ object ProbeAB {
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // ---- q297: fold WITHOUT vs WITH the explicit pre-fold repartition
-    def basketsNoRep: DataFrame = graft.core.Pins.pin(
+    // ---- q297: FULL r13 form (wide fold, join before, eval pin) vs HEAD
+    def basketsR13: DataFrame = graft.core.Pins.pin(
       tbl("lineitem")
-        .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
         .join(tbl("orders").select(col("o_orderkey").as("l_orderkey"),
           unix_micros(col("o_orderdate")).as("us")), Seq("l_orderkey"))
         .crossJoin(broadcast(tbl("orders")
           .agg(min(unix_micros(col("o_orderdate"))).as("t0"),
             max(unix_micros(col("o_orderdate"))).as("t1"))
           .select(expr("t0 + (t1 - t0) * 7 div 10").as("cut"))))
-        .select(col("l_orderkey"), col("ps"),
-          (col("us") >= col("cut")).cast("long").as("is_post")))
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"),
+          max((col("us") >= col("cut")).cast("long")).as("is_post")))
     def q297A(): Unit = {
-      val b = basketsNoRep
-      noop(graft.queries.RelationalQueries.q297Eval(b,
-        graft.queries.RelationalQueries.q297Model(b)))
+      val b = basketsR13
+      val recs = graft.queries.RelationalQueries.q297Model(b)
+      val evalPairs = graft.core.Pins.pin(
+        b.filter(col("is_post") === 1L && size(col("ps")) > 1)
+          .select(col("l_orderkey"), col("ps"), explode(col("ps")).as("i"))
+          .join(broadcast(recs.groupBy(col("i"))
+            .agg(sort_array(collect_list(struct(col("rank"), col("j"))))
+              .as("rl"))), Seq("i"), "left")
+          .select(col("l_orderkey"), col("i"),
+            col("rl").isNotNull.cast("long").as("has_recs"),
+            expr("""coalesce(aggregate(rl, CAST(99 AS BIGINT), (acc, r) ->
+                    CASE WHEN array_contains(ps, r.j) AND r.rank < acc
+                         THEN r.rank ELSE acc END), CAST(99 AS BIGINT))""")
+              .as("min_rank")))
+      noop(evalPairs.agg(count(lit(1)).as("n_eval"),
+        sum(col("has_recs")).as("n_covered"),
+        sum(when(col("min_rank") <= 1L, 1L).otherwise(0L)).as("h1"),
+        sum(when(col("min_rank") <= 2L, 1L).otherwise(0L)).as("h2"),
+        sum(when(col("min_rank") <= 3L, 1L).otherwise(0L)).as("h3"))
+        .select(col("n_eval"), col("n_covered"),
+          col("h1").as("hits_at_1"), col("h2").as("hits_at_2"),
+          col("h3").as("hits_at_3"),
+          expr("n_covered * 1000000 div greatest(1, n_eval)")
+            .as("coverage_ppm"),
+          expr("h1 * 1000000 div greatest(1, n_covered)").as("hit1_ppm"),
+          expr("h2 * 1000000 div greatest(1, n_covered)").as("hit2_ppm"),
+          expr("h3 * 1000000 div greatest(1, n_covered)").as("hit3_ppm")))
     }
     def q297B(): Unit =
       noop(graft.queries.RelationalQueries.q297(s, d)) // current = with repartition

@@ -113,6 +113,11 @@ object CorpusIngest {
     }
     val out = accepted.select(col("doc_id"), col("shh"), col("mh"), col("__md5"))
       .localCheckpoint() // materialize BEFORE appending to the dir we read
+    // r14: `out` was sigAll's LAST consumer — free the tier-2/3 shared
+    // signature blocks now, or an unbounded stream strands one
+    // batch-sized checkpoint per micro-batch (the VectorIngest
+    // semanticDedupBatch leak class, fixed the same way)
+    graft.core.Pins.releaseCheckpoint(sigAll)
     // band rows append BEFORE the signature store, deliberately: a crash
     // between the two writes then leaves orphan band rows, which are
     // harmless (candidates verify against storedSig by inner join, and
@@ -145,8 +150,12 @@ object CorpusIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        ingestBatch(batch, sigDir, bands, rowsPerBand, shingleN,
-          numHashes, minJaccard, scrubPii, bandTableName): Unit
+        // the batch's writes happen inside ingestBatch; the returned
+        // checkpoint is this stream's last reference — free it (r14,
+        // the VectorIngest isotropyBatch pattern)
+        graft.core.Pins.releaseCheckpoint(
+          ingestBatch(batch, sigDir, bands, rowsPerBand, shingleN,
+            numHashes, minJaccard, scrubPii, bandTableName))
       }
       .start()
 
@@ -214,6 +223,8 @@ object CorpusIngest {
       .select(col("sg"), col("doc_id").as("first_doc"))
       .localCheckpoint()
     newFirsts.write.mode(SaveMode.Append).parquet(shDir)
+    // r14: the store append was newFirsts' only consumer — free it
+    graft.core.Pins.releaseCheckpoint(newFirsts)
     out
   }
 
@@ -295,7 +306,9 @@ object CorpusIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        kmvBatch(batch, skDir, k): Unit
+        // the swap write happens inside kmvBatch; free the returned
+        // checkpoint (r14 leak sweep)
+        graft.core.Pins.releaseCheckpoint(kmvBatch(batch, skDir, k))
       }
       .start()
 
@@ -341,8 +354,11 @@ object CorpusIngest {
         Seq("doc_id"), "left_anti")
       case None => ch
     }
-    newPairs.select(col("doc_id"), col("h")).distinct()
-      .localCheckpoint().write.mode(SaveMode.Append).parquet(chDir)
+    val appended = newPairs.select(col("doc_id"), col("h")).distinct()
+      .localCheckpoint()
+    appended.write.mode(SaveMode.Append).parquet(chDir)
+    // r14: the append was this checkpoint's only consumer — free it
+    graft.core.Pins.releaseCheckpoint(appended)
     // score THIS batch against the store (now containing it), pruned to
     // the batch's chunk hashes before any counting
     val batchHashes = ch.select(col("h")).distinct()
@@ -371,8 +387,12 @@ object CorpusIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        chunkBatch(batch, chDir, chunkTokens)
-          .write.mode(SaveMode.Append).parquet(outDir): Unit
+        val verdicts = chunkBatch(batch, chDir, chunkTokens)
+        verdicts.write.mode(SaveMode.Append).parquet(outDir)
+        // frees the batch's chunk-hash checkpoint riding the verdict
+        // lineage (r14 leak sweep — releaseCheckpoint unpersists every
+        // LogicalRDD leaf of the consumed frame)
+        graft.core.Pins.releaseCheckpoint(verdicts)
       }
       .start()
 
@@ -389,8 +409,9 @@ object CorpusIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        noveltyBatch(batch, shDir, shingleN)
-          .write.mode(SaveMode.Append).parquet(outDir): Unit
+        val nov = noveltyBatch(batch, shDir, shingleN)
+        nov.write.mode(SaveMode.Append).parquet(outDir)
+        graft.core.Pins.releaseCheckpoint(nov) // r14 leak sweep
       }
       .start()
 
@@ -484,7 +505,9 @@ object CorpusIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        merkleBatch(batch, fpDir, batchId): Unit
+        // the swap write happens inside merkleBatch; free the returned
+        // checkpoint (r14 leak sweep)
+        graft.core.Pins.releaseCheckpoint(merkleBatch(batch, fpDir, batchId))
       }
       .start()
 

@@ -163,8 +163,13 @@ object EventStream {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        driftPsiBatch(batch, distDir, hourUs).collect()
-          .foreach(r => onAlarm(r.getLong(0), r.getDouble(1)))
+        val scored = driftPsiBatch(batch, distDir, hourUs)
+        val rows = scored.collect()
+        // frees the batch's closed-window checkpoint riding the scored
+        // lineage (r14 leak sweep — one stranded checkpoint per
+        // micro-batch otherwise)
+        graft.core.Pins.releaseCheckpoint(scored)
+        rows.foreach(r => onAlarm(r.getLong(0), r.getDouble(1)))
       }
       .start()
   }
@@ -200,8 +205,10 @@ object EventStream {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        driftPsiBatch(batch, distDir, hourUs, keyCol = "bucket").collect()
-          .foreach(r => onAlarm(r.getLong(0), r.getDouble(1)))
+        val scored = driftPsiBatch(batch, distDir, hourUs, keyCol = "bucket")
+        val rows = scored.collect()
+        graft.core.Pins.releaseCheckpoint(scored) // r14 leak sweep
+        rows.foreach(r => onAlarm(r.getLong(0), r.getDouble(1)))
       }
       .start()
   }
@@ -314,8 +321,10 @@ object EventStream {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        seasonalBatch(batch, hoursDir).filter(col("spike") === 1).collect()
-          .foreach(r => onAlarm(r.getLong(0), r.getDouble(4)))
+        val scored = seasonalBatch(batch, hoursDir)
+        val rows = scored.filter(col("spike") === 1).collect()
+        graft.core.Pins.releaseCheckpoint(scored) // r14 leak sweep
+        rows.foreach(r => onAlarm(r.getLong(0), r.getDouble(4)))
       }
       .start()
 
@@ -648,8 +657,10 @@ object EventStream {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        burstBatch(batch, hoursDir).filter(col("burst") === 1).collect()
-          .foreach(r => onAlarm(r.getLong(0), r.getDouble(3)))
+        val scored = burstBatch(batch, hoursDir)
+        val rows = scored.filter(col("burst") === 1).collect()
+        graft.core.Pins.releaseCheckpoint(scored) // r14 leak sweep
+        rows.foreach(r => onAlarm(r.getLong(0), r.getDouble(3)))
       }
       .start()
 

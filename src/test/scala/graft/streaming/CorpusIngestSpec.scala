@@ -122,6 +122,27 @@ class CorpusIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming form strands no checkpoint blocks per micro-batch (r14 leak sweep)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = CorpusIngest.start(docs, s"$dir/sig", s"$dir/ckpt",
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      input.addData((1L, baseText), (4L, distinctText))
+      q.processAllAvailable()
+      input.addData((11L, baseText), (13L, "brand new content entirely"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the per-batch sigAll and out checkpoints must both be freed — an
+    // unbounded stream otherwise strands two block-manager entries per
+    // micro-batch (the VectorIngest semanticDedupBatch leak class)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"stranded checkpoint RDDs: $leaked")
+  }
+
   test("scrubPii: redaction runs before hashing, so PII-only variants dedup") {
     val sigDir = tmp() + "/sig"
     // same document text, differing ONLY in the embedded email — after

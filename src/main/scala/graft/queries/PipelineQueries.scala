@@ -4288,6 +4288,15 @@ object PipelineQueries {
       .select(col("vec_id"), col("v"), expr(dot.format("v", "pv")).as("rel"))
       .orderBy(col("rel").desc, col("vec_id")).limit(32)
       .as[(Long, Seq[Long], Long)].collect()
+    // ragged-input guard (r14 ADVICE): the SQL `dot` above null-pads
+    // mismatched lengths to a NULL sum while `ldot` truncates — equal
+    // dims on the shortlist is the invariant that keeps the driver
+    // greedy's penalties bit-identical to the relevance scan's, so a
+    // violation must fail loudly here, not diverge silently downstream
+    require(cand.map(_._2.length).distinct.size <= 1,
+      s"q211: ragged embedding dims on the shortlist " +
+        s"(${cand.map(_._2.length).distinct.sorted.mkString(",")}) — the " +
+        "quantized-dot arithmetic assumes fixed-dimension vectors")
     // exact integer dot — identical to the quantized BIGINT `dot` expr
     // above (same Long mult-add, no float anywhere)
     def ldot(a: Seq[Long], b: Seq[Long]): Long = {

@@ -28,6 +28,14 @@ object StatQueries {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  /** Runtime-conf key: transition-row ceiling for q142's driver-side
+    * power-iteration replay (default 100,000 ≈ a 316-state chain; the
+    * matrix is |event_types|² — a DATA property, so it is enforced, not
+    * assumed: the [[graft.operators.DedupClusters.LocalEdgeLimitKey]]
+    * discipline). Matrices over the limit take the r13 distributed
+    * broadcast-join iteration unchanged. */
+  val MarkovLocalTransLimitKey = "graft.markov.localTransLimit"
+
   /** DuckDB rendering of "first 13 md5 hex digits as an exact double"
     * (Spark side: `conv(substring(h,1,13),16,10)` cast to double) — the
     * q112 construction: each digit term is exact, every partial sum is
@@ -803,21 +811,54 @@ object StatQueries {
     // join+fold jobs over a ≤100-row relation. ONE corpus job (the lag
     // window + fold) remains; only the model-sized matrix crosses the
     // driver. Oracle (p0→p3 CTE chain) untouched.
-    val tp = trans.as[(String, String, Long)].collect()
-    val rs = tp.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
-    val states = tp.map(_._1).distinct.sorted
-    var p: Map[String, Long] =
-      states.map(_ -> 1000000L / states.length).toMap
-    for (_ <- 1 to 3) {
-      val nx = scala.collection.mutable.Map.empty[String, Long]
-      tp.foreach { case (prev, next, n) =>
-        p.get(prev).foreach { pv =>
-          nx(next) = nx.getOrElse(next, 0L) + pv * n / rs(prev)
+    //
+    // r15 gate (the DedupClusters discipline, round-14 verdict): the
+    // states² bound is a DATA property (event-type cardinality), not a
+    // structural one, so the collect is capped. take(limit+1) is ONE
+    // job: ≤ limit rows back IS the whole matrix; limit+1 rows proves
+    // it's over the gate without collecting the rest, and the r13
+    // distributed iteration below runs unchanged (slower, never
+    // unbounded on the driver).
+    val localLimit = s.conf.getOption(MarkovLocalTransLimitKey)
+      .map(_.toInt).getOrElse(100000)
+    val tp = trans.as[(String, String, Long)].take(localLimit + 1)
+    if (tp.isEmpty) {
+      // no transitions (e.g. one event per user): the oracle's p3 CTE
+      // is empty too — short-circuit instead of dividing 1e6 by zero
+      // states (r14 ADVICE)
+      Seq.empty[(String, Long)].toDF("state", "p_micro")
+    } else if (tp.length <= localLimit) {
+      val rs = tp.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+      val states = tp.map(_._1).distinct.sorted
+      var p: Map[String, Long] =
+        states.map(_ -> 1000000L / states.length).toMap
+      for (_ <- 1 to 3) {
+        val nx = scala.collection.mutable.Map.empty[String, Long]
+        tp.foreach { case (prev, next, n) =>
+          p.get(prev).foreach { pv =>
+            nx(next) = nx.getOrElse(next, 0L) + pv * n / rs(prev)
+          }
         }
+        p = nx.toMap
       }
-      p = nx.toMap
+      p.toSeq.sortBy(_._1).toDF("state", "p_micro").orderBy(col("state"))
+    } else {
+      // over-gate fallback: the r13 distributed loop, verbatim — the
+      // matrix stays in the cluster, each iteration is a broadcast
+      // join + fold over the pinned transition relation
+      val tpd = graft.core.Pins.pin(
+        trans.join(trans.groupBy(col("prev")).agg(sum(col("n")).as("rs")), "prev"))
+      val states = tpd.select(col("prev").as("state")).distinct()
+      val nStates = states.count()
+      var p = states.withColumn("p", lit(1000000L / nStates))
+      for (_ <- 1 to 3) {
+        p = tpd.join(broadcast(p.withColumnRenamed("state", "prev")), "prev")
+          .select(col("next").as("state"),
+            expr("(p * n) div rs").as("m"))
+          .groupBy(col("state")).agg(sum(col("m")).as("p"))
+      }
+      p.select(col("state"), col("p").as("p_micro")).orderBy(col("state"))
     }
-    p.toSeq.sortBy(_._1).toDF("state", "p_micro").orderBy(col("state"))
   }
 
   val q142Sql: String =

@@ -116,7 +116,13 @@ object CorpusIngest {
     // r14: `out` was sigAll's LAST consumer — free the tier-2/3 shared
     // signature blocks now, or an unbounded stream strands one
     // batch-sized checkpoint per micro-batch (the VectorIngest
-    // semanticDedupBatch leak class, fixed the same way)
+    // semanticDedupBatch leak class, fixed the same way).
+    // PRECONDITION (r14 ADVICE): `localCheckpoint()` above is the EAGER
+    // overload — `out`'s blocks are already materialized when sigAll is
+    // freed here. A switch to `localCheckpoint(eager = false)` would
+    // make the band/sig writes below recompute `out` against freed
+    // parent blocks and fail at runtime; keep the checkpoint eager (or
+    // move this release after the last write) if that ever changes.
     graft.core.Pins.releaseCheckpoint(sigAll)
     // band rows append BEFORE the signature store, deliberately: a crash
     // between the two writes then leaves orphan band rows, which are

@@ -517,6 +517,11 @@ object AuditQueries {
       .join(broadcast(bench), "g")
       .select(col("doc_id")).distinct()
       .withColumn("f_contam", lit(1L))
+    // (r15 measured-negative: replacing these four LEFT JOINs with a
+    // union of failing-doc tag rows + one (doc_id) pivot fold + a
+    // single spine join A/B'd 1.21 → 1.41 s best-of-7 — the union's
+    // doc_id exchange costs more than four broadcast-hash probes of
+    // gate-output-sized relations. The join tail stays.)
     base.select(col("doc_id"), col("source"))
       .join(gopher, Seq("doc_id"), "left")
       .join(dup, Seq("doc_id"), "left")
@@ -766,9 +771,16 @@ object AuditQueries {
         .union(pairs.select(col("b_id").as("doc_id")))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("degree")))
     val hist = deg.groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
-    val zero = t(s, d, "documents").select(col("doc_id"))
-      .join(deg, Seq("doc_id"), "left_anti")
-      .agg(count(lit(1)).as("n_docs"))
+    // r15: the degree-0 count is ARITHMETIC, not an anti-join — deg has
+    // one row per doc_id with a neighbor (its doc_ids all exist in
+    // documents, whose doc_id is unique), so n_zero = |documents| −
+    // Σ hist.n_docs. |documents| reads parquet footer statistics
+    // (Tables.rowCount — metadata, no job); the corpus scan + anti-join
+    // + its exchange disappear. hist's second consumer refolds the
+    // PINNED deg relation (degrees-sized — cheap), never the LSH chain.
+    val zero = hist
+      .agg((lit(Tables.rowCount(s, d, "documents")) -
+        coalesce(sum(col("n_docs")), lit(0L))).as("n_docs"))
       .select(lit(0L).as("degree"), col("n_docs"))
     hist.select(col("degree"), col("n_docs")).union(zero)
       .filter(col("n_docs") > 0)

@@ -26,6 +26,13 @@ object MiningQueries {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  /** Runtime-conf key: day-row ceiling for q189's driver-side CUSUM
+    * replay (default 200,000 ≈ 547 years of days — calendar-bounded, so
+    * the gate exists for discipline parity with q142's, not because the
+    * bound is ever near at sane corpora). Over the limit the r14
+    * distributed pin + global-window form runs unchanged. */
+  val CusumLocalDayLimitKey = "graft.cusum.localDayLimit"
+
   /** DuckDB rendering of "first 13 md5 hex digits as an exact value"
     * (the StatQueries.sqlHex52 construction): every digit term and
     * partial sum is an integer < 2⁵³, so the double arithmetic is
@@ -1215,31 +1222,74 @@ object MiningQueries {
     * fold (q113 rationale — the corpus crosses the wire once); the
     * one-row median broadcasts. */
   val q189: Q = (s, d) => {
-    val daily = graft.core.Pins.pin(
-      t(s, d, "events")
-        .select(to_date(col("ts")).as("day"),
-          round(col("value") * 100).cast("long").as("cents"))
-        .groupBy(col("day")).agg(sum(col("cents")).as("daily_cents")))
-    val med = daily
-      .agg(sort_array(collect_list(col("daily_cents"))).as("v"))
-      .select(element_at(col("v"),
-        (((size(col("v")) - 1) / 2) + 1).cast("int")).as("m"))
-    val w = Window.orderBy(col("day"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    daily.crossJoin(broadcast(med))
-      .withColumn("p_hi",
-        sum(col("daily_cents") - col("m") - expr("m div 20")).over(w))
-      .withColumn("p_lo",
-        sum(col("m") - col("daily_cents") - expr("m div 20")).over(w))
-      .withColumn("cusum_hi_cents",
-        col("p_hi") - least(min(col("p_hi")).over(w), lit(0L)))
-      .withColumn("cusum_lo_cents",
-        col("p_lo") - least(min(col("p_lo")).over(w), lit(0L)))
-      .select(col("day"), col("daily_cents"),
-        col("cusum_hi_cents"), col("cusum_lo_cents"),
-        (col("cusum_hi_cents") > expr("m div 2")).cast("long").as("alarm_hi"),
-        (col("cusum_lo_cents") > expr("m div 2")).cast("long").as("alarm_lo"))
-      .orderBy(col("day"))
+    import s.implicits._
+    val daily = t(s, d, "events")
+      .select(to_date(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("daily_cents"))
+    // r15 (the q142/q211 driver-replay discipline, conf-gated like
+    // q142): the CUSUM's sequential state rides the DAYS-sized daily
+    // fold — a calendar-bounded model relation at any corpus size — so
+    // ONE corpus job (the fold, via take(limit+1)) collects it and the
+    // median + both prefix/runnning-min passes replay in driver Scala
+    // with identical integer arithmetic: lower median = sorted[(n−1)/2]
+    // (exactly the element_at((size−1)/2+1) selection), Scala Long `/`
+    // = Spark `div` (both truncate toward zero), running min seeded
+    // past the first element = min-over-frame-including-current. The
+    // r14 form spent a pin job + a collect_list median job + a global
+    // window job on the same ≤ days rows. Over the gate the r14
+    // distributed form runs unchanged below.
+    val limit = s.conf.getOption(CusumLocalDayLimitKey)
+      .map(_.toInt).getOrElse(200000)
+    val rows = daily.as[(java.sql.Date, Long)].take(limit + 1)
+    if (rows.length <= limit) {
+      if (rows.isEmpty)
+        Seq.empty[(java.sql.Date, Long, Long, Long, Long, Long)]
+          .toDF("day", "daily_cents", "cusum_hi_cents", "cusum_lo_cents",
+            "alarm_hi", "alarm_lo")
+      else {
+        val vals = rows.map(_._2).sorted
+        val m = vals((vals.length - 1) / 2)
+        val k = m / 20
+        val h = m / 2
+        var pHi = 0L; var pLo = 0L
+        var minHi = Long.MaxValue; var minLo = Long.MaxValue
+        val out = rows.sortBy(_._1.getTime).toSeq.map { case (day, cents) =>
+          pHi += cents - m - k
+          pLo += m - cents - k
+          minHi = math.min(minHi, pHi)
+          minLo = math.min(minLo, pLo)
+          val cHi = pHi - math.min(minHi, 0L)
+          val cLo = pLo - math.min(minLo, 0L)
+          (day, cents, cHi, cLo,
+            if (cHi > h) 1L else 0L, if (cLo > h) 1L else 0L)
+        }
+        out.toDF("day", "daily_cents", "cusum_hi_cents", "cusum_lo_cents",
+          "alarm_hi", "alarm_lo").orderBy(col("day"))
+      }
+    } else {
+      val dailyP = graft.core.Pins.pin(daily)
+      val med = dailyP
+        .agg(sort_array(collect_list(col("daily_cents"))).as("v"))
+        .select(element_at(col("v"),
+          (((size(col("v")) - 1) / 2) + 1).cast("int")).as("m"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      dailyP.crossJoin(broadcast(med))
+        .withColumn("p_hi",
+          sum(col("daily_cents") - col("m") - expr("m div 20")).over(w))
+        .withColumn("p_lo",
+          sum(col("m") - col("daily_cents") - expr("m div 20")).over(w))
+        .withColumn("cusum_hi_cents",
+          col("p_hi") - least(min(col("p_hi")).over(w), lit(0L)))
+        .withColumn("cusum_lo_cents",
+          col("p_lo") - least(min(col("p_lo")).over(w), lit(0L)))
+        .select(col("day"), col("daily_cents"),
+          col("cusum_hi_cents"), col("cusum_lo_cents"),
+          (col("cusum_hi_cents") > expr("m div 2")).cast("long").as("alarm_hi"),
+          (col("cusum_lo_cents") > expr("m div 2")).cast("long").as("alarm_lo"))
+        .orderBy(col("day"))
+    }
   }
 
   val q189Sql: String =
@@ -1283,6 +1333,11 @@ object MiningQueries {
     val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
     t(s, d, "events")
       .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      // (r15 measured-negative: an explicit user_id repartition here —
+      // undoing AQE's 1-partition coalesce so the window and both folds
+      // run multi-task — A/B'd 0.38 → 0.64 s best-of-5, the q131
+      // failure mode exactly. Reverted; AQE's coalesce wins at this
+      // bytes scale.)
       .withColumn("grp",
         datediff(col("day"), lit("1970-01-01").cast("date"))
           - row_number().over(w))

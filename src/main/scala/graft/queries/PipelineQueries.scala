@@ -1570,6 +1570,12 @@ object PipelineQueries {
     * encode is one codegen'd projection over centroid literals — no
     * join, no shuffle (see [[graft.functions.Pq.encode]]). */
   val q74: Q = (s, d) =>
+    // (r15 measured-negative: spreading the single-split corpus before
+    // the encode kernel — the q293/q136 pattern — A/B'd NEUTRAL (best
+    // 0.658 vs 0.654 over 5 alternating reps): the m·k=32 argmin kernel
+    // is cheap enough that the round-robin exchange exactly cancels the
+    // parallelism gain, and the orderBy's sampling pass re-runs only a
+    // ~0.1 s projection. Reverted to keep the scan exchange-free.)
     graft.functions.Pq.encode(t(s, d, "embeddings"), "vec_id", "embedding",
         pqModelFor(s, d))
       .select(col("vec_id"),
@@ -1901,6 +1907,11 @@ object PipelineQueries {
     // PINNED edges, so each consumer reads materialized blocks already
     val sym = edges.select(col("a_id").as("x"), col("b_id").as("y"))
       .unionByName(edges.select(col("b_id").as("x"), col("a_id").as("y")))
+    // (r15 measured-negative: UNPINNING core and coreCl — letting their
+    // consumers refold the pinned edges — A/B'd 2.50 → 2.62 best-of-7
+    // with every rep worse: the semi-joins and the border/spine joins
+    // then replan + re-execute the fold per consumer, costing more than
+    // the two checkpoint jobs they replace. Both pins stay.)
     val core = graft.core.Pins.pin(
       sym.groupBy(col("x")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= minPts - 1).select(col("x")))
@@ -4474,7 +4485,13 @@ object PipelineQueries {
     // fact-sized Exchange total, no (user, part) pair-key shuffle
     // (r14: an explicit pre-fold repartition — the q297 discipline —
     // A/B'd NEUTRAL here (best 1.48 vs 1.54); reverted to keep the
-    // map-side partial collapse the raw-row exchange forfeits at scale.)
+    // map-side partial collapse the raw-row exchange forfeits at scale.
+    // r15: a round-robin spread of the single-split lineitem scan —
+    // keeping the fold exchange AND partial agg — A/B'd NEUTRAL too
+    // (best 1.491 vs 1.494 over 7 alternating reps): the wall is the
+    // collect_set ObjectHashAggregate itself, which the r15 leg probe
+    // puts at 0.66-0.82 s of the 1.5 s warm total, not scan
+    // parallelism. Both spread variants stay out.)
     val posSets = t(s, d, "orders")
       .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_custkey"))
@@ -6191,7 +6208,12 @@ object PipelineQueries {
     // folds — the MinHashLsh single-split pattern — benched 1.62 →
     // 2.73 s: keyless repartition pays a local sort of its input
     // (guide §2.5) and the extra exchange outweighs the parallelized
-    // partial-agg digests. The two-fold no-pin form below stays.)
+    // partial-agg digests. The two-fold no-pin form below stays.
+    // r15: spreading the LINEITEM SCAN before the join instead — so the
+    // join + digest folds parallelize while both keyed exchanges and
+    // partial aggs survive — A/B'd 1.76 → 2.09 best-of-7, every rep
+    // worse: same sort-before-repartition tax, now paid on the raw
+    // scan. The single-split digest kernel is cheaper than any spread.)
     val ep = t(s, d, "orders")
       .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("u"), col("l_partkey").as("p"))

@@ -1823,7 +1823,12 @@ object RelationalQueries {
     // (r14: an explicit pre-fold repartition — the q297 discipline —
     // was measured NEUTRAL here after reference-normalization: the
     // pair explode downstream is already parallel, and the raw-row
-    // exchange forfeits the map-side partial collapse. Left as-is.)
+    // exchange forfeits the map-side partial collapse. Left as-is.
+    // r15: the OTHER spread variant — round-robin before the fold,
+    // keeping the exchange and partial agg — A/B'd a clear REGRESSION,
+    // best 1.34 → 1.77 over 7 alternating reps: the extra raw-row
+    // exchange buys nothing because the basket collect_set, not the
+    // scan, is the serial cost. Stays out.)
     val baskets = graft.core.Pins.pin(
       t(s, d, "lineitem").groupBy(col("l_orderkey"))
         .agg(sort_array(collect_set(col("l_partkey"))).as("ps")))

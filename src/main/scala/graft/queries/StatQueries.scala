@@ -156,6 +156,12 @@ object StatQueries {
     t(s, d, "events")
       .select(col("user_id"), col("ts"), col("event_id"),
         col("event_type"))
+      // (r15 measured-negative: an explicit user_id repartition — the
+      // q297 discipline, to undo AQE's 1-partition coalesce and run the
+      // window+sequence stage in parallel — A/B'd 0.44 → 0.72 s
+      // best-of-5: the 32-task dispatch overhead across the window and
+      // both agg stages swamps the ~240 ms serial window at this bytes
+      // scale. AQE's coalesce is RIGHT here; reverted.)
       .withColumn("l1", lead(col("event_type"), 1).over(w))
       .withColumn("l2", lead(col("event_type"), 2).over(w))
       .filter(col("l2").isNotNull)
@@ -200,12 +206,7 @@ object StatQueries {
         expr("unix_micros(ts) div 3600000000").as("hr"))
       .distinct()
     val wu = Window.partitionBy(col("user_id")).orderBy(col("hr"))
-    // PINNED intervals: three consumers (start deltas, end deltas, grid
-    // bounds) would otherwise each re-execute the scan+distinct+window
-    // lineage — the q61 re-execution lesson; the pin holds the slim
-    // (user, interval) relation, read three times, parquet scanned ONCE
-    // (PlanAuditSpec pins it at 1)
-    val iv = graft.core.Pins.pin(uh
+    val iv = uh
       .withColumn("prev", lag(col("hr"), 1).over(wu))
       .withColumn("brk",
         when(col("prev").isNull || col("hr") > col("prev") + 23, 1L)
@@ -213,16 +214,28 @@ object StatQueries {
       .withColumn("grp", sum(col("brk"))
         .over(wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("grp"))
-      .agg(min(col("hr")).as("s"), (max(col("hr")) + 23).as("e")))
+      .agg(min(col("hr")).as("s"), (max(col("hr")) + 23).as("e"))
     // each interval emits BOTH its boundary deltas from one row — an
-    // explode, not a self-union (a union would execute the child twice)
-    val deltas = iv.select(explode(array(
+    // explode, not a self-union (a union would execute the child twice).
+    // r15: the pin moved HERE from the interval relation — deltas is
+    // HOURS-sized (the grid's own scale bound), so the checkpoint
+    // materializes tiny blocks, and both remaining consumers (grid
+    // bounds, the final join) read it; the intervals relation now has
+    // exactly ONE consumer and needs no pin. The r13 form pinned the
+    // corpus-fold-sized intervals for THREE consumers; the third (grid
+    // bounds off iv) is redundant — see the bounds derivation below.
+    val deltas = graft.core.Pins.pin(iv.select(explode(array(
         struct(col("s").as("h"), lit(1L).as("dlt")),
         struct((col("e") + 1).as("h"), lit(-1L).as("dlt")))).as("d"))
-      .groupBy(col("d.h").as("h")).agg(sum(col("d.dlt")).as("dlt"))
-    // grid bounds derive from the SAME pin: global min hour is the
-    // smallest interval start, global max hour the largest end − 23
-    val grid = iv.agg(min(col("s")).as("lo"), (max(col("e")) - 23).as("hi"))
+      .groupBy(col("d.h").as("h")).agg(sum(col("d.dlt")).as("dlt")))
+    // grid bounds derive from the DELTAS, not the intervals: min(h)
+    // over deltas = min interval start (each interval's end-delta sits
+    // at e+1 ≥ s+24 > its own s, so no end-delta can undercut the
+    // global min start), and max(h) = max(e+1), so hi = max(h) − 1 − 23.
+    // The groupBy above never drops an hour row (a zero SUM keeps its
+    // group), so the bounds are exact — bit-identical to the r13
+    // min(s)/max(e)−23 over the interval relation.
+    val grid = deltas.agg(min(col("h")).as("lo"), (max(col("h")) - 24).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"))).as("h"))
     grid.join(deltas, Seq("h"), "left")
       .withColumn("active_24h",
@@ -1101,13 +1114,20 @@ object StatQueries {
     val scored = docs
       .select(col("doc_id"), TextOps.qualityScore(col("text")).as("q"))
       .join(comps, "doc_id")
-    val sizes = comps.groupBy(col("component"))
-      .agg(count(lit(1)).as("n_members"))
+    // r15 (guide §2.4 — windows sharing one partitioning): cluster size
+    // is count(*) OVER the SAME component partitioning the survivor
+    // rank already rides, so both fold in ONE window pass — the
+    // separate sizes fold, its exchange, its join back, and the second
+    // consumer of the components relation (which re-ran the docs-spine
+    // join) all disappear. scored is one row per doc (doc_id unique on
+    // both join sides), so the per-partition count IS the member count.
+    // A/B best-of-7: 1.15 → 1.10 s, every rep at or below the old form.
     val wr = Window.partitionBy(col("component"))
       .orderBy(col("q").desc, col("doc_id").asc)
+    val wc = Window.partitionBy(col("component"))
     scored.withColumn("rn", row_number().over(wr))
+      .withColumn("n_members", count(lit(1)).over(wc))
       .filter(col("rn") === 1)
-      .join(sizes, "component")
       .select(col("component"), col("doc_id").as("survivor_id"),
         col("q").as("survivor_quality"), col("n_members"))
       .orderBy(col("component"))

@@ -1,95 +1,65 @@
 package graft.tools
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
 
-/** Scratch A/B harness (contents change per experiment; never part of
-  * the declared surface). Current experiment: q175 PER-STAGE
-  * decomposition (round-12 verdict task 1) — cumulative prefixes of
-  * the shipped tagged-union plan, warm rounds in one session, so the
-  * wall attributes to scan / pair fold / det fold / final fold + sort
-  * rather than to the query as a blob. Run IDLE beside the committed
-  * bench session: `SPARK_GRAFT_SF_DIR=... runMain graft.tools.TmpProbe`. */
+/** Scratch A/B harness (r15): q189 — A = r14 pin + collect_list median +
+  * global window form, B = HEAD driver replay. */
 object TmpProbe {
   def main(args: Array[String]): Unit = {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val s = graft.core.Sessions.local(32)
     s.sparkContext.setLogLevel("ERROR")
-    def time(label: String)(f: => Unit): Unit = {
-      val t0 = System.nanoTime(); f
-      println(f"$label%-34s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
-    }
     def t(n: String) = Tables.load(s, d, n)
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    def run(name: String): Unit =
+      noop(graft.SparkEntry.queries(name)(s, d))
 
-    // the shipped q175 plan's cumulative prefixes
-    def union5 = {
-      val li = t("lineitem"); val ord = t("orders"); val ev = t("events")
-      li.selectExpr(
-          """stack(2, 0L, l_orderkey, l_suppkey,
-                      1L, l_partkey,  l_suppkey) AS (tag, det, dep_l)""",
-          "CAST(NULL AS STRING) AS dep_s")
-        .unionByName(ord.selectExpr(
-          """stack(2, 2L, o_orderkey, o_custkey, CAST(NULL AS STRING),
-                      3L, o_custkey,  CAST(NULL AS BIGINT), o_orderpriority)
-             AS (tag, det, dep_l, dep_s)"""))
-        .unionByName(ev.selectExpr("4L AS tag", "user_id AS det",
-          "CAST(NULL AS BIGINT) AS dep_l", "event_type AS dep_s"))
+    def q189A(): Unit = {
+      val daily = graft.core.Pins.pin(
+        t("events")
+          .select(to_date(col("ts")).as("day"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy(col("day")).agg(sum(col("cents")).as("daily_cents")))
+      val med = daily
+        .agg(sort_array(collect_list(col("daily_cents"))).as("v"))
+        .select(element_at(col("v"),
+          (((size(col("v")) - 1) / 2) + 1).cast("int")).as("m"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      noop(daily.crossJoin(broadcast(med))
+        .withColumn("p_hi",
+          sum(col("daily_cents") - col("m") - expr("m div 20")).over(w))
+        .withColumn("p_lo",
+          sum(col("m") - col("daily_cents") - expr("m div 20")).over(w))
+        .withColumn("cusum_hi_cents",
+          col("p_hi") - least(min(col("p_hi")).over(w), lit(0L)))
+        .withColumn("cusum_lo_cents",
+          col("p_lo") - least(min(col("p_lo")).over(w), lit(0L)))
+        .select(col("day"), col("daily_cents"),
+          col("cusum_hi_cents"), col("cusum_lo_cents"),
+          (col("cusum_hi_cents") > expr("m div 2")).cast("long").as("alarm_hi"),
+          (col("cusum_lo_cents") > expr("m div 2")).cast("long").as("alarm_lo"))
+        .orderBy(col("day")))
     }
-    def pairFold = union5
-      .groupBy(col("tag"), col("det"), col("dep_l"), col("dep_s"))
-      .agg(count(lit(1)).as("c"))
-    def detFold = pairFold.groupBy(col("tag"), col("det"))
-      .agg(sum(col("c")).as("rows"), max(col("c")).as("keep"))
-    def tagFold = detFold.groupBy(col("tag"))
-      .agg(sum(col("rows")).as("n_rows"), count(lit(1)).as("n_det"),
-        sum(col("keep")).as("kept"))
 
-    // variant B: ONE exchange — pre-partition by (tag, det) (a subset
-    // partitioning satisfies the pair grouping's ClusteredDistribution,
-    // so BOTH fold levels run partition-local) + integer dep encoding
-    // (priorities/event types are ≤ 5-value domains; injective per tag)
-    def union5Int = {
-      val li = t("lineitem"); val ord = t("orders"); val ev = t("events")
-      li.selectExpr(
-          """stack(2, 0L, l_orderkey, l_suppkey,
-                      1L, l_partkey,  l_suppkey) AS (tag, det, dep)""")
-        .unionByName(ord.selectExpr(
-          """stack(2, 2L, o_orderkey, o_custkey,
-                      3L, o_custkey,
-                      CAST(ascii(substr(o_orderpriority, 1, 1)) AS BIGINT))
-             AS (tag, det, dep)"""))
-        // the shipped q175 CASE verbatim, so the probe times the same
-        // expression the committed plan runs (round-13 ADVICE)
-        .unionByName(ev.selectExpr("4L AS tag", "user_id AS det",
-          """CASE event_type WHEN 'view' THEN 1L WHEN 'click' THEN 2L
-             WHEN 'purchase' THEN 3L WHEN 'signup' THEN 4L
-             WHEN 'error' THEN 5L
-             ELSE CAST(conv(substring(md5(event_type), 1, 13), 16, 10) AS BIGINT)
-             END AS dep"""))
+    def ab(label: String, a: () => Unit, b: () => Unit, n: Int = 7): Unit = {
+      a(); graft.core.Pins.release()
+      b(); graft.core.Pins.release()
+      val as = new scala.collection.mutable.ArrayBuffer[Double]
+      val bs = new scala.collection.mutable.ArrayBuffer[Double]
+      (1 to n).foreach { _ =>
+        var t0 = System.nanoTime(); a(); graft.core.Pins.release()
+        as += (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime(); b(); graft.core.Pins.release()
+        bs += (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[probe] $label%-12s A best ${as.min}%6.3f ${as.map(x => f"$x%.2f").mkString(",")} | " +
+        f"B best ${bs.min}%6.3f ${bs.map(x => f"$x%.2f").mkString(",")}")
     }
-    def oneExchange = union5Int
-      .repartition(col("tag"), col("det"))
-      .groupBy(col("tag"), col("det"), col("dep"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("tag"), col("det"))
-      .agg(sum(col("c")).as("rows"), max(col("c")).as("keep"))
-      .groupBy(col("tag"))
-      .agg(sum(col("rows")).as("n_rows"), count(lit(1)).as("n_det"),
-        sum(col("keep")).as("kept"))
-
-    for (round <- 1 to sys.env.getOrElse("WARM_ROUNDS", "5").toInt) {
-      time(f"q175 s1 scan+stack        r$round")(noop(union5))
-      time(f"q175 s2 +pair fold        r$round")(noop(pairFold))
-      time(f"q175 s3 +det fold         r$round")(noop(detFold))
-      time(f"q175 s4 +tag fold         r$round")(noop(tagFold))
-      time(f"q175 s5 full (declared)   r$round")(
-        graft.Bench.action(
-          graft.SparkEntry.queries("q175_fd_profile")(s, d)))
-      time(f"q175 B  one-exchange+int  r$round")(noop(oneExchange))
-      graft.core.Pins.release()
-    }
+    ab("q189 replay", q189A _, () => run("q189_cusum"))
     s.stop()
   }
 }

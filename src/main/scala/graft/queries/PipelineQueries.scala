@@ -7935,11 +7935,16 @@ object PipelineQueries {
     t(s, d, "embeddings").select(col("vec_id"),
       expr("transform(embedding, e -> CAST(round(e * 1000) AS BIGINT))")
         .as("x"))
+  // r15 (guide §4 — no interpreted expressions in the per-row path):
+  // the k-center assignment evaluates k=8 squared-L2s per corpus row;
+  // the HOF form (aggregate ∘ zip_with) runs two interpreted lambdas
+  // per element. [[graft.functions.VectorOps.sqDistLong]] is the native
+  // codegen'd kernel, property-tested bit-equal on fixed-dim non-null
+  // arrays (exactly qGrid's shape).
   private def d2To(cx: Seq[Long]): org.apache.spark.sql.Column =
-    expr(s"""aggregate(zip_with(x, array(${cx.mkString("L,")}L),
-            |  (a, b) -> (a - b) * (a - b)),
-            |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin)
-  private def kcenterFor(s: SparkSession, d: String): Seq[(Long, Long, Seq[Long])] =
+    graft.functions.VectorOps.sqDistLong(col("x"),
+      expr(s"array(${cx.mkString("L,")}L)"))
+  private[graft] def kcenterFor(s: SparkSession, d: String): Seq[(Long, Long, Seq[Long])] =
     kcenterModels.getOrTrain((s, d, KcK)) {
       val q = qGrid(s, d)
       val seed = q.orderBy(col("vec_id")).limit(1)
@@ -8580,7 +8585,11 @@ object PipelineQueries {
     * statistic (min cents with cum·2 ≥ m), bit-equal by construction. */
   val q296: Q = (s, d) => {
     val k = 512
-    t(s, d, "events")
+    // r15: spread the single-split events scan before the sketch fold
+    // (the q293/q136 pattern — the md5 sample-key kernel plus BOTH
+    // object-aggregate partials ran in ONE scan task; no pin downstream;
+    // no-op at scale). A/B best-of-7: 1.36 → 0.99 s.
+    graft.operators.MinHashLsh.spreadSmallInput(t(s, d, "events"))
       // declared NULL semantics: a NULL value has no cents and joins
       // neither estimator (the typed LongHistogramAgg takes Long, so
       // the filter makes non-null an enforced contract, not a silent

@@ -2398,6 +2398,11 @@ object StatQueries {
   val q300: Q = (s, d) => {
     val feats = Seq("qty", "dollars", "disc_centi", "tax_centi", "ship_day")
     val dec = "DECIMAL(38,0)"
+    // (r15 measured-negative: spreading the single-split lineitem scan
+    // before this fold — the q296 pattern — A/B'd 0.75 → 0.89 best-of-7:
+    // the 20 decimal sums are codegen'd and cheap per row, so the
+    // round-robin exchange of 600k raw rows costs more than the serial
+    // partial agg it parallelizes. Single-scan form stays.)
     val base = t(s, d, "lineitem").select(
       expr("CAST(round(l_quantity) AS BIGINT)").as("qty"),
       expr("CAST(round(l_extendedprice * 100) AS BIGINT) div 100")

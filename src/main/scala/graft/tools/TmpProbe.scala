@@ -1,11 +1,11 @@
 package graft.tools
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
 
-/** Scratch A/B harness (r15): q189 — A = r14 pin + collect_list median +
-  * global window form, B = HEAD driver replay. */
+/** Scratch A/B harness (r15): q300 — B spreads the single-split
+  * lineitem scan before the 20-decimal-moment fold (q296's win shape:
+  * heavy per-row partial agg, no pin downstream). */
 object TmpProbe {
   def main(args: Array[String]): Unit = {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -17,32 +17,43 @@ object TmpProbe {
     def run(name: String): Unit =
       noop(graft.SparkEntry.queries(name)(s, d))
 
-    def q189A(): Unit = {
-      val daily = graft.core.Pins.pin(
-        t("events")
-          .select(to_date(col("ts")).as("day"),
-            round(col("value") * 100).cast("long").as("cents"))
-          .groupBy(col("day")).agg(sum(col("cents")).as("daily_cents")))
-      val med = daily
-        .agg(sort_array(collect_list(col("daily_cents"))).as("v"))
-        .select(element_at(col("v"),
-          (((size(col("v")) - 1) / 2) + 1).cast("int")).as("m"))
-      val w = Window.orderBy(col("day"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      noop(daily.crossJoin(broadcast(med))
-        .withColumn("p_hi",
-          sum(col("daily_cents") - col("m") - expr("m div 20")).over(w))
-        .withColumn("p_lo",
-          sum(col("m") - col("daily_cents") - expr("m div 20")).over(w))
-        .withColumn("cusum_hi_cents",
-          col("p_hi") - least(min(col("p_hi")).over(w), lit(0L)))
-        .withColumn("cusum_lo_cents",
-          col("p_lo") - least(min(col("p_lo")).over(w), lit(0L)))
-        .select(col("day"), col("daily_cents"),
-          col("cusum_hi_cents"), col("cusum_lo_cents"),
-          (col("cusum_hi_cents") > expr("m div 2")).cast("long").as("alarm_hi"),
-          (col("cusum_lo_cents") > expr("m div 2")).cast("long").as("alarm_lo"))
-        .orderBy(col("day")))
+    def q300B(): Unit = {
+      val feats = Seq("qty", "dollars", "disc_centi", "tax_centi", "ship_day")
+      val dec = "DECIMAL(38,0)"
+      val base = graft.operators.MinHashLsh.spreadSmallInput(t("lineitem")).select(
+        expr("CAST(round(l_quantity) AS BIGINT)").as("qty"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT) div 100")
+          .as("dollars"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("disc_centi"),
+        expr("CAST(round(l_tax * 100) AS BIGINT)").as("tax_centi"),
+        expr("unix_micros(l_shipdate) div 86400000000").as("ship_day"))
+      val moments = base.agg(
+        count(lit(1)).as("n"),
+        (feats.map(f => sum(col(f)).as(s"s_$f")) ++
+          (for (i <- feats.indices; j <- i until feats.length) yield {
+            val (a, b) = (feats(i), feats(j))
+            sum((col(a) * col(b)).cast(dec)).as(s"q_${a}_${b}")
+          })): _*)
+      def D(c: String) = s"CAST($c AS $dec)"
+      val pairRows = for (i <- feats.indices; j <- (i + 1) until feats.length)
+        yield {
+          val (a, b) = (feats(i), feats(j))
+          s"""named_struct('f1', '$a', 'f2', '$b',
+              'cov', ${D("n")} * q_${a}_${b} - ${D(s"s_$a")} * s_$b,
+              'varx', ${D("n")} * q_${a}_${a} - ${D(s"s_$a")} * s_$a,
+              'vary', ${D("n")} * q_${b}_${b} - ${D(s"s_$b")} * s_$b)"""
+        }
+      noop(moments
+        .select(col("n"),
+          explode(expr(pairRows.mkString("array(", ", ", ")"))).as("p"))
+        .select(col("p.f1").as("f1"), col("p.f2").as("f2"), col("n"),
+          when(col("p.cov") > 0, 1L).when(col("p.cov") < 0, -1L)
+            .otherwise(0L).as("cov_sign"),
+          when(col("p.varx") === 0 || col("p.vary") === 0, lit(0.0))
+            .otherwise(round(col("p.cov").cast("double") /
+              sqrt(col("p.varx").cast("double") * col("p.vary").cast("double")),
+              4)).as("r"))
+        .orderBy(col("f1"), col("f2")))
     }
 
     def ab(label: String, a: () => Unit, b: () => Unit, n: Int = 7): Unit = {
@@ -59,7 +70,7 @@ object TmpProbe {
       println(f"[probe] $label%-12s A best ${as.min}%6.3f ${as.map(x => f"$x%.2f").mkString(",")} | " +
         f"B best ${bs.min}%6.3f ${bs.map(x => f"$x%.2f").mkString(",")}")
     }
-    ab("q189 replay", q189A _, () => run("q189_cusum"))
+    ab("q300 spread", () => run("q300_corr_matrix"), q300B _)
     s.stop()
   }
 }

@@ -1,13 +1,11 @@
 package graft.tools
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
-import graft.functions.TextOps
 
-/** Scratch probe (r15): q121 funnel-tail restructure — B replaces the
-  * four per-gate LEFT JOINs with a union of failing-doc tag rows, one
-  * (doc_id) fold, and a single join back to the spine. */
+/** Scratch probe (r15): q289 — A = HOF d2 assignment (r14 form), B =
+  * native ArraySqDistLong kernel (HEAD); q296 — A = HEAD, B = spread
+  * events before the sketch fold. */
 object TmpQ304 {
   def main(args: Array[String]): Unit = {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -19,67 +17,66 @@ object TmpQ304 {
     def run(name: String): Unit =
       noop(graft.SparkEntry.queries(name)(s, d))
 
-    def q121B(): Unit = {
-      val base = graft.core.Pins.pin(t("documents")
-        .select(col("doc_id"), col("source"), col("text")))
-      val tc = base.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("k"))
-      val gopherF = tc.groupBy(col("doc_id"))
-        .agg(sum(col("k")).as("n_tokens"),
-          sum(col("k") * length(col("term"))).as("n_chars"),
-          sum(when(col("term").isin(TextOps.EnStops.map(x => x: Any): _*),
-            col("k")).otherwise(0L)).as("stop_k"),
-          max(col("k")).as("max_k"))
-        .filter(!(col("n_tokens") >= 50 && col("n_tokens") <= 100000 &&
-          col("n_chars") >= col("n_tokens") * 3 &&
-          col("n_chars") <= col("n_tokens") * 10 &&
-          col("stop_k") >= 2 &&
-          col("max_k") * 5 <= col("n_tokens")))
-        .select(col("doc_id"), lit("g").as("w"))
-      val dupF = base.select(col("doc_id"), md5(col("text")).as("h"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("h")).orderBy(col("doc_id"))))
-        .filter(col("rn") > 1)
-        .select(col("doc_id"), lit("d").as("w"))
-      val ch = base.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
-        .filter(size(col("t")) >= 8)
-        .select(col("doc_id"),
-          explode(transform(
-            sequence(lit(1), floor(size(col("t")) / 8).cast("int")),
-            i => md5(concat_ws(" ",
-              slice(col("t"), (i - lit(1)) * lit(8) + lit(1), lit(8)))))).as("h"))
-      val nd = ch.distinct().groupBy(col("h")).agg(count(lit(1)).as("nd"))
-      val chunkF = ch.join(nd, "h").groupBy(col("doc_id"))
-        .agg((sum(when(col("nd") >= 2, 1L).otherwise(0L)) * 2 >
-          count(lit(1))).as("f"))
-        .filter(col("f"))
-        .select(col("doc_id"), lit("c").as("w"))
-      val sh = base.select(col("doc_id"), col("source"),
-        explode(array_distinct(TextOps.shinglesNative(col("text"), 3))).as("g"))
-      val bench = sh.filter(col("source") === "src0").select(col("g")).distinct()
-      val contamF = sh.filter(col("source") =!= "src0")
-        .join(broadcast(bench), "g")
-        .select(col("doc_id")).distinct()
-        .select(col("doc_id"), lit("x").as("w"))
-      val fl = gopherF.unionByName(dupF).unionByName(chunkF).unionByName(contamF)
-        .groupBy(col("doc_id"))
-        .agg(max(when(col("w") === "g", 1L).otherwise(0L)).as("f_gopher"),
-          max(when(col("w") === "d", 1L).otherwise(0L)).as("f_dup"),
-          max(when(col("w") === "c", 1L).otherwise(0L)).as("f_chunk"),
-          max(when(col("w") === "x", 1L).otherwise(0L)).as("f_contam"))
-      noop(base.select(col("doc_id"), col("source"))
-        .join(fl, Seq("doc_id"), "left")
-        .na.fill(0L, Seq("f_gopher", "f_dup", "f_chunk", "f_contam"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_total"),
-          sum(col("f_gopher")).as("n_gopher_fail"),
-          sum(col("f_dup")).as("n_exact_dup"),
-          sum(col("f_chunk")).as("n_chunk_dup"),
-          sum(col("f_contam")).as("n_contaminated"),
-          sum(when(col("f_gopher") === 0 && col("f_dup") === 0 &&
-            col("f_chunk") === 0 && col("f_contam") === 0, 1L).otherwise(0L))
-            .as("n_kept"))
-        .orderBy(col("source")))
+    // warm the memoized k-center model before timing either side
+    run("q289_kcenter_coreset")
+    graft.core.Pins.release()
+    // A: the r14 HOF assignment over the same memoized centers — we
+    // reconstruct it by calling the public query pieces with the HOF d2
+    def q289A(): Unit = {
+      val grid = t("embeddings").select(col("vec_id"),
+        expr("transform(embedding, e -> CAST(round(e * 1000) AS BIGINT))")
+          .as("x"))
+      val centers = graft.queries.PipelineQueries.kcenterFor(s, d)
+      def d2Hof(cx: Seq[Long]) =
+        expr(s"""aggregate(zip_with(x, array(${cx.mkString("L,")}L),
+                |  (a, b) -> (a - b) * (a - b)),
+                |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin)
+      val centerDf = s.createDataFrame(
+        centers.map(c => (c._1, c._2))).toDF("rank", "center_id")
+      val ds = array(centers.map(c => d2Hof(c._3)): _*)
+      noop(grid
+        .select(col("vec_id"), ds.as("ds"))
+        .withColumn("rank", expr("array_position(ds, array_min(ds))"))
+        .withColumn("d2", expr("element_at(ds, CAST(rank AS INT))"))
+        .groupBy(col("rank"))
+        .agg(count(lit(1)).as("n_assigned"), max(col("d2")).as("max_d2"))
+        .join(broadcast(centerDf), Seq("rank"))
+        .select(col("rank"), col("center_id"), col("n_assigned"),
+          col("max_d2"))
+        .orderBy(col("rank")))
+    }
+
+    def q296B(): Unit = {
+      val k = 512
+      noop(graft.operators.MinHashLsh.spreadSmallInput(t("events"))
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          md5(concat(lit("kll71|"), col("event_id").cast("string"))).as("h"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("event_type"))
+        .agg(graft.operators.Histogram.longHistogram(col("cents")).as("hist"),
+          graft.operators.TopK.minKByString(k)(col("h"), col("cents"))
+            .as("smp"))
+        .withColumn("es", array_sort(map_entries(col("hist"))))
+        .withColumn("n",
+          expr("aggregate(es, 0L, (a, e) -> a + e.value)"))
+        .withColumn("p50_exact_cents",
+          expr("""aggregate(es,
+                   named_struct('cum', 0L, 'p', CAST(NULL AS BIGINT)),
+                   (a, e) -> named_struct('cum', a.cum + e.value,
+                     'p', CASE WHEN a.p IS NULL
+                                 AND (a.cum + e.value) * 2 >= n
+                               THEN e.key ELSE a.p END),
+                   a -> a.p)"""))
+        .withColumn("cs", array_sort(expr("transform(smp, x -> x._2)")))
+        .withColumn("p50_est_cents",
+          element_at(col("cs"), ceil(size(col("cs")) * lit(0.5)).cast("int")))
+        .withColumn("abs_err_ppm",
+          expr("""abs(p50_est_cents - p50_exact_cents) * 1000000
+                  div greatest(1, abs(p50_exact_cents))"""))
+        .select(col("event_type"), col("n"), col("p50_exact_cents"),
+          col("p50_est_cents"), col("abs_err_ppm"))
+        .orderBy(col("event_type")))
     }
 
     def ab(label: String, a: () => Unit, b: () => Unit, n: Int = 7): Unit = {
@@ -96,7 +93,8 @@ object TmpQ304 {
       println(f"[probe] $label%-12s A best ${as.min}%6.3f ${as.map(x => f"$x%.2f").mkString(",")} | " +
         f"B best ${bs.min}%6.3f ${bs.map(x => f"$x%.2f").mkString(",")}")
     }
-    ab("q121 union", () => run("q121_curation_funnel"), q121B _)
+    ab("q289 kernel", q289A _, () => run("q289_kcenter_coreset"))
+    ab("q296 spread", () => run("q296_sketch_error"), q296B _)
     s.stop()
   }
 }

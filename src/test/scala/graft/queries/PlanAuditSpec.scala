@@ -81,42 +81,72 @@ class PlanAuditSpec extends SparkSpec {
 }
 
 object PlanAuditSpec {
-  /** Audited partition-less (global) Window occurrences per query —
-    * every entry was spot-checked to ride a GRID- or MODEL-sized
-    * input (hour/day grids, value-domain grids, score grids, sketch
-    * rows), where a single-partition sort is by design: the input is
-    * bounded by the domain, not the corpus. Queries not listed admit
-    * ZERO global windows. Populated by running the ratchet test with
-    * an empty map (round 11: 34 queries / 65 occurrences) and auditing
-    * each reported site against its query's documented scale shape —
-    * the families: value/cents/score GRIDS (q141/q167/q199/q207/q208/
-    * q278/q279/q280/q285's cumulative walks), time grids (q42/q113/
-    * q132/q188/q189/q193/q261), digit/bucket/cell grids (q180/q234/
-    * q104/q119/q130/q292), per-ENTITY folds ranked after the corpus
-    * collapses (q137/q152/q171/q213's customers, q139/q172's strata,
-    * q258/q260's sources, q249's 10 survivors, q98's top-k fusion,
-    * q86's breakpoints, q187's parent groups). */
+  /** Audited partition-less (global) Window occurrences per query.
+    * Queries not listed admit ZERO global windows; a new one is a red
+    * test that forces this audit to be re-argued, not assumed.
+    *
+    * r15 re-audit (round-14 verdict item 8): every entry below was
+    * re-verified against its window's actual INPUT relation in source,
+    * and annotated with the size argument. Three honest tiers:
+    *
+    * - GRID: the input is a value/time/digit DOMAIN (hour/day grid,
+    *   quantized-score grid, cents domain, Benford digits, IVF cells,
+    *   langs) — bounded by the domain at any corpus size. A
+    *   single-partition sort over a grid is by design.
+    * - DAY-SLICE: one calendar day's rows (q86's reference-day
+    *   breakpoints) — bounded by daily volume, with the documented
+    *   escape hatch (swap in the q71 mergeable sketch when a day
+    *   outgrows a sort).
+    * - ENTITY: a per-customer/user/source fold ranked or prefix-summed
+    *   globally AFTER the corpus collapses (Gini/Pareto/RFM/quota
+    *   ranks). Bounded by |entities|, NOT by a domain — the honest
+    *   caveat: at 10⁸+ entities these single-partition sorts become
+    *   the wall, and the scalable form is a two-level prefix sum
+    *   (range-partitioned rank + per-partition offsets). They stay
+    *   declared-exact here because the cumulative semantics ARE the
+    *   query; the rewrite is recorded as the known dial, and the
+    *   ratchet pins today's count so nothing NEW joins the tier
+    *   silently. */
   val GlobalWindowWhitelist: Map[String, Int] = Map(
-    "q42_range_frame" -> 1, "q86_quantile_drift" -> 3,
-    "q98_hybrid_rrf" -> 2, "q104_vocab_growth" -> 1,
-    "q113_burst_detection" -> 2, "q119_vocab_coverage" -> 1,
-    "q130_countmin_heavy" -> 1, "q132_sliding_distinct" -> 1,
-    "q137_rfm_segments" -> 3, "q139_quota_holdout" -> 1,
-    "q141_ks_drift" -> 1, "q152_gini" -> 1,
-    "q167_equidepth_hist" -> 1, "q171_skyline" -> 1,
-    "q172_neyman_allocation" -> 2, "q180_benford" -> 1,
-    "q187_share_of_parent" -> 1, "q188_rolling_median" -> 1,
-    "q189_cusum" -> 3, "q193_km_survival" -> 2,
-    "q199_quantile_norm" -> 1, "q207_roc_auc" -> 3,
-    "q208_kruskal_wallis" -> 1, "q213_pareto_abc" -> 2,
-    "q234_benford_audit" -> 1, "q249_uncertainty_sample" -> 1,
-    "q258_token_waterfill" -> 6, "q260_source_gini" -> 3,
-    "q261_survival_hazard" -> 2, "q278_embedding_auc" -> 2,
-    "q279_conformal_gate" -> 1, "q280_fairness_parity" -> 1,
-    "q285_fertility_parity" -> 1, "q292_ivf_balance" -> 2,
-    // q301 (round 11): the OVER () total rides the ≤ 120-cell
-    // (type, hour) grid — grid-sized by construction
-    "q301_mutual_information" -> 1,
+    // GRID tier
+    "q42_range_frame" -> 1,        // const filter event_id<2000 (in-code contract at the site)
+    "q104_vocab_growth" -> 1,      // doc-count buckets (log-spaced grid)
+    "q113_burst_detection" -> 2,   // hour grid
+    "q119_vocab_coverage" -> 1,    // vocabulary folded to (k, term) counts — token-domain
+    "q132_sliding_distinct" -> 1,  // hour grid (the deltas/sequence walk)
+    "q141_ks_drift" -> 1,          // n_chars value domain
+    "q167_equidepth_hist" -> 1,    // distinct-cents value domain
+    "q172_neyman_allocation" -> 2, // |event_types| strata
+    "q180_benford" -> 1,           // 9 leading digits
+    "q188_rolling_median" -> 1,    // day grid
+    "q189_cusum" -> 3,             // day grid; r15: fallback tier only (the
+                                   // driver replay plans ZERO windows under the gate)
+    "q193_km_survival" -> 2,       // distinct-duration grid
+    "q199_quantile_norm" -> 1,     // distinct-cents pool
+    "q207_roc_auc" -> 3,           // quantized-score grid (≤ 1e6+1 cells)
+    "q208_kruskal_wallis" -> 1,    // distinct-count grid
+    "q234_benford_audit" -> 1,     // 9 digits
+    "q261_survival_hazard" -> 2,   // day grid
+    "q278_embedding_auc" -> 2,     // quantized-score grid (≤ 20001 cells)
+    "q279_conformal_gate" -> 1,    // quantized-score grid
+    "q280_fairness_parity" -> 1,   // groups-sized
+    "q285_fertility_parity" -> 1,  // langs-sized
+    "q292_ivf_balance" -> 2,       // IVF cells
+    "q301_mutual_information" -> 1, // ≤ 120-cell (type, hour) grid
+    // DAY-SLICE tier
+    "q86_quantile_drift" -> 3,     // ONE reference day's values (documented sketch swap past that)
+    // ENTITY tier (see caveat above)
+    "q98_hybrid_rrf" -> 2,         // two top-k fused rank lists (k-bounded at the source)
+    "q130_countmin_heavy" -> 1,    // users ranked by estimate (top-20 kept)
+    "q137_rfm_segments" -> 3,      // customers × 3 percentile ranks
+    "q139_quota_holdout" -> 1,     // sources (strata-sized — small in practice)
+    "q152_gini" -> 1,              // customers cumulative (Lorenz walk)
+    "q171_skyline" -> 1,           // customers (dominance scan)
+    "q187_share_of_parent" -> 1,   // nations fold (≤ |nations| rows)
+    "q213_pareto_abc" -> 2,        // customers cumulative (ABC walk)
+    "q249_uncertainty_sample" -> 1, // margin ranks over scored pool
+    "q258_token_waterfill" -> 6,   // sources (water-filling walk)
+    "q260_source_gini" -> 3,       // sources cumulative
   )
 
   /** Default cap for queries not listed below. */

@@ -143,6 +143,32 @@ class CorpusIngestSpec extends SparkSpec {
     assert(leaked.isEmpty, s"stranded checkpoint RDDs: $leaked")
   }
 
+  test("soak: block-manager entries stay FLAT across five micro-batches (r15)") {
+    // the r14 leak test asserts zero stranded blocks after the stream
+    // stops; this one asserts the invariant PER BATCH over a longer
+    // run — the regression guard the round-14 verdict asked for: an
+    // unbounded stream must hold a bounded working set, so the
+    // persistent-RDD count after every micro-batch must return to the
+    // pre-stream level, not grow with batch index.
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = CorpusIngest.start(docs, s"$dir/sig", s"$dir/ckpt",
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      (1 to 5).foreach { i =>
+        input.addData((i * 10L, s"batch $i fresh content $i " + baseText),
+          (i * 10L + 1, variant(s"soak$i")))
+        q.processAllAvailable()
+        val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+        assert(leaked.isEmpty,
+          s"after micro-batch $i: stranded checkpoint RDDs $leaked")
+      }
+    } finally q.stop()
+  }
+
   test("scrubPii: redaction runs before hashing, so PII-only variants dedup") {
     val sigDir = tmp() + "/sig"
     // same document text, differing ONLY in the embedded email — after
